@@ -1,0 +1,61 @@
+"""SparkSession construction for the engine.
+
+One place to set every scale-relevant knob. Local mode is the test bed;
+the same builder (minus local master) is what a 1000-executor cluster
+deployment would use — AQE, Arrow, and UTC semantics are identical.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Shuffle partitions: match local cores while testing. On a real cluster
+#: this is overridden (or left to AQE coalescing) — AQE is enabled so the
+#: initial number only caps parallelism, it does not fix it.
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(app_name: str = "telescope_data_pipeline_spark",
+              shuffle_partitions: int | None = None,
+              extra_conf: dict[str, str] | None = None) -> SparkSession:
+    """Build (or get) the SparkSession with the engine's standard config.
+
+    Settings and why they matter at 100 TB:
+
+    - AQE on (+ coalesce + skew join): runtime re-planning fixes the two
+      failure modes a static plan has at scale — thousands of tiny
+      post-shuffle partitions, and skewed join keys.
+    - Arrow on: every pandas UDF crosses JVM<->Python in columnar batches
+      instead of pickled rows.
+    - UTC session timezone: timestamp semantics must not depend on the
+      executor host's locale.
+    - autoBroadcastJoinThreshold raised to 64 MB: dimension tables
+      (region/nation/ephemeris) should never shuffle.
+    - maxPartitionBytes 128 MB: parquet scan split size — keeps scan tasks
+      uniform regardless of input file layout.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder
+        .master(os.environ.get("SPARK_MASTER", f"local[{cpus}]"))
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions",
+                str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
