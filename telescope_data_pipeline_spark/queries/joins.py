@@ -1,1 +1,185 @@
-"""Placeholder — filled in by build phases."""
+"""Join family (SURVEY.md §2.3): inner/left/semi/anti/broadcast/range/NN.
+
+The reference's three join patterns are spatial theta-joins written as
+loops (core.py:148-177 NN match, core.py:317-330 crowding self-join,
+walkthrough cell 7 cone search) plus one broadcast key lookup
+(p_io.py:11-16). They decompose into the equi/semi/anti/window forms
+demoed here; the NN form uses the grid-bucketed operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.nn_join import nn_join
+from ..sources import load_table
+from .registry import query
+
+
+@query("q_join_inner", oracle="""
+SELECT l_orderkey, l_linenumber, o_custkey,
+       ROUND(l_extendedprice * (1 - l_discount), 4) AS net_price
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT' AND l_quantity > 45
+""")
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi inner join on the fact keys (shuffle hash/sort-merge at scale;
+    both scans keep their pushed filters below the join)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            "l_orderkey", "l_linenumber", "o_custkey",
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+             .alias("net_price"),
+        )
+    )
+
+
+@query("q_join_left", oracle="""
+SELECT o_orderpriority,
+       COUNT(*)            AS n_orders,
+       COUNT(l.l_orderkey) AS n_big_lines
+FROM orders o
+LEFT JOIN (SELECT l_orderkey FROM lineitem WHERE l_quantity > 49) l
+  ON o.o_orderkey = l.l_orderkey
+GROUP BY o_orderpriority
+""")
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join — null rows for unmatched, then counted.
+
+    Reference: the NN match table initialized to NaN for unmatched stars
+    (core.py:166) — null-preserving outer semantics. COUNT(col) vs
+    COUNT(*) shows the null behavior.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    big = (load_table(spark, sf_dir, "lineitem")
+           .filter(F.col("l_quantity") > 49).select("l_orderkey"))
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey, "left")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.count("l_orderkey").alias("n_big_lines"))
+    )
+
+
+@query("q_join_semi", oracle="""
+SELECT c_custkey, c_name
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+""")
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (EXISTS) — reference analog: 'star has a neighbor
+    within threshold' membership test inside the crowding mask
+    (core.py:317-330)."""
+    c = load_table(spark, sf_dir, "customer")
+    urgent = (load_table(spark, sf_dir, "orders")
+              .filter(F.col("o_orderpriority") == "1-URGENT"))
+    return (
+        c.join(urgent, c.c_custkey == urgent.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+    )
+
+
+@query("q_join_anti", oracle="""
+SELECT c_custkey, c_name
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+""")
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS) — reference analog: removing the
+    crowding-rejected id set, stars_tbl.remove_rows(d) at core.py:337."""
+    c = load_table(spark, sf_dir, "customer")
+    urgent = (load_table(spark, sf_dir, "orders")
+              .filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey"))
+    return (
+        c.join(urgent, c.c_custkey == urgent.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+@query("q_join_broadcast", oracle="""
+SELECT r_name,
+       COUNT(*)                 AS n_customers,
+       ROUND(AVG(c_acctbal), 6) AS avg_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+""")
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast hash join through two dimension tables.
+
+    Reference: the ephemeris-constant lookup merged into every output row
+    (p_io.py:11-16, obj_data.py:18-23) — the canonical tiny-dim broadcast.
+    Both dims are broadcast; the fact table never shuffles for the join.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"),
+             F.round(F.avg("c_acctbal"), 6).alias("avg_acctbal"))
+    )
+
+
+@query("q_join_range", oracle="""
+SELECT c_custkey, s_suppkey, ROUND(c_acctbal - s_acctbal, 2) AS bal_gap
+FROM customer JOIN supplier
+  ON c_acctbal BETWEEN s_acctbal - 50 AND s_acctbal + 50
+""")
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band (interval) theta-join — the cone-search analog
+    (walkthrough.ipynb cell 7: rows within a radius of a target position).
+
+    Written as the declarative BETWEEN predicate; at driver scales Catalyst
+    runs it as BroadcastNestedLoopJoin with the 10·sf-row supplier side
+    broadcast. The 100 TB path for large-large band joins is the bucketed
+    rewrite in operators.nn_join (same grid trick, band predicate refine).
+    """
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        c.join(s, (c.c_acctbal >= s.s_acctbal - 50) & (c.c_acctbal <= s.s_acctbal + 50))
+        .select("c_custkey", "s_suppkey",
+                F.round(F.col("c_acctbal") - F.col("s_acctbal"), 2).alias("bal_gap"))
+    )
+
+
+@query("q_join_nn", oracle="""
+WITH cand AS (
+  SELECT c_custkey, s_suppkey, ABS(c_acctbal - s_acctbal) AS d,
+         ROW_NUMBER() OVER (PARTITION BY c_custkey
+                            ORDER BY ABS(c_acctbal - s_acctbal), s_suppkey) AS rn
+  FROM customer, supplier
+  WHERE ABS(c_acctbal - s_acctbal) < 100
+)
+SELECT c.c_custkey, cand.s_suppkey, ROUND(cand.d, 2) AS dist
+FROM customer c
+LEFT JOIN cand ON c.c_custkey = cand.c_custkey AND cand.rn = 1
+""")
+def q_join_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor left-outer join via the grid-bucketed operator.
+
+    Reference semantics: core.py:148-177 — closest counterpart within a
+    cutoff, null when none. The oracle is the naive cross-join + window
+    form; the Spark plan is the linear-cost bucketed equi-join
+    (operators/nn_join.py), proving the rewrite is semantics-preserving.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    out = nn_join(
+        left=c, right=s,
+        left_keys=["c_custkey"],
+        coords=[("c_acctbal", "s_acctbal")],
+        max_dist=100.0,
+        right_cols=["s_suppkey"],
+    )
+    return out.select("c_custkey", "s_suppkey", F.round("dist", 2).alias("dist"))

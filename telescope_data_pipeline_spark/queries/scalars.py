@@ -1,1 +1,149 @@
-"""Placeholder — filled in by build phases."""
+"""Scalar functions (SURVEY.md §2.8): math / rounding / string / date /
+array — all built-in pyspark.sql.functions (JVM-side, codegen'd; no UDFs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .registry import query
+
+# Phase-fold constants (reference walkthrough cells 11-12: phase =
+# ((t - t0) % P) / P). Seconds-scale stand-ins for the driver's events.ts.
+_T0 = 1704067200.0          # 2024-01-01T00:00:00Z epoch seconds
+_PERIOD = 86400.0 * 7       # one-week fold period
+
+
+@query("q_scalar_math", oracle=f"""
+SELECT event_id,
+       ROUND(-2.5 * LOG10(value), 6)                       AS mag,
+       ROUND(1.08574 * SQRT(value) / value, 6)             AS mag_err,
+       ROUND(SQRT(POW(value - 100, 2) + POW(value - 200, 2)), 6) AS dist,
+       ROUND(FMOD(EPOCH(ts) - {_T0}, {_PERIOD}) / {_PERIOD}, 6)  AS phase
+FROM events
+WHERE value > 0
+""")
+def q_scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Photometry math as expressions: magnitude ``-2.5*log10(flux)``
+    (p_io.py:111), error propagation ``1.08574*err/flux`` (p_io.py:112),
+    Euclidean distance (core.py:170), phase fold ``((t-t0) % P)/P``
+    (walkthrough cells 11-12). All whole-stage-codegen'd."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    v = F.col("value")
+    secs = F.col("ts").cast("double")  # fractional epoch seconds
+    return e.select(
+        "event_id",
+        F.round(-2.5 * F.log10(v), 6).alias("mag"),
+        F.round(1.08574 * F.sqrt(v) / v, 6).alias("mag_err"),
+        F.round(F.sqrt(F.pow(v - 100, 2) + F.pow(v - 200, 2)), 6).alias("dist"),
+        F.round(((secs - _T0) % _PERIOD) / _PERIOD, 6).alias("phase"),
+    )
+
+
+@query("q_scalar_round", oracle="""
+SELECT p_partkey,
+       ROUND(p_retailprice, 0)                         AS rounded,
+       CEIL(p_retailprice)                             AS ceiled,
+       FLOOR(p_retailprice)                            AS floored,
+       CAST(TRUNC(p_retailprice) AS BIGINT)            AS as_int,
+       CAST(CEIL(p_retailprice) AS BIGINT) // 2 * 2 + 1 AS round_to_odd
+FROM part
+""")
+def q_scalar_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rounding family incl. the reference's round-to-odd cutout size
+    ``ceil(f)//2*2+1`` (core.py:374, core.py:443-446)."""
+    p = load_table(spark, sf_dir, "part")
+    price = F.col("p_retailprice")
+    return p.select(
+        "p_partkey",
+        F.round(price, 0).alias("rounded"),
+        F.ceil(price).alias("ceiled"),
+        F.floor(price).alias("floored"),
+        price.cast("bigint").alias("as_int"),
+        (F.floor(F.ceil(price) / 2) * 2 + 1).cast("bigint").alias("round_to_odd"),
+    )
+
+
+@query("q_scalar_string", oracle="""
+SELECT p_partkey,
+       SUBSTR(p_name, 1, 10)                    AS name_prefix,
+       UPPER(p_brand)                           AS brand_uc,
+       LENGTH(p_name)                           AS name_len,
+       CONCAT(p_brand, ':', p_type)             AS brand_type,
+       REGEXP_EXTRACT(p_type, '(\\w+)$', 1)     AS type_last_word,
+       CAST(p_size AS VARCHAR)                  AS size_str
+FROM part
+WHERE p_name LIKE '%red%'
+""")
+def q_scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family: substring (the 22-char set-name slice,
+    psf_phot.py:48), concat (path building core.py:42-43), LIKE,
+    regexp_extract, cast-to-string (CSV row assembly p_io.py:117-118)."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    return p.select(
+        "p_partkey",
+        F.substring("p_name", 1, 10).alias("name_prefix"),
+        F.upper("p_brand").alias("brand_uc"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_extract("p_type", r"(\w+)$", 1).alias("type_last_word"),
+        F.col("p_size").cast("string").alias("size_str"),
+    )
+
+
+@query("q_scalar_date", oracle="""
+SELECT o_orderkey,
+       YEAR(o_orderdate)                               AS yr,
+       MONTH(o_orderdate)                              AS mo,
+       DATE_TRUNC('month', o_orderdate)                AS month_start,
+       DATE_DIFF('day', DATE '1995-01-01', o_orderdate) AS days_since,
+       ROUND(EPOCH(o_orderdate) / 86400.0 + 2440587.5, 6) AS jd
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+""")
+def q_scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp family incl. the ISO→Julian-date conversion the reference
+    does via astropy Time (p_io.py:48-53): jd = unix/86400 + 2440587.5."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).alias("yr"),
+        F.month(d).alias("mo"),
+        F.date_trunc("month", d).alias("month_start"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).alias("days_since"),
+        F.round(d.cast("double") / 86400.0 + 2440587.5, 6).alias("jd"),
+    )
+
+
+@query("q_array_ops", oracle="""
+SELECT vec_id,
+       LEN(embedding)                                           AS dim,
+       ROUND(LIST_SUM(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE))), 4)  AS vec_sum,
+       ROUND(LIST_SUM(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 4) AS norm_sq,
+       ROUND(LIST_SUM(LIST_TRANSFORM(embedding[1:4], x -> CAST(x AS DOUBLE))), 4) AS head_sum
+FROM embeddings
+""")
+def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array expressions over the embedding column: size, fold-sum,
+    self-dot (norm²), slice — the reference's image-as-array ops
+    (core.py:81-88, core.py:376-380) in their relational form. Uses
+    ``aggregate``/``transform``/``slice`` higher-order functions, all
+    JVM-side (no Python crossing)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    arr = F.col("embedding")
+    dsum = F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x.cast("double"))
+    dnorm = F.aggregate(arr, F.lit(0.0),
+                        lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    dhead = F.aggregate(F.slice(arr, 1, 4), F.lit(0.0),
+                        lambda acc, x: acc + x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size(arr).alias("dim"),
+        F.round(dsum, 4).alias("vec_sum"),
+        F.round(dnorm, 4).alias("norm_sq"),
+        F.round(dhead, 4).alias("head_sum"),
+    )

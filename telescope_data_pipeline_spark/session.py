@@ -49,6 +49,13 @@ def get_spark(app_name: str = "telescope_data_pipeline_spark",
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
+        # Driver parquet uses pandas-style timestamps: ns-unit (events.ts)
+        # and ms-unit (orders.o_orderdate). Read ns as long (converted to
+        # micros in sources.load_table — every value is a whole µs) and
+        # keep ltz TimestampType everywhere so UTC arithmetic matches the
+        # DuckDB oracle's naive-timestamp semantics.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.ui.enabled", "false")

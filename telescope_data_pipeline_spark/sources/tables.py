@@ -11,6 +11,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..schemas import DRIVER_TABLES
 
@@ -25,7 +26,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in DRIVER_TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {sorted(DRIVER_TABLES)}")
-    return spark.read.parquet(table_path(sf_dir, name))
+    df = spark.read.parquet(table_path(sf_dir, name))
+    # events.ts is parquet TIMESTAMP(NANOS) — read as long ns (see session
+    # config) and converted losslessly: every driver value is a whole µs.
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str,
