@@ -1,0 +1,72 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {"q_x": sec, ...}, "sf": <sf>}
+
+Each query is materialized with the noop sink (full execution, no driver
+collect) so the timing measures the distributed plan, not result transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+# Heavy/representative subset across operator families: joins, aggs,
+# windows, sessionization, NN join, similarity search, text ops.
+HEADLINE = [
+    "q_flagship",
+    "q_agg_groupby",
+    "q_agg_sigclip",
+    "q_join_inner",
+    "q_join_nn",
+    "q_window_trim",
+    "q_topk_per_group",
+    "q_stream_session",
+    "q_dedup_tokenset",
+    "q_ngram_jaccard",
+    "q_sim_topk",
+    "q_token_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(Path(sf_dir).name.replace("sf", "") or "0.1")
+
+    from telescope_data_pipeline_spark.queries import all_queries
+    from telescope_data_pipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    registry = all_queries()
+
+    # Warm the JVM/codegen path once so per-query times measure the plan,
+    # not first-call initialization.
+    registry["q_flagship"].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry[name].fn
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

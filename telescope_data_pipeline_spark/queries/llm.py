@@ -1,1 +1,274 @@
-"""Placeholder — filled in by build phases."""
+"""LLM-training-data pipeline operators (SURVEY.md §2.11) on the
+``documents`` (text) and ``embeddings`` (vector) tables.
+
+Oracle-checkable forms live here; hash-seeded variants (MinHash-LSH,
+SimHash, random-hyperplane ANN) whose outputs depend on a specific hash
+function are registered as rows-only queries from
+``operators.dedup`` / ``operators.similarity``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .registry import query
+
+#: Tokenizer used consistently across text queries (Spark split pattern and
+#: the DuckDB regex are the same).
+_TOK = r"\s+"
+
+
+@query("q_dedup_exact", oracle="""
+SELECT substr(text, 1, 30) AS dedup_key,
+       MIN(doc_id)         AS keep_id,
+       COUNT(*)            AS n_copies
+FROM documents
+GROUP BY 1
+HAVING COUNT(*) > 1
+""")
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group on a normalized content key, keep the smallest
+    id. Demonstrated on a 30-char prefix key (the driver corpus has no
+    full-text duplicates). At 100 TB the groupBy key is ``sha2(text, 256)``
+    so the shuffle carries 32-byte digests, never the document bytes —
+    same plan shape, same semantics (collision probability ~2^-128)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.substring("text", 1, 30).alias("dedup_key"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+@query("q_dedup_tokenset", oracle="""
+SELECT array_to_string(list_sort(list_distinct(string_split_regex(text, '\\s+'))), ' ')
+         AS fingerprint,
+       MIN(doc_id) AS keep_id,
+       COUNT(*)    AS n_copies
+FROM documents
+GROUP BY 1
+HAVING COUNT(*) > 1
+""")
+def q_dedup_tokenset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-of-words fingerprint dedup: documents with identical distinct
+    token sets are near-duplicates (word-order-insensitive). The sorted
+    token-set string is the canonical form of an n-gram fingerprint; at
+    scale the fingerprint is hashed before the shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = F.array_join(F.array_sort(F.array_distinct(F.split("text", _TOK))), " ")
+    return (
+        d.groupBy(fp.alias("fingerprint"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+@query("q_ngram_jaccard", oracle="""
+WITH toks AS (
+  SELECT doc_id, list_distinct(string_split_regex(text, '\\s+')) AS t FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       LEN(list_filter(a.t, x -> list_contains(b.t, x))) AS n_common,
+       ROUND(LEN(list_filter(a.t, x -> list_contains(b.t, x)))::DOUBLE
+             / (LEN(a.t) + LEN(b.t) - LEN(list_filter(a.t, x -> list_contains(b.t, x)))),
+             6) AS jaccard
+FROM toks a JOIN toks b ON b.doc_id = a.doc_id + 1
+""")
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-set Jaccard similarity between document pairs (here the
+    deterministic consecutive-id pairing; the MinHash-LSH operator uses
+    the same measure over candidate pairs). array_intersect/union stay
+    JVM-side — no Python in the loop."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.array_distinct(F.split("text", _TOK)).alias("t"))
+    a = toks.alias("a")
+    b = toks.select((F.col("doc_id") - 1).alias("join_id"),
+                    F.col("doc_id").alias("doc_b"), F.col("t").alias("tb"))
+    inter = F.size(F.array_intersect(F.col("a.t"), F.col("tb")))
+    union = F.size(F.col("a.t")) + F.size(F.col("tb")) - inter
+    return (
+        a.join(b, F.col("a.doc_id") == F.col("join_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), "doc_b",
+                inter.alias("n_common"),
+                F.round(inter.cast("double") / union, 6).alias("jaccard"))
+    )
+
+
+@query("q_sim_topk", oracle="""
+WITH norms AS (
+  SELECT vec_id, SUM(CAST(e AS DOUBLE) * CAST(e AS DOUBLE)) AS nrm
+  FROM (SELECT vec_id, UNNEST(embedding) AS e FROM embeddings)
+  GROUP BY vec_id
+), pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         CAST(UNNEST(q.embedding) AS DOUBLE) AS qe,
+         CAST(UNNEST(c.embedding) AS DOUBLE) AS ce
+  FROM embeddings q CROSS JOIN embeddings c
+  WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id
+), dots AS (
+  SELECT query_id, cand_id, SUM(qe * ce) AS dot FROM pairs GROUP BY 1, 2
+), scored AS (
+  SELECT query_id, cand_id,
+         dot / SQRT(nq.nrm * nc.nrm) AS cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY dot / SQRT(nq.nrm * nc.nrm) DESC, cand_id) AS rn
+  FROM dots
+  JOIN norms nq ON nq.vec_id = query_id
+  JOIN norms nc ON nc.vec_id = cand_id
+)
+SELECT query_id, cand_id, rn AS rank, ROUND(cos, 6) AS cosine
+FROM scored WHERE rn <= 5
+""")
+def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k similarity search: 20 query vectors vs the
+    full corpus, top-5 each. The dot product is a JVM-side higher-order
+    fold over zipped arrays (no UDF). This is the exactness baseline the
+    LSH-bucketed ANN operator (operators/similarity.py) is measured
+    against; at 100 TB the corpus side is bucketed so each query scores
+    only its candidate buckets."""
+    e = load_table(spark, sf_dir, "embeddings")
+    vecs = e.select("vec_id", "embedding")
+    norm = F.aggregate(F.col("embedding"), F.lit(0.0),
+                       lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    with_norm = vecs.withColumn("nrm", norm)
+    q = (with_norm.filter(F.col("vec_id") < 20)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("qv"), F.col("nrm").alias("qn")))
+    c = with_norm.select(F.col("vec_id").alias("cand_id"),
+                         F.col("embedding").alias("cv"), F.col("nrm").alias("cn"))
+    dot = F.aggregate(
+        F.zip_with("qv", "cv", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+    scored = (
+        q.join(F.broadcast(c), F.col("query_id") != F.col("cand_id"))
+        .withColumn("cos", dot / F.sqrt(F.col("qn") * F.col("cn")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "cand_id", F.col("rn").alias("rank"),
+                F.round("cos", 6).alias("cosine"))
+    )
+
+
+@query("q_text_stats", oracle="""
+SELECT doc_id, lang,
+       LEN(string_split_regex(text, '\\s+'))                 AS n_tokens,
+       LEN(list_distinct(string_split_regex(text, '\\s+')))  AS n_uniq,
+       ROUND(n_chars::DOUBLE / LEN(string_split_regex(text, '\\s+')), 6) AS chars_per_tok,
+       CASE WHEN n_chars < 150 THEN 'short'
+            WHEN n_chars < 350 THEN 'medium'
+            ELSE 'long' END                                   AS len_bucket
+FROM documents
+""")
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text statistics: token count (whitespace tokenizer),
+    vocabulary size, chars-per-token, length bucket — the quality-signal
+    primitives of a training-data pipeline."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", _TOK)
+    n_tokens = F.size(toks)
+    return d.select(
+        "doc_id", "lang",
+        n_tokens.alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_uniq"),
+        F.round(F.col("n_chars").cast("double") / n_tokens, 6).alias("chars_per_tok"),
+        F.when(F.col("n_chars") < 150, "short")
+         .when(F.col("n_chars") < 350, "medium")
+         .otherwise("long").alias("len_bucket"),
+    )
+
+
+@query("q_doc_quality", oracle="""
+SELECT doc_id,
+       ROUND(LEAST(n_chars::DOUBLE / 400, 1.0) * 0.5
+             + (LEN(list_distinct(string_split_regex(text, '\\s+')))::DOUBLE
+                / LEN(string_split_regex(text, '\\s+'))) * 0.5, 6) AS quality,
+       CASE WHEN n_chars >= 100
+             AND LEN(string_split_regex(text, '\\s+')) >= 20 THEN 1 ELSE 0 END AS keep
+FROM documents
+""")
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score (length saturation + lexical diversity) and
+    a keep/drop gate — the filter stage of a data-curation pipeline."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", _TOK)
+    diversity = F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+    length_score = F.least(F.col("n_chars").cast("double") / 400, F.lit(1.0))
+    return d.select(
+        "doc_id",
+        F.round(length_score * 0.5 + diversity * 0.5, 6).alias("quality"),
+        F.when((F.col("n_chars") >= 100) & (F.size(toks) >= 20), 1)
+         .otherwise(0).alias("keep"),
+    )
+
+
+@query("q_lang_id", oracle="""
+WITH scored AS (
+  SELECT doc_id, lang,
+         LEN(list_filter(string_split_regex(text, '\\s+'),
+                         t -> t IN ('the', 'a', 'of', 'and')))   AS en_score,
+         LEN(list_filter(string_split_regex(text, '\\s+'),
+                         t -> t IN ('el', 'la', 'de', 'los')))   AS es_score,
+         LEN(list_filter(string_split_regex(text, '\\s+'),
+                         t -> t IN ('der', 'die', 'das', 'und'))) AS de_score
+  FROM documents
+)
+SELECT doc_id, lang AS labeled_lang,
+       CASE WHEN en_score >= es_score AND en_score >= de_score THEN 'en'
+            WHEN es_score >= de_score THEN 'es'
+            ELSE 'de' END AS predicted_lang,
+       en_score, es_score, de_score
+FROM scored
+""")
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language identification (the n-gram-heuristic shape:
+    score per language from characteristic-token hits, argmax with a
+    deterministic tie order). The driver corpus is synthetic so accuracy
+    is not the point — the operator shape (tokenize → per-language score
+    → argmax) is."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", _TOK)
+
+    def score(markers: list[str]):
+        arr = F.array(*[F.lit(m) for m in markers])
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    scored = d.select(
+        "doc_id", F.col("lang").alias("labeled_lang"),
+        score(["the", "a", "of", "and"]).alias("en_score"),
+        score(["el", "la", "de", "los"]).alias("es_score"),
+        score(["der", "die", "das", "und"]).alias("de_score"),
+    )
+    return scored.select(
+        "doc_id", "labeled_lang",
+        F.when((F.col("en_score") >= F.col("es_score"))
+               & (F.col("en_score") >= F.col("de_score")), "en")
+         .when(F.col("es_score") >= F.col("de_score"), "es")
+         .otherwise("de").alias("predicted_lang"),
+        "en_score", "es_score", "de_score",
+    )
+
+
+@query("q_token_topk", oracle="""
+SELECT tok, COUNT(*) AS n
+FROM (SELECT UNNEST(string_split_regex(text, '\\s+')) AS tok FROM documents)
+GROUP BY tok
+ORDER BY n DESC, tok
+LIMIT 20
+""")
+def q_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level token frequency top-20 (explode → count → top-k).
+    The partial aggregation happens map-side; only per-token partial
+    counts shuffle — the plan a 100 TB vocabulary count needs."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", _TOK)).alias("tok"))
+        .groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(20)
+    )
