@@ -1,0 +1,171 @@
+"""Near-duplicate detection operators for large text corpora.
+
+Three scale-tiered strategies, all shuffle-aware:
+
+- **Exact / fingerprint dedup** — groupBy on a digest of the normalized
+  content (see queries/llm.py): shuffle carries 32-byte keys.
+- **MinHash + LSH** (this module) — shingle → k minhashes → band →
+  bucket equi-join. Candidate generation is a self-equi-join on
+  (band_idx, band_hash): linear shuffle, no all-pairs comparison. The
+  standard construction from Broder (1997) / Leskovec et al., "Mining of
+  Massive Datasets" ch. 3 — public algorithms, implemented here on
+  DataFrame ops only (xxhash64 is Spark's built-in 64-bit hash).
+- **SimHash** (Charikar 2002) — per-document 64-bit signature via an
+  Arrow-vectorized pandas UDF (no shuffle at all for signature
+  computation; near-dup candidates via banded signature chunks).
+
+Outputs depend on the concrete hash function, so these register as
+rows-only driver checks; the *verification* step (true Jaccard on
+candidate pairs) is hash-independent and unit-tested against a
+brute-force oracle in tests/test_dedup.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def shingle(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingles array).
+
+    Sliding word windows via a JVM-side transform over token positions —
+    no Python, no explode (the array stays with its row).
+    """
+    toks = F.split(F.col(text_col), r"\s+")
+    n_sh = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), n_sh - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+    return df.select(F.col(id_col).alias("id"), shingles.alias("shingles")) \
+             .filter(F.size("shingles") > 0)
+
+
+def minhash_signatures(shingled: DataFrame, num_hashes: int = 32) -> DataFrame:
+    """(id, sig array<long>) — sig[i] = min over shingles of hash_i(s).
+
+    hash_i is xxhash64 salted with the function index; the min-reduction
+    happens inside a per-row array fold (array_min of transform), so
+    signatures cost zero shuffle.
+    """
+    sig = F.array(*[
+        F.array_min(F.transform("shingles", lambda s, i=i: F.xxhash64(F.lit(i), s)))
+        for i in range(num_hashes)
+    ])
+    return shingled.select("id", sig.alias("sig"))
+
+
+def lsh_candidate_pairs(signatures: DataFrame, num_hashes: int = 32,
+                        bands: int = 8) -> DataFrame:
+    """Candidate near-dup pairs: documents agreeing on at least one full
+    band of their MinHash signature.
+
+    Explode each doc into ``bands`` (band_idx, band_hash) rows, self
+    equi-join on both — a hash-partitioned shuffle join whose cost is
+    |docs|·bands, not |docs|². ``id_a < id_b`` keeps each pair once.
+    """
+    if num_hashes % bands:
+        raise ValueError(f"bands={bands} must divide num_hashes={num_hashes}")
+    r = num_hashes // bands  # rows per band
+    banded = signatures.select(
+        "id",
+        F.posexplode(F.array(*[
+            F.xxhash64(F.concat_ws(",", F.transform(
+                F.slice("sig", b * r + 1, r), lambda x: x.cast("string"))))
+            for b in range(bands)
+        ])).alias("band_idx", "band_hash"),
+    )
+    a = banded.select(F.col("id").alias("id_a"), "band_idx", "band_hash")
+    b = banded.select(F.col("id").alias("id_b"), "band_idx", "band_hash")
+    return (
+        a.join(b, on=["band_idx", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b").distinct()
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash-LSH pipeline: candidates via banding, then exact
+    Jaccard verification on the candidate pairs only.
+
+    Returns (id_a, id_b, jaccard) with jaccard >= threshold. With r =
+    num_hashes/bands rows per band the candidate-recall S-curve is
+    1-(1-t^r)^bands; defaults (r=4, b=8) put the 50% knee near t≈0.4.
+    """
+    sh = shingle(df, id_col, text_col, n=shingle_n)
+    sigs = minhash_signatures(sh, num_hashes=num_hashes)
+    cand = lsh_candidate_pairs(sigs, num_hashes=num_hashes, bands=bands)
+    a = sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cand.join(a, "id_a").join(b, "id_b")
+        .withColumn("jaccard", F.round(inter.cast("double") / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (Charikar 2002): 64-bit signature; near-dups differ in few bits.
+# ---------------------------------------------------------------------------
+
+@F.pandas_udf(T.LongType())
+def simhash64(texts: pd.Series) -> pd.Series:
+    """Arrow-vectorized SimHash: tokenize, hash each token to 64 bits
+    (FNV-1a — stable across runs/machines, unlike Python's builtin hash),
+    sum signed bit contributions, take the sign bit-vector."""
+    out = np.empty(len(texts), dtype=np.int64)
+    for row, text in enumerate(texts):
+        acc = np.zeros(64, dtype=np.int64)
+        for tok in (text or "").split():
+            h = np.uint64(14695981039346656037)
+            for ch in tok.encode():
+                h = np.uint64((int(h) ^ ch) * 1099511628211 & 0xFFFFFFFFFFFFFFFF)
+            bits = np.unpackbits(np.frombuffer(np.uint64(h).tobytes(), dtype=np.uint8))
+            acc += np.where(bits.astype(np.int64) > 0, 1, -1)
+        fp = np.packbits((acc > 0).astype(np.uint8)).view(">u8")[0]
+        out[row] = np.int64(np.uint64(fp).astype(np.int64))
+    return pd.Series(out)
+
+
+def simhash_near_duplicates(df: DataFrame, id_col: str, text_col: str,
+                            max_hamming: int = 8) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 64-bit fingerprint into 4
+    16-bit chunks; by pigeonhole any pair within hamming distance 3 shares
+    a chunk (wider distances need more bands/probes). Equi-join on
+    (chunk_idx, chunk_value), then exact popcount refine."""
+    fp = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("fp"))
+    chunks = fp.select(
+        "id", "fp",
+        F.posexplode(F.array(*[
+            F.shiftrightunsigned("fp", k * 16).bitwiseAND(F.lit(0xFFFF))
+            for k in range(4)
+        ])).alias("chunk_idx", "chunk"),
+    )
+    a = chunks.select(F.col("id").alias("id_a"), F.col("fp").alias("fp_a"),
+                      "chunk_idx", "chunk")
+    b = chunks.select(F.col("id").alias("id_b"), F.col("fp").alias("fp_b"),
+                      "chunk_idx", "chunk")
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        a.join(b, on=["chunk_idx", "chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming.alias("hamming")).distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,142 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+Convention (schemas.MEDIA): the encoded payload is a BinaryType column;
+everything query-able (modality, mime, dimensions, duration) is a typed
+column beside it, so relational stages never touch the bytes — filters on
+``modality``/``mime`` prune at the parquet scan and the payload column is
+only read by the decode stage (columnar formats make this free).
+
+Decode / feature-extract run as ``mapInPandas`` over Arrow batches:
+one Python crossing per batch, not per row, and each output row stays
+with its input partition (no shuffle). The actual codecs (PIL/ffmpeg/
+librosa) are NOT in this container, so the decode kernels are stubbed
+behind ``_require_codec`` — the Spark-side contract (schemas, batch
+iteration, partitioning) is real and tested with the deterministic fake.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Output schema of the image feature extractor.
+IMAGE_FEATURES = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("n_bytes", T.LongType(), True),
+    T.StructField("mean_intensity", T.DoubleType(), True),
+    T.StructField("feature", T.ArrayType(T.FloatType()), True),
+])
+
+#: Output schema of the audio/video frame sampler.
+FRAME_SAMPLES = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("frame_idx", T.IntegerType(), False),
+    T.StructField("t_offset_s", T.DoubleType(), True),
+    T.StructField("frame_bytes", T.BinaryType(), True),
+])
+
+
+class CodecUnavailable(NotImplementedError):
+    """Raised when a real decoder is required but not installed."""
+
+
+def _decode_image_stub(payload: bytes) -> np.ndarray:
+    """STUB decoder — deterministic fake in place of PIL/libjpeg.
+
+    Real deployment: ``PIL.Image.open(io.BytesIO(payload))``. Here the
+    payload bytes are interpreted as a seed so tests are reproducible.
+    """
+    if payload is None:
+        raise CodecUnavailable("no payload")
+    seed = int.from_bytes(payload[:8].ljust(8, b"\0"), "little") & 0x7FFFFFFF
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 255, size=(16, 16), dtype=np.uint8).astype(np.float32)
+
+
+def extract_image_features(media: DataFrame, batch_size_hint: int = 256) -> DataFrame:
+    """media (schemas.MEDIA) -> IMAGE_FEATURES, one row per image.
+
+    The non-image rows are filtered BEFORE the Python stage so the Arrow
+    transfer only carries image payloads (predicate stays JVM-side).
+    """
+    images = media.filter(F.col("modality") == "image") \
+                  .select("media_id", "width", "height", "payload")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats, means, nbytes = [], [], []
+            for payload in pdf["payload"]:
+                arr = _decode_image_stub(payload)
+                # 8-bin intensity histogram as the stand-in embedding; a
+                # real model would run here (ONNX/torch on the executor).
+                hist, _ = np.histogram(arr, bins=8, range=(0, 255))
+                feats.append((hist / max(arr.size, 1)).astype(np.float32))
+                means.append(float(arr.mean()))
+                nbytes.append(len(payload) if payload is not None else 0)
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "width": pdf["width"],
+                "height": pdf["height"],
+                "n_bytes": pd.Series(nbytes, dtype="int64"),
+                "mean_intensity": means,
+                "feature": feats,
+            })
+
+    return images.mapInPandas(kernel, schema=IMAGE_FEATURES)
+
+
+def sample_frames(media: DataFrame, every_s: float = 1.0) -> DataFrame:
+    """Video frame sampling: one output row per sampled frame (UDTF shape —
+    row explosion happens inside the Arrow batch, so output rows inherit
+    the input partitioning; no shuffle).
+
+    Real deployment: ffmpeg keyframe extraction. Stub: one fake frame per
+    ``every_s`` of ``duration_s``, frame bytes sliced from the payload.
+    """
+    videos = media.filter(F.col("modality") == "video") \
+                  .select("media_id", "duration_s", "payload")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"media_id": [], "frame_idx": [],
+                                    "t_offset_s": [], "frame_bytes": []}
+            for media_id, dur, payload in zip(pdf["media_id"], pdf["duration_s"],
+                                              pdf["payload"]):
+                n = max(int((dur or 0.0) / every_s), 1)
+                for i in range(n):
+                    out["media_id"].append(media_id)
+                    out["frame_idx"].append(i)
+                    out["t_offset_s"].append(i * every_s)
+                    chunk = bytes(payload[i % max(len(payload), 1):][:16]) \
+                        if payload else b""
+                    out["frame_bytes"].append(chunk)
+            yield pd.DataFrame(out)
+
+    return videos.mapInPandas(kernel, schema=FRAME_SAMPLES)
+
+
+def make_fake_media(spark, n: int = 64, seed: int = 7) -> DataFrame:
+    """Deterministic MEDIA-schema fixture (images + videos) for tests and
+    the rows-only driver demo."""
+    from ..schemas import MEDIA
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        modality = "image" if i % 2 == 0 else "video"
+        payload = bytes(rng.integers(0, 256, size=64, dtype=np.uint8).tolist())
+        rows.append((
+            i, modality, payload,
+            "image/png" if modality == "image" else "video/mp4",
+            256, 256,
+            None if modality == "image" else float(2 + i % 5),
+            {"src": f"synthetic-{i}"},
+        ))
+    return spark.createDataFrame(rows, schema=MEDIA)

@@ -1,0 +1,106 @@
+"""Similarity search over embedding columns.
+
+Two tiers (SURVEY.md §2.11):
+
+- **Brute-force cosine top-k** — the exactness baseline: cross join +
+  JVM-side dot-product fold + window top-k (queries/llm.py::q_sim_topk).
+  O(|queries|·|corpus|) — fine when one side is small/broadcastable.
+- **LSH-bucketed ANN** (this module) — random-hyperplane signatures
+  (Charikar 2002 SimHash for cosine): h(v) = sign(v·r) over H fixed
+  hyperplanes → an H-bit bucket key; candidates = same bucket in any of
+  L independent tables. Shuffle cost |corpus|·L, join is equi on
+  (table, bucket). Recall rises with L and multi-probe; exactness is
+  traded for never materializing the cross product — the 100 TB path.
+
+Hyperplanes are generated from a fixed seed and injected as plan
+literals, so plans are deterministic and executors need no side files.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def _hyperplanes(dim: int, n_bits: int, n_tables: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_tables, n_bits, dim))
+
+
+def _bucket_col(vec_col: str, planes: np.ndarray):
+    """H-bit bucket id for one table: bit h = (v · plane_h) >= 0.
+
+    The dot product is a JVM-side fold over zip_with against a literal
+    array — no Python, no shuffle.
+    """
+    bits = []
+    for h, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        dot = F.aggregate(
+            F.zip_with(vec_col, lit_plane, lambda x, y: x.cast("double") * y),
+            F.lit(0.0), lambda acc, x: acc + x)
+        bits.append(F.when(dot >= 0, F.lit(1 << h)).otherwise(F.lit(0)))
+    bucket = bits[0]
+    for b in bits[1:]:
+        bucket = bucket + b
+    return bucket
+
+
+def cosine(vec_a: str, vec_b: str):
+    """Cosine similarity between two array columns (double fold)."""
+    dot = F.aggregate(F.zip_with(vec_a, vec_b, lambda x, y: x.cast("double") * y.cast("double")),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    n = lambda c: F.aggregate(  # noqa: E731
+        F.zip_with(c, c, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+    return dot / F.sqrt(n(vec_a) * n(vec_b))
+
+
+def ann_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    dim: int = 64,
+    n_bits: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k cosine neighbors via multi-table hyperplane LSH.
+
+    Returns (query_id, cand_id, rank, cosine) — same shape as the
+    brute-force baseline so recall is directly measurable
+    (tests/test_similarity.py).
+    """
+    planes = _hyperplanes(dim, n_bits, n_tables, seed)
+
+    def with_buckets(df: DataFrame, prefix: str) -> DataFrame:
+        out = df.select(F.col(id_col).alias(f"{prefix}_id"),
+                        F.col(vec_col).alias(f"{prefix}_vec"))
+        buckets = F.array(*[
+            F.struct(F.lit(t).alias("tbl"),
+                     _bucket_col(f"{prefix}_vec", planes[t]).alias("bkt"))
+            for t in range(n_tables)
+        ])
+        return out.withColumn("b", F.explode(buckets)) \
+                  .select(f"{prefix}_id", f"{prefix}_vec",
+                          F.col("b.tbl").alias("tbl"), F.col("b.bkt").alias("bkt"))
+
+    q = with_buckets(queries, "query")
+    c = with_buckets(corpus, "cand")
+    cand = (
+        q.join(c, on=["tbl", "bkt"])
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id", "query_vec", "cand_vec")
+        .distinct()  # a pair can collide in several tables
+        .withColumn("cos", cosine("query_vec", "cand_vec"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "rank", F.round("cos", 6).alias("cosine"))
+    )

@@ -272,3 +272,72 @@ def q_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("tok"))
         .limit(20)
     )
+
+
+@query("q_dedup_embed", oracle="""
+WITH pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         CAST(UNNEST(a.embedding) AS DOUBLE) AS x,
+         CAST(UNNEST(b.embedding) AS DOUBLE) AS y
+  FROM embeddings a CROSS JOIN embeddings b
+  WHERE a.vec_id < b.vec_id
+), dots AS (
+  SELECT id_a, id_b, SUM(x * y) AS dot, SUM(x * x) AS na, SUM(y * y) AS nb
+  FROM pairs GROUP BY 1, 2
+)
+SELECT id_a, id_b, ROUND(dot / SQRT(na * nb), 6) AS cosine
+FROM dots WHERE dot / SQRT(na * nb) >= 0.4
+""")
+def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (threshold 0.4 — the driver
+    corpus tops out at 0.51 pairwise). Brute-force all-pairs form as the
+    exactness baseline; the LSH-bucketed form (q_sim_ann) is the path
+    that scales past a broadcastable corpus."""
+    from ..operators.similarity import cosine as cos_expr
+
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cos_expr("va", "vb"))
+        .filter(F.col("cosine") >= 0.4)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+@query("q_dedup_near", oracle=None)  # hash-seeded candidates: rows-only check
+def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-duplicate detection (shingle → minhash → band →
+    bucket-join → exact-Jaccard refine). Candidate generation depends on
+    xxhash64, so no SQL oracle; the Jaccard refinement is verified against
+    a brute-force oracle in tests/test_dedup.py."""
+    from ..operators.dedup import minhash_near_duplicates
+
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_near_duplicates(d, "doc_id", "text",
+                                   shingle_n=3, num_hashes=32, bands=8,
+                                   threshold=0.2)
+
+
+@query("q_dedup_simhash", oracle=None)  # hash-seeded: rows-only check
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: Arrow-vectorized 64-bit fingerprints,
+    banded 16-bit chunks for candidates, popcount refine."""
+    from ..operators.dedup import simhash_near_duplicates
+
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_near_duplicates(d, "doc_id", "text", max_hamming=16)
+
+
+@query("q_sim_ann", oracle=None)  # LSH-approximate: rows-only check
+def q_sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate nearest neighbors via random-hyperplane LSH (8 bits x
+    4 tables): the scale path for similarity search — shuffle is linear
+    in corpus size, never the cross product. Recall vs the brute-force
+    baseline is measured in tests/test_similarity.py."""
+    from ..operators.similarity import ann_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return ann_topk(e.filter(F.col("vec_id") < 20), e,
+                    k=5, dim=64, n_bits=8, n_tables=4)
