@@ -1,0 +1,193 @@
+"""PSF-star selection and PSF photometry (reference core.py:281-484).
+
+The selection mask (core.py:281-342 ``image_mask``) is pure DataFrame
+ops — border/saturation predicates, a grid-bucketed crowding self-join
+used as an anti-join, and a window-based brightness trim. No UDF: every
+step is Catalyst-visible, so predicate pushdown and AQE still apply.
+
+The numeric kernels (empirical PSF build, core.py:384-414; iterative
+photometry, core.py:416-452) are grouped applyInPandas per epoch:
+cutouts → normalized median PSF → per-star linear least-squares flux
+with iterative neighbor subtraction (the curve_fit/LevMar-free
+formulation; exact for the planted-Gaussian fixtures).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .images import SATURATION
+
+
+def select_psf_stars(
+    detections: DataFrame,
+    width: int,
+    height: int,
+    fwhm: float,
+    border: int = 16,
+    crowd_mult: float = 5.0,
+    trim: int = 5,
+) -> DataFrame:
+    """The reference's masking rules as one declarative plan:
+
+    1. border predicate (core.py:309-310): ≥ ``border`` px from edges;
+    2. saturation predicate (core.py:79): peak < 50k;
+    3. crowding rejection (core.py:317-330): no other star within
+       ``crowd_mult * fwhm`` — grid-bucketed self-join → anti-join
+       (the O(n²) loop becomes a linear equi-join);
+    4. brightness trim (core.py:338-340): drop the ``trim`` brightest
+       and faintest when more than 2*trim remain, per epoch.
+    """
+    d = detections.filter(
+        (F.col("xcentroid") > border) & (F.col("xcentroid") < width - 1 - border)
+        & (F.col("ycentroid") > border) & (F.col("ycentroid") < height - 1 - border)
+        & (F.col("peak") < SATURATION)
+    )
+
+    # Crowding: pairs within radius via cell-bucketed self-join.
+    radius = crowd_mult * fwhm
+    cell = lambda c: F.floor(c / F.lit(radius)).cast("long")  # noqa: E731
+    left = d.select("epoch_id", "filename", "id",
+                    F.col("xcentroid").alias("lx"), F.col("ycentroid").alias("ly"),
+                    cell(F.col("xcentroid")).alias("cx"),
+                    cell(F.col("ycentroid")).alias("cy"))
+    offs = [(a, b) for a in (-1, 0, 1) for b in (-1, 0, 1)]
+    right = (d.select("epoch_id", "filename",
+                      F.col("id").alias("rid"),
+                      F.col("xcentroid").alias("rx"), F.col("ycentroid").alias("ry"),
+                      cell(F.col("xcentroid")).alias("bcx"),
+                      cell(F.col("ycentroid")).alias("bcy"))
+             .withColumn("o", F.explode(F.array(*[
+                 F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+                 for a, b in offs])))
+             .select("epoch_id", "filename", "rid", "rx", "ry",
+                     (F.col("bcx") + F.col("o.a")).alias("cx"),
+                     (F.col("bcy") + F.col("o.b")).alias("cy")))
+    crowded = (
+        left.join(right, on=["epoch_id", "filename", "cx", "cy"])
+        .filter((F.col("id") != F.col("rid"))
+                & (F.sqrt(F.pow(F.col("lx") - F.col("rx"), 2)
+                          + F.pow(F.col("ly") - F.col("ry"), 2)) <= radius))
+        .select("epoch_id", "filename", "id").distinct()
+    )
+    isolated = d.join(crowded, on=["epoch_id", "filename", "id"], how="left_anti")
+
+    part = W.partitionBy("epoch_id", "filename")
+    ranked = isolated.select(
+        "*",
+        F.row_number().over(part.orderBy(F.desc("flux"), F.asc("id"))).alias("rn"),
+        F.count(F.lit(1)).over(part).alias("cnt"),
+    )
+    return (
+        ranked.filter((F.col("cnt") <= 2 * trim)
+                      | ((F.col("rn") > trim) & (F.col("rn") <= F.col("cnt") - trim)))
+        .select("epoch_id", "filename",
+                F.col("xcentroid").alias("x"), F.col("ycentroid").alias("y"),
+                "flux", "id", "peak")
+    )
+
+
+PHOT_SCHEMA = T.StructType([
+    T.StructField("epoch_id", T.IntegerType(), False),
+    T.StructField("id", T.LongType(), False),
+    T.StructField("x_0", T.DoubleType(), True),
+    T.StructField("x_fit", T.DoubleType(), True),
+    T.StructField("y_0", T.DoubleType(), True),
+    T.StructField("y_fit", T.DoubleType(), True),
+    T.StructField("flux_fit", T.DoubleType(), True),
+    T.StructField("flux_unc", T.DoubleType(), True),
+    T.StructField("iter_detected", T.IntegerType(), False),
+])
+
+
+def psf_photometry(
+    stacked: DataFrame,
+    detections: DataFrame,
+    psf_stars: DataFrame,
+    cut_half: int = 8,
+    n_iters: int = 2,
+) -> DataFrame:
+    """Empirical-PSF photometry per epoch (grouped applyInPandas).
+
+    PSF model: median of background-subtracted, peak-normalized cutouts
+    of the selected PSF stars (the EPSFBuilder essence, core.py:384-414).
+    Per star: flux = argmin ||cut - f·PSF(shifted)||² (closed-form linear
+    fit), iterating brightest-first with subtraction so neighbors don't
+    bias faint stars (core.py:416-452's iterative scheme). Returns
+    PHOT_SCHEMA rows; x_fit/y_fit from moment recentroid of the
+    residual-free cutout."""
+    stk = stacked.select("epoch_id", "width", "height", "pixels")
+    dets = detections.select("epoch_id", "id", "xcentroid", "ycentroid", "flux") \
+                     .withColumnRenamed("flux", "flux_0")
+    stars = psf_stars.select("epoch_id",
+                             F.col("x").alias("px"), F.col("y").alias("py"))
+    merged = (stk.join(dets.groupBy("epoch_id").agg(
+                  F.collect_list(F.struct("id", "xcentroid", "ycentroid", "flux_0"))
+                   .alias("stars")), "epoch_id")
+              .join(stars.groupBy("epoch_id").agg(
+                  F.collect_list(F.struct("px", "py")).alias("psf_refs")),
+                  "epoch_id"))
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        row = pdf.iloc[0]
+        w, h = int(row["width"]), int(row["height"])
+        img = np.asarray(row["pixels"], dtype=np.float64).reshape(h, w)
+        sky = float(np.median(img))
+        sub = img - sky
+        ch = cut_half
+
+        def cutout(arr, x, y):
+            ix, iy = int(round(x)), int(round(y))
+            if ix - ch < 0 or iy - ch < 0 or ix + ch + 1 > w or iy + ch + 1 > h:
+                return None, ix, iy
+            return arr[iy - ch: iy + ch + 1, ix - ch: ix + ch + 1], ix, iy
+
+        # Empirical PSF: median of normalized reference-star cutouts.
+        refs = []
+        for r in row["psf_refs"]:
+            cut, _, _ = cutout(sub, r["px"], r["py"])
+            if cut is not None and cut.max() > 0:
+                refs.append(cut / cut.max())
+        if not refs:
+            return pd.DataFrame(columns=[f.name for f in PHOT_SCHEMA])
+        psf = np.median(np.stack(refs), axis=0)
+        psf = np.clip(psf, 0, None)
+        psf /= psf.sum()
+
+        stars = sorted(row["stars"], key=lambda s: -(s["flux_0"] or 0))
+        work = sub.copy()
+        out = []
+        for it in range(n_iters):
+            for s in stars:
+                if any(o["id"] == s["id"] for o in out):
+                    continue
+                cut, ix, iy = cutout(work, s["xcentroid"], s["ycentroid"])
+                if cut is None:
+                    continue
+                denom = float((psf * psf).sum())
+                fhat = float((cut * psf).sum() / denom)
+                if fhat <= 0:
+                    continue
+                # recentroid on the model-scaled cutout
+                cc = np.clip(cut, 0, None)
+                tot = cc.sum()
+                yy, xx = np.mgrid[iy - ch: iy + ch + 1, ix - ch: ix + ch + 1]
+                xfit = float((xx * cc).sum() / tot) if tot > 0 else s["xcentroid"]
+                yfit = float((yy * cc).sum() / tot) if tot > 0 else s["ycentroid"]
+                resid = cut - fhat * psf
+                unc = float(np.sqrt(np.clip((resid ** 2).sum(), 0, None) / denom))
+                work[iy - ch: iy + ch + 1, ix - ch: ix + ch + 1] = resid
+                out.append({"id": s["id"], "x_0": s["xcentroid"], "x_fit": xfit,
+                            "y_0": s["ycentroid"], "y_fit": yfit,
+                            "flux_fit": fhat, "flux_unc": unc,
+                            "iter_detected": it})
+        res = pd.DataFrame(out)
+        res["epoch_id"] = int(row["epoch_id"])
+        return res[[f.name for f in PHOT_SCHEMA]]
+
+    return merged.groupBy("epoch_id").applyInPandas(kernel, schema=PHOT_SCHEMA)

@@ -29,3 +29,38 @@ def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import make_fake_media, sample_frames
 
     return sample_frames(make_fake_media(spark), every_s=1.0)
+
+
+@query("q_pipeline_detect", oracle=None)  # image kernels: rows-only check
+def q_pipeline_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star detection UDTF (reference core.py:116-146): synthetic planted-
+    Gaussian frames -> one detection row per star. Golden accuracy pinned
+    in tests/test_image_pipeline.py (1 px / 15% flux)."""
+    from ..operators.images import detect_stars, make_synthetic_images
+
+    images, _, _ = make_synthetic_images(spark, n_epochs=2)
+    return detect_stars(images)
+
+
+@query("q_pipeline_photometry", oracle=None)  # image kernels: rows-only check
+def q_pipeline_photometry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end photometry chain (reference psf_phot.py:9-98): FWHM ->
+    detect -> NN-match shifts -> sigma-clipped median stack -> PSF-star
+    mask -> empirical-PSF photometry, all as one lazy Catalyst plan with
+    per-epoch task parallelism."""
+    from ..operators.images import make_synthetic_images
+    from ..plans.pipeline import run_photometry_pipeline
+
+    images, _, _ = make_synthetic_images(spark, n_epochs=2)
+    return run_photometry_pipeline(images)["photometry"]
+
+
+@query("q_periodogram", oracle=None)  # iterative numeric kernel: rows-only
+def q_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lomb-Scargle periodogram (walkthrough cells 13-14) as a grouped
+    applyInPandas; planted 3.7-day period recovered in golden tests."""
+    from ..operators.timeseries import make_synthetic_lightcurve, periodogram
+
+    lc = make_synthetic_lightcurve(spark)
+    return periodogram(lc, "band", "bjd", "mag",
+                       min_freq=0.05, max_freq=2.0, n_freqs=500)
