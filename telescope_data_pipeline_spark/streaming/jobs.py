@@ -1,0 +1,92 @@
+"""Structured Streaming surface (SURVEY.md §2.9).
+
+The reference processes image sets strictly in arrival order
+(psf_phot.py:44) and fans each set out to four sinks (psf_phot.py:91-94)
+— a batch rendering of what is naturally a stream. Here the same
+semantics run as real micro-batch jobs:
+
+- event-time windowed aggregation with watermarked late-data handling,
+- session windows (the bursts-of-3 grouping, README.md:7),
+- stateful exact dedup keyed on event_id (re-runs overwrite per set
+  name in the reference — idempotence via state),
+- ``foreachBatch`` multi-sink (the 4-sink pattern).
+
+Every aggregation here is the streaming twin of an oracle-checked batch
+query in queries/streaming_batch.py — batch and micro-batch produce
+identical results for the same input, which is what the tests assert
+(drain with trigger=availableNow, compare against the batch plan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..schemas import EVENTS
+
+
+def read_event_stream(spark, events_dir: str, max_files_per_trigger: int = 4) -> DataFrame:
+    """File-source stream over parquet chunk files with the EVENTS schema.
+
+    ``maxFilesPerTrigger`` paces micro-batches so multi-batch state
+    (watermarks, dedup) is actually exercised; at production scale the
+    same code points at a Kafka source — only this reader changes.
+    """
+    return (
+        spark.readStream
+        .schema(EVENTS)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(events_dir)
+    )
+
+
+def windowed_counts(stream: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Tumbling 1-hour counts per event type with late-data watermark —
+    streaming twin of q_stream_tumbling."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"), "event_type", "n", "total")
+    )
+
+
+def sessionized(stream: DataFrame, gap: str = "5 minutes",
+                watermark: str = "30 minutes") -> DataFrame:
+    """Session windows per user — streaming twin of q_stream_session."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 2).alias("total"))
+        .select("user_id", F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"), "n_events", "total")
+    )
+
+
+def deduplicated(stream: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Stateful exact dedup on event_id within the watermark horizon —
+    the streaming form of q_dedup_exact's keep-first semantics."""
+    return stream.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def run_multi_sink(stream: DataFrame, out_dir: str, checkpoint_dir: str):
+    """foreachBatch multi-sink: each micro-batch lands in BOTH a parquet
+    sink and a per-type CSV summary — the reference's four-sinks-per-set
+    pattern (psf_phot.py:91-94). Returns the started query."""
+
+    def write_all(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(f"{out_dir}/raw")
+        (batch_df.groupBy("event_type")
+         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+         .withColumn("batch_id", F.lit(batch_id))
+         .write.mode("append").option("header", True).csv(f"{out_dir}/summary"))
+
+    return (
+        stream.writeStream
+        .foreachBatch(write_all)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

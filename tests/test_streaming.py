@@ -1,0 +1,99 @@
+"""Streaming smoke + batch-parity: the micro-batch jobs produce exactly
+the batch-mode results on the same input, and stateful operators
+(dedup, watermarks, foreachBatch) behave across multiple triggers."""
+
+from __future__ import annotations
+
+import glob
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from telescope_data_pipeline_spark.sources import load_table
+from telescope_data_pipeline_spark.streaming.jobs import (
+    deduplicated,
+    read_event_stream,
+    run_multi_sink,
+    sessionized,
+    windowed_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark):
+    """Events split into 8 parquet chunk files so maxFilesPerTrigger
+    produces multiple micro-batches."""
+    d = tempfile.mkdtemp(prefix="tdps_stream_")
+    load_table(spark, SF, "events").repartition(8).write.mode("overwrite").parquet(d)
+    return d
+
+
+def _drain(stream_df, name: str):
+    q = (stream_df.writeStream.format("memory").queryName(name)
+         .outputMode("complete" if name != "dedup" else "append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    return name
+
+
+def test_windowed_counts_match_batch(spark, events_dir):
+    stream = read_event_stream(spark, events_dir)
+    _drain(windowed_counts(stream), "wc")
+    got = {tuple(r) for r in spark.sql("SELECT * FROM wc").collect()}
+    batch = spark.read.parquet(events_dir)
+    want = {tuple(r) for r in (
+        batch.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(F.col("w.start"), F.col("w.end"), "event_type", "n", "total")
+    ).collect()}
+    assert got == want
+
+
+def test_sessionized_matches_batch(spark, events_dir):
+    stream = read_event_stream(spark, events_dir)
+    _drain(sessionized(stream), "sess")
+    got = spark.sql("SELECT * FROM sess")
+    batch = spark.read.parquet(events_dir)
+    want = (batch.groupBy("user_id", F.session_window("ts", "5 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("total"))
+            .select("user_id", F.col("w.start").alias("session_start"),
+                    F.col("w.end").alias("session_end"), "n_events", "total"))
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in want.collect()}
+
+
+def test_stateful_dedup_across_batches(spark, events_dir):
+    """Duplicate the input files: every event arrives twice, in different
+    micro-batches — state must drop the second occurrence."""
+    import shutil
+
+    d = tempfile.mkdtemp(prefix="tdps_dup_")
+    for i, f in enumerate(glob.glob(f"{events_dir}/part-*.parquet")):
+        shutil.copy(f, f"{d}/a{i}.parquet")
+        shutil.copy(f, f"{d}/b{i}.parquet")
+    stream = read_event_stream(spark, d, max_files_per_trigger=3)
+    # Chunk files are randomly partitioned, so every micro-batch spans the
+    # full event-time range; a short watermark would (correctly) evict
+    # in-order-of-arrival-late rows. For exact batch parity the horizon
+    # must exceed the data's time span.
+    _drain(deduplicated(stream, watermark="365 days"), "dedup")
+    got = spark.sql("SELECT count(*) AS n, count(distinct event_id) AS d FROM dedup").first()
+    n_events = spark.read.parquet(events_dir).count()
+    assert got.n == got.d == n_events
+
+
+def test_foreach_batch_multi_sink(spark, events_dir):
+    out = tempfile.mkdtemp(prefix="tdps_sink_")
+    ckpt = tempfile.mkdtemp(prefix="tdps_ckpt_")
+    q = run_multi_sink(read_event_stream(spark, events_dir), out, ckpt)
+    q.awaitTermination(120)
+    raw = spark.read.parquet(f"{out}/raw")
+    assert raw.count() == spark.read.parquet(events_dir).count()
+    summary = spark.read.option("header", True).csv(f"{out}/summary")
+    assert summary.count() > 0
+    assert {"event_type", "n", "total", "batch_id"} <= set(summary.columns)
+    # multiple micro-batches actually ran (maxFilesPerTrigger=4 over 8 files)
+    assert summary.select("batch_id").distinct().count() >= 2
