@@ -6,16 +6,21 @@ iteratively drop values more than sigma standard deviations from the mean,
 re-estimate, repeat until fixpoint (astropy defaults to 5 iterations; the
 distribution converges in ≤3 on the data shapes involved).
 
-Spark-first form: a bounded loop of {grouped agg → broadcast join →
-filter}. Each iteration is one map-side-partial aggregation plus a
-broadcast of |groups| rows — no per-row Python, fully codegen'd, and the
-unrolled form is expressible in ANSI SQL so the operator stays
-oracle-checkable (SURVEY.md §7 'what's hard' #1).
+Spark-first form: a bounded loop of {per-group window stats → filter}.
+The mean/stddev of each group are window aggregates over
+``partitionBy(group)``, so the whole unrolled loop needs exactly ONE
+shuffle (the first window's hash partitioning is reused by every later
+iteration — Catalyst sees the partitioning requirement already met) and
+the lineage stays linear, unlike an agg+join formulation whose lineage
+tree re-scans the source O(iters²) times. No per-row Python, fully
+codegen'd, and the unrolled form is expressible in ANSI SQL so the
+operator stays oracle-checkable (SURVEY.md §7 'what's hard' #1).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 
@@ -28,13 +33,12 @@ def sigma_clip(
 ) -> DataFrame:
     """Return the input rows that survive ``iters`` rounds of clipping."""
     cur = df.select(*group_cols, value_col)
+    w = W.partitionBy(*group_cols)
     for _ in range(iters):
-        stats = cur.groupBy(*group_cols).agg(
-            F.avg(value_col).alias("__m"),
-            F.stddev_samp(value_col).alias("__s"),
-        )
+        m = F.avg(value_col).over(w)
+        s = F.stddev_samp(value_col).over(w)
         cur = (
-            cur.join(F.broadcast(stats), on=group_cols)
+            cur.withColumn("__m", m).withColumn("__s", s)
             .filter(
                 (F.col(value_col) >= F.col("__m") - sigma * F.col("__s"))
                 & (F.col(value_col) <= F.col("__m") + sigma * F.col("__s"))

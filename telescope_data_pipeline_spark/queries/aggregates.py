@@ -195,3 +195,21 @@ def q_agg_sigclip(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     return sigma_clipped_stats(events, ["event_type"], "value",
                                sigma=2.0, iters=3)
+
+
+@query("q_pivot", oracle="""
+SELECT l_returnflag,
+       ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_O,
+       ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_F
+FROM lineitem
+GROUP BY l_returnflag
+""")
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide aggregation): explicit value list so the plan is a
+    single pass — without it Spark needs an extra distinct-values job."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = (li.groupBy("l_returnflag")
+         .pivot("l_linestatus", ["O", "F"])
+         .agg(F.round(F.sum("l_quantity"), 2)))
+    return p.select("l_returnflag", F.col("O").alias("qty_O"),
+                    F.col("F").alias("qty_F"))

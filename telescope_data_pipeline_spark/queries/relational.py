@@ -214,3 +214,36 @@ def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.option("header", True).schema(NATION).csv(out)
         .select("n_nationkey", "n_name", "n_regionkey")
     )
+
+
+@query("q_scan_json", oracle="""
+SELECT n_nationkey, n_name, n_regionkey FROM nation
+""")
+def q_scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines round-trip with explicit schema (no inference pass) —
+    the semi-structured sibling of q_scan_csv."""
+    nation = load_table(spark, sf_dir, "nation")
+    out = tempfile.mkdtemp(prefix="tdps_json_")
+    nation.write.mode("overwrite").json(out)
+    return (
+        spark.read.schema(NATION).json(out)
+        .select("n_nationkey", "n_name", "n_regionkey")
+    )
+
+
+@query("q_subquery_scalar", oracle="""
+SELECT c_custkey, ROUND(c_acctbal, 2) AS acctbal
+FROM customer
+WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+""")
+def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery in a predicate (the aggregate-broadcast pattern,
+    reference psf_phot.py:68: global clipped median subtracted from
+    every pixel). Catalyst plans the 1-row side as a broadcast."""
+    c = load_table(spark, sf_dir, "customer")
+    avg = c.agg(F.avg("c_acctbal").alias("a"))
+    return (
+        c.crossJoin(F.broadcast(avg))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .select("c_custkey", F.round("c_acctbal", 2).alias("acctbal"))
+    )

@@ -63,3 +63,19 @@ def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
           .filter(F.col("l_quantity") > 40)
           .select(F.col("l_orderkey").alias("okey")))
     return o.subtract(li)  # EXCEPT DISTINCT semantics
+
+
+@query("q_union_distinct", oracle="""
+SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9000
+UNION
+SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 5000
+""")
+def q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) — union + dedup in one declarative step."""
+    c = (load_table(spark, sf_dir, "customer")
+         .filter(F.col("c_acctbal") > 9000)
+         .select(F.col("c_nationkey").alias("nationkey")))
+    s = (load_table(spark, sf_dir, "supplier")
+         .filter(F.col("s_acctbal") > 5000)
+         .select(F.col("s_nationkey").alias("nationkey")))
+    return c.unionByName(s).distinct()

@@ -136,3 +136,29 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dense_rank().over(w).alias("drnk"),
         F.ntile(4).over(w).alias("quartile"),
     )
+
+
+@query("q_window_firstlast", oracle="""
+SELECT event_id,
+       FIRST_VALUE(value) OVER w AS first_val,
+       LAST_VALUE(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND UNBOUNDED FOLLOWING) AS last_val,
+       ROUND(value - FIRST_VALUE(value) OVER w, 2) AS drift
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""")
+def q_window_firstlast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value frames — session-anchored drift per user.
+    last_value needs the full-partition frame (the default frame stops at
+    CURRENT ROW — a classic window-semantics trap, handled identically in
+    both engines here)."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return e.select(
+        "event_id",
+        F.first("value").over(w).alias("first_val"),
+        F.last("value").over(full).alias("last_val"),
+        F.round(F.col("value") - F.first("value").over(w), 2).alias("drift"),
+    )

@@ -72,3 +72,15 @@ def test_broadcast_join_no_fact_shuffle(spark):
     # hashpartitioning exchanges: exactly the one feeding the groupBy.
     n_shuffles = plan.count("Exchange hashpartitioning")
     assert n_shuffles <= 1, f"fact table shuffled for a dim join:\n{plan}"
+
+
+def test_sigclip_single_shuffle(spark):
+    """The unrolled 3-iteration clip must reuse one hash partitioning —
+    every window iteration sees its requirement already satisfied."""
+    from telescope_data_pipeline_spark.operators.sigma_clip import sigma_clip
+    from telescope_data_pipeline_spark.plans.audit import physical_plan
+    from telescope_data_pipeline_spark.sources import load_table
+
+    kept = sigma_clip(load_table(spark, SF, "events"), ["event_type"], "value")
+    plan = physical_plan(kept)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
