@@ -64,3 +64,44 @@ def q_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     lc = make_synthetic_lightcurve(spark)
     return periodogram(lc, "band", "bjd", "mag",
                        min_freq=0.05, max_freq=2.0, n_freqs=500)
+
+
+@query("q_scan_fits", oracle=None)  # binary source: rows-only check
+def q_scan_fits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FITS image source (reference core.py:18-50): binaryFile scan ->
+    mapInPandas decode (stubbed codec) -> IMAGE rows with promoted typed
+    header columns, epoch ids from a broadcast manifest join."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from ..sources.fits import scan_fits_dir, write_fake_fits
+
+    d = tempfile.mkdtemp(prefix="tdps_fits_")
+    rng = np.random.default_rng(5)
+    for i in range(6):
+        write_fake_fits(os.path.join(d, f"img{i}.fits"),
+                        rng.normal(100, 2, (32, 32)).astype(np.float32),
+                        {"FILTER": "V", "AIRMASS": "1.2", "EXPTIME": "60.0",
+                         "DATE-OBS": "2024-03-01T00:00:00", "SITEID": "syn"})
+    manifest = spark.createDataFrame(
+        [(f"img{i}.fits", i // 3) for i in range(6)],
+        "filename string, epoch_id int")
+    return scan_fits_dir(spark, d, manifest)
+
+
+@query("q_wcs_solve", oracle=None)  # external-service UDF: rows-only check
+def q_wcs_solve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Astrometric solve (reference core.py:486-529): relational top-30
+    brightest selection -> per-epoch external-service kernel with
+    bounded retry/backoff -> solved/failed status rows (failure never
+    kills the job). Deterministic fake transport in this container."""
+    from pyspark.sql import functions as F
+
+    from ..operators.external import pixel_to_sky, solve_wcs
+    from ..operators.images import detect_stars, make_synthetic_images
+
+    images, _, _ = make_synthetic_images(spark, n_epochs=2)
+    det = detect_stars(images.filter(F.col("filename").endswith("_i0.fits")))
+    return pixel_to_sky(det, solve_wcs(det))

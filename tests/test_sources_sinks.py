@@ -1,0 +1,133 @@
+"""FITS scan, WCS solve (retry/failure paths), barycentric JD, and the
+light-curve CSV / partitioned-parquet sinks."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from telescope_data_pipeline_spark.operators.external import (
+    barycentric_jd,
+    fake_solver,
+    pixel_to_sky,
+    solve_wcs,
+)
+from telescope_data_pipeline_spark.operators.images import (
+    detect_stars,
+    make_synthetic_images,
+)
+from telescope_data_pipeline_spark.sources.fits import scan_fits_dir, write_fake_fits
+from telescope_data_pipeline_spark.sources.sinks import (
+    read_lightcurve_csv,
+    write_lightcurve_csv,
+    write_partitioned,
+)
+
+
+def test_fits_scan_decodes_binary_files(spark):
+    d = tempfile.mkdtemp(prefix="fits_")
+    rng = np.random.default_rng(3)
+    for i in range(4):
+        write_fake_fits(os.path.join(d, f"img{i}.fits"),
+                        rng.normal(100, 2, (32, 32)).astype(np.float32),
+                        {"FILTER": "V", "AIRMASS": "1.3", "EXPTIME": "60.0",
+                         "DATE-OBS": "2024-03-01T00:00:00", "SITEID": "syn"})
+    manifest = spark.createDataFrame(
+        [(f"img{i}.fits", i // 2) for i in range(4)], "filename string, epoch_id int")
+    out = scan_fits_dir(spark, d, manifest).collect()
+    assert len(out) == 4
+    r = {x.filename: x for x in out}
+    assert r["img0.fits"].epoch_id == 0 and r["img3.fits"].epoch_id == 1
+    assert r["img0.fits"].band == "V" and r["img0.fits"].airmass == 1.3
+    assert len(r["img0.fits"].pixels) == 32 * 32
+
+
+@pytest.fixture(scope="module")
+def detections(spark):
+    images, _, _ = make_synthetic_images(spark, n_epochs=2)
+    return detect_stars(images.filter(F.col("filename").endswith("_i0.fits"))).cache()
+
+
+def test_wcs_solve_and_pixel_to_sky(spark, detections):
+    wcs = solve_wcs(detections).collect()
+    assert len(wcs) == 2 and all(r.solved and r.attempts == 1 for r in wcs)
+    sky = pixel_to_sky(detections, solve_wcs(detections)).toPandas()
+    assert len(sky) > 0
+    assert sky.ra.between(149, 151).all() and sky.dec.between(1, 3).all()
+
+
+def test_wcs_retry_and_failure_paths(spark, detections):
+    calls = {"n": 0}
+
+    def flaky(xs, ys):
+        calls["n"] += 1
+        if calls["n"] % 2 == 1:
+            raise TimeoutError("simulated astrometry.net timeout")
+        return fake_solver(xs, ys)
+
+    rows = solve_wcs(detections, solver=flaky).collect()
+    assert all(r.solved for r in rows) and all(r.attempts == 2 for r in rows)
+
+    def dead(xs, ys):
+        raise TimeoutError("always down")
+
+    rows = solve_wcs(detections, solver=dead, max_attempts=2).collect()
+    # failure-path rule: solved=false rows, no exception, job survives
+    assert all((not r.solved) and r.attempts == 2 for r in rows)
+
+
+def test_barycentric_jd_bounds(spark):
+    """The Romer delay is bounded by ±~500 s and varies with season."""
+    df = spark.createDataFrame(
+        [(2460300.5 + 90 * k, 150.0, 2.0) for k in range(4)],
+        "jd double, ra double, dec double")
+    out = df.select((barycentric_jd("jd", "ra", "dec") - F.col("jd")).alias("d")) \
+            .toPandas()["d"] * 86400.0
+    assert (out.abs() <= 500.5).all()
+    assert out.max() - out.min() > 100  # seasonal variation visible
+
+
+def test_lightcurve_csv_roundtrip_and_positive_flux(spark):
+    rows = [("set1", 1, 2460300.5, 1000.0, 10.0, -7.5, 0.0109, "V",
+             10.0, 20.0, 1.2, 150.0, 2.0),
+            ("set1", 2, 2460300.5, -5.0, 1.0, None, None, "V",
+             11.0, 21.0, 1.2, 150.1, 2.1)]
+    from telescope_data_pipeline_spark.schemas import LIGHTCURVE
+
+    lc = spark.createDataFrame(rows, schema=LIGHTCURVE)
+    d = tempfile.mkdtemp(prefix="lc_")
+    write_lightcurve_csv(lc, d)
+    back = read_lightcurve_csv(spark, d)
+    got = back.collect()
+    assert len(got) == 1 and got[0].id == 1  # negative-flux row filtered
+    # CSV scans mark every field nullable; names and types must round-trip.
+    assert [(f.name, f.dataType) for f in back.schema.fields] \
+        == [(f.name, f.dataType) for f in LIGHTCURVE.fields]
+
+
+def test_partitioned_write_prunes_on_read(spark):
+    from telescope_data_pipeline_spark.plans.audit import formatted_plan
+
+    images, _, _ = make_synthetic_images(spark, n_epochs=2)
+    d = tempfile.mkdtemp(prefix="part_")
+    write_partitioned(images.withColumn("band", F.lit("V")), d, "band", "epoch_id")
+    assert os.path.isdir(os.path.join(d, "band=V", "epoch_id=0"))
+    filtered = spark.read.parquet(d).filter((F.col("band") == "V") & (F.col("epoch_id") == 1))
+    plan = formatted_plan(filtered)
+    assert "PartitionFilters" in plan and "epoch_id" in plan.split("PartitionFilters")[1][:200]
+    assert filtered.count() == 3  # one epoch's images only
+
+
+def test_fits_scan_skips_corrupt_files(spark):
+    """Failure-path rule: an undecodable file drops, never kills the scan."""
+    d = tempfile.mkdtemp(prefix="bad_")
+    write_fake_fits(os.path.join(d, "ok.fits"),
+                    np.zeros((8, 8), np.float32), {"FILTER": "V"})
+    with open(os.path.join(d, "corrupt.fits"), "wb") as f:
+        f.write(b"garbage bytes")
+    out = scan_fits_dir(spark, d).collect()
+    assert [r.filename for r in out] == ["ok.fits"]
