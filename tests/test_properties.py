@@ -1,0 +1,101 @@
+"""Property-based invariants (SURVEY.md §5.3) — hypothesis generates the
+inputs, Spark evaluates the expressions, numpy is the ground truth."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from telescope_data_pipeline_spark.functions.astro import (
+    flux_from_mag,
+    julian_date,
+    mag,
+    phase_fold,
+)
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+
+@pytest.fixture(scope="module")
+def sql(spark):
+    def run(expr_col, rows, schema):
+        return [r.out for r in
+                spark.createDataFrame(rows, schema).select(expr_col.alias("out")).collect()]
+
+    return run
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.floats(min_value=1e-6, max_value=1e12,
+                          allow_nan=False, allow_infinity=False),
+                min_size=1, max_size=20))
+def test_mag_flux_round_trip(sql, fluxes):
+    """flux -> mag -> flux is the identity (p_io.py:111 inverse pair)."""
+    out = sql(flux_from_mag(mag(F.col("f"))), [(f,) for f in fluxes], "f double")
+    assert np.allclose(out, fluxes, rtol=1e-9)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.floats(min_value=0, max_value=4e9,
+                          allow_nan=False, allow_infinity=False),
+                min_size=1, max_size=20))
+def test_julian_date_matches_numpy(sql, secs):
+    out = sql(julian_date(F.col("s")), [(s,) for s in secs], "s double")
+    want = [s / 86400.0 + 2440587.5 for s in secs]
+    assert np.allclose(out, want, rtol=0, atol=1e-9)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.floats(min_value=0, max_value=1e6,
+                          allow_nan=False, allow_infinity=False),
+                min_size=1, max_size=20),
+       st.floats(min_value=0.5, max_value=100))
+def test_phase_fold_in_unit_interval(sql, ts, period):
+    out = sql(phase_fold(F.col("t"), 0.0, period), [(t,) for t in ts], "t double")
+    assert all(0.0 <= p < 1.0 or math.isclose(p, 0.0) for p in out)
+
+
+def test_sigma_clip_matches_numpy_reference(spark):
+    """The window-based operator equals a direct numpy implementation of
+    the same 3-iteration sigma=2 clip."""
+    rng = np.random.default_rng(9)
+    vals = np.concatenate([rng.normal(50, 5, 500), rng.uniform(200, 400, 20)])
+    df = spark.createDataFrame([("g", float(v)) for v in vals], "g string, value double")
+
+    from telescope_data_pipeline_spark.operators.sigma_clip import sigma_clip
+
+    kept = np.sort([r.value for r in sigma_clip(df, ["g"], "value").collect()])
+
+    cur = vals.copy()
+    for _ in range(3):
+        m, s = cur.mean(), cur.std(ddof=1)
+        cur = cur[(cur >= m - 2 * s) & (cur <= m + 2 * s)]
+    assert np.allclose(kept, np.sort(cur))
+
+
+def test_nn_join_matches_brute_force(spark):
+    """Grid-bucketed NN join == brute-force nearest neighbor, including
+    the left-outer null for out-of-range rows (core.py:148-177)."""
+    rng = np.random.default_rng(4)
+    left = [(int(i), float(v)) for i, v in enumerate(rng.uniform(0, 1000, 120))]
+    right = [(int(i + 1000), float(v)) for i, v in enumerate(rng.uniform(0, 1000, 60))]
+    ldf = spark.createDataFrame(left, "lid long, lv double")
+    rdf = spark.createDataFrame(right, "rid long, rv double")
+
+    from telescope_data_pipeline_spark.operators.nn_join import nn_join
+
+    got = {r.lid: (r.rid, r.dist)
+           for r in nn_join(ldf, rdf, ["lid"], [("lv", "rv")], 25.0, ["rid"]).collect()}
+
+    for lid, lv in left:
+        best = min(((abs(lv - rv), rid) for rid, rv in right), default=None)
+        if best is None or best[0] >= 25.0:
+            assert got[lid][0] is None, lid
+        else:
+            assert got[lid][0] == best[1], lid
+            assert math.isclose(got[lid][1], best[0], rel_tol=1e-9)
