@@ -213,3 +213,24 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
          .agg(F.round(F.sum("l_quantity"), 2)))
     return p.select("l_returnflag", F.col("O").alias("qty_O"),
                     F.col("F").alias("qty_F"))
+
+
+@query("q_agg_stats2", oracle="""
+SELECT l_returnflag,
+       ROUND(CORR(l_quantity, l_extendedprice), 6)       AS qty_price_corr,
+       ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 4) AS qty_price_cov,
+       ROUND(VAR_SAMP(l_quantity), 6)                    AS qty_var
+FROM lineitem
+GROUP BY l_returnflag
+""")
+def q_agg_stats2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics: correlation / sample covariance / variance —
+    the color-analysis statistics of the walkthrough (cells 15-16) in
+    aggregate form."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+             F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("qty_price_cov"),
+             F.round(F.var_samp("l_quantity"), 6).alias("qty_var"))
+    )

@@ -147,3 +147,77 @@ def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(dnorm, 4).alias("norm_sq"),
         F.round(dhead, 4).alias("head_sum"),
     )
+
+
+@query("q_scalar_null", oracle="""
+SELECT c_custkey,
+       COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'OTHER') AS seg,
+       ROUND(GREATEST(c_acctbal, 0.0), 2)                  AS pos_bal,
+       ROUND(LEAST(c_acctbal, 1000.0), 2)                  AS capped_bal,
+       CASE WHEN NULLIF(c_acctbal, 0.0) IS NULL THEN 1 ELSE 0 END AS was_zero
+FROM customer
+""")
+def q_scalar_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling family: coalesce / nullif / greatest / least /
+    is-null — the engine's replacement for the reference's NaN sentinels
+    (SURVEY.md §1 null semantics)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")),
+                   F.lit("OTHER")).alias("seg"),
+        F.round(F.greatest(F.col("c_acctbal"), F.lit(0.0)), 2).alias("pos_bal"),
+        F.round(F.least(F.col("c_acctbal"), F.lit(1000.0)), 2).alias("capped_bal"),
+        F.when(F.nullif(F.col("c_acctbal"), F.lit(0.0)).isNull(), 1)
+         .otherwise(0).alias("was_zero"),
+    )
+
+
+@query("q_scalar_string2", oracle="""
+SELECT p_partkey,
+       LPAD(CAST(p_size AS VARCHAR), 4, '0')   AS size_padded,
+       REPLACE(p_type, ' ', '_')               AS type_snake,
+       SPLIT_PART(p_name, ' ', 1)              AS first_word,
+       TRIM('  ' || p_brand || ' ')            AS brand_trimmed,
+       REVERSE(p_brand)                        AS brand_rev
+FROM part
+WHERE p_partkey < 500
+""")
+def q_scalar_string2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second string batch: pad / replace / split_part / trim / reverse."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 500)
+    return p.select(
+        "p_partkey",
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("first_word"),
+        F.trim(F.concat(F.lit("  "), F.col("p_brand"), F.lit(" "))).alias("brand_trimmed"),
+        F.reverse(F.col("p_brand")).alias("brand_rev"),
+    )
+
+
+@query("q_scalar_date2", oracle="""
+SELECT o_orderkey,
+       CAST(CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS VARCHAR) AS plus3mo,
+       CAST(last_day(o_orderdate) AS VARCHAR)                        AS month_end,
+       QUARTER(o_orderdate)        AS qtr,
+       ISODOW(o_orderdate)         AS iso_dow
+FROM orders
+WHERE o_orderkey < 2000
+""")
+def q_scalar_date2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second date batch: add_months / last_day / quarter / ISO weekday.
+    Weekday numbering differs across engines (Spark dayofweek is
+    1=Sunday, DuckDB dayofweek is 0=Sunday) — ISO day-of-week
+    (1=Monday) is the portable form: Spark ``weekday()+1`` = ISODOW."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        # date-typed outputs cross engines as strings: Spark DATE and
+        # DuckDB DATE canonicalize differently through pandas
+        F.add_months(d, 3).cast("string").alias("plus3mo"),
+        F.last_day(d).cast("string").alias("month_end"),
+        F.quarter(d).alias("qtr"),
+        (F.weekday(d) + 1).alias("iso_dow"),
+    )

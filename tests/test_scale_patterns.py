@@ -1,0 +1,72 @@
+"""Scale patterns: salted aggregation/join correctness + the bucketed
+no-shuffle join, with plan-level proof."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from telescope_data_pipeline_spark.operators.skew import (
+    read_table,
+    salted_aggregate,
+    salted_join,
+    write_bucketed,
+)
+from telescope_data_pipeline_spark.plans.audit import physical_plan
+from telescope_data_pipeline_spark.sources import load_table
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_salted_aggregate_matches_plain(spark):
+    li = load_table(spark, SF, "lineitem")
+    salted = salted_aggregate(li, ["l_returnflag"], ["l_quantity", "l_extendedprice"])
+    plain = (li.groupBy("l_returnflag")
+             .agg(F.sum("l_quantity").alias("sum_l_quantity"),
+                  F.sum("l_extendedprice").alias("sum_l_extendedprice"),
+                  F.count(F.lit(1)).alias("n_rows")))
+    s = {r.l_returnflag: r for r in salted.collect()}
+    p = {r.l_returnflag: r for r in plain.collect()}
+    assert set(s) == set(p)
+    for k in p:
+        assert s[k].n_rows == p[k].n_rows
+        assert abs(s[k].sum_l_quantity - p[k].sum_l_quantity) < 1e-6
+        assert abs(s[k].sum_l_extendedprice - p[k].sum_l_extendedprice) < 1e-4
+
+
+def test_salted_join_matches_plain(spark):
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_linenumber",
+                                                  "l_quantity")
+    o = load_table(spark, SF, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority")
+    got = salted_join(li, o, "l_orderkey").groupBy("o_orderpriority") \
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("q"))
+    want = li.join(o, "l_orderkey").groupBy("o_orderpriority") \
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("q"))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    """Two tables bucketed on the join key: the sort-merge join consumes
+    the scans' bucket partitioning directly — zero Exchange nodes."""
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, SF, "orders").select("o_orderkey", "o_totalprice")
+    write_bucketed(li, "b_lineitem", "l_orderkey")
+    write_bucketed(o.withColumnRenamed("o_orderkey", "l_orderkey"),
+                   "b_orders", "l_orderkey")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = read_table(spark, "b_lineitem").join(
+            read_table(spark, "b_orders"), "l_orderkey")
+        plan = physical_plan(joined)
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+        # and it still computes the right thing
+        n = joined.count()
+        want = li.join(o, li.l_orderkey == o.o_orderkey).count()
+        assert n == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
