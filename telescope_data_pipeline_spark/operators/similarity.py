@@ -19,6 +19,7 @@ literals, so plans are deterministic and executors need no side files.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -96,6 +97,93 @@ def ann_topk(
         .filter(F.col("query_id") != F.col("cand_id"))
         .select("query_id", "cand_id", "query_vec", "cand_vec")
         .distinct()  # a pair can collide in several tables
+        .withColumn("cos", cosine("query_vec", "cand_vec"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "rank", F.round("cos", 6).alias("cosine"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: coarse k-means cells + nprobe search — the
+# other standard ANN family beside LSH (the IVF layout of FAISS-style
+# indexes, public algorithm). Centroids are trained on a deterministic
+# sample and shipped inside an Arrow-vectorized assignment kernel; the
+# corpus is then bucketed by cell id, and each query probes only its
+# ``nprobe`` nearest cells — an equi-join on cell id, never a cross
+# product. Shuffle cost: |corpus| + |queries|·nprobe.
+# ---------------------------------------------------------------------------
+
+def train_centroids(corpus: DataFrame, vec_col: str = "embedding",
+                    n_centroids: int = 16, sample_stride: int = 1,
+                    iters: int = 5, seed: int = 42) -> np.ndarray:
+    """Lloyd's k-means on a deterministic sample (every ``sample_stride``-th
+    row by id order). The sample is bounded and collected once; at 100 TB
+    the stride makes it a ~1e5-vector sample regardless of corpus size."""
+    sample = np.asarray(
+        [r[0] for r in corpus.select(vec_col).limit(4096 * sample_stride)
+         .collect()][::sample_stride], dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    cents = sample[rng.choice(len(sample), size=n_centroids, replace=False)]
+    for _ in range(iters):
+        d2 = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(n_centroids):
+            members = sample[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents
+
+
+def _cell_assigner(centroids: np.ndarray, top: int):
+    """pandas UDF: vector -> its ``top`` nearest centroid ids (top=1 for
+    corpus bucketing, top=nprobe for query probing)."""
+    cents = centroids
+
+    @F.pandas_udf("array<int>")
+    def assign(vecs: pd.Series) -> pd.Series:
+        out = []
+        for v in vecs:
+            a = np.asarray(v, dtype=np.float64)
+            d2 = ((cents - a) ** 2).sum(axis=1)
+            out.append(np.argsort(d2)[:top].astype("int32"))
+        return pd.Series(out)
+
+    return assign
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """Approximate top-k cosine neighbors via IVF cells.
+
+    Same output shape as ann_topk/q_sim_topk so recall is directly
+    measurable. nprobe=n_centroids degrades gracefully to exact search.
+    """
+    if centroids is None:
+        centroids = train_centroids(corpus, vec_col, n_centroids)
+    corpus_cell = _cell_assigner(centroids, 1)
+    query_cells = _cell_assigner(centroids, nprobe)
+
+    c = corpus.select(F.col(id_col).alias("cand_id"),
+                      F.col(vec_col).alias("cand_vec"),
+                      F.element_at(corpus_cell(F.col(vec_col)), 1).alias("cell"))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("query_vec"),
+                       F.explode(query_cells(F.col(vec_col))).alias("cell"))
+    cand = (
+        q.join(c, on="cell")
+        .filter(F.col("query_id") != F.col("cand_id"))
         .withColumn("cos", cosine("query_vec", "cand_vec"))
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))

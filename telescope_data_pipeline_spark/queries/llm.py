@@ -341,3 +341,16 @@ def q_sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     return ann_topk(e.filter(F.col("vec_id") < 20), e,
                     k=5, dim=64, n_bits=8, n_tables=4)
+
+
+@query("q_sim_ivf", oracle=None)  # sample-trained centroids: rows-only check
+def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-cell approximate nearest neighbors (k-means coarse quantizer,
+    nprobe cell search) — the inverted-file ANN family beside the LSH
+    variant (q_sim_ann). nprobe=n_centroids reproduces exact top-k
+    (verified in tests); shuffle is |corpus| + |queries|*nprobe."""
+    from ..operators.similarity import ivf_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(e.filter(F.col("vec_id") < 20), e,
+                    k=5, n_centroids=16, nprobe=4)

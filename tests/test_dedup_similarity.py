@@ -108,3 +108,39 @@ def test_ann_recall_vs_brute_force(spark, vecs):
     found = {(r.query_id, r.cand_id) for r in rows}
     recall = len(truth & found) / len(truth)
     assert recall >= 0.5, f"ANN recall collapsed: {recall:.2f}"
+
+
+def test_ivf_recall_and_structure(spark, vecs):
+    """IVF ANN: structural guarantees strict; recall@5 vs exact top-5
+    with nprobe=8 of 16 cells on the near-orthogonal corpus."""
+    from telescope_data_pipeline_spark.operators.similarity import ivf_topk
+
+    queries = vecs.filter(F.col("vec_id") < 20)
+    rows = ivf_topk(queries, vecs, k=5, n_centroids=16, nprobe=8).collect()
+    assert rows
+    by_q: dict[int, list] = {}
+    for r in rows:
+        assert r.query_id != r.cand_id
+        by_q.setdefault(r.query_id, []).append(r)
+    for rs in by_q.values():
+        assert len(rs) <= 5
+
+    from telescope_data_pipeline_spark.queries import get
+
+    truth = {(r.query_id, r.cand_id) for r in get("q_sim_topk").fn(spark, SF).collect()}
+    found = {(r.query_id, r.cand_id) for r in rows}
+    recall = len(truth & found) / len(truth)
+    assert recall >= 0.4, f"IVF recall collapsed: {recall:.2f}"
+
+
+def test_ivf_full_probe_is_exact(spark, vecs):
+    """nprobe == n_centroids must reproduce the exact brute-force top-k."""
+    from telescope_data_pipeline_spark.operators.similarity import ivf_topk
+    from telescope_data_pipeline_spark.queries import get
+
+    queries = vecs.filter(F.col("vec_id") < 20)
+    got = {(r.query_id, r.cand_id, r.rank)
+           for r in ivf_topk(queries, vecs, k=5, n_centroids=8, nprobe=8).collect()}
+    want = {(r.query_id, r.cand_id, r.rank)
+            for r in get("q_sim_topk").fn(spark, SF).collect()}
+    assert got == want
