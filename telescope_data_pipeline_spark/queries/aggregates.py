@@ -234,3 +234,44 @@ def q_agg_stats2(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("qty_price_cov"),
              F.round(F.var_samp("l_quantity"), 6).alias("qty_var"))
     )
+
+
+@query("q_agg_collect", oracle="""
+SELECT l_returnflag,
+       list_sort(list(DISTINCT l_linestatus))              AS statuses,
+       array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses_csv
+FROM lineitem
+GROUP BY l_returnflag
+""")
+def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set aggregation (array-valued result, sorted for
+    determinism) — the grouped list materialization a per-epoch manifest
+    build needs (filenames per epoch, psf_phot.py:45)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    statuses = F.array_sort(F.collect_set("l_linestatus"))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(statuses.alias("statuses"),
+             F.array_join(statuses, ",").alias("statuses_csv"))
+    )
+
+
+@query("q_grouping_sets", oracle="""
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+""")
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (neither pure rollup nor cube): per-flag,
+    per-status, and grand total in one pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               COUNT(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """)

@@ -183,3 +183,55 @@ def q_join_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_cols=["s_suppkey"],
     )
     return out.select("c_custkey", "s_suppkey", F.round("dist", 2).alias("dist"))
+
+
+@query("q_join_full", oracle="""
+SELECT n.n_name,
+       COUNT(DISTINCT c.c_custkey) AS n_customers,
+       COUNT(DISTINCT s.s_suppkey) AS n_suppliers
+FROM (SELECT * FROM customer WHERE c_acctbal > 9500) c
+FULL OUTER JOIN (SELECT * FROM supplier WHERE s_acctbal > 9500) s
+  ON c.c_nationkey = s.s_nationkey
+FULL OUTER JOIN nation n
+  ON n.n_nationkey = COALESCE(c.c_nationkey, s.s_nationkey)
+GROUP BY n.n_name
+""")
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join — null-preserving on BOTH sides (the union of the
+    reference's unmatched-row semantics, core.py:166, in each direction)."""
+    c = (load_table(spark, sf_dir, "customer")
+         .filter(F.col("c_acctbal") > 9500))
+    s = (load_table(spark, sf_dir, "supplier")
+         .filter(F.col("s_acctbal") > 9500))
+    n = load_table(spark, sf_dir, "nation")
+    cs = c.join(s, c.c_nationkey == s.s_nationkey, "full_outer")
+    return (
+        cs.join(n, n.n_nationkey == F.coalesce(c.c_nationkey, s.s_nationkey),
+                "full_outer")
+        .groupBy("n_name")
+        .agg(F.countDistinct("c_custkey").alias("n_customers"),
+             F.countDistinct("s_suppkey").alias("n_suppliers"))
+    )
+
+
+@query("q_join_cross", oracle="""
+SELECT r.r_name, p.bucket, COUNT(*) AS n
+FROM region r
+CROSS JOIN (SELECT DISTINCT p_size % 5 AS bucket FROM part) p
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, p.bucket
+""")
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit small-dims CROSS JOIN (dimension grid construction) —
+    the one legitimate use of a cross product: both sides tiny and the
+    product itself is the desired output."""
+    r = load_table(spark, sf_dir, "region")
+    p = (load_table(spark, sf_dir, "part")
+         .select((F.col("p_size") % 5).alias("bucket")).distinct())
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        r.crossJoin(p)
+        .join(n, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -354,3 +354,29 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     return ivf_topk(e.filter(F.col("vec_id") < 20), e,
                     k=5, n_centroids=16, nprobe=4)
+
+
+@query("q_dedup_apply", oracle="""
+WITH keep AS (
+  SELECT MIN(doc_id) AS doc_id
+  FROM documents
+  GROUP BY array_to_string(list_sort(list_distinct(string_split_regex(text, '\\s+'))), ' ')
+)
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d JOIN keep USING (doc_id)
+""")
+def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup APPLIED: the surviving corpus after keep-min-id dedup on the
+    token-set fingerprint (q_dedup_tokenset reports the groups; this
+    returns the cleaned dataset — the operator a pipeline actually
+    chains). Implemented as a window rank, no self-join."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    fp = F.array_join(F.array_sort(F.array_distinct(F.split("text", _TOK))), " ")
+    w = W.partitionBy(fp).orderBy("doc_id")
+    return (
+        d.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", "lang", "source", "n_chars")
+    )

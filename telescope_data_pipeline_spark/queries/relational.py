@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..schemas import NATION
-from ..sources import load_table
+from ..sources import load_table, register_views
 from .registry import query
 
 
@@ -247,3 +247,34 @@ def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c_acctbal") > F.col("a"))
         .select("c_custkey", F.round("c_acctbal", 2).alias("acctbal"))
     )
+
+
+@query("q_sql_api", oracle="""
+WITH big_orders AS (
+  SELECT o_orderkey, o_custkey, o_totalprice
+  FROM orders WHERE o_totalprice > 250000
+)
+SELECT c_mktsegment,
+       COUNT(*)                     AS n_big,
+       ROUND(AVG(o_totalprice), 6)  AS avg_price,
+       ROUND(MAX(o_totalprice), 2)  AS max_price
+FROM big_orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""")
+def q_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same engine through the SQL surface: temp views + spark.sql
+    with a CTE — Catalyst produces the identical plan as the DataFrame
+    form (SURVEY.md §3.2: both surfaces share one optimizer)."""
+    register_views(spark, sf_dir, ("orders", "customer"))
+    return spark.sql("""
+        WITH big_orders AS (
+          SELECT o_orderkey, o_custkey, o_totalprice
+          FROM orders WHERE o_totalprice > 250000
+        )
+        SELECT c_mktsegment,
+               COUNT(*)                    AS n_big,
+               ROUND(AVG(o_totalprice), 6) AS avg_price,
+               ROUND(MAX(o_totalprice), 2) AS max_price
+        FROM big_orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """)

@@ -221,3 +221,21 @@ def q_scalar_date2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.quarter(d).alias("qtr"),
         (F.weekday(d) + 1).alias("iso_dow"),
     )
+
+
+@query("q_posexplode", oracle="""
+SELECT doc_id,
+       CAST(UNNEST(range(len(string_split_regex(text, '\\s+')))) AS INT) AS pos,
+       UNNEST(string_split_regex(text, '\\s+'))                          AS tok
+FROM documents
+WHERE doc_id < 10
+""")
+def q_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional explode (lateral UNNEST WITH ORDINALITY): one token row
+    per position — the UDTF row-explosion shape (detection emits N rows
+    per image, core.py:116-146) in its pure relational form."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 10)
+    return d.select(
+        "doc_id",
+        F.posexplode(F.split("text", r"\s+")).alias("pos", "tok"),
+    )

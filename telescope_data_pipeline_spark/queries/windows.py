@@ -162,3 +162,25 @@ def q_window_firstlast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("value").over(full).alias("last_val"),
         F.round(F.col("value") - F.first("value").over(w), 2).alias("drift"),
     )
+
+
+@query("q_window_range", oracle="""
+SELECT event_id,
+       COUNT(*) OVER (PARTITION BY user_id ORDER BY EPOCH(ts)
+                      RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS n_last_hour,
+       ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY EPOCH(ts)
+                      RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 2) AS sum_last_hour
+FROM events
+""")
+def q_window_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (value-based, not row-based): per-user trailing-hour
+    count/sum — the rolling event-time statistic where tied/irregular
+    timestamps make ROWS frames wrong."""
+    e = load_table(spark, sf_dir, "events")
+    w = (W.partitionBy("user_id").orderBy(F.col("ts").cast("double"))
+         .rangeBetween(-3600, 0))
+    return e.select(
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+        F.round(F.sum("value").over(w), 2).alias("sum_last_hour"),
+    )

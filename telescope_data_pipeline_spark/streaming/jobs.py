@@ -90,3 +90,28 @@ def run_multi_sink(stream: DataFrame, out_dir: str, checkpoint_dir: str):
         .trigger(availableNow=True)
         .start()
     )
+
+
+def purchase_error_join(stream: DataFrame, within: str = "24 hours",
+                        watermark: str = "48 hours") -> DataFrame:
+    """Stream-stream inner join with event-time bounds: each purchase
+    joined to errors by the same user within ``within`` AFTER the
+    purchase. Both sides are watermarked so the join state is bounded —
+    the correlation query (did the pipeline error right after an event?)
+    that batch mode answers with a band join (q_join_range's shape)."""
+    purchases = (stream.filter(F.col("event_type") == "purchase")
+                 .select(F.col("user_id").alias("p_user"),
+                         F.col("event_id").alias("purchase_id"),
+                         F.col("ts").alias("p_ts"))
+                 .withWatermark("p_ts", watermark))
+    errors = (stream.filter(F.col("event_type") == "error")
+              .select(F.col("user_id").alias("e_user"),
+                      F.col("event_id").alias("error_id"),
+                      F.col("ts").alias("e_ts"))
+              .withWatermark("e_ts", watermark))
+    return purchases.join(
+        errors,
+        (F.col("p_user") == F.col("e_user"))
+        & (F.col("e_ts") >= F.col("p_ts"))
+        & (F.col("e_ts") <= F.col("p_ts") + F.expr(f"INTERVAL {within}")),
+    ).select("p_user", "purchase_id", "error_id", "p_ts", "e_ts")

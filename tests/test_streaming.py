@@ -97,3 +97,26 @@ def test_foreach_batch_multi_sink(spark, events_dir):
     assert {"event_type", "n", "total", "batch_id"} <= set(summary.columns)
     # multiple micro-batches actually ran (maxFilesPerTrigger=4 over 8 files)
     assert summary.select("batch_id").distinct().count() >= 2
+
+
+def test_stream_stream_join_matches_batch(spark, events_dir):
+    from telescope_data_pipeline_spark.streaming.jobs import purchase_error_join
+
+    stream = read_event_stream(spark, events_dir)
+    q = (purchase_error_join(stream)
+         .writeStream.format("memory").queryName("ssj").outputMode("append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {tuple(r) for r in
+           spark.sql("SELECT p_user, purchase_id, error_id FROM ssj").collect()}
+    b = spark.read.parquet(events_dir)
+    p = b.filter("event_type = 'purchase'").selectExpr(
+        "user_id p_user", "event_id purchase_id", "ts p_ts")
+    e = b.filter("event_type = 'error'").selectExpr(
+        "user_id e_user", "event_id error_id", "ts e_ts")
+    want = {tuple(r) for r in
+            p.join(e, (F.col("p_user") == F.col("e_user"))
+                   & (F.col("e_ts") >= F.col("p_ts"))
+                   & (F.col("e_ts") <= F.col("p_ts") + F.expr("INTERVAL 24 hours")))
+             .select("p_user", "purchase_id", "error_id").collect()}
+    assert got == want and len(got) > 0
