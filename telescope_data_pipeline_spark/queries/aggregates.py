@@ -238,8 +238,8 @@ def q_agg_stats2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q_agg_collect", oracle="""
 SELECT l_returnflag,
-       list_sort(list(DISTINCT l_linestatus))              AS statuses,
-       array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses_csv
+       array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses_csv,
+       LEN(list(DISTINCT l_linestatus))                             AS n_statuses
 FROM lineitem
 GROUP BY l_returnflag
 """)
@@ -249,10 +249,13 @@ def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     build needs (filenames per epoch, psf_phot.py:45)."""
     li = load_table(spark, sf_dir, "lineitem")
     statuses = F.array_sort(F.collect_set("l_linestatus"))
+    # scalar outputs only: array-typed result columns canonicalize
+    # differently across engines' pandas bridges (same reason dates
+    # cross as strings)
     return (
         li.groupBy("l_returnflag")
-        .agg(statuses.alias("statuses"),
-             F.array_join(statuses, ",").alias("statuses_csv"))
+        .agg(F.array_join(statuses, ",").alias("statuses_csv"),
+             F.size(statuses).alias("n_statuses"))
     )
 
 
