@@ -380,3 +380,63 @@ def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .select("doc_id", "lang", "source", "n_chars")
     )
+
+
+@query("q_dedup_clusters", oracle=None)  # hash-seeded pair graph: rows-only
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup dedup: MinHash-LSH pairs -> connected
+    components (iterative min-label propagation, DataFrame-only) ->
+    keep-min-id per cluster -> surviving corpus. The full dedup chain a
+    training pipeline runs (pairs alone miss A~B~C transitivity)."""
+    from ..operators.components import dedup_clusters
+    from ..operators.dedup import minhash_near_duplicates
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(d, "doc_id", "text", threshold=0.5)
+    return dedup_clusters(d.select("doc_id", "lang", "source", "n_chars"),
+                          pairs, "doc_id")
+
+
+@query("q_token_bpe", oracle="""
+SELECT doc_id,
+       LEN(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]'))     AS n_bpe_tokens,
+       LEN(string_split_regex(text, '\\s+'))                           AS n_ws_tokens
+FROM documents
+WHERE doc_id < 200
+""")
+def q_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting with a BPE-ish regex (letter runs / digit runs /
+    single punctuation — the GPT-2 pre-tokenizer shape) next to the
+    whitespace count. regexp_extract_all stays JVM-side."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    bpe = F.regexp_extract_all("text", F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0)
+    return d.select(
+        "doc_id",
+        F.size(bpe).alias("n_bpe_tokens"),
+        F.size(F.split("text", _TOK)).alias("n_ws_tokens"),
+    )
+
+
+@query("q_fingerprint", oracle=None)  # hash-based: rows-only check
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting by winnowing (Schleimer et al. 2003):
+    k-gram hashes -> sliding-window minimum -> distinct fingerprints per
+    doc. All higher-order array ops (transform over positions + xxhash64
+    + windowed array_min) — zero Python. Docs sharing fingerprints are
+    copy-paste candidates."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", _TOK)
+    k, w = 5, 4
+    n_grams = F.greatest(F.size(toks) - (k - 1), F.lit(0))
+    gram_hashes = F.transform(
+        F.sequence(F.lit(0), n_grams - 1),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, k))))
+    n_windows = F.greatest(F.size(gram_hashes) - (w - 1), F.lit(0))
+    fingerprints = F.array_distinct(F.transform(
+        F.sequence(F.lit(0), n_windows - 1),
+        lambda i: F.array_min(F.slice(gram_hashes, i + 1, w))))
+    return (
+        d.filter(n_grams > 0)
+        .select("doc_id",
+                F.explode(fingerprints).alias("fingerprint"))
+    )
