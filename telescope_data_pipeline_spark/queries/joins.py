@@ -235,3 +235,49 @@ def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name", "bucket")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query("q_join_nn2d", oracle="""
+WITH pts_a AS (
+  SELECT c_custkey AS id, c_acctbal AS x, CAST(c_custkey % 97 AS DOUBLE) * 100 AS y
+  FROM customer
+), pts_b AS (
+  SELECT s_suppkey AS id, s_acctbal AS x, CAST(s_suppkey % 97 AS DOUBLE) * 100 AS y
+  FROM supplier
+), cand AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         SQRT(POW(a.x - b.x, 2) + POW(a.y - b.y, 2)) AS d,
+         ROW_NUMBER() OVER (PARTITION BY a.id
+                            ORDER BY SQRT(POW(a.x - b.x, 2) + POW(a.y - b.y, 2)),
+                                     b.id) AS rn
+  FROM pts_a a CROSS JOIN pts_b b
+  WHERE SQRT(POW(a.x - b.x, 2) + POW(a.y - b.y, 2)) < 500
+)
+SELECT p.id AS c_custkey, cand.id_b AS s_suppkey, ROUND(cand.d, 2) AS dist
+FROM pts_a p LEFT JOIN cand ON p.id = cand.id_a AND cand.rn = 1
+""")
+def q_join_nn2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D nearest-neighbor left-outer join — the reference's actual
+    star-matching semantics (core.py:148-177: Euclidean distance in the
+    image plane, cutoff, closest-only, null when unmatched), via the
+    d-dimensional grid-bucketed operator (9 neighbor cells searched).
+    Derived (x, y) point sets from the driver tables; the oracle is the
+    naive cross join + window."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"),
+        F.col("c_acctbal").alias("ax"),
+        (F.col("c_custkey") % 97).cast("double").alias("ay0"))
+    c = c.withColumn("ay", F.col("ay0") * 100).drop("ay0")
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey"),
+        F.col("s_acctbal").alias("bx"),
+        (F.col("s_suppkey") % 97).cast("double").alias("by0"))
+    s = s.withColumn("by", F.col("by0") * 100).drop("by0")
+    out = nn_join(
+        left=c, right=s,
+        left_keys=["c_custkey"],
+        coords=[("ax", "bx"), ("ay", "by")],
+        max_dist=500.0,
+        right_cols=["s_suppkey"],
+    )
+    return out.select("c_custkey", "s_suppkey", F.round("dist", 2).alias("dist"))

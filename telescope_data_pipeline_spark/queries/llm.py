@@ -440,3 +440,36 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id",
                 F.explode(fingerprints).alias("fingerprint"))
     )
+
+
+@query("q_sample_stratified", oracle=None)  # seeded sampler: rows-only check
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling for training-mix composition: per-language
+    fractions via sampleBy (upsample en, downsample zh) — the data-mix
+    step of a pretraining pipeline. Seeded and deterministic within
+    Spark; no SQL oracle (sampler RNG is engine-specific)."""
+    d = load_table(spark, sf_dir, "documents")
+    fractions = {"en": 0.9, "fr": 0.5, "es": 0.5, "de": 0.5, "zh": 0.2}
+    sampled = d.sampleBy("lang", fractions=fractions, seed=42)
+    return (sampled.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_sampled"),
+                 F.round(F.avg("n_chars"), 2).alias("avg_chars")))
+
+
+@query("q_agg_approx", oracle=None)  # sketch-based: rows-only check
+def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The approximate twins of the exact aggregates — the 100 TB swaps
+    the exact queries document: HyperLogLog count-distinct and t-digest
+    quantiles. Accuracy vs the exact forms is asserted in
+    tests/test_approx.py; sketches are engine-specific so no SQL oracle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+             F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median"),
+             F.percentile_approx("l_extendedprice", [0.25, 0.75], 10000)
+              .alias("approx_iqr"))
+        .select("l_returnflag", "approx_orders", "approx_median",
+                F.col("approx_iqr")[0].alias("approx_q1"),
+                F.col("approx_iqr")[1].alias("approx_q3"))
+    )
