@@ -7,6 +7,7 @@ rows-only checks; their numeric correctness is pinned by golden tests.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .registry import query
 
@@ -105,3 +106,41 @@ def q_wcs_solve(spark: SparkSession, sf_dir: str) -> DataFrame:
     images, _, _ = make_synthetic_images(spark, n_epochs=2)
     det = detect_stars(images.filter(F.col("filename").endswith("_i0.fits")))
     return pixel_to_sky(det, solve_wcs(det))
+
+
+@query("q_ensemble_lightcurve", oracle=None)  # composed kernels: rows-only
+def q_ensemble_lightcurve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The walkthrough's downstream analysis chain (SURVEY.md §3.3) as ONE
+    lazy plan: per-epoch result union (cell 5) -> cone match to the
+    target position via the 2-D grid NN join (ens_match, cell 7) ->
+    per-band head/tail outlier trim by window rank (ens_lc, cell 10) ->
+    Lomb-Scargle periodogram per band (cells 13-14). The reference runs
+    this as four scripts with pickle files between them; here the stages
+    compose lazily and Catalyst plans the whole chain."""
+    from pyspark.sql import Window as W
+
+    from ..operators.nn_join import nn_join
+    from ..operators.timeseries import make_synthetic_lightcurve, periodogram
+
+    # per-epoch "CSV" rows with jittered sky positions around the target
+    lc = make_synthetic_lightcurve(spark, n_epochs=200, period_days=2.9)
+    rows = lc.withColumn("ra", F.lit(150.0) + (F.col("bjd") % 1) * 1e-4) \
+             .withColumn("dec", F.lit(2.0) - (F.col("bjd") % 1) * 1e-4) \
+             .withColumn("obs_id", F.monotonically_increasing_id())
+    target = spark.createDataFrame([("StHa34", 150.00005, 1.99995)],
+                                   "target string, t_ra double, t_dec double")
+    # cone match: observations within ~1.5e-4 deg of the target
+    matched = nn_join(rows.select("obs_id", "ra", "dec"), target,
+                      ["obs_id"], [("ra", "t_ra"), ("dec", "t_dec")],
+                      max_dist=1.5e-4, right_cols=["target"]) \
+        .filter(F.col("target").isNotNull())
+    ens = rows.join(matched.select("obs_id"), "obs_id")
+    # outlier trim: drop the 3 brightest and 3 faintest epochs per band
+    part = W.partitionBy("band")
+    ranked = ens.select(
+        "band", "bjd", "mag",
+        F.row_number().over(part.orderBy(F.asc("mag"), F.asc("bjd"))).alias("rn"),
+        F.count(F.lit(1)).over(part).alias("cnt"))
+    trimmed = ranked.filter((F.col("rn") > 3) & (F.col("rn") <= F.col("cnt") - 3))
+    return periodogram(trimmed, "band", "bjd", "mag",
+                       min_freq=0.05, max_freq=2.0, n_freqs=400)
