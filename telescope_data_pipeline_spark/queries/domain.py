@@ -17,10 +17,20 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal image pipeline: binary payload column → mapInPandas
     decode (stubbed codec) → per-image feature vector. Demonstrates the
     opaque-binary + typed-metadata column convention (schemas.MEDIA) and
-    the Arrow-batched decode stage."""
+    the Arrow-batched decode stage.
+
+    The registered output is scalar-only (the 8-bin feature vector is
+    promoted to per-bin columns) because the driver canonicalizer hashes
+    with a pandas sort, which cannot order array cells. The array form
+    stays available from the operator for internal composition."""
     from ..operators.multimodal import extract_image_features, make_fake_media
 
-    return extract_image_features(make_fake_media(spark))
+    feats = extract_image_features(make_fake_media(spark))
+    bins = [F.round(F.element_at("feature", i + 1).cast("double"), 6).alias(f"f{i}")
+            for i in range(8)]
+    return feats.select("media_id", "width", "height", "n_bytes",
+                        F.round("mean_intensity", 6).alias("mean_intensity"),
+                        *bins)
 
 
 @query("q_media_frames", oracle=None)  # binary fixture: rows-only check
@@ -89,7 +99,20 @@ def q_scan_fits(spark: SparkSession, sf_dir: str) -> DataFrame:
     manifest = spark.createDataFrame(
         [(f"img{i}.fits", i // 3) for i in range(6)],
         "filename string, epoch_id int")
-    return scan_fits_dir(spark, d, manifest)
+    img = scan_fits_dir(spark, d, manifest)
+    # Scalar-only projection for the driver canonicalizer: the raw pixel
+    # array is summarized (count + rounded mean), the header map becomes
+    # sorted JSON. The full IMAGE rows remain available from the source.
+    return img.select(
+        "filename", "epoch_id", "band", "width", "height",
+        "airmass", F.col("date_obs").cast("string").alias("date_obs"),
+        "exptime", "site_id",
+        F.size("pixels").alias("n_pixels"),
+        F.round(F.aggregate("pixels", F.lit(0.0),
+                            lambda a, x: a + x.cast("double")) / F.size("pixels"),
+                4).alias("mean_pixel"),
+        F.to_json(F.map_from_entries(F.array_sort(F.map_entries("header"))))
+         .alias("header_json"))
 
 
 @query("q_wcs_solve", oracle=None)  # external-service UDF: rows-only check

@@ -44,3 +44,20 @@ def test_contract_shapes():
     qs, oracles = e.queries(), e.oracle_sql()
     assert set(oracles) <= set(qs)
     assert all(callable(f) for f in qs.values())
+
+
+def test_scalar_only_outputs(spark, sf_dir):
+    """The driver canonicalizer hashes query output with a pandas sort,
+    which cannot order array/map/struct cells — every registered query
+    (oracle-checked OR rows-only) must emit scalar columns only."""
+    from pyspark.sql import types as T
+
+    offenders = {}
+    for name, q in QUERIES.items():
+        schema = q.fn(spark, sf_dir).schema
+        complex_cols = [f.name for f in schema.fields
+                        if isinstance(f.dataType,
+                                      (T.ArrayType, T.MapType, T.StructType))]
+        if complex_cols:
+            offenders[name] = complex_cols
+    assert not offenders, f"complex-typed output columns: {offenders}"
