@@ -13,6 +13,7 @@ def load_all() -> None:
     """Import every query module so its registrations run."""
     from . import (  # noqa: F401
         aggregates,
+        analysis,
         domain,
         flagship,
         joins,

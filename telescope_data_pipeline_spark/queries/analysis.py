@@ -1,0 +1,172 @@
+"""Round-2 analysis queries: color index, bucketed similarity, annulus
+background — each an oracle-checked form of an operator whose round-1
+coverage was golden-test-only or whose judged form didn't scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from ..sources.tables import load_table
+from .registry import query
+
+
+@query("q_color_index", oracle="""
+SELECT user_id, day,
+       ROUND(mag_b, 6) AS mag_b, ROUND(mag_v, 6) AS mag_v,
+       ROUND(mag_b - mag_v, 6) AS color
+FROM (
+  SELECT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+         AVG(CASE WHEN event_type = 'view' THEN value END) AS mag_b,
+         AVG(CASE WHEN event_type = 'click' THEN value END) AS mag_v
+  FROM events
+  WHERE event_type IN ('view', 'click')
+  GROUP BY 1, 2
+)
+WHERE mag_b IS NOT NULL AND mag_v IS NOT NULL
+""")
+def q_color_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-band color analysis (reference walkthrough.ipynb cells 15-16:
+    join the B- and V-band light curves per epoch, color = mag_B - mag_V).
+
+    The reference joins two per-band tables; since both bands aggregate
+    over the same grouping key, the Spark-first form is ONE conditional
+    aggregation — a single shuffle instead of two aggregations plus a
+    join, and the two-type IN filter still pushes to the parquet scan.
+    Driver-table analog: per (user, day), "bands" = view/click events.
+    """
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("event_type").isin("view", "click")))
+    g = (ev.groupBy("user_id", F.to_date("ts").cast("string").alias("day"))
+         .agg(F.avg(F.when(F.col("event_type") == "view", F.col("value")))
+              .alias("b_raw"),
+              F.avg(F.when(F.col("event_type") == "click", F.col("value")))
+              .alias("v_raw")))
+    return (g.filter(F.col("b_raw").isNotNull() & F.col("v_raw").isNotNull())
+            .select("user_id", "day",
+                    F.round("b_raw", 6).alias("mag_b"),
+                    F.round("v_raw", 6).alias("mag_v"),
+                    F.round(F.col("b_raw") - F.col("v_raw"), 6).alias("color")))
+
+
+@query("q_sim_bucketed", oracle="""
+WITH cells AS (
+  SELECT vec_id, embedding,
+         4 * CAST(embedding[1] >= 0 AS INT)
+         + 2 * CAST(embedding[2] >= 0 AS INT)
+         + CAST(embedding[3] >= 0 AS INT) AS cell
+  FROM embeddings
+), norms AS (
+  SELECT vec_id, SUM(CAST(e AS DOUBLE) * CAST(e AS DOUBLE)) AS nrm
+  FROM (SELECT vec_id, UNNEST(embedding) AS e FROM embeddings)
+  GROUP BY vec_id
+), pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         CAST(UNNEST(q.embedding) AS DOUBLE) AS qe,
+         CAST(UNNEST(c.embedding) AS DOUBLE) AS ce
+  FROM cells q JOIN cells c ON q.cell = c.cell
+  WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id
+), dots AS (
+  SELECT query_id, cand_id, SUM(qe * ce) AS dot FROM pairs GROUP BY 1, 2
+), scored AS (
+  SELECT query_id, cand_id,
+         dot / SQRT(nq.nrm * nc.nrm) AS cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY dot / SQRT(nq.nrm * nc.nrm) DESC, cand_id) AS rn
+  FROM dots
+  JOIN norms nq ON nq.vec_id = query_id
+  JOIN norms nc ON nc.vec_id = cand_id
+)
+SELECT query_id, cand_id, rn AS rank, ROUND(cos, 6) AS cosine
+FROM scored WHERE rn <= 5
+""")
+def q_sim_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed (cell-local) cosine top-k — the judged form of the
+    similarity-search SCALE plan. Every vector gets a deterministic
+    sign-grid cell from its first three components (the literal-centroid
+    IVF assignment); each query scores only its own cell via an
+    EQUI-join on cell id, then window top-5.
+
+    Unlike q_sim_topk's broadcast nested-loop all-pairs baseline, this
+    plan is the one that survives 100 TB: candidate generation is a hash
+    join on the cell key (linear shuffle, prunable to nprobe cells), and
+    because the cell rule is deterministic the result is exact within
+    cells and fully SQL-expressible — no recall caveat for the oracle.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    cell = (4 * (F.element_at("embedding", 1) >= 0).cast("int")
+            + 2 * (F.element_at("embedding", 2) >= 0).cast("int")
+            + (F.element_at("embedding", 3) >= 0).cast("int"))
+    norm = F.aggregate(F.col("embedding"), F.lit(0.0),
+                       lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    vecs = e.select("vec_id", "embedding", cell.alias("cell"),
+                    norm.alias("nrm"))
+    q = (vecs.filter(F.col("vec_id") < 20)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("qv"),
+                 F.col("nrm").alias("qn"), "cell"))
+    c = vecs.select(F.col("vec_id").alias("cand_id"),
+                    F.col("embedding").alias("cv"),
+                    F.col("nrm").alias("cn"), "cell")
+    dot = F.aggregate(
+        F.zip_with("qv", "cv", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+    scored = (q.join(c, on="cell")
+              .filter(F.col("query_id") != F.col("cand_id"))
+              .withColumn("cos", dot / F.sqrt(F.col("qn") * F.col("cn"))))
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 5)
+            .select("query_id", "cand_id", F.col("rn").alias("rank"),
+                    F.round("cos", 6).alias("cosine")))
+
+
+@query("q_annulus_background", oracle="""
+WITH a AS (
+  SELECT c_custkey AS id, c_acctbal AS val,
+         c_acctbal AS x, CAST(c_custkey % 97 AS DOUBLE) * 100 AS y
+  FROM customer
+), b AS (
+  SELECT s_acctbal AS val,
+         s_acctbal AS x, CAST(s_suppkey % 97 AS DOUBLE) * 100 AS y
+  FROM supplier
+), ring AS (
+  SELECT a.id, MEDIAN(b.val) AS bkg, COUNT(*) AS n_ring
+  FROM a JOIN b
+    ON SQRT(POW(a.x - b.x, 2) + POW(a.y - b.y, 2)) >= 200
+   AND SQRT(POW(a.x - b.x, 2) + POW(a.y - b.y, 2)) < 800
+  GROUP BY a.id
+)
+SELECT a.id AS c_custkey, ROUND(ring.bkg, 4) AS bkg, ring.n_ring,
+       ROUND(a.val - ring.bkg, 4) AS net
+FROM a LEFT JOIN ring ON a.id = ring.id
+""")
+def q_annulus_background(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local annulus background subtraction (reference core.py:344-382
+    ``bkg_sub``: per-star ring median as the local sky level, subtracted
+    from the flux) — relational form on derived 2-D points, via the
+    grid-bucketed ring operator. The oracle is the naive distance cross
+    join; the Spark plan is the linear-cost cell EQUI-join
+    (operators/background.py), proving the rewrite is exact. Rows with
+    an empty ring keep null background (the reference's global-median
+    fallback is the caller's coalesce).
+    """
+    from ..operators.background import ring_agg
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_acctbal").alias("val"),
+        F.col("c_acctbal").alias("ax"),
+        ((F.col("c_custkey") % 97).cast("double") * 100).alias("ay"))
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_acctbal").alias("sval"),
+        F.col("s_acctbal").alias("bx"),
+        ((F.col("s_suppkey") % 97).cast("double") * 100).alias("by"))
+    ring = ring_agg(c, s, left_keys=["c_custkey"],
+                    coords=[("ax", "bx"), ("ay", "by")],
+                    r_in=200.0, r_out=800.0, value_col="sval")
+    return (c.select("c_custkey", "val")
+            .join(ring, on="c_custkey", how="left")
+            .select("c_custkey", F.round("bkg", 4).alias("bkg"), "n_ring",
+                    F.round(F.col("val") - F.col("bkg"), 4).alias("net")))
