@@ -125,23 +125,61 @@ def minhash_near_duplicates(
 # SimHash (Charikar 2002): 64-bit signature; near-dups differ in few bits.
 # ---------------------------------------------------------------------------
 
+_FNV_OFFSET = np.uint64(14695981039346656037)
+_FNV_PRIME = np.uint64(1099511628211)
+
+
+def _simhash_batch(texts: pd.Series) -> np.ndarray:
+    """SimHash a batch of texts with numpy-vectorized FNV-1a.
+
+    All tokens in the batch hash together: one (n_tokens,) uint64 vector
+    stepped over BYTE POSITIONS (~max token length iterations of whole-array
+    xor/multiply), not a Python loop over characters; the bit unpack /
+    sign-pack run as C-speed unpackbits/packbits and the per-doc vote is a
+    single reduceat over the token-sorted block. Output is bit-for-bit
+    identical to the scalar FNV-1a construction (asserted in
+    tests/test_dedup_similarity.py), so fingerprints are stable across
+    versions of this kernel.
+    """
+    n_docs = len(texts)
+    fps = np.zeros(n_docs, dtype=np.int64)  # empty doc -> all-zero acc -> 0
+    toks = texts.reset_index(drop=True).fillna("").str.split().explode()
+    toks = toks[toks.notna()]
+    if len(toks) == 0:
+        return fps
+    doc_idx = toks.index.to_numpy(dtype=np.int64)
+    # ONE encode for the whole batch: tokens can't contain whitespace (they
+    # came from split()), and 0x20 is never a UTF-8 continuation byte, so
+    # byte-splitting the space-joined blob exactly recovers token bounds.
+    flat = np.frombuffer(" ".join(toks.tolist()).encode("utf-8"), dtype=np.uint8)
+    sep = np.nonzero(flat == 0x20)[0]
+    offs = np.concatenate([[0], sep + 1])
+    lens = np.concatenate([sep, [len(flat)]]) - offs
+
+    h = np.full(len(lens), _FNV_OFFSET, dtype=np.uint64)
+    for j in range(int(lens.max())):
+        active = np.nonzero(lens > j)[0]
+        h[active] = (h[active] ^ flat[offs[active] + j].astype(np.uint64)) \
+            * _FNV_PRIME
+    # (n_tokens, 64) 0/1 bits, little-endian bytes MSB-first per byte —
+    # the same layout as unpackbits(h.tobytes()) in the scalar form.
+    bits = np.unpackbits(h.astype("<u8").view(np.uint8).reshape(-1, 8), axis=1)
+    uniq, first = np.unique(doc_idx, return_index=True)
+    ones = np.add.reduceat(bits, first, axis=0, dtype=np.int64)
+    n_tok = np.bincount(doc_idx, minlength=n_docs)[uniq]
+    acc = 2 * ones - n_tok[:, None]  # (+1 per set bit, -1 per clear bit)
+    packed = np.packbits((acc > 0).astype(np.uint8), axis=1)
+    fps[uniq] = packed.view(">u8").ravel().astype("=u8").view(np.int64)
+    return fps
+
+
 @F.pandas_udf(T.LongType())
 def simhash64(texts: pd.Series) -> pd.Series:
-    """Arrow-vectorized SimHash: tokenize, hash each token to 64 bits
+    """Vectorized SimHash: tokenize, hash each token to 64 bits
     (FNV-1a — stable across runs/machines, unlike Python's builtin hash),
-    sum signed bit contributions, take the sign bit-vector."""
-    out = np.empty(len(texts), dtype=np.int64)
-    for row, text in enumerate(texts):
-        acc = np.zeros(64, dtype=np.int64)
-        for tok in (text or "").split():
-            h = np.uint64(14695981039346656037)
-            for ch in tok.encode():
-                h = np.uint64((int(h) ^ ch) * 1099511628211 & 0xFFFFFFFFFFFFFFFF)
-            bits = np.unpackbits(np.frombuffer(np.uint64(h).tobytes(), dtype=np.uint8))
-            acc += np.where(bits.astype(np.int64) > 0, 1, -1)
-        fp = np.packbits((acc > 0).astype(np.uint8)).view(">u8")[0]
-        out[row] = np.int64(np.uint64(fp).astype(np.int64))
-    return pd.Series(out)
+    sum signed bit contributions, take the sign bit-vector. Both the Arrow
+    transport AND the compute are batch-vectorized (see _simhash_batch)."""
+    return pd.Series(_simhash_batch(texts))
 
 
 def simhash_near_duplicates(df: DataFrame, id_col: str, text_col: str,

@@ -79,6 +79,34 @@ def test_simhash_self_consistency(spark, docs):
     assert expected <= got
 
 
+def test_simhash_vectorized_matches_scalar():
+    """The numpy-batched kernel is bit-for-bit the scalar FNV-1a SimHash
+    construction — fingerprints must never drift between kernel versions."""
+    import numpy as np
+    import pandas as pd
+
+    from telescope_data_pipeline_spark.operators.dedup import _simhash_batch
+
+    def scalar_simhash(text):
+        acc = np.zeros(64, dtype=np.int64)
+        for tok in (text or "").split():
+            h = np.uint64(14695981039346656037)
+            for ch in tok.encode():
+                h = np.uint64((int(h) ^ ch) * 1099511628211
+                              & 0xFFFFFFFFFFFFFFFF)
+            bits = np.unpackbits(
+                np.frombuffer(np.uint64(h).tobytes(), dtype=np.uint8))
+            acc += np.where(bits.astype(np.int64) > 0, 1, -1)
+        fp = np.packbits((acc > 0).astype(np.uint8)).view(">u8")[0]
+        return np.int64(np.uint64(fp).astype(np.int64))
+
+    texts = ["", None, "one token two", "héllo wörld 漢字",
+             " runs \t of\nwhitespace ", "a" * 200 + " b", "a b a b a"]
+    got = _simhash_batch(pd.Series(texts))
+    want = [scalar_simhash(t) for t in texts]
+    assert got.tolist() == want
+
+
 def test_ann_recall_vs_brute_force(spark, vecs):
     """Multi-table hyperplane LSH recall@5 against exact top-5. The
     corpus is near-orthogonal (max cos 0.51) — the hardest regime for
