@@ -182,18 +182,86 @@ def simhash64(texts: pd.Series) -> pd.Series:
     return pd.Series(_simhash_batch(texts))
 
 
+def simhash_fingerprints_jvm(df: DataFrame, id_col: str,
+                             text_col: str) -> DataFrame:
+    """(id, fp) SimHash fingerprints computed ENTIRELY JVM-side — the
+    zero-Python scale path: explode tokens, xxhash64 each, take 64
+    codegen'd sum-votes per doc (one groupBy whose map-side partial
+    aggregation collapses every doc to a single 64-column row before the
+    shuffle, so shuffle volume is |docs|, not |tokens|).
+
+    Fingerprint values differ from :func:`simhash64` (xxhash64 vs FNV-1a
+    token hashes; ASCII vs unicode whitespace split) but the SimHash
+    property — hamming distance tracks token-multiset similarity — is
+    identical. Use this form in pipelines; use the pandas UDF only when
+    FNV-stable fingerprints must match an external system.
+    """
+    from functools import reduce
+
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+    ex = df.select(F.col(id_col).alias("id"), F.explode_outer(toks).alias("tok"))
+    h = F.xxhash64("tok")
+    bit = lambda k: F.shiftrightunsigned(h, k).bitwiseAND(F.lit(1))  # noqa: E731
+    votes = [
+        F.sum(F.when(F.col("tok").isNull(), 0)
+               .otherwise(2 * bit(k) - 1)).alias(f"v{k}")
+        for k in range(64)
+    ]
+    agg = ex.groupBy("id").agg(*votes)
+    fp = reduce(
+        lambda a, b: a.bitwiseOR(b),
+        [F.when(F.col(f"v{k}") > 0, F.shiftleft(F.lit(1), k))
+          .otherwise(F.lit(0)) for k in range(64)],
+    )
+    return agg.select("id", fp.cast("long").alias("fp"))
+
+
 def simhash_near_duplicates(df: DataFrame, id_col: str, text_col: str,
-                            max_hamming: int = 8) -> DataFrame:
-    """Near-dup pairs by SimHash: band the 64-bit fingerprint into 4
-    16-bit chunks; by pigeonhole any pair within hamming distance 3 shares
-    a chunk (wider distances need more bands/probes). Equi-join on
-    (chunk_idx, chunk_value), then exact popcount refine."""
-    fp = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("fp"))
+                            max_hamming: int = 8,
+                            jvm: bool = True) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 64-bit fingerprint into
+    ``max_hamming + 1`` chunks. By pigeonhole, any pair differing in at
+    most ``max_hamming`` bits agrees on at least one whole chunk, so the
+    (chunk_idx, chunk_value) equi-join has GUARANTEED recall at the
+    advertised radius; an exact popcount refine drops false candidates.
+
+    Scale note: chunk width is 64/(max_hamming+1) bits, so bucket
+    cardinality is ~2^width — the linear-shuffle regime is
+    ``max_hamming <= 7`` (chunks of >= 8 bits). Wider radii still return
+    exact results but candidate volume grows toward |docs|^2/2^width per
+    chunk; for d > 7 at corpus scale, prefer multi-table permutation
+    schemes (Manku et al., WWW 2007) layered on this same join.
+
+    ``jvm=True`` (default) computes fingerprints with the zero-Python
+    :func:`simhash_fingerprints_jvm`; ``jvm=False`` uses the FNV-stable
+    pandas kernel :func:`simhash64`."""
+    if not 0 <= max_hamming <= 31:
+        raise ValueError(f"max_hamming={max_hamming} outside [0, 31]")
+    n_chunks = max_hamming + 1
+    width = 64 // n_chunks   # first `64 % n_chunks` chunks get +1 bit
+    extra = 64 % n_chunks
+    bounds = []
+    start = 0
+    for k in range(n_chunks):
+        w = width + (1 if k < extra else 0)
+        bounds.append((start, w))
+        start += w
+    if jvm:
+        fp = simhash_fingerprints_jvm(df, id_col, text_col)
+    else:
+        fp = df.select(F.col(id_col).alias("id"),
+                       simhash64(F.col(text_col)).alias("fp"))
+    # The banded self-join consumes fp twice; without a cache Spark
+    # recomputes the whole fingerprint aggregation per side (Spark does
+    # not ReuseExchange across the differing a/b projections). fp is
+    # |docs| rows x 16 bytes — cacheable at any corpus scale.
+    fp = fp.cache()
     chunks = fp.select(
         "id", "fp",
         F.posexplode(F.array(*[
-            F.shiftrightunsigned("fp", k * 16).bitwiseAND(F.lit(0xFFFF))
-            for k in range(4)
+            F.shiftrightunsigned("fp", s).bitwiseAND(
+                F.lit((1 << w) - 1 if w < 64 else -1))  # -1 = all 64 bits set
+            for s, w in bounds
         ])).alias("chunk_idx", "chunk"),
     )
     a = chunks.select(F.col("id").alias("id_a"), F.col("fp").alias("fp_a"),

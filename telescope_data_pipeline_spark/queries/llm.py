@@ -322,12 +322,15 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q_dedup_simhash", oracle=None)  # hash-seeded: rows-only check
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: Arrow-vectorized 64-bit fingerprints,
-    banded 16-bit chunks for candidates, popcount refine."""
+    """SimHash near-dup pairs: zero-Python JVM fingerprints (explode →
+    xxhash64 → codegen'd bit votes, map-side combined), pigeonhole
+    banding (max_hamming+1 chunks => guaranteed recall at the radius),
+    popcount refine. Radius 7 keeps 8-bit chunks — the linear-shuffle
+    scale regime (see simhash_near_duplicates)."""
     from ..operators.dedup import simhash_near_duplicates
 
     d = load_table(spark, sf_dir, "documents")
-    return simhash_near_duplicates(d, "doc_id", "text", max_hamming=16)
+    return simhash_near_duplicates(d, "doc_id", "text", max_hamming=7)
 
 
 @query("q_sim_ann", oracle=None)  # LSH-approximate: rows-only check

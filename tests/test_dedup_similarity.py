@@ -79,6 +79,33 @@ def test_simhash_self_consistency(spark, docs):
     assert expected <= got
 
 
+def test_simhash_banding_is_exact_at_radius(spark, docs):
+    """max_hamming+1 chunks guarantee (pigeonhole) that every pair within
+    the radius shares a chunk, and the popcount refine removes the rest —
+    so the operator must EQUAL brute-force pairwise hamming, not
+    approximate it. Radius 8 previously exceeded the 4-chunk guarantee."""
+    from telescope_data_pipeline_spark.operators.dedup import (
+        simhash64,
+        simhash_fingerprints_jvm,
+    )
+
+    for radius, jvm in ((0, True), (8, True), (16, True), (8, False)):
+        got = {(r.id_a, r.id_b) for r in
+               simhash_near_duplicates(docs, "doc_id", "text",
+                                       max_hamming=radius, jvm=jvm).collect()}
+        if jvm:
+            fps = simhash_fingerprints_jvm(docs, "doc_id", "text").collect()
+        else:
+            fps = docs.select(F.col("doc_id").alias("id"),
+                              simhash64(F.col("text")).alias("fp")).collect()
+        want = {(a.id, b.id)
+                for i, a in enumerate(fps) for b in fps[i + 1:]
+                if bin((a.fp ^ b.fp) & 0xFFFFFFFFFFFFFFFF).count("1") <= radius}
+        want = {(min(p), max(p)) for p in want}
+        assert got == want, \
+            f"radius {radius} jvm={jvm}: got {len(got)} want {len(want)}"
+
+
 def test_simhash_vectorized_matches_scalar():
     """The numpy-batched kernel is bit-for-bit the scalar FNV-1a SimHash
     construction — fingerprints must never drift between kernel versions."""
