@@ -92,6 +92,60 @@ def select_psf_stars(
     )
 
 
+def _sigma_clipped_median(data: np.ndarray, sigma: float = 3.0,
+                          maxiters: int = 5) -> float:
+    """Median after iterative sigma clipping around the median (the
+    sigma_clipped_stats(annulus_data) step of reference core.py:371-372)."""
+    d = np.asarray(data, dtype=np.float64).ravel()
+    d = d[np.isfinite(d)]
+    for _ in range(maxiters):
+        if d.size == 0:
+            return 0.0
+        med, std = np.median(d), np.std(d)
+        keep = np.abs(d - med) <= sigma * std
+        if keep.all():
+            break
+        d = d[keep]
+    return float(np.median(d)) if d.size else 0.0
+
+
+def local_background_subtract(
+    img: np.ndarray,
+    positions: list[tuple[float, float]],
+    fwhm: float,
+    r_in: float = 20.0,
+    r_out: float = 30.0,
+) -> tuple[np.ndarray, list[float]]:
+    """Local annulus background subtraction (reference core.py:344-382
+    ``bkg_sub``): for each star, the sigma-clipped median of the pixels
+    whose centers fall in the ring ``r_in <= d < r_out`` is subtracted
+    from a square box of side ``5 * fwhm`` centered on the star.
+
+    Matches the reference's sequential semantics: stars are processed in
+    order on ONE mutating work image, so a later star's annulus sees the
+    earlier subtractions. Returns (subtracted image copy, per-star
+    background list aligned with ``positions``); an empty annulus (star
+    at the frame corner) contributes background 0 — the caller may fall
+    back to a global median.
+    """
+    h, w = img.shape
+    out = img.astype(np.float64, copy=True)
+    yy, xx = np.mgrid[0:h, 0:w]
+    half = 5.0 * fwhm / 2.0
+    bkgs: list[float] = []
+    for x, y in positions:
+        d2 = (xx - x) ** 2 + (yy - y) ** 2
+        ring = (d2 >= r_in * r_in) & (d2 < r_out * r_out)
+        vals = out[ring]
+        bkg = _sigma_clipped_median(vals) if vals.size else 0.0
+        bkgs.append(bkg)
+        ix, iy = int(round(x)), int(round(y))
+        r0, r1 = max(0, int(np.floor(iy - half)) + 1), min(h, int(np.ceil(iy + half)))
+        c0, c1 = max(0, int(np.floor(ix - half)) + 1), min(w, int(np.ceil(ix + half)))
+        out[r0:r1, c0:c1] -= bkg
+    return out, bkgs
+
+
 PHOT_SCHEMA = T.StructType([
     T.StructField("epoch_id", T.IntegerType(), False),
     T.StructField("id", T.LongType(), False),
@@ -102,6 +156,8 @@ PHOT_SCHEMA = T.StructType([
     T.StructField("flux_fit", T.DoubleType(), True),
     T.StructField("flux_unc", T.DoubleType(), True),
     T.StructField("iter_detected", T.IntegerType(), False),
+    T.StructField("bkg_local", T.DoubleType(), True),
+    T.StructField("resid_rms", T.DoubleType(), True),
 ])
 
 
@@ -111,16 +167,22 @@ def psf_photometry(
     psf_stars: DataFrame,
     cut_half: int = 8,
     n_iters: int = 2,
+    fwhm: float = 4.5,
 ) -> DataFrame:
     """Empirical-PSF photometry per epoch (grouped applyInPandas).
 
-    PSF model: median of background-subtracted, peak-normalized cutouts
-    of the selected PSF stars (the EPSFBuilder essence, core.py:384-414).
-    Per star: flux = argmin ||cut - f·PSF(shifted)||² (closed-form linear
-    fit), iterating brightest-first with subtraction so neighbors don't
-    bias faint stars (core.py:416-452's iterative scheme). Returns
-    PHOT_SCHEMA rows; x_fit/y_fit from moment recentroid of the
-    residual-free cutout."""
+    Background: per-star LOCAL annulus subtraction (core.py:344-382) on
+    the work image before PSF build and fitting, with a global-median
+    fallback for the frame at large (stars whose annulus is empty keep
+    the global level). PSF model: median of background-subtracted,
+    peak-normalized cutouts of the selected PSF stars (the EPSFBuilder
+    essence, core.py:384-414). Per star: flux = argmin
+    ||cut - f·PSF(shifted)||² (closed-form linear fit), iterating
+    brightest-first with subtraction so neighbors don't bias faint stars
+    (core.py:416-452's iterative scheme). Returns PHOT_SCHEMA rows;
+    x_fit/y_fit from moment recentroid of the residual-free cutout;
+    bkg_local/resid_rms are the per-star diagnostics the reference's
+    residual sink consumes (core.py:454-484)."""
     stk = stacked.select("epoch_id", "width", "height", "pixels")
     dets = detections.select("epoch_id", "id", "xcentroid", "ycentroid", "flux") \
                      .withColumnRenamed("flux", "flux_0")
@@ -137,8 +199,15 @@ def psf_photometry(
         row = pdf.iloc[0]
         w, h = int(row["width"]), int(row["height"])
         img = np.asarray(row["pixels"], dtype=np.float64).reshape(h, w)
+        # Global median levels the frame; the per-star annulus pass then
+        # removes the LOCAL deviation (gradients, nebulosity) around each
+        # star, composing to the reference's local annulus level.
         sky = float(np.median(img))
-        sub = img - sky
+        positions = [(s["xcentroid"], s["ycentroid"]) for s in row["stars"]]
+        sub, bkg_delta = local_background_subtract(img - sky, positions,
+                                                   fwhm=fwhm)
+        bkg_by_id = {s["id"]: sky + b
+                     for s, b in zip(row["stars"], bkg_delta)}
         ch = cut_half
 
         def cutout(arr, x, y):
@@ -185,7 +254,9 @@ def psf_photometry(
                 out.append({"id": s["id"], "x_0": s["xcentroid"], "x_fit": xfit,
                             "y_0": s["ycentroid"], "y_fit": yfit,
                             "flux_fit": fhat, "flux_unc": unc,
-                            "iter_detected": it})
+                            "iter_detected": it,
+                            "bkg_local": bkg_by_id.get(s["id"], sky),
+                            "resid_rms": float(np.sqrt((resid ** 2).mean()))})
         res = pd.DataFrame(out)
         res["epoch_id"] = int(row["epoch_id"])
         return res[[f.name for f in PHOT_SCHEMA]]

@@ -55,7 +55,8 @@ def run_photometry_pipeline(images: DataFrame, size: int = 128) -> dict[str, Dat
     mean_fwhm = 4.5  # moment FWHM of the fixture PSF; per-epoch join at scale
     psf_stars = select_psf_stars(stacked_detections, width=size, height=size,
                                  fwhm=mean_fwhm, border=16, trim=2)
-    photometry = psf_photometry(stacked, stacked_detections, psf_stars)
+    photometry = psf_photometry(stacked, stacked_detections, psf_stars,
+                                fwhm=mean_fwhm)
     return {
         "fwhm": fwhm,
         "detections": detections,

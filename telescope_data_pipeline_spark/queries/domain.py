@@ -66,6 +66,29 @@ def q_pipeline_photometry(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_photometry_pipeline(images)["photometry"]
 
 
+@query("q_pipeline_residuals", oracle=None)  # image kernels: rows-only check
+def q_pipeline_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-star residual diagnostics (reference core.py:454-484
+    ``get_residuals``: residual cutouts after photometry, condensed here
+    to the scalar per-star diagnostics the reference's PDF/TXT sinks
+    report): fitted position, flux, LOCAL annulus background
+    (core.py:344-382) and residual RMS, brightest-first like the
+    reference's flux-sorted results table. Golden bounds in
+    tests/test_image_pipeline.py."""
+    from ..operators.images import make_synthetic_images
+    from ..plans.pipeline import run_photometry_pipeline
+
+    images, _, _ = make_synthetic_images(spark, n_epochs=2)
+    phot = run_photometry_pipeline(images)["photometry"]
+    return (phot.select("epoch_id", "id",
+                        F.round("x_fit", 4).alias("x_fit"),
+                        F.round("y_fit", 4).alias("y_fit"),
+                        F.round("flux_fit", 4).alias("flux_fit"),
+                        F.round("bkg_local", 4).alias("bkg_local"),
+                        F.round("resid_rms", 4).alias("resid_rms"))
+            .orderBy(F.desc("flux_fit"), "epoch_id", "id"))
+
+
 @query("q_periodogram", oracle=None)  # iterative numeric kernel: rows-only
 def q_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lomb-Scargle periodogram (walkthrough cells 13-14) as a grouped

@@ -135,6 +135,45 @@ def test_pipeline_photometry_end_to_end(spark, fixture):
     assert total > 0 and ok / total > 0.8, f"{ok}/{total} fluxes recovered"
 
 
+def test_local_background_beats_global_on_gradient():
+    """Reference core.py:344-382 semantics: on a gradient background the
+    per-star annulus median removes the LOCAL level, so aperture flux
+    bias shrinks vs a single global median subtraction."""
+    from telescope_data_pipeline_spark.operators.photometry import (
+        local_background_subtract,
+    )
+
+    h = w = 128
+    yy, xx = np.mgrid[0:h, 0:w]
+    sx, sy, sigma, flux = 96.0, 96.0, 1.8, 5000.0
+    star = flux / (2 * np.pi * sigma**2) * np.exp(
+        -((xx - sx) ** 2 + (yy - sy) ** 2) / (2 * sigma**2))
+    img = 100.0 + 0.8 * xx + star  # strong x-gradient background
+
+    cut = np.s_[int(sy) - 8: int(sy) + 9, int(sx) - 8: int(sx) + 9]
+    global_sub = img - np.median(img)
+    local_sub, bkgs = local_background_subtract(img, [(sx, sy)], fwhm=4.5)
+
+    bias_global = abs(global_sub[cut].sum() - flux)
+    bias_local = abs(local_sub[cut].sum() - flux)
+    assert bias_local < 0.2 * bias_global, (bias_local, bias_global)
+    # the measured annulus level is the local background at the star
+    assert abs(bkgs[0] - (100.0 + 0.8 * sx)) < 3.0
+
+
+def test_residual_diagnostics_bounded(spark, fixture):
+    """core.py:454-484: after a good fit the per-star residual RMS is
+    small vs the fitted peak, and bkg_local sits at the planted level."""
+    images, truth, _ = fixture
+    phot = run_photometry_pipeline(images)["photometry"].toPandas()
+    assert len(phot) > 0
+    assert phot.resid_rms.notna().all()
+    peak = phot.flux_fit / (2 * np.pi * STAR_SIGMA**2)
+    good = phot[phot.flux_fit < 1e6]
+    assert ((good.resid_rms / (peak[good.index] + 1e-9)) < 0.35).mean() > 0.8
+    assert (abs(phot.bkg_local - 100.0) < 5.0).mean() > 0.8
+
+
 def test_lomb_scargle_recovers_planted_period(spark):
     """FIXTURES.md §C5: periodogram peak at the planted period."""
     lc = make_synthetic_lightcurve(spark, period_days=3.7)
