@@ -55,6 +55,91 @@ def _decode_fits(content: bytes) -> tuple[np.ndarray, dict[str, str]]:
     return pixels, header
 
 
+FITS_SINK_SCHEMA = (
+    "epoch_id int, path string, n_bytes long, n_cards int, "
+    "avg_airmass double, bjd double"
+)
+
+
+def write_stacked_fits(
+    images: DataFrame,
+    stacked: DataFrame,
+    wcs: DataFrame,
+    out_dir: str,
+    target_ra: float = 150.0,
+    target_dec: float = 2.0,
+) -> DataFrame:
+    """FITS sink with WCS-merged header (reference p_io.py:19-62
+    ``write_fits``): one file per epoch holding the stacked pixels and a
+    header assembled as
+
+    - base: the header of the epoch's first image (reference
+      ``im_headers[0]``);
+    - overlay: every WCS key EXCEPT HISTORY/COMMENT (p_io.py:40-42);
+    - AIRMASS: mean over the epoch's images (p_io.py:43-47);
+    - BJD: barycentric correction of the mean mid-exposure JD
+      (p_io.py:48-56, via :func:`..operators.external.barycentric_jd`).
+
+    The per-epoch aggregation (mean airmass, mean mid-exposure JD, first
+    header) is relational — Catalyst plans it with map-side partial aggs
+    — and only the final dict overlay + file write run in the Arrow
+    kernel, one row per EPOCH, so the sink parallelizes across epochs
+    and the Python crossing is negligible. Returns the lazy manifest of
+    written files; materialize to execute the writes.
+    """
+    import os
+
+    from ..operators.external import barycentric_jd
+
+    # mid-exposure JD: unix epoch -> JD offset, + exptime/2 in days
+    jd_mid = (F.unix_timestamp("date_obs") / 86400.0 + 2440587.5
+              + F.col("exptime") / 2.0 / 86400.0)
+    hdr = images.groupBy("epoch_id").agg(
+        F.avg("airmass").alias("avg_airmass"),
+        F.avg(jd_mid).alias("jd_mid"),
+        F.min_by("header", "filename").alias("base_header"),
+    )
+    hdr = hdr.withColumn(
+        "bjd", barycentric_jd("jd_mid", F.lit(target_ra), F.lit(target_dec)))
+    rows = (stacked.select("epoch_id", "width", "height", "pixels")
+            .join(hdr, "epoch_id")
+            .join(F.broadcast(wcs.filter(F.col("solved"))
+                              .select("epoch_id", "crval_ra", "crval_dec",
+                                      "pix_scale")),
+                  "epoch_id", "left"))
+
+    def write_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                wcs_cards = {}
+                if r.crval_ra is not None and not pd.isna(r.crval_ra):
+                    # a real solver returns a full header; HISTORY/COMMENT
+                    # are dropped here exactly as p_io.py:40-42 does
+                    wcs_cards = {"CRVAL1": r.crval_ra, "CRVAL2": r.crval_dec,
+                                 "CDELT1": r.pix_scale, "CDELT2": r.pix_scale,
+                                 "HISTORY": "solved", "COMMENT": "solved"}
+                merged = dict(r.base_header or {})
+                merged.update({k: str(v) for k, v in wcs_cards.items()
+                               if k not in ("HISTORY", "COMMENT")})
+                merged["AIRMASS"] = str(r.avg_airmass)
+                merged["BJD"] = str(r.bjd)
+                px = np.asarray(r.pixels, dtype=np.float32) \
+                    .reshape(int(r.height), int(r.width))
+                path = os.path.join(out_dir, f"stacked_e{int(r.epoch_id)}.fits")
+                write_fake_fits(path, px, merged)
+                out.append({"epoch_id": int(r.epoch_id), "path": path,
+                            "n_bytes": os.path.getsize(path),
+                            "n_cards": len(merged),
+                            "avg_airmass": float(r.avg_airmass),
+                            "bjd": float(r.bjd)})
+            yield pd.DataFrame(
+                out, columns=["epoch_id", "path", "n_bytes", "n_cards",
+                              "avg_airmass", "bjd"])
+
+    return rows.mapInPandas(write_kernel, schema=FITS_SINK_SCHEMA)
+
+
 def scan_fits_dir(spark: SparkSession, path: str,
                   manifest: DataFrame | None = None) -> DataFrame:
     """binaryFile scan → decode → schemas.IMAGE rows.

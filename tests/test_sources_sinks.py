@@ -52,6 +52,58 @@ def detections(spark):
     return detect_stars(images.filter(F.col("filename").endswith("_i0.fits"))).cache()
 
 
+def test_fits_sink_merges_wcs_header_roundtrip(spark):
+    """Reference p_io.py:19-62 write_fits: per-epoch stacked file whose
+    header = first image's header + WCS keys (HISTORY/COMMENT dropped) +
+    mean AIRMASS + barycentric BJD of the mean mid-exposure JD."""
+    from telescope_data_pipeline_spark.sources.fits import write_stacked_fits
+
+    d = tempfile.mkdtemp(prefix="fits_in_")
+    rng = np.random.default_rng(9)
+    airmasses = {0: (1.1, 1.5), 1: (2.0, 2.2)}
+    k = 0
+    for e in (0, 1):
+        for a in airmasses[e]:
+            write_fake_fits(os.path.join(d, f"img{k}.fits"),
+                            rng.normal(100, 2, (16, 16)).astype(np.float32),
+                            {"FILTER": "V", "AIRMASS": str(a),
+                             "EXPTIME": "120.0", "SITEID": "syn",
+                             "DATE-OBS": f"2024-03-0{e + 1}T00:00:00"})
+            k += 1
+    manifest = spark.createDataFrame(
+        [(f"img{i}.fits", i // 2) for i in range(4)],
+        "filename string, epoch_id int")
+    images = scan_fits_dir(spark, d, manifest)
+    stacked = images.filter(F.col("filename").isin("img0.fits", "img2.fits")) \
+                    .select("epoch_id", "width", "height", "pixels")
+    wcs = spark.createDataFrame(
+        [(0, 150.12, 2.05, 1.0 / 3600, True), (1, 151.0, 2.5, 1.0 / 3600, True)],
+        "epoch_id int, crval_ra double, crval_dec double, "
+        "pix_scale double, solved boolean")
+
+    out_dir = tempfile.mkdtemp(prefix="fits_out_")
+    manifest_rows = write_stacked_fits(images, stacked, wcs, out_dir).collect()
+    assert len(manifest_rows) == 2
+    for r in manifest_rows:
+        assert os.path.getsize(r.path) == r.n_bytes
+
+    back = {r.epoch_id: r for r in
+            scan_fits_dir(spark,
+                          out_dir,
+                          spark.createDataFrame(
+                              [(f"stacked_e{e}.fits", e) for e in (0, 1)],
+                              "filename string, epoch_id int")).collect()}
+    for e in (0, 1):
+        h = back[e].header
+        assert "HISTORY" not in h and "COMMENT" not in h
+        assert float(h["CRVAL1"]) == (150.12 if e == 0 else 151.0)
+        assert abs(back[e].airmass - np.mean(airmasses[e])) < 1e-9
+    # BJD within the Romer-delay envelope (<~8 min) of the mean
+    # mid-exposure JD for epoch 0: 2024-03-01T00:00 + 60 s
+    want_jd = 2460370.5 + 60.0 / 86400.0
+    assert abs(float(back[0].header["BJD"]) - want_jd) < 0.01
+
+
 def test_wcs_solve_and_pixel_to_sky(spark, detections):
     wcs = solve_wcs(detections).collect()
     assert len(wcs) == 2 and all(r.solved and r.attempts == 1 for r in wcs)
