@@ -33,6 +33,9 @@ HEADLINE = [
     "q_dedup_tokenset",
     "q_ngram_jaccard",
     "q_sim_topk",
+    "q_sim_bucketed",
+    "q_dedup_simhash",
+    "q_annulus_background",
     "q_token_topk",
 ]
 
