@@ -281,3 +281,46 @@ def q_join_nn2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_cols=["s_suppkey"],
     )
     return out.select("c_custkey", "s_suppkey", F.round("dist", 2).alias("dist"))
+
+
+@query("q_join_asof", oracle="""
+WITH c AS (
+  SELECT event_id, user_id, ts, value AS click_value
+  FROM events WHERE event_type = 'click'
+), v AS (
+  SELECT user_id, ts, MAX(value) AS view_value
+  FROM events WHERE event_type = 'view'
+  GROUP BY user_id, ts
+)
+SELECT c.event_id, c.user_id,
+       ROUND(c.click_value, 6) AS click_value,
+       ROUND(v.view_value, 6) AS view_value,
+       ROUND(EPOCH(v.ts), 6) AS asof_epoch
+FROM c ASOF LEFT JOIN v
+  ON c.user_id = v.user_id AND c.ts >= v.ts
+""")
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (point-in-time) join: each click event picks up the most
+    recent prior view by the same user (operators/asof.py). The naive
+    form is a range join; the operator's union + ignorenulls-last window
+    is ONE shuffle on user_id, linear in |events| — the plan that
+    survives 100 TB. DuckDB's native ASOF JOIN is the oracle, proving
+    the rewrite exact. Views are pre-aggregated per (user, ts) so the
+    carried row is deterministic."""
+    from ..operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("event_id", "user_id", "ts",
+                      F.col("value").alias("click_value")))
+    views = (ev.filter(F.col("event_type") == "view")
+             .groupBy("user_id", "ts")
+             .agg(F.max("value").alias("view_value")))
+    out = asof_join(clicks, views, keys=["user_id"],
+                    left_ts="ts", right_ts="ts",
+                    right_cols=["view_value"])
+    return out.select(
+        "event_id", "user_id",
+        F.round("click_value", 6).alias("click_value"),
+        F.round("view_value", 6).alias("view_value"),
+        F.round(F.col("asof_ts").cast("double"), 6).alias("asof_epoch"))

@@ -476,3 +476,67 @@ def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("approx_iqr")[0].alias("approx_q1"),
                 F.col("approx_iqr")[1].alias("approx_q3"))
     )
+
+
+@query("q_doc_repetition", oracle="""
+WITH t AS (
+  SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents
+), m AS (
+  SELECT doc_id, toks, LEN(toks) AS n_tok,
+         list_transform(range(1, LEN(toks)),
+                        i -> concat(toks[i], ' ', toks[i + 1])) AS bigrams
+  FROM t WHERE LEN(toks) >= 2
+)
+SELECT doc_id, n_tok,
+       ROUND(list_max(list_transform(list_distinct(toks),
+                  u -> LEN(list_filter(toks, x -> x = u))))::DOUBLE
+             / n_tok, 6) AS top_token_frac,
+       ROUND(1.0 - LEN(list_distinct(bigrams))::DOUBLE / LEN(bigrams),
+             6) AS dup_bigram_frac
+FROM m
+""")
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals (the Gopher-rule family, Rae et
+    al. 2021 §A1.1: fraction of the doc that is the most frequent token,
+    fraction of duplicate bigrams). Entirely per-row higher-order array
+    ops — zero shuffle, zero Python; the whole stage map-executes next
+    to the scan."""
+    d = load_table(spark, sf_dir, "documents")
+    return (d.select("doc_id", F.split("text", _TOK).alias("toks"))
+            .filter(F.size("toks") >= 2)
+            .select(
+                "doc_id",
+                F.size("toks").alias("n_tok"),
+                F.round(F.array_max(F.transform(
+                    F.array_distinct("toks"),
+                    lambda u: F.size(F.filter(F.col("toks"),
+                                              lambda x: x == u))))
+                        .cast("double") / F.size("toks"), 6)
+                 .alias("top_token_frac"),
+                F.round(1.0 - F.size(F.array_distinct(F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at("toks", i),
+                        F.element_at("toks", i + 1))))).cast("double")
+                    / (F.size("toks") - 1), 6).alias("dup_bigram_frac")))
+
+
+@query("q_text_redact", oracle="""
+SELECT doc_id,
+       regexp_replace(regexp_replace(text, '[0-9]+', '<NUM>', 'g'),
+                      '\w{8,}', '<LONG>', 'g') AS redacted,
+       LEN(regexp_extract_all(text, '[0-9]+'))
+         + LEN(regexp_extract_all(text, '\w{8,}')) AS n_redactions
+FROM documents
+""")
+def q_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style pattern redaction (scrubbing stage of a training-data
+    pipeline): digit runs and long identifier-like tokens replaced by
+    placeholder tags, with a per-doc redaction count. Pure JVM
+    regexp_replace — codegen'd, no Python, pushdown-friendly."""
+    d = load_table(spark, sf_dir, "documents")
+    red = F.regexp_replace(
+        F.regexp_replace("text", "[0-9]+", "<NUM>"), r"\w{8,}", "<LONG>")
+    n = (F.size(F.regexp_extract_all("text", F.lit("[0-9]+"), F.lit(0)))
+         + F.size(F.regexp_extract_all("text", F.lit(r"\w{8,}"), F.lit(0))))
+    return d.select("doc_id", red.alias("redacted"), n.alias("n_redactions"))

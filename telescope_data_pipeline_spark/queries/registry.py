@@ -63,6 +63,7 @@ PRIORITY: tuple[str, ...] = (
     "q_agg_mean", "q_agg_sigclip", "q_media_features", "q_scan_fits",
     # (c) new round-2 oracle queries
     "q_color_index", "q_sim_bucketed", "q_annulus_background",
+    "q_join_asof", "q_doc_repetition", "q_scan_orc", "q_text_redact",
     # (d) representatives of round-1-green families
     "q_flagship", "q_join_nn", "q_agg_groupby", "q_dedup_exact",
     "q_dedup_apply", "q_sim_topk", "q_text_stats",

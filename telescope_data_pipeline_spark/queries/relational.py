@@ -278,3 +278,19 @@ def q_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM big_orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment
     """)
+
+
+@query("q_scan_orc", oracle="""
+SELECT n_nationkey, n_name, n_regionkey FROM nation
+""")
+def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC round-trip with explicit schema — the columnar sibling of
+    q_scan_csv/q_scan_json (ORC is Spark-native; at rest it predicate-
+    pushes and column-prunes like parquet)."""
+    nation = load_table(spark, sf_dir, "nation")
+    out = tempfile.mkdtemp(prefix="tdps_orc_")
+    nation.write.mode("overwrite").orc(out)
+    return (
+        spark.read.schema(NATION).orc(out)
+        .select("n_nationkey", "n_name", "n_regionkey")
+    )

@@ -84,3 +84,44 @@ def test_sigclip_single_shuffle(spark):
     kept = sigma_clip(load_table(spark, SF, "events"), ["event_type"], "value")
     plan = physical_plan(kept)
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_asof_join_single_shuffle_no_range_join(spark):
+    """asof_join is union + window: exactly one Exchange on the keys, no
+    cartesian/broadcast-nested-loop pair explosion."""
+    from telescope_data_pipeline_spark.plans.audit import physical_plan
+    from telescope_data_pipeline_spark.queries import get
+
+    df = get("q_join_asof").fn(spark, SF)
+    assert_plan(df, absent=("CartesianProduct", "BroadcastNestedLoopJoin",
+                            "SortMergeJoin", "BroadcastHashJoin"))
+    # two exchanges total: the query's view pre-agg + the ONE shuffle
+    # the asof operator itself needs (union -> window on the keys)
+    plan = physical_plan(df)
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
+def test_asof_join_tolerance_and_tie(spark):
+    """Exact-tie timestamps match (ts >= right_ts); tolerance nulls
+    matches older than the window."""
+    import datetime as dt
+
+    from telescope_data_pipeline_spark.operators.asof import asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(1, t0, 10.0), (1, t0 + dt.timedelta(seconds=100), 20.0)],
+        "id long, ts timestamp, lv double")
+    right = spark.createDataFrame(
+        [(1, t0, 1.0), (1, t0 + dt.timedelta(seconds=5), 2.0)],
+        "k long, ts timestamp, rv double")
+    right = right.withColumnRenamed("k", "id")
+    out = {r.lv: r for r in
+           asof_join(left, right, ["id"], "ts", "ts", ["rv"]).collect()}
+    assert out[10.0].rv == 1.0       # exact tie matches (ts >= right_ts)
+    assert out[20.0].rv == 2.0       # most recent prior (t0+5s)
+    tol = {r.lv: r for r in
+           asof_join(left, right, ["id"], "ts", "ts", ["rv"],
+                     tolerance_s=10.0).collect()}
+    assert tol[10.0].rv == 1.0
+    assert tol[20.0].rv is None and tol[20.0].asof_ts is None  # 95 s stale
