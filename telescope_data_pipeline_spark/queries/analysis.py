@@ -170,3 +170,114 @@ def q_annulus_background(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(ring, on="c_custkey", how="left")
             .select("c_custkey", F.round("bkg", 4).alias("bkg"), "n_ring",
                     F.round(F.col("val") - F.col("bkg"), 4).alias("net")))
+
+
+@query("q_agg_salted", oracle="""
+SELECT l_returnflag,
+       ROUND(SUM(l_quantity), 4)      AS sum_qty,
+       ROUND(SUM(l_extendedprice), 4) AS sum_price,
+       COUNT(*)                       AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+""")
+def q_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-stage aggregation (operators/skew.py): lineitem has
+    only 3 return flags, so a plain groupBy funnels ~200k rows/flag into
+    3 reducers at sf0.1 (and ~200M at 100 TB). salted_aggregate spreads
+    each flag over 16 content-salted partials, then reduces the partials
+    — same algebra, no hot task. The oracle is the plain GROUP BY,
+    proving salting is semantics-preserving."""
+    from ..operators.skew import salted_aggregate
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = salted_aggregate(li, keys=["l_returnflag"],
+                           sums=["l_quantity", "l_extendedprice"], n_salts=16)
+    return out.select(
+        "l_returnflag",
+        F.round("sum_l_quantity", 4).alias("sum_qty"),
+        F.round("sum_l_extendedprice", 4).alias("sum_price"),
+        "n_rows")
+
+
+@query("q_join_salted", oracle="""
+WITH dim AS (
+  SELECT user_id, AVG(value) AS avg_value
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+)
+SELECT e.event_id, e.user_id,
+       ROUND(e.value, 6) AS value,
+       ROUND(dim.avg_value, 6) AS user_avg
+FROM events e JOIN dim ON e.user_id = dim.user_id
+WHERE e.event_type = 'purchase'
+""")
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted large-skewed join (operators/skew.py): the fact side's key
+    gets a content-derived salt in [0, 8), the dim side is replicated
+    8x, and the equi-join runs on (key, salt) — a hot user's rows land
+    on 8 reducers instead of 1. Oracle is the plain join: salting is
+    exact. (When the dim broadcasts, broadcast instead; this is the
+    medium-dim regime.)"""
+    from ..operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select("event_id", "user_id", "value"))
+    dim = (ev.filter(F.col("event_type") == "signup")
+           .groupBy("user_id").agg(F.avg("value").alias("avg_value")))
+    out = salted_join(purchases, dim, key="user_id", n_salts=8)
+    return out.select("event_id", "user_id",
+                      F.round("value", 6).alias("value"),
+                      F.round("avg_value", 6).alias("user_avg"))
+
+
+@query("q_events_funnel", oracle="""
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t0 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS t1 FROM events e
+  JOIN v ON e.user_id = v.user_id AND e.ts >= v.t0
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+  JOIN c ON e.user_id = c.user_id AND e.ts >= c.t1
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT
+  (SELECT COUNT(*) FROM v) AS n_view,
+  (SELECT COUNT(*) FROM c) AS n_view_click,
+  (SELECT COUNT(*) FROM p) AS n_view_click_purchase
+""")
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel (view -> click -> purchase per user):
+    how many users progressed through each prefix IN ORDER. Running
+    conditional mins over a RANGE frame mark, at every event, the
+    earliest view so far / earliest click-after-view so far (the RANGE
+    frame makes equal-timestamp events mutually visible — the oracle's
+    ``>=``); a groupBy on the same key then needs NO second exchange.
+    ONE shuffle on user_id, no self-joins, no per-user buffers — the
+    shape that survives a 10M-event power user."""
+    ev = (load_table(spark, sf_dir, "events")
+          .select("user_id", "event_type", F.col("ts").cast("double").alias("t")))
+    w = (W.partitionBy("user_id").orderBy("t")
+         .rangeBetween(W.unboundedPreceding, W.currentRow))
+    t0_run = F.min(F.when(F.col("event_type") == "view", F.col("t"))).over(w)
+    staged = ev.select(
+        "user_id", "event_type", "t", t0_run.alias("t0_run"))
+    t1_row = F.when((F.col("event_type") == "click")
+                    & F.col("t0_run").isNotNull(), F.col("t"))
+    w2 = (W.partitionBy("user_id").orderBy("t")
+          .rangeBetween(W.unboundedPreceding, W.currentRow))
+    staged = staged.select(
+        "user_id", "event_type", "t", "t0_run",
+        F.min(t1_row).over(w2).alias("t1_run"))
+    t2_row = F.when((F.col("event_type") == "purchase")
+                    & F.col("t1_run").isNotNull(), F.col("t"))
+    per_user = staged.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("t"))).alias("t0"),
+        F.min(t1_row).alias("t1"),
+        F.min(t2_row).alias("t2"))
+    return per_user.agg(
+        F.count("t0").alias("n_view"),
+        F.count("t1").alias("n_view_click"),
+        F.count("t2").alias("n_view_click_purchase"))

@@ -540,3 +540,44 @@ def q_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = (F.size(F.regexp_extract_all("text", F.lit("[0-9]+"), F.lit(0)))
          + F.size(F.regexp_extract_all("text", F.lit(r"\w{8,}"), F.lit(0))))
     return d.select("doc_id", red.alias("redacted"), n.alias("n_redactions"))
+
+
+@query("q_decontaminate", oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents
+), sh AS (
+  SELECT doc_id, UNNEST(list_distinct(list_transform(range(1, LEN(t) - 2),
+         i -> array_to_string(t[i:i+3], ' ')))) AS s
+  FROM toks WHERE LEN(t) >= 4
+), bench AS (
+  SELECT DISTINCT s FROM sh WHERE doc_id < 10
+)
+SELECT c.doc_id, COUNT(DISTINCT c.s) AS n_hits
+FROM sh c JOIN bench USING (s)
+WHERE c.doc_id >= 10
+GROUP BY c.doc_id
+""")
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (the eval-overlap scrub every training
+    corpus needs): flag corpus documents sharing any 4-gram with a
+    benchmark set (here docs 0-9), with the overlapping-gram count.
+    The benchmark gram set is tiny -> BROADCAST to the exploded corpus
+    grams, so the only shuffle is the per-doc count; at 100 TB the gram
+    strings are xxhash64'd before the join so the broadcast carries
+    8-byte keys (same plan, hashed key — kept raw here so DuckDB can
+    oracle it)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", _TOK)
+    grams = F.array_distinct(F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 3),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i),
+                              F.element_at(toks, i + 1),
+                              F.element_at(toks, i + 2),
+                              F.element_at(toks, i + 3))))
+    sh = (d.filter(F.size(toks) >= 4)
+          .select("doc_id", F.explode(grams).alias("s")))
+    bench = sh.filter(F.col("doc_id") < 10).select("s").distinct()
+    return (sh.filter(F.col("doc_id") >= 10)
+            .join(F.broadcast(bench), "s")
+            .groupBy("doc_id")
+            .agg(F.countDistinct("s").alias("n_hits")))

@@ -64,6 +64,7 @@ PRIORITY: tuple[str, ...] = (
     # (c) new round-2 oracle queries
     "q_color_index", "q_sim_bucketed", "q_annulus_background",
     "q_join_asof", "q_doc_repetition", "q_scan_orc", "q_text_redact",
+    "q_agg_salted", "q_join_salted", "q_events_funnel",
     # (d) representatives of round-1-green families
     "q_flagship", "q_join_nn", "q_agg_groupby", "q_dedup_exact",
     "q_dedup_apply", "q_sim_topk", "q_text_stats",
