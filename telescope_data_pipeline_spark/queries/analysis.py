@@ -281,3 +281,125 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("t0").alias("n_view"),
         F.count("t1").alias("n_view_click"),
         F.count("t2").alias("n_view_click_purchase"))
+
+
+@query("q_merge_upsert", oracle="""
+WITH src AS (
+  SELECT o_custkey AS key, ROUND(SUM(o_totalprice), 2) AS new_bal
+  FROM orders WHERE o_custkey % 7 = 0 GROUP BY o_custkey
+  UNION ALL
+  SELECT 900000 + o_orderkey AS key, ROUND(o_totalprice, 2) AS new_bal
+  FROM orders WHERE o_orderkey < 40
+)
+SELECT COALESCE(c.c_custkey, src.key) AS key,
+       COALESCE(c.c_name, 'NEW')      AS name,
+       ROUND(COALESCE(src.new_bal, c.c_acctbal), 2) AS balance,
+       CASE WHEN c.c_custkey IS NULL THEN 'insert'
+            WHEN src.key IS NULL THEN 'keep'
+            ELSE 'update' END AS action
+FROM customer c FULL OUTER JOIN src ON c.c_custkey = src.key
+""")
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO emulation (SCD-1 upsert) on plain parquet: change set
+    full-outer-joined to the target, matched rows take the new value,
+    unmatched source rows insert, unmatched target rows pass through —
+    the WHEN MATCHED / NOT MATCHED branches as one COALESCE projection.
+    One shuffle on the merge key; at scale the rewrite targets only
+    affected partitions (partition-pruned overwrite)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    updates = (o.filter(F.col("o_custkey") % 7 == 0)
+               .groupBy(F.col("o_custkey").alias("key"))
+               .agg(F.round(F.sum("o_totalprice"), 2).alias("new_bal")))
+    inserts = (o.filter(F.col("o_orderkey") < 40)
+               .select((F.col("o_orderkey") + 900000).alias("key"),
+                       F.round("o_totalprice", 2).alias("new_bal")))
+    src = updates.unionByName(inserts)
+    j = c.join(src, c.c_custkey == src.key, "full_outer")
+    return j.select(
+        F.coalesce("c_custkey", "key").alias("key"),
+        F.coalesce("c_name", F.lit("NEW")).alias("name"),
+        F.round(F.coalesce("new_bal", "c_acctbal"), 2).alias("balance"),
+        F.when(F.col("c_custkey").isNull(), "insert")
+         .when(F.col("key").isNull(), "keep")
+         .otherwise("update").alias("action"))
+
+
+@query("q_gap_fill", oracle="""
+WITH daily AS (
+  SELECT user_id, date_trunc('day', ts) AS day,
+         ROUND(AVG(value), 6) AS day_avg
+  FROM events WHERE user_id < 5 GROUP BY 1, 2
+), bounds AS (
+  SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1
+), grid AS (
+  SELECT user_id, UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+  FROM bounds
+)
+SELECT g.user_id, CAST(CAST(g.day AS DATE) AS VARCHAR) AS day,
+       d.day_avg,
+       LAST_VALUE(d.day_avg IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+""")
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + gap fill: per-user daily averages expanded
+    to a dense day grid (sequence + explode — no driver loop), missing
+    days forward-filled with an ignorenulls-last window. The grid
+    explode is per-user-linear; everything shuffles once on user_id."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 5)
+    daily = (ev.groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+             .agg(F.round(F.avg("value"), 6).alias("day_avg")))
+    grid = (daily.groupBy("user_id")
+            .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+            .select("user_id", F.explode(F.sequence(
+                "d0", "d1", F.expr("interval 1 day"))).alias("day")))
+    j = grid.join(daily, ["user_id", "day"], "left")
+    w = (W.partitionBy("user_id").orderBy("day")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return j.select(
+        "user_id", F.col("day").cast("date").cast("string").alias("day"),
+        "day_avg",
+        F.last("day_avg", ignorenulls=True).over(w).alias("filled"))
+
+
+@query("q_agg_percentile", oracle="""
+SELECT event_type,
+       ROUND(PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY value), 6) AS p25,
+       ROUND(PERCENTILE_CONT(0.50) WITHIN GROUP (ORDER BY value), 6) AS p50,
+       ROUND(PERCENTILE_CONT(0.90) WITHIN GROUP (ORDER BY value), 6) AS p90,
+       ROUND(PERCENTILE_CONT(0.99) WITHIN GROUP (ORDER BY value), 6) AS p99
+FROM events GROUP BY event_type
+""")
+def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark `percentile` ==
+    SQL PERCENTILE_CONT). The exact form needs the full sorted group —
+    at 100 TB prefer approx_percentile (t-digest, mergeable map-side
+    state, q_agg_approx); this oracle-checked exact form is the
+    correctness anchor the sketch is measured against."""
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+            .agg(*[F.round(F.percentile("value", F.lit(p)), 6)
+                   .alias(f"p{int(p * 100):02d}")
+                   for p in (0.25, 0.50, 0.90, 0.99)]))
+
+
+@query("q_window_ntile", oracle="""
+SELECT event_id, event_type,
+       NTILE(4) OVER w AS quartile,
+       ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+       ROUND(CUME_DIST() OVER w, 6) AS cume
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+""")
+def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-rank window family (ntile / percent_rank /
+    cume_dist) on a total order (value, event_id tiebreaker)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        "event_id", "event_type",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"))
