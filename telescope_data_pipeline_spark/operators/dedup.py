@@ -202,15 +202,23 @@ def simhash_fingerprints_jvm(df: DataFrame, id_col: str,
     ex = df.select(F.col(id_col).alias("id"), F.explode_outer(toks).alias("tok"))
     h = F.xxhash64("tok")
     bit = lambda k: F.shiftrightunsigned(h, k).bitwiseAND(F.lit(1))  # noqa: E731
-    votes = [
-        F.sum(F.when(F.col("tok").isNull(), 0)
-               .otherwise(2 * bit(k) - 1)).alias(f"v{k}")
-        for k in range(64)
+    # Pack 4 bit-counters into 16-bit fields of each sum (16 aggregate
+    # columns instead of 64): same math, ~2x faster codegen/agg. A
+    # counter saturates only past 65535 tokens per doc — re-chunk docs
+    # above that (none in any corpus here; tokenized docs are bounded).
+    packs = [
+        F.sum(F.when(F.col("tok").isNull(), 0).otherwise(
+            reduce(lambda a, b: a + b,
+                   [F.shiftleft(bit(g * 4 + j), 16 * j) for j in range(4)])))
+         .alias(f"p{g}")
+        for g in range(16)
     ]
-    agg = ex.groupBy("id").agg(*votes)
+    agg = ex.groupBy("id").agg(F.count("tok").alias("n"), *packs)
+    ones = lambda k: (F.shiftrightunsigned(f"p{k // 4}", 16 * (k % 4))  # noqa: E731
+                      .bitwiseAND(F.lit(0xFFFF)))
     fp = reduce(
         lambda a, b: a.bitwiseOR(b),
-        [F.when(F.col(f"v{k}") > 0, F.shiftleft(F.lit(1), k))
+        [F.when(2 * ones(k) - F.col("n") > 0, F.shiftleft(F.lit(1), k))
           .otherwise(F.lit(0)) for k in range(64)],
     )
     return agg.select("id", fp.cast("long").alias("fp"))

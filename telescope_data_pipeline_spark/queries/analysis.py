@@ -403,3 +403,35 @@ def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w).alias("quartile"),
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"))
+
+
+@query("q_partition_overwrite", oracle="""
+SELECT event_type,
+       ROUND(SUM(CASE WHEN event_type = 'click' THEN value * 2
+                      ELSE value END), 4) AS total,
+       COUNT(*) AS n
+FROM events GROUP BY event_type
+""")
+def q_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-level upsert (the Delta-free table-maintenance
+    primitive): events land partitioned by event_type; a corrected
+    recompute of ONE partition (clicks, values doubled) is written with
+    dynamic partitionOverwriteMode, replacing only that directory —
+    every other partition's files are untouched. At 100 TB this is how
+    a backfill touches 1/N of the table. The oracle states the expected
+    post-maintenance content."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="tdps_dynpart_")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type",
+                                                    "value")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    (ev.filter(F.col("event_type") == "click")
+     .withColumn("value", F.col("value") * 2)
+     .write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("event_type").parquet(out))
+    back = spark.read.parquet(out)
+    return (back.groupBy("event_type")
+            .agg(F.round(F.sum("value"), 4).alias("total"),
+                 F.count(F.lit(1)).alias("n")))

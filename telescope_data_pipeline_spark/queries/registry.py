@@ -65,6 +65,7 @@ PRIORITY: tuple[str, ...] = (
     "q_join_asof", "q_doc_repetition", "q_scan_orc", "q_text_redact",
     "q_agg_salted", "q_join_salted", "q_events_funnel", "q_decontaminate",
     "q_merge_upsert", "q_gap_fill", "q_agg_percentile", "q_window_ntile",
+    "q_partition_overwrite",
     # (d) near-duplicate variants demoted from (a) to fit the 50-entry
     # window (their families are already evidenced above), then
     # representatives of round-1-green families

@@ -125,3 +125,32 @@ def test_asof_join_tolerance_and_tie(spark):
                      tolerance_s=10.0).collect()}
     assert tol[10.0].rv == 1.0
     assert tol[20.0].rv is None and tol[20.0].asof_ts is None  # 95 s stale
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    """The benchmark gram set must broadcast — a shuffle join over the
+    exploded corpus grams would move |corpus|·grams rows."""
+    from telescope_data_pipeline_spark.queries import get
+
+    assert_plan(get("q_decontaminate").fn(spark, SF),
+                contains=("BroadcastHashJoin",),
+                absent=("CartesianProduct", "BroadcastNestedLoopJoin"))
+
+
+def test_funnel_single_hash_exchange(spark):
+    """Window + same-key groupBy reuse one user_id partitioning; only
+    the final 1-row global agg adds a SinglePartition exchange."""
+    from telescope_data_pipeline_spark.plans.audit import physical_plan
+    from telescope_data_pipeline_spark.queries import get
+
+    plan = physical_plan(get("q_events_funnel").fn(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_sim_bucketed_no_nested_loop(spark):
+    """The judged similarity scale plan must be a hash equi-join on the
+    cell key, not the broadcast nested-loop of the brute-force baseline."""
+    from telescope_data_pipeline_spark.queries import get
+
+    assert_plan(get("q_sim_bucketed").fn(spark, SF),
+                absent=("BroadcastNestedLoopJoin", "CartesianProduct"))
