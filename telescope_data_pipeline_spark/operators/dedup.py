@@ -280,6 +280,10 @@ def simhash_near_duplicates(df: DataFrame, id_col: str, text_col: str,
     return (
         a.join(b, on=["chunk_idx", "chunk"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", hamming.alias("hamming")).distinct()
+        .select("id_a", "id_b", hamming.alias("hamming"))
+        # popcount refine BEFORE distinct: hamming is a function of the
+        # pair, so the order is semantics-free, but filtering first keeps
+        # out-of-radius candidates out of the dedup shuffle entirely
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
