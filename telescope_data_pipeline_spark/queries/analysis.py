@@ -174,9 +174,10 @@ def q_annulus_background(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q_agg_salted", oracle="""
 SELECT l_returnflag,
-       ROUND(SUM(l_quantity), 4)      AS sum_qty,
-       ROUND(SUM(l_extendedprice), 4) AS sum_price,
-       COUNT(*)                       AS n_rows
+       ROUND(SUM(l_quantity), 4) AS sum_qty,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18, 2))) AS DOUBLE),
+             2) AS sum_price,
+       COUNT(*) AS n_rows
 FROM lineitem
 GROUP BY l_returnflag
 """)
@@ -186,16 +187,23 @@ def q_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     3 reducers at sf0.1 (and ~200M at 100 TB). salted_aggregate spreads
     each flag over 16 content-salted partials, then reduces the partials
     — same algebra, no hot task. The oracle is the plain GROUP BY,
-    proving salting is semantics-preserving."""
+    proving salting is semantics-preserving. The price sum runs in
+    DECIMAL: at ~1e9 magnitude the float error of order-dependent
+    double addition exceeds any rounding, so exact decimal arithmetic
+    (not a wider ROUND) is what makes the two-stage plan bit-equal to
+    single-stage at every scale factor."""
     from ..operators.skew import salted_aggregate
 
-    li = load_table(spark, sf_dir, "lineitem")
+    li = (load_table(spark, sf_dir, "lineitem")
+          .withColumn("l_extendedprice",
+                      F.col("l_extendedprice").cast("decimal(18,2)")))
     out = salted_aggregate(li, keys=["l_returnflag"],
                            sums=["l_quantity", "l_extendedprice"], n_salts=16)
     return out.select(
         "l_returnflag",
         F.round("sum_l_quantity", 4).alias("sum_qty"),
-        F.round("sum_l_extendedprice", 4).alias("sum_price"),
+        F.round(F.col("sum_l_extendedprice").cast("double"), 2)
+         .alias("sum_price"),
         "n_rows")
 
 
