@@ -115,3 +115,52 @@ def purchase_error_join(stream: DataFrame, within: str = "24 hours",
         & (F.col("e_ts") >= F.col("p_ts"))
         & (F.col("e_ts") <= F.col("p_ts") + F.expr(f"INTERVAL {within}")),
     ).select("p_user", "purchase_id", "error_id", "p_ts", "e_ts")
+
+
+def run_upsert_sink(stream: DataFrame, target_dir: str, checkpoint_dir: str):
+    """foreachBatch MERGE-upsert sink: each micro-batch reduces to one
+    latest-value row per user (max event time wins) and upserts into the
+    parquet target — the streaming twin of q_merge_upsert. The merge is
+    a full-outer join taking whichever side carries the newer event
+    time, so replayed batches are idempotent (same rows -> same table).
+
+    The target is re-read each batch and the merged result
+    localCheckpoint()-ed before the overwrite (a plain parquet dir can't
+    be overwritten while it is a scan input); at production scale the
+    same foreachBatch body calls a Delta/Iceberg MERGE INTO and the
+    table layer handles atomicity. Returns the started query."""
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        latest = (batch_df.groupBy("user_id")
+                  .agg(F.max_by("value", "ts").alias("value"),
+                       F.max("ts").alias("ts")))
+        try:
+            tgt = spark.read.parquet(target_dir)
+        except Exception:  # first batch: nothing to merge yet
+            latest.write.mode("overwrite").parquet(target_dir)
+            return
+        src = latest.select(F.col("user_id").alias("s_user"),
+                            F.col("value").alias("s_value"),
+                            F.col("ts").alias("s_ts"))
+        merged = (tgt.join(src, tgt.user_id == src.s_user, "full_outer")
+                  .select(
+                      F.coalesce("user_id", "s_user").alias("user_id"),
+                      F.when(F.col("s_ts").isNotNull()
+                             & (F.col("ts").isNull()
+                                | (F.col("s_ts") >= F.col("ts"))),
+                             F.col("s_value"))
+                       .otherwise(F.col("value")).alias("value"),
+                      F.greatest(
+                          F.coalesce("ts", "s_ts"),
+                          F.coalesce("s_ts", "ts")).alias("ts"))
+                  .localCheckpoint())
+        merged.write.mode("overwrite").parquet(target_dir)
+
+    return (
+        stream.writeStream
+        .foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -120,3 +120,30 @@ def test_stream_stream_join_matches_batch(spark, events_dir):
                    & (F.col("e_ts") <= F.col("p_ts") + F.expr("INTERVAL 24 hours")))
              .select("p_user", "purchase_id", "error_id").collect()}
     assert got == want and len(got) > 0
+
+
+def test_upsert_sink_converges_to_latest_per_user(spark, events_dir):
+    """The streamed MERGE-upsert table must equal the batch answer:
+    one row per user with the value at that user's max event time —
+    regardless of how the files were micro-batched."""
+    import tempfile
+
+    from telescope_data_pipeline_spark.streaming.jobs import (
+        read_event_stream,
+        run_upsert_sink,
+    )
+
+    target = tempfile.mkdtemp(prefix="ups_t_")
+    ckpt = tempfile.mkdtemp(prefix="ups_c_")
+    stream = read_event_stream(spark, events_dir, max_files_per_trigger=2)
+    q = run_upsert_sink(stream, target, ckpt)
+    q.awaitTermination(120)
+
+    got = {r.user_id: (r.value, r.ts)
+           for r in spark.read.parquet(target).collect()}
+    batch = spark.read.parquet(events_dir)
+    want = {r.user_id: (r.value, r.ts)
+            for r in batch.groupBy("user_id")
+                          .agg(F.max_by("value", "ts").alias("value"),
+                               F.max("ts").alias("ts")).collect()}
+    assert got == want
