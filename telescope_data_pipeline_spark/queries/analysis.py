@@ -443,3 +443,31 @@ def q_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (back.groupBy("event_type")
             .agg(F.round(F.sum("value"), 4).alias("total"),
                  F.count(F.lit(1)).alias("n")))
+
+
+@query("q_phase_fold", oracle="""
+WITH folded AS (
+  SELECT event_type,
+         FLOOR(((EPOCH(ts) / 86400.0) % 3.7) / 3.7 * 20) AS phase_bin,
+         value
+  FROM events
+)
+SELECT event_type, CAST(phase_bin AS INT) AS phase_bin,
+       ROUND(AVG(value), 6) AS mean_mag,
+       COUNT(*) AS n
+FROM folded GROUP BY event_type, phase_bin
+""")
+def q_phase_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phase-folded light-curve binning (reference walkthrough cell 16:
+    fold the time series on the detected period, bin by phase, average
+    per bin — the plot behind the periodogram). Pure column math + one
+    groupBy on (band, bin): a single shuffle whose key count is
+    bands x bins regardless of row count."""
+    ev = load_table(spark, sf_dir, "events")
+    period = 3.7
+    jd = F.col("ts").cast("double") / 86400.0
+    phase_bin = F.floor((jd % period) / period * 20).cast("int")
+    return (ev.select("event_type", phase_bin.alias("phase_bin"), "value")
+            .groupBy("event_type", "phase_bin")
+            .agg(F.round(F.avg("value"), 6).alias("mean_mag"),
+                 F.count(F.lit(1)).alias("n")))

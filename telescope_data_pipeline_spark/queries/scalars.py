@@ -239,3 +239,29 @@ def q_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.posexplode(F.split("text", r"\s+")).alias("pos", "tok"),
     )
+
+
+@query("q_scalar_bits", oracle="""
+SELECT p_partkey,
+       p_partkey & 255                   AS low_byte,
+       p_partkey | 4096                  AS with_flag,
+       xor(p_partkey, 1365)              AS xored,
+       p_partkey << 2                    AS shifted_up,
+       p_partkey >> 3                    AS shifted_down,
+       bit_count(p_partkey)              AS popcount
+FROM part
+""")
+def q_scalar_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar family (and/or/xor/shifts/popcount) — the
+    primitives under the SimHash banding and cell-id packing operators,
+    demoed standalone."""
+    p = load_table(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    return p.select(
+        "p_partkey",
+        k.bitwiseAND(F.lit(255)).alias("low_byte"),
+        k.bitwiseOR(F.lit(4096)).alias("with_flag"),
+        k.bitwiseXOR(F.lit(1365)).alias("xored"),
+        F.shiftleft(k, 2).alias("shifted_up"),
+        F.shiftright(k, 3).alias("shifted_down"),
+        F.bit_count(k).alias("popcount"))
