@@ -40,3 +40,48 @@ def write_partitioned(df: DataFrame, path: str, *partition_cols: str) -> None:
     """Partitioned parquet at-rest layout; reads filtered on the
     partition columns prune directories instead of scanning."""
     df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+def write_diagnostics_txt(
+    detections: DataFrame,
+    psf_stars: DataFrame,
+    photometry: DataFrame,
+    fwhm_table: DataFrame,
+    path: str,
+) -> None:
+    """Per-epoch diagnostics TXT (reference p_io.py:121-154 ``write_txt``:
+    star counts, min/max/median of peaks and fitted fluxes, FWHM). The
+    stats are ONE relational aggregation over the three stages joined on
+    epoch_id — partial aggs map-side, one small shuffle — and the text
+    rendering is a formatted projection written with ``.write.text``;
+    the per-stage wall timers of the reference are Spark metrics (event
+    log / UI), not hand-rolled counters."""
+    det = detections.groupBy("epoch_id").agg(
+        F.count(F.lit(1)).alias("n_sources"),
+        F.round(F.min("peak"), 4).alias("peak_min"),
+        F.round(F.max("peak"), 4).alias("peak_max"),
+        F.round(F.median("peak"), 4).alias("peak_med"))
+    psf = psf_stars.groupBy("epoch_id").agg(F.count(F.lit(1)).alias("n_psf"))
+    phot = photometry.groupBy("epoch_id").agg(
+        F.count(F.lit(1)).alias("n_results"),
+        F.round(F.min("flux_fit"), 4).alias("flux_min"),
+        F.round(F.max("flux_fit"), 4).alias("flux_max"),
+        F.round(F.median("flux_fit"), 4).alias("flux_med"))
+    fw = fwhm_table.groupBy("epoch_id").agg(
+        F.round(F.avg("fwhm"), 4).alias("mean_fwhm"))
+    stats = (det.join(psf, "epoch_id", "left")
+             .join(phot, "epoch_id", "left")
+             .join(fw, "epoch_id", "left"))
+    line = F.concat_ws(
+        "", F.lit("epoch "), F.col("epoch_id").cast("string"),
+        F.lit(": sources="), F.col("n_sources").cast("string"),
+        F.lit(" psf_stars="), F.coalesce(F.col("n_psf"), F.lit(0)).cast("string"),
+        F.lit(" results="), F.coalesce(F.col("n_results"), F.lit(0)).cast("string"),
+        F.lit(" peak[min,max,med]=["), F.col("peak_min").cast("string"),
+        F.lit(","), F.col("peak_max").cast("string"),
+        F.lit(","), F.col("peak_med").cast("string"),
+        F.lit("] flux[min,max,med]=["), F.col("flux_min").cast("string"),
+        F.lit(","), F.col("flux_max").cast("string"),
+        F.lit(","), F.col("flux_med").cast("string"),
+        F.lit("] fwhm="), F.col("mean_fwhm").cast("string"))
+    stats.select(line.alias("value")).write.mode("overwrite").text(path)

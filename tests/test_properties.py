@@ -99,3 +99,39 @@ def test_nn_join_matches_brute_force(spark):
         else:
             assert got[lid][0] == best[1], lid
             assert math.isclose(got[lid][1], best[0], rel_tol=1e-9)
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """asof_join == pandas merge_asof(direction='backward') on random
+    keyed time series — pandas is the independent ground truth for the
+    union+window rewrite (exact ties match; missing keys stay null)."""
+    import pandas as pd
+
+    rng = np.random.default_rng(11)
+    n_l, n_r = 300, 200
+    left = pd.DataFrame({
+        "k": rng.integers(0, 8, n_l),
+        "t": rng.integers(0, 10_000, n_l).astype("datetime64[s]"),
+        "lv": rng.normal(size=n_l).round(3),
+    })
+    right = pd.DataFrame({
+        "k": rng.integers(0, 10, n_r),  # some keys absent on the left
+        "t": rng.integers(0, 10_000, n_r).astype("datetime64[s]"),
+        "rv": rng.normal(size=n_r).round(3),
+    }).drop_duplicates(["k", "t"])  # asof requires unique (key, ts)
+
+    from telescope_data_pipeline_spark.operators.asof import asof_join
+
+    lsp = spark.createDataFrame(left.rename(columns={"t": "ts"}))
+    rsp = spark.createDataFrame(right.rename(columns={"t": "ts"}))
+    got = (asof_join(lsp, rsp, ["k"], "ts", "ts", ["rv"])
+           .toPandas()
+           .sort_values(["k", "ts", "lv"]).reset_index(drop=True))
+
+    want = (pd.merge_asof(left.sort_values("t"), right.sort_values("t"),
+                          on="t", by="k", direction="backward")
+            .rename(columns={"t": "ts"})
+            .sort_values(["k", "ts", "lv"]).reset_index(drop=True))
+    assert len(got) == len(want) == n_l
+    pd.testing.assert_series_equal(got["rv"], want["rv"],
+                                   check_exact=False, rtol=1e-12)

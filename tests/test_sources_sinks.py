@@ -183,3 +183,33 @@ def test_fits_scan_skips_corrupt_files(spark):
         f.write(b"garbage bytes")
     out = scan_fits_dir(spark, d).collect()
     assert [r.filename for r in out] == ["ok.fits"]
+
+
+def test_diagnostics_txt_sink(spark):
+    """p_io.py:121-154 stats block: one line per epoch with counts and
+    min/max/median summaries, written as a text sink and re-readable."""
+    import tempfile
+
+    from telescope_data_pipeline_spark.operators.images import (
+        make_synthetic_images,
+        measure_fwhm,
+    )
+    from telescope_data_pipeline_spark.plans.pipeline import (
+        run_photometry_pipeline,
+    )
+    from telescope_data_pipeline_spark.sources.sinks import (
+        write_diagnostics_txt,
+    )
+
+    images, _, _ = make_synthetic_images(spark, n_epochs=2)
+    out = run_photometry_pipeline(images)
+    d = tempfile.mkdtemp(prefix="diag_txt_")
+    write_diagnostics_txt(
+        out["stacked_detections"],
+        out["psf_stars"].withColumnRenamed("x", "xcentroid"),
+        out["photometry"], measure_fwhm(images), d)
+    lines = [r.value for r in spark.read.text(d).collect()]
+    assert len(lines) == 2
+    for line in lines:
+        assert "sources=" in line and "flux[min,max,med]=" in line
+        assert "fwhm=" in line
