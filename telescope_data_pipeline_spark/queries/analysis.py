@@ -471,3 +471,25 @@ def q_phase_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("event_type", "phase_bin")
             .agg(F.round(F.avg("value"), 6).alias("mean_mag"),
                  F.count(F.lit(1)).alias("n")))
+
+
+@query("q_histogram", oracle="""
+SELECT event_type,
+       LEAST(CAST(FLOOR(value / 50.0) AS INT), 9) AS bucket,
+       COUNT(*) AS n,
+       ROUND(MIN(value), 4) AS lo,
+       ROUND(MAX(value), 4) AS hi
+FROM events GROUP BY event_type, bucket
+""")
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram per group (the profiling primitive behind
+    quality dashboards): bucket = floor(value/width) with a top
+    catch-all, counts and actual bounds per bucket. One groupBy whose
+    key cardinality is groups x buckets — constant output no matter the
+    row count, so the plan is all map-side partial aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.least(F.floor(F.col("value") / 50.0).cast("int"), F.lit(9))
+    return (ev.groupBy("event_type", bucket.alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.min("value"), 4).alias("lo"),
+                 F.round(F.max("value"), 4).alias("hi")))
