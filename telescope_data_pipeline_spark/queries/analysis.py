@@ -493,3 +493,48 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n"),
                  F.round(F.min("value"), 4).alias("lo"),
                  F.round(F.max("value"), 4).alias("hi")))
+
+
+@query("q_cohort_retention", oracle="""
+WITH firsts AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day FROM events
+  GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT e.user_id, f.cohort_day,
+         DATEDIFF('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset
+  FROM events e JOIN firsts f ON e.user_id = f.user_id
+), cohort_size AS (
+  SELECT cohort_day, COUNT(DISTINCT user_id) AS n_users FROM firsts
+  GROUP BY cohort_day
+)
+SELECT CAST(a.cohort_day AS VARCHAR) AS cohort_day, a.day_offset,
+       COUNT(*) AS n_active,
+       ROUND(COUNT(*)::DOUBLE / s.n_users, 6) AS retention
+FROM activity a JOIN cohort_size s ON a.cohort_day = s.cohort_day
+WHERE a.day_offset <= 7
+GROUP BY a.cohort_day, a.day_offset, s.n_users
+""")
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention (first-seen-day cohorts x day offset): the
+    classic engagement matrix. First-seen day per user is one
+    aggregation; the activity matrix re-joins on user_id (shuffle on
+    the high-cardinality key, so cohort size never bottlenecks one
+    task); cohort sizes broadcast back. Output cardinality is
+    cohorts x offsets — constant for any row count."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("day"))
+    firsts = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    activity = (ev.join(firsts, "user_id")
+                .select("user_id", "cohort_day",
+                        F.datediff("day", "cohort_day").alias("day_offset"))
+                .filter(F.col("day_offset") <= 7)
+                .distinct())
+    sizes = firsts.groupBy("cohort_day").agg(
+        F.countDistinct("user_id").alias("n_users"))
+    return (activity.groupBy("cohort_day", "day_offset")
+            .agg(F.count(F.lit(1)).alias("n_active"))
+            .join(F.broadcast(sizes), "cohort_day")
+            .select(F.col("cohort_day").cast("string").alias("cohort_day"),
+                    "day_offset", "n_active",
+                    F.round(F.col("n_active").cast("double")
+                            / F.col("n_users"), 6).alias("retention")))
