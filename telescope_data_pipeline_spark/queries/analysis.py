@@ -538,3 +538,27 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "day_offset", "n_active",
                     F.round(F.col("n_active").cast("double")
                             / F.col("n_users"), 6).alias("retention")))
+
+
+@query("q_zscore", oracle="""
+WITH stats AS (
+  SELECT event_type, AVG(value) AS mu, STDDEV_SAMP(value) AS sigma
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type,
+       ROUND((e.value - s.mu) / s.sigma, 6) AS z
+FROM events e JOIN stats s ON e.event_type = s.event_type
+""")
+def q_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score standardization (feature prep): group stats
+    aggregate once and BROADCAST back over the fact rows — the
+    aggregate-rejoin pattern that replaces a window over giant
+    partitions (a window would sort every group; the broadcast join
+    touches each row once, no sort)."""
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma"))
+    return (ev.join(F.broadcast(stats), "event_type")
+            .select("event_id", "event_type",
+                    F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 6)
+                     .alias("z")))

@@ -581,3 +581,44 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(F.broadcast(bench), "s")
             .groupBy("doc_id")
             .agg(F.countDistinct("s").alias("n_hits")))
+
+
+@query("q_tfidf", oracle="""
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split_regex(text, '\s+')) AS tok FROM documents
+), tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok
+), df AS (
+  SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY tok
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.tok,
+         ROUND(tf.tf * LN(n.n_docs::DOUBLE / df.df), 6) AS tfidf,
+         ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf * LN(n.n_docs::DOUBLE / df.df) DESC,
+                                     tf.tok) AS rn
+  FROM tf JOIN df USING (tok) CROSS JOIN n
+)
+SELECT doc_id, tok, tfidf, rn AS rank FROM scored WHERE rn <= 3
+""")
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document: term frequency is a (doc, tok)
+    aggregation, document frequency a tok aggregation whose result
+    BROADCASTS back (vocab << corpus), and the per-doc top-k is a
+    window on a total order. Both aggs partial-combine map-side; no
+    all-pairs anything."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", _TOK)).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    idf = F.log(F.col("n_docs") / F.col("df"))
+    scored = (tf.join(F.broadcast(df), "tok")
+              .crossJoin(F.broadcast(n))  # 1-row scalar aggregate
+              .withColumn("tfidf", F.round(F.col("tf") * idf, 6)))
+    w = W.partitionBy("doc_id").orderBy(F.desc(F.col("tf") * idf),
+                                        F.asc("tok"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .select("doc_id", "tok", "tfidf", F.col("rn").alias("rank")))
