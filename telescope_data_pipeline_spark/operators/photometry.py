@@ -32,6 +32,7 @@ def select_psf_stars(
     border: int = 16,
     crowd_mult: float = 5.0,
     trim: int = 5,
+    fwhm_table: DataFrame | None = None,
 ) -> DataFrame:
     """The reference's masking rules as one declarative plan:
 
@@ -42,18 +43,36 @@ def select_psf_stars(
        (the O(n²) loop becomes a linear equi-join);
     4. brightness trim (core.py:338-340): drop the ``trim`` brightest
        and faintest when more than 2*trim remain, per epoch.
+
+    ``fwhm_table`` (epoch_id, fwhm rows, e.g. from measure_fwhm) makes
+    the crowding radius PER-EPOCH via a broadcast join — the reference
+    recomputes fwhm per image set (psf_phot.py:49) and so does this
+    plan; the scalar ``fwhm`` is the fallback for epochs with no
+    measurement. Cell ids use the epoch's own radius, so the self-join
+    stays a pure (epoch, cell) equi-join.
     """
     d = detections.filter(
         (F.col("xcentroid") > border) & (F.col("xcentroid") < width - 1 - border)
         & (F.col("ycentroid") > border) & (F.col("ycentroid") < height - 1 - border)
         & (F.col("peak") < SATURATION)
     )
+    if fwhm_table is not None:
+        per_epoch = (fwhm_table.filter(F.col("fwhm").isNotNull())
+                     .groupBy("epoch_id")
+                     .agg(F.avg("fwhm").alias("__fwhm")))
+        d = (d.join(F.broadcast(per_epoch), "epoch_id", "left")
+             .withColumn("__fwhm", F.coalesce("__fwhm", F.lit(float(fwhm)))))
+    else:
+        d = d.withColumn("__fwhm", F.lit(float(fwhm)))
 
-    # Crowding: pairs within radius via cell-bucketed self-join.
-    radius = crowd_mult * fwhm
-    cell = lambda c: F.floor(c / F.lit(radius)).cast("long")  # noqa: E731
+    # Crowding: pairs within radius via cell-bucketed self-join. The
+    # radius (and so the cell size) is an epoch-level column; both join
+    # sides derive cells from the same epoch's radius.
+    radius = F.col("__fwhm") * crowd_mult
+    cell = lambda c: F.floor(c / radius).cast("long")  # noqa: E731
     left = d.select("epoch_id", "filename", "id",
                     F.col("xcentroid").alias("lx"), F.col("ycentroid").alias("ly"),
+                    radius.alias("lrad"),
                     cell(F.col("xcentroid")).alias("cx"),
                     cell(F.col("ycentroid")).alias("cy"))
     offs = [(a, b) for a in (-1, 0, 1) for b in (-1, 0, 1)]
@@ -72,7 +91,8 @@ def select_psf_stars(
         left.join(right, on=["epoch_id", "filename", "cx", "cy"])
         .filter((F.col("id") != F.col("rid"))
                 & (F.sqrt(F.pow(F.col("lx") - F.col("rx"), 2)
-                          + F.pow(F.col("ly") - F.col("ry"), 2)) <= radius))
+                          + F.pow(F.col("ly") - F.col("ry"), 2))
+                   <= F.col("lrad")))
         .select("epoch_id", "filename", "id").distinct()
     )
     isolated = d.join(crowded, on=["epoch_id", "filename", "id"], how="left_anti")

@@ -52,9 +52,10 @@ def run_photometry_pipeline(images: DataFrame, size: int = 128) -> dict[str, Dat
     )
     stacked_detections = detect_stars(stacked_images)
 
-    mean_fwhm = 4.5  # moment FWHM of the fixture PSF; per-epoch join at scale
+    mean_fwhm = 4.5  # fallback for epochs with no FWHM measurement
     psf_stars = select_psf_stars(stacked_detections, width=size, height=size,
-                                 fwhm=mean_fwhm, border=16, trim=2)
+                                 fwhm=mean_fwhm, border=16, trim=2,
+                                 fwhm_table=fwhm)
     photometry = psf_photometry(stacked, stacked_detections, psf_stars,
                                 fwhm=mean_fwhm)
     return {

@@ -85,3 +85,32 @@ def write_diagnostics_txt(
         F.lit(","), F.col("flux_med").cast("string"),
         F.lit("] fwhm="), F.col("mean_fwhm").cast("string"))
     stats.select(line.alias("value")).write.mode("overwrite").text(path)
+
+
+def compact_parquet(spark: SparkSession, path: str,
+                    target_file_mb: int = 128) -> int:
+    """Small-files compaction (table maintenance): rewrite a parquet
+    dataset into size-targeted files and atomically swap directories.
+    The small-files problem is a first-order cost at 100 TB — a scan of
+    100k tiny files pays listing + open overhead per file and starves
+    the scheduler; nightly compaction keeps file count ~ bytes/target.
+
+    Returns the new file count. The rewrite is a repartition to
+    ceil(bytes/target) — a full shuffle, so run it per-partition-dir in
+    production (partition-scoped compaction) rather than table-wide.
+    """
+    import math
+    import os
+    import shutil
+
+    df = spark.read.parquet(path)
+    files = [f.replace("file:", "") for f in df.inputFiles()]
+    total = sum(os.path.getsize(f) for f in files)
+    n_target = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    tmp = path.rstrip("/") + ".compact.tmp"
+    df.repartition(n_target).write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + ".compact.old"
+    shutil.move(path, old)
+    shutil.move(tmp, path)
+    shutil.rmtree(old)
+    return n_target

@@ -213,3 +213,22 @@ def test_diagnostics_txt_sink(spark):
     for line in lines:
         assert "sources=" in line and "flux[min,max,med]=" in line
         assert "fwhm=" in line
+
+
+def test_compact_parquet_reduces_file_count(spark):
+    """64 tiny files -> 1 size-targeted file, content identical."""
+    from telescope_data_pipeline_spark.sources.sinks import compact_parquet
+    from telescope_data_pipeline_spark.sources.tables import load_table
+
+    d = os.path.join(tempfile.mkdtemp(prefix="compact_"), "events")
+    ev = load_table(spark, "/root/testdata/sf0.01", "events")
+    ev.repartition(64).write.parquet(d)
+    n_before = len([f for f in os.listdir(d) if f.endswith(".parquet")])
+    assert n_before >= 32
+    before = ev.count()
+
+    n_target = compact_parquet(spark, d, target_file_mb=128)
+    assert n_target == 1
+    n_after = len([f for f in os.listdir(d) if f.endswith(".parquet")])
+    assert n_after == 1
+    assert spark.read.parquet(d).count() == before
