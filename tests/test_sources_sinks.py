@@ -232,3 +232,42 @@ def test_compact_parquet_reduces_file_count(spark):
     n_after = len([f for f in os.listdir(d) if f.endswith(".parquet")])
     assert n_after == 1
     assert spark.read.parquet(d).count() == before
+
+
+def test_csv_scan_captures_corrupt_records(spark):
+    """Failure-path rule (SURVEY §7 #6) on the CSV source: PERMISSIVE
+    mode keeps good rows and lands malformed ones in the corrupt-record
+    column instead of failing the scan."""
+    d = tempfile.mkdtemp(prefix="csvbad_")
+    with open(os.path.join(d, "part.csv"), "w") as f:
+        f.write("1,alpha,10.5\n")
+        f.write("not-a-number,beta,oops\n")
+        f.write("3,gamma,2.25\n")
+    schema = ("id int, name string, score double, _corrupt string")
+    df = (spark.read.schema(schema)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt")
+          .csv(d))
+    rows = df.cache().collect()
+    good = [r for r in rows if r._corrupt is None]
+    bad = [r for r in rows if r._corrupt is not None]
+    assert len(good) == 2 and {r.id for r in good} == {1, 3}
+    assert len(bad) == 1 and "not-a-number" in bad[0]._corrupt
+    df.unpersist()
+
+
+def test_observe_metrics_on_pipeline_query(spark):
+    """df.observe: row-count / sum metrics collected DURING the action,
+    no second pass — the production job-health hook (the reference
+    eyeballs counts in its TXT sink; here they are Spark metrics)."""
+    from pyspark.sql import Observation
+
+    from telescope_data_pipeline_spark.queries import get
+
+    obs = Observation("flagship_metrics")
+    df = get("q_flagship").fn(spark, "/root/testdata/sf0.001")
+    observed = df.observe(obs, F.count(F.lit(1)).alias("n_rows"),
+                          F.sum("sum_qty").alias("qty_total"))
+    n = observed.count()
+    assert obs.get["n_rows"] == n > 0
+    assert obs.get["qty_total"] > 0
