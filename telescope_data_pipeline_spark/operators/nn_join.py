@@ -40,8 +40,10 @@ def nn_join(
     right_cols: list[str],
     dist_col: str = "dist",
     tiebreak: str | None = None,
+    k: int = 1,
 ) -> DataFrame:
-    """Left-outer nearest-neighbor join in d dimensions.
+    """Left-outer k-nearest-neighbor join in d dimensions (k=1: the
+    reference's single-best match).
 
     Parameters
     ----------
@@ -52,8 +54,11 @@ def nn_join(
                 grid cell width.
     right_cols: right-side columns to carry into the result (null when
                 unmatched).
-    tiebreak  : right-side column that makes the top-1 pick deterministic
+    tiebreak  : right-side column that makes the top-k pick deterministic
                 under exact distance ties (defaults to right_cols[0]).
+    k         : neighbors kept per left row (window rank <= k). With
+                k > 1 the output carries a ``rank`` column; unmatched
+                left rows still yield one all-null row (LEFT OUTER).
     """
     tiebreak = tiebreak or right_cols[0]
 
@@ -103,8 +108,9 @@ def nn_join(
                 W.partitionBy(*left_keys).orderBy(F.col(dist_col), F.col(tiebreak))
             ),
         )
-        .filter(F.col("__rn") == 1)
-        .select(*left_keys, *right_cols, dist_col)
+        .filter(F.col("__rn") <= k)
+        .select(*left_keys, *right_cols, dist_col,
+                *([F.col("__rn").alias("rank")] if k > 1 else []))
     )
     # LEFT OUTER: unmatched left rows -> null right columns (core.py:166).
     return left.select(*left_keys).join(best, on=left_keys, how="left")

@@ -324,3 +324,43 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("click_value", 6).alias("click_value"),
         F.round("view_value", 6).alias("view_value"),
         F.round(F.col("asof_ts").cast("double"), 6).alias("asof_epoch"))
+
+
+@query("q_join_knn", oracle="""
+WITH a AS (
+  SELECT c_custkey, c_acctbal AS ax,
+         CAST(c_custkey % 97 AS DOUBLE) * 100 AS ay
+  FROM customer
+), b AS (
+  SELECT s_suppkey, s_acctbal AS bx,
+         CAST(s_suppkey % 97 AS DOUBLE) * 100 AS by
+  FROM supplier
+), scored AS (
+  SELECT a.c_custkey, b.s_suppkey,
+         SQRT(POW(a.ax - b.bx, 2) + POW(a.ay - b.by, 2)) AS d,
+         ROW_NUMBER() OVER (PARTITION BY a.c_custkey
+                            ORDER BY SQRT(POW(a.ax - b.bx, 2)
+                                          + POW(a.ay - b.by, 2)),
+                                     b.s_suppkey) AS rn
+  FROM a JOIN b ON SQRT(POW(a.ax - b.bx, 2) + POW(a.ay - b.by, 2)) < 500
+)
+SELECT a.c_custkey, s.s_suppkey, ROUND(s.d, 2) AS dist, s.rn AS rank
+FROM a LEFT JOIN (SELECT * FROM scored WHERE rn <= 3) s
+  ON a.c_custkey = s.c_custkey
+""")
+def q_join_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN join (k=3): each point keeps its 3 nearest neighbors within
+    the cutoff, ranked — the general form of the reference's top-1 NN
+    match, same grid-bucketed linear plan (cell equi-join + window
+    rank <= k), oracle = naive distance join + window."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_acctbal").alias("ax"),
+        ((F.col("c_custkey") % 97).cast("double") * 100).alias("ay"))
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", F.col("s_acctbal").alias("bx"),
+        ((F.col("s_suppkey") % 97).cast("double") * 100).alias("by"))
+    out = nn_join(c, s, left_keys=["c_custkey"],
+                  coords=[("ax", "bx"), ("ay", "by")],
+                  max_dist=500.0, right_cols=["s_suppkey"], k=3)
+    return out.select("c_custkey", "s_suppkey",
+                      F.round("dist", 2).alias("dist"), "rank")
