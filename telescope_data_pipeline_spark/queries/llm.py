@@ -622,3 +622,46 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (scored.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= 3)
             .select("doc_id", "tok", "tfidf", F.col("rn").alias("rank")))
+
+
+@query("q_cluster_components", oracle="""
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         CAST(UNNEST(a.embedding) AS DOUBLE) AS x,
+         CAST(UNNEST(b.embedding) AS DOUBLE) AS y
+  FROM embeddings a CROSS JOIN embeddings b
+  WHERE a.vec_id < b.vec_id
+), dots AS (
+  SELECT id_a, id_b, SUM(x * y) AS dot, SUM(x * x) AS na, SUM(y * y) AS nb
+  FROM pairs GROUP BY 1, 2
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM dots WHERE dot / SQRT(na * nb) >= 0.4
+  UNION ALL
+  SELECT id_b, id_a FROM dots WHERE dot / SQRT(na * nb) >= 0.4
+), reach(node, root) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.v, r.root FROM reach r JOIN edges e ON e.u = r.node
+)
+SELECT node AS id, MIN(root) AS component FROM reach GROUP BY node
+""")
+def q_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components as an ORACLE-CHECKED query: the iterative
+    min-label propagation (operators/components.py — the HashMin scheme
+    that scales with the shuffle) over the deterministic embedding
+    near-dup graph, proven against DuckDB's recursive-CTE transitive
+    closure. This pins the iterative-algorithm family to an exact
+    oracle; q_dedup_clusters remains the rows-only form over the
+    hash-seeded MinHash graph."""
+    from ..operators.components import connected_components
+
+    e = load_table(spark, sf_dir, "embeddings")
+    from ..operators.similarity import cosine as cos_expr
+
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    pairs = (a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+             .withColumn("cosine", cos_expr("va", "vb"))
+             .filter(F.col("cosine") >= 0.4)
+             .select("id_a", "id_b"))
+    return connected_components(pairs)
