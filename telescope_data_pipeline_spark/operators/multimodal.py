@@ -122,19 +122,87 @@ def sample_frames(media: DataFrame, every_s: float = 1.0) -> DataFrame:
     return videos.mapInPandas(kernel, schema=FRAME_SAMPLES)
 
 
+#: Output schema of the audio feature extractor (one row per window).
+AUDIO_FEATURES = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("window_idx", T.IntegerType(), False),
+    T.StructField("t_start_s", T.DoubleType(), True),
+    T.StructField("rms", T.DoubleType(), True),
+    T.StructField("zcr", T.DoubleType(), True),
+])
+
+_AUDIO_SR = 1000  # stub sample rate (Hz); real deployment reads the header
+
+
+def _decode_audio_stub(payload: bytes, duration_s: float) -> np.ndarray:
+    """STUB decoder — deterministic fake PCM in place of libsndfile/ffmpeg.
+
+    Real deployment: ``soundfile.read(io.BytesIO(payload))``. Here the
+    payload seeds a reproducible waveform of ``duration_s * _AUDIO_SR``
+    samples so the windowing math downstream is real and testable.
+    """
+    if payload is None:
+        raise CodecUnavailable("no payload")
+    seed = int.from_bytes(payload[:8].ljust(8, b"\0"), "little") & 0x7FFFFFFF
+    rng = np.random.default_rng(seed)
+    n = max(int(round((duration_s or 0.0) * _AUDIO_SR)), 1)
+    t = np.arange(n) / _AUDIO_SR
+    freq = 50 + (seed % 200)
+    return (np.sin(2 * np.pi * freq * t)
+            + 0.1 * rng.standard_normal(n)).astype(np.float32)
+
+
+def extract_audio_features(media: DataFrame,
+                           window_s: float = 0.5) -> DataFrame:
+    """Audio feature extraction: decode -> fixed-length windows -> RMS
+    energy + zero-crossing rate per window (the silence/voice-activity
+    primitives of an audio-data pipeline). UDTF shape like the frame
+    sampler: window rows explode inside the Arrow batch, inherit the
+    input partitioning, no shuffle; non-audio rows are filtered
+    JVM-side so the Python stage only receives audio payloads.
+    """
+    audio = media.filter(F.col("modality") == "audio") \
+                 .select("media_id", "duration_s", "payload")
+    win = max(int(round(window_s * _AUDIO_SR)), 1)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"media_id": [], "window_idx": [],
+                                    "t_start_s": [], "rms": [], "zcr": []}
+            for media_id, dur, payload in zip(pdf["media_id"],
+                                              pdf["duration_s"],
+                                              pdf["payload"]):
+                wave = _decode_audio_stub(payload, dur)
+                n_win = max(int(np.ceil(wave.size / win)), 1)
+                for w in range(n_win):
+                    seg = wave[w * win: (w + 1) * win]
+                    signs = np.signbit(seg)
+                    out["media_id"].append(media_id)
+                    out["window_idx"].append(w)
+                    out["t_start_s"].append(w * win / _AUDIO_SR)
+                    out["rms"].append(float(np.sqrt(np.mean(seg ** 2))))
+                    out["zcr"].append(
+                        float(np.mean(signs[1:] != signs[:-1]))
+                        if seg.size > 1 else 0.0)
+            yield pd.DataFrame(out)
+
+    return audio.mapInPandas(kernel, schema=AUDIO_FEATURES)
+
+
 def make_fake_media(spark, n: int = 64, seed: int = 7) -> DataFrame:
-    """Deterministic MEDIA-schema fixture (images + videos) for tests and
-    the rows-only driver demo."""
+    """Deterministic MEDIA-schema fixture (images + videos + audio) for
+    tests and the rows-only driver demos."""
     from ..schemas import MEDIA
 
     rng = np.random.default_rng(seed)
     rows = []
+    mime = {"image": "image/png", "video": "video/mp4", "audio": "audio/wav"}
     for i in range(n):
-        modality = "image" if i % 2 == 0 else "video"
+        modality = ("image", "video", "audio")[i % 3]
         payload = bytes(rng.integers(0, 256, size=64, dtype=np.uint8).tolist())
         rows.append((
             i, modality, payload,
-            "image/png" if modality == "image" else "video/mp4",
+            mime[modality],
             256, 256,
             None if modality == "image" else float(2 + i % 5),
             {"src": f"synthetic-{i}"},

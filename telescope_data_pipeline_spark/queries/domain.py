@@ -42,6 +42,21 @@ def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(make_fake_media(spark), every_s=1.0)
 
 
+@query("q_media_audio", oracle=None)  # binary fixture: rows-only check
+def q_media_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature pipeline: binary payload -> mapInPandas decode
+    (stubbed codec) -> windowed RMS energy + zero-crossing rate rows —
+    the silence/VAD primitives, completing the image/video/audio
+    multimodal triple (schemas.MEDIA convention)."""
+    from ..operators.multimodal import extract_audio_features, make_fake_media
+
+    feats = extract_audio_features(make_fake_media(spark), window_s=0.5)
+    return feats.select("media_id", "window_idx",
+                        F.round("t_start_s", 3).alias("t_start_s"),
+                        F.round("rms", 6).alias("rms"),
+                        F.round("zcr", 6).alias("zcr"))
+
+
 @query("q_pipeline_detect", oracle=None)  # image kernels: rows-only check
 def q_pipeline_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Star detection UDTF (reference core.py:116-146): synthetic planted-

@@ -13,7 +13,8 @@ def test_image_features_shape_and_determinism(spark):
     media = make_fake_media(spark, n=32)
     feats = extract_image_features(media)
     rows = {r.media_id: r for r in feats.collect()}
-    assert len(rows) == 16  # only the image rows
+    n_images = media.filter("modality = 'image'").count()
+    assert len(rows) == n_images  # only the image rows
     for r in rows.values():
         assert len(r.feature) == 8
         assert abs(sum(r.feature) - 1.0) < 1e-5  # normalized histogram
@@ -29,11 +30,39 @@ def test_frame_sampler_explodes_rows(spark):
     out = frames.collect()
     assert out
     by_media: dict[int, list] = {}
-    for r in out:
-        assert r.media_id % 2 == 1  # only video rows
-        by_media.setdefault(r.media_id, []).append(r)
     durations = {r.media_id: r.duration_s
                  for r in media.filter("modality = 'video'").collect()}
+    for r in out:
+        assert r.media_id in durations  # only video rows
+        by_media.setdefault(r.media_id, []).append(r)
     for mid, rs in by_media.items():
         assert len(rs) == max(int(durations[mid]), 1)
         assert sorted(r.frame_idx for r in rs) == list(range(len(rs)))
+
+
+def test_audio_features_windows_and_determinism(spark):
+    from telescope_data_pipeline_spark.operators.multimodal import (
+        _AUDIO_SR,
+        extract_audio_features,
+        make_fake_media,
+    )
+
+    media = make_fake_media(spark, n=12)
+    rows = extract_audio_features(media, window_s=0.5).collect()
+    assert rows
+    by_media: dict[int, list] = {}
+    for r in rows:
+        assert 0.0 <= r.zcr <= 1.0 and r.rms > 0
+        by_media.setdefault(r.media_id, []).append(r)
+    durs = {r.media_id: r.duration_s
+            for r in media.filter("modality = 'audio'").collect()}
+    assert set(by_media) == set(durs)
+    for mid, rs in by_media.items():
+        import math
+
+        expect = max(math.ceil(durs[mid] * _AUDIO_SR / (0.5 * _AUDIO_SR)), 1)
+        assert len(rs) == expect, (mid, len(rs), expect)
+    # determinism: same fixture -> identical features
+    again = extract_audio_features(make_fake_media(spark, n=12),
+                                   window_s=0.5).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
