@@ -11,9 +11,11 @@ passing the driver's gate.
 from __future__ import annotations
 
 import math
+import struct
 from typing import Any
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 DRIVER_TABLE_NAMES = (
@@ -36,14 +38,24 @@ def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
 
 
 def _canon(v: Any) -> str:
+    """Bit-level canonical form.
+
+    Round-2 lesson (VERDICT.md): the driver's hash distinguishes both
+    -0.0 from +0.0 and BIGINT from DOUBLE, so the local sweep must be at
+    least that strict. Floats canonicalize to their IEEE-754 bit pattern
+    (so -0.0 != +0.0) and integers keep an ``i:`` tag (so 900 != 900.0).
+    """
     if v is None:
         return "NULL"
-    if isinstance(v, float):
-        if math.isnan(v):
+    if isinstance(v, (bool, np.bool_)):
+        return f"b:{bool(v)}"
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        if math.isnan(f):
             return "NULL"
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))  # 3.0 == 3 regardless of int/double typing
-        return repr(v)
+        return "f:" + struct.pack(">d", f).hex()
+    if isinstance(v, (int, np.integer)):
+        return f"i:{int(v)}"
     if isinstance(v, pd.Timestamp):
         return v.isoformat()
     if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
