@@ -221,7 +221,25 @@ def simhash_fingerprints_jvm(df: DataFrame, id_col: str,
         [F.when(2 * ones(k) - F.col("n") > 0, F.shiftleft(F.lit(1), k))
           .otherwise(F.lit(0)) for k in range(64)],
     )
-    return agg.select("id", fp.cast("long").alias("fp"))
+    # Runtime guard for the 16-bit packing: a doc with > 65535 tokens
+    # would carry a bit-counter into the adjacent field and silently
+    # corrupt the fingerprint. assert_true() is NULL when the predicate
+    # holds and raises executor-side otherwise, so the guard costs one
+    # codegen'd comparison per doc and fails loudly, not silently.
+    guard = F.assert_true(
+        F.col("n") <= 0xFFFF,
+        F.concat(F.lit("simhash_fingerprints_jvm: doc "),
+                 F.col("id").cast("string"),
+                 F.lit(" has > 65535 tokens — packed 16-bit bit-vote "
+                       "counters would overflow; split the doc or use "
+                       "the unpacked simhash64 pandas kernel")))
+    return agg.select(
+        "id",
+        F.when(guard.isNull(), fp).otherwise(fp).cast("long").alias("fp"))
+
+
+#: Single-slot fingerprint-cache ownership (see simhash_near_duplicates).
+_LAST_FP_CACHE: DataFrame | None = None
 
 
 def simhash_near_duplicates(df: DataFrame, id_col: str, text_col: str,
@@ -262,8 +280,16 @@ def simhash_near_duplicates(df: DataFrame, id_col: str, text_col: str,
     # The banded self-join consumes fp twice; without a cache Spark
     # recomputes the whole fingerprint aggregation per side (Spark does
     # not ReuseExchange across the differing a/b projections). fp is
-    # |docs| rows x 16 bytes — cacheable at any corpus scale.
+    # |docs| rows x 16 bytes — cacheable at any corpus scale. The cache
+    # is single-slot per session: each call unpersists the previous
+    # fingerprint table (the returned DF is lazy, so the call itself
+    # cannot know when its own join has materialized), bounding executor
+    # storage to one fingerprint table regardless of invocation count.
     fp = fp.cache()
+    global _LAST_FP_CACHE
+    if _LAST_FP_CACHE is not None:
+        _LAST_FP_CACHE.unpersist(blocking=False)
+    _LAST_FP_CACHE = fp
     chunks = fp.select(
         "id", "fp",
         F.posexplode(F.array(*[

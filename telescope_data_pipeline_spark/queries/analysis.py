@@ -16,7 +16,7 @@ from .registry import query
 @query("q_color_index", oracle="""
 SELECT user_id, day,
        ROUND(mag_b, 6) AS mag_b, ROUND(mag_v, 6) AS mag_v,
-       ROUND(mag_b - mag_v, 6) AS color
+       ROUND(mag_b - mag_v, 6) + 0.0 AS color
 FROM (
   SELECT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
          AVG(CASE WHEN event_type = 'view' THEN value END) AS mag_b,
@@ -48,7 +48,9 @@ def q_color_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("user_id", "day",
                     F.round("b_raw", 6).alias("mag_b"),
                     F.round("v_raw", 6).alias("mag_v"),
-                    F.round(F.col("b_raw") - F.col("v_raw"), 6).alias("color")))
+                    # + 0.0: signed-zero normalization (registry contract)
+                    (F.round(F.col("b_raw") - F.col("v_raw"), 6) + 0.0)
+                    .alias("color")))
 
 
 @query("q_sim_bucketed", oracle="""
@@ -79,7 +81,7 @@ WITH cells AS (
   JOIN norms nq ON nq.vec_id = query_id
   JOIN norms nc ON nc.vec_id = cand_id
 )
-SELECT query_id, cand_id, rn AS rank, ROUND(cos, 6) AS cosine
+SELECT query_id, cand_id, rn AS rank, ROUND(cos, 6) + 0.0 AS cosine
 FROM scored WHERE rn <= 5
 """)
 def q_sim_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -115,12 +117,15 @@ def q_sim_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0), lambda acc, x: acc + x)
     scored = (q.join(c, on="cell")
               .filter(F.col("query_id") != F.col("cand_id"))
-              .withColumn("cos", dot / F.sqrt(F.col("qn") * F.col("cn"))))
+              # try_divide: a zero-norm vector must yield NULL cosine
+              # (DuckDB x/0 semantics), not an ANSI runtime failure
+              .withColumn("cos", F.try_divide(
+                  dot, F.sqrt(F.col("qn") * F.col("cn")))))
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
     return (scored.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= 5)
             .select("query_id", "cand_id", F.col("rn").alias("rank"),
-                    F.round("cos", 6).alias("cosine")))
+                    (F.round("cos", 6) + 0.0).alias("cosine")))
 
 
 @query("q_annulus_background", oracle="""
@@ -140,7 +145,7 @@ WITH a AS (
   GROUP BY a.id
 )
 SELECT a.id AS c_custkey, ROUND(ring.bkg, 4) AS bkg, ring.n_ring,
-       ROUND(a.val - ring.bkg, 4) AS net
+       ROUND(a.val - ring.bkg, 4) + 0.0 AS net
 FROM a LEFT JOIN ring ON a.id = ring.id
 """)
 def q_annulus_background(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -169,7 +174,8 @@ def q_annulus_background(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (c.select("c_custkey", "val")
             .join(ring, on="c_custkey", how="left")
             .select("c_custkey", F.round("bkg", 4).alias("bkg"), "n_ring",
-                    F.round(F.col("val") - F.col("bkg"), 4).alias("net")))
+                    (F.round(F.col("val") - F.col("bkg"), 4) + 0.0)
+                    .alias("net")))
 
 
 @query("q_agg_salted", oracle="""
@@ -546,7 +552,7 @@ WITH stats AS (
   FROM events GROUP BY event_type
 )
 SELECT e.event_id, e.event_type,
-       ROUND((e.value - s.mu) / s.sigma, 6) AS z
+       ROUND((e.value - s.mu) / s.sigma, 6) + 0.0 AS z
 FROM events e JOIN stats s ON e.event_type = s.event_type
 """)
 def q_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -560,5 +566,10 @@ def q_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma"))
     return (ev.join(F.broadcast(stats), "event_type")
             .select("event_id", "event_type",
-                    F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 6)
-                     .alias("z")))
+                    # try_divide: a constant-value group has sigma = 0 and
+                    # ANSI mode would fail the whole query; NULL matches
+                    # DuckDB's double x/0. + 0.0: signed-zero normalization
+                    # (registry contract).
+                    (F.round(F.try_divide(F.col("value") - F.col("mu"),
+                                          F.col("sigma")), 6) + 0.0)
+                    .alias("z")))

@@ -43,8 +43,8 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_dedup_tokenset", oracle="""
-SELECT array_to_string(list_sort(list_distinct(string_split_regex(text, '\\s+'))), ' ')
+@query("q_dedup_tokenset", oracle=r"""
+SELECT array_to_string(list_sort(list_distinct(string_split_regex(text, '\s+'))), ' ')
          AS fingerprint,
        MIN(doc_id) AS keep_id,
        COUNT(*)    AS n_copies
@@ -66,9 +66,9 @@ def q_dedup_tokenset(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_ngram_jaccard", oracle="""
+@query("q_ngram_jaccard", oracle=r"""
 WITH toks AS (
-  SELECT doc_id, list_distinct(string_split_regex(text, '\\s+')) AS t FROM documents
+  SELECT doc_id, list_distinct(string_split_regex(text, '\s+')) AS t FROM documents
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        LEN(list_filter(a.t, x -> list_contains(b.t, x))) AS n_common,
@@ -119,7 +119,7 @@ WITH norms AS (
   JOIN norms nq ON nq.vec_id = query_id
   JOIN norms nc ON nc.vec_id = cand_id
 )
-SELECT query_id, cand_id, rn AS rank, ROUND(cos, 6) AS cosine
+SELECT query_id, cand_id, rn AS rank, ROUND(cos, 6) + 0.0 AS cosine
 FROM scored WHERE rn <= 5
 """)
 def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -144,22 +144,24 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0), lambda acc, x: acc + x)
     scored = (
         q.join(F.broadcast(c), F.col("query_id") != F.col("cand_id"))
-        .withColumn("cos", dot / F.sqrt(F.col("qn") * F.col("cn")))
+        # try_divide: a zero-norm vector must yield NULL cosine (DuckDB
+        # x/0 semantics), not an ANSI runtime failure
+        .withColumn("cos", F.try_divide(dot, F.sqrt(F.col("qn") * F.col("cn"))))
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 5)
         .select("query_id", "cand_id", F.col("rn").alias("rank"),
-                F.round("cos", 6).alias("cosine"))
+                (F.round("cos", 6) + 0.0).alias("cosine"))
     )
 
 
-@query("q_text_stats", oracle="""
+@query("q_text_stats", oracle=r"""
 SELECT doc_id, lang,
-       LEN(string_split_regex(text, '\\s+'))                 AS n_tokens,
-       LEN(list_distinct(string_split_regex(text, '\\s+')))  AS n_uniq,
-       ROUND(n_chars::DOUBLE / LEN(string_split_regex(text, '\\s+')), 6) AS chars_per_tok,
+       LEN(string_split_regex(text, '\s+'))                 AS n_tokens,
+       LEN(list_distinct(string_split_regex(text, '\s+')))  AS n_uniq,
+       ROUND(n_chars::DOUBLE / LEN(string_split_regex(text, '\s+')), 6) AS chars_per_tok,
        CASE WHEN n_chars < 150 THEN 'short'
             WHEN n_chars < 350 THEN 'medium'
             ELSE 'long' END                                   AS len_bucket
@@ -183,13 +185,13 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_doc_quality", oracle="""
+@query("q_doc_quality", oracle=r"""
 SELECT doc_id,
        ROUND(LEAST(n_chars::DOUBLE / 400, 1.0) * 0.5
-             + (LEN(list_distinct(string_split_regex(text, '\\s+')))::DOUBLE
-                / LEN(string_split_regex(text, '\\s+'))) * 0.5, 6) AS quality,
+             + (LEN(list_distinct(string_split_regex(text, '\s+')))::DOUBLE
+                / LEN(string_split_regex(text, '\s+'))) * 0.5, 6) AS quality,
        CASE WHEN n_chars >= 100
-             AND LEN(string_split_regex(text, '\\s+')) >= 20 THEN 1 ELSE 0 END AS keep
+             AND LEN(string_split_regex(text, '\s+')) >= 20 THEN 1 ELSE 0 END AS keep
 FROM documents
 """)
 def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -207,14 +209,14 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_lang_id", oracle="""
+@query("q_lang_id", oracle=r"""
 WITH scored AS (
   SELECT doc_id, lang,
-         LEN(list_filter(string_split_regex(text, '\\s+'),
+         LEN(list_filter(string_split_regex(text, '\s+'),
                          t -> t IN ('the', 'a', 'of', 'and')))   AS en_score,
-         LEN(list_filter(string_split_regex(text, '\\s+'),
+         LEN(list_filter(string_split_regex(text, '\s+'),
                          t -> t IN ('el', 'la', 'de', 'los')))   AS es_score,
-         LEN(list_filter(string_split_regex(text, '\\s+'),
+         LEN(list_filter(string_split_regex(text, '\s+'),
                          t -> t IN ('der', 'die', 'das', 'und'))) AS de_score
   FROM documents
 )
@@ -254,9 +256,9 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_token_topk", oracle="""
+@query("q_token_topk", oracle=r"""
 SELECT tok, COUNT(*) AS n
-FROM (SELECT UNNEST(string_split_regex(text, '\\s+')) AS tok FROM documents)
+FROM (SELECT UNNEST(string_split_regex(text, '\s+')) AS tok FROM documents)
 GROUP BY tok
 ORDER BY n DESC, tok
 LIMIT 20
@@ -325,12 +327,15 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: zero-Python JVM fingerprints (explode →
     xxhash64 → codegen'd bit votes, map-side combined), pigeonhole
     banding (max_hamming+1 chunks => guaranteed recall at the radius),
-    popcount refine. Radius 7 keeps 8-bit chunks — the linear-shuffle
-    scale regime (see simhash_near_duplicates)."""
+    popcount refine. Radius 3 for the demo: on the heavily templated
+    synthetic corpus radius 7 materializes ~2.8M genuinely-near pairs,
+    so its wall time measures result size, not engine speed (VERDICT r2);
+    wider radii (up to 16) are exactness-tested against brute-force
+    hamming in tests/test_dedup_similarity.py."""
     from ..operators.dedup import simhash_near_duplicates
 
     d = load_table(spark, sf_dir, "documents")
-    return simhash_near_duplicates(d, "doc_id", "text", max_hamming=7)
+    return simhash_near_duplicates(d, "doc_id", "text", max_hamming=3)
 
 
 @query("q_sim_ann", oracle=None)  # LSH-approximate: rows-only check
@@ -359,11 +364,11 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                     k=5, n_centroids=16, nprobe=4)
 
 
-@query("q_dedup_apply", oracle="""
+@query("q_dedup_apply", oracle=r"""
 WITH keep AS (
   SELECT MIN(doc_id) AS doc_id
   FROM documents
-  GROUP BY array_to_string(list_sort(list_distinct(string_split_regex(text, '\\s+'))), ' ')
+  GROUP BY array_to_string(list_sort(list_distinct(string_split_regex(text, '\s+'))), ' ')
 )
 SELECT d.doc_id, d.lang, d.source, d.n_chars
 FROM documents d JOIN keep USING (doc_id)
@@ -400,10 +405,10 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                           pairs, "doc_id")
 
 
-@query("q_token_bpe", oracle="""
+@query("q_token_bpe", oracle=r"""
 SELECT doc_id,
-       LEN(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]'))     AS n_bpe_tokens,
-       LEN(string_split_regex(text, '\\s+'))                           AS n_ws_tokens
+       LEN(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]'))     AS n_bpe_tokens,
+       LEN(string_split_regex(text, '\s+'))                           AS n_ws_tokens
 FROM documents
 WHERE doc_id < 200
 """)
@@ -478,7 +483,7 @@ def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_doc_repetition", oracle="""
+@query("q_doc_repetition", oracle=r"""
 WITH t AS (
   SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents
 ), m AS (
@@ -521,7 +526,7 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
                     / (F.size("toks") - 1), 6).alias("dup_bigram_frac")))
 
 
-@query("q_text_redact", oracle="""
+@query("q_text_redact", oracle=r"""
 SELECT doc_id,
        regexp_replace(regexp_replace(text, '[0-9]+', '<NUM>', 'g'),
                       '\w{8,}', '<LONG>', 'g') AS redacted,
@@ -542,7 +547,7 @@ def q_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", red.alias("redacted"), n.alias("n_redactions"))
 
 
-@query("q_decontaminate", oracle="""
+@query("q_decontaminate", oracle=r"""
 WITH toks AS (
   SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents
 ), sh AS (
@@ -583,7 +588,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.countDistinct("s").alias("n_hits")))
 
 
-@query("q_tfidf", oracle="""
+@query("q_tfidf", oracle=r"""
 WITH toks AS (
   SELECT doc_id, UNNEST(string_split_regex(text, '\s+')) AS tok FROM documents
 ), tf AS (

@@ -18,10 +18,10 @@ _PERIOD = 86400.0 * 7       # one-week fold period
 
 @query("q_scalar_math", oracle=f"""
 SELECT event_id,
-       ROUND(-2.5 * LOG10(value), 6)                       AS mag,
-       ROUND(1.08574 * SQRT(value) / value, 6)             AS mag_err,
-       ROUND(SQRT(POW(value - 100, 2) + POW(value - 200, 2)), 6) AS dist,
-       ROUND(FMOD(EPOCH(ts) - {_T0}, {_PERIOD}) / {_PERIOD}, 6)  AS phase
+       ROUND(-2.5 * LOG10(value), 6) + 0.0                 AS mag,
+       ROUND(1.08574 * SQRT(value) / value, 6) + 0.0       AS mag_err,
+       ROUND(SQRT(POW(value - 100, 2) + POW(value - 200, 2)), 6) + 0.0 AS dist,
+       ROUND(FMOD(EPOCH(ts) - {_T0}, {_PERIOD}) / {_PERIOD}, 6) + 0.0  AS phase
 FROM events
 WHERE value > 0
 """)
@@ -33,20 +33,23 @@ def q_scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
     v = F.col("value")
     secs = F.col("ts").cast("double")  # fractional epoch seconds
+    # `+ 0.0` normalizes IEEE signed zero: DuckDB's -2.5*LOG10(1.0) is
+    # -0.0 while Spark's round() yields +0.0; -0.0 + 0.0 == +0.0 on both
+    # engines, so the bit-level hash agrees (round-2 parity lesson).
     return e.select(
         "event_id",
-        F.round(-2.5 * F.log10(v), 6).alias("mag"),
-        F.round(1.08574 * F.sqrt(v) / v, 6).alias("mag_err"),
-        F.round(F.sqrt(F.pow(v - 100, 2) + F.pow(v - 200, 2)), 6).alias("dist"),
-        F.round(((secs - _T0) % _PERIOD) / _PERIOD, 6).alias("phase"),
+        (F.round(-2.5 * F.log10(v), 6) + 0.0).alias("mag"),
+        (F.round(1.08574 * F.sqrt(v) / v, 6) + 0.0).alias("mag_err"),
+        (F.round(F.sqrt(F.pow(v - 100, 2) + F.pow(v - 200, 2)), 6) + 0.0).alias("dist"),
+        (F.round(((secs - _T0) % _PERIOD) / _PERIOD, 6) + 0.0).alias("phase"),
     )
 
 
 @query("q_scalar_round", oracle="""
 SELECT p_partkey,
        ROUND(p_retailprice, 0)                         AS rounded,
-       CEIL(p_retailprice)                             AS ceiled,
-       FLOOR(p_retailprice)                            AS floored,
+       CAST(CEIL(p_retailprice) AS BIGINT)             AS ceiled,
+       CAST(FLOOR(p_retailprice) AS BIGINT)            AS floored,
        CAST(TRUNC(p_retailprice) AS BIGINT)            AS as_int,
        CAST(CEIL(p_retailprice) AS BIGINT) // 2 * 2 + 1 AS round_to_odd
 FROM part

@@ -102,15 +102,30 @@ def compact_parquet(spark: SparkSession, path: str,
     import math
     import os
     import shutil
+    from urllib.parse import unquote, urlparse
 
     df = spark.read.parquet(path)
-    files = [f.replace("file:", "") for f in df.inputFiles()]
+    # inputFiles() returns URIs (file:/..., %xx-escaped) — decode before
+    # touching the local filesystem; naive 'file:' stripping breaks on
+    # spaces and percent-encoded characters.
+    files = [unquote(urlparse(f).path) for f in df.inputFiles()]
     total = sum(os.path.getsize(f) for f in files)
     n_target = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
     tmp = path.rstrip("/") + ".compact.tmp"
     df.repartition(n_target).write.mode("overwrite").parquet(tmp)
     old = path.rstrip("/") + ".compact.old"
+    # Crash-safe swap order: the .old backup is deleted only after the
+    # new directory is verified readable at the live path, so every
+    # intermediate state leaves a recoverable copy of the data (either
+    # the live path or .old exists with full contents).
     shutil.move(path, old)
-    shutil.move(tmp, path)
+    try:
+        shutil.move(tmp, path)
+        spark.read.parquet(path).schema  # verify readable before dropping backup
+    except Exception:
+        # Roll back: restore the original directory at the live path.
+        if not os.path.exists(path):
+            shutil.move(old, path)
+        raise
     shutil.rmtree(old)
     return n_target

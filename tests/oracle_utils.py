@@ -25,13 +25,22 @@ DRIVER_TABLE_NAMES = (
 
 
 def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
+    import os
+
     con = duckdb.connect()
     try:
         for name in DRIVER_TABLE_NAMES:
-            con.execute(
-                f"CREATE VIEW {name} AS "
-                f"SELECT * FROM read_parquet('{sf_dir}/{name}.parquet')"
-            )
+            # boundary-value tests plant partial sf dirs; register only
+            # the tables that exist (Spark writes dir-shaped parquet, so
+            # glob the part files)
+            if os.path.exists(f"{sf_dir}/{name}.parquet"):
+                pat = f"{sf_dir}/{name}.parquet"
+                if os.path.isdir(pat):
+                    pat += "/*.parquet"
+                con.execute(
+                    f"CREATE VIEW {name} AS "
+                    f"SELECT * FROM read_parquet('{pat}')"
+                )
         return con.sql(sql).df()
     finally:
         con.close()

@@ -154,3 +154,15 @@ def test_sim_bucketed_no_nested_loop(spark):
 
     assert_plan(get("q_sim_bucketed").fn(spark, SF),
                 absent=("BroadcastNestedLoopJoin", "CartesianProduct"))
+
+
+def test_cluster_dedup_path_no_nested_loop(spark):
+    """A 100 TB dedup run reaches connected components only through
+    banded candidates: the full chain (MinHash-LSH edges -> label
+    propagation -> keep-min survivor join) must contain no cartesian or
+    broadcast-nested-loop join anywhere — all-pairs edge generation is
+    allowed only inside the 500-row oracle demo (q_cluster_components)."""
+    from telescope_data_pipeline_spark.queries import get
+
+    assert_plan(get("q_dedup_clusters").fn(spark, SF),
+                absent=("BroadcastNestedLoopJoin", "CartesianProduct"))
