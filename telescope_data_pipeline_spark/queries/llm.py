@@ -630,11 +630,13 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query("q_cluster_components", oracle="""
-WITH RECURSIVE pairs AS (
+WITH RECURSIVE sub AS (
+  SELECT * FROM embeddings WHERE vec_id < 500
+), pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          CAST(UNNEST(a.embedding) AS DOUBLE) AS x,
          CAST(UNNEST(b.embedding) AS DOUBLE) AS y
-  FROM embeddings a CROSS JOIN embeddings b
+  FROM sub a CROSS JOIN sub b
   WHERE a.vec_id < b.vec_id
 ), dots AS (
   SELECT id_a, id_b, SUM(x * y) AS dot, SUM(x * x) AS na, SUM(y * y) AS nb
@@ -657,10 +659,17 @@ def q_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup graph, proven against DuckDB's recursive-CTE transitive
     closure. This pins the iterative-algorithm family to an exact
     oracle; q_dedup_clusters remains the rows-only form over the
-    hash-seeded MinHash graph."""
+    hash-seeded MinHash graph.
+
+    The demo graph is BOUNDED to the first 500 vectors at every SF: the
+    all-pairs edge generator (and the recursive-CTE oracle) is O(n²) by
+    construction, so an unbounded demo stops being a demo at sf0.1
+    (5,000 vectors → 12.5M candidate pairs).  At corpus scale the edge
+    source is the banded candidate join (q_dedup_clusters); this query
+    exists to pin the *component labelling* to an exact oracle."""
     from ..operators.components import connected_components
 
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
     from ..operators.similarity import cosine as cos_expr
 
     a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
