@@ -182,13 +182,34 @@ def simhash64(texts: pd.Series) -> pd.Series:
     return pd.Series(_simhash_batch(texts))
 
 
+def _sql_btree(terms: list[str], op: str) -> str:
+    """Balanced pairwise reduction of SQL expression strings: depth
+    log2(n) instead of n. Catalyst's analyzer walks expression trees
+    recursively, so a 64-deep left-lean chain costs seconds of driver
+    time per fresh plan; the balanced form is semantically identical
+    (the ops used here are associative)."""
+    while len(terms) > 1:
+        terms = [f"({terms[i]} {op} {terms[i + 1]})" if i + 1 < len(terms)
+                 else terms[i] for i in range(0, len(terms), 2)]
+    return terms[0]
+
+
 def simhash_fingerprints_jvm(df: DataFrame, id_col: str,
                              text_col: str) -> DataFrame:
-    """(id, fp) SimHash fingerprints computed ENTIRELY JVM-side — the
-    zero-Python scale path: explode tokens, xxhash64 each, take 64
-    codegen'd sum-votes per doc (one groupBy whose map-side partial
-    aggregation collapses every doc to a single 64-column row before the
-    shuffle, so shuffle volume is |docs|, not |tokens|).
+    """(id, fp) SimHash fingerprints computed ENTIRELY JVM-side with
+    ZERO shuffle: a per-row ``aggregate()`` fold over the token array
+    accumulates the 64 bit-vote counters (packed 4-per-long into a
+    16-field struct), so fingerprints are a map-only projection — no
+    explode, no groupBy, nothing crosses the network. At cluster scale
+    this stage's cost is exactly one scan of the text column.
+
+    The expression is generated as ONE SQL string and parsed JVM-side:
+    composing the same ~400-node tree through the Column API costs
+    ~1.5s of py4j round-trips per call; the SQL parser does it in
+    milliseconds. All shift/accumulate literals are LONG (``1L``) —
+    an int literal silently masks shift counts to 5 bits in the JVM
+    (``1 << 33 == 2``), which would fold bits 32-63 onto 0-31 and
+    produce a 32-bit fingerprint with sign-extension for the top half.
 
     Fingerprint values differ from :func:`simhash64` (xxhash64 vs FNV-1a
     token hashes; ASCII vs unicode whitespace split) but the SimHash
@@ -196,46 +217,36 @@ def simhash_fingerprints_jvm(df: DataFrame, id_col: str,
     identical. Use this form in pipelines; use the pandas UDF only when
     FNV-stable fingerprints must match an external system.
     """
-    from functools import reduce
-
-    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
-    ex = df.select(F.col(id_col).alias("id"), F.explode_outer(toks).alias("tok"))
-    h = F.xxhash64("tok")
-    bit = lambda k: F.shiftrightunsigned(h, k).bitwiseAND(F.lit(1))  # noqa: E731
-    # Pack 4 bit-counters into 16-bit fields of each sum (16 aggregate
-    # columns instead of 64): same math, ~2x faster codegen/agg. A
-    # counter saturates only past 65535 tokens per doc — re-chunk docs
-    # above that (none in any corpus here; tokenized docs are bounded).
-    packs = [
-        F.sum(F.when(F.col("tok").isNull(), 0).otherwise(
-            reduce(lambda a, b: a + b,
-                   [F.shiftleft(bit(g * 4 + j), 16 * j) for j in range(4)])))
-         .alias(f"p{g}")
-        for g in range(16)
-    ]
-    agg = ex.groupBy("id").agg(F.count("tok").alias("n"), *packs)
-    ones = lambda k: (F.shiftrightunsigned(f"p{k // 4}", 16 * (k % 4))  # noqa: E731
-                      .bitwiseAND(F.lit(0xFFFF)))
-    fp = reduce(
-        lambda a, b: a.bitwiseOR(b),
-        [F.when(2 * ones(k) - F.col("n") > 0, F.shiftleft(F.lit(1), k))
-          .otherwise(F.lit(0)) for k in range(64)],
-    )
+    # Pack 4 bit-counters into 16-bit fields of each accumulator long
+    # (16 struct fields instead of 64): same math, smaller expression.
+    # A counter saturates only past 65535 tokens per doc — guarded below.
+    zero = ("named_struct("
+            + ", ".join(f"'p{g}', 0L" for g in range(16)) + ", 'n', 0L)")
+    packs = []
+    for g in range(16):
+        terms = [f"shiftleft(shiftrightunsigned(xxhash64(tok), {g * 4 + j})"
+                 f" & 1L, {16 * j})" for j in range(4)]
+        packs.append(f"'p{g}', acc.p{g} + {_sql_btree(terms, '+')}")
+    merge = "named_struct(" + ", ".join(packs) + ", 'n', acc.n + 1L)"
+    agg = (f"aggregate(filter(split({text_col}, '\\\\s+'), x -> x != ''), "
+           f"{zero}, (acc, tok) -> {merge})")
+    withacc = df.selectExpr(f"{id_col} AS id", f"{agg} AS acc")
+    bits = [f"(case when 2 * (shiftrightunsigned(acc.p{k // 4}, {16 * (k % 4)})"
+            f" & 65535L) - acc.n > 0 then shiftleft(1L, {k}) else 0L end)"
+            for k in range(64)]
+    fp = _sql_btree(bits, "|")
     # Runtime guard for the 16-bit packing: a doc with > 65535 tokens
     # would carry a bit-counter into the adjacent field and silently
     # corrupt the fingerprint. assert_true() is NULL when the predicate
     # holds and raises executor-side otherwise, so the guard costs one
-    # codegen'd comparison per doc and fails loudly, not silently.
-    guard = F.assert_true(
-        F.col("n") <= 0xFFFF,
-        F.concat(F.lit("simhash_fingerprints_jvm: doc "),
-                 F.col("id").cast("string"),
-                 F.lit(" has > 65535 tokens — packed 16-bit bit-vote "
-                       "counters would overflow; split the doc or use "
-                       "the unpacked simhash64 pandas kernel")))
-    return agg.select(
-        "id",
-        F.when(guard.isNull(), fp).otherwise(fp).cast("long").alias("fp"))
+    # comparison per doc and fails loudly, not silently.
+    guard = ("assert_true(acc.n <= 65535L, concat("
+             "'simhash_fingerprints_jvm: doc ', cast(id AS string), "
+             "' has > 65535 tokens — packed 16-bit bit-vote counters "
+             "would overflow; split the doc or use the unpacked "
+             "simhash64 pandas kernel'))")
+    return withacc.selectExpr(
+        "id", f"cast(if(isnull({guard}), {fp}, {fp}) AS long) AS fp")
 
 
 #: Single-slot fingerprint-cache ownership (see simhash_near_duplicates).
@@ -290,6 +301,11 @@ def simhash_near_duplicates(df: DataFrame, id_col: str, text_col: str,
     if _LAST_FP_CACHE is not None:
         _LAST_FP_CACHE.unpersist(blocking=False)
     _LAST_FP_CACHE = fp
+    # Materialize the cache BEFORE the self-join: left lazy, the join's
+    # two scan legs race on the unmaterialized blocks and each computes
+    # the fingerprint fold, doubling the most expensive stage. count()
+    # is one cheap job over |docs| cached rows.
+    fp.count()
     chunks = fp.select(
         "id", "fp",
         F.posexplode(F.array(*[
