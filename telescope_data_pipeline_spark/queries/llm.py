@@ -679,3 +679,116 @@ def q_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
              .filter(F.col("cosine") >= 0.4)
              .select("id_a", "id_b"))
     return connected_components(pairs)
+
+
+@query("q_split_assign", oracle=r"""
+SELECT doc_id,
+       substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bucket,
+       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'd' THEN 'train'
+            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'd' THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+""")
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split assignment — the standard
+    content-addressed split for training corpora: hash the stable id,
+    bucket on the digest, so membership is reproducible across runs,
+    machines, and engines (no RNG, no state to serialize). Implemented
+    on the first hex nibble of md5 (16 buckets: 13 train / 1 val /
+    2 test ≈ 81/6/13); production splits widen to more digest chars for
+    finer ratios. Pure projection — zero shuffle at any corpus size —
+    and md5 is bit-identical across Spark, DuckDB, and Python, which is
+    exactly why it beats engine-specific hash() for reproducibility."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    return d.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < "d", "train")
+         .when(bucket == "d", "val")
+         .otherwise("test").alias("split"))
+
+
+@query("q_pack_sequences", oracle=r"""
+WITH t AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(text, '\s+'), x -> x != ''))
+           AS n_tok
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tok,
+         SUM(n_tok) OVER (ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM t
+)
+SELECT doc_id, n_tok,
+       CAST((cum - n_tok) // 512 AS BIGINT) AS seq_id,
+       CAST((cum - n_tok) % 512 AS BIGINT) AS seq_off
+FROM c
+""")
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign each document its (sequence, offset)
+    position when the corpus is concatenated in doc_id order and cut
+    into fixed 512-token context windows — the streaming-concat packing
+    used to build pretraining batches (documents may straddle a window
+    boundary; a document belongs to the window where it starts).
+
+    One window function over a total order computes every placement:
+    cumulative token count -> integer divide by the window budget. At
+    100 TB the global ORDER BY is a range-partitioned sort (Spark's
+    window exchange); per-partition packing (partitionBy on a shard
+    key) removes even that when global concatenation order isn't
+    required. All-integer outputs: no float parity risk."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.filter(F.split("text", _TOK), lambda x: x != ""))
+    w = (W.orderBy("doc_id")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    t = d.select("doc_id", n_tok.alias("n_tok"))
+    return (t.withColumn("cum", F.sum("n_tok").over(w))
+            .selectExpr("doc_id", "n_tok",
+                        "CAST((cum - n_tok) DIV 512 AS LONG) AS seq_id",
+                        "CAST((cum - n_tok) % 512 AS LONG) AS seq_off"))
+
+
+@query("q_doc_chunks", oracle=r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x != '') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id, len(toks) AS n,
+         UNNEST(range(0, len(toks), 48)) AS chunk_start, toks
+  FROM t WHERE len(toks) > 0
+)
+SELECT doc_id, CAST(chunk_start AS BIGINT) AS chunk_start,
+       array_to_string(
+         list_slice(toks, chunk_start + 1, least(chunk_start + 64, n)), ' ')
+         AS chunk_text,
+       CAST(least(chunk_start + 64, n) - chunk_start AS INT) AS chunk_len
+FROM s
+""")
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (chunk 64 tokens, stride 48,
+    16-token overlap) — how long documents become model-sized pieces
+    for embedding/RAG indexing and context-window training. The chunk
+    starts are a per-row ``sequence()`` (no join against a numbers
+    table), the chunk itself a ``slice`` of the token array, and the
+    explode multiplies rows only by ceil(n_tok/stride) — all JVM-side
+    higher-order functions, zero Python, zero shuffle: chunking is a
+    map-only operator at any corpus scale."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", _TOK), lambda x: x != "")
+    t = (d.select("doc_id", toks.alias("toks"))
+         .withColumn("n", F.size("toks"))
+         .filter(F.col("n") > 0))
+    starts = F.sequence(F.lit(0), F.col("n") - 1, F.lit(48))
+    return (t.select("doc_id", "n", "toks",
+                     F.explode(starts).alias("chunk_start"))
+            .select("doc_id",
+                    F.col("chunk_start").cast("long").alias("chunk_start"),
+                    F.concat_ws(" ", F.slice("toks", F.col("chunk_start") + 1,
+                                             F.lit(64))).alias("chunk_text"),
+                    (F.least(F.col("chunk_start") + 64, F.col("n"))
+                     - F.col("chunk_start")).cast("int")
+                     .alias("chunk_len")))
