@@ -72,16 +72,59 @@ def deduplicated(stream: DataFrame, watermark: str = "30 minutes") -> DataFrame:
 
 
 def run_multi_sink(stream: DataFrame, out_dir: str, checkpoint_dir: str):
-    """foreachBatch multi-sink: each micro-batch lands in BOTH a parquet
-    sink and a per-type CSV summary — the reference's four-sinks-per-set
-    pattern (psf_phot.py:91-94). Returns the started query."""
+    """foreachBatch multi-sink: each micro-batch fans out to FOUR sinks —
+    parquet (raw rows), CSV (per-type summary), TXT (stats line), and a
+    PDF diagnostics page — the reference's four-sinks-per-set pattern
+    (psf_phot.py:91-94: FITS/CSV/TXT/PDF per image set; here the batch
+    is the set). Aggregations stay DataFrame-side; only the bounded
+    render payload (a 20x24 occupancy grid, one stats row) is collected.
+    Returns the started query."""
 
     def write_all(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.cache()  # four consumers, one materialization
         batch_df.write.mode("append").parquet(f"{out_dir}/raw")
         (batch_df.groupBy("event_type")
          .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
          .withColumn("batch_id", F.lit(batch_id))
          .write.mode("append").option("header", True).csv(f"{out_dir}/summary"))
+        # TXT diagnostics line (reference write_txt analog, p_io.py:121-154)
+        (batch_df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 4).alias("vmin"),
+            F.round(F.max("value"), 4).alias("vmax"),
+            F.round(F.median("value"), 4).alias("vmed"))
+         .select(F.concat_ws(
+             "", F.lit(f"batch {batch_id}: n="), F.col("n").cast("string"),
+             F.lit(" value[min,max,med]=["), F.col("vmin").cast("string"),
+             F.lit(","), F.col("vmax").cast("string"),
+             F.lit(","), F.col("vmed").cast("string"), F.lit("]"))
+             .alias("value"))
+         .write.mode("append").text(f"{out_dir}/diag_txt"))
+        # PDF diagnostics page: hour-of-day x value-bucket occupancy
+        # heatmap, computed relationally (<= 480 cells collected)
+        import numpy as np
+
+        from ..sources.pdf import MiniPdf, zscale_stretch
+
+        cells = (batch_df
+                 .select(F.hour("ts").alias("h"),
+                         F.least(F.lit(19), F.floor(F.col("value") / 50)
+                                 .cast("int")).alias("vb"))
+                 .groupBy("h", "vb").count().collect())
+        grid = np.zeros((20, 24))
+        for r in cells:
+            if r["h"] is not None and r["vb"] is not None and r["vb"] >= 0:
+                grid[r["vb"], r["h"]] = r["count"]
+        pdf = MiniPdf()
+        pdf.new_page()
+        pdf.text(54, 738, f"micro-batch {batch_id}: event occupancy "
+                          "(x: hour of day, y: value bucket)", size=12)
+        u8, vmin, vmax = zscale_stretch(grid)
+        pdf.image(u8, 54, 300, 480, 400)
+        pdf.rect(54, 300, 480, 400)
+        pdf.colorbar(546, 300, 14, 400, vmin, vmax)
+        pdf.write(f"{out_dir}/diag_batch_{batch_id}.pdf")
+        batch_df.unpersist()
 
     return (
         stream.writeStream

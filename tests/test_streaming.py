@@ -96,7 +96,20 @@ def test_foreach_batch_multi_sink(spark, events_dir):
     assert summary.count() > 0
     assert {"event_type", "n", "total", "batch_id"} <= set(summary.columns)
     # multiple micro-batches actually ran (maxFilesPerTrigger=4 over 8 files)
-    assert summary.select("batch_id").distinct().count() >= 2
+    n_batches = summary.select("batch_id").distinct().count()
+    assert n_batches >= 2
+    # third sink: TXT diagnostics, one stats line per batch
+    txt = spark.read.text(f"{out}/diag_txt").collect()
+    assert len(txt) == n_batches
+    assert all("value[min,max,med]=" in r.value for r in txt)
+    # fourth sink: one structurally-valid PDF per batch
+    import glob
+
+    pdfs = sorted(glob.glob(f"{out}/diag_batch_*.pdf"))
+    assert len(pdfs) == n_batches
+    for p in pdfs:
+        buf = open(p, "rb").read()
+        assert buf.startswith(b"%PDF-1.4") and buf.rstrip().endswith(b"%%EOF")
 
 
 def test_stream_stream_join_matches_batch(spark, events_dir):
