@@ -792,3 +792,76 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.least(F.col("chunk_start") + 64, F.col("n"))
                      - F.col("chunk_start")).cast("int")
                      .alias("chunk_len")))
+
+
+@query("q_unigram_logprob", oracle=r"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(list_filter(string_split_regex(text, '\s+'),
+                                    x -> x != '')) AS tok
+  FROM documents
+), freq AS (
+  SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+), total AS (
+  SELECT SUM(c) AS n FROM freq
+)
+SELECT t.doc_id,
+       COUNT(*) AS n_tok,
+       ROUND(AVG(LN(f.c / total.n)), 6) + 0.0 AS avg_logprob
+FROM toks t JOIN freq f USING (tok) CROSS JOIN total
+GROUP BY t.doc_id
+""")
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram log-probability quality score — the KenLM-style proxy:
+    score each document by the mean log-probability of its tokens under
+    the corpus's own unigram distribution (template/boilerplate text
+    scores high, rare-token noise scores low; both tails get filtered
+    in a real pipeline). Two aggregations and one join: the vocabulary
+    table BROADCASTS back onto the token stream (vocab << corpus — the
+    same shape as TF-IDF), the scalar total is a 1-row broadcast, and
+    the per-doc mean partial-aggregates map-side. Shuffle volume is
+    |tokens| once for the vocab count, |docs| for the final mean."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(
+        F.filter(F.split("text", _TOK), lambda x: x != "")).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(F.sum("c").cast("double").alias("n"))
+    return (toks.join(F.broadcast(freq), "tok")
+            .crossJoin(F.broadcast(total))  # 1-row scalar aggregate
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_tok"),
+                 (F.round(F.avg(F.log(F.col("c") / F.col("n"))), 6)
+                  + F.lit(0.0)).alias("avg_logprob")))
+
+
+@query("q_mix_corpus", oracle=r"""
+WITH ranked AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS rk,
+         COUNT(*) OVER (PARTITION BY lang) AS lang_n
+  FROM documents
+)
+SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk
+FROM ranked
+WHERE rk <= CEIL(lang_n * (CASE WHEN lang = 'en' THEN 0.5 ELSE 0.25 END))
+""")
+def q_mix_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus mixing: select a language-balanced subset by
+    taking a fixed fraction of each language's documents (en 50%,
+    others 25%), chosen by md5 rank so the draw is reproducible across
+    engines and runs — the content-addressed analog of weighted
+    sampling that real mixture schedules need (no RNG state; re-runs
+    and backfills pick identical documents). One window over a
+    per-language partition; at corpus scale the partition key spreads
+    across executors and no global sort exists."""
+    d = load_table(spark, sf_dir, "documents")
+    wrk = W.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id")
+    wn = W.partitionBy("lang")
+    frac = F.when(F.col("lang") == "en", 0.5).otherwise(0.25)
+    return (d.select("doc_id", "lang")
+            .withColumn("rk", F.row_number().over(wrk).cast("long"))
+            .withColumn("lang_n", F.count(F.lit(1)).over(wn))
+            .filter(F.col("rk") <= F.ceil(F.col("lang_n") * frac))
+            .select("doc_id", "lang", "rk"))

@@ -63,6 +63,7 @@ PRIORITY: tuple[str, ...] = (
     "q_union_distinct", "q_scalar_bits",
     # (a2) new round-3 queries needing first-time evidence
     "q_split_assign", "q_pack_sequences", "q_doc_chunks",
+    "q_unigram_logprob", "q_mix_corpus",
     # (b) previously-green representatives, one-or-more per family
     # (SURVEY §2.1-2.9 + LLM ops) — keeps regression visibility while
     # the demoted greens rotate back in future rounds (q_map_filter,
@@ -70,13 +71,13 @@ PRIORITY: tuple[str, ...] = (
     # for (a2); each is multiply covered by its family's remaining
     # representatives and has green rows from rounds 1-2)
     "q_project", "q_filter_range", "q_case_when",
-    "q_json_extract", "q_scan_csv", "q_scan_orc",
+    "q_json_extract", "q_scan_csv",
     "q_join_nn", "q_join_inner", "q_join_broadcast", "q_join_asof",
     "q_join_salted",
     "q_flagship", "q_agg_mean", "q_agg_sigclip", "q_agg_groupby",
     "q_agg_percentile", "q_agg_salted",
     "q_window_trim", "q_topk_per_group",
-    "q_sort", "q_topk",
+    "q_sort",
     "q_stream_tumbling", "q_stream_session",
     "q_dedup_exact", "q_ngram_jaccard", "q_sim_bucketed", "q_text_redact",
     "q_decontaminate",
