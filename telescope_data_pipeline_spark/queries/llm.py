@@ -852,9 +852,17 @@ def q_mix_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     others 25%), chosen by md5 rank so the draw is reproducible across
     engines and runs — the content-addressed analog of weighted
     sampling that real mixture schedules need (no RNG state; re-runs
-    and backfills pick identical documents). One window over a
-    per-language partition; at corpus scale the partition key spreads
-    across executors and no global sort exists."""
+    and backfills pick identical documents).
+
+    Scale note: rank-within-language needs a per-language sort, and
+    with ~5 languages that is 5 giant sort partitions — fine here,
+    skewed at 100 TB. The corpus-scale form drops the rank and
+    thresholds on the hash VALUE itself (keep rows where
+    ``md5(id) < chr(floor(frac * 16))``-style cutoffs, or compare
+    against a per-language quantile of the digest computed with
+    approx_percentile): one scan, no sort, no skew, fraction accurate
+    to the digest's uniformity. The rank form is kept for the oracle
+    because it is exact at any fraction."""
     d = load_table(spark, sf_dir, "documents")
     wrk = W.partitionBy("lang").orderBy(
         F.md5(F.col("doc_id").cast("string")), "doc_id")
