@@ -1,0 +1,87 @@
+"""Invariant tests for the round-3 training-data operators: structural
+properties the oracle hash cannot express (coverage, reconstruction,
+quota exactness), checked on the real documents table at sf0.001."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from telescope_data_pipeline_spark.queries import all_queries
+
+SF = "/root/testdata/sf0.001"
+QS = all_queries()
+
+
+def test_split_assign_partitions_every_doc_once(spark):
+    out = QS["q_split_assign"].fn(spark, SF)
+    total = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert out.count() == total
+    assert out.select("doc_id").distinct().count() == total
+    splits = {r["split"] for r in out.select("split").distinct().collect()}
+    assert splits <= {"train", "val", "test"}
+    # determinism: same assignment on recompute
+    a = {(r["doc_id"], r["split"]) for r in out.collect()}
+    b = {(r["doc_id"], r["split"]) for r in QS["q_split_assign"].fn(spark, SF).collect()}
+    assert a == b
+
+
+def test_pack_sequences_placements_are_consistent(spark):
+    out = QS["q_pack_sequences"].fn(spark, SF).toPandas().sort_values("doc_id")
+    # offsets live inside the window budget
+    assert (out["seq_off"] >= 0).all() and (out["seq_off"] < 512).all()
+    # sequence ids are non-decreasing in concat order and dense enough:
+    # a doc starts in the window right where the previous tokens end
+    cum = 0
+    for _, row in out.iterrows():
+        assert row["seq_id"] == cum // 512
+        assert row["seq_off"] == cum % 512
+        cum += row["n_tok"]
+
+
+def test_doc_chunks_reconstruct_documents(spark):
+    """Stride-48 chunks, each 64 tokens: dropping the 16-token overlap
+    from every chunk after the first must reconstruct the document."""
+    docs = (spark.read.parquet(f"{SF}/documents.parquet")
+            .select("doc_id", "text").toPandas().set_index("doc_id"))
+    chunks = (QS["q_doc_chunks"].fn(spark, SF).toPandas()
+              .sort_values(["doc_id", "chunk_start"]))
+    for doc_id, grp in chunks.groupby("doc_id"):
+        toks: list[str] = []
+        for _, row in grp.iterrows():
+            ctoks = row["chunk_text"].split(" ")
+            assert len(ctoks) == row["chunk_len"] <= 64
+            # tokens [chunk_start, chunk_start+chunk_len) — append only
+            # the suffix not already covered by the previous chunk
+            assert row["chunk_start"] <= len(toks)
+            toks.extend(ctoks[len(toks) - row["chunk_start"]:])
+        want = [t for t in __import__("re").split(r"\s+", docs.loc[doc_id, "text"])
+                if t != ""]
+        assert toks == want, f"doc {doc_id} failed reconstruction"
+
+
+def test_mix_corpus_quota_exact(spark):
+    out = QS["q_mix_corpus"].fn(spark, SF).toPandas()
+    import math
+
+    totals = (spark.read.parquet(f"{SF}/documents.parquet")
+              .groupBy("lang").count().toPandas().set_index("lang")["count"])
+    got = out.groupby("lang").size()
+    for lang, n in totals.items():
+        frac = 0.5 if lang == "en" else 0.25
+        assert got.get(lang, 0) == math.ceil(n * frac), lang
+    # reproducible draw
+    again = QS["q_mix_corpus"].fn(spark, SF).toPandas()
+    assert set(map(tuple, out.values)) == set(map(tuple, again.values))
+
+
+def test_unigram_logprob_bounds_and_templates(spark):
+    out = QS["q_unigram_logprob"].fn(spark, SF).toPandas()
+    # log-probabilities are strictly negative unless the corpus is one
+    # token repeated (it is not), and never positive by construction
+    assert (out["avg_logprob"] <= 0).all()
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert len(out) == n_docs
+    # a document made of the corpus's most common tokens must score
+    # higher than one made of its rarest: verify via extremes
+    assert out["avg_logprob"].max() > out["avg_logprob"].min()
