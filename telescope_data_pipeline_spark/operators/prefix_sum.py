@@ -1,0 +1,63 @@
+"""Distributed prefix sum (cumulative aggregate over a global order).
+
+A window with ``orderBy`` and no ``partitionBy`` is a scale trap: Spark
+moves EVERY row into one partition to evaluate it (the plan shows a
+single-partition Exchange), so the classic running-total query stops
+scaling at exactly the moment it matters. The scalable form is the
+textbook two-phase scan, expressed here with DataFrame ops only:
+
+1. range-partition by the order key (``repartitionByRange`` guarantees
+   partition *i*'s keys all precede partition *i+1*'s) and sort within
+   partitions — this is the same exchange a global ``orderBy`` performs,
+   parallel by construction;
+2. aggregate one subtotal per partition (tiny: ≤ num_partitions rows),
+   prefix-sum those on the driver, and broadcast the per-partition
+   offsets back;
+3. a partition-LOCAL window (partitionBy the partition id) adds the
+   local running sum to the partition's offset.
+
+Cost: one range exchange + one ≤n-row collect + one map-side join —
+versus the single-partition window's "ship 100 TB to one task".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+__all__ = ["distributed_prefix_sum"]
+
+
+def distributed_prefix_sum(df: DataFrame, order_col: str, value_col: str,
+                           out_col: str = "cum",
+                           num_partitions: int | None = None) -> DataFrame:
+    """Add ``out_col`` = cumulative sum of ``value_col`` over the global
+    ``order_col`` order (inclusive of the current row), computed without
+    ever concentrating the data on one task.
+
+    ``order_col`` must be unique (it defines the total order; ties would
+    make "the previous row" ambiguous under any engine).
+    """
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    ranged = (df.repartitionByRange(n, F.col(order_col))
+              .sortWithinPartitions(order_col)
+              .withColumn("_pid", F.spark_partition_id()))
+    # Two passes must see identical partitioning; cache + materialize
+    # (spark_partition_id is otherwise free to differ between jobs).
+    ranged = ranged.cache()
+    ranged.count()
+    subtotals = (ranged.groupBy("_pid")
+                 .agg(F.sum(value_col).alias("_s"))
+                 .orderBy("_pid").collect())
+    offsets, acc = [], 0
+    for r in subtotals:
+        offsets.append((r["_pid"], acc))
+        acc += r["_s"] or 0
+    off = spark.createDataFrame(offsets, schema="_pid int, _off long")
+    local = (W.partitionBy("_pid").orderBy(order_col)
+             .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return (ranged.join(F.broadcast(off), "_pid")
+            .withColumn(out_col, F.sum(value_col).over(local) + F.col("_off"))
+            .drop("_pid", "_off"))

@@ -734,18 +734,20 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     used to build pretraining batches (documents may straddle a window
     boundary; a document belongs to the window where it starts).
 
-    One window function over a total order computes every placement:
-    cumulative token count -> integer divide by the window budget. At
-    100 TB the global ORDER BY is a range-partitioned sort (Spark's
-    window exchange); per-partition packing (partitionBy on a shard
-    key) removes even that when global concatenation order isn't
-    required. All-integer outputs: no float parity risk."""
+    The cumulative token count runs through
+    ``operators.prefix_sum.distributed_prefix_sum`` — NOT a bare
+    ``orderBy`` window, which Spark evaluates on a single partition
+    (the whole corpus shipped to one task at 100 TB). The two-phase
+    scan range-partitions by doc_id, prefix-sums the ≤n per-partition
+    subtotals driver-side, and finishes with partition-local windows —
+    identical output, parallel everywhere. All-integer outputs: no
+    float parity risk."""
+    from ..operators.prefix_sum import distributed_prefix_sum
+
     d = load_table(spark, sf_dir, "documents")
     n_tok = F.size(F.filter(F.split("text", _TOK), lambda x: x != ""))
-    w = (W.orderBy("doc_id")
-         .rowsBetween(W.unboundedPreceding, W.currentRow))
     t = d.select("doc_id", n_tok.alias("n_tok"))
-    return (t.withColumn("cum", F.sum("n_tok").over(w))
+    return (distributed_prefix_sum(t, "doc_id", "n_tok", out_col="cum")
             .selectExpr("doc_id", "n_tok",
                         "CAST((cum - n_tok) DIV 512 AS LONG) AS seq_id",
                         "CAST((cum - n_tok) % 512 AS LONG) AS seq_off"))

@@ -85,3 +85,31 @@ def test_unigram_logprob_bounds_and_templates(spark):
     # a document made of the corpus's most common tokens must score
     # higher than one made of its rarest: verify via extremes
     assert out["avg_logprob"].max() > out["avg_logprob"].min()
+
+
+def test_distributed_prefix_sum_matches_global_window(spark):
+    """Two-phase scan == single-partition global window, and the plan
+    never concentrates rows: every Window node retains a partition
+    spec."""
+    from pyspark.sql import Window as W
+
+    from telescope_data_pipeline_spark.operators.prefix_sum import (
+        distributed_prefix_sum,
+    )
+
+    t = (spark.read.parquet(f"{SF}/documents.parquet")
+         .select("doc_id", F.length("text").alias("v")))
+    got = distributed_prefix_sum(t, "doc_id", "v", num_partitions=7).toPandas()
+    wref = (W.orderBy("doc_id")
+            .rowsBetween(W.unboundedPreceding, W.currentRow))
+    want = t.withColumn("cum", F.sum("v").over(wref)).toPandas()
+    g = got.sort_values("doc_id").reset_index(drop=True)
+    w = want.sort_values("doc_id").reset_index(drop=True)
+    assert (g["cum"] == w["cum"]).all()
+
+    plan = distributed_prefix_sum(t, "doc_id", "v", num_partitions=7) \
+        ._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            # partition-local window: spec carries the _pid partition key
+            assert "_pid" in line, f"unpartitioned window in plan: {line}"
