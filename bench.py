@@ -55,20 +55,28 @@ def main() -> None:
     registry["q_flagship"].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = registry[name].fn
         t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # one bad query must not zero the round's bench
+            timings[name] = round(time.perf_counter() - t0, 3)
+            errors[name] = f"{type(e).__name__}: {e}"[:200]
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    payload = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-    }))
+    }
+    if errors:
+        payload["errors"] = errors
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":
