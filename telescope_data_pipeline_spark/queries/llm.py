@@ -610,7 +610,7 @@ SELECT doc_id, tok, tfidf, rn AS rank FROM scored WHERE rn <= 3
 def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document: term frequency is a (doc, tok)
     aggregation, document frequency a tok aggregation whose result
-    BROADCASTS back (vocab << corpus), and the per-doc top-k is a
+    joins back (AQE broadcasts it while it fits), and the per-doc top-k is a
     window on a total order. Both aggs partial-combine map-side; no
     all-pairs anything."""
     d = load_table(spark, sf_dir, "documents")
@@ -619,7 +619,10 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
     n = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     idf = F.log(F.col("n_docs") / F.col("df"))
-    scored = (tf.join(F.broadcast(df), "tok")
+    # No forced broadcast on the vocabulary: its size is data-dependent
+    # (a 100 TB corpus's vocab can exceed driver memory) — AQE's runtime
+    # stats pick broadcast when it fits and shuffle join when it doesn't.
+    scored = (tf.join(df, "tok")
               .crossJoin(F.broadcast(n))  # 1-row scalar aggregate
               .withColumn("tfidf", F.round(F.col("tf") * idf, 6)))
     w = W.partitionBy("doc_id").orderBy(F.desc(F.col("tf") * idf),
@@ -818,7 +821,7 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus's own unigram distribution (template/boilerplate text
     scores high, rare-token noise scores low; both tails get filtered
     in a real pipeline). Two aggregations and one join: the vocabulary
-    table BROADCASTS back onto the token stream (vocab << corpus — the
+    table joins back onto the token stream (AQE broadcasts while it fits — the
     same shape as TF-IDF), the scalar total is a 1-row broadcast, and
     the per-doc mean partial-aggregates map-side. Shuffle volume is
     |tokens| once for the vocab count, |docs| for the final mean."""
@@ -827,7 +830,9 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.filter(F.split("text", _TOK), lambda x: x != "")).alias("tok"))
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     total = freq.agg(F.sum("c").cast("double").alias("n"))
-    return (toks.join(F.broadcast(freq), "tok")
+    # vocabulary join unhinted for the same reason as q_tfidf: AQE
+    # broadcasts it while it fits, shuffles when a 100 TB vocab doesn't
+    return (toks.join(freq, "tok")
             .crossJoin(F.broadcast(total))  # 1-row scalar aggregate
             .groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("n_tok"),
