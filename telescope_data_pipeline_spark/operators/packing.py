@@ -1,0 +1,109 @@
+"""No-straddle greedy sequence packing over range shards.
+
+``prefix_sum``-based packing (queries/llm.py::q_pack_sequences) lets a
+document straddle a window boundary — right for streaming-concat
+pretraining batches. Instruction-tuning / eval batches need the other
+semantics: a document NEVER splits; if it doesn't fit in the open
+window, it starts a new one (greedy first-fit in corpus order).
+
+Greedy packing is sequential — every placement depends on the running
+window fill, and the dependency genuinely cascades (an earlier boundary
+shift can ripple through every later window), so there is no exact
+bounded-state parallel composition. The design that scales is the one
+real distributed batch assembly uses: **shard alignment**. Range-
+partition the corpus on the order key, pack each shard greedily from a
+fresh window, and offset shard-local window indices by the cumulative
+window counts (an exact, tiny driver-side fold over ≤ num_partitions
+integers). The price is an average of half a window of padding per
+SHARD BOUNDARY — at 100 TB with 10k shards and a 512-token budget,
+about 2.6M padding tokens against ~25B packed ones (0.01%), bought
+with embarrassing parallelism and a deterministic layout for a pinned
+shard count.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["pack_greedy"]
+
+
+def pack_greedy(df: DataFrame, order_col: str, len_col: str,
+                budget: int = 512,
+                num_partitions: int | None = None) -> DataFrame:
+    """Assign each row a ``(win, off)`` placement: greedy no-straddle
+    packing of ``len_col``-sized items into ``budget``-sized windows,
+    in ``order_col`` order within each range shard, with globally
+    contiguous window indices. Deterministic for a fixed
+    ``num_partitions`` (pin it for reproducible layouts). Rows with
+    ``len_col > budget`` fail loudly executor-side — chunk oversized
+    documents first (``q_doc_chunks``).
+
+    Returns ``order_col``, ``len_col``, ``win`` (global window index,
+    long), ``off`` (offset inside the window, long).
+    """
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+
+    local_schema = T.StructType([
+        T.StructField("_pid", T.IntegerType()),
+        T.StructField(order_col, df.schema[order_col].dataType),
+        T.StructField(len_col, df.schema[len_col].dataType),
+        T.StructField("win_local", T.LongType()),
+        T.StructField("off", T.LongType()),
+    ])
+
+    def place_local(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # A shard arrives as SEVERAL Arrow batches — the running
+        # (win, off) state must span all of them, so concatenate first
+        # (shard-sized pandas frame, the applyInPandas memory class;
+        # size shards accordingly).
+        batches = list(pdfs)
+        if not batches:
+            return
+        pdf = pd.concat(batches).sort_values(order_col)
+        win, off, wins, offs = 0, 0, [], []
+        for ln in pdf[len_col]:
+            ln = int(ln)
+            if ln > budget:
+                raise ValueError(
+                    f"pack_greedy: item of length {ln} exceeds the "
+                    f"window budget {budget} — chunk it first")
+            if off + ln > budget:
+                win, off = win + 1, 0
+            wins.append(win)
+            offs.append(off)
+            off += ln
+        out = pdf[[order_col, len_col]].copy()
+        out.insert(0, "_pid", int(pdf["_pid"].iloc[0]) if len(pdf) else 0)
+        out["win_local"] = pd.Series(wins, index=pdf.index, dtype="int64")
+        out["off"] = pd.Series(offs, index=pdf.index, dtype="int64")
+        yield out
+
+    ranged = (df.select(order_col, len_col)
+              .repartitionByRange(n, F.col(order_col))
+              .sortWithinPartitions(order_col)
+              .withColumn("_pid", F.spark_partition_id()))
+    placed = ranged.mapInPandas(place_local, schema=local_schema).cache()
+    placed.count()  # both consumers below must see one materialization
+
+    # Exact driver fold: cumulative window counts over ≤ n shard
+    # summaries give each shard's global window base.
+    counts = (placed.groupBy("_pid")
+              .agg((F.max("win_local") + 1).alias("win_count"))
+              .orderBy("_pid").collect())
+    bases, acc = [], 0
+    for r in counts:
+        bases.append((r["_pid"], acc))
+        acc += r["win_count"]
+    base = spark.createDataFrame(bases, schema="_pid int, w_base long")
+
+    return (placed.join(F.broadcast(base), "_pid")
+            .select(order_col, len_col,
+                    (F.col("w_base") + F.col("win_local")).alias("win"),
+                    "off"))

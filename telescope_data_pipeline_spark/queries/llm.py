@@ -880,3 +880,23 @@ def q_mix_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("lang_n", F.count(F.lit(1)).over(wn))
             .filter(F.col("rk") <= F.ceil(F.col("lang_n") * frac))
             .select("doc_id", "lang", "rk"))
+
+
+@query("q_pack_greedy", oracle=None)  # sequential greedy: golden-tested,
+# the recursive-CTE SQL form is quadratic in DuckDB (rows-only check)
+def q_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-straddle greedy packing (operators/packing.py): documents
+    never split across context windows; one that doesn't fit starts a
+    new window. The distributed form packs range shards independently
+    (greedy is sequentially dependent — the honest scale design aligns
+    windows to shards, costing <= half a window of padding per shard
+    boundary) and offsets window ids by an exact driver fold over shard
+    window counts. Demoed single-shard so the output equals the pure
+    sequential fold, which tests/test_training_data_ops.py pins against
+    a reference implementation at every shard count."""
+    from ..operators.packing import pack_greedy
+
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.filter(F.split("text", _TOK), lambda x: x != ""))
+    t = d.select("doc_id", n_tok.alias("n_tok"))
+    return pack_greedy(t, "doc_id", "n_tok", budget=512, num_partitions=1)

@@ -113,3 +113,73 @@ def test_distributed_prefix_sum_matches_global_window(spark):
         if "Window" in line and "windowspecdefinition" in line:
             # partition-local window: spec carries the _pid partition key
             assert "_pid" in line, f"unpartitioned window in plan: {line}"
+
+
+def _greedy_ref(lengths, budget):
+    win, off, wins, offs = 0, 0, [], []
+    for ln in lengths:
+        if off + ln > budget:
+            win, off = win + 1, 0
+        wins.append(win)
+        offs.append(off)
+        off += ln
+    return wins, offs
+
+
+@pytest.mark.parametrize("n_parts", [1, 3, 7, 16])
+def test_pack_greedy_shard_semantics(spark, n_parts):
+    """Greedy no-straddle packing within range shards: one shard ==
+    the sequential greedy fold exactly; any shard count preserves the
+    greedy invariants with globally contiguous window indices."""
+    from telescope_data_pipeline_spark.operators.packing import pack_greedy
+
+    budget = 256
+    t = (spark.read.parquet(f"{SF}/documents.parquet")
+         .select("doc_id",
+                 F.size(F.filter(F.split("text", r"\s+"),
+                                 lambda x: x != "")).alias("n_tok")))
+    got = (pack_greedy(t, "doc_id", "n_tok", budget=budget,
+                       num_partitions=n_parts)
+           .toPandas().sort_values("doc_id").reset_index(drop=True))
+    ref = t.toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert (got["doc_id"] == ref["doc_id"]).all()
+
+    if n_parts == 1:
+        wins, offs = _greedy_ref(ref["n_tok"], budget)
+        assert list(got["win"]) == wins
+        assert list(got["off"]) == offs
+
+    # invariants for any shard count:
+    # windows fill within budget and nothing straddles
+    fill = got.groupby("win").apply(
+        lambda g: (g["off"] + g["n_tok"]).max(), include_groups=False)
+    assert (fill <= budget).all()
+    # window ids are contiguous from 0
+    wins_used = sorted(got["win"].unique())
+    assert wins_used == list(range(len(wins_used)))
+    # within each window, docs tile without gaps (greedy = dense fill)
+    for _, g in got.groupby("win"):
+        g = g.sort_values("off")
+        expect = 0
+        for _, row in g.iterrows():
+            assert row["off"] == expect
+            expect += row["n_tok"]
+    # corpus order is preserved across the global window sequence
+    order = got.sort_values(["win", "off"])["doc_id"]
+    assert list(order) == sorted(order)
+    # packing efficiency: every window closed by the greedy rule holds
+    # more than budget - max_item tokens (only the last window of each
+    # shard may be emptier)
+    total = ref["n_tok"].sum()
+    max_item = ref["n_tok"].max()
+    closed = len(wins_used) - n_parts
+    assert closed * (budget - max_item) < total
+
+
+def test_pack_greedy_rejects_oversized(spark):
+    from telescope_data_pipeline_spark.operators.packing import pack_greedy
+
+    t = spark.createDataFrame([(1, 10), (2, 700)], "doc_id long, n_tok long")
+    with pytest.raises(Exception, match="exceeds the window budget"):
+        pack_greedy(t, "doc_id", "n_tok", budget=512,
+                    num_partitions=2).collect()
