@@ -28,6 +28,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .cache_slot import CacheSlot
+
 
 def shingle(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per document: (id, shingles array).
@@ -198,8 +200,8 @@ def simhash_fingerprints_jvm(df: DataFrame, id_col: str,
                              text_col: str) -> DataFrame:
     """(id, fp) SimHash fingerprints computed ENTIRELY JVM-side with
     ZERO shuffle: a per-row ``aggregate()`` fold over the token array
-    accumulates the 64 bit-vote counters (packed 4-per-long into a
-    16-field struct), so fingerprints are a map-only projection — no
+    accumulates the 64 bit-vote counters (packed 3-per-long into a
+    22-field struct), so fingerprints are a map-only projection — no
     explode, no groupBy, nothing crosses the network. At cluster scale
     this stage's cost is exactly one scan of the text column.
 
@@ -217,40 +219,52 @@ def simhash_fingerprints_jvm(df: DataFrame, id_col: str,
     identical. Use this form in pipelines; use the pandas UDF only when
     FNV-stable fingerprints must match an external system.
     """
-    # Pack 4 bit-counters into 16-bit fields of each accumulator long
-    # (16 struct fields instead of 64): same math, smaller expression.
+    # Pack 3 bit-counters into 16-bit fields (bits 0-47) of each
+    # accumulator long — 22 struct fields instead of 64. The top 16 bits
+    # stay EMPTY on purpose: packing a 4th counter into bits 48-63 puts
+    # it on the sign bit, and under ANSI mode (Spark 4 default) a doc
+    # with >= 32768 occurrences of one hash bit aborts the whole fold
+    # with ARITHMETIC_OVERFLOW (32768 << 48 == 2^63) before the
+    # token-count guard below can fire. With 3-per-long the largest
+    # possible accumulator value is 65535 << 32 ~= 2^48 — signed
+    # addition can never overflow, so the guard is the one failure path.
     # A counter saturates only past 65535 tokens per doc — guarded below.
+    n_groups = 22  # ceil(64 / 3); the last group holds a single counter
     zero = ("named_struct("
-            + ", ".join(f"'p{g}', 0L" for g in range(16)) + ", 'n', 0L)")
+            + ", ".join(f"'p{g}', 0L" for g in range(n_groups)) + ", 'n', 0L)")
     packs = []
-    for g in range(16):
-        terms = [f"shiftleft(shiftrightunsigned(xxhash64(tok), {g * 4 + j})"
-                 f" & 1L, {16 * j})" for j in range(4)]
+    for g in range(n_groups):
+        terms = [f"shiftleft(shiftrightunsigned(xxhash64(tok), {g * 3 + j})"
+                 f" & 1L, {16 * j})" for j in range(min(3, 64 - g * 3))]
         packs.append(f"'p{g}', acc.p{g} + {_sql_btree(terms, '+')}")
     merge = "named_struct(" + ", ".join(packs) + ", 'n', acc.n + 1L)"
     agg = (f"aggregate(filter(split({text_col}, '\\\\s+'), x -> x != ''), "
            f"{zero}, (acc, tok) -> {merge})")
     withacc = df.selectExpr(f"{id_col} AS id", f"{agg} AS acc")
-    bits = [f"(case when 2 * (shiftrightunsigned(acc.p{k // 4}, {16 * (k % 4)})"
+    bits = [f"(case when 2 * (shiftrightunsigned(acc.p{k // 3}, {16 * (k % 3)})"
             f" & 65535L) - acc.n > 0 then shiftleft(1L, {k}) else 0L end)"
             for k in range(64)]
     fp = _sql_btree(bits, "|")
     # Runtime guard for the 16-bit packing: a doc with > 65535 tokens
     # would carry a bit-counter into the adjacent field and silently
-    # corrupt the fingerprint. assert_true() is NULL when the predicate
-    # holds and raises executor-side otherwise, so the guard costs one
-    # comparison per doc and fails loudly, not silently.
-    guard = ("assert_true(acc.n <= 65535L, concat("
-             "'simhash_fingerprints_jvm: doc ', cast(id AS string), "
-             "' has > 65535 tokens — packed 16-bit bit-vote counters "
-             "would overflow; split the doc or use the unpacked "
-             "simhash64 pandas kernel'))")
+    # corrupt the fingerprint. The guard must be a CASE whose branches
+    # DIFFER: an `if(isnull(assert_true(..)), fp, fp)` form is folded
+    # away by SimplifyConditionals (both branches identical), deleting
+    # the assert from the optimized plan — so overflow would corrupt
+    # silently, the exact failure this guard exists to make loud.
+    err = ("raise_error(concat("
+           "'simhash_fingerprints_jvm: doc ', cast(id AS string), "
+           "' has ', cast(acc.n AS string), ' > 65535 tokens — packed "
+           "16-bit bit-vote counters would overflow; split the doc or "
+           "use the unpacked simhash64 pandas kernel'))")
     return withacc.selectExpr(
-        "id", f"cast(if(isnull({guard}), {fp}, {fp}) AS long) AS fp")
+        "id",
+        f"case when acc.n > 65535L then cast({err} AS long) "
+        f"else cast({fp} AS long) end AS fp")
 
 
 #: Single-slot fingerprint-cache ownership (see simhash_near_duplicates).
-_LAST_FP_CACHE: DataFrame | None = None
+_FP_SLOT = CacheSlot()
 
 
 def simhash_near_duplicates(df: DataFrame, id_col: str, text_col: str,
@@ -296,11 +310,7 @@ def simhash_near_duplicates(df: DataFrame, id_col: str, text_col: str,
     # fingerprint table (the returned DF is lazy, so the call itself
     # cannot know when its own join has materialized), bounding executor
     # storage to one fingerprint table regardless of invocation count.
-    fp = fp.cache()
-    global _LAST_FP_CACHE
-    if _LAST_FP_CACHE is not None:
-        _LAST_FP_CACHE.unpersist(blocking=False)
-    _LAST_FP_CACHE = fp
+    fp = _FP_SLOT.own(fp)
     # Materialize the cache BEFORE the self-join: left lazy, the join's
     # two scan legs race on the unmaterialized blocks and each computes
     # the fingerprint fold, doubling the most expensive stage. count()

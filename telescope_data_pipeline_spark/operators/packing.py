@@ -30,7 +30,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .cache_slot import CacheSlot
+
 __all__ = ["pack_greedy"]
+
+#: Bounded cache: one placed table per session, not one per invocation
+#: (round-3 ADVICE — the cache() below was never unpersisted).
+_SLOT = CacheSlot()
 
 
 def pack_greedy(df: DataFrame, order_col: str, len_col: str,
@@ -89,7 +95,7 @@ def pack_greedy(df: DataFrame, order_col: str, len_col: str,
               .repartitionByRange(n, F.col(order_col))
               .sortWithinPartitions(order_col)
               .withColumn("_pid", F.spark_partition_id()))
-    placed = ranged.mapInPandas(place_local, schema=local_schema).cache()
+    placed = _SLOT.own(ranged.mapInPandas(place_local, schema=local_schema))
     placed.count()  # both consumers below must see one materialization
 
     # Exact driver fold: cumulative window counts over ≤ n shard

@@ -25,8 +25,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .cache_slot import CacheSlot
 
 __all__ = ["distributed_prefix_sum"]
+
+#: Bounded cache: one range-partitioned table per session, not one per
+#: invocation (round-3 ADVICE — the cache() below was never unpersisted).
+_SLOT = CacheSlot()
+
+_INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+_FLOATING = (T.FloatType, T.DoubleType)
 
 
 def distributed_prefix_sum(df: DataFrame, order_col: str, value_col: str,
@@ -41,21 +51,35 @@ def distributed_prefix_sum(df: DataFrame, order_col: str, value_col: str,
     """
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
+    # Offset type follows the value column: integral columns accumulate
+    # into long, float/double into double (a hardcoded `long` schema made
+    # createDataFrame reject float subtotals — round-3 ADVICE).
+    vt = df.schema[value_col].dataType
+    if isinstance(vt, _INTEGRAL):
+        off_type, zero = "long", 0
+    elif isinstance(vt, _FLOATING):
+        off_type, zero = "double", 0.0
+    else:
+        raise TypeError(
+            f"distributed_prefix_sum: value column {value_col!r} has type "
+            f"{vt.simpleString()}; only integral and float/double columns "
+            f"are supported (cast decimals explicitly to pick a semantics)")
     ranged = (df.repartitionByRange(n, F.col(order_col))
               .sortWithinPartitions(order_col)
               .withColumn("_pid", F.spark_partition_id()))
     # Two passes must see identical partitioning; cache + materialize
     # (spark_partition_id is otherwise free to differ between jobs).
-    ranged = ranged.cache()
+    # Single-slot ownership bounds storage across repeated invocations.
+    ranged = _SLOT.own(ranged)
     ranged.count()
     subtotals = (ranged.groupBy("_pid")
                  .agg(F.sum(value_col).alias("_s"))
                  .orderBy("_pid").collect())
-    offsets, acc = [], 0
+    offsets, acc = [], zero
     for r in subtotals:
         offsets.append((r["_pid"], acc))
-        acc += r["_s"] or 0
-    off = spark.createDataFrame(offsets, schema="_pid int, _off long")
+        acc += r["_s"] or zero
+    off = spark.createDataFrame(offsets, schema=f"_pid int, _off {off_type}")
     local = (W.partitionBy("_pid").orderBy(order_col)
              .rowsBetween(W.unboundedPreceding, W.currentRow))
     return (ranged.join(F.broadcast(off), "_pid")

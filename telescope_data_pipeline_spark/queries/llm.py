@@ -863,13 +863,12 @@ def q_mix_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale note: rank-within-language needs a per-language sort, and
     with ~5 languages that is 5 giant sort partitions — fine here,
-    skewed at 100 TB. The corpus-scale form drops the rank and
-    thresholds on the hash VALUE itself (keep rows where
-    ``md5(id) < chr(floor(frac * 16))``-style cutoffs, or compare
-    against a per-language quantile of the digest computed with
-    approx_percentile): one scan, no sort, no skew, fraction accurate
-    to the digest's uniformity. The rank form is kept for the oracle
-    because it is exact at any fraction."""
+    skewed at 100 TB. The corpus-scale form is q_mix_corpus_hash /
+    operators/mixing.py::mix_by_hash, which drops the rank and
+    thresholds on the hash VALUE itself: one scan, no sort, no
+    Exchange, fraction accurate to the digest's uniformity. This rank
+    form is kept because it is exact at any fraction and anchors the
+    tolerance test for the hash form."""
     d = load_table(spark, sf_dir, "documents")
     wrk = W.partitionBy("lang").orderBy(
         F.md5(F.col("doc_id").cast("string")), "doc_id")
@@ -880,6 +879,32 @@ def q_mix_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("lang_n", F.count(F.lit(1)).over(wn))
             .filter(F.col("rk") <= F.ceil(F.col("lang_n") * frac))
             .select("doc_id", "lang", "rk"))
+
+
+@query("q_mix_corpus_hash", oracle=r"""
+SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS digest
+FROM documents
+WHERE md5(CAST(doc_id AS VARCHAR)) <
+      CASE WHEN lang = 'en' THEN '80000000000000000000000000000000'
+           ELSE '40000000000000000000000000000000' END
+""")
+def q_mix_corpus_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixing, 100 TB form (operators/mixing.py::mix_by_hash):
+    the same en-50%/others-25% mixture as q_mix_corpus, selected by
+    thresholding the md5 digest VALUE instead of ranking within each
+    language — a pure scan+filter with NO Exchange in the plan (the
+    rank form sorts each language in a single partition; ~5 languages
+    means ~5 tasks carrying the whole corpus). Selected counts are
+    binomial around frac*n — exact enough at corpus scale (relative
+    error ~ 1/sqrt(n)) and tested against the exact rank form — while
+    the draw stays deterministic, content-addressed, and engine-portable
+    (equal-length lowercase hex compares as its numeric value, so the
+    DuckDB oracle runs the identical predicate)."""
+    from ..operators.mixing import mix_by_hash
+
+    d = load_table(spark, sf_dir, "documents")
+    return mix_by_hash(d.select("doc_id", "lang"), "doc_id", "lang",
+                       fractions={"en": 0.5}, default_fraction=0.25)
 
 
 @query("q_pack_greedy", oracle=None)  # sequential greedy: golden-tested,

@@ -82,49 +82,12 @@ def run_multi_sink(stream: DataFrame, out_dir: str, checkpoint_dir: str):
 
     def write_all(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.cache()  # four consumers, one materialization
-        batch_df.write.mode("append").parquet(f"{out_dir}/raw")
-        (batch_df.groupBy("event_type")
-         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
-         .withColumn("batch_id", F.lit(batch_id))
-         .write.mode("append").option("header", True).csv(f"{out_dir}/summary"))
-        # TXT diagnostics line (reference write_txt analog, p_io.py:121-154)
-        (batch_df.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.min("value"), 4).alias("vmin"),
-            F.round(F.max("value"), 4).alias("vmax"),
-            F.round(F.median("value"), 4).alias("vmed"))
-         .select(F.concat_ws(
-             "", F.lit(f"batch {batch_id}: n="), F.col("n").cast("string"),
-             F.lit(" value[min,max,med]=["), F.col("vmin").cast("string"),
-             F.lit(","), F.col("vmax").cast("string"),
-             F.lit(","), F.col("vmed").cast("string"), F.lit("]"))
-             .alias("value"))
-         .write.mode("append").text(f"{out_dir}/diag_txt"))
-        # PDF diagnostics page: hour-of-day x value-bucket occupancy
-        # heatmap, computed relationally (<= 480 cells collected)
-        import numpy as np
-
-        from ..sources.pdf import MiniPdf, zscale_stretch
-
-        cells = (batch_df
-                 .select(F.hour("ts").alias("h"),
-                         F.least(F.lit(19), F.floor(F.col("value") / 50)
-                                 .cast("int")).alias("vb"))
-                 .groupBy("h", "vb").count().collect())
-        grid = np.zeros((20, 24))
-        for r in cells:
-            if r["h"] is not None and r["vb"] is not None and r["vb"] >= 0:
-                grid[r["vb"], r["h"]] = r["count"]
-        pdf = MiniPdf()
-        pdf.new_page()
-        pdf.text(54, 738, f"micro-batch {batch_id}: event occupancy "
-                          "(x: hour of day, y: value bucket)", size=12)
-        u8, vmin, vmax = zscale_stretch(grid)
-        pdf.image(u8, 54, 300, 480, 400)
-        pdf.rect(54, 300, 480, 400)
-        pdf.colorbar(546, 300, 14, 400, vmin, vmax)
-        pdf.write(f"{out_dir}/diag_batch_{batch_id}.pdf")
-        batch_df.unpersist()
+        try:
+            _write_all_sinks(batch_df, batch_id, out_dir)
+        finally:
+            # unpersist unconditionally: a failing sink must not leak the
+            # cached micro-batch for the stream's lifetime (round-3 ADVICE)
+            batch_df.unpersist()
 
     return (
         stream.writeStream
@@ -133,6 +96,51 @@ def run_multi_sink(stream: DataFrame, out_dir: str, checkpoint_dir: str):
         .trigger(availableNow=True)
         .start()
     )
+
+
+def _write_all_sinks(batch_df: DataFrame, batch_id: int, out_dir: str) -> None:
+    batch_df.write.mode("append").parquet(f"{out_dir}/raw")
+    (batch_df.groupBy("event_type")
+     .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+     .withColumn("batch_id", F.lit(batch_id))
+     .write.mode("append").option("header", True).csv(f"{out_dir}/summary"))
+    # TXT diagnostics line (reference write_txt analog, p_io.py:121-154)
+    (batch_df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("value"), 4).alias("vmin"),
+        F.round(F.max("value"), 4).alias("vmax"),
+        F.round(F.median("value"), 4).alias("vmed"))
+     .select(F.concat_ws(
+         "", F.lit(f"batch {batch_id}: n="), F.col("n").cast("string"),
+         F.lit(" value[min,max,med]=["), F.col("vmin").cast("string"),
+         F.lit(","), F.col("vmax").cast("string"),
+         F.lit(","), F.col("vmed").cast("string"), F.lit("]"))
+         .alias("value"))
+     .write.mode("append").text(f"{out_dir}/diag_txt"))
+    # PDF diagnostics page: hour-of-day x value-bucket occupancy
+    # heatmap, computed relationally (<= 480 cells collected)
+    import numpy as np
+
+    from ..sources.pdf import MiniPdf, zscale_stretch
+
+    cells = (batch_df
+             .select(F.hour("ts").alias("h"),
+                     F.least(F.lit(19), F.floor(F.col("value") / 50)
+                             .cast("int")).alias("vb"))
+             .groupBy("h", "vb").count().collect())
+    grid = np.zeros((20, 24))
+    for r in cells:
+        if r["h"] is not None and r["vb"] is not None and r["vb"] >= 0:
+            grid[r["vb"], r["h"]] = r["count"]
+    pdf = MiniPdf()
+    pdf.new_page()
+    pdf.text(54, 738, f"micro-batch {batch_id}: event occupancy "
+                      "(x: hour of day, y: value bucket)", size=12)
+    u8, vmin, vmax = zscale_stretch(grid)
+    pdf.image(u8, 54, 300, 480, 400)
+    pdf.rect(54, 300, 480, 400)
+    pdf.colorbar(546, 300, 14, 400, vmin, vmax)
+    pdf.write(f"{out_dir}/diag_batch_{batch_id}.pdf")
 
 
 def purchase_error_join(stream: DataFrame, within: str = "24 hours",

@@ -199,3 +199,45 @@ def test_ivf_full_probe_is_exact(spark, vecs):
     want = {(r.query_id, r.cand_id, r.rank)
             for r in get("q_sim_topk").fn(spark, SF).collect()}
     assert got == want
+
+
+def test_simhash_overflow_guard_raises(spark):
+    """The packed 16-bit bit-vote counters saturate past 65535 tokens per
+    doc; the guard must raise, not silently corrupt. Regression: the old
+    if(isnull(assert_true(..)), fp, fp) form had IDENTICAL branches, so
+    SimplifyConditionals folded the assert out of the optimized plan and
+    overflow was silent (round-3 ADVICE)."""
+    from telescope_data_pipeline_spark.operators.dedup import (
+        simhash_fingerprints_jvm,
+    )
+
+    ok = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    assert simhash_fingerprints_jvm(ok, "doc_id", "text").count() == 1
+
+    big = spark.createDataFrame([(2, "tok " * 65536)],
+                                "doc_id long, text string")
+    with pytest.raises(Exception, match="65535 tokens"):
+        simhash_fingerprints_jvm(big, "doc_id", "text").collect()
+
+
+def test_ivf_cell_assigner_matches_scalar_kernel(spark, vecs):
+    """The batch-matmul assigner must produce the exact assignments of
+    the per-row scalar kernel it replaced (same distances up to fp
+    rounding far above tie resolution on real embeddings)."""
+    import numpy as np
+
+    from telescope_data_pipeline_spark.operators.similarity import (
+        _cell_assigner,
+        train_centroids,
+    )
+
+    cents = train_centroids(vecs, n_centroids=16)
+    rows = vecs.select("vec_id", "embedding").orderBy("vec_id")
+    got = (rows.withColumn("cells", _cell_assigner(cents, 4)("embedding"))
+           .select("vec_id", "cells").collect())
+    want = {}
+    for r in rows.collect():
+        a = np.asarray(r["embedding"], dtype=np.float64)
+        d2 = ((cents - a) ** 2).sum(axis=1)
+        want[r["vec_id"]] = list(np.argsort(d2, kind="stable")[:4])
+    assert {r["vec_id"]: list(r["cells"]) for r in got} == want

@@ -183,3 +183,106 @@ def test_pack_greedy_rejects_oversized(spark):
     with pytest.raises(Exception, match="exceeds the window budget"):
         pack_greedy(t, "doc_id", "n_tok", budget=512,
                     num_partitions=2).collect()
+
+
+def test_distributed_prefix_sum_double_column(spark):
+    """The offset type follows the value column: a DoubleType input must
+    work (a hardcoded long offset schema rejected float subtotals —
+    round-3 ADVICE) and match the global-window reference."""
+    from pyspark.sql import Window as W
+
+    from telescope_data_pipeline_spark.operators.prefix_sum import (
+        distributed_prefix_sum,
+    )
+
+    t = (spark.read.parquet(f"{SF}/documents.parquet")
+         .select("doc_id", (F.length("text") / 7.0).alias("v")))
+    got = (distributed_prefix_sum(t, "doc_id", "v", num_partitions=5)
+           .toPandas().sort_values("doc_id").reset_index(drop=True))
+    wref = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    want = (t.withColumn("cum", F.sum("v").over(wref))
+            .toPandas().sort_values("doc_id").reset_index(drop=True))
+    assert (abs(got["cum"] - want["cum"]) < 1e-6).all()
+
+    with pytest.raises(TypeError, match="only integral and float/double"):
+        distributed_prefix_sum(
+            t.withColumn("v", F.col("v").cast("decimal(20,4)")),
+            "doc_id", "v")
+
+
+def test_prefix_sum_and_packing_caches_are_bounded(spark):
+    """Repeated invocations must not accumulate cached tables: both
+    operators own a single cache slot (round-3 ADVICE / VERDICT item 4)."""
+    from telescope_data_pipeline_spark.operators.packing import pack_greedy
+    from telescope_data_pipeline_spark.operators.prefix_sum import (
+        distributed_prefix_sum,
+    )
+
+    t = (spark.read.parquet(f"{SF}/documents.parquet")
+         .select("doc_id", F.length("text").alias("v")))
+
+    def n_cached() -> int:
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    distributed_prefix_sum(t, "doc_id", "v", num_partitions=3).count()
+    pack_greedy(t, "doc_id", "v", budget=4096, num_partitions=3).count()
+    after_first = n_cached()
+    for _ in range(3):
+        distributed_prefix_sum(t, "doc_id", "v", num_partitions=3).count()
+        pack_greedy(t, "doc_id", "v", budget=4096, num_partitions=3).count()
+    assert n_cached() <= after_first
+
+
+def test_mix_by_hash_tracks_exact_rank_form(spark):
+    """Hash-threshold mixing (the 100 TB form) selects per-language
+    counts within binomial tolerance of the exact rank form, stays
+    deterministic across runs, and its plan has NO Exchange at all —
+    the whole point versus the per-language sort of the rank form."""
+    import math
+
+    sf = "/root/testdata/sf0.01"
+    got = QS["q_mix_corpus_hash"].fn(spark, sf).toPandas()
+    exact = QS["q_mix_corpus"].fn(spark, sf).toPandas()
+    totals = (spark.read.parquet(f"{sf}/documents.parquet")
+              .groupBy("lang").count().toPandas().set_index("lang")["count"])
+    got_n = got.groupby("lang").size()
+    exact_n = exact.groupby("lang").size()
+    for lang, n in totals.items():
+        frac = 0.5 if lang == "en" else 0.25
+        sigma = math.sqrt(n * frac * (1 - frac))
+        assert abs(got_n.get(lang, 0) - exact_n.get(lang, 0)) <= 4 * sigma, \
+            f"{lang}: hash={got_n.get(lang, 0)} exact={exact_n.get(lang, 0)}"
+
+    again = QS["q_mix_corpus_hash"].fn(spark, sf).toPandas()
+    assert set(map(tuple, got.values)) == set(map(tuple, again.values))
+
+    plan = (QS["q_mix_corpus_hash"].fn(spark, sf)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan, f"mix_by_hash plan shuffles:\n{plan}"
+
+
+def test_mix_by_hash_is_monotone_under_corpus_growth(spark):
+    """Content addressing: selection of a doc depends only on its own
+    id, so restricting the corpus never changes who is selected —
+    backfills and incremental ingests draw consistently."""
+    from telescope_data_pipeline_spark.operators.mixing import mix_by_hash
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "lang")
+    full = {r["doc_id"] for r in
+            mix_by_hash(d, "doc_id", "lang", {"en": 0.5}, 0.25).collect()}
+    half = d.filter(F.col("doc_id") % 2 == 0)
+    sub = {r["doc_id"] for r in
+           mix_by_hash(half, "doc_id", "lang", {"en": 0.5}, 0.25).collect()}
+    assert sub == {i for i in full if i % 2 == 0}
+
+
+def test_hash_fraction_threshold_edges():
+    from telescope_data_pipeline_spark.operators.mixing import (
+        hash_fraction_threshold,
+    )
+
+    assert hash_fraction_threshold(0.0) == "0" * 32
+    assert hash_fraction_threshold(0.5) == "8" + "0" * 31
+    assert hash_fraction_threshold(1.0) == "f" * 32
+    with pytest.raises(ValueError):
+        hash_fraction_threshold(1.5)
