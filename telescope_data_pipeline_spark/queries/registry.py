@@ -44,46 +44,41 @@ class Query:
 _REGISTRY: dict[str, Query] = {}
 
 #: The driver's correctness gate checks queries in ``queries()`` dict
-#: order and stops after the first 50 entries. Round-3 rotation: the 16
-#: oracle queries with no green row across rounds 1-2 (2 round-2 hash
-#: failures now fixed + 14 that never fit inside a window) come first,
-#: then a representative spread of previously-green queries from every
-#: family so regressions stay visible, then one rows-only §2.10 demo
-#: (q_pipeline_residuals) to close its evidence gap — exactly 50.
-#: Everything else follows in registration order — oracle queries before
-#: rows-only demos — so a larger window still checks the strongest
-#: evidence first.
+#: order and stops after the first 50 entries. Round-4 rotation: the
+#: goal is rolling two-round coverage — every oracle query green in
+#: r3 ∪ r4. Round 3's window verified 49 queries (all green); this
+#: window carries the 51 queries whose newest driver-green row is r1/r2
+#: plus the one new round-4 query (q_mix_corpus_hash) = 52 candidates
+#: for 50 slots. Two r2-green, trivial, family-covered queries sit out
+#: (q_union_all — setops covered by q_intersect/q_except in-window;
+#: q_filter_eq — filters covered by q_filter_threshold/q_map_filter);
+#: both also pass the local sf0.01+sf0.1 sweep this round. Order:
+#: never-verified first, then oldest evidence (r1 greens), then r2.
+#: Everything else follows in registration order — oracle queries
+#: before rows-only demos — so a larger window still checks the
+#: strongest evidence first.
 PRIORITY: tuple[str, ...] = (
-    # (a) never driver-verified: 2 round-2 parity fixes first, then the
-    # 14 queries that sat at positions 51+ in rounds 1-2
-    "q_scalar_math", "q_scalar_round",
-    "q_tfidf", "q_cluster_components", "q_histogram", "q_cohort_retention",
-    "q_zscore", "q_phase_fold", "q_join_knn", "q_partition_overwrite",
-    "q_scan_json", "q_scalar_string2", "q_scalar_date2", "q_posexplode",
-    "q_union_distinct", "q_scalar_bits",
-    # (a2) new round-3 queries needing first-time evidence
-    "q_split_assign", "q_pack_sequences", "q_doc_chunks",
-    "q_unigram_logprob", "q_mix_corpus",
-    # (b) previously-green representatives, one-or-more per family
-    # (SURVEY §2.1-2.9 + LLM ops) — keeps regression visibility while
-    # the demoted greens rotate back in future rounds (q_map_filter,
-    # q_window_ntile, q_intersect rotated out this round to make room
-    # for (a2); each is multiply covered by its family's remaining
-    # representatives and has green rows from rounds 1-2)
-    "q_project", "q_filter_range", "q_case_when",
-    "q_json_extract", "q_scan_csv",
-    "q_join_nn", "q_join_inner", "q_join_broadcast", "q_join_asof",
-    "q_join_salted",
-    "q_flagship", "q_agg_mean", "q_agg_sigclip", "q_agg_groupby",
-    "q_agg_percentile", "q_agg_salted",
-    "q_window_trim", "q_topk_per_group",
-    "q_sort",
-    "q_stream_tumbling", "q_stream_session",
-    "q_dedup_exact", "q_ngram_jaccard", "q_sim_bucketed", "q_text_redact",
-    "q_decontaminate",
-    "q_annulus_background", "q_color_index",
-    # (c) §2.10 residual-diagnostics demo, rows-only (VERDICT r2 item 4)
-    "q_pipeline_residuals",
+    # (a) first-time evidence: new round-4 scale-safe corpus mixer
+    "q_mix_corpus_hash",
+    # (b) last green in r1 — aggregates, joins, LLM text ops
+    "q_agg_count", "q_agg_median", "q_agg_distinct", "q_agg_rollup",
+    "q_agg_cube", "q_diag_stats", "q_pivot", "q_agg_stats2",
+    "q_agg_collect", "q_grouping_sets",
+    "q_join_left", "q_join_semi", "q_join_anti", "q_join_range",
+    "q_join_full", "q_join_cross", "q_join_nn2d",
+    "q_dedup_tokenset", "q_sim_topk", "q_text_stats", "q_doc_quality",
+    "q_lang_id", "q_token_topk", "q_dedup_embed", "q_dedup_apply",
+    "q_token_bpe",
+    # (c) last green in r2 — analysis, relational, scalars, setops,
+    # windows, streaming-batch
+    "q_events_funnel", "q_merge_upsert", "q_gap_fill", "q_window_ntile",
+    "q_doc_repetition",
+    "q_filter_threshold", "q_map_filter", "q_subquery_scalar",
+    "q_sql_api", "q_scan_orc",
+    "q_scalar_string", "q_scalar_date", "q_array_ops", "q_scalar_null",
+    "q_intersect", "q_except", "q_topk", "q_stream_sliding",
+    "q_window_lag", "q_window_rolling", "q_window_rank",
+    "q_window_firstlast", "q_window_range",
 )
 
 
