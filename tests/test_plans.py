@@ -156,6 +156,32 @@ def test_sim_bucketed_no_nested_loop(spark):
                 absent=("BroadcastNestedLoopJoin", "CartesianProduct"))
 
 
+def test_pack_sequences_no_single_partition_exchange(spark):
+    """Sequence packing must run the cumulative sum as the distributed
+    two-phase prefix scan — a bare orderBy window would plan an
+    `Exchange SinglePartition` and ship the whole corpus to one task at
+    100 TB. The final window must be keyed by the partition id (spread
+    over the hash partitioning), never a global sort."""
+    from telescope_data_pipeline_spark.plans.audit import physical_plan
+    from telescope_data_pipeline_spark.queries import get
+
+    df = get("q_pack_sequences").fn(spark, SF)
+    df.collect()  # finalize AQE
+    plan = physical_plan(df)
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "hashpartitioning(_pid" in plan, plan
+
+
+def test_mix_by_hash_zero_exchange(spark):
+    """The 100 TB corpus-mixing form is a pure scan+filter: any Exchange
+    in this plan means the per-language sort crept back in."""
+    from telescope_data_pipeline_spark.plans.audit import physical_plan
+    from telescope_data_pipeline_spark.queries import get
+
+    plan = physical_plan(get("q_mix_corpus_hash").fn(spark, SF))
+    assert "Exchange" not in plan, plan
+
+
 def test_cluster_dedup_path_no_nested_loop(spark):
     """A 100 TB dedup run reaches connected components only through
     banded candidates: the full chain (MinHash-LSH edges -> label
