@@ -8,10 +8,12 @@ only read by the decode stage (columnar formats make this free).
 
 Decode / feature-extract run as ``mapInPandas`` over Arrow batches:
 one Python crossing per batch, not per row, and each output row stays
-with its input partition (no shuffle). The actual codecs (PIL/ffmpeg/
-librosa) are NOT in this container, so the decode kernels are stubbed
-behind ``_require_codec`` — the Spark-side contract (schemas, batch
-iteration, partitioning) is real and tested with the deterministic fake.
+with its input partition (no shuffle). ``decode_image``/``decode_audio``
+dispatch to real codecs (PIL / soundfile) when installed, and to
+deterministic stubs otherwise — the dev container has neither, so the
+Spark-side contract (schemas, batch iteration, partitioning) is tested
+with the fakes and the real path is covered by skipped-unless-installed
+tests.
 """
 
 from __future__ import annotations
@@ -47,17 +49,53 @@ class CodecUnavailable(NotImplementedError):
     """Raised when a real decoder is required but not installed."""
 
 
+# Optional real decoders: probed once per Python worker at module import
+# (the kernels below close over module functions, so executors resolve
+# the same dispatch). Absent libraries leave the deterministic stubs in
+# charge — the container this repo is developed in has neither.
+try:  # pragma: no cover - exercised only where PIL is installed
+    from PIL import Image as _pil_image
+except ImportError:
+    _pil_image = None
+
+try:  # pragma: no cover - exercised only where soundfile is installed
+    import soundfile as _soundfile
+except ImportError:
+    _soundfile = None
+
+
 def _decode_image_stub(payload: bytes) -> np.ndarray:
     """STUB decoder — deterministic fake in place of PIL/libjpeg.
 
-    Real deployment: ``PIL.Image.open(io.BytesIO(payload))``. Here the
-    payload bytes are interpreted as a seed so tests are reproducible.
+    The payload bytes are interpreted as a seed so tests are
+    reproducible regardless of installed codecs.
     """
     if payload is None:
         raise CodecUnavailable("no payload")
     seed = int.from_bytes(payload[:8].ljust(8, b"\0"), "little") & 0x7FFFFFFF
     rng = np.random.default_rng(seed)
     return rng.integers(0, 255, size=(16, 16), dtype=np.uint8).astype(np.float32)
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Decode an encoded image payload to a float32 grayscale array.
+
+    Dispatch: PIL when installed (any format libjpeg/libpng handle),
+    falling back to the deterministic stub when PIL is absent OR the
+    payload is not a real encoded image (so synthetic fixtures keep
+    working in mixed environments — a production corpus of valid
+    payloads always takes the real path)."""
+    if payload is None:
+        raise CodecUnavailable("no payload")
+    if _pil_image is not None:
+        import io
+
+        try:
+            with _pil_image.open(io.BytesIO(bytes(payload))) as im:
+                return np.asarray(im.convert("L"), dtype=np.float32)
+        except Exception:
+            pass  # not a decodable image: synthetic fixture payload
+    return _decode_image_stub(payload)
 
 
 def extract_image_features(media: DataFrame, batch_size_hint: int = 256) -> DataFrame:
@@ -73,7 +111,7 @@ def extract_image_features(media: DataFrame, batch_size_hint: int = 256) -> Data
         for pdf in batches:
             feats, means, nbytes = [], [], []
             for payload in pdf["payload"]:
-                arr = _decode_image_stub(payload)
+                arr = decode_image(payload)
                 # 8-bin intensity histogram as the stand-in embedding; a
                 # real model would run here (ONNX/torch on the executor).
                 hist, _ = np.histogram(arr, bins=8, range=(0, 255))
@@ -137,8 +175,7 @@ _AUDIO_SR = 1000  # stub sample rate (Hz); real deployment reads the header
 def _decode_audio_stub(payload: bytes, duration_s: float) -> np.ndarray:
     """STUB decoder — deterministic fake PCM in place of libsndfile/ffmpeg.
 
-    Real deployment: ``soundfile.read(io.BytesIO(payload))``. Here the
-    payload seeds a reproducible waveform of ``duration_s * _AUDIO_SR``
+    The payload seeds a reproducible waveform of ``duration_s * _AUDIO_SR``
     samples so the windowing math downstream is real and testable.
     """
     if payload is None:
@@ -152,6 +189,29 @@ def _decode_audio_stub(payload: bytes, duration_s: float) -> np.ndarray:
             + 0.1 * rng.standard_normal(n)).astype(np.float32)
 
 
+def decode_audio(payload: bytes, duration_s: float) -> tuple[np.ndarray, int]:
+    """Decode an audio payload to ``(float32 mono wave, sample_rate)``.
+
+    Dispatch mirrors :func:`decode_image`: libsndfile via ``soundfile``
+    when installed and the payload parses (WAV/FLAC/OGG…), else the
+    deterministic stub at ``_AUDIO_SR`` — so synthetic fixtures stay
+    valid in environments that do have the codec."""
+    if payload is None:
+        raise CodecUnavailable("no payload")
+    if _soundfile is not None:
+        import io
+
+        try:
+            data, sr = _soundfile.read(io.BytesIO(bytes(payload)),
+                                       dtype="float32")
+            if data.ndim > 1:
+                data = data.mean(axis=1)
+            return np.asarray(data, dtype=np.float32), int(sr)
+        except Exception:
+            pass  # not a decodable payload: synthetic fixture
+    return _decode_audio_stub(payload, duration_s), _AUDIO_SR
+
+
 def extract_audio_features(media: DataFrame,
                            window_s: float = 0.5) -> DataFrame:
     """Audio feature extraction: decode -> fixed-length windows -> RMS
@@ -163,7 +223,6 @@ def extract_audio_features(media: DataFrame,
     """
     audio = media.filter(F.col("modality") == "audio") \
                  .select("media_id", "duration_s", "payload")
-    win = max(int(round(window_s * _AUDIO_SR)), 1)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -172,14 +231,15 @@ def extract_audio_features(media: DataFrame,
             for media_id, dur, payload in zip(pdf["media_id"],
                                               pdf["duration_s"],
                                               pdf["payload"]):
-                wave = _decode_audio_stub(payload, dur)
+                wave, sr = decode_audio(payload, dur)
+                win = max(int(round(window_s * sr)), 1)
                 n_win = max(int(np.ceil(wave.size / win)), 1)
                 for w in range(n_win):
                     seg = wave[w * win: (w + 1) * win]
                     signs = np.signbit(seg)
                     out["media_id"].append(media_id)
                     out["window_idx"].append(w)
-                    out["t_start_s"].append(w * win / _AUDIO_SR)
+                    out["t_start_s"].append(w * win / sr)
                     out["rms"].append(float(np.sqrt(np.mean(seg ** 2))))
                     out["zcr"].append(
                         float(np.mean(signs[1:] != signs[:-1]))

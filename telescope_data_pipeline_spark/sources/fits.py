@@ -6,11 +6,11 @@ astropy and pulls HDU-1 pixels + header. Spark-first form: a
 predicate pushdown on path/modificationTime) followed by a
 ``mapInPandas`` decode into schemas.IMAGE.
 
-astropy is not in this container, so the byte-level FITS parse is
-stubbed behind ``_decode_fits``; the stub understands the minimal
-header-card + big-endian float payload layout written by
-``write_fake_fits`` below, keeping the scan→decode→IMAGE plumbing fully
-real and testable. Swapping in astropy changes only ``_decode_fits``.
+``_decode_fits`` dispatches to astropy when installed (real FITS
+files), falling back to the minimal header-card + big-endian float
+container written by ``write_fake_fits`` below — astropy is absent in
+the dev container, so tests exercise the fake path; the scan→decode→
+IMAGE plumbing is identical either way.
 """
 
 from __future__ import annotations
@@ -28,6 +28,11 @@ from ..schemas import IMAGE
 
 _MAGIC = b"TDPS-FAKE-FITS-1"
 
+try:  # pragma: no cover - exercised only where astropy is installed
+    from astropy.io import fits as _astropy_fits
+except ImportError:
+    _astropy_fits = None
+
 
 def write_fake_fits(path: str, pixels: np.ndarray, header: dict[str, str]) -> None:
     """Minimal deterministic stand-in container: magic, header cards
@@ -43,7 +48,26 @@ def write_fake_fits(path: str, pixels: np.ndarray, header: dict[str, str]) -> No
 
 
 def _decode_fits(content: bytes) -> tuple[np.ndarray, dict[str, str]]:
-    """STUB decoder (real deployment: astropy.io.fits.open)."""
+    """Decode FITS bytes to ``(2-D pixels, header dict)``.
+
+    Real standard-conformant files ("SIMPLE  =" magic, reference
+    core.py:18-50 reads them with astropy) go through astropy when it
+    is installed; the fake container written by :func:`write_fake_fits`
+    always parses via the byte-level stub. A real FITS file in an
+    environment without astropy raises, and the scan's failure-path
+    rule drops (production: quarantines) the file.
+    """
+    if _astropy_fits is not None and content[:6] == b"SIMPLE":
+        with _astropy_fits.open(io.BytesIO(content)) as hdul:
+            hdu = next((h for h in hdul
+                        if h.data is not None and h.data.ndim == 2), None)
+            if hdu is None:
+                raise ValueError("no 2-D image HDU")
+            header = {k: str(v) for k, v in hdu.header.items()
+                      if k not in ("HISTORY", "COMMENT", "")}
+            return np.asarray(hdu.data, dtype=np.float32), header
+    if _astropy_fits is None and content[:6] == b"SIMPLE":
+        raise ValueError("real FITS file but astropy is not installed")
     buf = io.BytesIO(content)
     if buf.readline().strip() != _MAGIC:
         raise ValueError("not a TDPS fake FITS file")

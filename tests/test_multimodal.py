@@ -66,3 +66,62 @@ def test_audio_features_windows_and_determinism(spark):
     again = extract_audio_features(make_fake_media(spark, n=12),
                                    window_s=0.5).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_real_image_codec_path():
+    """Skipped unless PIL is installed: decode_image must take the real
+    path for a valid encoded image and return its actual pixels."""
+    import pytest
+
+    from telescope_data_pipeline_spark.operators import multimodal as mm
+
+    if mm._pil_image is None:
+        pytest.skip("PIL not installed: stub path covered elsewhere")
+    import io
+
+    import numpy as np
+
+    im = mm._pil_image.new("L", (4, 3))
+    im.putdata(list(range(12)))
+    buf = io.BytesIO()
+    im.save(buf, format="PNG")
+    arr = mm.decode_image(buf.getvalue())
+    assert arr.shape == (3, 4)
+    assert np.array_equal(arr.ravel(), np.arange(12, dtype=np.float32))
+
+
+def test_real_audio_codec_path():
+    """Skipped unless soundfile is installed: decode_audio must return
+    the real PCM and sample rate for a valid WAV payload."""
+    import pytest
+
+    from telescope_data_pipeline_spark.operators import multimodal as mm
+
+    if mm._soundfile is None:
+        pytest.skip("soundfile not installed: stub path covered elsewhere")
+    import io
+
+    import numpy as np
+
+    sr = 8000
+    wave = np.sin(2 * np.pi * 440 * np.arange(sr) / sr).astype(np.float32)
+    buf = io.BytesIO()
+    mm._soundfile.write(buf, wave, sr, format="WAV", subtype="FLOAT")
+    decoded, got_sr = mm.decode_audio(buf.getvalue(), duration_s=1.0)
+    assert got_sr == sr
+    assert np.allclose(decoded, wave, atol=1e-6)
+
+
+def test_invalid_payload_falls_back_to_stub():
+    """Synthetic (non-decodable) payloads must produce the deterministic
+    stub output in EVERY environment — with or without real codecs."""
+    import numpy as np
+
+    from telescope_data_pipeline_spark.operators import multimodal as mm
+
+    payload = bytes(range(64))
+    assert np.array_equal(mm.decode_image(payload),
+                          mm._decode_image_stub(payload))
+    wave, sr = mm.decode_audio(payload, duration_s=2.0)
+    assert sr == mm._AUDIO_SR
+    assert np.array_equal(wave, mm._decode_audio_stub(payload, 2.0))

@@ -271,3 +271,25 @@ def test_observe_metrics_on_pipeline_query(spark):
     n = observed.count()
     assert obs.get["n_rows"] == n > 0
     assert obs.get["qty_total"] > 0
+
+
+def test_real_fits_codec_path(spark, tmp_path):
+    """Skipped unless astropy is installed: a standard-conformant FITS
+    file must decode through astropy into the same IMAGE contract."""
+    import pytest
+
+    from telescope_data_pipeline_spark.sources import fits as fits_mod
+
+    if fits_mod._astropy_fits is None:
+        pytest.skip("astropy not installed: fake-container path covered elsewhere")
+    import numpy as np
+
+    px = np.arange(12, dtype=np.float32).reshape(3, 4)
+    hdu = fits_mod._astropy_fits.PrimaryHDU(px)
+    hdu.header["AIRMASS"] = 1.3
+    hdu.header["EXPTIME"] = 30.0
+    path = str(tmp_path / "real.fits")
+    hdu.writeto(path)
+    decoded, header = fits_mod._decode_fits(open(path, "rb").read())
+    assert np.array_equal(decoded, px)
+    assert float(header["AIRMASS"]) == 1.3
