@@ -21,6 +21,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 # Heavy/representative subset across operator families: joins, aggs,
 # windows, sessionization, NN join, similarity search, text ops.
+# The first 15 are the frozen round-2/3 comparison set (BASELINE.md);
+# q_pack_sequences and q_unigram_logprob are the round-4 set expansion
+# putting the packing and quality-scoring families under the perf
+# contract (per the round-2 precedent of documented expansions).
 HEADLINE = [
     "q_flagship",
     "q_agg_groupby",
@@ -37,6 +41,8 @@ HEADLINE = [
     "q_dedup_simhash",
     "q_annulus_background",
     "q_token_topk",
+    "q_pack_sequences",
+    "q_unigram_logprob",
 ]
 
 

@@ -67,11 +67,13 @@ def distributed_prefix_sum(df: DataFrame, order_col: str, value_col: str,
     ranged = (df.repartitionByRange(n, F.col(order_col))
               .sortWithinPartitions(order_col)
               .withColumn("_pid", F.spark_partition_id()))
-    # Two passes must see identical partitioning; cache + materialize
-    # (spark_partition_id is otherwise free to differ between jobs).
-    # Single-slot ownership bounds storage across repeated invocations.
+    # Two passes must see identical partitioning; cache so the second
+    # pass replays stored blocks (spark_partition_id is otherwise free
+    # to differ between jobs). The subtotal collect below is the first
+    # action over `ranged`, so it materializes every cached partition
+    # itself — a separate count() would just add a job. Single-slot
+    # ownership bounds storage across repeated invocations.
     ranged = _SLOT.own(ranged)
-    ranged.count()
     subtotals = (ranged.groupBy("_pid")
                  .agg(F.sum(value_col).alias("_s"))
                  .orderBy("_pid").collect())

@@ -82,7 +82,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic consecutive-id pairing; the MinHash-LSH operator uses
     the same measure over candidate pairs). array_intersect/union stay
     JVM-side — no Python in the loop."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", spread=True)
     toks = d.select("doc_id", F.array_distinct(F.split("text", _TOK)).alias("t"))
     a = toks.alias("a")
     b = toks.select((F.col("doc_id") - 1).alias("join_id"),
@@ -129,7 +129,7 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH-bucketed ANN operator (operators/similarity.py) is measured
     against; at 100 TB the corpus side is bucketed so each query scores
     only its candidate buckets."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings", spread=True)
     vecs = e.select("vec_id", "embedding")
     norm = F.aggregate(F.col("embedding"), F.lit(0.0),
                        lambda acc, x: acc + x.cast("double") * x.cast("double"))
@@ -334,7 +334,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     hamming in tests/test_dedup_similarity.py."""
     from ..operators.dedup import simhash_near_duplicates
 
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", spread=True)
     return simhash_near_duplicates(d, "doc_id", "text", max_hamming=3)
 
 

@@ -44,9 +44,22 @@ def ensure_read_confs(spark: SparkSession) -> None:
             pass
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(spark: SparkSession, sf_dir: str, name: str,
+               spread: bool = False) -> DataFrame:
     """Scan one driver table. Schema comes from the parquet footer (no
     inference pass); ``schemas.DRIVER_TABLES`` documents the expected shape.
+
+    ``spread=True`` requests small-scan spreading for map-heavy consumers
+    (tokenization folds, per-row HOFs, join+partial-agg pipelines): when
+    the file layout yields fewer scan partitions than the session's
+    parallelism — a single small parquet file is ONE task no matter how
+    wide the machine, because a lone row group cannot be split — the scan
+    is round-robin repartitioned to ``defaultParallelism``. At production
+    scale the guard makes this a structural no-op: thousands of file
+    splits already exceed core count, so no exchange is added and the
+    plan is byte-identical to ``spread=False``. Only map-heavy queries
+    opt in; scan+filter queries (e.g. the zero-Exchange mixing plan)
+    stay unspread.
     """
     if name not in DRIVER_TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {sorted(DRIVER_TABLES)}")
@@ -56,7 +69,40 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # config) and converted losslessly: every driver value is a whole µs.
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if spread:
+        target = spark.sparkContext.defaultParallelism
+        if _approx_scan_splits(spark, table_path(sf_dir, name)) < max(target // 2, 2):
+            df = df.repartition(target)
     return df
+
+
+def _approx_scan_splits(spark: SparkSession, path: str) -> int:
+    """Estimate how many scan partitions a parquet path will yield:
+    per-file ceil(size / maxPartitionBytes), summed. Filesystem metadata
+    only — no Spark planning (a ``df.rdd.getNumPartitions()`` probe costs
+    ~0.2 s of physical planning per query, which dwarfs the win for cheap
+    queries). Non-local paths (object stores) are assumed big enough to
+    already be spread — returning a large count disables the repartition,
+    which is the conservative choice at production scale."""
+    import math
+
+    try:
+        mpb = int(spark.conf.get("spark.sql.files.maxPartitionBytes",
+                                 str(128 * 1024 * 1024)).rstrip("b"))
+    except Exception:  # pragma: no cover
+        mpb = 128 * 1024 * 1024
+    try:
+        if os.path.isfile(path):
+            sizes = [os.path.getsize(path)]
+        elif os.path.isdir(path):
+            sizes = [os.path.getsize(os.path.join(dp, f))
+                     for dp, _, fs in os.walk(path) for f in fs
+                     if not f.startswith(("_", "."))]
+        else:  # remote / unknown scheme
+            return 1 << 20
+    except OSError:  # pragma: no cover
+        return 1 << 20
+    return sum(max(1, math.ceil(s / mpb)) for s in sizes) or 1
 
 
 def register_views(spark: SparkSession, sf_dir: str,

@@ -70,3 +70,38 @@ def test_bucketed_join_has_no_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
         spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_cache_slot_repeat_ownership_keeps_shared_entry(spark):
+    """Re-owning a plan-identical DataFrame must NOT evict the cache:
+    CacheManager keys entries by plan equivalence, so cache()-then-
+    unpersist(previous) on the same plan drops the entry the new caller
+    depends on. The observed symptom was a ~60x slowdown — the simhash
+    self-join lost its InMemoryTableScan legs and re-evaluated the
+    interpreted fingerprint fold per consumer row."""
+    from telescope_data_pipeline_spark.operators.cache_slot import CacheSlot
+    from telescope_data_pipeline_spark.operators.dedup import (
+        simhash_near_duplicates,
+    )
+    from telescope_data_pipeline_spark.plans.audit import physical_plan
+    from telescope_data_pipeline_spark.sources import load_table
+
+    slot = CacheSlot()
+    d = load_table(spark, SF, "customer").select("c_custkey")
+    first = slot.own(d.groupBy("c_custkey").count())
+    first.count()
+    again = slot.own(d.groupBy("c_custkey").count())
+    assert again.count() == first.count()
+    assert "InMemoryTableScan" in physical_plan(again.filter("count >= 0"))
+    # different plan DOES evict: storage stays bounded to one table
+    other = slot.own(d.groupBy("c_custkey").agg({"c_custkey": "max"}))
+    assert slot._last is other
+
+    # end-to-end: the repeat simhash invocation must keep its cached
+    # fingerprint legs (both sides of the banded self-join)
+    docs = load_table(spark, SF, "documents")
+    simhash_near_duplicates(docs, "doc_id", "text", max_hamming=3) \
+        .write.format("noop").mode("overwrite").save()
+    out2 = simhash_near_duplicates(docs, "doc_id", "text", max_hamming=3)
+    assert physical_plan(out2).count("InMemoryTableScan") >= 2, \
+        "repeat invocation lost its cached fingerprint table"
