@@ -573,3 +573,57 @@ def q_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.round(F.try_divide(F.col("value") - F.col("mu"),
                                           F.col("sigma")), 6) + 0.0)
                     .alias("z")))
+
+
+@query("q_scd2", oracle="""
+WITH dim AS (
+  SELECT c_custkey, ROUND(c_acctbal, 2) AS acctbal FROM customer
+), upd AS (
+  SELECT c_custkey, ROUND(acctbal + 100.0, 2) AS new_bal
+  FROM dim WHERE c_custkey % 7 = 0
+)
+SELECT d.c_custkey, d.acctbal,
+       '2024-01-01' AS valid_from,
+       CASE WHEN u.c_custkey IS NOT NULL THEN '2024-06-01' END AS valid_to,
+       u.c_custkey IS NULL AS is_current
+FROM dim d LEFT JOIN upd u USING (c_custkey)
+UNION ALL
+SELECT c_custkey, new_bal AS acctbal,
+       '2024-06-01' AS valid_from,
+       CAST(NULL AS VARCHAR) AS valid_to,
+       TRUE AS is_current
+FROM upd
+""")
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 merge: apply a batch of changed
+    rows to a versioned dimension — close the superseded version
+    (valid_to stamped, is_current false) and append the new version —
+    the history-preserving upsert every warehouse-grade pipeline needs
+    beside the overwrite form (q_merge_upsert keeps only the latest).
+
+    Plan shape: ONE equi-join of the dimension against the (much
+    smaller) change set — broadcast while it fits, AQE falls back to a
+    shuffle join when a backfill-sized change set doesn't — plus a
+    union whose second leg is the change set again: no window, no sort,
+    no full-table rewrite beyond the single pass. Validity bounds are
+    ISO date strings on both sides (date-typed outputs canonicalize
+    differently across engines; the registry contract prefers
+    string-stable columns)."""
+    dim = (load_table(spark, sf_dir, "customer")
+           .select("c_custkey", F.round("c_acctbal", 2).alias("acctbal")))
+    upd = (dim.filter(F.col("c_custkey") % 7 == 0)
+           .select("c_custkey",
+                   F.round(F.col("acctbal") + 100.0, 2).alias("new_bal")))
+    closed = (dim.join(upd.select("c_custkey",
+                                  F.lit(True).alias("_changed")),
+                       "c_custkey", "left")
+              .select("c_custkey", "acctbal",
+                      F.lit("2024-01-01").alias("valid_from"),
+                      F.when(F.col("_changed"), "2024-06-01")
+                       .alias("valid_to"),
+                      F.col("_changed").isNull().alias("is_current")))
+    fresh = upd.select("c_custkey", F.col("new_bal").alias("acctbal"),
+                       F.lit("2024-06-01").alias("valid_from"),
+                       F.lit(None).cast("string").alias("valid_to"),
+                       F.lit(True).alias("is_current"))
+    return closed.unionByName(fresh)

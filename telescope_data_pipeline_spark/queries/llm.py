@@ -925,3 +925,118 @@ def q_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tok = F.size(F.filter(F.split("text", _TOK), lambda x: x != ""))
     t = d.select("doc_id", n_tok.alias("n_tok"))
     return pack_greedy(t, "doc_id", "n_tok", budget=512, num_partitions=1)
+
+
+@query("q_dup_spans", oracle=r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x != '') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id, UNNEST(range(0, len(toks) - 7)) AS s, toks
+  FROM t WHERE len(toks) >= 8
+), g2 AS (
+  SELECT doc_id, CAST(s AS BIGINT) AS start,
+         md5(array_to_string(list_slice(toks, s + 1, s + 8), ' ')) AS gh
+  FROM g
+), f AS (
+  SELECT gh FROM g2 GROUP BY gh HAVING COUNT(*) > 1
+)
+SELECT doc_id, COUNT(*) AS n_dup_spans,
+       CAST(MIN(start) AS BIGINT) AS first_dup_start
+FROM g2 JOIN f USING (gh)
+GROUP BY doc_id
+""")
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring deduplication (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): find every 8-token
+    span whose exact text occurs more than once in the corpus — the
+    memorization-prone boilerplate that survives document-level dedup —
+    and report, per document, how many of its spans are duplicated and
+    where the first one starts.
+
+    Scale design: spans are md5-DIGESTED before anything shuffles, so
+    the gram groupBy and the join back to positions move 16-byte keys,
+    never span text — |tokens| rows each, strictly linear (the
+    suffix-array construction the paper uses is the single-machine
+    answer; rolling-hash gram matching is its shuffle-friendly
+    equivalent, trading the minimal-length guarantee for fixed-length
+    grams). Gram generation is a per-row sequence()+slice(): map-only,
+    like q_doc_chunks. md5 keeps the demo engine-portable (DuckDB
+    computes bit-identical digests); a production run swaps in
+    xxhash64 for speed with the same plan shape."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", _TOK), lambda x: x != "")
+    t = (d.select("doc_id", toks.alias("toks"))
+         .withColumn("n", F.size("toks"))
+         .filter(F.col("n") >= 8))
+    g = (t.select("doc_id", "toks",
+                  F.explode(F.sequence(F.lit(0), F.col("n") - 8))
+                   .alias("start"))
+         .select("doc_id", F.col("start").cast("long").alias("start"),
+                 F.md5(F.concat_ws(" ", F.slice("toks", F.col("start") + 1,
+                                                F.lit(8)))).alias("gh")))
+    dup = (g.groupBy("gh").agg(F.count(F.lit(1)).alias("_n"))
+           .filter(F.col("_n") > 1).select("gh"))
+    return (g.join(dup, "gh")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_dup_spans"),
+                 F.min("start").alias("first_dup_start")))
+
+
+@query("q_bm25", oracle=r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x != '') AS toks
+  FROM documents
+), stats AS (
+  SELECT COUNT(*) AS n_docs, AVG(len(toks)) AS avgdl FROM t
+), tf AS (
+  SELECT doc_id, len(toks) AS dl, tok, COUNT(*) AS tf
+  FROM (SELECT doc_id, toks, UNNEST(toks) AS tok FROM t)
+  WHERE tok IN ('spark', 'join', 'window')
+  GROUP BY doc_id, len(toks), tok
+), df AS (
+  SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY tok
+)
+SELECT tf.doc_id,
+       ROUND(SUM(
+         LN((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+         * tf.tf * 2.2
+         / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / stats.avgdl))
+       ), 6) + 0.0 AS bm25
+FROM tf JOIN df USING (tok) CROSS JOIN stats
+GROUP BY tf.doc_id
+""")
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance scoring (Robertson-Spärck Jones; k1=1.2, b=0.75)
+    of every document against a fixed query term set — the classic
+    sparse-retrieval scorer a RAG/training-data pipeline runs next to
+    the dense ANN path (operators/similarity.py).
+
+    Plan shape: tokenize → filter to query terms BEFORE anything
+    shuffles (the explode emits only query-term hits, so shuffle volume
+    is |hits|, not |tokens|), per-(doc,term) tf agg with map-side
+    combine, document-frequency table broadcast back onto the hits
+    (3 rows here; a 10^5-term query set still broadcasts), corpus
+    stats as a 1-row broadcast scalar. One linear shuffle end-to-end."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", _TOK), lambda x: x != "")
+    t = d.select("doc_id", toks.alias("toks")).withColumn("dl", F.size("toks"))
+    stats = t.agg(F.count(F.lit(1)).cast("double").alias("n_docs"),
+                  F.avg("dl").alias("avgdl"))
+    hits = (t.select("doc_id", "dl", F.explode("toks").alias("tok"))
+            .filter(F.col("tok").isin("spark", "join", "window")))
+    tf = (hits.groupBy("doc_id", "dl", "tok")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    df_tbl = tf.groupBy("tok").agg(
+        F.countDistinct("doc_id").cast("double").alias("df"))
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                + 1.0)
+    score = (idf * F.col("tf") * 2.2
+             / (F.col("tf") + 1.2 * (1 - 0.75 + 0.75 * F.col("dl")
+                                     / F.col("avgdl"))))
+    return (tf.join(F.broadcast(df_tbl), "tok")
+            .crossJoin(F.broadcast(stats))  # 1-row scalar aggregate
+            .groupBy("doc_id")
+            .agg((F.round(F.sum(score), 6) + F.lit(0.0)).alias("bm25")))

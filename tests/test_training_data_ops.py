@@ -286,3 +286,87 @@ def test_hash_fraction_threshold_edges():
     assert hash_fraction_threshold(1.0) == "f" * 32
     with pytest.raises(ValueError):
         hash_fraction_threshold(1.5)
+
+
+def test_dup_spans_flags_real_duplicates(spark):
+    """Every span q_dup_spans reports must be a genuine >1-occurrence
+    8-gram, and per-doc counts must equal the brute-force count."""
+    import collections
+
+    import pandas as pd
+
+    from telescope_data_pipeline_spark.queries import get
+
+    sf = "/root/testdata/sf0.001"
+    out = {r.doc_id: r for r in get("q_dup_spans").fn(spark, sf).collect()}
+    docs = pd.read_parquet(f"{sf}/documents.parquet")
+    grams: dict[int, list] = {}
+    freq = collections.Counter()
+    for doc_id, text in zip(docs.doc_id, docs.text):
+        toks = [t for t in text.split() if t]
+        gs = [" ".join(toks[i:i + 8]) for i in range(len(toks) - 7)]
+        grams[doc_id] = gs
+        freq.update(gs)
+    for doc_id, gs in grams.items():
+        dup_starts = [i for i, g in enumerate(gs) if freq[g] > 1]
+        if dup_starts:
+            assert doc_id in out, f"doc {doc_id} missing"
+            assert out[doc_id].n_dup_spans == len(dup_starts)
+            assert out[doc_id].first_dup_start == dup_starts[0]
+        else:
+            assert doc_id not in out
+
+
+def test_bm25_matches_reference_formula(spark):
+    """Spot-check the Spark BM25 against a NumPy implementation of the
+    Robertson formula at sf0.001."""
+    import math
+
+    import pandas as pd
+
+    from telescope_data_pipeline_spark.queries import get
+
+    sf = "/root/testdata/sf0.001"
+    out = {r.doc_id: r.bm25 for r in get("q_bm25").fn(spark, sf).collect()}
+    docs = pd.read_parquet(f"{sf}/documents.parquet")
+    terms = ("spark", "join", "window")
+    toks = {d: [t for t in txt.split() if t]
+            for d, txt in zip(docs.doc_id, docs.text)}
+    n_docs = len(toks)
+    avgdl = sum(map(len, toks.values())) / n_docs
+    df = {t: sum(1 for ts in toks.values() if t in ts) for t in terms}
+    for doc_id, ts in toks.items():
+        score = 0.0
+        for t in terms:
+            tf = ts.count(t)
+            if not tf:
+                continue
+            idf = math.log((n_docs - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+            score += idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len(ts) / avgdl))
+        if score:
+            assert abs(out[doc_id] - score) < 1e-4, doc_id
+        else:
+            assert doc_id not in out
+
+
+def test_scd2_versioning_invariants(spark):
+    """Changed keys carry exactly two versions (closed + current), and
+    validity windows chain correctly."""
+    from telescope_data_pipeline_spark.queries import get
+
+    sf = "/root/testdata/sf0.001"
+    rows = get("q_scd2").fn(spark, sf).collect()
+    by_key: dict[int, list] = {}
+    for r in rows:
+        by_key.setdefault(r.c_custkey, []).append(r)
+    for key, vs in by_key.items():
+        cur = [v for v in vs if v.is_current]
+        assert len(cur) == 1, key
+        assert cur[0].valid_to is None
+        if key % 7 == 0:
+            assert len(vs) == 2
+            closed = next(v for v in vs if not v.is_current)
+            assert closed.valid_to == cur[0].valid_from == "2024-06-01"
+            assert round(cur[0].acctbal - closed.acctbal, 2) == 100.0
+        else:
+            assert len(vs) == 1
