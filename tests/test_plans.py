@@ -192,3 +192,31 @@ def test_cluster_dedup_path_no_nested_loop(spark):
 
     assert_plan(get("q_dedup_clusters").fn(spark, SF),
                 absent=("BroadcastNestedLoopJoin", "CartesianProduct"))
+
+
+def test_dup_spans_linear_join_no_nested_loop(spark):
+    """Span dedup must stay a digest equi-join: gram groupBy + join back
+    on the 16-byte md5 key, never a cartesian/nested-loop pairing."""
+    assert_plan(get("q_dup_spans").fn(spark, SF),
+                absent=("CartesianProduct", "BroadcastNestedLoopJoin"))
+
+
+def test_bm25_broadcasts_df_table(spark):
+    """The document-frequency table and the 1-row corpus stats must
+    broadcast back onto the hits — a shuffle join there would move the
+    whole hit stream twice."""
+    assert_plan(get("q_bm25").fn(spark, SF),
+                contains=("BroadcastHashJoin",),
+                absent=("CartesianProduct",))
+
+
+def test_scd2_single_join_no_sort(spark):
+    """SCD2 is one equi-join + union: no window, no sort, no
+    pair-explosion operator anywhere in the plan."""
+    from telescope_data_pipeline_spark.plans.audit import physical_plan
+
+    df = get("q_scd2").fn(spark, SF)
+    plan = physical_plan(df)
+    for node in ("CartesianProduct", "BroadcastNestedLoopJoin",
+                 "Window", "Sort"):
+        assert node not in plan, f"unwanted {node}:\n{plan}"
