@@ -439,10 +439,63 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     gram_hashes = F.transform(
         F.sequence(F.lit(0), n_grams - 1),
         lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, k))))
-    n_windows = F.greatest(F.size(gram_hashes) - (w - 1), F.lit(0))
-    fingerprints = F.array_distinct(F.transform(
+    n_windows = F.size(gram_hashes) - (w - 1)
+    # Guard the short-doc edge: with 1..w-1 grams there is no full
+    # window, and sequence(0, n_windows-1) would count DOWN (Spark's
+    # sequence is bidirectional: sequence(0, -1) = [0, -1]), feeding
+    # slice() an illegal 0 start. Winnowing's boundary rule applies:
+    # such a doc's single fingerprint is the min over all its grams.
+    fingerprints = F.when(n_windows >= 1, F.array_distinct(F.transform(
         F.sequence(F.lit(0), n_windows - 1),
-        lambda i: F.array_min(F.slice(gram_hashes, i + 1, w))))
+        lambda i: F.array_min(F.slice(gram_hashes, i + 1, w))))) \
+        .otherwise(F.array(F.array_min(gram_hashes)))
+    return (
+        d.filter(n_grams > 0)
+        .select("doc_id",
+                F.explode(fingerprints).alias("fingerprint"))
+    )
+
+
+@query("q_fingerprint_md5", oracle=r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents
+), g AS (
+  SELECT doc_id,
+         list_transform(range(0, len(toks) - 4),
+           i -> md5(array_to_string(list_slice(toks, i + 1, i + 5), ' ')))
+           AS gh
+  FROM t WHERE len(toks) >= 5
+)
+SELECT doc_id, UNNEST(fps) AS fingerprint
+FROM (
+  SELECT doc_id,
+         CASE WHEN len(gh) >= 4 THEN
+           list_distinct(list_transform(range(0, len(gh) - 3),
+             i -> list_min(list_slice(gh, i + 1, i + 4))))
+         ELSE [list_min(gh)] END AS fps
+  FROM g
+)
+""")
+def q_fingerprint_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al. 2003), engine-portable
+    form: identical to q_fingerprint but k-grams are md5-digested (hex
+    strings order lexicographically the same way in Spark and DuckDB),
+    which makes the whole pipeline oracle-checkable — the xxhash64 form
+    stays the production choice (8-byte fingerprints, ~3x cheaper to
+    hash and shuffle). Same per-row HOF shape: zero Python, zero
+    shuffle before the final explode."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", _TOK)
+    k, w = 5, 4
+    n_grams = F.greatest(F.size(toks) - (k - 1), F.lit(0))
+    gram_hashes = F.transform(
+        F.sequence(F.lit(0), n_grams - 1),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, k))))
+    n_windows = F.size(gram_hashes) - (w - 1)
+    fingerprints = F.when(n_windows >= 1, F.array_distinct(F.transform(
+        F.sequence(F.lit(0), n_windows - 1),
+        lambda i: F.array_min(F.slice(gram_hashes, i + 1, w))))) \
+        .otherwise(F.array(F.array_min(gram_hashes)))
     return (
         d.filter(n_grams > 0)
         .select("doc_id",

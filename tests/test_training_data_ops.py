@@ -370,3 +370,25 @@ def test_scd2_versioning_invariants(spark):
             assert round(cur[0].acctbal - closed.acctbal, 2) == 100.0
         else:
             assert len(vs) == 1
+
+
+def test_fingerprint_short_doc_boundary(spark, tmp_path):
+    """A doc with >= 1 gram but fewer grams than the winnow window must
+    yield the boundary fingerprint (min over all grams), not crash:
+    Spark's sequence(0, -1) counts DOWN and would feed slice() an
+    illegal 0 start (latent until a 5-7-token doc appears)."""
+    import pandas as pd
+
+    from telescope_data_pipeline_spark.queries import get
+
+    pd.DataFrame({
+        "doc_id": [1, 2], "lang": ["en", "en"],
+        "text": ["a b c d e", "a b c d e f g h"],
+    }).to_parquet(tmp_path / "documents.parquet")
+    for name in ("q_fingerprint", "q_fingerprint_md5"):
+        rows = get(name).fn(spark, str(tmp_path)).collect()
+        per: dict[int, int] = {}
+        for r in rows:
+            per[r.doc_id] = per.get(r.doc_id, 0) + 1
+        assert per[1] == 1, name   # 1 gram < window: single boundary fp
+        assert per[2] >= 1, name   # 4 grams = 1 full window
