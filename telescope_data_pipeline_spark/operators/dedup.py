@@ -38,13 +38,17 @@ def shingle(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     no Python, no explode (the array stays with its row).
     """
     toks = F.split(F.col(text_col), r"\s+")
-    n_sh = F.greatest(F.size(toks) - (n - 1), F.lit(0))
-    shingles = F.array_distinct(
+    n_sh = F.size(toks) - (n - 1)
+    # Guard the short-doc edge: with fewer than n tokens there is no
+    # n-shingle, and sequence(0, n_sh-1) would count DOWN (Spark's
+    # sequence is bidirectional: sequence(0, -1) = [0, -1]), feeding
+    # slice() an illegal 0 start — a runtime crash, not an empty array.
+    shingles = F.when(n_sh >= 1, F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), n_sh - 1),
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
         )
-    )
+    )).otherwise(F.array().cast("array<string>"))
     return df.select(F.col(id_col).alias("id"), shingles.alias("shingles")) \
              .filter(F.size("shingles") > 0)
 

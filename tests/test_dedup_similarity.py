@@ -241,3 +241,17 @@ def test_ivf_cell_assigner_matches_scalar_kernel(spark, vecs):
         d2 = ((cents - a) ** 2).sum(axis=1)
         want[r["vec_id"]] = list(np.argsort(d2, kind="stable")[:4])
     assert {r["vec_id"]: list(r["cells"]) for r in got} == want
+
+
+def test_shingle_short_doc_yields_no_rows_not_crash(spark):
+    """Docs shorter than the shingle width must be dropped, not crash:
+    the unguarded sequence(0, n_sh-1) counted DOWN for short docs and
+    fed slice() an illegal 0 start."""
+    from telescope_data_pipeline_spark.operators.dedup import shingle
+
+    df = spark.createDataFrame(
+        [(1, "only two"), (2, ""), (3, "one two three four five")],
+        "doc_id long, text string")
+    out = {r.id: r.shingles for r in shingle(df, "doc_id", "text").collect()}
+    assert set(out) == {3}
+    assert "one two three" in out[3]
