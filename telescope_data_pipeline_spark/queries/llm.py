@@ -1093,3 +1093,107 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
             .crossJoin(F.broadcast(stats))  # 1-row scalar aggregate
             .groupBy("doc_id")
             .agg((F.round(F.sum(score), 6) + F.lit(0.0)).alias("bm25")))
+
+
+@query("q_dedup_incremental", oracle="""
+WITH existing AS (
+  SELECT DISTINCT md5(substr(text, 1, 30)) AS digest
+  FROM documents WHERE doc_id % 2 = 0
+), batch AS (
+  SELECT MIN(doc_id) AS doc_id, md5(substr(text, 1, 30)) AS digest,
+         COUNT(*) AS n_batch_copies
+  FROM documents WHERE doc_id % 2 = 1
+  GROUP BY md5(substr(text, 1, 30))
+)
+SELECT doc_id, digest, n_batch_copies
+FROM batch WHERE digest NOT IN (SELECT digest FROM existing)
+""")
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup — the production shape of exact
+    dedup: a new crawl batch (odd doc_ids here) is deduplicated within
+    itself (min-id keep per digest) and then ANTI-joined against the
+    digests of the existing corpus (even doc_ids), so re-crawled
+    content never re-enters and the existing corpus is never
+    re-deduplicated. Demoed on the 30-char-prefix key (the corpus has
+    no full-text duplicates; production uses sha2(text, 256)).
+
+    Scale design: both sides reduce to 16-byte digests before the
+    shuffle; the batch-internal groupBy is |batch| rows and the
+    anti-join shuffles digests only — at 100 TB the existing-corpus
+    digest table is the stored dedup index (bucketed by digest), so
+    each nightly batch joins against it without scanning corpus text."""
+    d = load_table(spark, sf_dir, "documents")
+    dig = F.md5(F.substring("text", 1, 30))
+    existing = (d.filter(F.col("doc_id") % 2 == 0)
+                .select(dig.alias("digest")).distinct())
+    batch = (d.filter(F.col("doc_id") % 2 == 1)
+             .groupBy(dig.alias("digest"))
+             .agg(F.min("doc_id").alias("doc_id"),
+                  F.count(F.lit(1)).alias("n_batch_copies")))
+    return (batch.join(existing, "digest", "left_anti")
+            .select("doc_id", "digest", "n_batch_copies"))
+
+
+@query("q_quality_gate", oracle=r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x != '') AS toks
+  FROM documents
+), m AS (
+  SELECT doc_id, len(toks) AS n_tok,
+         CASE WHEN len(toks) > 0 THEN
+           list_sum(list_transform(toks, x -> LEN(x)))::DOUBLE / len(toks)
+         ELSE 0.0 END AS mean_wlen,
+         CASE WHEN len(toks) > 0 THEN
+           list_max(list_transform(list_distinct(toks),
+             u -> len(list_filter(toks, x -> x = u))))::DOUBLE / len(toks)
+         ELSE 1.0 END AS top_frac
+  FROM t
+)
+SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+       CASE
+         WHEN n_tok < 20 THEN 'too_short'
+         WHEN n_tok > 1000 THEN 'too_long'
+         WHEN mean_wlen < 2.0 OR mean_wlen > 12.0 THEN 'word_length'
+         WHEN top_frac > 0.2 THEN 'repetitive'
+         ELSE 'keep'
+       END AS verdict
+FROM m
+""")
+def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed document-quality gate — the C4/Gopher-style filter
+    cascade as ONE scan: length bounds, mean word length, and
+    top-token repetition evaluated per row with first-failing-rule
+    attribution (the attribution is what a pipeline operator needs to
+    tune thresholds: 'what did each rule cost me?').
+
+    Every rule is a JVM higher-order array expression over the token
+    array — the whole gate is map-only, zero shuffle, zero Python, and
+    composes with the dedup/packing stages downstream without a
+    barrier. Rule thresholds are illustrative; the comparisons are on
+    exact integer counts and 6-digit-stable ratios, so the verdict is
+    engine-portable."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", _TOK), lambda x: x != "")
+    t = d.select("doc_id", toks.alias("toks")).withColumn("n_tok",
+                                                          F.size("toks"))
+    mean_wlen = F.when(
+        F.col("n_tok") > 0,
+        F.aggregate("toks", F.lit(0.0),
+                    lambda acc, x: acc + F.length(x)) / F.col("n_tok")) \
+        .otherwise(F.lit(0.0))
+    top_frac = F.when(
+        F.col("n_tok") > 0,
+        F.array_max(F.transform(
+            F.array_distinct("toks"),
+            lambda u: F.size(F.filter(F.col("toks"), lambda x: x == u))))
+        .cast("double") / F.col("n_tok")).otherwise(F.lit(1.0))
+    verdict = (F.when(F.col("n_tok") < 20, "too_short")
+               .when(F.col("n_tok") > 1000, "too_long")
+               .when((F.col("_mw") < 2.0) | (F.col("_mw") > 12.0),
+                     "word_length")
+               .when(F.col("_tf") > 0.2, "repetitive")
+               .otherwise("keep"))
+    return (t.withColumn("_mw", mean_wlen).withColumn("_tf", top_frac)
+            .select("doc_id", F.col("n_tok").cast("long").alias("n_tok"),
+                    verdict.alias("verdict")))

@@ -220,3 +220,18 @@ def test_scd2_single_join_no_sort(spark):
     for node in ("CartesianProduct", "BroadcastNestedLoopJoin",
                  "Window", "Sort"):
         assert node not in plan, f"unwanted {node}:\n{plan}"
+
+
+def test_quality_gate_map_only(spark):
+    """The composed quality gate is per-row HOF arithmetic: any Exchange
+    means a rule accidentally became an aggregation."""
+    from telescope_data_pipeline_spark.plans.audit import physical_plan
+
+    plan = physical_plan(get("q_quality_gate").fn(spark, SF))
+    assert "Exchange" not in plan, plan
+
+
+def test_incremental_dedup_no_nested_loop(spark):
+    """Batch-vs-corpus dedup must stay a digest anti-join."""
+    assert_plan(get("q_dedup_incremental").fn(spark, SF),
+                absent=("CartesianProduct", "BroadcastNestedLoopJoin"))
