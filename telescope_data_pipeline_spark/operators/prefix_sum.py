@@ -64,15 +64,39 @@ def distributed_prefix_sum(df: DataFrame, order_col: str, value_col: str,
             f"distributed_prefix_sum: value column {value_col!r} has type "
             f"{vt.simpleString()}; only integral and float/double columns "
             f"are supported (cast decimals explicitly to pick a semantics)")
-    ranged = (df.repartitionByRange(n, F.col(order_col))
-              .sortWithinPartitions(order_col)
-              .withColumn("_pid", F.spark_partition_id()))
+    kt = df.schema[order_col].dataType
+    if isinstance(kt, _INTEGRAL):
+        # Fast path for integral order keys: bucket on an EXPLICIT range
+        # id computed from min/max instead of repartitionByRange. This
+        # (a) replaces the range-partitioner's sampling pass — which
+        # re-executes the child plan (e.g. tokenization) just to sketch
+        # boundaries — with one column-pruned min/max scan, and (b)
+        # makes the partition id a deterministic function of the key,
+        # so correctness no longer leans on spark_partition_id being
+        # stable across jobs (the cache below is then purely a
+        # recompute-avoidance optimization). Skewed key DENSITY skews
+        # bucket sizes, not correctness; pass num_partitions to widen.
+        lohi = df.select(F.min(order_col).alias("lo"),
+                         F.max(order_col).alias("hi")).first()
+        if lohi["lo"] is None:  # empty input: keep schema, zero rows
+            return df.withColumn(out_col, F.lit(None).cast(off_type))
+        lo, span = int(lohi["lo"]), int(lohi["hi"]) - int(lohi["lo"]) + 1
+        n_eff = max(1, min(n, span))
+        pid = F.floor((F.col(order_col) - F.lit(lo)).cast("double")
+                      * n_eff / span).cast("int")
+        ranged = df.withColumn("_pid", pid).repartition(n_eff, "_pid")
+    else:
+        ranged = (df.repartitionByRange(n, F.col(order_col))
+                  .sortWithinPartitions(order_col)
+                  .withColumn("_pid", F.spark_partition_id()))
     # Two passes must see identical partitioning; cache so the second
-    # pass replays stored blocks (spark_partition_id is otherwise free
-    # to differ between jobs). The subtotal collect below is the first
-    # action over `ranged`, so it materializes every cached partition
-    # itself — a separate count() would just add a job. Single-slot
-    # ownership bounds storage across repeated invocations.
+    # pass replays stored blocks (on the generic path
+    # spark_partition_id is otherwise free to differ between jobs; on
+    # the explicit-bucket path the cache only avoids recompute). The
+    # subtotal collect below is the first action over `ranged`, so it
+    # materializes every cached partition itself — a separate count()
+    # would just add a job. Single-slot ownership bounds storage across
+    # repeated invocations.
     ranged = _SLOT.own(ranged)
     subtotals = (ranged.groupBy("_pid")
                  .agg(F.sum(value_col).alias("_s"))
