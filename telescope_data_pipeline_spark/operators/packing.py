@@ -38,6 +38,8 @@ __all__ = ["pack_greedy"]
 #: (round-3 ADVICE — the cache() below was never unpersisted).
 _SLOT = CacheSlot()
 
+_INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+
 
 def pack_greedy(df: DataFrame, order_col: str, len_col: str,
                 budget: int = 512,
@@ -48,7 +50,16 @@ def pack_greedy(df: DataFrame, order_col: str, len_col: str,
     contiguous window indices. Deterministic for a fixed
     ``num_partitions`` (pin it for reproducible layouts). Rows with
     ``len_col > budget`` fail loudly executor-side — chunk oversized
-    documents first (``q_doc_chunks``).
+    documents first (``q_doc_chunks``); a NULL length packs as an
+    empty item (an undecodable doc contributes nothing to a window).
+
+    Integral order keys shard on an EXPLICIT floor((key-min)*n/span)
+    bucket (one column-pruned min/max scan; the shard id is a
+    deterministic function of the key and each applyInPandas group is
+    exactly one shard). Non-integral keys fall back to
+    ``repartitionByRange`` + ``spark_partition_id`` — correct, but the
+    boundary sample re-executes the child plan and pid stability leans
+    on the cache.
 
     Returns ``order_col``, ``len_col``, ``win`` (global window index,
     long), ``off`` (offset inside the window, long).
@@ -64,18 +75,11 @@ def pack_greedy(df: DataFrame, order_col: str, len_col: str,
         T.StructField("off", T.LongType()),
     ])
 
-    def place_local(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # A shard arrives as SEVERAL Arrow batches — the running
-        # (win, off) state must span all of them, so concatenate first
-        # (shard-sized pandas frame, the applyInPandas memory class;
-        # size shards accordingly).
-        batches = list(pdfs)
-        if not batches:
-            return
-        pdf = pd.concat(batches).sort_values(order_col)
+    def _pack_frame(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col)
         win, off, wins, offs = 0, 0, [], []
         for ln in pdf[len_col]:
-            ln = int(ln)
+            ln = 0 if pd.isna(ln) else int(ln)
             if ln > budget:
                 raise ValueError(
                     f"pack_greedy: item of length {ln} exceeds the "
@@ -89,14 +93,45 @@ def pack_greedy(df: DataFrame, order_col: str, len_col: str,
         out.insert(0, "_pid", int(pdf["_pid"].iloc[0]) if len(pdf) else 0)
         out["win_local"] = pd.Series(wins, index=pdf.index, dtype="int64")
         out["off"] = pd.Series(offs, index=pdf.index, dtype="int64")
-        yield out
+        return out
 
-    ranged = (df.select(order_col, len_col)
-              .repartitionByRange(n, F.col(order_col))
-              .sortWithinPartitions(order_col)
-              .withColumn("_pid", F.spark_partition_id()))
-    placed = _SLOT.own(ranged.mapInPandas(place_local, schema=local_schema))
-    placed.count()  # both consumers below must see one materialization
+    sel = df.select(order_col, len_col)
+    if isinstance(df.schema[order_col].dataType, _INTEGRAL):
+        lohi = sel.select(F.min(order_col).alias("lo"),
+                          F.max(order_col).alias("hi")).first()
+        if lohi["lo"] is None:  # empty input: keep output schema
+            return spark.createDataFrame(
+                [], schema=T.StructType(local_schema.fields[1:3] + [
+                    T.StructField("win", T.LongType()),
+                    T.StructField("off", T.LongType())]))
+        lo, span = int(lohi["lo"]), int(lohi["hi"]) - int(lohi["lo"]) + 1
+        n_eff = max(1, min(n, span))
+        pid = F.floor((F.col(order_col) - F.lit(lo)).cast("double")
+                      * n_eff / span).cast("int")
+        placed = (sel.withColumn("_pid", pid)
+                  .groupBy("_pid")
+                  .applyInPandas(lambda pdf: _pack_frame(pdf),
+                                 schema=local_schema))
+    else:
+        def place_local(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            # A shard arrives as SEVERAL Arrow batches — the running
+            # (win, off) state must span all of them, so concatenate
+            # first (shard-sized pandas frame, the applyInPandas memory
+            # class; size shards accordingly).
+            batches = list(pdfs)
+            if not batches:
+                return
+            yield _pack_frame(pd.concat(batches))
+
+        ranged = (sel.repartitionByRange(n, F.col(order_col))
+                  .sortWithinPartitions(order_col)
+                  .withColumn("_pid", F.spark_partition_id()))
+        placed = ranged.mapInPandas(place_local, schema=local_schema)
+
+    # The counts collect below is the first action over the cached
+    # table, so it materializes every partition itself; the final join
+    # then replays stored blocks. Single-slot ownership bounds storage.
+    placed = _SLOT.own(placed)
 
     # Exact driver fold: cumulative window counts over ≤ n shard
     # summaries give each shard's global window base.

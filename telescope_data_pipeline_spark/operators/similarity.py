@@ -50,13 +50,18 @@ def _bucket_col(vec_col: str, planes: np.ndarray):
 
 
 def cosine(vec_a: str, vec_b: str):
-    """Cosine similarity between two array columns (double fold)."""
+    """Cosine similarity between two array columns (double fold).
+
+    try_divide: a zero-norm vector yields NULL cosine instead of an
+    ANSI DIVIDE_BY_ZERO that aborts the whole job (threshold filters
+    and rank windows then drop/sink the NULL row — matching DuckDB's
+    x/0 semantics, so the oracle-checked consumers stay exact)."""
     dot = F.aggregate(F.zip_with(vec_a, vec_b, lambda x, y: x.cast("double") * y.cast("double")),
                       F.lit(0.0), lambda acc, x: acc + x)
     n = lambda c: F.aggregate(  # noqa: E731
         F.zip_with(c, c, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0), lambda acc, x: acc + x)
-    return dot / F.sqrt(n(vec_a) * n(vec_b))
+    return F.try_divide(dot, F.sqrt(n(vec_a) * n(vec_b)))
 
 
 def ann_topk(
@@ -126,12 +131,17 @@ def train_centroids(corpus: DataFrame, vec_col: str = "embedding",
     sample = np.asarray(
         [r[0] for r in corpus.select(vec_col).limit(4096 * sample_stride)
          .collect()][::sample_stride], dtype=np.float64)
+    if len(sample) == 0:
+        raise ValueError("train_centroids: empty corpus")
+    # A corpus smaller than the requested codebook trains one centroid
+    # per distinct sample row instead of crashing np.random.choice.
+    n_eff = min(n_centroids, len(sample))
     rng = np.random.default_rng(seed)
-    cents = sample[rng.choice(len(sample), size=n_centroids, replace=False)]
+    cents = sample[rng.choice(len(sample), size=n_eff, replace=False)]
     for _ in range(iters):
         d2 = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
         assign = d2.argmin(axis=1)
-        for c in range(n_centroids):
+        for c in range(n_eff):
             members = sample[assign == c]
             if len(members):
                 cents[c] = members.mean(axis=0)

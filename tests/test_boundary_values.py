@@ -114,3 +114,54 @@ def test_similarity_zero_norm_vector(spark, name):
         _parity(spark, name, d)
     finally:
         shutil.rmtree(d)
+
+
+def test_edge_corpus_never_crashes(spark, tmp_path):
+    """Every documents/embeddings query must survive a pathological
+    corpus: empty text, 1-token, NULL text/lang, unicode, repeated
+    whitespace, long repetitive docs, zero vectors, tiny populations.
+    Found in round 4: slice(0) crashes from descending sequence(),
+    ANSI DIVIDE_BY_ZERO on zero-norm cosines, np.random.choice on a
+    sample smaller than the codebook, NaN length in greedy packing."""
+    import inspect
+
+    import numpy as np
+    import pandas as pd
+
+    from telescope_data_pipeline_spark.queries import all_queries
+
+    texts = ["", "x", None, "a b",
+             "one two three four five six seven eight nine ten " * 30,
+             "élève café 中文 😀", "  leading  double  spaces  ",
+             "same same same same same same same same"]
+    pd.DataFrame({
+        "doc_id": list(range(8)), "text": texts,
+        "lang": ["en", "zh", None, "es", "en", "en", "en", "en"],
+        "source": ["src0"] * 8,
+        "n_chars": [len(t) if t else 0 for t in texts],
+    }).to_parquet(tmp_path / "documents.parquet")
+    pd.DataFrame({
+        "vec_id": list(range(6)),
+        "embedding": [np.zeros(64, dtype=np.float32),
+                      np.ones(64, dtype=np.float32),
+                      np.arange(64, dtype=np.float32),
+                      -np.ones(64, dtype=np.float32),
+                      np.zeros(64, dtype=np.float32),
+                      np.random.RandomState(1).randn(64).astype(np.float32)],
+        "label": np.zeros(6, dtype=np.int32),
+    }).to_parquet(tmp_path / "embeddings.parquet")
+
+    driver_tables = ("documents", "embeddings", "lineitem", "orders",
+                     "customer", "supplier", "events", "nation", "region",
+                     "part")
+    failures = []
+    for name, q in all_queries().items():
+        src = inspect.getsource(q.fn)
+        tables = {t for t in driver_tables if f'"{t}"' in src}
+        if not tables or not tables <= {"documents", "embeddings"}:
+            continue
+        try:
+            q.fn(spark, str(tmp_path)).collect()
+        except Exception as e:  # noqa: BLE001 - collecting all failures
+            failures.append(f"{name}: {str(e).splitlines()[0][:120]}")
+    assert not failures, "\n".join(failures)
