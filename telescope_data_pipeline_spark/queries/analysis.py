@@ -445,7 +445,10 @@ def q_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
      .write.mode("overwrite")
      .option("partitionOverwriteMode", "dynamic")
      .partitionBy("event_type").parquet(out))
-    back = spark.read.parquet(out)
+    # Explicit schema on the read-back: an empty source writes zero
+    # files, and schema inference over an empty directory fails.
+    back = spark.read.schema(
+        "event_id long, value double, event_type string").parquet(out)
     return (back.groupBy("event_type")
             .agg(F.round(F.sum("value"), 4).alias("total"),
                  F.count(F.lit(1)).alias("n")))

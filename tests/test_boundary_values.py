@@ -165,3 +165,31 @@ def test_edge_corpus_never_crashes(spark, tmp_path):
         except Exception as e:  # noqa: BLE001 - collecting all failures
             failures.append(f"{name}: {str(e).splitlines()[0][:120]}")
     assert not failures, "\n".join(failures)
+
+
+def test_empty_tables_never_crash(spark, tmp_path):
+    """Every registered query must handle zero-row inputs: an empty
+    partition, a fresh day with no events, a filter that matched
+    nothing upstream. Schema-faithful empty parquet for all 10 driver
+    tables. The one sanctioned exception: q_sim_ivf raises its
+    documented clean error (a quantizer cannot train on an empty
+    corpus)."""
+    import pyarrow.parquet as pq
+
+    from telescope_data_pipeline_spark.queries import all_queries
+
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        sch = pq.read_table(f"/root/testdata/sf0.001/{t}.parquet").schema
+        pq.write_table(sch.empty_table(), str(tmp_path / f"{t}.parquet"))
+    failures = []
+    for name, q in all_queries().items():
+        try:
+            q.fn(spark, str(tmp_path)).collect()
+        except ValueError as e:
+            if name == "q_sim_ivf" and "empty corpus" in str(e):
+                continue
+            failures.append(f"{name}: {str(e).splitlines()[0][:120]}")
+        except Exception as e:  # noqa: BLE001 - collecting all failures
+            failures.append(f"{name}: {str(e).splitlines()[0][:120]}")
+    assert not failures, "\n".join(failures)
