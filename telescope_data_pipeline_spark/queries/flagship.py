@@ -10,6 +10,13 @@ lineitem⋈orders as a shuffle join on orderkey and customer as a broadcast
 (150·sf rows ≪ threshold). Filters on l_shipdate / o_orderdate are pushed
 into the parquet scans. Aggregation is partial (map-side) then final —
 the only full shuffle carries ~|groups| rows.
+
+Determinism: every monetary/quantity aggregate runs in DECIMAL
+(2- and 4-digit scales match the data's intrinsic precision), so sums
+and averages are EXACT and independent of partial-aggregation merge
+order — which is what lets the fact scan spread across cores
+(load_table(spread=True)) without exposing float addition order to the
+oracle hash. The q_agg_salted precedent, promoted to the flagship.
 """
 
 from __future__ import annotations
@@ -24,11 +31,15 @@ _ORACLE = """
 SELECT
   l_returnflag,
   l_linestatus,
-  ROUND(SUM(l_quantity), 2)                            AS sum_qty,
-  ROUND(SUM(l_extendedprice), 2)                       AS sum_base_price,
-  ROUND(SUM(l_extendedprice * (1 - l_discount)), 4)    AS sum_disc_price,
-  ROUND(AVG(l_quantity), 6)                            AS avg_qty,
-  ROUND(AVG(o_totalprice), 6)                          AS avg_order_price,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)      AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                                                       AS sum_disc_price,
+  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        / COUNT(*), 6)                                 AS avg_qty,
+  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        / COUNT(*), 6)                                 AS avg_order_price,
   COUNT(*)                                             AS n_rows,
   COUNT(DISTINCT c_custkey)                            AS n_custs
 FROM lineitem
@@ -43,10 +54,15 @@ GROUP BY l_returnflag, l_linestatus
 @query("q_flagship", oracle=_ORACLE)
 def q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """scan → filter → join×2 → groupBy agg → sort in one Catalyst plan."""
-    lineitem = load_table(spark, sf_dir, "lineitem")
+    lineitem = load_table(spark, sf_dir, "lineitem", spread=True)
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
 
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc_price = price * (1 - F.col("l_discount").cast("decimal(18,2)"))
+    total = F.col("o_totalprice").cast("decimal(18,2)")
+    n = F.count(F.lit(1))
     return (
         lineitem
         .filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
@@ -55,13 +71,12 @@ def q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
-             .alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("o_totalprice"), 6).alias("avg_order_price"),
-            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(qty).cast("double") / n, 6).alias("avg_qty"),
+            F.round(F.sum(total).cast("double") / n, 6).alias("avg_order_price"),
+            n.alias("n_rows"),
             F.countDistinct("c_custkey").alias("n_custs"),
         )
         .orderBy("l_returnflag", "l_linestatus")
