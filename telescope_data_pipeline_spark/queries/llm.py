@@ -1197,3 +1197,93 @@ def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (t.withColumn("_mw", mean_wlen).withColumn("_tf", top_frac)
             .select("doc_id", F.col("n_tok").cast("long").alias("n_tok"),
                     verdict.alias("verdict")))
+
+
+@query("q_dedup_minhash_md5", oracle=r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x != '') AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(0, len(toks) - 2),
+           i -> array_to_string(list_slice(toks, i + 1, i + 3), ' ')))
+           AS shingles
+  FROM t WHERE len(toks) >= 3
+), sg AS (
+  SELECT doc_id, shingles,
+         list_transform(range(0, 8),
+           i -> list_min(list_transform(shingles,
+                  s -> md5(i::VARCHAR || ':' || s)))) AS sig
+  FROM sh
+), banded AS (
+  SELECT doc_id, shingles,
+         UNNEST(range(0, 4)) AS band_idx,
+         list_transform(range(0, 4),
+           b -> md5(sig[2*b + 1] || ',' || sig[2*b + 2])) AS bands
+  FROM sg
+), g AS (
+  SELECT doc_id, shingles, CAST(band_idx AS INT) AS band_idx,
+         bands[CAST(band_idx AS INT) + 1] AS band_hash
+  FROM banded
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM g a JOIN g b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b,
+       ROUND(LEN(list_filter(sa.shingles, x -> list_contains(sb.shingles, x)))::DOUBLE
+             / (LEN(sa.shingles) + LEN(sb.shingles)
+                - LEN(list_filter(sa.shingles, x -> list_contains(sb.shingles, x)))),
+             6) AS jaccard
+FROM cand c
+JOIN sh sa ON sa.doc_id = c.id_a
+JOIN sh sb ON sb.doc_id = c.id_b
+WHERE LEN(list_filter(sa.shingles, x -> list_contains(sb.shingles, x)))::DOUBLE
+      / (LEN(sa.shingles) + LEN(sb.shingles)
+         - LEN(list_filter(sa.shingles, x -> list_contains(sb.shingles, x)))) >= 0.5
+""")
+def q_dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs, engine-portable twin of
+    q_dedup_near: the identical Broder banding construction (3-gram
+    shingles, k=8 signatures, 4 bands of 2 rows) but with md5-string
+    hashes — lexicographic min and band digests compute bit-identically
+    in Spark and DuckDB, which upgrades the LAST hash-seeded dedup
+    family to a full oracle check (the xxhash64 form stays the
+    production choice: 8-byte signatures, ~3x cheaper).
+
+    Same scale shape as the production operator: zero-shuffle per-row
+    signature folds, candidate generation as a (band_idx, band_hash)
+    self-equi-join (|docs|*bands rows, never all-pairs), exact-Jaccard
+    refinement on candidates only."""
+    from ..operators.dedup import shingle
+
+    d = load_table(spark, sf_dir, "documents", spread=True)
+    sh = shingle(d, "doc_id", "text", n=3)
+    k, bands = 8, 4
+    r = k // bands
+    sig = F.array(*[
+        F.array_min(F.transform(
+            "shingles", lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s))))
+        for i in range(k)
+    ])
+    sg = sh.select("id", "shingles", sig.alias("sig"))
+    band_arr = F.array(*[
+        F.md5(F.concat_ws(",", F.slice("sig", b * r + 1, r)))
+        for b in range(bands)
+    ])
+    g = sg.select("id", F.posexplode(band_arr).alias("band_idx", "band_hash"))
+    a = g.select(F.col("id").alias("id_a"), "band_idx", "band_hash")
+    b = g.select(F.col("id").alias("id_b"), "band_idx", "band_hash")
+    cand = (a.join(b, ["band_idx", "band_hash"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+    sa = sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = inter.cast("double") / union
+    return (cand.join(sa, "id_a").join(sb, "id_b")
+            .filter(jac >= 0.5)
+            .select("id_a", "id_b", F.round(jac, 6).alias("jaccard")))

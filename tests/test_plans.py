@@ -235,3 +235,10 @@ def test_incremental_dedup_no_nested_loop(spark):
     """Batch-vs-corpus dedup must stay a digest anti-join."""
     assert_plan(get("q_dedup_incremental").fn(spark, SF),
                 absent=("CartesianProduct", "BroadcastNestedLoopJoin"))
+
+
+def test_minhash_md5_no_nested_loop(spark):
+    """The oracle-checked MinHash twin must keep the banded equi-join
+    shape — candidates from (band_idx, band_hash), never all-pairs."""
+    assert_plan(get("q_dedup_minhash_md5").fn(spark, SF),
+                absent=("CartesianProduct", "BroadcastNestedLoopJoin"))
