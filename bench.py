@@ -69,20 +69,25 @@ def main() -> None:
         try:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             timings[name] = round(time.perf_counter() - t0, 3)
-            # Second run: the host carries variable background load
-            # (BASELINE.md: totals swing ±25%); min-of-2 is the
-            # low-noise supplementary series. `value` stays the sum of
-            # FIRST runs so the round-over-round series (r1-r3 ran each
-            # query once) remains apples-to-apples. Caches are cleared
-            # so run 2 re-does the full work (operators that cache a
-            # mid-plan table would otherwise skip their expensive stage).
+        except Exception as e:  # one bad query must not zero the round's bench
+            timings[name] = round(time.perf_counter() - t0, 3)
+            errors[name] = f"{type(e).__name__}: {e}"[:200]
+            continue
+        # Second run: the host carries variable background load
+        # (BASELINE.md: totals swing ±25%); min-of-2 is the low-noise
+        # supplementary series. `value` stays the sum of FIRST runs so
+        # the round-over-round series (r1-r3 ran each query once)
+        # remains apples-to-apples. Caches are cleared so run 2 re-does
+        # the full work (operators that cache a mid-plan table would
+        # otherwise skip their expensive stage). A run-2 failure is its
+        # own error entry — it must not touch the recorded first run.
+        try:
             spark.catalog.clearCache()
             t1 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best[name] = round(min(timings[name], time.perf_counter() - t1), 3)
-        except Exception as e:  # one bad query must not zero the round's bench
-            timings[name] = round(time.perf_counter() - t0, 3)
-            errors[name] = f"{type(e).__name__}: {e}"[:200]
+        except Exception as e:
+            errors[f"{name}#run2"] = f"{type(e).__name__}: {e}"[:200]
 
     total = round(sum(timings.values()), 3)
     payload = {

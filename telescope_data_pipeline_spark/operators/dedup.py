@@ -37,7 +37,11 @@ def shingle(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     Sliding word windows via a JVM-side transform over token positions —
     no Python, no explode (the array stays with its row).
     """
-    toks = F.split(F.col(text_col), r"\s+")
+    # filter('') matters beyond hygiene: split on \s+ emits an empty
+    # token for LEADING/TRAILING whitespace, which would silently join
+    # real shingles — and diverge from any oracle that tokenizes with a
+    # filter (q_dedup_minhash_md5's DuckDB side does).
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
     n_sh = F.size(toks) - (n - 1)
     # Guard the short-doc edge: with fewer than n tokens there is no
     # n-shingle, and sequence(0, n_sh-1) would count DOWN (Spark's

@@ -77,24 +77,45 @@ def _decode_image_stub(payload: bytes) -> np.ndarray:
     return rng.integers(0, 255, size=(16, 16), dtype=np.uint8).astype(np.float32)
 
 
+#: Magic prefixes of real encoded media. Dispatch keys on these, NOT on
+#: decode success: a payload that CLAIMS to be a real format but fails
+#: to decode is corrupt data and must fail loudly — silently replacing
+#: it with stub features would poison the corpus downstream. Payloads
+#: with no known magic are synthetic fixtures and take the stub.
+#: (BMP's 2-byte "BM" is deliberately absent: too short to distinguish
+#: from synthetic bytes. RIFF containers disambiguate on bytes 8-12:
+#: WEBP is an image, WAVE is audio.)
+_IMAGE_MAGICS = (b"\x89PNG", b"\xff\xd8\xff", b"GIF8",
+                 b"II*\x00", b"MM\x00*")
+_AUDIO_MAGICS = (b"fLaC", b"OggS", b"FORM")
+
+
+def _has_magic(payload: bytes, magics: tuple[bytes, ...],
+               riff_kind: bytes | None = None) -> bool:
+    head = bytes(payload[:12])
+    if riff_kind is not None and head[:4] == b"RIFF" \
+            and head[8:12] == riff_kind:
+        return True
+    return any(head.startswith(m) for m in magics)
+
+
 def decode_image(payload: bytes) -> np.ndarray:
     """Decode an encoded image payload to a float32 grayscale array.
 
-    Dispatch: PIL when installed (any format libjpeg/libpng handle),
-    falling back to the deterministic stub when PIL is absent OR the
-    payload is not a real encoded image (so synthetic fixtures keep
-    working in mixed environments — a production corpus of valid
-    payloads always takes the real path)."""
+    Dispatch by MAGIC BYTES: a payload carrying a real image signature
+    decodes with PIL (raising on corruption — never silently stubbed,
+    and raising CodecUnavailable when PIL is absent); anything else is
+    a synthetic fixture and takes the deterministic stub."""
     if payload is None:
         raise CodecUnavailable("no payload")
-    if _pil_image is not None:
+    if _has_magic(payload, _IMAGE_MAGICS, riff_kind=b"WEBP"):
+        if _pil_image is None:
+            raise CodecUnavailable(
+                "payload is a real encoded image but PIL is not installed")
         import io
 
-        try:
-            with _pil_image.open(io.BytesIO(bytes(payload))) as im:
-                return np.asarray(im.convert("L"), dtype=np.float32)
-        except Exception:
-            pass  # not a decodable image: synthetic fixture payload
+        with _pil_image.open(io.BytesIO(bytes(payload))) as im:
+            return np.asarray(im.convert("L"), dtype=np.float32)
     return _decode_image_stub(payload)
 
 
@@ -192,23 +213,24 @@ def _decode_audio_stub(payload: bytes, duration_s: float) -> np.ndarray:
 def decode_audio(payload: bytes, duration_s: float) -> tuple[np.ndarray, int]:
     """Decode an audio payload to ``(float32 mono wave, sample_rate)``.
 
-    Dispatch mirrors :func:`decode_image`: libsndfile via ``soundfile``
-    when installed and the payload parses (WAV/FLAC/OGG…), else the
-    deterministic stub at ``_AUDIO_SR`` — so synthetic fixtures stay
-    valid in environments that do have the codec."""
+    Dispatch mirrors :func:`decode_image`: a payload with a real audio
+    container signature (WAV/FLAC/OGG/AIFF) decodes with libsndfile,
+    raising on corruption or when ``soundfile`` is absent; anything
+    else is a synthetic fixture and takes the deterministic stub at
+    ``_AUDIO_SR``."""
     if payload is None:
         raise CodecUnavailable("no payload")
-    if _soundfile is not None:
+    if _has_magic(payload, _AUDIO_MAGICS, riff_kind=b"WAVE"):
+        if _soundfile is None:
+            raise CodecUnavailable(
+                "payload is a real audio container but soundfile is not installed")
         import io
 
-        try:
-            data, sr = _soundfile.read(io.BytesIO(bytes(payload)),
-                                       dtype="float32")
-            if data.ndim > 1:
-                data = data.mean(axis=1)
-            return np.asarray(data, dtype=np.float32), int(sr)
-        except Exception:
-            pass  # not a decodable payload: synthetic fixture
+        data, sr = _soundfile.read(io.BytesIO(bytes(payload)),
+                                   dtype="float32")
+        if data.ndim > 1:
+            data = data.mean(axis=1)
+        return np.asarray(data, dtype=np.float32), int(sr)
     return _decode_audio_stub(payload, duration_s), _AUDIO_SR
 
 

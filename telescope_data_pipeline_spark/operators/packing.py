@@ -23,22 +23,21 @@ shard count.
 
 from __future__ import annotations
 
-from typing import Iterator
-
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .cache_slot import CacheSlot
+from .range_bucket import range_bucket_id
 
 __all__ = ["pack_greedy"]
 
 #: Bounded cache: one placed table per session, not one per invocation
-#: (round-3 ADVICE — the cache() below was never unpersisted).
+#: (round-3 ADVICE — the cache() below was never unpersisted). The
+#: bucket id is a pure function of the key, so eviction can only cost
+#: recompute, never a shard-identity drift.
 _SLOT = CacheSlot()
-
-_INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
 
 
 def pack_greedy(df: DataFrame, order_col: str, len_col: str,
@@ -53,13 +52,11 @@ def pack_greedy(df: DataFrame, order_col: str, len_col: str,
     documents first (``q_doc_chunks``); a NULL length packs as an
     empty item (an undecodable doc contributes nothing to a window).
 
-    Integral order keys shard on an EXPLICIT floor((key-min)*n/span)
-    bucket (one column-pruned min/max scan; the shard id is a
-    deterministic function of the key and each applyInPandas group is
-    exactly one shard). Non-integral keys fall back to
-    ``repartitionByRange`` + ``spark_partition_id`` — correct, but the
-    boundary sample re-executes the child plan and pid stability leans
-    on the cache.
+    Shards on the EXPLICIT range bucket of ``operators.range_bucket``
+    (one column-pruned min/max scan; the shard id is a deterministic
+    function of the key and each applyInPandas group is exactly one
+    shard; NULL keys raise). Supported key types: integral, date,
+    timestamp — cast or derive a numeric key for anything else.
 
     Returns ``order_col``, ``len_col``, ``win`` (global window index,
     long), ``off`` (offset inside the window, long).
@@ -96,37 +93,16 @@ def pack_greedy(df: DataFrame, order_col: str, len_col: str,
         return out
 
     sel = df.select(order_col, len_col)
-    if isinstance(df.schema[order_col].dataType, _INTEGRAL):
-        lohi = sel.select(F.min(order_col).alias("lo"),
-                          F.max(order_col).alias("hi")).first()
-        if lohi["lo"] is None:  # empty input: keep output schema
-            return spark.createDataFrame(
-                [], schema=T.StructType(local_schema.fields[1:3] + [
-                    T.StructField("win", T.LongType()),
-                    T.StructField("off", T.LongType())]))
-        lo, span = int(lohi["lo"]), int(lohi["hi"]) - int(lohi["lo"]) + 1
-        n_eff = max(1, min(n, span))
-        pid = F.floor((F.col(order_col) - F.lit(lo)).cast("double")
-                      * n_eff / span).cast("int")
-        placed = (sel.withColumn("_pid", pid)
-                  .groupBy("_pid")
-                  .applyInPandas(lambda pdf: _pack_frame(pdf),
-                                 schema=local_schema))
-    else:
-        def place_local(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            # A shard arrives as SEVERAL Arrow batches — the running
-            # (win, off) state must span all of them, so concatenate
-            # first (shard-sized pandas frame, the applyInPandas memory
-            # class; size shards accordingly).
-            batches = list(pdfs)
-            if not batches:
-                return
-            yield _pack_frame(pd.concat(batches))
-
-        ranged = (sel.repartitionByRange(n, F.col(order_col))
-                  .sortWithinPartitions(order_col)
-                  .withColumn("_pid", F.spark_partition_id()))
-        placed = ranged.mapInPandas(place_local, schema=local_schema)
+    pid, n_eff = range_bucket_id(sel, order_col, n)
+    if n_eff == 0:  # empty input: keep output schema
+        return spark.createDataFrame(
+            [], schema=T.StructType(local_schema.fields[1:3] + [
+                T.StructField("win", T.LongType()),
+                T.StructField("off", T.LongType())]))
+    placed = (sel.withColumn("_pid", pid)
+              .groupBy("_pid")
+              .applyInPandas(lambda pdf: _pack_frame(pdf),
+                             schema=local_schema))
 
     # The counts collect below is the first action over the cached
     # table, so it materializes every partition itself; the final join

@@ -6,18 +6,19 @@ single-partition Exchange), so the classic running-total query stops
 scaling at exactly the moment it matters. The scalable form is the
 textbook two-phase scan, expressed here with DataFrame ops only:
 
-1. range-partition by the order key (``repartitionByRange`` guarantees
-   partition *i*'s keys all precede partition *i+1*'s) and sort within
-   partitions — this is the same exchange a global ``orderBy`` performs,
-   parallel by construction;
-2. aggregate one subtotal per partition (tiny: ≤ num_partitions rows),
-   prefix-sum those on the driver, and broadcast the per-partition
+1. shard by an explicit range-bucket id computed FROM the order key
+   (``operators.range_bucket`` — deterministic, no boundary-sampling
+   pass, immune to recompute drift; shard i's keys precede shard
+   i+1's by construction);
+2. aggregate one subtotal per shard (tiny: ≤ num_partitions rows),
+   prefix-sum those on the driver, and broadcast the per-shard
    offsets back;
-3. a partition-LOCAL window (partitionBy the partition id) adds the
-   local running sum to the partition's offset.
+3. a shard-LOCAL window (partitionBy the bucket id) adds the local
+   running sum to the shard's offset.
 
-Cost: one range exchange + one ≤n-row collect + one map-side join —
-versus the single-partition window's "ship 100 TB to one task".
+Cost: one min/max scan + one hash exchange + one ≤n-row collect + one
+map-side join — versus the single-partition window's "ship 100 TB to
+one task".
 """
 
 from __future__ import annotations
@@ -28,11 +29,14 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .cache_slot import CacheSlot
+from .range_bucket import range_bucket_id
 
 __all__ = ["distributed_prefix_sum"]
 
 #: Bounded cache: one range-partitioned table per session, not one per
 #: invocation (round-3 ADVICE — the cache() below was never unpersisted).
+#: Because the bucket id is a pure function of the key, eviction can
+#: only cost recompute, never a shard-identity drift.
 _SLOT = CacheSlot()
 
 _INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
@@ -46,8 +50,11 @@ def distributed_prefix_sum(df: DataFrame, order_col: str, value_col: str,
     ``order_col`` order (inclusive of the current row), computed without
     ever concentrating the data on one task.
 
-    ``order_col`` must be unique (it defines the total order; ties would
-    make "the previous row" ambiguous under any engine).
+    ``order_col`` must be unique and non-null (it defines the total
+    order; ties would make "the previous row" ambiguous under any
+    engine, and a NULL key raises executor-side from the bucket
+    expression). Supported key types: integral, date, timestamp —
+    cast or derive a numeric key for anything else.
     """
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
@@ -64,36 +71,13 @@ def distributed_prefix_sum(df: DataFrame, order_col: str, value_col: str,
             f"distributed_prefix_sum: value column {value_col!r} has type "
             f"{vt.simpleString()}; only integral and float/double columns "
             f"are supported (cast decimals explicitly to pick a semantics)")
-    kt = df.schema[order_col].dataType
-    if isinstance(kt, _INTEGRAL):
-        # Fast path for integral order keys: bucket on an EXPLICIT range
-        # id computed from min/max instead of repartitionByRange. This
-        # (a) replaces the range-partitioner's sampling pass — which
-        # re-executes the child plan (e.g. tokenization) just to sketch
-        # boundaries — with one column-pruned min/max scan, and (b)
-        # makes the partition id a deterministic function of the key,
-        # so correctness no longer leans on spark_partition_id being
-        # stable across jobs (the cache below is then purely a
-        # recompute-avoidance optimization). Skewed key DENSITY skews
-        # bucket sizes, not correctness; pass num_partitions to widen.
-        lohi = df.select(F.min(order_col).alias("lo"),
-                         F.max(order_col).alias("hi")).first()
-        if lohi["lo"] is None:  # empty input: keep schema, zero rows
-            return df.withColumn(out_col, F.lit(None).cast(off_type))
-        lo, span = int(lohi["lo"]), int(lohi["hi"]) - int(lohi["lo"]) + 1
-        n_eff = max(1, min(n, span))
-        pid = F.floor((F.col(order_col) - F.lit(lo)).cast("double")
-                      * n_eff / span).cast("int")
-        ranged = df.withColumn("_pid", pid).repartition(n_eff, "_pid")
-    else:
-        ranged = (df.repartitionByRange(n, F.col(order_col))
-                  .sortWithinPartitions(order_col)
-                  .withColumn("_pid", F.spark_partition_id()))
-    # Two passes must see identical partitioning; cache so the second
-    # pass replays stored blocks (on the generic path
-    # spark_partition_id is otherwise free to differ between jobs; on
-    # the explicit-bucket path the cache only avoids recompute). The
-    # subtotal collect below is the first action over `ranged`, so it
+    pid, n_eff = range_bucket_id(df, order_col, n)
+    if n_eff == 0:  # empty input: keep schema, zero rows
+        return df.withColumn(out_col, F.lit(None).cast(off_type))
+    ranged = df.withColumn("_pid", pid).repartition(n_eff, "_pid")
+    # Two passes over the same rows; cache so the second pass replays
+    # stored blocks instead of recomputing the input plan. The subtotal
+    # collect below is the first action over `ranged`, so it
     # materializes every cached partition itself — a separate count()
     # would just add a job. Single-slot ownership bounds storage across
     # repeated invocations.

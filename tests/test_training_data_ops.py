@@ -392,3 +392,67 @@ def test_fingerprint_short_doc_boundary(spark, tmp_path):
             per[r.doc_id] = per.get(r.doc_id, 0) + 1
         assert per[1] == 1, name   # 1 gram < window: single boundary fp
         assert per[2] >= 1, name   # 4 grams = 1 full window
+
+
+def test_range_bucket_null_key_raises(spark):
+    """A NULL order key has no position in a total order — the bucket
+    expression must raise executor-side, not silently drop the row
+    (prefix sums) or NaN-crash the packing kernel."""
+    import pytest
+
+    from telescope_data_pipeline_spark.operators.prefix_sum import (
+        distributed_prefix_sum,
+    )
+
+    df = spark.createDataFrame([(1, 5), (None, 7), (3, 2)],
+                               "k long, v long")
+    with pytest.raises(Exception, match="NULL k has no position"):
+        distributed_prefix_sum(df, "k", "v").collect()
+
+
+def test_prefix_sum_timestamp_key(spark):
+    """Event-time keys bucket through unix_micros — same exact result
+    as the sequential cumulative sum."""
+    import datetime as dt
+
+    from telescope_data_pipeline_spark.operators.prefix_sum import (
+        distributed_prefix_sum,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(t0 + dt.timedelta(seconds=i), i + 1) for i in range(50)]
+    df = spark.createDataFrame(rows, "ts timestamp, v long")
+    got = {r.ts: r.cum for r in
+           distributed_prefix_sum(df, "ts", "v", num_partitions=7).collect()}
+    acc = 0
+    for ts, v in rows:
+        acc += v
+        assert got[ts] == acc
+
+
+def test_range_bucket_full_range_keys_no_overflow(spark):
+    """Keys spanning nearly the whole int64 range (64-bit hashes as the
+    order key) must bucket without ANSI ARITHMETIC_OVERFLOW: the
+    (key - lo) * n arithmetic runs in double, monotone and clamped."""
+    from telescope_data_pipeline_spark.operators.prefix_sum import (
+        distributed_prefix_sum,
+    )
+
+    ks = [-(2 ** 62) - 123, -(2 ** 40), -17, 0, 999, 2 ** 41, 2 ** 62 + 456]
+    df = spark.createDataFrame([(k, 1) for k in ks], "k long, v long")
+    got = sorted((r.k, r.cum) for r in
+                 distributed_prefix_sum(df, "k", "v",
+                                        num_partitions=4).collect())
+    assert [c for _, c in got] == list(range(1, len(ks) + 1))
+
+
+def test_pack_greedy_rejects_string_key(spark):
+    """Unsupported order-key types fail fast with guidance, instead of
+    the silent pid-drift hazard the removed generic path carried."""
+    import pytest
+
+    from telescope_data_pipeline_spark.operators.packing import pack_greedy
+
+    df = spark.createDataFrame([("a", 10)], "k string, v long")
+    with pytest.raises(TypeError, match="integral, date, or timestamp"):
+        pack_greedy(df, "k", "v")
