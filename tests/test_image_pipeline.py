@@ -190,3 +190,44 @@ def test_lomb_scargle_numpy_kernel_sanity():
     freqs = np.linspace(0.01, 1.0, 2000)
     p = lomb_scargle_power(t, y, freqs)
     assert abs(1.0 / freqs[p.argmax()] - 7.5) < 0.1
+
+
+def test_cli_pipeline_end_to_end(spark, tmp_path):
+    """python -m telescope_data_pipeline_spark equivalent of the
+    reference's psf_phot.py run: manifest + FITS dir in, four sinks
+    out (CSV per epoch, FITS stacked, PDF diagnostics, TXT stats)."""
+    import glob
+    import os
+
+    import numpy as np
+
+    from telescope_data_pipeline_spark.__main__ import main
+    from telescope_data_pipeline_spark.sources.fits import write_fake_fits
+
+    d = tmp_path / "imgs"
+    out = tmp_path / "out"
+    d.mkdir()
+    rng = np.random.default_rng(5)
+    lines = []
+    for i in range(6):
+        px = rng.normal(100, 2, (64, 64)).astype(np.float32)
+        for sx, sy in ((10, 12), (30, 40), (50, 20)):
+            y, x = np.mgrid[0:64, 0:64]
+            px += (500 * np.exp(-(((x - sx - (i % 3)) ** 2 + (y - sy) ** 2)
+                                  / (2 * 2.5 ** 2)))).astype(np.float32)
+        write_fake_fits(str(d / f"img{i}.fits"), px,
+                        {"FILTER": "V", "AIRMASS": "1.2", "EXPTIME": "60.0",
+                         "DATE-OBS": "2024-03-01T00:00:00", "SITEID": "syn"})
+        lines.append(f"img{i}.fits,{i // 3}")
+    (d / "manifest.csv").write_text("\n".join(lines))
+
+    main(["--images", str(d), "--manifest", str(d / "manifest.csv"),
+          "--out", str(out), "--size", "64"])
+
+    assert len(glob.glob(str(out / "csv" / "**" / "*.csv"),
+                         recursive=True)) == 2       # one per epoch
+    assert len(glob.glob(str(out / "fits" / "*.fits"))) == 2
+    pdf = out / "pdf" / "diagnostics.pdf"
+    assert pdf.exists() and pdf.read_bytes().startswith(b"%PDF")
+    txts = glob.glob(str(out / "txt" / "**" / "*"), recursive=True)
+    assert any(os.path.isfile(t) for t in txts)
