@@ -40,3 +40,28 @@ def quality_score(text: Column, n_chars: Column) -> Column:
     """The composite used by q_doc_quality: length + diversity, equal
     weights."""
     return length_score(n_chars) * 0.5 + lexical_diversity(text) * 0.5
+
+
+def quality_verdict(text: Column) -> Column:
+    """First-failing-rule verdict of the C4/Gopher-style gate
+    (q_quality_gate's rule cascade, factored so batch and streaming
+    ingestion apply the identical gate): 'too_short' / 'too_long' /
+    'word_length' / 'repetitive' / 'keep'. Pure per-row higher-order
+    array ops — stateless, so it streams unchanged."""
+    toks = F.filter(tokens(text), lambda x: x != "")
+    n_tok = F.size(toks)
+    mean_wlen = F.when(
+        n_tok > 0,
+        F.aggregate(toks, F.lit(0.0), lambda acc, x: acc + F.length(x))
+        / n_tok).otherwise(F.lit(0.0))
+    top_frac = F.when(
+        n_tok > 0,
+        F.array_max(F.transform(
+            F.array_distinct(toks),
+            lambda u: F.size(F.filter(toks, lambda x: x == u))))
+        .cast("double") / n_tok).otherwise(F.lit(1.0))
+    return (F.when(n_tok < 20, "too_short")
+            .when(n_tok > 1000, "too_long")
+            .when((mean_wlen < 2.0) | (mean_wlen > 12.0), "word_length")
+            .when(top_frac > 0.2, "repetitive")
+            .otherwise("keep"))

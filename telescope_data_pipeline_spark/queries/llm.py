@@ -1173,30 +1173,12 @@ def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     barrier. Rule thresholds are illustrative; the comparisons are on
     exact integer counts and 6-digit-stable ratios, so the verdict is
     engine-portable."""
+    from ..functions.text import quality_verdict
+
     d = load_table(spark, sf_dir, "documents")
-    toks = F.filter(F.split("text", _TOK), lambda x: x != "")
-    t = d.select("doc_id", toks.alias("toks")).withColumn("n_tok",
-                                                          F.size("toks"))
-    mean_wlen = F.when(
-        F.col("n_tok") > 0,
-        F.aggregate("toks", F.lit(0.0),
-                    lambda acc, x: acc + F.length(x)) / F.col("n_tok")) \
-        .otherwise(F.lit(0.0))
-    top_frac = F.when(
-        F.col("n_tok") > 0,
-        F.array_max(F.transform(
-            F.array_distinct("toks"),
-            lambda u: F.size(F.filter(F.col("toks"), lambda x: x == u))))
-        .cast("double") / F.col("n_tok")).otherwise(F.lit(1.0))
-    verdict = (F.when(F.col("n_tok") < 20, "too_short")
-               .when(F.col("n_tok") > 1000, "too_long")
-               .when((F.col("_mw") < 2.0) | (F.col("_mw") > 12.0),
-                     "word_length")
-               .when(F.col("_tf") > 0.2, "repetitive")
-               .otherwise("keep"))
-    return (t.withColumn("_mw", mean_wlen).withColumn("_tf", top_frac)
-            .select("doc_id", F.col("n_tok").cast("long").alias("n_tok"),
-                    verdict.alias("verdict")))
+    n_tok = F.size(F.filter(F.split("text", _TOK), lambda x: x != ""))
+    return d.select("doc_id", n_tok.cast("long").alias("n_tok"),
+                    quality_verdict(F.col("text")).alias("verdict"))
 
 
 @query("q_dedup_minhash_md5", oracle=r"""

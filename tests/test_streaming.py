@@ -211,3 +211,66 @@ def test_upsert_sink_converges_to_latest_per_user(spark, events_dir):
                           .agg(F.max_by("value", "ts").alias("value"),
                                F.max("ts").alias("ts")).collect()}
     assert got == want
+
+
+def test_streaming_ingest_matches_batch(spark, tmp_path):
+    """The streaming ingestion job (gate -> digest -> stream dedup ->
+    corpus anti-join) must accept exactly the documents the batch
+    operators accept, across multiple micro-batches."""
+    import pandas as pd
+
+    from telescope_data_pipeline_spark.functions.text import quality_verdict
+    from telescope_data_pipeline_spark.streaming.ingest import (
+        ingest_documents,
+        read_document_stream,
+    )
+
+    docs_dir = tmp_path / "docs"
+    out_dir = tmp_path / "out"
+    cp = tmp_path / "cp"
+    docs_dir.mkdir()
+    long_txt = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    rows = []
+    for i in range(12):
+        if i % 4 == 3:
+            text = "tiny doc"                   # gated: too_short
+        elif i % 4 == 2:
+            # same leading 30 chars in every copy -> one shared digest
+            text = "repeated crawl page body here " + long_txt
+        else:
+            # digest key is the first 30 chars: make them unique per doc
+            text = f"unique doc {i:03d} lead sentence " + long_txt
+        rows.append({"doc_id": i, "text": text, "lang": "en",
+                     "source": "crawl", "n_chars": len(text)})
+    # three chunk files -> three micro-batches at maxFilesPerTrigger=1
+    for c in range(3):
+        pd.DataFrame(rows[c * 4:(c + 1) * 4]).to_parquet(
+            docs_dir / f"chunk{c}.parquet")
+    # corpus already holds doc 0's content digest
+    corpus = spark.createDataFrame(
+        [(rows[0]["text"][:30],)], "prefix string"
+    ).select(F.md5("prefix").alias("digest"))
+
+    stream = read_document_stream(spark, str(docs_dir),
+                                  max_files_per_trigger=1)
+    q = (ingest_documents(stream, corpus)
+         .writeStream.format("parquet")
+         .option("path", str(out_dir))
+         .option("checkpointLocation", str(cp))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = {r.doc_id for r in
+           spark.read.schema(
+               "digest string, doc_id long, text string, lang string, "
+               "source string, n_chars long").parquet(str(out_dir))
+           .collect()}
+    # batch reference: same gate + same dedup rules
+    batch = spark.createDataFrame(pd.DataFrame(rows))
+    kept = (batch.withColumn("v", quality_verdict(F.col("text")))
+            .filter("v = 'keep'")
+            .withColumn("digest", F.md5(F.substring("text", 1, 30)))
+            .groupBy("digest").agg(F.min("doc_id").alias("doc_id"))
+            .join(corpus, "digest", "left_anti"))
+    want = {r.doc_id for r in kept.collect()}
+    assert got == want and got, (got, want)
