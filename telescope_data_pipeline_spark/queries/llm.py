@@ -1269,3 +1269,35 @@ def q_dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (cand.join(sa, "id_a").join(sb, "id_b")
             .filter(jac >= 0.5)
             .select("id_a", "id_b", F.round(jac, 6).alias("jaccard")))
+
+
+@query("q_epoch_shuffle", oracle="""
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (
+         ORDER BY md5('epoch7:' || CAST(doc_id AS VARCHAR)), doc_id)
+         AS BIGINT) - 1 AS position
+FROM documents
+""")
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle: assign every document its position
+    in a seeded pseudo-random permutation — the reproducible global
+    shuffle a training run needs per epoch (re-runs, restarts, and
+    backfills see the identical order; changing the seed string gives
+    the next epoch's permutation). Content-addressed like
+    q_split_assign: no RNG state, engine-portable.
+
+    Scale design: the naive form is row_number() over a global ORDER BY
+    — a single-partition sort. operators/rank.py::distributed_row_number
+    buckets by the digest's 60-bit numeric prefix (order-consistent
+    with hex-string order), counts per bucket, prefix-folds ≤n bucket
+    bases on the driver, and ranks locally per bucket — the same
+    two-phase shape as the sequence-packing prefix sum."""
+    from ..operators.rank import distributed_row_number
+
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.lit("epoch7:"), F.col("doc_id").cast("string")))
+    t = d.select("doc_id", h.alias("h"))
+    out = distributed_row_number(
+        t, order_cols=["h", "doc_id"],
+        bucket_key=F.conv(F.substring("h", 1, 15), 16, 10))
+    return out.select("doc_id", "position")

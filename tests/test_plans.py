@@ -242,3 +242,15 @@ def test_minhash_md5_no_nested_loop(spark):
     shape — candidates from (band_idx, band_hash), never all-pairs."""
     assert_plan(get("q_dedup_minhash_md5").fn(spark, SF),
                 absent=("CartesianProduct", "BroadcastNestedLoopJoin"))
+
+
+def test_epoch_shuffle_no_single_partition_sort(spark):
+    """The seeded permutation must rank via bucket bases + local
+    windows — a global ORDER BY row_number would plan an Exchange
+    SinglePartition and ship the corpus to one task."""
+    from telescope_data_pipeline_spark.plans.audit import physical_plan
+
+    df = get("q_epoch_shuffle").fn(spark, SF)
+    df.collect()
+    plan = physical_plan(df)
+    assert "Exchange SinglePartition" not in plan, plan

@@ -456,3 +456,29 @@ def test_pack_greedy_rejects_string_key(spark):
     df = spark.createDataFrame([("a", 10)], "k string, v long")
     with pytest.raises(TypeError, match="integral, date, or timestamp"):
         pack_greedy(df, "k", "v")
+
+
+def test_distributed_row_number_is_a_permutation(spark):
+    """Positions are exactly 0..n-1, stable across repeat runs, and
+    different seeds give different permutations."""
+    from pyspark.sql import functions as F
+
+    from telescope_data_pipeline_spark.operators.rank import (
+        distributed_row_number,
+    )
+
+    df = spark.range(0, 997).select(F.col("id").alias("doc_id"))
+
+    def perm(seed):
+        h = F.md5(F.concat(F.lit(seed), F.col("doc_id").cast("string")))
+        out = distributed_row_number(
+            df.select("doc_id", h.alias("h")),
+            order_cols=["h", "doc_id"],
+            bucket_key=F.conv(F.substring("h", 1, 15), 16, 10),
+            num_partitions=13)
+        return {r.doc_id: r.position for r in out.collect()}
+
+    p1 = perm("s1:")
+    assert sorted(p1.values()) == list(range(997))
+    assert p1 == perm("s1:")           # reproducible
+    assert p1 != perm("s2:")           # seed changes the permutation
