@@ -135,3 +135,44 @@ def test_asof_join_matches_pandas_merge_asof(spark):
     assert len(got) == len(want) == n_l
     pd.testing.assert_series_equal(got["rv"], want["rv"],
                                    check_exact=False, rtol=1e-12)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.integers(min_value=-2**40, max_value=2**40),
+                min_size=1, max_size=60, unique=True),
+       st.integers(min_value=1, max_value=9))
+def test_prefix_sum_matches_sequential_fold(spark, keys, n_parts):
+    """Any unique integral key set, any shard count: the distributed
+    prefix sum equals the sequential cumulative sum in key order."""
+    from telescope_data_pipeline_spark.operators.prefix_sum import (
+        distributed_prefix_sum,
+    )
+
+    rows = [(k, (k % 13) - 6) for k in keys]
+    df = spark.createDataFrame(rows, "k long, v long")
+    got = {r.k: r.cum for r in
+           distributed_prefix_sum(df, "k", "v",
+                                  num_partitions=n_parts).collect()}
+    acc = 0
+    for k, v in sorted(rows):
+        acc += v
+        assert got[k] == acc
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.integers(min_value=-2**40, max_value=2**40),
+                min_size=1, max_size=60, unique=True),
+       st.integers(min_value=1, max_value=9))
+def test_distributed_row_number_matches_sort(spark, keys, n_parts):
+    """Any unique key set, any shard count: positions equal the rank in
+    a plain sort."""
+    from telescope_data_pipeline_spark.operators.rank import (
+        distributed_row_number,
+    )
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    got = {r.k: r.position for r in
+           distributed_row_number(df, order_cols=["k"],
+                                  num_partitions=n_parts).collect()}
+    for pos, k in enumerate(sorted(keys)):
+        assert got[k] == pos
