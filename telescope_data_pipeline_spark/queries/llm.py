@@ -1301,3 +1301,51 @@ def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         t, order_cols=["h", "doc_id"],
         bucket_key=F.conv(F.substring("h", 1, 15), 16, 10))
     return out.select("doc_id", "position")
+
+
+@query("q_length_batches", oracle=r"""
+WITH t AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(text, '\s+'), x -> x != ''))
+           AS n_tok
+  FROM documents
+), b AS (
+  SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+         CAST(CEIL(LOG2(n_tok)) AS BIGINT) AS bucket
+  FROM t WHERE n_tok > 0
+)
+SELECT doc_id, n_tok, bucket,
+       CAST((ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY doc_id) - 1)
+            // 8 AS BIGINT) AS batch_in_bucket
+FROM b
+""")
+def q_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching: group documents into power-of-two
+    length buckets and cut each bucket into fixed-size batches — the
+    padding-efficient dynamic batching of seq2seq training (a batch of
+    similar lengths pads to its max, so mixing a 30-token doc into a
+    500-token batch wastes 94% of the batch's compute).
+
+    Scale design: the naive rank-within-bucket is a per-bucket sort —
+    with ~10 buckets that is 10 giant partitions at corpus scale, the
+    q_mix_corpus trap. Here the rank comes from ONE
+    ``distributed_row_number`` over the composite key bucket*2^44 +
+    doc_id (monotone: bucket-major, doc-minor), and each doc's
+    within-bucket position is its global position minus its bucket's
+    base (cumulative counts of earlier buckets — a ≤10-row broadcast).
+    No single-bucket sort partition anywhere."""
+    from ..operators.rank import distributed_row_number
+
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.filter(F.split("text", _TOK), lambda x: x != ""))
+    t = (d.select("doc_id", n_tok.cast("long").alias("n_tok"))
+         .filter(F.col("n_tok") > 0)
+         .withColumn("bucket", F.ceil(F.log2("n_tok")).cast("long")))
+    key = (F.col("bucket") * (1 << 44) + F.col("doc_id")).alias("ok")
+    ranked = distributed_row_number(
+        t.withColumn("ok", key), order_cols=["ok"], out_col="gpos")
+    bases = (ranked.groupBy("bucket").agg(F.count(F.lit(1)).alias("_n"),
+                                          F.min("gpos").alias("base")))
+    return (ranked.join(F.broadcast(bases.select("bucket", "base")), "bucket")
+            .select("doc_id", "n_tok", "bucket",
+                    F.expr("(gpos - base) DIV 8").alias("batch_in_bucket")))
