@@ -254,3 +254,14 @@ def test_epoch_shuffle_no_single_partition_sort(spark):
     df.collect()
     plan = physical_plan(df)
     assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_length_batches_no_single_partition_sort(spark):
+    """Within-bucket batch ids must come from the distributed rank, not
+    a per-bucket (or global) sort partition."""
+    from telescope_data_pipeline_spark.plans.audit import physical_plan
+
+    df = get("q_length_batches").fn(spark, SF)
+    df.collect()
+    plan = physical_plan(df)
+    assert "Exchange SinglePartition" not in plan, plan
