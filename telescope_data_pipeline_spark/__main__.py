@@ -50,17 +50,24 @@ def main(argv: list[str] | None = None) -> None:
     images = scan_fits_dir(spark, args.images, manifest).cache()
 
     stages = run_photometry_pipeline(images, size=args.size)
-    # detections feed shifts AND the catalog; photometry is consumed by
-    # three sinks — pin the expensive stages once (pipeline.py docstring).
+    # Pin every stage consumed by more than one sink (pipeline.py
+    # docstring): stacked feeds FITS+PDF+photometry, stacked_detections
+    # feeds WCS + the TXT stats + the photometry plan, photometry feeds
+    # three sinks.
     stacked = stages["stacked"].cache()
+    stacked_detections = stages["stacked_detections"].cache()
     photometry = stages["photometry"].cache()
-    wcs = solve_wcs(stages["stacked_detections"])
+    wcs = solve_wcs(stacked_detections)
 
     for d in ("csv", "fits", "pdf", "txt"):
         os.makedirs(os.path.join(args.out, d), exist_ok=True)
 
-    # 1. CSV results, one directory per epoch (reference p_io.py:103-119)
-    (photometry.coalesce(1).write.mode("overwrite").option("header", True)
+    # 1. CSV results, one directory per epoch (reference p_io.py:103-119).
+    # repartition BY the partition column: one file per epoch dir without
+    # collapsing the whole computation onto one task (coalesce(1) would
+    # serialize the first materialization of the cached photometry plan).
+    (photometry.repartition("epoch_id").write.mode("overwrite")
+     .option("header", True)
      .partitionBy("epoch_id").csv(os.path.join(args.out, "csv")))
     # 2. FITS stacked image + WCS-merged header (p_io.py:19-62)
     n_fits = write_stacked_fits(images, stacked, wcs,
@@ -73,7 +80,7 @@ def main(argv: list[str] | None = None) -> None:
         os.path.join(args.out, "pdf", "diagnostics.pdf"),
         images=stacked_named)
     # 4. TXT run statistics (p_io.py:121-154)
-    write_diagnostics_txt(stages["stacked_detections"], stages["psf_stars"],
+    write_diagnostics_txt(stacked_detections, stages["psf_stars"],
                           photometry, stages["fwhm"],
                           os.path.join(args.out, "txt", "stats.txt"))
 

@@ -49,7 +49,10 @@ def quality_verdict(text: Column) -> Column:
     'word_length' / 'repetitive' / 'keep'. Pure per-row higher-order
     array ops — stateless, so it streams unchanged."""
     toks = F.filter(tokens(text), lambda x: x != "")
-    n_tok = F.size(toks)
+    # coalesce: NULL text means zero tokens, so attribution is
+    # 'too_short' — without it the NULL skips both size rules and the
+    # mean_wlen default misattributes the rejection to 'word_length'.
+    n_tok = F.coalesce(F.size(toks), F.lit(0))
     mean_wlen = F.when(
         n_tok > 0,
         F.aggregate(toks, F.lit(0.0), lambda acc, x: acc + F.length(x))

@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .cache_slot import CacheSlot
-from .range_bucket import range_bucket_id
+from .range_bucket import bucketed_prefix_bases
 
 __all__ = ["distributed_prefix_sum"]
 
@@ -71,27 +71,18 @@ def distributed_prefix_sum(df: DataFrame, order_col: str, value_col: str,
             f"distributed_prefix_sum: value column {value_col!r} has type "
             f"{vt.simpleString()}; only integral and float/double columns "
             f"are supported (cast decimals explicitly to pick a semantics)")
-    pid, n_eff = range_bucket_id(df, order_col, n)
-    if n_eff == 0:  # empty input: keep schema, zero rows
+    # Shared two-phase scaffold (range_bucket.bucketed_prefix_bases):
+    # bucket + cache + per-bucket subtotal + driver prefix fold. The
+    # subtotal collect is the first action over the cached table, so it
+    # materializes every partition itself.
+    ranged, off = bucketed_prefix_bases(
+        df, order_col, n, measure=F.sum(value_col), slot=_SLOT, zero=zero)
+    if ranged is None:  # empty input: keep schema, zero rows
         return df.withColumn(out_col, F.lit(None).cast(off_type))
-    ranged = df.withColumn("_pid", pid).repartition(n_eff, "_pid")
-    # Two passes over the same rows; cache so the second pass replays
-    # stored blocks instead of recomputing the input plan. The subtotal
-    # collect below is the first action over `ranged`, so it
-    # materializes every cached partition itself — a separate count()
-    # would just add a job. Single-slot ownership bounds storage across
-    # repeated invocations.
-    ranged = _SLOT.own(ranged)
-    subtotals = (ranged.groupBy("_pid")
-                 .agg(F.sum(value_col).alias("_s"))
-                 .orderBy("_pid").collect())
-    offsets, acc = [], zero
-    for r in subtotals:
-        offsets.append((r["_pid"], acc))
-        acc += r["_s"] or zero
-    off = spark.createDataFrame(offsets, schema=f"_pid int, _off {off_type}")
     local = (W.partitionBy("_pid").orderBy(order_col)
              .rowsBetween(W.unboundedPreceding, W.currentRow))
     return (ranged.join(F.broadcast(off), "_pid")
-            .withColumn(out_col, F.sum(value_col).over(local) + F.col("_off"))
-            .drop("_pid", "_off"))
+            .withColumn(out_col,
+                        F.sum(value_col).over(local)
+                        + F.col("_base").cast(off_type))
+            .drop("_pid", "_base"))

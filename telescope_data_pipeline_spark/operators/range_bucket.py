@@ -73,3 +73,30 @@ def range_bucket_id(df: DataFrame, order_col: str,
     pid = F.when(F.col(order_col).isNotNull(), bounded) \
         .otherwise(err.cast("int"))
     return pid, n_eff
+
+
+def bucketed_prefix_bases(df, order_col: str, num_buckets: int,
+                          measure, slot, zero):
+    """Shared two-phase scaffold for prefix_sum / rank: bucket ``df`` by
+    ``order_col`` (explicit range id), cache via ``slot``, aggregate
+    ``measure`` per bucket, prefix-fold the ≤ n results driver-side from
+    ``zero``, and return ``(bucketed_df, base_df | None)`` where base_df
+    has (_pid int, _base <type of zero>). ``None`` base means empty
+    input. Keeping the machinery in ONE place means the CacheSlot
+    ownership, empty-input short-circuit, and NULL-key raise semantics
+    cannot drift between the operators that share it."""
+    spark = df.sparkSession
+    pid, n_eff = range_bucket_id(df, order_col, num_buckets)
+    if n_eff == 0:
+        return None, None
+    bucketed = slot.own(df.withColumn("_pid", pid)
+                        .repartition(n_eff, "_pid"))
+    rows = (bucketed.groupBy("_pid").agg(measure.alias("_m"))
+            .orderBy("_pid").collect())
+    bases, acc = [], zero
+    for r in rows:
+        bases.append((r["_pid"], acc))
+        acc += r["_m"] if r["_m"] is not None else zero
+    base_type = "long" if isinstance(zero, int) else "double"
+    base = spark.createDataFrame(bases, schema=f"_pid int, _base {base_type}")
+    return bucketed, base

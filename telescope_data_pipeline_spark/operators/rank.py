@@ -25,7 +25,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from .cache_slot import CacheSlot
-from .range_bucket import range_bucket_id
+from .range_bucket import bucketed_prefix_bases
 
 __all__ = ["distributed_row_number"]
 
@@ -46,27 +46,20 @@ def distributed_row_number(df: DataFrame, order_cols: list[str],
     projection, e.g. ``F.conv(F.substring(h, 1, 15), 16, 10)`` for an
     md5 hex digest — equal-length hex compares as its numeric value.
     """
-    spark = df.sparkSession
-    n = num_partitions or spark.sparkContext.defaultParallelism
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     key = "_rk" if bucket_key is not None else order_cols[0]
     work = df if bucket_key is None else \
         df.withColumn("_rk", F.col(bucket_key).cast("long")
                       if isinstance(bucket_key, str) else
                       bucket_key.cast("long"))
-    pid, n_eff = range_bucket_id(work, key, n)
-    if n_eff == 0:  # empty input
+    # Shared two-phase scaffold (range_bucket.bucketed_prefix_bases):
+    # bucket + cache + per-bucket row count + driver prefix fold.
+    bucketed, base = bucketed_prefix_bases(
+        work, key, n, measure=F.count(F.lit(1)), slot=_SLOT, zero=0)
+    if bucketed is None:  # empty input
         return df.withColumn(out_col, F.lit(None).cast("long"))
-    bucketed = _SLOT.own(work.withColumn("_pid", pid)
-                         .repartition(n_eff, "_pid"))
-    counts = (bucketed.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
-              .orderBy("_pid").collect())
-    bases, acc = [], 0
-    for r in counts:
-        bases.append((r["_pid"], acc))
-        acc += r["_n"]
-    base = spark.createDataFrame(bases, schema="_pid int, _base long")
     local = W.partitionBy("_pid").orderBy(*order_cols)
     return (bucketed.join(F.broadcast(base), "_pid")
             .withColumn(out_col,
                         F.col("_base") + F.row_number().over(local) - 1)
-            .drop("_pid", "_base", *([key] if bucket_key is not None else [])))
+            .drop("_pid", "_base", *(["_rk"] if bucket_key is not None else [])))

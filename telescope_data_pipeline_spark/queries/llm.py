@@ -1140,7 +1140,7 @@ WITH t AS (
          list_filter(string_split_regex(text, '\s+'), x -> x != '') AS toks
   FROM documents
 ), m AS (
-  SELECT doc_id, len(toks) AS n_tok,
+  SELECT doc_id, COALESCE(len(toks), 0) AS n_tok,
          CASE WHEN len(toks) > 0 THEN
            list_sum(list_transform(toks, x -> LEN(x)))::DOUBLE / len(toks)
          ELSE 0.0 END AS mean_wlen,
@@ -1176,7 +1176,8 @@ def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import quality_verdict
 
     d = load_table(spark, sf_dir, "documents")
-    n_tok = F.size(F.filter(F.split("text", _TOK), lambda x: x != ""))
+    n_tok = F.coalesce(
+        F.size(F.filter(F.split("text", _TOK), lambda x: x != "")), F.lit(0))
     return d.select("doc_id", n_tok.cast("long").alias("n_tok"),
                     quality_verdict(F.col("text")).alias("verdict"))
 
@@ -1341,11 +1342,24 @@ def q_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = (d.select("doc_id", n_tok.cast("long").alias("n_tok"))
          .filter(F.col("n_tok") > 0)
          .withColumn("bucket", F.ceil(F.log2("n_tok")).cast("long")))
-    key = (F.col("bucket") * (1 << 44) + F.col("doc_id")).alias("ok")
+    # Composite bucket-major key sized from the ACTUAL id span: a fixed
+    # shift would silently alias buckets for ids beyond it (64-bit
+    # snowflake ids overflow any hardcoded headroom). bucket <= 63, so
+    # the key fits int64 whenever span < 2^57 - guarded loudly.
+    lohi = t.select(F.min("doc_id").alias("lo"),
+                    F.max("doc_id").alias("hi")).first()
+    if lohi["lo"] is None:
+        return t.withColumn("batch_in_bucket", F.lit(None).cast("long"))                 .select("doc_id", "n_tok", "bucket", "batch_in_bucket")
+    lo, span = int(lohi["lo"]), int(lohi["hi"]) - int(lohi["lo"]) + 1
+    if span >= 1 << 57:
+        raise ValueError(
+            "q_length_batches: doc_id span too wide for a bucket-major "
+            "composite key - densify ids (e.g. via q_epoch_shuffle "
+            "positions) first")
+    key = (F.col("bucket") * span + (F.col("doc_id") - lo)).alias("ok")
     ranked = distributed_row_number(
         t.withColumn("ok", key), order_cols=["ok"], out_col="gpos")
-    bases = (ranked.groupBy("bucket").agg(F.count(F.lit(1)).alias("_n"),
-                                          F.min("gpos").alias("base")))
-    return (ranked.join(F.broadcast(bases.select("bucket", "base")), "bucket")
+    bases = ranked.groupBy("bucket").agg(F.min("gpos").alias("base"))
+    return (ranked.join(F.broadcast(bases), "bucket")
             .select("doc_id", "n_tok", "bucket",
                     F.expr("(gpos - base) DIV 8").alias("batch_in_bucket")))

@@ -12,8 +12,12 @@ Scale notes: the gate is map-only (no state); stream-internal dedup is
 keyed state on 16-byte digests (bound it with a watermark on an
 arrival-time column when the source provides one — the file demo drains
 with availableNow, so state lives for one run); the corpus-index join
-is stream-static — Spark re-plans the static side per micro-batch, so
-a nightly-refreshed digest index is picked up without restarting.
+is stream-static. NOTE on refresh semantics: Spark re-EXECUTES the
+static side per micro-batch, but a parquet-backed DataFrame pins its
+file LISTING when created — appending new index files after stream
+start is not seen. To pick up a refreshed index without a restart,
+back it with a table format whose snapshot resolves per query (Delta/
+Iceberg), or rebuild the stream on the index-refresh schedule.
 """
 
 from __future__ import annotations

@@ -258,7 +258,7 @@ def test_streaming_ingest_matches_batch(spark, tmp_path):
          .option("path", str(out_dir))
          .option("checkpointLocation", str(cp))
          .trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "ingestion stream did not drain in 120s"
 
     got = {r.doc_id for r in
            spark.read.schema(
