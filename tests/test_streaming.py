@@ -274,3 +274,57 @@ def test_streaming_ingest_matches_batch(spark, tmp_path):
             .join(corpus, "digest", "left_anti"))
     want = {r.doc_id for r in kept.collect()}
     assert got == want and got, (got, want)
+
+
+def test_streaming_ingest_restart_exactly_once(spark, tmp_path):
+    """Restarting the ingestion stream from its checkpoint must process
+    only NEW files, and the dedup state must survive the restart: a
+    re-crawl of already-accepted content in a later batch is dropped."""
+    import pandas as pd
+
+    from telescope_data_pipeline_spark.streaming.ingest import (
+        ingest_documents,
+        read_document_stream,
+    )
+
+    docs_dir = tmp_path / "docs"
+    out_dir = tmp_path / "out"
+    cp = tmp_path / "cp"
+    docs_dir.mkdir()
+    body = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+
+    def doc(i, text):
+        return {"doc_id": i, "text": text, "lang": "en",
+                "source": "crawl", "n_chars": len(text)}
+
+    pd.DataFrame([doc(0, f"unique doc 000 lead sentence {body}"),
+                  doc(1, f"unique doc 001 lead sentence {body}")]
+                 ).to_parquet(docs_dir / "chunk0.parquet")
+    corpus = spark.createDataFrame([("never-matching-digest",)],
+                                   "digest string")
+
+    def drain():
+        q = (ingest_documents(
+                read_document_stream(spark, str(docs_dir),
+                                     max_files_per_trigger=1), corpus)
+             .writeStream.format("parquet")
+             .option("path", str(out_dir))
+             .option("checkpointLocation", str(cp))
+             .trigger(availableNow=True).start())
+        assert q.awaitTermination(120)
+        return sorted(
+            r.doc_id for r in spark.read.schema(
+                "digest string, doc_id long, text string, lang string, "
+                "source string, n_chars long").parquet(str(out_dir))
+            .collect())
+
+    assert drain() == [0, 1]
+    # second run: one genuinely new doc + a re-crawl of doc 0's content
+    pd.DataFrame([doc(2, f"unique doc 002 lead sentence {body}"),
+                  doc(3, f"unique doc 000 lead sentence {body}")]
+                 ).to_parquet(docs_dir / "chunk1.parquet")
+    got = drain()
+    # doc 3 is a content re-crawl of doc 0: dropped by the dedup state
+    # that survived the restart; docs 0/1 are NOT re-processed (their
+    # file is recorded in the checkpoint) so no duplicates appear.
+    assert got == [0, 1, 2], got
