@@ -1363,3 +1363,42 @@ def q_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (ranked.join(F.broadcast(bases), "bucket")
             .select("doc_id", "n_tok", "bucket",
                     F.expr("(gpos - base) DIV 8").alias("batch_in_bucket")))
+
+
+@query("q_weighted_sample", oracle="""
+WITH k AS (
+  SELECT doc_id, n_chars,
+         LN(CAST(CAST(('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)),
+                                      1, 15)) AS BIGINT) + 1 AS DOUBLE)
+            / 1152921504606846976.0) / n_chars AS es_key
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS weight
+FROM k ORDER BY es_key DESC, doc_id LIMIT 100
+""")
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis 2006): each document draws u from its OWN md5 digest and
+    competes with key ln(u)/w — the top-k by key is an exact weighted
+    sample (selection probability proportional to weight w, here
+    n_chars as the stand-in for a quality score). Content addressing
+    makes the draw reproducible across engines, runs, and backfills —
+    no RNG state, like q_split_assign/q_mix_corpus_hash.
+
+    Scale design: one map-only key projection + a top-k, which Catalyst
+    plans as TakeOrderedAndProject (per-partition heaps, merge on the
+    driver — never a global sort). Zero-weight documents cannot be
+    sampled and are filtered up front (their key would divide by zero).
+    The 60-bit digest prefix maps to u in (0, 1]; IEEE ln/divide make
+    the key bit-identical in Spark and DuckDB."""
+    d = load_table(spark, sf_dir, "documents")
+    u = ((F.conv(F.substring(
+            F.md5(F.concat(F.lit("ws:"), F.col("doc_id").cast("string"))),
+            1, 15), 16, 10).cast("long") + 1).cast("double")
+         / float(1 << 60))
+    es_key = F.log(u) / F.col("n_chars")
+    return (d.filter(F.col("n_chars") > 0)
+            .select("doc_id", F.col("n_chars").cast("long").alias("weight"),
+                    es_key.alias("_k"))
+            .orderBy(F.desc("_k"), "doc_id").limit(100)
+            .select("doc_id", "weight"))

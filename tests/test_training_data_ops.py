@@ -482,3 +482,22 @@ def test_distributed_row_number_is_a_permutation(spark):
     assert sorted(p1.values()) == list(range(997))
     assert p1 == perm("s1:")           # reproducible
     assert p1 != perm("s2:")           # seed changes the permutation
+
+
+def test_weighted_sample_bias_and_determinism(spark):
+    """Efraimidis-Spirakis selection must favor heavier documents (mean
+    selected weight well above the corpus mean) and be bit-stable
+    across invocations."""
+    from telescope_data_pipeline_spark.queries import get
+
+    sf = "/root/testdata/sf0.01"
+    sel = get("q_weighted_sample").fn(spark, sf).collect()
+    assert len(sel) == 100
+    again = get("q_weighted_sample").fn(spark, sf).collect()
+    assert sorted(map(tuple, sel)) == sorted(map(tuple, again))
+    import pandas as pd
+
+    docs = pd.read_parquet(f"{sf}/documents.parquet")
+    corpus_mean = docs[docs.n_chars > 0].n_chars.mean()
+    sel_mean = sum(r.weight for r in sel) / len(sel)
+    assert sel_mean > corpus_mean * 1.1, (sel_mean, corpus_mean)
