@@ -1402,3 +1402,112 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                     es_key.alias("_k"))
             .orderBy(F.desc("_k"), "doc_id").limit(100)
             .select("doc_id", "weight"))
+
+
+def _simhash_md5_oracle() -> str:
+    """Generated DuckDB SQL for q_dedup_simhash_md5 (64 bit-vote sums
+    from md5 nibbles; majority fingerprint re-packed as 16 hex chars;
+    4x16-bit banding; nibble-wise popcount refine)."""
+    # bit k lives in hex nibble k DIV 4 (1-based char k//4+1), bit k%4
+    votes = ", ".join(
+        f"SUM(2 * ((CAST(('0x' || substr(h, {k // 4 + 1}, 1)) AS INT) "
+        f">> {k % 4}) & 1) - 1) AS v{k}" for k in range(64))
+    nibbles = " || ".join(
+        "substr('0123456789abcdef', 1 + "
+        + " + ".join(f"(CASE WHEN v{4 * i + j} > 0 THEN {1 << j} ELSE 0 END)"
+                     for j in range(4))
+        + ", 1)" for i in range(16))
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         md5(UNNEST(list_filter(string_split_regex(text, '\\s+'),
+                                x -> x != ''))) AS h
+  FROM documents
+), votes AS (
+  SELECT doc_id, {votes} FROM toks GROUP BY doc_id
+), fp AS (
+  SELECT doc_id, {nibbles} AS f FROM votes
+), banded AS (
+  SELECT doc_id, f, UNNEST(range(0, 4)) AS c FROM fp
+), g AS (
+  SELECT doc_id, f, CAST(c AS INT) AS c,
+         substr(f, CAST(c AS INT) * 4 + 1, 4) AS chunk
+  FROM banded
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.f AS fa, b.f AS fb
+  FROM g a JOIN g b ON a.c = b.c AND a.chunk = b.chunk
+                    AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       CAST(list_sum(list_transform(range(1, 17),
+         i -> bit_count(xor(CAST(('0x' || substr(fa, i, 1)) AS BIGINT),
+                            CAST(('0x' || substr(fb, i, 1)) AS BIGINT)))))
+         AS BIGINT) AS hamming
+FROM cand
+WHERE list_sum(list_transform(range(1, 17),
+        i -> bit_count(xor(CAST(('0x' || substr(fa, i, 1)) AS BIGINT),
+                           CAST(('0x' || substr(fb, i, 1)) AS BIGINT))))) <= 3
+"""
+
+
+@query("q_dedup_simhash_md5", oracle=_simhash_md5_oracle())
+def q_dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs, engine-portable twin of q_dedup_simhash:
+    the identical Charikar construction (64 bit votes per token,
+    majority fingerprint, pigeonhole banding at radius 3, popcount
+    refine) but with md5 token hashes whose nibbles compute
+    bit-identically in Spark and DuckDB — completing full-construction
+    oracle coverage for all three near-dup families (MinHash
+    q_dedup_minhash_md5, winnowing q_fingerprint_md5, SimHash here).
+    The xxhash64 packed-fold form stays the production choice (~3x
+    cheaper, zero-shuffle signatures); this relational form shuffles
+    |tokens| rows into the 64-column vote aggregation.
+
+    Shape: explode -> 64 map-side-combined bit-vote sums per doc ->
+    majority fingerprint re-packed as 16 hex chars -> (chunk_idx,
+    chunk) self-equi-join -> nibble-wise popcount refine. Linear
+    shuffle, no all-pairs."""
+    d = load_table(spark, sf_dir, "documents", spread=True)
+    toks = (d.select("doc_id",
+                     F.explode(F.filter(F.split("text", _TOK),
+                                        lambda x: x != "")).alias("tok"))
+            .select("doc_id", F.md5("tok").alias("h")))
+    votes = toks.groupBy("doc_id").agg(*[
+        F.sum(2 * (F.shiftright(
+            F.conv(F.substring("h", k // 4 + 1, 1), 16, 10).cast("int"),
+            k % 4).bitwiseAND(1)) - 1).alias(f"v{k}")
+        for k in range(64)
+    ])
+    hexdig = "0123456789abcdef"
+    fp = votes.select(
+        "doc_id",
+        F.concat(*[
+            F.element_at(F.split(F.lit(" ".join(hexdig)), " "),
+                         sum_expr + 1)
+            for sum_expr in [
+                sum((F.when(F.col(f"v{4 * i + j}") > 0, 1 << j).otherwise(0))
+                    for j in range(4))
+                for i in range(16)
+            ]
+        ]).alias("f"))
+    g = fp.select(
+        "doc_id", "f",
+        F.posexplode(F.array(*[F.substring("f", c * 4 + 1, 4)
+                               for c in range(4)])).alias("c", "chunk"))
+    a = g.select(F.col("doc_id").alias("id_a"), F.col("f").alias("fa"),
+                 "c", "chunk")
+    b = g.select(F.col("doc_id").alias("id_b"), F.col("f").alias("fb"),
+                 "c", "chunk")
+    nib_x = [F.bit_count(
+        F.conv(F.substring("fa", i, 1), 16, 10).cast("int").bitwiseXOR(
+            F.conv(F.substring("fb", i, 1), 16, 10).cast("int")))
+        for i in range(1, 17)]
+    hamming = nib_x[0]
+    for x in nib_x[1:]:
+        hamming = hamming + x
+    return (a.join(b, ["c", "chunk"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", hamming.cast("long").alias("hamming"))
+            .filter(F.col("hamming") <= 3)
+            .distinct())

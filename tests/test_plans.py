@@ -265,3 +265,10 @@ def test_length_batches_no_single_partition_sort(spark):
     df.collect()
     plan = physical_plan(df)
     assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_simhash_md5_no_nested_loop(spark):
+    """The oracle-checked SimHash twin must keep the banded equi-join
+    shape (chunk_idx, chunk), never all-pairs."""
+    assert_plan(get("q_dedup_simhash_md5").fn(spark, SF),
+                absent=("CartesianProduct", "BroadcastNestedLoopJoin"))
