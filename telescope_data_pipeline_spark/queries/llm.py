@@ -1511,3 +1511,43 @@ def q_dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("id_a", "id_b", hamming.cast("long").alias("hamming"))
             .filter(F.col("hamming") <= 3)
             .distinct())
+
+
+@query("q_data_card", oracle=r"""
+WITH t AS (
+  SELECT lang, source, n_chars,
+         COALESCE(len(list_filter(string_split_regex(text, '\s+'),
+                                  x -> x != '')), 0) AS n_tok
+  FROM documents
+)
+SELECT lang, source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       ROUND(AVG(n_chars), 6) AS mean_chars,
+       CAST(SUM(CASE WHEN n_tok >= 20 AND n_tok <= 1000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_length_ok,
+       ROUND(SUM(CASE WHEN n_tok >= 20 AND n_tok <= 1000
+                      THEN 1 ELSE 0 END)::DOUBLE / COUNT(*), 6)
+         AS length_ok_rate
+FROM t GROUP BY lang, source
+""")
+def q_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus data card: the per-(lang, source) datasheet every corpus
+    release ships (Gebru et al. 2021 "Datasheets for Datasets") — doc
+    and token counts, mean length, and the fraction passing the length
+    gate, grouped by provenance. One groupBy with map-side-combined
+    aggregates: shuffle volume is |lang x source| groups, nothing
+    else, at any corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.coalesce(
+        F.size(F.filter(F.split("text", _TOK), lambda x: x != "")), F.lit(0))
+    len_ok = ((n_tok >= 20) & (n_tok <= 1000)).cast("int")
+    return (d.select("lang", "source", "n_chars",
+                     n_tok.alias("n_tok"), len_ok.alias("len_ok"))
+            .groupBy("lang", "source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tok").cast("long").alias("total_tokens"),
+                 F.round(F.avg("n_chars"), 6).alias("mean_chars"),
+                 F.sum("len_ok").cast("long").alias("n_length_ok"),
+                 F.round(F.sum("len_ok").cast("double")
+                         / F.count(F.lit(1)), 6).alias("length_ok_rate")))

@@ -58,12 +58,12 @@ _REGISTRY: dict[str, Query] = {}
 #: before rows-only demos — so a larger window still checks the
 #: strongest evidence first.
 #:
-#: ROUND-5 ROTATION NOTE: eleven oracle queries registered late in
+#: ROUND-5 ROTATION NOTE: twelve oracle queries registered late in
 #: round 4 have no driver-green row yet (locally sweep-verified at
 #: sf0.01+0.1): q_scd2, q_fingerprint_md5, q_dup_spans, q_bm25,
 #: q_dedup_incremental, q_quality_gate, q_dedup_minhash_md5,
 #: q_epoch_shuffle, q_length_batches, q_weighted_sample,
-#: q_dedup_simhash_md5 —
+#: q_dedup_simhash_md5, q_data_card —
 #: front-load them next round, plus the two round-4 sit-outs
 #: (q_union_all, q_filter_eq), then backfill r3-green representatives
 #: for regression visibility.
