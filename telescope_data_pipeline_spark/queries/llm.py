@@ -1483,8 +1483,7 @@ def q_dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = votes.select(
         "doc_id",
         F.concat(*[
-            F.element_at(F.split(F.lit(" ".join(hexdig)), " "),
-                         sum_expr + 1)
+            F.substring(F.lit(hexdig), sum_expr + 1, F.lit(1))
             for sum_expr in [
                 sum((F.when(F.col(f"v{4 * i + j}") > 0, 1 << j).otherwise(0))
                     for j in range(4))

@@ -9,9 +9,13 @@ land, get gated, deduped within the stream AND against the stored
 corpus digest index, and append to the corpus sink.
 
 Scale notes: the gate is map-only (no state); stream-internal dedup is
-keyed state on 16-byte digests (bound it with a watermark on an
-arrival-time column when the source provides one — the file demo drains
-with availableNow, so state lives for one run); the corpus-index join
+keyed state on 16-byte digests, and that state is CHECKPOINTED — it
+survives availableNow restarts (tests prove a later run still drops a
+re-crawl of earlier content), which also means it grows by one entry
+per distinct digest forever unless bounded: give dropDuplicates a
+watermarked event-time column when the source provides one, or
+periodically compact the digest state into the corpus index and reset
+the checkpoint; the corpus-index join
 is stream-static. NOTE on refresh semantics: Spark re-EXECUTES the
 static side per micro-batch, but a parquet-backed DataFrame pins its
 file LISTING when created — appending new index files after stream
