@@ -96,7 +96,13 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "queries_min2": best,
+        # min-of-2 total is only cross-round comparable when every query
+        # contributed a second run; n_min2 lets consumers detect partial
+        # coverage instead of silently comparing mismatched sums
+        # (round-4 ADVICE).
         "total_min2": round(sum(best.values()), 3),
+        "n_min2": len(best),
+        "n_queries": len(HEADLINE),
         "sf": sf,
     }
     if errors:

@@ -1368,9 +1368,9 @@ def q_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q_weighted_sample", oracle="""
 WITH k AS (
   SELECT doc_id, n_chars,
-         LN(CAST(CAST(('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)),
-                                      1, 15)) AS BIGINT) + 1 AS DOUBLE)
-            / 1152921504606846976.0) / n_chars AS es_key
+         ROUND(LN(CAST(CAST(('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)),
+                                            1, 15)) AS BIGINT) + 1 AS DOUBLE)
+                  / 1152921504606846976.0) / n_chars, 12) AS es_key
   FROM documents WHERE n_chars > 0
 )
 SELECT doc_id, CAST(n_chars AS BIGINT) AS weight
@@ -1389,14 +1389,19 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     plans as TakeOrderedAndProject (per-partition heaps, merge on the
     driver — never a global sort). Zero-weight documents cannot be
     sampled and are filtered up front (their key would divide by zero).
-    The 60-bit digest prefix maps to u in (0, 1]; IEEE ln/divide make
-    the key bit-identical in Spark and DuckDB."""
+    The 60-bit digest prefix maps to u in (0, 1]. The key is ROUNDed to
+    12 digits on BOTH sides before the ORDER BY: Math.log (JVM) and libm
+    log (DuckDB) each guarantee only ~1-ulp accuracy, and an un-rounded
+    raw double as the top-100 sort key would let a last-ulp divergence
+    near the cutoff flip which document is selected on some platforms.
+    12 digits is far coarser than 1 ulp yet far finer than any realistic
+    key collision; doc_id remains the deterministic tiebreak."""
     d = load_table(spark, sf_dir, "documents")
     u = ((F.conv(F.substring(
             F.md5(F.concat(F.lit("ws:"), F.col("doc_id").cast("string"))),
             1, 15), 16, 10).cast("long") + 1).cast("double")
          / float(1 << 60))
-    es_key = F.log(u) / F.col("n_chars")
+    es_key = F.round(F.log(u) / F.col("n_chars"), 12)
     return (d.filter(F.col("n_chars") > 0)
             .select("doc_id", F.col("n_chars").cast("long").alias("weight"),
                     es_key.alias("_k"))

@@ -76,6 +76,42 @@ def load_table(spark: SparkSession, sf_dir: str, name: str,
     return df
 
 
+#: Suffix multipliers accepted by Spark's JavaUtils.byteStringAsBytes —
+#: mirrored here so the split estimate agrees with what the scan planner
+#: will actually use on a tuned session ("128m", "64MB", "1g", ...).
+_BYTE_SUFFIXES = {
+    "": 1, "b": 1,
+    "k": 1 << 10, "kb": 1 << 10,
+    "m": 1 << 20, "mb": 1 << 20,
+    "g": 1 << 30, "gb": 1 << 30,
+    "t": 1 << 40, "tb": 1 << 40,
+    "p": 1 << 50, "pb": 1 << 50,
+}
+
+
+def _byte_string_as_bytes(value: str,
+                          default: int = 128 * 1024 * 1024) -> int:
+    """Parse a Spark byte-string conf value ("134217728", "128m",
+    "64MB") the way the JVM's JavaUtils.byteStringAsBytes does. An
+    unparseable value logs once and falls back to ``default`` rather
+    than silently mis-sizing the spread heuristic (round-4 ADVICE:
+    the old ``rstrip('b')`` threw on any k/m/g suffix)."""
+    s = str(value).strip().lower()
+    num = s.rstrip("kmgtpb")
+    mult = _BYTE_SUFFIXES.get(s[len(num):])
+    try:
+        if mult is None:
+            raise ValueError(s)
+        return int(num) * mult
+    except ValueError:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "unparseable spark.sql.files.maxPartitionBytes=%r; "
+            "assuming %d bytes for scan-split estimation", value, default)
+        return default
+
+
 def _approx_scan_splits(spark: SparkSession, path: str) -> int:
     """Estimate how many scan partitions a parquet path will yield:
     per-file ceil(size / maxPartitionBytes), summed. Filesystem metadata
@@ -86,11 +122,9 @@ def _approx_scan_splits(spark: SparkSession, path: str) -> int:
     which is the conservative choice at production scale."""
     import math
 
-    try:
-        mpb = int(spark.conf.get("spark.sql.files.maxPartitionBytes",
-                                 str(128 * 1024 * 1024)).rstrip("b"))
-    except Exception:  # pragma: no cover
-        mpb = 128 * 1024 * 1024
+    mpb = _byte_string_as_bytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes",
+                       str(128 * 1024 * 1024)))
     try:
         if os.path.isfile(path):
             sizes = [os.path.getsize(path)]

@@ -328,3 +328,160 @@ def test_streaming_ingest_restart_exactly_once(spark, tmp_path):
     # that survived the restart; docs 0/1 are NOT re-processed (their
     # file is recorded in the checkpoint) so no duplicates appear.
     assert got == [0, 1, 2], got
+
+
+def test_ingest_compaction_resets_state_and_still_rejects(spark, tmp_path):
+    """compact_ingest_state folds accepted digests into a new index
+    snapshot and removes the checkpoint: the next run starts with EMPTY
+    dedup state + a fresh file listing, yet old content (re-read files
+    AND re-crawled bodies) is still rejected — by the index, proving
+    rejection durably moved out of stream state."""
+    import pandas as pd
+
+    from telescope_data_pipeline_spark.streaming.ingest import (
+        compact_ingest_state,
+        ingest_documents,
+        load_corpus_index,
+        read_document_stream,
+    )
+
+    docs_dir = tmp_path / "docs"
+    index_dir = tmp_path / "index"
+    docs_dir.mkdir()
+    body = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+
+    def doc(i, text):
+        return {"doc_id": i, "text": text, "lang": "en",
+                "source": "crawl", "n_chars": len(text)}
+
+    def drain(out, cp):
+        q = (ingest_documents(
+                read_document_stream(spark, str(docs_dir),
+                                     max_files_per_trigger=1),
+                load_corpus_index(spark, str(index_dir)))
+             .writeStream.format("parquet")
+             .option("path", str(out))
+             .option("checkpointLocation", str(cp))
+             .trigger(availableNow=True).start())
+        assert q.awaitTermination(120)
+        return sorted(
+            r.doc_id for r in spark.read.schema(
+                "digest string, doc_id long, text string, lang string, "
+                "source string, n_chars long").parquet(str(out))
+            .collect())
+
+    pd.DataFrame([doc(0, f"unique doc 000 lead sentence {body}"),
+                  doc(1, f"unique doc 001 lead sentence {body}")]
+                 ).to_parquet(docs_dir / "chunk0.parquet")
+    out1, cp = tmp_path / "out1", tmp_path / "cp"
+    assert drain(out1, cp) == [0, 1]
+
+    snap = compact_ingest_state(spark, str(out1), str(index_dir), str(cp))
+    assert not cp.exists()
+    assert spark.read.parquet(snap).count() == 2
+
+    # new chunk: one new doc + a re-crawl of doc 0's content. Fresh
+    # checkpoint => chunk0 is re-listed and re-read too; everything old
+    # must now be dropped by the index anti-join, not by state.
+    pd.DataFrame([doc(2, f"unique doc 002 lead sentence {body}"),
+                  doc(3, f"unique doc 000 lead sentence {body}")]
+                 ).to_parquet(docs_dir / "chunk1.parquet")
+    assert drain(tmp_path / "out2", cp) == [2]
+
+    # second compaction round-trips: index now rejects doc 2 as well
+    compact_ingest_state(spark, str(tmp_path / "out2"), str(index_dir),
+                         str(cp))
+    assert load_corpus_index(spark, str(index_dir)).count() == 3
+    assert drain(tmp_path / "out3", cp) == []
+
+
+def test_ingest_watermarked_dedup_matches_unbounded(spark, tmp_path):
+    """The watermark-bounded dedup variant (dropDuplicatesWithinWatermark)
+    accepts the same set as the unbounded form when re-crawls arrive
+    within the watermark window — the state-bounding is free."""
+    import datetime as dt
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from telescope_data_pipeline_spark.streaming.ingest import (
+        DOCUMENTS,
+        ingest_documents,
+        read_document_stream,
+    )
+
+    schema = T.StructType(DOCUMENTS.fields + [
+        T.StructField("crawl_ts", T.TimestampType())])
+    docs_dir = tmp_path / "docs"
+    docs_dir.mkdir()
+    body = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    t0 = dt.datetime(2026, 8, 14, 12, 0, 0)
+
+    def doc(i, text, minutes):
+        return {"doc_id": i, "text": text, "lang": "en", "source": "crawl",
+                "n_chars": len(text),
+                "crawl_ts": t0 + dt.timedelta(minutes=minutes)}
+
+    rows = [doc(0, f"unique doc 000 lead sentence {body}", 0),
+            doc(1, f"unique doc 001 lead sentence {body}", 5),
+            doc(2, f"unique doc 000 lead sentence {body}", 10),  # re-crawl
+            doc(3, "tiny doc", 12)]                              # gated
+    # pandas defaults to TIMESTAMP(NANOS); the stream schema wants µs
+    pd.DataFrame(rows[:2]).to_parquet(docs_dir / "chunk0.parquet",
+                                      coerce_timestamps="us")
+    pd.DataFrame(rows[2:]).to_parquet(docs_dir / "chunk1.parquet",
+                                      coerce_timestamps="us")
+    corpus = spark.createDataFrame([("never-matching",)], "digest string")
+
+    out, cp = tmp_path / "out", tmp_path / "cp"
+    q = (ingest_documents(
+            read_document_stream(spark, str(docs_dir),
+                                 max_files_per_trigger=1, schema=schema),
+            corpus, event_time_col="crawl_ts", watermark="1 hour")
+         .writeStream.format("parquet")
+         .option("path", str(out))
+         .option("checkpointLocation", str(cp))
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(120)
+    got = sorted(r.doc_id for r in spark.read.schema(
+        "digest string, doc_id long, text string, lang string, "
+        "source string, n_chars long, crawl_ts timestamp")
+        .parquet(str(out)).collect())
+    assert got == [0, 1], got
+
+    with pytest.raises(ValueError, match="together"):
+        ingest_documents(
+            read_document_stream(spark, str(docs_dir), schema=schema),
+            corpus, event_time_col="crawl_ts")
+
+
+def test_static_parquet_index_pins_listing(spark, tmp_path):
+    """Documented refresh caveat, pinned: a parquet-backed DataFrame
+    lists its files at creation — appending a new file afterwards is
+    invisible to the existing DataFrame (so an in-flight stream-static
+    join never sees index refreshes), while re-creating the DataFrame
+    (load_corpus_index at restart) resolves the newest snapshot."""
+    import pandas as pd
+
+    from telescope_data_pipeline_spark.streaming.ingest import (
+        load_corpus_index,
+    )
+
+    idx = tmp_path / "index" / "snap-0"
+    idx.mkdir(parents=True)
+    pd.DataFrame({"digest": ["a", "b"]}).to_parquet(idx / "part0.parquet")
+
+    pinned = spark.read.parquet(str(idx))
+    assert pinned.count() == 2
+    pd.DataFrame({"digest": ["c"]}).to_parquet(idx / "part1.parquet")
+    # the already-created DataFrame re-executes against its PINNED listing
+    assert pinned.count() == 2
+    # a fresh read (what a stream restart does) sees the appended file
+    assert spark.read.parquet(str(idx)).count() == 3
+
+    # and load_corpus_index resolves the NEWEST snapshot at call time
+    snap1 = tmp_path / "index" / "snap-1"
+    snap1.mkdir()
+    pd.DataFrame({"digest": ["a", "b", "c", "d"]}).to_parquet(
+        snap1 / "part0.parquet")
+    assert load_corpus_index(spark, str(tmp_path / "index")).count() == 4
