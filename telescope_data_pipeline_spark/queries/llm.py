@@ -1555,3 +1555,158 @@ def q_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("len_ok").cast("long").alias("n_length_ok"),
                  F.round(F.sum("len_ok").cast("double")
                          / F.count(F.lit(1)), 6).alias("length_ok_rate")))
+
+
+@query("q_line_dedup", oracle=r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+  FROM documents
+), b AS (
+  SELECT doc_id,
+         list_transform(range(0, CAST(CEIL(LEN(t) / 10.0) AS INT)),
+                        i -> array_to_string(t[CAST(i * 10 + 1 AS INT):CAST((i + 1) * 10 AS INT)], ' ')) AS blocks
+  FROM toks WHERE LEN(t) > 0
+), e AS (
+  SELECT doc_id, UNNEST(blocks) AS block,
+         UNNEST(range(0, LEN(blocks))) AS pos
+  FROM b
+), c AS (
+  SELECT block AS cblock, COUNT(*) AS n_occ FROM e GROUP BY 1
+), kept AS (
+  SELECT e.doc_id, e.pos, e.block
+  FROM e JOIN c ON e.block = c.cblock WHERE c.n_occ < 3
+), reb AS (
+  SELECT doc_id, array_to_string(list(block ORDER BY pos), ' ') AS clean_text,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT b.doc_id,
+       COALESCE(reb.clean_text, '') AS clean_text,
+       CAST(LEN(b.blocks) AS BIGINT) AS n_blocks,
+       CAST(LEN(b.blocks) - COALESCE(reb.n_kept, 0) AS BIGINT) AS n_removed
+FROM b LEFT JOIN reb USING (doc_id)
+""")
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate line removal (Raffel et al. 2020: drop any
+    line occurring >= 3 times in the corpus), re-expressed for a corpus
+    whose documents carry no newlines: the "line" unit is the disjoint
+    10-token block. Every block is counted ACROSS the whole corpus
+    (within-doc repeats included, as C4 does), blocks seen >= 3 times
+    are dropped, and each document is re-assembled from its surviving
+    blocks in order.
+
+    Scale: the global block count groups on md5(block) — the shuffle
+    carries 16-byte digests + counts, never block text (the oracle
+    groups on raw text; md5 equality is the same partition at ~2^-64
+    collision odds). Re-assembly is one groupBy(doc_id) with an
+    order-restoring array_sort over collected (pos, block) structs —
+    documents are bounded, so per-group state is bounded. Two linear
+    shuffles total, both map-side combined; no all-pairs anywhere."""
+    d = load_table(spark, sf_dir, "documents", spread=True)
+    toks = F.filter(F.split("text", _TOK), lambda x: x != "")
+    nb = F.ceil(F.size(toks) / F.lit(10.0)).cast("int")
+    blocks = F.when(
+        F.size(toks) > 0,
+        F.transform(F.sequence(F.lit(0), nb - 1),
+                    lambda i: F.array_join(
+                        F.slice(toks, i * 10 + 1, 10), " ")))
+    base = (d.select("doc_id", blocks.alias("blocks"))
+            .filter(F.size("blocks") > 0))
+    e = (base.select("doc_id", F.posexplode("blocks").alias("pos", "block"))
+         .withColumn("bkey", F.md5("block")))
+    counts = e.groupBy("bkey").agg(F.count(F.lit(1)).alias("n_occ"))
+    kept = e.join(counts, "bkey").filter(F.col("n_occ") < 3)
+    reb = (kept.groupBy("doc_id")
+           .agg(F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "block"))),
+                        lambda s: s["block"]), " ").alias("clean_text"),
+                F.count(F.lit(1)).alias("n_kept")))
+    return (base.select("doc_id", F.size("blocks").cast("long").alias("n_blocks"))
+            .join(reb, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+                    "n_blocks",
+                    (F.col("n_blocks") - F.coalesce("n_kept", F.lit(0)))
+                    .cast("long").alias("n_removed")))
+
+
+@query("q_quality_percentile", oracle=r"""
+WITH t AS (
+  SELECT doc_id, lang,
+         LEN(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tok
+  FROM documents
+), thr AS (
+  SELECT lang, ROUND(quantile_cont(n_tok, 0.25), 6) AS lang_p25
+  FROM t GROUP BY lang
+)
+SELECT t.doc_id, t.lang, CAST(t.n_tok AS BIGINT) AS n_tok,
+       thr.lang_p25 AS lang_p25
+FROM t JOIN thr USING (lang) WHERE t.n_tok >= thr.lang_p25
+""")
+def q_quality_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language percentile quality gate: keep documents whose score
+    (token count here; any numeric quality signal slots in) reaches
+    their language's 25th percentile. Relative-to-cohort thresholds are
+    how production corpus filters avoid one global cutoff starving
+    low-resource languages (CCNet, Wenzek et al. 2020, buckets by
+    per-language perplexity percentile exactly like this).
+
+    Scale: thresholds are one groupBy(lang) — exact interpolated
+    ``percentile``, |langs| rows out — broadcast back onto the corpus,
+    so the corpus itself is scanned once and never shuffled. The
+    threshold is rounded to 6 digits on both engine sides (interpolated
+    percentiles are float arithmetic; the filter comparison must see
+    identical values)."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.coalesce(
+        F.size(F.filter(F.split("text", _TOK), lambda x: x != "")), F.lit(0))
+    t = d.select("doc_id", "lang", n_tok.cast("long").alias("n_tok"))
+    thr = t.groupBy("lang").agg(
+        F.round(F.expr("percentile(n_tok, 0.25)"), 6).alias("lang_p25"))
+    return (t.join(F.broadcast(thr), "lang")
+            .filter(F.col("n_tok") >= F.col("lang_p25"))
+            .select("doc_id", "lang", "n_tok", "lang_p25"))
+
+
+@query("q_mix_token_budget", oracle=r"""
+WITH t AS (
+  SELECT doc_id, source,
+         LEN(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tok,
+         md5('mx:' || CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+), c AS (
+  SELECT doc_id, source, n_tok,
+         SUM(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id) AS cum_tok
+  FROM t
+)
+SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tok,
+       CAST(cum_tok AS BIGINT) AS cum_tok
+FROM c WHERE cum_tok <= 2000
+""")
+def q_mix_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget-capped corpus mixing: each source contributes
+    documents until its TOKEN budget (2000 here) is filled — the unit a
+    training mix is actually specified in (The Pile / LLaMA mixes are
+    token-weighted, not doc-weighted). Documents are admitted in
+    content-hash order, so the per-source subset is an unbiased,
+    deterministic, re-runnable sample (same addressing family as
+    q_mix_corpus_hash / q_split_assign) and the budget boundary is a
+    running token sum over that order.
+
+    Scale: one hash shuffle on source + a per-source sort — linear, and
+    the window never sees text, only (16-byte hash, n_tok). Sources are
+    corpus slices (bounded cardinality, each a large fraction of rows);
+    if ONE source dwarfs a partition, swap the window for the two-phase
+    distributed prefix sum in ``operators/prefix_sum.py`` keyed by
+    (source, hash-bucket) — same semantics, bounded per-task state."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.coalesce(
+        F.size(F.filter(F.split("text", _TOK), lambda x: x != "")), F.lit(0))
+    t = d.select(
+        "doc_id", "source", n_tok.cast("long").alias("n_tok"),
+        F.md5(F.concat(F.lit("mx:"), F.col("doc_id").cast("string"))).alias("h"))
+    w = W.partitionBy("source").orderBy("h", "doc_id")
+    return (t.withColumn("cum_tok", F.sum("n_tok").over(w).cast("long"))
+            .filter(F.col("cum_tok") <= 2000)
+            .select("doc_id", "source", "n_tok", "cum_tok"))

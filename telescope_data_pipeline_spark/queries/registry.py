@@ -44,51 +44,51 @@ class Query:
 _REGISTRY: dict[str, Query] = {}
 
 #: The driver's correctness gate checks queries in ``queries()`` dict
-#: order and stops after the first 50 entries. Round-4 rotation: the
-#: goal is rolling two-round coverage — every oracle query green in
-#: r3 ∪ r4. Round 3's window verified 49 queries (all green); this
-#: window carries the 51 queries whose newest driver-green row is r1/r2
-#: plus the one new round-4 query (q_mix_corpus_hash) = 52 candidates
-#: for 50 slots. Two r2-green, trivial, family-covered queries sit out
-#: (q_union_all — setops covered by q_intersect/q_except in-window;
-#: q_filter_eq — filters covered by q_filter_threshold/q_map_filter);
-#: both also pass the local sf0.01+sf0.1 sweep this round. Order:
-#: never-verified first, then oldest evidence (r1 greens), then r2.
-#: Everything else follows in registration order — oracle queries
-#: before rows-only demos — so a larger window still checks the
-#: strongest evidence first.
+#: order and stops after the first 50 entries. Round-5 rotation
+#: (executing the plan the round-4 window left behind): front-load
+#: everything with NO driver evidence yet — the three queries new this
+#: round, the twelve oracle queries registered late in round 4, the two
+#: deliberate round-4 sit-outs, and the three rows-only queries that
+#: have never held a driver slot — then backfill 30 round-3-green
+#: representatives (every operator family) for rolling regression
+#: visibility. The 19 remaining r3-green queries (scalar/filter/scan
+#: family, all re-verified by the local sf0.01+sf0.1 sweep every
+#: session) rotate back in round 6.
 #:
-#: ROUND-5 ROTATION NOTE: twelve oracle queries registered late in
-#: round 4 have no driver-green row yet (locally sweep-verified at
-#: sf0.01+0.1): q_scd2, q_fingerprint_md5, q_dup_spans, q_bm25,
-#: q_dedup_incremental, q_quality_gate, q_dedup_minhash_md5,
-#: q_epoch_shuffle, q_length_batches, q_weighted_sample,
-#: q_dedup_simhash_md5, q_data_card —
-#: front-load them next round, plus the two round-4 sit-outs
-#: (q_union_all, q_filter_eq), then backfill r3-green representatives
-#: for regression visibility.
+#: ROUND-6 ROTATION NOTE: backfill these r3-green sit-outs first:
+#: q_case_when, q_cohort_retention, q_color_index, q_filter_range,
+#: q_histogram, q_json_extract, q_partition_overwrite, q_phase_fold,
+#: q_posexplode, q_project, q_scalar_bits, q_scalar_date2,
+#: q_scalar_math, q_scalar_round, q_scalar_string2, q_scan_csv,
+#: q_scan_json, q_sort, q_union_distinct — then rotate r4-green
+#: representatives.
 PRIORITY: tuple[str, ...] = (
-    # (a) first-time evidence: new round-4 scale-safe corpus mixer
-    "q_mix_corpus_hash",
-    # (b) last green in r1 — aggregates, joins, LLM text ops
-    "q_agg_count", "q_agg_median", "q_agg_distinct", "q_agg_rollup",
-    "q_agg_cube", "q_diag_stats", "q_pivot", "q_agg_stats2",
-    "q_agg_collect", "q_grouping_sets",
-    "q_join_left", "q_join_semi", "q_join_anti", "q_join_range",
-    "q_join_full", "q_join_cross", "q_join_nn2d",
-    "q_dedup_tokenset", "q_sim_topk", "q_text_stats", "q_doc_quality",
-    "q_lang_id", "q_token_topk", "q_dedup_embed", "q_dedup_apply",
-    "q_token_bpe",
-    # (c) last green in r2 — analysis, relational, scalars, setops,
-    # windows, streaming-batch
-    "q_events_funnel", "q_merge_upsert", "q_gap_fill", "q_window_ntile",
-    "q_doc_repetition",
-    "q_filter_threshold", "q_map_filter", "q_subquery_scalar",
-    "q_sql_api", "q_scan_orc",
-    "q_scalar_string", "q_scalar_date", "q_array_ops", "q_scalar_null",
-    "q_intersect", "q_except", "q_topk", "q_stream_sliding",
-    "q_window_lag", "q_window_rolling", "q_window_rank",
-    "q_window_firstlast", "q_window_range",
+    # (a) first-time evidence: new round-5 corpus operators
+    "q_line_dedup", "q_quality_percentile", "q_mix_token_budget",
+    # (b) first-time evidence: round-4 registrations that missed the
+    # r4 window (locally sweep-verified at sf0.01+0.1 since)
+    "q_scd2", "q_fingerprint_md5", "q_dup_spans", "q_bm25",
+    "q_dedup_incremental", "q_quality_gate", "q_dedup_minhash_md5",
+    "q_epoch_shuffle", "q_length_batches", "q_weighted_sample",
+    "q_dedup_simhash_md5", "q_data_card",
+    # (c) the two round-4 sit-outs (newest green: r2)
+    "q_union_all", "q_filter_eq",
+    # (d) rows-only queries that have never run under the driver
+    "q_agg_approx", "q_media_audio", "q_pack_greedy",
+    # (e) r3-green backfill: one-plus representative per family —
+    # flagship/aggs, joins, photometry, similarity/dedup, packing/
+    # mixing, text ops, streaming-batch, windows
+    "q_flagship", "q_agg_groupby", "q_agg_sigclip", "q_agg_mean",
+    "q_agg_percentile", "q_agg_salted",
+    "q_join_inner", "q_join_broadcast", "q_join_nn", "q_join_knn",
+    "q_join_asof", "q_join_salted",
+    "q_annulus_background", "q_sim_bucketed", "q_ngram_jaccard",
+    "q_dedup_exact", "q_cluster_components",
+    "q_pack_sequences", "q_mix_corpus", "q_split_assign",
+    "q_unigram_logprob", "q_tfidf", "q_decontaminate", "q_text_redact",
+    "q_doc_chunks",
+    "q_stream_tumbling", "q_stream_session",
+    "q_window_trim", "q_topk_per_group", "q_zscore",
 )
 
 

@@ -272,3 +272,36 @@ def test_simhash_md5_no_nested_loop(spark):
     shape (chunk_idx, chunk), never all-pairs."""
     assert_plan(get("q_dedup_simhash_md5").fn(spark, SF),
                 absent=("CartesianProduct", "BroadcastNestedLoopJoin"))
+
+
+def test_line_dedup_digest_shuffle_no_nested_loop(spark):
+    """C4-style block dedup: the global block count and the join back
+    must be hash equi-joins on the md5 digest — never all-pairs — and
+    re-assembly must not collapse to a single partition."""
+    from telescope_data_pipeline_spark.plans.audit import physical_plan
+
+    df = get("q_line_dedup").fn(spark, SF)
+    df.collect()
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan and \
+        "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_quality_percentile_broadcasts_thresholds(spark):
+    """Per-language thresholds are |langs| rows: they must broadcast
+    back onto the corpus (the corpus itself is never shuffled)."""
+    assert_plan(get("q_quality_percentile").fn(spark, SF),
+                contains=("BroadcastHashJoin",),
+                absent=("CartesianProduct", "SortMergeJoin"))
+
+
+def test_mix_token_budget_no_global_sort(spark):
+    """The running token sum is a per-source window: one hash exchange
+    on source, never an Exchange SinglePartition."""
+    from telescope_data_pipeline_spark.plans.audit import physical_plan
+
+    df = get("q_mix_token_budget").fn(spark, SF)
+    df.collect()
+    plan = physical_plan(df)
+    assert "Exchange SinglePartition" not in plan, plan
