@@ -24,4 +24,4 @@ Layout
 - ``plans``      : plan-inspection utilities (pushdown/broadcast audits).
 """
 
-__version__ = "0.1.0"
+__version__ = "0.5.0"
