@@ -1734,3 +1734,147 @@ def q_mix_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (t.withColumn("cum_tok", F.sum("n_tok").over(w).cast("long"))
             .filter(F.col("cum_tok") <= 2000)
             .select("doc_id", "source", "n_tok", "cum_tok"))
+
+
+@query("q_split_stratified", oracle=r"""
+WITH t AS (
+  SELECT doc_id, lang,
+         md5('strat:' || CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+), r AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM t
+)
+SELECT doc_id, lang, CAST(rn AS BIGINT) AS rn,
+       CASE WHEN rn <= CAST(FLOOR(0.8 * n) AS BIGINT) THEN 'train'
+            WHEN rn <= CAST(FLOOR(0.9 * n) AS BIGINT) THEN 'val'
+            ELSE 'test' END AS split
+FROM r
+""")
+def q_split_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact stratified train/val/test split: every language
+    contributes EXACTLY floor(80%)/floor(10%)/rest of its documents —
+    unlike the hash-threshold split (q_split_assign), whose per-stratum
+    proportions only converge in expectation. Ranking within each
+    stratum is by content-addressed md5, so the assignment is
+    deterministic, reproducible, and unbiased w.r.t. any document
+    property.
+
+    Scale: one hash shuffle on lang + per-stratum sort (languages are
+    bounded-cardinality corpus slices). For a stratum too large for one
+    sort partition, swap the window for the composite-key
+    ``distributed_row_number`` (the q_length_batches shape: lang-major,
+    hash-minor) — same semantics, no giant partition. The stratum-size
+    count rides the same window (zero extra shuffle)."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", "lang",
+        F.md5(F.concat(F.lit("strat:"), F.col("doc_id").cast("string")))
+        .alias("h"))
+    w = W.partitionBy("lang").orderBy("h", "doc_id")
+    wn = W.partitionBy("lang")
+    r = (t.withColumn("rn", F.row_number().over(w).cast("long"))
+         .withColumn("n", F.count(F.lit(1)).over(wn)))
+    split = (F.when(F.col("rn") <= F.floor(0.8 * F.col("n")), "train")
+             .when(F.col("rn") <= F.floor(0.9 * F.col("n")), "val")
+             .otherwise("test"))
+    return r.select("doc_id", "lang", "rn", split.alias("split"))
+
+
+@query("q_dedup_canonical", oracle=r"""
+WITH fp AS (
+  SELECT doc_id, n_chars,
+         array_to_string(list_sort(list_distinct(
+             string_split_regex(text, '\s+'))), ' ') AS fingerprint
+  FROM documents
+), ranked AS (
+  SELECT fingerprint, doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY fingerprint
+                            ORDER BY n_chars DESC, doc_id) AS rk,
+         COUNT(*) OVER (PARTITION BY fingerprint) AS n_copies
+  FROM fp
+)
+SELECT fingerprint, doc_id AS keep_id,
+       CAST(n_chars AS BIGINT) AS keep_chars,
+       CAST(n_copies AS BIGINT) AS n_copies
+FROM ranked WHERE rk = 1 AND n_copies > 1
+""")
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection: within each duplicate group, KEEP
+    the highest-quality copy (longest here; any quality score slots in)
+    instead of the arbitrary min-id copy the plain dedup keeps — the
+    selection step production dedup actually runs after clustering
+    (e.g. keep the copy with the best format/quality signals, drop the
+    truncated mirrors).
+
+    Scale: one shuffle on the group fingerprint (hashed at production
+    scale so digests shuffle, not fingerprints); the arg-max is a
+    window top-1 inside the same partitioning — no second shuffle, no
+    driver state."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = F.array_join(
+        F.array_sort(F.array_distinct(F.split("text", _TOK))), " ")
+    t = d.select("doc_id", "n_chars", fp.alias("fingerprint"))
+    w = W.partitionBy("fingerprint").orderBy(F.desc("n_chars"), "doc_id")
+    # group size over the SAME partition+sort spec (full frame) so both
+    # window functions share one exchange + one sort — a bare
+    # partitionBy() count would plan a second hashpartitioning exchange
+    wn = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    ranked = (t.withColumn("rk", F.row_number().over(w))
+              .withColumn("n_copies", F.count(F.lit(1)).over(wn)))
+    return (ranked.filter((F.col("rk") == 1) & (F.col("n_copies") > 1))
+            .select("fingerprint", F.col("doc_id").alias("keep_id"),
+                    F.col("n_chars").cast("long").alias("keep_chars"),
+                    F.col("n_copies").cast("long").alias("n_copies")))
+
+
+@query("q_dedup_bloom", oracle="""
+WITH dg AS (
+  SELECT doc_id, md5(substr(text, 1, 30)) AS digest FROM documents
+)
+SELECT b.doc_id, b.digest
+FROM dg b
+WHERE b.doc_id % 2 = 1
+  AND b.digest NOT IN (SELECT digest FROM dg WHERE doc_id % 2 = 0)
+""")
+def q_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-tier incremental dedup: a Bloom pre-filter in front of the
+    exact digest anti-join (operators/bloom.py). Docs whose digest the
+    filter rejects are DEFINITELY new (Bloom has no false negatives)
+    and skip the join entirely; only the small maybe-member set pays
+    the exact check, which discards the false positives. The final
+    semantics are therefore EXACT — identical to the plain anti-join —
+    which is what lets this approximate-structure query carry a full
+    value oracle (same precedent as the bucketed similarity join).
+
+    Demo: even-id documents are "the corpus", odd-id documents are the
+    incoming batch. m=2^14 bits / k=7 is sized so sf0.1 (2,500 corpus
+    digests) produces a ~5% FP rate and genuinely exercises the rescue
+    join, while sf0.01 sails through with ~zero.
+
+    Scale: the filter is built once per ingest cycle (one explode +
+    bit_or groupBy, m/64 = 256 longs collected — the only driver
+    artifact, size independent of corpus); the probe is map-only
+    against a plan literal (zero shuffle); the exact join now sees only
+    |new ∩ FP| rows instead of the whole batch. The build's collect is
+    a deliberate construction-time action, like the id-bounds scan
+    fallback in length_bucketed_batches — production builds the filter
+    on the ingest schedule and reuses it across micro-batches."""
+    from ..operators.bloom import bloom_build, bloom_probe_literal
+
+    d = load_table(spark, sf_dir, "documents")
+    digest = F.md5(F.substring("text", 1, 30))
+    corpus = (d.filter(F.col("doc_id") % 2 == 0)
+              .select(digest.alias("digest")))
+    batch = (d.filter(F.col("doc_id") % 2 == 1)
+             .select("doc_id", digest.alias("digest")))
+    packed = bloom_build(corpus, "digest", m_bits=1 << 14, k=7)
+    probed = bloom_probe_literal(batch, "digest", packed, k=7)
+    definitely_new = (probed.filter(~F.col("might_contain"))
+                      .select("doc_id", "digest"))
+    rescued = (probed.filter(F.col("might_contain"))
+               .join(corpus, "digest", "left_anti")
+               .select("doc_id", "digest"))
+    return definitely_new.unionByName(rescued)

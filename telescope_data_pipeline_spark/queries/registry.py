@@ -60,11 +60,12 @@ _REGISTRY: dict[str, Query] = {}
 #: q_histogram, q_json_extract, q_partition_overwrite, q_phase_fold,
 #: q_posexplode, q_project, q_scalar_bits, q_scalar_date2,
 #: q_scalar_math, q_scalar_round, q_scalar_string2, q_scan_csv,
-#: q_scan_json, q_sort, q_union_distinct — then rotate r4-green
-#: representatives.
+#: q_scan_json, q_sort, q_union_distinct, q_text_redact, q_doc_chunks,
+#: q_zscore — then rotate r4-green representatives.
 PRIORITY: tuple[str, ...] = (
     # (a) first-time evidence: new round-5 corpus operators
     "q_line_dedup", "q_quality_percentile", "q_mix_token_budget",
+    "q_split_stratified", "q_dedup_canonical", "q_dedup_bloom",
     # (b) first-time evidence: round-4 registrations that missed the
     # r4 window (locally sweep-verified at sf0.01+0.1 since)
     "q_scd2", "q_fingerprint_md5", "q_dup_spans", "q_bm25",
@@ -85,10 +86,9 @@ PRIORITY: tuple[str, ...] = (
     "q_annulus_background", "q_sim_bucketed", "q_ngram_jaccard",
     "q_dedup_exact", "q_cluster_components",
     "q_pack_sequences", "q_mix_corpus", "q_split_assign",
-    "q_unigram_logprob", "q_tfidf", "q_decontaminate", "q_text_redact",
-    "q_doc_chunks",
+    "q_unigram_logprob", "q_tfidf", "q_decontaminate",
     "q_stream_tumbling", "q_stream_session",
-    "q_window_trim", "q_topk_per_group", "q_zscore",
+    "q_window_trim", "q_topk_per_group",
 )
 
 

@@ -35,3 +35,80 @@ def test_stratified_sample_deterministic_and_proportional(spark):
     # en heavily kept, zh heavily cut (Bernoulli sampling: loose bounds)
     assert r1["en"] / totals["en"] > 0.75
     assert r1["zh"] / totals["zh"] < 0.45
+
+
+class TestBloom:
+    """Bloom membership index: no false negatives ever; FPR within the
+    textbook bound; both probe forms agree."""
+
+    def _digests(self, spark):
+        from telescope_data_pipeline_spark.sources import load_table
+        from pyspark.sql import functions as F
+
+        d = load_table(spark, "/root/testdata/sf0.01", "documents")
+        return d.select("doc_id", F.md5("text").alias("dg"))
+
+    def test_no_false_negatives(self, spark):
+        from telescope_data_pipeline_spark.operators.bloom import (
+            bloom_build,
+            bloom_probe_literal,
+        )
+
+        dg = self._digests(spark)
+        members = dg.filter("doc_id % 2 = 0")
+        packed = bloom_build(members, "dg", m_bits=1 << 12, k=4)
+        probed = bloom_probe_literal(members, "dg", packed, k=4)
+        assert probed.filter("NOT might_contain").count() == 0
+
+    def test_fpr_within_bound(self, spark):
+        import math
+
+        from telescope_data_pipeline_spark.operators.bloom import (
+            bloom_build,
+            bloom_probe_literal,
+        )
+
+        dg = self._digests(spark)
+        members = dg.filter("doc_id % 2 = 0")
+        others = dg.filter("doc_id % 2 = 1")
+        m, k = 1 << 12, 4
+        n = members.count()
+        packed = bloom_build(members, "dg", m_bits=m, k=k)
+        fp = (bloom_probe_literal(others, "dg", packed, k=k)
+              .filter("might_contain").count())
+        fpr = fp / others.count()
+        theory = (1 - math.exp(-k * n / m)) ** k
+        assert fpr <= 3 * theory + 0.02, (fpr, theory)
+
+    def test_probe_forms_agree(self, spark):
+        from telescope_data_pipeline_spark.operators.bloom import (
+            bloom_build,
+            bloom_probe_join,
+            bloom_probe_literal,
+            bloom_words_df,
+        )
+
+        dg = self._digests(spark)
+        members = dg.filter("doc_id % 3 = 0")
+        m, k = 1 << 12, 5
+        packed = bloom_build(members, "dg", m_bits=m, k=k)
+        words = bloom_words_df(members, "dg", m_bits=m, k=k)
+        lit = {(r.doc_id, r.might_contain) for r in
+               bloom_probe_literal(dg, "dg", packed, k=k).collect()}
+        jn = {(r.doc_id, r.might_contain) for r in
+              bloom_probe_join(dg, "dg", words, m_bits=m, k=k).collect()}
+        assert lit == jn
+
+    def test_rejects_unaligned_m(self, spark):
+        import pytest
+
+        from telescope_data_pipeline_spark.operators.bloom import (
+            bloom_build,
+            bloom_words_df,
+        )
+
+        dg = self._digests(spark)
+        with pytest.raises(ValueError):
+            bloom_build(dg, "dg", m_bits=100)
+        with pytest.raises(ValueError):
+            bloom_words_df(dg, "dg", m_bits=100)

@@ -305,3 +305,54 @@ def test_mix_token_budget_no_global_sort(spark):
     df.collect()
     plan = physical_plan(df)
     assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_stratified_split_no_global_sort(spark):
+    """Per-stratum ranking must hash-shuffle on lang, never collapse to
+    an Exchange SinglePartition."""
+    from telescope_data_pipeline_spark.plans.audit import physical_plan
+
+    df = get("q_split_stratified").fn(spark, SF)
+    df.collect()
+    assert "Exchange SinglePartition" not in physical_plan(df)
+
+
+def test_dedup_canonical_single_shuffle(spark):
+    """Rank + group-size share ONE fingerprint partitioning: exactly one
+    hash exchange in the plan, no all-pairs join."""
+    from telescope_data_pipeline_spark.plans.audit import physical_plan
+
+    df = get("q_dedup_canonical").fn(spark, SF)
+    df.collect()
+    # count only the AQE final plan (the string repeats the pre-AQE
+    # "Initial Plan" section below it)
+    plan = physical_plan(df).split("== Initial Plan ==")[0]
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bloom_probe_is_map_only(spark):
+    """The literal-form Bloom probe must add ZERO exchanges: filter
+    words ride the plan as a literal, bit tests are scalar expressions."""
+    from telescope_data_pipeline_spark.operators.bloom import (
+        bloom_build,
+        bloom_probe_literal,
+    )
+    from telescope_data_pipeline_spark.plans.audit import physical_plan
+    from telescope_data_pipeline_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    d = (load_table(spark, SF, "documents")
+         .select("doc_id", F.md5("text").alias("dg")))
+    packed = bloom_build(d.filter("doc_id % 2 = 0"), "dg",
+                         m_bits=1 << 12, k=4)
+    probed = bloom_probe_literal(d, "dg", packed, k=4)
+    probed.collect()
+    assert "Exchange" not in physical_plan(probed)
+
+
+def test_dedup_bloom_no_nested_loop(spark):
+    """Two-tier bloom dedup: the rescue join must stay a hash anti-join
+    on digest."""
+    assert_plan(get("q_dedup_bloom").fn(spark, SF),
+                absent=("CartesianProduct", "BroadcastNestedLoopJoin"))
