@@ -1878,3 +1878,54 @@ def q_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
                .join(corpus, "digest", "left_anti")
                .select("doc_id", "digest"))
     return definitely_new.unionByName(rescued)
+
+
+@query("q_kmeans_step", oracle="""
+WITH c AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8
+), a AS (
+  SELECT e.vec_id, c.cid, e.embedding,
+         ROUND(list_sum(list_transform(range(1, len(e.embedding) + 1),
+             i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE))
+                * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE))
+         )), 6) AS d2
+  FROM embeddings e CROSS JOIN c
+), best AS (
+  SELECT vec_id, embedding, cid,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk
+  FROM a
+), dims AS (
+  SELECT cid,
+         UNNEST(range(0, len(embedding))) AS pos,
+         UNNEST(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS val
+  FROM best WHERE rk = 1
+)
+SELECT cid, CAST(pos AS INT) AS pos,
+       ROUND(AVG(val), 6) + 0.0 AS centroid_val,
+       COUNT(*) AS n_members
+FROM dims GROUP BY cid, pos
+""")
+def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd k-means iteration (k=8, deterministic first-k init),
+    pinned to a value oracle — the iterative-clustering family's exact
+    anchor, like q_cluster_components for label propagation. The full
+    iterated form is ``operators/kmeans.py::kmeans_iterate`` (golden:
+    SSE monotone non-increasing).
+
+    Scale: assignment is the IVF assigner's shape — k centroids
+    broadcast, |n|·k distance rows, argmin per vector via min_by (one
+    groupBy shuffle); update is one map-side-combined (cluster,
+    dimension) groupBy, k·dim groups out. The distance key is rounded
+    to 6 digits with cid as tiebreak, so engines whose float fold order
+    differs in the last ulp cannot flip an assignment (the
+    q_weighted_sample lesson applied to argmin)."""
+    from ..operators.kmeans import kmeans_step
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = (e.filter(F.col("vec_id") < 8)
+            .select(F.col("vec_id").alias("cid"),
+                    F.col("embedding").alias("cvec")))
+    out = kmeans_step(e, cent)
+    return out.select("cid", "pos",
+                      (F.col("centroid_val") + 0.0).alias("centroid_val"),
+                      "n_members")

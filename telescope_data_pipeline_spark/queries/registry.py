@@ -46,14 +46,14 @@ _REGISTRY: dict[str, Query] = {}
 #: The driver's correctness gate checks queries in ``queries()`` dict
 #: order and stops after the first 50 entries. Round-5 rotation
 #: (executing the plan the round-4 window left behind): front-load
-#: everything with NO driver evidence yet — the three queries new this
+#: everything with NO driver evidence yet — the seven queries new this
 #: round, the twelve oracle queries registered late in round 4, the two
 #: deliberate round-4 sit-outs, and the three rows-only queries that
-#: have never held a driver slot — then backfill 30 round-3-green
+#: have never held a driver slot — then backfill 26 round-3-green
 #: representatives (every operator family) for rolling regression
-#: visibility. The 19 remaining r3-green queries (scalar/filter/scan
-#: family, all re-verified by the local sf0.01+sf0.1 sweep every
-#: session) rotate back in round 6.
+#: visibility. The 23 remaining r3-green queries (scalar/filter/scan
+#: family plus four family-covered sit-outs, all re-verified by the
+#: local sf0.01+sf0.1 sweep every session) rotate back in round 6.
 #:
 #: ROUND-6 ROTATION NOTE: backfill these r3-green sit-outs first:
 #: q_case_when, q_cohort_retention, q_color_index, q_filter_range,
@@ -61,11 +61,12 @@ _REGISTRY: dict[str, Query] = {}
 #: q_posexplode, q_project, q_scalar_bits, q_scalar_date2,
 #: q_scalar_math, q_scalar_round, q_scalar_string2, q_scan_csv,
 #: q_scan_json, q_sort, q_union_distinct, q_text_redact, q_doc_chunks,
-#: q_zscore — then rotate r4-green representatives.
+#: q_zscore, q_topk_per_group — then rotate r4-green representatives.
 PRIORITY: tuple[str, ...] = (
     # (a) first-time evidence: new round-5 corpus operators
     "q_line_dedup", "q_quality_percentile", "q_mix_token_budget",
     "q_split_stratified", "q_dedup_canonical", "q_dedup_bloom",
+    "q_kmeans_step",
     # (b) first-time evidence: round-4 registrations that missed the
     # r4 window (locally sweep-verified at sf0.01+0.1 since)
     "q_scd2", "q_fingerprint_md5", "q_dup_spans", "q_bm25",
@@ -88,7 +89,7 @@ PRIORITY: tuple[str, ...] = (
     "q_pack_sequences", "q_mix_corpus", "q_split_assign",
     "q_unigram_logprob", "q_tfidf", "q_decontaminate",
     "q_stream_tumbling", "q_stream_session",
-    "q_window_trim", "q_topk_per_group",
+    "q_window_trim",
 )
 
 

@@ -356,3 +356,16 @@ def test_dedup_bloom_no_nested_loop(spark):
     on digest."""
     assert_plan(get("q_dedup_bloom").fn(spark, SF),
                 absent=("CartesianProduct", "BroadcastNestedLoopJoin"))
+
+
+def test_kmeans_assignment_broadcast_no_cartesian(spark):
+    """Assignment must broadcast the k-row centroid table (the
+    deliberate small-side cross, like q_sim_topk) and reduce via one
+    groupBy — never a CartesianProduct or sort-merge of the corpus."""
+    from telescope_data_pipeline_spark.plans.audit import physical_plan
+
+    df = get("q_kmeans_step").fn(spark, SF)
+    df.collect()
+    plan = physical_plan(df).split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+    assert "Broadcast" in plan

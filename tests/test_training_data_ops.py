@@ -535,3 +535,40 @@ def test_length_batches_id_bounds_param_is_lazy_and_identical(spark):
 
     with pytest.raises(ValueError, match="span too wide"):
         length_bucketed_batches(t, id_bounds=(0, 1 << 58))
+
+
+def test_kmeans_sse_monotone_and_converges(spark):
+    """Lloyd's algorithm must never increase within-cluster SSE, and on
+    this small corpus reaches a fixed point: one more iteration leaves
+    the assignment unchanged."""
+    from telescope_data_pipeline_spark.operators.kmeans import (
+        assign_clusters,
+        kmeans_iterate,
+        sse,
+    )
+    from telescope_data_pipeline_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    errs = []
+    for iters in (0, 1, 3, 6):
+        if iters == 0:
+            cent = (e.filter(F.col("vec_id") < 8)
+                    .select(F.col("vec_id").alias("cid"),
+                            F.transform("embedding", lambda x:
+                                        x.cast("double")).alias("cvec")))
+            a = assign_clusters(e, cent)
+        else:
+            a = kmeans_iterate(e, k=8, iters=iters)
+        errs.append(sse(a))
+    assert errs == sorted(errs, reverse=True), errs
+    assert errs[-1] < errs[0]
+    # fixed point: with early stop, a generous iteration budget lands on
+    # the converged assignment, and one more budgeted run reproduces it
+    a_conv = {(r.vec_id, r.cid) for r in
+              kmeans_iterate(e, k=8, iters=40)
+              .select("vec_id", "cid").collect()}
+    a_more = {(r.vec_id, r.cid) for r in
+              kmeans_iterate(e, k=8, iters=41)
+              .select("vec_id", "cid").collect()}
+    assert a_conv == a_more
