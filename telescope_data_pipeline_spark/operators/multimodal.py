@@ -290,3 +290,58 @@ def make_fake_media(spark, n: int = 64, seed: int = 7) -> DataFrame:
             {"src": f"synthetic-{i}"},
         ))
     return spark.createDataFrame(rows, schema=MEDIA)
+
+
+#: Output schema of the image resizer: the resized raster rides along as
+#: a flattened float array + its new dims (parquet-friendly; re-encoding
+#: to JPEG/PNG is a sink concern, not a transform concern).
+RESIZED_IMAGES = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("src_width", T.IntegerType(), True),
+    T.StructField("src_height", T.IntegerType(), True),
+    T.StructField("width", T.IntegerType(), False),
+    T.StructField("height", T.IntegerType(), False),
+    T.StructField("pixels", T.ArrayType(T.FloatType()), True),
+])
+
+
+def resize_images(media: DataFrame, width: int = 32,
+                  height: int = 32) -> DataFrame:
+    """media (schemas.MEDIA) -> RESIZED_IMAGES: decode + resample every
+    image to a fixed (height, width) raster — the normalization step in
+    front of any vision encoder (models consume fixed shapes; storage
+    keeps originals).
+
+    Resampling is nearest-neighbor via pure NumPy index maps, so it is
+    identical for real PIL-decoded arrays and stub-decoded fixtures
+    (no dependency on PIL's resize kernels — deterministic across
+    environments). Scale shape: same as the feature extractor — the
+    modality filter prunes JVM-side, the kernel is mapInPandas over
+    Arrow batches, output rows inherit the input partitioning (zero
+    shuffle), and each output row is height*width floats regardless of
+    source size, so downstream stages see bounded row width."""
+    images = media.filter(F.col("modality") == "image") \
+                  .select("media_id", "width", "height", "payload")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {k: [] for k in (
+                "media_id", "src_width", "src_height", "width", "height",
+                "pixels")}
+            for media_id, w0, h0, payload in zip(
+                    pdf["media_id"], pdf["width"], pdf["height"],
+                    pdf["payload"]):
+                arr = decode_image(payload)
+                sh, sw = arr.shape[0], arr.shape[1]
+                ri = (np.arange(height) * sh) // height
+                ci = (np.arange(width) * sw) // width
+                resized = arr[np.ix_(ri, ci)].astype(np.float32)
+                rows["media_id"].append(media_id)
+                rows["src_width"].append(sw)
+                rows["src_height"].append(sh)
+                rows["width"].append(width)
+                rows["height"].append(height)
+                rows["pixels"].append(resized.reshape(-1))
+            yield pd.DataFrame(rows)
+
+    return images.mapInPandas(kernel, schema=RESIZED_IMAGES)

@@ -42,6 +42,27 @@ def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(make_fake_media(spark), every_s=1.0)
 
 
+@query("q_media_resize", oracle=None)  # binary fixture: rows-only check
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize/normalization: decode + nearest-neighbor resample
+    every image to a fixed 16x16 raster inside the Arrow batch — the
+    fixed-shape normalization in front of a vision encoder. Scalar
+    summary output (driver canonicalizer cannot sort array cells):
+    per-image dims + mean/min/max of the resized raster, which pins the
+    resample math while the array form stays available from the
+    operator."""
+    from ..operators.multimodal import make_fake_media, resize_images
+
+    r = resize_images(make_fake_media(spark), width=16, height=16)
+    px = F.transform("pixels", lambda x: x.cast("double"))
+    return r.select(
+        "media_id", "src_width", "src_height", "width", "height",
+        F.round(F.aggregate(px, F.lit(0.0), lambda a, v: a + v)
+                / F.size("pixels"), 6).alias("mean_px"),
+        F.round(F.array_min(px), 6).alias("min_px"),
+        F.round(F.array_max(px), 6).alias("max_px"))
+
+
 @query("q_media_audio", oracle=None)  # binary fixture: rows-only check
 def q_media_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio feature pipeline: binary payload -> mapInPandas decode

@@ -48,10 +48,10 @@ _REGISTRY: dict[str, Query] = {}
 #: (executing the plan the round-4 window left behind): front-load
 #: everything with NO driver evidence yet — the seven queries new this
 #: round, the twelve oracle queries registered late in round 4, the two
-#: deliberate round-4 sit-outs, and the three rows-only queries that
-#: have never held a driver slot — then backfill 26 round-3-green
+#: deliberate round-4 sit-outs, and the four rows-only queries that
+#: have never held a driver slot (one new this round) — then backfill 25 round-3-green
 #: representatives (every operator family) for rolling regression
-#: visibility. The 23 remaining r3-green queries (scalar/filter/scan
+#: visibility. The 24 remaining r3-green queries (scalar/filter/scan
 #: family plus four family-covered sit-outs, all re-verified by the
 #: local sf0.01+sf0.1 sweep every session) rotate back in round 6.
 #:
@@ -61,7 +61,7 @@ _REGISTRY: dict[str, Query] = {}
 #: q_posexplode, q_project, q_scalar_bits, q_scalar_date2,
 #: q_scalar_math, q_scalar_round, q_scalar_string2, q_scan_csv,
 #: q_scan_json, q_sort, q_union_distinct, q_text_redact, q_doc_chunks,
-#: q_zscore, q_topk_per_group — then rotate r4-green representatives.
+#: q_zscore, q_topk_per_group, q_window_trim — then rotate r4-green representatives.
 PRIORITY: tuple[str, ...] = (
     # (a) first-time evidence: new round-5 corpus operators
     "q_line_dedup", "q_quality_percentile", "q_mix_token_budget",
@@ -76,7 +76,7 @@ PRIORITY: tuple[str, ...] = (
     # (c) the two round-4 sit-outs (newest green: r2)
     "q_union_all", "q_filter_eq",
     # (d) rows-only queries that have never run under the driver
-    "q_agg_approx", "q_media_audio", "q_pack_greedy",
+    "q_agg_approx", "q_media_audio", "q_pack_greedy", "q_media_resize",
     # (e) r3-green backfill: one-plus representative per family —
     # flagship/aggs, joins, photometry, similarity/dedup, packing/
     # mixing, text ops, streaming-batch, windows
@@ -89,7 +89,6 @@ PRIORITY: tuple[str, ...] = (
     "q_pack_sequences", "q_mix_corpus", "q_split_assign",
     "q_unigram_logprob", "q_tfidf", "q_decontaminate",
     "q_stream_tumbling", "q_stream_session",
-    "q_window_trim",
 )
 
 

@@ -125,3 +125,43 @@ def test_invalid_payload_falls_back_to_stub():
     wave, sr = mm.decode_audio(payload, duration_s=2.0)
     assert sr == mm._AUDIO_SR
     assert np.array_equal(wave, mm._decode_audio_stub(payload, 2.0))
+
+
+def test_resize_images_shape_and_determinism(spark):
+    """Every image resamples to exactly height*width pixels; values come
+    from the source raster (nearest-neighbor: subset of source values);
+    repeat runs are identical."""
+    from telescope_data_pipeline_spark.operators.multimodal import (
+        decode_image,
+        make_fake_media,
+        resize_images,
+    )
+
+    media = make_fake_media(spark)
+    out = resize_images(media, width=8, height=8).collect()
+    n_images = media.filter("modality = 'image'").count()
+    assert len(out) == n_images and n_images > 0
+    srcs = {r.media_id: decode_image(r.payload) for r in
+            media.filter("modality = 'image'").collect()}
+    for r in out:
+        assert r.width == 8 and r.height == 8
+        assert len(r.pixels) == 64
+        src_vals = set(srcs[r.media_id].reshape(-1).tolist())
+        assert set(r.pixels) <= src_vals  # nearest-neighbor picks, no blend
+    again = resize_images(media, width=8, height=8).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_resize_upscale_and_downscale(spark):
+    """Resizing works in both directions: 4x4 target from any source,
+    and a target larger than the source repeats source pixels."""
+    from telescope_data_pipeline_spark.operators.multimodal import (
+        make_fake_media,
+        resize_images,
+    )
+
+    media = make_fake_media(spark)
+    small = resize_images(media, width=4, height=4).collect()
+    assert all(len(r.pixels) == 16 for r in small)
+    big = resize_images(media, width=96, height=96).collect()
+    assert all(len(r.pixels) == 96 * 96 for r in big)
