@@ -19,6 +19,7 @@ def load_all() -> None:
         joins,
         llm,
         relational,
+        retrieval,
         scalars,
         setops,
         sort_limit,

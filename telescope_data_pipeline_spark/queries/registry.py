@@ -61,7 +61,11 @@ _REGISTRY: dict[str, Query] = {}
 #: q_posexplode, q_project, q_scalar_bits, q_scalar_date2,
 #: q_scalar_math, q_scalar_round, q_scalar_string2, q_scan_csv,
 #: q_scan_json, q_sort, q_union_distinct, q_text_redact, q_doc_chunks,
-#: q_zscore, q_topk_per_group, q_window_trim — then rotate r4-green representatives.
+#: q_zscore, q_topk_per_group, q_window_trim — plus the eight
+#: retrieval.py queries registered after the r5 window was frozen
+#: (q_inverted_index, q_sparse_cosine, q_sample_reservoir,
+#: q_zorder_key, q_pagerank, q_mv_maintenance, q_char_entropy,
+#: q_anomaly_mad) — then rotate r4-green representatives.
 PRIORITY: tuple[str, ...] = (
     # (a) first-time evidence: new round-5 corpus operators
     "q_line_dedup", "q_quality_percentile", "q_mix_token_budget",

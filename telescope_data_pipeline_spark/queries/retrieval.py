@@ -1,0 +1,525 @@
+"""Retrieval, graph, and data-layout operators for corpus curation
+(extends SURVEY.md §2.11's training-data family).
+
+Everything here follows the repo's oracle-determinism rules:
+
+- selection and ranking keys are integers, strings, or md5 digests —
+  never raw float sums (the q_weighted_sample lesson);
+- float *outputs* are either exact rationals (integer numerator /
+  integer denominator, one IEEE division) or left-folded over an
+  identically-sorted term list on both engines before ROUND;
+- every scale-critical plan shape is pinned by a test in
+  ``tests/test_plans.py`` (no CartesianProduct, no single-partition
+  Exchange, map-only where claimed).
+
+Reference parity: the reference pipeline (core.py) has no retrieval or
+layout stage; these operators extend the engine for the 100 TB
+training-data use case the brief names first-class.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .registry import query
+
+#: Whitespace tokenizer shared with queries/llm.py (same regex both engines).
+_TOK = r"\s+"
+
+
+# ---------------------------------------------------------------------------
+# Inverted index construction
+# ---------------------------------------------------------------------------
+
+@query("q_inverted_index", oracle=r"""
+WITH t AS (
+  SELECT doc_id, UNNEST(list_distinct(string_split_regex(lower(text), '\s+'))) AS term
+  FROM documents
+)
+SELECT term,
+       COUNT(*) AS df,
+       array_to_string(list_sort(list(doc_id)), ',') AS postings
+FROM t
+WHERE term <> ''
+GROUP BY term
+HAVING COUNT(*) >= 5
+""")
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction: term -> (document frequency, sorted
+    posting list). The retrieval-side dual of q_bm25 (which consumes
+    df): this materializes the index itself, the way a sparse-retrieval
+    or decontamination stage would persist it.
+
+    Scale: explode of per-doc *distinct* terms (dedup happens map-side
+    inside the row, before the shuffle), then one map-side-combined
+    groupBy on term; the shuffle carries (term, doc_id) pairs only.
+    Posting lists are collected per term — at 100 TB posting lists for
+    stop-like terms are the skew risk, so production caps list length
+    per (term, shard) and stores the index bucketed by term (the
+    ``HAVING df >= 5`` floor here is the inverse guard: drop hapax
+    noise). Output is the compact string form so the driver hash is
+    engine-neutral."""
+    d = load_table(spark, sf_dir, "documents", spread=True)
+    terms = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.lower("text"), _TOK))).alias("term"),
+    ).filter(F.col("term") != "")
+    return (
+        terms.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.array_join(F.array_sort(F.collect_list("doc_id")), ",").alias("postings"),
+        )
+        .filter(F.col("df") >= 5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sparse (term-space) cosine similarity via an inverted-index join
+# ---------------------------------------------------------------------------
+
+@query("q_sparse_cosine", oracle=r"""
+WITH tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM (
+    SELECT doc_id, UNNEST(string_split_regex(lower(text), '\s+')) AS term
+    FROM documents
+  )
+  WHERE term <> ''
+  GROUP BY doc_id, term
+), norms AS (
+  SELECT doc_id, SUM(tf * tf) AS n2 FROM tf GROUP BY doc_id
+), dots AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, SUM(a.tf * b.tf) AS dot
+  FROM tf a JOIN tf b ON b.term = a.term AND b.doc_id = a.doc_id + 1
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT d.doc_a, d.doc_b, d.dot,
+       ROUND(d.dot / (sqrt(na.n2::DOUBLE) * sqrt(nb.n2::DOUBLE)), 6) AS cosine
+FROM dots d
+JOIN norms na ON na.doc_id = d.doc_a
+JOIN norms nb ON nb.doc_id = d.doc_b
+""")
+def q_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse cosine similarity in term space, computed as an
+    inverted-index self-join: dot(a, b) = sum over shared terms of
+    tf_a * tf_b. The sparse dual of q_sim_topk's dense cosine — this is
+    how near-dup candidates are scored when embeddings don't exist yet.
+
+    Demonstrated on consecutive doc pairs (the registry's standard
+    bounded-pair harness, cf. q_ngram_jaccard) so the oracle is
+    all-integer until one final sqrt/divide: tf counts and dot products
+    are exact BIGINTs, both engines' IEEE sqrt/divide are correctly
+    rounded, so the ROUND(6) output is bit-stable — no float-sum
+    ordering anywhere.
+
+    Scale: the real candidate generator is the same join keyed on term
+    with a df ceiling (drop stop-terms before the join, exactly like
+    q_bm25 filters to query terms) — shuffle size is sum over terms of
+    df^2 restricted to rare terms, never |docs|^2. The pair predicate
+    here stands in for the LSH/banding candidate filter."""
+    d = load_table(spark, sf_dir, "documents", spread=True)
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), _TOK)).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    norms = tf.groupBy("doc_id").agg(F.sum(F.col("tf") * F.col("tf")).alias("n2"))
+    a, b = tf.alias("a"), tf.alias("b")
+    dots = (
+        a.join(b, (F.col("b.term") == F.col("a.term"))
+               & (F.col("b.doc_id") == F.col("a.doc_id") + 1))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.sum(F.col("a.tf") * F.col("b.tf")).alias("dot"))
+    )
+    na, nb = norms.alias("na"), norms.alias("nb")
+    return (
+        dots.join(na, F.col("na.doc_id") == F.col("doc_a"))
+        .join(nb, F.col("nb.doc_id") == F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b", "dot",
+            F.round(
+                F.col("dot")
+                / (F.sqrt(F.col("na.n2").cast("double"))
+                   * F.sqrt(F.col("nb.n2").cast("double"))),
+                6,
+            ).alias("cosine"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic per-group reservoir sampling
+# ---------------------------------------------------------------------------
+
+@query("q_sample_reservoir", oracle="""
+SELECT lang, doc_id, n_chars
+FROM (
+  SELECT lang, doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rk
+  FROM documents
+)
+WHERE rk <= 5
+""")
+def q_sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group reservoir sampling, k=5 docs per language, with a
+    content-derived priority (md5 of the text) instead of a RNG — the
+    reproducible form of reservoir sampling: re-running on the same
+    corpus yields the same sample, and the sample is independent of row
+    order / partitioning (q_weighted_sample's uniform-weight cousin,
+    but per-group and windowed rather than global top-k).
+
+    Scale: one hash-partitioned window per group key; no global sort.
+    Groups far larger than memory are fine — rank() early-stops nothing
+    here, but at 100 TB the same semantics ship as a per-partition
+    top-k (A-Res on the md5 key) followed by a per-group merge of k·P
+    candidates, which `operators/rank.py` already scaffolds for the
+    epoch shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(F.md5("text"), "doc_id")
+    return (
+        d.select("lang", "doc_id", "n_chars",
+                 F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 5)
+        .drop("rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) layout keys
+# ---------------------------------------------------------------------------
+
+@query("q_zorder_key", oracle="""
+WITH q AS (
+  SELECT p_partkey,
+         CAST(p_partkey % 256 AS BIGINT) AS x,
+         CAST(p_size AS BIGINT)          AS y
+  FROM part
+)
+SELECT p_partkey, x, y,
+       CAST(list_sum(list_transform(range(0, 8),
+              i -> ((x >> i) & 1) * (1::BIGINT << (2 * i))
+                 + ((y >> i) & 1) * (1::BIGINT << (2 * i + 1))))
+            AS BIGINT) AS zval,
+       CAST(list_sum(list_transform(range(0, 8),
+              i -> ((x >> i) & 1) * (1::BIGINT << (2 * i))
+                 + ((y >> i) & 1) * (1::BIGINT << (2 * i + 1))))
+            AS BIGINT) // 4096 AS zbucket
+FROM q
+""")
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) interleaved layout key over two scan dimensions
+    (partkey-mod and size), plus the coarse bucket a writer would
+    range-partition on. This is the data-layout operator behind
+    multi-dimensional data skipping: writing files clustered by zval
+    keeps both ``x BETWEEN``- and ``y BETWEEN``-style predicates
+    selective against parquet min/max footers, where a lexicographic
+    sort only serves its leading column.
+
+    All-integer bit arithmetic (8 bits per dimension, folded with a
+    HOF) — exact on both engines. Map-only: zero Exchange, zero UDF
+    (pinned by test_zorder_map_only). The production write is
+    ``df.repartitionByRange("zbucket").sortWithinPartitions("zval")``;
+    the key computation shown here is the whole cost added to the
+    write path."""
+    p = load_table(spark, sf_dir, "part")
+    q = p.select(
+        "p_partkey",
+        (F.col("p_partkey") % 256).cast("long").alias("x"),
+        F.col("p_size").cast("long").alias("y"),
+    )
+    # SQL-level shiftright accepts expression shift counts (the Python
+    # wrapper doesn't); pow(2, k) is exact in double for k < 53.
+    z = F.expr(
+        "aggregate(sequence(0, 7), CAST(0 AS BIGINT), (acc, i) -> acc"
+        " + (shiftright(x, i) & 1) * CAST(pow(2, 2 * i) AS BIGINT)"
+        " + (shiftright(y, i) & 1) * CAST(pow(2, 2 * i + 1) AS BIGINT))"
+    )
+    return q.select(
+        "p_partkey", "x", "y",
+        z.alias("zval"),
+        F.floor(z / 4096).cast("long").alias("zbucket"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PageRank (two exact-anchored iterations)
+# ---------------------------------------------------------------------------
+
+_PAGERANK_ORACLE = r"""
+WITH e0 AS (
+  SELECT DISTINCT 2 * l_suppkey + 1 AS src, 2 * l_partkey AS dst FROM lineitem
+), edges AS (
+  SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0
+), nodes AS (
+  SELECT DISTINCT src AS node FROM edges
+), nn AS (
+  SELECT COUNT(*)::DOUBLE AS n FROM nodes
+), deg AS (
+  SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src
+), r1 AS (
+  SELECT e.dst AS node,
+         ROUND(0.15 / nn.n + 0.85 * SUM((1.0 / nn.n) / d.outdeg), 9) AS r
+  FROM edges e JOIN deg d ON d.src = e.src CROSS JOIN nn
+  GROUP BY e.dst, nn.n
+), r2 AS (
+  SELECT e.dst AS node,
+         ROUND(0.15 / nn.n + 0.85 * SUM(r1.r / d.outdeg), 6) AS r
+  FROM edges e
+  JOIN deg d ON d.src = e.src
+  JOIN r1 ON r1.node = e.src
+  CROSS JOIN nn
+  GROUP BY e.dst, nn.n
+)
+SELECT node, r AS pagerank FROM r2 WHERE node % 2 = 1
+"""
+
+
+@query("q_pagerank", oracle=_PAGERANK_ORACLE)
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two PageRank iterations (damping 0.85) over the supplier<->part
+    supply graph, reported for supplier nodes. The iterative-graph
+    family's value-pinned anchor, exactly as q_kmeans_step anchors
+    Lloyd iterations and q_cluster_components anchors HashMin label
+    propagation: a fixed iteration count makes the output
+    SQL-expressible, so the driver can hash-check real ranks.
+
+    Node ids are disambiguated arithmetically (2s+1 / 2p); edges are
+    symmetrized so no node dangles. r1 is rounded to 9 digits before it
+    feeds iteration 2 — both engines then iterate from bit-identical
+    state, so cross-engine float-sum jitter cannot compound (the same
+    re-anchoring trick q_kmeans_step uses on its distance key).
+
+    Scale: each iteration is one equi-join (ranks x edges, both hash-
+    partitioned on node) plus one map-side-combined groupBy on dst —
+    the textbook Pregel step expressed relationally. Degree and rank
+    tables are |V|; the join shuffles |E|. At 100 TB the edge list is
+    bucketed by src so iterations reuse the layout with zero re-
+    shuffle; skewed hubs (stop-term-like super-nodes) take the salted
+    two-stage aggregation from operators/skew.py."""
+    li = load_table(spark, sf_dir, "lineitem")
+    e0 = (li.select((2 * F.col("l_suppkey") + 1).alias("src"),
+                    (2 * F.col("l_partkey")).alias("dst"))
+          .distinct())
+    edges = e0.unionAll(e0.select(F.col("dst").alias("src"),
+                                  F.col("src").alias("dst")))
+    # |V| as a lazy 1-row scalar broadcast (no driver action at build
+    # time — the q_length_batches lesson).
+    nn = F.broadcast(
+        edges.select("src").distinct()
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+
+    r1 = (
+        edges.join(deg, "src").crossJoin(nn)
+        .groupBy("dst", "n")
+        .agg(F.round(0.15 / F.col("n")
+                     + 0.85 * F.sum((1.0 / F.col("n")) / F.col("outdeg")), 9)
+             .alias("r"))
+        .select(F.col("dst").alias("node"), "r")
+    )
+    r2 = (
+        edges.join(deg, "src")
+        .join(r1.withColumnRenamed("node", "src"), "src")
+        .crossJoin(nn)
+        .groupBy("dst", "n")
+        .agg(F.round(0.15 / F.col("n")
+                     + 0.85 * F.sum(F.col("r") / F.col("outdeg")), 6)
+             .alias("pagerank"))
+        .select(F.col("dst").alias("node"), "pagerank")
+    )
+    return r2.filter(F.col("node") % 2 == 1)
+
+
+# ---------------------------------------------------------------------------
+# Incremental materialized-view maintenance
+# ---------------------------------------------------------------------------
+
+@query("q_mv_maintenance", oracle="""
+SELECT o_orderpriority,
+       CAST(year(o_orderdate) AS INT) AS yr,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders
+GROUP BY 1, 2
+""")
+def q_mv_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: a pre-aggregated view
+    (orders before 1997) is brought up to date by merging the delta
+    batch (1997+) at the *aggregate* level — partial states (count,
+    decimal sum) are combined per key, never re-scanning history. The
+    oracle is the full recompute, proving merged == recomputed.
+
+    Exactness: monetary sums are DECIMAL(18,2) so partial-state
+    merging is order-independent (the flagship's exact-DECIMAL rule);
+    the double cast happens once, after the exact merge.
+
+    Scale: this is the nightly-ingest pattern — the view update costs
+    one scan of the delta plus a |keys|-sized merge, independent of
+    history size. The merge is a union of two partial-agg tables
+    followed by one map-side-combined groupBy on the view key; with
+    the view stored bucketed by key the merge shuffles only the
+    delta's partial rows."""
+    o = load_table(spark, sf_dir, "orders")
+    key = [F.col("o_orderpriority"), F.year("o_orderdate").cast("int").alias("yr")]
+    cut = F.col("o_orderdate") < F.lit("1997-01-01")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(*key).agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total"),
+        )
+
+    view = partial(o.filter(cut))          # the stored MV
+    delta = partial(o.filter(~cut))        # tonight's batch, pre-aggregated
+    return (
+        view.unionAll(delta)
+        .groupBy("o_orderpriority", "yr")
+        .agg(F.sum("n_orders").alias("n_orders"),
+             F.sum("total").cast("double").alias("total"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Character-distribution quality signals (entropy + Simpson diversity)
+# ---------------------------------------------------------------------------
+
+@query("q_char_entropy", oracle=r"""
+WITH chars AS (
+  SELECT doc_id,
+         length(text) AS n,
+         list_sort(list_filter(list_distinct(string_split(text, '')), c -> c <> '')) AS cs
+  FROM documents
+), cnts AS (
+  SELECT doc_id, n,
+         list_transform(cs, c -> length(text) - length(replace(text, c, ''))) AS cnt
+  FROM chars JOIN documents USING (doc_id)
+)
+SELECT doc_id, n AS n_chars_m, len(cnt) AS n_distinct,
+       ROUND(ln(n::DOUBLE) - list_reduce(
+               list_transform(cnt, k -> k::DOUBLE * ROUND(ln(k::DOUBLE), 12)),
+               (x, y) -> x + y) / n, 4) AS entropy,
+       ROUND(1.0 - list_reduce(list_transform(cnt, k -> k * k), (x, y) -> x + y)::DOUBLE
+                 / (n::BIGINT * n), 6) AS diversity
+FROM cnts
+WHERE n > 0
+""")
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution quality signals per document: Shannon
+    entropy (H = ln n - sum(c_k ln c_k)/n) and Gini-Simpson diversity
+    (1 - sum(c_k^2)/n^2). Low-entropy / low-diversity docs are
+    boilerplate, padding, or binary junk — a standard corpus-quality
+    gate alongside q_quality_score's length/stopword heuristics.
+
+    Determinism: per-char counts are exact integers computed by
+    length-difference (no explode); the distinct-char list is SORTED on
+    both engines, each ln is re-anchored to 12 digits, and both engines
+    LEFT-FOLD the identical term list (F.aggregate / list_reduce), so
+    the pre-ROUND doubles are bit-identical — float-sum ordering never
+    differs. Diversity is an exact rational until one IEEE division.
+
+    Scale: map-only, zero shuffle, no UDF — the whole signal is one
+    projection over per-row HOFs (cost O(n_chars * n_distinct_chars)
+    per row, alphabet-bounded). Pinned by test_char_entropy_map_only."""
+    d = load_table(spark, sf_dir, "documents", spread=True)
+    q = d.select(
+        "doc_id",
+        F.length("text").alias("n"),
+        F.array_sort(F.filter(F.array_distinct(F.split("text", "")),
+                              lambda c: c != "")).alias("cs"),
+        "text",
+    ).select(
+        "doc_id", "n",
+        F.transform(
+            "cs",
+            lambda c: F.length("text") - F.length(F.replace(F.col("text"), c)),
+        ).alias("cnt"),
+    )
+    n = F.col("n").cast("double")
+    ent = F.round(
+        F.log(n)
+        - F.aggregate(
+            F.transform("cnt",
+                        lambda k: k.cast("double") * F.round(F.log(k.cast("double")), 12)),
+            F.lit(0.0),
+            lambda x, y: x + y,
+        ) / n,
+        4,
+    )
+    div = F.round(
+        1.0
+        - F.aggregate(F.transform("cnt", lambda k: k * k),
+                      F.lit(0).cast("long"),
+                      lambda x, y: x + y).cast("double")
+        / (F.col("n").cast("long") * F.col("n")),
+        6,
+    )
+    return (
+        q.filter(F.col("n") > 0)
+        .select("doc_id",
+                F.col("n").alias("n_chars_m"),
+                F.size("cnt").alias("n_distinct"),
+                ent.alias("entropy"),
+                div.alias("diversity"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Robust anomaly detection (median / MAD)
+# ---------------------------------------------------------------------------
+
+@query("q_anomaly_mad", oracle="""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type
+), mad AS (
+  SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5) AS mad, ANY_VALUE(m.med) AS med
+  FROM events e JOIN med m USING (event_type)
+  GROUP BY e.event_type
+)
+SELECT e.event_id, e.event_type,
+       ROUND(e.value, 6) AS value,
+       ROUND(abs(e.value - m.med) / m.mad, 6) AS mad_score
+FROM events e JOIN mad m USING (event_type)
+WHERE m.mad > 0 AND abs(e.value - m.med) > 6 * m.mad
+""")
+def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group anomaly detection: flag events whose value sits
+    more than 6 MADs from the group median. Median/MAD resist the
+    outliers they hunt (unlike q_zscore's mean/stddev, which the
+    anomalies themselves inflate) — the robust member of the
+    monitoring family.
+
+    Determinism: medians are sort-based (exact interpolating
+    percentile on both engines — no float accumulation), |v - med|,
+    6*mad and the comparison are single IEEE ops on identical inputs,
+    so the flag set is bit-stable; no float-sum anywhere.
+
+    Scale: two grouped exact percentiles (|groups| shuffle each) plus
+    one broadcast join of the |groups|-sized stats table back to the
+    fact stream. At 100 TB exact percentile becomes
+    ``percentile_approx`` (t-digest — q_agg_percentile's documented
+    scale path) with identical plan shape; the stats side stays tiny
+    so the join stays broadcast."""
+    e = load_table(spark, sf_dir, "events")
+    med = (e.groupBy("event_type")
+           .agg(F.percentile("value", F.lit(0.5)).alias("med")))
+    mad = (
+        e.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)).alias("mad"),
+             F.first("med").alias("med"))
+    )
+    return (
+        e.join(F.broadcast(mad), "event_type")
+        .filter((F.col("mad") > 0)
+                & (F.abs(F.col("value") - F.col("med")) > 6 * F.col("mad")))
+        .select("event_id", "event_type",
+                F.round("value", 6).alias("value"),
+                F.round(F.abs(F.col("value") - F.col("med")) / F.col("mad"), 6)
+                .alias("mad_score"))
+    )

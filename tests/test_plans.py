@@ -369,3 +369,84 @@ def test_kmeans_assignment_broadcast_no_cartesian(spark):
     plan = physical_plan(df).split("== Initial Plan ==")[0]
     assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
     assert "Broadcast" in plan
+
+
+def test_zorder_map_only(spark):
+    """The Morton layout key is a per-row bit fold: zero Exchange — the
+    whole point is that the write path gains no extra shuffle beyond
+    the range partition the writer already does."""
+    from telescope_data_pipeline_spark.plans.audit import physical_plan
+
+    plan = physical_plan(get("q_zorder_key").fn(spark, SF))
+    assert "Exchange" not in plan, plan
+
+
+def test_char_entropy_map_only(spark):
+    """Both char-distribution signals are per-row HOF folds: zero
+    Exchange, zero UDF (the round-robin spread exchange is allowed —
+    it is load balancing, not data movement semantics)."""
+    from telescope_data_pipeline_spark.plans.audit import physical_plan
+
+    plan = physical_plan(get("q_char_entropy").fn(spark, SF))
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_sparse_cosine_no_nested_loop(spark):
+    """The term-space cosine must stay an equi-join on (term, doc pair)
+    — an all-pairs fallback is the 100 TB killer."""
+    assert_plan(get("q_sparse_cosine").fn(spark, SF),
+                absent=("CartesianProduct", "BroadcastNestedLoopJoin"))
+
+
+def test_inverted_index_single_aggregation_shuffle(spark):
+    """Index build = explode + ONE map-side-combined groupBy on term."""
+    from telescope_data_pipeline_spark.plans.audit import physical_plan
+
+    df = get("q_inverted_index").fn(spark, SF)
+    df.collect()
+    plan = physical_plan(df).split("== Initial Plan ==")[0]
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_pagerank_no_cartesian_and_broadcast_scalar(spark):
+    """Each PageRank step is an |E| equi-join + groupBy; the |V| scalar
+    rides a 1-row broadcast, so the only nested-loop join allowed is
+    that broadcast cross join."""
+    from telescope_data_pipeline_spark.plans.audit import physical_plan
+
+    df = get("q_pagerank").fn(spark, SF)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_mv_maintenance_merges_partials(spark):
+    """The MV merge must aggregate both sides before the union — the
+    plan has hash aggregates below the final merge, and the history
+    side is never joined row-level with the delta."""
+    from telescope_data_pipeline_spark.plans.audit import physical_plan
+
+    plan = physical_plan(get("q_mv_maintenance").fn(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 4, plan  # partial+final per side
+
+
+def test_sample_reservoir_partitioned_window(spark):
+    """Per-lang reservoir = hash window on lang, no single-partition
+    collapse."""
+    from telescope_data_pipeline_spark.plans.audit import physical_plan
+
+    df = get("q_sample_reservoir").fn(spark, SF)
+    df.collect()
+    assert "Exchange SinglePartition" not in physical_plan(df)
+
+
+def test_anomaly_mad_broadcasts_stats(spark):
+    """The |groups| stats table must broadcast back onto the event
+    stream — a shuffled sort-merge join here re-shuffles the 100 TB
+    fact side twice."""
+    df = get("q_anomaly_mad").fn(spark, SF)
+    df.collect()
+    assert_plan(df, contains=("BroadcastHashJoin",),
+                absent=("CartesianProduct",))
