@@ -523,3 +523,186 @@ def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.abs(F.col("value") - F.col("med")) / F.col("mad"), 6)
                 .alias("mad_score"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization: encode + asymmetric distance computation
+# ---------------------------------------------------------------------------
+
+@query("q_pq_adc", oracle="""
+WITH m AS (
+  SELECT UNNEST(range(0, 4)) AS sub
+), cb AS (
+  SELECT vec_id AS cid, sub,
+         list_slice(embedding, sub * 16 + 1, sub * 16 + 16) AS cvec
+  FROM embeddings CROSS JOIN m WHERE vec_id < 8
+), ev AS (
+  SELECT vec_id, sub,
+         list_slice(embedding, sub * 16 + 1, sub * 16 + 16) AS svec
+  FROM embeddings CROSS JOIN m
+), d AS (
+  SELECT ev.vec_id, ev.sub, cb.cid,
+         ROUND(list_sum(list_transform(range(1, 17),
+             i -> (CAST(ev.svec[i] AS DOUBLE) - CAST(cb.cvec[i] AS DOUBLE))
+                * (CAST(ev.svec[i] AS DOUBLE) - CAST(cb.cvec[i] AS DOUBLE))
+         )), 6) AS d2
+  FROM ev JOIN cb ON cb.sub = ev.sub
+), enc AS (
+  SELECT vec_id, sub, cid AS code FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rk
+    FROM d
+  ) WHERE rk = 1
+), q AS (
+  SELECT sub, cid, d2 AS qd2 FROM d WHERE vec_id = 0
+)
+SELECT e.vec_id,
+       array_to_string(list(e.code ORDER BY e.sub), ',') AS codes,
+       ROUND(SUM(q.qd2), 6) AS adc_d2
+FROM enc e JOIN q ON q.sub = e.sub AND q.cid = e.code
+GROUP BY e.vec_id
+""")
+def q_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization end-to-end: 64-dim embeddings split into 4
+    subspaces, each quantized against an 8-entry codebook
+    (deterministic first-k init, as q_kmeans_step), then every vector
+    scored against query vec 0 by asymmetric distance computation —
+    the compressed-domain member of the similarity family
+    (brute-force -> bucketed -> IVF -> PQ).
+
+    Scale: the codebook (k·m rows) and the per-query ADC table are
+    broadcast; encoding is one equi-join on the subspace id plus one
+    map-side argmin groupBy, so the shuffle carries |n|·m single-byte
+    codes, never vectors; scoring a 100 TB corpus reads only the code
+    table (64x smaller than the raw embeddings here: 4 bytes vs 256).
+    Distances are rounded to 6 digits before the argmin with cid as
+    tiebreak (the kmeans/weighted-sample determinism rule), so the
+    code assignment is bit-stable across engines."""
+    from ..operators.pq import adc_lookup, adc_score, pq_codebooks, pq_encode
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cb = pq_codebooks(e, k=8, m=4, dim=64)
+    enc = pq_encode(e, cb, m=4, dim=64)
+    lut = adc_lookup(e.filter(F.col("vec_id") == 0), cb, m=4, dim=64)
+    return adc_score(enc, lut)
+
+
+# ---------------------------------------------------------------------------
+# CDC changelog compaction (apply a change stream to a snapshot)
+# ---------------------------------------------------------------------------
+
+@query("q_cdc_apply", oracle="""
+SELECT o_custkey AS custkey,
+       o_orderkey AS last_orderkey,
+       o_orderstatus AS last_status,
+       ROUND(o_totalprice, 2) AS last_price
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY o_custkey
+      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rk
+  FROM orders
+)
+WHERE rk = 1 AND o_orderstatus <> 'P'
+""")
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog compaction: treat the orders stream as a change
+    log keyed by customer (each row an upsert, status 'P' a delete
+    marker) and materialize the final snapshot — latest version per
+    key wins, deleted keys drop out. The batch form of the MERGE that
+    q_merge_upsert and q_scd2 cover for single-batch and
+    history-tracking cases respectively; this one compacts an
+    arbitrarily long log in one pass.
+
+    Determinism: the version key (o_orderdate, o_orderkey) is total —
+    no float ordering anywhere.
+
+    Scale: one hash-partitioned window per key, no global sort (pinned
+    by test_cdc_apply_partitioned_window). At 100 TB the log is
+    bucketed by key so daily compaction re-uses the layout with zero
+    shuffle; per-partition pre-compaction (keep only the local latest
+    per key before the exchange) bounds the shuffle to one row per
+    (key, map task) — the map-side-combine trick applied to windows."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_orderdate").desc(),
+                                           F.col("o_orderkey").desc())
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter((F.col("rk") == 1) & (F.col("o_orderstatus") != "P"))
+        .select(F.col("o_custkey").alias("custkey"),
+                F.col("o_orderkey").alias("last_orderkey"),
+                F.col("o_orderstatus").alias("last_status"),
+                F.round("o_totalprice", 2).alias("last_price"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting on the co-purchase graph
+# ---------------------------------------------------------------------------
+
+@query("q_triangle_count", oracle="""
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM lineitem a
+  JOIN lineitem b ON b.l_orderkey = a.l_orderkey AND b.l_partkey > a.l_partkey
+  WHERE a.l_partkey % 4 = 0 AND b.l_partkey % 4 = 0
+), deg AS (
+  SELECT node, COUNT(*) AS d FROM (
+    SELECT pa AS node FROM e UNION ALL SELECT pb FROM e
+  ) GROUP BY node
+), o AS (
+  SELECT CASE WHEN (da.d, pa) < (db.d, pb) THEN pa ELSE pb END AS u,
+         CASE WHEN (da.d, pa) < (db.d, pb) THEN pb ELSE pa END AS v
+  FROM e JOIN deg da ON da.node = pa JOIN deg db ON db.node = pb
+), tri AS (
+  SELECT e1.u AS a
+  FROM o e1
+  JOIN o e2 ON e2.u = e1.v
+  JOIN o e3 ON e3.u = e1.u AND e3.v = e2.v
+)
+SELECT a % 10 AS bucket, COUNT(*) AS n_triangles
+FROM tri GROUP BY 1
+""")
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the co-purchase graph (parts sharing an
+    order), the graph family's density statistic next to q_pagerank's
+    centrality and q_cluster_components' connectivity. Classic
+    degree-oriented algorithm (Schank-Wagner / Cohen's MapReduce
+    form): orient every edge from its lower-(degree, id) endpoint,
+    then a triangle is a wedge e1=(u,v), e2=(v,w) closed by e3=(u,w)
+    — two equi-joins, each wedge generated exactly once.
+
+    Determinism: all-integer; counts reported per id-bucket so the
+    output stays |10| rows at any scale.
+
+    Scale: degree orientation is THE scale move — wedge fanout is
+    bounded by out-degree, and out-degree under (deg, id) orientation
+    is O(sqrt(|E|)) even for hubs, so the join never explodes on a
+    popular part. Edge derivation shuffles (orderkey-grouped) pairs
+    pre-filtered by the partkey predicate; everything downstream
+    shuffles compact (u, v) longs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a, b = li.alias("a"), li.alias("b")
+    e = (a.join(b, (F.col("b.l_orderkey") == F.col("a.l_orderkey"))
+                & (F.col("b.l_partkey") > F.col("a.l_partkey")))
+         .filter((F.col("a.l_partkey") % 4 == 0)
+                 & (F.col("b.l_partkey") % 4 == 0))
+         .select(F.col("a.l_partkey").alias("pa"),
+                 F.col("b.l_partkey").alias("pb"))
+         .distinct())
+    deg = (e.select(F.col("pa").alias("node"))
+           .unionAll(e.select(F.col("pb").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("d")))
+    da, db = deg.alias("da"), deg.alias("db")
+    with_deg = (e.join(da, F.col("da.node") == F.col("pa"))
+                .join(db, F.col("db.node") == F.col("pb")))
+    lower_first = (F.struct(F.col("da.d"), F.col("pa"))
+                   < F.struct(F.col("db.d"), F.col("pb")))
+    o = with_deg.select(
+        F.when(lower_first, F.col("pa")).otherwise(F.col("pb")).alias("u"),
+        F.when(lower_first, F.col("pb")).otherwise(F.col("pa")).alias("v"))
+    e1, e2, e3 = o.alias("e1"), o.alias("e2"), o.alias("e3")
+    tri = (e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+           .join(e3, (F.col("e3.u") == F.col("e1.u"))
+                 & (F.col("e3.v") == F.col("e2.v")))
+           .select(F.col("e1.u").alias("a")))
+    return (tri.groupBy((F.col("a") % 10).alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n_triangles")))

@@ -450,3 +450,30 @@ def test_anomaly_mad_broadcasts_stats(spark):
     df.collect()
     assert_plan(df, contains=("BroadcastHashJoin",),
                 absent=("CartesianProduct",))
+
+
+def test_pq_adc_broadcasts_codebooks_and_lut(spark):
+    """PQ encode/score must broadcast the k*m codebook and the ADC
+    lookup table — a shuffled join on either side re-shuffles the
+    corpus twice; codes, not vectors, are the only shuffled payload."""
+    df = get("q_pq_adc").fn(spark, SF)
+    df.collect()
+    assert_plan(df, contains=("BroadcastHashJoin",),
+                absent=("CartesianProduct",))
+
+
+def test_cdc_apply_partitioned_window(spark):
+    """Changelog compaction is a per-key window: hash exchange on the
+    key, never Exchange SinglePartition."""
+    from telescope_data_pipeline_spark.plans.audit import physical_plan
+
+    df = get("q_cdc_apply").fn(spark, SF)
+    df.collect()
+    assert "Exchange SinglePartition" not in physical_plan(df)
+
+
+def test_triangle_count_equi_joins_only(spark):
+    """Degree-oriented triangle enumeration must plan as equi-joins on
+    node keys — any nested-loop fallback is the scale killer."""
+    assert_plan(get("q_triangle_count").fn(spark, SF),
+                absent=("CartesianProduct", "BroadcastNestedLoopJoin"))
