@@ -706,3 +706,172 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
            .select(F.col("e1.u").alias("a")))
     return (tri.groupBy((F.col("a") % 10).alias("bucket"))
             .agg(F.count(F.lit(1)).alias("n_triangles")))
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy join (edit distance <= 1) via FastSS deletion neighborhoods
+# ---------------------------------------------------------------------------
+
+@query("q_fuzzy_join", oracle="""
+WITH k AS (
+  SELECT c_custkey, c_name FROM customer WHERE c_custkey <= 1000
+)
+SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+       a.c_name AS name_a, b.c_name AS name_b
+FROM k a JOIN k b ON b.c_custkey > a.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) = 1
+""")
+def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy self-join at edit distance exactly 1 (spelling-variant /
+    typo record linkage) via FastSS deletion neighborhoods
+    (Bocek et al. 2007): a string's depth-1 neighborhood is itself
+    plus every single-character deletion; two strings are within
+    ED <= 1 iff their neighborhoods intersect, so candidates come from
+    ONE equi-join on the variant string and the exact refine runs on
+    candidates only. The oracle computes ED directly over the bounded
+    all-pairs space — proving the neighborhood join loses nothing.
+
+    Scale: |s|+1 variants per row, map-side generated; the join key is
+    a (len-1)-char string, so the shuffle is |n|·len keys, never
+    |n|^2 comparisons. The refine (JVM levenshtein) touches only
+    candidate pairs — the same candidates-then-verify discipline as
+    MinHash-LSH -> q_ngram_jaccard. Hub variants ("Customer#00000001"
+    minus digit i collide across many names) are the skew point: at
+    100 TB the variant key is salted by length bucket, and candidates
+    dedup BEFORE the refine so each pair is scored once."""
+    c = (load_table(spark, sf_dir, "customer")
+         .filter(F.col("c_custkey") <= 1000)
+         .select("c_custkey", "c_name"))
+    name = F.col("c_name")
+    deletions = F.transform(
+        F.sequence(F.lit(1), F.length(name)),
+        lambda i: F.concat(name.substr(F.lit(1), i - 1),
+                           name.substr(i + 1, F.length(name))),
+    )
+    variants = c.select(
+        "c_custkey", "c_name",
+        F.explode(F.array_union(F.array(name), deletions)).alias("variant"),
+    )
+    a, b = variants.alias("a"), variants.alias("b")
+    cand = (
+        a.join(b, (F.col("b.variant") == F.col("a.variant"))
+               & (F.col("b.c_custkey") > F.col("a.c_custkey")))
+        .select(F.col("a.c_custkey").alias("key_a"),
+                F.col("b.c_custkey").alias("key_b"),
+                F.col("a.c_name").alias("name_a"),
+                F.col("b.c_name").alias("name_b"))
+        .distinct()
+    )
+    return cand.filter(F.levenshtein("name_a", "name_b") == 1)
+
+
+# ---------------------------------------------------------------------------
+# OHLC time-series bars (grouped resampling)
+# ---------------------------------------------------------------------------
+
+@query("q_ohlc_bars", oracle="""
+SELECT event_type,
+       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS bar,
+       ROUND(first(value ORDER BY ts, event_id), 6) AS open,
+       ROUND(MAX(value), 6) AS high,
+       ROUND(MIN(value), 6) AS low,
+       ROUND(first(value ORDER BY ts DESC, event_id DESC), 6) AS close,
+       COUNT(*) AS volume
+FROM events
+WHERE ts < TIMESTAMP '2024-01-03 00:00:00'
+GROUP BY 1, 2
+""")
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped time-series resampling into OHLC bars: per (series,
+    hour) the open/high/low/close/volume summary every metrics or
+    market pipeline downsamples with. First/last are picked by the
+    total (ts, event_id) key via min_by/max_by — order-based, not
+    sum-based, so every output is an original double (no float
+    accumulation anywhere; the determinism rule satisfied for free).
+
+    Scale: ONE map-side-combined groupBy on (series, bucket) — min_by,
+    max_by, min, max, count all have partial states, so the shuffle is
+    |series x buckets| summary rows, never events. This is the batch
+    twin of the streaming tumbling-window family (q_stream_tumbling):
+    same bucketing expression, same combine semantics, reusable as the
+    gap-fill input (q_gap_fill). Two-day slice keeps the demo output
+    bounded; the plan is slice-independent."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit("2024-01-03 00:00:00").cast("timestamp"))
+    okey = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        e.groupBy(
+            "event_type",
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00").alias("bar"),
+        )
+        .agg(
+            F.round(F.min_by("value", okey), 6).alias("open"),
+            F.round(F.max("value"), 6).alias("high"),
+            F.round(F.min("value"), 6).alias("low"),
+            F.round(F.max_by("value", okey), 6).alias("close"),
+            F.count(F.lit(1)).alias("volume"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouped linear regression on exact integer sums
+# ---------------------------------------------------------------------------
+
+@query("q_grouped_regression", oracle="""
+WITH p AS (
+  SELECT event_type,
+         CAST(TRUNC(epoch(ts)) AS BIGINT) - 1704067200 AS x,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS y
+  FROM events
+), s AS (
+  SELECT event_type,
+         COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx
+  FROM p GROUP BY event_type
+)
+SELECT event_type, n,
+       ROUND((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+           / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE), 9) AS slope_centi_per_sec,
+       ROUND((sy::DOUBLE - ((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+           / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)) * sx::DOUBLE)
+           / n::DOUBLE, 6) AS intercept_centi
+FROM s
+""")
+def q_grouped_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series least-squares trend (is the metric drifting?): slope
+    and intercept of value vs time for every event type, computed from
+    the five classical sufficient statistics (n, Σx, Σy, Σxy, Σx²).
+
+    Exactness: x is integer seconds from the epoch anchor, y is
+    integer centi-units (the data's native 2-decimal precision), so
+    every sum is an exact BIGINT — order-independent, no float
+    accumulation. The closed-form division then runs on identical
+    doubles with an identical expression tree on both engines
+    (regr_slope/regr_avgy would float-sum internally and tie the
+    result to fold order — the q_weighted_sample lesson says don't).
+
+    Scale: one map-side-combined groupBy carrying five longs per
+    group; |groups| output rows. The same sufficient-statistics merge
+    works incrementally (q_mv_maintenance's pattern: partial states
+    are additive), so a 100 TB trend updates from deltas."""
+    e = load_table(spark, sf_dir, "events")
+    p = e.select(
+        "event_type",
+        (F.unix_timestamp("ts") - F.lit(1704067200)).alias("x"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("y"),
+    )
+    s = p.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n, sx, sy, sxy, sxx = (F.col(c).cast("double")
+                           for c in ("n", "sx", "sy", "sxy", "sxx"))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        "event_type", "n",
+        F.round(slope, 9).alias("slope_centi_per_sec"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept_centi"),
+    )

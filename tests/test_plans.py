@@ -477,3 +477,34 @@ def test_triangle_count_equi_joins_only(spark):
     node keys — any nested-loop fallback is the scale killer."""
     assert_plan(get("q_triangle_count").fn(spark, SF),
                 absent=("CartesianProduct", "BroadcastNestedLoopJoin"))
+
+
+def test_fuzzy_join_equi_join_on_variants(spark):
+    """FastSS candidates must come from the variant equi-join — an
+    all-pairs levenshtein is exactly what the operator exists to
+    avoid."""
+    assert_plan(get("q_fuzzy_join").fn(spark, SF),
+                absent=("CartesianProduct", "BroadcastNestedLoopJoin"))
+
+
+def test_ohlc_single_aggregation_shuffle(spark):
+    """OHLC bars are ONE map-side-combined groupBy: a second exchange
+    would mean first/last lost their partial states."""
+    from telescope_data_pipeline_spark.plans.audit import physical_plan
+
+    df = get("q_ohlc_bars").fn(spark, SF)
+    df.collect()
+    plan = physical_plan(df).split("== Initial Plan ==")[0]
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_grouped_regression_single_shuffle_exact_sums(spark):
+    """Sufficient statistics ride one partial+final aggregation; the
+    shuffle carries five longs per group."""
+    from telescope_data_pipeline_spark.plans.audit import physical_plan
+
+    df = get("q_grouped_regression").fn(spark, SF)
+    df.collect()
+    plan = physical_plan(df).split("== Initial Plan ==")[0]
+    assert plan.count("Exchange hashpartitioning") == 1, plan
