@@ -875,3 +875,105 @@ def q_grouped_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 9).alias("slope_centi_per_sec"),
         F.round((sy - slope * sx) / n, 6).alias("intercept_centi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Set-similarity join with prefix filtering (PPJoin-style)
+# ---------------------------------------------------------------------------
+
+@query("q_setsim_join", oracle=r"""
+WITH s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+             range(1, len(string_split_regex(lower(text), '\s+')) - 1),
+             i -> array_to_string(list_slice(
+                      string_split_regex(lower(text), '\s+'), i, i + 2), ' ')
+         )) AS sh
+  FROM documents WHERE doc_id < 500
+)
+SELECT doc_a, doc_b, jaccard FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         ROUND(LEN(list_intersect(a.sh, b.sh))::DOUBLE
+               / (LEN(a.sh) + LEN(b.sh) - LEN(list_intersect(a.sh, b.sh))),
+               6) AS jaccard
+  FROM s a JOIN s b ON b.doc_id > a.doc_id
+)
+WHERE jaccard >= 0.8
+""")
+def q_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-similarity self-join at Jaccard >= 0.8 over 3-gram shingle
+    sets, with PPJoin-style prefix filtering (Xiao et al. 2008): order
+    each set by ascending global document frequency (rarest first) and
+    index only its first |s| - ceil(t|s|) + 1 tokens — two sets can
+    reach threshold t only if their prefixes share a token, so the
+    candidate join touches prefixes, not sets. The oracle computes the
+    bounded all-pairs join directly, proving the filter lossless (the
+    same candidates-then-verify contract as q_fuzzy_join / MinHash ->
+    q_ngram_jaccard, but FILTER-exact rather than probabilistic like
+    LSH banding).
+
+    Determinism: the prefix length uses pure integer arithmetic
+    (ceil(4m/5) = (4m+4) div 5 — never 0.8*m in floats), and Jaccard
+    is an exact integer ratio rounded once.
+
+    Scale: candidate volume is sum over RARE tokens of df^2 — the df
+    ordering concentrates prefixes on the long tail, so stop-shingle
+    df^2 blowup never happens (contrast the unfiltered index join:
+    sum over ALL tokens). One window per doc for ranks, one equi-join
+    on prefix tokens, verification only on surviving pairs. The
+    doc_id < 500 slice bounds the oracle; the Spark plan is
+    slice-independent."""
+    d = (load_table(spark, sf_dir, "documents")
+         .filter(F.col("doc_id") < 500))
+    toks = F.split(F.lower("text"), _TOK)
+    # Guard: sequence(0, n) DESCENDS when n < 0 (docs under 3 tokens
+    # would fabricate shingles and element_at(0) throws) — emit an
+    # empty set instead, matching the oracle's empty range().
+    shingles = F.when(
+        F.size(toks) >= 3,
+        F.array_distinct(F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 3),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i + 1),
+                                  F.element_at(toks, i + 2),
+                                  F.element_at(toks, i + 3)))),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = d.select("doc_id", F.explode(shingles).alias("g"))
+    dfreq = sh.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        sh.join(dfreq, "g")
+        .select(
+            "doc_id", "g",
+            F.row_number().over(
+                W.partitionBy("doc_id").orderBy("df", "g")).alias("r"),
+            F.count(F.lit(1)).over(
+                W.partitionBy("doc_id")
+                .orderBy("df", "g")
+                .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+            ).alias("m"),
+        )
+    )
+    # prefix length p = m - ceil(0.8 m) + 1, all-integer
+    prefix = ranked.filter(
+        F.col("r") <= F.col("m") - F.floor((4 * F.col("m") + 4) / 5) + 1)
+    pa, pb = prefix.alias("pa"), prefix.alias("pb")
+    cand = (
+        pa.join(pb, (F.col("pb.g") == F.col("pa.g"))
+                & (F.col("pb.doc_id") > F.col("pa.doc_id")))
+        .select(F.col("pa.doc_id").alias("doc_a"),
+                F.col("pb.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sets = d.select("doc_id", shingles.alias("sh"))
+    sa, sb = sets.alias("sa"), sets.alias("sb")
+    inter = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
+    return (
+        cand.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b",
+            F.round(inter.cast("double")
+                    / (F.size("sa.sh") + F.size("sb.sh") - inter), 6)
+            .alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.8)
+    )

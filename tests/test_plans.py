@@ -508,3 +508,10 @@ def test_grouped_regression_single_shuffle_exact_sums(spark):
     df.collect()
     plan = physical_plan(df).split("== Initial Plan ==")[0]
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_setsim_join_no_nested_loop(spark):
+    """PPJoin candidates must come from the prefix-token equi-join;
+    verification joins are equi-joins on doc ids."""
+    assert_plan(get("q_setsim_join").fn(spark, SF),
+                absent=("CartesianProduct", "BroadcastNestedLoopJoin"))
