@@ -977,3 +977,118 @@ def q_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= 0.8)
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 time travel (AS OF read over the versioned dimension)
+# ---------------------------------------------------------------------------
+
+@query("q_scd2_asof", oracle="""
+WITH dim AS (
+  SELECT c_custkey, ROUND(c_acctbal, 2) AS acctbal FROM customer
+), upd AS (
+  SELECT c_custkey, ROUND(acctbal + 100.0, 2) AS new_bal
+  FROM dim WHERE c_custkey % 7 = 0
+), scd AS (
+  SELECT d.c_custkey, d.acctbal,
+         '2024-01-01' AS valid_from,
+         CASE WHEN u.c_custkey IS NOT NULL THEN '2024-06-01' END AS valid_to
+  FROM dim d LEFT JOIN upd u USING (c_custkey)
+  UNION ALL
+  SELECT c_custkey, new_bal AS acctbal,
+         '2024-06-01' AS valid_from, CAST(NULL AS VARCHAR) AS valid_to
+  FROM upd
+)
+SELECT c_custkey, acctbal, valid_from
+FROM scd
+WHERE valid_from <= '2024-07-15'
+  AND (valid_to IS NULL OR valid_to > '2024-07-15')
+  AND c_custkey % 7 = 0
+""")
+def q_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over the SCD2 dimension q_scd2 builds: the AS OF
+    read that answers "what did this row look like on date d" — select
+    the single version whose [valid_from, valid_to) interval covers d.
+    Shown for the changed keys at a post-update date (each must
+    resolve to its NEW version; the interval predicate, not recency,
+    does the picking).
+
+    Scale: the AS OF predicate is a pure row filter over the history
+    table — map-only on top of however the history is stored; with the
+    history partitioned by valid_from month the filter prunes
+    partitions. Exactly one version matches per key BY CONSTRUCTION
+    (intervals partition the timeline), so no window or dedup is
+    needed at read time — that's the property SCD2 maintenance pays
+    its merge cost to preserve."""
+    from .analysis import q_scd2
+
+    hist = q_scd2(spark, sf_dir)
+    d = F.lit("2024-07-15")
+    return (
+        hist.filter((F.col("valid_from") <= d)
+                    & (F.col("valid_to").isNull() | (F.col("valid_to") > d))
+                    & (F.col("c_custkey") % 7 == 0))
+        .select("c_custkey", "acctbal", "valid_from")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square independence (lang x source contingency)
+# ---------------------------------------------------------------------------
+
+@query("q_chi_square", oracle="""
+WITH o AS (
+  SELECT lang, source, COUNT(*) AS obs FROM documents GROUP BY 1, 2
+), rt AS (
+  SELECT lang, SUM(obs) AS row_tot FROM o GROUP BY lang
+), ct AS (
+  SELECT source, SUM(obs) AS col_tot FROM o GROUP BY source
+), n AS (
+  SELECT SUM(obs) AS tot FROM o
+)
+SELECT o.lang,
+       CAST(rt.row_tot AS BIGINT) AS n_docs,
+       ROUND(SUM(
+         (o.obs::DOUBLE - (rt.row_tot::DOUBLE * ct.col_tot::DOUBLE / n.tot::DOUBLE))
+         * (o.obs::DOUBLE - (rt.row_tot::DOUBLE * ct.col_tot::DOUBLE / n.tot::DOUBLE))
+         / (rt.row_tot::DOUBLE * ct.col_tot::DOUBLE / n.tot::DOUBLE)
+       ), 6) AS chi2_contrib
+FROM o
+JOIN rt USING (lang) JOIN ct USING (source) CROSS JOIN n
+GROUP BY o.lang, rt.row_tot
+""")
+def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence screening: is document language
+    distributed independently of source? Per-language contribution to
+    the chi-square statistic over the lang x source contingency table
+    — the categorical drift / sampling-bias check a data card backs
+    its "balanced by construction" claim with (q_data_card reports the
+    proportions; this tests them).
+
+    Determinism: observed and marginal counts are exact integers; each
+    cell term is a fixed-shape double expression on identical inputs;
+    the per-language sum folds a handful of cells (ulp-safe under
+    ROUND 6).
+
+    Scale: one map-side-combined groupBy to the contingency table
+    (|langs x sources| rows), then everything downstream — marginals,
+    expectations, the statistic — runs on that tiny table with
+    broadcast joins and a 1-row total. The corpus is scanned once."""
+    d = load_table(spark, sf_dir, "documents")
+    o = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("obs"))
+    rt = o.groupBy("lang").agg(F.sum("obs").alias("row_tot"))
+    ct = o.groupBy("source").agg(F.sum("obs").alias("col_tot"))
+    n = F.broadcast(o.agg(F.sum("obs").alias("tot")))
+    exp = (F.col("row_tot").cast("double") * F.col("col_tot").cast("double")
+           / F.col("tot").cast("double"))
+    term = ((F.col("obs").cast("double") - exp) * (F.col("obs").cast("double") - exp)
+            / exp)
+    return (
+        o.join(F.broadcast(rt), "lang")
+        .join(F.broadcast(ct), "source")
+        .crossJoin(n)
+        .groupBy("lang", "row_tot")
+        .agg(F.round(F.sum(term), 6).alias("chi2_contrib"))
+        .select("lang", F.col("row_tot").cast("long").alias("n_docs"),
+                "chi2_contrib")
+    )
