@@ -1092,3 +1092,165 @@ def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", F.col("row_tot").cast("long").alias("n_docs"),
                 "chi2_contrib")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source quantile normalization
+# ---------------------------------------------------------------------------
+
+@query("q_quantile_norm", oracle="""
+SELECT doc_id, source, n_chars,
+       ROUND(CAST(RANK() OVER (PARTITION BY source ORDER BY n_chars, doc_id) - 1 AS DOUBLE)
+             / (COUNT(*) OVER (PARTITION BY source) - 1), 6) AS qnorm
+FROM documents
+""")
+def q_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quantile normalization of a quality score: replace
+    the raw score by its within-source percent rank, so one threshold
+    means the same thing for every source (a CCNet-style cohort gate's
+    prerequisite — q_quality_percentile thresholds per cohort; this
+    normalizes the score axis itself so downstream mixing can compare
+    across cohorts).
+
+    Determinism: percent rank is the exact rational (rank-1)/(n-1) on
+    a total (score, id) order — one IEEE division, no float
+    accumulation.
+
+    Scale: one hash-partitioned window per source (rank and count
+    share the partitioning; the count rides the same exchange). At
+    100 TB with few giant sources, the same semantics come from the
+    distributed-rank scaffold (operators/rank.py) per source — no
+    single-partition collapse either way."""
+    d = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy("n_chars", "doc_id")
+    wc = (W.partitionBy("source").orderBy("n_chars", "doc_id")
+          .rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+    return d.select(
+        "doc_id", "source", "n_chars",
+        F.round((F.rank().over(w) - 1).cast("double")
+                / (F.count(F.lit(1)).over(wc) - 1), 6).alias("qnorm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# BFS levels (bounded multi-hop reachability)
+# ---------------------------------------------------------------------------
+
+@query("q_bfs_levels", oracle="""
+WITH e0 AS (
+  SELECT DISTINCT 2 * l_suppkey + 1 AS src, 2 * l_partkey AS dst FROM lineitem
+), edges AS (
+  SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0
+), l0 AS (
+  SELECT 1::BIGINT AS node
+), l1 AS (
+  SELECT DISTINCT e.dst AS node FROM edges e JOIN l0 ON l0.node = e.src
+  WHERE e.dst NOT IN (SELECT node FROM l0)
+), l2 AS (
+  SELECT DISTINCT e.dst AS node FROM edges e JOIN l1 ON l1.node = e.src
+  WHERE e.dst NOT IN (SELECT node FROM l0)
+    AND e.dst NOT IN (SELECT node FROM l1)
+)
+SELECT node, 0 AS dist FROM l0
+UNION ALL SELECT node, 1 FROM l1
+UNION ALL SELECT node, 2 FROM l2
+""")
+def q_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded breadth-first search: every node within 2 hops of
+    supplier node 0 on the supply graph, labeled with its exact hop
+    distance — multi-hop reachability (q_cluster_components answers
+    "same component?", this answers "how far?"). Fixed depth makes it
+    SQL-expressible, the iterative-family anchoring rule
+    (q_kmeans_step / q_pagerank).
+
+    All-integer; frontier dedup via anti-joins against visited levels.
+
+    Scale: each hop is one equi-join frontier x edges plus an
+    anti-join against the visited set — the Pregel BFS step. The
+    frontier and visited sets hash-partition on node; the full
+    iterated form keeps visited as the running union exactly like the
+    HashMin components loop bounds its state."""
+    li = load_table(spark, sf_dir, "lineitem")
+    e0 = (li.select((2 * F.col("l_suppkey") + 1).alias("src"),
+                    (2 * F.col("l_partkey")).alias("dst"))
+          .distinct())
+    edges = e0.unionAll(e0.select(F.col("dst").alias("src"),
+                                  F.col("src").alias("dst")))
+    l0 = spark.range(1, 2).select(F.col("id").alias("node"))
+    frontier, visited, out = l0, l0, l0.select("node", F.lit(0).alias("dist"))
+    for dist in (1, 2):
+        nxt = (edges.join(frontier.withColumnRenamed("node", "src"), "src")
+               .select(F.col("dst").alias("node")).distinct()
+               .join(visited, "node", "left_anti"))
+        out = out.unionByName(nxt.select("node", F.lit(dist).alias("dist")))
+        visited = visited.unionByName(nxt).distinct()
+        frontier = nxt
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Deterministic negative sampling (hash ring)
+# ---------------------------------------------------------------------------
+
+@query("q_negative_sample", oracle="""
+WITH c AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(text), 1, 2)) AS BIGINT) % 64 AS bucket,
+         md5(text) AS h
+  FROM documents
+), probes AS (
+  SELECT a.doc_id AS anchor_id, a.bucket AS abucket, p.i,
+         (a.bucket + p.i) % 64 AS probe_bucket
+  FROM c a CROSS JOIN (SELECT UNNEST(range(1, 4)) AS i) p
+  WHERE a.doc_id < 20
+)
+SELECT anchor_id, i AS probe, neg_id FROM (
+  SELECT p.anchor_id, p.i,
+         c.doc_id AS neg_id,
+         ROW_NUMBER() OVER (PARTITION BY p.anchor_id, p.i
+                            ORDER BY c.h, c.doc_id) AS rk
+  FROM probes p JOIN c ON c.bucket = p.probe_bucket
+  WHERE c.doc_id <> p.anchor_id
+) WHERE rk = 1
+""")
+def q_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: each
+    anchor document draws 3 pseudo-random negatives by probing the
+    next 3 buckets of a 64-slot content-hash ring and taking the
+    hash-minimal resident of each — reproducible (content-keyed like
+    q_sample_reservoir), anchor-decorrelated (ring offsets differ per
+    anchor bucket), and joinable (the probe is an equi-join on the
+    bucket id, never an |anchors| x |corpus| cross join).
+
+    Scale: the corpus is bucketed once (map-only projection); probes
+    are 3 rows per anchor; the join shuffles on the 64-way bucket key
+    and the per-(anchor, probe) argmin is a window over tiny groups.
+    At 100 TB widen the ring so bucket occupancy stays O(shard) and
+    keep per-bucket hash-min sketches (one row per bucket) so the
+    probe join touches |ring| rows, not the corpus. The 20-anchor
+    slice bounds the demo; the plan is slice-independent."""
+    d = load_table(spark, sf_dir, "documents")
+    c = d.select(
+        "doc_id",
+        (F.conv(F.substring(F.md5("text"), 1, 2), 16, 10).cast("long") % 64)
+        .alias("bucket"),
+        F.md5("text").alias("h"),
+    )
+    probes = (
+        c.filter(F.col("doc_id") < 20)
+        .select(F.col("doc_id").alias("anchor_id"), "bucket")
+        .select("anchor_id", "bucket",
+                F.explode(F.sequence(F.lit(1), F.lit(3))).alias("i"))
+        .select("anchor_id", "i",
+                ((F.col("bucket") + F.col("i")) % 64).alias("probe_bucket"))
+    )
+    j = (probes.join(c, c["bucket"] == probes["probe_bucket"])
+         .filter(F.col("doc_id") != F.col("anchor_id")))
+    w = W.partitionBy("anchor_id", "i").orderBy("h", "doc_id")
+    return (
+        j.select("anchor_id", F.col("i").alias("probe"),
+                 F.col("doc_id").alias("neg_id"),
+                 F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )

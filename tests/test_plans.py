@@ -515,3 +515,29 @@ def test_setsim_join_no_nested_loop(spark):
     verification joins are equi-joins on doc ids."""
     assert_plan(get("q_setsim_join").fn(spark, SF),
                 absent=("CartesianProduct", "BroadcastNestedLoopJoin"))
+
+
+def test_quantile_norm_partitioned_window(spark):
+    """Per-source percent rank: hash window on source, rank and count
+    share ONE exchange; no single-partition collapse."""
+    from telescope_data_pipeline_spark.plans.audit import physical_plan
+
+    df = get("q_quantile_norm").fn(spark, SF)
+    df.collect()
+    plan = physical_plan(df).split("== Initial Plan ==")[0]
+    assert "Exchange SinglePartition" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_bfs_levels_equi_joins_only(spark):
+    """Each BFS hop is frontier-x-edges equi-join + visited anti-join;
+    never a nested loop."""
+    assert_plan(get("q_bfs_levels").fn(spark, SF),
+                absent=("CartesianProduct",))
+
+
+def test_negative_sample_bucket_equi_join(spark):
+    """Negatives come from the ring-bucket equi-join — an anchors x
+    corpus cross join is exactly what the ring exists to avoid."""
+    assert_plan(get("q_negative_sample").fn(spark, SF),
+                absent=("CartesianProduct", "BroadcastNestedLoopJoin"))
