@@ -97,7 +97,7 @@ WITH tf AS (
   FROM tf a JOIN tf b ON b.term = a.term AND b.doc_id = a.doc_id + 1
   GROUP BY a.doc_id, b.doc_id
 )
-SELECT d.doc_a, d.doc_b, d.dot,
+SELECT d.doc_a, d.doc_b, CAST(d.dot AS BIGINT) AS dot,
        ROUND(d.dot / (sqrt(na.n2::DOUBLE) * sqrt(nb.n2::DOUBLE)), 6) AS cosine
 FROM dots d
 JOIN norms na ON na.doc_id = d.doc_a
@@ -1253,4 +1253,131 @@ def q_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.row_number().over(w).alias("rk"))
         .filter(F.col("rk") == 1)
         .drop("rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Random-projection (Johnson-Lindenstrauss) dimensionality reduction
+# ---------------------------------------------------------------------------
+
+@query("q_random_projection", oracle="""
+WITH dims AS (
+  SELECT UNNEST(range(0, 8)) AS j
+)
+SELECT e.vec_id, d.j,
+       ROUND(list_sum(list_transform(range(1, 65),
+           i -> CAST(e.embedding[i] AS DOUBLE)
+              * (CASE WHEN CAST(('0x' || substr(md5((i - 1) || ':' || d.j), 1, 1)) AS BIGINT) % 2 = 0
+                      THEN 1.0 ELSE -1.0 END)
+       )) / sqrt(8.0), 5) AS proj
+FROM embeddings e CROSS JOIN dims d
+""")
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection 64 -> 8 dims with a
+    Rademacher (+-1) matrix derived from md5(i:j) parity — the
+    projection is content-addressed, so every executor materializes
+    the SAME matrix from nothing (no broadcast, no RNG state, the
+    hyperplane-LSH trick from operators/similarity.py applied to
+    dimensionality reduction). Distances are preserved within
+    (1 +- eps) whp — the cheap front-end that makes downstream
+    brute-force / IVF / PQ run on 8 floats instead of 64.
+
+    Determinism: the +-1 matrix is exact on both engines (hex-digit
+    parity); each output is one fixed-order fold over 64 products,
+    rounded at 5 (the kmeans d2 precedent for cross-engine fold
+    jitter).
+
+    Scale: map-only per row (64 x 8 multiply-adds), zero shuffle,
+    zero UDF — whole-stage-codegen arithmetic. Output rows are
+    (vec, dim) pairs for the oracle; production keeps the 8-array
+    column form."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ed = e.select("vec_id", "embedding",
+                  F.explode(F.sequence(F.lit(0), F.lit(7))).alias("j"))
+    sign = lambda i: F.when(  # noqa: E731
+        F.conv(F.substring(F.md5(F.concat_ws(":", (i - 1).cast("string"),
+                                             F.col("j").cast("string"))),
+                           1, 1), 16, 10).cast("long") % 2 == 0,
+        F.lit(1.0)).otherwise(F.lit(-1.0))
+    proj = F.aggregate(
+        F.zip_with(
+            F.transform("embedding", lambda x: x.cast("double")),
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda x, i: x * sign(i)),
+        F.lit(0.0), lambda acc, v: acc + v) / F.sqrt(F.lit(8.0))
+    return ed.select("vec_id", "j", F.round(proj, 5).alias("proj"))
+
+
+# ---------------------------------------------------------------------------
+# Bigram PMI collocations
+# ---------------------------------------------------------------------------
+
+@query("q_bigram_pmi", oracle=r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents
+), bi AS (
+  SELECT UNNEST(list_transform(range(1, len(t)),
+                i -> t[i] || ' ' || t[i + 1])) AS bigram,
+         UNNEST(list_slice(t, 1, len(t) - 1)) AS w1,
+         UNNEST(list_slice(t, 2, len(t))) AS w2
+  FROM toks
+), uni AS (
+  SELECT UNNEST(t) AS w FROM toks
+), uc AS (
+  SELECT w, COUNT(*) AS c FROM uni WHERE w <> '' GROUP BY w
+), bc AS (
+  SELECT bigram, w1, w2, COUNT(*) AS c
+  FROM bi WHERE w1 <> '' AND w2 <> '' GROUP BY bigram, w1, w2
+), n AS (
+  SELECT SUM(c)::DOUBLE AS tot FROM uc
+)
+SELECT bc.bigram, bc.c AS n_pair,
+       ROUND(ln(bc.c::DOUBLE * n.tot / (u1.c::DOUBLE * u2.c::DOUBLE)), 6) AS pmi
+FROM bc JOIN uc u1 ON u1.w = bc.w1 JOIN uc u2 ON u2.w = bc.w2 CROSS JOIN n
+WHERE bc.c >= 20
+""")
+def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: pointwise mutual information of adjacent
+    token pairs, ln(P(ab) / (P(a)P(b))) — the signal behind phrase
+    detection (word2phrase), tokenizer-merge candidates, and boiler-
+    plate discovery. High-PMI pairs co-occur far above chance.
+
+    Determinism: all counts are exact integers; PMI is ONE ln of an
+    exactly-computed double ratio (integer products / division —
+    bit-identical inputs, correctly-rounded ln in practice), rounded
+    at 6; the >= 20 support floor is an integer predicate, so the
+    selected set cannot flip.
+
+    Scale: bigrams are generated per-row (map-only HOF, zero shuffle
+    before the count groupBy); the unigram table joins back by word —
+    broadcast while small, AQE otherwise (the q_tfidf vocabulary
+    pattern); the 1-row total is a broadcast scalar. Support floors
+    keep the output |frequent pairs|, not |all pairs|."""
+    d = load_table(spark, sf_dir, "documents", spread=True)
+    toks = d.select("doc_id", F.split(F.lower("text"), _TOK).alias("t"))
+    bi = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("t"), 1, F.greatest(F.size("t") - 1, F.lit(0))),
+                F.expr("slice(t, 2, greatest(size(t) - 1, 0))"),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))
+        ).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")) \
+     .filter((F.col("w1") != "") & (F.col("w2") != ""))
+    uc = (toks.select(F.explode("t").alias("w")).filter(F.col("w") != "")
+          .groupBy("w").agg(F.count(F.lit(1)).alias("c")))
+    bc = (bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+          .filter(F.col("n_pair") >= 20))
+    tot = F.broadcast(uc.agg(F.sum("c").cast("double").alias("tot")))
+    u1 = uc.withColumnRenamed("w", "w1").withColumnRenamed("c", "c1")
+    u2 = uc.withColumnRenamed("w", "w2").withColumnRenamed("c", "c2")
+    return (
+        bc.join(u1, "w1").join(u2, "w2").crossJoin(tot)
+        .select(
+            F.concat_ws(" ", "w1", "w2").alias("bigram"),
+            "n_pair",
+            F.round(F.log(F.col("n_pair").cast("double") * F.col("tot")
+                          / (F.col("c1").cast("double")
+                             * F.col("c2").cast("double"))), 6).alias("pmi"),
+        )
     )

@@ -541,3 +541,20 @@ def test_negative_sample_bucket_equi_join(spark):
     corpus cross join is exactly what the ring exists to avoid."""
     assert_plan(get("q_negative_sample").fn(spark, SF),
                 absent=("CartesianProduct", "BroadcastNestedLoopJoin"))
+
+
+def test_random_projection_map_only(spark):
+    """JL projection is per-row arithmetic: zero hash/range Exchange,
+    zero UDF (content-addressed matrix needs no broadcast)."""
+    from telescope_data_pipeline_spark.plans.audit import physical_plan
+
+    plan = physical_plan(get("q_random_projection").fn(spark, SF))
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bigram_pmi_no_nested_loop(spark):
+    """PMI joins are word equi-joins plus a 1-row scalar broadcast."""
+    assert_plan(get("q_bigram_pmi").fn(spark, SF),
+                absent=("CartesianProduct",))
