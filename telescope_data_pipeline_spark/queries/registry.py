@@ -68,8 +68,8 @@ _REGISTRY: dict[str, Query] = {}
 #: q_anomaly_mad, q_pq_adc, q_cdc_apply, q_triangle_count,
 #: q_fuzzy_join, q_ohlc_bars, q_grouped_regression, q_setsim_join,
 #: q_scd2_asof, q_chi_square, q_quantile_norm, q_bfs_levels,
-#: q_negative_sample, q_random_projection, q_bigram_pmi) — then
-#: rotate r4-green representatives.
+#: q_negative_sample, q_random_projection, q_bigram_pmi,
+#: q_profile_table) — then rotate r4-green representatives.
 PRIORITY: tuple[str, ...] = (
     # (a) first-time evidence: new round-5 corpus operators
     "q_line_dedup", "q_quality_percentile", "q_mix_token_budget",

@@ -1381,3 +1381,64 @@ def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
                              * F.col("c2").cast("double"))), 6).alias("pmi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Table profiling (per-column quality report)
+# ---------------------------------------------------------------------------
+
+@query("q_profile_table", oracle="""
+SELECT 'o_custkey' AS col,
+       COUNT(*) AS n_rows,
+       COUNT(*) - COUNT(o_custkey) AS n_null,
+       COUNT(DISTINCT o_custkey) AS n_distinct,
+       CAST(MIN(o_custkey) AS VARCHAR) AS min_v,
+       CAST(MAX(o_custkey) AS VARCHAR) AS max_v
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+       COUNT(DISTINCT o_orderstatus),
+       CAST(MIN(o_orderstatus) AS VARCHAR), CAST(MAX(o_orderstatus) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice),
+       COUNT(DISTINCT o_totalprice),
+       CAST(ROUND(MIN(o_totalprice), 2) AS VARCHAR),
+       CAST(ROUND(MAX(o_totalprice), 2) AS VARCHAR)
+FROM orders
+""")
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data profiling: per-column row/null/distinct counts and value
+    bounds — the ingestion-time health report that catches schema rot
+    (nulls creeping into a key column, a categorical exploding in
+    cardinality) before a 100 TB job consumes the table. Emitted in
+    long form (one row per column) so the report schema is
+    table-independent.
+
+    Scale: ONE scan — all per-column aggregates run in a single
+    partial+final aggregation pass (they share the grand-total group);
+    exact COUNT(DISTINCT) rewrites to expand + two-phase agg, and at
+    100 TB each swaps to approx_count_distinct with the plan shape
+    unchanged (the documented sketch twin, cf. q_agg_approx). Value
+    bounds are cast to strings so one report schema fits every column
+    type."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def prof(col: str, fmt=None):
+        v = F.col(col)
+        mn, mx = F.min(v), F.max(v)
+        if fmt is not None:
+            mn, mx = fmt(mn), fmt(mx)
+        return o.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.count(F.lit(1)) - F.count(v)).alias("n_null"),
+            F.countDistinct(v).alias("n_distinct"),
+            mn.cast("string").alias("min_v"),
+            mx.cast("string").alias("max_v"),
+        ).select(F.lit(col).alias("col"), "n_rows", "n_null",
+                 "n_distinct", "min_v", "max_v")
+
+    return (prof("o_custkey")
+            .unionByName(prof("o_orderstatus"))
+            .unionByName(prof("o_totalprice",
+                              fmt=lambda c: F.round(c, 2))))

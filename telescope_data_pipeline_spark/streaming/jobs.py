@@ -215,3 +215,30 @@ def run_upsert_sink(stream: DataFrame, target_dir: str, checkpoint_dir: str):
         .trigger(availableNow=True)
         .start()
     )
+
+
+def trending_terms(stream: DataFrame, watermark: str = "30 minutes",
+                   min_count: int = 5) -> DataFrame:
+    """Trending terms: flatMap (per-event token explode of ``props``)
+    feeding an event-time sliding-window count — the one streaming
+    shape the window family above doesn't cover: state is keyed by a
+    value MANUFACTURED per input row (term), not by an input column,
+    so one event updates many windows-x-keys.
+
+    Scale: the explode is map-side (no shuffle added before the
+    windowed agg's own exchange); sliding windows (1 h every 30 min)
+    mean each term instance lands in 2 windows — state size is
+    |terms x open windows|, bounded by the watermark closing windows.
+    The ``min_count`` floor cuts the long tail BEFORE results leave
+    the state store. Batch twin for parity: the same expression over a
+    static read (see test_trending_terms_match_batch)."""
+    terms = (stream
+             .select("ts", F.explode(F.split(F.lower("props"),
+                                             r"[^a-z0-9]+")).alias("term"))
+             .filter(F.col("term") != ""))
+    return (terms.withWatermark("ts", watermark)
+            .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "term")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") >= min_count)
+            .select(F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"), "term", "n"))

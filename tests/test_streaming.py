@@ -485,3 +485,25 @@ def test_static_parquet_index_pins_listing(spark, tmp_path):
     pd.DataFrame({"digest": ["a", "b", "c", "d"]}).to_parquet(
         snap1 / "part0.parquet")
     assert load_corpus_index(spark, str(tmp_path / "index")).count() == 4
+
+
+def test_trending_terms_match_batch(spark, events_dir):
+    from telescope_data_pipeline_spark.streaming.jobs import trending_terms
+
+    stream = read_event_stream(spark, events_dir, max_files_per_trigger=2)
+    q = (trending_terms(stream).writeStream.format("memory")
+         .queryName("trend").outputMode("complete")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.table("trend").collect()))
+
+    batch = (load_table(spark, SF, "events")
+             .select("ts", F.explode(F.split(F.lower("props"),
+                                             r"[^a-z0-9]+")).alias("term"))
+             .filter(F.col("term") != "")
+             .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "term")
+             .agg(F.count(F.lit(1)).alias("n"))
+             .filter(F.col("n") >= 5)
+             .select(F.col("w.start"), F.col("w.end"), "term", "n"))
+    expected = sorted(map(tuple, batch.collect()))
+    assert got == expected and len(got) > 0
