@@ -1442,3 +1442,101 @@ def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(prof("o_orderstatus"))
             .unionByName(prof("o_totalprice",
                               fmt=lambda c: F.round(c, 2))))
+
+
+# ---------------------------------------------------------------------------
+# IVF probe search (value-pinned ANN anchor)
+# ---------------------------------------------------------------------------
+
+@query("q_ivf_probe", oracle="""
+WITH c AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8
+), q AS (
+  SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0
+), d AS (
+  SELECT e.vec_id, c.cid,
+         ROUND(list_sum(list_transform(range(1, 65),
+             i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE))
+                * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE))
+         )), 6) AS d2
+  FROM embeddings e CROSS JOIN c
+), assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk
+    FROM d) WHERE rk = 1
+), probes AS (
+  SELECT cid FROM (
+    SELECT c.cid,
+           ROUND(list_sum(list_transform(range(1, 65),
+               i -> (CAST(q.qvec[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE))
+                  * (CAST(q.qvec[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE))
+           )), 6) AS qd
+    FROM c CROSS JOIN q
+    QUALIFY ROW_NUMBER() OVER (ORDER BY qd, cid) <= 2)
+), cand AS (
+  SELECT a.vec_id, a.cid,
+         ROUND(list_sum(list_transform(range(1, 65),
+             i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(q.qvec[i] AS DOUBLE))
+                * (CAST(e.embedding[i] AS DOUBLE) - CAST(q.qvec[i] AS DOUBLE))
+         )), 6) AS d2
+  FROM assign a
+  JOIN probes p ON p.cid = a.cid
+  JOIN embeddings e ON e.vec_id = a.vec_id
+  CROSS JOIN q
+)
+SELECT vec_id, cid, d2 FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY d2, vec_id) AS rk FROM cand
+) WHERE rk <= 5
+""")
+def q_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN search, value-pinned: assign every
+    vector to its nearest of 8 deterministic centroids (the kmeans
+    assignment), probe the query's nprobe=2 nearest cells, and return
+    the exact top-5 within the probed cells. This moves the ANN scale
+    path (operators/similarity.py, previously rows-only + recall-
+    tested) into the driver's hash-checked set — the same promotion
+    the md5 twins gave MinHash/SimHash.
+
+    Determinism: every distance is rounded to 6 with id tiebreaks
+    before ANY argmin/top-k (the kmeans rule), so assignment, probe
+    choice, and final ranking are bit-stable.
+
+    Scale: centroids broadcast twice (assignment + probe table — both
+    k rows); the probe filter is a broadcast semi-join that prunes the
+    corpus to nprobe/k of its cells BEFORE any exact distance; the
+    final top-5 is TakeOrdered, no global sort. At 100 TB the
+    assignment is precomputed as a partition column (cell-partitioned
+    layout, cf. bucketing.py) so a query reads only its probed
+    partitions — partition pruning does the candidate cut for free."""
+    from ..operators.kmeans import assign_clusters
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = (e.filter(F.col("vec_id") < 8)
+            .select(F.col("vec_id").alias("cid"),
+                    F.col("embedding").alias("cvec")))
+    assigned = assign_clusters(e, cent).select("vec_id", "cid")
+
+    qv = (e.filter(F.col("vec_id") == 0)
+          .select(F.col("embedding").alias("qvec")))
+    d2 = lambda a, b: F.round(  # noqa: E731
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+                       * (x.cast("double") - y.cast("double"))),
+            F.lit(0.0), lambda acc, v: acc + v), 6)
+    probes = (
+        cent.crossJoin(F.broadcast(qv))
+        .select("cid", d2(F.col("cvec"), F.col("qvec")).alias("qd"))
+        .withColumn("rk", F.row_number().over(
+            W.orderBy("qd", "cid")))
+        .filter(F.col("rk") <= 2)
+        .select("cid")
+    )
+    cand = (
+        assigned.join(F.broadcast(probes), "cid")
+        .join(e, "vec_id")
+        .crossJoin(F.broadcast(qv))
+        .select("vec_id", "cid",
+                d2(F.col("embedding"), F.col("qvec")).alias("d2"))
+    )
+    return (cand.orderBy("d2", "vec_id").limit(5)
+            .select("vec_id", "cid", "d2"))

@@ -558,3 +558,14 @@ def test_bigram_pmi_no_nested_loop(spark):
     """PMI joins are word equi-joins plus a 1-row scalar broadcast."""
     assert_plan(get("q_bigram_pmi").fn(spark, SF),
                 absent=("CartesianProduct",))
+
+
+def test_ivf_probe_takeordered_and_broadcast_prune(spark):
+    """IVF probe: the corpus is pruned by a broadcast semi-join on the
+    probed cells and the final top-5 is TakeOrdered — no global sort,
+    no CartesianProduct (the only nested-loop joins are 1-row query /
+    k-row centroid broadcasts)."""
+    df = get("q_ivf_probe").fn(spark, SF)
+    df.collect()
+    assert_plan(df, contains=("TakeOrderedAndProject",),
+                absent=("CartesianProduct",))
