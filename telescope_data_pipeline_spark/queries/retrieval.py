@@ -1540,3 +1540,38 @@ def q_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (cand.orderBy("d2", "vec_id").limit(5)
             .select("vec_id", "cid", "d2"))
+
+
+# ---------------------------------------------------------------------------
+# Unpivot / melt (wide -> long reshaping)
+# ---------------------------------------------------------------------------
+
+@query("q_unpivot", oracle="""
+SELECT p_partkey, metric, ROUND(val, 2) AS val
+FROM (
+  SELECT p_partkey,
+         CAST(p_size AS DOUBLE) AS size,
+         p_retailprice AS retailprice
+  FROM part WHERE p_partkey <= 200
+) UNPIVOT (val FOR metric IN (size, retailprice))
+""")
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide metric columns reshaped to (id, metric,
+    value) long form — q_pivot's inverse, closing the reshaping pair
+    (long form is what the profiler, gap-fill, and every generic
+    metrics sink consume). Uses Spark's native ``unpivot`` so nulls
+    and type widening follow the engine's stack semantics, not a
+    hand-rolled union.
+
+    Scale: map-only — each input row becomes |metrics| output rows
+    with zero shuffle (the explode family's cousin); column pruning
+    still reaches the scan because the id + melted columns are the
+    only ones read."""
+    p = (load_table(spark, sf_dir, "part")
+         .filter(F.col("p_partkey") <= 200)
+         .select("p_partkey",
+                 F.col("p_size").cast("double").alias("size"),
+                 F.col("p_retailprice").alias("retailprice")))
+    return (p.unpivot("p_partkey", ["size", "retailprice"],
+                      "metric", "val")
+            .select("p_partkey", "metric", F.round("val", 2).alias("val")))

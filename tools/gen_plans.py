@@ -94,6 +94,18 @@ CAPTURE = [
      "FastSS: variant equi-join candidates + JVM levenshtein refine, no all-pairs"),
     ("q_ohlc_bars",
      "OHLC bars: min_by/max_by partial states, one map-side-combined groupBy"),
+    ("q_setsim_join",
+     "PPJoin: df-ordered prefix tokens equi-join candidates, verify on survivors"),
+    ("q_ivf_probe",
+     "IVF ANN: broadcast assignment + nprobe cell semi-join prune + TakeOrdered top-5"),
+    ("q_negative_sample",
+     "hash-ring negatives: bucket equi-join probes, per-probe hash-min window"),
+    ("q_bigram_pmi",
+     "PMI: map-only bigram fold, support floors before vocab joins, 1-row total broadcast"),
+    ("q_mv_maintenance",
+     "incremental MV merge: partial aggs both sides, union, |keys| final merge"),
+    ("q_quantile_norm",
+     "per-source percent rank: rank+count share ONE hash exchange"),
 ]
 
 HEADER = """\
