@@ -1575,3 +1575,100 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (p.unpivot("p_partkey", ["size", "retailprice"],
                       "metric", "val")
             .select("p_partkey", "metric", F.round("val", 2).alias("val")))
+
+
+# ---------------------------------------------------------------------------
+# Skyline (Pareto frontier) query
+# ---------------------------------------------------------------------------
+
+@query("q_skyline", oracle=r"""
+WITH m AS (
+  SELECT doc_id, n_chars,
+         LEN(list_distinct(string_split_regex(lower(text), '\s+'))) AS n_vocab
+  FROM documents
+)
+SELECT a.doc_id, a.n_chars, a.n_vocab
+FROM m a
+WHERE NOT EXISTS (
+  SELECT 1 FROM m b
+  WHERE b.n_chars >= a.n_chars AND b.n_vocab >= a.n_vocab
+    AND (b.n_chars > a.n_chars OR b.n_vocab > a.n_vocab)
+)
+""")
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto frontier) query: documents not dominated on
+    (length, vocabulary richness) — the multi-objective data-selection
+    frontier ("longest AND most diverse examples") that a single
+    weighted score can't express. Classic DB operator
+    (Borzsony/Kossmann/Stocker 2001).
+
+    Spark shape: sort by x descending, then a doc is on the frontier
+    iff (a) its y beats the running max-y over all STRICTLY longer
+    docs (a RANGE frame ending 1 before the current x) and (b) it has
+    the max y among equal-x docs — two window functions over ONE sort
+    order, no self-join. The oracle states dominance directly as a
+    NOT EXISTS anti-join; the window form must agree exactly.
+
+    Determinism: both metrics are exact integers.
+
+    Scale: one range-partitioned sort (a real distributed sort, not a
+    single-partition collapse) + windows over it — O(n log n) vs the
+    oracle's O(n^2). For 100 TB, pre-filter with a grid skyline (only
+    cell-maximal candidates survive the local pass) before the global
+    sort — the same local-prune-then-merge shape as the reservoir and
+    epoch-shuffle operators."""
+    d = load_table(spark, sf_dir, "documents")
+    m = d.select(
+        "doc_id", "n_chars",
+        F.size(F.array_distinct(F.split(F.lower("text"), _TOK)))
+        .alias("n_vocab"),
+    )
+    over_longer = (W.orderBy(F.col("n_chars").desc())
+                   .rangeBetween(W.unboundedPreceding, -1))
+    over_equal = W.partitionBy("n_chars")
+    return (
+        m.select(
+            "doc_id", "n_chars", "n_vocab",
+            F.max("n_vocab").over(over_longer).alias("best_longer"),
+            F.max("n_vocab").over(over_equal).alias("best_equal"),
+        )
+        .filter((F.col("n_vocab") > F.coalesce(F.col("best_longer"), F.lit(-1)))
+                & (F.col("n_vocab") == F.col("best_equal")))
+        .select("doc_id", "n_chars", "n_vocab")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Null-safe equality join
+# ---------------------------------------------------------------------------
+
+@query("q_join_nullsafe", oracle="""
+WITH o AS (
+  SELECT NULLIF(o_orderstatus, 'P') AS status_n FROM orders
+), dim AS (
+  SELECT * FROM (VALUES ('F', 'finished'), ('O', 'open'),
+                        (CAST(NULL AS VARCHAR), 'pending-null')) d(status_n, label)
+)
+SELECT dim.label, COUNT(o.status_n IS NOT DISTINCT FROM dim.status_n) AS n
+FROM o JOIN dim ON o.status_n IS NOT DISTINCT FROM dim.status_n
+GROUP BY dim.label
+""")
+def q_join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match NULL keys instead of vanishing — the semantics CDC and SCD
+    pipelines need when NULL is a legitimate key state (here: 'P'
+    orders nullified into a pending marker that still must join its
+    dim row). Completes the join-semantics family next to
+    inner/left/full/cross/semi/anti.
+
+    Scale note: Spark plans ``<=>`` as a HASH join key (null-safe
+    equality is still an equi-join — coalesce-style key normalization
+    is NOT needed), so the broadcast/shuffle strategies all apply
+    unchanged; the dim side here is a 3-row broadcast."""
+    o = (load_table(spark, sf_dir, "orders")
+         .select(F.nullif("o_orderstatus", F.lit("P")).alias("status_n")))
+    dim = F.broadcast(spark.createDataFrame(
+        [("F", "finished"), ("O", "open"), (None, "pending-null")],
+        "status_n string, label string"))
+    return (o.join(dim, o["status_n"].eqNullSafe(dim["status_n"]))
+            .groupBy("label").agg(F.count(F.lit(1)).alias("n")))

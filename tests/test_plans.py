@@ -569,3 +569,24 @@ def test_ivf_probe_takeordered_and_broadcast_prune(spark):
     df.collect()
     assert_plan(df, contains=("TakeOrderedAndProject",),
                 absent=("CartesianProduct",))
+
+
+def test_skyline_windowed_not_self_joined(spark):
+    """The skyline must come from windows over one sort — the O(n^2)
+    dominance self-join is exactly what the window form replaces."""
+    from telescope_data_pipeline_spark.plans.audit import physical_plan
+
+    df = get("q_skyline").fn(spark, SF)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" not in plan, plan  # no join operator at all
+
+
+def test_nullsafe_join_stays_hash_join(spark):
+    """<=> must plan as a (broadcast) HASH join — null-safe equality is
+    still an equi-join key, not a degraded nested loop."""
+    df = get("q_join_nullsafe").fn(spark, SF)
+    df.collect()
+    assert_plan(df, contains=("BroadcastHashJoin",),
+                absent=("BroadcastNestedLoopJoin", "CartesianProduct"))
