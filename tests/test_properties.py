@@ -176,3 +176,106 @@ def test_distributed_row_number_matches_sort(spark, keys, n_parts):
                                   num_partitions=n_parts).collect()}
     for pos, k in enumerate(sorted(keys)):
         assert got[k] == pos
+
+
+# ---------------------------------------------------------------------------
+# Candidate-generation exactness: pure-Python models of the algebraic
+# claims the distributed operators rely on (the oracle proves them on
+# driver data; these prove them on adversarial data).
+# ---------------------------------------------------------------------------
+
+def _ed1_neighborhood(s: str) -> set[str]:
+    """Depth-1 deletion neighborhood incl. self (q_fuzzy_join's FastSS)."""
+    return {s} | {s[:i] + s[i + 1:] for i in range(len(s))}
+
+
+def _levenshtein(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@given(st.lists(st.text(alphabet="abc", min_size=0, max_size=6),
+                min_size=2, max_size=8, unique=True))
+@settings(max_examples=200, deadline=None)
+def test_fastss_deletion_join_is_complete_for_ed1(strings):
+    """Two strings are within edit distance 1 IFF their deletion
+    neighborhoods intersect — the equi-join key q_fuzzy_join shuffles
+    loses NO pair (completeness) and admits no unverifiable pair the
+    levenshtein refine wouldn't reject (soundness is the refine)."""
+    for i, a in enumerate(strings):
+        for b in strings[i + 1:]:
+            candidates_meet = bool(_ed1_neighborhood(a) & _ed1_neighborhood(b))
+            if _levenshtein(a, b) <= 1:
+                assert candidates_meet, (a, b)
+
+
+@given(st.lists(st.frozensets(st.integers(0, 30), min_size=1, max_size=12),
+                min_size=2, max_size=8))
+@settings(max_examples=200, deadline=None)
+def test_ppjoin_prefix_filter_is_lossless(sets):
+    """PPJoin's prefix filter (q_setsim_join): order every set by a
+    global token order, keep the first |s| - ceil(t|s|) + 1 tokens;
+    any pair with Jaccard >= t shares a prefix token. Integer prefix
+    arithmetic: ceil(4m/5) = (4m+4) div 5, exactly as the query."""
+    t_num, t_den = 4, 5  # t = 0.8
+    order = {}
+    for s in sets:
+        for tok in s:
+            order.setdefault(tok, len(order))
+    def prefix(s):
+        m = len(s)
+        p = m - (t_num * m + t_den - 1) // t_den + 1
+        return set(sorted(s, key=lambda x: order[x])[:p])
+    for i, a in enumerate(sets):
+        for b in sets[i + 1:]:
+            inter = len(a & b)
+            jacc = inter / (len(a) + len(b) - inter)
+            if jacc >= t_num / t_den:
+                assert prefix(a) & prefix(b), (a, b)
+
+
+@given(st.integers(0, 255), st.integers(0, 255),
+       st.integers(0, 255), st.integers(0, 255))
+@settings(max_examples=300, deadline=None)
+def test_morton_interleave_orders_like_reference(x1, y1, x2, y2):
+    """q_zorder_key's HOF bit fold equals the textbook bit interleave,
+    and equal inputs give equal codes (injectivity over the 8-bit
+    domain)."""
+    def morton(x, y):
+        return sum((((x >> i) & 1) << (2 * i)) | (((y >> i) & 1) << (2 * i + 1))
+                   for i in range(8))
+    def morton_fold(x, y):  # the query's fold: acc + bit*2^(2i) + bit*2^(2i+1)
+        acc = 0
+        for i in range(8):
+            acc += ((x >> i) & 1) * (2 ** (2 * i)) \
+                 + ((y >> i) & 1) * (2 ** (2 * i + 1))
+        return acc
+    assert morton_fold(x1, y1) == morton(x1, y1)
+    if (x1, y1) != (x2, y2):
+        assert morton(x1, y1) != morton(x2, y2)
+
+
+@given(st.lists(st.integers(1, 50), min_size=2, max_size=10))
+@settings(max_examples=200, deadline=None)
+def test_scd2_intervals_partition_the_timeline(bal_deltas):
+    """q_scd2_asof's no-window read rests on: for any key, the SCD2
+    [valid_from, valid_to) intervals are disjoint and cover from first
+    valid_from to infinity — exactly one version matches any as-of
+    date >= first change. Model: sequential updates at increasing
+    dates."""
+    dates = [f"2024-{m:02d}-01" for m in range(1, len(bal_deltas) + 1)]
+    rows = []  # (valid_from, valid_to)
+    for i, d in enumerate(dates):
+        if rows:
+            rows[-1] = (rows[-1][0], d)  # close previous
+        rows.append((d, None))
+    for probe in dates:
+        live = [r for r in rows
+                if r[0] <= probe and (r[1] is None or r[1] > probe)]
+        assert len(live) == 1
