@@ -51,3 +51,38 @@ def test_dedup_clusters_transitive(spark):
     pairs = spark.createDataFrame([(0, 1), (1, 2), (5, 6)], "id_a long, id_b long")
     kept = sorted(r.doc_id for r in dedup_clusters(data, pairs, "doc_id").collect())
     assert kept == [0, 3, 4, 5, 7, 8, 9]
+
+
+# ---------------------------------------------------------------------------
+# Iterated PageRank goldens (operators/pagerank.py)
+# ---------------------------------------------------------------------------
+
+def test_pagerank_converges_and_sums_to_one(spark):
+    from pyspark.sql import functions as F
+
+    from telescope_data_pipeline_spark.operators.pagerank import (
+        pagerank_iterate,
+    )
+
+    # path graph 0-1-2-3 (symmetrized) + a dangling node 4 fed by 3
+    e = [(0, 1), (1, 0), (1, 2), (2, 1), (2, 3), (3, 2), (3, 4)]
+    edges = spark.createDataFrame(e, "src long, dst long")
+    pr = {r["node"]: r["pagerank"]
+          for r in pagerank_iterate(edges, max_iter=30, tol=1e-8).collect()}
+    assert abs(sum(pr.values()) - 1.0) < 1e-6   # mass conserved (dangling fix)
+    assert all(v > 0 for v in pr.values())
+    # symmetric centrality: ends of the path tie, middle nodes dominate ends
+    assert pr[1] > pr[0] and pr[2] > pr[0]
+
+
+def test_pagerank_uniform_on_regular_graph(spark):
+    from telescope_data_pipeline_spark.operators.pagerank import (
+        pagerank_iterate,
+    )
+
+    # directed 4-cycle: every node identical by symmetry -> rank 1/4
+    e = [(0, 1), (1, 2), (2, 3), (3, 0)]
+    edges = spark.createDataFrame(e, "src long, dst long")
+    pr = pagerank_iterate(edges, max_iter=30, tol=1e-8).collect()
+    for r in pr:
+        assert abs(r["pagerank"] - 0.25) < 1e-6, r
