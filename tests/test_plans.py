@@ -590,3 +590,15 @@ def test_nullsafe_join_stays_hash_join(spark):
     df.collect()
     assert_plan(df, contains=("BroadcastHashJoin",),
                 absent=("BroadcastNestedLoopJoin", "CartesianProduct"))
+
+
+def test_new_slice_predicates_reach_parquet_scans(spark):
+    """The bounded-slice predicates of the round-5 operators must push
+    to the parquet scan (PushedFilters), not evaluate post-scan — at
+    100 TB these ARE the partition-pruning keys."""
+    for name, frag in [("q_fuzzy_join", "c_custkey"),
+                       ("q_unpivot", "p_partkey"),
+                       ("q_setsim_join", "doc_id"),
+                       ("q_ohlc_bars", "ts")]:
+        pushed = " | ".join(pushed_filters(get(name).fn(spark, SF)))
+        assert frag in pushed, (name, pushed)
