@@ -1672,3 +1672,117 @@ def q_join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "status_n string, label string"))
     return (o.join(dim, o["status_n"].eqNullSafe(dim["status_n"]))
             .groupBy("label").agg(F.count(F.lit(1)).alias("n")))
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage (OOV rate against a frequency-built vocab)
+# ---------------------------------------------------------------------------
+
+@query("q_oov_rate", oracle=r"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split_regex(lower(text), '\s+')) AS w
+  FROM documents
+), tok2 AS (
+  SELECT doc_id, w FROM toks WHERE w <> ''
+), vocab AS (
+  SELECT w FROM (
+    SELECT w, COUNT(*) AS c, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, w) AS rk
+    FROM tok2 GROUP BY w
+  ) WHERE rk <= 20
+)
+SELECT t.doc_id,
+       COUNT(*) AS n_tok,
+       COUNT(*) FILTER (WHERE v.w IS NULL) AS n_oov,
+       ROUND(COUNT(*) FILTER (WHERE v.w IS NULL)::DOUBLE / COUNT(*), 6) AS oov_rate
+FROM tok2 t LEFT JOIN vocab v ON v.w = t.w
+GROUP BY t.doc_id
+""")
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage: build a top-20 frequency vocabulary from
+    the corpus itself, then score every document's out-of-vocabulary
+    token rate — the tokenizer-fit metric that decides whether a vocab
+    (or a tokenizer's merges) actually covers a candidate corpus
+    before training on it. High-OOV docs are foreign-language or
+    junk relative to the vocab.
+
+    Determinism: counts are integers; the vocab cut is a total
+    (count desc, word) order; one exact division per doc.
+
+    Scale: the vocab is |k| rows — broadcast against the exploded
+    token stream (the q_bm25/q_tfidf vocabulary-join pattern); one
+    map-side-combined groupBy per doc. Building the vocab itself is
+    the token_topk shape (rank over one term groupBy)."""
+    d = load_table(spark, sf_dir, "documents", spread=True)
+    toks = (d.select("doc_id",
+                     F.explode(F.split(F.lower("text"), _TOK)).alias("w"))
+            .filter(F.col("w") != ""))
+    vocab = (toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+             .withColumn("rk", F.row_number().over(
+                 W.orderBy(F.col("c").desc(), "w")))
+             .filter(F.col("rk") <= 20)
+             .select("w", F.lit(True).alias("in_vocab")))
+    return (
+        toks.join(F.broadcast(vocab), "w", "left")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tok"),
+             F.count(F.when(F.col("in_vocab").isNull(), 1)).alias("n_oov"))
+        .select("doc_id", "n_tok", "n_oov",
+                F.round(F.col("n_oov").cast("double") / F.col("n_tok"), 6)
+                .alias("oov_rate"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram repetition ratio (compression-proxy quality signal)
+# ---------------------------------------------------------------------------
+
+@query("q_ngram_repetition", oracle=r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents
+), g AS (
+  SELECT doc_id,
+         len(toks) AS n_tok,
+         list_transform(range(1, len(toks) - 2),
+                        i -> array_to_string(list_slice(toks, i, i + 3), ' ')) AS grams
+  FROM t
+)
+SELECT doc_id, n_tok,
+       len(grams) AS n_grams,
+       len(list_distinct(grams)) AS n_distinct,
+       ROUND(1.0 - len(list_distinct(grams))::DOUBLE / len(grams), 6) AS rep_ratio
+FROM g
+WHERE len(grams) > 0
+""")
+def q_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram repetition ratio: 1 - |distinct 4-grams| / |4-grams| per
+    document — the compression-proxy quality signal (a repeated block
+    compresses; rep_ratio is its cheap scan-time stand-in) that
+    complements q_doc_repetition's Gopher top-gram fractions and
+    q_char_entropy's character-level signals at the phrase level.
+
+    Determinism: pure integer counts + one exact division (the gram
+    lists never leave the row).
+
+    Scale: map-only — grams are built, deduped, and counted inside
+    per-row HOFs; zero shuffle, zero UDF (pinned by
+    test_ngram_repetition_map_only)."""
+    d = load_table(spark, sf_dir, "documents", spread=True)
+    toks = F.split(F.lower("text"), _TOK)
+    grams = F.when(
+        F.size(toks) >= 4,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 4),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i + 1),
+                                  F.element_at(toks, i + 2),
+                                  F.element_at(toks, i + 3),
+                                  F.element_at(toks, i + 4))),
+    ).otherwise(F.array().cast("array<string>"))
+    g = d.select("doc_id", F.size(toks).alias("n_tok"), grams.alias("grams"))
+    return (
+        g.filter(F.size("grams") > 0)
+        .select("doc_id", "n_tok",
+                F.size("grams").alias("n_grams"),
+                F.size(F.array_distinct("grams")).alias("n_distinct"),
+                F.round(1.0 - F.size(F.array_distinct("grams")).cast("double")
+                        / F.size("grams"), 6).alias("rep_ratio"))
+    )

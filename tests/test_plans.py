@@ -602,3 +602,22 @@ def test_new_slice_predicates_reach_parquet_scans(spark):
                        ("q_ohlc_bars", "ts")]:
         pushed = " | ".join(pushed_filters(get(name).fn(spark, SF)))
         assert frag in pushed, (name, pushed)
+
+
+def test_ngram_repetition_map_only(spark):
+    """Gram build/dedup/count never leave the row: no hash/range
+    Exchange, no UDF."""
+    from telescope_data_pipeline_spark.plans.audit import physical_plan
+
+    plan = physical_plan(get("q_ngram_repetition").fn(spark, SF))
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_oov_rate_broadcasts_vocab(spark):
+    """The k-row vocabulary must broadcast onto the token stream."""
+    df = get("q_oov_rate").fn(spark, SF)
+    df.collect()
+    assert_plan(df, contains=("BroadcastHashJoin",),
+                absent=("CartesianProduct",))
