@@ -70,8 +70,8 @@ _REGISTRY: dict[str, Query] = {}
 #: q_scd2_asof, q_chi_square, q_quantile_norm, q_bfs_levels,
 #: q_negative_sample, q_random_projection, q_bigram_pmi,
 #: q_profile_table, q_ivf_probe, q_unpivot, q_skyline,
-#: q_join_nullsafe, q_oov_rate, q_ngram_repetition) — then rotate
-#: r4-green representatives.
+#: q_join_nullsafe, q_oov_rate, q_ngram_repetition,
+#: q_median_twopass) — then rotate r4-green representatives.
 PRIORITY: tuple[str, ...] = (
     # (a) first-time evidence: new round-5 corpus operators
     "q_line_dedup", "q_quality_percentile", "q_mix_token_budget",

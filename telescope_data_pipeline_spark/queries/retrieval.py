@@ -1786,3 +1786,34 @@ def q_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(1.0 - F.size(F.array_distinct("grams")).cast("double")
                         / F.size("grams"), 6).alias("rep_ratio"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact median without a global sort (two-pass histogram refine)
+# ---------------------------------------------------------------------------
+
+@query("q_median_twopass", oracle="""
+SELECT ROUND(quantile_cont(value, 0.5), 6) AS median_value,
+       COUNT(*) AS n
+FROM events
+""")
+def q_median_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact global median computed by the two-pass histogram-refine
+    operator (operators/median2pass.py) instead of a sort — the scale
+    path for exact quantiles over data too big to sort and too
+    important to approximate. The oracle is the engine's sort-based
+    interpolated median; matching it proves the two-pass algorithm
+    exact, not approximately right.
+
+    This query fn is deliberately EAGER (the algorithm is two driver-
+    coordinated scans with B-counts of state — like kmeans_iterate or
+    compact_ingest_state, it cannot be one lazy plan); the driver-side
+    state is the B-bucket histogram and a <=100k-value refine set,
+    both bounded by construction."""
+    from ..operators.median2pass import exact_median_two_pass
+
+    e = load_table(spark, sf_dir, "events")
+    med = exact_median_two_pass(e, "value")
+    n = e.count()
+    return spark.createDataFrame(
+        [(round(med, 6), n)], "median_value double, n bigint")

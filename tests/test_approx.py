@@ -112,3 +112,34 @@ class TestBloom:
             bloom_build(dg, "dg", m_bits=100)
         with pytest.raises(ValueError):
             bloom_words_df(dg, "dg", m_bits=100)
+
+
+# ---------------------------------------------------------------------------
+# Two-pass exact median (operators/median2pass.py)
+# ---------------------------------------------------------------------------
+
+def test_two_pass_median_matches_sort_based(spark):
+    from pyspark.sql import functions as F
+
+    from telescope_data_pipeline_spark.operators.median2pass import (
+        exact_median_two_pass,
+    )
+    from telescope_data_pipeline_spark.sources import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.01", "events")
+    got = exact_median_two_pass(e, "value")
+    want = e.agg(F.percentile("value", F.lit(0.5))).first()[0]
+    assert got == want  # exact, not approximately
+
+
+def test_two_pass_median_odd_even_and_constant(spark):
+    from telescope_data_pipeline_spark.operators.median2pass import (
+        exact_median_two_pass,
+    )
+
+    odd = spark.createDataFrame([(v,) for v in [5.0, 1.0, 9.0]], "v double")
+    assert exact_median_two_pass(odd, "v") == 5.0
+    even = spark.createDataFrame([(v,) for v in [4.0, 1.0, 9.0, 6.0]], "v double")
+    assert exact_median_two_pass(even, "v") == 5.0
+    const = spark.createDataFrame([(7.5,)] * 10, "v double")
+    assert exact_median_two_pass(const, "v") == 7.5  # lo==hi short-circuit
