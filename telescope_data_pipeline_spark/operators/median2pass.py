@@ -40,9 +40,10 @@ def exact_median_two_pass(df: DataFrame, col: str, buckets: int = 1024,
     """
     stats = df.agg(F.count(col).alias("n"), F.min(col).alias("lo"),
                    F.max(col).alias("hi")).first()
-    n, lo, hi = stats["n"], float(stats["lo"]), float(stats["hi"])
-    if n == 0:
+    n = stats["n"]
+    if n == 0:  # before float(): min/max are NULL on empty input
         raise ValueError("median of empty input")
+    lo, hi = float(stats["lo"]), float(stats["hi"])
     # ranks of the two middle order statistics (1-based)
     k1 = (n + 1) // 2
     k2 = n // 2 + 1

@@ -1813,7 +1813,9 @@ def q_median_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.median2pass import exact_median_two_pass
 
     e = load_table(spark, sf_dir, "events")
-    med = exact_median_two_pass(e, "value")
-    n = e.count()
-    return spark.createDataFrame(
-        [(round(med, 6), n)], "median_value double, n bigint")
+    schema = "median_value double, n bigint"
+    try:
+        med = exact_median_two_pass(e, "value")
+    except ValueError:  # empty input: a grand aggregate still returns
+        return spark.createDataFrame([(None, 0)], schema)  # one (NULL, 0) row
+    return spark.createDataFrame([(round(med, 6), e.count())], schema)
