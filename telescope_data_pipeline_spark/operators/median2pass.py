@@ -48,47 +48,74 @@ def exact_median_two_pass(df: DataFrame, col: str, buckets: int = 1024,
     k1 = (n + 1) // 2
     k2 = n // 2 + 1
     base = df.select(F.col(col).alias("v"))
+    # Cumulative population predicate. Each refine level narrows the
+    # population with the PREVIOUS level's exact bucket expression
+    # (b.between(b1, b2)), never with a recomputed float range test —
+    # (v >= lo + b1*width) can disagree with floor((v-lo)/width) by one
+    # ulp at bucket boundaries, which would silently drop or
+    # double-count boundary values and desynchronize the carried ranks.
+    pred = F.col("v").isNotNull()
 
     for _ in range(max_depth):
         if lo == hi:
             return lo
         width = (hi - lo) / buckets
-        b = F.least(
-            F.floor((F.col("v") - F.lit(lo)) / F.lit(width)).cast("int"),
-            F.lit(buckets - 1))
-        hist = dict(
-            base.filter((F.col("v") >= lo) & (F.col("v") <= hi))
-            .groupBy(b.alias("b")).agg(F.count(F.lit(1)).alias("c"))
-            .collect())
+        if width == 0.0:  # hi-lo underflowed: a few-ulp range; finish
+            vals = sorted(r["v"] for r in base.filter(pred).collect())
+            return (vals[k1 - 1] + vals[k2 - 1]) / 2.0
+        # clamp both ends: under the cumulative predicate a value can
+        # sit one ulp outside [lo, hi) of the CURRENT grid
+        b = F.greatest(
+            F.least(
+                F.floor((F.col("v") - F.lit(lo)) / F.lit(width)).cast("int"),
+                F.lit(buckets - 1)),
+            F.lit(0))
+        pop = base.filter(pred)
+        # per-bucket (count, min, max): 3B driver-side values. min/max
+        # let the straddle case resolve in O(1) and give exact bounds
+        # for the recursion range (guaranteed progress).
+        hist = {
+            r["b"]: r for r in
+            pop.groupBy(b.alias("b")).agg(
+                F.count(F.lit(1)).alias("c"),
+                F.min("v").alias("mn"), F.max("v").alias("mx"))
+            .collect()}
         # walk cumulative counts to locate the buckets holding k1, k2
-        # (ranks are RELATIVE to the current [lo, hi] candidate range)
+        # (ranks are RELATIVE to the current candidate population)
         cum, b1, b2 = 0, None, None
+        below = 0  # count in buckets strictly before b1
         for i in range(buckets):
-            cum += hist.get(i, 0)
-            if b1 is None and cum >= k1:
+            c = hist[i]["c"] if i in hist else 0
+            if b1 is None and cum + c >= k1:
                 b1 = i
+                below = cum
+            cum += c
             if b2 is None and cum >= k2:
                 b2 = i
                 break
         assert b1 is not None and b2 is not None
-        in_bucket = sum(hist.get(i, 0) for i in range(b1, b2 + 1))
-        if in_bucket <= _REFINE_CAP:
-            below = sum(hist.get(i, 0) for i in range(b1))
-            # select by the SAME bucket expression as pass 1 — a float
-            # range test (v >= lo + b1*width) can disagree with
-            # floor((v-lo)/width) by one ulp at bucket boundaries
+        if b1 != b2:
+            # k2 = k1 + 1 and cum(end of b1) == k1 exactly, so rank k1
+            # is the LARGEST value in bucket b1 and rank k2 the
+            # SMALLEST in the next nonempty bucket b2 — both already
+            # in the histogram. No further scan needed.
+            return (hist[b1]["mx"] + hist[b2]["mn"]) / 2.0
+        cell = hist[b1]
+        if cell["mn"] == cell["mx"]:  # one distinct value holds both ranks
+            return cell["mn"]
+        if cell["c"] <= _REFINE_CAP:
+            # select by the SAME bucket expression as the histogram
             vals = sorted(
-                r["v"] for r in base.filter(
-                    (F.col("v") >= lo) & (F.col("v") <= hi)
-                    & b.between(b1, b2)
-                ).collect())
-            v1 = vals[k1 - below - 1]
-            v2 = vals[k2 - below - 1]
-            return (v1 + v2) / 2.0
-        # pathological concentration: narrow the range and re-rank
-        k_below = sum(hist.get(i, 0) for i in range(b1))
-        k1, k2 = k1 - k_below, k2 - k_below
-        lo, hi = lo + b1 * width, lo + (b2 + 1) * width
+                r["v"] for r in pop.filter(b == b1).collect())
+            return (vals[k1 - below - 1] + vals[k2 - below - 1]) / 2.0
+        # pathological concentration: narrow via the SAME bucket
+        # expression the histogram counted with, re-rank, and use the
+        # bucket's ACTUAL min/max as the next range (strictly tighter
+        # than the bucket edges: min lands in sub-bucket 0 and max in
+        # sub-bucket B-1, so the next level always splits the mass)
+        k1, k2 = k1 - below, k2 - below
+        pred = pred & (b == b1)
+        lo, hi = float(cell["mn"]), float(cell["mx"])
     raise RuntimeError(
         f"median refine exceeded depth {max_depth} — near-degenerate "
         f"distribution; raise buckets or use percentile() directly")

@@ -1611,12 +1611,16 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: both metrics are exact integers.
 
-    Scale: one range-partitioned sort (a real distributed sort, not a
-    single-partition collapse) + windows over it — O(n log n) vs the
-    oracle's O(n^2). For 100 TB, pre-filter with a grid skyline (only
-    cell-maximal candidates survive the local pass) before the global
-    sort — the same local-prune-then-merge shape as the reservoir and
-    epoch-shuffle operators."""
+    Scale: the window form trades the oracle's O(n^2) self-join for
+    ONE sort — but note Spark plans a partition-less window as
+    Exchange SinglePartition, so the sort is a single-partition
+    collapse, acceptable only because the skyline input should first
+    be shrunk by a distributed grid pre-filter: bucket (n_chars,
+    n_vocab) into a coarse grid, keep per-cell maxima plus cells not
+    dominated by another cell's max (a map-side prune that survives
+    100 TB), THEN run this window over the few survivors. At sf scale
+    the pre-filter would cost more than it saves, so it is documented
+    rather than applied here."""
     d = load_table(spark, sf_dir, "documents")
     m = d.select(
         "doc_id", "n_chars",
@@ -1710,16 +1714,17 @@ def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the vocab is |k| rows — broadcast against the exploded
     token stream (the q_bm25/q_tfidf vocabulary-join pattern); one
-    map-side-combined groupBy per doc. Building the vocab itself is
-    the token_topk shape (rank over one term groupBy)."""
+    map-side-combined groupBy per doc. The vocab cut is
+    ``orderBy(...).limit(k)`` — Spark plans TakeOrderedAndProject
+    (per-partition top-k, then a k-row merge on the driver), NOT a
+    partition-less Window, so no Exchange SinglePartition anywhere
+    (pinned in tests/test_plans.py)."""
     d = load_table(spark, sf_dir, "documents", spread=True)
     toks = (d.select("doc_id",
                      F.explode(F.split(F.lower("text"), _TOK)).alias("w"))
             .filter(F.col("w") != ""))
     vocab = (toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
-             .withColumn("rk", F.row_number().over(
-                 W.orderBy(F.col("c").desc(), "w")))
-             .filter(F.col("rk") <= 20)
+             .orderBy(F.col("c").desc(), "w").limit(20)
              .select("w", F.lit(True).alias("in_vocab")))
     return (
         toks.join(F.broadcast(vocab), "w", "left")
@@ -1818,4 +1823,8 @@ def q_median_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
         med = exact_median_two_pass(e, "value")
     except ValueError:  # empty input: a grand aggregate still returns
         return spark.createDataFrame([(None, 0)], schema)  # one (NULL, 0) row
-    return spark.createDataFrame([(round(med, 6), e.count())], schema)
+    # round in Spark SQL semantics (HALF_UP, matching DuckDB ROUND) —
+    # Python round() is banker's (half-to-even) and can flip an exact
+    # tie at the 1e-6 boundary
+    return (spark.createDataFrame([(med, e.count())], schema)
+            .select(F.round("median_value", 6).alias("median_value"), "n"))

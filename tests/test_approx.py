@@ -143,3 +143,34 @@ def test_two_pass_median_odd_even_and_constant(spark):
     assert exact_median_two_pass(even, "v") == 5.0
     const = spark.createDataFrame([(7.5,)] * 10, "v double")
     assert exact_median_two_pass(const, "v") == 7.5  # lo==hi short-circuit
+
+
+def test_two_pass_median_recursion_path_exact(spark, monkeypatch):
+    """Force the refine recursion (tiny _REFINE_CAP) on a skewed
+    distribution with values landing EXACTLY on bucket boundaries —
+    the ulp-sensitive case: the carried ranks must stay consistent
+    with the narrowed population (cumulative bucket predicate, not a
+    recomputed float range test)."""
+    from pyspark.sql import functions as F
+
+    from telescope_data_pipeline_spark.operators import median2pass
+
+    monkeypatch.setattr(median2pass, "_REFINE_CAP", 8)
+    # heavy concentration near 0 plus a long tail; many values are
+    # exact multiples of the first-level bucket width (lo=0, hi=1024,
+    # buckets=16 -> width=64)
+    vals = [float(i % 7) * 0.125 for i in range(400)]
+    vals += [64.0, 128.0, 192.0, 256.0, 1024.0]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = median2pass.exact_median_two_pass(df, "v", buckets=16,
+                                            max_depth=12)
+    want = df.agg(F.percentile("v", F.lit(0.5))).first()[0]
+    assert got == want
+
+    # and a boundary-tie layout: all mass at two adjacent bucket edges
+    vals2 = [64.0] * 300 + [128.0] * 300 + [0.0, 1024.0]
+    df2 = spark.createDataFrame([(v,) for v in vals2], "v double")
+    got2 = median2pass.exact_median_two_pass(df2, "v", buckets=16,
+                                             max_depth=12)
+    want2 = df2.agg(F.percentile("v", F.lit(0.5))).first()[0]
+    assert got2 == want2

@@ -616,8 +616,16 @@ def test_ngram_repetition_map_only(spark):
 
 
 def test_oov_rate_broadcasts_vocab(spark):
-    """The k-row vocabulary must broadcast onto the token stream."""
+    """The k-row vocabulary must broadcast onto the token stream, and
+    the vocab cut must plan as TakeOrderedAndProject — NOT a
+    partition-less Window collapsing all terms to one partition."""
+    from telescope_data_pipeline_spark.plans.audit import physical_plan
+
     df = get("q_oov_rate").fn(spark, SF)
     df.collect()
     assert_plan(df, contains=("BroadcastHashJoin",),
                 absent=("CartesianProduct",))
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "Window" not in plan, plan
