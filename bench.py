@@ -74,34 +74,45 @@ def main() -> None:
     # not first-call initialization.
     registry["q_flagship"].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    # Runs per query: the host carries variable background load
+    # (BASELINE.md: totals swing ±25%), so single-shot wall times are
+    # noisy. min-of-3 (`queries_min3`/`total_min3`) is the PRIMARY
+    # round-over-round comparator from round 6 on (r5 verdict item 1);
+    # `value` stays the sum of FIRST runs so the legacy r1-r5 series
+    # remains apples-to-apples, and min-of-2 is kept one more round for
+    # direct comparison against BENCH_r05's total_min2. Caches are
+    # cleared between runs so every run re-does the full work
+    # (operators that cache a mid-plan table would otherwise skip their
+    # expensive stage). A rerun failure is its own error entry — it
+    # must not touch the recorded earlier runs.
+    n_runs_target = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
-    best: dict[str, float] = {}
+    best2: dict[str, float] = {}
+    best3: dict[str, float] = {}
+    n_runs: dict[str, int] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = registry[name].fn
-        t0 = time.perf_counter()
-        try:
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
-        except Exception as e:  # one bad query must not zero the round's bench
-            timings[name] = round(time.perf_counter() - t0, 3)
-            errors[name] = f"{type(e).__name__}: {e}"[:200]
+        runs: list[float] = []
+        for i in range(n_runs_target):
+            if i:
+                spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            try:
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                runs.append(time.perf_counter() - t0)
+            except Exception as e:  # a bad run must not zero the round's bench
+                errors[f"{name}#run{i + 1}"] = f"{type(e).__name__}: {e}"[:200]
+                if i == 0:  # legacy behavior: record the failed first run's wall
+                    timings[name] = round(time.perf_counter() - t0, 3)
+                break
+        if not runs:
             continue
-        # Second run: the host carries variable background load
-        # (BASELINE.md: totals swing ±25%); min-of-2 is the low-noise
-        # supplementary series. `value` stays the sum of FIRST runs so
-        # the round-over-round series (r1-r3 ran each query once)
-        # remains apples-to-apples. Caches are cleared so run 2 re-does
-        # the full work (operators that cache a mid-plan table would
-        # otherwise skip their expensive stage). A run-2 failure is its
-        # own error entry — it must not touch the recorded first run.
-        try:
-            spark.catalog.clearCache()
-            t1 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best[name] = round(min(timings[name], time.perf_counter() - t1), 3)
-        except Exception as e:
-            errors[f"{name}#run2"] = f"{type(e).__name__}: {e}"[:200]
+        timings[name] = round(runs[0], 3)
+        n_runs[name] = len(runs)
+        if len(runs) >= 2:
+            best2[name] = round(min(runs[:2]), 3)
+        best3[name] = round(min(runs), 3)
 
     extra: dict[str, float] = {}
     for name in EXTRA:
@@ -117,14 +128,20 @@ def main() -> None:
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
-        "queries": timings,
-        "queries_min2": best,
-        # min-of-2 total is only cross-round comparable when every query
-        # contributed a second run; n_min2 lets consumers detect partial
-        # coverage instead of silently comparing mismatched sums
-        # (round-4 ADVICE).
-        "total_min2": round(sum(best.values()), 3),
-        "n_min2": len(best),
+        # PRIMARY low-noise series (r5 verdict item 1): min over
+        # `runs_per_query` cleared-cache runs, per query and summed.
+        "primary_metric": "total_min3",
+        "total_min3": round(sum(best3.values()), 3),
+        "queries_min3": best3,
+        "runs_per_query": n_runs,  # n actually completed, per query
+        "queries": timings,  # legacy first-run series (r1-r5 comparable)
+        "queries_min2": best2,
+        # min-of-k totals are only cross-round comparable when every
+        # query contributed k runs; n_min2/runs_per_query let consumers
+        # detect partial coverage instead of silently comparing
+        # mismatched sums (round-4 ADVICE).
+        "total_min2": round(sum(best2.values()), 3),
+        "n_min2": len(best2),
         "n_queries": len(HEADLINE),
         # informational only — excluded from every total (see EXTRA)
         "queries_extra": extra,
