@@ -186,7 +186,7 @@ def psf_photometry(
     detections: DataFrame,
     psf_stars: DataFrame,
     cut_half: int = 8,
-    n_iters: int = 2,
+    n_iters: int = 5,
     fwhm: float = 4.5,
 ) -> DataFrame:
     """Empirical-PSF photometry per epoch (grouped applyInPandas).
@@ -196,13 +196,24 @@ def psf_photometry(
     fallback for the frame at large (stars whose annulus is empty keep
     the global level). PSF model: median of background-subtracted,
     peak-normalized cutouts of the selected PSF stars (the EPSFBuilder
-    essence, core.py:384-414). Per star: flux = argmin
-    ||cut - f·PSF(shifted)||² (closed-form linear fit), iterating
-    brightest-first with subtraction so neighbors don't bias faint stars
-    (core.py:416-452's iterative scheme). Returns PHOT_SCHEMA rows;
-    x_fit/y_fit from moment recentroid of the residual-free cutout;
-    bkg_local/resid_rms are the per-star diagnostics the reference's
-    residual sink consumes (core.py:454-484)."""
+    essence, core.py:384-414).
+
+    Fitting follows the reference's IterativelySubtractedPSFPhotometry
+    configuration (core.py:440-449): ``niters=5`` rounds, with stars
+    first grouped DAOGroup-style (core.py:440, ``DAOGroup(2*fwhm)``) —
+    connected components under pairwise separation <= 2*fwhm. Isolated
+    stars get the closed-form single-source fit flux = argmin
+    ||cut - f·PSF||²; blended groups get ONE simultaneous linear
+    least-squares solve over the union of their cutout footprints (the
+    design matrix has one shifted-PSF column per member), with a
+    deterministic active-set retreat on non-positive fluxes — the
+    LevMar-free equivalent of fitting the compound model. Each round
+    subtracts fitted models from the work image so later (fainter)
+    rounds fit on neighbor-cleaned pixels (core.py:447's iterative
+    subtraction). Returns PHOT_SCHEMA rows; x_fit/y_fit from moment
+    recentroid of the neighbor-subtracted cutout; bkg_local/resid_rms
+    are the per-star diagnostics the reference's residual sink consumes
+    (core.py:454-484)."""
     stk = stacked.select("epoch_id", "width", "height", "pixels")
     dets = detections.select("epoch_id", "id", "xcentroid", "ycentroid", "flux") \
                      .withColumnRenamed("flux", "flux_0")
@@ -249,34 +260,122 @@ def psf_photometry(
         psf /= psf.sum()
 
         stars = sorted(row["stars"], key=lambda s: -(s["flux_0"] or 0))
+        denom = float((psf * psf).sum())
+        P = 2 * ch + 1
+
+        def recentroid(cut, ix, iy, s):
+            cc = np.clip(cut, 0, None)
+            tot = cc.sum()
+            yy, xx = np.mgrid[iy - ch: iy + ch + 1, ix - ch: ix + ch + 1]
+            xfit = float((xx * cc).sum() / tot) if tot > 0 else s["xcentroid"]
+            yfit = float((yy * cc).sum() / tot) if tot > 0 else s["ycentroid"]
+            return xfit, yfit
+
+        def emit(s, xfit, yfit, fhat, resid, it):
+            return {"id": s["id"], "x_0": s["xcentroid"], "x_fit": xfit,
+                    "y_0": s["ycentroid"], "y_fit": yfit,
+                    "flux_fit": fhat,
+                    "flux_unc": float(np.sqrt(
+                        np.clip((resid ** 2).sum(), 0, None) / denom)),
+                    "iter_detected": it,
+                    "bkg_local": bkg_by_id.get(s["id"], sky),
+                    "resid_rms": float(np.sqrt((resid ** 2).mean()))}
+
+        def components(members):
+            """DAOGroup(2*fwhm) semantics (core.py:440): connected
+            components under pairwise separation <= 2*fwhm."""
+            crit = 2.0 * fwhm
+            parent = list(range(len(members)))
+
+            def find(i):
+                while parent[i] != i:
+                    parent[i] = parent[parent[i]]
+                    i = parent[i]
+                return i
+
+            for i in range(len(members)):
+                xi, yi = members[i][0]["xcentroid"], members[i][0]["ycentroid"]
+                for j in range(i + 1, len(members)):
+                    xj, yj = members[j][0]["xcentroid"], members[j][0]["ycentroid"]
+                    if (xi - xj) ** 2 + (yi - yj) ** 2 <= crit * crit:
+                        parent[find(i)] = find(j)
+            groups: dict[int, list] = {}
+            for i, m in enumerate(members):
+                groups.setdefault(find(i), []).append(m)
+            return list(groups.values())
+
+        def fit_group(work, grp, it, out):
+            """Simultaneous linear LSQ over the union of the group's
+            cutout footprints: one shifted-PSF design column per member
+            (the DAOGroup compound-model fit, core.py:440). Non-positive
+            fluxes retreat from the active set deterministically and
+            stay unfit this round (a later round retries them on the
+            neighbor-subtracted image)."""
+            y0 = min(iy for _, _, iy in grp) - ch
+            y1 = max(iy for _, _, iy in grp) + ch + 1
+            x0 = min(ix for _, ix, _ in grp) - ch
+            x1 = max(ix for _, ix, _ in grp) + ch + 1
+            cols = np.zeros((len(grp), y1 - y0, x1 - x0))
+            mask = np.zeros((y1 - y0, x1 - x0), dtype=bool)
+            for j, (_, ix, iy) in enumerate(grp):
+                sy, sx = iy - ch - y0, ix - ch - x0
+                cols[j, sy:sy + P, sx:sx + P] = psf
+                mask[sy:sy + P, sx:sx + P] = True
+            box = work[y0:y1, x0:x1]
+            b = box[mask]
+            A = cols[:, mask].T  # (n_pix, k)
+            active = list(range(len(grp)))
+            flux = np.zeros(len(grp))
+            while active:
+                f, *_ = np.linalg.lstsq(A[:, active], b, rcond=None)
+                if (f > 0).all():
+                    for i, v in zip(active, f):
+                        flux[i] = float(v)
+                    break
+                active = [i for i, v in zip(active, f) if v > 0]
+            if not active:
+                return
+            model = np.tensordot(flux, cols, axes=1)
+            resid_box = box - model
+            work[y0:y1, x0:x1][mask] = resid_box[mask]
+            for j in active:
+                s, ix, iy = grp[j]
+                sy, sx = iy - ch - y0, ix - ch - x0
+                resid = resid_box[sy:sy + P, sx:sx + P]
+                # recentroid on the star's OWN model + local residual —
+                # i.e. the cutout with the other members subtracted
+                own = resid + flux[j] * psf
+                xfit, yfit = recentroid(own, ix, iy, s)
+                out.append(emit(s, xfit, yfit, float(flux[j]), resid, it))
+
         work = sub.copy()
         out = []
         for it in range(n_iters):
+            done = {o["id"] for o in out}
+            todo = []
             for s in stars:
-                if any(o["id"] == s["id"] for o in out):
+                if s["id"] in done:
                     continue
                 cut, ix, iy = cutout(work, s["xcentroid"], s["ycentroid"])
-                if cut is None:
+                if cut is not None:
+                    todo.append((s, ix, iy))
+            # brightest-first over groups (group brightness = brightest member)
+            groups = sorted(components(todo),
+                            key=lambda g: -max((m[0]["flux_0"] or 0) for m in g))
+            for grp in groups:
+                if len(grp) > 1:
+                    fit_group(work, grp, it, out)
                     continue
-                denom = float((psf * psf).sum())
+                s, ix, iy = grp[0]
+                cut = work[iy - ch: iy + ch + 1, ix - ch: ix + ch + 1]
                 fhat = float((cut * psf).sum() / denom)
                 if fhat <= 0:
                     continue
-                # recentroid on the model-scaled cutout
-                cc = np.clip(cut, 0, None)
-                tot = cc.sum()
-                yy, xx = np.mgrid[iy - ch: iy + ch + 1, ix - ch: ix + ch + 1]
-                xfit = float((xx * cc).sum() / tot) if tot > 0 else s["xcentroid"]
-                yfit = float((yy * cc).sum() / tot) if tot > 0 else s["ycentroid"]
+                # recentroid on the neighbor-subtracted cutout
+                xfit, yfit = recentroid(cut, ix, iy, s)
                 resid = cut - fhat * psf
-                unc = float(np.sqrt(np.clip((resid ** 2).sum(), 0, None) / denom))
                 work[iy - ch: iy + ch + 1, ix - ch: ix + ch + 1] = resid
-                out.append({"id": s["id"], "x_0": s["xcentroid"], "x_fit": xfit,
-                            "y_0": s["ycentroid"], "y_fit": yfit,
-                            "flux_fit": fhat, "flux_unc": unc,
-                            "iter_detected": it,
-                            "bkg_local": bkg_by_id.get(s["id"], sky),
-                            "resid_rms": float(np.sqrt((resid ** 2).mean()))})
+                out.append(emit(s, xfit, yfit, fhat, resid, it))
         res = pd.DataFrame(out)
         res["epoch_id"] = int(row["epoch_id"])
         return res[[f.name for f in PHOT_SCHEMA]]

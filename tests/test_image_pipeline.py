@@ -135,6 +135,51 @@ def test_pipeline_photometry_end_to_end(spark, fixture):
     assert total > 0 and ok / total > 0.8, f"{ok}/{total} fluxes recovered"
 
 
+def test_blended_pair_simultaneous_fit(spark):
+    """Reference core.py:440 DAOGroup semantics: two stars planted at
+    1.5*FWHM separation (inside the 2*FWHM critical distance, so one
+    group) must BOTH recover their fluxes — the simultaneous compound
+    fit the brightest-first-subtract scheme alone gets wrong, because
+    each single-source fit absorbs part of its neighbor's flux."""
+    from telescope_data_pipeline_spark.operators.photometry import psf_photometry
+
+    h = w = 128
+    sigma = STAR_SIGMA
+    fwhm = sigma * GAUSSIAN_SIGMA_TO_FWHM
+    yy, xx = np.mgrid[0:h, 0:w]
+
+    def gauss(x, y, flux):
+        return flux / (2 * np.pi * sigma**2) * np.exp(
+            -((xx - x) ** 2 + (yy - y) ** 2) / (2 * sigma**2))
+
+    refs = [(30.0, 30.0, 8000.0), (90.0, 30.0, 6000.0), (30.0, 90.0, 7000.0)]
+    sep = 1.5 * fwhm  # ~6.4 px: blended, below the 2*FWHM grouping radius
+    pair = [(80.0, 90.0, 9000.0), (80.0 + sep, 90.0, 4000.0)]
+    img = np.zeros((h, w))
+    for x, y, f in refs + pair:
+        img += gauss(x, y, f)
+
+    stacked = spark.createDataFrame(
+        [(1, w, h, [float(v) for v in img.ravel()])],
+        "epoch_id int, width int, height int, pixels array<double>")
+    detections = spark.createDataFrame(
+        [(1, i, x, y, f) for i, (x, y, f) in enumerate(refs + pair)],
+        "epoch_id int, id long, xcentroid double, ycentroid double, flux double")
+    psf_stars = spark.createDataFrame(
+        [(1, x, y) for x, y, _ in refs], "epoch_id int, x double, y double")
+
+    phot = (psf_photometry(stacked, detections, psf_stars, fwhm=fwhm)
+            .toPandas().set_index("id"))
+    for i, (x, y, f) in enumerate(pair, start=len(refs)):
+        assert i in phot.index, f"blended star {i} not fit at all"
+        rec = phot.loc[i]
+        assert abs(rec.flux_fit - f) / f < 0.15, (i, rec.flux_fit, f)
+        assert abs(rec.x_fit - x) < 1.0 and abs(rec.y_fit - y) < 1.0
+    # the isolated references stay on the singleton path and recover too
+    for i, (x, y, f) in enumerate(refs):
+        assert abs(phot.loc[i].flux_fit - f) / f < 0.10
+
+
 def test_local_background_beats_global_on_gradient():
     """Reference core.py:344-382 semantics: on a gradient background the
     per-star annulus median removes the LOCAL level, so aperture flux
