@@ -99,6 +99,51 @@ def solve_wcs(
     return top.groupBy("epoch_id").applyInPandas(kernel, schema=WCS_SCHEMA)
 
 
+def solve_wcs_cached(
+    spark,
+    detections: DataFrame,
+    cache_path: str,
+    solver: Callable[[list[float], list[float]], dict] = fake_solver,
+    **solve_kwargs,
+) -> DataFrame:
+    """Idempotent WCS solve against a parquet cache table (the
+    cache-and-re-join design SURVEY.md §7 #4 calls for — the external
+    service is slow, rate-limited and paid-per-call, so an epoch must
+    never be re-submitted once solved).
+
+    Epochs already present in the cache with ``solved=true`` are
+    anti-joined out before the service is called; fresh SOLVED results
+    are appended to the cache (failures are returned but NOT cached, so
+    the next run retries them); the return value is the full cache
+    union fresh-failures — the per-epoch WCS dim table ``pixel_to_sky``
+    broadcasts. The solver seam is unchanged: pass
+    ``make_nova_solver(api_key)`` (operators/astrometry_client.py) for
+    the real astrometry.net transport, or leave the deterministic fake.
+    """
+    try:
+        cached = spark.read.parquet(cache_path)
+        have_cache = True
+    except Exception:  # first run: no cache table yet
+        cached = spark.createDataFrame([], WCS_SCHEMA)
+        have_cache = False
+
+    todo = detections.join(
+        cached.filter(F.col("solved")).select("epoch_id").distinct(),
+        "epoch_id", "left_anti")
+    # materialize EXACTLY ONE execution of the external-service stage:
+    # reusing the lazy plan across write + filters would re-invoke the
+    # paid solver per consumer. One row per epoch — bounded driver state.
+    rows = solve_wcs(todo, solver=solver, **solve_kwargs).collect()
+    fresh = spark.createDataFrame(rows, WCS_SCHEMA)
+    solved_new = fresh.filter(F.col("solved"))
+    if rows and any(r["solved"] for r in rows):
+        solved_new.write.mode("append").parquet(cache_path)
+        have_cache = True
+    failures = fresh.filter(~F.col("solved"))
+    base = spark.read.parquet(cache_path) if have_cache else cached
+    return base.unionByName(failures)
+
+
 def pixel_to_sky(detections: DataFrame, wcs: DataFrame,
                  ref_px: float = 64.0) -> DataFrame:
     """(x, y) → (ra, dec) via the solved tangent-plane WCS (reference
