@@ -161,18 +161,15 @@ def pixel_to_sky(detections: DataFrame, wcs: DataFrame,
     )
 
 
-@F.pandas_udf(T.DoubleType())
-def barycentric_jd(jd_utc: pd.Series, ra_deg: pd.Series,
-                   dec_deg: pd.Series) -> pd.Series:
-    """JD → BJD light-travel-time correction (Romer delay), circular
-    Earth-orbit approximation: Δt = (a/c)·cos(β)·cos(λ_sun - λ) with
-    ecliptic target coords — textbook formula, ~±2 s vs full ephemeris.
-    Reference delegates to saphires ``brvc`` (p_io.py:55)."""
+def _approx_bjd(jd: np.ndarray, ra: np.ndarray, dec: np.ndarray) -> np.ndarray:
+    """Romer delay, circular Earth-orbit approximation:
+    Δt = (a/c)·cos(β)·cos(λ_sun - λ) with ecliptic target coords —
+    textbook formula, ~±2 s vs full ephemeris. Returns BJD on the UTC
+    timeline (jd_utc + delay)."""
     AU_C_DAYS = 499.00478 / 86400.0          # light time for 1 au, days
     EPS = math.radians(23.4393)              # obliquity
-    jd = jd_utc.to_numpy(dtype=np.float64)
-    ra = np.radians(ra_deg.to_numpy(dtype=np.float64))
-    dec = np.radians(dec_deg.to_numpy(dtype=np.float64))
+    ra = np.radians(ra)
+    dec = np.radians(dec)
     # ecliptic coords of target
     sinb = np.sin(dec) * math.cos(EPS) - np.cos(dec) * math.sin(EPS) * np.sin(ra)
     beta = np.arcsin(sinb)
@@ -182,4 +179,53 @@ def barycentric_jd(jd_utc: pd.Series, ra_deg: pd.Series,
     n = jd - 2451545.0
     lam_sun = np.radians((280.460 + 0.9856474 * n) % 360.0)
     delay = AU_C_DAYS * np.cos(beta) * np.cos(lam_sun - lam)
-    return pd.Series(jd + delay)
+    return jd + delay
+
+
+def _exact_bjd(jd: np.ndarray, ra: np.ndarray, dec: np.ndarray) -> np.ndarray:
+    """Full-ephemeris barycentric light-travel time via astropy
+    (Time.light_travel_time with the built-in solar-system ephemeris) —
+    the saphires-grade correction the reference gets from ``brvc``
+    (p_io.py:55). Geocentric observer (observatory-vs-geocenter differs
+    by <21 ms); returned on the UTC timeline like :func:`_approx_bjd`
+    so the two paths are directly interchangeable (BJD_TDB = add the
+    TDB-UTC scale shift, ~69 s, a separate concern)."""
+    import astropy.units as u
+    from astropy.coordinates import EarthLocation, SkyCoord
+    from astropy.time import Time
+
+    loc = EarthLocation.from_geocentric(0 * u.m, 0 * u.m, 0 * u.m)
+    t = Time(jd, format="jd", scale="utc", location=loc)
+    sc = SkyCoord(ra=ra * u.deg, dec=dec * u.deg)
+    ltt = t.light_travel_time(sc, kind="barycentric")
+    return np.asarray((t + ltt).jd, dtype=np.float64)
+
+
+@F.pandas_udf(T.DoubleType())
+def barycentric_jd(jd_utc: pd.Series, ra_deg: pd.Series,
+                   dec_deg: pd.Series) -> pd.Series:
+    """JD → BJD light-travel-time correction. Reference delegates to
+    saphires ``brvc`` (p_io.py:55); here the circular-orbit
+    approximation (±2 s) — see :func:`barycentric_jd_exact` for the
+    astropy-ephemeris dispatch."""
+    return pd.Series(_approx_bjd(jd_utc.to_numpy(dtype=np.float64),
+                                 ra_deg.to_numpy(dtype=np.float64),
+                                 dec_deg.to_numpy(dtype=np.float64)))
+
+
+@F.pandas_udf(T.DoubleType())
+def barycentric_jd_exact(jd_utc: pd.Series, ra_deg: pd.Series,
+                         dec_deg: pd.Series) -> pd.Series:
+    """Exact-ephemeris BJD when astropy is installed (the same
+    codec-dispatch pattern as sources/fits.py: real library when
+    present, deterministic approximation otherwise). Each Arrow batch
+    dispatches on the EXECUTOR, so a heterogeneous cluster degrades
+    per-node rather than failing the job."""
+    jd = jd_utc.to_numpy(dtype=np.float64)
+    ra = ra_deg.to_numpy(dtype=np.float64)
+    dec = dec_deg.to_numpy(dtype=np.float64)
+    try:
+        import astropy  # noqa: F401  pragma: no cover (absent here)
+    except ImportError:
+        return pd.Series(_approx_bjd(jd, ra, dec))
+    return pd.Series(_exact_bjd(jd, ra, dec))

@@ -143,6 +143,53 @@ def test_barycentric_jd_bounds(spark):
     assert out.max() - out.min() > 100  # seasonal variation visible
 
 
+def test_barycentric_jd_exact_falls_back_without_astropy(spark):
+    """Codec-dispatch contract: in an environment without astropy the
+    exact UDF must return the approximation bit-for-bit (and with
+    astropy installed it returns the ephemeris value — the parity test
+    below). Runs in both environments."""
+    from telescope_data_pipeline_spark.operators.external import (
+        barycentric_jd_exact,
+    )
+
+    df = spark.createDataFrame(
+        [(2460300.5 + 90 * k, 30.0 * k, -20.0 + 10 * k) for k in range(4)],
+        "jd double, ra double, dec double")
+    both = df.select(
+        barycentric_jd("jd", "ra", "dec").alias("approx"),
+        barycentric_jd_exact("jd", "ra", "dec").alias("exact")).toPandas()
+    try:
+        import astropy  # noqa: F401
+        has_astropy = True
+    except ImportError:
+        has_astropy = False
+    if has_astropy:
+        # exact vs approx bounded by the approximation's stated error
+        assert ((both.exact - both.approx).abs() * 86400.0 <= 2.5).all()
+    else:
+        assert (both.exact == both.approx).all()
+
+
+def test_barycentric_exact_parity_with_astropy():
+    """saphires-grade check (reference p_io.py:55): the full-ephemeris
+    light-travel time and the circular-orbit approximation must agree
+    within the approximation's ±2 s error bound across sky positions
+    and seasons. Skipped where astropy is absent (this container)."""
+    pytest.importorskip("astropy")
+    import numpy as np
+
+    from telescope_data_pipeline_spark.operators.external import (
+        _approx_bjd,
+        _exact_bjd,
+    )
+
+    jd = np.array([2460300.5 + 61 * k for k in range(6)] * 3)
+    ra = np.array([10.0, 120.0, 250.0] * 6)
+    dec = np.array([-45.0, 0.0, 60.0] * 6)
+    delta_s = np.abs(_exact_bjd(jd, ra, dec) - _approx_bjd(jd, ra, dec)) * 86400.0
+    assert (delta_s <= 2.5).all(), delta_s.max()
+
+
 def test_lightcurve_csv_roundtrip_and_positive_flux(spark):
     rows = [("set1", 1, 2460300.5, 1000.0, 10.0, -7.5, 0.0109, "V",
              10.0, 20.0, 1.2, 150.0, 2.0),
