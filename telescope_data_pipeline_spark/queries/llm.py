@@ -503,15 +503,39 @@ def q_fingerprint_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_sample_stratified", oracle=None)  # seeded sampler: rows-only check
+@query("q_sample_stratified", oracle=r"""
+WITH s AS (
+  SELECT lang, n_chars FROM documents
+  WHERE md5(concat('strat:', CAST(doc_id AS VARCHAR))) <
+        CASE lang WHEN 'en' THEN 'e6666666666668000000000000000000'
+                  WHEN 'fr' THEN '80000000000000000000000000000000'
+                  WHEN 'es' THEN '80000000000000000000000000000000'
+                  WHEN 'de' THEN '80000000000000000000000000000000'
+                  WHEN 'zh' THEN '33333333333334000000000000000000'
+                  ELSE '00000000000000000000000000000000' END
+)
+SELECT lang, COUNT(*) AS n_sampled, ROUND(AVG(n_chars), 2) AS avg_chars
+FROM s GROUP BY lang
+""")
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified sampling for training-mix composition: per-language
-    fractions via sampleBy (upsample en, downsample zh) — the data-mix
-    step of a pretraining pipeline. Seeded and deterministic within
-    Spark; no SQL oracle (sampler RNG is engine-specific)."""
-    d = load_table(spark, sf_dir, "documents")
+    keep fractions (upsample en, downsample zh; unlisted languages
+    dropped, like sampleBy with a missing stratum). The Bernoulli draw
+    is the md5-threshold form of operators/mixing.py (the
+    q_split_assign/q_mix_corpus_hash pattern) on a SALTED key, so the
+    draw is independent of the corpus-mix query's, deterministic,
+    content-addressed, and engine-portable — which is what promotes
+    this from a rows-only check to a full DuckDB oracle (engine RNG
+    sampleBy can never hash-match another engine). Map-only: one scan,
+    one filter, one map-side-combined groupBy."""
+    from ..operators.mixing import mix_by_hash
+
+    d = (load_table(spark, sf_dir, "documents")
+         .select(F.concat(F.lit("strat:"), F.col("doc_id").cast("string"))
+                 .alias("skey"), "lang", "n_chars"))
     fractions = {"en": 0.9, "fr": 0.5, "es": 0.5, "de": 0.5, "zh": 0.2}
-    sampled = d.sampleBy("lang", fractions=fractions, seed=42)
+    sampled = mix_by_hash(d, "skey", "lang", fractions=fractions,
+                          default_fraction=0.0)
     return (sampled.groupBy("lang")
             .agg(F.count(F.lit(1)).alias("n_sampled"),
                  F.round(F.avg("n_chars"), 2).alias("avg_chars")))
@@ -960,8 +984,28 @@ def q_mix_corpus_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
                        fractions={"en": 0.5}, default_fraction=0.25)
 
 
-@query("q_pack_greedy", oracle=None)  # sequential greedy: golden-tested,
-# the recursive-CTE SQL form is quadratic in DuckDB (rows-only check)
+@query("q_pack_greedy", oracle=r"""
+WITH RECURSIVE t AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(text, '\s+'), x -> x != ''))
+           AS n_tok,
+         ROW_NUMBER() OVER (ORDER BY doc_id) AS rk
+  FROM documents
+), r AS (
+  SELECT rk, doc_id, n_tok,
+         CAST(0 AS BIGINT) AS win, CAST(0 AS BIGINT) AS off,
+         CAST(n_tok AS BIGINT) AS fill
+  FROM t WHERE rk = 1
+  UNION ALL
+  SELECT t.rk, t.doc_id, t.n_tok,
+         CASE WHEN r.fill + t.n_tok > 512 THEN r.win + 1 ELSE r.win END,
+         CASE WHEN r.fill + t.n_tok > 512 THEN CAST(0 AS BIGINT) ELSE r.fill END,
+         CASE WHEN r.fill + t.n_tok > 512 THEN CAST(t.n_tok AS BIGINT)
+              ELSE r.fill + t.n_tok END
+  FROM r JOIN t ON t.rk = r.rk + 1
+)
+SELECT doc_id, CAST(n_tok AS INT) AS n_tok, win, off FROM r
+""")
 def q_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """No-straddle greedy packing (operators/packing.py): documents
     never split across context windows; one that doesn't fit starts a
@@ -970,8 +1014,11 @@ def q_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows to shards, costing <= half a window of padding per shard
     boundary) and offsets window ids by an exact driver fold over shard
     window counts. Demoed single-shard so the output equals the pure
-    sequential fold, which tests/test_training_data_ops.py pins against
-    a reference implementation at every shard count."""
+    sequential fold — which is exactly what the oracle's recursive CTE
+    computes row-by-row (value-pinned num_partitions=1 makes the fold
+    SQL-expressible; fine at oracle scale, quadratic-ish in DuckDB so
+    never the scale path). tests/test_training_data_ops.py additionally
+    pins every shard count against a reference fold."""
     from ..operators.packing import pack_greedy
 
     d = load_table(spark, sf_dir, "documents")
