@@ -956,9 +956,19 @@ def q_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix = ranked.filter(
         F.col("r") <= F.col("m") - F.floor((4 * F.col("m") + 4) / 5) + 1)
     pa, pb = prefix.alias("pa"), prefix.alias("pb")
+    ma, mb = F.col("pa.m"), F.col("pb.m")
+    # PPJoin+ prunes BEFORE the distinct/verify, both lossless at t=4/5:
+    # size filter t|a| <= |b| <= |a|/t (J>=t forces comparable sizes),
+    # and the positional upper bound 1 + min(m_a - r_a, m_b - r_b) >=
+    # ceil(t/(1+t)(m_a+m_b)) = ceil(4(m_a+m_b)/9) — tokens after the
+    # shared prefix position can contribute at most that much overlap
+    # (Xiao et al. 2008 §3.2). All-integer arithmetic throughout.
     cand = (
         pa.join(pb, (F.col("pb.g") == F.col("pa.g"))
-                & (F.col("pb.doc_id") > F.col("pa.doc_id")))
+                & (F.col("pb.doc_id") > F.col("pa.doc_id"))
+                & (4 * mb <= 5 * ma) & (4 * ma <= 5 * mb)
+                & (F.least(ma - F.col("pa.r"), mb - F.col("pb.r")) + 1
+                   >= F.floor((4 * (ma + mb) + 8) / 9)))
         .select(F.col("pa.doc_id").alias("doc_a"),
                 F.col("pb.doc_id").alias("doc_b"))
         .distinct()
