@@ -1976,3 +1976,85 @@ def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("cid", "pos",
                       (F.col("centroid_val") + 0.0).alias("centroid_val"),
                       "n_members")
+
+
+# ---------------------------------------------------------------------------
+# DSIR: importance resampling weights from hashed n-gram features
+# ---------------------------------------------------------------------------
+
+@query("q_dsir", oracle=r"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         UNNEST(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> x != '')) AS tok
+  FROM documents
+), b AS (
+  SELECT doc_id, lang, substring(md5(tok), 1, 2) AS bkt FROM toks
+), tgt AS (
+  SELECT bkt, COUNT(*) AS ct FROM b WHERE lang = 'en' GROUP BY bkt
+), raw AS (
+  SELECT bkt, COUNT(*) AS cr FROM b GROUP BY bkt
+), nt AS (SELECT SUM(ct) AS n FROM tgt),
+nr AS (SELECT SUM(cr) AS n FROM raw),
+ratio AS (
+  SELECT r.bkt,
+         CAST(ROUND((LN((COALESCE(t.ct, 0) + 1.0) / (nt.n + 256.0))
+                     - LN((r.cr + 1.0) / (nr.n + 256.0))) * 1e9, 0)
+              AS BIGINT) AS lr_nano
+  FROM raw r LEFT JOIN tgt t USING (bkt) CROSS JOIN nt CROSS JOIN nr
+)
+SELECT b.doc_id,
+       COUNT(*) AS n_tok,
+       ROUND(CAST(SUM(ratio.lr_nano) AS DOUBLE) / 1e9, 6) + 0.0 AS log_weight
+FROM b JOIN ratio USING (bkt)
+GROUP BY b.doc_id
+""")
+def q_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR (Xie et al. 2023, "Data Selection for Language Models via
+    Importance Resampling"): score every document by its hashed-n-gram
+    importance log-weight log p_target(doc) - log p_raw(doc), where
+    both distributions are bag-of-hashed-feature unigram models —
+    target estimated from the in-domain slice (here: lang='en' as the
+    stand-in target corpus), raw from the whole corpus, both add-one
+    smoothed over B=256 buckets. Documents are then selected by
+    Gumbel-top-k / threshold on log_weight + noise; the deterministic
+    weight table here is the expensive distributed part, and the draw
+    composes with q_weighted_sample's exponential-race trick.
+
+    Hashed features keep the model state BOUNDED at any corpus size:
+    the bucket is the first 2 hex chars of md5(token) (a string key —
+    no hex->int conversion, so the identical expression runs in any
+    engine), and the whole model is two 256-row tables. The per-bucket
+    log-ratio is quantized to integer NANO-units before the per-doc
+    sum — integer addition is exact and order-free, so float fold
+    order can never flip the 6th digit of a boundary-landing weight
+    (one sf0.1 doc did exactly that under 9-digit float re-anchoring).
+
+    Scale: two map-side-combined groupBys over the token stream build
+    the models; the 256-row ratio table broadcasts back onto the
+    stream; one groupBy(doc) finishes. Shuffle = |tokens| bucket keys
+    once + |docs| out. Nothing grows with vocabulary."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang",
+        F.explode(F.filter(F.split(F.lower("text"), _TOK),
+                           lambda x: x != "")).alias("tok"))
+    b = toks.select("doc_id", "lang",
+                    F.substring(F.md5("tok"), 1, 2).alias("bkt"))
+    tgt = (b.filter(F.col("lang") == "en")
+           .groupBy("bkt").agg(F.count(F.lit(1)).alias("ct")))
+    raw = b.groupBy("bkt").agg(F.count(F.lit(1)).alias("cr"))
+    nt = tgt.agg(F.sum("ct").cast("double").alias("n_t"))
+    nr = raw.agg(F.sum("cr").cast("double").alias("n_r"))
+    lr = (F.log((F.coalesce(F.col("ct"), F.lit(0)) + 1.0)
+                / (F.col("n_t") + 256.0))
+          - F.log((F.col("cr") + 1.0) / (F.col("n_r") + 256.0)))
+    ratio = (raw.join(tgt, "bkt", "left")
+             .crossJoin(F.broadcast(nt)).crossJoin(F.broadcast(nr))
+             .select("bkt",
+                     F.round(lr * 1e9, 0).cast("long").alias("lr_nano")))
+    return (b.join(F.broadcast(ratio), "bkt")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_tok"),
+                 (F.round(F.sum("lr_nano").cast("double") / 1e9, 6)
+                  + F.lit(0.0)).alias("log_weight")))

@@ -55,9 +55,10 @@ _REGISTRY: dict[str, Query] = {}
 #: queries (all re-verified by the local sf0.01+sf0.1 sweep every
 #: session) rotate back in round 7.
 #:
-#: ROUND-7 ROTATION NOTE: backfill first the six r3-green sit-outs
-#: that missed this window (q_text_redact, q_doc_chunks, q_zscore,
-#: q_topk_per_group, q_window_trim, q_union_distinct), then rotate
+#: ROUND-7 ROTATION NOTE: backfill first the r3-green sit-outs that
+#: missed this window (q_scan_json, q_sort, q_text_redact,
+#: q_doc_chunks, q_zscore, q_topk_per_group, q_window_trim,
+#: q_union_distinct), then rotate
 #: r4/r5-green family representatives (flagship, aggs, joins,
 #: photometry, dedup/similarity, packing/mixing, streaming-batch).
 PRIORITY: tuple[str, ...] = (
@@ -71,15 +72,15 @@ PRIORITY: tuple[str, ...] = (
     "q_quantile_norm", "q_random_projection", "q_sample_reservoir",
     "q_scd2_asof", "q_setsim_join", "q_skyline", "q_sparse_cosine",
     "q_triangle_count", "q_unpivot", "q_zorder_key",
-    # (b) first-time ORACLE evidence: promoted from rows-only this round
-    "q_sample_stratified", "q_pack_greedy",
+    # (b) first-time evidence: promoted from rows-only this round, and
+    # the two operators new this round (SemDeDup, DSIR)
+    "q_sample_stratified", "q_pack_greedy", "q_semdedup", "q_dsir",
     # (c) r3-green backfill: scalar/filter/scan family sit-outs
     "q_case_when", "q_cohort_retention", "q_color_index",
     "q_filter_range", "q_histogram", "q_json_extract",
     "q_partition_overwrite", "q_phase_fold", "q_posexplode",
     "q_project", "q_scalar_bits", "q_scalar_date2", "q_scalar_math",
-    "q_scalar_round", "q_scalar_string2", "q_scan_csv", "q_scan_json",
-    "q_sort",
+    "q_scalar_round", "q_scalar_string2", "q_scan_csv",
 )
 
 

@@ -1838,3 +1838,92 @@ def q_median_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tie at the 1e-6 boundary
     return (spark.createDataFrame([(med, e.count())], schema)
             .select(F.round("median_value", 6).alias("median_value"), "n"))
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic near-duplicate marking within k-means clusters
+# ---------------------------------------------------------------------------
+
+@query("q_semdedup", oracle=r"""
+WITH c AS (
+  SELECT vec_id AS cid,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+  FROM embeddings WHERE vec_id < 8
+), v0 AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), a AS (
+  SELECT v0.vec_id, c.cid, v0.v,
+         ROUND(list_sum(list_transform(range(1, len(v0.v) + 1),
+               i -> (v0.v[i] - c.cvec[i]) * (v0.v[i] - c.cvec[i]))), 6) AS d2
+  FROM v0 CROSS JOIN c
+), best AS (
+  SELECT vec_id, v, cid,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk
+  FROM a
+), m AS (
+  SELECT vec_id, cid, v,
+         sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+  FROM best WHERE rk = 1
+), dup AS (
+  SELECT DISTINCT b.vec_id
+  FROM m a JOIN m b ON a.cid = b.cid AND b.vec_id > a.vec_id
+                    AND a.nrm > 0 AND b.nrm > 0
+  WHERE ROUND(list_sum(list_transform(range(1, len(a.v) + 1),
+                                      i -> a.v[i] * b.v[i]))
+              / (a.nrm * b.nrm), 6) >= 0.3
+)
+SELECT m.vec_id, m.cid, (dup.vec_id IS NOT NULL) AS is_dup
+FROM m LEFT JOIN dup ON dup.vec_id = m.vec_id
+""")
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): cluster embeddings
+    with k-means (k=8, the deterministic first-k init q_kmeans_step
+    pins), then mark as duplicate every vector that has a SAME-CLUSTER
+    neighbor with cosine >= tau and a smaller vec_id — keep-one
+    semantics, the representative with the lowest id survives. tau=0.3
+    fits this synthetic table's similarity range (random-ish vectors,
+    max pairwise cosine ~0.51); web-scale text uses ~0.95+.
+
+    This is the semantic member of the dedup family: exact -> MinHash
+    (lexical near-dup) -> SimHash -> embedding near-dup (pairwise
+    threshold) -> SemDeDup (CLUSTER-scoped pairwise), and the reason it
+    scales is precisely the cluster scoping: pairwise cost drops from
+    O(n^2) to O(sum s_i^2), and k grows with the corpus (the paper runs
+    ~100k clusters) so cluster sizes stay bounded; each cluster's pair
+    enumeration is an equi-join on cid — no all-pairs anywhere.
+    Assignment reuses assign_clusters (broadcast centroids, rounded-d2
+    + cid-tiebreak argmin, so engines can never disagree on a cluster).
+
+    Determinism: d2 and cosine both rounded to 6 digits before any
+    comparison (the q_kmeans_step / q_weighted_sample argmin rule)."""
+    from ..operators.kmeans import assign_clusters
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = (e.filter(F.col("vec_id") < 8)
+            .select(F.col("vec_id").alias("cid"),
+                    F.col("embedding").alias("cvec")))
+    assigned = assign_clusters(e, cent)
+    sq = F.aggregate(
+        F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    v = (assigned.select(
+            "vec_id", "cid",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+         .withColumn("nrm", F.sqrt(sq)))
+    a, b = v.alias("a"), v.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x)
+    cos = F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 6)
+    # zero-norm vectors (undecodable/empty payloads in an edge corpus)
+    # have no defined cosine: they can never be duplicates, and the
+    # norm guard keeps ANSI mode from a divide-by-zero
+    dup = (a.join(b, (F.col("a.cid") == F.col("b.cid"))
+                  & (F.col("b.vec_id") > F.col("a.vec_id"))
+                  & (F.col("a.nrm") > 0) & (F.col("b.nrm") > 0))
+           .filter(cos >= 0.3)
+           .select(F.col("b.vec_id").alias("vec_id")).distinct())
+    return (v.join(dup.withColumn("is_dup", F.lit(True)), "vec_id", "left")
+            .select("vec_id", "cid",
+                    F.coalesce("is_dup", F.lit(False)).alias("is_dup")))

@@ -629,3 +629,40 @@ def test_oov_rate_broadcasts_vocab(spark):
     assert "TakeOrderedAndProject" in plan, plan
     assert "Exchange SinglePartition" not in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_semdedup_pairs_are_cluster_equijoin(spark):
+    """SemDeDup's within-cluster pair enumeration must plan as a HASH
+    join keyed on cid — never an unkeyed all-pairs join over the
+    vectors. The only nested-loop joins allowed are the k-row centroid
+    broadcast (the deliberate k-distances-per-vector expansion of
+    assign_clusters); the n x n pair join itself must be keyed."""
+    from telescope_data_pipeline_spark.plans.audit import physical_plan
+
+    df = get("q_semdedup").fn(spark, SF)
+    df.collect()
+    assert_plan(df, absent=("CartesianProduct",))
+    plan = physical_plan(df).split("== Initial Plan ==")[0]
+    # the pair join keys on cid via a hash join (SMJ/SHJ/BHJ all fine)
+    assert "cid" in plan
+    assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan), plan
+    # the only BNLJ inputs are the bounded k-row centroid broadcast —
+    # never two corpus-sized sides (a second unkeyed join would double
+    # the count: one per alias of the pair join)
+    assert plan.count("BroadcastNestedLoopJoin") <= 2, plan
+
+
+def test_dsir_model_broadcasts_onto_token_stream(spark):
+    """DSIR's 256-bucket ratio table must broadcast back onto the
+    exploded token stream as a hash equi-join on the bucket key (no
+    shuffle of the stream for the model join); the only nested-loop
+    joins are the two 1-row scalar-total broadcasts."""
+    from telescope_data_pipeline_spark.plans.audit import physical_plan
+
+    df = get("q_dsir").fn(spark, SF)
+    df.collect()
+    assert_plan(df, contains=("BroadcastHashJoin",),
+                absent=("CartesianProduct",))
+    plan = physical_plan(df).split("== Initial Plan ==")[0]
+    assert plan.count("BroadcastNestedLoopJoin") <= 2, plan
