@@ -106,6 +106,10 @@ CAPTURE = [
      "incremental MV merge: partial aggs both sides, union, |keys| final merge"),
     ("q_quantile_norm",
      "per-source percent rank: rank+count share ONE hash exchange"),
+    ("q_semdedup",
+     "SemDeDup: broadcast-centroid assignment, cid-keyed hash join for in-cluster pairs"),
+    ("q_dsir",
+     "DSIR: 256-bucket model broadcast onto token stream, integer nano-unit weight sum"),
 ]
 
 HEADER = """\
