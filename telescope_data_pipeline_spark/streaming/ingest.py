@@ -161,3 +161,141 @@ def compact_ingest_state(spark: SparkSession, accepted_dir: str,
     merged.write.mode("error").parquet(new_snap)
     shutil.rmtree(checkpoint_dir, ignore_errors=True)
     return new_snap
+
+
+# ---------------------------------------------------------------------------
+# Near-duplicate (MinHash-LSH) streaming ingestion
+# ---------------------------------------------------------------------------
+
+def _band_rows(sh: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(id, band_idx, band_hash) LSH band rows for shingled docs —
+    the per-row zero-shuffle signature fold of operators/dedup.py."""
+    from ..operators.dedup import lsh_candidate_pairs  # noqa: F401  (doc link)
+    from ..operators.dedup import minhash_signatures
+
+    r = num_hashes // bands
+    sigs = minhash_signatures(sh, num_hashes=num_hashes)
+    return sigs.select(
+        "id",
+        F.posexplode(F.array(*[
+            F.xxhash64(F.concat_ws(",", F.transform(
+                F.slice("sig", b * r + 1, r), lambda x: x.cast("string"))))
+            for b in range(bands)
+        ])).alias("band_idx", "band_hash"))
+
+
+def load_band_index(spark: SparkSession, band_dir: str) -> DataFrame:
+    """All (band_idx, band_hash) rows accepted so far. Resolved at CALL
+    time — inside foreachBatch this runs per micro-batch, so unlike the
+    stream-static join (pinned file listing) every batch sees the bands
+    appended by earlier batches."""
+    batches = ([d for d in os.listdir(band_dir) if d.startswith("batch-")]
+               if os.path.isdir(band_dir) else [])
+    if not batches:
+        return spark.createDataFrame([], "band_idx int, band_hash long")
+    return spark.read.parquet(*[os.path.join(band_dir, d) for d in batches])
+
+
+def ingest_documents_neardup(
+    spark: SparkSession,
+    docs_dir: str,
+    accepted_dir: str,
+    band_dir: str,
+    checkpoint_dir: str,
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    max_files_per_trigger: int = 1,
+):
+    """Continuous NEAR-duplicate-free corpus ingestion: the MinHash-LSH
+    dedup family under Structured Streaming via ``foreachBatch``.
+
+    Exact-digest streaming dedup (:func:`ingest_documents`) misses
+    re-crawls with boilerplate edits; this job drops them. Per
+    micro-batch (a batch computation — LSH banding needs self- and
+    index-joins that pure streaming operators can't express):
+
+    1. quality gate (map-only, same expression as the batch pipeline);
+    2. shingle + MinHash + band hashes (zero-shuffle per-row folds);
+    3. docs sharing ANY band with the accepted-corpus band index are
+       dropped — the index stores 12-byte band rows, never text, and is
+       re-read each batch (so it GROWS with acceptances, unlike a
+       pinned stream-static join);
+    4. within-batch candidates verify by exact Jaccard on shingles
+       (keep the smallest doc_id of each near-dup pair);
+    5. accepted docs append under ``accepted_dir/batch-<id>`` and their
+       band rows under ``band_dir/batch-<id>``.
+
+    Exactly-once: both writes are per-batch directories created with
+    mode("error") behind an existence check, so a replayed batch (post-
+    crash restart re-runs the last uncommitted batch) skips cleanly —
+    the mv.py idempotent-merge pattern.
+
+    Precision note: an index hit is dropped WITHOUT Jaccard
+    verification (the index keeps bands only — at 100 TB shingle
+    arrays stay out of state by design; with r = num_hashes/bands = 4
+    rows per band a collision implies high estimated similarity).
+    Raise r for stricter precision, or persist shingle digests
+    alongside the index if exact verification against history is
+    required.
+
+    Returns the started StreamingQuery (availableNow trigger).
+    """
+    from ..operators.dedup import shingle
+
+    if num_hashes % bands:
+        raise ValueError(f"bands={bands} must divide num_hashes={num_hashes}")
+
+    stream = read_document_stream(spark, docs_dir,
+                                  max_files_per_trigger=max_files_per_trigger)
+
+    def _tick(batch: DataFrame, batch_id: int) -> None:
+        out_path = os.path.join(accepted_dir, f"batch-{batch_id}")
+        band_path = os.path.join(band_dir, f"batch-{batch_id}")
+        if os.path.exists(out_path):  # replayed batch: already committed
+            return
+        gated = (batch
+                 .withColumn("verdict", quality_verdict(F.col("text")))
+                 .filter(F.col("verdict") == "keep")
+                 .drop("verdict"))
+        sh = shingle(gated, "doc_id", "text", n=shingle_n)
+        banded = _band_rows(sh, num_hashes, bands)
+        # drop docs near-duplicating the accepted corpus (band index hit)
+        idx = load_band_index(spark, band_dir)
+        hit = (banded.join(idx, ["band_idx", "band_hash"], "left_semi")
+               .select(F.col("id").alias("doc_id")).distinct())
+        survivors = gated.join(hit, "doc_id", "left_anti")
+        # within-batch near-dups: LSH candidates + exact-Jaccard verify,
+        # keep the smallest doc_id of each verified pair
+        ssh = sh.join(hit.withColumnRenamed("doc_id", "id"), "id",
+                      "left_anti")
+        sbands = banded.join(hit.withColumnRenamed("doc_id", "id"), "id",
+                             "left_anti")
+        a = sbands.select(F.col("id").alias("id_a"), "band_idx", "band_hash")
+        b = sbands.select(F.col("id").alias("id_b"), "band_idx", "band_hash")
+        cand = (a.join(b, ["band_idx", "band_hash"])
+                .filter(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b").distinct())
+        sa = ssh.select(F.col("id").alias("id_a"),
+                        F.col("shingles").alias("sh_a"))
+        sb = ssh.select(F.col("id").alias("id_b"),
+                        F.col("shingles").alias("sh_b"))
+        inter = F.size(F.array_intersect("sh_a", "sh_b"))
+        union = F.size("sh_a") + F.size("sh_b") - inter
+        dups = (cand.join(sa, "id_a").join(sb, "id_b")
+                .filter(inter.cast("double") / union >= threshold)
+                .select(F.col("id_b").alias("doc_id")).distinct())
+        accepted = survivors.join(dups, "doc_id", "left_anti")
+        accepted.write.mode("error").parquet(out_path)
+        # bands of the accepted docs only — rejected docs must not
+        # poison the index against their own originals
+        (banded.join(accepted.select(F.col("doc_id").alias("id")), "id")
+         .select("band_idx", "band_hash")
+         .write.mode("error").parquet(band_path))
+
+    return (stream.writeStream
+            .foreachBatch(_tick)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())

@@ -507,3 +507,68 @@ def test_trending_terms_match_batch(spark, events_dir):
              .select(F.col("w.start"), F.col("w.end"), "term", "n"))
     expected = sorted(map(tuple, batch.collect()))
     assert got == expected and len(got) > 0
+
+
+def test_streaming_neardup_ingest_drops_edited_recrawls(spark, tmp_path):
+    """MinHash-LSH ingestion (streaming/ingest.py::ingest_documents_neardup):
+    an edited re-crawl (high Jaccard, different exact digest) must be
+    dropped — against the accepted band index across micro-batches AND
+    within a batch (exact-Jaccard verified, smallest id kept)."""
+    import pandas as pd
+
+    from telescope_data_pipeline_spark.streaming.ingest import (
+        ingest_documents_neardup,
+    )
+
+    docs_dir = tmp_path / "docs"
+    acc = tmp_path / "accepted"
+    bands = tmp_path / "bands"
+    cp = tmp_path / "cp"
+    docs_dir.mkdir()
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon " * 3)
+    other = ("red orange yellow green blue indigo violet umber ochre teal "
+             "crimson scarlet amber jade azure navy coral mauve plum rust " * 3)
+
+    def row(i, text):
+        return {"doc_id": i, "text": text, "lang": "en",
+                "source": "crawl", "n_chars": len(text)}
+
+    chunks = [
+        # batch 0: original + a WITHIN-batch near-dup + a gated short doc
+        [row(0, base), row(1, base + "tail"), row(2, "tiny doc")],
+        # batch 1: edited re-crawl of doc 0 (cross-batch, via band index)
+        # + a genuinely new doc
+        [row(5, base + "edited ending"), row(6, other)],
+        # batch 2: re-crawl of doc 6 + a new doc
+        [row(10, other + "appended"), row(11, base.replace(
+            "alpha beta gamma delta epsilon",
+            "one two three four five six seven eight nine ten"))],
+    ]
+    for c, rows in enumerate(chunks):
+        pd.DataFrame(rows).to_parquet(docs_dir / f"chunk{c}.parquet")
+
+    q = ingest_documents_neardup(
+        spark, str(docs_dir), str(acc), str(bands), str(cp),
+        num_hashes=16, bands=8, threshold=0.5)
+    assert q.awaitTermination(180), "near-dup ingestion did not drain"
+
+    got = {r.doc_id for r in
+           spark.read.parquet(str(acc) + "/batch-*").collect()}
+    # 0 kept; 1 dropped (within-batch near-dup); 2 gated; 5 dropped
+    # (index hit on 0's bands); 6 kept; 10 dropped (index hit on 6);
+    # 11 kept (edit changes ~1/4 of the text; still verify it differs)
+    assert got == {0, 6, 11}
+
+    # restart from the same checkpoint: no re-processing, no new dirs
+    import os
+    dirs_before = sorted(os.listdir(acc))
+    q2 = ingest_documents_neardup(
+        spark, str(docs_dir), str(acc), str(bands), str(cp),
+        num_hashes=16, bands=8, threshold=0.5)
+    assert q2.awaitTermination(120)
+    assert sorted(os.listdir(acc)) == dirs_before
+    got2 = {r.doc_id for r in
+            spark.read.parquet(str(acc) + "/batch-*").collect()}
+    assert got2 == got
