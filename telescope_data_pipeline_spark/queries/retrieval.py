@@ -1622,26 +1622,56 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: both metrics are exact integers.
 
     Scale: the window form trades the oracle's O(n^2) self-join for
-    ONE sort — but note Spark plans a partition-less window as
-    Exchange SinglePartition, so the sort is a single-partition
-    collapse, acceptable only because the skyline input should first
-    be shrunk by a distributed grid pre-filter: bucket (n_chars,
-    n_vocab) into a coarse grid, keep per-cell maxima plus cells not
-    dominated by another cell's max (a map-side prune that survives
-    100 TB), THEN run this window over the few survivors. At sf scale
-    the pre-filter would cost more than it saves, so it is documented
-    rather than applied here."""
+    ONE sort — but Spark plans a partition-less window as Exchange
+    SinglePartition, so the sort is a single-partition collapse. The
+    input is therefore shrunk FIRST by a LOSSLESS distributed grid
+    pre-filter: bucket both metrics into a GxG grid (bounds from a
+    1-row broadcast min/max aggregate — the q_pagerank scalar
+    pattern, no driver action), and drop every point whose cell has a
+    nonempty cell strictly north-east (any such point is strictly
+    dominated in both dims by construction of the bucket boundaries;
+    every true skyline point survives, and every false survivor is
+    still eliminated by a surviving skyline witness, so the window
+    over survivors is exact). The cell occupancy table is <= G^2 rows
+    — the only things that ever reach the single partition are grid
+    survivors, bounded by the frontier's thickness, not by |corpus|."""
+    G = 64
     d = load_table(spark, sf_dir, "documents")
     m = d.select(
         "doc_id", "n_chars",
         F.size(F.array_distinct(F.split(F.lower("text"), _TOK)))
         .alias("n_vocab"),
     )
+    stats = m.agg(F.min("n_chars").alias("x0"), F.max("n_chars").alias("x1"),
+                  F.min("n_vocab").alias("y0"), F.max("n_vocab").alias("y1"))
+
+    def bucket(c, lo, hi):
+        # degenerate range (all values equal) -> one bucket, no divide
+        return F.when(F.col(hi) == F.col(lo), F.lit(0)).otherwise(
+            F.least(F.floor((F.col(c) - F.col(lo)) * G
+                            / (F.col(hi) - F.col(lo))).cast("int"),
+                    F.lit(G - 1)))
+
+    g = (m.crossJoin(F.broadcast(stats))
+         .select("doc_id", "n_chars", "n_vocab",
+                 bucket("n_chars", "x0", "x1").alias("gx"),
+                 bucket("n_vocab", "y0", "y1").alias("gy")))
+    cells = g.groupBy("gx", "gy").agg(F.count(F.lit(1)).alias("_n")) \
+             .select("gx", "gy")
+    # cells with a nonempty strictly-NE cell: every point inside is
+    # strictly dominated. <= G^2 rows on both sides — the theta join is
+    # over the tiny occupancy table, never the corpus.
+    ne = cells.select(F.col("gx").alias("hx"), F.col("gy").alias("hy"))
+    dominated_cells = (cells.join(F.broadcast(ne),
+                                  (F.col("hx") > F.col("gx"))
+                                  & (F.col("hy") > F.col("gy")), "left_semi"))
+    survivors = g.join(F.broadcast(dominated_cells), ["gx", "gy"],
+                       "left_anti").drop("gx", "gy")
     over_longer = (W.orderBy(F.col("n_chars").desc())
                    .rangeBetween(W.unboundedPreceding, -1))
     over_equal = W.partitionBy("n_chars")
     return (
-        m.select(
+        survivors.select(
             "doc_id", "n_chars", "n_vocab",
             F.max("n_vocab").over(over_longer).alias("best_longer"),
             F.max("n_vocab").over(over_equal).alias("best_equal"),

