@@ -364,3 +364,48 @@ def q_join_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
                   max_dist=500.0, right_cols=["s_suppkey"], k=3)
     return out.select("c_custkey", "s_suppkey",
                       F.round("dist", 2).alias("dist"), "rank")
+
+
+@query("q_join_interval", oracle="""
+WITH e AS (
+  SELECT event_id AS err_id, epoch_us(ts) AS es,
+         epoch_us(ts) + 1200000000 AS ee
+  FROM events WHERE event_type = 'error' AND event_id < 5000
+), p AS (
+  SELECT event_id AS purch_id, epoch_us(ts) AS ps,
+         epoch_us(ts) + 1800000000 AS pe
+  FROM events WHERE event_type = 'purchase' AND event_id < 5000
+)
+SELECT err_id, purch_id, LEAST(ee, pe) - GREATEST(es, ps) AS overlap_us
+FROM e JOIN p ON es <= pe AND ps <= ee
+""")
+def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval overlap join (operators/interval_join.py): every error
+    window [ts, ts+20min] paired with every purchase session
+    [ts, ts+30min] it overlaps — incident attribution, the temporal
+    join neither an equi-join nor an as-of join expresses (as-of keeps
+    ONE most-recent match; this keeps ALL overlapping pairs).
+
+    The oracle is the direct theta join (bounded by the event_id
+    slice); the Spark plan is the bucketed rewrite — explode intervals
+    into covered 20-minute chunks, hash equi-join on the chunk id,
+    emit each pair only in the canonical bucket of max(starts) (dedup
+    by construction, no second shuffle), exact-predicate refine. Cost
+    is linear in exploded size; the plan contains no nested loop
+    (tests/test_plans.py). Overlap is reported in exact integer
+    microseconds — no float anywhere."""
+    from ..operators.interval_join import interval_overlap_join
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 5000)
+    us = F.unix_micros("ts")
+    e = (ev.filter(F.col("event_type") == "error")
+         .select(F.col("event_id").alias("err_id"), us.alias("es"),
+                 (us + 1_200_000_000).alias("ee")))
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .select(F.col("event_id").alias("purch_id"), us.alias("ps"),
+                 (us + 1_800_000_000).alias("pe")))
+    out = interval_overlap_join(e, p, "es", "ee", "ps", "pe",
+                                bucket_width=1_200_000_000)
+    return out.select(
+        "err_id", "purch_id",
+        (F.least("ee", "pe") - F.greatest("es", "ps")).alias("overlap_us"))

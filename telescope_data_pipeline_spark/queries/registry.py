@@ -56,7 +56,7 @@ _REGISTRY: dict[str, Query] = {}
 #: session) rotate back in round 7.
 #:
 #: ROUND-7 ROTATION NOTE: backfill first the r3-green sit-outs that
-#: missed this window (q_scan_json, q_sort, q_text_redact,
+#: missed this window (q_scan_csv, q_scan_json, q_sort, q_text_redact,
 #: q_doc_chunks, q_zscore, q_topk_per_group, q_window_trim,
 #: q_union_distinct), then rotate
 #: r4/r5-green family representatives (flagship, aggs, joins,
@@ -73,14 +73,15 @@ PRIORITY: tuple[str, ...] = (
     "q_scd2_asof", "q_setsim_join", "q_skyline", "q_sparse_cosine",
     "q_triangle_count", "q_unpivot", "q_zorder_key",
     # (b) first-time evidence: promoted from rows-only this round, and
-    # the two operators new this round (SemDeDup, DSIR)
+    # the operators new this round (SemDeDup, DSIR, interval join)
     "q_sample_stratified", "q_pack_greedy", "q_semdedup", "q_dsir",
+    "q_join_interval",
     # (c) r3-green backfill: scalar/filter/scan family sit-outs
     "q_case_when", "q_cohort_retention", "q_color_index",
     "q_filter_range", "q_histogram", "q_json_extract",
     "q_partition_overwrite", "q_phase_fold", "q_posexplode",
     "q_project", "q_scalar_bits", "q_scalar_date2", "q_scalar_math",
-    "q_scalar_round", "q_scalar_string2", "q_scan_csv",
+    "q_scalar_round", "q_scalar_string2",
 )
 
 

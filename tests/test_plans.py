@@ -674,3 +674,11 @@ def test_dsir_model_broadcasts_onto_token_stream(spark):
                 absent=("CartesianProduct",))
     plan = physical_plan(df).split("== Initial Plan ==")[0]
     assert plan.count("BroadcastNestedLoopJoin") <= 2, plan
+
+
+def test_interval_join_no_nested_loop(spark):
+    """The interval overlap join must be the bucketed hash equi-join —
+    the theta form would plan a nested loop over |L|x|R|."""
+    df = get("q_join_interval").fn(spark, SF)
+    df.collect()
+    assert_plan(df, absent=("CartesianProduct", "BroadcastNestedLoopJoin"))
