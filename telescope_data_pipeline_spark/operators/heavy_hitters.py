@@ -1,0 +1,73 @@
+"""Exact distributed heavy hitters: Misra-Gries candidates + rescue.
+
+"Which keys exceed phi = 1/k of the stream?" is trivial when the
+key-count table fits a shuffle (groupBy + HAVING) — but at 100 TB of
+tokens the full frequency table is itself enormous, and the point of a
+heavy-hitter operator is to never materialize it. The classical scale
+answer (Misra-Gries 1982; mergeable-summaries form Agarwal et al.
+2012):
+
+1. **per-partition Misra-Gries summaries** hold at most ``k`` counters
+   each, maintained in one pass (mapInPandas, bounded memory however
+   many distinct keys stream through). Guarantee: a key with partition
+   frequency f_p is kept with counter >= f_p - n_p/(k+1).
+2. **candidate union**: every globally heavy key (f > n/k) must be
+   locally over-threshold in at least one partition (else
+   f <= sum n_p/(k+1) = n/(k+1) < n/k), so the union of summary keys —
+   at most partitions*k rows — is a SUPERSET of the true answer.
+3. **exact rescue**: one more scan counts ONLY the candidates
+   (broadcast semi-join, map-side-combined groupBy over <= P*k keys),
+   and an integer-arithmetic threshold keeps the truly heavy ones.
+
+The result is EXACT (the sketch only prunes the candidate space, the
+way the Bloom two-tier dedup rescues its maybe-set), deterministic
+regardless of partitioning, and oracle-checkable against a direct
+GROUP BY / HAVING.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["heavy_hitters_exact"]
+
+
+def heavy_hitters_exact(df: DataFrame, key_col: str, k: int) -> DataFrame:
+    """Keys of ``df[key_col]`` with frequency strictly greater than
+    n/k, with exact counts: (``key_col``, ``c``). NULL keys are ignored
+    (SQL COUNT semantics). ``k`` bounds summary memory (k counters per
+    partition) and sets the threshold phi = 1/k.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    keys = df.select(F.col(key_col).cast("string").alias("k")) \
+             .filter(F.col("k").isNotNull())
+
+    def mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # One Misra-Gries summary per PARTITION (the iterator spans all
+        # of the partition's Arrow batches). Batched merge form: add the
+        # batch's value counts, then while over k entries subtract the
+        # (k+1)-th largest counter and drop the non-positive — the
+        # mergeable-summaries reduction with the same error bound.
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for key, c in pdf["k"].value_counts().items():
+                counters[key] = counters.get(key, 0) + int(c)
+            if len(counters) > k:
+                cut = sorted(counters.values(), reverse=True)[k]
+                counters = {key: c - cut for key, c in counters.items()
+                            if c - cut > 0}
+        yield pd.DataFrame({"k": list(counters.keys())})
+
+    cand = keys.mapInPandas(mg, schema="k string").distinct()
+    n = keys.agg(F.count(F.lit(1)).alias("n"))  # lazy 1-row broadcast
+    return (keys.join(F.broadcast(cand), "k", "left_semi")
+            .groupBy("k").agg(F.count(F.lit(1)).alias("c"))
+            .crossJoin(F.broadcast(n))
+            # integer arithmetic: c > n/k as c*k > n, no float division
+            .filter(F.col("c") * k > F.col("n"))
+            .select(F.col("k").alias(key_col), "c"))

@@ -2058,3 +2058,39 @@ def q_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_tok"),
                  (F.round(F.sum("lr_nano").cast("double") / 1e9, 6)
                   + F.lit(0.0)).alias("log_weight")))
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters: exact phi-frequent tokens via Misra-Gries + rescue
+# ---------------------------------------------------------------------------
+
+@query("q_heavy_hitters", oracle=r"""
+WITH toks AS (
+  SELECT UNNEST(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> x != '')) AS w
+  FROM documents
+), f AS (
+  SELECT w, COUNT(*) AS c FROM toks GROUP BY w
+), n AS (
+  SELECT COUNT(*) AS n FROM toks
+)
+SELECT f.w, f.c FROM f, n WHERE f.c * 40 > n.n
+""")
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phi-frequent tokens (phi = 1/40) over the corpus token
+    stream via operators/heavy_hitters.py: per-partition Misra-Gries
+    summaries (k counters, bounded memory at ANY vocabulary size) whose
+    union provably contains every globally heavy key, then an exact
+    rescue count of the candidates only — the full frequency table is
+    never materialized, which is the whole point at 100 TB (contrast
+    q_token_topk, which ranks the complete table). The sketch prunes,
+    the rescue makes it exact, so the DuckDB GROUP BY/HAVING oracle
+    must match bit-for-bit despite the partition-dependent candidate
+    set. Threshold compares c*k > n in integers — no division."""
+    from ..operators.heavy_hitters import heavy_hitters_exact
+
+    d = load_table(spark, sf_dir, "documents", spread=True)
+    toks = d.select(F.explode(
+        F.filter(F.split(F.lower("text"), _TOK),
+                 lambda x: x != "")).alias("w"))
+    return heavy_hitters_exact(toks, "w", k=40)

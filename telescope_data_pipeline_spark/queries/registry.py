@@ -56,7 +56,8 @@ _REGISTRY: dict[str, Query] = {}
 #: session) rotate back in round 7.
 #:
 #: ROUND-7 ROTATION NOTE: backfill first the r3-green sit-outs that
-#: missed this window (q_scan_csv, q_scan_json, q_sort, q_text_redact,
+#: missed this window (q_scalar_string2, q_scan_csv, q_scan_json,
+#: q_sort, q_text_redact,
 #: q_doc_chunks, q_zscore, q_topk_per_group, q_window_trim,
 #: q_union_distinct), then rotate
 #: r4/r5-green family representatives (flagship, aggs, joins,
@@ -75,13 +76,13 @@ PRIORITY: tuple[str, ...] = (
     # (b) first-time evidence: promoted from rows-only this round, and
     # the operators new this round (SemDeDup, DSIR, interval join)
     "q_sample_stratified", "q_pack_greedy", "q_semdedup", "q_dsir",
-    "q_join_interval",
+    "q_join_interval", "q_heavy_hitters",
     # (c) r3-green backfill: scalar/filter/scan family sit-outs
     "q_case_when", "q_cohort_retention", "q_color_index",
     "q_filter_range", "q_histogram", "q_json_extract",
     "q_partition_overwrite", "q_phase_fold", "q_posexplode",
     "q_project", "q_scalar_bits", "q_scalar_date2", "q_scalar_math",
-    "q_scalar_round", "q_scalar_string2",
+    "q_scalar_round",
 )
 
 

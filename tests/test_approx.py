@@ -174,3 +174,42 @@ def test_two_pass_median_recursion_path_exact(spark, monkeypatch):
                                              max_depth=12)
     want2 = df2.agg(F.percentile("v", F.lit(0.5))).first()[0]
     assert got2 == want2
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters (operators/heavy_hitters.py)
+# ---------------------------------------------------------------------------
+
+def test_heavy_hitters_exact_vs_bruteforce(spark):
+    """The MG-candidates + exact-rescue result must equal the direct
+    GROUP BY/HAVING answer on a skewed stream, for several k — the
+    sketch may only prune, never change the answer."""
+    from pyspark.sql import functions as F
+
+    from telescope_data_pipeline_spark.operators.heavy_hitters import (
+        heavy_hitters_exact,
+    )
+
+    # skewed: key i appears 2^(10-i) times, plus a long tail of singletons
+    rows = [(f"k{i}",) for i in range(10) for _ in range(2 ** (10 - i))]
+    rows += [(f"tail{j}",) for j in range(500)]
+    df = spark.createDataFrame(rows, "w string").repartition(16)
+    total = len(rows)
+    for k in (3, 8, 40):
+        got = {(r.w, r.c) for r in heavy_hitters_exact(df, "w", k).collect()}
+        want = {(r.w, r.c) for r in
+                df.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+                .filter(F.col("c") * k > total).collect()}
+        assert got == want, (k, got ^ want)
+
+
+def test_heavy_hitters_null_and_empty(spark):
+    from telescope_data_pipeline_spark.operators.heavy_hitters import (
+        heavy_hitters_exact,
+    )
+
+    df = spark.createDataFrame([("a",), (None,), ("a",), (None,)], "w string")
+    got = {(r.w, r.c) for r in heavy_hitters_exact(df, "w", 3).collect()}
+    assert got == {("a", 2)}  # NULLs ignored; 2*3 > 2 holds
+    empty = spark.createDataFrame([], "w string")
+    assert heavy_hitters_exact(empty, "w", 5).count() == 0
