@@ -110,6 +110,10 @@ CAPTURE = [
      "SemDeDup: broadcast-centroid assignment, cid-keyed hash join for in-cluster pairs"),
     ("q_dsir",
      "DSIR: 256-bucket model broadcast onto token stream, integer nano-unit weight sum"),
+    ("q_join_interval",
+     "interval overlap join: bucket equi-join candidates, canonical-bucket dedup, exact refine"),
+    ("q_heavy_hitters",
+     "heavy hitters: MG candidate semi-join + exact rescue count, no full frequency table"),
 ]
 
 HEADER = """\
