@@ -630,3 +630,69 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.lit(None).cast("string").alias("valid_to"),
                        F.lit(True).alias("is_current"))
     return closed.unionByName(fresh)
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average (step-function resample with interval splitting)
+# ---------------------------------------------------------------------------
+
+@query("q_time_weighted_avg", oracle="""
+WITH s AS (
+  SELECT event_type, epoch_us(ts) AS s,
+         LEAD(epoch_us(ts)) OVER (PARTITION BY event_type
+                                  ORDER BY epoch_us(ts), event_id) AS e,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS vc
+  FROM events WHERE value IS NOT NULL
+), seg AS (
+  SELECT * FROM s WHERE e IS NOT NULL AND e > s
+), x AS (
+  SELECT event_type, vc, s, e,
+         UNNEST(range(s // 3600000000, (e - 1) // 3600000000 + 1)) AS b
+  FROM seg
+)
+SELECT event_type, CAST(b AS BIGINT) AS hour_bucket,
+       CAST(SUM(LEAST(e, (b + 1) * 3600000000)
+                - GREATEST(s, b * 3600000000)) AS BIGINT) AS total_us,
+       ROUND((SUM(vc * (LEAST(e, (b + 1) * 3600000000)
+                        - GREATEST(s, b * 3600000000))) / 100.0)
+             / SUM(LEAST(e, (b + 1) * 3600000000)
+                   - GREATEST(s, b * 3600000000)), 6) + 0.0 AS twa
+FROM x GROUP BY event_type, b
+""")
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted hourly average per series: each event's value
+    holds until the series' next event (a step function), and segments
+    are SPLIT at hour boundaries so every bucket averages by covered
+    duration, not by sample count — the resampling semantics telemetry
+    and market data need when samples are irregular (a plain AVG
+    over-weights bursts; compare q_ohlc_bars, which picks endpoints,
+    and q_gap_fill, which forward-fills samples).
+
+    Exactness: values are 2-decimal, so the weighted sum runs on exact
+    BIGINT centi-value x microsecond products (the q_grouped_regression
+    integer-sufficient-statistics rule) — both engines divide the SAME
+    two exact integers, so one final ROUND(6) is bit-stable. Interval
+    splitting is integer `div` bucketing (the interval_join machinery:
+    explode covered hours, clamp to bucket edges); zero-length segments
+    are dropped before sequence() (which would DESCEND on e < s).
+
+    Scale: lead() is one window per series partition; the explode
+    multiplies rows only by hours-spanned (~1 for dense series); the
+    final groupBy partial-aggregates map-side. No joins at all."""
+    H = 3_600_000_000
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = W.partitionBy("event_type").orderBy("s", "event_id")
+    seg = (e.select("event_type", "event_id",
+                    F.unix_micros("ts").alias("s"),
+                    F.round(F.col("value") * 100, 0).cast("long").alias("vc"))
+           .withColumn("e", F.lead("s").over(w))
+           .filter(F.col("e").isNotNull() & (F.col("e") > F.col("s"))))
+    x = seg.withColumn(
+        "b", F.explode(F.sequence(F.expr(f"s div {H}"),
+                                  F.expr(f"(e - 1) div {H}"))))
+    dur = (F.least(F.col("e"), (F.col("b") + 1) * H)
+           - F.greatest(F.col("s"), F.col("b") * H))
+    return (x.groupBy("event_type", F.col("b").alias("hour_bucket"))
+            .agg(F.sum(dur).alias("total_us"),
+                 ((F.round((F.sum(F.col("vc") * dur) / 100.0)
+                           / F.sum(dur), 6)) + F.lit(0.0)).alias("twa")))
