@@ -255,3 +255,48 @@ def test_shingle_short_doc_yields_no_rows_not_crash(spark):
     out = {r.id: r.shingles for r in shingle(df, "doc_id", "text").collect()}
     assert set(out) == {3}
     assert "one two three" in out[3]
+
+
+def test_ivf_index_persisted_probe(spark, vecs, tmp_path):
+    """Persisted IVF index (operators/ivf_index.py): a full-width probe
+    (nprobe = n_centroids) over the on-disk layout must reproduce the
+    exact brute-force top-k, and the probe's scan must PARTITION-PRUNE
+    to the probed cells (the cell predicate in PartitionFilters, not a
+    post-scan filter)."""
+    from telescope_data_pipeline_spark.operators.ivf_index import (
+        ivf_index_probe,
+        ivf_index_write,
+    )
+    from telescope_data_pipeline_spark.operators.similarity import (
+        cosine,
+        train_centroids,
+    )
+    from telescope_data_pipeline_spark.plans.audit import formatted_plan
+
+    cents = train_centroids(vecs, n_centroids=8)
+    path = str(tmp_path / "ivf")
+    ivf_index_write(vecs, path, cents)
+
+    qv = vecs.filter(F.col("vec_id") == 0).first()["embedding"]
+
+    # exact when every cell is probed
+    got = [(r.cand_id, r.cosine) for r in
+           ivf_index_probe(spark, path, qv, nprobe=8, k=5,
+                           exclude_id=0).collect()]
+    brute = (vecs.filter(F.col("vec_id") != 0)
+             .select(F.col("vec_id").alias("cand_id"),
+                     F.round(cosine("embedding",
+                                    F.array(*[F.lit(float(x)) for x in qv])),
+                             6).alias("cosine"))
+             .orderBy(F.desc("cosine"), F.asc("cand_id")).limit(5).collect())
+    assert got == [(r.cand_id, r.cosine) for r in brute]
+
+    # narrow probe: partition pruning visible in the plan
+    narrow = ivf_index_probe(spark, path, qv, nprobe=2, k=5)
+    plan = formatted_plan(narrow)
+    assert "PartitionFilters" in plan
+    part = plan.split("PartitionFilters")[1][:300]
+    assert "cell" in part and "IN" in part, part
+    # and the narrow probe's candidates all come from probed cells:
+    # recall against full probe is structural, not asserted exactly
+    assert narrow.count() <= 5
