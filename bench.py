@@ -57,6 +57,12 @@ EXTRA = [
     "q_sparse_cosine",
     "q_pq_adc",
     "q_ivf_probe",
+    # round-6 additions (still informational, still excluded from totals)
+    "q_semdedup",
+    "q_dsir",
+    "q_heavy_hitters",
+    "q_join_interval",
+    "q_time_weighted_avg",
 ]
 
 

@@ -114,6 +114,8 @@ CAPTURE = [
      "interval overlap join: bucket equi-join candidates, canonical-bucket dedup, exact refine"),
     ("q_heavy_hitters",
      "heavy hitters: MG candidate semi-join + exact rescue count, no full frequency table"),
+    ("q_time_weighted_avg",
+     "time-weighted avg: lead segments, hour-split explode, integer-weighted map-side agg"),
 ]
 
 HEADER = """\
