@@ -21,6 +21,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -181,5 +182,79 @@ def sessionize_with_timeout(stream: DataFrame, gap: str = "5 minutes",
             stateStructType=SESSION_STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming heavy hitters: per-key Misra-Gries state
+# ---------------------------------------------------------------------------
+
+HH_STATE_SCHEMA = T.StructType([
+    T.StructField("items", T.ArrayType(T.StringType())),
+    T.StructField("counts", T.ArrayType(T.LongType())),
+    T.StructField("n", T.LongType()),
+])
+
+HH_OUTPUT_SCHEMA = T.StructType([
+    T.StructField("series", T.StringType()),
+    T.StructField("item", T.StringType()),
+    T.StructField("count_lower", T.LongType()),
+    T.StructField("n", T.LongType()),
+])
+
+
+def _make_hh_update(k: int):
+    def update(key, pdfs: "Iterator[pd.DataFrame]", state: GroupState):
+        if state.exists:
+            items, counts, n = state.get
+            counters = dict(zip(items, counts))
+        else:
+            counters, n = {}, 0
+        for pdf in pdfs:
+            vals = pdf["item"].dropna()
+            n += int(len(vals))
+            for item, c in vals.value_counts().items():
+                counters[item] = counters.get(item, 0) + int(c)
+            if len(counters) > k:
+                cut = sorted(counters.values(), reverse=True)[k]
+                counters = {i: c - cut for i, c in counters.items()
+                            if c - cut > 0}
+        state.update((list(counters.keys()),
+                      [int(c) for c in counters.values()], n))
+        yield pd.DataFrame(
+            [{"series": key[0], "item": i, "count_lower": c, "n": n}
+             for i, c in sorted(counters.items(),
+                                key=lambda kv: (-kv[1], kv[0]))])
+
+    return update
+
+
+def heavy_hitters_stream(stream: DataFrame, key_col: str, item_col: str,
+                         k: int = 8) -> DataFrame:
+    """Continuous per-series phi-frequent items: one bounded
+    Misra-Gries summary (<= ``k`` counters + the running stream length)
+    as keyed state per ``key_col`` value, updated every micro-batch —
+    the streaming twin of operators/heavy_hitters.py, with the same
+    mergeable-summaries guarantee carried THROUGH restarts because the
+    summary itself is the checkpointed state: after any prefix of the
+    stream, every item with frequency > n/k is present with
+    count_lower >= freq - n/(k+1), no matter how rows split across
+    micro-batches (parity asserted in tests/test_streaming_stateful.py).
+
+    Scale: state is O(k) per series, hash-partitioned by series across
+    executors; output mode 'update' re-emits a series' current summary
+    only when the batch touched it. Use a downstream exact rescue scan
+    (the batch operator's move) when exact counts are needed."""
+    return (
+        stream.select(F.col(key_col).cast("string").alias("series"),
+                      F.col(item_col).cast("string").alias("item"))
+        .groupBy("series")
+        .applyInPandasWithState(
+            _make_hh_update(k),
+            outputStructType=HH_OUTPUT_SCHEMA,
+            stateStructType=HH_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )

@@ -124,3 +124,50 @@ def test_sessionize_with_timeout_matches_session_window(spark):
     # the same directory contents (tempdirs are per-test anyway)
     for f in glob.glob(f"{d}/*.parquet"):
         os.path.getsize(f)
+
+
+def test_streaming_heavy_hitters_guarantee(spark):
+    """Per-series Misra-Gries state across micro-batches: after the
+    stream drains, every item with true frequency > n/k must be present
+    in the final summary with count_lower >= freq - n/(k+1), and every
+    reported lower bound must be <= the true count — regardless of how
+    rows split across batches."""
+    import tempfile
+
+    from telescope_data_pipeline_spark.streaming.stateful import (
+        heavy_hitters_stream,
+    )
+
+    d = tempfile.mkdtemp(prefix="hh_")
+    (load_table(spark, SF, "events").repartition(8)
+     .write.mode("overwrite").parquet(d))
+    stream = read_event_stream(spark, d, max_files_per_trigger=2)
+    k = 8
+    q = (heavy_hitters_stream(stream, "event_type", "user_id", k=k)
+         .writeStream.format("memory").queryName("hh").outputMode("update")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    assert len(q.recentProgress) >= 3  # state crossed batches
+
+    latest = spark.sql("""
+        SELECT series, item, count_lower, n FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY series, item
+                                       ORDER BY n DESC) rn FROM hh)
+        WHERE rn = 1
+    """).toPandas()
+    truth = (spark.read.parquet(d)
+             .groupBy(F.col("event_type").cast("string").alias("series"),
+                      F.col("user_id").cast("string").alias("item"))
+             .agg(F.count(F.lit(1)).alias("c"))).toPandas()
+    n_per = truth.groupby("series")["c"].sum().to_dict()
+    summary = {(r.series, r.item): r.count_lower
+               for r in latest.itertuples()}
+    # the summary rows shown are the FINAL state per series: keep only
+    # rows from the max-n emission of each series
+    for r in truth.itertuples():
+        n = n_per[r.series]
+        if r.c * k > n:  # true heavy hitter
+            assert (r.series, r.item) in summary, (r.series, r.item, r.c, n)
+            assert summary[(r.series, r.item)] >= r.c - n / (k + 1)
+        if (r.series, r.item) in summary:  # lower bound never overshoots
+            assert summary[(r.series, r.item)] <= r.c
