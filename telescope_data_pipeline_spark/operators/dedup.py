@@ -294,17 +294,6 @@ def simhash_near_duplicates(df: DataFrame, id_col: str, text_col: str,
     ``jvm=True`` (default) computes fingerprints with the zero-Python
     :func:`simhash_fingerprints_jvm`; ``jvm=False`` uses the FNV-stable
     pandas kernel :func:`simhash64`."""
-    if not 0 <= max_hamming <= 31:
-        raise ValueError(f"max_hamming={max_hamming} outside [0, 31]")
-    n_chunks = max_hamming + 1
-    width = 64 // n_chunks   # first `64 % n_chunks` chunks get +1 bit
-    extra = 64 % n_chunks
-    bounds = []
-    start = 0
-    for k in range(n_chunks):
-        w = width + (1 if k < extra else 0)
-        bounds.append((start, w))
-        start += w
     if jvm:
         fp = simhash_fingerprints_jvm(df, id_col, text_col)
     else:
@@ -324,6 +313,28 @@ def simhash_near_duplicates(df: DataFrame, id_col: str, text_col: str,
     # the fingerprint fold, doubling the most expensive stage. count()
     # is one cheap job over |docs| cached rows.
     fp.count()
+    return hamming_near_duplicates(fp, max_hamming=max_hamming)
+
+
+def hamming_near_duplicates(fp: DataFrame, max_hamming: int = 8) -> DataFrame:
+    """Near-dup pairs among 64-bit fingerprints (``id``, ``fp`` long):
+    the pigeonhole banded equi-join + exact popcount refine shared by
+    SimHash text dedup (above) and perceptual-hash image dedup
+    (operators/multimodal.py) — any fingerprint family with Hamming
+    semantics plugs in here. Guaranteed recall at the radius; see
+    :func:`simhash_near_duplicates` for the bucket-cardinality scale
+    envelope."""
+    if not 0 <= max_hamming <= 31:
+        raise ValueError(f"max_hamming={max_hamming} outside [0, 31]")
+    n_chunks = max_hamming + 1
+    width = 64 // n_chunks   # first `64 % n_chunks` chunks get +1 bit
+    extra = 64 % n_chunks
+    bounds = []
+    start = 0
+    for k in range(n_chunks):
+        w = width + (1 if k < extra else 0)
+        bounds.append((start, w))
+        start += w
     chunks = fp.select(
         "id", "fp",
         F.posexplode(F.array(*[

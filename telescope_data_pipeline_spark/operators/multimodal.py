@@ -345,3 +345,67 @@ def resize_images(media: DataFrame, width: int = 32,
             yield pd.DataFrame(rows)
 
     return images.mapInPandas(kernel, schema=RESIZED_IMAGES)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hashing (aHash) + Hamming near-dup over media
+# ---------------------------------------------------------------------------
+
+PHASH_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("fp", T.LongType(), False),
+])
+
+
+def _ahash64(img: np.ndarray) -> int:
+    """64-bit average hash: block-mean the grayscale raster to 8x8,
+    threshold each cell against the global mean, pack row-major. The
+    classic perceptual fingerprint — stable under resize/re-encode,
+    flipped bits proportional to visual change."""
+    h, w = img.shape
+    if h < 8 or w < 8:
+        raise ValueError(f"image {h}x{w} too small for an 8x8 hash")
+    blocks = img[:h // 8 * 8, :w // 8 * 8] \
+        .reshape(8, h // 8, 8, w // 8).mean(axis=(1, 3))
+    bits = (blocks > blocks.mean()).ravel()
+    acc = 0
+    for i, b in enumerate(bits):
+        if b:
+            acc |= 1 << i
+    return acc - (1 << 64) if acc >= (1 << 63) else acc  # to signed int64
+
+
+def perceptual_hashes(media: DataFrame) -> DataFrame:
+    """media (schemas.MEDIA, image rows) -> (media_id, fp): decode each
+    image (real codec or stub, the magic-byte dispatch of
+    :func:`decode_image`) and compute its 64-bit aHash in one Arrow
+    batch pass — zero shuffle, like every fingerprint stage here."""
+    imgs = media.filter(F.col("modality") == "image") \
+                .select("media_id", "payload")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [{"media_id": int(r.media_id),
+                    "fp": _ahash64(decode_image(r.payload))}
+                   for r in pdf.itertuples()]
+            yield pd.DataFrame(out, columns=["media_id", "fp"])
+
+    return imgs.mapInPandas(kernel, schema=PHASH_SCHEMA)
+
+
+def image_near_duplicates(media: DataFrame,
+                          max_hamming: int = 6) -> DataFrame:
+    """Near-duplicate image pairs (media_id_a < media_id_b, hamming):
+    perceptual aHash fingerprints fed through the SAME pigeonhole
+    banded equi-join + popcount refine as SimHash text dedup
+    (operators/dedup.py::hamming_near_duplicates) — guaranteed recall
+    at the radius, linear candidate join, never all-pairs. This is the
+    dedup family's multimodal member: re-encoded/resized copies of an
+    image keep a close aHash while cryptographic digests change."""
+    from .dedup import hamming_near_duplicates
+
+    fp = perceptual_hashes(media).select(
+        F.col("media_id").alias("id"), "fp")
+    return (hamming_near_duplicates(fp, max_hamming=max_hamming)
+            .select(F.col("id_a").alias("media_id_a"),
+                    F.col("id_b").alias("media_id_b"), "hamming"))

@@ -165,3 +165,41 @@ def test_resize_upscale_and_downscale(spark):
     assert all(len(r.pixels) == 16 for r in small)
     big = resize_images(media, width=96, height=96).collect()
     assert all(len(r.pixels) == 96 * 96 for r in big)
+
+
+def test_image_near_duplicates_finds_planted_copies(spark):
+    """Perceptual-hash dedup: payloads sharing the stub decoder's seed
+    bytes decode to IDENTICAL rasters (hamming 0 — the re-encoded-copy
+    stand-in), unrelated images have near-random 64-bit hashes and must
+    NOT pair at radius 6."""
+    import numpy as np
+
+    from telescope_data_pipeline_spark.operators.multimodal import (
+        image_near_duplicates,
+        perceptual_hashes,
+    )
+    from telescope_data_pipeline_spark.schemas import MEDIA
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(20):
+        payload = bytes(rng.integers(0, 256, size=64, dtype=np.uint8).tolist())
+        rows.append((i, "image", payload, "image/png", 256, 256, None, {}))
+    # planted near-dups: same first 8 bytes (the stub decoder's seed) as
+    # media 0 and 5, different tails — a re-encode changes bytes, not look
+    rows.append((100, "image", rows[0][2][:8] + b"\x01" * 56,
+                 "image/png", 256, 256, None, {}))
+    rows.append((101, "image", rows[5][2][:8] + b"\x02" * 56,
+                 "image/png", 256, 256, None, {}))
+    rows.append((200, "audio", b"\x00" * 64, "audio/wav", None, None, 3.0, {}))
+    media = spark.createDataFrame(rows, schema=MEDIA)
+
+    fps = {r.media_id: r.fp for r in perceptual_hashes(media).collect()}
+    assert len(fps) == 22  # audio row filtered out
+    assert fps[0] == fps[100] and fps[5] == fps[101]
+
+    pairs = {(r.media_id_a, r.media_id_b): r.hamming
+             for r in image_near_duplicates(media, max_hamming=6).collect()}
+    assert pairs.get((0, 100)) == 0
+    assert pairs.get((5, 101)) == 0
+    assert set(pairs) == {(0, 100), (5, 101)}, pairs
