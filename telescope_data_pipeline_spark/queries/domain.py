@@ -42,6 +42,34 @@ def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(make_fake_media(spark), every_s=1.0)
 
 
+@query("q_media_phash", oracle=None)  # hash-seeded pairs: rows-only check
+def q_media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup over the media fixture: 64-bit aHash
+    per decoded image (one Arrow pass), then the SimHash pigeonhole
+    Hamming band join (operators/dedup.py::hamming_near_duplicates) —
+    the dedup family's multimodal member. Rows-only: fingerprints hash
+    decoded pixels, not SQL-visible values; the planted-copy goldens in
+    tests/test_multimodal.py pin recall and precision instead. Output
+    is the per-image fingerprint table plus its near-dup partner count
+    at radius 6 (scalar columns for the driver canonicalizer)."""
+    from ..operators.multimodal import (
+        image_near_duplicates,
+        make_fake_media,
+        perceptual_hashes,
+    )
+
+    media = make_fake_media(spark, n=96)
+    fps = perceptual_hashes(media)
+    pairs = image_near_duplicates(media, max_hamming=6)
+    partners = (pairs.select(F.col("media_id_a").alias("media_id"))
+                .unionAll(pairs.select(F.col("media_id_b").alias("media_id")))
+                .groupBy("media_id")
+                .agg(F.count(F.lit(1)).alias("n_near_dups")))
+    return (fps.join(partners, "media_id", "left")
+            .select("media_id", "fp",
+                    F.coalesce("n_near_dups", F.lit(0)).alias("n_near_dups")))
+
+
 @query("q_media_resize", oracle=None)  # binary fixture: rows-only check
 def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image resize/normalization: decode + nearest-neighbor resample
