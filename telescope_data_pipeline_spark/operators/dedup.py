@@ -71,6 +71,26 @@ def minhash_signatures(shingled: DataFrame, num_hashes: int = 32) -> DataFrame:
     return shingled.select("id", sig.alias("sig"))
 
 
+def band_rows(signatures: DataFrame, num_hashes: int = 32,
+              bands: int = 8) -> DataFrame:
+    """(id, band_idx, band_hash) LSH band rows: each signature sliced
+    into ``bands`` chunks of ``num_hashes/bands`` rows, each chunk
+    hashed to one 64-bit band key — a zero-shuffle per-row fold.
+    Shared by the batch candidate join below and the streaming
+    band-index ingestion (streaming/ingest.py)."""
+    if num_hashes % bands:
+        raise ValueError(f"bands={bands} must divide num_hashes={num_hashes}")
+    r = num_hashes // bands  # rows per band
+    return signatures.select(
+        "id",
+        F.posexplode(F.array(*[
+            F.xxhash64(F.concat_ws(",", F.transform(
+                F.slice("sig", b * r + 1, r), lambda x: x.cast("string"))))
+            for b in range(bands)
+        ])).alias("band_idx", "band_hash"),
+    )
+
+
 def lsh_candidate_pairs(signatures: DataFrame, num_hashes: int = 32,
                         bands: int = 8) -> DataFrame:
     """Candidate near-dup pairs: documents agreeing on at least one full
@@ -80,17 +100,7 @@ def lsh_candidate_pairs(signatures: DataFrame, num_hashes: int = 32,
     equi-join on both — a hash-partitioned shuffle join whose cost is
     |docs|·bands, not |docs|². ``id_a < id_b`` keeps each pair once.
     """
-    if num_hashes % bands:
-        raise ValueError(f"bands={bands} must divide num_hashes={num_hashes}")
-    r = num_hashes // bands  # rows per band
-    banded = signatures.select(
-        "id",
-        F.posexplode(F.array(*[
-            F.xxhash64(F.concat_ws(",", F.transform(
-                F.slice("sig", b * r + 1, r), lambda x: x.cast("string"))))
-            for b in range(bands)
-        ])).alias("band_idx", "band_hash"),
-    )
+    banded = band_rows(signatures, num_hashes=num_hashes, bands=bands)
     a = banded.select(F.col("id").alias("id_a"), "band_idx", "band_hash")
     b = banded.select(F.col("id").alias("id_b"), "band_idx", "band_hash")
     return (

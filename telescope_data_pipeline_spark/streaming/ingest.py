@@ -168,20 +168,12 @@ def compact_ingest_state(spark: SparkSession, accepted_dir: str,
 # ---------------------------------------------------------------------------
 
 def _band_rows(sh: DataFrame, num_hashes: int, bands: int) -> DataFrame:
-    """(id, band_idx, band_hash) LSH band rows for shingled docs —
-    the per-row zero-shuffle signature fold of operators/dedup.py."""
-    from ..operators.dedup import lsh_candidate_pairs  # noqa: F401  (doc link)
-    from ..operators.dedup import minhash_signatures
+    """(id, band_idx, band_hash) LSH band rows for shingled docs — the
+    batch operator's own signature fold and band projection."""
+    from ..operators.dedup import band_rows, minhash_signatures
 
-    r = num_hashes // bands
-    sigs = minhash_signatures(sh, num_hashes=num_hashes)
-    return sigs.select(
-        "id",
-        F.posexplode(F.array(*[
-            F.xxhash64(F.concat_ws(",", F.transform(
-                F.slice("sig", b * r + 1, r), lambda x: x.cast("string"))))
-            for b in range(bands)
-        ])).alias("band_idx", "band_hash"))
+    return band_rows(minhash_signatures(sh, num_hashes=num_hashes),
+                     num_hashes=num_hashes, bands=bands)
 
 
 def load_band_index(spark: SparkSession, band_dir: str) -> DataFrame:
