@@ -696,3 +696,37 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum(dur).alias("total_us"),
                  ((F.round((F.sum(F.col("vc") * dur) / 100.0)
                            / F.sum(dur), 6)) + F.lit(0.0)).alias("twa")))
+
+
+# ---------------------------------------------------------------------------
+# Small-file compaction under the correctness gate
+# ---------------------------------------------------------------------------
+
+@query("q_compact_files", oracle="""
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM events GROUP BY event_type
+""")
+def q_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction (operators/compaction.py) proven
+    content-preserving under the driver gate: the events table is first
+    scattered into 40 tiny files (a streaming sink's droppings), then
+    compacted into a single ~target-size snapshot, and the aggregate
+    over the COMPACTED copy must hash-match the oracle's aggregate over
+    the original table — file boundaries changed, not one row. The sum
+    runs on DECIMAL(18,2) so repartition/coalesce order cannot wiggle a
+    float (the q_agg_salted rule)."""
+    import tempfile
+
+    from ..operators.compaction import compact_dir
+
+    src = tempfile.mkdtemp(prefix="tdps_small_")
+    base = tempfile.mkdtemp(prefix="tdps_compacted_")
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    ev.repartition(40).write.mode("overwrite").parquet(src)
+    snap = compact_dir(spark, src, base, target_bytes=1 << 40)
+    back = spark.read.parquet(snap)
+    return (back.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("value").cast("decimal(18,2)"))
+                 .cast("double").alias("total")))

@@ -49,14 +49,14 @@ _REGISTRY: dict[str, Query] = {}
 #: 30 queries that have NEVER appeared in a CORRECTNESS file (r5
 #: verdict item 4 list, all locally sweep-green), the two promotions
 #: (q_sample_stratified md5-threshold draw, q_pack_greedy recursive-CTE
-#: fold), and the five operators NEW in r6 (SemDeDup, DSIR, interval
-#: join, heavy hitters, time-weighted average), then backfill r3-green
+#: fold), and the operators NEW in r6 (SemDeDup, DSIR, interval join,
+#: heavy hitters, time-weighted average, compaction), then backfill r3-green
 #: scalar/filter/scan sit-outs for rolling regression visibility. The
 #: remaining r3/r4/r5-green queries (all re-verified by the local
 #: sf0.01+sf0.1 sweep every session) rotate back in round 7.
 #:
 #: ROUND-7 ROTATION NOTE: backfill first the r3-green sit-outs that
-#: missed this window (q_scalar_round, q_scalar_string2, q_scan_csv, q_scan_json,
+#: missed this window (q_scalar_math, q_scalar_round, q_scalar_string2, q_scan_csv, q_scan_json,
 #: q_sort, q_text_redact,
 #: q_doc_chunks, q_zscore, q_topk_per_group, q_window_trim,
 #: q_union_distinct), then rotate
@@ -74,14 +74,15 @@ PRIORITY: tuple[str, ...] = (
     "q_scd2_asof", "q_setsim_join", "q_skyline", "q_sparse_cosine",
     "q_triangle_count", "q_unpivot", "q_zorder_key",
     # (b) first-time evidence: promoted from rows-only this round, and
-    # the five operators new this round
+    # the operators new this round
     "q_sample_stratified", "q_pack_greedy", "q_semdedup", "q_dsir",
     "q_join_interval", "q_heavy_hitters", "q_time_weighted_avg",
+    "q_compact_files",
     # (c) r3-green backfill: scalar/filter/scan family sit-outs
     "q_case_when", "q_cohort_retention", "q_color_index",
     "q_filter_range", "q_histogram", "q_json_extract",
     "q_partition_overwrite", "q_phase_fold", "q_posexplode",
-    "q_project", "q_scalar_bits", "q_scalar_date2", "q_scalar_math",
+    "q_project", "q_scalar_bits", "q_scalar_date2",
 )
 
 
