@@ -279,3 +279,60 @@ def test_scd2_intervals_partition_the_timeline(bal_deltas):
         live = [r for r in rows
                 if r[0] <= probe and (r[1] is None or r[1] > probe)]
         assert len(live) == 1
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(-500, 500), st.integers(0, 200)),
+             min_size=1, max_size=12),
+    st.lists(st.tuples(st.integers(-500, 500), st.integers(0, 200)),
+             min_size=1, max_size=12),
+    st.integers(1, 97),
+)
+def test_interval_join_matches_bruteforce(spark, lefts, rights, width):
+    """Bucketed interval overlap join == the O(n*m) closed-interval
+    reference, for random intervals and bucket widths (boundary values
+    included by the integer strategies)."""
+    from telescope_data_pipeline_spark.operators.interval_join import (
+        interval_overlap_join,
+    )
+
+    l = spark.createDataFrame(
+        [(i, s, s + d) for i, (s, d) in enumerate(lefts)],
+        "lid long, ls long, le long")
+    r = spark.createDataFrame(
+        [(i, s, s + d) for i, (s, d) in enumerate(rights)],
+        "rid long, rs long, re long")
+    got = {(row.lid, row.rid) for row in
+           interval_overlap_join(l, r, "ls", "le", "rs", "re",
+                                 bucket_width=width).collect()}
+    want = {(i, j)
+            for i, (s1, d1) in enumerate(lefts)
+            for j, (s2, d2) in enumerate(rights)
+            if s1 <= s2 + d2 and s2 <= s1 + d1}
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(st.integers(0, 9), min_size=1, max_size=120),
+    st.integers(2, 12),
+    st.integers(1, 8),
+)
+def test_heavy_hitters_matches_bruteforce(spark, draws, k, parts):
+    """MG-candidates + exact rescue == GROUP BY/HAVING for random
+    streams, thresholds, and partition counts (partitioning must never
+    change the exact answer)."""
+    from collections import Counter
+
+    from telescope_data_pipeline_spark.operators.heavy_hitters import (
+        heavy_hitters_exact,
+    )
+
+    df = spark.createDataFrame([(f"k{d}",) for d in draws],
+                               "w string").repartition(parts)
+    got = {(r.w, r.c) for r in heavy_hitters_exact(df, "w", k).collect()}
+    counts = Counter(f"k{d}" for d in draws)
+    n = len(draws)
+    want = {(w, c) for w, c in counts.items() if c * k > n}
+    assert got == want
