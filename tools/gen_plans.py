@@ -116,6 +116,8 @@ CAPTURE = [
      "heavy hitters: MG candidate semi-join + exact rescue count, no full frequency table"),
     ("q_time_weighted_avg",
      "time-weighted avg: lead segments, hour-split explode, integer-weighted map-side agg"),
+    ("q_skyline",
+     "skyline: lossless grid pre-filter (cell theta join on <=G^2 rows), window over survivors only"),
 ]
 
 HEADER = """\
