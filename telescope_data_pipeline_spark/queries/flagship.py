@@ -81,3 +81,52 @@ def q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+@query("q_shipping_priority", oracle="""
+SELECT l_orderkey,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS revenue,
+       CAST(o_orderdate AS VARCHAR) AS orderdate_s,
+       o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate  > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""")
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority): the three-way
+    customer ⋈ orders ⋈ lineitem with selective filters on BOTH date
+    columns and the market segment, revenue per order, top-10 — the
+    classic join-ordering workload. Catalyst broadcasts the filtered
+    customer dim, the segment and date filters push into all three
+    scans, and the top-10 on (revenue desc, orderkey) plans
+    TakeOrderedAndProject (per-partition heaps, no global sort).
+
+    Determinism: revenue is an EXACT DECIMAL(38,4) sum cast to double
+    once (the flagship rule), and the LIMIT sits on a total order with
+    the orderkey tiebreak. Timestamps stringify on both sides (DATE
+    canonicalization differs between engines)."""
+    c = (load_table(spark, sf_dir, "customer")
+         .filter(F.col("c_mktsegment") == "BUILDING"))
+    o = (load_table(spark, sf_dir, "orders")
+         .filter(F.col("o_orderdate") < "1995-03-15"))
+    li = (load_table(spark, sf_dir, "lineitem", spread=True)
+          .filter(F.col("l_shipdate") > "1995-03-15"))
+    rev = F.sum(F.col("l_extendedprice").cast("decimal(18,2)")
+                * (1 - F.col("l_discount").cast("decimal(18,2)")))
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(rev.cast("double").alias("revenue"))
+            .select("l_orderkey", "revenue",
+                    F.col("o_orderdate").cast("string").alias("orderdate_s"),
+                    "o_orderpriority")
+            .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+            .limit(10))

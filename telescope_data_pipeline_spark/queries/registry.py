@@ -56,7 +56,7 @@ _REGISTRY: dict[str, Query] = {}
 #: sf0.01+sf0.1 sweep every session) rotate back in round 7.
 #:
 #: ROUND-7 ROTATION NOTE: backfill first the r3-green sit-outs that
-#: missed this window (q_scalar_math, q_scalar_round, q_scalar_string2, q_scan_csv, q_scan_json,
+#: missed this window (q_scalar_date2, q_scalar_math, q_scalar_round, q_scalar_string2, q_scan_csv, q_scan_json,
 #: q_sort, q_text_redact,
 #: q_doc_chunks, q_zscore, q_topk_per_group, q_window_trim,
 #: q_union_distinct), then rotate
@@ -77,12 +77,12 @@ PRIORITY: tuple[str, ...] = (
     # the operators new this round
     "q_sample_stratified", "q_pack_greedy", "q_semdedup", "q_dsir",
     "q_join_interval", "q_heavy_hitters", "q_time_weighted_avg",
-    "q_compact_files",
+    "q_compact_files", "q_shipping_priority",
     # (c) r3-green backfill: scalar/filter/scan family sit-outs
     "q_case_when", "q_cohort_retention", "q_color_index",
     "q_filter_range", "q_histogram", "q_json_extract",
     "q_partition_overwrite", "q_phase_fold", "q_posexplode",
-    "q_project", "q_scalar_bits", "q_scalar_date2",
+    "q_project", "q_scalar_bits",
 )
 
 

@@ -682,3 +682,16 @@ def test_interval_join_no_nested_loop(spark):
     df = get("q_join_interval").fn(spark, SF)
     df.collect()
     assert_plan(df, absent=("CartesianProduct", "BroadcastNestedLoopJoin"))
+
+
+def test_shipping_priority_plan_shape(spark):
+    """TPC-H Q3 shape: top-10 must plan TakeOrderedAndProject (no
+    global sort), the filtered customer dim must broadcast, and the
+    date/segment filters must reach the scans."""
+    df = get("q_shipping_priority").fn(spark, SF)
+    df.collect()
+    assert_plan(df, contains=("TakeOrderedAndProject", "BroadcastHashJoin"),
+                absent=("CartesianProduct",))
+    pushed = " | ".join(pushed_filters(df))
+    assert "l_shipdate" in pushed and "o_orderdate" in pushed
+    assert "c_mktsegment" in pushed
