@@ -258,3 +258,80 @@ def heavy_hitters_stream(stream: DataFrame, key_col: str, item_col: str,
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-key quota enforcement (admission control) with windowed reset
+# ---------------------------------------------------------------------------
+
+QUOTA_STATE_SCHEMA = T.StructType([
+    T.StructField("window_start_us", T.LongType()),
+    T.StructField("used", T.LongType()),
+])
+
+QUOTA_OUTPUT_SCHEMA = T.StructType([
+    T.StructField("source", T.StringType()),
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("admitted", T.BooleanType()),
+    T.StructField("used_after", T.LongType()),
+])
+
+
+def _make_quota_update(quota: int, window_us: int):
+    def update(key, pdfs: "Iterator[pd.DataFrame]", state: GroupState):
+        win0, used = state.get if state.exists else (None, 0)
+        out = []
+        for pdf in pdfs:
+            # deterministic admission order within the batch: event time
+            # then id — the same total order a batch replay would use
+            for r in pdf.sort_values(["ts", "event_id"]).itertuples():
+                us = int(r.ts.value // 1000)  # pandas ns -> us
+                w = us - us % window_us
+                if win0 is None or w > win0:
+                    win0, used = w, 0  # window rolled over: reset budget
+                admitted = used < quota
+                if admitted:
+                    used += 1
+                out.append({"source": key[0], "event_id": int(r.event_id),
+                            "ts": r.ts, "admitted": admitted,
+                            "used_after": used})
+        state.update((win0 if win0 is not None else 0, used))
+        yield pd.DataFrame(out, columns=[f.name for f in QUOTA_OUTPUT_SCHEMA])
+
+    return update
+
+
+def enforce_quota(stream: DataFrame, key_col: str = "event_type",
+                  quota: int = 100,
+                  window: str = "1 hour") -> DataFrame:
+    """Admission control: at most ``quota`` rows per ``key_col`` value
+    per tumbling event-time window pass with ``admitted=true``; the
+    rest are tagged (not dropped — the caller decides to divert or
+    discard, and the tag stream doubles as an audit log). The running
+    (window, used) pair is keyed state, so the budget survives
+    micro-batch boundaries and restarts — the quota-enforcement use
+    case the running-stats operator's docstring names, made real.
+
+    Deterministic: admission follows the (ts, event_id) total order
+    within each batch, and the window rollover keys on event time, so
+    a replayed stream admits the SAME rows (exactly-once sinks then
+    dedup on event_id). Note the contract is per-arrival-order within
+    event-time windows: late rows admitted in an earlier trigger are
+    not revoked when stragglers arrive — admission is a gate, not a
+    retroactive top-k.
+
+    Scale: O(1) state per key; output rides update mode."""
+    window_us = int(pd.Timedelta(window).total_seconds() * 1_000_000)
+    return (
+        stream.select(F.col(key_col).cast("string").alias("source"),
+                      "event_id", "ts")
+        .groupBy("source")
+        .applyInPandasWithState(
+            _make_quota_update(quota, window_us),
+            outputStructType=QUOTA_OUTPUT_SCHEMA,
+            stateStructType=QUOTA_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

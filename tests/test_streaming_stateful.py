@@ -171,3 +171,48 @@ def test_streaming_heavy_hitters_guarantee(spark):
             assert summary[(r.series, r.item)] >= r.c - n / (k + 1)
         if (r.series, r.item) in summary:  # lower bound never overshoots
             assert summary[(r.series, r.item)] <= r.c
+
+
+def test_enforce_quota_matches_batch_rank(spark):
+    """Quota admission across micro-batches == the batch windowed-rank
+    reference (first `quota` rows per (source, 6-hour window) in
+    (ts, event_id) order) when arrival follows event time — the
+    contract the operator documents."""
+    import tempfile
+
+    from pyspark.sql import Window as W
+
+    from telescope_data_pipeline_spark.streaming.stateful import enforce_quota
+
+    d = tempfile.mkdtemp(prefix="quota_")
+    ev = load_table(spark, SF, "events").orderBy("ts", "event_id")
+    rows = ev.count()
+    # four sequential event-time slices -> four in-order micro-batches
+    quarter = rows // 4 + 1
+    ranked = ev.withColumn("_i", F.monotonically_increasing_id())
+    collected = ev.collect()
+    import pandas as pd
+    pdf = pd.DataFrame([r.asDict() for r in collected])
+    for c in range(4):
+        part = pdf.iloc[c * quarter:(c + 1) * quarter]
+        if len(part):
+            spark.createDataFrame(part, schema=ev.schema) \
+                .coalesce(1).write.mode("append" if c else "overwrite").parquet(d)
+
+    quota = 3
+    stream = read_event_stream(spark, d, max_files_per_trigger=1)
+    q = (enforce_quota(stream, "event_type", quota=quota, window="6 hours")
+         .writeStream.format("memory").queryName("quota").outputMode("update")
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(180)
+    got = {r.event_id: r.admitted for r in spark.sql(
+        "SELECT event_id, admitted FROM quota").collect()}
+
+    win = (F.unix_micros("ts") - F.unix_micros("ts") % 21_600_000_000)
+    rk = F.row_number().over(
+        W.partitionBy("event_type", win).orderBy("ts", "event_id"))
+    want = {r.event_id: r.rk <= quota for r in
+            spark.read.parquet(d).select("event_id", "event_type", "ts",
+                                         rk.alias("rk")).collect()}
+    assert got == want
+    assert sum(got.values()) < len(got)  # the quota actually bit
