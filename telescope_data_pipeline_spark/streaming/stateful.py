@@ -335,3 +335,92 @@ def enforce_quota(stream: DataFrame, key_col: str = "event_type",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Change detection: two-sided CUSUM drift alarm per key
+# ---------------------------------------------------------------------------
+
+CUSUM_STATE_SCHEMA = T.StructType([
+    T.StructField("n", T.LongType()),        # baseline sample count
+    T.StructField("mean", T.DoubleType()),   # baseline mean (frozen)
+    T.StructField("m2", T.DoubleType()),     # baseline M2 (frozen)
+    T.StructField("s_hi", T.DoubleType()),   # upper CUSUM
+    T.StructField("s_lo", T.DoubleType()),   # lower CUSUM
+    T.StructField("alarmed", T.BooleanType()),
+])
+
+CUSUM_OUTPUT_SCHEMA = T.StructType([
+    T.StructField("series", T.StringType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("s_hi", T.DoubleType()),
+    T.StructField("s_lo", T.DoubleType()),
+    T.StructField("alarm", T.BooleanType()),
+])
+
+
+def _make_cusum_update(baseline_n: int, k_sigmas: float, h_sigmas: float):
+    def update(key, pdfs: "Iterator[pd.DataFrame]", state: GroupState):
+        n, mean, m2, s_hi, s_lo, alarmed = (
+            state.get if state.exists else (0, 0.0, 0.0, 0.0, 0.0, False))
+        out = []
+        for pdf in pdfs:
+            for r in pdf.sort_values(["ts"]).itertuples():
+                x = float(r.value)
+                if n < baseline_n:
+                    # Welford: learn the baseline before monitoring
+                    n += 1
+                    d = x - mean
+                    mean += d / n
+                    m2 += d * (x - mean)
+                    continue
+                std = (m2 / (n - 1)) ** 0.5 if n > 1 else 1.0
+                std = std if std > 0 else 1.0
+                z = (x - mean) / std
+                s_hi = max(0.0, s_hi + z - k_sigmas)
+                s_lo = max(0.0, s_lo - z - k_sigmas)
+                fired = (s_hi > h_sigmas) or (s_lo > h_sigmas)
+                if fired and not alarmed:
+                    alarmed = True
+                    out.append({"series": key[0], "ts": r.ts,
+                                "s_hi": round(s_hi, 6),
+                                "s_lo": round(s_lo, 6), "alarm": True})
+        state.update((n, mean, m2, s_hi, s_lo, alarmed))
+        if not out:  # heartbeat row so 'update' mode shows progress
+            out = [{"series": key[0], "ts": None,
+                    "s_hi": round(s_hi, 6), "s_lo": round(s_lo, 6),
+                    "alarm": False}]
+        yield pd.DataFrame(out, columns=[f.name for f in CUSUM_OUTPUT_SCHEMA])
+
+    return update
+
+
+def detect_drift(stream: DataFrame, key_col: str = "event_type",
+                 baseline_n: int = 100, k_sigmas: float = 0.5,
+                 h_sigmas: float = 5.0) -> DataFrame:
+    """Two-sided CUSUM change detection per series (Page 1954): the
+    first ``baseline_n`` values learn a frozen mean/std (Welford); each
+    later value's z-score accumulates into upper/lower CUSUM sums with
+    slack ``k_sigmas``, and the FIRST crossing of ``h_sigmas`` emits one
+    alarm row per series — the change-detection use case the running-
+    stats docstring names, made real. Data-quality monitoring for a
+    continuously ingested corpus: a drifting quality-score or
+    token-rate series alarms long before a threshold gate would trip.
+
+    State is O(1) per series and exactly reproducible on replay (the
+    whole detector state is the checkpointed tuple). CUSUM detects a
+    sustained shift of ~2*k_sigmas with expected delay ~h/k samples;
+    one-off spikes decay back through the max(0, .) floor."""
+    return (
+        stream.select(F.col(key_col).cast("string").alias("series"),
+                      "ts", "value")
+        .filter(F.col("value").isNotNull())
+        .groupBy("series")
+        .applyInPandasWithState(
+            _make_cusum_update(baseline_n, k_sigmas, h_sigmas),
+            outputStructType=CUSUM_OUTPUT_SCHEMA,
+            stateStructType=CUSUM_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

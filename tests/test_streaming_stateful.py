@@ -216,3 +216,50 @@ def test_enforce_quota_matches_batch_rank(spark):
                                          rk.alias("rk")).collect()}
     assert got == want
     assert sum(got.values()) < len(got)  # the quota actually bit
+
+
+def test_cusum_drift_alarm_fires_after_shift_only(spark):
+    """CUSUM change detection: a planted +2-sigma mean shift must alarm
+    shortly AFTER the shift point and never before; an undrifted series
+    must stay silent."""
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+
+    from telescope_data_pipeline_spark.streaming.stateful import detect_drift
+
+    rng = np.random.default_rng(3)
+    t0 = pd.Timestamp("2024-01-01")
+    rows = []
+    for i in range(400):
+        ts = t0 + pd.Timedelta(seconds=i)
+        # drifting series: mean 10 -> 14 (2 sigma) at i=250
+        drift_val = rng.normal(10 if i < 250 else 14, 2.0)
+        rows.append(("drifting", i, ts, float(drift_val)))
+        rows.append(("steady", 1000 + i, ts, float(rng.normal(10, 2.0))))
+    pdf = pd.DataFrame(rows, columns=["event_type", "event_id", "ts", "value"])
+
+    d = tempfile.mkdtemp(prefix="cusum_")
+    # two sequential chunks so the detector state crosses a batch edge
+    for c in range(2):
+        spark.createDataFrame(pdf.iloc[c * 400:(c + 1) * 400]) \
+            .coalesce(1).write.mode("append" if c else "overwrite").parquet(d)
+
+    stream = (spark.readStream
+              .schema("event_type string, event_id long, ts timestamp, "
+                      "value double")
+              .option("maxFilesPerTrigger", 1).parquet(d))
+    q = (detect_drift(stream, "event_type", baseline_n=100,
+                      k_sigmas=0.5, h_sigmas=5.0)
+         .writeStream.format("memory").queryName("cusum").outputMode("update")
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(180)
+
+    alarms = spark.sql(
+        "SELECT series, ts FROM cusum WHERE alarm").collect()
+    by_series = {r.series: r.ts for r in alarms}
+    assert "steady" not in by_series, by_series
+    assert "drifting" in by_series
+    fired_at = (pd.Timestamp(by_series["drifting"]) - t0).total_seconds()
+    assert 250 <= fired_at <= 290, fired_at  # after the shift, promptly
