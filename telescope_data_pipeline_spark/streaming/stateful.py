@@ -5,8 +5,10 @@ across epochs (batch); the streaming form keeps per-key running state
 (count, mean, M2 — Welford's online algorithm, numerically stable) and
 emits the updated statistic on every micro-batch. This is the
 ``applyInPandasWithState`` pattern for operators that need state richer
-than windowed aggs: running robust statistics, change detection,
-per-source quotas.
+than windowed aggs. This module carries the full family: running
+moments (below), event-time-timeout sessionization, per-series
+Misra-Gries heavy hitters, per-source quota enforcement, and
+two-sided CUSUM change detection.
 
 State shape: (count long, mean double, m2 double). The update merges
 each micro-batch's partial moments into the state (Chan et al. parallel
