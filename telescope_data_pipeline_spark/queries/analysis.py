@@ -730,3 +730,162 @@ def q_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n"),
                  F.sum(F.col("value").cast("decimal(18,2)"))
                  .cast("double").alias("total")))
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift: two-sample Kolmogorov-Smirnov statistic
+# ---------------------------------------------------------------------------
+
+@query("q_ks_drift", oracle="""
+WITH s AS (
+  SELECT event_type, value, user_id % 2 AS grp FROM events
+), n AS (
+  SELECT event_type,
+         SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS n_a,
+         SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS n_b
+  FROM s GROUP BY event_type
+), c AS (
+  SELECT event_type, value,
+         SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS c_a,
+         SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS c_b
+  FROM s GROUP BY event_type, value
+), cum AS (
+  SELECT event_type,
+         SUM(c_a) OVER (PARTITION BY event_type ORDER BY value) AS cum_a,
+         SUM(c_b) OVER (PARTITION BY event_type ORDER BY value) AS cum_b
+  FROM c
+)
+SELECT cum.event_type,
+       ROUND(MAX(ABS(cum_a * 1.0 / n_a - cum_b * 1.0 / n_b)), 6) + 0.0 AS ks_d,
+       CAST(MIN(n_a) AS BIGINT) AS n_a, CAST(MIN(n_b) AS BIGINT) AS n_b
+FROM cum JOIN n USING (event_type)
+GROUP BY cum.event_type
+""")
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift statistic per series: split
+    each event_type's values into two cohorts (user parity stands in
+    for "yesterday's snapshot vs today's") and report
+    D = max_v |F_a(v) - F_b(v)| — the nonparametric companion to the
+    binned chi-square screen (q_chi_square): no binning choice, exact
+    under ties because the empirical CDFs are evaluated at DISTINCT
+    pooled values (pre-aggregated per (type, value) so the window walks
+    the step function's jump points, not raw rows).
+
+    Cross-engine determinism: cum/n division is a single IEEE divide of
+    integer-valued doubles — bit-identical in both engines — so MAX
+    picks the same supremum; rounded once at the end.
+
+    Scale: one shuffle on (type, value) for the jump-point counts, one
+    type-partitioned window over DISTINCT values (|distinct| per type,
+    not |rows|), one broadcast of the per-type totals. Reference
+    analogue: the pipeline's nightly photometric-zero-point stability
+    checks (core.py diagnostics) — is tonight's flux distribution the
+    same population as last night's?"""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select("event_type", "value",
+                  (F.col("user_id") % 2).alias("grp"))
+    n = s.groupBy("event_type").agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("n_b"))
+    c = s.groupBy("event_type", "value").agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).alias("c_a"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("c_b"))
+    w = W.partitionBy("event_type").orderBy("value")
+    cum = c.select("event_type",
+                   F.sum("c_a").over(w).alias("cum_a"),
+                   F.sum("c_b").over(w).alias("cum_b"))
+    return (cum.join(F.broadcast(n), "event_type")
+            .groupBy("event_type")
+            .agg((F.round(F.max(F.abs(
+                      F.col("cum_a") * 1.0 / F.col("n_a")
+                      - F.col("cum_b") * 1.0 / F.col("n_b"))), 6) + 0.0)
+                 .alias("ks_d"),
+                 F.min("n_a").alias("n_a"),
+                 F.min("n_b").alias("n_b")))
+
+
+# ---------------------------------------------------------------------------
+# Winsorized robust statistics (percentile clipping)
+# ---------------------------------------------------------------------------
+
+@query("q_winsorize", oracle="""
+WITH p AS (
+  SELECT event_type,
+         PERCENTILE_CONT(0.05) WITHIN GROUP (ORDER BY value) AS lo,
+         PERCENTILE_CONT(0.95) WITHIN GROUP (ORDER BY value) AS hi
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       ROUND(AVG(LEAST(GREATEST(value, lo), hi)), 6) + 0.0 AS wins_mean,
+       CAST(SUM(CASE WHEN value < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+       CAST(SUM(CASE WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
+       COUNT(*) AS n
+FROM events e JOIN p USING (event_type)
+GROUP BY e.event_type
+""")
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean per series: clip each value into its group's
+    exact [p05, p95] band, then average — the robust-statistics
+    preprocessing companion to the MAD gate (q_anomaly_mad clips by
+    deviation; this clips by rank). Tail counts report how much mass
+    each side lost.
+
+    Scale: pass 1 is the exact-percentile aggregate (tiny, one row per
+    type); it broadcasts back onto the fact scan, so pass 2 is a
+    map-side clip + one hash aggregate — no window over raw rows. At
+    100 TB swap pass 1 for approx_percentile (t-digest) and the plan
+    shape is unchanged; this exact form is the correctness anchor."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("lo"),
+        F.percentile("value", F.lit(0.95)).alias("hi"))
+    clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return (ev.join(F.broadcast(p), "event_type")
+            .groupBy("event_type")
+            .agg((F.round(F.avg(clipped), 6) + 0.0).alias("wins_mean"),
+                 F.sum(F.when(F.col("value") < F.col("lo"), 1)
+                       .otherwise(0)).alias("n_clip_lo"),
+                 F.sum(F.when(F.col("value") > F.col("hi"), 1)
+                       .otherwise(0)).alias("n_clip_hi"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+# ---------------------------------------------------------------------------
+# Pairwise feature correlation matrix
+# ---------------------------------------------------------------------------
+
+@query("q_corr_matrix", oracle="""
+WITH f AS (
+  SELECT user_id, event_type, AVG(value) AS v
+  FROM events GROUP BY user_id, event_type
+)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       ROUND(CORR(a.v, b.v), 6) + 0.0 AS pearson_r,
+       COUNT(*) AS n_users
+FROM f a JOIN f b ON a.user_id = b.user_id AND a.event_type < b.event_type
+GROUP BY a.event_type, b.event_type
+""")
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation between event-type series, aligned
+    per user: featurize (user x type -> mean value), self-join on the
+    entity key with type_a < type_b, and CORR each pair — the
+    feature-correlation matrix a training pipeline runs before
+    selecting/decorrelating input signals (the multivariate sibling of
+    q_grouped_regression's single y~x fit).
+
+    Scale: the featurize step is one hash aggregate; the self-join is
+    an equi-join on user_id whose fan-out per user is |types|^2 with
+    |types| small and bounded (features, not data) — so the pair
+    stream is ~|users| * k^2 rows of pure numbers. CORR is a
+    mergeable moment sketch (sum, sum^2, cross-sum) — map-side
+    combined, no per-pair sort anywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    f = ev.groupBy("user_id", "event_type").agg(F.avg("value").alias("v"))
+    a, b = f.alias("a"), f.alias("b")
+    return (a.join(b, (F.col("a.user_id") == F.col("b.user_id"))
+                   & (F.col("a.event_type") < F.col("b.event_type")))
+            .groupBy(F.col("a.event_type").alias("type_a"),
+                     F.col("b.event_type").alias("type_b"))
+            .agg((F.round(F.corr("a.v", "b.v"), 6) + 0.0)
+                 .alias("pearson_r"),
+                 F.count(F.lit(1)).alias("n_users")))

@@ -1957,3 +1957,89 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (v.join(dup.withColumn("is_dup", F.lit(True)), "vec_id", "left")
             .select("vec_id", "cid",
                     F.coalesce("is_dup", F.lit(False)).alias("is_dup")))
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric containment join (doc-subsumption detection)
+# ---------------------------------------------------------------------------
+
+@query("q_containment_join", oracle=r"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(string_split_regex(lower(text), '\s+'))) AS term
+  FROM documents WHERE doc_id < 500
+), m AS (
+  SELECT doc_id, COUNT(*) AS m FROM tok GROUP BY doc_id
+), i AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM tok a JOIN tok b USING (term)
+  WHERE a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(inter * 1.0 / m.m, 6) AS containment
+FROM i JOIN m ON m.doc_id = doc_a
+WHERE inter * 10 >= 9 * m.m
+""")
+def q_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric token-containment join: emit (a, b) when
+    |T_a INTERSECT T_b| / |T_a| >= 0.9 — "a is subsumed by b". The
+    asymmetric sibling of the symmetric Jaccard families
+    (q_setsim_join, q_dedup_tokenset): a quote-page or boilerplate
+    wrapper containing a whole smaller document is invisible to
+    Jaccard (union is dominated by the big doc) but is exactly what a
+    training corpus must catch — the small doc's tokens still enter
+    the model twice.
+
+    Prefix filter, lossless at t = 9/10: if C(a->b) >= t then at most
+    floor((1-t)|T_a|) of a's tokens are absent from b, so among a's
+    floor((1-t)|T_a|) + 1 RAREST tokens (global-df ascending order,
+    ties by token) at least one appears in b. The candidate join is
+    therefore a's short prefix against b's FULL token list — candidate
+    volume is sum over prefix tokens of df, and because the prefix
+    keeps only the df-ascending head, stop-term df^2 blowup never
+    happens (same engine as q_setsim_join but with the one-sided
+    prefix the containment bound permits). Threshold test is
+    all-integer (inter*10 >= 9*m_a): no float at the decision point.
+
+    Scale: df table is |vocab| (broadcastable after the agg); the
+    prefix join shuffles prefix tokens only; verification touches
+    surviving pairs. The doc_id < 500 slice bounds the oracle's
+    all-pairs check; the Spark plan is slice-independent."""
+    d = (load_table(spark, sf_dir, "documents")
+         .filter(F.col("doc_id") < 500))
+    tok = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.lower("text"), _TOK)))
+        .alias("term"))
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("m"))
+    dfreq = tok.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    ranked = tok.join(dfreq, "term").select(
+        "doc_id", "term",
+        F.row_number().over(
+            W.partitionBy("doc_id").orderBy("df", "term")).alias("r"),
+        F.count(F.lit(1)).over(
+            W.partitionBy("doc_id").orderBy("df", "term")
+            .rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+        .alias("m"))
+    # prefix length floor(m/10) + 1, all-integer (t = 9/10)
+    prefix = ranked.filter(F.col("r") <= F.floor(F.col("m") / 10) + 1)
+    cand = (prefix.alias("pa")
+            .join(tok.alias("tb"),
+                  (F.col("tb.term") == F.col("pa.term"))
+                  & (F.col("tb.doc_id") != F.col("pa.doc_id")))
+            .select(F.col("pa.doc_id").alias("doc_a"),
+                    F.col("tb.doc_id").alias("doc_b"))
+            .distinct())
+    sets = d.select(
+        "doc_id",
+        F.array_distinct(F.split(F.lower("text"), _TOK)).alias("ts"))
+    sa, sb = sets.alias("sa"), sets.alias("sb")
+    inter = F.size(F.array_intersect(F.col("sa.ts"), F.col("sb.ts")))
+    return (cand.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+            .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+            .select("doc_a", "doc_b", inter.alias("inter"),
+                    F.size("sa.ts").alias("m_a"))
+            .filter(F.col("inter") * 10 >= 9 * F.col("m_a"))
+            .select("doc_a", "doc_b",
+                    F.round(F.col("inter").cast("double") / F.col("m_a"), 6)
+                    .alias("containment")))
