@@ -695,3 +695,32 @@ def test_shipping_priority_plan_shape(spark):
     pushed = " | ".join(pushed_filters(df))
     assert "l_shipdate" in pushed and "o_orderdate" in pushed
     assert "c_mktsegment" in pushed
+
+
+def test_ks_drift_windows_partitioned(spark):
+    """The KS cumulative-count window must be keyed by event_type — a
+    partition-less window would collapse the distinct-value stream to
+    one task. The per-type totals join must broadcast."""
+    from telescope_data_pipeline_spark.plans.audit import physical_plan
+
+    df = get("q_ks_drift").fn(spark, SF)
+    df.collect()
+    plan = physical_plan(df)
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_winsorize_broadcasts_percentiles(spark):
+    """Pass 2 of the winsorize clip must join the tiny per-type
+    percentile table by broadcast — the fact scan never reshuffles on
+    the join key."""
+    assert_plan(get("q_winsorize").fn(spark, SF),
+                contains=("BroadcastHashJoin",),
+                absent=("SortMergeJoin", "CartesianProduct"))
+
+
+def test_containment_join_equi_only(spark):
+    """The containment candidate join must stay an equi-join on prefix
+    terms — never a nested-loop over doc pairs."""
+    assert_plan(get("q_containment_join").fn(spark, SF),
+                absent=("BroadcastNestedLoopJoin", "CartesianProduct"))
