@@ -2094,3 +2094,126 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.filter(F.split(F.lower("text"), _TOK),
                  lambda x: x != "")).alias("w"))
     return heavy_hitters_exact(toks, "w", k=40)
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal rank fusion of sparse (BM25) + dense (cosine)
+# ---------------------------------------------------------------------------
+
+@query("q_rank_fusion", oracle=r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x != '') AS toks
+  FROM documents
+), stats AS (
+  SELECT COUNT(*) AS n_docs, AVG(len(toks)) AS avgdl FROM t
+), tf AS (
+  SELECT doc_id, len(toks) AS dl, tok, COUNT(*) AS tf
+  FROM (SELECT doc_id, toks, UNNEST(toks) AS tok FROM t)
+  WHERE tok IN ('spark', 'join', 'window')
+  GROUP BY doc_id, len(toks), tok
+), dfq AS (
+  SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY tok
+), bm AS (
+  SELECT tf.doc_id,
+         ROUND(SUM(
+           LN((stats.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+           * tf.tf * 2.2
+           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / stats.avgdl))
+         ), 6) + 0.0 AS bm25
+  FROM tf JOIN dfq USING (tok) CROSS JOIN stats
+  GROUP BY tf.doc_id
+), bm_rank AS (
+  SELECT doc_id, r_bm FROM (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r_bm
+    FROM bm) WHERE r_bm <= 100
+), norms AS (
+  SELECT vec_id, SUM(CAST(e AS DOUBLE) * CAST(e AS DOUBLE)) AS nrm
+  FROM (SELECT vec_id, UNNEST(embedding) AS e FROM embeddings)
+  GROUP BY vec_id
+), dots AS (
+  SELECT doc_id, SUM(qe * ce) AS dot FROM (
+    SELECT c.vec_id AS doc_id,
+           CAST(UNNEST(q.embedding) AS DOUBLE) AS qe,
+           CAST(UNNEST(c.embedding) AS DOUBLE) AS ce
+    FROM embeddings q CROSS JOIN embeddings c
+    WHERE q.vec_id = 0 AND c.vec_id <> 0)
+  GROUP BY doc_id
+), cosd AS (
+  SELECT dots.doc_id,
+         ROUND(dot / SQRT(nq.nrm * nc.nrm), 6) + 0.0 AS cos
+  FROM dots
+  JOIN norms nq ON nq.vec_id = 0
+  JOIN norms nc ON nc.vec_id = dots.doc_id
+), cos_rank AS (
+  SELECT doc_id, r_cos FROM (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS r_cos
+    FROM cosd) WHERE r_cos <= 100
+)
+SELECT doc_id,
+       ROUND(COALESCE(1.0 / (60 + r_bm), 0) + COALESCE(1.0 / (60 + r_cos), 0),
+             6) + 0.0 AS rrf,
+       CAST(COALESCE(r_bm, 0) AS BIGINT)  AS r_bm,
+       CAST(COALESCE(r_cos, 0) AS BIGINT) AS r_cos
+FROM (SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id, r_bm, r_cos
+      FROM bm_rank b FULL OUTER JOIN cos_rank c ON b.doc_id = c.doc_id)
+ORDER BY rrf DESC, doc_id LIMIT 20
+""")
+def q_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal rank fusion (Cormack et al.
+    2009, k=60): the sparse leg is the BM25 scorer (q_bm25, fixed term
+    query), the dense leg is cosine against a fixed query embedding
+    (vec 0), each cut to its top-100 list, fused on the shared id
+    space by rrf = sum 1/(60 + rank) over the lists a doc appears in.
+    This is the standard RAG / curation ranker: lexical recall where
+    the term matches, semantic recall where it doesn't, no score
+    calibration needed because only RANKS cross the fusion boundary.
+
+    Determinism: both legs rank their ROUNDED score with an id
+    tiebreak (the argmin rule), absent-list ranks are 0-sentineled
+    (never NULL — nullable-int dtype drift), and 1/(60+r) sums of
+    identical rationals are IEEE-exact in both engines.
+
+    Scale: each leg ends in a TakeOrdered top-100 (no global sort
+    materializes); the fusion joins two 100-row lists — driver-trivial
+    regardless of corpus size. The legs themselves are the linear
+    plans their parent queries pin (BM25: filter-before-explode +
+    broadcast df; dense: candidate scoring is brute-force here, the
+    IVF/LSH operators at 100 TB)."""
+    bm = q_bm25(spark, sf_dir)
+    w_bm = W.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    bm_rank = (bm.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(100)
+               .select("doc_id", F.row_number().over(w_bm).alias("r_bm")))
+
+    e = load_table(spark, sf_dir, "embeddings")
+    norm = F.aggregate(F.col("embedding"), F.lit(0.0),
+                       lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    wn = e.select("vec_id", "embedding", norm.alias("nrm"))
+    q = (wn.filter(F.col("vec_id") == 0)
+         .select(F.col("embedding").alias("qv"), F.col("nrm").alias("qn")))
+    c = (wn.filter(F.col("vec_id") != 0)
+         .select(F.col("vec_id").alias("doc_id"),
+                 F.col("embedding").alias("cv"), F.col("nrm").alias("cn")))
+    dot = F.aggregate(
+        F.zip_with("qv", "cv", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+    cosd = (c.crossJoin(F.broadcast(q))  # 1-row query vector
+            .select("doc_id",
+                    (F.round(F.try_divide(
+                        dot, F.sqrt(F.col("qn") * F.col("cn"))), 6) + 0.0)
+                    .alias("cos")))
+    w_cos = W.orderBy(F.desc("cos"), F.asc("doc_id"))
+    cos_rank = (cosd.orderBy(F.desc("cos"), F.asc("doc_id")).limit(100)
+                .select("doc_id", F.row_number().over(w_cos).alias("r_cos")))
+
+    fused = bm_rank.join(cos_rank, "doc_id", "full")
+    rrf = (F.coalesce(1.0 / (60 + F.col("r_bm")), F.lit(0.0))
+           + F.coalesce(1.0 / (60 + F.col("r_cos")), F.lit(0.0)))
+    return (fused.select(
+                "doc_id",
+                (F.round(rrf, 6) + 0.0).alias("rrf"),
+                F.coalesce("r_bm", F.lit(0)).cast("long").alias("r_bm"),
+                F.coalesce("r_cos", F.lit(0)).cast("long").alias("r_cos"))
+            .orderBy(F.desc("rrf"), F.asc("doc_id")).limit(20))
