@@ -118,6 +118,14 @@ CAPTURE = [
      "time-weighted avg: lead segments, hour-split explode, integer-weighted map-side agg"),
     ("q_skyline",
      "skyline: lossless grid pre-filter (cell theta join on <=G^2 rows), window over survivors only"),
+    ("q_ks_drift",
+     "KS drift: jump-point counts, type-keyed cumulative window, per-type totals broadcast"),
+    ("q_winsorize",
+     "winsorize: exact-percentile pass broadcast back onto an unshuffled clip+agg scan"),
+    ("q_containment_join",
+     "containment join: one-sided df-ascending prefix equi-join, integer-threshold verify"),
+    ("q_rank_fusion",
+     "RRF: both legs end in TakeOrdered top-100; fusion joins two 100-row lists"),
 ]
 
 HEADER = """\
