@@ -426,3 +426,61 @@ def detect_drift(stream: DataFrame, key_col: str = "event_type",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithState (Spark 4 typed-state API) twin of running_stats.
+# applyInPandasWithState carries one opaque state tuple per key; the
+# transformWithState StatefulProcessor gets NAMED typed state slots with
+# per-slot TTL, timers, and state-schema evolution — the forward path
+# for new stateful operators. Parity with the legacy twin is pinned in
+# tests/test_streaming_stateful.py.
+# ---------------------------------------------------------------------------
+
+
+def running_stats_tws(stream: DataFrame) -> DataFrame:
+    """Per-user running (count, mean, std) via transformWithStateInPandas:
+    same Chan/Welford moment merge as ``running_stats`` (the
+    applyInPandasWithState twin), held in a named ValueState slot. The
+    merge is order-invariant, so micro-batch boundaries never change the
+    converged moments — the batch-parity test proves it for both APIs
+    (gated on google.protobuf, which the transformWithState state server
+    requires; absent it the legacy twin is the tested path)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _RunningStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._moments = handle.getValueState(
+                "moments", "count LONG, mean DOUBLE, m2 DOUBLE")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n1, mean1, m21 = (tuple(self._moments.get())
+                              if self._moments.exists() else (0, 0.0, 0.0))
+            for pdf in rows:
+                vals = pdf["value"].dropna()
+                n2 = int(len(vals))
+                if n2:
+                    mean2 = float(vals.mean())
+                    m22 = float(((vals - mean2) ** 2).sum())
+                    n1, mean1, m21 = _merge(n1, mean1, m21, n2, mean2, m22)
+            self._moments.update((n1, mean1, m21))
+            std = (m21 / (n1 - 1)) ** 0.5 if n1 > 1 else None
+            yield pd.DataFrame([{"user_id": key[0], "count": n1,
+                                 "mean": mean1, "std": std}])
+
+        def close(self) -> None:
+            pass
+
+    return (
+        stream.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=_RunningStats(),
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode="update",
+            timeMode="none",
+        )
+    )

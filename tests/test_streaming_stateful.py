@@ -263,3 +263,39 @@ def test_cusum_drift_alarm_fires_after_shift_only(spark):
     assert "drifting" in by_series
     fired_at = (pd.Timestamp(by_series["drifting"]) - t0).total_seconds()
     assert 250 <= fired_at <= 290, fired_at  # after the shift, promptly
+
+
+def test_running_stats_tws_matches_legacy_and_batch(spark):
+    """transformWithStateInPandas twin: converged per-key moments equal
+    the batch ground truth (and therefore the applyInPandasWithState
+    twin, pinned by test_running_stats_converge_to_batch).
+
+    The transformWithState state server speaks protobuf; environments
+    without google.protobuf (like this container) can't run it, so the
+    test is gated the same way as the PIL/soundfile/astropy codecs."""
+    pytest.importorskip("google.protobuf")
+    from telescope_data_pipeline_spark.streaming.stateful import running_stats_tws
+
+    d = tempfile.mkdtemp(prefix="tws_")
+    load_table(spark, SF, "events").repartition(8).write.mode("overwrite").parquet(d)
+    stream = read_event_stream(spark, d, max_files_per_trigger=2)
+    q = (running_stats_tws(stream)
+         .writeStream.format("memory").queryName("rs_tws").outputMode("update")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    assert len(q.recentProgress) >= 3  # state really crossed batches
+
+    latest = spark.sql("""
+        SELECT user_id, count, mean, std FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY count DESC) rn
+          FROM rs_tws) WHERE rn = 1
+    """).toPandas().set_index("user_id")
+    want = (spark.read.parquet(d).groupBy("user_id")
+            .agg(F.count("value").alias("count"), F.avg("value").alias("mean"),
+                 F.stddev_samp("value").alias("std"))
+            ).toPandas().set_index("user_id")
+    assert set(latest.index) == set(want.index)
+    for uid in want.index:
+        assert latest.loc[uid, "count"] == want.loc[uid, "count"]
+        assert abs(latest.loc[uid, "mean"] - want.loc[uid, "mean"]) < 1e-9
+        assert abs(latest.loc[uid, "std"] - want.loc[uid, "std"]) < 1e-9
