@@ -63,6 +63,11 @@ EXTRA = [
     "q_heavy_hitters",
     "q_join_interval",
     "q_time_weighted_avg",
+    "q_ks_drift",
+    "q_winsorize",
+    "q_corr_matrix",
+    "q_containment_join",
+    "q_rank_fusion",
 ]
 
 
