@@ -889,3 +889,142 @@ def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg((F.round(F.corr("a.v", "b.v"), 6) + 0.0)
                  .alias("pearson_r"),
                  F.count(F.lit(1)).alias("n_users")))
+
+
+# ---------------------------------------------------------------------------
+# Linear interpolation resample (the interpolating sibling of q_gap_fill)
+# ---------------------------------------------------------------------------
+
+@query("q_interp_linear", oracle="""
+WITH daily AS (
+  SELECT user_id, date_trunc('day', ts) AS day,
+         ROUND(AVG(value), 6) AS day_avg
+  FROM events WHERE user_id < 5 GROUP BY 1, 2
+), bounds AS (
+  SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1
+), grid AS (
+  SELECT user_id, UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+  FROM bounds
+), j AS (
+  SELECT g.user_id, g.day, d.day_avg,
+         LAST_VALUE(d.day_avg IGNORE NULLS) OVER (
+           PARTITION BY g.user_id ORDER BY g.day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         LAST_VALUE(CASE WHEN d.day_avg IS NOT NULL THEN g.day END
+                    IGNORE NULLS) OVER (
+           PARTITION BY g.user_id ORDER BY g.day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+         FIRST_VALUE(d.day_avg IGNORE NULLS) OVER (
+           PARTITION BY g.user_id ORDER BY g.day
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         FIRST_VALUE(CASE WHEN d.day_avg IS NOT NULL THEN g.day END
+                     IGNORE NULLS) OVER (
+           PARTITION BY g.user_id ORDER BY g.day
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+  FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+)
+SELECT user_id, CAST(CAST(day AS DATE) AS VARCHAR) AS day, day_avg,
+       ROUND(CASE
+         WHEN day_avg IS NOT NULL THEN day_avg
+         WHEN pv IS NULL THEN nv
+         WHEN nv IS NULL THEN pv
+         ELSE pv + (nv - pv) * date_diff('day', pd, day) * 1.0
+                             / date_diff('day', pd, nd)
+       END, 6) + 0.0 AS interp
+FROM j
+""")
+def q_interp_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation resample: per-user daily series expanded to
+    a dense day grid, with missing days filled by interpolating between
+    the bracketing observations (edges extend the nearest value) — the
+    interpolating sibling of q_gap_fill's forward fill, i.e. pandas
+    ``interpolate(method='time')`` semantics made distributed.
+
+    The bracketing values come from two frames over ONE user-keyed
+    sort: last-ignore-nulls looking back, first-ignore-nulls looking
+    forward — no self-join against the observation table. The
+    interpolation weight is an exact integer day-diff ratio, computed
+    identically in both engines.
+
+    Scale: grid explode is per-user-linear; one hash exchange on
+    user_id serves the join and both window frames."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 5)
+    daily = (ev.groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+             .agg(F.round(F.avg("value"), 6).alias("day_avg")))
+    grid = (daily.groupBy("user_id")
+            .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+            .select("user_id", F.explode(F.sequence(
+                "d0", "d1", F.expr("interval 1 day"))).alias("day")))
+    j = grid.join(daily, ["user_id", "day"], "left")
+    back = (W.partitionBy("user_id").orderBy("day")
+            .rowsBetween(W.unboundedPreceding, W.currentRow))
+    fwd = (W.partitionBy("user_id").orderBy("day")
+           .rowsBetween(W.currentRow, W.unboundedFollowing))
+    obs_day = F.when(F.col("day_avg").isNotNull(), F.col("day"))
+    j = j.select(
+        "user_id", "day", "day_avg",
+        F.last("day_avg", ignorenulls=True).over(back).alias("pv"),
+        F.last(obs_day, ignorenulls=True).over(back).alias("pd"),
+        F.first("day_avg", ignorenulls=True).over(fwd).alias("nv"),
+        F.first(obs_day, ignorenulls=True).over(fwd).alias("nd"))
+    frac = (F.datediff(F.col("day"), F.col("pd")) * F.lit(1.0)
+            / F.datediff(F.col("nd"), F.col("pd")))
+    interp = (F.when(F.col("day_avg").isNotNull(), F.col("day_avg"))
+              .when(F.col("pv").isNull(), F.col("nv"))
+              .when(F.col("nv").isNull(), F.col("pv"))
+              .otherwise(F.col("pv") + (F.col("nv") - F.col("pv")) * frac))
+    return j.select(
+        "user_id", F.col("day").cast("date").cast("string").alias("day"),
+        "day_avg", (F.round(interp, 6) + 0.0).alias("interp"))
+
+
+# ---------------------------------------------------------------------------
+# Welch's t-test A/B gate (parametric sibling of the KS drift test)
+# ---------------------------------------------------------------------------
+
+@query("q_ab_ttest", oracle="""
+WITH s AS (
+  SELECT event_type,
+         AVG(CASE WHEN user_id % 2 = 0 THEN value END) AS m_a,
+         VAR_SAMP(CASE WHEN user_id % 2 = 0 THEN value END) AS v_a,
+         COUNT(CASE WHEN user_id % 2 = 0 THEN value END) AS n_a,
+         AVG(CASE WHEN user_id % 2 = 1 THEN value END) AS m_b,
+         VAR_SAMP(CASE WHEN user_id % 2 = 1 THEN value END) AS v_b,
+         COUNT(CASE WHEN user_id % 2 = 1 THEN value END) AS n_b
+  FROM events GROUP BY event_type
+)
+SELECT event_type,
+       ROUND((m_a - m_b) / SQRT(v_a / n_a + v_b / n_b), 6) + 0.0 AS t_stat,
+       ROUND(POW(v_a / n_a + v_b / n_b, 2)
+             / (POW(v_a / n_a, 2) / (n_a - 1)
+                + POW(v_b / n_b, 2) / (n_b - 1)), 6) + 0.0 AS df,
+       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b
+FROM s
+""")
+def q_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test per series (cohorts by user
+    parity, as q_ks_drift): t = (m_a - m_b) / sqrt(v_a/n_a + v_b/n_b)
+    with Welch-Satterthwaite degrees of freedom — the parametric
+    mean-shift member of the monitoring family (chi-square: categorical
+    mix; KS: whole distribution; t: mean). Conditional aggregation
+    computes both cohorts in ONE pass over the fact table — no
+    self-join, one map-side-combined hash aggregate; moments are
+    mergeable, so the plan is partial+final at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    a = F.when(F.col("user_id") % 2 == 0, F.col("value"))
+    b = F.when(F.col("user_id") % 2 == 1, F.col("value"))
+    s = ev.groupBy("event_type").agg(
+        F.avg(a).alias("m_a"), F.var_samp(a).alias("v_a"),
+        F.count(a).alias("n_a"),
+        F.avg(b).alias("m_b"), F.var_samp(b).alias("v_b"),
+        F.count(b).alias("n_b"))
+    se2 = F.col("v_a") / F.col("n_a") + F.col("v_b") / F.col("n_b")
+    dfw = (F.pow(se2, 2)
+           / (F.pow(F.col("v_a") / F.col("n_a"), 2) / (F.col("n_a") - 1)
+              + F.pow(F.col("v_b") / F.col("n_b"), 2) / (F.col("n_b") - 1)))
+    return s.select(
+        "event_type",
+        (F.round((F.col("m_a") - F.col("m_b")) / F.sqrt(se2), 6) + 0.0)
+        .alias("t_stat"),
+        (F.round(dfw, 6) + 0.0).alias("df"),
+        F.col("n_a").alias("n_a"), F.col("n_b").alias("n_b"))

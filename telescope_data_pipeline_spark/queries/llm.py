@@ -2217,3 +2217,72 @@ def q_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce("r_bm", F.lit(0)).cast("long").alias("r_bm"),
                 F.coalesce("r_cos", F.lit(0)).cast("long").alias("r_cos"))
             .orderBy(F.desc("rrf"), F.asc("doc_id")).limit(20))
+
+
+# ---------------------------------------------------------------------------
+# Late-interaction (ColBERT-style) max-sim retrieval
+# ---------------------------------------------------------------------------
+
+@query("q_maxsim_late", oracle="""
+WITH sl AS (SELECT UNNEST([0, 1, 2, 3]) AS i),
+qslice AS (
+  SELECT sl.i AS qi,
+         [CAST(e.embedding[sl.i * 16 + k] AS DOUBLE) FOR k IN range(1, 17)] AS qv
+  FROM embeddings e CROSS JOIN sl WHERE e.vec_id = 0
+), dslice AS (
+  SELECT e.vec_id AS doc_id, sl.i AS dj,
+         [CAST(e.embedding[sl.i * 16 + k] AS DOUBLE) FOR k IN range(1, 17)] AS dv
+  FROM embeddings e CROSS JOIN sl WHERE e.vec_id <> 0
+), scored AS (
+  SELECT d.doc_id, q.qi,
+         MAX(ROUND(
+           list_sum(list_transform(range(1, 17),
+                                   k -> q.qv[k] * d.dv[k]))
+           / SQRT(list_sum(list_transform(range(1, 17), k -> q.qv[k] * q.qv[k]))
+                  * list_sum(list_transform(range(1, 17), k -> d.dv[k] * d.dv[k]))),
+           6)) AS best
+  FROM dslice d CROSS JOIN qslice q
+  GROUP BY d.doc_id, q.qi
+)
+SELECT doc_id, ROUND(SUM(best), 6) + 0.0 AS maxsim
+FROM scored GROUP BY doc_id
+ORDER BY maxsim DESC, doc_id LIMIT 10
+""")
+def q_maxsim_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction retrieval (ColBERT-family MaxSim, Khattab &
+    Zaharia 2020): documents and the query are MULTI-vector — here each
+    64-dim embedding is sliced into 4 x 16-dim sub-vectors standing in
+    for token embeddings — and the score is
+    sum over query sub-vectors of max over doc sub-vectors of cosine.
+    Late interaction keeps per-token granularity that single-vector
+    cosine (q_sim_topk) pools away, which is why rerankers use it.
+
+    Shape: posexplode each side's slice array, equi-free 4x4 sub-vector
+    pairing per doc via a 4-row broadcast of the query slices, cosine
+    per pair (rounded before MAX — rounding is monotone, so the max of
+    rounded equals the rounded max up to tie collapse, identical in
+    both engines), MAX per (doc, query-slice), SUM per doc, TakeOrdered
+    top-10.
+
+    Scale: the candidate doc set would come from the single-vector ANN
+    stage (IVF/LSH); MaxSim then scores |candidates| x |q_tokens| x
+    |d_tokens| pairs — all JVM-side fold arithmetic, no UDF, and the
+    per-doc reduction is a two-level mergeable aggregate."""
+    e = load_table(spark, sf_dir, "embeddings")
+    slices = F.array(*[F.slice("embedding", i * 16 + 1, 16) for i in range(4)])
+    q = (e.filter(F.col("vec_id") == 0)
+         .select(F.posexplode(slices).alias("qi", "qv")))
+    d = (e.filter(F.col("vec_id") != 0)
+         .select(F.col("vec_id").alias("doc_id"),
+                 F.posexplode(slices).alias("dj", "dv")))
+    dot = F.aggregate(
+        F.zip_with("qv", "dv", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+    sq = lambda c: F.aggregate(  # noqa: E731 - local expression helper
+        F.col(c), F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    cos = F.round(F.try_divide(dot, F.sqrt(sq("qv") * sq("dv"))), 6)
+    return (d.crossJoin(F.broadcast(q))  # 4-row query-slice table
+            .groupBy("doc_id", "qi").agg(F.max(cos).alias("best"))
+            .groupBy("doc_id")
+            .agg((F.round(F.sum("best"), 6) + 0.0).alias("maxsim"))
+            .orderBy(F.desc("maxsim"), F.asc("doc_id")).limit(10))
