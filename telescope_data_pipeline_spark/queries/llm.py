@@ -2286,3 +2286,55 @@ def q_maxsim_late(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("doc_id")
             .agg((F.round(F.sum("best"), 6) + 0.0).alias("maxsim"))
             .orderBy(F.desc("maxsim"), F.asc("doc_id")).limit(10))
+
+
+# ---------------------------------------------------------------------------
+# Positional phrase search over the inverted index family
+# ---------------------------------------------------------------------------
+
+@query("q_phrase_search", oracle=r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(text), '\s+') AS lst FROM documents
+), tok AS (
+  SELECT doc_id, UNNEST(lst) AS term,
+         UNNEST(range(0, len(lst))) AS pos
+  FROM t
+), t1 AS (
+  SELECT doc_id, pos FROM tok WHERE term = 'spark'
+), t2 AS (
+  SELECT doc_id, pos FROM tok WHERE term = 'join'
+)
+SELECT t1.doc_id,
+       COUNT(*) AS n_occ,
+       CAST(MIN(t1.pos) AS BIGINT) AS first_pos
+FROM t1 JOIN t2 ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+GROUP BY t1.doc_id
+""")
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase query ("spark join") over a POSITIONAL inverted
+    index: the positional extension of q_inverted_index — posting
+    lists carry (doc, position), and a two-term phrase is a hash
+    equi-join of the first term's postings on (doc_id, pos + 1)
+    against the second term's. Reports per-doc occurrence count and
+    first hit position (the snippet anchor).
+
+    Scale: postings are FILTERED to the phrase's terms before any
+    shuffle (the BM25 move — shuffle volume is |hits of the two
+    terms|, never |tokens|); the positional adjacency test rides the
+    equi-join key (next_pos precomputed), so the plan is a pure hash
+    join at any corpus size. N-term phrases chain n-1 such joins,
+    rarest term first."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), _TOK)).alias("pos", "term"))
+    t1 = (tok.filter(F.col("term") == "spark")
+          .select("doc_id", "pos", (F.col("pos") + 1).alias("next_pos")))
+    t2 = (tok.filter(F.col("term") == "join")
+          .select(F.col("doc_id").alias("doc_id2"),
+                  F.col("pos").alias("pos2")))
+    return (t1.join(t2, (F.col("doc_id2") == F.col("doc_id"))
+                    & (F.col("pos2") == F.col("next_pos")))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_occ"),
+                 F.min("pos").cast("long").alias("first_pos")))
