@@ -2338,3 +2338,91 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("n_occ"),
                  F.min("pos").cast("long").alias("first_pos")))
+
+
+# ---------------------------------------------------------------------------
+# DoReMi-style domain reweighting step (adaptive training-mix optimization)
+# ---------------------------------------------------------------------------
+
+@query("q_doremi_step", oracle=r"""
+WITH toks AS (
+  SELECT source,
+         substring(md5(UNNEST(list_filter(
+             string_split_regex(lower(text), '\s+'), x -> x != ''))), 1, 2)
+         AS bkt
+  FROM documents
+), model AS (
+  SELECT bkt, COUNT(*) AS c FROM toks GROUP BY bkt
+), n AS (SELECT SUM(c) AS n FROM model),
+nl AS (
+  SELECT model.bkt,
+         CAST(ROUND(-LN((model.c + 1.0) / (n.n + 256.0)) * 1e9, 0)
+              AS BIGINT) AS nl_nano
+  FROM model CROSS JOIN n
+), per_src AS (
+  SELECT toks.source,
+         CAST(SUM(nl.nl_nano) AS DOUBLE) / 1e9 / COUNT(*) AS loss
+  FROM toks JOIN nl USING (bkt)
+  GROUP BY toks.source
+), base AS (
+  SELECT SUM(loss * 1.0) / COUNT(*) AS baseline FROM per_src
+), ex AS (
+  SELECT source, loss,
+         ROUND(loss - base.baseline, 6) AS excess
+  FROM per_src CROSS JOIN base
+), z AS (SELECT SUM(EXP(excess)) AS z FROM ex)
+SELECT source,
+       ROUND(loss, 6) + 0.0 AS loss,
+       excess + 0.0 AS excess,
+       ROUND(EXP(ex.excess) / z.z, 6) + 0.0 AS weight
+FROM ex CROSS JOIN z
+""")
+def q_doremi_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One DoReMi-style domain-reweighting step (Xie et al. 2023): each
+    source's proxy loss is its average per-token negative log-prob
+    under a corpus-wide hashed-256-bucket unigram model (the q_dsir
+    feature machinery pointed at mix optimization instead of
+    importance sampling); domains with ABOVE-baseline loss get
+    exponentially upweighted — w_d proportional to exp(loss_d - mean) —
+    the multiplicative-weights update that makes the training mix
+    chase hard domains. The adaptive member of the mixing family
+    (static q_mix_corpus, hash q_mix_corpus_hash, budget
+    q_mix_token_budget).
+
+    Determinism: per-token loss is summed in integer nano-units
+    (order-free); the excess is ROUNDed before EXP so both engines
+    exponentiate identical inputs; weights renormalize over the
+    |sources|-row table (1-row broadcast sum).
+
+    Scale: the model is 256 rows broadcast onto the token stream; one
+    hash shuffle on source for the loss aggregate; everything after is
+    |sources|-sized."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = (d.select(
+                "source",
+                F.explode(F.filter(F.split(F.lower("text"), _TOK),
+                                   lambda x: x != "")).alias("tok"))
+            .select("source", F.substring(F.md5("tok"), 1, 2).alias("bkt")))
+    model = toks.groupBy("bkt").agg(F.count(F.lit(1)).alias("c"))
+    n = model.agg(F.sum("c").alias("n"))
+    nl = (model.crossJoin(F.broadcast(n))
+          .select("bkt",
+                  F.round(-F.log((F.col("c") + 1.0) / (F.col("n") + 256.0))
+                          * 1e9, 0).cast("long").alias("nl_nano")))
+    per_src = (toks.join(F.broadcast(nl), "bkt")
+               .groupBy("source")
+               .agg((F.sum("nl_nano").cast("double") / 1e9
+                     / F.count(F.lit(1))).alias("loss")))
+    base = per_src.agg((F.sum(F.col("loss") * 1.0)
+                        / F.count(F.lit(1))).alias("baseline"))
+    ex = (per_src.crossJoin(F.broadcast(base))
+          .select("source", "loss",
+                  F.round(F.col("loss") - F.col("baseline"), 6)
+                  .alias("excess")))
+    z = ex.agg(F.sum(F.exp("excess")).alias("z"))
+    return (ex.crossJoin(F.broadcast(z))
+            .select("source",
+                    (F.round("loss", 6) + 0.0).alias("loss"),
+                    (F.col("excess") + 0.0).alias("excess"),
+                    (F.round(F.exp("excess") / F.col("z"), 6) + 0.0)
+                    .alias("weight")))

@@ -80,9 +80,9 @@ PRIORITY: tuple[str, ...] = (
     "q_compact_files", "q_shipping_priority",
     "q_ks_drift", "q_winsorize", "q_corr_matrix", "q_containment_join",
     "q_rank_fusion", "q_interp_linear", "q_ab_ttest", "q_maxsim_late",
-    "q_phrase_search",
-    # (c) r3-green backfill: scalar/filter/scan family sit-outs
-    "q_color_index", "q_partition_overwrite",
+    "q_phrase_search", "q_label_knn_noise", "q_doremi_step",
+    # (c) r3-green backfill absorbed into (a)/(b): every slot now goes
+    # to first-time evidence for this round's operators
 )
 
 

@@ -2043,3 +2043,86 @@ def q_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_a", "doc_b",
                     F.round(F.col("inter").cast("double") / F.col("m_a"), 6)
                     .alias("containment")))
+
+
+# ---------------------------------------------------------------------------
+# k-NN label-noise detection (data-quality audit over labeled embeddings)
+# ---------------------------------------------------------------------------
+
+@query("q_label_knn_noise", oracle="""
+WITH norms AS (
+  SELECT vec_id, SUM(CAST(e AS DOUBLE) * CAST(e AS DOUBLE)) AS nrm
+  FROM (SELECT vec_id, UNNEST(embedding) AS e FROM embeddings)
+  GROUP BY vec_id
+), pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         CAST(UNNEST(q.embedding) AS DOUBLE) AS qe,
+         CAST(UNNEST(c.embedding) AS DOUBLE) AS ce
+  FROM embeddings q CROSS JOIN embeddings c
+  WHERE q.vec_id < 100 AND q.vec_id <> c.vec_id
+), dots AS (
+  SELECT query_id, cand_id, SUM(qe * ce) AS dot FROM pairs GROUP BY 1, 2
+), scored AS (
+  SELECT query_id, cand_id,
+         ROUND(dot / SQRT(nq.nrm * nc.nrm), 6) AS cos
+  FROM dots
+  JOIN norms nq ON nq.vec_id = query_id
+  JOIN norms nc ON nc.vec_id = cand_id
+), nn AS (
+  SELECT query_id, cand_id FROM (
+    SELECT query_id, cand_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, cand_id) AS rn
+    FROM scored) WHERE rn <= 5
+)
+SELECT nn.query_id AS vec_id,
+       CAST(ql.label AS BIGINT) AS label,
+       CAST(SUM(CASE WHEN cl.label <> ql.label THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_disagree,
+       ROUND(SUM(CASE WHEN cl.label <> ql.label THEN 1 ELSE 0 END)
+             / 5.0, 6) + 0.0 AS noise_frac
+FROM nn
+JOIN embeddings ql ON ql.vec_id = nn.query_id
+JOIN embeddings cl ON cl.vec_id = nn.cand_id
+GROUP BY nn.query_id, ql.label
+""")
+def q_label_knn_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise audit via k-NN label disagreement (the Confident
+    Learning / deep-k-NN family): for each labeled vector, find its 5
+    cosine nearest neighbors and report the fraction whose label
+    disagrees — vectors whose neighborhoods vote against them are the
+    mislabeled-example candidates a training pipeline quarantines.
+
+    Determinism: neighbors rank on the ROUNDED cosine with id tiebreak
+    (the q_weighted_sample argmin rule), so engine fold-order cannot
+    flip a pick; the disagreement count is pure integers.
+
+    Scale: the demo scores a 100-query audit slice against the full
+    corpus brute-force; production swaps candidate generation for the
+    IVF/LSH path (operators/similarity.py, ivf_index.py) and the
+    disagreement aggregate is unchanged. Labels ride the posting join
+    as tiny ints — never the vectors."""
+    e = load_table(spark, sf_dir, "embeddings")
+    norm = F.aggregate(F.col("embedding"), F.lit(0.0),
+                       lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    wn = e.select("vec_id", "label", "embedding", norm.alias("nrm"))
+    q = (wn.filter(F.col("vec_id") < 100)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("label").alias("qlabel"),
+                 F.col("embedding").alias("qv"), F.col("nrm").alias("qn")))
+    c = wn.select(F.col("vec_id").alias("cand_id"),
+                  F.col("label").alias("clabel"),
+                  F.col("embedding").alias("cv"), F.col("nrm").alias("cn"))
+    dot = F.aggregate(
+        F.zip_with("qv", "cv", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+    scored = (q.join(F.broadcast(c), F.col("query_id") != F.col("cand_id"))
+              .withColumn("cos", F.round(
+                  F.try_divide(dot, F.sqrt(F.col("qn") * F.col("cn"))), 6)))
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    nn = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
+    disagree = F.when(F.col("clabel") != F.col("qlabel"), 1).otherwise(0)
+    return (nn.groupBy(F.col("query_id").alias("vec_id"),
+                       F.col("qlabel").cast("long").alias("label"))
+            .agg(F.sum(disagree).cast("long").alias("n_disagree"),
+                 (F.round(F.sum(disagree) / 5.0, 6) + 0.0).alias("noise_frac")))
