@@ -2426,3 +2426,80 @@ def q_doremi_step(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("excess") + 0.0).alias("excess"),
                     (F.round(F.exp("excess") / F.col("z"), 6) + 0.0)
                     .alias("weight")))
+
+
+# ---------------------------------------------------------------------------
+# Training-shard export sink: token-budget sharding + manifest round-trip
+# ---------------------------------------------------------------------------
+
+@query("q_shard_export", oracle=r"""
+WITH t AS (
+  SELECT doc_id,
+         LEN(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+           AS n_tok,
+         ('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 10))
+           ::BIGINT AS hk
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tok, hk,
+         SUM(n_tok) OVER (ORDER BY hk * 1048576 + doc_id) AS cum
+  FROM t
+)
+SELECT CAST(FLOOR((cum - n_tok) / 4000.0) AS BIGINT) AS shard_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       CAST(SUM(hk) AS BIGINT) AS content_sum
+FROM c GROUP BY 1
+""")
+def q_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard export: the corpus is cut into ~4000-token shards
+    in deterministic content-hash order (each doc lands in the shard
+    where its running token count BEGINS), written PARTITIONED BY
+    shard_id, and the returned manifest (docs, tokens, order-free
+    content fingerprint per shard) is computed from the FILES READ BACK
+    — so the oracle parity proves the sink round-trip byte-preserved
+    membership, the q_compact_files contract applied to the export
+    sink a training run actually consumes.
+
+    The running count is the distributed two-phase prefix sum
+    (operators/prefix_sum.py — no single-partition sort; the
+    q_pack_sequences scaffold). The unique order key is the 40-bit md5
+    prefix * 2^20 + doc_id (60 bits, overflow-safe), with a LOUD runtime guard on the id span
+    (composite-key aliasing rule): both engines order by the identical
+    composite, so shard boundaries agree exactly.
+
+    Scale: shard assignment is linear; the write is one file per
+    shard directory via repartition on the partition column (never
+    coalesce(1) — that serializes the whole plan)."""
+    import tempfile
+
+    from ..operators.prefix_sum import distributed_prefix_sum
+
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.coalesce(
+        F.size(F.filter(F.split("text", _TOK), lambda x: x != "")), F.lit(0))
+    h = F.md5(F.concat(F.lit("shard:"), F.col("doc_id").cast("string")))
+    hk = F.conv(F.substring(h, 1, 10), 16, 10).cast("long")
+    guard = F.assert_true(
+        F.col("doc_id") < F.lit(1 << 20),
+        F.lit("q_shard_export: doc_id exceeds the 2^20 composite-key span"))
+    t = (d.select("doc_id", n_tok.cast("long").alias("n_tok"),
+                  hk.alias("hk"))
+         .select("*", F.when(guard.isNull(), F.lit(1)).alias("_g"))
+         .withColumn("okey", F.col("hk") * (1 << 20) + F.col("doc_id"))
+         .drop("_g"))
+    c = distributed_prefix_sum(t, "okey", "n_tok", out_col="cum")
+    sharded = c.select(
+        "doc_id", "n_tok", "hk",
+        F.floor((F.col("cum") - F.col("n_tok")) / F.lit(4000.0))
+        .cast("long").alias("shard_id"))
+    out = tempfile.mkdtemp(prefix="tdps_shards_")
+    (sharded.repartition("shard_id")
+     .write.mode("overwrite").partitionBy("shard_id").parquet(out))
+    # explicit schema: an empty corpus writes zero files, and a bare
+    # read would fail schema inference
+    back = spark.read.schema(sharded.schema).parquet(out)
+    return (back.groupBy("shard_id")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tok").cast("long").alias("n_tokens"),
+                 F.sum("hk").cast("long").alias("content_sum")))

@@ -55,9 +55,13 @@ _REGISTRY: dict[str, Query] = {}
 #: remaining r3/r4/r5-green queries (all re-verified by the local
 #: sf0.01+sf0.1 sweep every session) rotate back in round 7.
 #:
-#: ROUND-7 ROTATION NOTE: backfill first the r3-green sit-outs that
+#: ROUND-7 ROTATION NOTE: backfill first q_unpivot (bumped from this
+#: window for q_shard_export) and the r3-green sit-outs that
 #: missed this window (q_scalar_date2, q_scalar_math, q_scalar_round, q_scalar_string2, q_scan_csv, q_scan_json,
-#: q_sort, q_text_redact,
+#: q_sort, q_text_redact, q_color_index, q_partition_overwrite,
+#: q_phase_fold, q_histogram, q_json_extract, q_posexplode,
+#: q_cohort_retention, q_case_when, q_filter_range, q_project,
+#: q_scalar_bits,
 #: q_doc_chunks, q_zscore, q_topk_per_group, q_window_trim,
 #: q_union_distinct), then rotate
 #: r4/r5-green family representatives (flagship, aggs, joins,
@@ -72,7 +76,7 @@ PRIORITY: tuple[str, ...] = (
     "q_oov_rate", "q_pagerank", "q_pq_adc", "q_profile_table",
     "q_quantile_norm", "q_random_projection", "q_sample_reservoir",
     "q_scd2_asof", "q_setsim_join", "q_skyline", "q_sparse_cosine",
-    "q_triangle_count", "q_unpivot", "q_zorder_key",
+    "q_triangle_count", "q_zorder_key",
     # (b) first-time evidence: promoted from rows-only this round, and
     # the operators new this round
     "q_sample_stratified", "q_pack_greedy", "q_semdedup", "q_dsir",
@@ -81,6 +85,7 @@ PRIORITY: tuple[str, ...] = (
     "q_ks_drift", "q_winsorize", "q_corr_matrix", "q_containment_join",
     "q_rank_fusion", "q_interp_linear", "q_ab_ttest", "q_maxsim_late",
     "q_phrase_search", "q_label_knn_noise", "q_doremi_step",
+    "q_shard_export",
     # (c) r3-green backfill absorbed into (a)/(b): every slot now goes
     # to first-time evidence for this round's operators
 )
