@@ -724,3 +724,37 @@ def test_containment_join_equi_only(spark):
     terms — never a nested-loop over doc pairs."""
     assert_plan(get("q_containment_join").fn(spark, SF),
                 absent=("BroadcastNestedLoopJoin", "CartesianProduct"))
+
+
+def test_phrase_search_equi_join_only(spark):
+    """The positional phrase join must stay a hash equi-join on
+    (doc_id, pos+1) — never a nested loop over postings."""
+    assert_plan(get("q_phrase_search").fn(spark, SF),
+                absent=("BroadcastNestedLoopJoin", "CartesianProduct"))
+
+
+def test_maxsim_broadcasts_query_slices(spark):
+    """MaxSim's 4x4 sub-vector pairing must ride a broadcast of the
+    4-row query-slice table — the doc side never reshuffles."""
+    assert_plan(get("q_maxsim_late").fn(spark, SF),
+                contains=("BroadcastNestedLoopJoin",),
+                absent=("SortMergeJoin",))
+
+
+def test_doremi_broadcasts_model(spark):
+    """The 256-row hashed-unigram model joins the token stream by
+    broadcast; the only hash exchange belongs to the source aggregate."""
+    assert_plan(get("q_doremi_step").fn(spark, SF),
+                contains=("BroadcastHashJoin",),
+                absent=("SortMergeJoin", "CartesianProduct"))
+
+
+def test_shard_export_no_single_partition_exchange(spark):
+    """Shard assignment must run on the distributed prefix-sum scaffold —
+    a global orderBy window would collapse the corpus to one task."""
+    from telescope_data_pipeline_spark.plans.audit import physical_plan
+
+    df = get("q_shard_export").fn(spark, SF)
+    df.collect()  # finalize AQE
+    plan = physical_plan(df)
+    assert "Exchange SinglePartition" not in plan, plan
