@@ -126,6 +126,16 @@ CAPTURE = [
      "containment join: one-sided df-ascending prefix equi-join, integer-threshold verify"),
     ("q_rank_fusion",
      "RRF: both legs end in TakeOrdered top-100; fusion joins two 100-row lists"),
+    ("q_phrase_search",
+     "phrase query: postings filtered to phrase terms pre-shuffle, (doc,pos+1) equi-join"),
+    ("q_maxsim_late",
+     "MaxSim: 4-row query-slice broadcast, JVM fold cosine, two-level mergeable reduction"),
+    ("q_doremi_step",
+     "DoReMi: 256-row model broadcast on token stream, one source-keyed loss aggregate"),
+    ("q_shard_export",
+     "shard export: distributed prefix-sum assignment, partitioned write, read-back manifest"),
+    ("q_label_knn_noise",
+     "label-noise audit: rounded-cosine 5-NN vote, labels ride the join as ints"),
 ]
 
 HEADER = """\
