@@ -2126,3 +2126,75 @@ def q_label_knn_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.col("qlabel").cast("long").alias("label"))
             .agg(F.sum(disagree).cast("long").alias("n_disagree"),
                  (F.round(F.sum(disagree) / 5.0, 6) + 0.0).alias("noise_frac")))
+
+
+# ---------------------------------------------------------------------------
+# Distributed AUC (Mann-Whitney rank-sum over score jump points)
+# ---------------------------------------------------------------------------
+
+@query("q_auc_ranking", oracle="""
+WITH s AS (
+  SELECT ROUND(CAST(embedding[1] AS DOUBLE), 6) AS score,
+         CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y
+  FROM embeddings
+), c AS (
+  SELECT score,
+         SUM(y) AS n_pos_s,
+         SUM(1 - y) AS n_neg_s
+  FROM s GROUP BY score
+), cum AS (
+  SELECT n_pos_s, n_neg_s,
+         COALESCE(SUM(n_neg_s) OVER (
+           ORDER BY score
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS n_neg_below
+  FROM c
+), tot AS (
+  SELECT SUM(n_pos_s) AS n_pos, SUM(n_neg_s) AS n_neg FROM c
+)
+SELECT ROUND(SUM(n_pos_s * (n_neg_below + n_neg_s / 2.0))
+             / (tot.n_pos * tot.n_neg), 6) + 0.0 AS auc,
+       CAST(tot.n_pos AS BIGINT) AS n_pos,
+       CAST(tot.n_neg AS BIGINT) AS n_neg
+FROM cum CROSS JOIN tot
+GROUP BY tot.n_pos, tot.n_neg
+""")
+def q_auc_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed ROC-AUC via the Mann-Whitney rank-sum identity:
+    AUC = P(score_pos > score_neg) + P(equal)/2, computed from
+    per-DISTINCT-score class counts and a cumulative negative count —
+    the model-evaluation anchor beside the training-step anchors
+    (q_kmeans_step, q_grouped_regression). Demo scorer: first embedding
+    component predicting label >= 5. Exact under ties (the /2 term is
+    the tied-pair convention scikit-learn uses); scores are rounded to
+    6 BEFORE grouping so both engines bucket identically.
+
+    Scale: one hash shuffle on score for the jump-point counts
+    (|distinct scores|, not |rows|), one ordered window over those
+    counts, 1-row totals broadcast. At 100 TB with ~continuous scores,
+    pre-bucket scores to fixed precision (already done here via the
+    rounding) so |distinct| is bounded — the standard streaming-AUC
+    histogram approximation made exact at chosen precision."""
+    e = load_table(spark, sf_dir, "embeddings")
+    s = e.select(
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("score"),
+        F.when(F.col("label") >= 5, 1).otherwise(0).alias("y"))
+    c = s.groupBy("score").agg(
+        F.sum("y").alias("n_pos_s"),
+        F.sum(1 - F.col("y")).alias("n_neg_s"))
+    w = (W.orderBy("score")
+         .rowsBetween(W.unboundedPreceding, -1))
+    cum = c.select(
+        "n_pos_s", "n_neg_s",
+        F.coalesce(F.sum("n_neg_s").over(w), F.lit(0)).alias("n_neg_below"))
+    tot = c.agg(F.sum("n_pos_s").alias("n_pos"),
+                F.sum("n_neg_s").alias("n_neg"))
+    return (cum.crossJoin(F.broadcast(tot))
+            .groupBy("n_pos", "n_neg")
+            .agg((F.round(F.sum(F.col("n_pos_s")
+                                * (F.col("n_neg_below")
+                                   + F.col("n_neg_s") / 2.0))
+                          / (F.col("n_pos") * F.col("n_neg")), 6) + 0.0)
+                 .alias("auc"))
+            .select("auc", F.col("n_pos").cast("long").alias("n_pos"),
+                    F.col("n_neg").cast("long").alias("n_neg")))
