@@ -15,6 +15,7 @@ def load_all() -> None:
         aggregates,
         analysis,
         domain,
+        evaluation,
         flagship,
         joins,
         llm,

@@ -1028,3 +1028,76 @@ def q_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("t_stat"),
         (F.round(dfw, 6) + 0.0).alias("df"),
         F.col("n_a").alias("n_a"), F.col("n_b").alias("n_b"))
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation function (lags 1-3) per event-type series
+# ---------------------------------------------------------------------------
+
+@query("q_acf", oracle="""
+WITH base AS (
+  SELECT event_type, ts, event_id,
+         CAST(ROUND(value * 1000000) AS BIGINT) AS xu
+  FROM events WHERE value IS NOT NULL
+), tot AS (
+  SELECT event_type, COUNT(*) AS n, SUM(xu) AS s
+  FROM base GROUP BY event_type
+), dev AS (
+  SELECT b.event_type, t.n,
+         CAST(t.n AS HUGEINT) * b.xu - t.s AS d,
+         LAG(CAST(t.n AS HUGEINT) * b.xu - t.s, 1) OVER w AS d1,
+         LAG(CAST(t.n AS HUGEINT) * b.xu - t.s, 2) OVER w AS d2,
+         LAG(CAST(t.n AS HUGEINT) * b.xu - t.s, 3) OVER w AS d3
+  FROM base b JOIN tot t USING (event_type)
+  WINDOW w AS (PARTITION BY b.event_type ORDER BY b.ts, b.event_id)
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       ROUND(SUM(d * d1)::DOUBLE / SUM(d * d), 6) + 0.0 AS acf_lag1,
+       ROUND(SUM(d * d2)::DOUBLE / SUM(d * d), 6) + 0.0 AS acf_lag2,
+       ROUND(SUM(d * d3)::DOUBLE / SUM(d * d), 6) + 0.0 AS acf_lag3
+FROM dev GROUP BY event_type, n
+""")
+def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function at lags 1-3 per event-type series — the
+    stationarity/seasonality probe that complements q_periodogram
+    (frequency domain) and q_ohlc_bars (bar aggregation) in the
+    time-series family. ACF_k = sum(d_t * d_{t-k}) / sum(d_t^2) with
+    d_t the mean deviation.
+
+    Determinism: values quantize to integer micro-units; the mean is
+    never materialized — d_t is computed as n*x_t - sum(x) (exact
+    integer, the n^2 factors cancel in the ratio), products ride
+    DECIMAL(38,0)/HUGEINT, so both engines sum identical integers in
+    any order and divide once.
+
+    Scale: one groupBy for the per-series totals (broadcast back),
+    one window partitioned BY SERIES for the lags, one final groupBy —
+    all keyed, no single-partition collapse. Long per-series
+    partitions are the known hazard of per-key ordered windows; at
+    100 TB, pre-bucket by (series, time-range) and stitch boundary
+    lags, as the SURVEY scale note for sessionization prescribes."""
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull()))
+    base = ev.select(
+        "event_type", "ts", "event_id",
+        F.round(F.col("value") * 1e6).cast("bigint").alias("xu"))
+    tot = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("xu").alias("s"))
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    d = (F.col("n") * F.col("xu") - F.col("s")).cast("decimal(38,0)")
+    dev = (base.join(F.broadcast(tot), "event_type")
+           .select("event_type", "ts", "event_id", "n", d.alias("d"))
+           .select("event_type", "n", "d",
+                   F.lag("d", 1).over(w).alias("d1"),
+                   F.lag("d", 2).over(w).alias("d2"),
+                   F.lag("d", 3).over(w).alias("d3")))
+    den = F.sum(F.col("d") * F.col("d"))
+    def acf(lagcol: str):
+        return (F.round(F.sum(F.col("d") * F.col(lagcol)).cast("double")
+                        / den.cast("double"), 6) + 0.0)
+    return (dev.groupBy("event_type", "n")
+            .agg(acf("d1").alias("acf_lag1"),
+                 acf("d2").alias("acf_lag2"),
+                 acf("d3").alias("acf_lag3"))
+            .select("event_type", F.col("n").cast("bigint").alias("n"),
+                    "acf_lag1", "acf_lag2", "acf_lag3"))

@@ -1,0 +1,177 @@
+"""Model-evaluation queries: the metrics a training-data pipeline runs
+AFTER a model exists — ranking quality (NDCG/MRR), probability
+calibration (ECE bins, Brier) — computed distributed, joining
+q_auc_ranking (retrieval.py) to complete the evaluation family.
+
+Determinism doctrine (shared with q_auc_ranking): every float that two
+engines must agree on is either (a) derived from pure integer
+arithmetic until one final division, or (b) quantized to integer
+micro-units per TERM before summing, so the sum is order-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .registry import query
+
+
+# ---------------------------------------------------------------------------
+# Ranking quality: NDCG@10 + MRR per query group
+# ---------------------------------------------------------------------------
+
+@query("q_ndcg_mrr", oracle="""
+WITH base AS (
+  SELECT vec_id % 20 AS qid, vec_id,
+         ROUND(CAST(embedding[1] AS DOUBLE), 6) AS score,
+         label AS rel
+  FROM embeddings
+), ranked AS (
+  SELECT qid, vec_id, rel,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, vec_id)
+           AS rk,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rel DESC, vec_id)
+           AS irk
+  FROM base
+), terms AS (
+  SELECT qid, rel, rk, irk,
+         CAST(ROUND((POW(2, rel) - 1) / LOG2(rk + 1) * 1000000)
+              AS BIGINT) AS dcg_u,
+         CAST(ROUND((POW(2, rel) - 1) / LOG2(irk + 1) * 1000000)
+              AS BIGINT) AS idcg_u
+  FROM ranked
+)
+SELECT qid,
+       CAST(COUNT(*) AS BIGINT) AS n_cand,
+       CASE WHEN SUM(idcg_u) FILTER (WHERE irk <= 10) = 0 THEN 0.0
+            ELSE ROUND(SUM(dcg_u) FILTER (WHERE rk <= 10)::DOUBLE
+                       / SUM(idcg_u) FILTER (WHERE irk <= 10), 6) + 0.0
+       END AS ndcg10,
+       COALESCE(ROUND(1.0 / MIN(CASE WHEN rel >= 7 THEN rk END), 6), 0.0)
+         + 0.0 AS mrr
+FROM terms
+GROUP BY qid
+""")
+def q_ndcg_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality evaluation: NDCG@10 and MRR per query group —
+    the retrieval-eval metrics run over every (query, ranked
+    candidates) table a RAG or search pipeline produces. Demo framing:
+    embeddings bucketed into 20 query groups (vec_id % 20), ranked by
+    first-component score; graded relevance = label (0-9), binary
+    relevance for MRR = label >= 7.
+
+    Determinism: the score is rounded to 6 BEFORE ranking with a
+    vec_id tiebreak (total order both engines); each DCG term
+    (2^rel - 1)/log2(rank + 1) is quantized to integer micro-units
+    before summing, so per-group sums are order-free, and NDCG is one
+    final integer-ratio division. All-irrelevant groups get ndcg10 =
+    0.0 (IDCG = 0 guard), no-relevant-hit groups get mrr = 0.0.
+
+    Scale: two same-key windows per query group (one exchange on qid,
+    two bounded sorts), one map-side-combined groupBy — no
+    single-partition anything; candidate lists per query are the only
+    sort unit. 100 TB story: qid is the natural partition key of any
+    eval set; skewed giant candidate lists are the one hazard and they
+    trim to @10 AFTER ranking, so cap candidates upstream."""
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.select(
+        (F.col("vec_id") % 20).alias("qid"), "vec_id",
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("score"),
+        F.col("label").alias("rel"))
+    w_rank = W.partitionBy("qid").orderBy(F.desc("score"), "vec_id")
+    w_ideal = W.partitionBy("qid").orderBy(F.desc("rel"), "vec_id")
+    gain = F.pow(F.lit(2), F.col("rel")) - 1
+    ranked = base.select(
+        "qid", "rel",
+        F.row_number().over(w_rank).alias("rk"),
+        F.row_number().over(w_ideal).alias("irk"))
+    terms = ranked.select(
+        "qid", "rel", "rk", "irk",
+        F.round(gain / F.log2(F.col("rk") + 1) * 1e6)
+         .cast("bigint").alias("dcg_u"),
+        F.round(gain / F.log2(F.col("irk") + 1) * 1e6)
+         .cast("bigint").alias("idcg_u"))
+    idcg10 = F.sum(F.when(F.col("irk") <= 10, F.col("idcg_u")))
+    dcg10 = F.sum(F.when(F.col("rk") <= 10, F.col("dcg_u")))
+    first_hit = F.min(F.when(F.col("rel") >= 7, F.col("rk")))
+    return (terms.groupBy("qid")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_cand"),
+                 F.when(idcg10 == 0, F.lit(0.0))
+                  .otherwise(F.round(dcg10.cast("double") / idcg10, 6) + 0.0)
+                  .alias("ndcg10"),
+                 (F.coalesce(F.round(1.0 / first_hit, 6), F.lit(0.0)) + 0.0)
+                  .alias("mrr")))
+
+
+# ---------------------------------------------------------------------------
+# Probability calibration: reliability bins (ECE inputs) + Brier
+# ---------------------------------------------------------------------------
+
+@query("q_calibration", oracle="""
+WITH scored AS (
+  SELECT CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y,
+         80 * label + ((vec_id % 1000003) * 2654435761 % 1000) // 5
+           AS p_milli
+  FROM embeddings
+), binned AS (
+  SELECT y, p_milli, LEAST(p_milli // 100, 9) AS bin FROM scored
+)
+SELECT bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(p_milli)::DOUBLE / (1000 * COUNT(*)), 6) + 0.0 AS mean_p,
+       ROUND(SUM(y)::DOUBLE / COUNT(*), 6) + 0.0 AS frac_pos,
+       ROUND(ABS(SUM(p_milli)::DOUBLE / 1000 - SUM(y))
+             / COUNT(*), 6) + 0.0 AS abs_gap,
+       ROUND(SUM((p_milli - 1000 * y) * (p_milli - 1000 * y))::DOUBLE
+             / 1000000 / COUNT(*), 6) + 0.0 AS brier
+FROM binned
+GROUP BY bin
+""")
+def q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probability-calibration audit: 10 reliability bins with mean
+    predicted probability vs empirical positive rate (the per-bin
+    |gap|s are the ECE terms — ECE = sum(n_b/N * abs_gap_b)) plus the
+    per-bin Brier score. The post-training companion to q_auc_ranking:
+    AUC measures ranking, this measures whether the probabilities mean
+    what they say. Demo scorer: a deterministic integer-hash
+    probability in milliunits, label-correlated (80*label milli) plus
+    hash noise, so bins are populated and calibration is non-trivial.
+
+    Determinism: the probability never exists as a float — it is an
+    integer milliunit value end-to-end (hash is modular integer
+    arithmetic; vec_id is bounded mod 1000003 first so the multiply
+    can never overflow int64 at any scale). Every output is a ratio
+    of exact integer sums, rounded once: zero float fold-order
+    exposure, bit-identical across engines and partitionings.
+
+    Scale: one map-side-combined groupBy on a 10-value key — the
+    textbook low-cardinality aggregate; partial aggregation reduces
+    each partition to <=10 rows before the exchange."""
+    e = load_table(spark, sf_dir, "embeddings")
+    p_milli = (80 * F.col("label")
+               + ((F.col("vec_id") % 1000003) * F.lit(2654435761).cast("bigint")
+                  % 1000) / F.lit(5)).cast("bigint")
+    scored = e.select(
+        F.when(F.col("label") >= 5, 1).otherwise(0).alias("y"),
+        p_milli.alias("p_milli"))
+    binned = scored.select(
+        "y", "p_milli",
+        F.least(F.floor(F.col("p_milli") / 100), F.lit(9)).alias("bin"))
+    n = F.count(F.lit(1))
+    sum_p = F.sum("p_milli")
+    sum_y = F.sum("y")
+    resid = F.col("p_milli") - 1000 * F.col("y")
+    sq = resid * resid  # stays BIGINT: the Brier sum is an exact integer
+    return (binned.groupBy("bin")
+            .agg(n.cast("bigint").alias("n"),
+                 (F.round(sum_p.cast("double") / (1000 * n), 6) + 0.0)
+                  .alias("mean_p"),
+                 (F.round(sum_y.cast("double") / n, 6) + 0.0)
+                  .alias("frac_pos"),
+                 (F.round(F.abs(sum_p.cast("double") / 1000 - sum_y) / n, 6)
+                  + 0.0).alias("abs_gap"),
+                 (F.round(F.sum(sq).cast("double") / 1e6 / n, 6) + 0.0)
+                  .alias("brier")))

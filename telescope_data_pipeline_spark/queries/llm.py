@@ -2503,3 +2503,70 @@ def q_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("n_tok").cast("long").alias("n_tokens"),
                  F.sum("hk").cast("long").alias("content_sum")))
+
+
+# ---------------------------------------------------------------------------
+# Record linkage: blocking keys + Fellegi-Sunter-style agreement scores
+# ---------------------------------------------------------------------------
+
+@query("q_linkage_blocked", oracle="""
+WITH b AS (
+  SELECT c_custkey, c_nationkey, c_mktsegment, c_acctbal,
+         SUBSTR(c_name, -2) AS name_tail,
+         CAST(FLOOR(c_acctbal / 500) AS BIGINT) AS bal_bucket
+  FROM customer
+), pairs AS (
+  SELECT a.c_custkey AS cust_a, c.c_custkey AS cust_b,
+         (CASE WHEN ABS(a.c_acctbal - c.c_acctbal) < 100 THEN 2 ELSE 0 END)
+       + (CASE WHEN a.name_tail = c.name_tail THEN 3 ELSE 0 END)
+       + (CASE WHEN ABS(a.c_acctbal - c.c_acctbal) < 20 THEN 1 ELSE 0 END)
+           AS score
+  FROM b a JOIN b c
+    ON a.c_nationkey = c.c_nationkey
+   AND a.c_mktsegment = c.c_mktsegment
+   AND a.bal_bucket = c.bal_bucket
+   AND a.c_custkey < c.c_custkey
+)
+SELECT cust_a, cust_b, CAST(score AS INT) AS score
+FROM pairs WHERE score >= 2
+""")
+def q_linkage_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage with blocking: candidate pairs come ONLY from an
+    equi-join on a composite blocking key (nation, segment,
+    balance-bucket), then integer Fellegi-Sunter-style agreement
+    weights score each pair (balance proximity +2/+1, name-tail
+    agreement +3) and a threshold keeps probable matches. The
+    entity-resolution pattern that generalizes the dedup family from
+    equal-content (q_dedup_exact) and similar-text (q_fuzzy_join,
+    q_setsim_join) to structured-record identity.
+
+    Determinism: all weights are integer CASE tests on exact parquet
+    values; the pair universe is a keyed self-join with a strict
+    id-order dedup.
+
+    Scale: the blocking key IS the shuffle key — candidate
+    generation is a hash equi-join, never all-pairs (pinned in
+    test_plans.py); block sizes are bounded by construction
+    (nation x segment x 500-wide balance bucket), the standard
+    blocking answer to quadratic ER. Boundary misses (true matches
+    straddling a bucket edge) are the known blocking trade-off —
+    production runs a second pass with offset buckets, same plan."""
+    c = load_table(spark, sf_dir, "customer")
+    b = c.select(
+        "c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal",
+        F.substring("c_name", -2, 2).alias("name_tail"),
+        F.floor(F.col("c_acctbal") / 500).cast("bigint").alias("bal_bucket"))
+    a, d = b.alias("a"), b.alias("d")
+    bal_diff = F.abs(F.col("a.c_acctbal") - F.col("d.c_acctbal"))
+    score = ((F.when(bal_diff < 100, 2).otherwise(0))
+             + (F.when(F.col("a.name_tail") == F.col("d.name_tail"), 3)
+                .otherwise(0))
+             + (F.when(bal_diff < 20, 1).otherwise(0)))
+    return (a.join(d, (F.col("a.c_nationkey") == F.col("d.c_nationkey"))
+                   & (F.col("a.c_mktsegment") == F.col("d.c_mktsegment"))
+                   & (F.col("a.bal_bucket") == F.col("d.bal_bucket"))
+                   & (F.col("a.c_custkey") < F.col("d.c_custkey")))
+            .select(F.col("a.c_custkey").alias("cust_a"),
+                    F.col("d.c_custkey").alias("cust_b"),
+                    score.cast("int").alias("score"))
+            .filter(F.col("score") >= 2))

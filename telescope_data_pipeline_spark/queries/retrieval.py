@@ -2198,3 +2198,82 @@ def q_auc_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("auc"))
             .select("auc", F.col("n_pos").cast("long").alias("n_pos"),
                     F.col("n_neg").cast("long").alias("n_neg")))
+
+
+# ---------------------------------------------------------------------------
+# Zipf's-law fit over the token frequency spectrum
+# ---------------------------------------------------------------------------
+
+@query("q_zipf_fit", oracle=r"""
+WITH toks AS (
+  SELECT UNNEST(string_split_regex(lower(text), '\s+')) AS w FROM documents
+), counts AS (
+  SELECT w, COUNT(*) AS c FROM toks WHERE w <> '' GROUP BY w
+), top AS (
+  SELECT c FROM counts ORDER BY c DESC, w LIMIT 100
+), pts AS (
+  SELECT CAST(ROUND(LN(ROW_NUMBER() OVER (ORDER BY c DESC)) * 1000000)
+              AS BIGINT) AS x,
+         CAST(ROUND(LN(c) * 1000000) AS BIGINT) AS y
+  FROM top
+), s AS (
+  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+  FROM pts
+)
+SELECT CAST(n AS BIGINT) AS n_vocab,
+       ROUND((n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx), 6) + 0.0
+         AS slope,
+       ROUND((sy - (n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx) * sx)
+             / n / 1000000, 6) + 0.0 AS intercept,
+       ROUND(((n * sxy - sx * sy)::DOUBLE * (n * sxy - sx * sy))
+             / ((n * sxx - sx * sx)::DOUBLE * (n * syy - sy * sy)), 6) + 0.0
+         AS r2
+FROM s
+""")
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit: least-squares slope of log(frequency) against
+    log(rank) over the top-100 token spectrum — the corpus-health
+    statistical fingerprint (natural text sits near slope -1; template
+    spam and synthetic filler bend it) that complements the per-doc
+    signals (q_char_entropy, q_ngram_repetition) with a corpus-level
+    law. Outputs slope, intercept (in ln-count units), and R^2.
+
+    Determinism: the spectrum cut is a total order (count desc, word);
+    log points quantize to integer micro-units so the regression sums
+    are exact integers; slope/intercept/R^2 are computed from those
+    integers in one fixed expression both engines share.
+
+    Scale: the frequency table is a map-side-combined groupBy; the
+    top-100 cut is TakeOrderedAndProject (per-partition top-k, k-row
+    driver merge — pinned in test_plans.py); the rank window and the
+    regression then run over a bounded 100-row set, so the only
+    full-corpus passes are the tokenize+count — exactly the
+    q_token_topk scan shape."""
+    d = load_table(spark, sf_dir, "documents", spread=True)
+    counts = (d.select(F.explode(F.split(F.lower("text"), _TOK)).alias("w"))
+              .filter(F.col("w") != "")
+              .groupBy("w").agg(F.count(F.lit(1)).alias("c")))
+    top = counts.orderBy(F.col("c").desc(), "w").limit(100).select("c")
+    # rank window over the bounded 100-row cut (NOT the full vocab —
+    # same bounded-window precedent as the IVF centroid ranking)
+    pts = top.select(
+        F.round(F.log(F.row_number().over(W.orderBy(F.desc("c"))))
+                * 1e6).cast("bigint").alias("x"),
+        F.round(F.log("c") * 1e6).cast("bigint").alias("y"))
+    s = pts.agg(F.count(F.lit(1)).alias("n"),
+                F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+                F.sum(F.col("x") * F.col("x")).alias("sxx"),
+                F.sum(F.col("y") * F.col("y")).alias("syy"),
+                F.sum(F.col("x") * F.col("y")).alias("sxy"))
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = cov.cast("double") / varx
+    return s.select(
+        F.col("n").cast("bigint").alias("n_vocab"),
+        (F.round(slope, 6) + 0.0).alias("slope"),
+        (F.round((F.col("sy") - slope * F.col("sx")) / F.col("n") / 1e6, 6)
+         + 0.0).alias("intercept"),
+        (F.round(cov.cast("double") * cov
+                 / (varx.cast("double") * vary), 6) + 0.0).alias("r2"))

@@ -758,3 +758,61 @@ def test_shard_export_no_single_partition_exchange(spark):
     df.collect()  # finalize AQE
     plan = physical_plan(df)
     assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_ndcg_windows_partitioned_by_qid(spark):
+    """Both ranking windows key on qid — no partition-less window, no
+    single-partition exchange; the two sorts share one qid exchange."""
+    from telescope_data_pipeline_spark.plans.audit import physical_plan
+
+    df = get("q_ndcg_mrr").fn(spark, SF)
+    df.collect()
+    plan = physical_plan(df).split("== Initial Plan ==")[0]
+    assert "Exchange SinglePartition" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_calibration_partial_aggregates(spark):
+    """The 10-bin reliability aggregate must map-side combine: a
+    partial HashAggregate below the exchange, no sort-based agg."""
+    from telescope_data_pipeline_spark.plans.audit import physical_plan
+
+    df = get("q_calibration").fn(spark, SF)
+    df.collect()
+    plan = physical_plan(df).split("== Initial Plan ==")[0]
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "HashAggregate" in plan, plan
+
+
+def test_auc_jump_point_window_bounded(spark):
+    """AUC's cumulative window runs over DISTINCT-score jump points
+    (already aggregated), and the totals ride a 1-row broadcast."""
+    assert_plan(get("q_auc_ranking").fn(spark, SF),
+                contains=("HashAggregate",),
+                absent=("CartesianProduct", "SortMergeJoin"))
+
+
+def test_acf_windows_keyed_by_series(spark):
+    """ACF's lag window partitions by event_type and the totals join
+    broadcasts — no single-partition window over the event stream."""
+    from telescope_data_pipeline_spark.plans.audit import physical_plan
+
+    df = get("q_acf").fn(spark, SF)
+    df.collect()
+    plan = physical_plan(df).split("== Initial Plan ==")[0]
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_zipf_vocab_cut_take_ordered(spark):
+    """The top-100 spectrum cut must plan TakeOrderedAndProject — the
+    regression's window runs over 100 rows, never the full vocab."""
+    assert_plan(get("q_zipf_fit").fn(spark, SF),
+                contains=("TakeOrderedAndProject",))
+
+
+def test_linkage_candidates_equi_join(spark):
+    """Candidate pairs come from a hash equi-join on the blocking key —
+    never a nested-loop over all customer pairs."""
+    assert_plan(get("q_linkage_blocked").fn(spark, SF),
+                absent=("BroadcastNestedLoopJoin", "CartesianProduct"))
