@@ -242,3 +242,39 @@ def trending_terms(stream: DataFrame, watermark: str = "30 minutes",
             .filter(F.col("n") >= min_count)
             .select(F.col("w.start").alias("window_start"),
                     F.col("w.end").alias("window_end"), "term", "n"))
+
+
+def purchase_error_join_outer(stream: DataFrame, within: str = "24 hours",
+                              watermark: str = "48 hours") -> DataFrame:
+    """LEFT-OUTER watermarked stream-stream join: every purchase emits —
+    matched rows as soon as the error arrives, unmatched rows
+    null-padded once the watermark proves no error can still come
+    (state for a purchase expires at p_ts + within + watermark delay).
+    The attribution-with-negatives query: "which purchases did NOT
+    error within 24 h" needs outer semantics, and in streaming that
+    answer is only correct once event time has provably passed the
+    bound — which is exactly what the watermark encodes.
+
+    Same bounded-state story as the inner form (purchase_error_join):
+    both sides watermarked, the join condition carries the time band so
+    Spark can evict state. Unmatched rows surface on a LATER
+    micro-batch than their data (watermark must advance past the
+    bound) — the test drives this with a checkpoint-restart and a
+    watermark-advancing sentinel batch."""
+    purchases = (stream.filter(F.col("event_type") == "purchase")
+                 .select(F.col("user_id").alias("p_user"),
+                         F.col("event_id").alias("purchase_id"),
+                         F.col("ts").alias("p_ts"))
+                 .withWatermark("p_ts", watermark))
+    errors = (stream.filter(F.col("event_type") == "error")
+              .select(F.col("user_id").alias("e_user"),
+                      F.col("event_id").alias("error_id"),
+                      F.col("ts").alias("e_ts"))
+              .withWatermark("e_ts", watermark))
+    return purchases.join(
+        errors,
+        (F.col("p_user") == F.col("e_user"))
+        & (F.col("e_ts") >= F.col("p_ts"))
+        & (F.col("e_ts") <= F.col("p_ts") + F.expr(f"INTERVAL {within}")),
+        "left_outer",
+    ).select("p_user", "purchase_id", "error_id", "p_ts", "e_ts")

@@ -572,3 +572,55 @@ def test_streaming_neardup_ingest_drops_edited_recrawls(spark, tmp_path):
     got2 = {r.doc_id for r in
             spark.read.parquet(str(acc) + "/batch-*").collect()}
     assert got2 == got
+
+
+def test_stream_stream_outer_join_flushes_on_watermark(spark, tmp_path):
+    """Left-outer stream-stream join: matched rows emit with the match;
+    unmatched purchases emit null-padded only after the watermark
+    passes p_ts + 24h. A checkpoint-restart with a far-future sentinel
+    batch advances both watermarks and flushes the negatives."""
+    from telescope_data_pipeline_spark.streaming.jobs import (
+        purchase_error_join_outer,
+    )
+
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    base = load_table(spark, SF, "events")
+    base.repartition(8).write.mode("overwrite").parquet(src)
+
+    def run_once():
+        stream = read_event_stream(spark, src)
+        q = (purchase_error_join_outer(stream)
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(180)
+
+    run_once()
+    # sentinel batch: far-future rows on BOTH sides (the global watermark
+    # is the MIN across the two inputs, so each needs an advancing event)
+    far = base.agg(F.max("ts")).first()[0]
+    sentinel = spark.createDataFrame(
+        [(10**9, far, -1, "purchase", 0.0, "{}"),
+         (10**9 + 1, far, -1, "error", 0.0, "{}")],
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 30 DAYS"))
+    sentinel.write.mode("append").parquet(src)
+    run_once()
+
+    got = {tuple(r) for r in
+           spark.read.parquet(out)
+           .filter("p_user >= 0")
+           .select("p_user", "purchase_id", "error_id").collect()}
+    p = base.filter("event_type = 'purchase'").selectExpr(
+        "user_id p_user", "event_id purchase_id", "ts p_ts")
+    e = base.filter("event_type = 'error'").selectExpr(
+        "user_id e_user", "event_id error_id", "ts e_ts")
+    want = {tuple(r) for r in
+            p.join(e, (F.col("p_user") == F.col("e_user"))
+                   & (F.col("e_ts") >= F.col("p_ts"))
+                   & (F.col("e_ts") <= F.col("p_ts") + F.expr("INTERVAL 24 hours")),
+                   "left_outer")
+             .select("p_user", "purchase_id", "error_id").collect()}
+    assert got == want
+    assert any(r[2] is None for r in got), "no null-padded negatives emitted"
