@@ -1101,3 +1101,138 @@ def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
                  acf("d3").alias("acf_lag3"))
             .select("event_type", F.col("n").cast("bigint").alias("n"),
                     "acf_lag1", "acf_lag2", "acf_lag3"))
+
+
+# ---------------------------------------------------------------------------
+# Exponential smoothing (EWMA, alpha = 0.5) over the daily KPI series
+# ---------------------------------------------------------------------------
+
+@query("q_ewma", oracle="""
+WITH RECURSIVE daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(ROUND(SUM(CAST(ROUND(value * 1000000) AS BIGINT))::DOUBLE
+                    / COUNT(*)) AS BIGINT) AS mu
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2
+), ordered AS (
+  SELECT event_type, mu,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rk,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM daily
+), rec AS (
+  SELECT event_type, rk, n, CAST(mu AS DOUBLE) AS s FROM ordered WHERE rk = 1
+  UNION ALL
+  SELECT o.event_type, o.rk, o.n, (o.mu + r.s) / 2.0
+  FROM ordered o JOIN rec r
+    ON o.event_type = r.event_type AND o.rk = r.rk + 1
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_days,
+       ROUND(s / 1000000, 6) + 0.0 AS ewma
+FROM rec WHERE rk = n
+""")
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential smoothing: EWMA with alpha = 0.5 over each event
+    type's DAILY mean series — the classic monitoring smoother
+    (s_t = alpha*x_t + (1-alpha)*s_{t-1}) that completes the
+    time-series family beside q_acf (correlation structure) and
+    q_anomaly_mad (robust outliers). The fold runs over the BOUNDED
+    daily aggregate, not raw events — the realistic framing (smooth a
+    KPI), and what keeps the sequential recurrence O(days), not
+    O(rows).
+
+    Determinism: daily means are integer micro-units (exact integer
+    sum, one rounded division); the fold is the same sequence of
+    double ops in the same order on both engines (Spark: an in-row
+    aggregate() lambda over the sorted daily array; DuckDB: a
+    recursive CTE) — identical IEEE results.
+
+    Scale: one map-side-combined groupBy to days (unbounded ->
+    bounded), one per-series collect of ~days structs inside the row,
+    zero UDFs. Per-series state is |days|, never |rows|."""
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull()))
+    daily = (ev.groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg(F.round(F.sum(F.round(F.col("value") * 1e6).cast("bigint"))
+                          .cast("double") / F.count(F.lit(1)))
+                  .cast("bigint").alias("mu")))
+    series = (daily.groupBy("event_type")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("n_days"),
+                   F.sort_array(F.collect_list(F.struct("day", "mu")))
+                   .alias("seq")))
+    ewma = F.aggregate(
+        F.slice("seq", 2, F.greatest(F.size("seq") - 1, F.lit(0))),
+        F.element_at("seq", 1)["mu"].cast("double"),
+        lambda acc, x: (x["mu"] + acc) / 2.0)
+    return series.select(
+        "event_type", "n_days",
+        (F.round(ewma / 1e6, 6) + 0.0).alias("ewma"))
+
+
+# ---------------------------------------------------------------------------
+# Bootstrap confidence interval (deterministic hash-weight resampling)
+# ---------------------------------------------------------------------------
+
+@query("q_bootstrap_ci", oracle="""
+WITH reps AS (SELECT UNNEST(range(100)) AS b),
+w AS (
+  SELECT r.b,
+         CAST(ROUND(e.value * 1000000) AS BIGINT) AS xu,
+         (CASE WHEN substr(md5('boot:' || CAST(e.event_id AS VARCHAR)
+                            || ':' || CAST(r.b AS VARCHAR)), 32, 1)
+               IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE 0 END)
+       + (CASE WHEN substr(md5('boot:' || CAST(e.event_id AS VARCHAR)
+                            || ':' || CAST(r.b AS VARCHAR)), 32, 1)
+               IN ('2','3','6','7','a','b','e','f') THEN 1 ELSE 0 END) AS wt
+  FROM events e CROSS JOIN reps r
+  WHERE e.value IS NOT NULL
+), means AS (
+  SELECT b, SUM(wt * xu)::DOUBLE / SUM(wt) / 1000000 AS m
+  FROM w GROUP BY b
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_reps,
+       ROUND(AVG(m), 6) + 0.0 AS boot_mean,
+       ROUND(PERCENTILE_CONT(0.025) WITHIN GROUP (ORDER BY m), 6) + 0.0
+         AS ci_lo,
+       ROUND(PERCENTILE_CONT(0.975) WITHIN GROUP (ORDER BY m), 6) + 0.0
+         AS ci_hi
+FROM means
+""")
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap confidence interval for the mean, distributed: 100
+    resampling replicates where each row's multiplicity in replicate b
+    is a DETERMINISTIC two-bit md5 weight (0/1/2, mean 1 — the
+    double-or-nothing variant of the Poisson bootstrap, the standard
+    trick for resampling a dataset no node holds in memory). The
+    percentile CI of the replicate means is the uncertainty estimate
+    q_ab_ttest's parametric form cannot give for non-normal metrics.
+
+    Determinism: weights are md5-derived integers, replicate means are
+    ratios of exact integer sums, and the 2.5/97.5 percentiles
+    interpolate over the bounded 100-row replicate table with the same
+    p*(n-1) rule on both engines.
+
+    Scale: the fan-out is a flatMap (row x 100 lightweight
+    (b, wt*xu) pairs) into a map-side-combined groupBy on b — 100
+    groups regardless of input size; no window, no sort, no state.
+    B and the weight hash ride the row, so skew is impossible."""
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull())
+          .select("event_id",
+                  F.round(F.col("value") * 1e6).cast("bigint").alias("xu")))
+    hexc = F.substring(
+        F.md5(F.concat(F.lit("boot:"), F.col("event_id").cast("string"),
+                       F.lit(":"), F.col("b").cast("string"))), 32, 1)
+    fan = (ev.select("event_id", "xu",
+                     F.explode(F.sequence(F.lit(0), F.lit(99))).alias("b"))
+           .select("b", "xu",
+                   ((F.when(hexc.isin(list("13579bdf")), 1).otherwise(0))
+                    + (F.when(hexc.isin(list("2367abef")), 1).otherwise(0)))
+                   .alias("wt")))
+    means = (fan.groupBy("b")
+             .agg((F.sum(F.col("wt") * F.col("xu")).cast("double")
+                   / F.sum("wt") / 1e6).alias("m")))
+    return means.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_reps"),
+        (F.round(F.avg("m"), 6) + 0.0).alias("boot_mean"),
+        (F.round(F.percentile("m", F.lit(0.025)), 6) + 0.0).alias("ci_lo"),
+        (F.round(F.percentile("m", F.lit(0.975)), 6) + 0.0).alias("ci_hi"))

@@ -816,3 +816,23 @@ def test_linkage_candidates_equi_join(spark):
     never a nested-loop over all customer pairs."""
     assert_plan(get("q_linkage_blocked").fn(spark, SF),
                 absent=("BroadcastNestedLoopJoin", "CartesianProduct"))
+
+
+def test_ewma_fold_is_map_only_after_daily_agg(spark):
+    """EWMA's recurrence runs inside per-series rows (aggregate HOF):
+    two keyed aggregates, no window, no single-partition exchange."""
+    from telescope_data_pipeline_spark.plans.audit import physical_plan
+
+    df = get("q_ewma").fn(spark, SF)
+    df.collect()
+    plan = physical_plan(df).split("== Initial Plan ==")[0]
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_bootstrap_fanout_no_shuffle_before_replicate_agg(spark):
+    """The 100x fan-out is a generator (explode) feeding a map-side-
+    combined groupBy on b — no join, no window, no cartesian."""
+    assert_plan(get("q_bootstrap_ci").fn(spark, SF),
+                contains=("Generate", "HashAggregate"),
+                absent=("CartesianProduct", "SortMergeJoin", "Window"))
