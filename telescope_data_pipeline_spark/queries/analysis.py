@@ -1052,9 +1052,9 @@ WITH base AS (
   WINDOW w AS (PARTITION BY b.event_type ORDER BY b.ts, b.event_id)
 )
 SELECT event_type, CAST(n AS BIGINT) AS n,
-       ROUND(SUM(d * d1)::DOUBLE / SUM(d * d), 6) + 0.0 AS acf_lag1,
-       ROUND(SUM(d * d2)::DOUBLE / SUM(d * d), 6) + 0.0 AS acf_lag2,
-       ROUND(SUM(d * d3)::DOUBLE / SUM(d * d), 6) + 0.0 AS acf_lag3
+       ROUND(SUM(d * d1)::DOUBLE / NULLIF(SUM(d * d), 0), 6) + 0.0 AS acf_lag1,
+       ROUND(SUM(d * d2)::DOUBLE / NULLIF(SUM(d * d), 0), 6) + 0.0 AS acf_lag2,
+       ROUND(SUM(d * d3)::DOUBLE / NULLIF(SUM(d * d), 0), 6) + 0.0 AS acf_lag3
 FROM dev GROUP BY event_type, n
 """)
 def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1093,8 +1093,9 @@ def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.lag("d", 3).over(w).alias("d3")))
     den = F.sum(F.col("d") * F.col("d"))
     def acf(lagcol: str):
+        # constant series: zero variance -> ACF undefined -> NULL
         return (F.round(F.sum(F.col("d") * F.col(lagcol)).cast("double")
-                        / den.cast("double"), 6) + 0.0)
+                        / F.nullif(den.cast("double"), F.lit(0.0)), 6) + 0.0)
     return (dev.groupBy("event_type", "n")
             .agg(acf("d1").alias("acf_lag1"),
                  acf("d2").alias("acf_lag2"),
@@ -1186,7 +1187,7 @@ w AS (
   FROM events e CROSS JOIN reps r
   WHERE e.value IS NOT NULL
 ), means AS (
-  SELECT b, SUM(wt * xu)::DOUBLE / SUM(wt) / 1000000 AS m
+  SELECT b, SUM(wt * xu)::DOUBLE / NULLIF(SUM(wt), 0) / 1000000 AS m
   FROM w GROUP BY b
 )
 SELECT CAST(COUNT(*) AS BIGINT) AS n_reps,
@@ -1230,9 +1231,67 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .alias("wt")))
     means = (fan.groupBy("b")
              .agg((F.sum(F.col("wt") * F.col("xu")).cast("double")
-                   / F.sum("wt") / 1e6).alias("m")))
+                   / F.nullif(F.sum("wt"), F.lit(0)) / 1e6).alias("m")))
     return means.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_reps"),
         (F.round(F.avg("m"), 6) + 0.0).alias("boot_mean"),
         (F.round(F.percentile("m", F.lit(0.025)), 6) + 0.0).alias("ci_lo"),
         (F.round(F.percentile("m", F.lit(0.975)), 6) + 0.0).alias("ci_hi"))
+
+
+# ---------------------------------------------------------------------------
+# Categorical KL / Jensen-Shannon drift between corpus snapshots
+# ---------------------------------------------------------------------------
+
+@query("q_kl_drift", oracle="""
+WITH tagged AS (
+  SELECT source, doc_id % 2 AS snap FROM documents
+), counts AS (
+  SELECT source,
+         1 + COUNT(*) FILTER (WHERE snap = 0) AS ca,
+         1 + COUNT(*) FILTER (WHERE snap = 1) AS cb
+  FROM tagged GROUP BY source
+), tot AS (
+  SELECT SUM(ca) AS ta, SUM(cb) AS tb FROM counts
+)
+SELECT source,
+       CAST(ca AS BIGINT) AS n_a, CAST(cb AS BIGINT) AS n_b,
+       ROUND((ca::DOUBLE / ta) * LN((ca::DOUBLE / ta) / (cb::DOUBLE / tb))
+             * 1000, 6) + 0.0 AS kl_term_milli,
+       ROUND((cb::DOUBLE / tb) * LN((cb::DOUBLE / tb) / (ca::DOUBLE / ta))
+             * 1000, 6) + 0.0 AS rev_kl_term_milli
+FROM counts CROSS JOIN tot
+""")
+def q_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical distribution drift: per-source KL divergence terms
+    (both directions, in millinats) between two corpus snapshots —
+    the categorical companion to q_ks_drift (numeric distributions)
+    and q_chi_square (independence): "did the SOURCE MIX shift between
+    crawls?" is the question that decides whether a trained model's
+    data distribution still matches production. Add-one smoothing
+    keeps both distributions strictly positive; summing the terms
+    gives total KL in each direction. Demo split: doc_id parity as
+    snapshot A/B.
+
+    Determinism: counts are integers; every probability is a ratio of
+    exact integer sums; LN runs on identical doubles both engines.
+
+    Scale: one map-side-combined conditional-count groupBy on source,
+    a 1-row totals broadcast — the q_pagerank |V| pattern; output is
+    |sources| rows."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = (d.select("source", (F.col("doc_id") % 2).alias("snap"))
+              .groupBy("source")
+              .agg((1 + F.count(F.when(F.col("snap") == 0, 1))).alias("ca"),
+                   (1 + F.count(F.when(F.col("snap") == 1, 1))).alias("cb")))
+    tot = counts.agg(F.sum("ca").alias("ta"), F.sum("cb").alias("tb"))
+    pa = F.col("ca").cast("double") / F.col("ta")
+    pb = F.col("cb").cast("double") / F.col("tb")
+    return (counts.crossJoin(F.broadcast(tot))
+            .select("source",
+                    F.col("ca").cast("bigint").alias("n_a"),
+                    F.col("cb").cast("bigint").alias("n_b"),
+                    (F.round(pa * F.log(pa / pb) * 1000, 6) + 0.0)
+                    .alias("kl_term_milli"),
+                    (F.round(pb * F.log(pb / pa) * 1000, 6) + 0.0)
+                    .alias("rev_kl_term_milli")))

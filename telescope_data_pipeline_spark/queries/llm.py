@@ -13,12 +13,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from ..operators.cache_slot import CacheSlot
 from ..sources import load_table
 from .registry import query
 
 #: Tokenizer used consistently across text queries (Spark split pattern and
 #: the DuckDB regex are the same).
 _TOK = r"\s+"
+
+#: bounded cache for the Kneser-Ney bigram count table (4 consumers)
+_KN_SLOT = CacheSlot()
 
 
 @query("q_dedup_exact", oracle="""
@@ -2570,3 +2574,128 @@ def q_linkage_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("d.c_custkey").alias("cust_b"),
                     score.cast("int").alias("score"))
             .filter(F.col("score") >= 2))
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit over quasi-identifier combinations
+# ---------------------------------------------------------------------------
+
+@query("q_kanonymity", oracle="""
+WITH q AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_bucket
+  FROM customer
+)
+SELECT c_nationkey, c_mktsegment, bal_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM q
+GROUP BY 1, 2, 3
+HAVING COUNT(*) < 5
+""")
+def q_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit: every quasi-identifier combination (nation,
+    segment, coarse balance bucket) whose equivalence class holds
+    fewer than k=5 records — the re-identification risk screen a
+    training-data pipeline runs BEFORE releasing records whose
+    combination of innocuous attributes is unique enough to identify
+    someone. Flagged classes are the rows to suppress or generalize
+    (widen the bucket) — the remediation is re-running this query
+    with a coarser grid until it returns empty.
+
+    Scale: one map-side-combined groupBy over the quasi-identifier
+    tuple + a HAVING on the count — the cheapest possible audit shape;
+    the output is bounded by the number of RISKY classes, not data
+    size."""
+    c = load_table(spark, sf_dir, "customer")
+    return (c.select("c_nationkey", "c_mktsegment",
+                     F.floor(F.col("c_acctbal") / 1000).cast("bigint")
+                     .alias("bal_bucket"))
+            .groupBy("c_nationkey", "c_mktsegment", "bal_bucket")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+            .filter(F.col("n") < 5))
+
+
+# ---------------------------------------------------------------------------
+# Kneser-Ney bigram language-model estimation
+# ---------------------------------------------------------------------------
+
+@query("q_kneser_ney", oracle=r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws FROM documents
+), grams AS (
+  SELECT UNNEST(list_transform(range(1, len(ws)),
+                               i -> struct_pack(w1 := ws[i], w2 := ws[i+1])))
+           AS g
+  FROM toks WHERE len(ws) >= 2
+), big AS (
+  SELECT g.w1 AS w1, g.w2 AS w2, COUNT(*) AS c
+  FROM grams WHERE g.w1 <> '' AND g.w2 <> ''
+  GROUP BY 1, 2
+), ctx AS (
+  SELECT w1, SUM(c) AS cprev, COUNT(*) AS nfollow FROM big GROUP BY w1
+), cont AS (
+  SELECT w2, COUNT(*) AS ncont FROM big GROUP BY w2
+), t AS (
+  SELECT COUNT(*) AS n_types FROM big
+), top AS (
+  SELECT w1, w2, c FROM big ORDER BY c DESC, w1, w2 LIMIT 20
+)
+SELECT top.w1, top.w2, CAST(top.c AS BIGINT) AS c,
+       ROUND(GREATEST(top.c - 0.75, 0) / ctx.cprev
+             + (0.75 * ctx.nfollow / ctx.cprev)
+               * (cont.ncont / t.n_types), 6) + 0.0 AS p_kn
+FROM top
+JOIN ctx ON top.w1 = ctx.w1
+JOIN cont ON top.w2 = cont.w2
+CROSS JOIN t
+""")
+def q_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram estimation — the n-gram LM the
+    data pipeline itself trains (for perplexity filtering, DSIR-style
+    importance weights, decontamination scoring): absolute discount
+    d=0.75 on the bigram MLE, mass redistributed by CONTINUATION
+    counts (in how many distinct contexts does w2 appear) rather than
+    raw frequency — the distinction that makes KN the standard n-gram
+    smoother. Reported for the corpus's top-20 bigrams.
+
+    Statistics produced distributed: bigram counts c(w1,w2), context
+    totals c(w1.), follower fan-out N1+(w1.), continuation counts
+    N1+(.w2), bigram-type total — each a map-side-combined groupBy
+    over the exploded bigram stream.
+
+    Determinism: all five statistics are exact integer counts; p_kn
+    is one fixed float expression over them, rounded at 6; the top-20
+    cut is a total order (c desc, w1, w2).
+
+    Scale: bigrams explode in-row (no shuffle of text); the three
+    count tables shuffle DIGESTED keys only; the top-20 cut is
+    TakeOrderedAndProject, and the final enrichment joins run
+    against the 20-row broadcast — the full count tables are never
+    re-shuffled for the join (pinned in test_plans.py)."""
+    d = load_table(spark, sf_dir, "documents", spread=True)
+    ws = F.split(F.lower("text"), _TOK)
+    grams = F.when(
+        F.size(ws) >= 2,
+        F.transform(F.sequence(F.lit(0), F.size(ws) - 2),
+                    lambda i: F.struct(
+                        F.element_at(ws, i + 1).alias("w1"),
+                        F.element_at(ws, i + 2).alias("w2")))
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    big = (d.select(F.explode(grams).alias("g"))
+           .select(F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+           .filter((F.col("w1") != "") & (F.col("w2") != ""))
+           .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c")))
+    big = _KN_SLOT.own(big)  # 4 consumers; bounded single-slot cache
+    ctx = big.groupBy("w1").agg(F.sum("c").alias("cprev"),
+                                F.count(F.lit(1)).alias("nfollow"))
+    cont = big.groupBy("w2").agg(F.count(F.lit(1)).alias("ncont"))
+    types = big.agg(F.count(F.lit(1)).alias("n_types"))
+    top = big.orderBy(F.col("c").desc(), "w1", "w2").limit(20)
+    p_kn = (F.greatest(F.col("c") - 0.75, F.lit(0.0)) / F.col("cprev")
+            + (0.75 * F.col("nfollow") / F.col("cprev"))
+            * (F.col("ncont") / F.col("n_types")))
+    return (F.broadcast(top)
+            .join(ctx, "w1").join(cont, "w2")
+            .crossJoin(F.broadcast(types))
+            .select("w1", "w2", F.col("c").cast("bigint").alias("c"),
+                    (F.round(p_kn, 6) + 0.0).alias("p_kn")))

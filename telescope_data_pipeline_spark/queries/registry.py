@@ -87,6 +87,7 @@ PRIORITY: tuple[str, ...] = (
     "q_phrase_search", "q_label_knn_noise", "q_doremi_step",
     "q_shard_export", "q_auc_ranking", "q_ndcg_mrr", "q_calibration",
     "q_acf", "q_zipf_fit", "q_linkage_blocked", "q_ewma", "q_bootstrap_ci",
+    "q_kanonymity", "q_kl_drift", "q_kneser_ney",
     # (c) r3-green backfill absorbed into (a)/(b): every slot now goes
     # to first-time evidence for this round's operators
 )

@@ -2153,7 +2153,7 @@ WITH s AS (
   SELECT SUM(n_pos_s) AS n_pos, SUM(n_neg_s) AS n_neg FROM c
 )
 SELECT ROUND(SUM(n_pos_s * (n_neg_below + n_neg_s / 2.0))
-             / (tot.n_pos * tot.n_neg), 6) + 0.0 AS auc,
+             / NULLIF(tot.n_pos * tot.n_neg, 0), 6) + 0.0 AS auc,
        CAST(tot.n_pos AS BIGINT) AS n_pos,
        CAST(tot.n_neg AS BIGINT) AS n_neg
 FROM cum CROSS JOIN tot
@@ -2194,7 +2194,10 @@ def q_auc_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg((F.round(F.sum(F.col("n_pos_s")
                                 * (F.col("n_neg_below")
                                    + F.col("n_neg_s") / 2.0))
-                          / (F.col("n_pos") * F.col("n_neg")), 6) + 0.0)
+                          # single-class input: AUC undefined -> NULL
+                          # (ANSI mode would abort on the bare /0)
+                          / F.nullif(F.col("n_pos") * F.col("n_neg"),
+                                     F.lit(0)), 6) + 0.0)
                  .alias("auc"))
             .select("auc", F.col("n_pos").cast("long").alias("n_pos"),
                     F.col("n_neg").cast("long").alias("n_neg")))
@@ -2222,13 +2225,13 @@ WITH toks AS (
   FROM pts
 )
 SELECT CAST(n AS BIGINT) AS n_vocab,
-       ROUND((n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx), 6) + 0.0
-         AS slope,
-       ROUND((sy - (n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx) * sx)
-             / n / 1000000, 6) + 0.0 AS intercept,
+       ROUND((n * sxy - sx * sy)::DOUBLE / NULLIF(n * sxx - sx * sx, 0), 6)
+         + 0.0 AS slope,
+       ROUND((sy - (n * sxy - sx * sy)::DOUBLE / NULLIF(n * sxx - sx * sx, 0)
+              * sx) / n / 1000000, 6) + 0.0 AS intercept,
        ROUND(((n * sxy - sx * sy)::DOUBLE * (n * sxy - sx * sy))
-             / ((n * sxx - sx * sx)::DOUBLE * (n * syy - sy * sy)), 6) + 0.0
-         AS r2
+             / NULLIF((n * sxx - sx * sx)::DOUBLE * (n * syy - sy * sy), 0),
+             6) + 0.0 AS r2
 FROM s
 """)
 def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2269,11 +2272,13 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
     varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
-    slope = cov.cast("double") / varx
+    # degenerate spectrum (one point / zero variance): fit undefined
+    slope = cov.cast("double") / F.nullif(varx, F.lit(0))
     return s.select(
         F.col("n").cast("bigint").alias("n_vocab"),
         (F.round(slope, 6) + 0.0).alias("slope"),
         (F.round((F.col("sy") - slope * F.col("sx")) / F.col("n") / 1e6, 6)
          + 0.0).alias("intercept"),
         (F.round(cov.cast("double") * cov
-                 / (varx.cast("double") * vary), 6) + 0.0).alias("r2"))
+                 / F.nullif(varx.cast("double") * vary, F.lit(0.0)), 6)
+         + 0.0).alias("r2"))

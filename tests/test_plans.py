@@ -836,3 +836,28 @@ def test_bootstrap_fanout_no_shuffle_before_replicate_agg(spark):
     assert_plan(get("q_bootstrap_ci").fn(spark, SF),
                 contains=("Generate", "HashAggregate"),
                 absent=("CartesianProduct", "SortMergeJoin", "Window"))
+
+
+def test_kanonymity_single_aggregate(spark):
+    """The k-anonymity audit is one map-side-combined groupBy + HAVING —
+    no join, no window."""
+    assert_plan(get("q_kanonymity").fn(spark, SF),
+                contains=("HashAggregate",),
+                absent=("Join", "Window"))
+
+
+def test_kl_drift_totals_broadcast(spark):
+    """Per-source counts cross-join a 1-row totals broadcast — the
+    |V|-scalar pattern, no single-partition exchange on the fact side."""
+    assert_plan(get("q_kl_drift").fn(spark, SF),
+                contains=("BroadcastNestedLoopJoin",),
+                absent=("SortMergeJoin",))
+
+
+def test_kneser_ney_enrichment_joins_broadcast(spark):
+    """The top-20 cut is TakeOrderedAndProject; the count-table
+    enrichment joins ride the 20-row broadcast (no SortMergeJoin of
+    the full bigram table against itself)."""
+    assert_plan(get("q_kneser_ney").fn(spark, SF),
+                contains=("TakeOrderedAndProject", "BroadcastHashJoin"),
+                absent=("SortMergeJoin", "CartesianProduct"))
