@@ -1295,3 +1295,107 @@ def q_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("kl_term_milli"),
                     (F.round(pb * F.log(pb / pa) * 1000, 6) + 0.0)
                     .alias("rev_kl_term_milli")))
+
+
+# ---------------------------------------------------------------------------
+# Markov transition matrix over per-user event sequences
+# ---------------------------------------------------------------------------
+
+@query("q_markov_transitions", oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+), c AS (
+  SELECT prev_type, event_type AS next_type, COUNT(*) AS c
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+), t AS (
+  SELECT prev_type, SUM(c) AS tot FROM c GROUP BY prev_type
+)
+SELECT c.prev_type, c.next_type, CAST(c.c AS BIGINT) AS c,
+       ROUND(c.c::DOUBLE / t.tot, 6) + 0.0 AS p
+FROM c JOIN t USING (prev_type)
+""")
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | current event type), the behavioral
+    fingerprint behind next-action prediction, anomaly scoring (a
+    session whose transitions are improbable under the matrix), and
+    synthetic-session generation. Sequences are ordered by the total
+    key (ts, event_id) so ties cannot flip a transition.
+
+    Determinism: transition counts are exact integers; each
+    probability is one integer-ratio division rounded at 6.
+
+    Scale: one shuffle on user_id for the lag window (the sessionize
+    shape), then a map-side-combined groupBy onto at most
+    |types|^2 rows; the row-total normalizer is a window over the
+    ALREADY-AGGREGATED |types|^2 table, so no second pass over the
+    events — the 10M-event power user costs one partition's sort,
+    never a driver buffer."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select("user_id", "event_type",
+                    F.lag("event_type").over(w).alias("prev_type"))
+    c = (seq.filter(F.col("prev_type").isNotNull())
+         .groupBy("prev_type", F.col("event_type").alias("next_type"))
+         .agg(F.count(F.lit(1)).alias("c")))
+    wt = W.partitionBy("prev_type")
+    return (c.select("prev_type", "next_type",
+                     F.col("c").cast("bigint").alias("c"),
+                     (F.round(F.col("c").cast("double")
+                              / F.sum("c").over(wt), 6) + 0.0).alias("p")))
+
+
+# ---------------------------------------------------------------------------
+# Shuffle-key skew audit
+# ---------------------------------------------------------------------------
+
+@query("q_skew_audit", oracle="""
+WITH k AS (
+  SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(n) AS BIGINT) AS n_rows,
+       CAST(MAX(n) AS BIGINT) AS max_key_rows,
+       CAST(MIN(n) AS BIGINT) AS min_key_rows,
+       ROUND(PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY n), 6) + 0.0
+         AS p50_key_rows,
+       ROUND(PERCENTILE_CONT(0.99) WITHIN GROUP (ORDER BY n), 6) + 0.0
+         AS p99_key_rows,
+       ROUND(MAX(n)::DOUBLE * COUNT(*) / SUM(n), 6) + 0.0 AS skew_ratio
+FROM k
+""")
+def q_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew audit: the distribution of per-key row counts
+    for a prospective join/groupBy key — the diagnostic you run BEFORE
+    committing a 100 TB shuffle to that key. skew_ratio (hottest key
+    vs mean) is the decision number: ~1 means hash partitioning is
+    fine; >> 1 means the hot key needs salting (q_join_salted /
+    q_agg_salted) or AQE skew-split (tests/test_scale_patterns.py
+    demonstrates the runtime half of that remediation live).
+
+    Determinism: all counts exact integers; percentiles are exact
+    interpolating percentiles over integers (the q_agg_percentile
+    contract); skew_ratio is one fixed double expression.
+
+    Scale: one map-side-combined groupBy on the key, then a grand
+    aggregate over |keys| rows. The exact interpolating percentile
+    sorts |keys| (not |rows|); at extreme key cardinality swap
+    percentile -> percentile_approx with the plan otherwise
+    unchanged."""
+    ev = load_table(spark, sf_dir, "events")
+    k = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    return k.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.max("n").cast("bigint").alias("max_key_rows"),
+        F.min("n").cast("bigint").alias("min_key_rows"),
+        (F.round(F.percentile("n", F.lit(0.5)), 6) + 0.0)
+        .alias("p50_key_rows"),
+        (F.round(F.percentile("n", F.lit(0.99)), 6) + 0.0)
+        .alias("p99_key_rows"),
+        (F.round(F.max("n").cast("double") * F.count(F.lit(1))
+                 / F.sum("n"), 6) + 0.0).alias("skew_ratio"))

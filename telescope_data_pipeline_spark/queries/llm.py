@@ -2699,3 +2699,198 @@ def q_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
             .crossJoin(F.broadcast(types))
             .select("w1", "w2", F.col("c").cast("bigint").alias("c"),
                     (F.round(p_kn, 6) + 0.0).alias("p_kn")))
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog registers: mergeable distinct-count sketch, oracle-exact
+# ---------------------------------------------------------------------------
+
+@query("q_hll_union", oracle="""
+WITH pts AS (
+  SELECT event_type,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2)) AS BIGINT)
+           AS bucket,
+         CASE WHEN v > 0 THEN 53 - length(bin(v)) ELSE 53 END AS rho
+  FROM (SELECT event_type, user_id,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 13))
+                    AS BIGINT) AS v
+        FROM events)
+), regs AS (
+  SELECT event_type AS scope, bucket, MAX(rho) AS reg
+  FROM pts GROUP BY 1, 2
+  UNION ALL
+  SELECT 'ALL' AS scope, bucket, MAX(rho) AS reg
+  FROM pts GROUP BY 1, 2
+), spine AS (
+  SELECT s.scope, g.b
+  FROM (SELECT DISTINCT scope FROM regs) s
+  CROSS JOIN (SELECT UNNEST(range(0, 256)) AS b) g
+), full_regs AS (
+  SELECT spine.scope, spine.b, COALESCE(regs.reg, 0) AS reg
+  FROM spine LEFT JOIN regs
+    ON regs.scope = spine.scope AND regs.bucket = spine.b
+), est AS (
+  SELECT scope,
+         SUM(1::BIGINT << (53 - reg)) AS s,
+         COUNT(*) FILTER (WHERE reg = 0) AS z
+  FROM full_regs GROUP BY scope
+), ex AS (
+  SELECT event_type AS scope, COUNT(DISTINCT user_id) AS n_exact
+  FROM events GROUP BY 1
+  UNION ALL
+  SELECT 'ALL' AS scope, COUNT(DISTINCT user_id) AS n_exact FROM events
+), final AS (
+  SELECT est.scope, ex.n_exact,
+         ROUND(CASE WHEN (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
+                         / (s::DOUBLE / 9007199254740992.0) <= 640.0
+                         AND z > 0
+                    THEN 256.0 * LN(256.0 / z)
+                    ELSE (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
+                         / (s::DOUBLE / 9007199254740992.0)
+               END, 6) AS e
+  FROM est JOIN ex ON est.scope = ex.scope
+)
+SELECT scope, CAST(n_exact AS BIGINT) AS n_exact,
+       e + 0.0 AS hll_est,
+       ROUND((e - n_exact) / n_exact * 100, 4) + 0.0 AS err_pct
+FROM final
+""")
+def q_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-user sketch with p=8 (256 registers), built
+    register-by-register so the oracle can replicate it EXACTLY — the
+    hash-checked twin of q_agg_approx's opaque HLL++ the way
+    q_dedup_minhash_md5 twins the xxhash64 MinHash. Registers are
+    md5-derived (bucket = first 8 hash bits, rho = leading-zero rank
+    of the next 52), per-event-type sketches estimate per-type
+    distinct users, and the 'ALL' row is the register-wise MAX merge
+    of the per-type sketches — the algebraic mergeability (sketch of a
+    union = max of sketches) that makes HLL the 100 TB distinct-count
+    answer: partial sketches combine associatively across partitions,
+    days, or datacenters without re-reading anything.
+
+    Determinism: registers are exact integers (rho via bin-string
+    length, never floating log2); the harmonic sum is computed in
+    integer units of 2^-53 (each register contributes the bigint
+    1<<(53-reg)) so no float-accumulation order exists; the final
+    estimate is one fixed double expression (with the standard
+    small-range linear-counting correction) rounded at 6.
+
+    Scale: one map-side-combined groupBy onto <= |types| * 256
+    register cells; everything downstream operates on the fixed-size
+    register table. The exact COUNT(DISTINCT) columns exist only to
+    report err_pct — drop them in production and nothing shuffles more
+    than registers."""
+    ev = load_table(spark, sf_dir, "events")
+    h = F.md5(F.col("user_id").cast("string"))
+    v = F.conv(F.substring(h, 3, 13), 16, 10).cast("long")
+    pts = ev.select(
+        "event_type",
+        F.conv(F.substring(h, 1, 2), 16, 10).cast("long").alias("bucket"),
+        F.when(v > 0, 53 - F.length(F.bin(v)))
+        .otherwise(F.lit(53)).cast("int").alias("rho"))
+    per_type = (pts.groupBy(F.col("event_type").alias("scope"), "bucket")
+                .agg(F.max("rho").alias("reg")))
+    merged = (pts.groupBy("bucket").agg(F.max("rho").alias("reg"))
+              .select(F.lit("ALL").alias("scope"), "bucket", "reg"))
+    regs = per_type.unionByName(merged)
+    spine = (regs.select(F.col("scope").alias("sscope")).distinct()
+             .select("sscope", F.explode(F.sequence(F.lit(0), F.lit(255)))
+                     .alias("b")))
+    full = (spine.join(F.broadcast(regs),
+                       (F.col("sscope") == F.col("scope"))
+                       & (F.col("b") == F.col("bucket")), "left")
+            .select(F.col("sscope").alias("scope"), "b",
+                    F.coalesce(F.col("reg"), F.lit(0)).alias("reg")))
+    est = (full.groupBy("scope")
+           .agg(F.sum(F.expr("shiftleft(1L, 53 - reg)")).alias("s"),
+                F.count(F.when(F.col("reg") == 0, 1)).alias("z")))
+    raw = (F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(256.0))
+           * F.lit(65536.0)
+           / (F.col("s").cast("double") / F.lit(9007199254740992.0)))
+    e = F.round(F.when((raw <= 640.0) & (F.col("z") > 0),
+                       F.lit(256.0) * F.log(F.lit(256.0) / F.col("z")))
+                .otherwise(raw), 6)
+    ex = (ev.groupBy(F.col("event_type").alias("scope"))
+          .agg(F.count_distinct("user_id").alias("n_exact"))
+          .unionByName(ev.agg(F.count_distinct("user_id").alias("n_exact"))
+                       .select(F.lit("ALL").alias("scope"), "n_exact")))
+    return (est.join(F.broadcast(ex), "scope")
+            .select("scope", F.col("n_exact").cast("bigint").alias("n_exact"),
+                    (e + 0.0).alias("hll_est"),
+                    (F.round((e - F.col("n_exact")) / F.col("n_exact")
+                             * 100, 4) + 0.0).alias("err_pct")))
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch: point-frequency estimates with exact comparison
+# ---------------------------------------------------------------------------
+
+@query("q_cms_count", oracle=r"""
+WITH tok AS (
+  SELECT w FROM (
+    SELECT UNNEST(string_split_regex(lower(text), '\s+')) AS w FROM documents
+  ) WHERE w <> ''
+), salts AS (
+  SELECT CAST(UNNEST(range(0, 4)) AS VARCHAR) AS r
+), cells AS (
+  SELECT s.r,
+         CAST(('0x' || substr(md5(s.r || ':' || t.w), 1, 3)) AS BIGINT) % 512
+           AS b,
+         COUNT(*) AS n
+  FROM tok t CROSS JOIN salts s
+  GROUP BY 1, 2
+), exact AS (
+  SELECT w, COUNT(*) AS c FROM tok GROUP BY w ORDER BY c DESC, w LIMIT 10
+), probes AS (
+  SELECT e.w, e.c, s.r,
+         CAST(('0x' || substr(md5(s.r || ':' || e.w), 1, 3)) AS BIGINT) % 512
+           AS b
+  FROM exact e CROSS JOIN salts s
+)
+SELECT p.w AS term, CAST(MAX(p.c) AS BIGINT) AS c_exact,
+       CAST(MIN(cells.n) AS BIGINT) AS c_est,
+       CAST(MIN(cells.n) - MAX(p.c) AS BIGINT) AS overcount
+FROM probes p JOIN cells ON cells.r = p.r AND cells.b = p.b
+GROUP BY p.w
+""")
+def q_cms_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (d=4 rows x w=512 buckets, md5-salted) for
+    point frequency estimates, probed for the corpus's top-10 tokens
+    and compared against their exact counts — the bounded-memory
+    frequency table that complements q_heavy_hitters' Misra-Gries
+    (which keys are hot) with "how hot is THIS key" point queries, and
+    the standard guarantee shape: estimates never undercount
+    (overcount >= 0 always; with prob 1-(1/2)^4 the excess is
+    <= 2/512 of total mass).
+
+    Determinism: cell counts are exact integers from md5-derived
+    bucket ids; estimate = MIN over the 4 row cells, exact = MAX over
+    the (constant) joined exact counts; no floats anywhere.
+
+    Scale: the sketch build is one map-side-combined groupBy onto at
+    most 4x512 = 2048 cells regardless of corpus size (the fan-out
+    happens inside the combiner's input, not the shuffle); probes join
+    a 40-row broadcast against the 2048-cell table. The exact top-10
+    side exists only for the comparison — production keeps the 2048
+    cells and answers any point query map-side."""
+    d = load_table(spark, sf_dir, "documents", spread=True)
+    tok = (d.select(F.explode(F.split(F.lower("text"), _TOK)).alias("w"))
+           .filter(F.col("w") != ""))
+    salt = F.explode(F.array(*[F.lit(str(i)) for i in range(4)])).alias("r")
+    bucket = (F.conv(F.substring(
+        F.md5(F.concat_ws(":", "r", "w")), 1, 3), 16, 10)
+        .cast("long") % 512).alias("b")
+    cells = (tok.select("w", salt).select("r", bucket)
+             .groupBy("r", "b").agg(F.count(F.lit(1)).alias("n")))
+    exact = (tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+             .orderBy(F.col("c").desc(), "w").limit(10))
+    probes = (exact.select("w", "c", salt)
+              .select("w", "c", "r",
+                      (F.conv(F.substring(
+                          F.md5(F.concat_ws(":", "r", "w")), 1, 3), 16, 10)
+                       .cast("long") % 512).alias("b")))
+    return (cells.join(F.broadcast(probes), ["r", "b"])
+            .groupBy(F.col("w").alias("term"))
+            .agg(F.max("c").cast("bigint").alias("c_exact"),
+                 F.min("n").cast("bigint").alias("c_est"),
+                 (F.min("n") - F.max("c")).cast("bigint").alias("overcount")))

@@ -861,3 +861,39 @@ def test_kneser_ney_enrichment_joins_broadcast(spark):
     assert_plan(get("q_kneser_ney").fn(spark, SF),
                 contains=("TakeOrderedAndProject", "BroadcastHashJoin"),
                 absent=("SortMergeJoin", "CartesianProduct"))
+
+
+def test_markov_normalizer_window_on_aggregated_table(spark):
+    """Transition probabilities: one user_id lag window, then the
+    row-total normalizer runs over the ALREADY-AGGREGATED |types|^2
+    table (partitioned by prev_type) — no second events pass, no
+    cartesian."""
+    assert_plan(get("q_markov_transitions").fn(spark, SF),
+                contains=("Window", "HashAggregate"),
+                absent=("CartesianProduct", "SortMergeJoin"))
+
+
+def test_skew_audit_pure_aggregate(spark):
+    """The skew audit is groupBy(key) -> grand aggregate: no join, no
+    window, nothing but two aggregation levels."""
+    assert_plan(get("q_skew_audit").fn(spark, SF),
+                contains=("HashAggregate",),
+                absent=("Join", "Window"))
+
+
+def test_hll_register_joins_broadcast(spark):
+    """HLL: the register spine fill and the exact-count comparison both
+    join via broadcast — the fact stream is touched once by the
+    register groupBy, never by a shuffled join."""
+    assert_plan(get("q_hll_union").fn(spark, SF),
+                contains=("BroadcastHashJoin",),
+                absent=("SortMergeJoin", "CartesianProduct"))
+
+
+def test_cms_probe_rides_broadcast_topk(spark):
+    """Count-Min: the top-10 probe side is TakeOrderedAndProject and the
+    cell lookup is a broadcast join against the bounded 2048-cell
+    sketch — no shuffled join anywhere."""
+    assert_plan(get("q_cms_count").fn(spark, SF),
+                contains=("TakeOrderedAndProject", "BroadcastHashJoin"),
+                absent=("SortMergeJoin", "CartesianProduct"))
