@@ -1399,3 +1399,42 @@ def q_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("p99_key_rows"),
         (F.round(F.max("n").cast("double") * F.count(F.lit(1))
                  / F.sum("n"), 6) + 0.0).alias("skew_ratio"))
+
+
+# ---------------------------------------------------------------------------
+# Growth accounting: daily new users and cumulative users-to-date
+# ---------------------------------------------------------------------------
+
+@query("q_user_growth", oracle="""
+WITH first_seen AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS d FROM events GROUP BY user_id
+), daily AS (
+  SELECT d, COUNT(*) AS new_users FROM first_seen GROUP BY d
+)
+SELECT CAST(d AS VARCHAR) AS day,
+       CAST(new_users AS BIGINT) AS new_users,
+       CAST(SUM(new_users) OVER (ORDER BY d) AS BIGINT) AS cum_users
+FROM daily
+""")
+def q_user_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting: each user's first-seen day, rolled up to
+    daily new-user counts and the cumulative users-to-date curve — the
+    activation half of the lifecycle pair whose retention half is
+    q_cohort_retention (same first-seen anchor, different follow).
+
+    Determinism: MIN over dates and integer counts only; the running
+    sum is over a totally-ordered day key.
+
+    Scale: one groupBy(user_id) (min date), one groupBy(day) — both
+    map-side combined; the cumulative window runs over the BOUNDED
+    |days| table (the q_ewma bounded-series argument), never over
+    users or events."""
+    ev = load_table(spark, sf_dir, "events")
+    first = (ev.groupBy("user_id")
+             .agg(F.min(F.col("ts").cast("date")).alias("d")))
+    daily = first.groupBy("d").agg(F.count(F.lit(1)).alias("new_users"))
+    w = W.orderBy("d").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return daily.select(
+        F.col("d").cast("string").alias("day"),
+        F.col("new_users").cast("bigint").alias("new_users"),
+        F.sum("new_users").over(w).cast("bigint").alias("cum_users"))

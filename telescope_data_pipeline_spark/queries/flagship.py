@@ -130,3 +130,64 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "o_orderpriority")
             .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
             .limit(10))
+
+
+# ---------------------------------------------------------------------------
+# Small-quantity-order revenue (TPC-H Q17 shape): correlated scalar
+# subquery decorrelated into an aggregate + join
+# ---------------------------------------------------------------------------
+
+@query("q_small_order_revenue", oracle="""
+WITH pf AS (
+  SELECT p_partkey FROM part WHERE p_brand = 'Brand#2' AND p_size <= 15
+), th AS (
+  SELECT l.l_partkey,
+         SUM(CAST(ROUND(l.l_quantity * 100) AS BIGINT)) AS qc,
+         COUNT(*) AS n
+  FROM lineitem l JOIN pf ON l.l_partkey = pf.p_partkey
+  GROUP BY l.l_partkey
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_small,
+       ROUND(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+             / 100.0 / 7.0, 4) + 0.0 AS avg_yearly
+FROM lineitem l
+JOIN th ON l.l_partkey = th.l_partkey
+WHERE CAST(ROUND(l.l_quantity * 100) AS BIGINT) * th.n * 5 < th.qc
+""")
+def q_small_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue locked up in unusually small orders —
+    lineitems of the filtered part set whose quantity is below 20% of
+    that part's average order quantity. The reference workload's
+    "correlated scalar subquery" pattern (avg per part, compared
+    per row), hand-decorrelated the way Catalyst rewrites it: one
+    per-part aggregate, joined back to the fact rows.
+
+    Determinism: quantities are quantized to integer centi-units, so
+    the 20%-of-average test is pure integer arithmetic
+    (q*100 * n * 5 < sum_q*100 — no float threshold whose last ulp
+    could flip a boundary row); revenue sums integer cents.
+
+    Scale: the part filter broadcasts into BOTH lineitem passes
+    (predicate reaches the scans), the per-part aggregate is
+    map-side combined, and the threshold join is an equi-join on
+    l_partkey — the two fact passes share the pushed part filter, so
+    each reads only qualifying rows. At 100 TB the second pass can be
+    eliminated by a windowed form; the two-scan form keeps every sum
+    map-side combined."""
+    p = (load_table(spark, sf_dir, "part")
+         .filter((F.col("p_brand") == "Brand#2") & (F.col("p_size") <= 15))
+         .select("p_partkey"))
+    li = load_table(spark, sf_dir, "lineitem")
+    qc = F.round(F.col("l_quantity") * 100).cast("bigint")
+    th = (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+          .groupBy("l_partkey")
+          .agg(F.sum(qc).alias("qc"), F.count(F.lit(1)).alias("n")))
+    fact = (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .select("l_partkey", qc.alias("q100"),
+                    F.round(F.col("l_extendedprice") * 100).cast("bigint")
+                    .alias("price_c")))
+    return (fact.join(th, "l_partkey")
+            .filter(F.col("q100") * F.col("n") * 5 < F.col("qc"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_small"),
+                 (F.round(F.sum("price_c") / 100.0 / 7.0, 4) + 0.0)
+                 .alias("avg_yearly")))

@@ -2894,3 +2894,55 @@ def q_cms_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.max("c").cast("bigint").alias("c_exact"),
                  F.min("n").cast("bigint").alias("c_est"),
                  (F.min("n") - F.max("c")).cast("bigint").alias("overcount")))
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-learning step: the argmax adjacent-pair selection
+# ---------------------------------------------------------------------------
+
+@query("q_bpe_merge_step", oracle=r"""
+WITH tok AS (
+  SELECT w FROM (
+    SELECT UNNEST(string_split_regex(lower(text), '\s+')) AS w FROM documents
+  ) WHERE w <> ''
+), vocab AS (
+  SELECT w, COUNT(*) AS c FROM tok GROUP BY w
+), pairs AS (
+  SELECT substr(w, CAST(i AS INTEGER), 2) AS pair, c
+  FROM (SELECT w, c, UNNEST(range(1, length(w))) AS i
+        FROM vocab WHERE length(w) >= 2)
+)
+SELECT pair, CAST(SUM(c) AS BIGINT) AS freq
+FROM pairs GROUP BY pair ORDER BY freq DESC, pair LIMIT 10
+""")
+def q_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE tokenizer-TRAINING iteration: count adjacent symbol
+    pairs across the corpus (weighted by word frequency) and surface
+    the top merge candidates — rank 1 is the pair a BPE learner would
+    merge next; iterating (apply merge, recount) yields the merge
+    table q_token_bpe's pre-tokenizer only approximates. Training the
+    tokenizer ON the corpus it will encode is a standard pipeline
+    step, and this is its inner loop.
+
+    The BPE-training trick this encodes: pair counts come from the
+    DISTINCT-word vocabulary weighted by word counts, so the pair
+    stream is bounded by total vocabulary characters, NOT corpus
+    tokens — each merge iteration costs |vocab|, not |corpus|.
+
+    Determinism: exact integer counts; the top-10 cut is a total
+    order (freq desc, pair).
+
+    Scale: corpus -> vocabulary is one map-side-combined groupBy;
+    pairs explode in-row over the bounded vocab; the cut is
+    TakeOrderedAndProject (plan-tested)."""
+    d = load_table(spark, sf_dir, "documents", spread=True)
+    tok = (d.select(F.explode(F.split(F.lower("text"), _TOK)).alias("w"))
+           .filter(F.col("w") != ""))
+    vocab = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    pairs = (vocab.filter(F.length("w") >= 2)
+             .select("w", "c",
+                     F.explode(F.sequence(
+                         F.lit(1), F.length("w") - 1)).alias("i"))
+             .select(F.expr("substr(w, i, 2)").alias("pair"), "c"))
+    return (pairs.groupBy("pair").agg(F.sum("c").cast("bigint").alias("freq"))
+            .orderBy(F.col("freq").desc(), "pair").limit(10))

@@ -897,3 +897,29 @@ def test_cms_probe_rides_broadcast_topk(spark):
     assert_plan(get("q_cms_count").fn(spark, SF),
                 contains=("TakeOrderedAndProject", "BroadcastHashJoin"),
                 absent=("SortMergeJoin", "CartesianProduct"))
+
+
+def test_user_growth_bounded_cumulative_window(spark):
+    """Growth accounting: two map-side-combined aggregates; the
+    cumulative window is over the bounded |days| table. No joins."""
+    assert_plan(get("q_user_growth").fn(spark, SF),
+                contains=("HashAggregate", "Window"),
+                absent=("Join",))
+
+
+def test_bpe_merge_step_takeordered_no_join(spark):
+    """BPE merge step: vocab groupBy -> in-row pair explode -> pair
+    groupBy -> TakeOrderedAndProject. No join anywhere — the pair
+    stream is bounded by vocabulary characters."""
+    assert_plan(get("q_bpe_merge_step").fn(spark, SF),
+                contains=("TakeOrderedAndProject", "Generate"),
+                absent=("Join",))
+
+
+def test_small_order_revenue_broadcasts_part_filter(spark):
+    """Q17 shape: the filtered part list broadcasts into both lineitem
+    passes; the per-part threshold join stays an equi-join (no
+    cartesian, no nested loop)."""
+    assert_plan(get("q_small_order_revenue").fn(spark, SF),
+                contains=("BroadcastHashJoin",),
+                absent=("CartesianProduct", "BroadcastNestedLoopJoin"))
