@@ -175,3 +175,81 @@ def q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
                   + 0.0).alias("abs_gap"),
                  (F.round(F.sum(sq).cast("double") / 1e6 / n, 6) + 0.0)
                   .alias("brier")))
+
+
+# ---------------------------------------------------------------------------
+# Thresholded classification report: confusion counts + per-class P/R/F1
+# ---------------------------------------------------------------------------
+
+@query("q_classification_report", oracle="""
+WITH scored AS (
+  SELECT CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y,
+         CASE WHEN 80 * label + ((vec_id % 1000003) * 2654435761 % 1000) // 5
+                   >= 500 THEN 1 ELSE 0 END AS yhat
+  FROM embeddings
+), cm AS (
+  SELECT SUM(CASE WHEN y = 1 AND yhat = 1 THEN 1 ELSE 0 END) AS tp1,
+         SUM(CASE WHEN y = 0 AND yhat = 1 THEN 1 ELSE 0 END) AS fp1,
+         SUM(CASE WHEN y = 1 AND yhat = 0 THEN 1 ELSE 0 END) AS fn1,
+         SUM(CASE WHEN y = 0 AND yhat = 0 THEN 1 ELSE 0 END) AS tn1
+  FROM scored
+), per_class AS (
+  SELECT 1 AS class, tp1 AS tp, fp1 AS fp, fn1 AS fn FROM cm
+  UNION ALL
+  SELECT 0 AS class, tn1 AS tp, fn1 AS fp, fp1 AS fn FROM cm
+)
+SELECT class, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       CAST(fn AS BIGINT) AS fn,
+       ROUND(tp::DOUBLE / NULLIF(tp + fp, 0), 6) + 0.0 AS precision_,
+       ROUND(tp::DOUBLE / NULLIF(tp + fn, 0), 6) + 0.0 AS recall_,
+       ROUND(2.0 * tp / NULLIF(2 * tp + fp + fn, 0), 6) + 0.0 AS f1
+FROM per_class
+""")
+def q_classification_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thresholded classification report: confusion counts and
+    per-class precision/recall/F1 at the 0.5 operating point of the
+    same deterministic hash scorer q_auc_ranking and q_calibration
+    audit — AUC measures ranking, calibration measures probability
+    meaning, this measures the DEPLOYED thresholded decision (the
+    form a quality-filter gate actually runs in the pipeline).
+
+    Determinism: the score exists only as integer milliunits, so the
+    threshold test is integer; all metrics are ratios of exact
+    integer counts (F1 computed as 2tp/(2tp+fp+fn) — one division,
+    no nested float ratios); degenerate classes produce NULL via the
+    guarded denominators.
+
+    Scale: ONE conditional-aggregate pass over the fact table to a
+    1-row confusion matrix; the per-class reshape happens on that
+    1-row result. No shuffle wider than 4 integers per partition."""
+    e = load_table(spark, sf_dir, "embeddings")
+    p_milli = (80 * F.col("label")
+               + ((F.col("vec_id") % 1000003)
+                  * F.lit(2654435761).cast("bigint") % 1000)
+               / F.lit(5)).cast("bigint")
+    y = F.when(F.col("label") >= 5, 1).otherwise(0)
+    yhat = F.when(p_milli >= 500, 1).otherwise(0)
+    cm = (e.select(y.alias("y"), yhat.alias("yhat"))
+          .agg(F.sum(F.when((F.col("y") == 1) & (F.col("yhat") == 1), 1)
+                     .otherwise(0)).alias("tp1"),
+               F.sum(F.when((F.col("y") == 0) & (F.col("yhat") == 1), 1)
+                     .otherwise(0)).alias("fp1"),
+               F.sum(F.when((F.col("y") == 1) & (F.col("yhat") == 0), 1)
+                     .otherwise(0)).alias("fn1"),
+               F.sum(F.when((F.col("y") == 0) & (F.col("yhat") == 0), 1)
+                     .otherwise(0)).alias("tn1")))
+    pos = cm.select(F.lit(1).alias("class"), F.col("tp1").alias("tp"),
+                    F.col("fp1").alias("fp"), F.col("fn1").alias("fn"))
+    neg = cm.select(F.lit(0).alias("class"), F.col("tn1").alias("tp"),
+                    F.col("fn1").alias("fp"), F.col("fp1").alias("fn"))
+    per = pos.unionByName(neg)
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    return per.select(
+        "class", tp.cast("bigint").alias("tp"), fp.cast("bigint").alias("fp"),
+        fn.cast("bigint").alias("fn"),
+        (F.round(tp.cast("double") / F.nullif(tp + fp, F.lit(0)), 6) + 0.0)
+        .alias("precision_"),
+        (F.round(tp.cast("double") / F.nullif(tp + fn, F.lit(0)), 6) + 0.0)
+        .alias("recall_"),
+        (F.round(2.0 * tp / F.nullif(2 * tp + fp + fn, F.lit(0)), 6) + 0.0)
+        .alias("f1"))

@@ -2946,3 +2946,106 @@ def q_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select(F.expr("substr(w, i, 2)").alias("pair"), "c"))
     return (pairs.groupBy("pair").agg(F.sum("c").cast("bigint").alias("freq"))
             .orderBy(F.col("freq").desc(), "pair").limit(10))
+
+
+# ---------------------------------------------------------------------------
+# Data-quality constraint validation (expectations suite)
+# ---------------------------------------------------------------------------
+
+@query("q_dq_rules", oracle="""
+WITH o AS (
+  SELECT COUNT(*) AS n,
+         COUNT(*) FILTER (WHERE o_orderdate IS NULL) AS v_null,
+         COUNT(*) FILTER (WHERE o_totalprice < 0) AS v_range,
+         COUNT(*) - COUNT(DISTINCT o_orderkey) AS v_dup
+  FROM orders
+), l AS (
+  SELECT COUNT(*) AS n,
+         COUNT(*) FILTER (WHERE l_discount < 0 OR l_discount > 1) AS v_disc
+  FROM lineitem
+), j AS (
+  SELECT COUNT(*) AS n,
+         COUNT(*) FILTER (WHERE ord.o_orderkey IS NULL) AS v_orphan,
+         COUNT(*) FILTER (WHERE ord.o_orderkey IS NOT NULL) AS n_matched,
+         COUNT(*) FILTER (WHERE ord.o_orderkey IS NOT NULL
+                          AND li.l_shipdate < ord.o_orderdate) AS v_time
+  FROM lineitem li LEFT JOIN orders ord ON li.l_orderkey = ord.o_orderkey
+)
+SELECT rule, CAST(n_checked AS BIGINT) AS n_checked,
+       CAST(n_violations AS BIGINT) AS n_violations,
+       n_violations = 0 AS passed
+FROM (
+  SELECT 'orders.o_orderdate NOT NULL' AS rule, n AS n_checked,
+         v_null AS n_violations FROM o
+  UNION ALL
+  SELECT 'orders.o_totalprice >= 0', n, v_range FROM o
+  UNION ALL
+  SELECT 'orders.o_orderkey UNIQUE', n, v_dup FROM o
+  UNION ALL
+  SELECT 'lineitem.l_discount IN [0,1]', n, v_disc FROM l
+  UNION ALL
+  SELECT 'lineitem.l_orderkey FK orders', n, v_orphan FROM j
+  UNION ALL
+  SELECT 'lineitem.l_shipdate >= o_orderdate', n_matched, v_time FROM j
+)
+""")
+def q_dq_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate: an expectations suite (not-null,
+    range, uniqueness, referential integrity, cross-table temporal
+    order) evaluated to a violations report — the contract check a
+    pipeline runs before promoting a snapshot to training, and the
+    relational complement to q_profile_table (profile describes,
+    this PASSES or FAILS). Null values pass range rules (they are the
+    not-null rule's business).
+
+    Determinism: every violation count is an exact integer;
+    uniqueness is count - count(distinct) in one aggregate.
+
+    Scale: 6 rules cost 3 passes — one conditional aggregate per
+    table (all same-scan rules fused) and ONE left join that serves
+    both the FK-orphan and temporal rules; adding another same-scan
+    rule is one more conditional count, not another pass. Each pass
+    is map-side combined to a 1-row summary."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    oagg = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("o_orderdate").isNull(), 1)).alias("v_null"),
+        F.count(F.when(F.col("o_totalprice") < 0, 1)).alias("v_range"),
+        (F.count(F.lit(1)) - F.count_distinct("o_orderkey")).alias("v_dup"))
+    lagg = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when((F.col("l_discount") < 0)
+                       | (F.col("l_discount") > 1), 1)).alias("v_disc"))
+    j = (li.select("l_orderkey", "l_shipdate")
+         .join(o.select("o_orderkey", "o_orderdate"),
+               F.col("l_orderkey") == F.col("o_orderkey"), "left")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.count(F.when(F.col("o_orderkey").isNull(), 1))
+              .alias("v_orphan"),
+              F.count(F.when(F.col("o_orderkey").isNotNull(), 1))
+              .alias("n_matched"),
+              F.count(F.when(F.col("o_orderkey").isNotNull()
+                             & (F.col("l_shipdate") < F.col("o_orderdate")),
+                             1)).alias("v_time")))
+
+    def row(src, rule, n_col, v_col):
+        return src.select(F.lit(rule).alias("rule"),
+                          F.col(n_col).alias("n_checked"),
+                          F.col(v_col).alias("n_violations"))
+
+    rules = (row(oagg, "orders.o_orderdate NOT NULL", "n", "v_null")
+             .unionByName(row(oagg, "orders.o_totalprice >= 0", "n",
+                              "v_range"))
+             .unionByName(row(oagg, "orders.o_orderkey UNIQUE", "n", "v_dup"))
+             .unionByName(row(lagg, "lineitem.l_discount IN [0,1]", "n",
+                              "v_disc"))
+             .unionByName(row(j, "lineitem.l_orderkey FK orders", "n",
+                              "v_orphan"))
+             .unionByName(row(j, "lineitem.l_shipdate >= o_orderdate",
+                              "n_matched", "v_time")))
+    return rules.select("rule",
+                        F.col("n_checked").cast("bigint").alias("n_checked"),
+                        F.col("n_violations").cast("bigint")
+                        .alias("n_violations"),
+                        (F.col("n_violations") == 0).alias("passed"))

@@ -923,3 +923,21 @@ def test_small_order_revenue_broadcasts_part_filter(spark):
     assert_plan(get("q_small_order_revenue").fn(spark, SF),
                 contains=("BroadcastHashJoin",),
                 absent=("CartesianProduct", "BroadcastNestedLoopJoin"))
+
+
+def test_classification_report_single_pass(spark):
+    """The confusion matrix is ONE conditional-aggregate pass over the
+    fact table; the per-class reshape unions 1-row results. No join,
+    no window."""
+    assert_plan(get("q_classification_report").fn(spark, SF),
+                contains=("HashAggregate", "Union"),
+                absent=("Join", "Window"))
+
+
+def test_dq_rules_fuses_same_scan_rules(spark):
+    """Six rules cost three passes: per-table conditional aggregates
+    plus one left join serving both FK and temporal rules — no
+    cartesian, no window."""
+    assert_plan(get("q_dq_rules").fn(spark, SF),
+                contains=("HashAggregate", "Union"),
+                absent=("CartesianProduct", "Window"))
