@@ -136,6 +136,20 @@ CAPTURE = [
      "shard export: distributed prefix-sum assignment, partitioned write, read-back manifest"),
     ("q_label_knn_noise",
      "label-noise audit: rounded-cosine 5-NN vote, labels ride the join as ints"),
+    ("q_kneser_ney",
+     "KN bigram LM: in-row bigram explode, cached count table reused by 4 consumers, top-20 broadcast enrichment"),
+    ("q_hll_union",
+     "HLL: one register groupBy, broadcast spine fill, integer 2^-53-unit harmonic sum"),
+    ("q_cms_count",
+     "Count-Min: map-side-combined fold onto 2048 cells, top-10 probes ride a broadcast"),
+    ("q_markov_transitions",
+     "Markov matrix: one user_id lag window, normalizer window over the |types|^2 AGGREGATED table"),
+    ("q_bpe_merge_step",
+     "BPE merge step: vocab groupBy, in-row pair explode (|vocab| cost), TakeOrdered cut, no join"),
+    ("q_small_order_revenue",
+     "Q17 shape: part filter broadcast into both fact passes, integer centi-unit threshold join"),
+    ("q_dq_rules",
+     "DQ suite: same-scan rules fused per conditional aggregate, FK+temporal share one left join"),
 ]
 
 HEADER = """\
