@@ -191,3 +191,66 @@ def q_small_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_small"),
                  (F.round(F.sum("price_c") / 100.0 / 7.0, 4) + 0.0)
                  .alias("avg_yearly")))
+
+
+# ---------------------------------------------------------------------------
+# Sole-late-supplier blame (TPC-H Q21 shape): EXISTS + NOT EXISTS
+# decorrelated into one per-order aggregate
+# ---------------------------------------------------------------------------
+
+@query("q_late_supplier", oracle="""
+WITH l AS (
+  SELECT l_orderkey, l_suppkey,
+         l_shipdate > o_orderdate + INTERVAL 90 DAY AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), per_order AS (
+  SELECT l_orderkey,
+         COUNT(DISTINCT l_suppkey) AS n_supp,
+         COUNT(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late_supp
+  FROM l GROUP BY 1
+), blamed AS (
+  SELECT DISTINCT l.l_orderkey, l.l_suppkey
+  FROM l JOIN per_order p ON p.l_orderkey = l.l_orderkey
+  WHERE l.late AND p.n_supp >= 2 AND p.n_late_supp = 1
+)
+SELECT l_suppkey AS suppkey, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM blamed GROUP BY 1
+ORDER BY numwait DESC, suppkey LIMIT 20
+""")
+def q_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late shipper on
+    multi-supplier orders (shipped > 90 days after the order date
+    while every co-supplier shipped on time) — the textbook
+    EXISTS(other supplier) + NOT EXISTS(other late supplier)
+    correlated pair. Hand-decorrelated PAST what Catalyst would do
+    with the EXISTS form: both existence tests collapse into ONE
+    per-order aggregate (distinct suppliers, distinct late
+    suppliers), so the fact table is shuffled once on orderkey
+    instead of twice more for the semi- and anti-join legs.
+
+    Determinism: integer counts; the top-20 cut is a total order
+    (numwait desc, suppkey).
+
+    Scale: one orderkey-partitioned aggregate (map-side partial on
+    the distincts), the blame filter re-joins per-order flags to the
+    already-partitioned lateness rows, then a suppkey groupBy and a
+    TakeOrdered top-20. No self-join of lineitem against itself
+    anywhere."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    l = (li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+         .select("l_orderkey", "l_suppkey",
+                 (F.col("l_shipdate")
+                  > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+                 .alias("late")))
+    per_order = (l.groupBy("l_orderkey")
+                 .agg(F.count_distinct("l_suppkey").alias("n_supp"),
+                      F.count_distinct(F.when(F.col("late"), F.col("l_suppkey")))
+                      .alias("n_late_supp")))
+    blamed = (l.filter(F.col("late"))
+              .join(per_order, "l_orderkey")
+              .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+              .select("l_orderkey", "l_suppkey").distinct())
+    return (blamed.groupBy(F.col("l_suppkey").alias("suppkey"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+            .orderBy(F.col("numwait").desc(), "suppkey").limit(20))

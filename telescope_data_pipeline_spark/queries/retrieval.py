@@ -2282,3 +2282,94 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(cov.cast("double") * cov
                  / F.nullif(varx.cast("double") * vary, F.lit(0.0)), 6)
          + 0.0).alias("r2"))
+
+
+# ---------------------------------------------------------------------------
+# Label-propagation communities (synchronous, value-pinned iterations)
+# ---------------------------------------------------------------------------
+
+@query("q_label_propagation", oracle="""
+WITH e0 AS (
+  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM lineitem a
+  JOIN lineitem b ON b.l_orderkey = a.l_orderkey AND b.l_partkey > a.l_partkey
+  WHERE a.l_partkey % 4 = 0 AND b.l_partkey % 4 = 0
+), e AS (
+  SELECT pa AS src, pb AS dst FROM e0
+  UNION ALL
+  SELECT pb AS src, pa AS dst FROM e0
+), l0 AS (
+  SELECT DISTINCT src AS node, src AS lbl FROM e
+), l1 AS (
+  SELECT node, lbl FROM (
+    SELECT e.src AS node, l.lbl,
+           ROW_NUMBER() OVER (PARTITION BY e.src
+                              ORDER BY COUNT(*) DESC, l.lbl) AS rk
+    FROM e JOIN l0 l ON l.node = e.dst
+    GROUP BY e.src, l.lbl
+  ) WHERE rk = 1
+), l2 AS (
+  SELECT node, lbl FROM (
+    SELECT e.src AS node, l.lbl,
+           ROW_NUMBER() OVER (PARTITION BY e.src
+                              ORDER BY COUNT(*) DESC, l.lbl) AS rk
+    FROM e JOIN l1 l ON l.node = e.dst
+    GROUP BY e.src, l.lbl
+  ) WHERE rk = 1
+), l3 AS (
+  SELECT node, lbl FROM (
+    SELECT e.src AS node, l.lbl,
+           ROW_NUMBER() OVER (PARTITION BY e.src
+                              ORDER BY COUNT(*) DESC, l.lbl) AS rk
+    FROM e JOIN l2 l ON l.node = e.dst
+    GROUP BY e.src, l.lbl
+  ) WHERE rk = 1
+)
+SELECT lbl AS community, CAST(COUNT(*) AS BIGINT) AS size
+FROM l3 GROUP BY lbl
+""")
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation
+    (Raghavan et al. 2007) over the co-purchase graph, 3 value-pinned
+    iterations: every node adopts the most frequent label among its
+    neighbors (ties -> smallest label — a total order, so engines can
+    never disagree). Where q_cluster_components answers "which nodes
+    are CONNECTED", LPA answers "which nodes are DENSELY connected" —
+    the community structure a curriculum/mixing stage uses to group
+    related items.
+
+    Determinism: labels are integer node ids throughout; the adopt
+    rule is an integer-count argmax with a total-order tie-break;
+    the iteration count is pinned (the q_pagerank re-anchoring
+    argument: both engines iterate from identical state).
+
+    Scale: each iteration is one |E| equi-join (labels ride as
+    longs), one (node, lbl) map-side-combined count, and one
+    node-keyed window — the Pregel step rendered relationally, same
+    contract as q_pagerank; nothing is ever quadratic in degree. In
+    an iterated production form, truncate lineage per iteration
+    exactly as operators/pagerank.py does."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a, b = li.alias("a"), li.alias("b")
+    e0 = (a.join(b, (F.col("b.l_orderkey") == F.col("a.l_orderkey"))
+                 & (F.col("b.l_partkey") > F.col("a.l_partkey")))
+          .filter((F.col("a.l_partkey") % 4 == 0)
+                  & (F.col("b.l_partkey") % 4 == 0))
+          .select(F.col("a.l_partkey").alias("pa"),
+                  F.col("b.l_partkey").alias("pb"))
+          .distinct())
+    e = (e0.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+         .unionAll(e0.select(F.col("pb").alias("src"),
+                             F.col("pa").alias("dst"))))
+    lbl = e.select(F.col("src").alias("node")).distinct() \
+           .select("node", F.col("node").alias("lbl"))
+    w = W.partitionBy("vnode").orderBy(F.col("c").desc(), "lbl")
+    for _ in range(3):
+        votes = (e.join(lbl, F.col("node") == F.col("dst"))
+                 .groupBy(F.col("src").alias("vnode"), "lbl")
+                 .agg(F.count(F.lit(1)).alias("c")))
+        lbl = (votes.withColumn("rk", F.row_number().over(w))
+               .filter(F.col("rk") == 1)
+               .select(F.col("vnode").alias("node"), "lbl"))
+    return (lbl.groupBy(F.col("lbl").alias("community"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("size")))

@@ -941,3 +941,30 @@ def test_dq_rules_fuses_same_scan_rules(spark):
     assert_plan(get("q_dq_rules").fn(spark, SF),
                 contains=("HashAggregate", "Union"),
                 absent=("CartesianProduct", "Window"))
+
+
+def test_late_supplier_no_fact_self_join(spark):
+    """Q21 shape: both existence tests collapse into one per-order
+    aggregate — exactly one scan of lineitem joins orders, the blame
+    filter re-joins per-order FLAGS (not the fact table against
+    itself), and the final cut is TakeOrderedAndProject."""
+    df = get("q_late_supplier").fn(spark, SF)
+    assert_plan(df, contains=("TakeOrderedAndProject",),
+                absent=("CartesianProduct", "BroadcastNestedLoopJoin"))
+    from telescope_data_pipeline_spark.plans.audit import physical_plan
+    plan = physical_plan(df).split("== Initial Plan ==")[0]
+    # the lateness leg is consumed by per_order AND blamed (two scans
+    # of each input, no cache) — still linear; the forbidden shape is
+    # a lineitem x lineitem theta join, which the absent-list pins
+    assert plan.count("Scan parquet") <= 4
+
+
+def test_label_propagation_pregel_shape(spark):
+    """LPA: per-iteration |E| equi-join + (node,label) count + node-
+    keyed window — no cartesian, no single-partition window."""
+    from telescope_data_pipeline_spark.plans.audit import physical_plan
+    df = get("q_label_propagation").fn(spark, SF)
+    assert_plan(df, contains=("Window", "HashAggregate"),
+                absent=("CartesianProduct", "BroadcastNestedLoopJoin"))
+    plan = physical_plan(df).split("== Initial Plan ==")[0]
+    assert "Exchange SinglePartition" not in plan
