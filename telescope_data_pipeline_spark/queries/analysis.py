@@ -1438,3 +1438,61 @@ def q_user_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").cast("string").alias("day"),
         F.col("new_users").cast("bigint").alias("new_users"),
         F.sum("new_users").over(w).cast("bigint").alias("cum_users"))
+
+
+# ---------------------------------------------------------------------------
+# Sequence-pattern matching over reconstructed per-user journeys
+# ---------------------------------------------------------------------------
+
+@query("q_sequence_pattern", oracle="""
+WITH j AS (
+  SELECT user_id,
+         STRING_AGG(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS jn
+  FROM events GROUP BY user_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(COUNT(*) FILTER (WHERE regexp_matches(jn, 'vp')) AS BIGINT)
+         AS n_direct,
+       CAST(COUNT(*) FILTER (WHERE regexp_matches(jn, 'vc+p')) AS BIGINT)
+         AS n_assisted,
+       CAST(COUNT(*) FILTER (WHERE regexp_matches(jn, 'ee')) AS BIGINT)
+         AS n_error_burst
+FROM j
+""")
+def q_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence-pattern matching: reconstruct
+    each user's journey as an initials string in (ts, event_id) total
+    order and count users matching CONTIGUOUS patterns — direct
+    conversion (view immediately followed by purchase), assisted
+    conversion (view, clicks, purchase with nothing in between), and
+    error bursts (back-to-back errors). Adjacency is what the funnel
+    operator (q_events_funnel) deliberately cannot see: its running
+    conditional mins answer "eventually", these regexes answer
+    "immediately next" — the difference between attribution and
+    conversion-path analysis.
+
+    Determinism: the journey string is built on a TOTAL per-user
+    order (ts, event_id) — both engines agg in identical order; all
+    outputs are integer counts of regex matches on identical strings
+    (patterns stick to literal/+ constructs with identical semantics
+    in Java and RE2-family engines).
+
+    Scale: one shuffle on user_id; per-user state is that user's
+    event-initial string (the sessionize bound — journey length, not
+    corpus size); the pattern tests are map-side over |users| rows
+    and adding a pattern is one more conditional count, not another
+    pass."""
+    ev = load_table(spark, sf_dir, "events")
+    seq = F.array_sort(F.collect_list(F.struct(
+        "ts", "event_id", F.substring("event_type", 1, 1).alias("ini"))))
+    j = (ev.groupBy("user_id")
+         .agg(F.concat_ws(
+             "", F.transform(seq, lambda s: s["ini"])).alias("jn")))
+    return j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.count(F.when(F.col("jn").rlike("vp"), 1)).cast("bigint")
+        .alias("n_direct"),
+        F.count(F.when(F.col("jn").rlike("vc+p"), 1)).cast("bigint")
+        .alias("n_assisted"),
+        F.count(F.when(F.col("jn").rlike("ee"), 1)).cast("bigint")
+        .alias("n_error_burst"))

@@ -3049,3 +3049,75 @@ def q_dq_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.col("n_violations").cast("bigint")
                         .alias("n_violations"),
                         (F.col("n_violations") == 0).alias("passed"))
+
+
+# ---------------------------------------------------------------------------
+# Neyman-allocation stratified sampling
+# ---------------------------------------------------------------------------
+
+@query("q_sample_neyman", oracle="""
+WITH stats AS (
+  SELECT source, COUNT(*) AS nh,
+         SUM(n_chars) AS sx, SUM(n_chars * n_chars) AS sxx
+  FROM documents GROUP BY source
+), wgt AS (
+  SELECT source, nh,
+         nh * sqrt((nh * sxx - sx * sx)::DOUBLE / nh / (nh - 1)) AS w
+  FROM stats WHERE nh >= 2
+), alloc AS (
+  SELECT source, nh,
+         CAST(ROUND(100.0 * w / (SELECT SUM(w) FROM wgt)) AS BIGINT) AS k
+  FROM wgt
+), ranked AS (
+  SELECT d.doc_id, d.source, a.k,
+         ROW_NUMBER() OVER (PARTITION BY d.source
+                            ORDER BY md5('ney:' || CAST(d.doc_id AS VARCHAR)),
+                                     d.doc_id) AS rk
+  FROM documents d JOIN alloc a ON a.source = d.source
+)
+SELECT doc_id, source, CAST(k AS BIGINT) AS stratum_quota
+FROM ranked WHERE rk <= k
+""")
+def q_sample_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-allocation stratified sampling: a 100-row budget split
+    across sources proportionally to N_h * s_h (stratum size x
+    stratum standard deviation of n_chars) — the variance-optimal
+    allocation for estimating a corpus mean, vs q_sample_stratified's
+    equal-rate draw. High-variance strata get MORE samples; a
+    near-constant stratum needs almost none. The draw inside each
+    stratum is the md5-priority rank the sampling family standardizes
+    (content-keyed, partitioning-independent).
+
+    Determinism: the stddev is computed from exact integer sufficient
+    statistics (n*Sxx - Sx^2 over BIGINTs), so both engines sqrt the
+    SAME double and the rounded quota can never disagree; the
+    within-stratum rank is a total order (md5, doc_id).
+
+    Scale: one stats groupBy (map-side combined, integer partials),
+    a |strata|-row allocation table broadcast back, one per-stratum
+    window for the rank. Single-member strata are excluded (stddev
+    undefined) — documented, matching the WHERE nh >= 2 guard."""
+    d = load_table(spark, sf_dir, "documents")
+    stats = (d.groupBy("source")
+             .agg(F.count(F.lit(1)).alias("nh"),
+                  F.sum("n_chars").alias("sx"),
+                  F.sum(F.col("n_chars") * F.col("n_chars")).alias("sxx")))
+    wgt = (stats.filter(F.col("nh") >= 2)
+           .select("source", "nh",
+                   (F.col("nh")
+                    * F.sqrt((F.col("nh") * F.col("sxx")
+                              - F.col("sx") * F.col("sx")).cast("double")
+                             / F.col("nh") / (F.col("nh") - 1)))
+                   .alias("w")))
+    tot = wgt.agg(F.sum("w").alias("tw"))
+    alloc = (wgt.crossJoin(F.broadcast(tot))
+             .select("source",
+                     F.round(100.0 * F.col("w") / F.col("tw"))
+                     .cast("bigint").alias("k")))
+    pri = F.md5(F.concat(F.lit("ney:"), F.col("doc_id").cast("string")))
+    w_rk = W.partitionBy("source").orderBy(pri, "doc_id")
+    return (d.join(F.broadcast(alloc), "source")
+            .withColumn("rk", F.row_number().over(w_rk))
+            .filter(F.col("rk") <= F.col("k"))
+            .select("doc_id", "source",
+                    F.col("k").cast("bigint").alias("stratum_quota")))

@@ -968,3 +968,21 @@ def test_label_propagation_pregel_shape(spark):
                 absent=("CartesianProduct", "BroadcastNestedLoopJoin"))
     plan = physical_plan(df).split("== Initial Plan ==")[0]
     assert "Exchange SinglePartition" not in plan
+
+
+def test_sequence_pattern_one_shuffle(spark):
+    """Journey reconstruction: one user_id groupBy (object agg), then
+    map-side conditional counts — no join, no window."""
+    # collect_list plans ObjectHashAggregate; "Aggregate" matches both
+    assert_plan(get("q_sequence_pattern").fn(spark, SF),
+                contains=("Aggregate",),
+                absent=("Join", "Window"))
+
+
+def test_sample_neyman_allocation_broadcast(spark):
+    """Neyman sampling: stats groupBy, |strata|-row allocation joined
+    back via broadcast, per-stratum rank window — no shuffled join of
+    the corpus."""
+    assert_plan(get("q_sample_neyman").fn(spark, SF),
+                contains=("BroadcastHashJoin", "Window"),
+                absent=("SortMergeJoin", "CartesianProduct"))
