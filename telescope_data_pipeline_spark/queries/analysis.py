@@ -1496,3 +1496,86 @@ def q_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_assisted"),
         F.count(F.when(F.col("jn").rlike("ee"), 1)).cast("bigint")
         .alias("n_error_burst"))
+
+
+# ---------------------------------------------------------------------------
+# Single change-point detection per series (binary-segmentation step)
+# ---------------------------------------------------------------------------
+
+@query("q_changepoint", oracle="""
+WITH v AS (
+  SELECT event_type, ts, event_id,
+         CAST(ROUND(value * 1000000) AS BIGINT) AS xu
+  FROM events WHERE value IS NOT NULL
+), c AS (
+  SELECT event_type, ts,
+         SUM(xu) OVER w AS st,
+         ROW_NUMBER() OVER w AS idx,
+         SUM(xu) OVER w2 AS stot,
+         COUNT(*) OVER w2 AS n
+  FROM v
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id),
+         w2 AS (PARTITION BY event_type ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+), s AS (
+  SELECT event_type, idx, ts, n,
+         ABS(CAST(n AS HUGEINT) * st - CAST(idx AS HUGEINT) * stot) AS stat,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type
+           ORDER BY ABS(CAST(n AS HUGEINT) * st
+                        - CAST(idx AS HUGEINT) * stot) DESC, idx) AS rk
+  FROM c WHERE idx < n
+)
+SELECT event_type, CAST(idx AS BIGINT) AS change_idx,
+       CAST(CAST(ts AS DATE) AS VARCHAR) AS change_day,
+       ROUND(CAST(stat AS DOUBLE) / idx / (n - idx) / 1000000, 6) + 0.0
+         AS mean_shift
+FROM s WHERE rk = 1
+""")
+def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single change-point detection per series — one binary-
+    segmentation step: the split index t maximizing the scaled
+    mean-shift statistic |N*S_t - t*S_N| (algebraically equal to
+    t*(N-t)*|mean_left - mean_right|, the CUSUM-family criterion).
+    The batch companion to the streaming two-sided CUSUM alarm
+    (streaming/jobs.py): the alarm says a series drifted, this says
+    WHERE — iterate on each side for full binary segmentation.
+
+    Determinism: the argmax statistic is an EXACT integer at every
+    candidate split (micro-unit prefix sums, DECIMAL(38,0)/HUGEINT
+    cross-products — the q_acf widening), with an idx tiebreak; only
+    the reported mean_shift is divided back to float, after the
+    argmax is already decided.
+
+    Scale: one exchange per series key — the prefix sums, the series
+    totals (same window frame, shared sort), and the argmax rank all
+    run over the same event_type partitioning; nothing is quadratic
+    in series length (the naive per-split recompute would be)."""
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull())
+          .select("event_type", "ts", "event_id",
+                  F.round(F.col("value") * 1e6).cast("bigint").alias("xu")))
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    w2 = (W.partitionBy("event_type").orderBy("ts", "event_id")
+          .rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+    c = ev.select(
+        "event_type", "ts",
+        F.sum("xu").over(w).alias("st"),
+        F.row_number().over(w).alias("idx"),
+        F.sum("xu").over(w2).alias("stot"),
+        F.count(F.lit(1)).over(w2).alias("n"))
+    big = "decimal(38,0)"
+    stat = F.abs(F.col("n").cast(big) * F.col("st")
+                 - F.col("idx").cast(big) * F.col("stot"))
+    wr = W.partitionBy("event_type").orderBy(stat.desc(), "idx")
+    s = (c.filter(F.col("idx") < F.col("n"))
+         .select("event_type", "idx", "ts", "n", stat.alias("stat"),
+                 F.row_number().over(wr).alias("rk")))
+    return (s.filter(F.col("rk") == 1)
+            .select("event_type",
+                    F.col("idx").cast("bigint").alias("change_idx"),
+                    F.col("ts").cast("date").cast("string")
+                    .alias("change_day"),
+                    (F.round(F.col("stat").cast("double") / F.col("idx")
+                             / (F.col("n") - F.col("idx")) / 1e6, 6) + 0.0)
+                    .alias("mean_shift")))

@@ -253,3 +253,61 @@ def q_classification_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("recall_"),
         (F.round(2.0 * tp / F.nullif(2 * tp + fp + fn, F.lit(0)), 6) + 0.0)
         .alias("f1"))
+
+
+# ---------------------------------------------------------------------------
+# Unbiased pass@k estimation over grouped samples
+# ---------------------------------------------------------------------------
+
+@query("q_pass_at_k", oracle="""
+WITH s AS (
+  SELECT vec_id % 50 AS task_id,
+         COUNT(*) AS n,
+         COUNT(*) FILTER (WHERE label >= 5) AS c
+  FROM embeddings GROUP BY 1
+)
+SELECT task_id, CAST(n AS BIGINT) AS n, CAST(c AS BIGINT) AS c,
+       ROUND(c::DOUBLE / n, 6) + 0.0 AS pass_at_1,
+       CASE WHEN n - c >= 5 THEN
+         ROUND(1.0 - ((n-c)*(n-c-1)*(n-c-2)*(n-c-3)*(n-c-4))::DOUBLE
+                     / (n*(n-1)*(n-2)*(n-3)*(n-4)), 6) + 0.0
+       ELSE 1.0 END AS pass_at_5
+FROM s WHERE n >= 5
+""")
+def q_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbiased pass@k (Chen et al. 2021, the HumanEval estimator):
+    per task with n samples of which c are correct,
+    pass@k = 1 - C(n-c, k) / C(n, k) — the probability at least one
+    of k drawn samples is correct, the standard metric a code/LLM
+    eval pipeline aggregates over generated-sample tables. Demo
+    grouping: 50 tasks by vec_id ring, correctness = label >= 5.
+
+    Determinism: the binomial ratio is expanded to a falling-factorial
+    quotient of exact BIGINT products (k=5 pinned; products bounded by
+    n^5), so both engines perform ONE identical double division;
+    n-c < k short-circuits to exactly 1.0 before any arithmetic.
+
+    Scale: one map-side-combined conditional-count groupBy on task_id;
+    the estimator is a map-side expression over |tasks| rows."""
+    e = load_table(spark, sf_dir, "embeddings")
+    s = (e.groupBy((F.col("vec_id") % 50).alias("task_id"))
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.count(F.when(F.col("label") >= 5, 1)).alias("c"))
+         .filter(F.col("n") >= 5))
+    n, c = F.col("n"), F.col("c")
+
+    def falling(base, k=5):
+        prod = base
+        for i in range(1, k):
+            prod = prod * (base - i)
+        return prod
+
+    pass5 = F.when(
+        n - c >= 5,
+        F.round(1.0 - falling(n - c).cast("double") / falling(n), 6) + 0.0
+    ).otherwise(F.lit(1.0))
+    return s.select("task_id", n.cast("bigint").alias("n"),
+                    c.cast("bigint").alias("c"),
+                    (F.round(c.cast("double") / n, 6) + 0.0)
+                    .alias("pass_at_1"),
+                    pass5.alias("pass_at_5"))

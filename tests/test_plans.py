@@ -986,3 +986,22 @@ def test_sample_neyman_allocation_broadcast(spark):
     assert_plan(get("q_sample_neyman").fn(spark, SF),
                 contains=("BroadcastHashJoin", "Window"),
                 absent=("SortMergeJoin", "CartesianProduct"))
+
+
+def test_pass_at_k_single_groupby(spark):
+    """pass@k: one conditional-count groupBy; the estimator is map-side
+    arithmetic. No join, no window."""
+    assert_plan(get("q_pass_at_k").fn(spark, SF),
+                contains=("HashAggregate",),
+                absent=("Join", "Window"))
+
+
+def test_changepoint_single_series_exchange(spark):
+    """Change-point: prefix sums, series totals, and the argmax rank all
+    share the event_type partitioning — exactly one hash exchange, no
+    quadratic split recompute (no join at all)."""
+    from telescope_data_pipeline_spark.plans.audit import physical_plan
+    df = get("q_changepoint").fn(spark, SF)
+    assert_plan(df, contains=("Window",), absent=("Join",))
+    plan = physical_plan(df).split("== Initial Plan ==")[0]
+    assert plan.count("Exchange hashpartitioning") == 1, plan
