@@ -68,6 +68,14 @@ EXTRA = [
     "q_corr_matrix",
     "q_containment_join",
     "q_rank_fusion",
+    # round-6 continuation: sketches, graph communities, complex SQL
+    "q_kneser_ney",
+    "q_hll_union",
+    "q_cms_count",
+    "q_late_supplier",
+    "q_label_propagation",
+    "q_sequence_pattern",
+    "q_changepoint",
 ]
 
 

@@ -193,3 +193,86 @@ def test_empty_tables_never_crash(spark, tmp_path):
         except Exception as e:  # noqa: BLE001 - collecting all failures
             failures.append(f"{name}: {str(e).splitlines()[0][:120]}")
     assert not failures, "\n".join(failures)
+
+
+def test_markov_equal_timestamp_ties(spark):
+    """Transitions at EQUAL timestamps must order by the event_id
+    tiebreak identically in both engines, and a single-event user
+    contributes no transition."""
+    rows = [
+        _ev(3, T0, "view", 1.0, user=1),      # same ts, ids 3,1,2:
+        _ev(1, T0, "click", 1.0, user=1),     # order is 1,2,3 by id
+        _ev(2, T0, "purchase", 1.0, user=1),
+        _ev(9, T0, "error", 1.0, user=2),     # singleton: no transition
+        _ev(4, T0 + dt.timedelta(seconds=1), "view", 1.0, user=1),
+    ]
+    d = _planted_dir(spark, events_rows=rows)
+    try:
+        _parity(spark, "q_markov_transitions", d)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_changepoint_constant_and_short_series(spark):
+    """A constant series has stat = 0 at EVERY split — the idx
+    tiebreak must pick split 1 in both engines; a 1-row series has no
+    valid split and must vanish from the report."""
+    rows = ([_ev(i, T0 + dt.timedelta(minutes=i), "view", 5.0)
+             for i in range(6)]                      # constant series
+            + [_ev(100, T0, "error", 3.3)]           # single row
+            + [_ev(200 + i, T0 + dt.timedelta(minutes=i), "click",
+                   1.0 if i < 3 else 9.0) for i in range(6)])  # clean step
+    d = _planted_dir(spark, events_rows=rows)
+    try:
+        _parity(spark, "q_changepoint", d)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_skew_audit_single_and_uniform_keys(spark):
+    """One key total (percentile over a single count) and perfectly
+    uniform keys (skew_ratio exactly 1) must agree bit-level."""
+    rows = [_ev(i, T0 + dt.timedelta(minutes=i), "view", 1.0, user=7)
+            for i in range(5)]
+    d = _planted_dir(spark, events_rows=rows)
+    try:
+        _parity(spark, "q_skew_audit", d)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    rows = [_ev(i, T0 + dt.timedelta(minutes=i), "view", 1.0, user=i % 4)
+            for i in range(8)]  # 4 keys x 2 rows: ratio == 1.0
+    d = _planted_dir(spark, events_rows=rows)
+    try:
+        _parity(spark, "q_skew_audit", d)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_hll_single_user_small_range(spark):
+    """One distinct user forces the small-range linear-counting branch
+    (255 zero registers) — the correction expression must agree
+    bit-level, err_pct included."""
+    rows = [_ev(i, T0 + dt.timedelta(minutes=i), "view", 1.0, user=42)
+            for i in range(3)]
+    d = _planted_dir(spark, events_rows=rows)
+    try:
+        _parity(spark, "q_hll_union", d)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_sequence_pattern_tie_order(spark):
+    """Journey strings built from equal-timestamp events must use the
+    event_id tiebreak — 'vp' adjacency appears or not depending on
+    that order, so a disagreement flips a count."""
+    rows = [
+        _ev(2, T0, "purchase", 1.0, user=1),  # id order: view(1) then
+        _ev(1, T0, "view", 1.0, user=1),      # purchase(2) -> 'vp'
+        _ev(3, T0, "error", 1.0, user=2),
+        _ev(4, T0, "error", 1.0, user=2),     # 'ee' burst
+    ]
+    d = _planted_dir(spark, events_rows=rows)
+    try:
+        _parity(spark, "q_sequence_pattern", d)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
