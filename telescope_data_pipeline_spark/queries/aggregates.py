@@ -278,3 +278,29 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
     """)
+
+
+@query("q_quantile_sketch")  # rows-only: the sketch is not SQL-expressible
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epsilon-approximate quantiles (p10/p50/p90/p99 of event value)
+    via the mergeable rank-summary sketch
+    (operators/quantile_sketch.py) — the quantile member of the
+    sketch triad beside q_hll_union (distinct) and q_cms_count
+    (frequency), and the one-pass alternative to the exact paths
+    (q_agg_percentile's sort-based percentile, q_median_twopass's
+    two coordinated scans). Content-hash sharding makes the estimate
+    partitioning-independent; tests/test_stats_sketches.py pins the
+    eps*n rank-error guarantee against exact percentiles.
+
+    Eager by design (the merge is a bounded driver fold, like
+    q_median_twopass); no DuckDB oracle because the kept-point set is
+    the sketch's own construction — the golden bounds ARE the
+    contract."""
+    from ..operators.quantile_sketch import approx_quantiles
+
+    e = load_table(spark, sf_dir, "events")
+    probs = [0.1, 0.5, 0.9, 0.99]
+    est = approx_quantiles(e, "value", probs, eps=0.01)
+    return spark.createDataFrame(
+        [(p, round(v, 6)) for p, v in zip(probs, est)],
+        "prob double, est double")

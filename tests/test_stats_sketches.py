@@ -148,3 +148,65 @@ def test_kneser_ney_probabilities_valid(spark):
     for r in rows:
         assert 0.0 < r["p_kn"] <= 1.0
         assert r["c"] >= 1
+
+
+def test_quantile_sketch_rank_error_bound(spark):
+    """The sketch's defining guarantee: for every queried probability,
+    the TRUE rank of the returned value is within eps*n of p*n."""
+    from telescope_data_pipeline_spark.operators.quantile_sketch import (
+        approx_quantiles,
+    )
+
+    e = spark.read.parquet(f"{SF}/events.parquet")
+    vals = sorted(r["value"] for r in e.select("value").collect()
+                  if r["value"] is not None)
+    n, eps = len(vals), 0.01
+    probs = [0.01, 0.1, 0.5, 0.9, 0.99]
+    for p, est in zip(probs, approx_quantiles(e, "value", probs, eps=eps)):
+        import bisect
+        lo = bisect.bisect_left(vals, est)
+        hi = bisect.bisect_right(vals, est)
+        target = p * n
+        # true rank of est is somewhere in [lo, hi]; the interval must
+        # approach target within eps*n
+        dist = 0 if lo <= target <= hi else min(abs(lo - target),
+                                                abs(hi - target))
+        assert dist <= eps * n + 1, (p, est, dist, eps * n)
+
+
+def test_quantile_sketch_partitioning_independent(spark):
+    """Same data through different upstream partitionings must produce
+    the IDENTICAL sketch answer (content-hash sharding)."""
+    from telescope_data_pipeline_spark.operators.quantile_sketch import (
+        approx_quantiles,
+    )
+
+    e = spark.read.parquet(f"{SF}/events.parquet")
+    a = approx_quantiles(e, "value", [0.5, 0.9], eps=0.02)
+    b = approx_quantiles(e.repartition(64), "value", [0.5, 0.9], eps=0.02)
+    c = approx_quantiles(e.coalesce(1), "value", [0.5, 0.9], eps=0.02)
+    assert a == b == c
+
+
+def test_quantile_sketch_degenerate_inputs(spark):
+    """Constant column -> every quantile is that constant; empty input
+    raises; summary weights conserve row count exactly."""
+    import pytest as _pytest
+
+    from telescope_data_pipeline_spark.operators.quantile_sketch import (
+        approx_quantiles,
+        partition_summaries,
+    )
+
+    const = spark.range(500).select(F.lit(7.5).alias("x"))
+    assert approx_quantiles(const, "x", [0.1, 0.99], eps=0.05) == [7.5, 7.5]
+    empty = const.filter("x > 100")
+    with _pytest.raises(ValueError):
+        approx_quantiles(empty, "x", [0.5])
+    e = spark.read.parquet(f"{SF}/events.parquet")
+    s = partition_summaries(e, "value", eps=0.01)
+    n_vals = e.filter(F.col("value").isNotNull()).count()
+    assert s.agg(F.sum("w")).collect()[0][0] == n_vals
+    # bounded summary: per shard <= 2/eps + 2 entries
+    per_shard_max = s.count() / 16
+    assert per_shard_max <= 2 / 0.01 + 2
