@@ -1579,3 +1579,219 @@ def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.round(F.col("stat").cast("double") / F.col("idx")
                              / (F.col("n") - F.col("idx")) / 1e6, 6) + 0.0)
                     .alias("mean_shift")))
+
+
+# ---------------------------------------------------------------------------
+# Batch sessionization: 30-minute idle-gap sessions with per-session stats
+# ---------------------------------------------------------------------------
+
+@query("q_sessionize", oracle="""
+WITH o AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT) AS duration_s
+FROM s GROUP BY user_id, sid
+""")
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: split each user's event stream at >30 min
+    idle gaps (lag + cumulative-flag-sum — the canonical gap-and-
+    island idiom) and report per-session event counts and durations.
+    The batch twin of the streaming session window (q_stream_session)
+    and the timeout sessionizer (streaming/stateful.py): same
+    semantics, one relational pass, no state store.
+
+    Determinism: the gap test is exact timestamp arithmetic on a
+    total (ts, event_id) order; session ids are integer running sums;
+    durations are integer seconds.
+
+    Scale: ONE shuffle on user_id — the lag window, the session-id
+    running sum, and the per-(user, session) groupBy all share that
+    partitioning (the q_events_funnel contract); per-user state is a
+    sort, never a buffer."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    # microsecond-exact gap test (cast-to-long would floor seconds and
+    # disagree with the oracle on sub-second straddles)
+    new_s = F.when(
+        prev.isNull()
+        | (F.unix_micros("ts") - F.unix_micros(prev) > 1_800_000_000), 1
+    ).otherwise(0)
+    s = (ev.select("user_id", "ts", "event_id", new_s.alias("new_s"))
+         .select("user_id", "ts",
+                 F.sum("new_s").over(
+                     w.rowsBetween(W.unboundedPreceding, W.currentRow))
+                 .alias("sid")))
+    return (s.groupBy("user_id", "sid")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                 (F.max(F.col("ts").cast("long"))
+                  - F.min(F.col("ts").cast("long"))).cast("bigint")
+                 .alias("duration_s"))
+            .select("user_id", F.col("sid").cast("bigint")
+                    .alias("session_id"), "n_events", "duration_s"))
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation via broadcast quintile thresholds (no global window)
+# ---------------------------------------------------------------------------
+
+@query("q_rfm_segments", oracle="""
+WITH m AS (
+  SELECT o_custkey AS cust,
+         epoch_us(MAX(o_orderdate)) AS rec,
+         COUNT(*) AS freq,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS mon
+  FROM orders GROUP BY 1
+), th AS (
+  SELECT
+    PERCENTILE_CONT(0.2) WITHIN GROUP (ORDER BY rec) AS r20,
+    PERCENTILE_CONT(0.4) WITHIN GROUP (ORDER BY rec) AS r40,
+    PERCENTILE_CONT(0.6) WITHIN GROUP (ORDER BY rec) AS r60,
+    PERCENTILE_CONT(0.8) WITHIN GROUP (ORDER BY rec) AS r80,
+    PERCENTILE_CONT(0.2) WITHIN GROUP (ORDER BY freq) AS f20,
+    PERCENTILE_CONT(0.4) WITHIN GROUP (ORDER BY freq) AS f40,
+    PERCENTILE_CONT(0.6) WITHIN GROUP (ORDER BY freq) AS f60,
+    PERCENTILE_CONT(0.8) WITHIN GROUP (ORDER BY freq) AS f80,
+    PERCENTILE_CONT(0.2) WITHIN GROUP (ORDER BY mon) AS m20,
+    PERCENTILE_CONT(0.4) WITHIN GROUP (ORDER BY mon) AS m40,
+    PERCENTILE_CONT(0.6) WITHIN GROUP (ORDER BY mon) AS m60,
+    PERCENTILE_CONT(0.8) WITHIN GROUP (ORDER BY mon) AS m80
+  FROM m
+)
+SELECT
+  1 + (rec > r20)::INT + (rec > r40)::INT + (rec > r60)::INT
+    + (rec > r80)::INT AS r_quintile,
+  1 + (freq > f20)::INT + (freq > f40)::INT + (freq > f60)::INT
+    + (freq > f80)::INT AS f_quintile,
+  1 + (mon > m20)::INT + (mon > m40)::INT + (mon > m60)::INT
+    + (mon > m80)::INT AS m_quintile,
+  CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM m CROSS JOIN th
+GROUP BY 1, 2, 3
+""")
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: recency / frequency / monetary quintiles per
+    customer, reported as segment sizes — the classic behavioral
+    cube. Deliberately NOT the ntile() form: quintile membership is
+    decided by comparing each customer against FOUR broadcast
+    percentile thresholds, so the customer table is never globally
+    sorted (ntile's partition-less window is exactly the q_oov_rate
+    single-partition collapse this repo bans — same fix as
+    q_quality_percentile's broadcast-back).
+
+    Determinism: all three metrics are exact integers (epoch micros,
+    counts, cents); thresholds are exact interpolating percentiles
+    over those integers; engines compare the same integer against
+    the same double (ties-at-threshold fall to the LOWER bucket on
+    both sides).
+
+    Scale: one customer aggregate, a 1-row threshold aggregate
+    broadcast back, map-side bucket assignment, and a <=125-key
+    groupBy. Swap the percentile pass to the quantile sketch
+    (operators/quantile_sketch.py) at extreme cardinality; the
+    assignment side is unchanged."""
+    o = load_table(spark, sf_dir, "orders")
+    m = (o.groupBy(F.col("o_custkey").alias("cust"))
+         .agg(F.unix_micros(F.max("o_orderdate")).alias("rec"),
+              F.count(F.lit(1)).alias("freq"),
+              F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+              .alias("mon")))
+    th = m.agg(*[
+        F.percentile(c, F.lit(p)).alias(f"{c[0]}{int(p * 100)}")
+        for c in ("rec", "freq", "mon") for p in (0.2, 0.4, 0.6, 0.8)])
+
+    def quintile(c: str):
+        out = F.lit(1)
+        for p in (20, 40, 60, 80):
+            out = out + (F.col(c) > F.col(f"{c[0]}{p}")).cast("int")
+        return out
+
+    return (m.crossJoin(F.broadcast(th))
+            .groupBy(quintile("rec").alias("r_quintile"),
+                     quintile("freq").alias("f_quintile"),
+                     quintile("mon").alias("m_quintile"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers")))
+
+
+# ---------------------------------------------------------------------------
+# Seasonal baseline + residual anomaly counts (hour-of-day profile)
+# ---------------------------------------------------------------------------
+
+@query("q_seasonal_baseline", oracle="""
+WITH v AS (
+  SELECT event_type, EXTRACT(hour FROM ts) AS h,
+         CAST(ROUND(value * 1000000) AS BIGINT) AS xu
+  FROM events WHERE value IS NOT NULL
+), prof AS (
+  SELECT event_type, h, COUNT(*) AS n, SUM(xu) AS su,
+         SUM(CAST(xu AS HUGEINT) * xu) AS sxx
+  FROM v GROUP BY 1, 2
+), scored AS (
+  SELECT v.event_type, v.h, p.n, p.su,
+         CASE WHEN p.n * p.sxx - CAST(p.su AS HUGEINT) * p.su > 0 THEN
+           ROUND(ABS(CAST(v.xu AS HUGEINT) * p.n - p.su)::DOUBLE
+                 / p.n
+                 / sqrt((p.n * p.sxx - CAST(p.su AS HUGEINT) * p.su)::DOUBLE
+                        / p.n / p.n), 6)
+         END AS z
+  FROM v JOIN prof p ON p.event_type = v.event_type AND p.h = v.h
+)
+SELECT event_type, CAST(h AS BIGINT) AS hour,
+       CAST(MAX(n) AS BIGINT) AS n,
+       ROUND(MAX(su)::DOUBLE / MAX(n) / 1000000, 6) + 0.0 AS mean_value,
+       CAST(COUNT(*) FILTER (WHERE z > 3) AS BIGINT) AS n_anomalies
+FROM scored GROUP BY 1, 2
+""")
+def q_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal anomaly baseline: an hour-of-day profile (mean per
+    (event_type, hour) cell) with residual z-scores counted against
+    it — "is this value unusual FOR 3 AM", the seasonality-aware
+    complement to q_anomaly_mad's global robust gate and q_zscore's
+    unconditioned standardization. The profile is the model; the
+    anomaly count per cell is the report a monitoring job alerts on.
+
+    Determinism: the profile is exact integer sufficient statistics
+    (micro-unit sums, HUGEINT/DECIMAL(38,0) squares — the q_acf
+    widening); each z-score is |n*x - S| / (n * sd), an exact-integer
+    numerator over identical doubles, rounded before the > 3 test;
+    zero-variance cells yield NULL z (never anomalous) via the
+    guarded CASE.
+
+    Scale: one map-side-combined profile groupBy (<= |types| x 24
+    cells), broadcast back onto an unshuffled second scan (the
+    q_winsorize shape), one final cell groupBy."""
+    big = "decimal(38,0)"
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull())
+          .select("event_type", F.hour("ts").alias("h"),
+                  F.round(F.col("value") * 1e6).cast("bigint").alias("xu")))
+    prof = (ev.groupBy("event_type", "h")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("xu").alias("su"),
+                 F.sum(F.col("xu").cast(big) * F.col("xu")).alias("sxx")))
+    pv = ev.join(F.broadcast(prof), ["event_type", "h"])
+    varnum = (F.col("n").cast(big) * F.col("sxx")
+              - F.col("su").cast(big) * F.col("su"))
+    sd = F.sqrt(varnum.cast("double") / F.col("n") / F.col("n"))
+    z = F.when(
+        varnum > 0,
+        F.round(F.abs(F.col("xu").cast(big) * F.col("n")
+                      - F.col("su")).cast("double") / F.col("n") / sd, 6))
+    return (pv.select("event_type", "h", "n", "su", z.alias("z"))
+            .groupBy("event_type", F.col("h").cast("bigint").alias("hour"))
+            .agg(F.max("n").cast("bigint").alias("n"),
+                 (F.round(F.max("su").cast("double") / F.max("n") / 1e6, 6)
+                  + 0.0).alias("mean_value"),
+                 F.count(F.when(F.col("z") > 3, 1)).cast("bigint")
+                 .alias("n_anomalies")))

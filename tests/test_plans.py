@@ -1005,3 +1005,34 @@ def test_changepoint_single_series_exchange(spark):
     assert_plan(df, contains=("Window",), absent=("Join",))
     plan = physical_plan(df).split("== Initial Plan ==")[0]
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_sessionize_single_user_exchange(spark):
+    """Gap-and-island sessionization: the lag window, the session-id
+    running sum, and the per-session groupBy share ONE user_id
+    partitioning."""
+    from telescope_data_pipeline_spark.plans.audit import physical_plan
+    df = get("q_sessionize").fn(spark, SF)
+    assert_plan(df, contains=("Window",), absent=("Join",))
+    plan = physical_plan(df).split("== Initial Plan ==")[0]
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_rfm_thresholds_broadcast_no_global_sort(spark):
+    """RFM quintiles assign by broadcast thresholds — no ntile, no
+    partition-less window, no single-partition exchange of the
+    customer table (the 1-row threshold agg is the only collapse)."""
+    from telescope_data_pipeline_spark.plans.audit import physical_plan
+    df = get("q_rfm_segments").fn(spark, SF)
+    assert_plan(df, absent=("Window", "SortMergeJoin"))
+    plan = physical_plan(df).split("== Initial Plan ==")[0]
+    # exactly the threshold aggregate's 1-row collapse, nothing else
+    assert plan.count("Exchange SinglePartition") <= 1, plan
+
+
+def test_seasonal_baseline_profile_broadcast(spark):
+    """The hour-of-day profile (<= |types| x 24 cells) broadcasts back
+    onto an unshuffled fact scan — the q_winsorize shape."""
+    assert_plan(get("q_seasonal_baseline").fn(spark, SF),
+                contains=("BroadcastHashJoin",),
+                absent=("SortMergeJoin", "Window", "CartesianProduct"))
