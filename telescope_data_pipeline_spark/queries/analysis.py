@@ -1795,3 +1795,133 @@ def q_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
                   + 0.0).alias("mean_value"),
                  F.count(F.when(F.col("z") > 3, 1)).cast("bigint")
                  .alias("n_anomalies")))
+
+
+# ---------------------------------------------------------------------------
+# Holt double exponential smoothing (level + trend)
+# ---------------------------------------------------------------------------
+
+@query("q_holt_forecast", oracle="""
+WITH RECURSIVE daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(ROUND(SUM(CAST(ROUND(value * 1000000) AS BIGINT))::DOUBLE
+                    / COUNT(*)) AS BIGINT) AS mu
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2
+), ordered AS (
+  SELECT event_type, mu,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rk,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM daily
+), rec AS (
+  SELECT o2.event_type, CAST(2 AS BIGINT) AS rk, o2.n,
+         CAST(o2.mu AS DOUBLE) AS l,
+         CAST(o2.mu - o1.mu AS DOUBLE) AS b
+  FROM ordered o1 JOIN ordered o2
+    ON o2.event_type = o1.event_type AND o1.rk = 1 AND o2.rk = 2
+  UNION ALL
+  SELECT o.event_type, o.rk, o.n,
+         0.5 * o.mu + 0.5 * (r.l + r.b),
+         0.5 * ((0.5 * o.mu + 0.5 * (r.l + r.b)) - r.l) + 0.5 * r.b
+  FROM ordered o JOIN rec r
+    ON o.event_type = r.event_type AND o.rk = r.rk + 1
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_days,
+       ROUND(l / 1000000, 6) + 0.0 AS level,
+       ROUND(b / 1000000, 6) + 0.0 AS trend,
+       ROUND((l + b) / 1000000, 6) + 0.0 AS forecast_1
+FROM rec WHERE rk = n AND n >= 2
+""")
+def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double exponential smoothing (alpha = beta = 0.5) over
+    each event type's daily-mean series: level + trend state and the
+    one-step-ahead forecast — the trend-aware upgrade of q_ewma (a
+    drifting KPI pulls EWMA permanently behind; Holt's trend term
+    follows it). Init: level = second day, trend = day2 - day1; the
+    recurrence runs from day 3 (series with one day are dropped,
+    matching the n >= 2 guard).
+
+    Determinism: daily means are integer micro-units; both engines
+    run the SAME sequence of double ops in the same order (Spark: an
+    in-row aggregate() fold with a struct accumulator; DuckDB: a
+    recursive CTE whose step expression is written identically, the
+    q_ewma argument extended to two states).
+
+    Scale: the fold runs over the BOUNDED per-series daily table —
+    state is |days| per series, never |rows|; one map-side-combined
+    groupBy gets there."""
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull()))
+    daily = (ev.groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg(F.round(F.sum(F.round(F.col("value") * 1e6).cast("bigint"))
+                          .cast("double") / F.count(F.lit(1)))
+                  .cast("bigint").alias("mu")))
+    series = (daily.groupBy("event_type")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("n_days"),
+                   F.sort_array(F.collect_list(F.struct("day", "mu")))
+                   .alias("seq"))
+              .filter(F.col("n_days") >= 2))
+    x1 = F.element_at("seq", 1)["mu"]
+    x2 = F.element_at("seq", 2)["mu"]
+    init = F.struct(x2.cast("double").alias("l"),
+                    (x2 - x1).cast("double").alias("b"))
+    state = F.aggregate(
+        F.slice("seq", 3, F.greatest(F.size("seq") - 2, F.lit(0))),
+        init,
+        lambda acc, x: F.struct(
+            (0.5 * x["mu"] + 0.5 * (acc["l"] + acc["b"])).alias("l"),
+            (0.5 * ((0.5 * x["mu"] + 0.5 * (acc["l"] + acc["b"]))
+                    - acc["l"]) + 0.5 * acc["b"]).alias("b")))
+    return series.select(
+        "event_type", "n_days",
+        (F.round(state["l"] / 1e6, 6) + 0.0).alias("level"),
+        (F.round(state["b"] / 1e6, 6) + 0.0).alias("trend"),
+        (F.round((state["l"] + state["b"]) / 1e6, 6) + 0.0)
+        .alias("forecast_1"))
+
+
+# ---------------------------------------------------------------------------
+# Last-touch attribution
+# ---------------------------------------------------------------------------
+
+@query("q_attribution", oracle="""
+WITH o AS (
+  SELECT user_id, event_type,
+         LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS src
+  FROM events
+)
+SELECT COALESCE(src, 'none') AS channel,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases
+FROM o WHERE event_type = 'purchase'
+GROUP BY 1
+""")
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: every purchase is credited to the
+    user's most recent PRECEDING non-purchase event type — the
+    marketing-analytics assignment question, answered by one
+    ignore-nulls last_value over a (ts, event_id) total order with a
+    1-PRECEDING frame (a purchase can never credit itself, or a
+    same-timestamp later event). First-session purchases with no
+    prior touch fall into the 'none' channel. Complements
+    q_events_funnel (did the path complete) and q_sequence_pattern
+    (was it contiguous) with WHO GETS CREDIT.
+
+    Determinism: purely positional on the total order; integer
+    counts.
+
+    Scale: one user_id window + a |channels|-key map-side-combined
+    groupBy; per-user state is the running last-touch value — O(1),
+    the streaming-friendly shape (its live twin would be a
+    transformWithState value slot)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(W.unboundedPreceding, -1))
+    src = F.last(F.when(F.col("event_type") != "purchase",
+                        F.col("event_type")), ignorenulls=True).over(w)
+    return (ev.select("event_type", src.alias("src"))
+            .filter(F.col("event_type") == "purchase")
+            .groupBy(F.coalesce("src", F.lit("none")).alias("channel"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_purchases")))

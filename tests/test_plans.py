@@ -1036,3 +1036,20 @@ def test_seasonal_baseline_profile_broadcast(spark):
     assert_plan(get("q_seasonal_baseline").fn(spark, SF),
                 contains=("BroadcastHashJoin",),
                 absent=("SortMergeJoin", "Window", "CartesianProduct"))
+
+
+def test_holt_fold_in_row_no_udf(spark):
+    """Holt runs as an in-row aggregate() fold over the bounded daily
+    series — no Python UDF, no join; the only shuffles are the daily
+    groupBy and the per-series collect."""
+    plan_df = get("q_holt_forecast").fn(spark, SF)
+    assert_plan(plan_df, contains=("Aggregate",),
+                absent=("Join", "BatchEvalPython", "ArrowEvalPython"))
+
+
+def test_attribution_single_window_pass(spark):
+    """Last-touch attribution: one user_id window + channel groupBy —
+    no join, no self-join of purchases against touches."""
+    assert_plan(get("q_attribution").fn(spark, SF),
+                contains=("Window", "HashAggregate"),
+                absent=("Join",))
