@@ -3121,3 +3121,75 @@ def q_sample_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rk") <= F.col("k"))
             .select("doc_id", "source",
                     F.col("k").cast("bigint").alias("stratum_quota")))
+
+
+# ---------------------------------------------------------------------------
+# Cross-source contamination overlap matrix
+# ---------------------------------------------------------------------------
+
+@query("q_source_overlap", oracle=r"""
+WITH t AS (
+  SELECT source, lower(text) AS lt FROM documents
+), g AS (
+  SELECT DISTINCT source,
+         md5(array_to_string(list_slice(toks, i + 1, i + 5), ' ')) AS h
+  FROM (SELECT source, string_split_regex(lt, '\s+') AS toks FROM t),
+       UNNEST(range(0, len(toks) - 4)) AS u(i)
+  WHERE len(toks) >= 5
+), sz AS (
+  SELECT source, COUNT(*) AS n FROM g GROUP BY source
+), ov AS (
+  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS shared
+  FROM g a JOIN g b ON a.h = b.h AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, CAST(shared AS BIGINT) AS shared_grams,
+       ROUND(shared::DOUBLE / (sa.n + sb.n - shared), 6) + 0.0 AS jaccard
+FROM ov
+JOIN sz sa ON sa.source = ov.source_a
+JOIN sz sb ON sb.source = ov.source_b
+""")
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for every source pair, how
+    many distinct 5-gram digests they share (plus the gram-set
+    Jaccard) — the leakage audit behind "can I put source A in train
+    and source B in eval?", generalizing q_decontaminate (corpus vs
+    one benchmark) to all-pairs-of-sources. High-overlap pairs must
+    land on the same side of a split, or the eval is contaminated.
+
+    Determinism: the digest recipe is exactly q_fingerprint_md5's
+    5-gram md5; overlap counts are integers; Jaccard is one
+    integer-ratio division rounded at 6.
+
+    Scale: grams dedup to DISTINCT (source, digest) BEFORE the self-
+    join (a gram appearing 1M times in a source costs one row), the
+    join is an equi-join on the digest (never |A| x |B|), and the
+    output is bounded by |sources|^2. The per-source sizes ride a
+    tiny broadcast."""
+    d = load_table(spark, sf_dir, "documents", spread=True)
+    toks = F.split(F.lower("text"), _TOK)
+    k = 5
+    n_grams = F.greatest(F.size(toks) - (k - 1), F.lit(0))
+    gram_hashes = F.transform(
+        F.sequence(F.lit(0), n_grams - 1),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, k))))
+    g = (d.filter(n_grams > 0)
+         .select("source", F.explode(gram_hashes).alias("h"))
+         .distinct())
+    sz = g.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = g.select(F.col("source").alias("source_a"), "h")
+    b = g.select(F.col("source").alias("source_b"), F.col("h").alias("hb"))
+    ov = (a.join(b, (F.col("h") == F.col("hb"))
+                 & (F.col("source_a") < F.col("source_b")))
+          .groupBy("source_a", "source_b")
+          .agg(F.count(F.lit(1)).alias("shared")))
+    sa = sz.select(F.col("source").alias("source_a"), F.col("n").alias("na"))
+    sb = sz.select(F.col("source").alias("source_b"), F.col("n").alias("nb"))
+    return (ov.join(F.broadcast(sa), "source_a")
+            .join(F.broadcast(sb), "source_b")
+            .select("source_a", "source_b",
+                    F.col("shared").cast("bigint").alias("shared_grams"),
+                    (F.round(F.col("shared").cast("double")
+                             / (F.col("na") + F.col("nb")
+                                - F.col("shared")), 6) + 0.0)
+                    .alias("jaccard")))

@@ -1053,3 +1053,11 @@ def test_attribution_single_window_pass(spark):
     assert_plan(get("q_attribution").fn(spark, SF),
                 contains=("Window", "HashAggregate"),
                 absent=("Join",))
+
+
+def test_source_overlap_digest_equi_join(spark):
+    """Contamination matrix: DISTINCT (source, digest) before the
+    self-join; the join is an equi-join on the digest — no nested
+    loop, no all-pairs of documents."""
+    assert_plan(get("q_source_overlap").fn(spark, SF),
+                absent=("CartesianProduct", "BroadcastNestedLoopJoin"))
