@@ -3193,3 +3193,71 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                              / (F.col("na") + F.col("nb")
                                 - F.col("shared")), 6) + 0.0)
                     .alias("jaccard")))
+
+
+# ---------------------------------------------------------------------------
+# MLM-style masked-example generation (deterministic span choice)
+# ---------------------------------------------------------------------------
+
+@query("q_mlm_mask", oracle=r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+  FROM documents WHERE doc_id < 200
+), m AS (
+  SELECT doc_id, toks,
+         list_transform(range(1, len(toks) + 1),
+           i -> CAST(('0x' || substr(md5('mask:' || CAST(doc_id AS VARCHAR)
+                                     || ':' || CAST(i AS VARCHAR)), 1, 4))
+                     AS BIGINT) < 9830) AS is_m
+  FROM t WHERE len(toks) >= 1 AND toks[1] <> ''
+)
+SELECT doc_id,
+       array_to_string(list_transform(range(1, len(toks) + 1),
+         i -> CASE WHEN is_m[i] THEN '<mask>' ELSE toks[i] END), ' ')
+         AS masked_text,
+       COALESCE(array_to_string(list_filter(
+         list_transform(range(1, len(toks) + 1),
+           i -> CASE WHEN is_m[i] THEN toks[i] END),
+         x -> x IS NOT NULL), ' '), '') AS targets,
+       CAST(len(list_filter(is_m, x -> x)) AS BIGINT) AS n_masked
+FROM m
+""")
+def q_mlm_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Masked-LM training-example generation: ~15% of each document's
+    tokens are replaced by a sentinel, with the originals emitted as
+    the prediction targets — the BERT/T5-family preprocessing step
+    rendered as a pure map. The mask decision is content-addressed
+    (md5 of doc:position against a 0.15 * 2^16 threshold), so
+    regeneration is REPRODUCIBLE across runs, partitionings, and
+    engines — the property that makes the training set auditable
+    (q_split_assign's argument applied to example construction).
+
+    Determinism: every mask bit is an integer hash comparison; the
+    outputs are string folds over those bits in position order.
+
+    Scale: map-only — zero shuffle, zero UDF; tokens never leave
+    their row. The doc_id < 200 slice bounds the demo; the plan is
+    slice-independent (plan-tested zero Exchange)."""
+    d = (load_table(spark, sf_dir, "documents")
+         .filter(F.col("doc_id") < 200))
+    toks = F.split(F.lower("text"), _TOK)
+    idx = F.sequence(F.lit(1), F.size(toks))
+
+    def is_masked(i):
+        h = F.md5(F.concat(F.lit("mask:"), F.col("doc_id").cast("string"),
+                           F.lit(":"), i.cast("string")))
+        return F.conv(F.substring(h, 1, 4), 16, 10).cast("long") < 9830
+
+    masked = F.transform(idx, lambda i: F.when(
+        is_masked(i), F.lit("<mask>")).otherwise(F.element_at(toks, i)))
+    targets = F.filter(
+        F.transform(idx, lambda i: F.when(is_masked(i),
+                                          F.element_at(toks, i))),
+        lambda x: x.isNotNull())
+    n_masked = F.size(F.filter(idx, is_masked))
+    return (d.filter((F.size(toks) >= 1)
+                     & (F.element_at(toks, 1) != ""))
+            .select("doc_id",
+                    F.concat_ws(" ", masked).alias("masked_text"),
+                    F.concat_ws(" ", targets).alias("targets"),
+                    n_masked.cast("bigint").alias("n_masked")))

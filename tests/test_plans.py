@@ -1061,3 +1061,13 @@ def test_source_overlap_digest_equi_join(spark):
     loop, no all-pairs of documents."""
     assert_plan(get("q_source_overlap").fn(spark, SF),
                 absent=("CartesianProduct", "BroadcastNestedLoopJoin"))
+
+
+def test_mlm_mask_map_only(spark):
+    """Masked-example generation is a pure map: zero Exchange, zero
+    UDF — tokens never leave their row."""
+    from telescope_data_pipeline_spark.plans.audit import physical_plan
+    df = get("q_mlm_mask").fn(spark, SF)
+    plan = physical_plan(df).split("== Initial Plan ==")[0]
+    assert "Exchange" not in plan, plan
+    assert_plan(df, absent=("BatchEvalPython", "ArrowEvalPython", "Join"))
