@@ -150,6 +150,22 @@ CAPTURE = [
      "Q17 shape: part filter broadcast into both fact passes, integer centi-unit threshold join"),
     ("q_dq_rules",
      "DQ suite: same-scan rules fused per conditional aggregate, FK+temporal share one left join"),
+    ("q_late_supplier",
+     "Q21 shape: EXISTS + NOT EXISTS collapsed into one per-order aggregate, no lineitem self-join"),
+    ("q_label_propagation",
+     "LPA communities: per-iteration |E| equi-join + vote count + node window, Pregel contract"),
+    ("q_sessionize",
+     "gap-and-island sessions: lag, flag cumsum, per-session agg over ONE user_id exchange"),
+    ("q_rfm_segments",
+     "RFM: broadcast percentile thresholds instead of ntile's global-sort window"),
+    ("q_seasonal_baseline",
+     "seasonal profile broadcast back onto an unshuffled fact scan, integer moments"),
+    ("q_changepoint",
+     "change-point: prefix/total/argmax windows share one series exchange, integer statistic"),
+    ("q_source_overlap",
+     "contamination matrix: DISTINCT (source, digest) before the digest equi-join"),
+    ("q_attribution",
+     "last-touch: ignore-nulls last_value with 1-PRECEDING frame, one window pass"),
 ]
 
 HEADER = """\
