@@ -1925,3 +1925,54 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("event_type") == "purchase")
             .groupBy(F.coalesce("src", F.lit("none")).alias("channel"))
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_purchases")))
+
+
+# ---------------------------------------------------------------------------
+# Native recursive CTE: gap-filled activity calendar
+# ---------------------------------------------------------------------------
+
+@query("q_recursive_calendar", oracle="""
+WITH RECURSIVE spine(day) AS (
+  SELECT MIN(CAST(ts AS DATE)) FROM events
+  UNION ALL
+  SELECT (day + INTERVAL 1 DAY)::DATE FROM spine
+  WHERE day < (SELECT MAX(CAST(ts AS DATE)) FROM events)
+), daily AS (
+  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n FROM events GROUP BY 1
+)
+SELECT CAST(spine.day AS VARCHAR) AS day,
+       CAST(COALESCE(daily.n, 0) AS BIGINT) AS n_events
+FROM spine LEFT JOIN daily ON daily.day = spine.day
+""")
+def q_recursive_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled activity calendar driven by a NATIVE recursive CTE
+    (Spark 4's WITH RECURSIVE): the day spine is generated by the
+    engine's iterative plan — seed = first active day, step = +1 day
+    until the last — then daily counts left-join onto it so
+    zero-activity days become visible rows (the property a plain
+    groupBy can never produce). Complements q_gap_fill's in-row
+    sequence() scaffold with the engine-level feature a user porting
+    recursive SQL needs to know exists; the recursion is UNION ALL
+    with a scalar-subquery stop condition (Spark does not yet allow
+    UNION-distinct recursion).
+
+    Determinism: the spine is a pure date arithmetic chain; counts
+    are integers.
+
+    Scale: recursion depth = |days| (bounded by the data's time
+    span, never by row count); each step is a 1-row projection; the
+    daily aggregate is one map-side-combined groupBy."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("_rc_ev")
+    return spark.sql("""
+    WITH RECURSIVE spine(day) AS (
+      SELECT MIN(CAST(ts AS DATE)) FROM _rc_ev
+      UNION ALL
+      SELECT date_add(day, 1) FROM spine
+      WHERE day < (SELECT MAX(CAST(ts AS DATE)) FROM _rc_ev)
+    ), daily AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n FROM _rc_ev GROUP BY 1
+    )
+    SELECT CAST(spine.day AS STRING) AS day,
+           CAST(COALESCE(daily.n, 0) AS BIGINT) AS n_events
+    FROM spine LEFT JOIN daily ON daily.day = spine.day
+    """)

@@ -1071,3 +1071,13 @@ def test_mlm_mask_map_only(spark):
     plan = physical_plan(df).split("== Initial Plan ==")[0]
     assert "Exchange" not in plan, plan
     assert_plan(df, absent=("BatchEvalPython", "ArrowEvalPython", "Join"))
+
+
+def test_recursive_calendar_has_recursion_node(spark):
+    """The calendar spine must come from the engine's native recursive
+    execution (UnionLoop / recursive CTE plan node), not a collected
+    driver loop."""
+    from telescope_data_pipeline_spark.plans.audit import physical_plan
+    df = get("q_recursive_calendar").fn(spark, SF)
+    plan = physical_plan(df)
+    assert "UnionLoop" in plan or "Recursion" in plan or "CTE" in plan, plan
