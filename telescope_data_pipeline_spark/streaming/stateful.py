@@ -484,3 +484,63 @@ def running_stats_tws(stream: DataFrame) -> DataFrame:
             timeMode="none",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming last-touch attribution (live twin of queries q_attribution)
+# ---------------------------------------------------------------------------
+
+ATTR_STATE_SCHEMA = T.StructType([
+    T.StructField("touch_type", T.StringType()),
+    T.StructField("touch_us", T.LongType()),
+    T.StructField("touch_id", T.LongType()),
+])
+
+ATTR_OUTPUT_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_id", T.LongType()),
+    T.StructField("channel", T.StringType()),
+])
+
+
+def _attr_update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+    """Per-user O(1) state: the (type, event-time, id) of the most
+    recent non-purchase touch. Each purchase emits exactly once,
+    credited to the state as of its position in (ts, event_id) order.
+    A late touch OLDER than the stored one is ignored (the watermark
+    assumption every stream-order operator here documents)."""
+    touch_type, touch_us, touch_id = (
+        state.get if state.exists else (None, -1, -1))
+    out = []
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    if len(batch):
+        batch = batch.sort_values(["ts", "event_id"])
+        for row in batch.itertuples(index=False):
+            us = int(pd.Timestamp(row.ts).value // 1000)
+            if row.event_type == "purchase":
+                out.append({"user_id": int(key[0]),
+                            "event_id": int(row.event_id),
+                            "channel": touch_type or "none"})
+            elif (us, int(row.event_id)) > (touch_us, touch_id):
+                touch_type, touch_us, touch_id = (
+                    row.event_type, us, int(row.event_id))
+    state.update((touch_type, touch_us, touch_id))
+    yield pd.DataFrame(out, columns=["user_id", "event_id", "channel"])
+
+
+def last_touch_attribution(stream: DataFrame) -> DataFrame:
+    """Streaming last-touch attribution: the live twin of the batch
+    q_attribution window — per-user state is one (type, ts, id)
+    triple, purchases append one attribution row each. Append mode:
+    an attribution, once emitted, never changes."""
+    return (
+        stream.select("user_id", "event_id", "ts", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _attr_update,
+            outputStructType=ATTR_OUTPUT_SCHEMA,
+            stateStructType=ATTR_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

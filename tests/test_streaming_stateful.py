@@ -299,3 +299,49 @@ def test_running_stats_tws_matches_legacy_and_batch(spark):
         assert latest.loc[uid, "count"] == want.loc[uid, "count"]
         assert abs(latest.loc[uid, "mean"] - want.loc[uid, "mean"]) < 1e-9
         assert abs(latest.loc[uid, "std"] - want.loc[uid, "std"]) < 1e-9
+
+
+def test_last_touch_attribution_matches_batch(spark):
+    """Streaming last-touch attribution over time-ordered micro-batches
+    equals the batch window form (q_attribution), and every purchase is
+    attributed exactly once."""
+    from telescope_data_pipeline_spark.queries import get
+    from telescope_data_pipeline_spark.streaming.stateful import (
+        last_touch_attribution,
+    )
+
+    d = tempfile.mkdtemp(prefix="attr_")
+    ev = load_table(spark, SF, "events").orderBy("ts", "event_id")
+    # four sequential time-slice appends -> files arrive in event-time
+    # order, so maxFilesPerTrigger=1 replays history in order (the
+    # operator documents the watermark assumption for late touches)
+    ts_cut = [r["ts"] for r in ev.select("ts").collect()]
+    cuts = [ts_cut[len(ts_cut) // 4], ts_cut[len(ts_cut) // 2],
+            ts_cut[3 * len(ts_cut) // 4]]
+    lo = None
+    for hi in cuts + [None]:
+        sl = ev
+        if lo is not None:
+            sl = sl.filter(F.col("ts") > lo)
+        if hi is not None:
+            sl = sl.filter(F.col("ts") <= hi)
+        sl.coalesce(1).write.mode("append").parquet(f"{d}/events.parquet")
+        lo = hi
+    stream = read_event_stream(spark, f"{d}/events.parquet",
+                               max_files_per_trigger=1)
+    q = (last_touch_attribution(stream)
+         .writeStream.format("memory").queryName("attr")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    assert len(q.recentProgress) >= 3  # state genuinely crossed batches
+
+    got = (spark.sql("SELECT channel, COUNT(*) AS n_purchases FROM attr "
+                     "GROUP BY channel").toPandas()
+           .set_index("channel")["n_purchases"].to_dict())
+    want = {r["channel"]: r["n_purchases"]
+            for r in get("q_attribution").fn(spark, d).collect()}
+    assert got == want
+    n_purch = load_table(spark, d, "events") \
+        .filter("event_type = 'purchase'").count()
+    assert spark.sql("SELECT COUNT(*) n FROM attr").collect()[0]["n"] \
+        == n_purch
