@@ -82,8 +82,9 @@ def _decode_image_stub(payload: bytes) -> np.ndarray:
 #: to decode is corrupt data and must fail loudly — silently replacing
 #: it with stub features would poison the corpus downstream. Payloads
 #: with no known magic are synthetic fixtures and take the stub.
-#: (BMP's 2-byte "BM" is deliberately absent: too short to distinguish
-#: from synthetic bytes. RIFF containers disambiguate on bytes 8-12:
+#: (BMP's 2-byte "BM" alone is too short to distinguish from synthetic
+#: bytes, so BMP dispatch additionally validates the DIB header size
+#: field — see _is_bmp. RIFF containers disambiguate on bytes 8-12:
 #: WEBP is an image, WAVE is audio.)
 _IMAGE_MAGICS = (b"\x89PNG", b"\xff\xd8\xff", b"GIF8",
                  b"II*\x00", b"MM\x00*")
@@ -99,15 +100,65 @@ def _has_magic(payload: bytes, magics: tuple[bytes, ...],
     return any(head.startswith(m) for m in magics)
 
 
+def _is_bmp(payload: bytes) -> bool:
+    """True only for a plausible BMP: 'BM' signature AND a known DIB
+    header size at offset 14 (12/40/108/124) — the extra check keeps
+    2-byte-coincidence synthetic fixtures on the stub path."""
+    head = bytes(payload[:18])
+    if len(head) < 18 or head[:2] != b"BM":
+        return False
+    return int.from_bytes(head[14:18], "little") in (12, 40, 108, 124)
+
+
+def _decode_bmp(payload: bytes) -> np.ndarray:
+    """Pure-Python BMP decode (no PIL needed): uncompressed BI_RGB,
+    8-bit palette or 24-bit, bottom-up or top-down; grayscale via the
+    ITU-R 601 luma (the same weights PIL's convert('L') uses). Raises
+    on compressed/exotic variants — corrupt-or-unsupported real media
+    must fail loudly, never fall through to the stub."""
+    b = bytes(payload)
+    dib = int.from_bytes(b[14:18], "little")
+    if dib < 40:
+        raise CodecUnavailable("BITMAPCOREHEADER BMP unsupported")
+    off = int.from_bytes(b[10:14], "little")
+    w = int.from_bytes(b[18:22], "little", signed=True)
+    h = int.from_bytes(b[22:26], "little", signed=True)
+    bpp = int.from_bytes(b[28:30], "little")
+    comp = int.from_bytes(b[30:34], "little")
+    if comp != 0 or bpp not in (8, 24) or w <= 0 or h == 0:
+        raise CodecUnavailable(
+            f"BMP variant unsupported (bpp={bpp}, compression={comp})")
+    top_down, height = h < 0, abs(h)
+    row_bytes = ((w * bpp // 8) + 3) & ~3  # rows pad to 4 bytes
+    if off + row_bytes * height > len(b):
+        raise CodecUnavailable("truncated BMP pixel array")
+    rows = np.frombuffer(b, np.uint8, count=row_bytes * height,
+                         offset=off).reshape(height, row_bytes)
+    if bpp == 24:
+        bgr = rows[:, :w * 3].reshape(height, w, 3).astype(np.float32)
+    else:  # 8-bit indexed: palette lives right after the DIB header
+        pal = np.frombuffer(b, np.uint8, count=256 * 4,
+                            offset=14 + dib).reshape(256, 4)
+        bgr = pal[rows[:, :w]][..., :3].astype(np.float32)
+    gray = (bgr[..., 2] * 0.299 + bgr[..., 1] * 0.587
+            + bgr[..., 0] * 0.114)
+    if not top_down:
+        gray = gray[::-1]
+    return np.ascontiguousarray(gray, dtype=np.float32)
+
+
 def decode_image(payload: bytes) -> np.ndarray:
     """Decode an encoded image payload to a float32 grayscale array.
 
-    Dispatch by MAGIC BYTES: a payload carrying a real image signature
-    decodes with PIL (raising on corruption — never silently stubbed,
-    and raising CodecUnavailable when PIL is absent); anything else is
+    Dispatch by MAGIC BYTES: BMP decodes with the built-in pure-Python
+    decoder (always available); other real image signatures decode
+    with PIL (raising on corruption — never silently stubbed, and
+    raising CodecUnavailable when PIL is absent); anything else is
     a synthetic fixture and takes the deterministic stub."""
     if payload is None:
         raise CodecUnavailable("no payload")
+    if _is_bmp(payload):
+        return _decode_bmp(payload)
     if _has_magic(payload, _IMAGE_MAGICS, riff_kind=b"WEBP"):
         if _pil_image is None:
             raise CodecUnavailable(

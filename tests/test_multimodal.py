@@ -203,3 +203,120 @@ def test_image_near_duplicates_finds_planted_copies(spark):
     assert pairs.get((0, 100)) == 0
     assert pairs.get((5, 101)) == 0
     assert set(pairs) == {(0, 100), (5, 101)}, pairs
+
+
+def _make_bmp(pixels, bpp=24, top_down=False, pad_garbage=b"\xaa"):
+    """Hand-rolled BMP encoder for test fixtures (BITMAPINFOHEADER,
+    BI_RGB). pixels: HxW list of (r, g, b)."""
+    import struct
+
+    h, w = len(pixels), len(pixels[0])
+    row_data = w * (bpp // 8)
+    pad = (-row_data) % 4
+    palette = b"".join(bytes([i, i, i, 0]) for i in range(256)) \
+        if bpp == 8 else b""
+    off = 14 + 40 + len(palette)
+    rows = pixels if top_down else pixels[::-1]
+    body = b""
+    for row in rows:
+        for px in row:
+            if bpp == 24:
+                r, g, b = px
+                body += bytes([b, g, r])            # BGR on disk
+            else:
+                body += bytes([px])                  # palette index
+        body += pad_garbage * pad
+    height = -h if top_down else h
+    header = b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, height, 1, bpp, 0,
+                      len(body), 2835, 2835, 256 if bpp == 8 else 0, 0)
+    return header + dib + palette + body
+
+
+def test_bmp_decode_24bit_known_pixels():
+    from telescope_data_pipeline_spark.operators.multimodal import (
+        decode_image,
+    )
+
+    # 2x3, distinct colors; bottom-up on disk, decode restores top-down
+    img = decode_image(_make_bmp([[(255, 0, 0), (0, 255, 0), (0, 0, 255)],
+                                  [(0, 0, 0), (255, 255, 255), (10, 20, 30)]]))
+    assert img.shape == (2, 3)
+    assert abs(img[0, 0] - 255 * 0.299) < 1e-4      # pure red, row 0 first
+    assert abs(img[0, 1] - 255 * 0.587) < 1e-4
+    assert abs(img[0, 2] - 255 * 0.114) < 1e-4
+    assert img[1, 0] == 0.0 and abs(img[1, 1] - 255.0) < 1e-4
+
+
+def test_bmp_decode_8bit_palette_and_topdown():
+    from telescope_data_pipeline_spark.operators.multimodal import (
+        decode_image,
+    )
+
+    img = decode_image(_make_bmp([[7, 8], [200, 0]], bpp=8, top_down=True))
+    assert img.shape == (2, 2)
+    # grayscale palette: luma of (i,i,i) is i
+    assert abs(img[0, 0] - 7) < 1e-4 and abs(img[1, 0] - 200) < 1e-4
+
+
+def test_bmp_row_padding_ignored():
+    from telescope_data_pipeline_spark.operators.multimodal import (
+        decode_image,
+    )
+
+    # width 3 at 24bpp -> 9 data bytes + 3 pad bytes of garbage per row
+    a = decode_image(_make_bmp([[(1, 2, 3)] * 3] * 2, pad_garbage=b"\xff"))
+    b = decode_image(_make_bmp([[(1, 2, 3)] * 3] * 2, pad_garbage=b"\x00"))
+    assert (a == b).all()
+
+
+def test_bmp_unsupported_variants_fail_loudly():
+    import struct
+
+    import pytest
+
+    from telescope_data_pipeline_spark.operators.multimodal import (
+        CodecUnavailable,
+        decode_image,
+    )
+
+    good = _make_bmp([[(1, 2, 3)]])
+    rle = good[:30] + struct.pack("<I", 1) + good[34:]  # compression=BI_RLE8
+    with pytest.raises(CodecUnavailable):
+        decode_image(rle)
+    with pytest.raises(CodecUnavailable):
+        decode_image(good[:20])  # truncated pixel array
+
+
+def test_bm_prefix_without_dib_goes_to_stub():
+    """A synthetic payload that happens to start with 'BM' but has no
+    valid DIB size must take the stub, not the BMP decoder."""
+    from telescope_data_pipeline_spark.operators.multimodal import (
+        decode_image,
+    )
+
+    img = decode_image(b"BM" + bytes(range(60)))
+    assert img.shape == (16, 16)  # stub signature shape
+
+
+def test_bmp_flows_through_feature_pipeline(spark):
+    """Real BMP payloads ride the Spark feature kernel end-to-end."""
+    import pandas as pd
+
+    from telescope_data_pipeline_spark.operators.multimodal import (
+        extract_image_features,
+    )
+    from telescope_data_pipeline_spark.schemas import MEDIA
+
+    bmp = _make_bmp([[(i * 8 % 256, 0, 0) for i in range(8)]
+                     for _ in range(8)])
+    pdf = pd.DataFrame({
+        "media_id": [1], "modality": ["image"], "payload": [bmp],
+        "mime": ["image/bmp"], "width": [8], "height": [8],
+        "duration_s": [None], "meta": [None],
+    })
+    media = spark.createDataFrame(pdf, MEDIA)
+    rows = extract_image_features(media).collect()
+    assert len(rows) == 1
+    expect_mean = sum((i * 8 % 256) * 0.299 for i in range(8)) / 8
+    assert abs(rows[0].mean_intensity - expect_mean) < 1e-3
