@@ -261,17 +261,66 @@ def _decode_audio_stub(payload: bytes, duration_s: float) -> np.ndarray:
             + 0.1 * rng.standard_normal(n)).astype(np.float32)
 
 
+def _decode_wav_pcm(payload: bytes) -> tuple[np.ndarray, int]:
+    """Pure-Python RIFF/WAVE decode (no libsndfile needed): integer
+    PCM (8/16/32-bit) and 32-bit IEEE float, any channel count
+    (downmixed to mono by mean). Walks the chunk list properly, so
+    extra chunks (LIST, fact, cue) before `data` are fine. Raises on
+    compressed codecs (ADPCM, mu-law, MP3-in-WAV) — corrupt or exotic
+    real media must fail loudly, never fall through to the stub."""
+    b = bytes(payload)
+    if len(b) < 44 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise CodecUnavailable("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos:pos + 4]
+        size = int.from_bytes(b[pos + 4:pos + 8], "little")
+        body = b[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks pad to even offsets
+    if fmt is None or data is None:
+        raise CodecUnavailable("WAV missing fmt/data chunk")
+    codec = int.from_bytes(fmt[0:2], "little")
+    n_ch = int.from_bytes(fmt[2:4], "little")
+    sr = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if n_ch < 1 or sr < 1:
+        raise CodecUnavailable("WAV header corrupt")
+    if codec == 1 and bits == 16:
+        wave = np.frombuffer(data, "<i2").astype(np.float32) / 32768.0
+    elif codec == 1 and bits == 32:
+        wave = np.frombuffer(data, "<i4").astype(np.float32) / 2147483648.0
+    elif codec == 1 and bits == 8:  # 8-bit PCM is unsigned
+        wave = (np.frombuffer(data, np.uint8).astype(np.float32)
+                - 128.0) / 128.0
+    elif codec == 3 and bits == 32:
+        wave = np.frombuffer(data, "<f4").astype(np.float32)
+    else:
+        raise CodecUnavailable(
+            f"WAV codec unsupported (format={codec}, bits={bits})")
+    if n_ch > 1:
+        wave = wave[: len(wave) - len(wave) % n_ch] \
+            .reshape(-1, n_ch).mean(axis=1).astype(np.float32)
+    return wave, sr
+
+
 def decode_audio(payload: bytes, duration_s: float) -> tuple[np.ndarray, int]:
     """Decode an audio payload to ``(float32 mono wave, sample_rate)``.
 
-    Dispatch mirrors :func:`decode_image`: a payload with a real audio
-    container signature (WAV/FLAC/OGG/AIFF) decodes with libsndfile,
-    raising on corruption or when ``soundfile`` is absent; anything
-    else is a synthetic fixture and takes the deterministic stub at
+    Dispatch mirrors :func:`decode_image`: RIFF/WAVE decodes with the
+    built-in pure-Python PCM decoder (always available); other real
+    audio containers (FLAC/OGG/AIFF) decode with libsndfile, raising
+    on corruption or when ``soundfile`` is absent; anything else is a
+    synthetic fixture and takes the deterministic stub at
     ``_AUDIO_SR``."""
     if payload is None:
         raise CodecUnavailable("no payload")
-    if _has_magic(payload, _AUDIO_MAGICS, riff_kind=b"WAVE"):
+    if _has_magic(payload, (), riff_kind=b"WAVE"):
+        return _decode_wav_pcm(payload)
+    if _has_magic(payload, _AUDIO_MAGICS):
         if _soundfile is None:
             raise CodecUnavailable(
                 "payload is a real audio container but soundfile is not installed")

@@ -320,3 +320,72 @@ def test_bmp_flows_through_feature_pipeline(spark):
     assert len(rows) == 1
     expect_mean = sum((i * 8 % 256) * 0.299 for i in range(8)) / 8
     assert abs(rows[0].mean_intensity - expect_mean) < 1e-3
+
+
+def _make_wav(samples, sr=8000, bits=16, n_ch=1, codec=1,
+              extra_chunk=False):
+    """Hand-rolled RIFF/WAVE encoder for test fixtures."""
+    import struct
+
+    import numpy as np
+
+    a = np.asarray(samples, dtype=np.float64)
+    if n_ch > 1:
+        a = np.repeat(a[:, None], n_ch, axis=1).ravel()
+    if codec == 3:
+        bits = 32
+        data = a.astype("<f4").tobytes()
+    elif bits == 16:
+        data = (a * 32767).astype("<i2").tobytes()
+    elif bits == 32:
+        data = (a * 2147483647).astype("<i4").tobytes()
+    else:
+        data = ((a * 127) + 128).astype(np.uint8).tobytes()
+    fmt = struct.pack("<HHIIHH", codec, n_ch, sr,
+                      sr * n_ch * bits // 8, n_ch * bits // 8, bits)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    if extra_chunk:  # a LIST chunk before data (odd size -> pad byte)
+        chunks += b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_wav_decode_16bit_roundtrip():
+    import numpy as np
+
+    from telescope_data_pipeline_spark.operators.multimodal import (
+        decode_audio,
+    )
+
+    t = np.arange(800) / 8000.0
+    ref = 0.5 * np.sin(2 * np.pi * 440 * t)
+    wave, sr = decode_audio(_make_wav(ref), duration_s=0.1)
+    assert sr == 8000 and len(wave) == 800
+    assert float(np.abs(wave - ref).max()) < 1e-3  # 16-bit quantization
+
+
+def test_wav_decode_float_stereo_and_chunk_walk():
+    import numpy as np
+
+    from telescope_data_pipeline_spark.operators.multimodal import (
+        decode_audio,
+    )
+
+    ref = np.linspace(-1, 1, 100)
+    wave, sr = decode_audio(
+        _make_wav(ref, sr=44100, codec=3, n_ch=2, extra_chunk=True),
+        duration_s=None)
+    assert sr == 44100 and len(wave) == 100
+    assert float(np.abs(wave - ref).max()) < 1e-6  # float32 exactness
+
+
+def test_wav_compressed_codec_fails_loudly():
+    import pytest
+
+    from telescope_data_pipeline_spark.operators.multimodal import (
+        CodecUnavailable,
+        decode_audio,
+    )
+
+    with pytest.raises(CodecUnavailable):
+        decode_audio(_make_wav([0.0] * 10, codec=2), 0.1)  # ADPCM
