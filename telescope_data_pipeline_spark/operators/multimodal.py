@@ -371,9 +371,41 @@ def extract_audio_features(media: DataFrame,
     return audio.mapInPandas(kernel, schema=AUDIO_FEATURES)
 
 
+def _tiny_bmp(rng: np.random.Generator, side: int = 8) -> bytes:
+    """A real, decodable 24-bit BMP with random pixels (fixture)."""
+    import struct
+
+    px = rng.integers(0, 256, size=(side, side, 3), dtype=np.uint8)
+    row_pad = (-side * 3) % 4
+    body = b"".join(bytes(px[r].ravel()) + b"\x00" * row_pad
+                    for r in range(side - 1, -1, -1))
+    off = 14 + 40
+    return (b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+            + struct.pack("<IiiHHIIiiII", 40, side, side, 1, 24, 0,
+                          len(body), 2835, 2835, 0, 0) + body)
+
+
+def _tiny_wav(rng: np.random.Generator, duration_s: float,
+              sr: int = 4000) -> bytes:
+    """A real, decodable 16-bit PCM WAV with a random tone (fixture)."""
+    import struct
+
+    n = max(int(duration_s * sr), 1)
+    freq = 100 + int(rng.integers(0, 300))
+    wave = (0.6 * np.sin(2 * np.pi * freq * np.arange(n) / sr)
+            * 32767).astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sr, sr * 2, 2, 16)
+    chunks = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+              + b"data" + struct.pack("<I", len(wave)) + wave)
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
 def make_fake_media(spark, n: int = 64, seed: int = 7) -> DataFrame:
     """Deterministic MEDIA-schema fixture (images + videos + audio) for
-    tests and the rows-only driver demos."""
+    tests and the rows-only driver demos. Every 4th image is a REAL
+    24-bit BMP and every 4th audio clip a REAL 16-bit PCM WAV, so the
+    built-in pure-Python decoders run in every demo alongside the
+    stub path (magic-byte dispatch exercised end-to-end)."""
     from ..schemas import MEDIA
 
     rng = np.random.default_rng(seed)
@@ -381,12 +413,20 @@ def make_fake_media(spark, n: int = 64, seed: int = 7) -> DataFrame:
     mime = {"image": "image/png", "video": "video/mp4", "audio": "audio/wav"}
     for i in range(n):
         modality = ("image", "video", "audio")[i % 3]
-        payload = bytes(rng.integers(0, 256, size=64, dtype=np.uint8).tolist())
+        dur = None if modality == "image" else float(2 + i % 5)
+        if modality == "image" and (i // 3) % 4 == 0:
+            payload = _tiny_bmp(rng)
+            m = "image/bmp"
+        elif modality == "audio" and (i // 3) % 4 == 0:
+            payload = _tiny_wav(rng, dur)
+            m = mime[modality]
+        else:
+            payload = bytes(
+                rng.integers(0, 256, size=64, dtype=np.uint8).tolist())
+            m = mime[modality]
         rows.append((
-            i, modality, payload,
-            mime[modality],
-            256, 256,
-            None if modality == "image" else float(2 + i % 5),
+            i, modality, payload, m,
+            256, 256, dur,
             {"src": f"synthetic-{i}"},
         ))
     return spark.createDataFrame(rows, schema=MEDIA)
