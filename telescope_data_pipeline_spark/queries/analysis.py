@@ -1976,3 +1976,173 @@ def q_recursive_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COALESCE(daily.n, 0) AS BIGINT) AS n_events
     FROM spine LEFT JOIN daily ON daily.day = spine.day
     """)
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival curve: time to first purchase with censoring
+# ---------------------------------------------------------------------------
+
+@query("q_kaplan_meier", oracle="""
+WITH per_user AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS t0,
+         MIN(CASE WHEN event_type = 'purchase' THEN CAST(ts AS DATE) END)
+           AS tp
+  FROM events GROUP BY user_id
+), horizon AS (
+  SELECT MAX(CAST(ts AS DATE)) AS tmax FROM events
+), durs AS (
+  SELECT CASE WHEN tp IS NOT NULL THEN date_diff('day', t0, tp)
+              ELSE date_diff('day', t0, tmax) END AS d_days,
+         (tp IS NOT NULL) AS is_event
+  FROM per_user CROSS JOIN horizon
+), tbl AS (
+  SELECT d_days,
+         COUNT(*) FILTER (WHERE is_event) AS d,
+         COUNT(*) FILTER (WHERE NOT is_event) AS c
+  FROM durs GROUP BY d_days
+), curve AS (
+  SELECT d_days, d, c,
+         (SELECT COUNT(*) FROM durs) - COALESCE(SUM(d + c) OVER (
+            ORDER BY d_days ROWS BETWEEN UNBOUNDED PRECEDING
+            AND 1 PRECEDING), 0) AS n_risk
+  FROM tbl
+), terms AS (
+  SELECT d_days, d, c, n_risk,
+         CASE WHEN d > 0 AND d < n_risk
+              THEN CAST(ROUND(LN(1.0 - d::DOUBLE / n_risk) * 1000000000)
+                        AS BIGINT)
+              WHEN d = 0 THEN 0 END AS term_n
+  FROM curve
+)
+SELECT CAST(d_days AS BIGINT) AS d_days,
+       CAST(n_risk AS BIGINT) AS n_risk,
+       CAST(d AS BIGINT) AS d_events,
+       CAST(c AS BIGINT) AS c_censored,
+       CASE WHEN SUM(CASE WHEN term_n IS NULL THEN 1 ELSE 0 END) OVER w > 0
+            THEN 0.0
+            ELSE ROUND(EXP(SUM(term_n) OVER w / 1000000000.0), 6) + 0.0
+       END AS survival
+FROM terms
+WINDOW w AS (ORDER BY d_days ROWS BETWEEN UNBOUNDED PRECEDING
+             AND CURRENT ROW)
+""")
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for time-to-first-purchase:
+    S(t) = prod over event days (1 - d_i / n_i) with users who never
+    purchase right-censored at the observation horizon — the churn /
+    conversion-lag estimator that handles incomplete observation
+    correctly (a plain conversion-time histogram silently drops the
+    users still "at risk"). d = conversions at that lag, c =
+    censorings, n_risk = users still unconverted and observed.
+
+    Determinism: the product is computed as exp of a cumulative sum
+    of ln(1 - d/n) terms QUANTIZED to integer nano-units before
+    summing (order-free, the q_dsir trick); d/n is a ratio of exact
+    integers so both engines take ln of the same double. A day where
+    d = n_risk drives survival to exactly 0.0 via the NULL-term
+    short-circuit, never through exp(-inf).
+
+    Scale: one user aggregate, a 1-row horizon broadcast, a groupBy
+    onto |distinct lags| rows, and cumulative windows over that
+    BOUNDED table (the q_user_growth bounded-days argument)."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = (ev.groupBy("user_id")
+                .agg(F.min(F.col("ts").cast("date")).alias("t0"),
+                     F.min(F.when(F.col("event_type") == "purchase",
+                                  F.col("ts").cast("date"))).alias("tp")))
+    horizon = ev.agg(F.max(F.col("ts").cast("date")).alias("tmax"))
+    durs = (per_user.crossJoin(F.broadcast(horizon))
+            .select(F.when(F.col("tp").isNotNull(),
+                           F.datediff("tp", "t0"))
+                    .otherwise(F.datediff("tmax", "t0")).alias("d_days"),
+                    F.col("tp").isNotNull().alias("is_event")))
+    tbl = (durs.groupBy("d_days")
+           .agg(F.count(F.when(F.col("is_event"), 1)).alias("d"),
+                F.count(F.when(~F.col("is_event"), 1)).alias("c")))
+    total = durs.agg(F.count(F.lit(1)).alias("n_total"))
+    w_prev = W.orderBy("d_days").rowsBetween(W.unboundedPreceding, -1)
+    w_cum = W.orderBy("d_days").rowsBetween(W.unboundedPreceding,
+                                            W.currentRow)
+    curve = (tbl.crossJoin(F.broadcast(total))
+             .select("d_days", "d", "c",
+                     (F.col("n_total")
+                      - F.coalesce(F.sum(F.col("d") + F.col("c"))
+                                   .over(w_prev), F.lit(0)))
+                     .alias("n_risk")))
+    term_n = F.when(
+        (F.col("d") > 0) & (F.col("d") < F.col("n_risk")),
+        F.round(F.log(1.0 - F.col("d").cast("double") / F.col("n_risk"))
+                * 1e9).cast("bigint")
+    ).when(F.col("d") == 0, F.lit(0).cast("bigint"))
+    terms = curve.select("d_days", "d", "c", "n_risk",
+                         term_n.alias("term_n"))
+    dead = F.sum(F.when(F.col("term_n").isNull(), 1).otherwise(0)).over(w_cum)
+    surv = F.when(dead > 0, F.lit(0.0)).otherwise(
+        F.round(F.exp(F.sum("term_n").over(w_cum) / 1e9), 6) + 0.0)
+    return terms.select(
+        F.col("d_days").cast("bigint").alias("d_days"),
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        F.col("d").cast("bigint").alias("d_events"),
+        F.col("c").cast("bigint").alias("c_censored"),
+        surv.alias("survival"))
+
+
+# ---------------------------------------------------------------------------
+# A/B test power analysis: required sample size per arm
+# ---------------------------------------------------------------------------
+
+@query("q_ab_power", oracle="""
+WITH s AS (
+  SELECT event_type, COUNT(*) AS n,
+         SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS su,
+         SUM(CAST(CAST(ROUND(value * 1000000) AS BIGINT) AS HUGEINT)
+             * CAST(ROUND(value * 1000000) AS BIGINT)) AS sxx
+  FROM events WHERE value IS NOT NULL
+  GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_obs,
+       ROUND(su::DOUBLE / n / 1000000, 6) + 0.0 AS mean_value,
+       ROUND(sqrt((n * sxx - CAST(su AS HUGEINT) * su)::DOUBLE
+                  / n / (n - 1)) / 1000000, 6) + 0.0 AS sd,
+       ROUND(0.05 * su::DOUBLE / n / 1000000, 6) + 0.0 AS mde,
+       CAST(CEIL(2.0 * 7.849 * ((n * sxx - CAST(su AS HUGEINT) * su)::DOUBLE
+                                / n / (n - 1))
+                 / (0.05 * su::DOUBLE / n)
+                 / (0.05 * su::DOUBLE / n)) AS BIGINT) AS n_per_arm
+FROM s WHERE n >= 2
+""")
+def q_ab_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment power analysis: the sample size each arm needs
+    to detect a 5% shift of the mean at alpha = 0.05 with power 0.8
+    (n = 2 (z_{0.975}+z_{0.8})^2 sigma^2 / delta^2; the z-term
+    (1.96 + 0.8416)^2 is carried as the conventional 7.849 constant)
+    — the question asked BEFORE the experiment that q_ab_ttest
+    evaluates after. Planning and judging now bracket the A/B
+    lifecycle.
+
+    Determinism: variance comes from exact integer sufficient
+    statistics (the q_seasonal_baseline widening), so both engines
+    ceil the same double; the z constant is a shared literal.
+
+    Scale: one conditional-aggregate pass, map-side combined; the
+    formula is a map-side expression over |types| rows."""
+    big = "decimal(38,0)"
+    xu = F.round(F.col("value") * 1e6).cast("bigint")
+    s = (load_table(spark, sf_dir, "events")
+         .filter(F.col("value").isNotNull())
+         .groupBy("event_type")
+         .agg(F.count(F.lit(1)).alias("n"), F.sum(xu).alias("su"),
+              F.sum(xu.cast(big) * xu).alias("sxx"))
+         .filter(F.col("n") >= 2))
+    var_u2 = ((F.col("n").cast(big) * F.col("sxx")
+               - F.col("su").cast(big) * F.col("su")).cast("double")
+              / F.col("n") / (F.col("n") - 1))
+    mean_u = F.col("su").cast("double") / F.col("n")
+    delta_u = 0.05 * mean_u
+    return s.select(
+        "event_type", F.col("n").cast("bigint").alias("n_obs"),
+        (F.round(mean_u / 1e6, 6) + 0.0).alias("mean_value"),
+        (F.round(F.sqrt(var_u2) / 1e6, 6) + 0.0).alias("sd"),
+        (F.round(delta_u / 1e6, 6) + 0.0).alias("mde"),
+        F.ceil(2.0 * 7.849 * var_u2 / delta_u / delta_u)
+        .cast("bigint").alias("n_per_arm"))

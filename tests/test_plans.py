@@ -1081,3 +1081,19 @@ def test_recursive_calendar_has_recursion_node(spark):
     df = get("q_recursive_calendar").fn(spark, SF)
     plan = physical_plan(df)
     assert "UnionLoop" in plan or "Recursion" in plan or "CTE" in plan, plan
+
+
+def test_kaplan_meier_bounded_windows(spark):
+    """KM: user aggregate + |lags| groupBy; the cumulative windows run
+    over the bounded distinct-lag table only — no shuffled join (the
+    horizon and total are 1-row broadcasts)."""
+    assert_plan(get("q_kaplan_meier").fn(spark, SF),
+                contains=("Window", "BroadcastNestedLoopJoin"),
+                absent=("SortMergeJoin",))
+
+
+def test_ab_power_single_pass(spark):
+    """Power analysis: one conditional aggregate, formula map-side."""
+    assert_plan(get("q_ab_power").fn(spark, SF),
+                contains=("HashAggregate",),
+                absent=("Join", "Window"))
