@@ -336,3 +336,36 @@ def test_heavy_hitters_matches_bruteforce(spark, draws, k, parts):
     n = len(draws)
     want = {(w, c) for w, c in counts.items() if c * k > n}
     assert got == want
+
+
+@given(st.lists(st.floats(min_value=-1e9, max_value=1e9,
+                          allow_nan=False, allow_infinity=False),
+                min_size=1, max_size=400),
+       st.sampled_from([0.02, 0.05, 0.1]))
+@settings(max_examples=15, deadline=None)
+def test_quantile_sketch_error_bound_property(spark, vals, eps):
+    """For ANY value distribution (duplicates, constants, heavy tails)
+    the sketch answer's true rank stays within eps*n + shard slack of
+    the target rank — the operator's guaranteed contract, not a
+    statistical one."""
+    import bisect
+
+    from telescope_data_pipeline_spark.operators.quantile_sketch import (
+        approx_quantiles,
+    )
+
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    svals = sorted(vals)
+    n = len(svals)
+    n_shards = 4
+    for p, est in zip([0.25, 0.5, 0.75],
+                      approx_quantiles(df, "x", [0.25, 0.5, 0.75],
+                                       eps=eps, n_shards=n_shards)):
+        lo = bisect.bisect_left(svals, est)
+        hi = bisect.bisect_right(svals, est)
+        target = p * n
+        dist = 0 if lo <= target <= hi else min(abs(lo - target),
+                                                abs(hi - target))
+        # each shard's per-gap slack is <= ceil(n_s*eps/2); the +1 per
+        # shard covers the ceil rounding at tiny shard sizes
+        assert dist <= eps * n + n_shards + 1, (p, est, dist, n, eps)
