@@ -2146,3 +2146,84 @@ def q_ab_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(delta_u / 1e6, 6) + 0.0).alias("mde"),
         F.ceil(2.0 * 7.849 * var_u2 / delta_u / delta_u)
         .cast("bigint").alias("n_per_arm"))
+
+
+# ---------------------------------------------------------------------------
+# Time-boxed funnel: each stage within 1 hour of the previous
+# ---------------------------------------------------------------------------
+
+@query("q_funnel_windowed", oracle="""
+WITH v AS (
+  SELECT user_id, event_type, epoch_us(ts) AS t, event_id FROM events
+), staged AS (
+  SELECT user_id, event_type, t,
+         MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+           OVER hour AS view_1h
+  FROM v
+  WINDOW hour AS (PARTITION BY user_id ORDER BY t
+                  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+), staged2 AS (
+  SELECT user_id, event_type, t,
+         CASE WHEN event_type = 'click' AND view_1h = 1 THEN 1 ELSE 0 END
+           AS click_ok,
+         MAX(CASE WHEN event_type = 'click' AND view_1h = 1
+                  THEN 1 ELSE 0 END)
+           OVER hour AS click_ok_1h
+  FROM staged
+  WINDOW hour AS (PARTITION BY user_id ORDER BY t
+                  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+), per_user AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS s0,
+         MAX(click_ok) AS s1,
+         MAX(CASE WHEN event_type = 'purchase' AND click_ok_1h = 1
+                  THEN 1 ELSE 0 END) AS s2
+  FROM staged2 GROUP BY user_id
+)
+SELECT CAST(SUM(s0) AS BIGINT) AS n_view,
+       CAST(SUM(s1) AS BIGINT) AS n_view_click_1h,
+       CAST(SUM(s2) AS BIGINT) AS n_full_funnel_1h
+FROM per_user
+""")
+def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-boxed funnel: view -> click within 1 HOUR of a view ->
+    purchase within 1 HOUR of such a click — the conversion-window
+    semantics q_events_funnel's unbounded "eventually" cannot express
+    and q_sequence_pattern's strict adjacency over-constrains. Each
+    stage's eligibility is a RANGE-frame lookback (did a qualifying
+    prior-stage event land in my preceding hour), so intervening
+    unrelated events don't break the chain but stale ones do.
+
+    Determinism: event times are integer epoch micros; the range
+    frame bound (3_600_000_000 us) is integer arithmetic; outputs
+    are integer user counts.
+
+    Scale: all three windows and the per-user collapse share ONE
+    user_id partitioning (the q_events_funnel contract); range
+    frames are sort-local. Per-user cost is the sort, never a
+    buffer."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select("user_id", "event_type",
+                  F.unix_micros("ts").alias("t"))
+    hour = (W.partitionBy("user_id").orderBy("t")
+            .rangeBetween(-3_600_000_000, 0))
+    staged = v.select(
+        "user_id", "event_type", "t",
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .over(hour).alias("view_1h"))
+    click_ok = F.when((F.col("event_type") == "click")
+                      & (F.col("view_1h") == 1), 1).otherwise(0)
+    staged2 = staged.select(
+        "user_id", "event_type", "t", click_ok.alias("click_ok"),
+        F.max(click_ok).over(hour).alias("click_ok_1h"))
+    per_user = (staged2.groupBy("user_id")
+                .agg(F.max(F.when(F.col("event_type") == "view", 1)
+                           .otherwise(0)).alias("s0"),
+                     F.max("click_ok").alias("s1"),
+                     F.max(F.when((F.col("event_type") == "purchase")
+                                  & (F.col("click_ok_1h") == 1), 1)
+                           .otherwise(0)).alias("s2")))
+    return per_user.agg(
+        F.sum("s0").cast("bigint").alias("n_view"),
+        F.sum("s1").cast("bigint").alias("n_view_click_1h"),
+        F.sum("s2").cast("bigint").alias("n_full_funnel_1h"))

@@ -1114,3 +1114,13 @@ def test_dedup_cascade_digest_joins_only(spark):
     for r in rows.values():
         assert r["docs_in"] - r["docs_removed"] == r["docs_out"]
         assert r["docs_removed"] >= 0
+
+
+def test_funnel_windowed_single_user_exchange(spark):
+    """Time-boxed funnel: both range-frame windows and the per-user
+    collapse share ONE user_id hash partitioning."""
+    from telescope_data_pipeline_spark.plans.audit import physical_plan
+    df = get("q_funnel_windowed").fn(spark, SF)
+    assert_plan(df, contains=("Window",), absent=("Join",))
+    plan = physical_plan(df).split("== Initial Plan ==")[0]
+    assert plan.count("Exchange hashpartitioning") == 1, plan
