@@ -2227,3 +2227,53 @@ def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("s0").cast("bigint").alias("n_view"),
         F.sum("s1").cast("bigint").alias("n_view_click_1h"),
         F.sum("s2").cast("bigint").alias("n_full_funnel_1h"))
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day active users (WAU), exact, explode-not-range-join
+# ---------------------------------------------------------------------------
+
+@query("q_rolling_active_users", oracle="""
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), days AS (
+  SELECT DISTINCT day FROM ud
+), expand AS (
+  SELECT (ud.day + i * INTERVAL 1 DAY)::DATE AS target, ud.user_id
+  FROM ud, UNNEST(range(0, 7)) AS u(i)
+)
+SELECT CAST(e.target AS VARCHAR) AS day,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS wau
+FROM expand e JOIN days d ON d.day = e.target
+GROUP BY 1
+""")
+def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling 7-day active users (WAU) per calendar day — the
+    engagement KPI whose naive form is a RANGE theta-join (every day
+    against every user-day) that plans as a nested loop. The scale
+    form used here inverts it: each distinct (user, day) pair
+    explodes into the <= 7 future days it keeps the user active for
+    (bounded fan-out, in-row), then a hash equi-join against the real
+    day spine and a count-distinct per day. Distinct-user semantics
+    are EXACT — a user active 5 times in the window counts once.
+
+    Determinism: date arithmetic and integer counts only.
+
+    Scale: fan-out is a constant 7x on the DEDUPED user-day table
+    (itself one groupBy smaller than events); the join is an
+    equi-join on a broadcastable |days| spine; count_distinct
+    shuffles (day, user) pairs. At a 90-day window, swap
+    count_distinct for the q_hll_union registers — the plan shape
+    is unchanged."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = (ev.select("user_id", F.col("ts").cast("date").alias("day"))
+          .distinct())
+    days = ud.select("day").distinct() \
+             .select(F.col("day").alias("target"))
+    expand = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.col("day"), F.date_add("day", 6)))
+        .alias("target"))
+    return (expand.join(F.broadcast(days), "target")
+            .groupBy(F.col("target").cast("string").alias("day"))
+            .agg(F.count_distinct("user_id").cast("bigint").alias("wau")))

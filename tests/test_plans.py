@@ -1124,3 +1124,11 @@ def test_funnel_windowed_single_user_exchange(spark):
     assert_plan(df, contains=("Window",), absent=("Join",))
     plan = physical_plan(df).split("== Initial Plan ==")[0]
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_rolling_active_users_no_range_join(spark):
+    """WAU: bounded 7x in-row explode + hash equi-join on the day
+    spine — never the nested-loop RANGE join of the naive form."""
+    assert_plan(get("q_rolling_active_users").fn(spark, SF),
+                contains=("Generate", "BroadcastHashJoin"),
+                absent=("BroadcastNestedLoopJoin", "CartesianProduct"))
