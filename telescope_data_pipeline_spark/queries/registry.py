@@ -56,7 +56,7 @@ _REGISTRY: dict[str, Query] = {}
 #: sf0.01+sf0.1 sweep every session) rotate back in round 7.
 #:
 #: ROUND-7 ROTATION NOTE: the driver stops after ~50 entries, and this
-#: window holds 90 first-time candidates — the 40 past the cut
+#: window holds 91 first-time candidates — the 41 past the cut
 #: (q_auc_ranking, q_ndcg_mrr, q_calibration, q_acf, q_zipf_fit,
 #: q_linkage_blocked, q_ewma, q_bootstrap_ci, q_kanonymity, q_kl_drift,
 #: q_kneser_ney, q_markov_transitions, q_skew_audit, q_hll_union,
@@ -67,8 +67,8 @@ _REGISTRY: dict[str, Query] = {}
 #: q_sessionize, q_rfm_segments, q_seasonal_baseline,
 #: q_holt_forecast, q_attribution, q_source_overlap, q_mlm_mask,
 #: q_recursive_calendar, q_kaplan_meier, q_ab_power,
-#: q_dedup_cascade, q_funnel_windowed, q_rolling_active_users) must
-#: lead round 7's PRIORITY. Then backfill q_unpivot
+#: q_dedup_cascade, q_funnel_windowed, q_rolling_active_users,
+#: q_kcore) must lead round 7's PRIORITY. Then backfill q_unpivot
 #: (bumped from the r6 window for q_shard_export) and the r3-green sit-outs that
 #: missed this window (q_scalar_date2, q_scalar_math, q_scalar_round, q_scalar_string2, q_scan_csv, q_scan_json,
 #: q_sort, q_text_redact, q_color_index, q_partition_overwrite,
@@ -111,6 +111,7 @@ PRIORITY: tuple[str, ...] = (
     "q_holt_forecast", "q_attribution", "q_source_overlap",
     "q_mlm_mask", "q_recursive_calendar", "q_kaplan_meier", "q_ab_power",
     "q_dedup_cascade", "q_funnel_windowed", "q_rolling_active_users",
+    "q_kcore",
     # (c) r3-green backfill absorbed into (a)/(b): every slot now goes
     # to first-time evidence for this round's operators
 )

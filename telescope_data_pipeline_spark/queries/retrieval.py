@@ -2373,3 +2373,88 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
                .select(F.col("vnode").alias("node"), "lbl"))
     return (lbl.groupBy(F.col("lbl").alias("community"))
             .agg(F.count(F.lit(1)).cast("bigint").alias("size")))
+
+
+# ---------------------------------------------------------------------------
+# k-core peeling (3 value-pinned rounds)
+# ---------------------------------------------------------------------------
+
+@query("q_kcore", oracle="""
+WITH e0 AS (
+  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM lineitem a
+  JOIN lineitem b ON b.l_orderkey = a.l_orderkey AND b.l_partkey > a.l_partkey
+  WHERE a.l_partkey % 4 = 0 AND b.l_partkey % 4 = 0
+), e AS (
+  SELECT pa AS src, pb AS dst FROM e0
+  UNION ALL
+  SELECT pb AS src, pa AS dst FROM e0
+), a0 AS (
+  SELECT src AS node FROM e GROUP BY src HAVING COUNT(*) >= 3
+), a1 AS (
+  SELECT e.src AS node FROM e
+  JOIN a0 s ON s.node = e.src JOIN a0 d ON d.node = e.dst
+  GROUP BY e.src HAVING COUNT(*) >= 3
+), a2 AS (
+  SELECT e.src AS node FROM e
+  JOIN a1 s ON s.node = e.src JOIN a1 d ON d.node = e.dst
+  GROUP BY e.src HAVING COUNT(*) >= 3
+), final AS (
+  SELECT e.src AS node, COUNT(*) AS deg FROM e
+  JOIN a2 s ON s.node = e.src JOIN a2 d ON d.node = e.dst
+  GROUP BY e.src
+)
+SELECT CAST(deg AS BIGINT) AS degree,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM final GROUP BY deg
+""")
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling (k=3, three value-pinned rounds) on the
+    co-purchase graph, reported as the core's degree histogram — the
+    dense-subgraph filter (spam rings, link farms, well-connected
+    product clusters live in high cores; stragglers peel away). Each
+    round drops nodes whose degree WITHIN the surviving subgraph is
+    < k; three rounds is the exact 3-core when peeling has converged
+    (an iterated production form loops to an empty-peel fixpoint with
+    per-iteration lineage truncation, exactly operators/pagerank.py's
+    loop contract). Completes the graph family: connectivity
+    (components), centrality (PageRank), distance (BFS), density
+    (triangles), community (LPA), coreness (this).
+
+    Determinism: pure integer degree counts and thresholds.
+
+    Scale: each round is one |E| double semi-join against the alive
+    set + a map-side-combined degree groupBy — the Pregel step; the
+    alive set only shrinks, so rounds get cheaper, and nothing is
+    ever quadratic in degree."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a, b = li.alias("a"), li.alias("b")
+    e0 = (a.join(b, (F.col("b.l_orderkey") == F.col("a.l_orderkey"))
+                 & (F.col("b.l_partkey") > F.col("a.l_partkey")))
+          .filter((F.col("a.l_partkey") % 4 == 0)
+                  & (F.col("b.l_partkey") % 4 == 0))
+          .select(F.col("a.l_partkey").alias("pa"),
+                  F.col("b.l_partkey").alias("pb"))
+          .distinct())
+    e = (e0.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+         .unionAll(e0.select(F.col("pb").alias("src"),
+                             F.col("pa").alias("dst"))))
+    alive = (e.groupBy(F.col("src").alias("node"))
+             .agg(F.count(F.lit(1)).alias("deg"))
+             .filter(F.col("deg") >= 3).select("node"))
+    for _ in range(2):
+        s = alive.select(F.col("node").alias("ns"))
+        d = alive.select(F.col("node").alias("nd"))
+        alive = (e.join(s, F.col("src") == F.col("ns"))
+                 .join(d, F.col("dst") == F.col("nd"))
+                 .groupBy(F.col("src").alias("node"))
+                 .agg(F.count(F.lit(1)).alias("deg"))
+                 .filter(F.col("deg") >= 3).select("node"))
+    s = alive.select(F.col("node").alias("ns"))
+    d = alive.select(F.col("node").alias("nd"))
+    final = (e.join(s, F.col("src") == F.col("ns"))
+             .join(d, F.col("dst") == F.col("nd"))
+             .groupBy(F.col("src").alias("node"))
+             .agg(F.count(F.lit(1)).alias("deg")))
+    return (final.groupBy(F.col("deg").cast("bigint").alias("degree"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes")))

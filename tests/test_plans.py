@@ -1132,3 +1132,11 @@ def test_rolling_active_users_no_range_join(spark):
     assert_plan(get("q_rolling_active_users").fn(spark, SF),
                 contains=("Generate", "BroadcastHashJoin"),
                 absent=("BroadcastNestedLoopJoin", "CartesianProduct"))
+
+
+def test_kcore_pregel_shape(spark):
+    """k-core peeling: per-round |E| semi-joins + degree groupBy — no
+    cartesian, no nested loop."""
+    assert_plan(get("q_kcore").fn(spark, SF),
+                contains=("HashAggregate",),
+                absent=("CartesianProduct", "BroadcastNestedLoopJoin"))
