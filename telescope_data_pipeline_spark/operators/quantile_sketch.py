@@ -1,37 +1,52 @@
 """Mergeable epsilon-approximate quantile summaries (GK/MRL-family).
 
 The quantile member of the sketch triad (q_hll_union: distinct counts,
-q_cms_count: point frequencies): per-partition compressed rank
-summaries whose MERGE is a weighted multiset union — the algebraic
-shape that answers "p99 of 100 TB" without a global sort. Where the
-exact path (operators/median2pass.py) spends two coordinated passes,
-the sketch spends one map pass + a bounded merge, at the price of an
-eps*n rank error (GUARANTEED, not probabilistic).
+q_cms_count: point frequencies): per-shard compressed rank summaries
+whose MERGE is a weighted multiset union — the algebraic shape that
+answers "p99 of 100 TB" without a global sort. Where the exact path
+(operators/median2pass.py) spends two coordinated passes, the sketch
+spends one map pass + a bounded merge, at the price of an eps*n rank
+error (GUARANTEED, not probabilistic).
 
 Reference semantics: the reference pipeline computes exact medians of
 small in-memory arrays (core.py sigma-clip / median combine); this
 operator is the 100 TB generalization the reference never needed.
 
-Algorithm (simplified Manku-Rajagopalan-Lindsay): each partition sorts
-its values and keeps every ceil(n_p * eps_half)-th one, recording the
-GAP (number of source rows the kept point stands for, itself included).
-Kept points carry exact local rank information, so after merging all
-partition summaries by value, the cumulative-weight position of any
-kept point differs from its true global rank by at most the sum of
-intra-gap slacks < (eps/2) * n per side — querying the cumulative
-weights therefore lands within eps*n ranks of the true quantile.
+Construction (three stages, each with bounded state):
 
-Determinism: the summary depends only on each partition's value
-multiset; `approx_quantiles` first repartitions by a content hash with
-a pinned shard count, so the result is identical across runs,
-partitionings, and cluster sizes (the q_random_projection
-content-addressing argument).
+1. ``groupBy(v).count()`` — duplicates collapse to one exact
+   ``(v, weight)`` entry with map-side combine, so a heavily repeated
+   value costs ONE entry however many rows carry it (the round-6
+   skew review: sharding raw rows by ``xxhash64(v)`` concentrated all
+   duplicates of one value into one shard and made that shard's
+   buffered sort O(shard rows)).
+2. ``repartition(n_shards, xxhash64(v)).sortWithinPartitions(v)`` —
+   content-deterministic sharding over DISTINCT values (uniform even
+   when the row distribution is skewed), then a JVM-side external
+   sort that SPILLS to disk; Python never sees unsorted data.
+3. A streaming compressor over the sorted entry stream with O(1/eps)
+   state: keep a running list of (value, gap-weight) points whose
+   cumulative weights are EXACT ranks (gaps merge losslessly — merging
+   adjacent kept points only coarsens which ranks are addressable,
+   never corrupts a cumulative count). Whenever the list exceeds
+   ~4/eps entries it is re-merged greedily so every non-point-mass gap
+   stays <= ceil(W_seen * eps/2); since W_seen only grows, final gaps
+   are <= ceil(W * eps/2) and the answered quantile's true rank is
+   within (eps/2)*n_shard (+1 for the ceil) per shard, eps*n overall.
 
-Scale: the map pass is Arrow-batched per partition with bounded state
-(<= 2/eps + 2 entries per partition regardless of partition size); the
-driver merge touches n_shards * (2/eps + 2) rows — for eps=0.01 and
-1024 shards that is ~210k tiny rows, a bounded collect by
-construction (the operators/median2pass.py contract).
+Determinism: the kept-point set depends only on the sorted distinct
+(value, weight) sequence of each shard — not on upstream partitioning,
+Arrow batch boundaries, or task order — so the result is identical
+across runs, partitionings, and cluster sizes (the
+q_random_projection content-addressing argument);
+tests/test_stats_sketches.py pins this.
+
+Scale: per-shard Python state is <= ~4/eps + 32 entries regardless of
+shard size (the buffering is in Spark's spill-capable external sort,
+not in the Python worker); the driver merge touches
+n_shards * O(1/eps) rows — for eps=0.01 and 1024 shards that is ~400k
+tiny rows, a bounded collect by construction (the
+operators/median2pass.py contract).
 """
 
 from __future__ import annotations
@@ -47,49 +62,71 @@ from pyspark.sql import functions as F
 _SUMMARY_SCHEMA = "v double, w long"
 
 
+def _remerge(points: list[list[float]], step: int) -> list[list[float]]:
+    """Greedily merge adjacent (value, gap) points so merged gaps stay
+    <= step. A single point whose own gap exceeds step stays alone —
+    it is either point mass at its value (benign: no rank ambiguity
+    below it beyond what it already carried) or a prior merged gap
+    <= an earlier, smaller step. Cumulative weights are preserved
+    exactly; only rank addressability coarsens."""
+    out: list[list[float]] = []
+    for v, g in points:
+        if out and out[-1][1] + g <= step:
+            out[-1][0] = v
+            out[-1][1] += g
+        else:
+            out.append([v, g])
+    return out
+
+
 def partition_summaries(df: DataFrame, col: str, eps: float = 0.01,
                         n_shards: int = 16) -> DataFrame:
     """Per-shard compressed rank summaries of ``col``.
 
-    Rows are first repartitioned by a content hash of the value with a
-    pinned shard count so the sketch is partitioning-independent; each
-    shard then compresses to <= 2/eps + 2 (value, weight) entries.
+    Values are duplicate-collapsed (groupBy + count), repartitioned by
+    a content hash of the value with a pinned shard count, and sorted
+    within each shard JVM-side (spill-safe); the Python compressor
+    then streams the sorted entries with <= ~4/eps + 32 entries of
+    state. Weights sum exactly to the non-null row count.
     """
     if not 0 < eps < 1:
         raise ValueError(f"eps must be in (0,1), got {eps}")
-    vals = (df.select(F.col(col).cast("double").alias("v"))
-            .filter(F.col("v").isNotNull())
-            # content-deterministic sharding: same data -> same shards,
-            # whatever the upstream partitioning was
-            .repartition(n_shards, F.xxhash64(F.col("v"))))
+    entries = (df.select(F.col(col).cast("double").alias("v"))
+               .filter(F.col("v").isNotNull())
+               .groupBy("v").agg(F.count(F.lit(1)).alias("w"))
+               # content-deterministic sharding over distinct values:
+               # same data -> same shards, whatever the upstream
+               # partitioning was; duplicates are already one entry so
+               # a skewed ROW distribution cannot skew the shards
+               .repartition(n_shards, F.xxhash64(F.col("v")))
+               .sortWithinPartitions("v"))
     keep_frac = eps / 2.0
+    # re-merge trigger: comfortably above the post-merge size
+    # (~2/keep_frac) so re-merges amortize to O(1) per entry
+    cap = int(math.ceil(4.0 / keep_frac)) + 32
 
     def compress(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        parts = [b["v"].to_numpy() for b in batches if len(b)]
-        if not parts:
+        points: list[list[float]] = []  # [value, gap-weight], cum = exact
+        w_seen = 0
+        for b in batches:
+            if not len(b):
+                continue
+            vs = b["v"].to_numpy()
+            ws = b["w"].to_numpy()
+            for v, w in zip(vs, ws):
+                points.append([float(v), int(w)])
+                w_seen += int(w)
+                if len(points) > cap:
+                    step = max(1, int(math.ceil(w_seen * keep_frac)))
+                    points = _remerge(points, step)
+        if not points:
             return
-        import numpy as np
+        step = max(1, int(math.ceil(w_seen * keep_frac)))
+        points = _remerge(points, step)
+        yield pd.DataFrame({"v": [p[0] for p in points],
+                            "w": [int(p[1]) for p in points]})
 
-        v = np.sort(np.concatenate(parts))
-        n = len(v)
-        # ceil keeps the entry count <= 2/eps + 1 (floor could exceed
-        # it by a whole extra gap) and each gap <= n*eps/2 + 1
-        step = max(1, int(math.ceil(n * keep_frac)))
-        # keep ranks step-1, 2*step-1, ... and always the last (max);
-        # each kept point's weight is the count of rows since the
-        # previous kept point — weights sum exactly to n
-        idx = list(range(step - 1, n, step))
-        if idx[-1] != n - 1:
-            idx.append(n - 1)
-        prev = -1
-        out_v, out_w = [], []
-        for i in idx:
-            out_v.append(v[i])
-            out_w.append(i - prev)
-            prev = i
-        yield pd.DataFrame({"v": out_v, "w": out_w})
-
-    return vals.mapInPandas(compress, _SUMMARY_SCHEMA)
+    return entries.mapInPandas(compress, _SUMMARY_SCHEMA)
 
 
 def merge_quantiles(summary: DataFrame, probs: list[float]) -> list[float]:
@@ -97,10 +134,13 @@ def merge_quantiles(summary: DataFrame, probs: list[float]) -> list[float]:
 
     The merge is a sort by value + cumulative weight walk; the value
     returned for probability p has true rank within eps*n of p*n.
+    Empty input (zero non-null rows) returns ``[]`` — the caller maps
+    that to a schema-correct empty result (the repo-wide boundary
+    contract: registered queries never crash on zero-row tables).
     """
-    rows = summary.collect()  # bounded: n_shards * (2/eps + 2) entries
+    rows = summary.collect()  # bounded: n_shards * O(1/eps) entries
     if not rows:
-        raise ValueError("empty input: no quantiles")
+        return []
     entries = sorted((r["v"], r["w"]) for r in rows)
     total = sum(w for _, w in entries)
     out = []
@@ -119,6 +159,10 @@ def merge_quantiles(summary: DataFrame, probs: list[float]) -> list[float]:
 
 def approx_quantiles(df: DataFrame, col: str, probs: list[float],
                      eps: float = 0.01, n_shards: int = 16) -> list[float]:
-    """One-shot epsilon-approximate quantiles of ``df[col]``."""
+    """One-shot epsilon-approximate quantiles of ``df[col]``.
+
+    Returns one value per probability, or ``[]`` when the column has
+    no non-null values (no quantile exists on an empty multiset).
+    """
     return merge_quantiles(partition_summaries(df, col, eps, n_shards),
                            probs)

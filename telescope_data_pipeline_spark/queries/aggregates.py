@@ -300,7 +300,120 @@ def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "events")
     probs = [0.1, 0.5, 0.9, 0.99]
+    # empty input -> [] -> schema-correct empty result (boundary
+    # contract: registered queries never crash on zero-row tables)
     est = approx_quantiles(e, "value", probs, eps=0.01)
     return spark.createDataFrame(
         [(p, round(v, 6)) for p, v in zip(probs, est)],
         "prob double, est double")
+
+
+@query("q_quantile_sketch_pinned", oracle="""
+WITH vals AS (
+  SELECT CAST(value AS DOUBLE) AS v FROM events WHERE value IS NOT NULL
+), ent AS (
+  SELECT v, COUNT(*) AS w,
+         ABS(CAST(FLOOR(v * 1000000.0) AS BIGINT)) % 8 AS shard
+  FROM vals GROUP BY v
+), c AS (
+  SELECT v, w, shard,
+         SUM(w) OVER (PARTITION BY shard ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         SUM(w) OVER (PARTITION BY shard) AS wt
+  FROM ent
+), s AS (
+  SELECT *, GREATEST(1, CAST(CEIL(wt * 0.005) AS BIGINT)) AS step FROM c
+), k0 AS (
+  SELECT shard, v, cum FROM s
+  WHERE FLOOR((cum - w) / step) < FLOOR(cum / step) OR cum = wt
+), kept AS (
+  SELECT shard, v, cum,
+         cum - COALESCE(LAG(cum) OVER (PARTITION BY shard ORDER BY v), 0)
+           AS g
+  FROM k0
+), m AS (
+  SELECT v, shard,
+         SUM(g) OVER (ORDER BY v, shard
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS gcum,
+         SUM(g) OVER () AS t
+  FROM kept
+), hits AS (
+  SELECT p.prob, m.v,
+         ROW_NUMBER() OVER (PARTITION BY p.prob ORDER BY m.v, m.shard)
+           AS rn
+  FROM (SELECT UNNEST([0.1, 0.5, 0.9, 0.99]) AS prob) p
+  JOIN m ON m.gcum >= p.prob * m.t
+)
+SELECT CAST(prob AS DOUBLE) AS prob, ROUND(v, 6) + 0.0 AS est
+FROM hits WHERE rn = 1
+""")
+def q_quantile_sketch_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-pinned quantile-summary construction the oracle can
+    REPLAY — the hash-checked twin of q_quantile_sketch, promoted the
+    way q_hll_union pinned HLL registers (fixed shard function,
+    deterministic kept-point rule, exact integer cumulative ranks).
+
+    Construction (identical SQL-expressible algebra on both engines):
+    duplicates collapse to exact (value, weight) entries; each entry is
+    sharded by an engine-agnostic integer hash
+    ``abs(floor(v * 1e6)) % 8``; within a shard the kept points are the
+    first entries crossing each multiple of ``step = ceil(W_s * eps/2)``
+    (eps = 0.01) plus the shard maximum — gap weights therefore sum to
+    EXACT cumulative ranks, and the merged cumulative walk answers each
+    probability within eps*n ranks, the same guarantee the streaming
+    operator (operators/quantile_sketch.py) gives with O(1/eps) state.
+
+    Determinism: every intermediate is integer (counts, cumulative
+    weights, steps) or a single fixed double expression evaluated
+    identically by both engines; the kept-point selection and the
+    final first-crossing pick are total-ordered by (v, shard).
+
+    Scale note: this form is the bounded ORACLE ANCHOR (windows over
+    per-shard distinct values — fine at oracle scale, and the merged
+    walk touches only the O(n_shards/eps) kept points); the production
+    path at 100 TB is the streaming operator, whose per-shard state is
+    capped and whose sort spills JVM-side. Same anchor/production
+    split as q_dedup_minhash_md5 vs the xxhash64 MinHash."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    ent = (e.select(F.col("value").cast("double").alias("v"))
+           .filter(F.col("v").isNotNull())
+           .groupBy("v").agg(F.count(F.lit(1)).alias("w"))
+           .withColumn("shard",
+                       F.abs(F.floor(F.col("v") * 1000000.0)
+                             .cast("bigint")) % 8))
+    ws = Window.partitionBy("shard").orderBy("v")
+    c = ent.select(
+        "v", "w", "shard",
+        F.sum("w").over(ws.rowsBetween(Window.unboundedPreceding,
+                                       Window.currentRow)).alias("cum"),
+        F.sum("w").over(Window.partitionBy("shard")).alias("wt"))
+    s = c.withColumn(
+        "step", F.greatest(F.lit(1).cast("bigint"),
+                           F.ceil(F.col("wt") * 0.005).cast("bigint")))
+    k0 = s.filter(
+        (F.floor((F.col("cum") - F.col("w")) / F.col("step"))
+         < F.floor(F.col("cum") / F.col("step")))
+        | (F.col("cum") == F.col("wt"))).select("shard", "v", "cum")
+    kept = k0.select(
+        "shard", "v",
+        (F.col("cum") - F.coalesce(F.lag("cum").over(ws), F.lit(0)))
+        .alias("g"))
+    wm = (Window.orderBy("v", "shard")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    m = kept.select(
+        "v", "shard",
+        F.sum("g").over(wm).alias("gcum"),
+        F.sum("g").over(Window.partitionBy()).alias("t"))
+    probs = spark.createDataFrame(
+        [(0.1,), (0.5,), (0.9,), (0.99,)], "prob double")
+    hits = (m.join(F.broadcast(probs),
+                   F.col("gcum") >= F.col("prob") * F.col("t"))
+            .withColumn("rn", F.row_number().over(
+                Window.partitionBy("prob").orderBy("v", "shard"))))
+    return (hits.filter(F.col("rn") == 1)
+            .select(F.col("prob").cast("double").alias("prob"),
+                    (F.round("v", 6) + 0.0).alias("est")))

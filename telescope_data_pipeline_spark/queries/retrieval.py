@@ -2170,23 +2170,36 @@ def q_auc_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     6 BEFORE grouping so both engines bucket identically.
 
     Scale: one hash shuffle on score for the jump-point counts
-    (|distinct scores|, not |rows|), one ordered window over those
-    counts, 1-row totals broadcast. At 100 TB with ~continuous scores,
-    pre-bucket scores to fixed precision (already done here via the
-    rounding) so |distinct| is bounded — the standard streaming-AUC
-    histogram approximation made exact at chosen precision."""
+    (|distinct scores|, not |rows|); the cumulative negative count is
+    then an EXACT two-level prefix sum — per-coarse-bucket totals
+    (map-side combined, one bounded ordered window over |buckets| rows
+    for the exclusive bucket offsets, broadcast back) plus a
+    within-bucket window PARTITIONED by bucket — so no window runs
+    over an unpartitioned |distinct scores| stream (the round-6 review
+    item: the docstring promised bucketing the plan didn't have).
+    |buckets| = 64 cells per unit of score range, bounded by the
+    scorer's codomain, not the data size; tests/test_plans.py pins the
+    partitioned-window shape. The oracle keeps the simple global
+    window (same exact answer, oracle scale only)."""
     e = load_table(spark, sf_dir, "embeddings")
     s = e.select(
         F.round(F.element_at("embedding", 1).cast("double"), 6).alias("score"),
         F.when(F.col("label") >= 5, 1).otherwise(0).alias("y"))
-    c = s.groupBy("score").agg(
+    c = (s.groupBy("score").agg(
         F.sum("y").alias("n_pos_s"),
         F.sum(1 - F.col("y")).alias("n_neg_s"))
-    w = (W.orderBy("score")
-         .rowsBetween(W.unboundedPreceding, -1))
-    cum = c.select(
-        "n_pos_s", "n_neg_s",
-        F.coalesce(F.sum("n_neg_s").over(w), F.lit(0)).alias("n_neg_below"))
+        .withColumn("b", F.floor(F.col("score") * 64).cast("long")))
+    wb = W.orderBy("b").rowsBetween(W.unboundedPreceding, -1)
+    bt = (c.groupBy("b").agg(F.sum("n_neg_s").alias("bneg"))
+          .select("b", F.coalesce(F.sum("bneg").over(wb), F.lit(0))
+                  .alias("neg_before_b")))
+    win = (W.partitionBy("b").orderBy("score")
+           .rowsBetween(W.unboundedPreceding, -1))
+    cum = (c.join(F.broadcast(bt), "b")
+           .select("n_pos_s", "n_neg_s",
+                   (F.col("neg_before_b")
+                    + F.coalesce(F.sum("n_neg_s").over(win), F.lit(0)))
+                   .alias("n_neg_below")))
     tot = c.agg(F.sum("n_pos_s").alias("n_pos"),
                 F.sum("n_neg_s").alias("n_neg"))
     return (cum.crossJoin(F.broadcast(tot))

@@ -786,10 +786,20 @@ def test_calibration_partial_aggregates(spark):
 
 def test_auc_jump_point_window_bounded(spark):
     """AUC's cumulative window runs over DISTINCT-score jump points
-    (already aggregated), and the totals ride a 1-row broadcast."""
-    assert_plan(get("q_auc_ranking").fn(spark, SF),
-                contains=("HashAggregate",),
+    (already aggregated), the totals ride a 1-row broadcast, and —
+    the round-6 review fix — every window ORDERED BY score is
+    PARTITIONED by the coarse bucket: the only unpartitioned window
+    left is the exclusive bucket-offset prefix over |buckets| rows."""
+    from telescope_data_pipeline_spark.plans.audit import physical_plan
+
+    df = get("q_auc_ranking").fn(spark, SF)
+    assert_plan(df, contains=("HashAggregate",),
                 absent=("CartesianProduct", "SortMergeJoin"))
+    plan = physical_plan(df).split("== Initial Plan ==")[0]
+    for line in plan.splitlines():
+        ls = line.strip()
+        if ls.startswith("Window") and "score#" in ls:
+            assert "[b#" in ls, f"score window not bucket-partitioned: {ls}"
 
 
 def test_acf_windows_keyed_by_series(spark):
