@@ -2484,14 +2484,19 @@ def q_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter(F.split("text", _TOK), lambda x: x != "")), F.lit(0))
     h = F.md5(F.concat(F.lit("shard:"), F.col("doc_id").cast("string")))
     hk = F.conv(F.substring(h, 1, 10), 16, 10).cast("long")
-    guard = F.assert_true(
-        F.col("doc_id") < F.lit(1 << 20),
-        F.lit("q_shard_export: doc_id exceeds the 2^20 composite-key span"))
+    # the span guard lives INSIDE the okey expression so Catalyst can
+    # never prune it away (the round-6 advisor finding: a guard in a
+    # dropped projection column is dead code) — an aliasing doc_id now
+    # fails the job loudly instead of silently corrupting shard order
     t = (d.select("doc_id", n_tok.cast("long").alias("n_tok"),
                   hk.alias("hk"))
-         .select("*", F.when(guard.isNull(), F.lit(1)).alias("_g"))
-         .withColumn("okey", F.col("hk") * (1 << 20) + F.col("doc_id"))
-         .drop("_g"))
+         .withColumn(
+             "okey",
+             F.when(F.col("doc_id") < F.lit(1 << 20),
+                    F.col("hk") * (1 << 20) + F.col("doc_id"))
+             .otherwise(F.raise_error(F.lit(
+                 "q_shard_export: doc_id exceeds the 2^20 "
+                 "composite-key span")))))
     c = distributed_prefix_sum(t, "okey", "n_tok", out_col="cum")
     sharded = c.select(
         "doc_id", "n_tok", "hk",

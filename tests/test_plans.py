@@ -760,6 +760,25 @@ def test_shard_export_no_single_partition_exchange(spark):
     assert "Exchange SinglePartition" not in plan, plan
 
 
+def test_shard_export_span_guard_is_live(spark, tmp_path):
+    """The composite-key span guard must survive column pruning: a
+    doc_id at the 2^20 boundary has to fail the job LOUDLY (the
+    round-6 advisor found the assert in a pruned column, i.e. dead)."""
+    import pandas as pd
+    import pytest
+
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "embeddings"):
+        import pyarrow.parquet as pq
+        sch = pq.read_table(f"/root/testdata/sf0.001/{t}.parquet").schema
+        pq.write_table(sch.empty_table(), str(tmp_path / f"{t}.parquet"))
+    pd.DataFrame([{"doc_id": 1 << 20, "text": "over span doc",
+                   "lang": "en", "source": "s", "n_chars": 13}]
+                 ).to_parquet(tmp_path / "documents.parquet")
+    with pytest.raises(Exception, match="composite-key span"):
+        get("q_shard_export").fn(spark, str(tmp_path)).collect()
+
+
 def test_ndcg_windows_partitioned_by_qid(spark):
     """Both ranking windows key on qid — no partition-less window, no
     single-partition exchange; the two sorts share one qid exchange."""
