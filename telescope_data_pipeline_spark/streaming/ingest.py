@@ -167,25 +167,98 @@ def compact_ingest_state(spark: SparkSession, accepted_dir: str,
 # Near-duplicate (MinHash-LSH) streaming ingestion
 # ---------------------------------------------------------------------------
 
+#: pruning buckets for the compacted band-index snapshot layout
+_BAND_BUCKETS = 64
+
+
 def _band_rows(sh: DataFrame, num_hashes: int, bands: int) -> DataFrame:
-    """(id, band_idx, band_hash) LSH band rows for shingled docs — the
-    batch operator's own signature fold and band projection."""
+    """(id, band_idx, band_hash, bucket) LSH band rows for shingled
+    docs — the batch operator's own signature fold and band projection,
+    plus the pruning bucket the compacted index is laid out by."""
     from ..operators.dedup import band_rows, minhash_signatures
 
-    return band_rows(minhash_signatures(sh, num_hashes=num_hashes),
-                     num_hashes=num_hashes, bands=bands)
+    return (band_rows(minhash_signatures(sh, num_hashes=num_hashes),
+                      num_hashes=num_hashes, bands=bands)
+            .withColumn("bucket",
+                        F.pmod(F.col("band_hash"),
+                               F.lit(_BAND_BUCKETS)).cast("int")))
 
 
-def load_band_index(spark: SparkSession, band_dir: str) -> DataFrame:
-    """All (band_idx, band_hash) rows accepted so far. Resolved at CALL
+def load_band_index(spark: SparkSession, band_dir: str,
+                    buckets: list[int] | None = None) -> DataFrame:
+    """(band_idx, band_hash) rows accepted so far: the newest compacted
+    snapshot plus every per-batch delta written since. Resolved at CALL
     time — inside foreachBatch this runs per micro-batch, so unlike the
     stream-static join (pinned file listing) every batch sees the bands
-    appended by earlier batches."""
-    batches = ([d for d in os.listdir(band_dir) if d.startswith("batch-")]
-               if os.path.isdir(band_dir) else [])
-    if not batches:
-        return spark.createDataFrame([], "band_idx int, band_hash long")
-    return spark.read.parquet(*[os.path.join(band_dir, d) for d in batches])
+    appended by earlier batches.
+
+    ``buckets`` prunes the SNAPSHOT read to the listed layout buckets
+    (the snapshot is partitionBy("bucket"), so the filter is an
+    I/O-level PartitionFilter — only matching directories are read);
+    per-batch deltas are small by construction (bounded by acceptances
+    since the last compaction) and are read in full."""
+    empty = spark.createDataFrame([], "band_idx int, band_hash long")
+    if not os.path.isdir(band_dir):
+        return empty
+    parts = [empty]
+    snaps = _snapshots(band_dir)
+    if snaps:
+        snap = spark.read.parquet(os.path.join(band_dir, snaps[-1]))
+        if buckets is not None:
+            snap = snap.filter(F.col("bucket").isin(buckets))
+        parts.append(snap.select("band_idx", "band_hash"))
+    batches = [d for d in os.listdir(band_dir) if d.startswith("batch-")]
+    if batches:
+        parts.append(
+            spark.read.parquet(*[os.path.join(band_dir, d) for d in batches])
+            .select("band_idx", "band_hash"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def compact_band_index(spark: SparkSession, band_dir: str) -> str | None:
+    """Fold the per-batch band deltas into a NEW compacted snapshot.
+
+    Mirrors :func:`compact_ingest_state`'s contract (call with the
+    stream STOPPED): distinct-unions the newest snapshot with every
+    ``batch-*`` delta, writes ``snap-<n+1>`` partitioned by the
+    ``bucket`` layout column (so per-batch lookups prune to the
+    buckets the incoming docs actually hash into), then removes the
+    absorbed deltas and older snapshots. Write-then-delete ordering
+    makes a crash safe: leftover deltas merely duplicate rows already
+    in the snapshot, which is harmless for the semi-join and
+    re-deduplicated by the next compaction.
+
+    This is what bounds :func:`ingest_documents_neardup`'s per-batch
+    cost: without it the delta LIST grows with every accepting batch
+    forever; with it each batch reads one bucketed snapshot (pruned to
+    the batch's buckets) plus the bounded post-compaction deltas.
+    Returns the new snapshot path (None when there is nothing to do).
+    """
+    if not os.path.isdir(band_dir):
+        return None
+    batches = [d for d in os.listdir(band_dir) if d.startswith("batch-")]
+    snaps = _snapshots(band_dir)
+    if not batches and len(snaps) <= 1:
+        return None
+    merged = (load_band_index(spark, band_dir)
+              .withColumn("bucket",
+                          F.pmod(F.col("band_hash"),
+                                 F.lit(_BAND_BUCKETS)).cast("int"))
+              .distinct())
+    nxt = (int(snaps[-1][len(_SNAP_PREFIX):]) + 1) if snaps else 0
+    new_snap = os.path.join(band_dir, f"{_SNAP_PREFIX}{nxt}")
+    # repartition on the layout column: one writer per bucket dir, not
+    # n_tasks files per dir (the coalesce(1) trap — see verify notes)
+    (merged.repartition(F.col("bucket"))
+     .write.mode("error").partitionBy("bucket").parquet(new_snap))
+    for d in batches:
+        shutil.rmtree(os.path.join(band_dir, d), ignore_errors=True)
+    for s in snaps:
+        shutil.rmtree(os.path.join(band_dir, s), ignore_errors=True)
+    return new_snap
 
 
 def ingest_documents_neardup(
@@ -211,18 +284,26 @@ def ingest_documents_neardup(
     1. quality gate (map-only, same expression as the batch pipeline);
     2. shingle + MinHash + band hashes (zero-shuffle per-row folds);
     3. docs sharing ANY band with the accepted-corpus band index are
-       dropped — the index stores 12-byte band rows, never text, and is
-       re-read each batch (so it GROWS with acceptances, unlike a
-       pinned stream-static join);
+       dropped — the index stores small band rows, never text, and is
+       resolved each batch (so earlier batches' acceptances are seen,
+       unlike a pinned stream-static join). Per-batch cost is BOUNDED:
+       the read is the newest compacted snapshot PRUNED to the buckets
+       this batch's bands hash into (PartitionFilters on the
+       partitionBy("bucket") layout) plus the deltas written since the
+       last :func:`compact_band_index` — run that on the exact-dedup
+       compaction schedule to keep the delta list short;
     4. within-batch candidates verify by exact Jaccard on shingles
        (keep the smallest doc_id of each near-dup pair);
     5. accepted docs append under ``accepted_dir/batch-<id>`` and their
        band rows under ``band_dir/batch-<id>``.
 
     Exactly-once: both writes are per-batch directories created with
-    mode("error") behind an existence check, so a replayed batch (post-
-    crash restart re-runs the last uncommitted batch) skips cleanly —
-    the mv.py idempotent-merge pattern.
+    mode("error") behind an existence check KEYED ON THE LAST artifact
+    (band_path): a replayed batch with out_path committed but
+    band_path missing rebuilds the bands from the committed parquet
+    before skipping, so a crash between the two writes can never
+    silently un-index accepted content — the mv.py idempotent-merge
+    pattern plus the round-6 advisor's partial-commit repair.
 
     Precision note: an index hit is dropped WITHOUT Jaccard
     verification (the index keeps bands only — at 100 TB shingle
@@ -245,7 +326,22 @@ def ingest_documents_neardup(
     def _tick(batch: DataFrame, batch_id: int) -> None:
         out_path = os.path.join(accepted_dir, f"batch-{batch_id}")
         band_path = os.path.join(band_dir, f"batch-{batch_id}")
-        if os.path.exists(out_path):  # replayed batch: already committed
+        # replay guard keyed on the LAST artifact written: out_path
+        # alone would let a crash between the two writes permanently
+        # lose the accepted docs' bands (all their future near-dups
+        # would then be admitted) — the round-6 advisor finding
+        if os.path.exists(band_path):  # fully committed: skip
+            return
+        if os.path.exists(out_path):
+            # crash landed between the accepted write and the band
+            # write: rebuild the band rows from the COMMITTED accepted
+            # parquet (deterministic fold of the same text), commit
+            # them, and the replayed batch is whole again
+            committed = spark.read.parquet(out_path)
+            (_band_rows(shingle(committed, "doc_id", "text", n=shingle_n),
+                        num_hashes, bands)
+             .select("band_idx", "band_hash", "bucket")
+             .write.mode("error").parquet(band_path))
             return
         gated = (batch
                  .withColumn("verdict", quality_verdict(F.col("text")))
@@ -253,8 +349,13 @@ def ingest_documents_neardup(
                  .drop("verdict"))
         sh = shingle(gated, "doc_id", "text", n=shingle_n)
         banded = _band_rows(sh, num_hashes, bands)
-        # drop docs near-duplicating the accepted corpus (band index hit)
-        idx = load_band_index(spark, band_dir)
+        # drop docs near-duplicating the accepted corpus (band index
+        # hit); the index read prunes the compacted snapshot to the
+        # buckets THIS batch's bands hash into (bounded collect: the
+        # distinct bucket list is <= _BAND_BUCKETS ints)
+        touched = [r["bucket"] for r in
+                   banded.select("bucket").distinct().collect()]
+        idx = load_band_index(spark, band_dir, buckets=touched)
         hit = (banded.join(idx, ["band_idx", "band_hash"], "left_semi")
                .select(F.col("id").alias("doc_id")).distinct())
         survivors = gated.join(hit, "doc_id", "left_anti")
@@ -283,7 +384,7 @@ def ingest_documents_neardup(
         # bands of the accepted docs only — rejected docs must not
         # poison the index against their own originals
         (banded.join(accepted.select(F.col("doc_id").alias("id")), "id")
-         .select("band_idx", "band_hash")
+         .select("band_idx", "band_hash", "bucket")
          .write.mode("error").parquet(band_path))
 
     return (stream.writeStream

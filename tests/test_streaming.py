@@ -574,6 +574,91 @@ def test_streaming_neardup_ingest_drops_edited_recrawls(spark, tmp_path):
     assert got2 == got
 
 
+def test_streaming_neardup_band_compaction_and_repair(spark, tmp_path):
+    """The two round-6 findings on the near-dup ingest index:
+
+    1. partial-commit repair — a crash between the accepted write and
+       the band write (simulated: band dir deleted, checkpoint reset)
+       must REBUILD the missing bands from the committed parquet on
+       replay, so later near-dups of that content are still dropped;
+    2. bounded per-batch cost — compact_band_index folds the per-batch
+       deltas into one bucket-partitioned snapshot (deltas removed),
+       the pruned read carries the bucket predicate at the
+       PartitionFilters (I/O) level, and dedup across the compaction
+       boundary still works."""
+    import shutil as _shutil
+
+    import pandas as pd
+
+    from telescope_data_pipeline_spark.plans.audit import physical_plan
+    from telescope_data_pipeline_spark.streaming.ingest import (
+        compact_band_index,
+        ingest_documents_neardup,
+        load_band_index,
+    )
+
+    docs_dir, acc = tmp_path / "docs", tmp_path / "accepted"
+    bands, cp = tmp_path / "bands", tmp_path / "cp"
+    docs_dir.mkdir()
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon " * 3)
+    other = ("red orange yellow green blue indigo violet umber ochre teal "
+             "crimson scarlet amber jade azure navy coral mauve plum rust "
+             * 3)
+
+    def row(i, text):
+        return {"doc_id": i, "text": text, "lang": "en",
+                "source": "crawl", "n_chars": len(text)}
+
+    def run():
+        q = ingest_documents_neardup(
+            spark, str(docs_dir), str(acc), str(bands), str(cp),
+            num_hashes=16, bands=8, threshold=0.5)
+        assert q.awaitTermination(180)
+
+    pd.DataFrame([row(0, base)]).to_parquet(docs_dir / "chunk0.parquet")
+    run()
+    n_bands = spark.read.parquet(str(bands / "batch-0")).count()
+    assert n_bands > 0
+
+    # 1. simulate the crash window: accepted committed, bands lost
+    _shutil.rmtree(bands / "batch-0")
+    _shutil.rmtree(cp)
+    run()  # replayed batch-0 takes the repair path
+    assert spark.read.parquet(str(bands / "batch-0")).count() == n_bands
+    pd.DataFrame([row(5, base + "edited ending"), row(6, other)]
+                 ).to_parquet(docs_dir / "chunk1.parquet")
+    run()
+    got = {r.doc_id for r in
+           spark.read.parquet(str(acc) + "/batch-*").collect()}
+    assert got == {0, 6}, got  # 5 dropped via the REBUILT bands
+
+    # 2. compact: one bucketed snapshot, deltas gone, content preserved
+    before = {(r.band_idx, r.band_hash)
+              for r in load_band_index(spark, str(bands)).collect()}
+    snap = compact_band_index(spark, str(bands))
+    assert snap is not None
+    import os
+    entries = sorted(os.listdir(bands))
+    assert entries == ["snap-0"], entries
+    assert any(d.startswith("bucket=") for d in os.listdir(snap))
+    after = {(r.band_idx, r.band_hash)
+             for r in load_band_index(spark, str(bands)).collect()}
+    assert after == before
+    # pruned read: bucket predicate reaches PartitionFilters
+    pruned = load_band_index(spark, str(bands), buckets=[1, 2, 3])
+    plan = physical_plan(pruned)
+    assert "PartitionFilters" in plan
+    assert "bucket" in plan.split("PartitionFilters")[1][:300]
+    # dedup still works ACROSS the compaction boundary
+    pd.DataFrame([row(10, other + "appended"), row(11, base[::-1])]
+                 ).to_parquet(docs_dir / "chunk2.parquet")
+    run()
+    got = {r.doc_id for r in
+           spark.read.parquet(str(acc) + "/batch-*").collect()}
+    assert got == {0, 6, 11}, got  # 10 dropped via the SNAPSHOT
+
+
 def test_stream_stream_outer_join_flushes_on_watermark(spark, tmp_path):
     """Left-outer stream-stream join: matched rows emit with the match;
     unmatched purchases emit null-padded only after the watermark
