@@ -26,6 +26,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .cache_slot import CacheSlot
+
+#: single-slot fingerprint cache for the banded image near-dup join —
+#: the dedup.py _FP_SLOT discipline applied to perceptual hashes
+_PHASH_SLOT = CacheSlot()
+
 #: Output schema of the image feature extractor.
 IMAGE_FEATURES = T.StructType([
     T.StructField("media_id", T.LongType(), False),
@@ -546,6 +552,14 @@ def image_near_duplicates(media: DataFrame,
 
     fp = perceptual_hashes(media).select(
         F.col("media_id").alias("id"), "fp")
+    # The banded self-join consumes fp twice; uncached, BOTH legs would
+    # re-run decode_image + aHash per image (the round-6 advisor
+    # finding — the exact double-compute simhash_near_duplicates
+    # caches against). Same single-slot cache + materialize-before-join
+    # discipline as the SimHash path (dedup.py), same bound: one
+    # |images| x 16-byte fingerprint table per session.
+    fp = _PHASH_SLOT.own(fp)
+    fp.count()
     return (hamming_near_duplicates(fp, max_hamming=max_hamming)
             .select(F.col("id_a").alias("media_id_a"),
                     F.col("id_b").alias("media_id_b"), "hamming"))

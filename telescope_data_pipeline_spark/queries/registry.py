@@ -44,63 +44,26 @@ class Query:
 _REGISTRY: dict[str, Query] = {}
 
 #: The driver's correctness gate checks queries in ``queries()`` dict
-#: order and stops after the first 50 entries. Round-6 rotation
-#: (executing the plan the round-5 window left behind): front-load the
-#: 30 queries that have NEVER appeared in a CORRECTNESS file (r5
-#: verdict item 4 list, all locally sweep-green), the two promotions
-#: (q_sample_stratified md5-threshold draw, q_pack_greedy recursive-CTE
-#: fold), and the operators NEW in r6 (SemDeDup, DSIR, interval join,
-#: heavy hitters, time-weighted average, compaction), then backfill r3-green
-#: scalar/filter/scan sit-outs for rolling regression visibility. The
-#: remaining r3/r4/r5-green queries (all re-verified by the local
-#: sf0.01+sf0.1 sweep every session) rotate back in round 7.
-#:
-#: ROUND-7 ROTATION NOTE: the driver stops after ~50 entries, and this
-#: window holds 91 first-time candidates — the 41 past the cut
-#: (q_auc_ranking, q_ndcg_mrr, q_calibration, q_acf, q_zipf_fit,
-#: q_linkage_blocked, q_ewma, q_bootstrap_ci, q_kanonymity, q_kl_drift,
-#: q_kneser_ney, q_markov_transitions, q_skew_audit, q_hll_union,
-#: q_cms_count, q_user_growth, q_bpe_merge_step, q_small_order_revenue,
-#: q_classification_report, q_dq_rules, q_late_supplier,
-#: q_label_propagation, q_sequence_pattern, q_sample_neyman,
-#: q_pass_at_k, q_changepoint, q_quantile_sketch rows-only,
-#: q_sessionize, q_rfm_segments, q_seasonal_baseline,
-#: q_holt_forecast, q_attribution, q_source_overlap, q_mlm_mask,
-#: q_recursive_calendar, q_kaplan_meier, q_ab_power,
-#: q_dedup_cascade, q_funnel_windowed, q_rolling_active_users,
-#: q_kcore) must lead round 7's PRIORITY. Then backfill q_unpivot
-#: (bumped from the r6 window for q_shard_export) and the r3-green sit-outs that
-#: missed this window (q_scalar_date2, q_scalar_math, q_scalar_round, q_scalar_string2, q_scan_csv, q_scan_json,
-#: q_sort, q_text_redact, q_color_index, q_partition_overwrite,
-#: q_phase_fold, q_histogram, q_json_extract, q_posexplode,
-#: q_cohort_retention, q_case_when, q_filter_range, q_project,
-#: q_scalar_bits,
-#: q_doc_chunks, q_zscore, q_topk_per_group, q_window_trim,
-#: q_union_distinct), then rotate
-#: r4/r5-green family representatives (flagship, aggs, joins,
-#: photometry, dedup/similarity, packing/mixing, streaming-batch).
+#: order and stops after the first 50 entries. Round-7 rotation
+#: (executing the plan the round-6 window left behind, VERDICT r6
+#: item 1): the 43 registered queries that have NEVER appeared in any
+#: CORRECTNESS file (41 oracle-backed + q_quantile_sketch and
+#: q_media_phash rows-only) lead the window — this converts the last
+#: "locally claimed" ~20% of the engine into "driver-proven". The
+#: q_quantile_sketch empty-input crash and the q_auc_ranking
+#: partition-less window were fixed BEFORE this rotation (VERDICT r6
+#: items 2/4). Group (b) holds the oracle promotions and operators NEW
+#: in round 7 (q_quantile_sketch_pinned: the SQL-replayable twin that
+#: promotes the quantile sketch to hash-checked, per the q_hll_union
+#: recipe). Group (c) backfills the remaining slots with the
+#: oldest-green (r3) queries for rolling regression visibility.
+#: Everything else stays re-verified by the local sf0.01+sf0.1 sweep
+#: every session and rotates back in round 8.
 PRIORITY: tuple[str, ...] = (
-    # (a) first-time evidence: never in any CORRECTNESS file (r1-r5)
-    "q_anomaly_mad", "q_bfs_levels", "q_bigram_pmi", "q_cdc_apply",
-    "q_char_entropy", "q_chi_square", "q_fuzzy_join",
-    "q_grouped_regression", "q_inverted_index", "q_ivf_probe",
-    "q_join_nullsafe", "q_median_twopass", "q_mv_maintenance",
-    "q_negative_sample", "q_ngram_repetition", "q_ohlc_bars",
-    "q_oov_rate", "q_pagerank", "q_pq_adc", "q_profile_table",
-    "q_quantile_norm", "q_random_projection", "q_sample_reservoir",
-    "q_scd2_asof", "q_setsim_join", "q_skyline", "q_sparse_cosine",
-    "q_triangle_count", "q_zorder_key",
-    # (b) first-time evidence: promoted from rows-only this round, and
-    # the operators new this round
-    "q_sample_stratified", "q_pack_greedy", "q_semdedup", "q_dsir",
-    "q_join_interval", "q_heavy_hitters", "q_time_weighted_avg",
-    "q_compact_files", "q_shipping_priority",
-    "q_ks_drift", "q_winsorize", "q_corr_matrix", "q_containment_join",
-    "q_rank_fusion", "q_interp_linear", "q_ab_ttest", "q_maxsim_late",
-    "q_phrase_search", "q_label_knn_noise", "q_doremi_step",
-    "q_shard_export", "q_auc_ranking", "q_ndcg_mrr", "q_calibration",
-    "q_acf", "q_zipf_fit", "q_linkage_blocked", "q_ewma", "q_bootstrap_ci",
-    "q_kanonymity", "q_kl_drift", "q_kneser_ney",
+    # (a) first-time evidence: never in any CORRECTNESS file (r1-r6)
+    "q_auc_ranking", "q_ndcg_mrr", "q_calibration",
+    "q_acf", "q_zipf_fit", "q_linkage_blocked", "q_ewma",
+    "q_bootstrap_ci", "q_kanonymity", "q_kl_drift", "q_kneser_ney",
     "q_markov_transitions", "q_skew_audit", "q_hll_union", "q_cms_count",
     "q_user_growth", "q_bpe_merge_step", "q_small_order_revenue",
     "q_classification_report", "q_dq_rules",
@@ -111,9 +74,12 @@ PRIORITY: tuple[str, ...] = (
     "q_holt_forecast", "q_attribution", "q_source_overlap",
     "q_mlm_mask", "q_recursive_calendar", "q_kaplan_meier", "q_ab_power",
     "q_dedup_cascade", "q_funnel_windowed", "q_rolling_active_users",
-    "q_kcore",
-    # (c) r3-green backfill absorbed into (a)/(b): every slot now goes
-    # to first-time evidence for this round's operators
+    "q_kcore", "q_unpivot", "q_media_phash",
+    # (b) first-time evidence: oracle promotions + operators new in r7
+    "q_quantile_sketch_pinned",
+    # (c) oldest-green backfill (r3) for rolling regression visibility
+    "q_scalar_math", "q_scalar_round", "q_scan_csv", "q_sort",
+    "q_json_extract", "q_text_redact",
 )
 
 

@@ -292,6 +292,16 @@ def _make_quota_update(quota: int, window_us: int):
                 w = us - us % window_us
                 if win0 is None or w > win0:
                     win0, used = w, 0  # window rolled over: reset budget
+                if w < win0:
+                    # straggler from an ALREADY-CLOSED window: its
+                    # budget is gone — reject WITHOUT consuming the
+                    # current window's budget (the round-6 advisor
+                    # finding: admitting it both mis-attributed the
+                    # admission and stole a current-window slot)
+                    out.append({"source": key[0],
+                                "event_id": int(r.event_id), "ts": r.ts,
+                                "admitted": False, "used_after": used})
+                    continue
                 admitted = used < quota
                 if admitted:
                     used += 1
@@ -321,7 +331,12 @@ def enforce_quota(stream: DataFrame, key_col: str = "event_type",
     dedup on event_id). Note the contract is per-arrival-order within
     event-time windows: late rows admitted in an earlier trigger are
     not revoked when stragglers arrive — admission is a gate, not a
-    retroactive top-k.
+    retroactive top-k — and a straggler from an already-CLOSED window
+    (event time before the current window) is rejected outright
+    without touching the current window's budget: its own window's
+    budget is unrecoverable once the single (window, used) pair rolls
+    forward, and charging it to the current window would mis-attribute
+    both the admission and used_after.
 
     Scale: O(1) state per key; output rides update mode."""
     window_us = int(pd.Timedelta(window).total_seconds() * 1_000_000)

@@ -218,6 +218,49 @@ def test_enforce_quota_matches_batch_rank(spark):
     assert sum(got.values()) < len(got)  # the quota actually bit
 
 
+def test_enforce_quota_rejects_closed_window_stragglers(spark, tmp_path):
+    """A late event whose window ALREADY ROLLED OVER must be rejected
+    without consuming the current window's budget (round-6 advisor:
+    it was being admitted against — and charged to — the wrong
+    window)."""
+    import pandas as pd
+
+    from telescope_data_pipeline_spark.streaming.stateful import (
+        enforce_quota,
+    )
+
+    d = tmp_path / "ev"
+    d.mkdir()
+
+    def ev(i, minute_offset):
+        return {"event_id": i,
+                "ts": pd.Timestamp("2025-01-01 10:00:00")
+                + pd.Timedelta(minutes=minute_offset),
+                "user_id": 1, "event_type": "a", "value": 1.0,
+                "props": "{}"}
+
+    # batch 0: two W1 admissions fill quota minus one; one W2 rollover
+    pd.DataFrame([ev(1, 0), ev(2, 10), ev(3, 60)]).to_parquet(
+        d / "b0.parquet", coerce_timestamps="us",
+        allow_truncated_timestamps=True)
+    # batch 1: straggler back in W1 (closed) + a live W2 event
+    pd.DataFrame([ev(4, 20), ev(5, 65)]).to_parquet(
+        d / "b1.parquet", coerce_timestamps="us",
+        allow_truncated_timestamps=True)
+
+    stream = read_event_stream(spark, str(d), max_files_per_trigger=1)
+    q = (enforce_quota(stream, "event_type", quota=2, window="1 hour")
+         .writeStream.format("memory").queryName("quota_late")
+         .outputMode("update").trigger(availableNow=True).start())
+    assert q.awaitTermination(180)
+    rows = {r.event_id: (r.admitted, r.used_after) for r in spark.sql(
+        "SELECT event_id, admitted, used_after FROM quota_late").collect()}
+    assert rows[1] == (True, 1) and rows[2] == (True, 2)
+    assert rows[3] == (True, 1)            # W2 rollover reset the budget
+    assert rows[4] == (False, 1)           # closed-window straggler:
+    assert rows[5] == (True, 2)            # ...did NOT consume a W2 slot
+
+
 def test_cusum_drift_alarm_fires_after_shift_only(spark):
     """CUSUM change detection: a planted +2-sigma mean shift must alarm
     shortly AFTER the shift point and never before; an undrifted series
