@@ -153,18 +153,120 @@ def _decode_bmp(payload: bytes) -> np.ndarray:
     return np.ascontiguousarray(gray, dtype=np.float32)
 
 
+def _unfilter_scanline(f: int, line: np.ndarray, prev: np.ndarray,
+                       bpp: int) -> np.ndarray:
+    """Reverse one PNG scanline filter (spec §9): None/Sub/Up are
+    vectorized; Average and Paeth recur on the just-reconstructed left
+    neighbor, so they walk the line (pixels are bytes; the walk is
+    per-image CPU inside an Arrow batch, no Spark impact)."""
+    if f == 0:
+        return line.astype(np.uint8)
+    if f == 2:
+        return ((line + prev) & 0xFF).astype(np.uint8)
+    n = len(line)
+    cur = np.zeros(n, np.uint16)
+    for i in range(n):
+        a = int(cur[i - bpp]) if i >= bpp else 0
+        b = int(prev[i])
+        if f == 1:
+            pred = a
+        elif f == 3:
+            pred = (a + b) >> 1
+        elif f == 4:
+            c = int(prev[i - bpp]) if i >= bpp else 0
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+        else:
+            raise CodecUnavailable(f"PNG filter type {f} invalid")
+        cur[i] = (int(line[i]) + pred) & 0xFF
+    return cur.astype(np.uint8)
+
+
+def _decode_png(payload: bytes) -> np.ndarray:
+    """Pure-Python PNG decode (stdlib zlib, no PIL): 8-bit depth,
+    color types gray / RGB / palette / gray+alpha / RGBA, all five
+    scanline filters, non-interlaced. Grayscale via the same ITU-R 601
+    luma as the BMP path. Raises CodecUnavailable on 1/2/4/16-bit
+    depths and Adam7 interlace — corrupt-or-unsupported real media
+    must fail loudly, never fall through to the stub. This closes the
+    round-6 gap: real crawls are JPEG/PNG, and the repo's only real
+    decoders were BMP/WAV."""
+    import struct
+    import zlib
+
+    b = bytes(payload)
+    if b[:8] != b"\x89PNG\r\n\x1a\n":
+        raise CodecUnavailable("not a PNG signature")
+    pos, idat, pal = 8, [], None
+    w = h = depth = ctype = interlace = None
+    while pos + 8 <= len(b):
+        ln = int.from_bytes(b[pos:pos + 4], "big")
+        typ = b[pos + 4:pos + 8]
+        data = b[pos + 8:pos + 8 + ln]
+        pos += 12 + ln  # length + type + data + crc
+        if typ == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data)
+        elif typ == b"PLTE":
+            pal = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if w is None or not idat:
+        raise CodecUnavailable("PNG missing IHDR/IDAT")
+    if depth != 8:
+        raise CodecUnavailable(f"PNG bit depth {depth} unsupported")
+    if interlace:
+        raise CodecUnavailable("Adam7 interlaced PNG unsupported")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if channels is None:
+        raise CodecUnavailable(f"PNG color type {ctype} invalid")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) != (stride + 1) * h:
+        raise CodecUnavailable("PNG pixel data length mismatch")
+    out = np.empty((h, stride), np.uint8)
+    prev = np.zeros(stride, np.uint16)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = np.frombuffer(raw, np.uint8, count=stride,
+                             offset=y * (stride + 1) + 1).astype(np.uint16)
+        out[y] = _unfilter_scanline(f, line, prev, channels)
+        prev = out[y].astype(np.uint16)
+    px = out.astype(np.float32)
+    if ctype == 0:
+        gray = px
+    elif ctype == 2 or ctype == 6:
+        rgb = px.reshape(h, w, channels)
+        gray = (rgb[..., 0] * 0.299 + rgb[..., 1] * 0.587
+                + rgb[..., 2] * 0.114)
+    elif ctype == 4:
+        gray = px.reshape(h, w, 2)[..., 0]
+    else:  # palette
+        if pal is None:
+            raise CodecUnavailable("palette PNG missing PLTE")
+        rgb = pal[out].astype(np.float32)
+        gray = (rgb[..., 0] * 0.299 + rgb[..., 1] * 0.587
+                + rgb[..., 2] * 0.114)
+    return np.ascontiguousarray(gray.reshape(h, w), dtype=np.float32)
+
+
 def decode_image(payload: bytes) -> np.ndarray:
     """Decode an encoded image payload to a float32 grayscale array.
 
-    Dispatch by MAGIC BYTES: BMP decodes with the built-in pure-Python
-    decoder (always available); other real image signatures decode
-    with PIL (raising on corruption — never silently stubbed, and
-    raising CodecUnavailable when PIL is absent); anything else is
-    a synthetic fixture and takes the deterministic stub."""
+    Dispatch by MAGIC BYTES: BMP and PNG decode with the built-in
+    pure-Python decoders (always available); other real image
+    signatures decode with PIL (raising on corruption — never silently
+    stubbed, and raising CodecUnavailable when PIL is absent); anything
+    else is a synthetic fixture and takes the deterministic stub."""
     if payload is None:
         raise CodecUnavailable("no payload")
     if _is_bmp(payload):
         return _decode_bmp(payload)
+    if bytes(payload[:4]) == b"\x89PNG":
+        return _decode_png(payload)
     if _has_magic(payload, _IMAGE_MAGICS, riff_kind=b"WEBP"):
         if _pil_image is None:
             raise CodecUnavailable(
@@ -391,6 +493,32 @@ def _tiny_bmp(rng: np.random.Generator, side: int = 8) -> bytes:
                           len(body), 2835, 2835, 0, 0) + body)
 
 
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data)))
+
+
+def _tiny_png(rng: np.random.Generator, side: int = 8,
+              ctype: int = 2) -> bytes:
+    """A real, decodable 8-bit PNG with random pixels (fixture);
+    ``ctype`` 0=gray, 2=RGB, 6=RGBA. Rows carry filter 0 — the
+    filter-1..4 reconstruction paths are pinned by hand-filtered
+    goldens in tests/test_multimodal.py."""
+    import struct
+    import zlib
+
+    channels = {0: 1, 2: 3, 6: 4}[ctype]
+    px = rng.integers(0, 256, size=(side, side * channels), dtype=np.uint8)
+    raw = b"".join(b"\x00" + bytes(px[r]) for r in range(side))
+    ihdr = struct.pack(">IIBBBBB", side, side, 8, ctype, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(raw))
+            + _png_chunk(b"IEND", b""))
+
+
 def _tiny_wav(rng: np.random.Generator, duration_s: float,
               sr: int = 4000) -> bytes:
     """A real, decodable 16-bit PCM WAV with a random tone (fixture)."""
@@ -409,9 +537,10 @@ def _tiny_wav(rng: np.random.Generator, duration_s: float,
 def make_fake_media(spark, n: int = 64, seed: int = 7) -> DataFrame:
     """Deterministic MEDIA-schema fixture (images + videos + audio) for
     tests and the rows-only driver demos. Every 4th image is a REAL
-    24-bit BMP and every 4th audio clip a REAL 16-bit PCM WAV, so the
-    built-in pure-Python decoders run in every demo alongside the
-    stub path (magic-byte dispatch exercised end-to-end)."""
+    24-bit BMP, the next a REAL 8-bit PNG (gray/RGB/RGBA cycling), and
+    every 4th audio clip a REAL 16-bit PCM WAV, so the built-in
+    pure-Python decoders run in every demo alongside the stub path
+    (magic-byte dispatch exercised end-to-end)."""
     from ..schemas import MEDIA
 
     rng = np.random.default_rng(seed)
@@ -423,6 +552,9 @@ def make_fake_media(spark, n: int = 64, seed: int = 7) -> DataFrame:
         if modality == "image" and (i // 3) % 4 == 0:
             payload = _tiny_bmp(rng)
             m = "image/bmp"
+        elif modality == "image" and (i // 3) % 4 == 1:
+            payload = _tiny_png(rng, ctype=(0, 2, 6)[(i // 12) % 3])
+            m = "image/png"
         elif modality == "audio" and (i // 3) % 4 == 0:
             payload = _tiny_wav(rng, dur)
             m = mime[modality]

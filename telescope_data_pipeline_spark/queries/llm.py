@@ -296,9 +296,14 @@ FROM dots WHERE dot / SQRT(na * nb) >= 0.4
 """)
 def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (threshold 0.4 — the driver
-    corpus tops out at 0.51 pairwise). Brute-force all-pairs form as the
-    exactness baseline; the LSH-bucketed form (q_sim_ann) is the path
-    that scales past a broadcastable corpus."""
+    corpus tops out at 0.51 pairwise). BOUNDED ORACLE ANCHOR, not the
+    production path: the broadcast all-pairs form exists so DuckDB can
+    hash-check every pair exactly at oracle scale. The production
+    entry point is operators/similarity.py::embedding_near_duplicates
+    (banded hyperplane-LSH candidates + exact-cosine verify, linear
+    shuffle — demoed by q_dedup_embed_lsh, recall- and plan-tested);
+    same anchor/production split as q_dedup_minhash_md5 vs the
+    xxhash64 MinHash."""
     from ..operators.similarity import cosine as cos_expr
 
     e = load_table(spark, sf_dir, "embeddings")
@@ -310,6 +315,25 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= 0.4)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )
+
+
+@query("q_dedup_embed_lsh", oracle=None)  # LSH candidates: rows-only
+def q_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs through the PRODUCTION path
+    (operators/similarity.py::embedding_near_duplicates): multi-table
+    hyperplane-LSH candidate equi-join + exact-cosine verify — never
+    all-pairs (plan-tested: no CartesianProduct/BNLJ). Demo threshold
+    matches the anchor's 0.4 with a low-bit/many-table config sized
+    for recall at that unusually low threshold; the operator's
+    defaults target the >= 0.9 near-duplicate regime. Precision is
+    exact (verified cosine); recall is probabilistic, so rows-only —
+    the planted-pair recall contract lives in
+    tests/test_dedup_similarity.py."""
+    from ..operators.similarity import embedding_near_duplicates
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_duplicates(e, threshold=0.4, dim=64,
+                                     n_bits=4, n_tables=16)
 
 
 @query("q_dedup_near", oracle=None)  # hash-seeded candidates: rows-only check

@@ -300,3 +300,56 @@ def test_ivf_index_persisted_probe(spark, vecs, tmp_path):
     # and the narrow probe's candidates all come from probed cells:
     # recall against full probe is structural, not asserted exactly
     assert narrow.count() <= 5
+
+
+def test_embedding_near_duplicates_planted_and_plan(spark):
+    """The production embedding-dedup path (banded LSH + exact verify):
+    planted high-cosine pairs are found (deterministic under the fixed
+    hyperplane seed), nothing below threshold survives (precision is
+    exact by construction), and the plan contains no cross product."""
+    import numpy as np
+
+    from telescope_data_pipeline_spark.operators.similarity import (
+        embedding_near_duplicates,
+    )
+    from telescope_data_pipeline_spark.plans.audit import physical_plan
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(40):
+        v = rng.standard_normal(64)
+        v /= np.linalg.norm(v)
+        rows.append((i, [float(x) for x in v]))
+        if i < 6:  # plant a near-copy: tiny perturbation, cosine ~0.998
+            w = v + 0.03 * rng.standard_normal(64)
+            w /= np.linalg.norm(w)
+            rows.append((100 + i, [float(x) for x in w]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = embedding_near_duplicates(df, threshold=0.9)
+    pairs = {(r.id_a, r.id_b): r.cosine for r in got.collect()}
+    for i in range(6):  # every planted copy found at >= 0.9
+        assert (i, 100 + i) in pairs, (i, pairs)
+        assert pairs[(i, 100 + i)] >= 0.9
+    assert all(c >= 0.9 for c in pairs.values())
+    plan = physical_plan(got)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dedup_embed_lsh_query_no_all_pairs(spark):
+    """q_dedup_embed_lsh (the registered production demo) must plan as
+    equi-joins only — the all-pairs form is reachable solely through
+    the oracle anchor q_dedup_embed."""
+    from telescope_data_pipeline_spark.plans.audit import physical_plan
+    from telescope_data_pipeline_spark.queries import get
+
+    df = get("q_dedup_embed_lsh").fn(spark, "/root/testdata/sf0.01")
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # and the verified pairs are a (non-strict) subset of the anchor's
+    anchor = {(r.id_a, r.id_b)
+              for r in get("q_dedup_embed")
+              .fn(spark, "/root/testdata/sf0.01").collect()}
+    mine = {(r.id_a, r.id_b) for r in df.collect()}
+    assert mine <= anchor

@@ -389,3 +389,153 @@ def test_wav_compressed_codec_fails_loudly():
 
     with pytest.raises(CodecUnavailable):
         decode_audio(_make_wav([0.0] * 10, codec=2), 0.1)  # ADPCM
+
+
+# ---------------------------------------------------------------------------
+# PNG decoder (pure Python, stdlib zlib — no PIL in this environment,
+# which is exactly the condition the decoder exists for)
+# ---------------------------------------------------------------------------
+
+def _png_from_scanlines(w, h, ctype, scanlines):
+    """Assemble a PNG from pre-filtered scanlines (filter byte + data)."""
+    import struct
+    import zlib
+
+    from telescope_data_pipeline_spark.operators.multimodal import _png_chunk
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(b"".join(scanlines)))
+            + _png_chunk(b"IEND", b""))
+
+
+def test_png_decode_gray_rgb_rgba_known_pixels():
+    """Filter-0 scanlines for color types 0/2/6: decoded grayscale must
+    equal the exact ITU-R 601 luma of the planted pixels."""
+    import numpy as np
+
+    from telescope_data_pipeline_spark.operators.multimodal import (
+        _decode_png,
+    )
+
+    rng = np.random.default_rng(3)
+    # gray
+    g = rng.integers(0, 256, size=(4, 5), dtype=np.uint8)
+    png = _png_from_scanlines(5, 4, 0, [b"\x00" + bytes(g[r])
+                                        for r in range(4)])
+    assert np.array_equal(_decode_png(png), g.astype(np.float32))
+    # RGB and RGBA
+    for ctype, ch in ((2, 3), (6, 4)):
+        px = rng.integers(0, 256, size=(3, 4, ch), dtype=np.uint8)
+        png = _png_from_scanlines(
+            4, 3, ctype, [b"\x00" + bytes(px[r].ravel()) for r in range(3)])
+        want = (px[..., 0] * 0.299 + px[..., 1] * 0.587
+                + px[..., 2] * 0.114).astype(np.float32)
+        got = _decode_png(png)
+        assert got.shape == (3, 4)
+        assert np.allclose(got, want)
+
+
+def test_png_decode_all_filter_types():
+    """Forward-filter known pixels with Sub/Up/Average/Paeth per the
+    spec, then assert the decoder reconstructs the originals exactly."""
+    import numpy as np
+
+    from telescope_data_pipeline_spark.operators.multimodal import (
+        _decode_png,
+    )
+
+    rng = np.random.default_rng(11)
+    w, h = 6, 5
+    px = rng.integers(0, 256, size=(h, w), dtype=np.int32)  # gray, bpp=1
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    lines = []
+    for y, f in zip(range(h), (0, 1, 2, 3, 4)):
+        row = bytearray([f])
+        for x in range(w):
+            cur = int(px[y, x])
+            a = int(px[y, x - 1]) if x else 0
+            b = int(px[y - 1, x]) if y else 0
+            c = int(px[y - 1, x - 1]) if x and y else 0
+            pred = {0: 0, 1: a, 2: b, 3: (a + b) >> 1,
+                    4: paeth(a, b, c)}[f]
+            row.append((cur - pred) & 0xFF)
+        lines.append(bytes(row))
+    got = _decode_png(_png_from_scanlines(w, h, 0, lines))
+    assert np.array_equal(got, px.astype(np.float32))
+
+
+def test_png_palette_and_unsupported_variants():
+    """Palette PNGs decode through PLTE lookup; 16-bit depth and Adam7
+    interlace fail LOUDLY (CodecUnavailable), never fall to the stub."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from telescope_data_pipeline_spark.operators.multimodal import (
+        CodecUnavailable,
+        _decode_png,
+        _png_chunk,
+    )
+
+    # palette: 3 colors, 2x3 image
+    pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]], dtype=np.uint8)
+    idx = np.array([[0, 1, 2], [2, 1, 0]], dtype=np.uint8)
+    ihdr = struct.pack(">IIBBBBB", 3, 2, 8, 3, 0, 0, 0)
+    raw = b"".join(b"\x00" + bytes(idx[r]) for r in range(2))
+    png = (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+           + _png_chunk(b"PLTE", pal.tobytes())
+           + _png_chunk(b"IDAT", zlib.compress(raw))
+           + _png_chunk(b"IEND", b""))
+    want = (pal[idx][..., 0] * 0.299 + pal[idx][..., 1] * 0.587
+            + pal[idx][..., 2] * 0.114).astype(np.float32)
+    assert np.allclose(_decode_png(png), want)
+
+    for depth, interlace, msg in ((16, 0, "bit depth"),
+                                  (8, 1, "interlaced")):
+        bad_ihdr = struct.pack(">IIBBBBB", 2, 2, depth, 0, 0, 0, interlace)
+        bad = (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", bad_ihdr)
+               + _png_chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
+               + _png_chunk(b"IEND", b""))
+        with pytest.raises(CodecUnavailable, match=msg):
+            _decode_png(bad)
+
+
+def test_png_near_duplicates_planted_copy_no_pil(spark):
+    """End-to-end without PIL: a re-encoded PNG copy of a BMP image
+    (same pixels, different container) must surface as a perceptual-
+    hash near-duplicate pair — the image-dedup promise on the formats
+    a real crawl contains."""
+    import numpy as np
+
+    from telescope_data_pipeline_spark.operators.multimodal import (
+        _decode_bmp,
+        _tiny_bmp,
+        image_near_duplicates,
+    )
+    from telescope_data_pipeline_spark.schemas import MEDIA
+
+    rng = np.random.default_rng(23)
+    bmp = _tiny_bmp(rng, side=16)
+    gray = _decode_bmp(bmp).astype(np.uint8)  # exact pixels
+    png = _png_from_scanlines(
+        16, 16, 0, [b"\x00" + bytes(gray[r]) for r in range(16)])
+    distractor_rng = np.random.default_rng(99)
+    rows = [
+        (0, "image", bmp, "image/bmp", 16, 16, None, {"src": "a"}),
+        (1, "image", png, "image/png", 16, 16, None, {"src": "b"}),
+        (2, "image", _tiny_bmp(distractor_rng, side=16), "image/bmp",
+         16, 16, None, {"src": "c"}),
+    ]
+    media = spark.createDataFrame(rows, schema=MEDIA)
+    pairs = {(r.media_id_a, r.media_id_b)
+             for r in image_near_duplicates(media, max_hamming=6).collect()}
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs and (1, 2) not in pairs
