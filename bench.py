@@ -76,6 +76,15 @@ EXTRA = [
     "q_label_propagation",
     "q_sequence_pattern",
     "q_changepoint",
+    # round-7 additions (r6 verdict item 7): the r6 analytics batch +
+    # the r7 production-path operators publish numbers without touching
+    # the frozen comparator set
+    "q_sessionize",
+    "q_rolling_active_users",
+    "q_funnel_windowed",
+    "q_kcore",
+    "q_quantile_sketch_pinned",
+    "q_dedup_embed_lsh",
 ]
 
 

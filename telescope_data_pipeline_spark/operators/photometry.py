@@ -181,6 +181,52 @@ PHOT_SCHEMA = T.StructType([
 ])
 
 
+def _epsf_fine_grid(refs: list[tuple[np.ndarray, float, float]],
+                    ch: int, oversampling: int) -> np.ndarray:
+    """Accumulate max-normalized reference cutouts on an oversampled
+    grid, each placed at its SUB-PIXEL center (the EPSFBuilder essence
+    at oversampling=2, reference core.py:411): coarse pixel (r, c) of a
+    star centered at (ch+dx, ch+dy) scatters to the fine cell nearest
+    offset (c-ch-dx, r-ch-dy). Cells covered by no reference fall back
+    to the native-resolution median expanded — sub-pixel structure is
+    refined where data exists, never invented."""
+    P = 2 * ch + 1
+    Pf = oversampling * P
+    half = (Pf - 1) / 2.0
+    stack = np.full((len(refs), Pf, Pf), np.nan)
+    for k, (cut, dx, dy) in enumerate(refs):
+        fr = np.rint((np.arange(P) - ch - dy) * oversampling + half)
+        fc = np.rint((np.arange(P) - ch - dx) * oversampling + half)
+        ok_r = (fr >= 0) & (fr < Pf)
+        ok_c = (fc >= 0) & (fc < Pf)
+        stack[k][np.ix_(fr[ok_r].astype(int), fc[ok_c].astype(int))] = \
+            cut[np.ix_(ok_r, ok_c)]
+    with np.errstate(all="ignore"):
+        fine = np.nanmedian(stack, axis=0)
+    coarse = np.median(np.stack([c for c, _, _ in refs]), axis=0)
+    fallback = np.repeat(np.repeat(coarse, oversampling, axis=0),
+                         oversampling, axis=1)
+    fine = np.where(np.isnan(fine), fallback, fine)
+    return np.clip(fine, 0, None)
+
+
+def _sample_epsf(fine: np.ndarray, ch: int, oversampling: int,
+                 dx: float, dy: float) -> np.ndarray:
+    """Evaluate the oversampled PSF model at a star's sub-pixel offset:
+    coarse pixel (r, c) reads the fine cell nearest (c-ch-dx, r-ch-dy).
+    Returns a sum-normalized P x P basis for the linear flux fit."""
+    P = 2 * ch + 1
+    Pf = fine.shape[0]
+    half = (Pf - 1) / 2.0
+    fr = np.clip(np.rint((np.arange(P) - ch - dy) * oversampling + half),
+                 0, Pf - 1).astype(int)
+    fc = np.clip(np.rint((np.arange(P) - ch - dx) * oversampling + half),
+                 0, Pf - 1).astype(int)
+    psf = fine[np.ix_(fr, fc)].astype(np.float64)
+    s = psf.sum()
+    return psf / s if s > 0 else psf
+
+
 def psf_photometry(
     stacked: DataFrame,
     detections: DataFrame,
@@ -188,6 +234,7 @@ def psf_photometry(
     cut_half: int = 8,
     n_iters: int = 5,
     fwhm: float = 4.5,
+    oversampling: int = 1,
 ) -> DataFrame:
     """Empirical-PSF photometry per epoch (grouped applyInPandas).
 
@@ -196,7 +243,12 @@ def psf_photometry(
     fallback for the frame at large (stars whose annulus is empty keep
     the global level). PSF model: median of background-subtracted,
     peak-normalized cutouts of the selected PSF stars (the EPSFBuilder
-    essence, core.py:384-414).
+    essence, core.py:384-414); ``oversampling=2`` accumulates the
+    cutouts on a sub-pixel-aligned 2x grid and evaluates the model at
+    each fitted star's own sub-pixel offset (the reference's
+    ``EPSFBuilder(oversampling=2)`` fidelity, core.py:411 — the
+    blended-pair golden tightens from 15% to 10% under it), while the
+    default 1 keeps the native-resolution path.
 
     Fitting follows the reference's IterativelySubtractedPSFPhotometry
     configuration (core.py:440-449): ``niters=5`` rounds, with stars
@@ -247,17 +299,34 @@ def psf_photometry(
                 return None, ix, iy
             return arr[iy - ch: iy + ch + 1, ix - ch: ix + ch + 1], ix, iy
 
-        # Empirical PSF: median of normalized reference-star cutouts.
+        # Empirical PSF: median of normalized reference-star cutouts —
+        # at native resolution (oversampling=1, the default) or on a
+        # sub-pixel-aligned oversampled grid (oversampling=2 mirrors
+        # the reference's EPSFBuilder(oversampling=2), core.py:411).
         refs = []
         for r in row["psf_refs"]:
-            cut, _, _ = cutout(sub, r["px"], r["py"])
+            cut, ix, iy = cutout(sub, r["px"], r["py"])
             if cut is not None and cut.max() > 0:
-                refs.append(cut / cut.max())
+                refs.append((cut / cut.max(),
+                             float(r["px"]) - ix, float(r["py"]) - iy))
         if not refs:
             return pd.DataFrame(columns=[f.name for f in PHOT_SCHEMA])
-        psf = np.median(np.stack(refs), axis=0)
+        psf = np.median(np.stack([c for c, _, _ in refs]), axis=0)
         psf = np.clip(psf, 0, None)
         psf /= psf.sum()
+        fine = (_epsf_fine_grid(refs, ch, oversampling)
+                if oversampling > 1 else None)
+
+        def psf_of(s, ix, iy):
+            """Per-star PSF basis (sum-normalized) + its self-overlap:
+            the shared native model, or the oversampled model sampled
+            at the star's sub-pixel offset."""
+            if fine is None:
+                return psf, denom
+            pj = _sample_epsf(fine, ch, oversampling,
+                              float(s["xcentroid"]) - ix,
+                              float(s["ycentroid"]) - iy)
+            return pj, float((pj * pj).sum())
 
         stars = sorted(row["stars"], key=lambda s: -(s["flux_0"] or 0))
         denom = float((psf * psf).sum())
@@ -271,12 +340,12 @@ def psf_photometry(
             yfit = float((yy * cc).sum() / tot) if tot > 0 else s["ycentroid"]
             return xfit, yfit
 
-        def emit(s, xfit, yfit, fhat, resid, it):
+        def emit(s, xfit, yfit, fhat, resid, it, dnm):
             return {"id": s["id"], "x_0": s["xcentroid"], "x_fit": xfit,
                     "y_0": s["ycentroid"], "y_fit": yfit,
                     "flux_fit": fhat,
                     "flux_unc": float(np.sqrt(
-                        np.clip((resid ** 2).sum(), 0, None) / denom)),
+                        np.clip((resid ** 2).sum(), 0, None) / dnm)),
                     "iter_detected": it,
                     "bkg_local": bkg_by_id.get(s["id"], sky),
                     "resid_rms": float(np.sqrt((resid ** 2).mean()))}
@@ -317,9 +386,12 @@ def psf_photometry(
             x1 = max(ix for _, ix, _ in grp) + ch + 1
             cols = np.zeros((len(grp), y1 - y0, x1 - x0))
             mask = np.zeros((y1 - y0, x1 - x0), dtype=bool)
-            for j, (_, ix, iy) in enumerate(grp):
+            dnms = []
+            for j, (s, ix, iy) in enumerate(grp):
+                pj, dj = psf_of(s, ix, iy)
+                dnms.append(dj)
                 sy, sx = iy - ch - y0, ix - ch - x0
-                cols[j, sy:sy + P, sx:sx + P] = psf
+                cols[j, sy:sy + P, sx:sx + P] = pj
                 mask[sy:sy + P, sx:sx + P] = True
             box = work[y0:y1, x0:x1]
             b = box[mask]
@@ -344,9 +416,10 @@ def psf_photometry(
                 resid = resid_box[sy:sy + P, sx:sx + P]
                 # recentroid on the star's OWN model + local residual —
                 # i.e. the cutout with the other members subtracted
-                own = resid + flux[j] * psf
+                own = resid + cols[j, sy:sy + P, sx:sx + P] * flux[j]
                 xfit, yfit = recentroid(own, ix, iy, s)
-                out.append(emit(s, xfit, yfit, float(flux[j]), resid, it))
+                out.append(emit(s, xfit, yfit, float(flux[j]), resid, it,
+                                dnms[j]))
 
         work = sub.copy()
         out = []
@@ -368,14 +441,15 @@ def psf_photometry(
                     continue
                 s, ix, iy = grp[0]
                 cut = work[iy - ch: iy + ch + 1, ix - ch: ix + ch + 1]
-                fhat = float((cut * psf).sum() / denom)
+                pj, dj = psf_of(s, ix, iy)
+                fhat = float((cut * pj).sum() / dj)
                 if fhat <= 0:
                     continue
                 # recentroid on the neighbor-subtracted cutout
                 xfit, yfit = recentroid(cut, ix, iy, s)
-                resid = cut - fhat * psf
+                resid = cut - fhat * pj
                 work[iy - ch: iy + ch + 1, ix - ch: ix + ch + 1] = resid
-                out.append(emit(s, xfit, yfit, fhat, resid, it))
+                out.append(emit(s, xfit, yfit, fhat, resid, it, dj))
         res = pd.DataFrame(out)
         res["epoch_id"] = int(row["epoch_id"])
         return res[[f.name for f in PHOT_SCHEMA]]

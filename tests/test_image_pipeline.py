@@ -179,6 +179,18 @@ def test_blended_pair_simultaneous_fit(spark):
     for i, (x, y, f) in enumerate(refs):
         assert abs(phot.loc[i].flux_fit - f) / f < 0.10
 
+    # oversampling=2 (EPSFBuilder fidelity, reference core.py:411):
+    # sub-pixel PSF structure tightens the blended-pair recovery from
+    # the native path's 15% tolerance to <= 10%
+    phot2 = (psf_photometry(stacked, detections, psf_stars, fwhm=fwhm,
+                            oversampling=2)
+             .toPandas().set_index("id"))
+    for i, (x, y, f) in enumerate(pair, start=len(refs)):
+        assert i in phot2.index, f"blended star {i} not fit (oversampled)"
+        rec = phot2.loc[i]
+        assert abs(rec.flux_fit - f) / f < 0.10, (i, rec.flux_fit, f)
+        assert abs(rec.x_fit - x) < 1.0 and abs(rec.y_fit - y) < 1.0
+
 
 def test_local_background_beats_global_on_gradient():
     """Reference core.py:344-382 semantics: on a gradient background the
