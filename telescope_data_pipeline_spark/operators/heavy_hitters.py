@@ -33,7 +33,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["heavy_hitters_exact"]
+__all__ = ["heavy_hitters_exact", "heavy_hitters_exact_grouped"]
 
 
 def heavy_hitters_exact(df: DataFrame, key_col: str, k: int) -> DataFrame:
@@ -71,3 +71,51 @@ def heavy_hitters_exact(df: DataFrame, key_col: str, k: int) -> DataFrame:
             # integer arithmetic: c > n/k as c*k > n, no float division
             .filter(F.col("c") * k > F.col("n"))
             .select(F.col("k").alias(key_col), "c"))
+
+
+def heavy_hitters_exact_grouped(df: DataFrame, group_col: str,
+                                key_col: str, k: int) -> DataFrame:
+    """Per-group phi-frequent keys with exact counts:
+    (``group_col``, ``key_col``, ``c``) where c * k > n_group.
+
+    Same sketch-prunes/rescue-exacts shape as
+    :func:`heavy_hitters_exact`, with one Misra-Gries summary per
+    (partition, group): the superset guarantee holds group-by-group
+    because the per-partition counts of ONE group are themselves an MG
+    stream. State is k counters per group per partition — bounded by
+    the number of groups co-resident in a partition times k, so for
+    high-cardinality group columns repartition the input by
+    ``group_col`` first (each group then pays its k counters once, and
+    the candidate union stays <= |groups| * k rows). Rescue counts
+    only candidate (group, key) pairs; per-group totals ride a
+    broadcast. Exact and partitioning-independent, so the direct GROUP
+    BY / HAVING oracle must match bit-for-bit."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    keys = (df.select(F.col(group_col).cast("string").alias("g"),
+                      F.col(key_col).cast("string").alias("k"))
+            .filter(F.col("k").isNotNull() & F.col("g").isNotNull()))
+
+    def mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        per_group: dict[str, dict[str, int]] = {}
+        for pdf in batches:
+            for (g, key), c in pdf.value_counts(["g", "k"]).items():
+                counters = per_group.setdefault(g, {})
+                counters[key] = counters.get(key, 0) + int(c)
+                if len(counters) > k:
+                    cut = sorted(counters.values(), reverse=True)[k]
+                    per_group[g] = {ky: c2 - cut
+                                    for ky, c2 in counters.items()
+                                    if c2 - cut > 0}
+        yield pd.DataFrame(
+            [{"g": g, "k": ky} for g, cs in per_group.items() for ky in cs],
+            columns=["g", "k"])
+
+    cand = keys.mapInPandas(mg, schema="g string, k string").distinct()
+    n = keys.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+    return (keys.join(F.broadcast(cand), ["g", "k"], "left_semi")
+            .groupBy("g", "k").agg(F.count(F.lit(1)).alias("c"))
+            .join(F.broadcast(n), "g")
+            .filter(F.col("c") * k > F.col("n"))
+            .select(F.col("g").alias(group_col),
+                    F.col("k").alias(key_col), "c"))

@@ -2124,6 +2124,131 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters_exact(toks, "w", k=40)
 
 
+@query("q_url_canonical", oracle=r"""
+WITH raw AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTPS' END || '://'
+         || CASE WHEN doc_id % 3 = 0 THEN UPPER(source) ELSE source END
+         || '.Example.COM'
+         || CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END
+         || '/a/./b/../docs/' || CAST(doc_id % 50 AS VARCHAR)
+         || CASE WHEN doc_id % 2 = 0
+                 THEN '?utm_source=feed&ref=' || source || '&id='
+                      || CAST(doc_id % 50 AS VARCHAR)
+                 ELSE '?id=' || CAST(doc_id % 50 AS VARCHAR) END
+         || '#sec' || CAST(doc_id % 5 AS VARCHAR) AS url
+  FROM documents
+), c1 AS (
+  SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM raw
+), c2 AS (
+  SELECT doc_id,
+         lower(regexp_extract(u, '^([^/]*//[^/?#]*)', 1))
+         || regexp_replace(u, '^[^/]*//[^/?#]*', '') AS u
+  FROM c1
+), c3 AS (
+  SELECT doc_id,
+         regexp_replace(u, '^(https://[^/:]*):443', '\1') AS u
+  FROM c2
+), c4 AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(u, '/\./', '/', 'g'),
+                        '/[^/]+/\.\./', '/', 'g') AS u
+  FROM c3
+), c5 AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(u, '(utm_[a-z]+|ref)=[^&#]*&?',
+                                       '', 'g'),
+                        '[?&]$', '') AS u
+  FROM c4
+)
+SELECT u AS canonical_url, CAST(COUNT(*) AS BIGINT) AS n_variants,
+       CAST(MIN(doc_id) AS BIGINT) AS keep_id
+FROM c5 GROUP BY u
+""")
+def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + canonical-URL dedup — the first gate a
+    crawl pipeline runs (the SAME page arrives as scheme/host case
+    variants, default-port forms, dot-segment paths, tracking-tagged
+    and fragment-tagged links). Demo URLs are synthesized
+    DETERMINISTICALLY from doc_id/source (both engines build identical
+    inputs — the q_mix_corpus synthesized-column pattern) with five
+    planted variant axes; canonicalization is a fixed chain of
+    engine-identical string transforms: strip fragment, lowercase
+    scheme+authority, drop the https default port, resolve '/./' and
+    '/seg/../' dot-segments, strip utm_*/ref tracking params, tidy
+    dangling separators. Dedup keeps MIN(doc_id) per canonical URL —
+    the q_dedup_canonical selection rule on the URL key.
+
+    Scale: map-only string work (codegen'd regexp chain, zero Python)
+    + one map-side-combined groupBy on the canonical key — the
+    exact-dedup shuffle shape; canonical keys could feed the md5
+    digest path unchanged. Determinism: every transform is a pure
+    regex with a total result; the only float-free aggregation is
+    COUNT/MIN."""
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("https"))
+        .otherwise(F.lit("HTTPS")), F.lit("://"),
+        F.when(F.col("doc_id") % 3 == 0, F.upper("source"))
+        .otherwise(F.col("source")),
+        F.lit(".Example.COM"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/a/./b/../docs/"), (F.col("doc_id") % 50).cast("string"),
+        F.when(F.col("doc_id") % 2 == 0,
+               F.concat(F.lit("?utm_source=feed&ref="), F.col("source"),
+                        F.lit("&id="), (F.col("doc_id") % 50).cast("string")))
+        .otherwise(F.concat(F.lit("?id="),
+                            (F.col("doc_id") % 50).cast("string"))),
+        F.lit("#sec"), (F.col("doc_id") % 5).cast("string"))
+    u = F.regexp_replace(url, r"#.*$", "")
+    u = F.concat(F.lower(F.regexp_extract(u, r"^([^/]*//[^/?#]*)", 1)),
+                 F.regexp_replace(u, r"^[^/]*//[^/?#]*", ""))
+    u = F.regexp_replace(u, r"^(https://[^/:]*):443", r"$1")
+    u = F.regexp_replace(F.regexp_replace(u, r"/\./", "/"),
+                         r"/[^/]+/\.\./", "/")
+    u = F.regexp_replace(F.regexp_replace(u, r"(utm_[a-z]+|ref)=[^&#]*&?",
+                                          ""),
+                         r"[?&]$", "")
+    return (d.select(F.col("doc_id"), u.alias("canonical_url"))
+            .groupBy("canonical_url")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_variants"),
+                 F.min("doc_id").cast("bigint").alias("keep_id")))
+
+
+@query("q_heavy_hitters_grouped", oracle=r"""
+WITH toks AS (
+  SELECT source, UNNEST(list_filter(string_split_regex(lower(text), '\s+'),
+                                    x -> x != '')) AS w
+  FROM documents
+), f AS (
+  SELECT source, w, COUNT(*) AS c FROM toks GROUP BY source, w
+), n AS (
+  SELECT source, COUNT(*) AS n FROM toks GROUP BY source
+)
+SELECT f.source, f.w, f.c
+FROM f JOIN n ON n.source = f.source WHERE f.c * 25 > n.n
+""")
+def q_heavy_hitters_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE phi-frequent tokens (phi = 1/25) — the grouped form
+    of q_heavy_hitters via
+    operators/heavy_hitters.py::heavy_hitters_exact_grouped: one
+    Misra-Gries summary per (partition, group) prunes candidates with
+    the same superset guarantee applied group-by-group, then the exact
+    rescue counts candidate (source, token) pairs only and compares
+    c*k > n_source in integers. The per-source vocabulary table is
+    never materialized — the shape a per-domain boilerplate detector
+    needs at crawl scale (a token dominating ONE domain is boilerplate
+    even when globally rare). Exact and partitioning-independent, so
+    the GROUP BY / HAVING oracle matches bit-for-bit."""
+    from ..operators.heavy_hitters import heavy_hitters_exact_grouped
+
+    d = load_table(spark, sf_dir, "documents", spread=True)
+    toks = d.select("source", F.explode(
+        F.filter(F.split(F.lower("text"), _TOK),
+                 lambda x: x != "")).alias("w"))
+    return heavy_hitters_exact_grouped(toks, "source", "w", k=25)
+
+
 # ---------------------------------------------------------------------------
 # Hybrid retrieval: reciprocal rank fusion of sparse (BM25) + dense (cosine)
 # ---------------------------------------------------------------------------

@@ -76,10 +76,10 @@ PRIORITY: tuple[str, ...] = (
     "q_dedup_cascade", "q_funnel_windowed", "q_rolling_active_users",
     "q_kcore", "q_unpivot", "q_media_phash",
     # (b) first-time evidence: oracle promotions + operators new in r7
-    "q_quantile_sketch_pinned",
+    "q_quantile_sketch_pinned", "q_heavy_hitters_grouped",
+    "q_url_canonical", "q_dedup_embed_lsh",
     # (c) oldest-green backfill (r3) for rolling regression visibility
-    "q_scalar_math", "q_scalar_round", "q_scan_csv", "q_sort",
-    "q_json_extract", "q_text_redact",
+    "q_scalar_math", "q_scalar_round", "q_scan_csv",
 )
 
 

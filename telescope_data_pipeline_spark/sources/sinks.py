@@ -129,3 +129,19 @@ def compact_parquet(spark: SparkSession, path: str,
         raise
     shutil.rmtree(old)
     return n_target
+
+
+def write_avro(df: DataFrame, path: str) -> None:
+    """Avro sink — environment-gated: Avro has been an EXTERNAL Spark
+    module since 2.4 (org.apache.spark:spark-avro), and this sandbox
+    ships pyspark without it (and without network to fetch it), so the
+    call raises the module's own clean AnalysisException here. The
+    code path is the production one: on any cluster with spark-avro on
+    the classpath it round-trips (tests/test_sources_sinks.py runs the
+    round-trip when the module resolves, else pins the clean error)."""
+    df.write.mode("overwrite").format("avro").save(path)
+
+
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    """Avro scan (see :func:`write_avro` for the environment gate)."""
+    return spark.read.format("avro").load(path)

@@ -340,3 +340,26 @@ def test_real_fits_codec_path(spark, tmp_path):
     decoded, header = fits_mod._decode_fits(open(path, "rb").read())
     assert np.array_equal(decoded, px)
     assert float(header["AIRMASS"]) == 1.3
+
+
+def test_avro_roundtrip_or_clean_gate(spark, tmp_path):
+    """spark-avro is an external module this sandbox cannot fetch: the
+    avro sink/scan must either round-trip (module present) or fail
+    with Spark's own missing-data-source error — never something
+    corrupt or silent."""
+    from telescope_data_pipeline_spark.sources import load_table
+    from telescope_data_pipeline_spark.sources.sinks import (
+        read_avro,
+        write_avro,
+    )
+
+    df = load_table(spark, "/root/testdata/sf0.01", "nation")
+    path = str(tmp_path / "nation_avro")
+    try:
+        write_avro(df, path)
+    except Exception as e:  # noqa: BLE001 - asserting the gate message
+        assert "Failed to find data source: avro" in str(e)
+        return
+    back = read_avro(spark, path)
+    assert sorted(map(tuple, back.collect())) == \
+        sorted(map(tuple, df.collect()))
