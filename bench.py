@@ -85,6 +85,10 @@ EXTRA = [
     "q_kcore",
     "q_quantile_sketch_pinned",
     "q_dedup_embed_lsh",
+    "q_kmv_theta",
+    "q_lift_gains",
+    "q_mutual_info",
+    "q_table_diff",
 ]
 
 

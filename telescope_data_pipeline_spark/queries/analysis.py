@@ -2277,3 +2277,160 @@ def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (expand.join(F.broadcast(days), "target")
             .groupBy(F.col("target").cast("string").alias("day"))
             .agg(F.count_distinct("user_id").cast("bigint").alias("wau")))
+
+
+# ---------------------------------------------------------------------------
+# Mutual information between categorical columns (data audit)
+# ---------------------------------------------------------------------------
+
+@query("q_mutual_info", oracle="""
+WITH cells AS (
+  SELECT lang, source, COUNT(*) AS c FROM documents GROUP BY 1, 2
+), mx AS (SELECT lang, SUM(c) AS cx FROM cells GROUP BY 1),
+my AS (SELECT source, SUM(c) AS cy FROM cells GROUP BY 1),
+tot AS (SELECT SUM(c) AS n FROM cells),
+terms AS (
+  SELECT CAST(ROUND(cells.c * LN(tot.n * cells.c / (mx.cx * my.cy)) * 1e9)
+              AS BIGINT) AS t_nano
+  FROM cells JOIN mx USING (lang) JOIN my USING (source) CROSS JOIN tot
+), hx AS (
+  SELECT SUM(CAST(ROUND(cx * LN(tot.n / cx) * 1e9) AS BIGINT)) AS h_nano
+  FROM mx CROSS JOIN tot
+), hy AS (
+  SELECT SUM(CAST(ROUND(cy * LN(tot.n / cy) * 1e9) AS BIGINT)) AS h_nano
+  FROM my CROSS JOIN tot
+)
+SELECT ROUND(SUM(t_nano) / 1e9 / tot.n, 6) + 0.0 AS mi_nats,
+       ROUND(SUM(t_nano) / SQRT(hx.h_nano::DOUBLE * hy.h_nano::DOUBLE), 6)
+         + 0.0 AS nmi,
+       CAST(tot.n AS BIGINT) AS n
+FROM terms CROSS JOIN tot CROSS JOIN hx CROSS JOIN hy
+GROUP BY tot.n, hx.h_nano, hy.h_nano
+""")
+def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (and NMI, sqrt-entropy normalized) between two
+    categorical columns — lang x source on documents. The
+    dependence-strength audit beside q_chi_square's yes/no independence
+    test: MI in nats says HOW MUCH knowing the source tells you about
+    the language, and a spike in corpus-refresh NMI is the
+    drifted-crawl alarm q_ks_drift raises for numeric columns.
+
+    Determinism: every term c*ln(N*c/(cx*cy)) is quantized to integer
+    nano-units BEFORE summing (the Kaplan-Meier rule) so the cell sum
+    is order-free; entropies quantize identically; two final divisions
+    rounded at 6.
+
+    Scale: one map-side-combined groupBy onto |X|*|Y| cells; margins
+    re-aggregate the CELLS (never the rows twice); everything after the
+    first groupBy operates on the bounded contingency table. The
+    1-row totals are the sanctioned scalar broadcasts. At 100 TB the
+    only full-data pass is the cell count."""
+    d = load_table(spark, sf_dir, "documents")
+    cells = d.groupBy("lang", "source").agg(F.count("*").alias("c"))
+    mx = cells.groupBy("lang").agg(F.sum("c").alias("cx"))
+    my = cells.groupBy("source").agg(F.sum("c").alias("cy"))
+    tot = cells.agg(F.sum("c").alias("n"))
+    terms = (cells.join(mx, "lang").join(my, "source")
+             .crossJoin(F.broadcast(tot))
+             .select(F.round(F.col("c") * F.log(
+                 F.col("n") * F.col("c") / (F.col("cx") * F.col("cy")))
+                 * 1e9).cast("long").alias("t_nano")))
+    hx = (mx.crossJoin(F.broadcast(tot))
+          .agg(F.sum(F.round(F.col("cx") * F.log(F.col("n") / F.col("cx"))
+                             * 1e9).cast("long")).alias("hx_nano")))
+    hy = (my.crossJoin(F.broadcast(tot))
+          .agg(F.sum(F.round(F.col("cy") * F.log(F.col("n") / F.col("cy"))
+                             * 1e9).cast("long")).alias("hy_nano")))
+    return (terms.agg(F.sum("t_nano").alias("t"))
+            .crossJoin(F.broadcast(tot))
+            .crossJoin(F.broadcast(hx))
+            .crossJoin(F.broadcast(hy))
+            .select(
+                (F.round(F.col("t") / 1e9 / F.col("n"), 6) + F.lit(0.0))
+                .alias("mi_nats"),
+                (F.round(F.col("t") / F.sqrt(
+                    F.col("hx_nano").cast("double")
+                    * F.col("hy_nano").cast("double")), 6) + F.lit(0.0))
+                .alias("nmi"),
+                F.col("n").cast("long").alias("n")))
+
+
+# ---------------------------------------------------------------------------
+# Table diff / snapshot reconciliation
+# ---------------------------------------------------------------------------
+
+@query("q_table_diff", oracle="""
+WITH b AS (
+  SELECT c_custkey, c_name, c_nationkey,
+         CASE WHEN c_custkey % 97 = 0 THEN ROUND(c_acctbal + 50.0, 2)
+              ELSE c_acctbal END AS c_acctbal,
+         c_mktsegment
+  FROM customer WHERE c_custkey % 101 <> 0
+  UNION ALL
+  SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal, c_mktsegment
+  FROM customer WHERE c_custkey % 103 = 0
+), ha AS (
+  SELECT c_custkey AS k,
+         md5(concat_ws('|', c_name, c_nationkey, ROUND(c_acctbal, 2),
+                       c_mktsegment)) AS h
+  FROM customer
+), hb AS (
+  SELECT c_custkey AS k,
+         md5(concat_ws('|', c_name, c_nationkey, ROUND(c_acctbal, 2),
+                       c_mktsegment)) AS h
+  FROM b
+), st AS (
+  SELECT CASE WHEN ha.k IS NULL THEN 'added'
+              WHEN hb.k IS NULL THEN 'removed'
+              WHEN ha.h <> hb.h THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM ha FULL OUTER JOIN hb ON ha.k = hb.k
+)
+SELECT status, CAST(COUNT(*) AS BIGINT) AS n FROM st GROUP BY 1
+""")
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff / reconciliation — the audit half of table
+    maintenance (q_merge_upsert applies changes, q_cdc_apply compacts
+    them; this PROVES two snapshots agree, and when they don't, says
+    how): keyed FULL OUTER JOIN of snapshot A (customer) vs snapshot B
+    (customer with deterministic synthetic churn: acctbal bump on
+    custkey%97, deletes on %101, inserts on %103), classified
+    added / removed / changed / unchanged. The migration-validation and
+    backfill-QA primitive.
+
+    Determinism: snapshot B's churn is pure key arithmetic (identical
+    on both engines); rows compare by md5 digest of the normalized
+    column concatenation, so 'changed' is bit-exact.
+
+    Scale: each side reduces to (key, 16-byte digest) AT THE SCAN —
+    the join shuffles digests, never the wide rows (the exact-dedup
+    shuffle rule). One hash equi-join + a 4-cell map-side-combined
+    count. Column-level drill-down re-reads only the keys the digest
+    pass flagged."""
+    c = load_table(spark, sf_dir, "customer")
+    b = (c.filter(F.col("c_custkey") % 101 != 0)
+         .select("c_custkey", "c_name", "c_nationkey",
+                 F.when(F.col("c_custkey") % 97 == 0,
+                        F.round(F.col("c_acctbal") + 50.0, 2))
+                 .otherwise(F.col("c_acctbal")).alias("c_acctbal"),
+                 "c_mktsegment")
+         .unionByName(
+             c.filter(F.col("c_custkey") % 103 == 0)
+             .select((F.col("c_custkey") + 1000000).alias("c_custkey"),
+                     "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")))
+
+    def digest(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col("c_custkey").alias("k"),
+            F.md5(F.concat_ws("|", "c_name", "c_nationkey",
+                              F.round(F.col("c_acctbal"), 2),
+                              "c_mktsegment")).alias("h"))
+
+    ha = digest(c)
+    hb = digest(b).select(F.col("k").alias("kb"), F.col("h").alias("hb"))
+    st = (ha.join(hb, F.col("k") == F.col("kb"), "full_outer")
+          .select(F.when(F.col("k").isNull(), "added")
+                  .when(F.col("kb").isNull(), "removed")
+                  .when(F.col("h") != F.col("hb"), "changed")
+                  .otherwise("unchanged").alias("status")))
+    return st.groupBy("status").agg(F.count("*").cast("long").alias("n"))

@@ -311,3 +311,85 @@ def q_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.round(c.cast("double") / n, 6) + 0.0)
                     .alias("pass_at_1"),
                     pass5.alias("pass_at_5"))
+
+
+# ---------------------------------------------------------------------------
+# Lift / gains deciles (campaign-targeting evaluation)
+# ---------------------------------------------------------------------------
+
+@query("q_lift_gains", oracle="""
+WITH s AS (
+  SELECT vec_id, ROUND(CAST(embedding[1] AS DOUBLE), 6) AS score,
+         CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y
+  FROM embeddings
+), pos AS (
+  SELECT vec_id, y, row_number() OVER (ORDER BY score DESC, vec_id) - 1 AS p,
+         COUNT(*) OVER () AS n
+  FROM s
+), dec AS (
+  SELECT CAST(FLOOR(p * 10.0 / n) AS BIGINT) AS decile,
+         COUNT(*) AS n_rows, SUM(y) AS n_pos
+  FROM pos GROUP BY 1
+), tot AS (SELECT SUM(n_pos) AS tp, SUM(n_rows) AS tn FROM dec)
+SELECT decile, CAST(n_rows AS BIGINT) AS n_rows, CAST(n_pos AS BIGINT) AS n_pos,
+       CAST(SUM(n_pos) OVER (ORDER BY decile) AS BIGINT) AS cum_pos,
+       ROUND(SUM(n_pos) OVER (ORDER BY decile) * 100.0 / tot.tp, 4) + 0.0
+         AS capture_pct,
+       ROUND((n_pos::DOUBLE / n_rows) / (tot.tp::DOUBLE / tot.tn), 6) + 0.0
+         AS lift
+FROM dec CROSS JOIN tot
+""")
+def q_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift / cumulative-gains table — the campaign-targeting
+    view of ranking quality that completes the evaluation family
+    (q_auc_ranking says HOW WELL the scorer orders, this says WHAT YOU
+    CAPTURE by acting on the top k%): rows ranked by score descending,
+    cut into 10 equal-count deciles, each reporting positives, the
+    running capture rate, and lift vs the base rate. Same demo scorer
+    as q_auc_ranking (first embedding component, label >= 5 positive).
+
+    Determinism: scores rounded to 6 BEFORE ranking with vec_id as the
+    total-order tiebreak (the q_weighted_sample rule); decile counts
+    are exact integers; capture/lift are single divisions of integer
+    sums rounded at 4/6.
+
+    Scale: the global rank comes from operators/rank.py's TWO-PHASE
+    distributed_row_number (range-bucket + per-bucket bases + bucket-
+    partitioned window) — no single-partition sort anywhere (the
+    q_auc_ranking round-6 lesson, applied from day one here). The
+    decile groupBy is map-side combined onto 10 cells; the cumulative
+    window runs over 10 rows. At 100 TB the only full-data pass is the
+    rank's bucket counting."""
+    from ..operators.rank import distributed_row_number
+
+    e = load_table(spark, sf_dir, "embeddings")
+    s = e.select(
+        "vec_id",
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("score"),
+        F.when(F.col("label") >= 5, 1).otherwise(0).alias("y"))
+    # descending score order via a negated integral bucket projection:
+    # -score at 6-digit precision is monotone in (score DESC).
+    ranked = distributed_row_number(
+        s.withColumn("nscore", -F.col("score")),
+        order_cols=["nscore", "vec_id"],
+        bucket_key=F.round(F.col("nscore") * 1e6).cast("long"),
+        out_col="p")
+    n_tot = s.agg(F.count("*").alias("n"))
+    dec = (ranked.crossJoin(F.broadcast(n_tot))
+           .select(F.floor(F.col("p") * 10.0 / F.col("n"))
+                   .cast("long").alias("decile"), "y")
+           .groupBy("decile")
+           .agg(F.count("*").alias("n_rows"), F.sum("y").alias("n_pos")))
+    tot = dec.agg(F.sum("n_pos").alias("tp"), F.sum("n_rows").alias("tn"))
+    wc = W.orderBy("decile").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (dec.crossJoin(F.broadcast(tot))
+            .withColumn("cum_pos", F.sum("n_pos").over(wc))
+            .select("decile",
+                    F.col("n_rows").cast("long").alias("n_rows"),
+                    F.col("n_pos").cast("long").alias("n_pos"),
+                    F.col("cum_pos").cast("long").alias("cum_pos"),
+                    (F.round(F.col("cum_pos") * 100.0 / F.col("tp"), 4)
+                     + F.lit(0.0)).alias("capture_pct"),
+                    (F.round((F.col("n_pos").cast("double") / F.col("n_rows"))
+                             / (F.col("tp").cast("double") / F.col("tn")), 6)
+                     + F.lit(0.0)).alias("lift")))

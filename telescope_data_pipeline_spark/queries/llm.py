@@ -3529,3 +3529,150 @@ def q_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
          ("tokenset", n1, n1 - n2, n2),
          ("neardup", n2, r3, n2 - r3)],
         "stage string, docs_in long, docs_removed long, docs_out long")
+
+
+@query("q_kmv_theta", oracle="""
+WITH h AS (
+  SELECT DISTINCT o_orderpriority,
+         CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 13)) AS BIGINT) AS v
+  FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+), scoped AS (
+  SELECT CASE o_orderpriority WHEN '1-URGENT' THEN 'A' ELSE 'B' END AS scope, v FROM h
+  UNION ALL
+  SELECT 'UNION' AS scope, v FROM (SELECT DISTINCT v FROM h)
+), ranked AS (
+  SELECT scope, v,
+         row_number() OVER (PARTITION BY scope ORDER BY v) AS rn,
+         COUNT(*) OVER (PARTITION BY scope) AS n
+  FROM scoped
+), kept AS (
+  SELECT scope, v, n FROM ranked WHERE rn <= 256
+), sk AS (
+  SELECT scope, MAX(n) AS n, MAX(v) AS vk
+  FROM kept GROUP BY scope
+), est AS (
+  SELECT scope, n AS n_exact,
+         CASE WHEN n >= 256
+              THEN 255.0 / (vk::DOUBLE / 4503599627370496.0)
+              ELSE n::DOUBLE END AS e
+  FROM sk
+), tmin AS (
+  SELECT LEAST(
+    (SELECT CASE WHEN n >= 256 THEN vk::DOUBLE / 4503599627370496.0
+                 ELSE 1.0 END FROM sk WHERE scope = 'A'),
+    (SELECT CASE WHEN n >= 256 THEN vk::DOUBLE / 4503599627370496.0
+                 ELSE 1.0 END FROM sk WHERE scope = 'B')
+  ) AS theta
+), ix AS (
+  SELECT COUNT(*) AS c FROM
+    (SELECT v FROM kept WHERE scope = 'A') ka
+    JOIN (SELECT v FROM kept WHERE scope = 'B') kb USING (v)
+    CROSS JOIN tmin
+  WHERE ka.v::DOUBLE / 4503599627370496.0 < tmin.theta
+), ix_exact AS (
+  SELECT COUNT(*) AS n_exact FROM (
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH')
+), final AS (
+  SELECT scope, CAST(n_exact AS BIGINT) AS n_exact, e FROM est
+  UNION ALL
+  SELECT 'INTERSECT' AS scope, CAST(ix_exact.n_exact AS BIGINT) AS n_exact,
+         ix.c::DOUBLE / tmin.theta AS e
+  FROM ix, ix_exact, tmin
+)
+SELECT scope, n_exact,
+       ROUND(e, 6) + 0.0 AS kmv_est,
+       ROUND((e - n_exact) / n_exact * 100.0, 4) + 0.0 AS err_pct
+FROM final
+""")
+def q_kmv_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (bottom-k) theta sketch with set-operation estimates — the
+    missing member of the sketch family beside q_hll_union (distinct
+    counts) and q_cms_count (frequencies): HLL registers cannot
+    estimate INTERSECTIONS, KMV theta sketches can. Scopes A/B are the
+    customer sets placing 1-URGENT / 2-HIGH orders; the sketch of each
+    scope is its k=256 smallest md5-derived 52-bit hash values.
+    Estimates: distinct |S| = (k-1)/theta_k (theta_k = k-th smallest
+    normalized hash); UNION = bottom-k of the merged hash set;
+    INTERSECT = theta-sketch a-priori: |{v in keptA o keptB :
+    v < min(thetaA, thetaB)}| / min(thetaA, thetaB). The exact columns
+    exist only to report err_pct.
+
+    Determinism: hashes are md5-prefix integers (no float hashing);
+    bottom-k over DISTINCT hash values is a unique total order (md5
+    collisions aside); the estimate is one fixed double expression
+    rounded at 6 with -0.0 normalization.
+
+    Scale: the sketch is mergeable state — union-of-sketches =
+    bottom-k of concatenated sketches, so partial sketches combine
+    associatively across partitions/days without re-reading anything.
+    The bottom-k here is TWO-PHASE (per-shard row_number over
+    pmod(xxhash64(v), 64) shards, then a final row_number over the
+    <= 64*k survivors) so no single task ever sorts a full scope —
+    the same skew-safe shape as the packing prefix sum. Kept sets are
+    <= k rows; the intersection join and the 1-row theta broadcast are
+    O(k). At 100 TB the only full-data pass is the initial distinct."""
+    K = 256
+    SCALE = float(1 << 52)
+    o = load_table(spark, sf_dir, "orders")
+    h = (o.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+         .select(F.when(F.col("o_orderpriority") == "1-URGENT", F.lit("A"))
+                 .otherwise(F.lit("B")).alias("scope"),
+                 F.conv(F.substring(
+                     F.md5(F.col("o_custkey").cast("string")), 1, 13),
+                     16, 10).cast("long").alias("v"))
+         .distinct())
+    scoped = h.unionByName(
+        h.select("v").distinct().select(F.lit("UNION").alias("scope"), "v"))
+
+    # two-phase bottom-k: shard, per-shard bottom-k, then global bottom-k
+    sharded = scoped.withColumn(
+        "shard", F.pmod(F.xxhash64("v"), F.lit(64)))
+    w1 = W.partitionBy("scope", "shard").orderBy("v")
+    survivors = (sharded.withColumn("rn1", F.row_number().over(w1))
+                 .filter(F.col("rn1") <= K).drop("rn1", "shard"))
+    n_per = scoped.groupBy("scope").agg(F.count("*").alias("n"))
+    w2 = W.partitionBy("scope").orderBy("v")
+    kept = (survivors.withColumn("rn", F.row_number().over(w2))
+            .filter(F.col("rn") <= K)
+            .join(F.broadcast(n_per), "scope"))
+
+    sk = kept.groupBy("scope").agg(F.max("n").alias("n"),
+                                   F.max("v").alias("vk"))
+    theta_col = F.when(F.col("n") >= K,
+                       F.col("vk").cast("double") / F.lit(SCALE)) \
+        .otherwise(F.lit(1.0))
+    est = sk.select(
+        "scope", F.col("n").alias("n_exact"),
+        F.when(F.col("n") >= K, F.lit(float(K - 1))
+               / (F.col("vk").cast("double") / F.lit(SCALE)))
+        .otherwise(F.col("n").cast("double")).alias("e"))
+
+    tmin = (sk.filter(F.col("scope").isin("A", "B"))
+            .select(theta_col.alias("th"))
+            .agg(F.min("th").alias("theta")))
+    ka = kept.filter(F.col("scope") == "A").select("v")
+    kb = kept.filter(F.col("scope") == "B").select(F.col("v").alias("vb"))
+    ix = (ka.join(kb, F.col("v") == F.col("vb"))
+          .crossJoin(F.broadcast(tmin))
+          .filter(F.col("v").cast("double") / F.lit(SCALE) < F.col("theta"))
+          .agg(F.count("*").alias("c")))
+    ix_exact = (o.filter(F.col("o_orderpriority") == "1-URGENT")
+                .select("o_custkey")
+                .intersect(o.filter(F.col("o_orderpriority") == "2-HIGH")
+                           .select("o_custkey"))
+                .agg(F.count("*").alias("n_exact")))
+    ix_row = (ix.crossJoin(F.broadcast(tmin))
+              .crossJoin(F.broadcast(ix_exact))
+              .select(F.lit("INTERSECT").alias("scope"),
+                      F.col("n_exact").cast("long").alias("n_exact"),
+                      (F.col("c").cast("double") / F.col("theta"))
+                      .alias("e")))
+    final = est.select("scope", F.col("n_exact").cast("long").alias("n_exact"),
+                       "e").unionByName(ix_row)
+    return final.select(
+        "scope", "n_exact",
+        (F.round("e", 6) + F.lit(0.0)).alias("kmv_est"),
+        (F.round((F.col("e") - F.col("n_exact")) / F.col("n_exact")
+                 * 100.0, 4) + F.lit(0.0)).alias("err_pct"))

@@ -77,9 +77,12 @@ PRIORITY: tuple[str, ...] = (
     "q_kcore", "q_unpivot", "q_media_phash",
     # (b) first-time evidence: oracle promotions + operators new in r7
     "q_quantile_sketch_pinned", "q_heavy_hitters_grouped",
-    "q_url_canonical", "q_dedup_embed_lsh",
-    # (c) oldest-green backfill (r3) for rolling regression visibility
-    "q_scalar_math", "q_scalar_round", "q_scan_csv",
+    "q_url_canonical", "q_dedup_embed_lsh", "q_kmv_theta",
+    "q_lift_gains", "q_mutual_info",
+    # (c) past the driver's 50-entry window this round — next-round
+    # first-timers and the oldest-green (r3) regression backfills; the
+    # local sf0.01+sf0.1 sweep still verifies all of these every session
+    "q_table_diff", "q_scalar_math", "q_scalar_round", "q_scan_csv",
 )
 
 

@@ -1169,3 +1169,44 @@ def test_kcore_pregel_shape(spark):
     assert_plan(get("q_kcore").fn(spark, SF),
                 contains=("HashAggregate",),
                 absent=("CartesianProduct", "BroadcastNestedLoopJoin"))
+
+
+def test_kmv_theta_bounded_shapes(spark):
+    """KMV theta sketch: the bottom-k is two-phase (sharded window then
+    final window over <= 64k survivors) and the kept-set intersection
+    is a hash equi-join — no cartesian product anywhere. The only
+    nested-loop nodes allowed are the sanctioned 1-row scalar
+    broadcasts (theta / exact-intersection count)."""
+    df = get("q_kmv_theta").fn(spark, SF)
+    assert_plan(df, contains=("HashAggregate", "Window"),
+                absent=("CartesianProduct",))
+
+
+def test_lift_gains_two_phase_rank(spark):
+    """Lift/gains: the global rank must be the two-phase bucketed form
+    (bucket-partitioned window), never a single global sort of the
+    scored rows; the only windows beyond it run over the 10 decile
+    rows."""
+    from telescope_data_pipeline_spark.plans.audit import physical_plan
+
+    df = get("q_lift_gains").fn(spark, SF)
+    df.collect()
+    plan = physical_plan(df).split("== Initial Plan ==")[0]
+    assert "hashpartitioning(_pid" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_mutual_info_cell_reduction(spark):
+    """MI: one full-data groupBy onto |X|*|Y| cells; margins re-aggregate
+    the cells. No cartesian product (the 1-row scalar broadcasts plan
+    as BroadcastNestedLoopJoin, the sanctioned shape)."""
+    assert_plan(get("q_mutual_info").fn(spark, SF),
+                contains=("HashAggregate",), absent=("CartesianProduct",))
+
+
+def test_table_diff_digest_join(spark):
+    """Table diff: one FULL OUTER hash/merge equi-join on (key, digest)
+    projections — never a nested loop or cartesian."""
+    assert_plan(get("q_table_diff").fn(spark, SF),
+                contains=("FullOuter",),
+                absent=("CartesianProduct", "BroadcastNestedLoopJoin"))
