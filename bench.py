@@ -89,6 +89,9 @@ EXTRA = [
     "q_lift_gains",
     "q_mutual_info",
     "q_table_diff",
+    "q_gini_concentration",
+    "q_skipgram_counts",
+    "q_pca_power_step",
 ]
 
 

@@ -3676,3 +3676,101 @@ def q_kmv_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round("e", 6) + F.lit(0.0)).alias("kmv_est"),
         (F.round((F.col("e") - F.col("n_exact")) / F.col("n_exact")
                  * 100.0, 4) + F.lit(0.0)).alias("err_pct"))
+
+
+@query("q_gini_concentration", oracle="""
+WITH r AS (
+  SELECT n_chars, row_number() OVER (ORDER BY n_chars, doc_id) AS i,
+         COUNT(*) OVER () AS n, SUM(n_chars) OVER () AS tot
+  FROM documents
+)
+SELECT CAST(MAX(n) AS BIGINT) AS n, CAST(MAX(tot) AS BIGINT) AS total_chars,
+       ROUND(2.0 * SUM(i * n_chars) / (MAX(n) * MAX(tot))
+             - (MAX(n) + 1.0) / MAX(n), 6) + 0.0 AS gini
+FROM r
+""")
+def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of the document-length distribution — the
+    corpus-concentration audit for the data card (q_data_card reports
+    WHAT is in the corpus; this one number says how UNEQUALLY it is
+    spread): G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n over ascending-rank
+    lengths. G near 0 = uniform corpus; G near 1 = a few giant
+    documents carry all the mass (a dedup/chunking red flag upstream
+    of token-budget mixing).
+
+    Determinism: ranks come from the total order (n_chars, doc_id);
+    sum(i*x_i) is a pure int64 sum (order-free); one final float
+    expression rounded at 6.
+
+    Scale: the rank is operators/rank.py's TWO-PHASE
+    distributed_row_number (bucketed by the integral n_chars key) —
+    no single-partition sort; the weighted sum is one map-side-combined
+    agg. int64 holds i*x_i up to ~1e12 docs of ~1e6 chars."""
+    from ..operators.rank import distributed_row_number
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    ranked = distributed_row_number(
+        d, order_cols=["n_chars", "doc_id"], bucket_key="n_chars",
+        out_col="i0")
+    return (ranked.select((F.col("i0") + 1).alias("i"), "n_chars")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.sum("n_chars").cast("long").alias("total_chars"),
+                 F.sum(F.col("i") * F.col("n_chars")).alias("wsum"))
+            .select("n", "total_chars",
+                    (F.round(2.0 * F.col("wsum")
+                             / (F.col("n") * F.col("total_chars"))
+                             - (F.col("n") + 1.0) / F.col("n"), 6)
+                     + F.lit(0.0)).alias("gini")))
+
+
+@query("q_skipgram_counts", oracle="""
+WITH lists AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS lst
+  FROM documents
+), toks AS (
+  SELECT doc_id, CAST(t.i AS BIGINT) AS ord, lst[CAST(t.i AS BIGINT)] AS tok
+  FROM lists, UNNEST(range(1, len(lst) + 1)) AS t(i)
+)
+SELECT a.tok AS center, b.tok AS context, CAST(COUNT(*) AS BIGINT) AS c
+FROM toks a JOIN toks b
+  ON a.doc_id = b.doc_id AND b.ord BETWEEN a.ord - 2 AND a.ord + 2
+     AND b.ord <> a.ord
+GROUP BY 1, 2
+ORDER BY c DESC, center, context
+LIMIT 100
+""")
+def q_skipgram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram co-occurrence counts (window +/-2) — the word2vec /
+    GloVe training-prep primitive: top-100 (center, context) pairs by
+    corpus count. q_bigram_pmi scores ADJACENT pairs; this one counts
+    the full context window, which is what embedding trainers consume.
+
+    Determinism: pair construction is in-row (no join ordering in
+    play); the top-100 cut sits on the total order (count DESC,
+    center, context).
+
+    Scale: pairs are built IN-ROW with array higher-order functions
+    (each token emits <= 4 pairs — bounded fan-out, zero Python, zero
+    shuffle) so the only wide operations are the map-side-combined
+    pair count and the TakeOrdered top-100. The oracle's self-join
+    formulation is the quadratic shape this plan deliberately avoids
+    at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    tk = d.selectExpr(
+        "filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tk") \
+        .filter(F.expr("size(tk) > 0"))
+    pairs = tk.selectExpr("""
+        explode(flatten(transform(sequence(1, size(tk)), i ->
+          filter(transform(array(-2, -1, 1, 2), o ->
+            IF(i + o >= 1 AND i + o <= size(tk),
+               struct(element_at(tk, i) AS center,
+                      element_at(tk, i + o) AS context),
+               CAST(NULL AS struct<center: string, context: string>))),
+            p -> p IS NOT NULL)))) AS pr""")
+    return (pairs.select("pr.center", "pr.context")
+            .groupBy("center", "context")
+            .agg(F.count("*").cast("long").alias("c"))
+            .orderBy(F.col("c").desc(), "center", "context")
+            .limit(100))

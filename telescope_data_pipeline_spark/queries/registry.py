@@ -82,7 +82,8 @@ PRIORITY: tuple[str, ...] = (
     # (c) past the driver's 50-entry window this round — next-round
     # first-timers and the oldest-green (r3) regression backfills; the
     # local sf0.01+sf0.1 sweep still verifies all of these every session
-    "q_table_diff", "q_scalar_math", "q_scalar_round", "q_scan_csv",
+    "q_table_diff", "q_gini_concentration", "q_skipgram_counts",
+    "q_pca_power_step", "q_scalar_math", "q_scalar_round", "q_scan_csv",
 )
 
 

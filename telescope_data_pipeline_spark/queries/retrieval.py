@@ -2471,3 +2471,92 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
              .agg(F.count(F.lit(1)).alias("deg")))
     return (final.groupBy(F.col("deg").cast("bigint").alias("degree"))
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes")))
+
+
+# ---------------------------------------------------------------------------
+# PCA power-iteration step (top principal component)
+# ---------------------------------------------------------------------------
+
+@query("q_pca_power_step", oracle="""
+WITH x AS (
+  SELECT vec_id, CAST(t.j AS BIGINT) AS j,
+         embedding[CAST(t.j AS BIGINT)]::DOUBLE AS xj,
+         embedding[1]::DOUBLE AS x1
+  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(j)
+), w1 AS (
+  SELECT j, SUM(CAST(ROUND(x1 * xj * 1e9) AS BIGINT)) AS w1n
+  FROM x GROUP BY j
+), n1 AS (SELECT SQRT(SUM(w1n::DOUBLE * w1n::DOUBLE)) AS nrm FROM w1),
+v1 AS (SELECT j, w1n::DOUBLE / n1.nrm AS v FROM w1 CROSS JOIN n1),
+s AS (
+  SELECT x.vec_id, SUM(CAST(ROUND(x.xj * v1.v * 1e9) AS BIGINT)) / 1e9 AS sv
+  FROM x JOIN v1 USING (j) GROUP BY x.vec_id
+), w2 AS (
+  SELECT x.j, SUM(CAST(ROUND(s.sv * x.xj * 1e9) AS BIGINT)) AS w2n
+  FROM x JOIN s ON x.vec_id = s.vec_id GROUP BY x.j
+), n2 AS (SELECT SQRT(SUM(w2n::DOUBLE * w2n::DOUBLE)) AS nrm FROM w2),
+lam AS (
+  SELECT SUM(CAST(ROUND(sv * sv * 1e9) AS BIGINT)) / 1e9
+         / (SELECT COUNT(*) FROM embeddings) AS l
+  FROM s
+)
+SELECT j AS dim, ROUND(w2n::DOUBLE / n2.nrm, 6) + 0.0 AS loading,
+       ROUND(lam.l, 6) + 0.0 AS rayleigh
+FROM w2 CROSS JOIN n2 CROSS JOIN lam
+""")
+def q_pca_power_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two pinned power-iteration steps toward the top principal
+    component of the embedding matrix (uncentered Gram PCA) — the
+    dimensionality-reduction anchor of the iterative-ML family
+    (q_kmeans_step trains a clustering, q_grouped_regression a linear
+    fit, this an eigenvector): v1 = normalize(X'X e1), v2 =
+    normalize(X'X v1), plus the Rayleigh quotient v1'Cv1 = sum(s^2)/n
+    — the variance the component explains. Production loops the same
+    step to convergence; two pinned steps keep it SQL-expressible (the
+    q_kmeans_step anchoring rule).
+
+    Determinism: every row-indexed float sum quantizes its terms to
+    integer nano-units first (the Kaplan-Meier rule) — w1, the per-row
+    projections s, w2, and sum(s^2) are all order-free int64 sums; the
+    norms divide 64-cell integer aggregates; finals rounded at 6.
+
+    Scale: X'Xv as X'(Xv) — never materialize the Gram matrix. Each
+    step is one map-side-combined groupBy onto d=64 cells (w) or onto
+    vec_id (s, co-partitioned with the explode); v broadcasts as d
+    rows. int64 holds nano-terms to ~1e9 rows per partial; beyond
+    that, drop to 1e6 quantization (documented trade: 3 fewer digits,
+    1000x more rows)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    x = (e.select("vec_id",
+                  F.posexplode("embedding").alias("j0", "xj"),
+                  F.element_at("embedding", 1).cast("double").alias("x1"))
+         .select("vec_id", (F.col("j0") + 1).cast("long").alias("j"),
+                 F.col("xj").cast("double").alias("xj"), "x1"))
+    w1 = x.groupBy("j").agg(
+        F.sum(F.round(F.col("x1") * F.col("xj") * 1e9).cast("long"))
+        .alias("w1n"))
+    n1 = w1.agg(F.sqrt(F.sum(F.col("w1n").cast("double")
+                             * F.col("w1n").cast("double"))).alias("nrm1"))
+    v1 = (w1.crossJoin(F.broadcast(n1))
+          .select("j", (F.col("w1n").cast("double") / F.col("nrm1"))
+                  .alias("v")))
+    s = (x.join(F.broadcast(v1), "j")
+         .groupBy("vec_id")
+         .agg((F.sum(F.round(F.col("xj") * F.col("v") * 1e9).cast("long"))
+               / 1e9).alias("sv")))
+    w2 = (x.join(s, "vec_id")
+          .groupBy("j")
+          .agg(F.sum(F.round(F.col("sv") * F.col("xj") * 1e9).cast("long"))
+               .alias("w2n")))
+    n2 = w2.agg(F.sqrt(F.sum(F.col("w2n").cast("double")
+                             * F.col("w2n").cast("double"))).alias("nrm2"))
+    cnt = e.agg(F.count("*").alias("nrows"))
+    lam = (s.agg(F.sum(F.round(F.col("sv") * F.col("sv") * 1e9)
+                       .cast("long")).alias("ssn"))
+           .crossJoin(F.broadcast(cnt))
+           .select((F.col("ssn") / 1e9 / F.col("nrows")).alias("l")))
+    return (w2.crossJoin(F.broadcast(n2)).crossJoin(F.broadcast(lam))
+            .select(F.col("j").alias("dim"),
+                    (F.round(F.col("w2n").cast("double") / F.col("nrm2"), 6)
+                     + F.lit(0.0)).alias("loading"),
+                    (F.round(F.col("l"), 6) + F.lit(0.0)).alias("rayleigh")))

@@ -1210,3 +1210,34 @@ def test_table_diff_digest_join(spark):
     assert_plan(get("q_table_diff").fn(spark, SF),
                 contains=("FullOuter",),
                 absent=("CartesianProduct", "BroadcastNestedLoopJoin"))
+
+
+def test_gini_two_phase_rank(spark):
+    """Gini: rank via the bucketed two-phase row number, weighted sum
+    as one map-side-combined aggregate — no global sort."""
+    from telescope_data_pipeline_spark.plans.audit import physical_plan
+
+    df = get("q_gini_concentration").fn(spark, SF)
+    df.collect()
+    plan = physical_plan(df).split("== Initial Plan ==")[0]
+    assert "hashpartitioning(_pid" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_skipgram_in_row_pairs(spark):
+    """Skip-gram counts: pairs built in-row (Generate over the HOF
+    output), then count + TakeOrdered — never the quadratic token
+    self-join of the oracle formulation."""
+    assert_plan(get("q_skipgram_counts").fn(spark, SF),
+                contains=("Generate", "TakeOrderedAndProject"),
+                absent=("CartesianProduct", "SortMergeJoin",
+                        "BroadcastNestedLoopJoin"))
+
+
+def test_pca_power_no_gram_matrix(spark):
+    """PCA step: X'(Xv) via explode + cell groupBy + d-row broadcast —
+    the Gram matrix never materializes, no cartesian join of X with
+    itself."""
+    assert_plan(get("q_pca_power_step").fn(spark, SF),
+                contains=("Generate", "HashAggregate"),
+                absent=("CartesianProduct",))
