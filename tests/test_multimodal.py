@@ -539,3 +539,289 @@ def test_png_near_duplicates_planted_copy_no_pil(spark):
              for r in image_near_duplicates(media, max_hamming=6).collect()}
     assert (0, 1) in pairs
     assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG: hand-rolled encoder fixture + pure-Python decode
+# ---------------------------------------------------------------------------
+
+def _jpeg_category(v):
+    """JPEG magnitude category: bit length of |v| (0 for 0)."""
+    return 0 if v == 0 else int(abs(v)).bit_length()
+
+
+class _JpegBitWriter:
+    def __init__(self):
+        self.buf, self.acc, self.n = bytearray(), 0, 0
+
+    def write(self, val, nbits):
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((val >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.buf.append(self.acc)
+                if self.acc == 0xFF:
+                    self.buf.append(0x00)  # byte stuffing
+                self.acc, self.n = 0, 0
+
+    def flush(self):
+        if self.n:
+            pad = 8 - self.n
+            self.acc = (self.acc << pad) | ((1 << pad) - 1)
+            self.buf.append(self.acc)
+            if self.acc == 0xFF:
+                self.buf.append(0x00)
+            self.acc, self.n = 0, 0
+
+
+def _jpeg_canonical_table(symbols):
+    """One-length canonical Huffman table over the used symbol set:
+    every symbol gets an L-bit code with L chosen so the all-ones code
+    stays unused (n <= 2^L - 1). Returns (counts16, ordered_symbols,
+    {sym: (code, L)})."""
+    syms = sorted(set(symbols))
+    L = max(2, (len(syms) + 1).bit_length())
+    counts = [0] * 16
+    counts[L - 1] = len(syms)
+    codes = {s: (i << 0, L) for i, s in enumerate(syms)}
+    return bytes(counts), bytes(syms), codes
+
+
+def _make_jpeg(img, subsample=(1, 1), restart_interval=0):
+    """Hand-rolled baseline JPEG encoder for test fixtures: all-ones
+    quant table (near-lossless), one shared DC and AC Huffman table
+    built from the image's own symbols (the decoder reads tables from
+    DHT, so custom tables exercise the same path as Annex K's),
+    optional 4:2:0/4:2:2 luma sampling and restart intervals."""
+    import numpy as np
+
+    from telescope_data_pipeline_spark.operators.multimodal import (
+        _JPEG_DCT,
+        _JPEG_ZZ,
+    )
+
+    a = np.asarray(img, np.float64)
+    h, w = a.shape[:2]
+    if a.ndim == 2:
+        planes = [a]
+        comps = [(1, 1, 1)]
+    else:
+        r, g, b = a[..., 0], a[..., 1], a[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        sh, sv = subsample
+        # box-average subsample chroma to ceil(h/sv) x ceil(w/sh)
+        def sub(p):
+            ph = -(-h // sv) * sv
+            pw = -(-w // sh) * sw if False else -(-w // sh) * sh
+            pad = np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+            return pad.reshape(ph // sv, sv, pw // sh, sh).mean(axis=(1, 3))
+        planes = [y, sub(cb), sub(cr)]
+        comps = [(1, sh, sv), (2, 1, 1), (3, 1, 1)]
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+
+    def padded(p, ch, cv):
+        th, tw = mcuy * 8 * cv, mcux * 8 * ch
+        return np.pad(p, ((0, th - p.shape[0]), (0, tw - p.shape[1])),
+                      mode="edge")
+    planes = [padded(p, c[1], c[2]) for p, c in zip(planes, comps)]
+
+    # pass 1: per-MCU zigzag coefficient blocks (quant = all ones)
+    blocks = []  # (comp_idx, [64 ints])
+    for m in range(mcux * mcuy):
+        my, mx = divmod(m, mcux)
+        for ci, (cid, ch, cv) in enumerate(comps):
+            for by in range(cv):
+                for bx in range(ch):
+                    y0, x0 = (my * cv + by) * 8, (mx * ch + bx) * 8
+                    blk = planes[ci][y0:y0 + 8, x0:x0 + 8] - 128.0
+                    co = _JPEG_DCT @ blk @ _JPEG_DCT.T
+                    zz = [int(round(co[r, c])) for (r, c) in _JPEG_ZZ]
+                    blocks.append((ci, zz))
+
+    # symbol collection (with restart-aware DC predictors)
+    n_comp_blocks = sum(c[1] * c[2] for c in comps)
+    dc_syms, ac_syms = [], []
+    preds = [0] * len(comps)
+    for bi, (ci, zz) in enumerate(blocks):
+        if restart_interval and bi % (restart_interval * n_comp_blocks) == 0 \
+                and bi:
+            preds = [0] * len(comps)
+        diff = zz[0] - preds[ci]
+        preds[ci] = zz[0]
+        dc_syms.append(_jpeg_category(diff))
+        k = 1
+        while k < 64:
+            run = 0
+            while k < 64 and zz[k] == 0:
+                run, k = run + 1, k + 1
+            if k == 64:
+                ac_syms.append(0x00)  # EOB
+                break
+            while run >= 16:
+                ac_syms.append(0xF0)
+                run -= 16
+            ac_syms.append((run << 4) | _jpeg_category(zz[k]))
+            k += 1
+        else:
+            pass
+    dc_counts, dc_vals, dc_codes = _jpeg_canonical_table(dc_syms)
+    ac_counts, ac_vals, ac_codes = _jpeg_canonical_table(ac_syms)
+
+    # pass 2: emit entropy-coded bits
+    def put_coef(bw, codes, sym, v):
+        code, ln = codes[sym]
+        bw.write(code, ln)
+        s = sym & 15
+        if s:
+            bw.write(v if v > 0 else v + (1 << s) - 1, s)
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + (67).to_bytes(2, "big") + b"\x00" + b"\x01" * 64
+    nc = len(comps)
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") \
+        + bytes([nc])
+    for cid, ch, cv in comps:
+        sof += bytes([cid, (ch << 4) | cv, 0])
+    out += b"\xff\xc0" + (2 + len(sof)).to_bytes(2, "big") + sof
+    for cls, counts, vals in ((0, dc_counts, dc_vals),
+                              (1, ac_counts, ac_vals)):
+        seg = bytes([cls << 4]) + counts + vals
+        out += b"\xff\xc4" + (2 + len(seg)).to_bytes(2, "big") + seg
+    if restart_interval:
+        out += b"\xff\xdd" + (4).to_bytes(2, "big") \
+            + restart_interval.to_bytes(2, "big")
+    sos = bytes([nc])
+    for cid, _, _ in comps:
+        sos += bytes([cid, 0x00])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + (2 + len(sos)).to_bytes(2, "big") + sos
+
+    bw = _JpegBitWriter()
+    preds = [0] * len(comps)
+    rst = 0
+    per_mcu = n_comp_blocks
+    for m in range(mcux * mcuy):
+        if restart_interval and m and m % restart_interval == 0:
+            bw.flush()
+            out += bw.buf
+            bw = _JpegBitWriter()
+            out += bytes([0xFF, 0xD0 + rst % 8])
+            rst += 1
+            preds = [0] * len(comps)
+        for ci, zz in blocks[m * per_mcu:(m + 1) * per_mcu]:
+            diff = zz[0] - preds[ci]
+            preds[ci] = zz[0]
+            put_coef(bw, dc_codes, _jpeg_category(diff), diff)
+            k = 1
+            while k < 64:
+                run = 0
+                while k < 64 and zz[k] == 0:
+                    run, k = run + 1, k + 1
+                if k == 64:
+                    code, ln = ac_codes[0x00]
+                    bw.write(code, ln)
+                    break
+                while run >= 16:
+                    code, ln = ac_codes[0xF0]
+                    bw.write(code, ln)
+                    run -= 16
+                put_coef(bw, ac_codes, (run << 4) | _jpeg_category(zz[k]),
+                         zz[k])
+                k += 1
+    bw.flush()
+    out += bw.buf + b"\xff\xd9"
+    return bytes(out)
+
+
+def test_jpeg_decode_grayscale_roundtrip():
+    """All-ones quant: decode(encode(X)) must match X within the FDCT
+    rounding budget (< 2 gray levels), including non-multiple-of-8
+    dimensions (edge blocks crop, never wrap)."""
+    import numpy as np
+
+    from telescope_data_pipeline_spark.operators.multimodal import (
+        decode_image,
+    )
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(17, 24)).astype(np.float64)
+    payload = _make_jpeg(img)
+    assert payload[:3] == b"\xff\xd8\xff"
+    dec = decode_image(payload)
+    assert dec.shape == (17, 24) and dec.dtype == np.float32
+    assert float(np.abs(dec - img).max()) < 2.0
+
+
+def test_jpeg_decode_420_color_with_restarts():
+    """4:2:0 RGB with a restart interval: the decoded gray must match
+    the ITU-R 601 luma of the source (chroma subsampling never touches
+    Y), and the restart path must resync DC predictors."""
+    import numpy as np
+
+    from telescope_data_pipeline_spark.operators.multimodal import (
+        decode_image,
+    )
+
+    rng = np.random.default_rng(11)
+    rgb = rng.integers(0, 256, size=(21, 19, 3)).astype(np.float64)
+    payload = _make_jpeg(rgb, subsample=(2, 2), restart_interval=2)
+    dec = decode_image(payload)
+    luma = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+    assert dec.shape == (21, 19)
+    assert float(np.abs(dec - np.clip(luma, 0, 255)).max()) < 2.5
+
+
+def test_jpeg_unsupported_variants_fail_loudly():
+    """Progressive (SOF2) and truncated scans must raise
+    CodecUnavailable — never fall through to the stub."""
+    import numpy as np
+    import pytest
+
+    from telescope_data_pipeline_spark.operators.multimodal import (
+        CodecUnavailable,
+        decode_image,
+    )
+
+    img = np.full((8, 8), 128.0)
+    good = _make_jpeg(img)
+    progressive = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(CodecUnavailable, match="SOF2"):
+        decode_image(progressive)
+    with pytest.raises(CodecUnavailable):
+        decode_image(good[:40])  # no SOS reached
+
+
+def test_jpeg_cross_codec_near_duplicate(spark):
+    """A JPEG re-encode of a BMP image must surface as a perceptual-
+    hash near-duplicate pair — closing the crawl-formats loop
+    (BMP/PNG/JPEG all decode pure-Python, all join the same banded
+    dedup)."""
+    import numpy as np
+
+    from telescope_data_pipeline_spark.operators.multimodal import (
+        _decode_bmp,
+        _tiny_bmp,
+        image_near_duplicates,
+    )
+    from telescope_data_pipeline_spark.schemas import MEDIA
+
+    rng = np.random.default_rng(23)
+    bmp = _tiny_bmp(rng, side=16)
+    gray = _decode_bmp(bmp).astype(np.float64)
+    jpg = _make_jpeg(gray)
+    distractor = _tiny_bmp(np.random.default_rng(99), side=16)
+    rows = [
+        (0, "image", bmp, "image/bmp", 16, 16, None, {"src": "a"}),
+        (1, "image", jpg, "image/jpeg", 16, 16, None, {"src": "b"}),
+        (2, "image", distractor, "image/bmp", 16, 16, None, {"src": "c"}),
+    ]
+    media = spark.createDataFrame(rows, schema=MEDIA)
+    pairs = {(r.media_id_a, r.media_id_b)
+             for r in image_near_duplicates(media, max_hamming=6).collect()}
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs and (1, 2) not in pairs
