@@ -192,6 +192,18 @@ def _decode_png(payload: bytes) -> np.ndarray:
     must fail loudly, never fall through to the stub. This closes the
     round-6 gap: real crawls are JPEG/PNG, and the repo's only real
     decoders were BMP/WAV."""
+    import zlib
+
+    try:
+        return _decode_png_inner(payload)
+    except (zlib.error, IndexError, ValueError) as e:
+        # damaged IDAT (zlib.error), palette index beyond PLTE
+        # (IndexError), short struct slices (ValueError) — same typed
+        # contract as the JPEG path: corrupt input -> CodecUnavailable
+        raise CodecUnavailable(f"truncated or corrupt PNG: {e}") from e
+
+
+def _decode_png_inner(payload: bytes) -> np.ndarray:
     import struct
     import zlib
 
@@ -363,6 +375,9 @@ def _decode_jpeg_inner(payload: bytes) -> np.ndarray:
         if b[pos] != 0xFF:
             raise CodecUnavailable("JPEG marker sync lost")
         marker = b[pos + 1]
+        if marker == 0xFF:  # 0xFF fill byte before a marker (T.81 B.1.1.2)
+            pos += 1
+            continue
         if marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                       0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise CodecUnavailable(
@@ -427,6 +442,8 @@ def _decode_jpeg_inner(payload: bytes) -> np.ndarray:
         if nxt == 0x00:
             cur.append(0xFF)
             pos += 2
+        elif nxt == 0xFF:  # fill byte run before a marker
+            pos += 1
         elif 0xD0 <= nxt <= 0xD7:  # RSTn
             segments.append(bytes(cur))
             cur = bytearray()
@@ -442,9 +459,16 @@ def _decode_jpeg_inner(payload: bytes) -> np.ndarray:
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
     yplane = np.zeros((mcuy * 8 * vmax, mcux * 8 * hmax), np.float64)
-    scan_by_cid = {s[0]: s for s in scan}
-    order = [(ci, comps[ci], scan_by_cid[comps[ci][0]])
-             for ci in range(len(comps))]
+    # MCUs interleave components in SOS *scan* order (T.81 A.2.3), not
+    # SOF frame order — a legal baseline file may list them differently
+    if len(scan) != len(comps):
+        raise CodecUnavailable(
+            "JPEG non-interleaved multi-scan unsupported")
+    cid_to_ci = {comps[ci][0]: ci for ci in range(len(comps))}
+    if any(sid not in cid_to_ci for sid, _td, _ta in scan):
+        raise CodecUnavailable("JPEG SOS component not declared in SOF")
+    order = [(cid_to_ci[sid], comps[cid_to_ci[sid]], (sid, td, ta))
+             for sid, td, ta in scan]
     qy = qt.get(comps[0][3])
     if qy is None:
         raise CodecUnavailable("JPEG missing luma quant table")

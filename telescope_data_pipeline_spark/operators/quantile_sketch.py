@@ -29,7 +29,8 @@ Construction (three stages, each with bounded state):
    cumulative weights are EXACT ranks (gaps merge losslessly — merging
    adjacent kept points only coarsens which ranks are addressable,
    never corrupts a cumulative count). Whenever the list exceeds
-   ~4/eps entries it is re-merged greedily so every non-point-mass gap
+   ~8/eps entries (4/keep_frac with keep_frac = eps/2) it is
+   re-merged greedily so every non-point-mass gap
    stays <= ceil(W_seen * eps/2); since W_seen only grows, final gaps
    are <= ceil(W * eps/2) and the answered quantile's true rank is
    within (eps/2)*n_shard (+1 for the ceil) per shard, eps*n overall.
@@ -41,10 +42,11 @@ across runs, partitionings, and cluster sizes (the
 q_random_projection content-addressing argument);
 tests/test_stats_sketches.py pins this.
 
-Scale: per-shard Python state is <= ~4/eps + 32 entries regardless of
+Scale: per-shard Python state is <= ~8/eps + 32 entries (the cap is
+ceil(4/keep_frac) + 32 with keep_frac = eps/2) regardless of
 shard size (the buffering is in Spark's spill-capable external sort,
 not in the Python worker); the driver merge touches
-n_shards * O(1/eps) rows — for eps=0.01 and 1024 shards that is ~400k
+n_shards * O(1/eps) rows — for eps=0.01 and 1024 shards that is ~850k
 tiny rows, a bounded collect by construction (the
 operators/median2pass.py contract).
 """
@@ -86,7 +88,8 @@ def partition_summaries(df: DataFrame, col: str, eps: float = 0.01,
     Values are duplicate-collapsed (groupBy + count), repartitioned by
     a content hash of the value with a pinned shard count, and sorted
     within each shard JVM-side (spill-safe); the Python compressor
-    then streams the sorted entries with <= ~4/eps + 32 entries of
+    then streams the sorted entries with <= ~8/eps + 32 entries
+    (ceil(4/keep_frac) + 32, keep_frac = eps/2) of
     state. Weights sum exactly to the non-null row count.
     """
     if not 0 < eps < 1:

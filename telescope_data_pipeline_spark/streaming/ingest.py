@@ -114,11 +114,34 @@ def ingest_documents(stream: DataFrame,
 
 
 def _snapshots(index_dir: str) -> list[str]:
+    """Complete snapshots only, oldest->newest. A directory is complete
+    when it carries Spark's ``_SUCCESS`` marker — a crash mid-write
+    leaves a partial dir without one, and treating a partial snapshot
+    as authoritative would silently drop index rows (the older complete
+    snapshot is still on disk and must win). Writers below also stage
+    under a non-matching temp name and rename into place, so this guard
+    is the object-store belt to the POSIX-rename braces."""
     if not os.path.isdir(index_dir):
         return []
     return sorted(
-        (d for d in os.listdir(index_dir) if d.startswith(_SNAP_PREFIX)),
+        (d for d in os.listdir(index_dir)
+         if d.startswith(_SNAP_PREFIX)
+         and os.path.exists(os.path.join(index_dir, d, "_SUCCESS"))),
         key=lambda d: int(d[len(_SNAP_PREFIX):]))
+
+
+def _publish_snapshot(write, index_dir: str, nxt: int) -> str:
+    """Stage a snapshot write under ``_tmp-snap-<n>`` (a name
+    :func:`_snapshots` never matches) and atomically rename it to
+    ``snap-<n>``. A crash during the write leaves only the temp dir —
+    readers and a retried compaction keep resolving the newest COMPLETE
+    snapshot; the retry clears the leftover temp first."""
+    tmp = os.path.join(index_dir, f"_tmp-{_SNAP_PREFIX}{nxt}")
+    final = os.path.join(index_dir, f"{_SNAP_PREFIX}{nxt}")
+    shutil.rmtree(tmp, ignore_errors=True)  # crashed earlier attempt
+    write(tmp)
+    os.rename(tmp, final)
+    return final
 
 
 def load_corpus_index(spark: SparkSession, index_dir: str) -> DataFrame:
@@ -157,8 +180,9 @@ def compact_ingest_state(spark: SparkSession, accepted_dir: str,
         .unionByName(digests).distinct()
     snaps = _snapshots(index_dir)
     nxt = (int(snaps[-1][len(_SNAP_PREFIX):]) + 1) if snaps else 0
-    new_snap = os.path.join(index_dir, f"{_SNAP_PREFIX}{nxt}")
-    merged.write.mode("error").parquet(new_snap)
+    new_snap = _publish_snapshot(
+        lambda tmp: merged.write.mode("overwrite").parquet(tmp),
+        index_dir, nxt)
     shutil.rmtree(checkpoint_dir, ignore_errors=True)
     return new_snap
 
@@ -226,10 +250,13 @@ def compact_band_index(spark: SparkSession, band_dir: str) -> str | None:
     ``batch-*`` delta, writes ``snap-<n+1>`` partitioned by the
     ``bucket`` layout column (so per-batch lookups prune to the
     buckets the incoming docs actually hash into), then removes the
-    absorbed deltas and older snapshots. Write-then-delete ordering
-    makes a crash safe: leftover deltas merely duplicate rows already
-    in the snapshot, which is harmless for the semi-join and
-    re-deduplicated by the next compaction.
+    absorbed deltas and older snapshots. Crash-safety covers the whole
+    window: the snapshot is staged under a temp name and renamed into
+    place (:func:`_publish_snapshot`), so a crash DURING the write
+    leaves no partial ``snap-*`` dir for readers to mistake for the
+    index, and a crash between rename and delta deletion leaves
+    leftover deltas that merely duplicate rows already in the snapshot
+    — harmless for the semi-join and re-deduplicated next compaction.
 
     This is what bounds :func:`ingest_documents_neardup`'s per-batch
     cost: without it the delta LIST grows with every accepting batch
@@ -249,11 +276,13 @@ def compact_band_index(spark: SparkSession, band_dir: str) -> str | None:
                                  F.lit(_BAND_BUCKETS)).cast("int"))
               .distinct())
     nxt = (int(snaps[-1][len(_SNAP_PREFIX):]) + 1) if snaps else 0
-    new_snap = os.path.join(band_dir, f"{_SNAP_PREFIX}{nxt}")
     # repartition on the layout column: one writer per bucket dir, not
     # n_tasks files per dir (the coalesce(1) trap — see verify notes)
-    (merged.repartition(F.col("bucket"))
-     .write.mode("error").partitionBy("bucket").parquet(new_snap))
+    new_snap = _publish_snapshot(
+        lambda tmp: (merged.repartition(F.col("bucket"))
+                     .write.mode("overwrite")
+                     .partitionBy("bucket").parquet(tmp)),
+        band_dir, nxt)
     for d in batches:
         shutil.rmtree(os.path.join(band_dir, d), ignore_errors=True)
     for s in snaps:

@@ -508,6 +508,43 @@ def test_png_palette_and_unsupported_variants():
             _decode_png(bad)
 
 
+def test_png_corrupt_input_raises_typed_codec_error():
+    """Corrupt PNGs must fail with CodecUnavailable — same typed
+    contract as the JPEG path (round-7 ADVICE item): a damaged IDAT
+    must not leak raw zlib.error, and a palette index beyond PLTE must
+    not leak IndexError."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from telescope_data_pipeline_spark.operators.multimodal import (
+        CodecUnavailable,
+        _decode_png,
+        _png_chunk,
+    )
+
+    # damaged IDAT: valid chunk framing, garbage deflate stream
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    bad_idat = (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+                + _png_chunk(b"IDAT", b"\x99garbage-not-deflate")
+                + _png_chunk(b"IEND", b""))
+    with pytest.raises(CodecUnavailable, match="corrupt PNG"):
+        _decode_png(bad_idat)
+
+    # palette index 5 with a 2-entry PLTE
+    pal = np.array([[255, 0, 0], [0, 255, 0]], dtype=np.uint8)
+    idx_raw = b"\x00" + bytes([0, 5]) + b"\x00" + bytes([1, 0])
+    ihdr3 = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    bad_pal = (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr3)
+               + _png_chunk(b"PLTE", pal.tobytes())
+               + _png_chunk(b"IDAT", zlib.compress(idx_raw))
+               + _png_chunk(b"IEND", b""))
+    with pytest.raises(CodecUnavailable, match="corrupt PNG"):
+        _decode_png(bad_pal)
+
+
 def test_png_near_duplicates_planted_copy_no_pil(spark):
     """End-to-end without PIL: a re-encoded PNG copy of a BMP image
     (same pixels, different container) must surface as a perceptual-
@@ -587,7 +624,7 @@ def _jpeg_canonical_table(symbols):
     return bytes(counts), bytes(syms), codes
 
 
-def _make_jpeg(img, subsample=(1, 1), restart_interval=0):
+def _make_jpeg(img, subsample=(1, 1), restart_interval=0, sos_perm=None):
     """Hand-rolled baseline JPEG encoder for test fixtures: all-ones
     quant table (near-lossless), one shared DC and AC Huffman table
     built from the image's own symbols (the decoder reads tables from
@@ -696,8 +733,8 @@ def _make_jpeg(img, subsample=(1, 1), restart_interval=0):
         out += b"\xff\xdd" + (4).to_bytes(2, "big") \
             + restart_interval.to_bytes(2, "big")
     sos = bytes([nc])
-    for cid, _, _ in comps:
-        sos += bytes([cid, 0x00])
+    for ci in (sos_perm if sos_perm is not None else range(nc)):
+        sos += bytes([comps[ci][0], 0x00])
     sos += bytes([0, 63, 0])
     out += b"\xff\xda" + (2 + len(sos)).to_bytes(2, "big") + sos
 
@@ -713,7 +750,13 @@ def _make_jpeg(img, subsample=(1, 1), restart_interval=0):
             out += bytes([0xFF, 0xD0 + rst % 8])
             rst += 1
             preds = [0] * len(comps)
-        for ci, zz in blocks[m * per_mcu:(m + 1) * per_mcu]:
+        chunk = blocks[m * per_mcu:(m + 1) * per_mcu]
+        if sos_perm is not None:  # MCU interleave follows SOS scan order
+            by_ci = {}
+            for ci, zz in chunk:
+                by_ci.setdefault(ci, []).append((ci, zz))
+            chunk = [blk for ci in sos_perm for blk in by_ci[ci]]
+        for ci, zz in chunk:
             diff = zz[0] - preds[ci]
             preds[ci] = zz[0]
             put_coef(bw, dc_codes, _jpeg_category(diff), diff)
@@ -774,6 +817,44 @@ def test_jpeg_decode_420_color_with_restarts():
     luma = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
     assert dec.shape == (21, 19)
     assert float(np.abs(dec - np.clip(luma, 0, 255)).max()) < 2.5
+
+
+def test_jpeg_sos_scan_order_differs_from_sof():
+    """A legal baseline JPEG may list SOS components in a different
+    order than SOF; MCUs interleave in SCAN order (T.81 A.2.3), so a
+    frame-order decode would desync the bitstream and corrupt luma.
+    Encode Cr,Cb,Y scan order and require the exact same Y plane as
+    the canonical ordering (round-7 ADVICE item)."""
+    import numpy as np
+
+    from telescope_data_pipeline_spark.operators.multimodal import (
+        decode_image,
+    )
+
+    rng = np.random.default_rng(13)
+    rgb = rng.integers(0, 256, size=(16, 16, 3)).astype(np.float64)
+    canonical = decode_image(_make_jpeg(rgb))
+    permuted = decode_image(_make_jpeg(rgb, sos_perm=(2, 1, 0)))
+    assert np.array_equal(canonical, permuted)
+
+
+def test_jpeg_fill_bytes_before_markers():
+    """0xFF fill bytes before a marker are legal (T.81 B.1.1.2) both in
+    the header stream and in the entropy-coded segment; the decoder
+    must skip them, not raise (round-7 ADVICE item)."""
+    import numpy as np
+
+    from telescope_data_pipeline_spark.operators.multimodal import (
+        decode_image,
+    )
+
+    rng = np.random.default_rng(17)
+    img = rng.integers(0, 256, size=(16, 16)).astype(np.float64)
+    good = _make_jpeg(img)
+    # fill bytes after SOI (before DQT) and before the trailing EOI
+    assert good.endswith(b"\xff\xd9")
+    stuffed = (good[:2] + b"\xff\xff" + good[2:-2] + b"\xff" + b"\xff\xd9")
+    assert np.array_equal(decode_image(good), decode_image(stuffed))
 
 
 def test_jpeg_unsupported_variants_fail_loudly():

@@ -395,6 +395,52 @@ def test_ingest_compaction_resets_state_and_still_rejects(spark, tmp_path):
     assert drain(tmp_path / "out3", cp) == []
 
 
+def test_compaction_crash_mid_write_keeps_old_snapshot(spark, tmp_path):
+    """A crash DURING a snapshot write must not lose index rows: the
+    partial dir (no _SUCCESS) is ignored by _snapshots, readers keep
+    resolving the older complete snapshot, and a retried compaction
+    clears the leftover temp and publishes a complete snap-1 that
+    still contains every previously-indexed digest (round-7 ADVICE)."""
+    import os
+
+    import pandas as pd
+
+    from telescope_data_pipeline_spark.streaming.ingest import (
+        compact_ingest_state,
+        load_corpus_index,
+    )
+
+    index_dir = tmp_path / "index"
+    snap0 = index_dir / "snap-0"
+    snap0.mkdir(parents=True)
+    pd.DataFrame({"digest": ["a", "b", "c"]}).to_parquet(
+        snap0 / "part0.parquet")
+    (snap0 / "_SUCCESS").touch()
+
+    # simulate a compaction that crashed mid-write: a partial staged dir
+    tmp_snap = index_dir / "_tmp-snap-1"
+    tmp_snap.mkdir()
+    pd.DataFrame({"digest": ["a"]}).to_parquet(tmp_snap / "part0.parquet")
+
+    # readers: the complete snap-0 stays authoritative
+    assert {r.digest for r in
+            load_corpus_index(spark, str(index_dir)).collect()} \
+        == {"a", "b", "c"}
+
+    # retried compaction: new accepted digests + full old index survive
+    accepted = tmp_path / "accepted"
+    spark.createDataFrame([("d",)], "digest string") \
+        .write.parquet(str(accepted))
+    snap = compact_ingest_state(spark, str(accepted), str(index_dir),
+                                str(tmp_path / "cp"))
+    assert os.path.basename(snap) == "snap-1"
+    assert os.path.exists(os.path.join(snap, "_SUCCESS"))
+    assert not tmp_snap.exists()
+    assert {r.digest for r in
+            load_corpus_index(spark, str(index_dir)).collect()} \
+        == {"a", "b", "c", "d"}
+
+
 def test_ingest_watermarked_dedup_matches_unbounded(spark, tmp_path):
     """The watermark-bounded dedup variant (dropDuplicatesWithinWatermark)
     accepts the same set as the unbounded form when re-crawls arrive
@@ -470,6 +516,7 @@ def test_static_parquet_index_pins_listing(spark, tmp_path):
     idx = tmp_path / "index" / "snap-0"
     idx.mkdir(parents=True)
     pd.DataFrame({"digest": ["a", "b"]}).to_parquet(idx / "part0.parquet")
+    (idx / "_SUCCESS").touch()  # _snapshots only trusts complete dirs
 
     pinned = spark.read.parquet(str(idx))
     assert pinned.count() == 2
@@ -484,6 +531,11 @@ def test_static_parquet_index_pins_listing(spark, tmp_path):
     snap1.mkdir()
     pd.DataFrame({"digest": ["a", "b", "c", "d"]}).to_parquet(
         snap1 / "part0.parquet")
+    # no _SUCCESS yet: a partial (crashed mid-write) snapshot must NOT
+    # shadow the older complete one (round-7 ADVICE item); snap-0 holds
+    # 3 rows after the append above
+    assert load_corpus_index(spark, str(tmp_path / "index")).count() == 3
+    (snap1 / "_SUCCESS").touch()
     assert load_corpus_index(spark, str(tmp_path / "index")).count() == 4
 
 
