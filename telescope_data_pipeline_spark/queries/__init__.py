@@ -19,6 +19,7 @@ def load_all() -> None:
         flagship,
         joins,
         llm,
+        mining,
         relational,
         retrieval,
         scalars,

@@ -44,46 +44,33 @@ class Query:
 _REGISTRY: dict[str, Query] = {}
 
 #: The driver's correctness gate checks queries in ``queries()`` dict
-#: order and stops after the first 50 entries. Round-7 rotation
-#: (executing the plan the round-6 window left behind, VERDICT r6
-#: item 1): the 43 registered queries that have NEVER appeared in any
-#: CORRECTNESS file (41 oracle-backed + q_quantile_sketch and
-#: q_media_phash rows-only) lead the window — this converts the last
-#: "locally claimed" ~20% of the engine into "driver-proven". The
-#: q_quantile_sketch empty-input crash and the q_auc_ranking
-#: partition-less window were fixed BEFORE this rotation (VERDICT r6
-#: items 2/4). Group (b) holds the oracle promotions and operators NEW
-#: in round 7 (q_quantile_sketch_pinned: the SQL-replayable twin that
-#: promotes the quantile sketch to hash-checked, per the q_hll_union
-#: recipe). Group (c) backfills the remaining slots with the
-#: oldest-green (r3) queries for rolling regression visibility.
-#: Everything else stays re-verified by the local sf0.01+sf0.1 sweep
-#: every session and rotates back in round 8.
+#: order and stops after the first 50 entries. Round-8 rotation:
+#: round 7 cleared the first-time-evidence backlog down to 4 (the
+#: queries group (c) parked past round 7's window); they lead now, so
+#: after this round EVERY registered query has appeared in a
+#: CORRECTNESS file. Group (b) holds operators NEW in round 8 (names
+#: appended as they land, each with its oracle). Group (c) backfills
+#: the remaining ~25 slots with the oldest-oracle-green queries —
+#: everything whose last driver check was round 3 (the r1/r2-only
+#: stragglers are all rows-only checks, which re-verify nothing the
+#: local sweep doesn't) — for rolling regression visibility. The local
+#: sf0.01+sf0.1 oracle sweep still covers all 200+ queries per session.
 PRIORITY: tuple[str, ...] = (
-    # (a) first-time evidence: never in any CORRECTNESS file (r1-r6)
-    "q_auc_ranking", "q_ndcg_mrr", "q_calibration",
-    "q_acf", "q_zipf_fit", "q_linkage_blocked", "q_ewma",
-    "q_bootstrap_ci", "q_kanonymity", "q_kl_drift", "q_kneser_ney",
-    "q_markov_transitions", "q_skew_audit", "q_hll_union", "q_cms_count",
-    "q_user_growth", "q_bpe_merge_step", "q_small_order_revenue",
-    "q_classification_report", "q_dq_rules",
-    "q_late_supplier", "q_label_propagation",
-    "q_sequence_pattern", "q_sample_neyman",
-    "q_pass_at_k", "q_changepoint", "q_quantile_sketch",
-    "q_sessionize", "q_rfm_segments", "q_seasonal_baseline",
-    "q_holt_forecast", "q_attribution", "q_source_overlap",
-    "q_mlm_mask", "q_recursive_calendar", "q_kaplan_meier", "q_ab_power",
-    "q_dedup_cascade", "q_funnel_windowed", "q_rolling_active_users",
-    "q_kcore", "q_unpivot", "q_media_phash",
-    # (b) first-time evidence: oracle promotions + operators new in r7
-    "q_quantile_sketch_pinned", "q_heavy_hitters_grouped",
-    "q_url_canonical", "q_dedup_embed_lsh", "q_kmv_theta",
-    "q_lift_gains", "q_mutual_info",
-    # (c) past the driver's 50-entry window this round — next-round
-    # first-timers and the oldest-green (r3) regression backfills; the
-    # local sf0.01+sf0.1 sweep still verifies all of these every session
+    # (a) first-time evidence: never in any CORRECTNESS file (r1-r7)
     "q_table_diff", "q_gini_concentration", "q_skipgram_counts",
-    "q_pca_power_step", "q_scalar_math", "q_scalar_round", "q_scan_csv",
+    "q_pca_power_step",
+    # (b) first-time evidence: operators new in round 8
+    # (appended as they land)
+    "q_psi_drift", "q_assoc_rules", "q_adamic_adar", "q_rate_shrinkage",
+    "q_woe_iv", "q_feature_hashing", "q_mutual_nn", "q_theilsen",
+    # (c) oldest-green regression backfill: last driver-checked in r3
+    "q_scalar_math", "q_scalar_round", "q_scan_csv", "q_color_index",
+    "q_partition_overwrite", "q_phase_fold", "q_histogram",
+    "q_cohort_retention", "q_zscore", "q_text_redact", "q_doc_chunks",
+    "q_project", "q_filter_range", "q_case_when", "q_json_extract",
+    "q_scan_json", "q_scalar_string2", "q_scalar_date2", "q_posexplode",
+    "q_scalar_bits", "q_union_distinct", "q_sort", "q_window_trim",
+    "q_topk_per_group", "q_pipeline_residuals",
 )
 
 
