@@ -92,6 +92,16 @@ EXTRA = [
     "q_gini_concentration",
     "q_skipgram_counts",
     "q_pca_power_step",
+    # round-9 additions (r8 verdict item 5): the mining/scoring batch —
+    # informational, frozen comparator set untouched
+    "q_psi_drift",
+    "q_assoc_rules",
+    "q_adamic_adar",
+    "q_rate_shrinkage",
+    "q_woe_iv",
+    "q_feature_hashing",
+    "q_mutual_nn",
+    "q_theilsen",
 ]
 
 
@@ -158,6 +168,26 @@ def main() -> None:
         except Exception as e:
             errors[f"{name}#extra"] = f"{type(e).__name__}: {e}"[:200]
 
+    # Attribution diagnostics (r8 verdict item 4): q_dedup_embed_lsh's
+    # wall time is dominated by LSH candidate volume at its demo config
+    # (threshold 0.4 -> 4 bits x 16 tables); publish the measured
+    # candidate-pair count so the number is attributable to corpus
+    # geometry, not suspected engine regression.
+    diagnostics: dict[str, int] = {}
+    try:
+        from telescope_data_pipeline_spark.operators.similarity import (
+            embedding_lsh_candidates,
+        )
+        from telescope_data_pipeline_spark.sources import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        diagnostics["q_dedup_embed_lsh_candidate_pairs"] = \
+            embedding_lsh_candidates(emb, dim=64, n_bits=4,
+                                     n_tables=16).count()
+    except Exception as e:
+        errors["diagnostics#candidate_pairs"] = \
+            f"{type(e).__name__}: {e}"[:200]
+
     total = round(sum(timings.values()), 3)
     payload = {
         "metric": "headline_queries_total_wall",
@@ -180,6 +210,7 @@ def main() -> None:
         "n_queries": len(HEADLINE),
         # informational only — excluded from every total (see EXTRA)
         "queries_extra": extra,
+        "diagnostics": diagnostics,
         "sf": sf,
     }
     if errors:

@@ -192,14 +192,17 @@ def _decode_png(payload: bytes) -> np.ndarray:
     must fail loudly, never fall through to the stub. This closes the
     round-6 gap: real crawls are JPEG/PNG, and the repo's only real
     decoders were BMP/WAV."""
+    import struct
     import zlib
 
     try:
         return _decode_png_inner(payload)
-    except (zlib.error, IndexError, ValueError) as e:
+    except (zlib.error, IndexError, ValueError, struct.error) as e:
         # damaged IDAT (zlib.error), palette index beyond PLTE
-        # (IndexError), short struct slices (ValueError) — same typed
-        # contract as the JPEG path: corrupt input -> CodecUnavailable
+        # (IndexError), short struct slices (ValueError), a chunk cut
+        # mid-header so struct.unpack sees too few bytes (struct.error)
+        # — same typed contract as the JPEG path: corrupt input ->
+        # CodecUnavailable
         raise CodecUnavailable(f"truncated or corrupt PNG: {e}") from e
 
 

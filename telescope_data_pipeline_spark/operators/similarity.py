@@ -245,6 +245,35 @@ def embedding_near_duplicates(
     embedding column is shuffled exactly twice (once per verify side),
     not L times.
     """
+    cand = embedding_lsh_candidates(vecs, id_col, vec_col, dim=dim,
+                                    n_bits=n_bits, n_tables=n_tables,
+                                    seed=seed)
+    base = vecs.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    va = base.select(F.col("id").alias("id_a"), F.col("vec").alias("va"))
+    vb = base.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"))
+    return (cand.join(va, "id_a").join(vb, "id_b")
+            .withColumn("cosine", cosine("va", "vb"))
+            .filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", F.round("cosine", 6).alias("cosine")))
+
+
+def embedding_lsh_candidates(
+    vecs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_bits: int = 8,
+    n_tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """The candidate-pair relation of :func:`embedding_near_duplicates`
+    BEFORE exact-cosine verification: distinct (id_a, id_b) sharing an
+    H-bit bucket in any of L tables. Exposed separately so operators
+    can apply their own verify step — and so bench/capacity planning
+    can MEASURE candidate volume: at low thresholds (few bits, many
+    tables) candidate count approaches quadratic, and that count, not
+    the engine, is what a wall-clock number is attributable to
+    (round-8 verdict item: q_dedup_embed_lsh's 14.5 s demo)."""
     planes = _hyperplanes(dim, n_bits, n_tables, seed)
     base = vecs.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     buckets = F.array(*[
@@ -257,13 +286,7 @@ def embedding_near_duplicates(
                       F.col("b.bkt").alias("bkt")))
     a = tagged.select(F.col("id").alias("id_a"), "tbl", "bkt")
     b = tagged.select(F.col("id").alias("id_b"), "tbl", "bkt")
-    cand = (a.join(b, ["tbl", "bkt"])
+    return (a.join(b, ["tbl", "bkt"])
             .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b")
             .distinct())  # a pair can collide in several tables
-    va = base.select(F.col("id").alias("id_a"), F.col("vec").alias("va"))
-    vb = base.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"))
-    return (cand.join(va, "id_a").join(vb, "id_b")
-            .withColumn("cosine", cosine("va", "vb"))
-            .filter(F.col("cosine") >= threshold)
-            .select("id_a", "id_b", F.round("cosine", 6).alias("cosine")))

@@ -756,7 +756,8 @@ WITH s AS (
   FROM c
 )
 SELECT cum.event_type,
-       ROUND(MAX(ABS(cum_a * 1.0 / n_a - cum_b * 1.0 / n_b)), 6) + 0.0 AS ks_d,
+       ROUND(MAX(ABS(cum_a * 1.0 / NULLIF(n_a, 0)
+                     - cum_b * 1.0 / NULLIF(n_b, 0))), 6) + 0.0 AS ks_d,
        CAST(MIN(n_a) AS BIGINT) AS n_a, CAST(MIN(n_b) AS BIGINT) AS n_b
 FROM cum JOIN n USING (event_type)
 GROUP BY cum.event_type
@@ -797,8 +798,11 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (cum.join(F.broadcast(n), "event_type")
             .groupBy("event_type")
             .agg((F.round(F.max(F.abs(
-                      F.col("cum_a") * 1.0 / F.col("n_a")
-                      - F.col("cum_b") * 1.0 / F.col("n_b"))), 6) + 0.0)
+                      # empty cohort: KS undefined -> NULL, never a
+                      # DIVIDE_BY_ZERO crash (edge-corpus contract)
+                      F.col("cum_a") * 1.0 / F.nullif(F.col("n_a"), F.lit(0))
+                      - F.col("cum_b") * 1.0
+                      / F.nullif(F.col("n_b"), F.lit(0)))), 6) + 0.0)
                  .alias("ks_d"),
                  F.min("n_a").alias("n_a"),
                  F.min("n_b").alias("n_b")))
@@ -994,10 +998,11 @@ WITH s AS (
   FROM events GROUP BY event_type
 )
 SELECT event_type,
-       ROUND((m_a - m_b) / SQRT(v_a / n_a + v_b / n_b), 6) + 0.0 AS t_stat,
+       ROUND((m_a - m_b) / SQRT(NULLIF(v_a / n_a + v_b / n_b, 0)), 6) + 0.0
+         AS t_stat,
        ROUND(POW(v_a / n_a + v_b / n_b, 2)
-             / (POW(v_a / n_a, 2) / (n_a - 1)
-                + POW(v_b / n_b, 2) / (n_b - 1)), 6) + 0.0 AS df,
+             / NULLIF(POW(v_a / n_a, 2) / (n_a - 1)
+                      + POW(v_b / n_b, 2) / (n_b - 1), 0), 6) + 0.0 AS df,
        CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b
 FROM s
 """)
@@ -1018,13 +1023,19 @@ def q_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(a).alias("n_a"),
         F.avg(b).alias("m_b"), F.var_samp(b).alias("v_b"),
         F.count(b).alias("n_b"))
+    # NULLIF guards: two zero-variance cohorts (a constant metric) make
+    # the standard error 0 — the t statistic and Welch df are undefined
+    # there, so both go NULL instead of raising ANSI DIVIDE_BY_ZERO.
     se2 = F.col("v_a") / F.col("n_a") + F.col("v_b") / F.col("n_b")
     dfw = (F.pow(se2, 2)
-           / (F.pow(F.col("v_a") / F.col("n_a"), 2) / (F.col("n_a") - 1)
-              + F.pow(F.col("v_b") / F.col("n_b"), 2) / (F.col("n_b") - 1)))
+           / F.nullif(
+               F.pow(F.col("v_a") / F.col("n_a"), 2) / (F.col("n_a") - 1)
+               + F.pow(F.col("v_b") / F.col("n_b"), 2) / (F.col("n_b") - 1),
+               F.lit(0.0)))
     return s.select(
         "event_type",
-        (F.round((F.col("m_a") - F.col("m_b")) / F.sqrt(se2), 6) + 0.0)
+        (F.round((F.col("m_a") - F.col("m_b"))
+                 / F.sqrt(F.nullif(se2, F.lit(0.0))), 6) + 0.0)
         .alias("t_stat"),
         (F.round(dfw, 6) + 0.0).alias("df"),
         F.col("n_a").alias("n_a"), F.col("n_b").alias("n_b"))
@@ -2301,7 +2312,8 @@ terms AS (
   FROM my CROSS JOIN tot
 )
 SELECT ROUND(SUM(t_nano) / 1e9 / tot.n, 6) + 0.0 AS mi_nats,
-       ROUND(SUM(t_nano) / SQRT(hx.h_nano::DOUBLE * hy.h_nano::DOUBLE), 6)
+       ROUND(SUM(t_nano)
+             / SQRT(NULLIF(hx.h_nano::DOUBLE * hy.h_nano::DOUBLE, 0)), 6)
          + 0.0 AS nmi,
        CAST(tot.n AS BIGINT) AS n
 FROM terms CROSS JOIN tot CROSS JOIN hx CROSS JOIN hy
@@ -2348,7 +2360,9 @@ def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 (F.round(F.col("t") / 1e9 / F.col("n"), 6) + F.lit(0.0))
                 .alias("mi_nats"),
-                (F.round(F.col("t") / F.sqrt(
+                F.when((F.col("hx_nano") == 0) | (F.col("hy_nano") == 0),
+                       F.lit(None).cast("double"))
+                .otherwise(F.round(F.col("t") / F.sqrt(
                     F.col("hx_nano").cast("double")
                     * F.col("hy_nano").cast("double")), 6) + F.lit(0.0))
                 .alias("nmi"),

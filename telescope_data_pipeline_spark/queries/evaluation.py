@@ -333,9 +333,10 @@ WITH s AS (
 ), tot AS (SELECT SUM(n_pos) AS tp, SUM(n_rows) AS tn FROM dec)
 SELECT decile, CAST(n_rows AS BIGINT) AS n_rows, CAST(n_pos AS BIGINT) AS n_pos,
        CAST(SUM(n_pos) OVER (ORDER BY decile) AS BIGINT) AS cum_pos,
-       ROUND(SUM(n_pos) OVER (ORDER BY decile) * 100.0 / tot.tp, 4) + 0.0
-         AS capture_pct,
-       ROUND((n_pos::DOUBLE / n_rows) / (tot.tp::DOUBLE / tot.tn), 6) + 0.0
+       ROUND(SUM(n_pos) OVER (ORDER BY decile) * 100.0 / NULLIF(tot.tp, 0), 4)
+         + 0.0 AS capture_pct,
+       ROUND((n_pos::DOUBLE / n_rows)
+             / NULLIF(tot.tp::DOUBLE / tot.tn, 0), 6) + 0.0
          AS lift
 FROM dec CROSS JOIN tot
 """)
@@ -388,8 +389,14 @@ def q_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("n_rows").cast("long").alias("n_rows"),
                     F.col("n_pos").cast("long").alias("n_pos"),
                     F.col("cum_pos").cast("long").alias("cum_pos"),
-                    (F.round(F.col("cum_pos") * 100.0 / F.col("tp"), 4)
-                     + F.lit(0.0)).alias("capture_pct"),
-                    (F.round((F.col("n_pos").cast("double") / F.col("n_rows"))
-                             / (F.col("tp").cast("double") / F.col("tn")), 6)
-                     + F.lit(0.0)).alias("lift")))
+                    F.when(F.col("tp") == 0, F.lit(None).cast("double"))
+                    .otherwise(
+                        F.round(F.col("cum_pos") * 100.0 / F.col("tp"), 4)
+                        + F.lit(0.0)).alias("capture_pct"),
+                    F.when(F.col("tp") == 0, F.lit(None).cast("double"))
+                    .otherwise(
+                        F.round((F.col("n_pos").cast("double")
+                                 / F.col("n_rows"))
+                                / (F.col("tp").cast("double") / F.col("tn")),
+                                6)
+                        + F.lit(0.0)).alias("lift")))

@@ -36,8 +36,9 @@ WITH ref AS (
 ), edges AS (
   SELECT MIN(value) AS mn, MAX(value) AS mx FROM ref
 ), binned AS (
-  SELECT LEAST(9, GREATEST(0, CAST(FLOOR((value - mn) * 10.0 / (mx - mn))
-                                   AS INT))) AS bin,
+  SELECT LEAST(9, GREATEST(0, CAST(COALESCE(
+           FLOOR((value - mn) * 10.0 / NULLIF(mx - mn, 0)), 0) AS INT)))
+           AS bin,
          side
   FROM (SELECT value, 0 AS side FROM ref
         UNION ALL SELECT value, 1 AS side FROM cur)
@@ -86,9 +87,14 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .alias("side"))
     edges = (sided.filter(F.col("side") == 0)
              .agg(F.min("value").alias("mn"), F.max("value").alias("mx")))
-    binv = F.least(F.lit(9), F.greatest(F.lit(0), F.floor(
-        (F.col("value") - F.col("mn")) * 10.0 / (F.col("mx") - F.col("mn")))
-        .cast("int")))
+    # NULLIF + COALESCE guard: a reference window holding a single
+    # distinct value (mx == mn) or an empty reference window (mn/mx
+    # NULL) bins everything to 0 instead of raising ANSI DIVIDE_BY_ZERO
+    # — the edge-corpus contract.
+    binv = F.least(F.lit(9), F.greatest(F.lit(0), F.coalesce(
+        F.floor((F.col("value") - F.col("mn")) * 10.0
+                / F.nullif(F.col("mx") - F.col("mn"), F.lit(0.0))),
+        F.lit(0)).cast("int")))
     counts = (sided.crossJoin(F.broadcast(edges))
               .groupBy(binv.alias("bin"))
               .agg(F.coalesce(F.sum(F.when(F.col("side") == 0, 1)), F.lit(0))
@@ -240,10 +246,15 @@ def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
            .filter((F.col("d") >= 2) & (F.col("d") <= 40)))
     w = deg.select("pk", F.round(F.lit(1e9) / F.log("d")).cast("long")
                    .alias("w_nano"))
-    a = buyers.select(F.col("ck").alias("ck_a"), "pk")
-    b = buyers.select(F.col("ck").alias("ck_b"), "pk")
+    # Prune BEFORE the pair blowup: joining the degree-capped weight
+    # table onto buyers first drops >40-degree hub parts from the
+    # relation that self-joins, so the logical plan can never generate
+    # a hub's deg^2 pairs only to discard them (round-8 ADVICE item —
+    # Catalyst without CBO won't reorder the inner joins for us).
+    bw = buyers.join(w, "pk")
+    a = bw.select(F.col("ck").alias("ck_a"), "pk", "w_nano")
+    b = bw.select(F.col("ck").alias("ck_b"), "pk")
     pairs = (a.join(b, ["pk"]).filter(F.col("ck_a") < F.col("ck_b"))
-             .join(w, "pk")
              .groupBy("ck_a", "ck_b")
              .agg(F.count(F.lit(1)).alias("n_shared"),
                   F.sum("w_nano").alias("s_nano"))
@@ -270,7 +281,7 @@ WITH uv AS (
   WHERE event_type IN ('view', 'click')
   GROUP BY user_id
 ), g AS (
-  SELECT SUM(clicks) * 1.0 / SUM(views) AS p0 FROM uv
+  SELECT SUM(clicks) * 1.0 / NULLIF(SUM(views), 0) AS p0 FROM uv
 )
 SELECT user_id, CAST(views AS BIGINT) AS views,
        CAST(clicks AS BIGINT) AS clicks,
@@ -297,7 +308,11 @@ def q_rate_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
                           F.lit(0)).alias("views"),
                F.coalesce(F.sum(F.when(F.col("event_type") == "click", 1)),
                           F.lit(0)).alias("clicks")))
-    g = uv.agg((F.sum("clicks") / F.sum("views")).alias("p0"))
+    # NULLIF guard: an edge corpus with clicks but zero views must not
+    # raise ANSI DIVIDE_BY_ZERO (the views > 0 filter below then empties
+    # the output anyway, so p0=NULL is never observable on real rows).
+    g = uv.agg((F.sum("clicks")
+                / F.nullif(F.sum("views"), F.lit(0))).alias("p0"))
     return (uv.crossJoin(F.broadcast(g))
             .filter(F.col("views") > 0)
             .select("user_id", F.col("views").cast("long").alias("views"),
@@ -566,10 +581,16 @@ def q_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
     sized = (pe.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_obs"))
              .filter(F.col("n_obs").between(5, 50))
              .select("user_id"))
-    a = pe.select("user_id", F.col("t").alias("ta"), F.col("v").alias("va"))
-    b = pe.select("user_id", F.col("t").alias("tb"), F.col("v").alias("vb"))
+    # Semi-join the size band BEFORE the pair join: a user with
+    # thousands of purchases must be dropped before the O(n^2) pair
+    # generation, not after (round-8 ADVICE item) — this is what makes
+    # the documented ~1225 pairs/user cap a property of the PLAN.
+    pe_sized = pe.join(sized, "user_id", "left_semi")
+    a = pe_sized.select("user_id", F.col("t").alias("ta"),
+                        F.col("v").alias("va"))
+    b = pe_sized.select("user_id", F.col("t").alias("tb"),
+                        F.col("v").alias("vb"))
     slopes = (a.join(b, ["user_id"]).filter(F.col("tb") > F.col("ta"))
-              .join(sized, "user_id")
               .select("user_id",
                       ((F.col("vb") - F.col("va"))
                        / ((F.col("tb") - F.col("ta")) / 86400000000.0))

@@ -44,33 +44,37 @@ class Query:
 _REGISTRY: dict[str, Query] = {}
 
 #: The driver's correctness gate checks queries in ``queries()`` dict
-#: order and stops after the first 50 entries. Round-8 rotation:
-#: round 7 cleared the first-time-evidence backlog down to 4 (the
-#: queries group (c) parked past round 7's window); they lead now, so
-#: after this round EVERY registered query has appeared in a
-#: CORRECTNESS file. Group (b) holds operators NEW in round 8 (names
-#: appended as they land, each with its oracle). Group (c) backfills
-#: the remaining ~25 slots with the oldest-oracle-green queries —
-#: everything whose last driver check was round 3 (the r1/r2-only
-#: stragglers are all rows-only checks, which re-verify nothing the
-#: local sweep doesn't) — for rolling regression visibility. The local
-#: sf0.01+sf0.1 oracle sweep still covers all 200+ queries per session.
+#: order and stops after the first 50 entries. Round-9 rotation (the
+#: registry's established scheme): every registered query now has
+#: driver evidence (r8 closed the backlog), so the window serves
+#: (a) re-verification of queries whose Spark code OR oracle SQL
+#: changed this round (the r9 divide-by-zero guards + join-order
+#: fixes — a changed query's old green is stale evidence),
+#: (b) first-time evidence for operators NEW in round 9 (names
+#: appended as they land, each with its oracle), and
+#: (c) rolling regression backfill with the oldest-green cohort,
+#: now the round-4 set (per VERDICT r8 item 8). The local
+#: sf0.01+sf0.1 oracle sweep still covers all 250+ queries per
+#: session.
 PRIORITY: tuple[str, ...] = (
-    # (a) first-time evidence: never in any CORRECTNESS file (r1-r7)
-    "q_table_diff", "q_gini_concentration", "q_skipgram_counts",
-    "q_pca_power_step",
-    # (b) first-time evidence: operators new in round 8
+    # (a) changed in round 9: NULLIF/zero-denominator guards
+    # (q_mutual_info, q_lift_gains, q_ks_drift, q_ab_ttest,
+    # q_grouped_regression, q_rate_shrinkage, q_psi_drift) and
+    # prune-before-pair-join rewrites (q_adamic_adar, q_theilsen)
+    "q_mutual_info", "q_lift_gains", "q_ks_drift", "q_ab_ttest",
+    "q_grouped_regression", "q_rate_shrinkage", "q_psi_drift",
+    "q_adamic_adar", "q_theilsen",
+    # (b) first-time evidence: operators new in round 9
     # (appended as they land)
-    "q_psi_drift", "q_assoc_rules", "q_adamic_adar", "q_rate_shrinkage",
-    "q_woe_iv", "q_feature_hashing", "q_mutual_nn", "q_theilsen",
-    # (c) oldest-green regression backfill: last driver-checked in r3
-    "q_scalar_math", "q_scalar_round", "q_scan_csv", "q_color_index",
-    "q_partition_overwrite", "q_phase_fold", "q_histogram",
-    "q_cohort_retention", "q_zscore", "q_text_redact", "q_doc_chunks",
-    "q_project", "q_filter_range", "q_case_when", "q_json_extract",
-    "q_scan_json", "q_scalar_string2", "q_scalar_date2", "q_posexplode",
-    "q_scalar_bits", "q_union_distinct", "q_sort", "q_window_trim",
-    "q_topk_per_group", "q_pipeline_residuals",
+    # (c) oldest-green regression backfill: last driver-checked in r4
+    "q_filter_threshold", "q_map_filter", "q_join_semi", "q_join_anti",
+    "q_join_range", "q_window_lag", "q_window_rolling", "q_topk",
+    "q_intersect", "q_except", "q_scalar_string", "q_scalar_date",
+    "q_array_ops", "q_stream_sliding", "q_dedup_tokenset",
+    "q_dedup_apply", "q_sim_topk", "q_dedup_embed", "q_text_stats",
+    "q_doc_quality", "q_lang_id", "q_token_topk", "q_token_bpe",
+    "q_doc_repetition", "q_events_funnel", "q_gap_fill",
+    "q_merge_upsert", "q_mix_corpus_hash",
 )
 
 

@@ -832,10 +832,11 @@ WITH p AS (
 )
 SELECT event_type, n,
        ROUND((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
-           / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE), 9) AS slope_centi_per_sec,
+           / NULLIF(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE, 0), 9)
+         AS slope_centi_per_sec,
        ROUND((sy::DOUBLE - ((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
-           / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)) * sx::DOUBLE)
-           / n::DOUBLE, 6) AS intercept_centi
+           / NULLIF(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE, 0))
+           * sx::DOUBLE) / n::DOUBLE, 6) AS intercept_centi
 FROM s
 """)
 def q_grouped_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -869,7 +870,9 @@ def q_grouped_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n, sx, sy, sxy, sxx = (F.col(c).cast("double")
                            for c in ("n", "sx", "sy", "sxy", "sxx"))
-    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    # zero x-variance (all points share one timestamp): the LSQ slope
+    # is undefined -> NULL, never an ANSI DIVIDE_BY_ZERO crash
+    slope = (n * sxy - sx * sy) / F.nullif(n * sxx - sx * sx, F.lit(0.0))
     return s.select(
         "event_type", "n",
         F.round(slope, 9).alias("slope_centi_per_sec"),

@@ -140,6 +140,16 @@ def _publish_snapshot(write, index_dir: str, nxt: int) -> str:
     final = os.path.join(index_dir, f"{_SNAP_PREFIX}{nxt}")
     shutil.rmtree(tmp, ignore_errors=True)  # crashed earlier attempt
     write(tmp)
+    # A partial snap-<n> dir without _SUCCESS (left by a pre-upgrade
+    # crash that wrote the final name directly) would make the rename
+    # fail: _snapshots() skips it when computing nxt, so the collision
+    # never clears itself. A COMPLETE dir at the target is a retry of
+    # an already-published snapshot and must never be destroyed.
+    if os.path.isdir(final):
+        if os.path.exists(os.path.join(final, "_SUCCESS")):
+            raise FileExistsError(
+                f"complete snapshot already published at {final}")
+        shutil.rmtree(final)
     os.rename(tmp, final)
     return final
 

@@ -276,3 +276,80 @@ def test_sequence_pattern_tie_order(spark):
         _parity(spark, "q_sequence_pattern", d)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def _events_only_queries():
+    """Every registered query whose table footprint is exactly
+    {events} — the cohort the empty-table sweep covered but the
+    adversarial edge sweep did not (VERDICT r8 item 2)."""
+    import inspect
+
+    from telescope_data_pipeline_spark.queries import all_queries
+
+    driver_tables = ("documents", "embeddings", "lineitem", "orders",
+                     "customer", "supplier", "events", "nation", "region",
+                     "part")
+    out = {}
+    for name, q in all_queries().items():
+        src = inspect.getsource(q.fn)
+        tables = {t for t in driver_tables if f'"{t}"' in src}
+        if tables == {"events"}:
+            out[name] = q
+    return out
+
+
+_EDGE_EVENT_CORPORA = {
+    # Single distinct value everywhere: PSI reference range mx == mn,
+    # zero-variance stats, constant series, ratio denominators equal.
+    "all_same_value": lambda: [
+        _ev(i, T0 + dt.timedelta(days=i), "view", 42.0, user=i % 2)
+        for i in range(30)
+    ],
+    # Clicks with NO views anywhere: global CTR prior p0 = x/0; also
+    # NULL value/user rows and equal-timestamp bursts.
+    "clicks_no_views": lambda: [
+        _ev(0, T0, "click", 1.0, user=1),
+        _ev(1, T0, "click", None, user=1),
+        _ev(2, T0, "click", 3.0, user=None),
+        _ev(3, T0, "click", 3.0, user=2),
+        _ev(4, T0 + dt.timedelta(days=20), "click", 9.0, user=2),
+        # 5 purchases at ONE timestamp: Theil-Sen group passes the size
+        # band but every pair has zero time gap (b.t > a.t drops all).
+        *[_ev(10 + i, T0 + dt.timedelta(days=3), "purchase", float(i),
+              user=3) for i in range(5)],
+    ],
+    # Every event BEFORE the drift split: empty current window.
+    "ref_window_only": lambda: [
+        _ev(i, T0 + dt.timedelta(hours=i), "view", float(i), user=1)
+        for i in range(10)
+    ],
+    # Every event AFTER the drift split: empty reference window, so
+    # the PSI bin edges are NULL (mn/mx over zero rows).
+    "cur_window_only": lambda: [
+        _ev(i, dt.datetime(2024, 2, 1) + dt.timedelta(hours=i), "view",
+            float(i), user=1)
+        for i in range(10)
+    ],
+}
+
+
+@pytest.mark.parametrize("corpus", sorted(_EDGE_EVENT_CORPORA))
+def test_edge_events_never_crash(spark, corpus):
+    """Every events-only query must survive pathological event streams:
+    single distinct value (zero bin width / zero variance), clicks
+    with no views (zero-denominator global rate), one-sided drift
+    windows (empty reference/current), NULL value/user, equal
+    timestamps. Found in round 8: ANSI DIVIDE_BY_ZERO in the PSI bin
+    width and the shrinkage prior — this sweep pins the whole family."""
+    rows = _EDGE_EVENT_CORPORA[corpus]()
+    d = _planted_dir(spark, events_rows=rows)
+    failures = []
+    try:
+        for name, q in _events_only_queries().items():
+            try:
+                q.fn(spark, d).collect()
+            except Exception as e:  # noqa: BLE001 - collecting all failures
+                failures.append(f"{name}: {str(e).splitlines()[0][:120]}")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert not failures, "\n".join(failures)

@@ -544,6 +544,14 @@ def test_png_corrupt_input_raises_typed_codec_error():
     with pytest.raises(CodecUnavailable, match="corrupt PNG"):
         _decode_png(bad_pal)
 
+    # PNG cut mid-IHDR: struct.unpack on the short header raises
+    # struct.error, which the typed wrapper must also translate
+    # (round-8 ADVICE item)
+    full = (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr))
+    cut_mid_ihdr = full[:8 + 8 + 3]  # signature + len/type + 3 IHDR bytes
+    with pytest.raises(CodecUnavailable, match="corrupt PNG"):
+        _decode_png(cut_mid_ihdr)
+
 
 def test_png_near_duplicates_planted_copy_no_pil(spark):
     """End-to-end without PIL: a re-encoded PNG copy of a BMP image

@@ -1241,3 +1241,83 @@ def test_pca_power_no_gram_matrix(spark):
     assert_plan(get("q_pca_power_step").fn(spark, SF),
                 contains=("Generate", "HashAggregate"),
                 absent=("CartesianProduct",))
+
+
+# --- round-9: mining.py physical shapes (VERDICT r8 item 3) ---------------
+
+
+def test_psi_drift_bounded_shuffle(spark):
+    """PSI: ONE fact scan with a side flag (never two jobs), bin edges a
+    1-row scalar broadcast (sanctioned BNLJ), per-bin counts map-side
+    combined onto 10 cells. No cartesian product."""
+    assert_plan(get("q_psi_drift").fn(spark, SF),
+                contains=("HashAggregate",), absent=("CartesianProduct",))
+
+
+def test_assoc_rules_basket_keyed_self_join(spark):
+    """Association rules: pair generation is an equi-join keyed on the
+    ORDER key (fan-out bounded by basket size^2, never |orders|^2),
+    brand dims broadcast, top-50 as TakeOrdered — no cartesian."""
+    assert_plan(get("q_assoc_rules").fn(spark, SF),
+                contains=("TakeOrderedAndProject", "HashAggregate"),
+                absent=("CartesianProduct",))
+
+
+def test_adamic_adar_hub_prune_before_pair_join(spark):
+    """Adamic-Adar: the degree cap (<= 40) must sit UNDER BOTH sides of
+    the common-neighbor self-join — hub parts pruned BEFORE pair
+    generation, not after (round-8 ADVICE: Catalyst without CBO will
+    not reorder the inner joins). The cap filter therefore appears in
+    each self-join branch of the optimized plan."""
+    df = get("q_adamic_adar").fn(spark, SF)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("<= 40") >= 2, f"degree cap not on both sides:\n{opt}"
+    assert_plan(df, contains=("TakeOrderedAndProject",),
+                absent=("CartesianProduct",))
+
+
+def test_rate_shrinkage_single_aggregate(spark):
+    """EB shrinkage: ONE shuffle builds both counters (conditional agg),
+    the global prior is a 1-row scalar broadcast — no fact self-join,
+    no sort-merge anywhere."""
+    assert_plan(get("q_rate_shrinkage").fn(spark, SF),
+                contains=("HashAggregate",),
+                absent=("CartesianProduct", "SortMergeJoin"))
+
+
+def test_woe_iv_bounded_shapes(spark):
+    """WOE/IV: one fact join, one 5-group aggregate, a 1-row totals
+    broadcast — no cartesian product on data tables."""
+    assert_plan(get("q_woe_iv").fn(spark, SF),
+                contains=("HashAggregate",), absent=("CartesianProduct",))
+
+
+def test_feature_hashing_map_only_no_joins(spark):
+    """The hashing trick: tokens hash map-side into 64 buckets — NO
+    vocabulary join of any kind may appear (that is the entire point
+    of the operator)."""
+    assert_plan(get("q_feature_hashing").fn(spark, SF),
+                contains=("Generate", "HashAggregate"),
+                absent=("CartesianProduct", "SortMergeJoin",
+                        "BroadcastHashJoin", "BroadcastNestedLoopJoin"))
+
+
+def test_mutual_nn_broadcast_on_bounded_side_only(spark):
+    """Mutual-NN (documented exactness anchor): the cross-score
+    broadcasts the BOUNDED candidate side (BNLJ is the sanctioned
+    shape here); both argmax directions rank ONE scored relation via
+    windows — no shuffled join of the two sets."""
+    assert_plan(get("q_mutual_nn").fn(spark, SF),
+                contains=("BroadcastNestedLoopJoin", "Window"),
+                absent=("CartesianProduct", "SortMergeJoin"))
+
+
+def test_theilsen_size_band_before_pair_join(spark):
+    """Theil-Sen: the 5..50 observation band must prune oversized users
+    BEFORE the O(n^2) pair join (round-8 ADVICE) — the band filter
+    appears under both self-join branches via the left-semi prune, and
+    the pair join itself is user-keyed, never cartesian."""
+    df = get("q_theilsen").fn(spark, SF)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("<= 50") >= 2, f"size band not on both sides:\n{opt}"
+    assert_plan(df, absent=("CartesianProduct", "BroadcastNestedLoopJoin"))

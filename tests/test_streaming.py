@@ -441,6 +441,52 @@ def test_compaction_crash_mid_write_keeps_old_snapshot(spark, tmp_path):
         == {"a", "b", "c", "d"}
 
 
+def test_compaction_clears_partial_final_dir_collision(spark, tmp_path):
+    """A partial snap-<n> dir WITHOUT _SUCCESS occupying the FINAL name
+    (a pre-upgrade crash wrote the final path directly) must not wedge
+    publishing forever: _snapshots skips it when computing nxt, so the
+    retried compaction targets the same name — it must clear the junk
+    and publish. A COMPLETE dir at the target must never be destroyed
+    (round-8 ADVICE item)."""
+    import os
+
+    import pandas as pd
+    import pytest
+
+    from telescope_data_pipeline_spark.streaming.ingest import (
+        _publish_snapshot,
+        compact_ingest_state,
+        load_corpus_index,
+    )
+
+    index_dir = tmp_path / "index"
+    snap0 = index_dir / "snap-0"
+    snap0.mkdir(parents=True)
+    pd.DataFrame({"digest": ["a", "b"]}).to_parquet(snap0 / "part0.parquet")
+    (snap0 / "_SUCCESS").touch()
+
+    # the collision: a partial snap-1 (no _SUCCESS) at the FINAL name
+    junk = index_dir / "snap-1"
+    junk.mkdir()
+    pd.DataFrame({"digest": ["zzz"]}).to_parquet(junk / "part0.parquet")
+
+    accepted = tmp_path / "accepted"
+    spark.createDataFrame([("c",)], "digest string") \
+        .write.parquet(str(accepted))
+    snap = compact_ingest_state(spark, str(accepted), str(index_dir),
+                                str(tmp_path / "cp"))
+    assert os.path.basename(snap) == "snap-1"
+    assert os.path.exists(os.path.join(snap, "_SUCCESS"))
+    assert {r.digest for r in
+            load_corpus_index(spark, str(index_dir)).collect()} \
+        == {"a", "b", "c"}
+
+    # a COMPLETE snapshot at the target is a double-publish bug, not
+    # junk to clear — it must raise, never rmtree published data
+    with pytest.raises(FileExistsError, match="already published"):
+        _publish_snapshot(lambda d: os.makedirs(d), str(index_dir), 1)
+
+
 def test_ingest_watermarked_dedup_matches_unbounded(spark, tmp_path):
     """The watermark-bounded dedup variant (dropDuplicatesWithinWatermark)
     accepts the same set as the unbounded form when re-crawls arrive

@@ -166,6 +166,26 @@ CAPTURE = [
      "contamination matrix: DISTINCT (source, digest) before the digest equi-join"),
     ("q_attribution",
      "last-touch: ignore-nulls last_value with 1-PRECEDING frame, one window pass"),
+    ("q_kmv_theta",
+     "KMV: two-phase bottom-k (sharded then final window), hash equi-join intersection"),
+    ("q_lift_gains",
+     "lift/gains: two-phase bucketed global rank, 10-cell decile agg, no global sort"),
+    ("q_mutual_info",
+     "MI: one groupBy onto |X|*|Y| cells, margins re-aggregate cells, scalar broadcasts"),
+    ("q_table_diff",
+     "table diff: (key, digest) projections into one FULL OUTER equi-join, 4-cell count"),
+    ("q_psi_drift",
+     "PSI: one side-flagged scan, 1-row edge broadcast, 10-bin map-side-combined count"),
+    ("q_assoc_rules",
+     "assoc rules: basket-keyed self-join (fan-out = basket^2), broadcast brand dims"),
+    ("q_adamic_adar",
+     "Adamic-Adar: degree cap joined UNDER both self-join branches — hubs pruned pre-pair"),
+    ("q_theilsen",
+     "Theil-Sen: left-semi size band under both pair-join branches, user-keyed pairs"),
+    ("q_feature_hashing",
+     "hashing trick: map-only token hash, 64-bucket agg, zero joins in the plan"),
+    ("q_pca_power_step",
+     "PCA step: explode + cell groupBy + d-row broadcast — Gram matrix never materializes"),
 ]
 
 HEADER = """\
