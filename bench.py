@@ -102,6 +102,17 @@ EXTRA = [
     "q_feature_hashing",
     "q_mutual_nn",
     "q_theilsen",
+    # round-9 science batch — informational, frozen set untouched
+    "q_cuped",
+    "q_mann_whitney",
+    "q_cohens_kappa",
+    "q_benford",
+    "q_burstiness",
+    "q_rolling_median",
+    "q_hard_negatives",
+    "q_embed_int8",
+    "q_centroid_sim",
+    "q_readability_ari",
 ]
 
 

@@ -23,6 +23,7 @@ def load_all() -> None:
         relational,
         retrieval,
         scalars,
+        science,
         setops,
         sort_limit,
         streaming_batch,

@@ -66,6 +66,9 @@ PRIORITY: tuple[str, ...] = (
     "q_adamic_adar", "q_theilsen",
     # (b) first-time evidence: operators new in round 9
     # (appended as they land)
+    "q_cuped", "q_mann_whitney", "q_cohens_kappa", "q_benford",
+    "q_burstiness", "q_rolling_median", "q_hard_negatives",
+    "q_embed_int8", "q_centroid_sim", "q_readability_ari",
     # (c) oldest-green regression backfill: last driver-checked in r4
     "q_filter_threshold", "q_map_filter", "q_join_semi", "q_join_anti",
     "q_join_range", "q_window_lag", "q_window_rolling", "q_topk",

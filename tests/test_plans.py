@@ -1321,3 +1321,103 @@ def test_theilsen_size_band_before_pair_join(spark):
     opt = df._jdf.queryExecution().optimizedPlan().toString()
     assert opt.count("<= 50") >= 2, f"size band not on both sides:\n{opt}"
     assert_plan(df, absent=("CartesianProduct", "BroadcastNestedLoopJoin"))
+
+
+# --- round-9: science.py physical shapes ----------------------------------
+
+
+def test_cuped_single_fact_pass(spark):
+    """CUPED: one conditional-agg groupBy builds BOTH period covariates
+    (never two fact scans), pooled stats and theta ride 1-row scalar
+    broadcasts — no sort-merge join anywhere."""
+    assert_plan(get("q_cuped").fn(spark, SF),
+                contains=("HashAggregate",),
+                absent=("CartesianProduct", "SortMergeJoin"))
+
+
+def test_mann_whitney_distinct_value_window(spark):
+    """Mann-Whitney: rank algebra on DISTINCT pooled values (the KS
+    jump-point shape) — one (type, value) groupBy, one type-keyed
+    window, no per-row rank materialization, no cartesian."""
+    assert_plan(get("q_mann_whitney").fn(spark, SF),
+                contains=("HashAggregate", "Window"),
+                absent=("CartesianProduct",))
+
+
+def test_cohens_kappa_marginals_only(spark):
+    """Kappa: one pass for n/agree + two 10-row marginal aggregates —
+    the 10x10 confusion matrix never materializes; the only joins are
+    bounded-side hash joins on the class key."""
+    assert_plan(get("q_cohens_kappa").fn(spark, SF),
+                contains=("HashAggregate",),
+                absent=("CartesianProduct", "SortMergeJoin"))
+
+
+def test_benford_constant_shuffle(spark):
+    """Benford: map-only digit extraction + 9-cell map-side-combined
+    count; windows run over the 9-row spine only."""
+    assert_plan(get("q_benford").fn(spark, SF),
+                contains=("HashAggregate",),
+                absent=("CartesianProduct", "SortMergeJoin"))
+
+
+def test_burstiness_single_user_exchange(spark):
+    """Burstiness: ONE user-keyed exchange shared by the lag window and
+    the sufficient-statistics groupBy — the sessionize shape."""
+    from telescope_data_pipeline_spark.plans.audit import physical_plan
+
+    df = get("q_burstiness").fn(spark, SF)
+    df.collect()
+    plan = physical_plan(df).split("== Initial Plan ==")[0]
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_rolling_median_bounded_frame_no_join(spark):
+    """Rolling median: one series-keyed window (4 lags + in-row array
+    sort) — no join, no unbounded frame, no second exchange."""
+    from telescope_data_pipeline_spark.plans.audit import physical_plan
+
+    df = get("q_rolling_median").fn(spark, SF)
+    df.collect()
+    plan = physical_plan(df).split("== Initial Plan ==")[0]
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_hard_negatives_broadcast_anchor_side(spark):
+    """Hard negatives: the bounded anchor set broadcasts against the
+    corpus (the q_sim_topk exactness-anchor shape); ranking windows on
+    the anchor key — no shuffled all-pairs join."""
+    assert_plan(get("q_hard_negatives").fn(spark, SF),
+                contains=("BroadcastNestedLoopJoin", "Window"),
+                absent=("CartesianProduct", "SortMergeJoin"))
+
+
+def test_embed_int8_no_vector_shuffle(spark):
+    """int8 audit: global scale is a 1-row broadcast; the explode and
+    both groupBys (vectors, then 10 labels) partial-aggregate — the
+    embedding vectors themselves never shuffle wide."""
+    assert_plan(get("q_embed_int8").fn(spark, SF),
+                contains=("Generate", "HashAggregate"),
+                absent=("CartesianProduct", "SortMergeJoin"))
+
+
+def test_centroid_sim_cell_reduction(spark):
+    """Centroid similarity: ONE full-data groupBy onto |labels| x d
+    cells; the 45-pair self-join runs on the 640-cell table with
+    broadcast norms — metadata-sized, no cartesian on data."""
+    assert_plan(get("q_centroid_sim").fn(spark, SF),
+                contains=("Generate", "HashAggregate"),
+                absent=("CartesianProduct",))
+
+
+def test_readability_map_only(spark):
+    """ARI: three regexp passes per row, zero Exchange, zero joins —
+    the gate-at-the-scan text-quality shape."""
+    from telescope_data_pipeline_spark.plans.audit import physical_plan
+
+    df = get("q_readability_ari").fn(spark, SF)
+    plan = physical_plan(df)
+    assert "Join" not in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan

@@ -186,6 +186,18 @@ CAPTURE = [
      "hashing trick: map-only token hash, 64-bucket agg, zero joins in the plan"),
     ("q_pca_power_step",
      "PCA step: explode + cell groupBy + d-row broadcast — Gram matrix never materializes"),
+    ("q_cuped",
+     "CUPED: one conditional-agg fact pass, pooled theta as 1-row broadcast"),
+    ("q_mann_whitney",
+     "Mann-Whitney: rank algebra on distinct pooled values, KS jump-point shape"),
+    ("q_burstiness",
+     "burstiness: one user exchange shared by lag window + stats groupBy"),
+    ("q_rolling_median",
+     "rolling median: 4 lags + in-row array sort, one series exchange, no join"),
+    ("q_embed_int8",
+     "int8 audit: 1-row scale broadcast, map-only explode, two cell groupBys"),
+    ("q_centroid_sim",
+     "centroid sim: one groupBy onto labels x d cells, metadata-sized pair join"),
 ]
 
 HEADER = """\
