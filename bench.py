@@ -198,34 +198,55 @@ def main() -> None:
     except Exception as e:
         errors["diagnostics#candidate_pairs"] = \
             f"{type(e).__name__}: {e}"[:200]
+    # Same attribution for q_adamic_adar (r9 verdict item 1): its wall
+    # time is pair-volume-bound after the degree-cap prune; publish the
+    # (customer pair, shared part) candidate count alongside.
+    try:
+        from telescope_data_pipeline_spark.queries.mining import (
+            adamic_adar_candidate_pairs,
+        )
+
+        diagnostics["q_adamic_adar_candidate_pairs"] = \
+            adamic_adar_candidate_pairs(spark, sf_dir).count()
+    except Exception as e:
+        errors["diagnostics#adamic_pairs"] = \
+            f"{type(e).__name__}: {e}"[:200]
 
     total = round(sum(timings.values()), 3)
+    # KEY ORDER MATTERS: the driver's artifact recorder keeps the TAIL
+    # of the emitted line, so BENCH_r09.json lost `total_min3` — the
+    # declared primary comparator — to head truncation (round-9 VERDICT
+    # item 2). All scalar totals and the primary metric therefore go
+    # LAST; the big per-query maps go first where truncation can only
+    # cost detail, never the headline numbers.
     payload = {
         "metric": "headline_queries_total_wall",
-        "value": total,
         "unit": "sec",
-        # PRIMARY low-noise series (r5 verdict item 1): min over
-        # `runs_per_query` cleared-cache runs, per query and summed.
-        "primary_metric": "total_min3",
-        "total_min3": round(sum(best3.values()), 3),
-        "queries_min3": best3,
-        "runs_per_query": n_runs,  # n actually completed, per query
         "queries": timings,  # legacy first-run series (r1-r5 comparable)
         "queries_min2": best2,
+        # PRIMARY low-noise series (r5 verdict item 1): min over
+        # `runs_per_query` cleared-cache runs, per query and summed.
+        "queries_min3": best3,
+        # informational only — excluded from every total (see EXTRA)
+        "queries_extra": extra,
+        "diagnostics": diagnostics,
+    }
+    if errors:
+        payload["errors"] = errors
+    payload.update({
+        "runs_per_query": n_runs,  # n actually completed, per query
         # min-of-k totals are only cross-round comparable when every
         # query contributed k runs; n_min2/runs_per_query let consumers
         # detect partial coverage instead of silently comparing
         # mismatched sums (round-4 ADVICE).
-        "total_min2": round(sum(best2.values()), 3),
         "n_min2": len(best2),
         "n_queries": len(HEADLINE),
-        # informational only — excluded from every total (see EXTRA)
-        "queries_extra": extra,
-        "diagnostics": diagnostics,
         "sf": sf,
-    }
-    if errors:
-        payload["errors"] = errors
+        "value": total,
+        "total_min2": round(sum(best2.values()), 3),
+        "primary_metric": "total_min3",
+        "total_min3": round(sum(best3.values()), 3),
+    })
     print(json.dumps(payload))
 
 

@@ -44,40 +44,48 @@ class Query:
 _REGISTRY: dict[str, Query] = {}
 
 #: The driver's correctness gate checks queries in ``queries()`` dict
-#: order and stops after the first 50 entries. Round-9 rotation (the
-#: registry's established scheme): every registered query now has
-#: driver evidence (r8 closed the backlog), so the window serves
+#: order and stops after the first 50 entries. Round-10 rotation (the
+#: registry's established scheme): the window serves
 #: (a) re-verification of queries whose Spark code OR oracle SQL
-#: changed this round (the r9 divide-by-zero guards + join-order
-#: fixes — a changed query's old green is stale evidence),
-#: (b) first-time evidence for operators NEW in round 9 (names
+#: changed this round (q_readability_ari long-cast, q_hard_negatives
+#: broadcast-side flip, q_adamic_adar join-free rewrite — a changed
+#: query's old green is stale evidence),
+#: (b) fresh rows-only attestation for the r1/r2-era cohort (round-9
+#: VERDICT item 3: last driver-checked eight refactor-rounds ago,
+#: their operators — similarity.py, dedup.py, multimodal.py — have
+#: been touched repeatedly since),
+#: (c) first-time evidence for operators NEW in round 10 (names
 #: appended as they land, each with its oracle), and
-#: (c) rolling regression backfill with the oldest-green cohort,
-#: now the round-4 set (per VERDICT r8 item 8). The local
-#: sf0.01+sf0.1 oracle sweep still covers all 250+ queries per
-#: session.
+#: (d) rolling regression backfill with the oldest-green oracle
+#: cohort, now the round-4 then round-5 sets (VERDICT r9 item 7).
+#: The local sf0.01+sf0.1 oracle sweep still covers all 260+ queries
+#: per session.
 PRIORITY: tuple[str, ...] = (
-    # (a) changed in round 9: NULLIF/zero-denominator guards
-    # (q_mutual_info, q_lift_gains, q_ks_drift, q_ab_ttest,
-    # q_grouped_regression, q_rate_shrinkage, q_psi_drift) and
-    # prune-before-pair-join rewrites (q_adamic_adar, q_theilsen)
-    "q_mutual_info", "q_lift_gains", "q_ks_drift", "q_ab_ttest",
-    "q_grouped_regression", "q_rate_shrinkage", "q_psi_drift",
-    "q_adamic_adar", "q_theilsen",
-    # (b) first-time evidence: operators new in round 9
+    # (a) changed in round 10
+    "q_readability_ari", "q_hard_negatives", "q_adamic_adar",
+    # (b) stale rows-only cohort, last attested r1/r2
+    "q_wcs_solve", "q_sim_ann", "q_sim_ivf", "q_dedup_near",
+    "q_dedup_clusters", "q_fingerprint", "q_periodogram",
+    "q_pipeline_detect", "q_pipeline_photometry", "q_media_frames",
+    "q_dedup_simhash", "q_ensemble_lightcurve", "q_media_features",
+    "q_scan_fits",
+    # (c) first-time evidence: operators new in round 10
     # (appended as they land)
-    "q_cuped", "q_mann_whitney", "q_cohens_kappa", "q_benford",
-    "q_burstiness", "q_rolling_median", "q_hard_negatives",
-    "q_embed_int8", "q_centroid_sim", "q_readability_ari",
-    # (c) oldest-green regression backfill: last driver-checked in r4
-    "q_filter_threshold", "q_map_filter", "q_join_semi", "q_join_anti",
-    "q_join_range", "q_window_lag", "q_window_rolling", "q_topk",
-    "q_intersect", "q_except", "q_scalar_string", "q_scalar_date",
-    "q_array_ops", "q_stream_sliding", "q_dedup_tokenset",
-    "q_dedup_apply", "q_sim_topk", "q_dedup_embed", "q_text_stats",
-    "q_doc_quality", "q_lang_id", "q_token_topk", "q_token_bpe",
-    "q_doc_repetition", "q_events_funnel", "q_gap_fill",
-    "q_merge_upsert", "q_mix_corpus_hash",
+    # (d1) oldest-green oracle backfill: last driver-checked in r4
+    "q_join_cross", "q_join_full", "q_join_left", "q_join_nn2d",
+    "q_scalar_null", "q_scan_orc", "q_sql_api", "q_subquery_scalar",
+    "q_window_firstlast", "q_window_ntile", "q_window_range",
+    "q_window_rank",
+    # (d2) next-oldest backfill: last driver-checked in r5 (the rest
+    # of the r5 cohort rotates in next round; entries past the 50-cap
+    # spill harmlessly out of the window)
+    "q_agg_approx", "q_agg_percentile", "q_agg_salted",
+    "q_annulus_background", "q_bm25", "q_cluster_components",
+    "q_data_card", "q_decontaminate", "q_dedup_bloom",
+    "q_dedup_canonical", "q_dedup_exact", "q_dedup_incremental",
+    "q_dedup_minhash_md5", "q_dedup_simhash_md5", "q_dup_spans",
+    "q_epoch_shuffle", "q_filter_eq", "q_fingerprint_md5",
+    "q_flagship", "q_join_asof", "q_join_broadcast", "q_join_inner",
 )
 
 

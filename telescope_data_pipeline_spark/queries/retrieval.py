@@ -23,8 +23,33 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from ..operators.cache_slot import CacheSlot
 from ..sources import load_table
 from .registry import query
+
+#: The co-purchase edge list (parts sharing an order, %4 sample) is the
+#: base graph for q_triangle_count, q_label_propagation, and q_kcore.
+#: Uncached, every iterative consumer re-embeds the lineitem self-join
+#: once per plan branch per round — the r10 plan sweep measured 30-60
+#: lineitem scans in one kcore/triangle plan, which at 100 TB is 30-60
+#: full fact-table passes. One shared slot: all three queries build the
+#: IDENTICAL plan, so CacheSlot's plan-equivalence check keeps a single
+#: cached relation across them (bounded executor storage).
+_COPURCHASE_EDGES = CacheSlot()
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cached undirected co-purchase edges ``(pa, pb)``, pa < pb."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a, b = li.alias("a"), li.alias("b")
+    return _COPURCHASE_EDGES.own(
+        a.join(b, (F.col("b.l_orderkey") == F.col("a.l_orderkey"))
+               & (F.col("b.l_partkey") > F.col("a.l_partkey")))
+        .filter((F.col("a.l_partkey") % 4 == 0)
+                & (F.col("b.l_partkey") % 4 == 0))
+        .select(F.col("a.l_partkey").alias("pa"),
+                F.col("b.l_partkey").alias("pb"))
+        .distinct())
 
 #: Whitespace tokenizer shared with queries/llm.py (same regex both engines).
 _TOK = r"\s+"
@@ -678,16 +703,11 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     is O(sqrt(|E|)) even for hubs, so the join never explodes on a
     popular part. Edge derivation shuffles (orderkey-grouped) pairs
     pre-filtered by the partkey predicate; everything downstream
-    shuffles compact (u, v) longs."""
-    li = load_table(spark, sf_dir, "lineitem")
-    a, b = li.alias("a"), li.alias("b")
-    e = (a.join(b, (F.col("b.l_orderkey") == F.col("a.l_orderkey"))
-                & (F.col("b.l_partkey") > F.col("a.l_partkey")))
-         .filter((F.col("a.l_partkey") % 4 == 0)
-                 & (F.col("b.l_partkey") % 4 == 0))
-         .select(F.col("a.l_partkey").alias("pa"),
-                 F.col("b.l_partkey").alias("pb"))
-         .distinct())
+    shuffles compact (u, v) longs. The edge list is cached once
+    (_copurchase_edges): the degree agg, the orientation join, and the
+    three wedge-join branches all read one materialized relation
+    instead of re-running the lineitem self-join per branch."""
+    e = _copurchase_edges(spark, sf_dir)
     deg = (e.select(F.col("pa").alias("node"))
            .unionAll(e.select(F.col("pb").alias("node")))
            .groupBy("node").agg(F.count(F.lit(1)).alias("d")))
@@ -696,9 +716,14 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .join(db, F.col("db.node") == F.col("pb")))
     lower_first = (F.struct(F.col("da.d"), F.col("pa"))
                    < F.struct(F.col("db.d"), F.col("pb")))
+    # The oriented edge list feeds THREE wedge-join branches (e1/e2/e3);
+    # localCheckpoint it so the branches read one materialized RDD
+    # instead of each re-embedding the degree join (the r10 plan sweep
+    # measured 30 duplicated subtrees here pre-fix).
     o = with_deg.select(
         F.when(lower_first, F.col("pa")).otherwise(F.col("pb")).alias("u"),
-        F.when(lower_first, F.col("pb")).otherwise(F.col("pa")).alias("v"))
+        F.when(lower_first, F.col("pb")).otherwise(F.col("pa")).alias("v"))\
+        .localCheckpoint(eager=False)
     e1, e2, e3 = o.alias("e1"), o.alias("e2"), o.alias("e3")
     tri = (e1.join(e2, F.col("e2.u") == F.col("e1.v"))
            .join(e3, (F.col("e3.u") == F.col("e1.u"))
@@ -2362,31 +2387,29 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: each iteration is one |E| equi-join (labels ride as
     longs), one (node, lbl) map-side-combined count, and one
     node-keyed window — the Pregel step rendered relationally, same
-    contract as q_pagerank; nothing is ever quadratic in degree. In
-    an iterated production form, truncate lineage per iteration
-    exactly as operators/pagerank.py does."""
-    li = load_table(spark, sf_dir, "lineitem")
-    a, b = li.alias("a"), li.alias("b")
-    e0 = (a.join(b, (F.col("b.l_orderkey") == F.col("a.l_orderkey"))
-                 & (F.col("b.l_partkey") > F.col("a.l_partkey")))
-          .filter((F.col("a.l_partkey") % 4 == 0)
-                  & (F.col("b.l_partkey") % 4 == 0))
-          .select(F.col("a.l_partkey").alias("pa"),
-                  F.col("b.l_partkey").alias("pb"))
-          .distinct())
+    contract as q_pagerank; nothing is ever quadratic in degree. The
+    edge list is cached once (_copurchase_edges) and each iteration's
+    label table is localCheckpoint-ed — without both, the plan
+    re-embeds the lineitem self-join once per branch per round (16
+    scans in the r10 plan sweep); with them every round is exactly
+    one |E| join over the materialized edges (operators/pagerank.py's
+    loop contract)."""
+    e0 = _copurchase_edges(spark, sf_dir)
     e = (e0.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
          .unionAll(e0.select(F.col("pb").alias("src"),
                              F.col("pa").alias("dst"))))
     lbl = e.select(F.col("src").alias("node")).distinct() \
            .select("node", F.col("node").alias("lbl"))
     w = W.partitionBy("vnode").orderBy(F.col("c").desc(), "lbl")
-    for _ in range(3):
+    for i in range(3):
         votes = (e.join(lbl, F.col("node") == F.col("dst"))
                  .groupBy(F.col("src").alias("vnode"), "lbl")
                  .agg(F.count(F.lit(1)).alias("c")))
         lbl = (votes.withColumn("rk", F.row_number().over(w))
                .filter(F.col("rk") == 1)
                .select(F.col("vnode").alias("node"), "lbl"))
+        if i < 2:  # keep the last round's Pregel step plan-inspectable
+            lbl = lbl.localCheckpoint(eager=False)
     return (lbl.groupBy(F.col("lbl").alias("community"))
             .agg(F.count(F.lit(1)).cast("bigint").alias("size")))
 
@@ -2442,22 +2465,20 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: each round is one |E| double semi-join against the alive
     set + a map-side-combined degree groupBy — the Pregel step; the
     alive set only shrinks, so rounds get cheaper, and nothing is
-    ever quadratic in degree."""
-    li = load_table(spark, sf_dir, "lineitem")
-    a, b = li.alias("a"), li.alias("b")
-    e0 = (a.join(b, (F.col("b.l_orderkey") == F.col("a.l_orderkey"))
-                 & (F.col("b.l_partkey") > F.col("a.l_partkey")))
-          .filter((F.col("a.l_partkey") % 4 == 0)
-                  & (F.col("b.l_partkey") % 4 == 0))
-          .select(F.col("a.l_partkey").alias("pa"),
-                  F.col("b.l_partkey").alias("pb"))
-          .distinct())
+    ever quadratic in degree. The edge list is cached once
+    (_copurchase_edges) and each round's alive set is
+    localCheckpoint-ed — without both, the s/d double-branch doubles
+    the embedded plan per round (the r10 plan sweep measured 60
+    lineitem scans in this one query); with them the plan is linear
+    in rounds over one materialized edge relation."""
+    e0 = _copurchase_edges(spark, sf_dir)
     e = (e0.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
          .unionAll(e0.select(F.col("pb").alias("src"),
                              F.col("pa").alias("dst"))))
     alive = (e.groupBy(F.col("src").alias("node"))
              .agg(F.count(F.lit(1)).alias("deg"))
-             .filter(F.col("deg") >= 3).select("node"))
+             .filter(F.col("deg") >= 3).select("node")
+             .localCheckpoint(eager=False))
     for _ in range(2):
         s = alive.select(F.col("node").alias("ns"))
         d = alive.select(F.col("node").alias("nd"))
@@ -2465,7 +2486,8 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .join(d, F.col("dst") == F.col("nd"))
                  .groupBy(F.col("src").alias("node"))
                  .agg(F.count(F.lit(1)).alias("deg"))
-                 .filter(F.col("deg") >= 3).select("node"))
+                 .filter(F.col("deg") >= 3).select("node")
+                 .localCheckpoint(eager=False))  # linear lineage per round
     s = alive.select(F.col("node").alias("ns"))
     d = alive.select(F.col("node").alias("nd"))
     final = (e.join(s, F.col("src") == F.col("ns"))

@@ -526,10 +526,12 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULLIF to NULL and sort last.
 
     Scale: the demo scores 20 anchors against the corpus via a
-    broadcast of the bounded anchor side — the q_sim_topk exactness-
-    anchor shape; the production path generates candidates with the
-    LSH/IVF bucketers (operators/similarity.py) and applies the same
-    different-label filter bucket-locally."""
+    broadcast of the bounded anchor side (the q_sim_topk exactness-
+    anchor shape) — the BOUNDED 20-row side is the broadcast build
+    side, the unbounded corpus streams (round-9 ADVICE: broadcasting
+    the corpus would OOM at scale); the production path generates
+    candidates with the LSH/IVF bucketers (operators/similarity.py)
+    and applies the same different-label filter bucket-locally."""
     e = load_table(spark, sf_dir, "embeddings", spread=True)
     norm = F.aggregate(F.col("embedding"), F.lit(0.0),
                        lambda acc, x: acc + x.cast("double") * x.cast("double"))
@@ -544,7 +546,7 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     dot = F.aggregate(
         F.zip_with("qv", "cv", lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0), lambda acc, x: acc + x)
-    scored = (q.join(F.broadcast(c),
+    scored = (c.join(F.broadcast(q),
                      F.col("anchor_label") != F.col("neg_label"))
               .withColumn("cos9", F.round(
                   dot / F.sqrt(F.nullif(F.col("qn") * F.col("cn"),
@@ -791,7 +793,14 @@ def q_readability_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_sents = F.greatest(F.lit(1), F.size(F.split("text", r"[.!?]+")) - 1)
     m = d.select("doc_id", n_chars.alias("n_chars"), n_words.alias("n_words"),
                  n_sents.alias("n_sents"))
-    nc, nw, ns = F.col("n_chars"), F.col("n_words"), F.col("n_sents")
+    # The counts come back int32 (F.length/F.size); the numerator terms
+    # overflow 2^31 on realistic documents (50*nw^2 alone at ~6,600
+    # words), which under Spark 4 ANSI mode is an ARITHMETIC_OVERFLOW
+    # crash — and DuckDB's LENGTH/len are BIGINT, so the engines would
+    # diverge before crashing. Widen to long BEFORE any arithmetic
+    # (round-9 ADVICE, high).
+    nc, nw, ns = [F.col(c).cast("long")
+                  for c in ("n_chars", "n_words", "n_sents")]
     ari = (F.round((471 * nc * ns + 50 * nw * nw - 2143 * nw * ns) * 100.0
                    / F.nullif(nw * ns, F.lit(0))).cast("long")
            / 10000.0 + 0.0)

@@ -559,3 +559,130 @@ def last_touch_attribution(stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming CUPED readout (live twin of the batch q_cuped,
+# queries/science.py — round-9 VERDICT item 6: every monitoring/
+# experimentation stat gets a live twin). Two tiers, because CUPED's
+# theta needs per-USER cross-moments that no per-arm accumulator can
+# maintain alone:
+#   1. a per-user stateful operator keeps each user's exact
+#      (pre-period, post-period) centi-unit integer sums and, on every
+#      update, emits the DELTAS of all pooled sufficient statistics
+#      that user contributes (d(sx), d(sxy) = x1*y1 - x0*y0, ...);
+#   2. a driver-side CupedAccumulator (the foreachBatch sink) folds
+#      those deltas into the nine pooled/per-arm totals — a dozen
+#      integers, O(1) state — and exposes the same 2-row arm readout
+#      as the batch query after every micro-batch.
+# Exactness: state and deltas are integers, so the accumulated totals
+# equal the batch sufficient statistics bit-for-bit regardless of how
+# rows split across micro-batches; the readout then applies the
+# IDENTICAL double expression tree as q_cuped.
+# ---------------------------------------------------------------------------
+
+CUPED_STATE_SCHEMA = T.StructType([
+    T.StructField("x", T.LongType()),
+    T.StructField("y", T.LongType()),
+])
+
+CUPED_DELTA_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("arm", T.LongType()),
+    T.StructField("dn", T.LongType()),
+    T.StructField("dx", T.LongType()),
+    T.StructField("dy", T.LongType()),
+    T.StructField("dxy", T.LongType()),
+    T.StructField("dxx", T.LongType()),
+    T.StructField("dyy", T.LongType()),
+])
+
+
+def _cuped_update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+    x0, y0 = state.get if state.exists else (0, 0)
+    first = not state.exists
+    bx = by = 0
+    for pdf in pdfs:
+        centi = pdf["centi"].dropna()
+        pre = pdf["pre"].loc[centi.index]
+        bx += int(centi[pre].sum())
+        by += int(centi[~pre].sum())
+    x1, y1 = x0 + bx, y0 + by
+    state.update((x1, y1))
+    uid = int(key[0])
+    yield pd.DataFrame([{
+        "user_id": uid, "arm": uid % 2, "dn": 1 if first else 0,
+        "dx": x1 - x0, "dy": y1 - y0, "dxy": x1 * y1 - x0 * y0,
+        "dxx": x1 * x1 - x0 * x0, "dyy": y1 * y1 - y0 * y0,
+    }])
+
+
+def cuped_user_deltas(stream: DataFrame,
+                      split: str = "2024-01-16 00:00:00") -> DataFrame:
+    """Tier 1 of the streaming CUPED readout: per-user exact
+    (pre, post) centi-sums in state; emits pooled-statistic deltas on
+    every user update (update mode). Feed the output to a
+    CupedAccumulator per micro-batch for the live readout."""
+    s = (stream
+         .filter((F.col("event_type") == "purchase")
+                 & F.col("user_id").isNotNull())
+         .select("user_id",
+                 F.round(F.col("value") * 100).cast("long").alias("centi"),
+                 (F.col("ts") < F.lit(split).cast("timestamp")).alias("pre")))
+    return (s.groupBy("user_id")
+            .applyInPandasWithState(
+                _cuped_update,
+                outputStructType=CUPED_DELTA_SCHEMA,
+                stateStructType=CUPED_STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            ))
+
+
+class CupedAccumulator:
+    """Tier 2: O(1) pooled/per-arm sufficient statistics, updated from
+    tier-1 delta frames; ``readout()`` reproduces the batch q_cuped
+    arm table (same integer stats, same double expression tree, same
+    rounding). Usable as a foreachBatch sink body:
+    ``lambda df, _: acc.update(df.toPandas())``."""
+
+    def __init__(self) -> None:
+        self.n = self.sx = self.sy = self.sxy = self.sxx = self.syy = 0
+        self.arm: dict[int, list[int]] = {}  # arm -> [n_arm, sxa, sya]
+
+    def update(self, deltas: pd.DataFrame) -> None:
+        if not len(deltas):
+            return
+        self.n += int(deltas["dn"].sum())
+        self.sx += int(deltas["dx"].sum())
+        self.sy += int(deltas["dy"].sum())
+        self.sxy += int(deltas["dxy"].sum())
+        self.sxx += int(deltas["dxx"].sum())
+        self.syy += int(deltas["dyy"].sum())
+        for a, g in deltas.groupby("arm"):
+            t = self.arm.setdefault(int(a), [0, 0, 0])
+            t[0] += int(g["dn"].sum())
+            t[1] += int(g["dx"].sum())
+            t[2] += int(g["dy"].sum())
+
+    def readout(self) -> pd.DataFrame:
+        n, sx, sy = float(self.n), float(self.sx), float(self.sy)
+        sxy, sxx, syy = float(self.sxy), float(self.sxx), float(self.syy)
+        dvar = n * sxx - sx * sx
+        theta = (n * sxy - sx * sy) / dvar if dvar else None
+        dcov2 = dvar * (n * syy - sy * sy)
+        rho2 = ((n * sxy - sx * sy) * (n * sxy - sx * sy) / dcov2
+                if dcov2 else None)
+        rows = []
+        for a in sorted(self.arm):
+            n_arm, sxa, sya = self.arm[a]
+            mean_y = sya / n_arm / 100.0
+            cuped = (None if theta is None else
+                     (sya / n_arm - theta * (sxa / n_arm - sx / n)) / 100.0)
+            rows.append({"arm": a, "n_users": n_arm, "mean_y": mean_y,
+                         "mean_y_cuped": cuped, "theta": theta,
+                         "var_reduction_pct": (None if rho2 is None
+                                               else rho2 * 100.0)})
+        return pd.DataFrame(
+            rows, columns=["arm", "n_users", "mean_y", "mean_y_cuped",
+                           "theta", "var_reduction_pct"])

@@ -167,6 +167,29 @@ def test_edge_corpus_never_crashes(spark, tmp_path):
     assert not failures, "\n".join(failures)
 
 
+def test_readability_ari_large_doc_no_overflow(spark, tmp_path):
+    """A realistic long document must not ARITHMETIC_OVERFLOW the ARI
+    numerator (round-9 ADVICE, high): F.length/F.size return int32, and
+    50*nw^2 alone exceeds 2^31 at ~6,600 words — while DuckDB computes
+    the same term in BIGINT, so an unguarded Spark side either crashes
+    (ANSI) or silently diverges. Plant a 10,000-word doc (50*nw^2 =
+    5e9 > 2^31) plus a many-sentence doc stressing the 471*nc*ns term
+    (nc*ns > ~4.56e6), and require bit-level parity."""
+    import pandas as pd
+
+    texts = [
+        "lorem ipsum dolor sit amet " * 2000,            # 10,000 words
+        ("A sentence here. " * 900) + "tail",            # 900 sents * ~15.3k chars
+        "short prose. two sentences!",
+    ]
+    pd.DataFrame({
+        "doc_id": list(range(len(texts))), "text": texts,
+        "lang": ["en"] * len(texts), "source": ["src0"] * len(texts),
+        "n_chars": [len(t) for t in texts],
+    }).to_parquet(tmp_path / "documents.parquet")
+    _parity(spark, "q_readability_ari", str(tmp_path))
+
+
 def test_empty_tables_never_crash(spark, tmp_path):
     """Every registered query must handle zero-row inputs: an empty
     partition, a fresh day with no events, a filter that matched

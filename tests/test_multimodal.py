@@ -866,8 +866,11 @@ def test_jpeg_fill_bytes_before_markers():
 
 
 def test_jpeg_unsupported_variants_fail_loudly():
-    """Progressive (SOF2) and truncated scans must raise
-    CodecUnavailable — never fall through to the stub."""
+    """Arithmetic-coded (SOF10), malformed pseudo-progressive, and
+    truncated scans must raise CodecUnavailable — never fall through
+    to the stub. (SOF2 itself decodes since round 10; relabeling a
+    BASELINE stream as SOF2 yields an illegal progressive scan header
+    — Ss=0 with Se=63 — which must still fail loudly.)"""
     import numpy as np
     import pytest
 
@@ -878,9 +881,12 @@ def test_jpeg_unsupported_variants_fail_loudly():
 
     img = np.full((8, 8), 128.0)
     good = _make_jpeg(img)
-    progressive = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    with pytest.raises(CodecUnavailable, match="SOF2"):
-        decode_image(progressive)
+    arithmetic = good.replace(b"\xff\xc0", b"\xff\xca", 1)
+    with pytest.raises(CodecUnavailable, match="SOF10"):
+        decode_image(arithmetic)
+    fake_progressive = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(CodecUnavailable, match="DC scan with Se"):
+        decode_image(fake_progressive)
     with pytest.raises(CodecUnavailable):
         decode_image(good[:40])  # no SOS reached
 
@@ -908,6 +914,327 @@ def test_jpeg_cross_codec_near_duplicate(spark):
         (0, "image", bmp, "image/bmp", 16, 16, None, {"src": "a"}),
         (1, "image", jpg, "image/jpeg", 16, 16, None, {"src": "b"}),
         (2, "image", distractor, "image/bmp", 16, 16, None, {"src": "c"}),
+    ]
+    media = spark.createDataFrame(rows, schema=MEDIA)
+    pairs = {(r.media_id_a, r.media_id_b)
+             for r in image_near_duplicates(media, max_hamming=6).collect()}
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+# ---------------------------------------------------------------------------
+# Progressive JPEG (SOF2): hand-rolled multi-scan encoder fixture +
+# pure-Python successive-approximation decode (round-9 VERDICT item 4)
+# ---------------------------------------------------------------------------
+
+def _prog_bits_of(v, n):
+    return [(v >> i) & 1 for i in range(n - 1, -1, -1)]
+
+
+def _make_jpeg_progressive(img, al_dc=1, al_ac=1, split=20):
+    """Hand-rolled progressive JPEG encoder (T.81 Annex G) for test
+    fixtures: all-ones quant, 1x1 sampling, six scans — interleaved DC
+    first (Al=al_dc) + DC refinement, then per spectral band an AC
+    first pass (Al=al_ac) and an AC refinement, luma before chroma.
+    Exercises EOB runs across blocks, ZRL in both AC passes, and
+    interleaved correction bits."""
+    import numpy as np
+
+    from telescope_data_pipeline_spark.operators.multimodal import (
+        _JPEG_DCT,
+        _JPEG_ZZ,
+    )
+
+    a = np.asarray(img, np.float64)
+    h, w = a.shape[:2]
+    if a.ndim == 2:
+        planes = [a]
+        comps = [(1, 1, 1)]
+    else:
+        r, g, b = a[..., 0], a[..., 1], a[..., 2]
+        planes = [0.299 * r + 0.587 * g + 0.114 * b,
+                  128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+                  128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b]
+        comps = [(1, 1, 1), (2, 1, 1), (3, 1, 1)]
+    mcux, mcuy = -(-w // 8), -(-h // 8)
+
+    def padded(p):
+        return np.pad(p, ((0, mcuy * 8 - p.shape[0]),
+                          (0, mcux * 8 - p.shape[1])), mode="edge")
+    planes = [padded(p) for p in planes]
+
+    # zigzag integer coefficient blocks per component, row-major
+    zz_blocks = []  # [ci][block_index] -> [64 ints]
+    for ci in range(len(comps)):
+        blocks = []
+        for m in range(mcux * mcuy):
+            my, mx = divmod(m, mcux)
+            blk = planes[ci][my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] - 128.0
+            co = _JPEG_DCT @ blk @ _JPEG_DCT.T
+            blocks.append([int(round(co[r, c])) for (r, c) in _JPEG_ZZ])
+        zz_blocks.append(blocks)
+
+    def emit_scan(out, scan_comps, ss, se, ah, al, ops, dc_scan):
+        """ops: list of (huff_symbol_or_None, extra_bits, corr_bits);
+        symbol None = raw-bits-only op (DC refinement)."""
+        use_huff = any(sym is not None for sym, _e, _c in ops)
+        if use_huff:
+            syms = [sym for sym, _e, _c in ops if sym is not None]
+            counts, vals, codes = _jpeg_canonical_table(syms)
+            cls = 0 if dc_scan else 1
+            seg = bytes([cls << 4]) + counts + vals
+            out += b"\xff\xc4" + (2 + len(seg)).to_bytes(2, "big") + seg
+        else:
+            codes = {}
+        sos = bytes([len(scan_comps)])
+        for cid in scan_comps:
+            sos += bytes([cid, 0x00])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += b"\xff\xda" + (2 + len(sos)).to_bytes(2, "big") + sos
+        bw = _JpegBitWriter()
+        for sym, extra, corr in ops:
+            if sym is not None:
+                code, ln = codes[sym]
+                bw.write(code, ln)
+            for bit in extra:
+                bw.write(bit, 1)
+            for bit in corr:
+                bw.write(bit, 1)
+        bw.flush()
+        out += bw.buf
+        return out
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + (67).to_bytes(2, "big") + b"\x00" + b"\x01" * 64
+    nc = len(comps)
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") \
+        + bytes([nc])
+    for cid, chh, cvv in comps:
+        sof += bytes([cid, (chh << 4) | cvv, 0])
+    out += b"\xff\xc2" + (2 + len(sof)).to_bytes(2, "big") + sof
+
+    # ---- scan 1: DC first, interleaved, Ah=0, Al=al_dc ----
+    ops = []
+    preds = [0] * nc
+    for m in range(mcux * mcuy):
+        for ci in range(nc):
+            v = zz_blocks[ci][m][0] >> al_dc  # arithmetic point transform
+            diff = v - preds[ci]
+            preds[ci] = v
+            s = _jpeg_category(diff)
+            extra = _prog_bits_of(diff if diff > 0
+                                  else diff + (1 << s) - 1, s) if s else []
+            ops.append((s, extra, []))
+    out = emit_scan(out, [c[0] for c in comps], 0, 0, 0, al_dc, ops, True)
+
+    # ---- scan 2..: DC refinement bits, Ah=al_dc..1 ----
+    for alr in range(al_dc - 1, -1, -1):
+        ops = [(None, [(zz_blocks[ci][m][0] >> alr) & 1], [])
+               for m in range(mcux * mcuy) for ci in range(nc)]
+        out = emit_scan(out, [c[0] for c in comps], 0, 0, alr + 1, alr,
+                        ops, True)
+
+    # ---- AC scans per component, two spectral bands ----
+    bands = [(1, split), (split + 1, 63)]
+    for ci in range(nc):
+        for ss, se in bands:
+            # first pass at al_ac
+            ops, eobrun, eob_extra = [], 0, None
+            def flush_eob():
+                nonlocal eobrun
+                if eobrun:
+                    rb = eobrun.bit_length() - 1
+                    ops.append(((rb << 4) | 0,
+                                _prog_bits_of(eobrun - (1 << rb), rb), []))
+                    eobrun = 0
+            for m in range(mcux * mcuy):
+                band = zz_blocks[ci][m][ss:se + 1]
+                shifted = [(1 if v > 0 else -1) * (abs(v) >> al_ac)
+                           for v in band]
+                if not any(shifted):
+                    eobrun += 1
+                    continue
+                flush_eob()
+                run = 0
+                last_nz = max(i for i, v in enumerate(shifted) if v)
+                for i, v in enumerate(shifted):
+                    if i > last_nz:
+                        break
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run >= 16:
+                        ops.append((0xF0, [], []))
+                        run -= 16
+                    s = _jpeg_category(v)
+                    ops.append(((run << 4) | s,
+                                _prog_bits_of(v if v > 0
+                                              else v + (1 << s) - 1, s), []))
+                    run = 0
+                if last_nz < len(shifted) - 1:
+                    eobrun += 1
+            flush_eob()
+            out = emit_scan(out, [comps[ci][0]], ss, se, 0, al_ac, ops,
+                            False)
+    for ci in range(nc):
+        for ss, se in bands:
+            for alr in range(al_ac - 1, -1, -1):
+                ops = _prog_ac_refine_ops(zz_blocks[ci], mcux * mcuy,
+                                          ss, se, alr)
+                out = emit_scan(out, [comps[ci][0]], ss, se, alr + 1, alr,
+                                ops, False)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _prog_ac_refine_ops(blocks, n_blocks, ss, se, al):
+    """AC refinement scan ops (T.81 G.1.2.3 encoder): newly nonzero
+    coefficients (|v|>>al == 1) emit (run,1)+sign; crossed
+    nonzero-history coefficients append correction bits; trailing
+    bands join an EOB run whose correction bits follow the EOBn."""
+    ops = []
+    eobrun = 0
+    eob_corr = []
+
+    def flush_eob():
+        nonlocal eobrun, eob_corr
+        if eobrun or eob_corr:
+            if eobrun == 0:
+                raise AssertionError("corr bits without EOB run")
+            rb = eobrun.bit_length() - 1
+            ops.append(((rb << 4) | 0,
+                        _prog_bits_of(eobrun - (1 << rb), rb),
+                        list(eob_corr)))
+            eobrun = 0
+            eob_corr = []
+
+    for m in range(n_blocks):
+        band = blocks[m][ss:se + 1]
+        temp = [abs(v) >> al for v in band]
+        newnz = [i for i, t in enumerate(temp) if t == 1]
+        if not newnz:
+            if any(t > 1 or t == 1 for t in temp) or True:
+                # whole band joins the EOB run; history coeffs (t>1)
+                # contribute correction bits in position order
+                eobrun += 1
+                eob_corr.extend(t & 1 for t in temp if t > 1)
+            continue
+        flush_eob()
+        events = []  # 'z' or ('h', bit), in position order
+        last = newnz[-1]
+        for i, t in enumerate(temp):
+            if i > last:
+                break
+            if t == 0:
+                events.append("z")
+            elif t > 1:
+                events.append(("h", t & 1))
+            else:  # t == 1: newly nonzero -> flush events into ZRLs
+                zcount = sum(1 for e in events if e == "z")
+                j = 0
+                while zcount >= 16:
+                    consumed, bits = 0, []
+                    while consumed < 16:
+                        ev = events[j]
+                        j += 1
+                        if ev == "z":
+                            consumed += 1
+                        else:
+                            bits.append(ev[1])
+                    ops.append((0xF0, [], bits))
+                    zcount -= 16
+                rest_bits = [ev[1] for ev in events[j:] if ev != "z"]
+                sign = [1 if band[i] > 0 else 0]
+                ops.append(((zcount << 4) | 1, sign, rest_bits))
+                events = []
+        if last < len(temp) - 1:
+            eobrun += 1
+            eob_corr.extend(t & 1 for t in temp[last + 1:] if t > 1)
+    flush_eob()
+    return ops
+
+
+def test_jpeg_progressive_roundtrip_grayscale():
+    """decode(progressive_encode(X)) must match X within the FDCT
+    rounding budget, including non-multiple-of-8 dimensions and a
+    flat region wide enough to force multi-block EOB runs."""
+    import numpy as np
+
+    from telescope_data_pipeline_spark.operators.multimodal import (
+        decode_image,
+    )
+
+    rng = np.random.default_rng(31)
+    img = rng.integers(0, 256, size=(17, 24)).astype(np.float64)
+    img[:, 8:16] = 77.0  # flat blocks -> empty AC bands -> EOB runs
+    payload = _make_jpeg_progressive(img)
+    assert payload[:4] == b"\xff\xd8\xff\xdb"
+    assert b"\xff\xc2" in payload
+    dec = decode_image(payload)
+    assert dec.shape == (17, 24) and dec.dtype == np.float32
+    assert float(np.abs(dec - img).max()) < 2.0
+
+
+def test_jpeg_progressive_matches_baseline_pixels():
+    """The same image encoded baseline and progressive must decode to
+    (near-)identical Y planes — scan structure is lossless
+    reorganization of the same coefficients. Swept over several seeds
+    and successive-approximation depths to cover ZRL-in-refinement
+    and deep correction-bit interleaving."""
+    import numpy as np
+
+    from telescope_data_pipeline_spark.operators.multimodal import (
+        decode_image,
+    )
+
+    for seed, al_dc, al_ac, split in ((41, 1, 1, 20), (43, 2, 2, 5),
+                                      (47, 0, 1, 33), (53, 1, 0, 10)):
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, size=(16, 16)).astype(np.float64)
+        base = decode_image(_make_jpeg(img))
+        prog = decode_image(_make_jpeg_progressive(
+            img, al_dc=al_dc, al_ac=al_ac, split=split))
+        assert float(np.abs(base - prog).max()) < 1e-3, (seed, al_dc, al_ac)
+
+
+def test_jpeg_progressive_color_luma_only():
+    """Color progressive: chroma AC scans are skipped wholesale, yet
+    the Y plane must equal the ITU-R 601 luma of the source."""
+    import numpy as np
+
+    from telescope_data_pipeline_spark.operators.multimodal import (
+        decode_image,
+    )
+
+    rng = np.random.default_rng(59)
+    rgb = rng.integers(0, 256, size=(19, 13, 3)).astype(np.float64)
+    dec = decode_image(_make_jpeg_progressive(rgb))
+    luma = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+    assert dec.shape == (19, 13)
+    assert float(np.abs(dec - np.clip(luma, 0, 255)).max()) < 2.5
+
+
+def test_jpeg_progressive_baseline_near_duplicate(spark):
+    """The VERDICT's acceptance check: a baseline/progressive encoding
+    pair of the same image must land as a perceptual-hash near-dup in
+    the banded image dedup, while an unrelated image stays out."""
+    import numpy as np
+
+    from telescope_data_pipeline_spark.operators.multimodal import (
+        image_near_duplicates,
+    )
+    from telescope_data_pipeline_spark.schemas import MEDIA
+
+    rng = np.random.default_rng(61)
+    img = rng.integers(0, 256, size=(16, 16)).astype(np.float64)
+    base = _make_jpeg(img)
+    prog = _make_jpeg_progressive(img)
+    other = _make_jpeg(
+        np.random.default_rng(97).integers(0, 256, (16, 16)).astype(float))
+    rows = [
+        (0, "image", base, "image/jpeg", 16, 16, None, {"enc": "baseline"}),
+        (1, "image", prog, "image/jpeg", 16, 16, None, {"enc": "progressive"}),
+        (2, "image", other, "image/jpeg", 16, 16, None, {"enc": "baseline"}),
     ]
     media = spark.createDataFrame(rows, schema=MEDIA)
     pairs = {(r.media_id_a, r.media_id_b)
