@@ -113,6 +113,20 @@ EXTRA = [
     "q_embed_int8",
     "q_centroid_sim",
     "q_readability_ari",
+    # round-10 inference/feature-engineering batch — informational,
+    # frozen comparator set untouched
+    "q_spearman",
+    "q_cramers_v",
+    "q_mcc",
+    "q_js_drift",
+    "q_target_encode",
+    "q_fleiss_kappa",
+    "q_did",
+    "q_bayes_ab",
+    "q_keyword_tfidf",
+    "q_assortativity",
+    "q_info_gain",
+    "q_sprt",
 ]
 
 

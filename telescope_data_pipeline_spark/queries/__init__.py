@@ -17,6 +17,7 @@ def load_all() -> None:
         domain,
         evaluation,
         flagship,
+        inference,
         joins,
         llm,
         mining,

@@ -70,7 +70,9 @@ PRIORITY: tuple[str, ...] = (
     "q_dedup_simhash", "q_ensemble_lightcurve", "q_media_features",
     "q_scan_fits",
     # (c) first-time evidence: operators new in round 10
-    # (appended as they land)
+    "q_spearman", "q_cramers_v", "q_mcc", "q_js_drift",
+    "q_target_encode", "q_fleiss_kappa", "q_did", "q_bayes_ab",
+    "q_keyword_tfidf", "q_assortativity", "q_info_gain", "q_sprt",
     # (d1) oldest-green oracle backfill: last driver-checked in r4
     "q_join_cross", "q_join_full", "q_join_left", "q_join_nn2d",
     "q_scalar_null", "q_scan_orc", "q_sql_api", "q_subquery_scalar",

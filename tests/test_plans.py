@@ -1183,7 +1183,8 @@ def test_graph_queries_share_cached_edge_list(spark):
         body = line.lstrip(" :+-*(0123456789)")
         return len(line) - len(body)
 
-    for name in ("q_triangle_count", "q_kcore", "q_label_propagation"):
+    for name in ("q_triangle_count", "q_kcore", "q_label_propagation",
+                 "q_assortativity"):
         df = get(name).fn(spark, SF)
         phys = df._jdf.queryExecution().executedPlan().toString()
         # indentation-aware walk: a lineitem FileScan line is legal only
@@ -1480,3 +1481,109 @@ def test_readability_map_only(spark):
     plan = physical_plan(df)
     assert "Join" not in plan, plan
     assert "Exchange hashpartitioning" not in plan, plan
+
+
+# --- round-10: inference.py physical shapes --------------------------------
+
+
+def test_spearman_group_keyed_ranks(spark):
+    """Spearman: average-rank windows partition by the GROUP key (never
+    a global single-partition sort), and every sufficient statistic is
+    a grouped integer aggregate."""
+    assert_plan(get("q_spearman").fn(spark, SF),
+                contains=("Window", "HashAggregate"),
+                absent=("CartesianProduct",))
+
+
+def test_cramers_v_margins_on_cell_table(spark):
+    """Cramér's V: margins come from windows over the (r x c) CELL
+    table; the fact table contributes exactly one conditional-count
+    groupBy — no join between fact-sized relations."""
+    assert_plan(get("q_cramers_v").fn(spark, SF),
+                contains=("Window", "HashAggregate"),
+                absent=("CartesianProduct", "SortMergeJoin"))
+
+
+def test_mcc_joinless_single_pass(spark):
+    """MCC: ONE conditional-aggregate pass to a 1-row confusion matrix
+    — no join operator of any kind in the plan."""
+    from telescope_data_pipeline_spark.plans.audit import physical_plan
+
+    plan = physical_plan(get("q_mcc").fn(spark, SF))
+    assert "Join" not in plan, plan
+
+
+def test_js_drift_broadcast_totals(spark):
+    """JS drift: q_kl_drift's shape — conditional-count groupBy on
+    source, 1-row totals broadcast, no shuffled join."""
+    assert_plan(get("q_js_drift").fn(spark, SF),
+                contains=("HashAggregate",),
+                absent=("CartesianProduct", "SortMergeJoin"))
+
+
+def test_target_encode_probe_filter_under_join(spark):
+    """LOO target encoding: the keyed 1/101 sample filter must sit on
+    the probe side BELOW the category join (Catalyst pushes it to the
+    scan), while the stats side reads everything — LOO requires it."""
+    df = get("q_target_encode").fn(spark, SF)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "% 101" in opt, opt
+    assert_plan(df, contains=("HashAggregate",),
+                absent=("CartesianProduct",))
+
+
+def test_fleiss_kappa_two_groupbys(spark):
+    """Fleiss' kappa: explode to 3n rater rows, then map-side-combined
+    groupBys — the category totals pivot on the CELL table, never the
+    corpus; only 1-row broadcast scalars join."""
+    assert_plan(get("q_fleiss_kappa").fn(spark, SF),
+                contains=("Generate", "HashAggregate"),
+                absent=("CartesianProduct", "SortMergeJoin"))
+
+
+def test_did_joinless_single_pass(spark):
+    """DiD: all four cells' sufficient statistics come from ONE
+    conditional-aggregate fact pass; the pivot runs on 4 rows — no
+    join operator anywhere."""
+    from telescope_data_pipeline_spark.plans.audit import physical_plan
+
+    plan = physical_plan(get("q_did").fn(spark, SF))
+    assert "Join" not in plan, plan
+
+
+def test_bayes_ab_joinless(spark):
+    """Bayesian A/B: per-user conversion groupBy then a 1-row
+    conditional aggregate — no join operator anywhere."""
+    from telescope_data_pipeline_spark.plans.audit import physical_plan
+
+    plan = physical_plan(get("q_bayes_ab").fn(spark, SF))
+    assert "Join" not in plan, plan
+
+
+def test_keyword_tfidf_doc_keyed_topk(spark):
+    """TF-IDF keywords: the top-3 window partitions by doc_id (millions
+    of independent partitions at scale), the sample filter reaches the
+    tf probe scan, and nothing goes cartesian."""
+    df = get("q_keyword_tfidf").fn(spark, SF)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "% 25" in opt, opt
+    assert_plan(df, contains=("Window", "Generate"),
+                absent=("CartesianProduct",))
+
+
+def test_info_gain_joinless_single_pass(spark):
+    """Information gain: eight integer conditional counts from one
+    groupBy pass — no join operator anywhere."""
+    from telescope_data_pipeline_spark.plans.audit import physical_plan
+
+    plan = physical_plan(get("q_info_gain").fn(spark, SF))
+    assert "Join" not in plan, plan
+
+
+def test_sprt_stream_keyed_walk(spark):
+    """SPRT: the cumulative walk partitions by the experiment stream
+    key; the first-crossing lookup joins a |streams|-row relation back
+    to |streams|-row totals — no cartesian, no fact-table join."""
+    assert_plan(get("q_sprt").fn(spark, SF),
+                contains=("Window",),
+                absent=("CartesianProduct",))

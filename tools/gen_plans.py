@@ -198,6 +198,30 @@ CAPTURE = [
      "int8 audit: 1-row scale broadcast, map-only explode, two cell groupBys"),
     ("q_centroid_sim",
      "centroid sim: one groupBy onto labels x d cells, metadata-sized pair join"),
+    ("q_spearman",
+     "integer average-ranks via per-group windows; Pearson on exact BIGINT rank sums"),
+    ("q_cramers_v",
+     "chi-square margins via windows over the CELL table, nano-int term sum"),
+    ("q_mcc",
+     "one conditional-aggregate pass to a 1-row confusion matrix"),
+    ("q_js_drift",
+     "conditional-count groupBy on source + 1-row totals broadcast"),
+    ("q_target_encode",
+     "LOO encode: stats groupBy joined back on the key, sample filter pushed to the probe scan"),
+    ("q_fleiss_kappa",
+     "3-rater explode, two map-side-combined groupBys, 1-row output"),
+    ("q_did",
+     "4-cell centi-int sufficient stats from ONE conditional-aggregate pass"),
+    ("q_bayes_ab",
+     "per-user conversion groupBy then a 1-row conditional aggregate"),
+    ("q_keyword_tfidf",
+     "corpus df shuffle + sampled tf probe side, nano-int top-3 window per doc"),
+    ("q_assortativity",
+     "degree Pearson over the SHARED cached co-purchase edge list (InMemoryRelation legs)"),
+    ("q_info_gain",
+     "decision stump: eight integer conditional counts in one groupBy pass"),
+    ("q_sprt",
+     "integer window cumsums per stream; first crossing via filtered rank, join back to totals"),
 ]
 
 HEADER = """\
