@@ -184,14 +184,15 @@ def _unfilter_scanline(f: int, line: np.ndarray, prev: np.ndarray,
 
 
 def _decode_png(payload: bytes) -> np.ndarray:
-    """Pure-Python PNG decode (stdlib zlib, no PIL): 8-bit depth,
-    color types gray / RGB / palette / gray+alpha / RGBA, all five
-    scanline filters, non-interlaced. Grayscale via the same ITU-R 601
-    luma as the BMP path. Raises CodecUnavailable on 1/2/4/16-bit
-    depths and Adam7 interlace — corrupt-or-unsupported real media
-    must fail loudly, never fall through to the stub. This closes the
-    round-6 gap: real crawls are JPEG/PNG, and the repo's only real
-    decoders were BMP/WAV."""
+    """Pure-Python PNG decode (stdlib zlib, no PIL): 8- and 16-bit
+    depths, color types gray / RGB / palette / gray+alpha / RGBA, all
+    five scanline filters, progressive (Adam7) AND sequential scan
+    layouts (round-10: the last two real-crawl PNG variants — Adam7 and
+    16-bit — previously raised CodecUnavailable). Grayscale via the
+    same ITU-R 601 luma as the BMP path; 16-bit samples scale by 1/257
+    so full-scale white lands on 255.0 in both depths. Raises
+    CodecUnavailable on 1/2/4-bit depths — corrupt-or-unsupported real
+    media must fail loudly, never fall through to the stub."""
     import struct
     import zlib
 
@@ -231,38 +232,74 @@ def _decode_png_inner(payload: bytes) -> np.ndarray:
             break
     if w is None or not idat:
         raise CodecUnavailable("PNG missing IHDR/IDAT")
-    if depth != 8:
+    if depth not in (8, 16):
         raise CodecUnavailable(f"PNG bit depth {depth} unsupported")
-    if interlace:
-        raise CodecUnavailable("Adam7 interlaced PNG unsupported")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
     if channels is None:
         raise CodecUnavailable(f"PNG color type {ctype} invalid")
+    if ctype == 3 and depth == 16:
+        raise CodecUnavailable("PNG 16-bit palette is not a legal combo")
+    if interlace not in (0, 1):
+        raise CodecUnavailable(f"PNG interlace method {interlace} invalid")
     raw = zlib.decompress(b"".join(idat))
-    stride = w * channels
-    if len(raw) != (stride + 1) * h:
+    bps = depth // 8  # bytes per sample
+
+    def reconstruct(off: int, pw: int, ph: int) -> tuple[np.ndarray, int]:
+        """Unfilter ``ph`` scanlines of ``pw`` pixels from raw[off:];
+        returns (ph x pw x channels uint16 SAMPLE matrix, new offset).
+        Filters operate on BYTES with bpp = channels * bps (spec §9:
+        16-bit filtering is bytewise with a 2-byte-per-sample pixel
+        distance), then big-endian byte pairs merge into samples."""
+        stride = pw * channels * bps
+        if off + (stride + 1) * ph > len(raw):
+            raise CodecUnavailable("PNG pixel data length mismatch")
+        mat = np.empty((ph, stride), np.uint8)
+        prev = np.zeros(stride, np.uint16)
+        for y in range(ph):
+            f = raw[off]
+            line = np.frombuffer(raw, np.uint8, count=stride,
+                                 offset=off + 1).astype(np.uint16)
+            mat[y] = _unfilter_scanline(f, line, prev, channels * bps)
+            prev = mat[y].astype(np.uint16)
+            off += stride + 1
+        if bps == 2:
+            pairs = mat.reshape(ph, pw * channels, 2).astype(np.uint16)
+            samples = (pairs[..., 0] << 8) | pairs[..., 1]
+        else:
+            samples = mat.astype(np.uint16)
+        return samples.reshape(ph, pw, channels), off
+
+    if interlace == 0:
+        samples, off = reconstruct(0, w, h)
+    else:  # Adam7: seven sub-images, each filtered independently
+        samples = np.zeros((h, w, channels), np.uint16)
+        off = 0
+        for xs, ys, xstep, ystep in ((0, 0, 8, 8), (4, 0, 8, 8),
+                                     (0, 4, 4, 8), (2, 0, 4, 4),
+                                     (0, 2, 2, 4), (1, 0, 2, 2),
+                                     (0, 1, 1, 2)):
+            pw = (w - xs + xstep - 1) // xstep
+            ph = (h - ys + ystep - 1) // ystep
+            if pw <= 0 or ph <= 0:
+                continue
+            sub, off = reconstruct(off, pw, ph)
+            samples[ys::ystep, xs::xstep] = sub
+    if off != len(raw):
         raise CodecUnavailable("PNG pixel data length mismatch")
-    out = np.empty((h, stride), np.uint8)
-    prev = np.zeros(stride, np.uint16)
-    for y in range(h):
-        f = raw[y * (stride + 1)]
-        line = np.frombuffer(raw, np.uint8, count=stride,
-                             offset=y * (stride + 1) + 1).astype(np.uint16)
-        out[y] = _unfilter_scanline(f, line, prev, channels)
-        prev = out[y].astype(np.uint16)
-    px = out.astype(np.float32)
+    px = samples.astype(np.float32)
+    if bps == 2:  # map 0..65535 onto the 8-bit 0..255 scale exactly
+        px /= 257.0
     if ctype == 0:
-        gray = px
+        gray = px[..., 0]
     elif ctype == 2 or ctype == 6:
-        rgb = px.reshape(h, w, channels)
-        gray = (rgb[..., 0] * 0.299 + rgb[..., 1] * 0.587
-                + rgb[..., 2] * 0.114)
+        gray = (px[..., 0] * 0.299 + px[..., 1] * 0.587
+                + px[..., 2] * 0.114)
     elif ctype == 4:
-        gray = px.reshape(h, w, 2)[..., 0]
+        gray = px[..., 0]
     else:  # palette
         if pal is None:
             raise CodecUnavailable("palette PNG missing PLTE")
-        rgb = pal[out].astype(np.float32)
+        rgb = pal[samples[..., 0]].astype(np.float32)
         gray = (rgb[..., 0] * 0.299 + rgb[..., 1] * 0.587
                 + rgb[..., 2] * 0.114)
     return np.ascontiguousarray(gray.reshape(h, w), dtype=np.float32)

@@ -498,14 +498,108 @@ def test_png_palette_and_unsupported_variants():
             + pal[idx][..., 2] * 0.114).astype(np.float32)
     assert np.allclose(_decode_png(png), want)
 
-    for depth, interlace, msg in ((16, 0, "bit depth"),
-                                  (8, 1, "interlaced")):
-        bad_ihdr = struct.pack(">IIBBBBB", 2, 2, depth, 0, 0, 0, interlace)
+    for depth in (1, 2, 4):  # sub-byte depths still fail loudly
+        bad_ihdr = struct.pack(">IIBBBBB", 2, 2, depth, 0, 0, 0, 0)
         bad = (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", bad_ihdr)
                + _png_chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
                + _png_chunk(b"IEND", b""))
-        with pytest.raises(CodecUnavailable, match=msg):
+        with pytest.raises(CodecUnavailable, match="bit depth"):
             _decode_png(bad)
+    # 16-bit palette is not a legal PNG combination
+    bad_ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 3, 0, 0, 0)
+    bad = (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", bad_ihdr)
+           + _png_chunk(b"PLTE", bytes(6))
+           + _png_chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
+           + _png_chunk(b"IEND", b""))
+    with pytest.raises(CodecUnavailable, match="palette"):
+        _decode_png(bad)
+
+
+def _png_encode(px, ctype, depth=8, interlace=0):
+    """Minimal PNG encoder for tests: filter-0 scanlines, optional
+    16-bit samples (big-endian) and Adam7 interlacing — the layouts the
+    round-10 decoder additions must reconstruct exactly."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from telescope_data_pipeline_spark.operators.multimodal import _png_chunk
+
+    px = np.asarray(px)
+    if px.ndim == 2:
+        px = px[..., None]
+    h, w, _ch = px.shape
+    dt = ">u2" if depth == 16 else "u1"
+
+    def scan(sub):
+        return b"".join(b"\x00" + sub[y].astype(dt).tobytes()
+                        for y in range(sub.shape[0]))
+
+    if interlace:
+        raw = b"".join(
+            scan(px[ys::ystep, xs::xstep])
+            for xs, ys, xstep, ystep in ((0, 0, 8, 8), (4, 0, 8, 8),
+                                         (0, 4, 4, 8), (2, 0, 4, 4),
+                                         (0, 2, 2, 4), (1, 0, 2, 2),
+                                         (0, 1, 1, 2))
+            if px[ys::ystep, xs::xstep].size)
+    else:
+        raw = scan(px)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace)
+    return (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(raw))
+            + _png_chunk(b"IEND", b""))
+
+
+def test_png_16bit_gray_and_rgb():
+    """16-bit samples decode with the exact 1/257 rescale: full-scale
+    white lands on 255.0, and RGB goes through the same ITU-R 601 luma
+    as the 8-bit path."""
+    import numpy as np
+
+    from telescope_data_pipeline_spark.operators.multimodal import (
+        _decode_png,
+    )
+
+    rng = np.random.default_rng(7)
+    g = rng.integers(0, 65536, size=(5, 4), dtype=np.uint16)
+    g[0, 0], g[0, 1] = 65535, 0
+    got = _decode_png(_png_encode(g, ctype=0, depth=16))
+    assert np.allclose(got, (g / 257.0).astype(np.float32))
+    assert got[0, 0] == 255.0 and got[0, 1] == 0.0
+
+    rgb = rng.integers(0, 65536, size=(3, 6, 3), dtype=np.uint16)
+    got = _decode_png(_png_encode(rgb, ctype=2, depth=16))
+    f = (rgb / 257.0).astype(np.float32)
+    want = f[..., 0] * 0.299 + f[..., 1] * 0.587 + f[..., 2] * 0.114
+    assert np.allclose(got, want, atol=1e-3)
+
+
+def test_png_adam7_matches_sequential():
+    """An Adam7-interlaced PNG must decode to EXACTLY the same pixels
+    as the sequential encoding of the same image — per-pass scanline
+    reconstruction and sub-image reassembly are invisible to the
+    caller. Sizes cover all seven passes including partial ones."""
+    import numpy as np
+
+    from telescope_data_pipeline_spark.operators.multimodal import (
+        _decode_png,
+    )
+
+    rng = np.random.default_rng(13)
+    for (h, w) in ((16, 16), (9, 11), (3, 5), (1, 1), (2, 10)):
+        g = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        seq = _decode_png(_png_encode(g, ctype=0, interlace=0))
+        i7 = _decode_png(_png_encode(g, ctype=0, interlace=1))
+        assert np.array_equal(seq, i7), (h, w)
+    # RGBA and 16-bit gray through the interlaced path too
+    rgba = rng.integers(0, 256, size=(10, 7, 4), dtype=np.uint8)
+    assert np.array_equal(_decode_png(_png_encode(rgba, 6, 8, 0)),
+                          _decode_png(_png_encode(rgba, 6, 8, 1)))
+    g16 = rng.integers(0, 65536, size=(12, 9), dtype=np.uint16)
+    assert np.array_equal(_decode_png(_png_encode(g16, 0, 16, 0)),
+                          _decode_png(_png_encode(g16, 0, 16, 1)))
 
 
 def test_png_corrupt_input_raises_typed_codec_error():
