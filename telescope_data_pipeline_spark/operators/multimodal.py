@@ -18,6 +18,7 @@ tests.
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -856,11 +857,150 @@ def _decode_progressive_scan(coef, nb, comps, scan, cid_to_ci, huff,
         eobrun = step(coef[ci][by][bx], br, ac_lut, ss_, se_, al, eobrun)
 
 
+def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> bytes:
+    """GIF LZW decompression (GIF89a spec appendix F): codes pack
+    LSB-first, the dictionary resets on CLEAR, grows by one entry per
+    emitted code, and the code width bumps when the table fills (capped
+    at 12 bits). Stops after ``n_pixels`` indices or the END code."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    code_size = min_code_size + 1
+    out = bytearray()
+    acc = bits = pos = 0
+    prev: bytes | None = None
+    while len(out) < n_pixels:
+        while bits < code_size:
+            if pos >= len(data):
+                raise CodecUnavailable("GIF LZW stream truncated")
+            acc |= data[pos] << bits
+            bits += 8
+            pos += 1
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        bits -= code_size
+        if code == clear:
+            table = list(base)
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if code < len(table) and code not in (clear, end):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise CodecUnavailable(f"GIF LZW code {code} out of range")
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+        if len(table) == (1 << code_size) and code_size < 12:
+            code_size += 1
+        prev = entry
+    if len(out) < n_pixels:
+        raise CodecUnavailable("GIF pixel data short of image size")
+    return bytes(out[:n_pixels])
+
+
+def _decode_gif(payload: bytes) -> np.ndarray:
+    """Pure-Python GIF decode (87a/89a, no PIL): global/local color
+    tables, full LZW with dictionary growth and 12-bit cap, 4-pass
+    interlace reorder, extensions skipped, FIRST frame of an animation
+    composed onto a background-color canvas. Grayscale via the same
+    ITU-R 601 luma as the BMP/PNG paths. Raises CodecUnavailable on
+    corruption — real-but-damaged media must fail loudly, never fall
+    through to the stub (round-10: GIF was the last common crawl image
+    container still gated on PIL)."""
+    try:
+        return _decode_gif_inner(payload)
+    except (IndexError, ValueError, struct.error) as e:
+        raise CodecUnavailable(f"truncated or corrupt GIF: {e}") from e
+
+
+def _decode_gif_inner(payload: bytes) -> np.ndarray:
+    b = bytes(payload)
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise CodecUnavailable("not a GIF signature")
+    sw, sh, packed, bg, _aspect = struct.unpack("<HHBBB", b[6:13])
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(b, np.uint8, count=3 * n,
+                            offset=pos).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(b):
+        block = b[pos]
+        pos += 1
+        if block == 0x3B:  # trailer before any image
+            break
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise CodecUnavailable(f"GIF block 0x{block:02x} invalid")
+        left, top, fw, fh, ipacked = struct.unpack("<HHHHB",
+                                                   b[pos:pos + 9])
+        pos += 9
+        pal = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            pal = np.frombuffer(b, np.uint8, count=3 * n,
+                                offset=pos).reshape(n, 3)
+            pos += 3 * n
+        if pal is None:
+            raise CodecUnavailable("GIF image with no color table")
+        min_code = b[pos]
+        pos += 1
+        if not 2 <= min_code <= 11:
+            raise CodecUnavailable(f"GIF LZW min code {min_code} invalid")
+        chunks = []
+        while b[pos] != 0:
+            ln = b[pos]
+            chunks.append(b[pos + 1:pos + 1 + ln])
+            pos += 1 + ln
+        pos += 1
+        if fw <= 0 or fh <= 0:
+            raise CodecUnavailable("GIF zero-sized frame")
+        idx = np.frombuffer(
+            _gif_lzw_decode(b"".join(chunks), min_code, fw * fh),
+            np.uint8).reshape(fh, fw)
+        if ipacked & 0x40:  # 4-pass interlace: rows arrive reordered
+            rows = np.concatenate([np.arange(0, fh, 8),
+                                   np.arange(4, fh, 8),
+                                   np.arange(2, fh, 4),
+                                   np.arange(1, fh, 2)])
+            deinter = np.empty_like(idx)
+            deinter[rows] = idx
+            idx = deinter
+        if int(idx.max(initial=0)) >= len(pal):
+            raise CodecUnavailable("GIF pixel index beyond color table")
+        rgb_frame = pal[idx].astype(np.float32)
+        if (left, top, fw, fh) == (0, 0, sw, sh):
+            rgb = rgb_frame
+        else:  # sub-rectangle first frame: compose on bg-color canvas
+            bg_rgb = (pal[bg].astype(np.float32) if bg < len(pal)
+                      else np.zeros(3, np.float32))
+            rgb = np.broadcast_to(bg_rgb, (sh, sw, 3)).copy()
+            eh, ew = min(fh, sh - top), min(fw, sw - left)
+            if eh > 0 and ew > 0:
+                rgb[top:top + eh, left:left + ew] = rgb_frame[:eh, :ew]
+        gray = (rgb[..., 0] * 0.299 + rgb[..., 1] * 0.587
+                + rgb[..., 2] * 0.114)
+        return np.ascontiguousarray(gray, dtype=np.float32)
+    raise CodecUnavailable("GIF contains no image descriptor")
+
+
 def decode_image(payload: bytes) -> np.ndarray:
     """Decode an encoded image payload to a float32 grayscale array.
 
-    Dispatch by MAGIC BYTES: BMP, PNG and baseline JPEG decode with the
-    built-in pure-Python decoders (always available); other real image
+    Dispatch by MAGIC BYTES: BMP, PNG (sequential + Adam7, 8/16-bit),
+    JPEG (baseline + progressive) and GIF decode with the built-in
+    pure-Python decoders (always available); other real image
     signatures decode with PIL (raising on corruption — never silently
     stubbed, and raising CodecUnavailable when PIL is absent); anything
     else is a synthetic fixture and takes the deterministic stub."""
@@ -872,6 +1012,8 @@ def decode_image(payload: bytes) -> np.ndarray:
         return _decode_png(payload)
     if bytes(payload[:3]) == b"\xff\xd8\xff":
         return _decode_jpeg(payload)
+    if bytes(payload[:4]) == b"GIF8":
+        return _decode_gif(payload)
     if _has_magic(payload, _IMAGE_MAGICS, riff_kind=b"WEBP"):
         if _pil_image is None:
             raise CodecUnavailable(

@@ -1335,3 +1335,203 @@ def test_jpeg_progressive_baseline_near_duplicate(spark):
              for r in image_near_duplicates(media, max_hamming=6).collect()}
     assert (0, 1) in pairs
     assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+# ---------------------------------------------------------------------------
+# GIF decoder (pure Python LZW — no PIL in this environment)
+# ---------------------------------------------------------------------------
+
+def _gif_lzw_encode(indices, min_code_size):
+    """Reference GIF LZW encoder for tests: real dictionary growth,
+    code-width bumps, 4095-entry cap with CLEAR reset."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    out = bytearray()
+    acc = bits = 0
+
+    def emit(code, size):
+        nonlocal acc, bits
+        acc |= code << bits
+        bits += size
+        while bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    code_size = min_code_size + 1
+    emit(clear, code_size)
+    w = b""
+    for px in bytes(indices):
+        wk = w + bytes([px])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], code_size)
+        table[wk] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << code_size) and code_size < 12:
+            code_size += 1
+        if next_code >= 4096:
+            emit(clear, code_size)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = end + 1
+            code_size = min_code_size + 1
+        w = bytes([px])
+    if w:
+        emit(table[w], code_size)
+    emit(end, code_size)
+    if bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_encode(idx, pal, interlace=False, animated_extra=False,
+                frame_box=None):
+    """Assemble a GIF89a from palette indices: optional interlace row
+    reorder, optional graphic-control extension + a junk second frame
+    (animation — only the FIRST frame must decode), optional sub-
+    rectangle frame placement."""
+    import struct
+
+    import numpy as np
+
+    h, w = idx.shape
+    sw, sh = (frame_box[2], frame_box[3]) if frame_box else (w, h)
+    n = len(pal)
+    size_bits = max((n - 1).bit_length(), 1) - 1
+    gct = np.zeros((2 << size_bits, 3), np.uint8)
+    gct[:n] = pal
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", sw, sh, 0x80 | size_bits, 0, 0)
+    out += gct.tobytes()
+    if animated_extra:  # NETSCAPE loop extension: must be skipped
+        out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+        out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # graphic control
+    rows = idx
+    ipacked = 0
+    if interlace:
+        import numpy as np
+
+        order = np.concatenate([np.arange(0, h, 8), np.arange(4, h, 8),
+                                np.arange(2, h, 4), np.arange(1, h, 2)])
+        rows = idx[order]
+        ipacked |= 0x40
+    left, top = (frame_box[0], frame_box[1]) if frame_box else (0, 0)
+    out += b"\x2c" + struct.pack("<HHHHB", left, top, w, h, ipacked)
+    min_code = max(size_bits + 1, 2)
+    out.append(min_code)
+    data = _gif_lzw_encode(rows.ravel(), min_code)
+    for i in range(0, len(data), 255):
+        chunk = data[i:i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)
+    if animated_extra:  # second frame: same box, all-zero pixels
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        out.append(min_code)
+        data2 = _gif_lzw_encode(bytes(w * h), min_code)
+        for i in range(0, len(data2), 255):
+            chunk = data2[i:i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out += b"\x3b"
+    return bytes(out)
+
+
+def _luma(pal, idx):
+    import numpy as np
+
+    rgb = pal[idx].astype(np.float32)
+    return rgb[..., 0] * 0.299 + rgb[..., 1] * 0.587 + rgb[..., 2] * 0.114
+
+
+def test_gif_roundtrip_with_dictionary_growth():
+    """A 64x48 random 32-color GIF forces real LZW dictionary growth
+    and at least one code-width bump; decode must reproduce the exact
+    palette luma."""
+    import numpy as np
+
+    from telescope_data_pipeline_spark.operators.multimodal import (
+        _decode_gif,
+        decode_image,
+    )
+
+    rng = np.random.default_rng(5)
+    pal = rng.integers(0, 256, size=(32, 3), dtype=np.uint8)
+    idx = rng.integers(0, 32, size=(48, 64), dtype=np.uint8)
+    gif = _gif_encode(idx, pal)
+    got = _decode_gif(gif)
+    assert got.shape == (48, 64)
+    assert np.allclose(got, _luma(pal, idx))
+    # dispatch routes by magic, no PIL involved
+    assert np.allclose(decode_image(gif), _luma(pal, idx))
+
+
+def test_gif_interlaced_and_animated_first_frame():
+    """Interlaced row order must be undone exactly; extensions and the
+    second animation frame are skipped — the FIRST frame decodes."""
+    import numpy as np
+
+    from telescope_data_pipeline_spark.operators.multimodal import (
+        _decode_gif,
+    )
+
+    rng = np.random.default_rng(6)
+    pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, size=(13, 9), dtype=np.uint8)  # odd height
+    assert np.allclose(_decode_gif(_gif_encode(idx, pal, interlace=True)),
+                       _luma(pal, idx))
+    assert np.allclose(
+        _decode_gif(_gif_encode(idx, pal, animated_extra=True)),
+        _luma(pal, idx))
+
+
+def test_gif_subframe_composes_on_background():
+    """A first frame smaller than the logical screen lands at its
+    (left, top) offset on a background-color canvas."""
+    import numpy as np
+
+    from telescope_data_pipeline_spark.operators.multimodal import (
+        _decode_gif,
+    )
+
+    pal = np.array([[10, 10, 10], [200, 50, 0], [0, 200, 50],
+                    [50, 0, 200]], dtype=np.uint8)
+    idx = np.array([[1, 2], [3, 1]], dtype=np.uint8)
+    gif = _gif_encode(idx, pal, frame_box=(3, 1, 8, 6))
+    got = _decode_gif(gif)
+    assert got.shape == (6, 8)
+    want = np.full((6, 8), _luma(pal, np.array(0)), np.float32)
+    want[1:3, 3:5] = _luma(pal, idx)
+    assert np.allclose(got, want)
+
+
+def test_gif_corrupt_raises_typed_codec_error():
+    """Truncated LZW data, out-of-range codes, and missing image
+    descriptors all surface as CodecUnavailable — never raw errors."""
+    import numpy as np
+    import pytest
+
+    from telescope_data_pipeline_spark.operators.multimodal import (
+        CodecUnavailable,
+        _decode_gif,
+    )
+
+    rng = np.random.default_rng(7)
+    pal = rng.integers(0, 256, size=(8, 3), dtype=np.uint8)
+    idx = rng.integers(0, 8, size=(10, 10), dtype=np.uint8)
+    good = _gif_encode(idx, pal)
+    with pytest.raises(CodecUnavailable):
+        _decode_gif(good[:40])  # cut mid-stream
+    with pytest.raises(CodecUnavailable, match="no image"):
+        _decode_gif(b"GIF89a" + good[6:13] + good[13:13 + 3 * 8] + b"\x3b")
+    # an invalid LZW minimum code size is structural corruption (a
+    # random data-byte flip may still decode: GIF carries no checksum)
+    bad_min = bytearray(good)
+    # layout: 13-byte header, 24-byte GCT, 0x2C + 9-byte descriptor,
+    # THEN the LZW min-code byte
+    bad_min[13 + 3 * 8 + 10] = 13
+    with pytest.raises(CodecUnavailable, match="min code"):
+        _decode_gif(bytes(bad_min))
