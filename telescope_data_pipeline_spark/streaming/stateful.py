@@ -686,3 +686,92 @@ class CupedAccumulator:
         return pd.DataFrame(
             rows, columns=["arm", "n_users", "mean_y", "mean_y_cuped",
                            "theta", "var_reduction_pct"])
+
+
+# ---------------------------------------------------------------------------
+# Streaming SPRT (live twin of the batch q_sprt, queries/inference.py —
+# the experimentation family's early-stopping test is INHERENTLY a
+# streaming operator: Wald's procedure decides the moment the evidence
+# crosses a boundary, so the production deployment watches the live
+# stream and freezes at first crossing; the batch query replays history).
+# State per stream key is five integers: (n, successes, decision,
+# n_at_decision, successes_at_decision). Within a micro-batch rows sort
+# by (ts, event_id) — the batch query's exact order — so when batches
+# arrive in time order the crossing point is bit-identical to q_sprt
+# (the LLR is integer counts times two constant logs; no float fold).
+# Once decided, the decision FREEZES (the SPRT contract: sampling
+# stops); n_obs keeps counting so the readout shows post-decision
+# volume.
+# ---------------------------------------------------------------------------
+
+SPRT_STATE_SCHEMA = T.StructType([
+    T.StructField("n", T.LongType()),
+    T.StructField("succ", T.LongType()),
+    T.StructField("dec", T.IntegerType()),      # 0 continue, 1 h1, -1 h0
+    T.StructField("n_dec", T.LongType()),
+    T.StructField("succ_dec", T.LongType()),
+])
+
+SPRT_OUT_SCHEMA = T.StructType([
+    T.StructField("event_type", T.StringType()),
+    T.StructField("n_obs", T.LongType()),
+    T.StructField("decision", T.StringType()),
+    T.StructField("n_at_decision", T.LongType()),
+    T.StructField("llr_at_decision", T.DoubleType()),
+])
+
+_SPRT_P0, _SPRT_P1, _SPRT_ALPHA = 0.45, 0.55, 0.05
+_SPRT_THRESHOLD = 34.0
+
+
+def _sprt_update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+    import math
+
+    import numpy as np
+
+    l1 = math.log(_SPRT_P1 / _SPRT_P0)
+    l0 = math.log((1 - _SPRT_P1) / (1 - _SPRT_P0))
+    bound = math.log((1 - _SPRT_ALPHA) / _SPRT_ALPHA)
+    n0, s0, dec, n_dec, s_dec = (state.get if state.exists
+                                 else (0, 0, 0, 0, 0))
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    batch = batch.sort_values(["ts", "event_id"], kind="mergesort")
+    x = (batch["value"].to_numpy() > _SPRT_THRESHOLD).astype(np.int64)
+    if len(x) and dec == 0:
+        cum = s0 + np.cumsum(x)
+        n = n0 + np.arange(1, len(x) + 1, dtype=np.int64)
+        llr = cum * l1 + (n - cum) * l0
+        hits = np.nonzero((llr >= bound) | (llr <= -bound))[0]
+        if hits.size:
+            i = int(hits[0])
+            dec = 1 if llr[i] > 0 else -1
+            n_dec, s_dec = int(n[i]), int(cum[i])
+    n1, s1 = n0 + len(x), s0 + int(x.sum())
+    state.update((n1, s1, dec, n_dec, s_dec))
+    llr_dec = (round(s_dec * l1 + (n_dec - s_dec) * l0, 6) + 0.0
+               if dec else None)
+    yield pd.DataFrame([{
+        "event_type": key[0], "n_obs": n1,
+        "decision": {0: "continue", 1: "accept_h1", -1: "accept_h0"}[dec],
+        "n_at_decision": n_dec if dec else None,
+        "llr_at_decision": llr_dec,
+    }])
+
+
+def sprt_decisions(stream: DataFrame) -> DataFrame:
+    """Streaming Wald SPRT per event stream: emits each stream's
+    current (decision, n_at_decision, llr_at_decision) on every
+    micro-batch that touches it (update mode). Exact-parity twin of
+    the batch q_sprt when batches arrive in event-time order; under
+    out-of-order arrival the decision is the arrival-order SPRT —
+    the semantics a live experiment actually runs."""
+    s = (stream.filter(F.col("value").isNotNull())
+         .select("event_type", "ts", "event_id", "value"))
+    return (s.groupBy("event_type")
+            .applyInPandasWithState(
+                _sprt_update,
+                outputStructType=SPRT_OUT_SCHEMA,
+                stateStructType=SPRT_STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            ))

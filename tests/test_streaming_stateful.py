@@ -432,3 +432,53 @@ def test_cuped_stream_readout_matches_batch(spark):
             assert abs(got.loc[arm, c] - want.loc[arm, c]) < 1e-6, c
         assert abs(got.loc[arm, "var_reduction_pct"]
                    - want.loc[arm, "var_reduction_pct"]) < 1e-3
+
+
+def test_sprt_stream_matches_batch_decision(spark):
+    """Streaming SPRT: time-ordered micro-batches (globally sorted
+    rows chunked into sequential files) must freeze the SAME decision
+    at the SAME observation index as the batch q_sprt — the LLR is
+    integer counts times constant logs, so the crossing point admits
+    no float drift. Later batches keep counting n_obs but the decision
+    stays frozen."""
+    import os
+    import shutil
+
+    from telescope_data_pipeline_spark.queries import get
+    from telescope_data_pipeline_spark.streaming.stateful import (
+        sprt_decisions,
+    )
+
+    d = tempfile.mkdtemp(prefix="sprt_")
+    ev = (load_table(spark, SF, "events")
+          .orderBy("ts", "event_id").toPandas())
+    k = len(ev) // 3
+    for i, chunk in enumerate((ev[:k], ev[k:2 * k], ev[2 * k:])):
+        p = f"{d}/part-{i}.parquet"
+        chunk.to_parquet(p, engine="pyarrow", coerce_timestamps="us",
+                         index=False)
+        os.utime(p, (1700000000 + i, 1700000000 + i))  # time-ordered
+    stream = read_event_stream(spark, d, max_files_per_trigger=1)
+
+    latest: dict = {}
+    q = (sprt_decisions(stream)
+         .writeStream.outputMode("update")
+         .foreachBatch(lambda df, _bid: latest.update(
+             {r["event_type"]: r for _, r in df.toPandas().iterrows()}))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    assert len(q.recentProgress) >= 3  # decisions crossed micro-batches
+
+    sf_like = tempfile.mkdtemp(prefix="sprt_sf_")
+    shutil.copytree(d, f"{sf_like}/events.parquet")
+    want = get("q_sprt").fn(spark, sf_like).toPandas().set_index(
+        "event_type")
+    assert set(latest) == set(want.index)
+    for et, row in latest.items():
+        w = want.loc[et]
+        assert row["decision"] == w["decision"], et
+        assert row["n_obs"] == w["n_obs"], et
+        if row["decision"] != "continue":
+            assert row["n_at_decision"] == w["n_at_decision"], et
+            assert abs(row["llr_at_decision"] - w["llr_at_decision"]) \
+                < 1e-9, et
