@@ -995,15 +995,205 @@ def _decode_gif_inner(payload: bytes) -> np.ndarray:
     raise CodecUnavailable("GIF contains no image descriptor")
 
 
+def _tiff_lzw_decode(data: bytes, max_bytes: int) -> bytes:
+    """TIFF LZW (spec §13): MSB-first bit packing, 256=Clear, 257=EOI,
+    new entries from 258, and the EARLY-CHANGE quirk — the code width
+    bumps when the table reaches 2^bits - 1 (one entry sooner than
+    GIF's LSB-first variant)."""
+    out = bytearray()
+    table: list[bytes] = []
+    code_size = 9
+    acc = bits = pos = 0
+    prev: bytes | None = None
+
+    def reset() -> None:
+        nonlocal table, code_size, prev
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        code_size = 9
+        prev = None
+
+    reset()
+    while len(out) < max_bytes:
+        while bits < code_size:
+            if pos >= len(data):
+                raise CodecUnavailable("TIFF LZW stream truncated")
+            acc = (acc << 8) | data[pos]
+            bits += 8
+            pos += 1
+        code = (acc >> (bits - code_size)) & ((1 << code_size) - 1)
+        bits -= code_size
+        acc &= (1 << bits) - 1
+        if code == 256:
+            reset()
+            continue
+        if code == 257:
+            break
+        if code < len(table) and code not in (256, 257):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise CodecUnavailable(f"TIFF LZW code {code} out of range")
+        out += entry
+        if prev is not None and len(table) < 4094:
+            table.append(prev + entry[:1])
+        # Early change, decoder side: the decoder's table is one entry
+        # BEHIND the encoder's (it appends E_k only after reading
+        # C_{k+1}), so the width bump fires one entry sooner than the
+        # GIF rule — at len+2, not len+1.
+        if len(table) + 2 == (1 << code_size) and code_size < 12:
+            code_size += 1
+        prev = entry
+    if len(out) < max_bytes:
+        raise CodecUnavailable("TIFF strip short of expected size")
+    return bytes(out[:max_bytes])
+
+
+def _packbits_decode(data: bytes, max_bytes: int) -> bytes:
+    """Apple PackBits RLE (TIFF compression 32773)."""
+    out = bytearray()
+    pos = 0
+    while pos < len(data) and len(out) < max_bytes:
+        n = data[pos]
+        pos += 1
+        if n < 128:  # n+1 literal bytes
+            out += data[pos:pos + n + 1]
+            pos += n + 1
+        elif n > 128:  # repeat next byte 257-n times
+            if pos >= len(data):
+                break
+            out += bytes([data[pos]]) * (257 - n)
+            pos += 1
+        # n == 128: noop
+    if len(out) < max_bytes:
+        raise CodecUnavailable("TIFF PackBits strip short of expected size")
+    return bytes(out[:max_bytes])
+
+
+def _decode_tiff(payload: bytes) -> np.ndarray:
+    """Pure-Python baseline TIFF decode (no PIL): both byte orders,
+    strip layout, compressions None / LZW (with early change) /
+    PackBits, horizontal-differencing predictor, 8-bit gray (both
+    photometric polarities), RGB, and palette color. Raises
+    CodecUnavailable on tiles, other depths, or other compressions —
+    corrupt-or-unsupported real media must fail loudly, never fall
+    through to the stub (round-10: TIFF was PIL-gated)."""
+    try:
+        return _decode_tiff_inner(payload)
+    except (IndexError, ValueError, struct.error) as e:
+        raise CodecUnavailable(f"truncated or corrupt TIFF: {e}") from e
+
+
+def _decode_tiff_inner(payload: bytes) -> np.ndarray:
+    b = bytes(payload)
+    if b[:4] == b"II*\x00":
+        eo = "<"
+    elif b[:4] == b"MM\x00*":
+        eo = ">"
+    else:
+        raise CodecUnavailable("not a TIFF signature")
+    ifd_off = struct.unpack(eo + "I", b[4:8])[0]
+    n_entries = struct.unpack(eo + "H", b[ifd_off:ifd_off + 2])[0]
+    tags: dict[int, list[int]] = {}
+    type_size = {1: 1, 3: 2, 4: 4}
+    for i in range(n_entries):
+        off = ifd_off + 2 + 12 * i
+        tag, typ, cnt = struct.unpack(eo + "HHI", b[off:off + 8])
+        if typ not in type_size:
+            continue  # rational/ascii metadata tags — irrelevant here
+        sz = type_size[typ] * cnt
+        voff = off + 8 if sz <= 4 else struct.unpack(
+            eo + "I", b[off + 8:off + 12])[0]
+        fmt = {1: "B", 3: "H", 4: "I"}[typ]
+        tags[tag] = list(struct.unpack(eo + str(cnt) + fmt,
+                                       b[voff:voff + sz]))
+
+    def one(tag: int, default: int | None = None) -> int:
+        v = tags.get(tag)
+        if v is None:
+            if default is None:
+                raise CodecUnavailable(f"TIFF missing required tag {tag}")
+            return default
+        return v[0]
+
+    w, h = one(256), one(257)
+    comp = one(259, 1)
+    photo = one(262)
+    spp = one(277, 1)
+    bits = tags.get(258, [8])
+    predictor = one(317, 1)
+    if 322 in tags or 323 in tags:
+        raise CodecUnavailable("tiled TIFF unsupported")
+    if any(x != 8 for x in bits):
+        raise CodecUnavailable(f"TIFF bits-per-sample {bits} unsupported")
+    if photo not in (0, 1, 2, 3):
+        raise CodecUnavailable(f"TIFF photometric {photo} unsupported")
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise CodecUnavailable("TIFF strip tables missing or inconsistent")
+    rps = one(278, h)
+    row_bytes = w * spp
+    raw = bytearray()
+    for si, (so, sc) in enumerate(zip(offsets, counts)):
+        nrows = min(rps, h - si * rps)
+        if nrows <= 0:
+            break
+        want = nrows * row_bytes
+        strip = b[so:so + sc]
+        if comp == 1:
+            if len(strip) < want:
+                raise CodecUnavailable("TIFF strip short of expected size")
+            raw += strip[:want]
+        elif comp == 5:
+            raw += _tiff_lzw_decode(strip, want)
+        elif comp == 32773:
+            raw += _packbits_decode(strip, want)
+        else:
+            raise CodecUnavailable(f"TIFF compression {comp} unsupported")
+    if len(raw) != h * row_bytes:
+        raise CodecUnavailable("TIFF pixel data length mismatch")
+    px = np.frombuffer(bytes(raw), np.uint8).reshape(h, w, spp)
+    if predictor == 2:  # horizontal differencing: undo by row cumsum
+        px = np.cumsum(px.astype(np.uint32), axis=1).astype(np.uint8)
+    elif predictor != 1:
+        raise CodecUnavailable(f"TIFF predictor {predictor} unsupported")
+    fpx = px.astype(np.float32)
+    if photo == 0:  # WhiteIsZero: invert to the BlackIsZero scale
+        gray = 255.0 - fpx[..., 0]
+    elif photo == 1:
+        gray = fpx[..., 0]
+    elif photo == 2:
+        if spp < 3:
+            raise CodecUnavailable("TIFF RGB with <3 samples per pixel")
+        gray = (fpx[..., 0] * 0.299 + fpx[..., 1] * 0.587
+                + fpx[..., 2] * 0.114)
+    else:  # palette: ColorMap holds 16-bit R,G,B planes of 256 each
+        cmap = tags.get(320)
+        if not cmap or len(cmap) % 3:
+            raise CodecUnavailable("palette TIFF missing ColorMap")
+        n = len(cmap) // 3
+        pal = (np.array(cmap, np.float32).reshape(3, n).T / 65535.0
+               * 255.0)
+        idx = px[..., 0]
+        if int(idx.max(initial=0)) >= n:
+            raise CodecUnavailable("TIFF pixel index beyond ColorMap")
+        rgb = pal[idx]
+        gray = (rgb[..., 0] * 0.299 + rgb[..., 1] * 0.587
+                + rgb[..., 2] * 0.114)
+    return np.ascontiguousarray(gray, dtype=np.float32)
+
+
 def decode_image(payload: bytes) -> np.ndarray:
     """Decode an encoded image payload to a float32 grayscale array.
 
     Dispatch by MAGIC BYTES: BMP, PNG (sequential + Adam7, 8/16-bit),
-    JPEG (baseline + progressive) and GIF decode with the built-in
-    pure-Python decoders (always available); other real image
-    signatures decode with PIL (raising on corruption — never silently
-    stubbed, and raising CodecUnavailable when PIL is absent); anything
-    else is a synthetic fixture and takes the deterministic stub."""
+    JPEG (baseline + progressive), GIF, and baseline TIFF decode with
+    the built-in pure-Python decoders (always available); other real
+    image signatures decode with PIL (raising on corruption — never
+    silently stubbed, and raising CodecUnavailable when PIL is absent);
+    anything else is a synthetic fixture and takes the deterministic
+    stub."""
     if payload is None:
         raise CodecUnavailable("no payload")
     if _is_bmp(payload):
@@ -1014,6 +1204,8 @@ def decode_image(payload: bytes) -> np.ndarray:
         return _decode_jpeg(payload)
     if bytes(payload[:4]) == b"GIF8":
         return _decode_gif(payload)
+    if bytes(payload[:4]) in (b"II*\x00", b"MM\x00*"):
+        return _decode_tiff(payload)
     if _has_magic(payload, _IMAGE_MAGICS, riff_kind=b"WEBP"):
         if _pil_image is None:
             raise CodecUnavailable(
@@ -1162,19 +1354,86 @@ def _decode_wav_pcm(payload: bytes) -> tuple[np.ndarray, int]:
     return wave, sr
 
 
+def _decode_aiff_pcm(payload: bytes) -> tuple[np.ndarray, int]:
+    """Pure-Python AIFF / AIFF-C decode (no libsndfile): big-endian
+    signed integer PCM (8/16/32-bit), any channel count (downmixed to
+    mono by mean), sample rate parsed from COMM's 80-bit IEEE extended
+    float. AIFF-C accepted only with compression 'NONE' (and 'sowt'
+    little-endian 16-bit, the Mac byte-swap flavor); anything else
+    raises — corrupt or exotic real media must fail loudly (round-10:
+    AIFF was soundfile-gated)."""
+    b = bytes(payload)
+    if len(b) < 12 or b[:4] != b"FORM" or b[8:12] not in (b"AIFF",
+                                                          b"AIFC"):
+        raise CodecUnavailable("not an AIFF payload")
+    pos, comm, ssnd = 12, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos:pos + 4]
+        size = int.from_bytes(b[pos + 4:pos + 8], "big")
+        body = b[pos + 8:pos + 8 + size]
+        if cid == b"COMM":
+            comm = body
+        elif cid == b"SSND":
+            ssnd = body
+        pos += 8 + size + (size & 1)  # chunks pad to even offsets
+    if comm is None or ssnd is None or len(comm) < 18 or len(ssnd) < 8:
+        raise CodecUnavailable("AIFF missing COMM/SSND chunk")
+    n_ch = int.from_bytes(comm[0:2], "big")
+    bits = int.from_bytes(comm[6:8], "big")
+    # 80-bit IEEE 754 extended: 1 sign + 15 exponent + 64 mantissa
+    exp = int.from_bytes(comm[8:10], "big") & 0x7FFF
+    mant = int.from_bytes(comm[10:18], "big")
+    if exp == 0 and mant == 0:
+        raise CodecUnavailable("AIFF sample rate is zero")
+    sr = int(round(mant * 2.0 ** (exp - 16383 - 63)))
+    codec = b"NONE"
+    if b[8:12] == b"AIFC":
+        if len(comm) < 22:
+            raise CodecUnavailable("AIFF-C COMM chunk truncated")
+        codec = comm[18:22]
+        if codec not in (b"NONE", b"sowt"):
+            raise CodecUnavailable(
+                f"AIFF-C compression {codec!r} unsupported")
+    if n_ch < 1 or sr < 1:
+        raise CodecUnavailable("AIFF header corrupt")
+    data_off = 8 + int.from_bytes(ssnd[0:4], "big")
+    data = ssnd[data_off:]
+    if bits == 16:
+        dt = "<i2" if codec == b"sowt" else ">i2"
+        wave = np.frombuffer(
+            data[:len(data) - len(data) % 2], dt).astype(np.float32) \
+            / 32768.0
+    elif bits == 8 and codec == b"NONE":  # AIFF 8-bit PCM is SIGNED
+        wave = np.frombuffer(data, np.int8).astype(np.float32) / 128.0
+    elif bits == 32 and codec == b"NONE":
+        wave = np.frombuffer(
+            data[:len(data) - len(data) % 4], ">i4").astype(np.float32) \
+            / 2147483648.0
+    else:
+        raise CodecUnavailable(
+            f"AIFF PCM unsupported (bits={bits}, codec={codec!r})")
+    if n_ch > 1:
+        wave = wave[: len(wave) - len(wave) % n_ch] \
+            .reshape(-1, n_ch).mean(axis=1).astype(np.float32)
+    return wave, sr
+
+
 def decode_audio(payload: bytes, duration_s: float) -> tuple[np.ndarray, int]:
     """Decode an audio payload to ``(float32 mono wave, sample_rate)``.
 
-    Dispatch mirrors :func:`decode_image`: RIFF/WAVE decodes with the
-    built-in pure-Python PCM decoder (always available); other real
-    audio containers (FLAC/OGG/AIFF) decode with libsndfile, raising
-    on corruption or when ``soundfile`` is absent; anything else is a
-    synthetic fixture and takes the deterministic stub at
-    ``_AUDIO_SR``."""
+    Dispatch mirrors :func:`decode_image`: RIFF/WAVE and AIFF/AIFF-C
+    PCM decode with the built-in pure-Python decoders (always
+    available); other real audio containers (FLAC/OGG) decode with
+    libsndfile, raising on corruption or when ``soundfile`` is absent;
+    anything else is a synthetic fixture and takes the deterministic
+    stub at ``_AUDIO_SR``."""
     if payload is None:
         raise CodecUnavailable("no payload")
     if _has_magic(payload, (), riff_kind=b"WAVE"):
         return _decode_wav_pcm(payload)
+    if bytes(payload[:4]) == b"FORM" \
+            and bytes(payload[8:12]) in (b"AIFF", b"AIFC"):
+        return _decode_aiff_pcm(payload)
     if _has_magic(payload, _AUDIO_MAGICS):
         if _soundfile is None:
             raise CodecUnavailable(

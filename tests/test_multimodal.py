@@ -1535,3 +1535,323 @@ def test_gif_corrupt_raises_typed_codec_error():
     bad_min[13 + 3 * 8 + 10] = 13
     with pytest.raises(CodecUnavailable, match="min code"):
         _decode_gif(bytes(bad_min))
+
+
+# ---------------------------------------------------------------------------
+# TIFF decoder (pure Python — no PIL in this environment)
+# ---------------------------------------------------------------------------
+
+def _tiff_lzw_encode(data):
+    """Reference TIFF LZW encoder: MSB-first packing, early change."""
+    out = bytearray()
+    acc = bits = 0
+
+    def emit(code, size):
+        nonlocal acc, bits
+        acc = (acc << size) | code
+        bits += size
+        while bits >= 8:
+            out.append((acc >> (bits - 8)) & 0xFF)
+            bits -= 8
+            acc &= (1 << bits) - 1
+
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    code_size = 9
+    emit(256, code_size)  # Clear
+    w = b""
+    for px in bytes(data):
+        wk = w + bytes([px])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], code_size)
+        table[wk] = next_code
+        next_code += 1
+        if next_code == (1 << code_size) - 1 and code_size < 12:
+            code_size += 1  # early change
+        if next_code >= 4094:
+            emit(256, code_size)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            code_size = 9
+        w = bytes([px])
+    if w:
+        emit(table[w], code_size)
+    emit(257, code_size)  # EOI
+    if bits:
+        out.append((acc << (8 - bits)) & 0xFF)
+    return bytes(out)
+
+
+def _packbits_encode(data):
+    """Literal-only PackBits (runs of <=128 literals) — valid stream."""
+    out = bytearray()
+    for i in range(0, len(data), 128):
+        chunk = data[i:i + 128]
+        out.append(len(chunk) - 1)
+        out += chunk
+    return bytes(out)
+
+
+def _tiff_encode(arr, eo="<", comp=1, photo=None, predictor=1,
+                 palette=None, rows_per_strip=None):
+    """Minimal TIFF writer: strip layout, gray/RGB/palette, None /
+    LZW / PackBits compression, optional horizontal differencing."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[..., None]
+    h, w, spp = arr.shape
+    if photo is None:
+        photo = 2 if spp == 3 else 1
+    rps = rows_per_strip or h
+    src = arr
+    if predictor == 2:
+        d = arr.astype(np.int16)
+        d[:, 1:] -= arr[:, :-1].astype(np.int16)
+        src = (d & 0xFF).astype(np.uint8)
+    strips = []
+    for y0 in range(0, h, rps):
+        raw = src[y0:y0 + rps].tobytes()
+        if comp == 5:
+            strips.append(_tiff_lzw_encode(raw))
+        elif comp == 32773:
+            strips.append(_packbits_encode(raw))
+        else:
+            strips.append(raw)
+
+    entries = {256: (4, [w]), 257: (4, [h]), 258: (3, [8] * spp),
+               259: (3, [comp]), 262: (3, [photo]), 277: (3, [spp]),
+               278: (4, [rps]), 317: (3, [predictor])}
+    if palette is not None:
+        cmap = (palette.astype(np.uint32) * 65535 // 255).astype(np.uint16)
+        entries[320] = (3, list(cmap[:, 0]) + list(cmap[:, 1])
+                        + list(cmap[:, 2]))
+    # layout: 8-byte header, IFD, overflow values, strip data
+    n = len(entries) + 2  # + StripOffsets + StripByteCounts
+    ifd_off = 8
+    overflow_off = ifd_off + 2 + 12 * n + 4
+    overflow = bytearray()
+    tsize = {1: 1, 3: 2, 4: 4}
+    tfmt = {1: "B", 3: "H", 4: "I"}
+
+    def render(typ, vals):
+        nonlocal overflow
+        raw = struct.pack(eo + str(len(vals)) + tfmt[typ], *vals)
+        if len(raw) <= 4:
+            return raw.ljust(4, b"\x00")
+        off = overflow_off + len(overflow)
+        overflow += raw + (b"\x00" if len(raw) & 1 else b"")
+        return struct.pack(eo + "I", off)
+
+    # strip tables (offsets filled after overflow is sized)
+    entries[279] = (4, [len(s) for s in strips])
+    body = b""
+    placeholder = {}
+    items = sorted(entries.items())
+    rendered = []
+    for tag, (typ, vals) in items:
+        rendered.append((tag, typ, vals, render(typ, vals)))
+    # now strip data goes after overflow; compute offsets
+    data_off = overflow_off + len(overflow)
+    offs = []
+    for s in strips:
+        offs.append(data_off)
+        data_off += len(s) + (len(s) & 1)
+    off_raw = struct.pack(eo + str(len(offs)) + "I", *offs)
+    if len(off_raw) <= 4:
+        off_field = off_raw.ljust(4, b"\x00")
+    else:
+        off_field = struct.pack(eo + "I", overflow_off + len(overflow))
+        overflow += off_raw
+        # strips shift by len(off_raw): recompute
+        data_off = overflow_off + len(overflow)
+        offs = []
+        for s in strips:
+            offs.append(data_off)
+            data_off += len(s) + (len(s) & 1)
+        overflow[-len(off_raw):] = struct.pack(
+            eo + str(len(offs)) + "I", *offs)
+    rendered.append((273, 4, offs, off_field))
+    rendered.sort()
+    out = bytearray()
+    out += (b"II*\x00" if eo == "<" else b"MM\x00*")
+    out += struct.pack(eo + "I", ifd_off)
+    out += struct.pack(eo + "H", len(rendered))
+    for tag, typ, vals, field in rendered:
+        out += struct.pack(eo + "HHI", tag, typ, len(vals)) + field
+    out += struct.pack(eo + "I", 0)  # no next IFD
+    out += overflow
+    for s in strips:
+        out += s + (b"\x00" if len(s) & 1 else b"")
+    return bytes(out)
+
+
+def test_tiff_gray_both_endians_and_polarities():
+    import numpy as np
+
+    from telescope_data_pipeline_spark.operators.multimodal import (
+        _decode_tiff,
+        decode_image,
+    )
+
+    rng = np.random.default_rng(8)
+    g = rng.integers(0, 256, size=(7, 9), dtype=np.uint8)
+    for eo in ("<", ">"):
+        got = _decode_tiff(_tiff_encode(g, eo=eo))
+        assert np.array_equal(got, g.astype(np.float32)), eo
+    # WhiteIsZero inverts
+    inv = _decode_tiff(_tiff_encode(g, photo=0))
+    assert np.array_equal(inv, 255.0 - g.astype(np.float32))
+    # magic dispatch
+    assert np.array_equal(decode_image(_tiff_encode(g, eo=">")),
+                          g.astype(np.float32))
+
+
+def test_tiff_lzw_packbits_predictor_strips():
+    """LZW (early change) and PackBits strips with multiple
+    rows-per-strip decode exactly; the horizontal-differencing
+    predictor round-trips under LZW."""
+    import numpy as np
+
+    from telescope_data_pipeline_spark.operators.multimodal import (
+        _decode_tiff,
+    )
+
+    rng = np.random.default_rng(9)
+    g = rng.integers(0, 256, size=(20, 33), dtype=np.uint8)
+    for comp in (5, 32773):
+        got = _decode_tiff(_tiff_encode(g, comp=comp, rows_per_strip=6))
+        assert np.array_equal(got, g.astype(np.float32)), comp
+    rgb = rng.integers(0, 256, size=(11, 8, 3), dtype=np.uint8)
+    want = (rgb[..., 0] * 0.299 + rgb[..., 1] * 0.587
+            + rgb[..., 2] * 0.114).astype(np.float32)
+    got = _decode_tiff(_tiff_encode(rgb, comp=5, predictor=2))
+    assert np.allclose(got, want)
+
+
+def test_tiff_palette_and_corrupt():
+    import numpy as np
+    import pytest
+
+    from telescope_data_pipeline_spark.operators.multimodal import (
+        CodecUnavailable,
+        _decode_tiff,
+    )
+
+    rng = np.random.default_rng(10)
+    pal = rng.integers(0, 256, size=(256, 3), dtype=np.uint8)
+    idx = rng.integers(0, 256, size=(6, 5), dtype=np.uint8)
+    got = _decode_tiff(_tiff_encode(idx, photo=3, palette=pal))
+    # ColorMap quantizes through 16-bit: allow 1-lsb wobble
+    pal16 = (pal.astype(np.uint32) * 65535 // 255).astype(np.float32)
+    rgbf = pal16[idx] / 65535.0 * 255.0
+    want = rgbf[..., 0] * 0.299 + rgbf[..., 1] * 0.587 + rgbf[..., 2] * 0.114
+    assert np.allclose(got, want, atol=0.51)
+
+    good = _tiff_encode(idx, photo=3, palette=pal)
+    with pytest.raises(CodecUnavailable):
+        _decode_tiff(good[:60])
+    g = rng.integers(0, 256, size=(4, 4), dtype=np.uint8)
+    jpeg_in_tiff = _tiff_encode(g)  # then flip compression tag to 7
+    import struct as _s
+
+    ba = bytearray(jpeg_in_tiff)
+    n = _s.unpack("<H", ba[8:10])[0]
+    for i in range(n):
+        off = 10 + 12 * i
+        if _s.unpack("<H", ba[off:off + 2])[0] == 259:
+            ba[off + 8:off + 10] = _s.pack("<H", 7)
+    with pytest.raises(CodecUnavailable, match="compression"):
+        _decode_tiff(bytes(ba))
+
+
+# ---------------------------------------------------------------------------
+# AIFF decoder (pure Python PCM — no soundfile in this environment)
+# ---------------------------------------------------------------------------
+
+def _f80(rate):
+    """Encode an integer sample rate as 80-bit IEEE extended."""
+    nbits = rate.bit_length()
+    exp = 16383 + nbits - 1
+    mant = rate << (64 - nbits)
+    return exp.to_bytes(2, "big") + mant.to_bytes(8, "big")
+
+
+def _aiff_encode(samples, sr, bits=16, n_ch=1, form=b"AIFF",
+                 codec=b"NONE"):
+    import numpy as np
+
+    n_frames = len(samples) // n_ch
+    if bits == 16:
+        data = np.asarray(samples).astype(
+            "<i2" if codec == b"sowt" else ">i2").tobytes()
+    elif bits == 8:
+        data = np.asarray(samples).astype(np.int8).tobytes()
+    else:
+        data = np.asarray(samples).astype(">i4").tobytes()
+    comm = (n_ch.to_bytes(2, "big") + n_frames.to_bytes(4, "big")
+            + bits.to_bytes(2, "big") + _f80(sr))
+    if form == b"AIFC":
+        comm += codec + b"\x04none" + b"\x00"  # pstring pad
+    ssnd = (0).to_bytes(4, "big") + (0).to_bytes(4, "big") + data
+
+    def chunk(cid, body):
+        pad = b"\x00" if len(body) & 1 else b""
+        return cid + len(body).to_bytes(4, "big") + body + pad
+
+    inner = form + chunk(b"COMM", comm) + chunk(b"SSND", ssnd)
+    return b"FORM" + len(inner).to_bytes(4, "big") + inner
+
+
+def test_aiff_pcm_roundtrip_and_dispatch():
+    import numpy as np
+
+    from telescope_data_pipeline_spark.operators.multimodal import (
+        _decode_aiff_pcm,
+        decode_audio,
+    )
+
+    rng = np.random.default_rng(12)
+    pcm = rng.integers(-32768, 32768, size=400, dtype=np.int64)
+    wave, sr = _decode_aiff_pcm(_aiff_encode(pcm, 44100))
+    assert sr == 44100
+    assert np.allclose(wave, pcm.astype(np.float32) / 32768.0)
+    # stereo downmix
+    wave2, _ = _decode_aiff_pcm(_aiff_encode(pcm, 22050, n_ch=2))
+    pairs = pcm.reshape(-1, 2).astype(np.float32) / 32768.0
+    assert np.allclose(wave2, pairs.mean(axis=1))
+    # 8-bit signed
+    pcm8 = rng.integers(-128, 128, size=64, dtype=np.int64)
+    wave8, sr8 = _decode_aiff_pcm(_aiff_encode(pcm8, 8000, bits=8))
+    assert sr8 == 8000
+    assert np.allclose(wave8, pcm8.astype(np.float32) / 128.0)
+    # dispatch routes FORM/AIFF to the built-in decoder (no soundfile)
+    w, s = decode_audio(_aiff_encode(pcm, 16000), duration_s=1.0)
+    assert s == 16000 and len(w) == 400
+
+
+def test_aifc_sowt_and_unsupported_codec():
+    import numpy as np
+    import pytest
+
+    from telescope_data_pipeline_spark.operators.multimodal import (
+        CodecUnavailable,
+        _decode_aiff_pcm,
+    )
+
+    rng = np.random.default_rng(13)
+    pcm = rng.integers(-32768, 32768, size=100, dtype=np.int64)
+    wave, sr = _decode_aiff_pcm(
+        _aiff_encode(pcm, 48000, form=b"AIFC", codec=b"sowt"))
+    assert sr == 48000
+    assert np.allclose(wave, pcm.astype(np.float32) / 32768.0)
+    with pytest.raises(CodecUnavailable, match="compression"):
+        _decode_aiff_pcm(_aiff_encode(pcm, 48000, form=b"AIFC",
+                                      codec=b"ima4"))
+    with pytest.raises(CodecUnavailable, match="COMM"):
+        _decode_aiff_pcm(b"FORM" + (4).to_bytes(4, "big") + b"AIFF")
