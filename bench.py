@@ -127,6 +127,15 @@ EXTRA = [
     "q_assortativity",
     "q_info_gain",
     "q_sprt",
+    "q_recall_at_k",
+    "q_ece",
+    "q_smd_balance",
+    "q_trend_test",
+    "q_session_entropy",
+    "q_lorenz_points",
+    "q_jaccard_drift",
+    "q_forecast_accuracy",
+    "q_novelty_rate",
 ]
 
 

@@ -20,6 +20,7 @@ def load_all() -> None:
         inference,
         joins,
         llm,
+        metrics,
         mining,
         relational,
         retrieval,

@@ -1,0 +1,616 @@
+"""Round-10 second batch: evaluation-metric and corpus-health readouts
+— recall/precision@k, expected calibration error, covariate balance
+(SMD), Cochran-Armitage trend test, behavioral entropy, Lorenz curve
+points, vocabulary Jaccard drift, naive-forecast MAPE/RMSE, and
+first-seen novelty rate.
+
+These complete metric families started earlier: q_ndcg_mrr gains the
+set-based recall/precision@k twins, q_calibration's per-bin gaps roll
+up into the single-number ECE/MCE headline, q_cuped/q_did gain the
+pre-experiment balance check every A/B readout should gate on,
+q_chi_square/q_info_gain gain the ORDERED-dose trend test,
+q_burstiness gains the type-mix entropy sibling, q_gini_concentration
+gains its graphical Lorenz form, q_kl_drift/q_js_drift gain set-level
+vocabulary drift, q_holt_forecast/q_ewma gain an accuracy scorecard,
+and q_dedup_incremental gains the novelty-rate monitoring readout.
+
+Determinism contract as everywhere (registry.py): integer sufficient
+statistics (centi/nano quantization before any SUM), identical double
+expression trees on both engines, NULLIF-guarded denominators,
+integer-with-id-tiebreak ordering keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import query
+
+_TOK = r"\s+"
+
+
+# ---------------------------------------------------------------------------
+# Recall@10 / Precision@10 per query group
+# ---------------------------------------------------------------------------
+
+@query("q_recall_at_k", oracle="""
+WITH base AS (
+  SELECT vec_id % 20 AS qid, vec_id,
+         ROUND(CAST(embedding[1] AS DOUBLE), 6) AS score,
+         CASE WHEN label >= 7 THEN 1 ELSE 0 END AS rel
+  FROM embeddings
+), ranked AS (
+  SELECT qid, rel,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, vec_id)
+           AS rk
+  FROM base
+)
+SELECT qid, CAST(SUM(rel) AS BIGINT) AS n_rel,
+       CAST(SUM(CASE WHEN rk <= 10 THEN rel ELSE 0 END) AS BIGINT)
+         AS hits_at_10,
+       ROUND(SUM(CASE WHEN rk <= 10 THEN rel ELSE 0 END)::DOUBLE
+             / NULLIF(SUM(rel), 0), 6) + 0.0 AS recall_at_10,
+       ROUND(SUM(CASE WHEN rk <= 10 THEN rel ELSE 0 END) / 10.0, 6)
+         + 0.0 AS precision_at_10
+FROM ranked GROUP BY qid
+""")
+def q_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 and Precision@10 per query group — the SET-based
+    retrieval metrics beside q_ndcg_mrr's rank-weighted ones (recall
+    answers "did the candidate generator even surface the relevant
+    docs", the first gate of any two-stage retrieval stack; NDCG then
+    grades their ordering). Same demo framing as q_ndcg_mrr: 20 query
+    groups, first-component score, binary relevance label >= 7.
+
+    Determinism: the score is rounded to 6 BEFORE ranking with a
+    vec_id tiebreak (q_ndcg_mrr's recipe); hits and relevants are
+    exact integer conditional sums; zero-relevant groups NULLIF
+    recall to undefined.
+
+    Scale: one window per query group (one exchange on qid), one
+    map-side-combined groupBy — identical shape to q_ndcg_mrr."""
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.select(
+        (F.col("vec_id") % 20).alias("qid"), "vec_id",
+        F.round(F.element_at("embedding", 1).cast("double"), 6)
+        .alias("score"),
+        F.when(F.col("label") >= 7, 1).otherwise(0).alias("rel"))
+    rk = F.row_number().over(
+        W.partitionBy("qid").orderBy(F.desc("score"), "vec_id"))
+    ranked = base.select("qid", "rel", rk.alias("rk"))
+    hits = F.sum(F.when(F.col("rk") <= 10, F.col("rel")).otherwise(0))
+    return ranked.groupBy("qid").agg(
+        F.sum("rel").cast("long").alias("n_rel"),
+        hits.cast("long").alias("hits_at_10"),
+        (F.round(hits.cast("double")
+                 / F.nullif(F.sum("rel"), F.lit(0)), 6) + 0.0)
+        .alias("recall_at_10"),
+        (F.round(hits / 10.0, 6) + 0.0).alias("precision_at_10"))
+
+
+# ---------------------------------------------------------------------------
+# Expected / maximum calibration error headline
+# ---------------------------------------------------------------------------
+
+@query("q_ece", oracle="""
+WITH scored AS (
+  SELECT CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y,
+         80 * label + ((vec_id % 1000003) * 2654435761 % 1000) // 5
+           AS p_milli
+  FROM embeddings
+), b AS (
+  SELECT LEAST(p_milli // 100, 9) AS bin, COUNT(*) AS n,
+         SUM(p_milli) AS sp, SUM(y) AS sy
+  FROM scored GROUP BY 1
+), tot AS (
+  SELECT SUM(n) AS big_n FROM b
+)
+SELECT CAST(MAX(big_n) AS BIGINT) AS n,
+       CAST(COUNT(*) AS BIGINT) AS n_bins,
+       ROUND(SUM(ABS(sp::DOUBLE / 1000 - sy)) / MAX(big_n), 6) + 0.0
+         AS ece,
+       ROUND(MAX(ABS(sp::DOUBLE / 1000 - sy) / n), 6) + 0.0 AS mce
+FROM b CROSS JOIN tot
+""")
+def q_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected and maximum calibration error — the single-number
+    headline over q_calibration's reliability bins (ECE = the
+    bin-mass-weighted mean |confidence - accuracy| gap, MCE = the
+    worst bin): the quantity model cards report and deployment gates
+    threshold on. Same deterministic integer-milliunit scorer and
+    10-bin layout as q_calibration.
+
+    Determinism: the probability exists only as an integer milliunit;
+    each bin's |sum_p/1000 - sum_y| is computed from two exact integer
+    sums; ECE's weighted mean telescopes to SUM(|gap_b|)/N — one
+    division, no per-bin float ratios folding.
+
+    Scale: one map-side-combined 10-key groupBy, then a 10-row
+    aggregate. Nothing wider than 10 rows after the first pass."""
+    e = load_table(spark, sf_dir, "embeddings")
+    p_milli = (80 * F.col("label")
+               + ((F.col("vec_id") % 1000003)
+                  * F.lit(2654435761).cast("bigint") % 1000)
+               / F.lit(5)).cast("bigint")
+    scored = e.select(
+        F.when(F.col("label") >= 5, 1).otherwise(0).alias("y"),
+        p_milli.alias("p_milli"))
+    b = (scored
+         .groupBy(F.least(F.floor(F.col("p_milli") / 100), F.lit(9))
+                  .alias("bin"))
+         .agg(F.count(F.lit(1)).alias("n"), F.sum("p_milli").alias("sp"),
+              F.sum("y").alias("sy")))
+    tot = b.agg(F.sum("n").alias("big_n"))
+    gap = F.abs(F.col("sp").cast("double") / 1000 - F.col("sy"))
+    return (b.crossJoin(F.broadcast(tot))
+            .agg(F.max("big_n").cast("long").alias("n"),
+                 F.count(F.lit(1)).cast("long").alias("n_bins"),
+                 (F.round(F.sum(gap) / F.max("big_n"), 6) + 0.0)
+                 .alias("ece"),
+                 (F.round(F.max(gap / F.col("n")), 6) + 0.0).alias("mce")))
+
+
+# ---------------------------------------------------------------------------
+# Covariate balance: standardized mean difference per covariate
+# ---------------------------------------------------------------------------
+
+@query("q_smd_balance", oracle=f"""
+WITH pu AS (
+  SELECT user_id, user_id % 2 AS arm,
+         COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                           THEN CAST(ROUND(value * 100) AS BIGINT) END), 0)
+           AS x_spend,
+         COUNT(*) AS x_events
+  FROM events WHERE user_id IS NOT NULL
+  GROUP BY user_id
+), long_form AS (
+  SELECT arm, 'spend_centi' AS covariate, x_spend AS v FROM pu
+  UNION ALL
+  SELECT arm, 'n_events', x_events FROM pu
+), s AS (
+  SELECT covariate, arm, COUNT(*) AS n, SUM(v) AS sx, SUM(v * v) AS sxx
+  FROM long_form GROUP BY 1, 2
+), wide AS (
+  SELECT covariate,
+         MAX(CASE WHEN arm = 0 THEN sx::DOUBLE / n END) AS m0,
+         MAX(CASE WHEN arm = 1 THEN sx::DOUBLE / n END) AS m1,
+         MAX(CASE WHEN arm = 0 THEN
+             (sxx::DOUBLE - sx::DOUBLE * sx / n) / NULLIF(n - 1, 0) END)
+           AS v0,
+         MAX(CASE WHEN arm = 1 THEN
+             (sxx::DOUBLE - sx::DOUBLE * sx / n) / NULLIF(n - 1, 0) END)
+           AS v1
+  FROM s GROUP BY covariate
+)
+SELECT covariate,
+       ROUND(m0, 6) + 0.0 AS mean_ctrl,
+       ROUND(m1, 6) + 0.0 AS mean_treat,
+       ROUND((m1 - m0) / NULLIF(SQRT((v0 + v1) / 2), 0), 6) + 0.0 AS smd
+FROM wide ORDER BY covariate
+""")
+def q_smd_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-experiment covariate balance: the standardized mean
+    difference (Cohen's d with pooled SD) between arms for each
+    pre-treatment covariate — the check every A/B readout should gate
+    on BEFORE trusting q_ab_ttest / q_cuped / q_did (|SMD| > 0.1 means
+    the randomization is suspect and the effect estimate inherits the
+    imbalance). Demo covariates: per-user purchase spend and event
+    count.
+
+    Determinism: per-user covariates are exact centi/integer sums; the
+    per-(covariate, arm) sufficient statistics are exact BIGINT sums;
+    means/variances/SMD come out of one identical double tree with
+    NULLIF guards for singleton or constant arms.
+
+    Scale: one groupBy onto users, a 2x-explode into covariate long
+    form, one map-side-combined (covariate, arm) aggregate — the wide
+    fact table is read once regardless of covariate count."""
+    pu = (load_table(spark, sf_dir, "events")
+          .filter(F.col("user_id").isNotNull())
+          .groupBy("user_id")
+          .agg(F.coalesce(
+              F.sum(F.when(F.col("event_type") == "purchase",
+                           F.round(F.col("value") * 100).cast("long"))),
+              F.lit(0)).alias("x_spend"),
+              F.count(F.lit(1)).alias("x_events"))
+          .select((F.col("user_id") % 2).alias("arm"), "x_spend",
+                  "x_events"))
+    long_form = pu.select(
+        "arm",
+        F.explode(F.array(
+            F.struct(F.lit("spend_centi").alias("covariate"),
+                     F.col("x_spend").alias("v")),
+            F.struct(F.lit("n_events").alias("covariate"),
+                     F.col("x_events").alias("v")))).alias("kv")
+    ).select("arm", F.col("kv.covariate").alias("covariate"),
+             F.col("kv.v").alias("v"))
+    s = long_form.groupBy("covariate", "arm").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("sx"),
+        F.sum(F.col("v") * F.col("v")).alias("sxx"))
+    var = ((F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx") / F.col("n"))
+           / F.nullif(F.col("n") - 1, F.lit(0)))
+    mean = F.col("sx").cast("double") / F.col("n")
+    wide = s.groupBy("covariate").agg(
+        F.max(F.when(F.col("arm") == 0, mean)).alias("m0"),
+        F.max(F.when(F.col("arm") == 1, mean)).alias("m1"),
+        F.max(F.when(F.col("arm") == 0, var)).alias("v0"),
+        F.max(F.when(F.col("arm") == 1, var)).alias("v1"))
+    return (wide.select(
+        "covariate",
+        (F.round("m0", 6) + 0.0).alias("mean_ctrl"),
+        (F.round("m1", 6) + 0.0).alias("mean_treat"),
+        (F.round((F.col("m1") - F.col("m0"))
+                 / F.nullif(F.sqrt((F.col("v0") + F.col("v1")) / 2),
+                            F.lit(0.0)), 6) + 0.0).alias("smd"))
+        .orderBy("covariate"))
+
+
+# ---------------------------------------------------------------------------
+# Cochran-Armitage trend test over ordered doses
+# ---------------------------------------------------------------------------
+
+@query("q_trend_test", oracle="""
+WITH lab AS (
+  SELECT CAST(SUBSTR(o_orderpriority, 1, 1) AS BIGINT) AS dose,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+  FROM orders
+), g AS (
+  SELECT dose, COUNT(*) AS n, SUM(y) AS r FROM lab GROUP BY dose
+), s AS (
+  SELECT SUM(n) AS big_n, SUM(r) AS big_r,
+         SUM(dose * r) AS srd, SUM(dose * n) AS snd,
+         SUM(dose * dose * n) AS sddn
+  FROM g
+)
+SELECT CAST(big_n AS BIGINT) AS n, CAST(big_r AS BIGINT) AS n_pos,
+       ROUND(srd - big_r::DOUBLE * snd / big_n, 6) + 0.0 AS t_stat,
+       ROUND((srd - big_r::DOUBLE * snd / big_n)
+             / NULLIF(SQRT((big_r::DOUBLE / big_n)
+                           * (1 - big_r::DOUBLE / big_n)
+                           * (sddn - snd::DOUBLE * snd / big_n)), 0),
+             6) + 0.0 AS z
+FROM s
+""")
+def q_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage trend test: is the failure rate MONOTONE in an
+    ordered dose (priority tier 1..5)? The ordered sibling of
+    q_chi_square — chi-square spends its power on any deviation,
+    CA concentrates it on the linear trend, which is the actual
+    question for tiered features (priority, quality band, price
+    bucket). T = sum(s_i r_i) - R/N sum(s_i n_i); Var under H0 =
+    p(1-p)(sum(s_i^2 n_i) - (sum s_i n_i)^2/N).
+
+    Determinism: doses, counts and all five sufficient statistics are
+    exact integer sums from ONE grouped pass; z is one identical
+    double expression, degenerate tables (all-failure, single dose)
+    NULLIF to undefined.
+
+    Scale: one map-side-combined 5-key groupBy, then a 1-row
+    aggregate."""
+    lab = (load_table(spark, sf_dir, "orders")
+           .select(F.substring("o_orderpriority", 1, 1).cast("long")
+                   .alias("dose"),
+                   F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+                   .alias("y")))
+    g = lab.groupBy("dose").agg(F.count(F.lit(1)).alias("n"),
+                                F.sum("y").alias("r"))
+    s = g.agg(F.sum("n").alias("big_n"), F.sum("r").alias("big_r"),
+              F.sum(F.col("dose") * F.col("r")).alias("srd"),
+              F.sum(F.col("dose") * F.col("n")).alias("snd"),
+              F.sum(F.col("dose") * F.col("dose") * F.col("n"))
+              .alias("sddn"))
+    big_n, big_r = F.col("big_n"), F.col("big_r")
+    p = big_r.cast("double") / big_n
+    t = F.col("srd") - big_r.cast("double") * F.col("snd") / big_n
+    var = p * (1 - p) * (F.col("sddn")
+                         - F.col("snd").cast("double") * F.col("snd")
+                         / big_n)
+    return s.select(
+        big_n.cast("long").alias("n"), big_r.cast("long").alias("n_pos"),
+        (F.round(t, 6) + 0.0).alias("t_stat"),
+        (F.round(t / F.nullif(F.sqrt(var), F.lit(0.0)), 6) + 0.0)
+        .alias("z"))
+
+
+# ---------------------------------------------------------------------------
+# Behavioral entropy per user cohort
+# ---------------------------------------------------------------------------
+
+@query("q_session_entropy", oracle="""
+WITH c AS (
+  SELECT user_id, event_type, COUNT(*) AS k FROM events
+  WHERE user_id IS NOT NULL GROUP BY 1, 2
+), per_user AS (
+  SELECT user_id, SUM(k) AS n,
+         CAST(ROUND(SUM(-1.0 * k * LN(k)) * 1e6) AS BIGINT) AS sklnk_u
+  FROM c GROUP BY user_id
+), ent AS (
+  SELECT user_id % 4 AS cohort, n,
+         CAST(ROUND((LN(n) + sklnk_u / 1e6 / n) * 1e6) AS BIGINT) AS e_u
+  FROM per_user
+)
+SELECT CAST(cohort AS BIGINT) AS cohort,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       ROUND(SUM(e_u)::DOUBLE / 1e6 / COUNT(*), 6) + 0.0
+         AS mean_entropy,
+       ROUND(MAX(e_u) / 1e6, 6) + 0.0 AS max_entropy
+FROM ent GROUP BY cohort ORDER BY cohort
+""")
+def q_session_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral diversity: Shannon entropy of each user's event-type
+    mix (H = ln n - sum(k ln k)/n over type counts k), aggregated per
+    cohort — the type-MIX sibling of q_burstiness's timing statistic:
+    together they answer "do these users do varied things, at varied
+    times?", the two axes bot-detection and engagement scoring screen
+    first.
+
+    Determinism: type counts are exact integers; each user's
+    sum(k ln k) and entropy are quantized to integer micro-nats BEFORE
+    any cross-user aggregation, so cohort means are ratios of exact
+    integer sums (the nano-unit recipe at micro precision — entropy of
+    a 5-type mix is <= ln 5, well inside micro resolution).
+
+    Scale: two map-side-combined groupBys ((user, type), then user) and
+    a 4-key cohort aggregate — no windows, no joins."""
+    c = (load_table(spark, sf_dir, "events")
+         .filter(F.col("user_id").isNotNull())
+         .groupBy("user_id", "event_type")
+         .agg(F.count(F.lit(1)).alias("k")))
+    per_user = c.groupBy("user_id").agg(
+        F.sum("k").alias("n"),
+        F.round(F.sum(-1.0 * F.col("k") * F.log("k")) * 1e6)
+        .cast("long").alias("sklnk_u"))
+    ent = per_user.select(
+        (F.col("user_id") % 4).alias("cohort"), "n",
+        F.round((F.log("n") + F.col("sklnk_u") / 1e6 / F.col("n")) * 1e6)
+        .cast("long").alias("e_u"))
+    return (ent.groupBy(F.col("cohort").cast("long").alias("cohort"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_users"),
+                 (F.round(F.sum("e_u").cast("double") / 1e6
+                          / F.count(F.lit(1)), 6) + 0.0)
+                 .alias("mean_entropy"),
+                 (F.round(F.max("e_u") / 1e6, 6) + 0.0)
+                 .alias("max_entropy"))
+            .orderBy("cohort"))
+
+
+# ---------------------------------------------------------------------------
+# Lorenz curve points (corpus concentration, graphical form)
+# ---------------------------------------------------------------------------
+
+@query("q_lorenz_points", oracle="""
+WITH ranked AS (
+  SELECT n_chars,
+         NTILE(10) OVER (ORDER BY n_chars, doc_id) AS decile
+  FROM documents
+), d AS (
+  SELECT decile, COUNT(*) AS n_docs, SUM(n_chars) AS chars
+  FROM ranked GROUP BY decile
+), tot AS (
+  SELECT SUM(chars) AS total_chars FROM d
+)
+SELECT decile, CAST(n_docs AS BIGINT) AS n_docs,
+       ROUND(SUM(chars) OVER (ORDER BY decile
+                              ROWS UNBOUNDED PRECEDING)::DOUBLE
+             / NULLIF(total_chars, 0), 6) + 0.0 AS cum_char_share
+FROM d CROSS JOIN tot ORDER BY decile
+""")
+def q_lorenz_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve of corpus size concentration: documents sorted by
+    length, cumulative character share at each population decile — the
+    graphical form of q_gini_concentration (Gini = 1 - 2 * area under
+    this curve): "the shortest 50% of documents hold only X% of the
+    corpus" is the sentence a data card prints.
+
+    Determinism: NTILE over (n_chars, doc_id) is a total order; decile
+    character sums are exact integers; cumulative shares are ratios of
+    exact integer sums through one ordered 10-row window.
+
+    Scale: the NTILE window is the one global sort (rank-by-size is
+    inherently global — at 100 TB, replace with the two-pass
+    distributed rank of q_epoch_shuffle / q_median_twopass: histogram
+    CDF then per-partition offsets); everything after runs on 10
+    rows."""
+    d = load_table(spark, sf_dir, "documents")
+    ranked = d.select(
+        "n_chars",
+        F.ntile(10).over(W.orderBy("n_chars", "doc_id")).alias("decile"))
+    dec = ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("chars"))
+    tot = dec.agg(F.sum("chars").alias("total_chars"))
+    cum = F.sum("chars").over(
+        W.orderBy("decile").rowsBetween(W.unboundedPreceding, 0))
+    return (dec.crossJoin(F.broadcast(tot))
+            .select("decile", F.col("n_docs").cast("long").alias("n_docs"),
+                    (F.round(cum.cast("double")
+                             / F.nullif(F.col("total_chars"), F.lit(0)), 6)
+                     + 0.0).alias("cum_char_share"))
+            .orderBy("decile"))
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary Jaccard drift between snapshots
+# ---------------------------------------------------------------------------
+
+@query("q_jaccard_drift", oracle=r"""
+WITH toks AS (
+  SELECT DISTINCT doc_id % 2 AS snap,
+         UNNEST(string_split_regex(text, '\s+')) AS tok
+  FROM documents WHERE text IS NOT NULL
+), per_tok AS (
+  SELECT tok, MAX(CASE WHEN snap = 0 THEN 1 ELSE 0 END) AS in_a,
+         MAX(CASE WHEN snap = 1 THEN 1 ELSE 0 END) AS in_b
+  FROM toks GROUP BY tok
+)
+SELECT CAST(SUM(in_a) AS BIGINT) AS vocab_a,
+       CAST(SUM(in_b) AS BIGINT) AS vocab_b,
+       CAST(SUM(in_a * in_b) AS BIGINT) AS vocab_common,
+       ROUND(SUM(in_a * in_b)::DOUBLE / NULLIF(COUNT(*), 0), 6) + 0.0
+         AS jaccard
+FROM per_tok
+""")
+def q_jaccard_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary Jaccard overlap between two corpus snapshots — the
+    SET-level drift monitor beside the distributional ones (q_kl_drift
+    / q_js_drift / q_psi_drift watch how MASS shifts across known
+    categories; this watches whether the vocabulary itself churned,
+    which is what a tokenizer-refresh decision needs). Each row of
+    per_tok is one vocabulary member with membership flags; |A∪B| is
+    the row count.
+
+    Determinism: pure integer set algebra — distinct membership, flag
+    maxes, one ratio.
+
+    Scale: explode → DISTINCT (snap, tok) → one groupBy on the token
+    (the vocabulary shuffle, paid once); output is a single row. The
+    same shape at any corpus size because only distinct tokens survive
+    the first aggregate."""
+    d = (load_table(spark, sf_dir, "documents")
+         .filter(F.col("text").isNotNull()))
+    toks = (d.select((F.col("doc_id") % 2).alias("snap"),
+                     F.explode(F.split("text", _TOK)).alias("tok"))
+            .distinct())
+    per_tok = toks.groupBy("tok").agg(
+        F.max(F.when(F.col("snap") == 0, 1).otherwise(0)).alias("in_a"),
+        F.max(F.when(F.col("snap") == 1, 1).otherwise(0)).alias("in_b"))
+    return per_tok.agg(
+        F.sum("in_a").cast("long").alias("vocab_a"),
+        F.sum("in_b").cast("long").alias("vocab_b"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long")
+        .alias("vocab_common"),
+        (F.round(F.sum(F.col("in_a") * F.col("in_b")).cast("double")
+                 / F.nullif(F.count(F.lit(1)), F.lit(0)), 6) + 0.0)
+        .alias("jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# Naive-forecast accuracy scorecard (MAPE / RMSE)
+# ---------------------------------------------------------------------------
+
+@query("q_forecast_accuracy", oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         SUM(CAST(ROUND(value * 100) AS BIGINT)) AS actual_centi
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2
+), scored AS (
+  SELECT event_type, actual_centi,
+         LAG(actual_centi) OVER (PARTITION BY event_type ORDER BY day)
+           AS pred_centi
+  FROM daily
+), e AS (
+  SELECT event_type,
+         actual_centi - pred_centi AS err,
+         CASE WHEN actual_centi != 0
+              THEN CAST(ROUND(ABS(actual_centi - pred_centi)::DOUBLE
+                              / ABS(actual_centi) * 1e9) AS BIGINT)
+         END AS ape_nano
+  FROM scored WHERE pred_centi IS NOT NULL
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+       ROUND(SUM(ape_nano)::DOUBLE / 1e9
+             / NULLIF(COUNT(ape_nano), 0) * 100, 6) + 0.0 AS mape_pct,
+       ROUND(SQRT(SUM(err * err)::DOUBLE / COUNT(*)) / 100, 6) + 0.0
+         AS rmse
+FROM e GROUP BY event_type ORDER BY event_type
+""")
+def q_forecast_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast accuracy scorecard: MAPE and RMSE of the naive lag-1
+    forecast on daily value totals per stream — the BASELINE every
+    q_ewma / q_holt_forecast / q_seasonal_baseline model must beat
+    before deploying (a model that loses to "tomorrow equals today"
+    is negative value; this query is the scorecard that says so).
+
+    Determinism: daily totals are exact centi-integer sums; errors
+    are integer differences, so the RMSE sum is an exact BIGINT; each
+    day's percentage error is quantized to integer nano before the
+    MAPE mean (zero-actual days are excluded from MAPE on both
+    engines, counted in n_days).
+
+    Scale: one (type, day) groupBy, one lag window per stream key,
+    one grouped aggregate — the q_ewma shape with an integer error
+    fold."""
+    daily = (load_table(spark, sf_dir, "events")
+             .filter(F.col("value").isNotNull())
+             .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+             .agg(F.sum(F.round(F.col("value") * 100).cast("long"))
+                  .alias("actual_centi")))
+    pred = F.lag("actual_centi").over(
+        W.partitionBy("event_type").orderBy("day"))
+    scored = daily.select("event_type", "actual_centi",
+                          pred.alias("pred_centi")) \
+                  .filter(F.col("pred_centi").isNotNull())
+    err = F.col("actual_centi") - F.col("pred_centi")
+    ape_nano = F.when(
+        F.col("actual_centi") != 0,
+        F.round(F.abs(err).cast("double") / F.abs(F.col("actual_centi"))
+                * 1e9).cast("long"))
+    e = scored.select("event_type", err.alias("err"),
+                      ape_nano.alias("ape_nano"))
+    return (e.groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_days"),
+                 (F.round(F.sum("ape_nano").cast("double") / 1e9
+                          / F.nullif(F.count("ape_nano"), F.lit(0)) * 100,
+                          6) + 0.0).alias("mape_pct"),
+                 (F.round(F.sqrt(F.sum(F.col("err") * F.col("err"))
+                                 .cast("double") / F.count(F.lit(1)))
+                          / 100, 6) + 0.0).alias("rmse"))
+            .orderBy("event_type"))
+
+
+# ---------------------------------------------------------------------------
+# First-seen novelty rate per crawl batch
+# ---------------------------------------------------------------------------
+
+@query("q_novelty_rate", oracle="""
+WITH batches AS (
+  SELECT doc_id % 4 AS batch, MD5(text) AS digest FROM documents
+  WHERE text IS NOT NULL
+), first_seen AS (
+  SELECT digest, MIN(batch) AS first_batch FROM batches GROUP BY digest
+), scored AS (
+  SELECT b.batch, CASE WHEN f.first_batch = b.batch THEN 1 ELSE 0 END
+           AS novel
+  FROM batches b JOIN first_seen f USING (digest)
+)
+SELECT CAST(batch AS BIGINT) AS batch,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(novel) AS BIGINT) AS n_novel,
+       ROUND(SUM(novel)::DOUBLE / COUNT(*), 6) + 0.0 AS novelty_rate
+FROM scored GROUP BY batch ORDER BY batch
+""")
+def q_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-seen novelty rate per crawl batch: what fraction of each
+    batch's documents had never appeared in an EARLIER batch — the
+    monitoring readout on top of q_dedup_incremental (the dedup
+    REMOVES repeats; this tracks whether a source is drying up — a
+    crawl whose novelty decays to zero is re-fetching the same web).
+    Demo batches: doc_id % 4 as four ordered crawls.
+
+    Determinism: md5 digests and integer batch mins — pure integer/
+    digest algebra, no floats before the final ratio.
+
+    Scale: digests shuffle (16 bytes), never text (the q_decontaminate
+    rule); one digest groupBy for first-seen, one digest-keyed join
+    back, one 4-key aggregate. At production scale first_seen is the
+    persisted dedup index and the join is incremental, not a rescan."""
+    b = (load_table(spark, sf_dir, "documents")
+         .filter(F.col("text").isNotNull())
+         .select((F.col("doc_id") % 4).alias("batch"),
+                 F.md5("text").alias("digest")))
+    first_seen = b.groupBy("digest").agg(F.min("batch").alias("first_batch"))
+    scored = (b.join(first_seen, "digest")
+              .select("batch",
+                      F.when(F.col("first_batch") == F.col("batch"), 1)
+                      .otherwise(0).alias("novel")))
+    return (scored.groupBy(F.col("batch").cast("long").alias("batch"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("novel").cast("long").alias("n_novel"),
+                 (F.round(F.sum("novel").cast("double")
+                          / F.count(F.lit(1)), 6) + 0.0)
+                 .alias("novelty_rate"))
+            .orderBy("batch"))

@@ -1587,3 +1587,81 @@ def test_sprt_stream_keyed_walk(spark):
     assert_plan(get("q_sprt").fn(spark, SF),
                 contains=("Window",),
                 absent=("CartesianProduct",))
+
+
+# --- round-10 second batch: metrics.py physical shapes ----------------------
+
+
+def test_recall_at_k_qid_keyed(spark):
+    """Recall@k: one qid-keyed window + grouped conditional sums — the
+    q_ndcg_mrr shape, no cartesian."""
+    assert_plan(get("q_recall_at_k").fn(spark, SF),
+                contains=("Window", "HashAggregate"),
+                absent=("CartesianProduct",))
+
+
+def test_ece_ten_key_rollup(spark):
+    """ECE: 10-key bin groupBy then a 10-row rollup — no fact-table
+    join, no window."""
+    from telescope_data_pipeline_spark.plans.audit import physical_plan
+
+    plan = physical_plan(get("q_ece").fn(spark, SF))
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_smd_balance_single_fact_pass(spark):
+    """SMD balance: one per-user groupBy feeds the covariate explode —
+    the fact table is scanned once however many covariates are
+    screened; no joins beyond 1-row broadcasts."""
+    assert_plan(get("q_smd_balance").fn(spark, SF),
+                contains=("Generate", "HashAggregate"),
+                absent=("CartesianProduct", "SortMergeJoin",
+                        "BroadcastHashJoin"))
+
+
+def test_trend_test_joinless(spark):
+    """Cochran-Armitage: 5-key groupBy to five integer sums, 1-row z —
+    no join operator anywhere."""
+    from telescope_data_pipeline_spark.plans.audit import physical_plan
+
+    plan = physical_plan(get("q_trend_test").fn(spark, SF))
+    assert "Join" not in plan, plan
+
+
+def test_session_entropy_joinless(spark):
+    """Type-mix entropy: two map-side-combined groupBys and a 4-key
+    rollup — no joins, no windows."""
+    from telescope_data_pipeline_spark.plans.audit import physical_plan
+
+    plan = physical_plan(get("q_session_entropy").fn(spark, SF))
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_jaccard_drift_vocab_shuffle_only(spark):
+    """Vocabulary Jaccard: distinct + one token groupBy; no join —
+    membership flags aggregate in place."""
+    from telescope_data_pipeline_spark.plans.audit import physical_plan
+
+    plan = physical_plan(get("q_jaccard_drift").fn(spark, SF))
+    assert "Join" not in plan, plan
+
+
+def test_forecast_accuracy_stream_keyed(spark):
+    """MAPE/RMSE: (type, day) groupBy + per-stream lag window, grouped
+    integer folds — no cartesian, no fact join."""
+    assert_plan(get("q_forecast_accuracy").fn(spark, SF),
+                contains=("Window", "HashAggregate"),
+                absent=("CartesianProduct", "SortMergeJoin"))
+
+
+def test_novelty_rate_digest_join(spark):
+    """Novelty rate: the join-back is keyed on the 16-byte digest —
+    never a cartesian; text itself never shuffles (only md5 survives
+    the first projection)."""
+    df = get("q_novelty_rate").fn(spark, SF)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "md5" in opt, opt
+    assert_plan(df, contains=("HashAggregate",),
+                absent=("CartesianProduct", "BroadcastNestedLoopJoin"))
