@@ -1418,15 +1418,256 @@ def _decode_aiff_pcm(payload: bytes) -> tuple[np.ndarray, int]:
     return wave, sr
 
 
+class _FlacBits:
+    """MSB-first bit reader over the FLAC stream."""
+
+    __slots__ = ("data", "pos", "bit")
+
+    def __init__(self, data: bytes, pos: int = 0) -> None:
+        self.data, self.pos, self.bit = data, pos, 0
+
+    def read(self, n: int) -> int:
+        v = 0
+        while n:
+            if self.pos >= len(self.data):
+                raise CodecUnavailable("FLAC bitstream truncated")
+            take = min(8 - self.bit, n)
+            byte = self.data[self.pos]
+            v = (v << take) | ((byte >> (8 - self.bit - take))
+                               & ((1 << take) - 1))
+            self.bit += take
+            n -= take
+            if self.bit == 8:
+                self.bit = 0
+                self.pos += 1
+        return v
+
+    def read_signed(self, n: int) -> int:
+        v = self.read(n)
+        return v - (1 << n) if v >> (n - 1) else v
+
+    def unary(self) -> int:
+        q = 0
+        while self.read(1) == 0:
+            q += 1
+            if q > 1 << 20:
+                raise CodecUnavailable("FLAC unary run too long")
+        return q
+
+    def align(self) -> None:
+        if self.bit:
+            self.bit = 0
+            self.pos += 1
+
+
+def _flac_utf8_number(br: _FlacBits) -> int:
+    """FLAC frame headers encode the frame/sample index as a UTF-8-
+    style variable-length integer (up to 7 bytes)."""
+    b0 = br.read(8)
+    if b0 < 0x80:
+        return b0
+    n = 0
+    while (b0 << n) & 0x80:
+        n += 1
+    if n < 2 or n > 7:
+        raise CodecUnavailable("FLAC frame number coding invalid")
+    v = b0 & (0x7F >> n)
+    for _ in range(n - 1):
+        c = br.read(8)
+        if c & 0xC0 != 0x80:
+            raise CodecUnavailable("FLAC frame number coding invalid")
+        v = (v << 6) | (c & 0x3F)
+    return v
+
+
+_FLAC_FIXED_COEFS = {0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1],
+                     4: [4, -6, 4, -1]}
+
+
+def _flac_residual(br: _FlacBits, blocksize: int, order: int) -> list[int]:
+    """Rice-coded residual section (both 4- and 5-bit parameter
+    variants, escape-to-raw partitions, zigzag decode)."""
+    method = br.read(2)
+    if method > 1:
+        raise CodecUnavailable(f"FLAC residual method {method} reserved")
+    pbits = 4 if method == 0 else 5
+    esc = (1 << pbits) - 1
+    po = br.read(4)
+    n_part = 1 << po
+    if blocksize % n_part or (blocksize >> po) <= order:
+        raise CodecUnavailable("FLAC partition order invalid")
+    out: list[int] = []
+    for p in range(n_part):
+        n = (blocksize >> po) - (order if p == 0 else 0)
+        k = br.read(pbits)
+        if k == esc:  # unencoded: raw n-bit signed residuals
+            raw_bits = br.read(5)
+            out.extend(br.read_signed(raw_bits) if raw_bits else 0
+                       for _ in range(n))
+        else:
+            for _ in range(n):
+                q = br.unary()
+                u = (q << k) | (br.read(k) if k else 0)
+                out.append((u >> 1) ^ -(u & 1))  # zigzag
+    return out
+
+
+def _flac_subframe(br: _FlacBits, blocksize: int, bps: int) -> list[int]:
+    if br.read(1):
+        raise CodecUnavailable("FLAC subframe padding bit set")
+    typ = br.read(6)
+    wasted = 0
+    if br.read(1):
+        wasted = 1 + br.unary()
+    eff = bps - wasted
+    if typ == 0:  # CONSTANT
+        v = br.read_signed(eff)
+        out = [v] * blocksize
+    elif typ == 1:  # VERBATIM
+        out = [br.read_signed(eff) for _ in range(blocksize)]
+    elif 8 <= typ <= 12:  # FIXED, order = typ - 8
+        order = typ - 8
+        out = [br.read_signed(eff) for _ in range(order)]
+        res = _flac_residual(br, blocksize, order)
+        coefs = _FLAC_FIXED_COEFS[order]
+        for r in res:
+            pred = sum(c * out[-i - 1] for i, c in enumerate(coefs))
+            out.append(r + pred)
+    elif typ >= 32:  # LPC, order = typ - 31
+        order = typ - 31
+        out = [br.read_signed(eff) for _ in range(order)]
+        precision = br.read(4) + 1
+        if precision == 16:
+            raise CodecUnavailable("FLAC LPC precision code invalid")
+        shift = br.read_signed(5)
+        if shift < 0:
+            raise CodecUnavailable("FLAC negative LPC shift")
+        coefs = [br.read_signed(precision) for _ in range(order)]
+        res = _flac_residual(br, blocksize, order)
+        for r in res:
+            pred = sum(c * out[-i - 1] for i, c in enumerate(coefs)) >> shift
+            out.append(r + pred)
+    else:
+        raise CodecUnavailable(f"FLAC subframe type {typ} reserved")
+    if wasted:
+        out = [v << wasted for v in out]
+    return out
+
+
+_FLAC_BLOCKSIZES = {1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608,
+                    8: 256, 9: 512, 10: 1024, 11: 2048, 12: 4096,
+                    13: 8192, 14: 16384, 15: 32768}
+
+
+def _decode_flac(payload: bytes) -> tuple[np.ndarray, int]:
+    """Pure-Python FLAC decode (no libsndfile): STREAMINFO parse,
+    frame walk, CONSTANT / VERBATIM / FIXED(0-4) / LPC subframes,
+    both Rice residual variants with escape partitions, wasted bits,
+    and all four channel assignments (independent, left/side,
+    right/side, mid/side), downmixed to mono float32. Frame CRCs are
+    parsed past, not verified (the caller's pipeline checks content
+    digests). Raises CodecUnavailable on reserved codes or truncation
+    — corrupt real media must fail loudly (round-10: FLAC was
+    soundfile-gated)."""
+    b = bytes(payload)
+    if b[:4] != b"fLaC":
+        raise CodecUnavailable("not a FLAC signature")
+    pos = 4
+    info = None
+    while pos + 4 <= len(b):
+        hdr = b[pos]
+        last, btype = hdr >> 7, hdr & 0x7F
+        ln = int.from_bytes(b[pos + 1:pos + 4], "big")
+        if btype == 0:
+            info = b[pos + 4:pos + 4 + ln]
+        pos += 4 + ln
+        if last:
+            break
+    if info is None or len(info) < 34:
+        raise CodecUnavailable("FLAC missing STREAMINFO")
+    sr = int.from_bytes(info[10:13], "big") >> 4
+    n_ch = ((info[12] >> 1) & 0x07) + 1
+    bps = (((info[12] & 1) << 4) | (info[13] >> 4)) + 1
+    total = ((info[13] & 0x0F) << 32) | int.from_bytes(info[14:18], "big")
+    if sr == 0:
+        raise CodecUnavailable("FLAC sample rate is zero")
+    channels: list[list[int]] = [[] for _ in range(n_ch)]
+    br = _FlacBits(b, pos)
+    while br.pos < len(b) and (total == 0 or len(channels[0]) < total):
+        if br.read(14) != 0x3FFE:
+            raise CodecUnavailable("FLAC frame sync lost")
+        br.read(1)  # reserved
+        br.read(1)  # blocking strategy
+        bs_code = br.read(4)
+        sr_code = br.read(4)
+        ch_code = br.read(4)
+        ss_code = br.read(3)
+        br.read(1)  # reserved
+        _flac_utf8_number(br)
+        if bs_code == 0:
+            raise CodecUnavailable("FLAC reserved blocksize code")
+        elif bs_code == 6:
+            blocksize = br.read(8) + 1
+        elif bs_code == 7:
+            blocksize = br.read(16) + 1
+        else:
+            blocksize = _FLAC_BLOCKSIZES[bs_code]
+        if sr_code == 12:
+            br.read(8)
+        elif sr_code in (13, 14):
+            br.read(16)
+        elif sr_code == 15:
+            raise CodecUnavailable("FLAC invalid sample-rate code")
+        br.read(8)  # header CRC-8 (not verified)
+        if ch_code < 8:
+            if ch_code + 1 != n_ch:
+                raise CodecUnavailable("FLAC channel count mismatch")
+            sub = [_flac_subframe(br, blocksize, bps)
+                   for _ in range(n_ch)]
+        elif ch_code in (8, 9, 10):
+            if n_ch != 2:
+                raise CodecUnavailable("FLAC stereo decorrelation on "
+                                       "non-stereo stream")
+            left_bps = bps + (1 if ch_code == 9 else 0)
+            right_bps = bps + (1 if ch_code in (8, 10) else 0)
+            c0 = _flac_subframe(br, blocksize, left_bps)
+            c1 = _flac_subframe(br, blocksize, right_bps)
+            if ch_code == 8:  # left/side: R = L - side
+                sub = [c0, [left - side for left, side in zip(c0, c1)]]
+            elif ch_code == 9:  # right/side: L = R + side
+                sub = [[r + s for s, r in zip(c0, c1)], c1]
+            else:  # mid/side
+                left = []
+                right = []
+                for m, s in zip(c0, c1):
+                    lr_sum = (m << 1) | (s & 1)
+                    left.append((lr_sum + s) >> 1)
+                    right.append((lr_sum - s) >> 1)
+                sub = [left, right]
+        else:
+            raise CodecUnavailable(f"FLAC channel code {ch_code} reserved")
+        _ = ss_code  # per-frame sample size override unused: trust info
+        br.align()
+        br.read(16)  # frame CRC-16 (not verified)
+        for ch, s in zip(channels, sub):
+            ch.extend(s)
+    if total and len(channels[0]) < total:
+        raise CodecUnavailable("FLAC stream short of total samples")
+    arr = np.array(channels, dtype=np.float64)
+    if total:
+        arr = arr[:, :total]
+    wave = (arr.mean(axis=0) / float(1 << (bps - 1))).astype(np.float32)
+    return wave, sr
+
+
 def decode_audio(payload: bytes, duration_s: float) -> tuple[np.ndarray, int]:
     """Decode an audio payload to ``(float32 mono wave, sample_rate)``.
 
-    Dispatch mirrors :func:`decode_image`: RIFF/WAVE and AIFF/AIFF-C
-    PCM decode with the built-in pure-Python decoders (always
-    available); other real audio containers (FLAC/OGG) decode with
-    libsndfile, raising on corruption or when ``soundfile`` is absent;
-    anything else is a synthetic fixture and takes the deterministic
-    stub at ``_AUDIO_SR``."""
+    Dispatch mirrors :func:`decode_image`: RIFF/WAVE, AIFF/AIFF-C PCM,
+    and FLAC decode with the built-in pure-Python decoders (always
+    available); OGG decodes with libsndfile, raising on corruption or
+    when ``soundfile`` is absent; anything else is a synthetic fixture
+    and takes the deterministic stub at ``_AUDIO_SR``."""
     if payload is None:
         raise CodecUnavailable("no payload")
     if _has_magic(payload, (), riff_kind=b"WAVE"):
@@ -1434,6 +1675,8 @@ def decode_audio(payload: bytes, duration_s: float) -> tuple[np.ndarray, int]:
     if bytes(payload[:4]) == b"FORM" \
             and bytes(payload[8:12]) in (b"AIFF", b"AIFC"):
         return _decode_aiff_pcm(payload)
+    if bytes(payload[:4]) == b"fLaC":
+        return _decode_flac(payload)
     if _has_magic(payload, _AUDIO_MAGICS):
         if _soundfile is None:
             raise CodecUnavailable(

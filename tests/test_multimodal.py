@@ -1855,3 +1855,212 @@ def test_aifc_sowt_and_unsupported_codec():
                                       codec=b"ima4"))
     with pytest.raises(CodecUnavailable, match="COMM"):
         _decode_aiff_pcm(b"FORM" + (4).to_bytes(4, "big") + b"AIFF")
+
+
+# ---------------------------------------------------------------------------
+# FLAC decoder (pure Python — no soundfile in this environment)
+# ---------------------------------------------------------------------------
+
+class _FlacWriter:
+    """MSB-first bit writer for building test FLAC streams."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.bits = 0
+
+    def w(self, v, n):
+        self.acc = (self.acc << n) | (v & ((1 << n) - 1))
+        self.bits += n
+        while self.bits >= 8:
+            self.out.append((self.acc >> (self.bits - 8)) & 0xFF)
+            self.bits -= 8
+            self.acc &= (1 << self.bits) - 1
+
+    def align(self):
+        if self.bits:
+            self.w(0, 8 - self.bits)
+
+
+def _flac_streaminfo(sr, n_ch, bps, total):
+    w = _FlacWriter()
+    w.w(1, 1)  # last metadata block
+    w.w(0, 7)  # STREAMINFO
+    w.w(34, 24)
+    w.w(16, 16)  # min blocksize
+    w.w(65535, 16)  # max blocksize
+    w.w(0, 24)
+    w.w(0, 24)
+    w.w(sr, 20)
+    w.w(n_ch - 1, 3)
+    w.w(bps - 1, 5)
+    w.w(total, 36)
+    for _ in range(16):
+        w.w(0, 8)  # md5 unset
+    return bytes(w.out)
+
+
+def _flac_write_subframe(w, samples, bps, kind="verbatim", rice_k=4):
+    w.w(0, 1)  # padding
+    if kind == "constant":
+        w.w(0, 6)
+        w.w(0, 1)  # no wasted bits
+        w.w(samples[0], bps)
+        return
+    if kind == "verbatim":
+        w.w(1, 6)
+        w.w(0, 1)
+        for s in samples:
+            w.w(s, bps)
+        return
+    order = int(kind[-1])  # fixed0 / fixed1 / fixed2
+    w.w(8 + order, 6)
+    w.w(0, 1)
+    for s in samples[:order]:
+        w.w(s, bps)
+    coefs = {0: [], 1: [1], 2: [2, -1]}[order]
+    w.w(0, 2)  # rice method 0 (4-bit params)
+    w.w(0, 4)  # partition order 0
+    w.w(rice_k, 4)
+    for i in range(order, len(samples)):
+        pred = sum(c * samples[i - 1 - j] for j, c in enumerate(coefs))
+        r = samples[i] - pred
+        u = (r << 1) ^ (r >> 63) if r >= 0 else ((-r) << 1) - 1
+        q, rem = u >> rice_k, u & ((1 << rice_k) - 1)
+        assert q < 2000, "pick a larger rice_k for this test signal"
+        for _ in range(q):
+            w.w(0, 1)
+        w.w(1, 1)
+        w.w(rem, rice_k)
+
+
+def _flac_encode(channels, sr, bps, kinds=None, ch_code=None,
+                 blocksize=None):
+    """Build a FLAC stream: one or more frames of equal blocksize,
+    independent channels by default, or a stereo-decorrelated frame
+    when ch_code is 8/9/10 (channels then holds the two SUBFRAME
+    signals, e.g. (mid, side))."""
+    n_ch = len(channels)
+    total = len(channels[0])
+    bs = blocksize or total
+    head = b"fLaC" + _flac_streaminfo(sr, 2 if ch_code else n_ch, bps,
+                                      total)
+    w = _FlacWriter()
+    frame_no = 0
+    for start in range(0, total, bs):
+        n = min(bs, total - start)
+        w.w(0x3FFE, 14)
+        w.w(0, 1)
+        w.w(0, 1)  # fixed blocksize strategy
+        w.w(7, 4)  # 16-bit custom blocksize follows
+        w.w(0, 4)  # sample rate from STREAMINFO
+        w.w(ch_code if ch_code else n_ch - 1, 4)
+        w.w(0, 3)  # sample size from STREAMINFO
+        w.w(0, 1)
+        w.w(frame_no, 8)  # UTF-8 single byte (frame_no < 128)
+        frame_no += 1
+        w.w(n - 1, 16)
+        w.w(0, 8)  # crc8 (decoder parses past)
+        for ci, ch in enumerate(channels):
+            sub_bps = bps
+            if ch_code == 8 and ci == 1:
+                sub_bps = bps + 1  # side
+            elif ch_code == 9 and ci == 0:
+                sub_bps = bps + 1
+            elif ch_code == 10 and ci == 1:
+                sub_bps = bps + 1
+            kind = (kinds or ["verbatim"] * n_ch)[ci]
+            _flac_write_subframe(w, ch[start:start + n], sub_bps, kind)
+        w.align()
+        w.w(0, 16)  # crc16
+    return head + bytes(w.out)
+
+
+def test_flac_fixed_rice_and_verbatim_mono():
+    import numpy as np
+
+    from telescope_data_pipeline_spark.operators.multimodal import (
+        _decode_flac,
+    )
+
+    rng = np.random.default_rng(14)
+    # smooth signal so FIXED-order-2 residuals stay small
+    t = np.arange(600)
+    sig = (1200 * np.sin(t / 25.0)).astype(np.int64).tolist()
+    for kind in ("verbatim", "fixed0", "fixed1", "fixed2"):
+        flac = _flac_encode([sig], sr=8000, bps=16, kinds=[kind],
+                            blocksize=200)  # 3 frames
+        wave, sr = _decode_flac(flac)
+        assert sr == 8000
+        assert np.allclose(wave, np.array(sig) / 32768.0, atol=1e-7), kind
+
+
+def test_flac_stereo_independent_and_constant():
+    import numpy as np
+
+    from telescope_data_pipeline_spark.operators.multimodal import (
+        _decode_flac,
+        decode_audio,
+    )
+
+    rng = np.random.default_rng(15)
+    left = rng.integers(-2000, 2000, size=300, dtype=np.int64).tolist()
+    right = [7] * 300  # constant subframe
+    flac = _flac_encode([left, right], sr=16000, bps=16,
+                        kinds=["verbatim", "constant"])
+    wave, sr = _decode_flac(flac)
+    want = (np.array(left) + 7) / 2.0 / 32768.0
+    assert sr == 16000
+    assert np.allclose(wave, want, atol=1e-7)
+    # magic dispatch, no soundfile
+    w2, s2 = decode_audio(flac, duration_s=1.0)
+    assert s2 == 16000 and np.allclose(w2, wave)
+
+
+def test_flac_mid_side_reconstruction():
+    import numpy as np
+
+    from telescope_data_pipeline_spark.operators.multimodal import (
+        _decode_flac,
+    )
+
+    rng = np.random.default_rng(16)
+    left = rng.integers(-3000, 3000, size=256, dtype=np.int64)
+    right = rng.integers(-3000, 3000, size=256, dtype=np.int64)
+    mid = ((left + right) >> 1).tolist()
+    side = (left - right).tolist()
+    flac = _flac_encode([mid, side], sr=22050, bps=16, ch_code=10)
+    wave, sr = _decode_flac(flac)
+    want = (left + right) / 2.0 / 32768.0
+    assert sr == 22050
+    assert np.allclose(wave, want, atol=1e-7)
+    # left/side and right/side too
+    flac_ls = _flac_encode([left.tolist(), side], sr=22050, bps=16,
+                           ch_code=8)
+    w_ls, _ = _decode_flac(flac_ls)
+    assert np.allclose(w_ls, want, atol=1e-7)
+    flac_rs = _flac_encode([side, right.tolist()], sr=22050, bps=16,
+                           ch_code=9)
+    w_rs, _ = _decode_flac(flac_rs)
+    assert np.allclose(w_rs, want, atol=1e-7)
+
+
+def test_flac_corrupt_raises_typed_codec_error():
+    import numpy as np
+    import pytest
+
+    from telescope_data_pipeline_spark.operators.multimodal import (
+        CodecUnavailable,
+        _decode_flac,
+    )
+
+    sig = list(range(-50, 50))
+    good = _flac_encode([sig], sr=8000, bps=16)
+    with pytest.raises(CodecUnavailable):
+        _decode_flac(good[:50])  # truncated mid-frame
+    with pytest.raises(CodecUnavailable, match="STREAMINFO"):
+        _decode_flac(b"fLaC" + b"\x81\x00\x00\x02\x00\x00")
+    broken = bytearray(good)
+    broken[4 + 4 + 34] ^= 0xFF  # first frame sync byte
+    with pytest.raises(CodecUnavailable, match="sync"):
+        _decode_flac(bytes(broken))
