@@ -136,6 +136,10 @@ EXTRA = [
     "q_jaccard_drift",
     "q_forecast_accuracy",
     "q_novelty_rate",
+    "q_ips_offpolicy",
+    "q_hhi",
+    "q_topk_overlap",
+    "q_perplexity",
 ]
 
 

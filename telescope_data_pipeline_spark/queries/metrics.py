@@ -614,3 +614,260 @@ def q_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
                           / F.count(F.lit(1)), 6) + 0.0)
                  .alias("novelty_rate"))
             .orderBy("batch"))
+
+
+# ---------------------------------------------------------------------------
+# Inverse-propensity off-policy value estimate (IPS / SNIPS)
+# ---------------------------------------------------------------------------
+
+@query("q_ips_offpolicy", oracle="""
+WITH logged AS (
+  SELECT event_id, CAST(ROUND(value * 100) AS BIGINT) AS r_centi,
+         -- logged stochastic policy: propensity of the taken action,
+         -- deterministic integer hash in [0.2, 0.8) milliunits
+         200 + (event_id * 2654435761 % 1000003) % 600 AS p_milli,
+         -- target policy takes the SAME action iff hash2 >= 300
+         CASE WHEN (event_id * 40503 % 1000003) % 1000 >= 300
+              THEN 1 ELSE 0 END AS pi_takes
+  FROM events
+  WHERE event_type = 'click' AND value IS NOT NULL
+), w AS (
+  SELECT r_centi,
+         -- clipped importance weight in integer micro-units:
+         -- min(1/p, 10) when the target policy takes the action
+         CASE WHEN pi_takes = 1
+              THEN LEAST(CAST(ROUND(1e9 / p_milli) AS BIGINT), 10000000)
+              ELSE 0 END AS w_micro
+  FROM logged
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(w_micro * r_centi)::DOUBLE / 1e6 / 100 / COUNT(*), 6)
+         + 0.0 AS ips_value,
+       ROUND(SUM(w_micro * r_centi)::DOUBLE / 100
+             / NULLIF(SUM(w_micro), 0), 6) + 0.0 AS snips_value,
+       ROUND(SUM(w_micro)::DOUBLE / 1e6 / COUNT(*), 6) + 0.0
+         AS mean_weight
+FROM w
+""")
+def q_ips_offpolicy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Off-policy evaluation: the clipped inverse-propensity (IPS) and
+    self-normalized (SNIPS) value estimates of a TARGET policy from
+    logs collected under a DIFFERENT logging policy — how ranking and
+    recommendation changes are evaluated without an online experiment
+    (the counterfactual sibling of q_ab_ttest: no second arm needed,
+    the propensities reweight history). Demo: hash-derived logged
+    propensities in [0.2, 0.8), a hash-thresholded target policy,
+    click value as reward, weights clipped at 10 (the standard
+    variance/bias trade).
+
+    Determinism: propensities and the policy indicator are pure
+    integer hashes; each weight is quantized to integer micro-units
+    BEFORE multiplying the centi-unit reward, so both estimator sums
+    are exact BIGINTs; SNIPS' weight-sum denominator NULLIFs when the
+    policies never overlap.
+
+    Scale: one map-only projection and a 1-row aggregate — nothing
+    shuffles but partial sums."""
+    e = (load_table(spark, sf_dir, "events")
+         .filter((F.col("event_type") == "click")
+                 & F.col("value").isNotNull()))
+    p_milli = (200 + (F.col("event_id") * F.lit(2654435761).cast("bigint")
+                      % 1000003) % 600)
+    pi_takes = F.when(
+        (F.col("event_id") * 40503 % 1000003) % 1000 >= 300, 1).otherwise(0)
+    w_micro = F.when(
+        pi_takes == 1,
+        F.least(F.round(1e9 / p_milli).cast("long"),
+                F.lit(10000000).cast("long"))).otherwise(F.lit(0))
+    logged = e.select(
+        F.round(F.col("value") * 100).cast("long").alias("r_centi"),
+        w_micro.alias("w_micro"))
+    return logged.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.round(F.sum(F.col("w_micro") * F.col("r_centi")).cast("double")
+                 / 1e6 / 100 / F.count(F.lit(1)), 6) + 0.0)
+        .alias("ips_value"),
+        (F.round(F.sum(F.col("w_micro") * F.col("r_centi")).cast("double")
+                 / 100 / F.nullif(F.sum("w_micro"), F.lit(0)), 6) + 0.0)
+        .alias("snips_value"),
+        (F.round(F.sum("w_micro").cast("double") / 1e6
+                 / F.count(F.lit(1)), 6) + 0.0).alias("mean_weight"))
+
+
+# ---------------------------------------------------------------------------
+# Herfindahl-Hirschman concentration per language
+# ---------------------------------------------------------------------------
+
+@query("q_hhi", oracle="""
+WITH c AS (
+  SELECT lang, source, COUNT(*) AS k FROM documents GROUP BY 1, 2
+), tot AS (
+  SELECT lang, SUM(k) AS n, COUNT(*) AS n_sources FROM c GROUP BY lang
+)
+SELECT c.lang, CAST(MAX(tot.n) AS BIGINT) AS n_docs,
+       CAST(MAX(tot.n_sources) AS BIGINT) AS n_sources,
+       ROUND(SUM(k::DOUBLE * k) / (MAX(tot.n)::DOUBLE * MAX(tot.n))
+             * 10000, 6) + 0.0 AS hhi,
+       ROUND((SUM(k::DOUBLE * k) / (MAX(tot.n)::DOUBLE * MAX(tot.n))
+              - 1.0 / MAX(tot.n_sources))
+             / NULLIF(1 - 1.0 / MAX(tot.n_sources), 0), 6) + 0.0
+         AS hhi_normalized
+FROM c JOIN tot USING (lang)
+GROUP BY c.lang ORDER BY c.lang
+""")
+def q_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman source concentration per language — the
+    antitrust-style index (sum of squared shares, scaled to the 0-10000
+    convention) beside q_gini_concentration and q_lorenz_points: HHI is
+    the one that decomposes per segment cheaply, so per-language
+    monopoly-source risk screens in a single pass. The normalized form
+    rescales to [0,1] against the equal-share floor 1/n_sources.
+
+    Determinism: (lang, source) counts are exact integers; sum(k^2) is
+    an exact BIGINT; both indices are single identical double
+    expressions with the one-source degenerate case NULLIFed.
+
+    Scale: one map-side-combined (lang, source) groupBy, a |cells|-row
+    rollup — the q_kl_drift footprint."""
+    c = (load_table(spark, sf_dir, "documents")
+         .groupBy("lang", "source").agg(F.count(F.lit(1)).alias("k")))
+    tot = c.groupBy("lang").agg(F.sum("k").alias("n"),
+                                F.count(F.lit(1)).alias("n_sources"))
+    j = c.join(tot, "lang")
+    sum_k2 = F.sum(F.col("k").cast("double") * F.col("k"))
+    n = F.max("n").cast("double")
+    ns = F.max("n_sources")
+    raw = sum_k2 / (n * n)
+    return (j.groupBy("lang")
+            .agg(F.max("n").cast("long").alias("n_docs"),
+                 F.max("n_sources").cast("long").alias("n_sources"),
+                 (F.round(raw * 10000, 6) + 0.0).alias("hhi"),
+                 (F.round((raw - 1.0 / ns)
+                          / F.nullif(1 - 1.0 / ns, F.lit(0.0)), 6) + 0.0)
+                 .alias("hhi_normalized"))
+            .orderBy("lang"))
+
+
+# ---------------------------------------------------------------------------
+# Top-k token-set overlap between snapshots
+# ---------------------------------------------------------------------------
+
+@query("q_topk_overlap", oracle=r"""
+WITH toks AS (
+  SELECT doc_id % 2 AS snap,
+         UNNEST(string_split_regex(text, '\s+')) AS tok
+  FROM documents WHERE text IS NOT NULL
+), counts AS (
+  SELECT snap, tok, COUNT(*) AS k FROM toks GROUP BY 1, 2
+), ranked AS (
+  SELECT snap, tok,
+         ROW_NUMBER() OVER (PARTITION BY snap ORDER BY k DESC, tok) AS rk
+  FROM counts
+), top AS (
+  SELECT snap, tok FROM ranked WHERE rk <= 100
+), flags AS (
+  SELECT tok, MAX(CASE WHEN snap = 0 THEN 1 ELSE 0 END) AS in_a,
+         MAX(CASE WHEN snap = 1 THEN 1 ELSE 0 END) AS in_b
+  FROM top GROUP BY tok
+)
+SELECT CAST(SUM(in_a) AS BIGINT) AS k_a,
+       CAST(SUM(in_b) AS BIGINT) AS k_b,
+       CAST(SUM(in_a * in_b) AS BIGINT) AS k_common,
+       ROUND(SUM(in_a * in_b)::DOUBLE
+             / NULLIF(LEAST(SUM(in_a), SUM(in_b)), 0), 6) + 0.0
+         AS overlap_at_k
+FROM flags
+""")
+def q_topk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 token-set overlap between corpus snapshots — the
+    HEAD-of-distribution drift check beside q_jaccard_drift's full-
+    vocabulary one: the head tokens drive tokenizer merges and
+    stop-word lists, so "did the top-100 change?" catches the drifts
+    that matter for preprocessing even when full-vocabulary Jaccard
+    barely moves. Overlap-at-k = |A∩B| / min(|A|,|B|).
+
+    Determinism: per-snapshot ranking is integer count DESC with the
+    token string tiebreak (total order); membership flags and the
+    overlap are pure integer set algebra.
+
+    Scale: one (snap, tok) groupBy, one 2-partition window over the
+    COUNT table (bounded: |vocab| rows), then 200-row set algebra."""
+    d = (load_table(spark, sf_dir, "documents")
+         .filter(F.col("text").isNotNull()))
+    counts = (d.select((F.col("doc_id") % 2).alias("snap"),
+                       F.explode(F.split("text", _TOK)).alias("tok"))
+              .groupBy("snap", "tok").agg(F.count(F.lit(1)).alias("k")))
+    rk = F.row_number().over(
+        W.partitionBy("snap").orderBy(F.desc("k"), "tok"))
+    top = counts.withColumn("rk", rk).filter(F.col("rk") <= 100)
+    flags = top.groupBy("tok").agg(
+        F.max(F.when(F.col("snap") == 0, 1).otherwise(0)).alias("in_a"),
+        F.max(F.when(F.col("snap") == 1, 1).otherwise(0)).alias("in_b"))
+    both = F.sum(F.col("in_a") * F.col("in_b"))
+    return flags.agg(
+        F.sum("in_a").cast("long").alias("k_a"),
+        F.sum("in_b").cast("long").alias("k_b"),
+        both.cast("long").alias("k_common"),
+        (F.round(both.cast("double")
+                 / F.nullif(F.least(F.sum("in_a"), F.sum("in_b")),
+                            F.lit(0)), 6) + 0.0).alias("overlap_at_k"))
+
+
+# ---------------------------------------------------------------------------
+# Corpus perplexity per source under the corpus unigram LM
+# ---------------------------------------------------------------------------
+
+@query("q_perplexity", oracle=r"""
+WITH toks AS (
+  SELECT source, UNNEST(string_split_regex(text, '\s+')) AS tok
+  FROM documents WHERE text IS NOT NULL
+), vocab AS (
+  SELECT tok, COUNT(*) AS k FROM toks GROUP BY tok
+), tot AS (
+  SELECT SUM(k) AS big_n, COUNT(*) AS v FROM vocab
+), scored AS (
+  SELECT t.source,
+         CAST(ROUND(LN((vo.k + 1.0) / (tt.big_n + tt.v)) * 1e9) AS BIGINT)
+           AS lp_nano
+  FROM toks t JOIN vocab vo USING (tok) CROSS JOIN tot tt
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(-SUM(lp_nano)::DOUBLE / 1e9 / COUNT(*), 6) + 0.0
+         AS cross_entropy,
+       ROUND(EXP(-SUM(lp_nano)::DOUBLE / 1e9 / COUNT(*)), 6) + 0.0
+         AS perplexity
+FROM scored GROUP BY source ORDER BY source
+""")
+def q_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus perplexity under the add-one-smoothed corpus
+    unigram LM — the single-number quality headline on top of
+    q_unigram_logprob's per-document scores (a source whose perplexity
+    spikes against the corpus model is off-distribution: boilerplate,
+    spam, or another language; the cheapest LM-based source screen
+    before any neural scorer).
+
+    Determinism: vocabulary counts and totals are exact integers;
+    each token's log-probability is quantized to integer nano-nats
+    BEFORE the per-source sum, so cross-entropy is a ratio of exact
+    integers and perplexity one EXP on identical doubles.
+
+    Scale: the vocabulary groupBy is paid once (the q_token_topk
+    shuffle); scoring is an AQE-brokered join of tokens against the
+    vocabulary (broadcast while it fits) with a 1-row totals
+    broadcast; output is |sources| rows."""
+    d = (load_table(spark, sf_dir, "documents")
+         .filter(F.col("text").isNotNull()))
+    toks = d.select("source", F.explode(F.split("text", _TOK)).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("k"))
+    tot = vocab.agg(F.sum("k").alias("big_n"), F.count(F.lit(1)).alias("v"))
+    scored = (toks.join(vocab, "tok").crossJoin(F.broadcast(tot))
+              .select("source",
+                      F.round(F.log((F.col("k") + 1.0)
+                                    / (F.col("big_n") + F.col("v"))) * 1e9)
+                      .cast("long").alias("lp_nano")))
+    ce = -F.sum("lp_nano").cast("double") / 1e9 / F.count(F.lit(1))
+    return (scored.groupBy("source")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"),
+                 (F.round(ce, 6) + 0.0).alias("cross_entropy"),
+                 (F.round(F.exp(ce), 6) + 0.0).alias("perplexity"))
+            .orderBy("source"))

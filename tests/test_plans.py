@@ -1665,3 +1665,38 @@ def test_novelty_rate_digest_join(spark):
     assert "md5" in opt, opt
     assert_plan(df, contains=("HashAggregate",),
                 absent=("CartesianProduct", "BroadcastNestedLoopJoin"))
+
+
+def test_ips_offpolicy_joinless_map_only(spark):
+    """IPS/SNIPS: hash propensities and clipped weights are map-side
+    integer expressions; one 1-row aggregate — no join, no window."""
+    from telescope_data_pipeline_spark.plans.audit import physical_plan
+
+    plan = physical_plan(get("q_ips_offpolicy").fn(spark, SF))
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_hhi_cell_rollup(spark):
+    """HHI: (lang, source) groupBy then a lang rollup over cells —
+    the only join is the |cells|-to-|langs| one, never fact-sized."""
+    assert_plan(get("q_hhi").fn(spark, SF),
+                contains=("HashAggregate",),
+                absent=("CartesianProduct", "SortMergeJoin"))
+
+
+def test_topk_overlap_window_on_count_table(spark):
+    """Top-k overlap: the per-snapshot ranking window runs over the
+    (snap, tok) COUNT table, not the exploded corpus — the Generate
+    feeds an aggregate BEFORE any window."""
+    assert_plan(get("q_topk_overlap").fn(spark, SF),
+                contains=("Generate", "Window", "HashAggregate"),
+                absent=("CartesianProduct", "SortMergeJoin"))
+
+
+def test_perplexity_vocab_join_and_totals_broadcast(spark):
+    """Perplexity: token-vocabulary join (AQE picks broadcast at demo
+    scale) plus a 1-row totals broadcast; no cartesian on data."""
+    assert_plan(get("q_perplexity").fn(spark, SF),
+                contains=("Generate", "HashAggregate"),
+                absent=("CartesianProduct",))
