@@ -58,17 +58,19 @@ _REGISTRY: dict[str, Query] = {}
 #: appended as they land, each with its oracle), and
 #: (d) rolling regression backfill with the oldest-green oracle
 #: cohort, now the round-4 then round-5 sets (VERDICT r9 item 7).
-#: The local sf0.01+sf0.1 oracle sweep still covers all 260+ queries
+#: The local sf0.01+sf0.1 oracle sweep still covers all 285 queries
 #: per session.
 PRIORITY: tuple[str, ...] = (
     # (a) changed in round 10
     "q_readability_ari", "q_hard_negatives", "q_adamic_adar",
-    # (b) stale rows-only cohort, last attested r1/r2
+    # (b) stale rows-only cohort, last attested r1/r2 (the ten names
+    # from VERDICT r9 item 3; the remaining r1/r2 stragglers —
+    # q_dedup_simhash, q_ensemble_lightcurve, q_media_features,
+    # q_scan_fits — rotate next round so the r4 oracle backfill below
+    # stays inside the 50-query window)
     "q_wcs_solve", "q_sim_ann", "q_sim_ivf", "q_dedup_near",
     "q_dedup_clusters", "q_fingerprint", "q_periodogram",
     "q_pipeline_detect", "q_pipeline_photometry", "q_media_frames",
-    "q_dedup_simhash", "q_ensemble_lightcurve", "q_media_features",
-    "q_scan_fits",
     # (c) first-time evidence: operators new in round 10
     "q_spearman", "q_cramers_v", "q_mcc", "q_js_drift",
     "q_target_encode", "q_fleiss_kappa", "q_did", "q_bayes_ab",
