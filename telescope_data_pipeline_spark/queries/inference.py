@@ -31,8 +31,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from ..operators.cache_slot import CacheSlot
 from ..sources.tables import load_table
 from .registry import query
+
+#: q_target_encode's per-category stats table (|categories| rows).
+#: Uncached, its groupBy subtree embeds twice — once under the encode
+#: join, once under the global-rate aggregate — costing a third
+#: fact-table scan (round-10 repeated-subtree audit).
+_ENCODE_STATS_SLOT = CacheSlot()
 
 _TOK = r"\s+"
 _SPLIT = "2024-01-16 00:00:00"
@@ -347,7 +354,7 @@ WITH lab AS (
 ), grp AS (
   SELECT cat, COUNT(*) AS n_cat, SUM(y) AS pos_cat FROM lab GROUP BY cat
 ), overall AS (
-  SELECT SUM(y)::DOUBLE / NULLIF(COUNT(*), 0) AS rate FROM lab
+  SELECT SUM(pos_cat)::DOUBLE / NULLIF(SUM(n_cat), 0) AS rate FROM grp
 )
 SELECT l.o_orderkey, CAST(l.cat AS BIGINT) AS cat, CAST(l.y AS BIGINT) AS y,
        CAST(g.n_cat AS BIGINT) AS n_cat,
@@ -382,10 +389,15 @@ def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
            .select("o_orderkey", (F.col("o_custkey") % 1000).alias("cat"),
                    F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
                    .alias("y")))
-    grp = lab.groupBy("cat").agg(F.count(F.lit(1)).alias("n_cat"),
-                                 F.sum("y").alias("pos_cat"))
-    glob = lab.agg((F.sum("y").cast("double")
-                    / F.nullif(F.count(F.lit(1)), F.lit(0))).alias("rate"))
+    # Cached |categories|-row stats: consumed by BOTH the encode join
+    # and the global-rate aggregate — one fact pass builds it, instead
+    # of Catalyst embedding the groupBy subtree under each consumer
+    # (3 orders scans -> 2; round-10 repeated-subtree audit).
+    grp = _ENCODE_STATS_SLOT.own(
+        lab.groupBy("cat").agg(F.count(F.lit(1)).alias("n_cat"),
+                               F.sum("y").alias("pos_cat")))
+    glob = grp.agg((F.sum("pos_cat").cast("double")
+                    / F.nullif(F.sum("n_cat"), F.lit(0))).alias("rate"))
     enc = F.when(
         F.col("n_cat") > 1,
         (F.col("pos_cat") - F.col("y")).cast("double") / (F.col("n_cat") - 1)

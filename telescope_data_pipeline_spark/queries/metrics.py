@@ -26,10 +26,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from ..operators.cache_slot import CacheSlot
 from ..sources.tables import load_table
 from .registry import query
 
 _TOK = r"\s+"
+
+#: q_perplexity's corpus vocabulary (token -> count). Uncached, the
+#: totals branch and the scoring join would each re-run the corpus
+#: explode+groupBy — three full text passes instead of the minimum two
+#: (build model, score corpus). One bounded slot, |V| rows.
+_VOCAB_SLOT = CacheSlot()
 
 
 # ---------------------------------------------------------------------------
@@ -858,7 +865,13 @@ def q_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = (load_table(spark, sf_dir, "documents")
          .filter(F.col("text").isNotNull()))
     toks = d.select("source", F.explode(F.split("text", _TOK)).alias("tok"))
-    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("k"))
+    # Cached: the totals aggregate and the scoring join both consume
+    # the vocabulary — one materialization instead of two corpus
+    # explodes (round-10 repeated-subtree audit; the q_pagerank |V|
+    # pattern would not help here because BOTH consumers need the full
+    # |V|-row relation, not a scalar).
+    vocab = _VOCAB_SLOT.own(
+        toks.groupBy("tok").agg(F.count(F.lit(1)).alias("k")))
     tot = vocab.agg(F.sum("k").alias("big_n"), F.count(F.lit(1)).alias("v"))
     scored = (toks.join(vocab, "tok").crossJoin(F.broadcast(tot))
               .select("source",

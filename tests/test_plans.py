@@ -1700,3 +1700,56 @@ def test_perplexity_vocab_join_and_totals_broadcast(spark):
     assert_plan(get("q_perplexity").fn(spark, SF),
                 contains=("Generate", "HashAggregate"),
                 absent=("CartesianProduct",))
+
+
+def test_target_encode_stats_cached_single_fact_pass(spark):
+    """LOO target encoding: the |categories|-row stats table is cached,
+    so the encode join and the global-rate aggregate share ONE fact
+    pass — at most one LIVE orders scan (the probe side) outside the
+    cached relation's rendering."""
+    def _indent(line: str) -> int:
+        body = line.lstrip(" :+-*(0123456789)")
+        return len(line) - len(body)
+
+    df = get("q_target_encode").fn(spark, SF)
+    df.collect()
+    phys = df._jdf.queryExecution().executedPlan().toString() \
+        .split("== Initial Plan ==")[0]
+    cache_stack: list[int] = []
+    live = 0
+    for line in phys.splitlines():
+        ind = _indent(line)
+        while cache_stack and ind <= cache_stack[-1]:
+            cache_stack.pop()
+        if "InMemoryRelation" in line:
+            cache_stack.append(ind)
+        if ("Scan parquet" in line or "FileScan" in line) \
+                and not cache_stack:
+            live += 1
+    assert live <= 1, phys
+
+
+def test_perplexity_vocab_cached(spark):
+    """Perplexity: the vocabulary is cached, so the totals aggregate
+    and the scoring join share one corpus explode — at most one LIVE
+    documents scan (the scoring pass) outside the cached rendering."""
+    def _indent(line: str) -> int:
+        body = line.lstrip(" :+-*(0123456789)")
+        return len(line) - len(body)
+
+    df = get("q_perplexity").fn(spark, SF)
+    df.collect()
+    phys = df._jdf.queryExecution().executedPlan().toString() \
+        .split("== Initial Plan ==")[0]
+    cache_stack: list[int] = []
+    live = 0
+    for line in phys.splitlines():
+        ind = _indent(line)
+        while cache_stack and ind <= cache_stack[-1]:
+            cache_stack.pop()
+        if "InMemoryRelation" in line:
+            cache_stack.append(ind)
+        if ("Scan parquet" in line or "FileScan" in line) \
+                and not cache_stack:
+            live += 1
+    assert live <= 1, phys
