@@ -140,6 +140,9 @@ EXTRA = [
     "q_hhi",
     "q_topk_overlap",
     "q_perplexity",
+    "q_ttr_hapax",
+    "q_outlier_iqr",
+    "q_compress_ratio",
 ]
 
 

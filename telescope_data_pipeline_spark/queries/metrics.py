@@ -884,3 +884,173 @@ def q_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
                  (F.round(ce, 6) + 0.0).alias("cross_entropy"),
                  (F.round(F.exp(ce), 6) + 0.0).alias("perplexity"))
             .orderBy("source"))
+
+
+# ---------------------------------------------------------------------------
+# Lexical diversity: type-token ratio + hapax fraction per source
+# ---------------------------------------------------------------------------
+
+@query("q_ttr_hapax", oracle=r"""
+WITH toks AS (
+  SELECT source, UNNEST(string_split_regex(text, '\s+')) AS tok
+  FROM documents WHERE text IS NOT NULL
+), tc AS (
+  SELECT source, tok, COUNT(*) AS k FROM toks GROUP BY 1, 2
+)
+SELECT source,
+       CAST(SUM(k) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(SUM(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       ROUND(COUNT(*)::DOUBLE / NULLIF(SUM(k), 0), 6) + 0.0 AS ttr,
+       ROUND(SUM(CASE WHEN k = 1 THEN 1 ELSE 0 END)::DOUBLE
+             / NULLIF(COUNT(*), 0), 6) + 0.0 AS hapax_frac
+FROM tc GROUP BY source ORDER BY source
+""")
+def q_ttr_hapax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical diversity per source: type-token ratio and the hapax-
+    legomenon fraction (share of vocabulary appearing exactly once) —
+    the classic template-detection signals beside q_char_entropy and
+    q_ngram_repetition: machine-generated or boilerplate-heavy sources
+    show collapsed TTR and hapax rates while looking normal to
+    length/punctuation heuristics.
+
+    Determinism: per-(source, token) counts are exact integers; both
+    ratios are single integer divisions, NULLIF-guarded for empty
+    sources.
+
+    Scale: one (source, token) map-side-combined groupBy, then a
+    |sources|-key rollup over the count table — the q_token_topk
+    vocabulary shuffle, reused."""
+    tc = (load_table(spark, sf_dir, "documents")
+          .filter(F.col("text").isNotNull())
+          .select("source", F.explode(F.split("text", _TOK)).alias("tok"))
+          .groupBy("source", "tok").agg(F.count(F.lit(1)).alias("k")))
+    hapax = F.sum(F.when(F.col("k") == 1, 1).otherwise(0))
+    return (tc.groupBy("source")
+            .agg(F.sum("k").cast("long").alias("n_tokens"),
+                 F.count(F.lit(1)).cast("long").alias("n_types"),
+                 hapax.cast("long").alias("n_hapax"),
+                 (F.round(F.count(F.lit(1)).cast("double")
+                          / F.nullif(F.sum("k"), F.lit(0)), 6) + 0.0)
+                 .alias("ttr"),
+                 (F.round(hapax.cast("double")
+                          / F.nullif(F.count(F.lit(1)), F.lit(0)), 6)
+                  + 0.0).alias("hapax_frac"))
+            .orderBy("source"))
+
+
+# ---------------------------------------------------------------------------
+# IQR-fence outlier audit per stream
+# ---------------------------------------------------------------------------
+
+@query("q_outlier_iqr", oracle="""
+WITH q AS (
+  SELECT event_type,
+         PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY value) AS q1,
+         PERCENTILE_CONT(0.75) WITHIN GROUP (ORDER BY value) AS q3,
+         COUNT(value) AS n
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       CAST(MAX(q.n) AS BIGINT) AS n,
+       ROUND(MAX(q.q1), 6) + 0.0 AS q1,
+       ROUND(MAX(q.q3), 6) + 0.0 AS q3,
+       CAST(SUM(CASE WHEN e.value < q.q1 - 1.5 * (q.q3 - q.q1)
+                       OR e.value > q.q3 + 1.5 * (q.q3 - q.q1)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       ROUND(SUM(CASE WHEN e.value < q.q1 - 1.5 * (q.q3 - q.q1)
+                        OR e.value > q.q3 + 1.5 * (q.q3 - q.q1)
+                      THEN 1 ELSE 0 END)::DOUBLE / NULLIF(MAX(q.n), 0),
+             6) + 0.0 AS outlier_rate
+FROM events e JOIN q USING (event_type)
+WHERE e.value IS NOT NULL
+GROUP BY e.event_type ORDER BY e.event_type
+""")
+def q_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey IQR-fence outlier audit per stream: count and rate of
+    values outside [Q1 - 1.5*IQR, Q3 + 1.5*IQR] — the third robust
+    outlier gate beside q_anomaly_mad (median/MAD) and q_winsorize
+    (percentile clamp): the IQR fence is the box-plot rule dashboards
+    and data-quality suites quote, distribution-free and resistant to
+    the outliers it hunts.
+
+    Determinism: exact interpolated quartiles (Spark percentile ==
+    PERCENTILE_CONT, the q_agg_percentile anchor); the fence test is
+    evaluated per row against the per-group quartiles identically on
+    both engines; counts are exact integers.
+
+    Scale: the quartile pass needs per-group sorted values (exact form
+    — the correctness anchor; at 100 TB swap in approx_percentile's
+    mergeable t-digest), then one broadcast-sized |groups|-row join
+    back onto the stream for the fence count."""
+    ev = load_table(spark, sf_dir, "events")
+    q = (ev.groupBy("event_type")
+         .agg(F.percentile("value", F.lit(0.25)).alias("q1"),
+              F.percentile("value", F.lit(0.75)).alias("q3"),
+              F.count("value").alias("n")))
+    iqr = F.col("q3") - F.col("q1")
+    is_out = ((F.col("value") < F.col("q1") - 1.5 * iqr)
+              | (F.col("value") > F.col("q3") + 1.5 * iqr))
+    return (ev.filter(F.col("value").isNotNull())
+            .join(F.broadcast(q), "event_type")
+            .groupBy("event_type")
+            .agg(F.max("n").cast("long").alias("n"),
+                 (F.round(F.max("q1"), 6) + 0.0).alias("q1"),
+                 (F.round(F.max("q3"), 6) + 0.0).alias("q3"),
+                 F.sum(F.when(is_out, 1).otherwise(0)).cast("long")
+                 .alias("n_outliers"),
+                 (F.round(F.sum(F.when(is_out, 1).otherwise(0))
+                          .cast("double")
+                          / F.nullif(F.max("n"), F.lit(0)), 6) + 0.0)
+                 .alias("outlier_rate"))
+            .orderBy("event_type"))
+
+
+# ---------------------------------------------------------------------------
+# Compression-ratio quality signal (zlib, executor-side)
+# ---------------------------------------------------------------------------
+
+@query("q_compress_ratio")  # rows-only: DuckDB has no zlib — golden-tested
+def q_compress_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document zlib compression ratio (compressed/raw bytes) for
+    a deterministic 1/10 keyed sample — the Gopher/FineWeb-style
+    redundancy signal: highly compressible text is repetitive
+    boilerplate, near-incompressible text is noise/binary spill; both
+    tails get filtered before training. ROWS-ONLY by nature (no zlib
+    in the oracle engine); pinned by golden tests on planted
+    repetitive / random / empty corpora (test_training_data_ops.py)
+    and by the cross-engine-free determinism of zlib level 6 on
+    identical bytes.
+
+    Scale: map-only Arrow batches (mapInPandas) — compression runs
+    executor-side on each partition's documents, no shuffle at all;
+    the sample filter prunes before the Python stage."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    d = (load_table(spark, sf_dir, "documents")
+         .filter(F.col("text").isNotNull()
+                 & (F.col("doc_id") % 10 == 0))
+         .select("doc_id", "source", "text"))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import zlib
+
+        for pdf in batches:
+            raw = pdf["text"].str.encode("utf-8")
+            n_raw = raw.str.len().astype("int64")
+            n_comp = raw.map(lambda b: len(zlib.compress(b, 6))) \
+                .astype("int64")
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "source": pdf["source"],
+                "n_raw": n_raw,
+                "n_compressed": n_comp,
+                "ratio": (n_comp / n_raw.clip(lower=1)).round(6),
+            })
+
+    return d.mapInPandas(
+        kernel,
+        schema=("doc_id long, source string, n_raw long, "
+                "n_compressed long, ratio double"))

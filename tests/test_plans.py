@@ -1753,3 +1753,34 @@ def test_perplexity_vocab_cached(spark):
                 and not cache_stack:
             live += 1
     assert live <= 1, phys
+
+
+def test_ttr_hapax_vocab_rollup(spark):
+    """TTR/hapax: one (source, token) groupBy then a sources rollup —
+    no joins, no windows."""
+    from telescope_data_pipeline_spark.plans.audit import physical_plan
+
+    plan = physical_plan(get("q_ttr_hapax").fn(spark, SF))
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_outlier_iqr_broadcast_fences(spark):
+    """IQR outliers: the per-group quartile table joins back onto the
+    stream as a BROADCAST — the fact table never shuffles for the
+    fence test."""
+    assert_plan(get("q_outlier_iqr").fn(spark, SF),
+                contains=("BroadcastHashJoin", "HashAggregate"),
+                absent=("CartesianProduct", "SortMergeJoin"))
+
+
+def test_compress_ratio_map_only(spark):
+    """Compression ratio: the zlib kernel is a map-only Arrow stage —
+    no Exchange, no join; the sample filter sits under the Python
+    node."""
+    from telescope_data_pipeline_spark.plans.audit import physical_plan
+
+    plan = physical_plan(get("q_compress_ratio").fn(spark, SF))
+    assert "Join" not in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "MapInPandas" in plan, plan

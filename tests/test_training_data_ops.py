@@ -572,3 +572,35 @@ def test_kmeans_sse_monotone_and_converges(spark):
               kmeans_iterate(e, k=8, iters=41)
               .select("vec_id", "cid").collect()}
     assert a_conv == a_more
+
+
+def test_compress_ratio_separates_boilerplate_from_noise(spark, tmp_path):
+    """zlib compression ratio (q_compress_ratio): planted repetitive
+    text must compress far below random text, byte counts must be
+    exact, and the keyed 1/10 sample must only emit doc_id % 10 == 0."""
+    import random
+    import string
+    import zlib
+
+    rep = "the same boilerplate line repeats here. " * 50
+    rng = random.Random(7)
+    noise = "".join(rng.choice(string.ascii_letters + " ")
+                    for _ in range(2000))
+    rows = [(0, rep, "en", "rep_src", len(rep)),
+            (10, noise, "en", "noise_src", len(noise)),
+            (20, "tiny", "en", "tiny_src", 4),
+            (3, "excluded by the sample key", "en", "skip_src", 26)]
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long") \
+        .coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = {r["doc_id"]: r for r in
+           all_queries()["q_compress_ratio"].fn(spark, d).collect()}
+    assert set(out) == {0, 10, 20}  # 1/10 keyed sample, never random
+    assert out[0]["n_raw"] == len(rep.encode())
+    assert out[0]["n_compressed"] == len(zlib.compress(rep.encode(), 6))
+    assert out[0]["ratio"] < 0.1          # boilerplate collapses
+    assert out[10]["ratio"] > 0.5         # noise barely compresses
+    assert out[0]["ratio"] < out[10]["ratio"]
+    assert out[20]["n_raw"] == 4          # tiny doc survives the clip
