@@ -775,3 +775,92 @@ def sprt_decisions(stream: DataFrame) -> DataFrame:
                 outputMode="update",
                 timeoutConf=GroupStateTimeout.NoTimeout,
             ))
+
+
+# ---------------------------------------------------------------------------
+# Streaming EWMA (live twin of the batch q_ewma, queries/analysis.py —
+# the monitoring family's smoother runs naturally as a stream: each
+# closed DAY folds once into s = (mu + s)/2, so per-key state is five
+# scalars regardless of stream length). The open (current) day's exact
+# micro-unit sum/count ride in state; a day closes when a later-day
+# row arrives. The readout emits both the closed-days EWMA and the
+# provisional value folding the still-open day — after the stream
+# drains, the provisional equals the batch q_ewma bit-for-bit (daily
+# means are exact integers; the fold is the same IEEE double sequence).
+# ---------------------------------------------------------------------------
+
+EWMA_STATE_SCHEMA = T.StructType([
+    T.StructField("day_epoch", T.LongType()),    # open day, days from epoch
+    T.StructField("day_sum", T.LongType()),      # micro-units, exact
+    T.StructField("day_cnt", T.LongType()),
+    T.StructField("ewma", T.DoubleType()),       # over CLOSED days
+    T.StructField("n_closed", T.LongType()),
+])
+
+EWMA_OUT_SCHEMA = T.StructType([
+    T.StructField("event_type", T.StringType()),
+    T.StructField("n_days", T.LongType()),       # closed + open
+    T.StructField("ewma_closed", T.DoubleType()),
+    T.StructField("ewma", T.DoubleType()),       # provisional incl. open day
+])
+
+
+def _ewma_update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+    import numpy as np
+
+    day0, dsum, dcnt, ewma, n_closed = (
+        state.get if state.exists else (None, 0, 0, 0.0, 0))
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    batch = batch.sort_values(["ts", "event_id"], kind="mergesort")
+    days = (batch["ts"].to_numpy().astype("datetime64[D]")
+            .astype("int64"))
+    micro = np.rint(batch["value"].to_numpy() * 1e6).astype(np.int64)
+
+    def close_day() -> None:
+        nonlocal ewma, n_closed
+        mu = int(round(dsum / dcnt))  # exact ints; one rounded division
+        ewma = float(mu) if n_closed == 0 else (mu + ewma) / 2.0
+        n_closed += 1
+
+    for d, v in zip(days, micro):
+        d = int(d)
+        if day0 is None:
+            day0, dsum, dcnt = d, 0, 0
+        elif d != day0:
+            close_day()
+            day0, dsum, dcnt = d, 0, 0
+        dsum += int(v)
+        dcnt += 1
+    state.update((day0, dsum, dcnt, ewma, n_closed))
+    if dcnt:
+        mu_open = int(round(dsum / dcnt))
+        provisional = (float(mu_open) if n_closed == 0
+                       else (mu_open + ewma) / 2.0)
+    else:
+        provisional = ewma
+    yield pd.DataFrame([{
+        "event_type": key[0],
+        "n_days": n_closed + (1 if dcnt else 0),
+        "ewma_closed": (round(ewma / 1e6, 6) + 0.0) if n_closed else None,
+        "ewma": round(provisional / 1e6, 6) + 0.0,
+    }])
+
+
+def ewma_daily(stream: DataFrame) -> DataFrame:
+    """Streaming EWMA (alpha = 0.5) over each stream's daily mean
+    series: five scalars of state per key, one fold per CLOSED day.
+    Exact-parity twin of the batch q_ewma when batches arrive in
+    event-time order (the provisional `ewma` column equals the batch
+    value once the stream drains); under out-of-order arrival a
+    late row lands in the OPEN day's sums — day boundaries are the
+    watermark granularity a production deployment would enforce."""
+    s = (stream.filter(F.col("value").isNotNull())
+         .select("event_type", "ts", "event_id", "value"))
+    return (s.groupBy("event_type")
+            .applyInPandasWithState(
+                _ewma_update,
+                outputStructType=EWMA_OUT_SCHEMA,
+                stateStructType=EWMA_STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            ))

@@ -482,3 +482,45 @@ def test_sprt_stream_matches_batch_decision(spark):
             assert row["n_at_decision"] == w["n_at_decision"], et
             assert abs(row["llr_at_decision"] - w["llr_at_decision"]) \
                 < 1e-9, et
+
+
+def test_ewma_stream_matches_batch(spark):
+    """Streaming EWMA: time-ordered micro-batches must reproduce the
+    batch q_ewma value exactly once the stream drains — daily means
+    are exact micro-unit integers and the per-closed-day fold is the
+    identical IEEE double sequence, so no tolerance is needed beyond
+    the shared 6-digit rounding."""
+    import os
+    import shutil
+
+    from telescope_data_pipeline_spark.queries import get
+    from telescope_data_pipeline_spark.streaming.stateful import ewma_daily
+
+    d = tempfile.mkdtemp(prefix="ewma_")
+    ev = (load_table(spark, SF, "events")
+          .orderBy("ts", "event_id").toPandas())
+    k = len(ev) // 3
+    for i, chunk in enumerate((ev[:k], ev[k:2 * k], ev[2 * k:])):
+        p = f"{d}/part-{i}.parquet"
+        chunk.to_parquet(p, engine="pyarrow", coerce_timestamps="us",
+                         index=False)
+        os.utime(p, (1700000000 + i, 1700000000 + i))
+    stream = read_event_stream(spark, d, max_files_per_trigger=1)
+
+    latest: dict = {}
+    q = (ewma_daily(stream)
+         .writeStream.outputMode("update")
+         .foreachBatch(lambda df, _bid: latest.update(
+             {r["event_type"]: r for _, r in df.toPandas().iterrows()}))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    assert len(q.recentProgress) >= 3
+
+    sf_like = tempfile.mkdtemp(prefix="ewma_sf_")
+    shutil.copytree(d, f"{sf_like}/events.parquet")
+    want = get("q_ewma").fn(spark, sf_like).toPandas().set_index(
+        "event_type")
+    assert set(latest) == set(want.index)
+    for et, row in latest.items():
+        assert row["n_days"] == want.loc[et, "n_days"], et
+        assert row["ewma"] == want.loc[et, "ewma"], et
