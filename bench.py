@@ -143,6 +143,9 @@ EXTRA = [
     "q_ttr_hapax",
     "q_outlier_iqr",
     "q_compress_ratio",
+    "q_nelson_aalen",
+    "q_krippendorff",
+    "q_silhouette",
 ]
 
 

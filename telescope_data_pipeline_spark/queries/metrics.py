@@ -1054,3 +1054,292 @@ def q_compress_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         kernel,
         schema=("doc_id long, source string, n_raw long, "
                 "n_compressed long, ratio double"))
+
+
+# ---------------------------------------------------------------------------
+# Nelson-Aalen cumulative hazard
+# ---------------------------------------------------------------------------
+
+@query("q_nelson_aalen", oracle="""
+WITH per_user AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS t0,
+         MIN(CASE WHEN event_type = 'purchase' THEN CAST(ts AS DATE) END)
+           AS tp
+  FROM events GROUP BY user_id
+), horizon AS (
+  SELECT MAX(CAST(ts AS DATE)) AS tmax FROM events
+), durs AS (
+  SELECT CASE WHEN tp IS NOT NULL THEN date_diff('day', t0, tp)
+              ELSE date_diff('day', t0, tmax) END AS d_days,
+         (tp IS NOT NULL) AS is_event
+  FROM per_user CROSS JOIN horizon
+), tbl AS (
+  SELECT d_days,
+         COUNT(*) FILTER (WHERE is_event) AS d,
+         COUNT(*) FILTER (WHERE NOT is_event) AS c
+  FROM durs GROUP BY d_days
+), curve AS (
+  SELECT d_days, d, c,
+         (SELECT COUNT(*) FROM durs) - COALESCE(SUM(d + c) OVER (
+            ORDER BY d_days ROWS BETWEEN UNBOUNDED PRECEDING
+            AND 1 PRECEDING), 0) AS n_risk
+  FROM tbl
+), terms AS (
+  SELECT d_days, d, c, n_risk,
+         CAST(ROUND(d::DOUBLE / n_risk * 1000000000) AS BIGINT) AS h_nano,
+         CAST(ROUND(d::DOUBLE / (n_risk::DOUBLE * n_risk) * 1000000000)
+              AS BIGINT) AS v_nano
+  FROM curve
+)
+SELECT CAST(d_days AS BIGINT) AS d_days,
+       CAST(n_risk AS BIGINT) AS n_risk, CAST(d AS BIGINT) AS d_events,
+       ROUND(SUM(h_nano) OVER w / 1e9, 6) + 0.0 AS cum_hazard,
+       ROUND(SUM(v_nano) OVER w / 1e9, 6) + 0.0 AS hazard_var
+FROM terms
+WINDOW w AS (ORDER BY d_days ROWS BETWEEN UNBOUNDED PRECEDING
+             AND CURRENT ROW)
+""")
+def q_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard for time-to-first-purchase —
+    Kaplan-Meier's additive sibling: H(t) = sum over event days of
+    d_i/n_i with variance sum d_i/n_i^2 (Klein-Moeschberger form).
+    The hazard view is what rate-comparison and churn-model
+    diagnostics plot (a straight line means constant hazard); KM's
+    product form answers "what fraction survive", this answers "how
+    intense is the risk". Same censoring construction as
+    q_kaplan_meier.
+
+    Determinism: d and n_risk are exact integers from the shared
+    duration table; each increment d/n (and d/n^2) is quantized to
+    integer nano-units BEFORE the cumulative window sum — order-free,
+    the q_kaplan_meier recipe with a sum instead of a log-product.
+
+    Scale: identical to q_kaplan_meier — user aggregate, 1-row horizon
+    broadcast, cumulative windows over the BOUNDED distinct-lag
+    table."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = (ev.groupBy("user_id")
+                .agg(F.min(F.col("ts").cast("date")).alias("t0"),
+                     F.min(F.when(F.col("event_type") == "purchase",
+                                  F.col("ts").cast("date"))).alias("tp")))
+    horizon = ev.agg(F.max(F.col("ts").cast("date")).alias("tmax"))
+    durs = (per_user.crossJoin(F.broadcast(horizon))
+            .select(F.when(F.col("tp").isNotNull(),
+                           F.datediff("tp", "t0"))
+                    .otherwise(F.datediff("tmax", "t0")).alias("d_days"),
+                    F.col("tp").isNotNull().alias("is_event")))
+    tbl = (durs.groupBy("d_days")
+           .agg(F.count(F.when(F.col("is_event"), 1)).alias("d"),
+                F.count(F.when(~F.col("is_event"), 1)).alias("c")))
+    total = durs.agg(F.count(F.lit(1)).alias("n_total"))
+    w_prev = W.orderBy("d_days").rowsBetween(W.unboundedPreceding, -1)
+    curve = (tbl.crossJoin(F.broadcast(total))
+             .withColumn("n_risk",
+                         F.col("n_total")
+                         - F.coalesce(F.sum(F.col("d") + F.col("c"))
+                                      .over(w_prev), F.lit(0))))
+    terms = curve.select(
+        "d_days", "d", "n_risk",
+        F.round(F.col("d").cast("double") / F.col("n_risk") * 1e9)
+        .cast("long").alias("h_nano"),
+        F.round(F.col("d").cast("double")
+                / (F.col("n_risk").cast("double") * F.col("n_risk")) * 1e9)
+        .cast("long").alias("v_nano"))
+    w_cum = W.orderBy("d_days").rowsBetween(W.unboundedPreceding, 0)
+    return terms.select(
+        F.col("d_days").cast("long").alias("d_days"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d").cast("long").alias("d_events"),
+        (F.round(F.sum("h_nano").over(w_cum) / 1e9, 6) + 0.0)
+        .alias("cum_hazard"),
+        (F.round(F.sum("v_nano").over(w_cum) / 1e9, 6) + 0.0)
+        .alias("hazard_var"))
+
+
+# ---------------------------------------------------------------------------
+# Krippendorff's alpha (nominal, 3 raters)
+# ---------------------------------------------------------------------------
+
+@query("q_krippendorff", oracle=r"""
+WITH feats AS (
+  SELECT doc_id,
+         CASE WHEN n_chars < 200 THEN 0 WHEN n_chars < 400 THEN 1
+              ELSE 2 END AS r_chars,
+         CASE WHEN len(string_split_regex(text, '\s+')) < 40 THEN 0
+              WHEN len(string_split_regex(text, '\s+')) < 80 THEN 1
+              ELSE 2 END AS r_words,
+         CASE WHEN GREATEST(len(string_split_regex(text, '[.!?]+')) - 1, 1)
+                   < 3 THEN 0
+              WHEN GREATEST(len(string_split_regex(text, '[.!?]+')) - 1, 1)
+                   < 6 THEN 1
+              ELSE 2 END AS r_sents
+  FROM documents WHERE text IS NOT NULL
+), long_form AS (
+  SELECT doc_id, r_chars AS cat FROM feats
+  UNION ALL SELECT doc_id, r_words FROM feats
+  UNION ALL SELECT doc_id, r_sents FROM feats
+), cell AS (
+  SELECT doc_id, cat, COUNT(*) AS nij FROM long_form GROUP BY 1, 2
+), per_item AS (
+  SELECT doc_id, SUM(nij * nij) AS s2 FROM cell GROUP BY doc_id
+), marg AS (
+  SELECT cat, SUM(nij) AS nc FROM cell GROUP BY cat
+), agg AS (
+  SELECT (SELECT COUNT(*) FROM per_item) AS n_items,
+         (SELECT SUM(s2) FROM per_item) AS ss2,
+         (SELECT SUM(nc * nc) FROM marg) AS snc2
+)
+SELECT CAST(n_items AS BIGINT) AS n_items,
+       ROUND((9.0 * n_items - ss2) / 2, 6) + 0.0 AS d_observed,
+       ROUND((9.0 * n_items * n_items - snc2)
+             / NULLIF(3.0 * n_items - 1, 0) / 3, 6) + 0.0 AS d_expected,
+       ROUND(1 - ((9.0 * n_items - ss2) / 2)
+                 / NULLIF((9.0 * n_items * n_items - snc2)
+                          / NULLIF(3.0 * n_items - 1, 0) / 3, 0),
+             6) + 0.0 AS alpha
+FROM agg
+""")
+def q_krippendorff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's alpha (nominal data, 3 raters) — the agreement
+    coefficient that, unlike q_cohens_kappa (2 raters) and
+    q_fleiss_kappa (chance from rater-pooled marginals), is built on
+    COINCIDENCE counts and generalizes to missing ratings and other
+    metrics; alpha is what annotation-quality literature reports.
+    Same three length-proxy raters as q_fleiss_kappa, so the two
+    coefficients are directly comparable on this corpus.
+
+    Math (m = 3 raters everywhere): observed disagreement
+    Do = sum_i (m^2 - sum_c n_ic^2) / (m - 1) = (9N - SS2)/2;
+    coincidence marginals n_c equal the category totals C_c with
+    n = 3N, so expected disagreement
+    De = (n^2 - sum_c C_c^2)/(n - 1) scaled by 1/3 to match Do's
+    per-item normalization; alpha = 1 - Do/De.
+
+    Determinism: SS2 and the marginal squares are exact integer sums;
+    alpha is one identical double expression, degenerate corpora
+    (single category -> De = 0) NULLIF to undefined.
+
+    Scale: identical to q_fleiss_kappa — explode to 3N rows, two
+    map-side-combined groupBys, scalar output."""
+    d = (load_table(spark, sf_dir, "documents")
+         .filter(F.col("text").isNotNull()))
+    n_words = F.size(F.split("text", _TOK))
+    n_sents = F.greatest(F.size(F.split("text", r"[.!?]+")) - 1, F.lit(1))
+    bucket = (lambda c, lo, hi: F.when(c < lo, 0).when(c < hi, 1)
+              .otherwise(2))
+    long_form = d.select(
+        "doc_id",
+        F.explode(F.array(
+            bucket(F.col("n_chars"), 200, 400),
+            bucket(n_words, 40, 80),
+            bucket(n_sents, 3, 6))).alias("cat"))
+    cell = long_form.groupBy("doc_id", "cat").agg(
+        F.count(F.lit(1)).alias("nij"))
+    per_item = cell.groupBy("doc_id").agg(
+        F.sum(F.col("nij") * F.col("nij")).alias("s2"))
+    marg = cell.groupBy("cat").agg(F.sum("nij").alias("nc"))
+    agg = (per_item.agg(F.count(F.lit(1)).alias("n_items"),
+                        F.sum("s2").alias("ss2"))
+           .crossJoin(F.broadcast(
+               marg.agg(F.sum(F.col("nc") * F.col("nc")).alias("snc2")))))
+    n = F.col("n_items").cast("double")
+    do = (9.0 * n - F.col("ss2")) / 2
+    de = ((9.0 * n * n - F.col("snc2"))
+          / F.nullif(3.0 * n - 1, F.lit(0.0)) / 3)
+    return agg.select(
+        F.col("n_items").cast("long").alias("n_items"),
+        (F.round(do, 6) + 0.0).alias("d_observed"),
+        (F.round(de, 6) + 0.0).alias("d_expected"),
+        (F.round(1 - do / F.nullif(de, F.lit(0.0)), 6) + 0.0)
+        .alias("alpha"))
+
+
+# ---------------------------------------------------------------------------
+# Centroid silhouette per label
+# ---------------------------------------------------------------------------
+
+@query("q_silhouette", oracle="""
+WITH dims AS (
+  -- DuckDB v1.0 has no WITH ORDINALITY; parallel UNNESTs zip
+  SELECT vec_id, label, UNNEST(embedding) AS x,
+         UNNEST(range(1, len(embedding) + 1)) AS i
+  FROM embeddings
+), cent AS (
+  SELECT label AS clabel, i,
+         SUM(CAST(ROUND(x * 1e9) AS BIGINT))::DOUBLE / COUNT(*) / 1e9
+           AS c
+  FROM dims GROUP BY 1, 2
+), dist AS (
+  SELECT d.vec_id, d.label, ct.clabel,
+         SUM(CAST(ROUND((d.x - ct.c) * (d.x - ct.c) * 1e9) AS BIGINT))
+           AS d2_nano
+  FROM dims d JOIN cent ct USING (i)
+  GROUP BY 1, 2, 3
+), ab AS (
+  SELECT vec_id, label,
+         MAX(CASE WHEN clabel = label THEN d2_nano END) AS a2,
+         MIN(CASE WHEN clabel != label THEN d2_nano END) AS b2
+  FROM dist GROUP BY 1, 2
+), s AS (
+  SELECT label,
+         CAST(ROUND((SQRT(b2 / 1e9) - SQRT(a2 / 1e9))
+                    / NULLIF(GREATEST(SQRT(a2 / 1e9), SQRT(b2 / 1e9)), 0)
+                    * 1e6) AS BIGINT) AS s_micro
+  FROM ab
+)
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(s_micro)::DOUBLE / 1e6 / COUNT(*), 6) + 0.0
+         AS mean_silhouette
+FROM s GROUP BY label ORDER BY label
+""")
+def q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid-based silhouette per label: s = (b - a)/max(a, b) with
+    a = distance to the OWN label centroid and b = distance to the
+    nearest OTHER centroid — the clustering-quality readout over the
+    embedding space (the simplified silhouette: O(n * k) centroid
+    distances instead of the classic O(n^2) pairwise form, which is
+    the only silhouette anyone runs at corpus scale). Completes the
+    class-geometry family: q_centroid_sim measures centroid-PAIR
+    angles, q_label_knn_noise audits points, this scores SEPARATION
+    per class.
+
+    Determinism: centroid coordinates are ratios of nano-quantized
+    integer dim sums (exact); every squared-distance is a per-dim
+    nano-quantized integer sum (order-free); per-point silhouettes are
+    micro-quantized before the class mean, and the b-argmin is an
+    integer comparison.
+
+    Scale: one explode to n x d cells, a (label, dim) centroid groupBy
+    (k x d rows, broadcast), one n x k distance aggregate — vectors
+    never pairwise-join; the n^2 form is exactly what this query
+    exists to avoid."""
+    e = load_table(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "vec_id", "label",
+        F.posexplode("embedding").alias("i", "x"))
+    cent = (dims.groupBy(F.col("label").alias("clabel"), "i")
+            .agg((F.sum(F.round(F.col("x") * 1e9).cast("long"))
+                  .cast("double") / F.count(F.lit(1)) / 1e9).alias("c")))
+    diff = F.col("x") - F.col("c")
+    dist = (dims.join(F.broadcast(cent), "i")
+            .groupBy("vec_id", "label", "clabel")
+            .agg(F.sum(F.round(diff * diff * 1e9).cast("long"))
+                 .alias("d2_nano")))
+    ab = (dist.groupBy("vec_id", "label")
+          .agg(F.max(F.when(F.col("clabel") == F.col("label"),
+                            F.col("d2_nano"))).alias("a2"),
+               F.min(F.when(F.col("clabel") != F.col("label"),
+                            F.col("d2_nano"))).alias("b2")))
+    a = F.sqrt(F.col("a2") / 1e9)
+    b = F.sqrt(F.col("b2") / 1e9)
+    s = ab.select(
+        "label",
+        F.round((b - a) / F.nullif(F.greatest(a, b), F.lit(0.0)) * 1e6)
+        .cast("long").alias("s_micro"))
+    return (s.groupBy(F.col("label").cast("long").alias("label"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 (F.round(F.sum("s_micro").cast("double") / 1e6
+                          / F.count(F.lit(1)), 6) + 0.0)
+                 .alias("mean_silhouette"))
+            .orderBy("label"))

@@ -1784,3 +1784,35 @@ def test_compress_ratio_map_only(spark):
     assert "Join" not in plan, plan
     assert "Exchange hashpartitioning" not in plan, plan
     assert "MapInPandas" in plan, plan
+
+
+def test_nelson_aalen_bounded_windows(spark):
+    """Nelson-Aalen: cumulative windows run over the BOUNDED
+    distinct-lag table (the q_kaplan_meier shape) — no fact-sized
+    join, no cartesian on data (the 1-row horizon broadcast is the
+    only cross join)."""
+    assert_plan(get("q_nelson_aalen").fn(spark, SF),
+                contains=("Window", "HashAggregate"),
+                absent=("CartesianProduct", "SortMergeJoin"))
+
+
+def test_krippendorff_joinless_groupbys(spark):
+    """Krippendorff's alpha: explode + two map-side-combined groupBys
+    + 1-row broadcast marginals — no data-sized join, no window."""
+    from telescope_data_pipeline_spark.plans.audit import physical_plan
+
+    plan = physical_plan(get("q_krippendorff").fn(spark, SF))
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_silhouette_centroid_broadcast_no_pairwise(spark):
+    """Silhouette: the k x d centroid table joins back as a BROADCAST
+    onto the exploded dims — the O(n^2) pairwise form must never
+    appear (no vector-vector join of any kind)."""
+    assert_plan(get("q_silhouette").fn(spark, SF),
+                contains=("Generate", "BroadcastHashJoin",
+                          "HashAggregate"),
+                absent=("CartesianProduct", "SortMergeJoin",
+                        "BroadcastNestedLoopJoin"))
