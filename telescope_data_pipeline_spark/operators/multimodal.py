@@ -1249,6 +1249,207 @@ def extract_image_features(media: DataFrame, batch_size_hint: int = 256) -> Data
     return images.mapInPandas(kernel, schema=IMAGE_FEATURES)
 
 
+def _probe_mp4(b: bytes) -> dict:
+    """Walk ISO BMFF (MP4/MOV) boxes and pull stream metadata without
+    decoding: brand, movie duration (mvhd), per-track handler +
+    sample-entry fourcc (hdlr/stsd), and video width/height (tkhd
+    16.16 fixed). Tolerant walk — a truncated box ends the scan with
+    whatever was found."""
+    out = {"container": "mp4", "brand": None, "duration_s": None,
+           "n_tracks": 0, "video_codec": None, "audio_codec": None,
+           "width": None, "height": None}
+
+    def walk(lo: int, hi: int, path: tuple = ()) -> None:
+        pos = lo
+        while pos + 8 <= hi:
+            size = int.from_bytes(b[pos:pos + 4], "big")
+            typ = b[pos + 4:pos + 8]
+            body = pos + 8
+            if size == 1:
+                if pos + 16 > hi:
+                    return
+                size = int.from_bytes(b[pos + 8:pos + 16], "big")
+                body = pos + 16
+            elif size == 0:
+                size = hi - pos
+            if size < 8 or pos + size > hi:
+                return
+            end = pos + size
+            if typ == b"ftyp":
+                out["brand"] = b[body:body + 4].decode("ascii", "replace")
+            elif typ in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
+                if typ == b"trak":
+                    out["n_tracks"] += 1
+                    walk(body, end, path + ("trak",))
+                else:
+                    walk(body, end, path)
+            elif typ == b"mvhd" and end - body >= 20:
+                ver = b[body]
+                if ver == 1 and end - body >= 28:
+                    ts = int.from_bytes(b[body + 20:body + 24], "big")
+                    dur = int.from_bytes(b[body + 24:body + 32], "big")
+                else:
+                    ts = int.from_bytes(b[body + 12:body + 16], "big")
+                    dur = int.from_bytes(b[body + 16:body + 20], "big")
+                if ts:
+                    out["duration_s"] = round(dur / ts, 6)
+            elif typ == b"tkhd" and "trak" in path:
+                ver = b[body]
+                off = body + (96 if ver == 1 else 84) - 8
+                if off + 8 <= end:
+                    w = int.from_bytes(b[off:off + 4], "big") >> 16
+                    h = int.from_bytes(b[off + 4:off + 8], "big") >> 16
+                    if w and h and out["width"] is None:
+                        out["width"], out["height"] = w, h
+            elif typ == b"hdlr" and end - body >= 12:
+                handler = b[body + 8:body + 12]
+                walk._last_handler = handler  # type: ignore[attr-defined]
+            elif typ == b"stsd" and end - body >= 16:
+                fourcc = b[body + 12:body + 16] \
+                    .decode("ascii", "replace").strip()
+                handler = getattr(walk, "_last_handler", b"")
+                if handler == b"vide" and out["video_codec"] is None:
+                    out["video_codec"] = fourcc
+                elif handler == b"soun" and out["audio_codec"] is None:
+                    out["audio_codec"] = fourcc
+            pos = end
+
+    walk(0, len(b))
+    return out
+
+
+def _ebml_varint(b: bytes, pos: int, keep_marker: bool) -> tuple[int, int]:
+    """Read one EBML variable-length integer at ``pos``; returns
+    (value, new_pos). IDs keep the length-marker bit, sizes strip it."""
+    if pos >= len(b) or b[pos] == 0:
+        raise CodecUnavailable("EBML varint invalid")
+    first = b[pos]
+    n = 1
+    while not first & (0x80 >> (n - 1)):
+        n += 1
+        if n > 8:
+            raise CodecUnavailable("EBML varint too long")
+    if pos + n > len(b):
+        raise CodecUnavailable("EBML varint truncated")
+    v = first if keep_marker else first & (0xFF >> n)
+    for i in range(1, n):
+        v = (v << 8) | b[pos + i]
+    return v, pos + n
+
+
+def _probe_matroska(b: bytes) -> dict:
+    """Walk Matroska/WebM EBML elements for Segment>Info duration and
+    Tracks metadata — container structure only, no block decoding."""
+    out = {"container": "matroska", "brand": None, "duration_s": None,
+           "n_tracks": 0, "video_codec": None, "audio_codec": None,
+           "width": None, "height": None}
+    ts_scale = 1_000_000  # ns per tick, spec default
+    dur_ticks = None
+
+    def walk(lo: int, hi: int, depth: int = 0) -> None:
+        nonlocal ts_scale, dur_ticks
+        pos = lo
+        while pos < hi and depth < 8:
+            try:
+                eid, pos = _ebml_varint(b, pos, keep_marker=True)
+                size, pos = _ebml_varint(b, pos, keep_marker=False)
+            except CodecUnavailable:
+                return
+            end = min(pos + size, hi)
+            data = b[pos:end]
+            if eid == 0x1A45DFA3:  # EBML header: grab DocType (0x4282)
+                i = 0
+                while i + 2 < len(data):
+                    if data[i] == 0x42 and data[i + 1] == 0x82:
+                        ln = data[i + 2] & 0x7F
+                        out["brand"] = data[i + 3:i + 3 + ln] \
+                            .decode("ascii", "replace")
+                        break
+                    i += 1
+            elif eid in (0x18538067, 0x1549A966, 0x1654AE6B, 0xAE,
+                         0xE0, 0xE1):  # Segment/Info/Tracks/Entry/V/A
+                if eid == 0xAE:
+                    out["n_tracks"] += 1
+                walk(pos, end, depth + 1)
+            elif eid == 0x2AD7B1:  # TimestampScale (uint ns)
+                ts_scale = int.from_bytes(data, "big") or ts_scale
+            elif eid == 0x4489:  # Duration (float ticks)
+                if len(data) == 4:
+                    dur_ticks = struct.unpack(">f", data)[0]
+                elif len(data) == 8:
+                    dur_ticks = struct.unpack(">d", data)[0]
+            elif eid == 0x83:  # TrackType
+                walk._ttype = data[-1] if data else 0  # type: ignore
+            elif eid == 0x86:  # CodecID
+                cid = data.decode("ascii", "replace")
+                ttype = getattr(walk, "_ttype", 0)
+                if ttype == 1 and out["video_codec"] is None:
+                    out["video_codec"] = cid
+                elif ttype == 2 and out["audio_codec"] is None:
+                    out["audio_codec"] = cid
+            elif eid == 0xB0:  # PixelWidth
+                out["width"] = int.from_bytes(data, "big")
+            elif eid == 0xBA:  # PixelHeight
+                out["height"] = int.from_bytes(data, "big")
+            pos = end
+
+    walk(0, len(b))
+    if dur_ticks is not None:
+        out["duration_s"] = round(dur_ticks * ts_scale / 1e9, 6)
+    return out
+
+
+PROBE_SCHEMA = ("media_id long, container string, brand string, "
+                "duration_s double, n_tracks int, video_codec string, "
+                "audio_codec string, width int, height int")
+
+
+def probe_media(media: DataFrame) -> DataFrame:
+    """Container-structure probe: parse MP4/MOV box trees and
+    Matroska/WebM EBML trees EXECUTOR-SIDE to extract duration, track
+    count, codec identifiers, and frame dimensions WITHOUT decoding a
+    single sample — the first pass a media-curation pipeline runs at
+    100 TB, because the probe reads only container headers and decides
+    which payloads are worth the expensive decode fan-out. Unknown
+    magics probe as container='unknown' with the declared metadata
+    passed through (synthetic fixtures stay useful); a RECOGNIZED
+    container that fails to parse yields NULL fields, never a crash —
+    probing is a triage step, not a validator.
+
+    Scale: map-only Arrow batches (mapInPandas), zero shuffle; the
+    payload column never leaves the executor."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows_out: dict[str, list] = {
+            k: [] for k in ("media_id", "container", "brand",
+                            "duration_s", "n_tracks", "video_codec",
+                            "audio_codec", "width", "height")}
+        for pdf in batches:
+            for mid, payload, dur in zip(pdf["media_id"], pdf["payload"],
+                                         pdf["duration_s"]):
+                b = bytes(payload) if payload is not None else b""
+                if len(b) >= 12 and b[4:8] == b"ftyp":
+                    info = _probe_mp4(b)
+                elif b[:4] == b"\x1a\x45\xdf\xa3":
+                    info = _probe_matroska(b)
+                else:
+                    info = {"container": "unknown", "brand": None,
+                            "duration_s": (float(dur)
+                                           if dur is not None else None),
+                            "n_tracks": 0, "video_codec": None,
+                            "audio_codec": None, "width": None,
+                            "height": None}
+                rows_out["media_id"].append(mid)
+                for k in ("container", "brand", "duration_s", "n_tracks",
+                          "video_codec", "audio_codec", "width", "height"):
+                    rows_out[k].append(info[k])
+            yield pd.DataFrame(rows_out)
+            rows_out = {k: [] for k in rows_out}
+
+    return media.select("media_id", "payload", "duration_s") \
+        .mapInPandas(kernel, schema=PROBE_SCHEMA)
+
+
 def sample_frames(media: DataFrame, every_s: float = 1.0) -> DataFrame:
     """Video frame sampling: one output row per sampled frame (UDTF shape —
     row explosion happens inside the Arrow batch, so output rows inherit
@@ -1768,6 +1969,51 @@ def _tiny_png(rng: np.random.Generator, side: int = 8,
             + _png_chunk(b"IEND", b""))
 
 
+def _mp4_box(typ: bytes, payload: bytes) -> bytes:
+    return (8 + len(payload)).to_bytes(4, "big") + typ + payload
+
+
+def _tiny_mp4_bytes(dur_s: float, w: int, h: int,
+                    timescale: int = 30000) -> bytes:
+    """Minimal REAL ISO BMFF container (ftyp + moov with one avc1 video
+    trak) for fixtures — enough structure for probe_media to read
+    brand/duration/codec/dims; no sample data."""
+    dur_ticks = int(round((dur_s or 0.0) * timescale))
+    mvhd = (b"\x00" * 12 + timescale.to_bytes(4, "big")
+            + dur_ticks.to_bytes(4, "big") + b"\x00" * 80)
+    tkhd = (b"\x00" * 76 + (w << 16).to_bytes(4, "big")
+            + (h << 16).to_bytes(4, "big"))
+    hdlr = b"\x00" * 8 + b"vide" + b"\x00" * 12
+    stsd = b"\x00" * 4 + (1).to_bytes(4, "big") + _mp4_box(b"avc1",
+                                                           b"\x00" * 8)
+    trak = _mp4_box(b"trak", _mp4_box(b"tkhd", tkhd) + _mp4_box(
+        b"mdia", _mp4_box(b"hdlr", hdlr) + _mp4_box(
+            b"minf", _mp4_box(b"stbl", _mp4_box(b"stsd", stsd)))))
+    return (_mp4_box(b"ftyp", b"isom" + b"\x00" * 8)
+            + _mp4_box(b"moov", _mp4_box(b"mvhd", mvhd) + trak))
+
+
+def _ebml_el(eid: bytes, payload: bytes) -> bytes:
+    return eid + bytes([0x80 | len(payload)]) + payload
+
+
+def _tiny_mkv_bytes(dur_s: float, w: int, h: int) -> bytes:
+    """Minimal REAL Matroska container (EBML header + Segment with
+    Info duration and one V_VP9 video track) for fixtures."""
+    header = _ebml_el(b"\x1a\x45\xdf\xa3",
+                      _ebml_el(b"\x42\x82", b"matroska"))
+    info = _ebml_el(b"\x15\x49\xa9\x66",
+                    _ebml_el(b"\x2a\xd7\xb1", (1000000).to_bytes(3, "big"))
+                    + _ebml_el(b"\x44\x89",
+                               struct.pack(">d", (dur_s or 0.0) * 1000)))
+    video = _ebml_el(b"\xe0", _ebml_el(b"\xb0", w.to_bytes(2, "big"))
+                     + _ebml_el(b"\xba", h.to_bytes(2, "big")))
+    track = _ebml_el(b"\xae", _ebml_el(b"\x83", b"\x01")
+                     + _ebml_el(b"\x86", b"V_VP9") + video)
+    tracks = _ebml_el(b"\x16\x54\xae\x6b", track)
+    return header + _ebml_el(b"\x18\x53\x80\x67", info + tracks)
+
+
 def _tiny_wav(rng: np.random.Generator, duration_s: float,
               sr: int = 4000) -> bytes:
     """A real, decodable 16-bit PCM WAV with a random tone (fixture)."""
@@ -1807,6 +2053,12 @@ def make_fake_media(spark, n: int = 64, seed: int = 7) -> DataFrame:
         elif modality == "audio" and (i // 3) % 4 == 0:
             payload = _tiny_wav(rng, dur)
             m = mime[modality]
+        elif modality == "video" and (i // 3) % 4 == 0:
+            payload = _tiny_mp4_bytes(dur_s=dur, w=64 + i, h=48 + i)
+            m = "video/mp4"
+        elif modality == "video" and (i // 3) % 4 == 1:
+            payload = _tiny_mkv_bytes(dur_s=dur, w=64 + i, h=48 + i)
+            m = "video/webm"
         else:
             payload = bytes(
                 rng.integers(0, 256, size=64, dtype=np.uint8).tolist())

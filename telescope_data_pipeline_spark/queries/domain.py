@@ -106,6 +106,22 @@ def q_media_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.round("zcr", 6).alias("zcr"))
 
 
+@query("q_media_probe", oracle=None)  # binary containers: rows-only check
+def q_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Container-structure probe (r10): parse MP4 box trees and
+    Matroska EBML trees executor-side — duration, track count, codec
+    four-cc/ID, and frame dimensions WITHOUT decoding a sample. The
+    triage pass a 100 TB media-curation pipeline runs before deciding
+    which payloads earn the expensive decode fan-out; the fixture
+    plants REAL minimal MP4 and WebM/Matroska containers alongside
+    synthetic payloads so both parsers and the unknown-magic
+    passthrough run in every demo (map-only Arrow, zero shuffle;
+    goldens in tests/test_multimodal.py pin exact parsed values)."""
+    from ..operators.multimodal import make_fake_media, probe_media
+
+    return probe_media(make_fake_media(spark))
+
+
 @query("q_pipeline_detect", oracle=None)  # image kernels: rows-only check
 def q_pipeline_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Star detection UDTF (reference core.py:116-146): synthetic planted-

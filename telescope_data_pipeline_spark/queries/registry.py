@@ -80,7 +80,7 @@ PRIORITY: tuple[str, ...] = (
     "q_forecast_accuracy", "q_novelty_rate", "q_ips_offpolicy",
     "q_hhi", "q_topk_overlap", "q_perplexity", "q_ttr_hapax",
     "q_outlier_iqr", "q_compress_ratio", "q_nelson_aalen",
-    "q_krippendorff", "q_silhouette",
+    "q_krippendorff", "q_silhouette", "q_media_probe",
     # (d1) oldest-green oracle backfill: last driver-checked in r4
     "q_join_cross", "q_join_full", "q_join_left", "q_join_nn2d",
     "q_scalar_null", "q_scan_orc", "q_sql_api", "q_subquery_scalar",

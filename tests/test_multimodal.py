@@ -2064,3 +2064,113 @@ def test_flac_corrupt_raises_typed_codec_error():
     broken[4 + 4 + 34] ^= 0xFF  # first frame sync byte
     with pytest.raises(CodecUnavailable, match="sync"):
         _decode_flac(bytes(broken))
+
+
+# ---------------------------------------------------------------------------
+# Container prober (MP4 boxes / Matroska EBML — structure, no decode)
+# ---------------------------------------------------------------------------
+
+def _box(typ, payload):
+    return (8 + len(payload)).to_bytes(4, "big") + typ + payload
+
+
+def _tiny_mp4(dur_ticks=90000, timescale=30000, w=640, h=360):
+    """Minimal ISO BMFF: ftyp + moov(mvhd + video trak + audio trak)."""
+    mvhd = (b"\x00" + b"\x00" * 3 + b"\x00" * 8
+            + timescale.to_bytes(4, "big") + dur_ticks.to_bytes(4, "big")
+            + b"\x00" * 80)
+    tkhd_v = (b"\x00" + b"\x00" * 3 + b"\x00" * 72
+              + (w << 16).to_bytes(4, "big") + (h << 16).to_bytes(4, "big"))
+    stsd_v = (b"\x00" * 4 + (1).to_bytes(4, "big")
+              + _box(b"avc1", b"\x00" * 8))
+    hdlr_v = b"\x00" * 8 + b"vide" + b"\x00" * 12
+    trak_v = _box(b"trak", _box(b"tkhd", tkhd_v) + _box(b"mdia",
+                  _box(b"hdlr", hdlr_v) + _box(b"minf", _box(b"stbl",
+                       _box(b"stsd", stsd_v)))))
+    hdlr_a = b"\x00" * 8 + b"soun" + b"\x00" * 12
+    stsd_a = (b"\x00" * 4 + (1).to_bytes(4, "big")
+              + _box(b"mp4a", b"\x00" * 8))
+    trak_a = _box(b"trak", _box(b"tkhd", b"\x00" * 84) + _box(b"mdia",
+                  _box(b"hdlr", hdlr_a) + _box(b"minf", _box(b"stbl",
+                       _box(b"stsd", stsd_a)))))
+    moov = _box(b"moov", _box(b"mvhd", mvhd) + trak_v + trak_a)
+    return _box(b"ftyp", b"isom" + b"\x00" * 8) + moov
+
+
+def _ebml(eid_bytes, payload):
+    n = len(payload)
+    assert n < 0x7F
+    return eid_bytes + bytes([0x80 | n]) + payload
+
+
+def _tiny_mkv(dur_ticks=2500.0, w=1280, h=720):
+    import struct as _s
+
+    header = _ebml(b"\x1a\x45\xdf\xa3",
+                   _ebml(b"\x42\x82", b"matroska"))
+    info = _ebml(b"\x15\x49\xa9\x66",
+                 _ebml(b"\x2a\xd7\xb1", (1000000).to_bytes(3, "big"))
+                 + _ebml(b"\x44\x89", _s.pack(">d", dur_ticks)))
+    video = _ebml(b"\xe0", _ebml(b"\xb0", w.to_bytes(2, "big"))
+                  + _ebml(b"\xba", h.to_bytes(2, "big")))
+    tr_v = _ebml(b"\xae", _ebml(b"\x83", b"\x01")
+                 + _ebml(b"\x86", b"V_VP9") + video)
+    tr_a = _ebml(b"\xae", _ebml(b"\x83", b"\x02")
+                 + _ebml(b"\x86", b"A_OPUS"))
+    tracks = _ebml(b"\x16\x54\xae\x6b", tr_v + tr_a)
+    segment = _ebml(b"\x18\x53\x80\x67", info + tracks)
+    return header + segment
+
+
+def test_probe_media_mp4_and_matroska(spark):
+    from telescope_data_pipeline_spark.operators.multimodal import (
+        probe_media,
+    )
+    from telescope_data_pipeline_spark.schemas import MEDIA
+
+    rows = [
+        (1, "video", bytearray(_tiny_mp4()), "video/mp4", None, None,
+         None, None),
+        (2, "video", bytearray(_tiny_mkv()), "video/webm", None, None,
+         None, None),
+        (3, "video", bytearray(b"\x00" * 64), None, None, None, 7.5,
+         None),
+    ]
+    media = spark.createDataFrame(rows, schema=MEDIA)
+    got = {r["media_id"]: r for r in probe_media(media).collect()}
+    mp4 = got[1]
+    assert mp4["container"] == "mp4" and mp4["brand"] == "isom"
+    assert mp4["duration_s"] == 3.0         # 90000 / 30000
+    assert mp4["n_tracks"] == 2
+    assert mp4["video_codec"] == "avc1" and mp4["audio_codec"] == "mp4a"
+    assert (mp4["width"], mp4["height"]) == (640, 360)
+    mkv = got[2]
+    assert mkv["container"] == "matroska" and mkv["brand"] == "matroska"
+    assert mkv["duration_s"] == 2.5         # 2500 ticks * 1ms
+    assert mkv["n_tracks"] == 2
+    assert mkv["video_codec"] == "V_VP9" and mkv["audio_codec"] == "A_OPUS"
+    assert (mkv["width"], mkv["height"]) == (1280, 720)
+    unk = got[3]
+    assert unk["container"] == "unknown" and unk["duration_s"] == 7.5
+
+
+def test_probe_media_truncated_containers_never_crash(spark):
+    """A RECOGNIZED container cut mid-box/mid-element probes to NULL
+    fields — triage never crashes on damage."""
+    from telescope_data_pipeline_spark.operators.multimodal import (
+        probe_media,
+    )
+    from telescope_data_pipeline_spark.schemas import MEDIA
+
+    rows = [
+        (1, "video", bytearray(_tiny_mp4()[:40]), None, None, None,
+         None, None),
+        (2, "video", bytearray(_tiny_mkv()[:10]), None, None, None,
+         None, None),
+    ]
+    media = spark.createDataFrame(rows, schema=MEDIA)
+    got = {r["media_id"]: r for r in probe_media(media).collect()}
+    assert got[1]["container"] == "mp4"       # ftyp parsed, moov gone
+    assert got[1]["duration_s"] is None
+    assert got[2]["container"] == "matroska"
+    assert got[2]["n_tracks"] == 0
