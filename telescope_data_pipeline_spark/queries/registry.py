@@ -58,7 +58,7 @@ _REGISTRY: dict[str, Query] = {}
 #: appended as they land, each with its oracle), and
 #: (d) rolling regression backfill with the oldest-green oracle
 #: cohort, now the round-4 then round-5 sets (VERDICT r9 item 7).
-#: The local sf0.01+sf0.1 oracle sweep still covers all 285 queries
+#: The local sf0.01+sf0.1 oracle sweep still covers all 292 queries
 #: per session.
 PRIORITY: tuple[str, ...] = (
     # (a) changed in round 10
@@ -81,7 +81,11 @@ PRIORITY: tuple[str, ...] = (
     "q_hhi", "q_topk_overlap", "q_perplexity", "q_ttr_hapax",
     "q_outlier_iqr", "q_compress_ratio", "q_nelson_aalen",
     "q_krippendorff", "q_silhouette", "q_media_probe",
-    # (d1) oldest-green oracle backfill: last driver-checked in r4
+    # (d1) oldest-green oracle backfill: last driver-checked in r4.
+    # The 32 round-10 group-(c) entries fill most of the 50-cap, so
+    # only the head of this cohort makes the window — first-time
+    # evidence for new operators outranks re-attesting locally-green
+    # r4 queries; the remainder rotates next round.
     "q_join_cross", "q_join_full", "q_join_left", "q_join_nn2d",
     "q_scalar_null", "q_scan_orc", "q_sql_api", "q_subquery_scalar",
     "q_window_firstlast", "q_window_ntile", "q_window_range",
