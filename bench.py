@@ -146,6 +146,8 @@ EXTRA = [
     "q_nelson_aalen",
     "q_krippendorff",
     "q_silhouette",
+    "q_mann_kendall",
+    "q_runs_test",
 ]
 
 

@@ -1343,3 +1343,184 @@ def q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
                           / F.count(F.lit(1)), 6) + 0.0)
                  .alias("mean_silhouette"))
             .orderBy("label"))
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall trend test per stream
+# ---------------------------------------------------------------------------
+
+@query("q_mann_kendall", oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(ROUND(SUM(CAST(ROUND(value * 1000000) AS BIGINT))::DOUBLE
+                    / COUNT(*)) AS BIGINT) AS mu
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT a.event_type,
+         CASE WHEN b.mu > a.mu THEN 1 WHEN b.mu < a.mu THEN -1
+              ELSE 0 END AS sgn
+  FROM daily a JOIN daily b ON b.event_type = a.event_type
+                           AND b.day > a.day
+), ties AS (
+  SELECT event_type, SUM(t * (t - 1) * (2 * t + 5)) AS tie_term
+  FROM (SELECT event_type, mu, COUNT(*) AS t FROM daily GROUP BY 1, 2)
+  GROUP BY event_type
+), s AS (
+  SELECT p.event_type, SUM(p.sgn) AS s_stat,
+         (SELECT COUNT(*) FROM daily d
+          WHERE d.event_type = p.event_type) AS n
+  FROM pairs p GROUP BY p.event_type
+)
+SELECT s.event_type, CAST(n AS BIGINT) AS n_days,
+       CAST(s_stat AS BIGINT) AS s_stat,
+       ROUND((s_stat - CASE WHEN s_stat > 0 THEN 1
+                            WHEN s_stat < 0 THEN -1 ELSE 0 END)
+             / NULLIF(SQRT((n::DOUBLE * (n - 1) * (2 * n + 5)
+                            - t.tie_term) / 18), 0), 6) + 0.0 AS z
+FROM s JOIN ties t USING (event_type)
+ORDER BY s.event_type
+""")
+def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test per stream: S = sum of sign(x_j - x_i)
+    over all day pairs i < j of the daily-mean series, with the
+    tie-corrected normal approximation and continuity correction —
+    the nonparametric IS-there-a-trend test that pairs with
+    q_theilsen's HOW-big slope estimator (the two are the standard
+    monotonic-trend kit: MK decides, Theil-Sen quantifies), robust
+    where q_grouped_regression's least squares is outlier-bent.
+
+    Determinism: daily means are integer micro-units (the q_ewma
+    recipe); S and the tie term are exact integer sums; z is one
+    identical double tree, constant series (var = 0) NULLIF to
+    undefined.
+
+    Scale: the pairwise sign sum runs over the BOUNDED daily table
+    (days^2 per stream, not rows^2 — the q_theilsen argument), keyed
+    on the stream so the self-join is an equi-join."""
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull()))
+    daily = (ev.groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg(F.round(F.sum(F.round(F.col("value") * 1e6)
+                                .cast("bigint")).cast("double")
+                          / F.count(F.lit(1))).cast("bigint").alias("mu")))
+    a = daily.select("event_type", F.col("day").alias("da"),
+                     F.col("mu").alias("ma"))
+    b = daily.select("event_type", F.col("day").alias("db"),
+                     F.col("mu").alias("mb"))
+    pairs = (a.join(b, "event_type").filter(F.col("db") > F.col("da"))
+             .select("event_type",
+                     F.when(F.col("mb") > F.col("ma"), 1)
+                     .when(F.col("mb") < F.col("ma"), -1).otherwise(0)
+                     .alias("sgn")))
+    s = pairs.groupBy("event_type").agg(F.sum("sgn").alias("s_stat"))
+    n_tbl = daily.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    ties = (daily.groupBy("event_type", "mu")
+            .agg(F.count(F.lit(1)).alias("t"))
+            .groupBy("event_type")
+            .agg(F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5))
+                 .alias("tie_term")))
+    j = s.join(n_tbl, "event_type").join(ties, "event_type")
+    n = F.col("n").cast("double")
+    cc = F.when(F.col("s_stat") > 0, 1).when(F.col("s_stat") < 0, -1) \
+          .otherwise(0)
+    var = (n * (n - 1) * (2 * n + 5) - F.col("tie_term")) / 18
+    return (j.select("event_type", F.col("n").cast("long").alias("n_days"),
+                     F.col("s_stat").cast("long").alias("s_stat"),
+                     (F.round((F.col("s_stat") - cc)
+                              / F.nullif(F.sqrt(var), F.lit(0.0)), 6)
+                      + 0.0).alias("z"))
+            .orderBy("event_type"))
+
+
+# ---------------------------------------------------------------------------
+# Wald-Wolfowitz runs test per stream
+# ---------------------------------------------------------------------------
+
+@query("q_runs_test", oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(ROUND(SUM(CAST(ROUND(value * 1000000) AS BIGINT))::DOUBLE
+                    / COUNT(*)) AS BIGINT) AS mu
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2
+), med AS (
+  SELECT event_type,
+         PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY mu) AS m
+  FROM daily GROUP BY event_type
+), signs AS (
+  SELECT d.event_type, d.day,
+         CASE WHEN d.mu > med.m THEN 1 ELSE 0 END AS up
+  FROM daily d JOIN med USING (event_type)
+  WHERE d.mu != med.m
+), runs AS (
+  SELECT event_type, up,
+         CASE WHEN LAG(up) OVER (PARTITION BY event_type ORDER BY day)
+                   IS DISTINCT FROM up THEN 1 ELSE 0 END AS new_run
+  FROM signs
+), agg AS (
+  SELECT event_type, SUM(new_run) AS r,
+         SUM(up) AS n1, SUM(1 - up) AS n2
+  FROM runs GROUP BY event_type
+)
+SELECT event_type, CAST(n1 AS BIGINT) AS n_above,
+       CAST(n2 AS BIGINT) AS n_below, CAST(r AS BIGINT) AS n_runs,
+       ROUND((r - (2.0 * n1 * n2 / NULLIF(n1 + n2, 0) + 1))
+             / NULLIF(SQRT(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                           / (NULLIF((n1 + n2)::DOUBLE, 0)
+                              * NULLIF((n1 + n2)::DOUBLE, 0)
+                              * NULLIF(n1 + n2 - 1, 0))), 0),
+             6) + 0.0 AS z
+FROM agg ORDER BY event_type
+""")
+def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test per stream: is the daily-mean series
+    RANDOM around its median, or does it clump (too few runs =
+    autocorrelated/regime-y, too many = oscillating)? The randomness
+    gate that complements q_mann_kendall (monotone trend) and q_acf
+    (linear autocorrelation) — a series can pass both and still fail
+    runs. Median-split signs, median-equal days dropped (the standard
+    treatment), z from the exact run-count moments.
+
+    Determinism: daily means are integer micro-units; the median is
+    exact interpolated (engine-identical); signs, run starts (LAG IS
+    DISTINCT FROM), and counts are integers; z is one identical
+    double tree with every denominator NULLIF-guarded.
+
+    Scale: the lag window and aggregates run over the BOUNDED daily
+    table, keyed per stream."""
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull()))
+    daily = (ev.groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg(F.round(F.sum(F.round(F.col("value") * 1e6)
+                                .cast("bigint")).cast("double")
+                          / F.count(F.lit(1))).cast("bigint").alias("mu")))
+    med = daily.groupBy("event_type").agg(
+        F.percentile("mu", F.lit(0.5)).alias("m"))
+    signs = (daily.join(med, "event_type")
+             .filter(F.col("mu") != F.col("m"))
+             .select("event_type", "day",
+                     F.when(F.col("mu") > F.col("m"), 1).otherwise(0)
+                     .alias("up")))
+    lag = F.lag("up").over(W.partitionBy("event_type").orderBy("day"))
+    runs = signs.select(
+        "event_type", "up",
+        F.when(~lag.eqNullSafe(F.col("up")), 1).otherwise(0)
+        .alias("new_run"))
+    agg = runs.groupBy("event_type").agg(
+        F.sum("new_run").alias("r"), F.sum("up").alias("n1"),
+        F.sum(1 - F.col("up")).alias("n2"))
+    n1, n2, r = (F.col(c).cast("double") for c in ("n1", "n2", "r"))
+    n = n1 + n2
+    mean_r = 2.0 * n1 * n2 / F.nullif(n1 + n2, F.lit(0.0)) + 1
+    var_r = (2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+             / (F.nullif(n, F.lit(0.0)) * F.nullif(n, F.lit(0.0))
+                * F.nullif(n1 + n2 - 1, F.lit(0.0))))
+    return (agg.select("event_type",
+                       F.col("n1").cast("long").alias("n_above"),
+                       F.col("n2").cast("long").alias("n_below"),
+                       F.col("r").cast("long").alias("n_runs"),
+                       (F.round((r - mean_r)
+                                / F.nullif(F.sqrt(var_r), F.lit(0.0)), 6)
+                        + 0.0).alias("z"))
+            .orderBy("event_type"))

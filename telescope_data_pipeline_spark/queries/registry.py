@@ -81,6 +81,7 @@ PRIORITY: tuple[str, ...] = (
     "q_hhi", "q_topk_overlap", "q_perplexity", "q_ttr_hapax",
     "q_outlier_iqr", "q_compress_ratio", "q_nelson_aalen",
     "q_krippendorff", "q_silhouette", "q_media_probe",
+    "q_mann_kendall", "q_runs_test",
     # (d1) oldest-green oracle backfill: last driver-checked in r4.
     # The 32 round-10 group-(c) entries fill most of the 50-cap, so
     # only the head of this cohort makes the window — first-time

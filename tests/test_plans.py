@@ -1816,3 +1816,19 @@ def test_silhouette_centroid_broadcast_no_pairwise(spark):
                           "HashAggregate"),
                 absent=("CartesianProduct", "SortMergeJoin",
                         "BroadcastNestedLoopJoin"))
+
+
+def test_mann_kendall_bounded_pairwise(spark):
+    """Mann-Kendall: the sign self-join is keyed on the stream over
+    the BOUNDED daily table — equi-join, never cartesian."""
+    assert_plan(get("q_mann_kendall").fn(spark, SF),
+                contains=("HashAggregate",),
+                absent=("CartesianProduct", "BroadcastNestedLoopJoin"))
+
+
+def test_runs_test_bounded_windows(spark):
+    """Runs test: median split + lag window run over the bounded daily
+    table, keyed per stream — no cartesian."""
+    assert_plan(get("q_runs_test").fn(spark, SF),
+                contains=("Window", "HashAggregate"),
+                absent=("CartesianProduct",))
