@@ -58,7 +58,7 @@ _REGISTRY: dict[str, Query] = {}
 #: appended as they land, each with its oracle), and
 #: (d) rolling regression backfill with the oldest-green oracle
 #: cohort, now the round-4 then round-5 sets (VERDICT r9 item 7).
-#: The local sf0.01+sf0.1 oracle sweep still covers all 292 queries
+#: The local sf0.01+sf0.1 oracle sweep still covers all 294 queries
 #: per session.
 PRIORITY: tuple[str, ...] = (
     # (a) changed in round 10
