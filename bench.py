@@ -148,6 +148,8 @@ EXTRA = [
     "q_silhouette",
     "q_mann_kendall",
     "q_runs_test",
+    "q_kruskal_wallis",
+    "q_brown_forsythe",
 ]
 
 

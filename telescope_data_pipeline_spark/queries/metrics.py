@@ -1524,3 +1524,176 @@ def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 / F.nullif(F.sqrt(var_r), F.lit(0.0)), 6)
                         + 0.0).alias("z"))
             .orderBy("event_type"))
+
+
+# ---------------------------------------------------------------------------
+# Kruskal-Wallis k-group rank test per stream
+# ---------------------------------------------------------------------------
+
+@query("q_kruskal_wallis", oracle="""
+WITH s AS (
+  SELECT event_type, value, user_id % 4 AS grp
+  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+), c AS (
+  SELECT event_type, value,
+         SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS c0,
+         SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS c1,
+         SUM(CASE WHEN grp = 2 THEN 1 ELSE 0 END) AS c2,
+         SUM(CASE WHEN grp = 3 THEN 1 ELSE 0 END) AS c3,
+         COUNT(*) AS c
+  FROM s GROUP BY event_type, value
+), r AS (
+  SELECT event_type, c0, c1, c2, c3, c,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY value
+                      ROWS UNBOUNDED PRECEDING) - c AS cum_before
+  FROM c
+), agg AS (
+  SELECT event_type,
+         SUM(c0) AS n0, SUM(c1) AS n1, SUM(c2) AS n2, SUM(c3) AS n3,
+         SUM(c0 * (2 * cum_before + c + 1)) AS r20,
+         SUM(c1 * (2 * cum_before + c + 1)) AS r21,
+         SUM(c2 * (2 * cum_before + c + 1)) AS r22,
+         SUM(c3 * (2 * cum_before + c + 1)) AS r23,
+         SUM(c * c * c - c) AS ties,
+         SUM(c) AS n
+  FROM r GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       ROUND((12.0 / (n::DOUBLE * (n + 1))
+              * ((r20 / 2.0) * (r20 / 2.0) / NULLIF(n0, 0)
+                 + (r21 / 2.0) * (r21 / 2.0) / NULLIF(n1, 0)
+                 + (r22 / 2.0) * (r22 / 2.0) / NULLIF(n2, 0)
+                 + (r23 / 2.0) * (r23 / 2.0) / NULLIF(n3, 0))
+              - 3.0 * (n + 1))
+             / NULLIF(1.0 - ties::DOUBLE
+                      / NULLIF(n::DOUBLE * n * n - n, 0), 0),
+             6) + 0.0 AS h_stat
+FROM agg ORDER BY event_type
+""")
+def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H per stream across FOUR user cohorts — the
+    k-group generalization of q_mann_whitney (which compares exactly
+    two): the one-way ANOVA on ranks that a multi-variant experiment
+    readout runs when the metric is skewed. Tie-corrected H; compare
+    to chi-square with k-1 degrees of freedom.
+
+    Determinism: the q_mann_whitney distinct-value rank algebra — per
+    (type, value) cohort counts, 2*avg_rank = 2*cum_before + c + 1 as
+    an exact integer, so every doubled rank sum R2_g and the tie term
+    are order-free BIGINT sums; H is one identical double tree with
+    NULLIF guards for empty cohorts and constant series.
+
+    Scale: one shuffle on (type, value), one type-keyed window over
+    DISTINCT values (bounded by the value grid, never |rows|), one
+    |types|-row aggregate."""
+    s = (load_table(spark, sf_dir, "events")
+         .filter(F.col("value").isNotNull() & F.col("user_id").isNotNull())
+         .select("event_type", "value", (F.col("user_id") % 4).alias("grp")))
+    gc = [F.sum(F.when(F.col("grp") == g, 1).otherwise(0)).alias(f"c{g}")
+          for g in range(4)]
+    c = s.groupBy("event_type", "value").agg(
+        *gc, F.count(F.lit(1)).alias("c"))
+    w = (W.partitionBy("event_type").orderBy("value")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    r = c.withColumn("cum_before", F.sum("c").over(w) - F.col("c"))
+    r2 = 2 * F.col("cum_before") + F.col("c") + 1
+    agg = r.groupBy("event_type").agg(
+        *[F.sum(F.col(f"c{g}")).alias(f"n{g}") for g in range(4)],
+        *[F.sum(F.col(f"c{g}") * r2).alias(f"r2{g}") for g in range(4)],
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c"))
+        .alias("ties"),
+        F.sum("c").alias("n"))
+    n = F.col("n").cast("double")
+    rank_term = sum(
+        ((F.col(f"r2{g}") / 2.0) * (F.col(f"r2{g}") / 2.0)
+         / F.nullif(F.col(f"n{g}"), F.lit(0)))
+        for g in range(4))
+    h = ((12.0 / (n * (n + 1)) * rank_term - 3.0 * (n + 1))
+         / F.nullif(1.0 - F.col("ties").cast("double")
+                    / F.nullif(n * n * n - n, F.lit(0.0)), F.lit(0.0)))
+    return (agg.select("event_type", F.col("n").cast("long").alias("n"),
+                       (F.round(h, 6) + 0.0).alias("h_stat"))
+            .orderBy("event_type"))
+
+
+# ---------------------------------------------------------------------------
+# Brown-Forsythe variance-equality test across streams
+# ---------------------------------------------------------------------------
+
+@query("q_brown_forsythe", oracle="""
+WITH med AS (
+  SELECT event_type,
+         PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY value) AS m
+  FROM events WHERE value IS NOT NULL GROUP BY event_type
+), z AS (
+  SELECT e.event_type,
+         CAST(ROUND(ABS(e.value - med.m) * 1e3) AS BIGINT) AS z_milli
+  FROM events e JOIN med USING (event_type)
+  WHERE e.value IS NOT NULL
+), g AS (
+  SELECT event_type, COUNT(*) AS n_g, SUM(z_milli) AS sz,
+         SUM(z_milli * z_milli) AS szz
+  FROM z GROUP BY event_type
+), tot AS (
+  SELECT SUM(n_g) AS n, COUNT(*) AS k, SUM(sz) AS sz_all FROM g
+)
+SELECT CAST(MAX(n) AS BIGINT) AS n, CAST(MAX(k) AS BIGINT) AS k_groups,
+       ROUND((SUM(n_g * (sz::DOUBLE / n_g / 1e3
+                         - sz_all::DOUBLE / n / 1e3)
+                  * (sz::DOUBLE / n_g / 1e3
+                     - sz_all::DOUBLE / n / 1e3))
+              / NULLIF(MAX(k) - 1, 0))
+             / NULLIF((SUM((szz::DOUBLE
+                            - sz::DOUBLE * sz / n_g) / 1e6)
+                       / NULLIF(MAX(n) - MAX(k), 0)), 0),
+             6) + 0.0 AS f_stat
+FROM g CROSS JOIN tot
+""")
+def q_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe variance-equality test across streams: one-way
+    ANOVA F on |x - group MEDIAN| — the robust Levene variant that
+    gates every pooled-variance procedure (q_ab_ttest's equal-variance
+    flavor, ANOVA itself): if spreads differ, compare medians/ranks
+    instead. Median centering (not mean) keeps the test honest under
+    the same skew it is hunting.
+
+    Determinism: group medians are exact interpolated percentiles
+    (engine-identical); each |x - m| is quantized to integer
+    MILLI-units — coarse enough that the sum of squares stays inside
+    BIGINT at any scale factor (nano overflowed at sf0.001 already:
+    (5e11)^2 per row), fine enough for a 2-decimal metric — so all
+    group sums and sums-of-squares are exact BIGINTs; F is one
+    identical double tree, single-group and zero-within-variance
+    inputs NULLIF to undefined.
+
+    Scale: one percentile pass, one broadcast of the |groups|-row
+    median table back onto the stream, one conditional-aggregate pass
+    — the q_outlier_iqr shape with an F readout."""
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull()))
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("m"))
+    z = (ev.join(F.broadcast(med), "event_type")
+         .select("event_type",
+                 F.round(F.abs(F.col("value") - F.col("m")) * 1e3)
+                 .cast("long").alias("z_milli")))
+    g = z.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_g"), F.sum("z_milli").alias("sz"),
+        F.sum(F.col("z_milli") * F.col("z_milli")).alias("szz"))
+    tot = g.agg(F.sum("n_g").alias("n"), F.count(F.lit(1)).alias("k"),
+                F.sum("sz").alias("sz_all"))
+    j = g.crossJoin(F.broadcast(tot))
+    mean_g = F.col("sz").cast("double") / F.col("n_g") / 1e3
+    mean_all = F.col("sz_all").cast("double") / F.col("n") / 1e3
+    between = (F.sum(F.col("n_g") * (mean_g - mean_all)
+                     * (mean_g - mean_all))
+               / F.nullif(F.max("k") - 1, F.lit(0)))
+    within = (F.sum((F.col("szz").cast("double")
+                     - F.col("sz").cast("double") * F.col("sz")
+                     / F.col("n_g")) / 1e6)
+              / F.nullif(F.max("n") - F.max("k"), F.lit(0)))
+    return j.agg(
+        F.max("n").cast("long").alias("n"),
+        F.max("k").cast("long").alias("k_groups"),
+        (F.round(between / F.nullif(within, F.lit(0.0)), 6) + 0.0)
+        .alias("f_stat"))

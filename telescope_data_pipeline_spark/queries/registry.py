@@ -58,7 +58,7 @@ _REGISTRY: dict[str, Query] = {}
 #: appended as they land, each with its oracle), and
 #: (d) rolling regression backfill with the oldest-green oracle
 #: cohort, now the round-4 then round-5 sets (VERDICT r9 item 7).
-#: The local sf0.01+sf0.1 oracle sweep still covers all 294 queries
+#: The local sf0.01+sf0.1 oracle sweep still covers all 296 queries
 #: per session.
 PRIORITY: tuple[str, ...] = (
     # (a) changed in round 10
@@ -81,7 +81,8 @@ PRIORITY: tuple[str, ...] = (
     "q_hhi", "q_topk_overlap", "q_perplexity", "q_ttr_hapax",
     "q_outlier_iqr", "q_compress_ratio", "q_nelson_aalen",
     "q_krippendorff", "q_silhouette", "q_media_probe",
-    "q_mann_kendall", "q_runs_test",
+    "q_mann_kendall", "q_runs_test", "q_kruskal_wallis",
+    "q_brown_forsythe",
     # (d1) oldest-green oracle backfill: last driver-checked in r4.
     # The 32 round-10 group-(c) entries fill most of the 50-cap, so
     # only the head of this cohort makes the window — first-time

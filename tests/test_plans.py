@@ -1832,3 +1832,20 @@ def test_runs_test_bounded_windows(spark):
     assert_plan(get("q_runs_test").fn(spark, SF),
                 contains=("Window", "HashAggregate"),
                 absent=("CartesianProduct",))
+
+
+def test_kruskal_wallis_distinct_value_window(spark):
+    """Kruskal-Wallis: rank algebra on DISTINCT pooled values (the
+    q_mann_whitney shape) — one (type, value) groupBy, one type-keyed
+    window, no per-row rank materialization, no cartesian."""
+    assert_plan(get("q_kruskal_wallis").fn(spark, SF),
+                contains=("HashAggregate", "Window"),
+                absent=("CartesianProduct",))
+
+
+def test_brown_forsythe_broadcast_medians(spark):
+    """Brown-Forsythe: the |groups|-row median table joins back as a
+    BROADCAST; everything else is conditional aggregation."""
+    assert_plan(get("q_brown_forsythe").fn(spark, SF),
+                contains=("BroadcastHashJoin", "HashAggregate"),
+                absent=("CartesianProduct", "SortMergeJoin"))
