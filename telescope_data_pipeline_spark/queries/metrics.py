@@ -333,11 +333,11 @@ WITH c AS (
   WHERE user_id IS NOT NULL GROUP BY 1, 2
 ), per_user AS (
   SELECT user_id, SUM(k) AS n,
-         CAST(ROUND(SUM(-1.0 * k * LN(k)) * 1e6) AS BIGINT) AS sklnk_u
+         SUM(CAST(ROUND(-1.0 * k * LN(k) * 1e9) AS BIGINT)) AS sklnk_nano
   FROM c GROUP BY user_id
 ), ent AS (
   SELECT user_id % 4 AS cohort, n,
-         CAST(ROUND((LN(n) + sklnk_u / 1e6 / n) * 1e6) AS BIGINT) AS e_u
+         CAST(ROUND((LN(n) + sklnk_nano / 1e9 / n) * 1e6) AS BIGINT) AS e_u
   FROM per_user
 )
 SELECT CAST(cohort AS BIGINT) AS cohort,
@@ -355,11 +355,13 @@ def q_session_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     times?", the two axes bot-detection and engagement scoring screen
     first.
 
-    Determinism: type counts are exact integers; each user's
-    sum(k ln k) and entropy are quantized to integer micro-nats BEFORE
-    any cross-user aggregation, so cohort means are ratios of exact
-    integer sums (the nano-unit recipe at micro precision — entropy of
-    a 5-type mix is <= ln 5, well inside micro resolution).
+    Determinism: type counts are exact integers; each -k*ln(k) TERM is
+    quantized to integer nano-nats before ANY sum (quantize-before-sum
+    — a float SUM whose partial-aggregation order the engine may pick
+    would make the later *1e6 rounding order-dependent at a .5
+    boundary), so per-user entropy and the cohort means are ratios of
+    exact integer sums (entropy of a 5-type mix is <= ln 5, well
+    inside nano resolution).
 
     Scale: two map-side-combined groupBys ((user, type), then user) and
     a 4-key cohort aggregate — no windows, no joins."""
@@ -369,11 +371,11 @@ def q_session_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
          .agg(F.count(F.lit(1)).alias("k")))
     per_user = c.groupBy("user_id").agg(
         F.sum("k").alias("n"),
-        F.round(F.sum(-1.0 * F.col("k") * F.log("k")) * 1e6)
-        .cast("long").alias("sklnk_u"))
+        F.sum(F.round(-1.0 * F.col("k") * F.log("k") * 1e9).cast("long"))
+        .alias("sklnk_nano"))
     ent = per_user.select(
         (F.col("user_id") % 4).alias("cohort"), "n",
-        F.round((F.log("n") + F.col("sklnk_u") / 1e6 / F.col("n")) * 1e6)
+        F.round((F.log("n") + F.col("sklnk_nano") / 1e9 / F.col("n")) * 1e6)
         .cast("long").alias("e_u"))
     return (ent.groupBy(F.col("cohort").cast("long").alias("cohort"))
             .agg(F.count(F.lit(1)).cast("long").alias("n_users"),
@@ -632,9 +634,12 @@ WITH logged AS (
   SELECT event_id, CAST(ROUND(value * 100) AS BIGINT) AS r_centi,
          -- logged stochastic policy: propensity of the taken action,
          -- deterministic integer hash in [0.2, 0.8) milliunits
-         200 + (event_id * 2654435761 % 1000003) % 600 AS p_milli,
+         -- pre-mod the id before the multiply (the q_ece construction):
+         -- id * 2654435761 would overflow BIGINT for ids over ~3.5e9
+         200 + ((event_id % 1000003) * 2654435761 % 1000003) % 600
+           AS p_milli,
          -- target policy takes the SAME action iff hash2 >= 300
-         CASE WHEN (event_id * 40503 % 1000003) % 1000 >= 300
+         CASE WHEN ((event_id % 1000003) * 40503 % 1000003) % 1000 >= 300
               THEN 1 ELSE 0 END AS pi_takes
   FROM events
   WHERE event_type = 'click' AND value IS NOT NULL
@@ -678,10 +683,12 @@ def q_ips_offpolicy(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = (load_table(spark, sf_dir, "events")
          .filter((F.col("event_type") == "click")
                  & F.col("value").isNotNull()))
-    p_milli = (200 + (F.col("event_id") * F.lit(2654435761).cast("bigint")
+    p_milli = (200 + ((F.col("event_id") % 1000003)
+                      * F.lit(2654435761).cast("bigint")
                       % 1000003) % 600)
     pi_takes = F.when(
-        (F.col("event_id") * 40503 % 1000003) % 1000 >= 300, 1).otherwise(0)
+        ((F.col("event_id") % 1000003) * 40503 % 1000003) % 1000 >= 300,
+        1).otherwise(0)
     w_micro = F.when(
         pi_takes == 1,
         F.least(F.round(1e9 / p_milli).cast("long"),

@@ -603,8 +603,12 @@ def _cuped_update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
     first = not state.exists
     bx = by = 0
     for pdf in pdfs:
-        centi = pdf["centi"].dropna()
-        pre = pdf["pre"].loc[centi.index]
+        # A NULL ts row has pre=NA; the batch q_cuped's one-sided
+        # F.when excludes such rows from BOTH periods — align on
+        # pre.notna() too (pandas raises on NA in a boolean mask).
+        keep = pdf["centi"].notna() & pdf["pre"].notna()
+        centi = pdf["centi"][keep]
+        pre = pdf["pre"][keep].astype(bool)
         bx += int(centi[pre].sum())
         by += int(centi[~pre].sum())
     x1, y1 = x0 + bx, y0 + by
@@ -805,20 +809,38 @@ EWMA_OUT_SCHEMA = T.StructType([
 ])
 
 
-def _ewma_update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
-    import numpy as np
+def _round_half_up(x: float, scale: int = 0) -> float:
+    """Exact twin of Spark's ``F.round(double, scale)``: shortest-repr
+    decimal conversion (Scala ``BigDecimal.decimal`` = Java
+    ``Double.toString`` = Python ``repr``), then scale with HALF_UP.
+    Python's ``round()``/``np.rint`` are half-to-EVEN — a value landing
+    exactly on a .5 boundary (e.g. a 2-event day with odd micro-sum:
+    round(2.5)) would silently break the documented bit-for-bit batch
+    parity (round-10 ADVICE)."""
+    from decimal import ROUND_HALF_UP, Decimal
 
+    q = Decimal(1).scaleb(-scale)
+    return float(Decimal(repr(float(x))).quantize(q,
+                                                  rounding=ROUND_HALF_UP))
+
+
+def _ewma_update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
     day0, dsum, dcnt, ewma, n_closed = (
         state.get if state.exists else (None, 0, 0, 0.0, 0))
     batch = pd.concat(list(pdfs), ignore_index=True)
     batch = batch.sort_values(["ts", "event_id"], kind="mergesort")
     days = (batch["ts"].to_numpy().astype("datetime64[D]")
             .astype("int64"))
-    micro = np.rint(batch["value"].to_numpy() * 1e6).astype(np.int64)
+    # HALF_UP per element, matching the batch F.round(value*1e6): the
+    # quantization runs once per event inside an already-Python
+    # stateful operator; the per-day fold state stays five scalars.
+    micro = [int(_round_half_up(v * 1e6))
+             for v in batch["value"].to_numpy()]
 
     def close_day() -> None:
         nonlocal ewma, n_closed
-        mu = int(round(dsum / dcnt))  # exact ints; one rounded division
+        # exact ints; one HALF_UP-rounded division (batch: F.round)
+        mu = int(_round_half_up(dsum / dcnt))
         ewma = float(mu) if n_closed == 0 else (mu + ewma) / 2.0
         n_closed += 1
 
@@ -833,7 +855,7 @@ def _ewma_update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         dcnt += 1
     state.update((day0, dsum, dcnt, ewma, n_closed))
     if dcnt:
-        mu_open = int(round(dsum / dcnt))
+        mu_open = int(_round_half_up(dsum / dcnt))
         provisional = (float(mu_open) if n_closed == 0
                        else (mu_open + ewma) / 2.0)
     else:
@@ -841,8 +863,9 @@ def _ewma_update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
     yield pd.DataFrame([{
         "event_type": key[0],
         "n_days": n_closed + (1 if dcnt else 0),
-        "ewma_closed": (round(ewma / 1e6, 6) + 0.0) if n_closed else None,
-        "ewma": round(provisional / 1e6, 6) + 0.0,
+        "ewma_closed": (_round_half_up(ewma / 1e6, 6) + 0.0
+                        if n_closed else None),
+        "ewma": _round_half_up(provisional / 1e6, 6) + 0.0,
     }])
 
 

@@ -524,3 +524,121 @@ def test_ewma_stream_matches_batch(spark):
     for et, row in latest.items():
         assert row["n_days"] == want.loc[et, "n_days"], et
         assert row["ewma"] == want.loc[et, "ewma"], et
+
+
+def _write_events(rows, d, n_files=1):
+    """Write synthetic event rows (events-table schema) as one or more
+    time-ordered parquet files under ``d``."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                      "event_type", "value", "props"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+    pdf["event_id"] = pdf["event_id"].astype(np.int64)
+    pdf["user_id"] = pdf["user_id"].astype("Int64")
+    k = max(1, -(-len(pdf) // n_files))
+    chunks = [pdf.iloc[i:i + k] for i in range(0, len(pdf), k)]
+    for i, chunk in enumerate(chunks):
+        p = f"{d}/part-{i}.parquet"
+        chunk.to_parquet(p, engine="pyarrow", coerce_timestamps="us",
+                         index=False)
+        os.utime(p, (1700000000 + i, 1700000000 + i))
+
+
+def test_ewma_half_up_boundary_matches_batch(spark):
+    """r10 ADVICE (medium): the streaming EWMA twin must round with
+    F.round's HALF_UP semantics, not Python round()/np.rint half-even.
+    Three planted boundaries, one per rounding site: (a) a 2-event day
+    whose micro-sum is odd (mean 2.5 -> 3, half-even says 2); (b) a raw
+    value landing exactly on .5 micro-units; (c) a final EWMA of 4.5
+    micro-units whose 6-digit rounding differs between modes."""
+    import shutil
+
+    from telescope_data_pipeline_spark.queries import get
+    from telescope_data_pipeline_spark.streaming.stateful import ewma_daily
+
+    rows = [
+        # (a) day-mean boundary: micro sum 1+4=5 over 2 events -> 2.5
+        (1, "2024-01-01 01:00:00", 1, "a", 0.000001, None),
+        (2, "2024-01-01 02:00:00", 1, "a", 0.000004, None),
+        (3, "2024-01-02 01:00:00", 1, "a", 0.000009, None),
+        # (b) micro-quantization boundary: value*1e6 == 2.5 exactly
+        (4, "2024-01-01 01:00:00", 1, "b", 0.0000025, None),
+        (5, "2024-01-02 01:00:00", 1, "b", 0.000008, None),
+        # (c) final-rounding boundary: mus 2 then 7 -> ewma 4.5 micro
+        (6, "2024-01-01 01:00:00", 1, "c", 0.000002, None),
+        (7, "2024-01-01 02:00:00", 1, "c", 0.000002, None),
+        (8, "2024-01-02 01:00:00", 1, "c", 0.000007, None),
+    ]
+    d = tempfile.mkdtemp(prefix="ewma_hup_")
+    _write_events(rows, d, n_files=2)
+    stream = read_event_stream(spark, d, max_files_per_trigger=1)
+
+    latest: dict = {}
+    q = (ewma_daily(stream)
+         .writeStream.outputMode("update")
+         .foreachBatch(lambda df, _bid: latest.update(
+             {r["event_type"]: r for _, r in df.toPandas().iterrows()}))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    sf_like = tempfile.mkdtemp(prefix="ewma_hup_sf_")
+    shutil.copytree(d, f"{sf_like}/events.parquet")
+    want = get("q_ewma").fn(spark, sf_like).toPandas().set_index(
+        "event_type")
+    assert set(latest) == set(want.index)
+    for et in want.index:
+        assert latest[et]["n_days"] == want.loc[et, "n_days"], et
+        assert latest[et]["ewma"] == want.loc[et, "ewma"], et
+    # the planted boundaries actually bite: half-even would emit
+    # (2+9)/2=5.5e-6 for 'a' instead of (3+9)/2=6.0e-6, and 4e-6
+    # for 'c' instead of 5e-6
+    assert want.loc["a", "ewma"] == 6e-06
+    assert want.loc["c", "ewma"] == 5e-06
+
+
+def test_cuped_stream_skips_null_ts_rows(spark):
+    """r10 ADVICE (low): a purchase row with NULL ts yields pre=NA;
+    the stream must EXCLUDE it from both periods (batch q_cuped's
+    one-sided F.when semantics), not crash on the NA boolean mask."""
+    import shutil
+
+    from telescope_data_pipeline_spark.queries import get
+    from telescope_data_pipeline_spark.streaming.stateful import (
+        CupedAccumulator,
+        cuped_user_deltas,
+    )
+
+    rows = []
+    eid = 1
+    for uid in range(1, 9):
+        rows.append((eid, "2024-01-10 00:00:00", uid, "purchase",
+                     10.0 + uid, None)); eid += 1
+        rows.append((eid, "2024-01-20 00:00:00", uid, "purchase",
+                     20.0 + 2 * uid, None)); eid += 1
+    # the poison rows: NULL ts purchases (one per arm)
+    rows.append((eid, None, 3, "purchase", 999.0, None)); eid += 1
+    rows.append((eid, None, 4, "purchase", 999.0, None)); eid += 1
+    d = tempfile.mkdtemp(prefix="cuped_null_")
+    _write_events(rows, d, n_files=2)
+    stream = read_event_stream(spark, d, max_files_per_trigger=1)
+
+    acc = CupedAccumulator()
+    q = (cuped_user_deltas(stream)
+         .writeStream.outputMode("update")
+         .foreachBatch(lambda df, _bid: acc.update(df.toPandas()))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    got = acc.readout().set_index("arm")
+    sf_like = tempfile.mkdtemp(prefix="cuped_null_sf_")
+    shutil.copytree(d, f"{sf_like}/events.parquet")
+    want = get("q_cuped").fn(spark, sf_like).toPandas().set_index("arm")
+    assert set(got.index) == set(want.index)
+    for arm in want.index:
+        assert got.loc[arm, "n_users"] == want.loc[arm, "n_users"]
+        for c in ("mean_y", "mean_y_cuped", "theta"):
+            assert abs(got.loc[arm, c] - want.loc[arm, c]) < 1e-6, c
