@@ -272,6 +272,13 @@ def main() -> None:
         payload["errors"] = errors
     payload.update({
         "runs_per_query": n_runs,  # n actually completed, per query
+        # total over the informational extras (min-of-1): tracked as a
+        # SCALAR at the end so a regression in the ~80-query extras
+        # block is visible to the round-over-round gate even if the
+        # per-query map truncates (round-10 VERDICT item 6). Only
+        # comparable when n_extras matches across rounds.
+        "n_extras": len(extra),
+        "total_extras": round(sum(extra.values()), 3),
         # min-of-k totals are only cross-round comparable when every
         # query contributed k runs; n_min2/runs_per_query let consumers
         # detect partial coverage instead of silently comparing

@@ -1849,3 +1849,100 @@ def test_brown_forsythe_broadcast_medians(spark):
     assert_plan(get("q_brown_forsythe").fn(spark, SF),
                 contains=("BroadcastHashJoin", "HashAggregate"),
                 absent=("CartesianProduct", "SortMergeJoin"))
+
+
+def test_lorenz_points_no_global_ntile(spark):
+    """q_lorenz_points (round-10 VERDICT item 1): the decile must come
+    from the distributed two-pass rank, never a global ntile(10) window
+    over the full documents table. The only SinglePartition exchange
+    allowed is the 10-row cumulative-share window AFTER the decile
+    aggregate; no Window node may run over the unaggregated corpus in
+    one task (the windowspecdefinitions must all be _pid-bucketed)."""
+    import re
+
+    from telescope_data_pipeline_spark.plans.audit import physical_plan
+
+    df = get("q_lorenz_points").fn(spark, SF)
+    df.collect()
+    # NOTE: cached relations embed their own nested AdaptiveSparkPlan
+    # blocks, so the usual split('== Initial Plan ==')[0] slice would
+    # truncate the outer final plan at the FIRST nested block — scan
+    # the full text instead (initial sections repeat the same specs).
+    plan = physical_plan(df)
+    assert "ntile" not in plan, plan
+    # every window over more than the 10-row decile tail is bucketed:
+    # partition-less specs list no partition columns before the sort
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "expected the rank + cumulative-share windows"
+    wide = [s for s in specs if "_pid" not in s and "decile" not in s]
+    assert not wide, f"unbucketed window specs: {wide}\n{plan}"
+
+
+def test_spearman_no_priority_partitioned_fact_rank(spark):
+    """q_spearman (round-10 VERDICT item 2): ranks must come from
+    grouped_cum_counts' (pri, _pid)-bucketed local windows over
+    DISTINCT values — a W.partitionBy("pri") rank window over the
+    per-order fact stream sorts |orders|/5 rows in one task. Assert
+    every window spec in the plan carries the _pid bucket column and
+    the y rank map joins back by broadcast."""
+    import re
+
+    from telescope_data_pipeline_spark.plans.audit import physical_plan
+
+    df = get("q_spearman").fn(spark, SF)
+    df.collect()
+    # full plan text: nested cached-relation AQE blocks break the
+    # usual initial-plan slice (see test_lorenz_points_no_global_ntile)
+    plan = physical_plan(df)
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "expected bucketed rank windows in the plan"
+    # allowed: the _pid-bucketed x windows, and the y window over
+    # DISTINCT (pri, n_items) jump points — basket width is bounded
+    # by data nature (~dozens of distinct values per group)
+    unbucketed = [s for s in specs
+                  if "_pid" not in s and "n_items" not in s]
+    assert not unbucketed, f"pri-only window specs: {unbucketed}\n{plan}"
+    assert "BroadcastHashJoin" in plan, plan
+    # the only SinglePartition collapses allowed are 1-row scalar
+    # aggregates (the value-range bounds); never a Window above one
+    # (the verify-skill plan-regex recipe)
+    for m in re.finditer(r"Exchange SinglePartition", plan):
+        above = plan[max(0, m.start() - 400):m.start()]
+        tail = "\n".join(above.splitlines()[-3:])
+        assert "Window" not in tail, plan
+
+
+def test_cache_slot_degrades_without_jdf_bridge(spark):
+    """CacheSlot (round-10 VERDICT item 7): when the Spark-internal
+    _jdf plan-comparison bridge is unavailable (Spark Connect), the
+    slot must degrade to unconditional eviction — correct results,
+    no exception — not fail the suite."""
+    from telescope_data_pipeline_spark.operators.cache_slot import CacheSlot
+
+    class _NoBridge:
+        @property
+        def _jdf(self):
+            raise AttributeError("no py4j bridge on this runtime")
+
+    saved = CacheSlot._compare_available
+    try:
+        # simulate the first-use probe hitting a Connect-like runtime
+        CacheSlot._compare_available = None
+        assert CacheSlot._probe(_NoBridge()) is False
+        assert CacheSlot._compare_available is False
+
+        # slots still function: own() caches, evicts, returns results
+        slot = CacheSlot()
+        a = slot.own(spark.range(100).selectExpr("id", "id * 2 AS v"))
+        assert a.count() == 100
+        b = slot.own(spark.range(50).selectExpr("id", "id * 3 AS v"))
+        assert b.count() == 50
+        assert b.storageLevel.useMemory  # new owner really cached
+        # plan-identical re-ownership: evicts unconditionally in
+        # degraded mode, but stays correct
+        c = slot.own(spark.range(50).selectExpr("id", "id * 3 AS v"))
+        assert c.count() == 50
+        for df in (b, c):
+            df.unpersist()
+    finally:
+        CacheSlot._compare_available = saved

@@ -178,6 +178,35 @@ def test_distributed_row_number_matches_sort(spark, keys, n_parts):
         assert got[k] == pos
 
 
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.tuples(st.integers(min_value=0, max_value=3),
+                          st.integers(min_value=-2**40, max_value=2**40)),
+                min_size=1, max_size=80),
+       st.integers(min_value=1, max_value=9))
+def test_grouped_cum_counts_matches_sort(spark, rows, n_buckets):
+    """Any (group, value) multiset, any bucket count: _c equals the
+    pair's multiplicity and _cum_before equals the count of same-group
+    rows with strictly smaller value — the lazy grouped two-pass rank
+    agrees with a plain per-group sort."""
+    from telescope_data_pipeline_spark.operators.rank import (
+        grouped_cum_counts,
+    )
+
+    df = spark.createDataFrame(rows, "g int, v long")
+    got = {(r.g, r.v): (r._c, r._cum_before) for r in
+           grouped_cum_counts(df, "g", "v",
+                              num_buckets=n_buckets).collect()}
+    from collections import Counter
+    mult = Counter(rows)
+    pairs = set(rows)
+    assert set(got) == pairs
+    for g, v in pairs:
+        want_c = mult[(g, v)]
+        want_cb = sum(n for (g2, v2), n in mult.items()
+                      if g2 == g and v2 < v)
+        assert got[(g, v)] == (want_c, want_cb), (g, v)
+
+
 # ---------------------------------------------------------------------------
 # Candidate-generation exactness: pure-Python models of the algebraic
 # claims the distributed operators rely on (the oracle proves them on
