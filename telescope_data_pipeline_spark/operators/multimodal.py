@@ -1184,16 +1184,465 @@ def _decode_tiff_inner(payload: bytes) -> np.ndarray:
     return np.ascontiguousarray(gray, dtype=np.float32)
 
 
+# ---------------------------------------------------------------------------
+# WebP (RIFF/VP8L lossless) — pure-Python decode, RFC 9649 semantics.
+# Round-10 VERDICT item 4: WebP was the one common crawl image format
+# with no decode path at all; VP8L covers the lossless half (lossy VP8
+# stays typed CodecUnavailable — a full DCT/loop-filter video intra
+# decoder is out of scope, like arithmetic-coded JPEG).
+# ---------------------------------------------------------------------------
+
+
+class _Vp8lBits:
+    """LSB-first bit reader (VP8L packs bits little-endian per byte)."""
+
+    def __init__(self, data: bytes) -> None:
+        self.d = data
+        self.pos = 0  # bit position
+
+    def read(self, n: int) -> int:
+        v = 0
+        for i in range(n):
+            byte = self.pos >> 3
+            if byte >= len(self.d):
+                raise ValueError("VP8L bitstream exhausted")
+            v |= ((self.d[byte] >> (self.pos & 7)) & 1) << i
+            self.pos += 1
+        return v
+
+
+class _Vp8lTree:
+    """Canonical prefix code: decode by walking stream bits MSB-first
+    down the canonical assignment (DEFLATE numbering)."""
+
+    def __init__(self, lengths: list[int]) -> None:
+        self.map: dict[tuple[int, int], int] = {}
+        self.single: int | None = None
+        nz = [(ln, sym) for sym, ln in enumerate(lengths) if ln > 0]
+        if not nz:
+            raise ValueError("VP8L prefix code with no symbols")
+        if len(nz) == 1:
+            self.single = nz[0][1]  # 0-bit code: symbol is implicit
+            return
+        code = 0
+        prev_len = 0
+        for ln, sym in sorted(nz):
+            code <<= (ln - prev_len)
+            self.map[(ln, code)] = sym
+            code += 1
+            prev_len = ln
+        if code != (1 << prev_len):
+            raise ValueError("VP8L prefix code over/under-subscribed")
+
+    def decode(self, br: _Vp8lBits) -> int:
+        if self.single is not None:
+            return self.single
+        code, ln = 0, 0
+        while ln <= 15:
+            code = (code << 1) | br.read(1)
+            ln += 1
+            sym = self.map.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid VP8L prefix code")
+
+
+#: code-length-code write/read order (RFC 9649 §5.2.1)
+_VP8L_CL_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12,
+                  13, 14, 15)
+
+#: LZ77 2-D distance map: the 120 scan-order-preceding neighbor offsets
+#: (dy 0: dx 1..8; dy 1..7: dx -7..8) ordered by (dx²+dy², |dx|, sign) —
+#: the closed form of the spec's table (verified against its leading
+#: rows; 8 + 7*16 = 120 = the spec's CODE_TO_PLANE_CODES exactly).
+_VP8L_DIST_MAP = sorted(
+    [(dx, 0) for dx in range(1, 9)]
+    + [(dx, dy) for dy in range(1, 8) for dx in range(-7, 9)],
+    key=lambda p: (p[0] * p[0] + p[1] * p[1], abs(p[0]), p[0] < 0))
+
+
+def _vp8l_read_code(br: _Vp8lBits, alphabet_size: int) -> _Vp8lTree:
+    if br.read(1):  # simple code: 1-2 symbols, ≤ 8-bit values
+        n_sym = br.read(1) + 1
+        first = br.read(8) if br.read(1) else br.read(1)
+        if first >= alphabet_size:
+            raise ValueError("VP8L simple-code symbol out of range")
+        if n_sym == 1:
+            return _single(first)  # 0-bit code: symbol is implicit
+        second = br.read(8)
+        if second >= alphabet_size:
+            raise ValueError("VP8L simple-code symbol out of range")
+        lengths = [0] * alphabet_size
+        lengths[first] = 1
+        lengths[second] = 1
+        return _Vp8lTree(lengths)
+    num_cl = 4 + br.read(4)
+    cl_lengths = [0] * 19
+    for i in range(num_cl):
+        cl_lengths[_VP8L_CL_ORDER[i]] = br.read(3)
+    cl_tree = _Vp8lTree(cl_lengths)
+    if br.read(1):  # explicit number of coded lengths
+        length_nbits = 2 + 2 * br.read(3)
+        max_symbol = 2 + br.read(length_nbits)
+    else:
+        max_symbol = alphabet_size
+    lengths = [0] * alphabet_size
+    prev_len = 8
+    symbol = 0
+    while symbol < alphabet_size:
+        if max_symbol == 0:
+            break
+        max_symbol -= 1
+        code_len = cl_tree.decode(br)
+        if code_len < 16:
+            lengths[symbol] = code_len
+            symbol += 1
+            if code_len:
+                prev_len = code_len
+        else:
+            slot = code_len - 16
+            extra = (2, 3, 7)[slot]
+            repeat = br.read(extra) + (3, 3, 11)[slot]
+            if symbol + repeat > alphabet_size:
+                raise ValueError("VP8L code-length repeat overflows")
+            fill = prev_len if code_len == 16 else 0
+            for _ in range(repeat):
+                lengths[symbol] = fill
+                symbol += 1
+    return _Vp8lTree(lengths)
+
+
+def _single(symbol: int) -> _Vp8lTree:
+    t = _Vp8lTree.__new__(_Vp8lTree)
+    t.map = {}
+    t.single = symbol
+    return t
+
+
+def _vp8l_prefix_val(code: int, br: _Vp8lBits) -> int:
+    """LZ77 length/distance prefix decoding (RFC 9649 §5.2.3)."""
+    if code < 4:
+        return code + 1
+    extra = (code - 2) >> 1
+    offset = (2 + (code & 1)) << extra
+    return offset + br.read(extra) + 1
+
+
+def _vp8l_groups(br: _Vp8lBits, n_groups: int, cache_bits: int) -> list:
+    groups = []
+    green_size = 256 + 24 + ((1 << cache_bits) if cache_bits else 0)
+    for _ in range(n_groups):
+        groups.append((_vp8l_read_code(br, green_size),
+                       _vp8l_read_code(br, 256),
+                       _vp8l_read_code(br, 256),
+                       _vp8l_read_code(br, 256),
+                       _vp8l_read_code(br, 40)))
+    return groups
+
+
+def _vp8l_decode_pixels(br: _Vp8lBits, w: int, h: int, cache_bits: int,
+                        groups: list, meta: tuple | None) -> list:
+    """The spatially-coded pixel stream: literals, LZ77 copies, color
+    cache references. Returns w*h ARGB pixels as [a, r, g, b] lists."""
+    n = w * h
+    pixels: list = [None] * n
+    cache = [0] * (1 << cache_bits) if cache_bits else None
+
+    def insert(argb: int) -> None:
+        if cache is not None:
+            cache[(0x1E35A7BD * argb & 0xFFFFFFFF)
+                  >> (32 - cache_bits)] = argb
+
+    pos = 0
+    meta_pix, meta_bits, meta_w = meta if meta else (None, 0, 0)
+    while pos < n:
+        if meta_pix is not None:
+            x, y = pos % w, pos // w
+            mp = meta_pix[(y >> meta_bits) * meta_w + (x >> meta_bits)]
+            gidx = (mp[1] << 8) | mp[2]  # (red << 8) | green
+            if gidx >= len(groups):
+                raise ValueError("VP8L meta prefix index out of range")
+            g_t, r_t, b_t, a_t, d_t = groups[gidx]
+        else:
+            g_t, r_t, b_t, a_t, d_t = groups[0]
+        s = g_t.decode(br)
+        if s < 256:  # literal
+            red = r_t.decode(br)
+            blue = b_t.decode(br)
+            alpha = a_t.decode(br)
+            pixels[pos] = [alpha, red, s, blue]
+            insert((alpha << 24) | (red << 16) | (s << 8) | blue)
+            pos += 1
+        elif s < 280:  # LZ77 backward reference
+            length = _vp8l_prefix_val(s - 256, br)
+            dist_code = _vp8l_prefix_val(d_t.decode(br), br)
+            if dist_code > 120:
+                dist = dist_code - 120
+            else:
+                dx, dy = _VP8L_DIST_MAP[dist_code - 1]
+                dist = max(1, dy * w + dx)
+            if dist > pos or pos + length > n:
+                raise ValueError("VP8L backward reference out of range")
+            for _ in range(length):
+                px = pixels[pos - dist]
+                pixels[pos] = list(px)
+                insert((px[0] << 24) | (px[1] << 16) | (px[2] << 8)
+                       | px[3])
+                pos += 1
+        else:  # color cache reference
+            if cache is None:
+                raise ValueError("VP8L cache symbol without a cache")
+            argb = cache[s - 280]
+            pixels[pos] = [argb >> 24 & 255, argb >> 16 & 255,
+                           argb >> 8 & 255, argb & 255]
+            pos += 1
+    return pixels
+
+
+def _vp8l_decode_image_stream(br: _Vp8lBits, w: int, h: int,
+                              is_level0: bool) -> list:
+    """decode_image_stream (RFC 9649 §7): optional transforms (level 0
+    only), color cache info, optional meta prefix image (level 0 only),
+    prefix-code groups, pixel data, then inverse transforms in reverse
+    read order. Returns row-major [a, r, g, b] pixel lists."""
+    transforms = []  # (type, data...) in READ order
+    seen = set()
+    cur_w = w
+    if is_level0:
+        while br.read(1):
+            ttype = br.read(2)
+            if ttype in seen:
+                raise ValueError("VP8L transform repeated")
+            seen.add(ttype)
+            if ttype == 2:  # subtract green: no data
+                transforms.append((2,))
+            elif ttype in (0, 1):  # predictor / color transform
+                bits = br.read(3) + 2
+                tw = (cur_w + (1 << bits) - 1) >> bits
+                th = (h + (1 << bits) - 1) >> bits
+                sub = _vp8l_decode_image_stream(br, tw, th, False)
+                transforms.append((ttype, bits, tw, sub, cur_w))
+            elif ttype == 3:  # color indexing
+                n_colors = br.read(8) + 1
+                pal = _vp8l_decode_image_stream(br, n_colors, 1, False)
+                # palette entries accumulate componentwise deltas
+                for i in range(1, n_colors):
+                    for c in range(4):
+                        pal[i][c] = (pal[i][c] + pal[i - 1][c]) & 255
+                if n_colors <= 2:
+                    width_bits = 3
+                elif n_colors <= 4:
+                    width_bits = 2
+                elif n_colors <= 16:
+                    width_bits = 1
+                else:
+                    width_bits = 0
+                transforms.append((3, width_bits, pal, cur_w))
+                cur_w = (cur_w + (1 << width_bits) - 1) >> width_bits
+    cache_bits = 0
+    if br.read(1):
+        cache_bits = br.read(4)
+        if not 1 <= cache_bits <= 11:
+            raise ValueError(f"VP8L cache bits {cache_bits} invalid")
+    meta = None
+    n_groups = 1
+    if is_level0 and br.read(1):  # meta prefix image
+        meta_bits = br.read(3) + 2
+        mw = (cur_w + (1 << meta_bits) - 1) >> meta_bits
+        mh = (h + (1 << meta_bits) - 1) >> meta_bits
+        meta_pix = _vp8l_decode_image_stream(br, mw, mh, False)
+        n_groups = max(((p[1] << 8) | p[2]) for p in meta_pix) + 1
+        meta = (meta_pix, meta_bits, mw)
+    groups = _vp8l_groups(br, n_groups, cache_bits)
+    pixels = _vp8l_decode_pixels(br, cur_w, h, cache_bits, groups, meta)
+    for t in reversed(transforms):
+        pixels = _vp8l_inverse_transform(t, pixels, h)
+    return pixels
+
+
+def _avg2(a: int, b: int) -> int:
+    return (a + b) >> 1
+
+
+def _vp8l_predict(mode: int, L, T, TL, TR) -> list:
+    if mode == 0:
+        return [255, 0, 0, 0]
+    if mode == 1:
+        return L
+    if mode == 2:
+        return T
+    if mode == 3:
+        return TR
+    if mode == 4:
+        return TL
+    if mode == 5:
+        return [_avg2(_avg2(L[c], TR[c]), T[c]) for c in range(4)]
+    if mode == 6:
+        return [_avg2(L[c], TL[c]) for c in range(4)]
+    if mode == 7:
+        return [_avg2(L[c], T[c]) for c in range(4)]
+    if mode == 8:
+        return [_avg2(TL[c], T[c]) for c in range(4)]
+    if mode == 9:
+        return [_avg2(T[c], TR[c]) for c in range(4)]
+    if mode == 10:
+        return [_avg2(_avg2(L[c], TL[c]), _avg2(T[c], TR[c]))
+                for c in range(4)]
+    if mode == 11:  # Select: whichever of T/L the gradient favors
+        pa_minus_pb = sum(abs(L[c] - TL[c]) - abs(T[c] - TL[c])
+                          for c in range(4))
+        return T if pa_minus_pb <= 0 else L
+    if mode == 12:  # ClampAddSubtractFull
+        return [min(255, max(0, L[c] + T[c] - TL[c])) for c in range(4)]
+    if mode == 13:  # ClampAddSubtractHalf (C-style trunc division)
+        out = []
+        for c in range(4):
+            a = _avg2(L[c], T[c])
+            d = a - TL[c]
+            half = d // 2 if d >= 0 else -((-d) // 2)
+            out.append(min(255, max(0, a + half)))
+        return out
+    raise ValueError(f"VP8L predictor mode {mode} invalid")
+
+
+def _vp8l_inverse_transform(t: tuple, pixels: list, h: int) -> list:
+    kind = t[0]
+    if kind == 2:  # subtract green: add green back to red/blue
+        for p in pixels:
+            p[1] = (p[1] + p[2]) & 255
+            p[3] = (p[3] + p[2]) & 255
+        return pixels
+    if kind == 3:  # color indexing: unbundle packed indices, map
+        _, width_bits, pal, full_w = t
+        packed_w = (full_w + (1 << width_bits) - 1) >> width_bits
+        bpp = 8 >> width_bits
+        mask = (1 << width_bits) - 1
+        out = []
+        for y in range(h):
+            for x in range(full_w):
+                g = pixels[y * packed_w + (x >> width_bits)][2]
+                idx = ((g >> ((x & mask) * bpp)) & ((1 << bpp) - 1)
+                       if width_bits else g)
+                out.append(list(pal[idx]) if idx < len(pal)
+                           else [0, 0, 0, 0])
+        return out
+    if kind in (0, 1):
+        _, bits, tw, sub, full_w = t
+        w = full_w
+        if kind == 0:  # predictor
+            for pos in range(len(pixels)):
+                x, y = pos % w, pos // w
+                if x == 0 and y == 0:
+                    pred = [255, 0, 0, 0]
+                elif y == 0:
+                    pred = pixels[pos - 1]  # L
+                elif x == 0:
+                    pred = pixels[pos - w]  # T
+                else:
+                    mode = sub[(y >> bits) * tw + (x >> bits)][2]
+                    # TR at x = w-1 wraps to the current row's first
+                    # pixel (libwebp's upper_row[w] aliasing)
+                    pred = _vp8l_predict(
+                        mode, pixels[pos - 1], pixels[pos - w],
+                        pixels[pos - w - 1], pixels[pos - w + 1])
+                px = pixels[pos]
+                for c in range(4):
+                    px[c] = (px[c] + pred[c]) & 255
+            return pixels
+        # color transform: per-tile signed 3.5 fixed-point cross terms
+        def delta(tv: int, cv: int) -> int:
+            ts = tv - 256 if tv >= 128 else tv
+            cs = cv - 256 if cv >= 128 else cv
+            return (ts * cs) >> 5
+        for pos in range(len(pixels)):
+            x, y = pos % w, pos // w
+            te = sub[(y >> bits) * tw + (x >> bits)]
+            g2r, g2b, r2b = te[3], te[2], te[1]  # (blue, green, red)
+            px = pixels[pos]
+            red = (px[1] + delta(g2r, px[2])) & 255
+            blue = (px[3] + delta(g2b, px[2]) + delta(r2b, red)) & 255
+            px[1], px[3] = red, blue
+        return pixels
+    raise ValueError(f"VP8L transform {kind} invalid")
+
+
+def _decode_vp8l(data: bytes) -> np.ndarray:
+    br = _Vp8lBits(data)
+    if br.read(8) != 0x2F:
+        raise ValueError("VP8L signature byte missing")
+    w = br.read(14) + 1
+    h = br.read(14) + 1
+    br.read(1)  # alpha hint
+    if br.read(3) != 0:
+        raise ValueError("VP8L version must be 0")
+    pixels = _vp8l_decode_image_stream(br, w, h, True)
+    arr = np.array(pixels, dtype=np.float32).reshape(h, w, 4)
+    gray = (arr[..., 1] * 0.299 + arr[..., 2] * 0.587
+            + arr[..., 3] * 0.114)
+    return np.ascontiguousarray(gray, dtype=np.float32)
+
+
+def _decode_webp(payload: bytes) -> np.ndarray:
+    """Pure-Python WebP decode: walks the RIFF chunks (top level and
+    inside ANMF animation frames) to the first VP8L lossless bitstream
+    and decodes it with full RFC 9649 semantics — all four transforms,
+    color cache, LZ77 (incl. the 2-D distance map), meta prefix codes.
+    Lossy VP8 payloads decode via PIL when present and otherwise raise
+    typed CodecUnavailable, like arithmetic-coded JPEG."""
+    b = bytes(payload)
+    try:
+        vp8l = _webp_find_vp8l(b)
+    except (IndexError, ValueError, struct.error) as e:
+        raise CodecUnavailable(f"truncated or corrupt WebP: {e}") from e
+    if vp8l is None:
+        if _pil_image is not None:
+            import io
+
+            with _pil_image.open(io.BytesIO(b)) as im:
+                return np.asarray(im.convert("L"), dtype=np.float32)
+        raise CodecUnavailable(
+            "WebP payload has no lossless (VP8L) bitstream; lossy VP8 "
+            "decode requires PIL, which is not installed")
+    try:
+        return _decode_vp8l(vp8l)
+    except (IndexError, ValueError, struct.error) as e:
+        raise CodecUnavailable(f"truncated or corrupt VP8L: {e}") from e
+
+
+def _webp_find_vp8l(b: bytes) -> bytes | None:
+    if b[:4] != b"RIFF" or b[8:12] != b"WEBP":
+        raise ValueError("not a RIFF/WEBP container")
+
+    def walk(lo: int, hi: int) -> bytes | None:
+        pos = lo
+        while pos + 8 <= hi:
+            fourcc = b[pos:pos + 4]
+            size = int.from_bytes(b[pos + 4:pos + 8], "little")
+            body = pos + 8
+            if body + size > hi:
+                raise ValueError(f"chunk {fourcc!r} overruns container")
+            if fourcc == b"VP8L":
+                return b[body:body + size]
+            if fourcc == b"ANMF":  # frame params (16 bytes) + subchunks
+                found = walk(body + 16, body + size)
+                if found is not None:
+                    return found
+            pos = body + size + (size & 1)  # chunks are 2-byte aligned
+        return None
+
+    return walk(12, min(len(b), 8 + int.from_bytes(b[4:8], "little")))
+
+
 def decode_image(payload: bytes) -> np.ndarray:
     """Decode an encoded image payload to a float32 grayscale array.
 
     Dispatch by MAGIC BYTES: BMP, PNG (sequential + Adam7, 8/16-bit),
-    JPEG (baseline + progressive), GIF, and baseline TIFF decode with
-    the built-in pure-Python decoders (always available); other real
-    image signatures decode with PIL (raising on corruption — never
-    silently stubbed, and raising CodecUnavailable when PIL is absent);
-    anything else is a synthetic fixture and takes the deterministic
-    stub."""
+    JPEG (baseline + progressive), GIF, baseline TIFF, and WebP/VP8L
+    (lossless, all transforms) decode with the built-in pure-Python
+    decoders (always available); lossy-VP8 WebP decodes with PIL
+    (raising on corruption — never silently stubbed, and raising
+    CodecUnavailable when PIL is absent); anything else is a synthetic
+    fixture and takes the deterministic stub."""
     if payload is None:
         raise CodecUnavailable("no payload")
     if _is_bmp(payload):
@@ -1206,14 +1655,8 @@ def decode_image(payload: bytes) -> np.ndarray:
         return _decode_gif(payload)
     if bytes(payload[:4]) in (b"II*\x00", b"MM\x00*"):
         return _decode_tiff(payload)
-    if _has_magic(payload, _IMAGE_MAGICS, riff_kind=b"WEBP"):
-        if _pil_image is None:
-            raise CodecUnavailable(
-                "payload is a real encoded image but PIL is not installed")
-        import io
-
-        with _pil_image.open(io.BytesIO(bytes(payload))) as im:
-            return np.asarray(im.convert("L"), dtype=np.float32)
+    if _has_magic(payload, (), riff_kind=b"WEBP"):
+        return _decode_webp(payload)
     return _decode_image_stub(payload)
 
 
@@ -1943,6 +2386,46 @@ def _tiny_bmp(rng: np.random.Generator, side: int = 8) -> bytes:
                           len(body), 2835, 2835, 0, 0) + body)
 
 
+def _tiny_webp(rng: np.random.Generator, side: int = 8) -> bytes:
+    """A real, decodable lossless WebP (VP8L) fixture: a random
+    two-gray-level pattern under SUBTRACT_GREEN, so every prefix code
+    fits the 1-2 symbol 'simple' form (greens: two symbols; residual
+    red/blue and alpha: zero-bit singles)."""
+    v1, v2 = 64, 193
+    pat = rng.integers(0, 2, size=(side, side))
+    bits: list[int] = []
+
+    def w(val: int, n: int) -> None:
+        for i in range(n):
+            bits.append((val >> i) & 1)
+
+    w(0x2F, 8)
+    w(side - 1, 14)
+    w(side - 1, 14)
+    w(0, 4)  # alpha hint + version
+    w(1, 1)
+    w(2, 2)  # transform: subtract green
+    w(0, 1)  # no more transforms
+    w(0, 1)  # no color cache
+    w(0, 1)  # no meta prefix image
+    # green: simple 2-symbol (v1 -> '0', v2 -> '1'); r/b/a/dist singles
+    w(1, 1); w(1, 1); w(1, 1); w(v1, 8); w(v2, 8)   # green
+    for sym in (0, 0, 255):                          # red, blue, alpha
+        w(1, 1); w(0, 1); w(1, 1); w(sym, 8)
+    w(1, 1); w(0, 1); w(0, 1); w(0, 1)               # distance: single 0
+    for row in pat:
+        for b in row:
+            w(int(b), 1)
+    data = bytearray((len(bits) + 7) // 8)
+    for i, b in enumerate(bits):
+        data[i >> 3] |= b << (i & 7)
+    chunk = b"VP8L" + len(data).to_bytes(4, "little") + bytes(data)
+    if len(data) & 1:
+        chunk += b"\x00"
+    body = b"WEBP" + chunk
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
 def _png_chunk(typ: bytes, data: bytes) -> bytes:
     import struct
     import zlib
@@ -2032,10 +2515,11 @@ def _tiny_wav(rng: np.random.Generator, duration_s: float,
 def make_fake_media(spark, n: int = 64, seed: int = 7) -> DataFrame:
     """Deterministic MEDIA-schema fixture (images + videos + audio) for
     tests and the rows-only driver demos. Every 4th image is a REAL
-    24-bit BMP, the next a REAL 8-bit PNG (gray/RGB/RGBA cycling), and
-    every 4th audio clip a REAL 16-bit PCM WAV, so the built-in
-    pure-Python decoders run in every demo alongside the stub path
-    (magic-byte dispatch exercised end-to-end)."""
+    24-bit BMP, the next a REAL 8-bit PNG (gray/RGB/RGBA cycling), the
+    next a REAL lossless WebP (VP8L), and every 4th audio clip a REAL
+    16-bit PCM WAV, so the built-in pure-Python decoders run in every
+    demo alongside the stub path (magic-byte dispatch exercised
+    end-to-end)."""
     from ..schemas import MEDIA
 
     rng = np.random.default_rng(seed)
@@ -2050,6 +2534,9 @@ def make_fake_media(spark, n: int = 64, seed: int = 7) -> DataFrame:
         elif modality == "image" and (i // 3) % 4 == 1:
             payload = _tiny_png(rng, ctype=(0, 2, 6)[(i // 12) % 3])
             m = "image/png"
+        elif modality == "image" and (i // 3) % 4 == 2:
+            payload = _tiny_webp(rng)
+            m = "image/webp"
         elif modality == "audio" and (i // 3) % 4 == 0:
             payload = _tiny_wav(rng, dur)
             m = mime[modality]

@@ -2174,3 +2174,543 @@ def test_probe_media_truncated_containers_never_crash(spark):
     assert got[1]["duration_s"] is None
     assert got[2]["container"] == "matroska"
     assert got[2]["n_tracks"] == 0
+
+
+# ---------------------------------------------------------------------------
+# WebP / VP8L goldens (round-10 VERDICT item 4): a reference VP8L
+# encoder lives here in the tests (the GIF/TIFF/FLAC pattern) and
+# round-trips through the pure-Python decoder — literals, all four
+# transforms, LZ77 (1-D and 2-D distances), color cache, meta prefix
+# groups, and the container walks (plain, VP8X, ANMF).
+# ---------------------------------------------------------------------------
+
+
+class _Vp8lW:
+    """LSB-first bit writer (the VP8L packing order)."""
+
+    def __init__(self):
+        self.bits: list[int] = []
+
+    def w(self, val: int, n: int) -> None:
+        for i in range(n):
+            self.bits.append((val >> i) & 1)
+
+    def code(self, code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):  # prefix codes walk MSB-first
+            self.bits.append((code >> i) & 1)
+
+    def tobytes(self) -> bytes:
+        out = bytearray((len(self.bits) + 7) // 8)
+        for i, b in enumerate(self.bits):
+            out[i >> 3] |= b << (i & 7)
+        return bytes(out)
+
+
+def _canon_codes(lengths: dict[int, int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, len), canonical DEFLATE numbering."""
+    out, code, prev = {}, 0, 0
+    for ln, sym in sorted((ln, sym) for sym, ln in lengths.items() if ln):
+        code <<= (ln - prev)
+        out[sym] = (code, ln)
+        code += 1
+        prev = ln
+    return out
+
+
+def _complete_lengths(symbols: list[int]) -> dict[int, int]:
+    """Complete prefix-code lengths for n equally-weighted symbols:
+    (2^k - n) symbols at k-1 bits, the rest at k (Kraft sum exactly 1)."""
+    n = len(symbols)
+    if n == 1:
+        return {symbols[0]: 0}  # 0-bit single-symbol code
+    k = (n - 1).bit_length()
+    short = (1 << k) - n
+    return {s: (k - 1 if i < short else k)
+            for i, s in enumerate(sorted(symbols))}
+
+
+_CL_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12,
+             13, 14, 15)
+
+
+def _w_prefix_code(bw: _Vp8lW, lengths: list[int]) -> None:
+    """Write a 'normal' (code-length-coded) prefix code for the given
+    per-symbol lengths (zeros allowed anywhere)."""
+    # CL symbol stream: literals for nonzero lengths, 17/18 for runs
+    stream: list[tuple[int, int, int]] = []  # (cl_sym, extra_val, extra_bits)
+    i = 0
+    while i < len(lengths):
+        if lengths[i] == 0:
+            run = 0
+            while i < len(lengths) and lengths[i] == 0:
+                run += 1
+                i += 1
+            while run:
+                if run >= 11:
+                    chunk = min(run, 138)
+                    stream.append((18, chunk - 11, 7))
+                elif run >= 3:
+                    chunk = run
+                    stream.append((17, chunk - 3, 3))
+                else:
+                    chunk = 1
+                    stream.append((0, 0, 0))
+                run -= chunk
+        else:
+            stream.append((lengths[i], 0, 0))
+            i += 1
+    used = sorted({s for s, _, _ in stream})
+    cl_lens = _complete_lengths(used)
+    if len(used) == 1:  # a 0-bit CL code would be degenerate; pad
+        cl_lens = {used[0]: 1, (18 if used[0] != 18 else 17): 1}
+    cl_codes = _canon_codes(cl_lens)
+    num_cl = max(_CL_ORDER.index(s) for s in cl_lens) + 1
+    num_cl = max(num_cl, 4)
+    bw.w(0, 1)  # not simple
+    bw.w(num_cl - 4, 4)
+    for i in range(num_cl):
+        bw.w(cl_lens.get(_CL_ORDER[i], 0), 3)
+    bw.w(0, 1)  # no explicit max_symbol
+    for sym, extra_val, extra_bits in stream:
+        c, ln = cl_codes[sym]
+        bw.code(c, ln)
+        if extra_bits:
+            bw.w(extra_val, extra_bits)
+
+
+def _w_simple(bw: _Vp8lW, symbols: list[int]) -> None:
+    bw.w(1, 1)
+    bw.w(len(symbols) - 1, 1)
+    if symbols[0] > 1:
+        bw.w(1, 1)
+        bw.w(symbols[0], 8)
+    else:
+        bw.w(0, 1)
+        bw.w(symbols[0], 1)
+    if len(symbols) == 2:
+        bw.w(symbols[1], 8)
+
+
+def _w_tree(bw: _Vp8lW, lengths: dict[int, int], alphabet: int):
+    """Write whichever header form fits; return symbol->(code,len)."""
+    nz = sorted(s for s, ln in lengths.items() if ln or len(lengths) == 1)
+    if len(nz) <= 2 and all(s <= 255 for s in nz):
+        _w_simple(bw, nz)
+        if len(nz) == 1:
+            return {nz[0]: (0, 0)}
+        return {nz[0]: (0, 1), nz[1]: (1, 1)}
+    arr = [0] * alphabet
+    for s, ln in lengths.items():
+        arr[s] = ln
+    _w_prefix_code(bw, arr)
+    return _canon_codes(lengths)
+
+
+def _vp8l_wrap(data: bytes, vp8x: bool = False, anmf: bool = False) -> bytes:
+    chunk = b"VP8L" + len(data).to_bytes(4, "little") + data
+    if len(data) & 1:
+        chunk += b"\x00"
+    if anmf:
+        chunk = (b"ANMF" + (16 + len(chunk)).to_bytes(4, "little")
+                 + bytes(16) + chunk)
+    if vp8x or anmf:
+        chunk = b"VP8X" + (10).to_bytes(4, "little") + bytes(10) + chunk
+    body = b"WEBP" + chunk
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def _vp8l_header(bw: _Vp8lW, w: int, h: int) -> None:
+    bw.w(0x2F, 8)
+    bw.w(w - 1, 14)
+    bw.w(h - 1, 14)
+    bw.w(0, 1)  # alpha hint
+    bw.w(0, 3)  # version
+
+
+def _w_literal_image(bw: _Vp8lW, argb_rows, cache_bits: int = 0,
+                     level0: bool = False) -> None:
+    """Entropy-coded image body (no transforms bit — caller handles):
+    cache info + (level 0 only) meta-prefix bit + one prefix group +
+    all pixels as literals."""
+    px = [tuple(int(v) for v in p) for row in argb_rows for p in row]
+    if cache_bits:
+        bw.w(1, 1)
+        bw.w(cache_bits, 4)
+    else:
+        bw.w(0, 1)
+    if level0:
+        bw.w(0, 1)  # no meta prefix image
+    greens = sorted({p[2] for p in px})
+    reds = sorted({p[1] for p in px})
+    blues = sorted({p[3] for p in px})
+    alphas = sorted({p[0] for p in px})
+    galpha = 256 + 24 + ((1 << cache_bits) if cache_bits else 0)
+    gc = _w_tree(bw, _complete_lengths(greens), galpha)
+    rc = _w_tree(bw, _complete_lengths(reds), 256)
+    bc = _w_tree(bw, _complete_lengths(blues), 256)
+    ac = _w_tree(bw, _complete_lengths(alphas), 256)
+    _w_tree(bw, {0: 0}, 40)  # distance: unused single
+    for a, r, g, b in px:
+        bw.code(*gc[g])
+        bw.code(*rc[r])
+        bw.code(*bc[b])
+        bw.code(*ac[a])
+
+
+def _encode_vp8l_literal(rgb, cache_bits: int = 0) -> bytes:
+    """Reference encoder: plain literals, no transforms."""
+    h, w = rgb.shape[:2]
+    bw = _Vp8lW()
+    _vp8l_header(bw, w, h)
+    bw.w(0, 1)  # no transforms
+    rows = [[(255, int(p[0]), int(p[1]), int(p[2])) for p in row]
+            for row in rgb]
+    _w_literal_image(bw, rows, cache_bits, level0=True)
+    return _vp8l_wrap(bw.tobytes())
+
+
+def _webp_luma(rgb):
+    import numpy as np
+
+    f = rgb.astype(np.float32)
+    return f[..., 0] * 0.299 + f[..., 1] * 0.587 + f[..., 2] * 0.114
+
+
+def test_vp8l_literal_roundtrip():
+    """Random RGB through the literal reference encoder: exact luma."""
+    import numpy as np
+
+    from telescope_data_pipeline_spark.operators.multimodal import (
+        decode_image,
+    )
+
+    rng = np.random.default_rng(11)
+    rgb = rng.integers(0, 256, size=(13, 17, 3), dtype=np.uint8)
+    got = decode_image(_encode_vp8l_literal(rgb))
+    assert got.shape == (13, 17)
+    assert np.allclose(got, _webp_luma(rgb))
+
+
+def test_vp8l_subtract_green_transform():
+    """SUBTRACT_GREEN: residuals store r-g / b-g; inverse adds green
+    back. Gray pixels (r=g=b) make the residual channels single-symbol."""
+    import numpy as np
+
+    from telescope_data_pipeline_spark.operators.multimodal import (
+        decode_image,
+    )
+
+    rng = np.random.default_rng(7)
+    v = rng.integers(0, 256, size=(9, 11), dtype=np.uint8)
+    h, w = v.shape
+    bw = _Vp8lW()
+    _vp8l_header(bw, w, h)
+    bw.w(1, 1)
+    bw.w(2, 2)  # transform: subtract green
+    bw.w(0, 1)  # no more transforms
+    rows = [[(255, 0, int(g), 0) for g in row] for row in v]
+    _w_literal_image(bw, rows, level0=True)
+    got = decode_image(_vp8l_wrap(bw.tobytes()))
+    rgb = np.stack([v, v, v], axis=-1)
+    assert np.allclose(got, _webp_luma(rgb))
+
+
+def test_vp8l_palette_with_pixel_bundling():
+    """COLOR_INDEXING with n<=4 colors: 2-bit packed indices (4 per
+    byte), delta-coded palette, odd width tail."""
+    import numpy as np
+
+    from telescope_data_pipeline_spark.operators.multimodal import (
+        decode_image,
+    )
+
+    rng = np.random.default_rng(3)
+    pal = np.array([[250, 10, 30], [0, 200, 90], [17, 18, 19]], np.uint8)
+    idx = rng.integers(0, 3, size=(6, 10), dtype=np.uint8)
+    h, w = idx.shape
+    width_bits = 2  # n=3 <= 4
+    packed_w = (w + 3) // 4
+    bw = _Vp8lW()
+    _vp8l_header(bw, w, h)
+    bw.w(1, 1)
+    bw.w(3, 2)  # color indexing (its data follows immediately)
+    bw.w(len(pal) - 1, 8)
+    # palette as a 1 x n entropy image, DELTA coded componentwise
+    deltas = []
+    prev = (0, 0, 0, 0)
+    for r, g, b in pal:
+        cur = (255, int(r), int(g), int(b))
+        deltas.append(tuple((cur[c] - prev[c]) & 255 for c in range(4)))
+        prev = cur
+    _w_literal_image(bw, [deltas])
+    bw.w(0, 1)  # no more transforms
+    # main image at packed width: greens hold 4 2-bit indices, LSB first
+    packed = []
+    for y in range(h):
+        prow = []
+        for xp in range(packed_w):
+            byte = 0
+            for k in range(4):
+                x = xp * 4 + k
+                if x < w:
+                    byte |= int(idx[y, x]) << (2 * k)
+            prow.append((255, 0, byte, 0))
+        packed.append(prow)
+    _w_literal_image(bw, packed, level0=True)
+    got = decode_image(_vp8l_wrap(bw.tobytes()))
+    assert got.shape == (h, w)
+    assert np.allclose(got, _webp_luma(pal[idx]))
+
+
+def test_vp8l_lz77_row_copy_2d_distance():
+    """LZ77 with the 2-D distance map: dist_code 1 = (0,1) = one row
+    up. First row literal, the rest one long copy."""
+    import numpy as np
+
+    from telescope_data_pipeline_spark.operators.multimodal import (
+        decode_image,
+    )
+
+    rng = np.random.default_rng(23)
+    row = rng.integers(0, 256, size=16, dtype=np.uint8)
+    h, w = 7, 16
+    length = (h - 1) * w  # 96 pixels: prefix code 12, 5 extra bits
+    # length prefix: val 96 -> code 12 covers 65..96 (offset 64,
+    # extra 5): 96 = 64 + 31 + 1
+    bw = _Vp8lW()
+    _vp8l_header(bw, w, h)
+    bw.w(0, 1)  # no transforms
+    bw.w(0, 1)  # no cache
+    bw.w(0, 1)  # no meta prefix image
+    greens = sorted({int(g) for g in row})
+    glens = _complete_lengths(greens + [256 + 12])
+    gc = _w_tree(bw, glens, 280)
+    rc = _w_tree(bw, _complete_lengths(sorted({int(g) for g in row})), 256)
+    bc = _w_tree(bw, _complete_lengths(sorted({int(g) for g in row})), 256)
+    ac = _w_tree(bw, {255: 0}, 256)
+    dc = _w_tree(bw, {0: 0}, 40)  # dist prefix code 0 -> dist_code 1
+    for g in row:  # first row: gray literals
+        bw.code(*gc[int(g)])
+        bw.code(*rc[int(g)])
+        bw.code(*bc[int(g)])
+        bw.code(*ac[255])
+    bw.code(*gc[256 + 12])
+    bw.w(31, 5)  # length extra bits
+    bw.code(*dc[0])  # dist prefix code 0 -> plane code 1 -> (0,1)
+    got = decode_image(_vp8l_wrap(bw.tobytes()))
+    want = np.tile(row.astype(np.float32), (h, 1))
+    assert np.allclose(got, want)
+
+
+def test_vp8l_color_cache_reference():
+    """Color cache: second pixel comes from the cache slot the first
+    literal populated (the 0x1e35a7bd multiplicative hash)."""
+    import numpy as np
+
+    from telescope_data_pipeline_spark.operators.multimodal import (
+        decode_image,
+    )
+
+    a, r, g, b = 255, 77, 150, 9
+    cache_bits = 5
+    argb = (a << 24) | (r << 16) | (g << 8) | b
+    idx = (0x1E35A7BD * argb & 0xFFFFFFFF) >> (32 - cache_bits)
+    bw = _Vp8lW()
+    _vp8l_header(bw, 2, 1)
+    bw.w(0, 1)  # no transforms
+    bw.w(1, 1)
+    bw.w(cache_bits, 4)
+    bw.w(0, 1)  # no meta prefix image
+    galpha = 280 + (1 << cache_bits)
+    gc = _w_tree(bw, _complete_lengths([g, 280 + idx]), galpha)
+    rc = _w_tree(bw, {r: 0}, 256)
+    bc = _w_tree(bw, {b: 0}, 256)
+    ac = _w_tree(bw, {a: 0}, 256)
+    _w_tree(bw, {0: 0}, 40)
+    bw.code(*gc[g])
+    bw.code(*rc[r])
+    bw.code(*bc[b])
+    bw.code(*ac[a])
+    bw.code(*gc[280 + idx])  # cache hit for the same pixel
+    got = decode_image(_vp8l_wrap(bw.tobytes()))
+    want = np.full((1, 2), r * 0.299 + g * 0.587 + b * 0.114, np.float32)
+    assert np.allclose(got, want)
+
+
+import pytest
+
+
+@pytest.mark.parametrize("mode", list(range(14)))
+def test_vp8l_predictor_modes_uniform(mode):
+    """PREDICTOR transform, every mode, over a uniform image: one tile
+    covers the image (bits=4), the 1x1 mode sub-image selects the
+    predictor, residuals are zero except where the edge rules (black /
+    L / T) and mode 0 bite."""
+    import numpy as np
+
+    from telescope_data_pipeline_spark.operators.multimodal import (
+        decode_image,
+    )
+
+    v, h, w = 77, 12, 14
+    bw = _Vp8lW()
+    _vp8l_header(bw, w, h)
+    bw.w(1, 1)
+    bw.w(0, 2)  # predictor transform
+    bw.w(4 - 2, 3)  # tile bits 4: 16x16 tile covers 14x12
+    # 1x1 mode sub-image: green = mode, everything else single-symbol
+    _w_literal_image(bw, [[(0, 0, mode, 0)]])
+    bw.w(0, 1)  # no more transforms
+    # residuals: (0,0) predicts black -> (0, v, v, v); row 0 uses L,
+    # col 0 uses T -> 0; interior uses the tile mode: 0 for all modes
+    # except mode 0 (black) where it is (0, v, v, v)
+    res = [[(0, 0, 0, 0)] * w for _ in range(h)]
+    res[0][0] = (0, v, v, v)
+    if mode == 0:
+        for y in range(1, h):
+            for x in range(1, w):
+                res[y][x] = (0, v, v, v)
+    _w_literal_image(bw, res, level0=True)
+    got = decode_image(_vp8l_wrap(bw.tobytes()))
+    assert got.shape == (h, w)
+    assert np.allclose(got, np.full((h, w), float(v), np.float32))
+
+
+def test_vp8l_predictor_clamp_add_subtract_nonuniform():
+    """Mode 12 (ClampAddSubtractFull) with a non-trivial 2x2: the
+    bottom-right pixel's prediction is clamp(L + T - TL) per channel."""
+    import numpy as np
+
+    from telescope_data_pipeline_spark.operators.multimodal import (
+        decode_image,
+    )
+
+    img = np.array([[[10, 20, 30], [40, 60, 80]],
+                    [[5, 15, 25], [36, 56, 76]]], np.uint8)
+    # residuals per the decoder's own edge rules + mode 12 interior
+    r00 = (0, 10, 20, 30)                      # pred black
+    r01 = (0, 30, 40, 50)                      # L
+    r10 = (0, (5 - 10) & 255, (15 - 20) & 255, (25 - 30) & 255)  # T
+    # interior pred: clamp(L+T-TL) = (35, 55, 75); pixel (36,56,76)
+    r11 = (0, 1, 1, 1)
+    bw = _Vp8lW()
+    _vp8l_header(bw, 2, 2)
+    bw.w(1, 1)
+    bw.w(0, 2)
+    bw.w(0, 3)  # tile bits 2
+    _w_literal_image(bw, [[(0, 0, 12, 0)]])
+    bw.w(0, 1)
+    _w_literal_image(bw, [[r00, r01], [r10, r11]], level0=True)
+    got = decode_image(_vp8l_wrap(bw.tobytes()))
+    assert np.allclose(got, _webp_luma(img))
+
+
+def test_vp8l_color_transform():
+    """COLOR transform: one tile, fixed-point cross-channel deltas
+    ((int8 t * int8 c) >> 5) re-added by the inverse."""
+    import numpy as np
+
+    from telescope_data_pipeline_spark.operators.multimodal import (
+        decode_image,
+    )
+
+    g2r, g2b, r2b = 40, 250, 17  # transform element bytes
+    def s8(x):
+        return x - 256 if x >= 128 else x
+    def delta(t, c):
+        return (s8(t) * s8(c)) >> 5
+    # stored residual pixel; expected after inverse
+    a, rs, g, bs = 255, 100, 200, 50
+    red = (rs + delta(g2r, g)) & 255
+    blue = (bs + delta(g2b, g) + delta(r2b, red)) & 255
+    bw = _Vp8lW()
+    _vp8l_header(bw, 1, 1)
+    bw.w(1, 1)
+    bw.w(1, 2)  # color transform
+    bw.w(0, 3)  # tile bits 2
+    # transform pixel channels: (a, red=r2b, green=g2b, blue=g2r)
+    _w_literal_image(bw, [[(0, r2b, g2b, g2r)]])
+    bw.w(0, 1)
+    _w_literal_image(bw, [[(a, rs, g, bs)]], level0=True)
+    got = decode_image(_vp8l_wrap(bw.tobytes()))
+    want = red * 0.299 + g * 0.587 + blue * 0.114
+    assert np.allclose(got, np.array([[want]], np.float32))
+
+
+def test_vp8l_meta_prefix_groups():
+    """Meta prefix image: two 16px-wide tiles select two different
+    prefix-code groups (single-symbol trees with different greens)."""
+    import numpy as np
+
+    from telescope_data_pipeline_spark.operators.multimodal import (
+        decode_image,
+    )
+
+    w, h, va, vb = 20, 3, 50, 220
+    bw = _Vp8lW()
+    _vp8l_header(bw, w, h)
+    bw.w(0, 1)  # no transforms
+    bw.w(0, 1)  # no cache
+    bw.w(1, 1)  # meta prefix image present
+    bw.w(4 - 2, 3)  # meta tile bits 4 -> tiles of 16: meta image 2x1
+    # meta sub-image: group index lives in (red << 8) | green
+    _w_literal_image(bw, [[(0, 0, 0, 0), (0, 0, 1, 0)]])
+    for v in (va, vb):  # group 0 (left tile), group 1 (right tile)
+        _w_tree(bw, {v: 0}, 280)
+        _w_tree(bw, {v: 0}, 256)
+        _w_tree(bw, {v: 0}, 256)
+        _w_tree(bw, {255: 0}, 256)
+        _w_tree(bw, {0: 0}, 40)
+    # all trees are 0-bit: the pixel stream itself is empty
+    got = decode_image(_vp8l_wrap(bw.tobytes()))
+    want = np.full((h, w), float(va), np.float32)
+    want[:, 16:] = float(vb)
+    assert np.allclose(got, want)
+
+
+def test_vp8l_vp8x_and_anmf_containers():
+    """The RIFF walk finds the VP8L bitstream behind a VP8X header and
+    inside the first ANMF animation frame."""
+    import numpy as np
+
+    from telescope_data_pipeline_spark.operators.multimodal import (
+        decode_image,
+    )
+
+    rng = np.random.default_rng(4)
+    rgb = rng.integers(0, 256, size=(5, 6, 3), dtype=np.uint8)
+    plain = _encode_vp8l_literal(rgb)
+    vp8l_data = plain[20:]  # strip RIFF+WEBP+chunk header: re-wrap
+    # recover the raw VP8L payload via the repo's own walker
+    from telescope_data_pipeline_spark.operators.multimodal import (
+        _webp_find_vp8l,
+    )
+
+    raw = _webp_find_vp8l(plain)
+    for kw in ({"vp8x": True}, {"anmf": True}):
+        wrapped = _vp8l_wrap(raw, **kw)
+        assert np.allclose(decode_image(wrapped), _webp_luma(rgb))
+
+
+def test_vp8l_corrupt_and_lossy_raise_typed():
+    """Truncated VP8L and lossy VP8 payloads raise CodecUnavailable
+    (typed, loud), never fall through to the stub."""
+    import numpy as np
+    import pytest as _pytest
+
+    from telescope_data_pipeline_spark.operators.multimodal import (
+        CodecUnavailable,
+        _pil_image,
+        decode_image,
+    )
+
+    rng = np.random.default_rng(2)
+    rgb = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    good = _encode_vp8l_literal(rgb)
+    with _pytest.raises(CodecUnavailable):
+        decode_image(good[:40])  # truncated mid-bitstream
+    if _pil_image is None:  # lossy VP8: no pure-Python path
+        body = b"WEBP" + b"VP8 " + (4).to_bytes(4, "little") + b"\x00" * 4
+        lossy = b"RIFF" + len(body).to_bytes(4, "little") + body
+        with _pytest.raises(CodecUnavailable):
+            decode_image(lossy)
