@@ -150,6 +150,23 @@ EXTRA = [
     "q_runs_test",
     "q_kruskal_wallis",
     "q_brown_forsythe",
+    # round-11 batch — informational, frozen comparator set untouched
+    "q_anova_oneway",
+    "q_cohens_d",
+    "q_odds_ratio",
+    "q_poisson_rate",
+    "q_gwet_ac1",
+    "q_goodman_gamma",
+    "q_retention_cohorts",
+    "q_stratified_ate",
+    "q_abc_analysis",
+    "q_pacf",
+    "q_qq_points",
+    "q_code_detect",
+    "q_tokenizer_fertility",
+    "q_threshold_sweep",
+    "q_fd_violations",
+    "q_page_hinkley",
 ]
 
 

@@ -18,6 +18,7 @@ def load_all() -> None:
         evaluation,
         flagship,
         inference,
+        insights,
         joins,
         llm,
         metrics,

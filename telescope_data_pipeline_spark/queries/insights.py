@@ -1,0 +1,1255 @@
+"""Round-11 experimentation, agreement, and warehouse-insight queries:
+one-way ANOVA, Cohen's d effect size, 2x2 odds ratio with CI, Poisson
+rate comparison, Gwet's AC1 agreement, Goodman-Kruskal gamma / tau-b,
+weekly retention cohorts, stratified ATE, ABC (Pareto) inventory
+classes, partial autocorrelation, decile QQ pairs, code-vs-prose
+detection, tokenizer fertility, cost-optimal threshold sweep,
+functional-dependency audit, and Page-Hinkley drift detection.
+
+These extend the experimentation family (ANOVA/effect sizes/rates
+beside the t/MW/KS tests), the labeling-QA family (AC1 beside Cohen's
+and Fleiss' kappa and Krippendorff's alpha), ordinal association
+(gamma/tau-b beside Spearman), product analytics (retention triangle
+beside growth accounting and WAU), warehouse curation (ABC classes,
+FD audits), text curation (code detection, tokenizer fertility), and
+model ops (threshold sweep beside calibration/lift; PACF beside ACF;
+Page-Hinkley beside CUSUM/changepoint). Every query follows the
+registry determinism contract (registry.py module docstring): integer
+sufficient statistics wherever a float SUM could expose
+partial-aggregation order, DECIMAL(38,0)/HUGEINT for products that
+overflow BIGINT, one shared double expression tree for the final
+statistic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import query
+
+_TOK = r"\s+"
+
+
+# ---------------------------------------------------------------------------
+# One-way ANOVA (F test) across order priorities
+# ---------------------------------------------------------------------------
+
+@query("q_anova_oneway", oracle="""
+WITH x AS (
+  SELECT o_orderpriority AS grp,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS xc
+  FROM orders
+), g AS (
+  SELECT grp, COUNT(*) AS n_g, SUM(xc) AS s_g,
+         SUM(CAST(xc AS HUGEINT) * xc) AS ss_g
+  FROM x GROUP BY grp
+), t AS (
+  SELECT COUNT(*) AS k, SUM(n_g) AS n, SUM(s_g) AS s, SUM(ss_g) AS ss,
+         -- quantize each group's s_g^2/n_g to 1e4-centi^2 units BEFORE
+         -- the sum (a float SUM over groups would expose partial-agg
+         -- order at the 6-digit boundary)
+         SUM(CAST(ROUND(s_g::DOUBLE * s_g::DOUBLE / n_g / 1e4)
+                  AS BIGINT)) AS sbq
+  FROM g
+)
+SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+       ROUND(((sbq::DOUBLE * 1e4 - s::DOUBLE * s::DOUBLE / n)
+              / NULLIF(k - 1, 0))
+             / NULLIF((ss::DOUBLE - sbq::DOUBLE * 1e4)
+                      / NULLIF(n - k, 0), 0), 6)
+         + 0.0 AS f_stat,
+       ROUND((sbq::DOUBLE * 1e4 - s::DOUBLE * s::DOUBLE / n)
+             / NULLIF(ss::DOUBLE - s::DOUBLE * s::DOUBLE / n, 0), 6)
+         + 0.0 AS eta_sq
+FROM t
+""")
+def q_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA across the five order priorities on order value:
+    the k-group mean-equality F test that completes the location-test
+    family (Welch's t: 2 groups; Kruskal-Wallis: k groups by rank;
+    this: k groups by variance decomposition), plus eta-squared effect
+    size. F = (SSB/(k-1)) / (SSW/(N-k)).
+
+    Determinism: order values quantize to centi-units; n/sum/sum-of-
+    squares ride exact integers (DECIMAL(38,0)/HUGEINT — centi squares
+    overflow BIGINT at sf>=0.01); the one non-integer group term
+    s_g^2/n_g is quantized to 1e4-centi^2 integer units BEFORE the
+    cross-group sum (quantize-before-sum: a float SUM over groups
+    would expose partial-aggregation order), then F and eta^2 come out
+    of one shared double tree. NULLIF guards the zero-variance corpus.
+
+    Scale: one map-side-combined groupBy to 5 rows, one 1-row fold —
+    nothing shuffles but partial sums."""
+    x = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("xc"))
+    g = x.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_g"),
+        F.sum("xc").alias("s_g"),
+        F.sum(F.col("xc").cast("decimal(38,0)") * F.col("xc"))
+        .alias("ss_g"))
+    t = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n_g").alias("n"),
+        F.sum("s_g").alias("s"),
+        F.sum("ss_g").alias("ss"),
+        F.sum(F.round(F.col("s_g").cast("double")
+                      * F.col("s_g").cast("double")
+                      / F.col("n_g") / 1e4).cast("long")).alias("sbq"))
+    k, n = F.col("k").cast("double"), F.col("n").cast("double")
+    s, ss = F.col("s").cast("double"), F.col("ss").cast("double")
+    sb = F.col("sbq").cast("double") * 1e4
+    ssb = sb - s * s / n
+    return t.select(
+        F.col("k").cast("long").alias("k"),
+        F.col("n").cast("long").alias("n"),
+        (F.round((ssb / F.nullif(k - 1, F.lit(0.0)))
+                 / F.nullif((ss - sb) / F.nullif(n - k, F.lit(0.0)),
+                            F.lit(0.0)), 6) + 0.0)
+        .alias("f_stat"),
+        (F.round(ssb / F.nullif(ss - s * s / n, F.lit(0.0)), 6) + 0.0)
+        .alias("eta_sq"))
+
+
+# ---------------------------------------------------------------------------
+# Cohen's d effect size per metric stream
+# ---------------------------------------------------------------------------
+
+@query("q_cohens_d", oracle="""
+WITH x AS (
+  SELECT event_type, user_id % 2 AS arm,
+         CAST(ROUND(value * 1000000) AS BIGINT) AS xu
+  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+), a AS (
+  SELECT event_type,
+         SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n0,
+         SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n1,
+         SUM(CASE WHEN arm = 0 THEN xu ELSE 0 END) AS s0,
+         SUM(CASE WHEN arm = 1 THEN xu ELSE 0 END) AS s1,
+         SUM(CASE WHEN arm = 0 THEN CAST(xu AS HUGEINT) * xu
+                  ELSE 0 END) AS ss0,
+         SUM(CASE WHEN arm = 1 THEN CAST(xu AS HUGEINT) * xu
+                  ELSE 0 END) AS ss1
+  FROM x GROUP BY event_type
+)
+SELECT event_type, CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+       ROUND((s1::DOUBLE / NULLIF(n1, 0) - s0::DOUBLE / NULLIF(n0, 0))
+             / NULLIF(SQRT(((ss0::DOUBLE
+                             - s0::DOUBLE * s0::DOUBLE / NULLIF(n0, 0))
+                            + (ss1::DOUBLE
+                               - s1::DOUBLE * s1::DOUBLE / NULLIF(n1, 0)))
+                           / NULLIF(n0 + n1 - 2, 0)), 0) / 1e0, 6) + 0.0
+         AS cohens_d
+FROM a ORDER BY event_type
+""")
+def q_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d standardized effect size per event stream (cohorts by
+    user parity, as q_ab_ttest): the magnitude readout the t test's
+    p-value omits — "significant" at scale is meaningless without d.
+    d = (mean1 - mean0) / s_pooled with the (n-2)-denominator pooled
+    standard deviation.
+
+    Determinism: micro-unit integers; sums of squares ride
+    DECIMAL(38,0)/HUGEINT (micro squares overflow BIGINT); the micro
+    scale cancels in d, so one shared double tree, NULLIF for the
+    zero-variance stream.
+
+    Scale: one conditional-aggregation groupBy, 5 output rows."""
+    x = (load_table(spark, sf_dir, "events")
+         .filter(F.col("value").isNotNull() & F.col("user_id").isNotNull())
+         .select("event_type", (F.col("user_id") % 2).alias("arm"),
+                 F.round(F.col("value") * 1e6).cast("long").alias("xu")))
+    xd = F.col("xu").cast("decimal(38,0)")
+    a = x.groupBy("event_type").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("arm") == 0, F.col("xu")).otherwise(0))
+        .alias("s0"),
+        F.sum(F.when(F.col("arm") == 1, F.col("xu")).otherwise(0))
+        .alias("s1"),
+        F.sum(F.when(F.col("arm") == 0, xd * F.col("xu"))
+              .otherwise(F.lit(0).cast("decimal(38,0)"))).alias("ss0"),
+        F.sum(F.when(F.col("arm") == 1, xd * F.col("xu"))
+              .otherwise(F.lit(0).cast("decimal(38,0)"))).alias("ss1"))
+    # NULLIF every arm-count denominator: an edge corpus can put every
+    # user in one arm, and ANSI mode aborts on a 0 divisor
+    n0 = F.nullif(F.col("n0").cast("double"), F.lit(0.0))
+    n1 = F.nullif(F.col("n1").cast("double"), F.lit(0.0))
+    s0, s1 = F.col("s0").cast("double"), F.col("s1").cast("double")
+    ss0, ss1 = F.col("ss0").cast("double"), F.col("ss1").cast("double")
+    df2 = F.nullif((F.col("n0") + F.col("n1") - 2).cast("double"),
+                   F.lit(0.0))
+    pooled = F.sqrt(((ss0 - s0 * s0 / n0) + (ss1 - s1 * s1 / n1)) / df2)
+    return (a.select(
+        "event_type",
+        F.col("n0").cast("long").alias("n0"),
+        F.col("n1").cast("long").alias("n1"),
+        (F.round((s1 / n1 - s0 / n0) / F.nullif(pooled, F.lit(0.0))
+                 / 1e0, 6) + 0.0).alias("cohens_d"))
+        .orderBy("event_type"))
+
+
+# ---------------------------------------------------------------------------
+# 2x2 odds ratio with Haldane correction and 95% CI
+# ---------------------------------------------------------------------------
+
+@query("q_odds_ratio", oracle="""
+WITH x AS (
+  SELECT event_type, user_id % 2 AS arm,
+         CASE WHEN value > 100 THEN 1 ELSE 0 END AS hit
+  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+), c AS (
+  SELECT event_type,
+         SUM(CASE WHEN arm = 1 AND hit = 1 THEN 1 ELSE 0 END) AS a,
+         SUM(CASE WHEN arm = 1 AND hit = 0 THEN 1 ELSE 0 END) AS b,
+         SUM(CASE WHEN arm = 0 AND hit = 1 THEN 1 ELSE 0 END) AS c,
+         SUM(CASE WHEN arm = 0 AND hit = 0 THEN 1 ELSE 0 END) AS d
+  FROM x GROUP BY event_type
+)
+SELECT event_type,
+       CAST(a AS BIGINT) AS n11, CAST(b AS BIGINT) AS n10,
+       CAST(c AS BIGINT) AS n01, CAST(d AS BIGINT) AS n00,
+       ROUND((a + 0.5) * (d + 0.5) / ((b + 0.5) * (c + 0.5)), 6) + 0.0
+         AS odds_ratio,
+       ROUND(EXP(LN((a + 0.5) * (d + 0.5) / ((b + 0.5) * (c + 0.5)))
+                 - 1.959964 * SQRT(1.0 / (a + 0.5) + 1.0 / (b + 0.5)
+                                   + 1.0 / (c + 0.5) + 1.0 / (d + 0.5))),
+             6) + 0.0 AS ci_lo,
+       ROUND(EXP(LN((a + 0.5) * (d + 0.5) / ((b + 0.5) * (c + 0.5)))
+                 + 1.959964 * SQRT(1.0 / (a + 0.5) + 1.0 / (b + 0.5)
+                                   + 1.0 / (c + 0.5) + 1.0 / (d + 0.5))),
+             6) + 0.0 AS ci_hi
+FROM c ORDER BY event_type
+""")
+def q_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2x2 odds ratio per event stream (exposure = user-parity arm,
+    outcome = value over threshold) with the Haldane-Anscombe +0.5
+    correction and the Woolf log-normal 95% CI — the epidemiology-style
+    effect readout for binary outcomes, beside the risk-difference
+    z test (q_ab_ttest family) and the trend test (q_trend_test).
+
+    Determinism: four integer cells; the OR and CI are one shared
+    double tree over (cell + 0.5) terms — the correction also makes
+    every term strictly positive, so no zero guards are needed.
+
+    Scale: one conditional aggregation, 5 output rows."""
+    x = (load_table(spark, sf_dir, "events")
+         .filter(F.col("value").isNotNull() & F.col("user_id").isNotNull())
+         .select("event_type", (F.col("user_id") % 2).alias("arm"),
+                 F.when(F.col("value") > 100, 1).otherwise(0).alias("hit")))
+    c = x.groupBy("event_type").agg(
+        F.sum(F.when((F.col("arm") == 1) & (F.col("hit") == 1), 1)
+              .otherwise(0)).alias("a"),
+        F.sum(F.when((F.col("arm") == 1) & (F.col("hit") == 0), 1)
+              .otherwise(0)).alias("b"),
+        F.sum(F.when((F.col("arm") == 0) & (F.col("hit") == 1), 1)
+              .otherwise(0)).alias("c"),
+        F.sum(F.when((F.col("arm") == 0) & (F.col("hit") == 0), 1)
+              .otherwise(0)).alias("d"))
+    a, b = F.col("a") + 0.5, F.col("b") + 0.5
+    cc, d = F.col("c") + 0.5, F.col("d") + 0.5
+    lor = F.log(a * d / (b * cc))
+    se = F.sqrt(1.0 / a + 1.0 / b + 1.0 / cc + 1.0 / d)
+    return (c.select(
+        "event_type",
+        F.col("a").cast("long").alias("n11"),
+        F.col("b").cast("long").alias("n10"),
+        F.col("c").cast("long").alias("n01"),
+        F.col("d").cast("long").alias("n00"),
+        (F.round(a * d / (b * cc), 6) + 0.0).alias("odds_ratio"),
+        (F.round(F.exp(lor - 1.959964 * se), 6) + 0.0).alias("ci_lo"),
+        (F.round(F.exp(lor + 1.959964 * se), 6) + 0.0).alias("ci_hi"))
+        .orderBy("event_type"))
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Poisson rate comparison
+# ---------------------------------------------------------------------------
+
+@query("q_poisson_rate", oracle="""
+WITH x AS (
+  SELECT event_type, user_id % 2 AS arm, user_id
+  FROM events WHERE user_id IS NOT NULL
+), c AS (
+  SELECT event_type,
+         SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS k0,
+         SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS k1,
+         COUNT(DISTINCT CASE WHEN arm = 0 THEN user_id END) AS t0,
+         COUNT(DISTINCT CASE WHEN arm = 1 THEN user_id END) AS t1
+  FROM x GROUP BY event_type
+)
+SELECT event_type,
+       CAST(k0 AS BIGINT) AS k0, CAST(k1 AS BIGINT) AS k1,
+       CAST(t0 AS BIGINT) AS exposure0, CAST(t1 AS BIGINT) AS exposure1,
+       ROUND((k1::DOUBLE / NULLIF(t1, 0))
+             / NULLIF(k0::DOUBLE / NULLIF(t0, 0), 0), 6) + 0.0
+         AS rate_ratio,
+       ROUND((k1::DOUBLE / NULLIF(t1, 0) - k0::DOUBLE / NULLIF(t0, 0))
+             / NULLIF(SQRT(k1::DOUBLE / NULLIF(t1::DOUBLE * t1, 0)
+                           + k0::DOUBLE / NULLIF(t0::DOUBLE * t0, 0)), 0),
+             6) + 0.0 AS z
+FROM c ORDER BY event_type
+""")
+def q_poisson_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Poisson rate comparison per event stream: events per
+    exposed user in each arm, rate ratio, and the normal-approximation
+    z — the COUNT-metric A/B readout beside the mean-metric t test
+    (error rates, purchase counts, crash rates are Poisson-shaped, not
+    Gaussian-shaped).
+
+    Determinism: counts and distinct-user exposures are exact
+    integers; one shared double tree, NULLIF for an empty arm.
+
+    Scale: one groupBy with a distinct-count (two-level aggregate
+    Spark plans map-side), 5 output rows."""
+    x = (load_table(spark, sf_dir, "events")
+         .filter(F.col("user_id").isNotNull())
+         .select("event_type", (F.col("user_id") % 2).alias("arm"),
+                 "user_id"))
+    c = x.groupBy("event_type").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("k0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("k1"),
+        F.countDistinct(F.when(F.col("arm") == 0, F.col("user_id")))
+        .alias("t0"),
+        F.countDistinct(F.when(F.col("arm") == 1, F.col("user_id")))
+        .alias("t1"))
+    k0, k1 = F.col("k0").cast("double"), F.col("k1").cast("double")
+    # NULLIF the exposures: an edge corpus can empty one arm, and ANSI
+    # mode aborts on a 0 divisor
+    t0 = F.nullif(F.col("t0").cast("double"), F.lit(0.0))
+    t1 = F.nullif(F.col("t1").cast("double"), F.lit(0.0))
+    return (c.select(
+        "event_type",
+        F.col("k0").cast("long").alias("k0"),
+        F.col("k1").cast("long").alias("k1"),
+        F.col("t0").cast("long").alias("exposure0"),
+        F.col("t1").cast("long").alias("exposure1"),
+        (F.round((k1 / t1) / F.nullif(k0 / t0, F.lit(0.0)), 6) + 0.0)
+        .alias("rate_ratio"),
+        (F.round((k1 / t1 - k0 / t0)
+                 / F.nullif(F.sqrt(k1 / F.nullif(t1 * t1, F.lit(0.0))
+                                   + k0 / F.nullif(t0 * t0, F.lit(0.0))),
+                            F.lit(0.0)), 6) + 0.0).alias("z"))
+        .orderBy("event_type"))
+
+
+# ---------------------------------------------------------------------------
+# Gwet's AC1 inter-annotator agreement
+# ---------------------------------------------------------------------------
+
+@query("q_gwet_ac1", oracle="""
+WITH r AS (
+  SELECT doc_id,
+         (doc_id * 2654435761 % 1000003) % 3 AS r1,
+         CASE WHEN (doc_id * 40503 % 1000003) % 10 < 8
+              THEN (doc_id * 2654435761 % 1000003) % 3
+              ELSE ((doc_id * 2654435761 % 1000003) + 1) % 3 END AS r2
+  FROM documents
+), q AS (
+  SELECT SUM(CASE WHEN r1 = q.cat THEN 1 ELSE 0 END)
+           + SUM(CASE WHEN r2 = q.cat THEN 1 ELSE 0 END) AS n_q,
+         COUNT(*) AS n
+  FROM r CROSS JOIN (SELECT UNNEST([0, 1, 2]) AS cat) q
+  GROUP BY q.cat
+), s AS (
+  -- quantize each category's pi*(1-pi) to pico-units before the
+  -- 3-term sum (quantize-before-sum contract)
+  SELECT SUM(CAST(ROUND((n_q::DOUBLE / (2 * n))
+                        * (1 - n_q::DOUBLE / (2 * n)) * 1e12)
+             AS BIGINT))::DOUBLE / 1e12 / (3 - 1) AS pe_g,
+         ANY_VALUE(n) AS n
+  FROM q
+), po AS (
+  SELECT SUM(CASE WHEN r1 = r2 THEN 1 ELSE 0 END)::DOUBLE
+           / NULLIF(COUNT(*), 0) AS po
+  FROM r
+)
+SELECT CAST(s.n AS BIGINT) AS n_docs,
+       ROUND(po.po, 6) + 0.0 AS p_observed,
+       ROUND((po.po - s.pe_g) / NULLIF(1 - s.pe_g, 0), 6) + 0.0 AS ac1
+FROM s CROSS JOIN po
+""")
+def q_gwet_ac1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gwet's AC1 agreement between two (hash-derived) annotators over
+    3 labels — the kappa-paradox-resistant member of the agreement
+    family (Cohen's kappa punishes prevalence imbalance; AC1's chance
+    term uses the propensity of INCIDENTAL agreement, so skewed label
+    mixes don't crater the score). Demo annotators: rater 2 agrees
+    with rater 1 on ~80% of docs and rotates the label otherwise.
+
+    Determinism: label assignments are pure integer hashes; category
+    marginals are exact integers; pe and AC1 are one shared double
+    tree.
+
+    Scale: one map-only projection, a 3-row category aggregate, and
+    1-row folds — nothing shuffles but partials."""
+    r = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        ((F.col("doc_id") * F.lit(2654435761).cast("bigint") % 1000003)
+         % 3).alias("r1"),
+        F.when((F.col("doc_id") * 40503 % 1000003) % 10 < 8,
+               (F.col("doc_id") * F.lit(2654435761).cast("bigint")
+                % 1000003) % 3)
+        .otherwise(((F.col("doc_id") * F.lit(2654435761).cast("bigint")
+                     % 1000003) + 1) % 3).alias("r2"))
+    cats = r.sparkSession.range(3).select(F.col("id").alias("cat"))
+    q = (r.crossJoin(F.broadcast(cats))
+         .groupBy("cat")
+         .agg((F.sum(F.when(F.col("r1") == F.col("cat"), 1).otherwise(0))
+               + F.sum(F.when(F.col("r2") == F.col("cat"), 1)
+                       .otherwise(0))).alias("n_q"),
+              F.count(F.lit(1)).alias("n")))
+    pi = F.col("n_q").cast("double") / (2 * F.col("n"))
+    s = q.agg((F.sum(F.round(pi * (1 - pi) * 1e12).cast("long"))
+               .cast("double") / 1e12 / (3 - 1)).alias("pe_g"),
+              F.first("n").alias("n"))
+    po = r.agg((F.sum(F.when(F.col("r1") == F.col("r2"), 1).otherwise(0))
+                .cast("double")
+                / F.nullif(F.count(F.lit(1)), F.lit(0))).alias("po"))
+    return (s.crossJoin(F.broadcast(po))
+            .select(F.col("n").cast("long").alias("n_docs"),
+                    (F.round(F.col("po"), 6) + 0.0).alias("p_observed"),
+                    (F.round((F.col("po") - F.col("pe_g"))
+                             / F.nullif(1 - F.col("pe_g"), F.lit(0.0)), 6)
+                     + 0.0).alias("ac1")))
+
+
+# ---------------------------------------------------------------------------
+# Goodman-Kruskal gamma + Kendall tau-b over a bounded ordinal cross
+# ---------------------------------------------------------------------------
+
+@query("q_goodman_gamma", oracle="""
+WITH per_order AS (
+  SELECT CAST(SUBSTR(o.o_orderpriority, 1, 1) AS BIGINT) AS pri,
+         LEAST(COUNT(*), 8) AS basket
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_orderkey, o.o_orderpriority
+), cells AS (
+  SELECT pri, basket, COUNT(*) AS n FROM per_order GROUP BY pri, basket
+), pairs AS (
+  SELECT SUM(CASE WHEN c2.pri > c1.pri AND c2.basket > c1.basket
+                  THEN c1.n * c2.n ELSE 0 END) AS conc,
+         SUM(CASE WHEN c2.pri > c1.pri AND c2.basket < c1.basket
+                  THEN c1.n * c2.n ELSE 0 END) AS disc
+  FROM cells c1 CROSS JOIN cells c2
+), m AS (
+  SELECT SUM(n) AS n,
+         SUM(CAST(n AS HUGEINT) * (n - 1) / 2) AS tie_xy,
+         (SELECT SUM(CAST(s AS HUGEINT) * (s - 1) / 2) FROM (
+            SELECT SUM(n) AS s FROM cells GROUP BY pri)) AS tie_x,
+         (SELECT SUM(CAST(s AS HUGEINT) * (s - 1) / 2) FROM (
+            SELECT SUM(n) AS s FROM cells GROUP BY basket)) AS tie_y
+  FROM cells
+)
+SELECT CAST(m.n AS BIGINT) AS n,
+       CAST(p.conc AS BIGINT) AS concordant,
+       CAST(p.disc AS BIGINT) AS discordant,
+       ROUND((p.conc - p.disc)::DOUBLE
+             / NULLIF(p.conc + p.disc, 0), 6) + 0.0 AS gamma,
+       ROUND((p.conc - p.disc)::DOUBLE
+             / NULLIF(SQRT((m.n::DOUBLE * (m.n - 1) / 2 - m.tie_x::DOUBLE)
+                           * (m.n::DOUBLE * (m.n - 1) / 2
+                              - m.tie_y::DOUBLE)), 0), 6) + 0.0 AS tau_b
+FROM pairs p CROSS JOIN m
+""")
+def q_goodman_gamma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goodman-Kruskal gamma and Kendall tau-b between order priority
+    (ordinal 1-5) and basket size (capped at 8) — ordinal association
+    for BOUNDED x BOUNDED crosses, completing the correlation family
+    (Pearson: linear; Spearman: monotone by rank; gamma/tau-b: by
+    concordant/discordant pair counts, the form survey scales and
+    ratings use).
+
+    Determinism: the contingency table is exact integers; concordant/
+    discordant pair totals come from a cross join of the <= 5 x 8 cell
+    table (bounded by DATA NATURE, never by corpus size), tie terms
+    ride HUGEINT/DECIMAL, and gamma/tau-b are one shared double tree.
+
+    Scale: one shuffle to per-order baskets, one to the 40-cell table;
+    the pair 'join' is a broadcast cross of two 40-row relations."""
+    od = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = (od.join(li, li.l_orderkey == od.o_orderkey)
+                 .groupBy(od.o_orderkey,
+                          F.substring("o_orderpriority", 1, 1)
+                          .cast("long").alias("pri"))
+                 .agg(F.least(F.count(F.lit(1)), F.lit(8)).alias("basket")))
+    cells = per_order.groupBy("pri", "basket").agg(
+        F.count(F.lit(1)).alias("n"))
+    c1 = cells.select(F.col("pri").alias("p1"),
+                      F.col("basket").alias("b1"), F.col("n").alias("x1"))
+    c2 = cells.select(F.col("pri").alias("p2"),
+                      F.col("basket").alias("b2"), F.col("n").alias("x2"))
+    pairs = (c1.crossJoin(F.broadcast(c2))
+             .agg(F.sum(F.when((F.col("p2") > F.col("p1"))
+                               & (F.col("b2") > F.col("b1")),
+                               F.col("x1") * F.col("x2")).otherwise(0))
+                  .alias("conc"),
+                  F.sum(F.when((F.col("p2") > F.col("p1"))
+                               & (F.col("b2") < F.col("b1")),
+                               F.col("x1") * F.col("x2")).otherwise(0))
+                  .alias("disc")))
+    nd = F.col("n").cast("decimal(38,0)")
+    tie_xy = cells.agg(F.sum("n").alias("n"),
+                       F.sum(nd * (F.col("n") - 1) / 2).alias("tie_xy"))
+    sd = F.col("s").cast("decimal(38,0)")
+    tie_x = (cells.groupBy("pri").agg(F.sum("n").alias("s"))
+             .agg(F.sum(sd * (F.col("s") - 1) / 2).alias("tie_x")))
+    tie_y = (cells.groupBy("basket").agg(F.sum("n").alias("s"))
+             .agg(F.sum(sd * (F.col("s") - 1) / 2).alias("tie_y")))
+    m = (tie_xy.crossJoin(F.broadcast(tie_x))
+         .crossJoin(F.broadcast(tie_y)))
+    n = F.col("n").cast("double")
+    half = n * (n - 1) / 2
+    return (pairs.crossJoin(F.broadcast(m))
+            .select(F.col("n").cast("long").alias("n"),
+                    F.col("conc").cast("long").alias("concordant"),
+                    F.col("disc").cast("long").alias("discordant"),
+                    (F.round((F.col("conc") - F.col("disc")).cast("double")
+                             / F.nullif((F.col("conc") + F.col("disc"))
+                                        .cast("double"), F.lit(0.0)), 6)
+                     + 0.0).alias("gamma"),
+                    (F.round((F.col("conc") - F.col("disc")).cast("double")
+                             / F.nullif(F.sqrt(
+                                 (half - F.col("tie_x").cast("double"))
+                                 * (half - F.col("tie_y").cast("double"))),
+                                 F.lit(0.0)), 6) + 0.0).alias("tau_b")))
+
+
+# ---------------------------------------------------------------------------
+# Weekly retention cohorts (the retention triangle)
+# ---------------------------------------------------------------------------
+
+@query("q_retention_cohorts", oracle="""
+WITH first_seen AS (
+  SELECT user_id, MIN(DATE_TRUNC('week', ts)) AS cohort_week
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+  GROUP BY user_id
+), active AS (
+  SELECT DISTINCT e.user_id, f.cohort_week,
+         DATEDIFF('day', f.cohort_week,
+                  DATE_TRUNC('week', e.ts)) / 7 AS week_offset
+  FROM events e JOIN first_seen f ON e.user_id = f.user_id
+  WHERE e.ts IS NOT NULL
+), size AS (
+  SELECT cohort_week, COUNT(*) AS cohort_size FROM first_seen
+  GROUP BY cohort_week
+)
+SELECT CAST(a.cohort_week AS VARCHAR) AS cohort_week,
+       CAST(a.week_offset AS BIGINT) AS week_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_active,
+       CAST(s.cohort_size AS BIGINT) AS cohort_size,
+       ROUND(COUNT(*)::DOUBLE / s.cohort_size, 6) + 0.0 AS retention
+FROM active a JOIN size s ON a.cohort_week = s.cohort_week
+GROUP BY a.cohort_week, a.week_offset, s.cohort_size
+ORDER BY cohort_week, week_offset
+""")
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The weekly retention triangle: users grouped by first-seen week
+    (the cohort), the share still active at each later week offset —
+    THE product-analytics table, completing the engagement family
+    (q_user_growth: flow accounting; q_rolling_active_users: stock;
+    this: survival by tenure).
+
+    Determinism: week buckets come from date_trunc (Monday start on
+    both engines); counts are exact integers; retention is one rounded
+    ratio. The week column casts to string on both sides (date-vs-
+    timestamp canonicalization differs between engines).
+
+    Scale: one groupBy to first-seen (map-side combined), a broadcast
+    of the per-user cohort map? No — the user map is |users|-sized, so
+    it joins by shuffle on user_id; then a distinct and a (cohort,
+    offset) aggregate. All keyed shuffles, no windows."""
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull()))
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("week", "ts")).alias("cohort_week"))
+    active = (ev.join(first_seen, "user_id")
+              .select("user_id", "cohort_week",
+                      (F.datediff(F.date_trunc("week", "ts"),
+                                  F.col("cohort_week")) / 7)
+                      .cast("long").alias("week_offset"))
+              .distinct())
+    size = first_seen.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size"))
+    return (active.join(F.broadcast(size), "cohort_week")
+            .groupBy(F.col("cohort_week").cast("date").cast("string")
+                     .alias("cohort_week"),
+                     "week_offset", "cohort_size")
+            .agg(F.count(F.lit(1)).alias("n_active"))
+            .select("cohort_week",
+                    F.col("week_offset").cast("long").alias("week_offset"),
+                    F.col("n_active").cast("long").alias("n_active"),
+                    F.col("cohort_size").cast("long").alias("cohort_size"),
+                    (F.round(F.col("n_active").cast("double")
+                             / F.col("cohort_size"), 6) + 0.0)
+                    .alias("retention"))
+            .orderBy("cohort_week", "week_offset"))
+
+
+# ---------------------------------------------------------------------------
+# Stratified average treatment effect
+# ---------------------------------------------------------------------------
+
+@query("q_stratified_ate", oracle="""
+WITH x AS (
+  SELECT event_type AS stratum, user_id % 2 AS arm,
+         CAST(ROUND(value * 100) AS BIGINT) AS xc
+  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+), s AS (
+  SELECT stratum,
+         SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n0,
+         SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n1,
+         SUM(CASE WHEN arm = 0 THEN xc ELSE 0 END) AS s0,
+         SUM(CASE WHEN arm = 1 THEN xc ELSE 0 END) AS s1
+  FROM x GROUP BY stratum
+), keep AS (
+  SELECT * FROM s WHERE n0 > 0 AND n1 > 0
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+       CAST(SUM(n0 + n1) AS BIGINT) AS n,
+       -- per-stratum weighted contrasts quantize to milli-centi
+       -- integers before the cross-stratum sum (quantize-before-sum)
+       ROUND(SUM(CAST(ROUND((n0 + n1)::DOUBLE
+                            * (s1::DOUBLE / n1 - s0::DOUBLE / n0)
+                            * 1000) AS BIGINT))::DOUBLE / 1000
+             / SUM(n0 + n1) / 100, 6) + 0.0 AS ate_stratified,
+       ROUND((SUM(s1)::DOUBLE / SUM(n1) - SUM(s0)::DOUBLE / SUM(n0))
+             / 100, 6) + 0.0 AS ate_pooled
+FROM keep
+""")
+def q_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified average treatment effect: the within-stratum arm
+    contrast weighted by stratum size, beside the pooled contrast —
+    the Simpson's-paradox guard every experiment readout needs when
+    assignment correlates with a covariate (here: event type as the
+    stratum). Strata missing an arm are excluded from BOTH estimates.
+
+    Determinism: centi-unit integer sums per (stratum, arm); both
+    estimators are shared double trees over exact integers, divided
+    once.
+
+    Scale: one conditional aggregation to |strata| rows, then a 1-row
+    fold."""
+    x = (load_table(spark, sf_dir, "events")
+         .filter(F.col("value").isNotNull() & F.col("user_id").isNotNull())
+         .select(F.col("event_type").alias("stratum"),
+                 (F.col("user_id") % 2).alias("arm"),
+                 F.round(F.col("value") * 100).cast("long").alias("xc")))
+    s = x.groupBy("stratum").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("arm") == 0, F.col("xc")).otherwise(0))
+        .alias("s0"),
+        F.sum(F.when(F.col("arm") == 1, F.col("xc")).otherwise(0))
+        .alias("s1"))
+    keep = s.filter((F.col("n0") > 0) & (F.col("n1") > 0))
+    n0, n1 = F.col("n0").cast("double"), F.col("n1").cast("double")
+    s0, s1 = F.col("s0").cast("double"), F.col("s1").cast("double")
+    w = (F.col("n0") + F.col("n1")).cast("double")
+    return keep.agg(
+        F.count(F.lit(1)).cast("long").alias("n_strata"),
+        F.sum(F.col("n0") + F.col("n1")).cast("long").alias("n"),
+        (F.round(F.sum(F.round(w * (s1 / n1 - s0 / n0) * 1000)
+                       .cast("long")).cast("double") / 1000
+                 / F.sum(F.col("n0") + F.col("n1")) / 100, 6) + 0.0)
+        .alias("ate_stratified"),
+        (F.round((F.sum("s1").cast("double") / F.sum("n1")
+                  - F.sum("s0").cast("double") / F.sum("n0")) / 100, 6)
+         + 0.0).alias("ate_pooled"))
+
+
+# ---------------------------------------------------------------------------
+# ABC (Pareto) inventory classes via the distributed rank + prefix sum
+# ---------------------------------------------------------------------------
+
+@query("q_abc_analysis", oracle="""
+WITH rev AS (
+  SELECT l_partkey AS pk,
+         SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+             AS BIGINT)) AS cents
+  FROM lineitem GROUP BY l_partkey
+), ranked AS (
+  SELECT pk, cents,
+         SUM(cents) OVER (ORDER BY cents DESC, pk
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(cents) OVER () AS total
+  FROM rev
+), classed AS (
+  SELECT CASE WHEN cum * 100 <= 80 * total THEN 'A'
+              WHEN cum * 100 <= 95 * total THEN 'B'
+              ELSE 'C' END AS abc_class,
+         cents, total
+  FROM ranked
+)
+SELECT abc_class, CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+       ROUND(SUM(cents)::DOUBLE / NULLIF(ANY_VALUE(total), 0), 6) + 0.0
+         AS revenue_share
+FROM classed GROUP BY abc_class ORDER BY abc_class
+""")
+def q_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) classification of parts by revenue: rank every part
+    by revenue descending, cut the cumulative revenue share at 80% (A)
+    and 95% (B) — the inventory-curation classic, and the corpus
+    analog of "which 20% of sources carry 80% of tokens" that
+    q_gini_concentration summarizes as one number.
+
+    Determinism: per-line cents quantize before summing; class cuts
+    compare exact integers (cum*100 <= 80*total); ties in revenue break
+    on partkey.
+
+    Scale: rank-by-revenue is inherently global but never single-task —
+    the position comes from operators/rank.py::distributed_row_number
+    and the running revenue from operators/prefix_sum.py::
+    distributed_prefix_sum (range-bucketed, driver-folded bases, local
+    windows — the two-pass shape q_lorenz_points uses)."""
+    from ..operators.prefix_sum import distributed_prefix_sum
+    from ..operators.rank import distributed_row_number
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (li.groupBy(F.col("l_partkey").alias("pk"))
+           .agg(F.sum(F.round(F.col("l_extendedprice")
+                              * (1 - F.col("l_discount")) * 100)
+                      .cast("long")).alias("cents")))
+    ranked = distributed_row_number(
+        rev.withColumn("neg", -F.col("cents")),
+        order_cols=["neg", "pk"], bucket_key="neg", out_col="pos")
+    cum = distributed_prefix_sum(ranked, "pos", "cents", out_col="cum")
+    total = cum.agg(F.sum("cents").alias("total"))
+    classed = (cum.crossJoin(F.broadcast(total))
+               .select("cents", "total",
+                       F.when(F.col("cum") * 100 <= 80 * F.col("total"),
+                              "A")
+                       .when(F.col("cum") * 100 <= 95 * F.col("total"),
+                             "B")
+                       .otherwise("C").alias("abc_class")))
+    return (classed.groupBy("abc_class")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_parts"),
+                 F.sum("cents").cast("long").alias("revenue_cents"),
+                 (F.round(F.sum("cents").cast("double")
+                          / F.nullif(F.first("total"), F.lit(0)), 6) + 0.0)
+                 .alias("revenue_share"))
+            .orderBy("abc_class"))
+
+
+# ---------------------------------------------------------------------------
+# Partial autocorrelation (Durbin-Levinson, lags 1-3)
+# ---------------------------------------------------------------------------
+
+@query("q_pacf", oracle="""
+WITH base AS (
+  SELECT event_type, ts, event_id,
+         CAST(ROUND(value * 1000000) AS BIGINT) AS xu
+  FROM events WHERE value IS NOT NULL
+), tot AS (
+  SELECT event_type, COUNT(*) AS n, SUM(xu) AS s
+  FROM base GROUP BY event_type
+), dev AS (
+  SELECT b.event_type, t.n,
+         CAST(t.n AS HUGEINT) * b.xu - t.s AS d,
+         LAG(CAST(t.n AS HUGEINT) * b.xu - t.s, 1) OVER w AS d1,
+         LAG(CAST(t.n AS HUGEINT) * b.xu - t.s, 2) OVER w AS d2,
+         LAG(CAST(t.n AS HUGEINT) * b.xu - t.s, 3) OVER w AS d3
+  FROM base b JOIN tot t USING (event_type)
+  WINDOW w AS (PARTITION BY b.event_type ORDER BY b.ts, b.event_id)
+), r AS (
+  SELECT event_type, CAST(n AS BIGINT) AS n,
+         ROUND(SUM(d * d1)::DOUBLE / NULLIF(SUM(d * d), 0) * 1e12)
+           / 1e12 AS r1,
+         ROUND(SUM(d * d2)::DOUBLE / NULLIF(SUM(d * d), 0) * 1e12)
+           / 1e12 AS r2,
+         ROUND(SUM(d * d3)::DOUBLE / NULLIF(SUM(d * d), 0) * 1e12)
+           / 1e12 AS r3
+  FROM dev GROUP BY event_type, n
+), dl AS (
+  SELECT event_type, n, r1, r2, r3,
+         (r2 - r1 * r1) / NULLIF(1 - r1 * r1, 0) AS phi22
+  FROM r
+)
+SELECT event_type, n,
+       ROUND(r1, 6) + 0.0 AS pacf1,
+       ROUND(phi22, 6) + 0.0 AS pacf2,
+       ROUND((r3 - (r1 - phi22 * r1) * r2 - phi22 * r1)
+             / NULLIF(1 - (r1 - phi22 * r1) * r1 - phi22 * r2, 0), 6)
+         + 0.0 AS pacf3
+FROM dl ORDER BY event_type
+""")
+def q_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation at lags 1-3 per event series via the
+    Durbin-Levinson recursion over the ACF — the AR-order probe that
+    completes q_acf (ACF says "correlated at lag k"; PACF says
+    "correlated at lag k AFTER removing shorter lags", which is what
+    picks an AR(p) model).
+
+    Determinism: the r_k ratios reuse q_acf's exact-integer deviation
+    algebra (d = n*x - sum, HUGEINT/DECIMAL products) and are quantized
+    to 1e-12 before entering the recursion, so both engines run the
+    identical double tree; NULLIF guards constant series and unit-root
+    denominators.
+
+    Scale: identical plan shape to q_acf — per-series totals broadcast
+    back, one per-series lag window, one final aggregate."""
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull()))
+    base = ev.select(
+        "event_type", "ts", "event_id",
+        F.round(F.col("value") * 1e6).cast("bigint").alias("xu"))
+    tot = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("xu").alias("s"))
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    d = (F.col("n") * F.col("xu") - F.col("s")).cast("decimal(38,0)")
+    dev = (base.join(F.broadcast(tot), "event_type")
+           .select("event_type", "ts", "event_id", "n", d.alias("d"))
+           .select("event_type", "n", "d",
+                   F.lag("d", 1).over(w).alias("d1"),
+                   F.lag("d", 2).over(w).alias("d2"),
+                   F.lag("d", 3).over(w).alias("d3")))
+    den = F.sum(F.col("d") * F.col("d"))
+
+    def rr(lagcol: str):
+        return (F.round(F.sum(F.col("d") * F.col(lagcol)).cast("double")
+                        / F.nullif(den.cast("double"), F.lit(0.0))
+                        * 1e12) / 1e12)
+
+    r = (dev.groupBy("event_type", "n")
+         .agg(rr("d1").alias("r1"), rr("d2").alias("r2"),
+              rr("d3").alias("r3")))
+    r1, r2, r3 = F.col("r1"), F.col("r2"), F.col("r3")
+    phi22 = (r2 - r1 * r1) / F.nullif(1 - r1 * r1, F.lit(0.0))
+    phi21 = r1 - phi22 * r1
+    return (r.select(
+        "event_type", F.col("n").cast("long").alias("n"),
+        (F.round(r1, 6) + 0.0).alias("pacf1"),
+        (F.round(phi22, 6) + 0.0).alias("pacf2"),
+        (F.round((r3 - phi21 * r2 - phi22 * r1)
+                 / F.nullif(1 - phi21 * r1 - phi22 * r2, F.lit(0.0)), 6)
+         + 0.0).alias("pacf3"))
+        .orderBy("event_type"))
+
+
+# ---------------------------------------------------------------------------
+# QQ points between experiment arms
+# ---------------------------------------------------------------------------
+
+@query("q_qq_points", oracle="""
+WITH q0 AS (
+  SELECT quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5,
+                               0.6, 0.7, 0.8, 0.9]) AS qs
+  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+    AND user_id % 2 = 0
+), q1 AS (
+  SELECT quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5,
+                               0.6, 0.7, 0.8, 0.9]) AS qs
+  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+    AND user_id % 2 = 1
+)
+SELECT (u.i + 1) * 10 AS pct,
+       ROUND(q0.qs[u.i + 1], 6) + 0.0 AS q_arm0,
+       ROUND(q1.qs[u.i + 1], 6) + 0.0 AS q_arm1,
+       ROUND(q1.qs[u.i + 1] - q0.qs[u.i + 1], 6) + 0.0 AS qq_gap
+FROM q0 CROSS JOIN q1 CROSS JOIN (SELECT UNNEST(range(9)) AS i) u
+ORDER BY pct
+""")
+def q_qq_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile QQ pairs between the two experiment arms: the GRAPHICAL
+    distribution comparison behind the KS/MW tests — "arm 1's p90 sits
+    4.2 units above arm 0's" is the sentence a metrics review reads
+    off this table. q_ks_drift gives the max gap; this gives the whole
+    curve.
+
+    Determinism: exact interpolated percentiles (Spark `percentile` ==
+    PERCENTILE_CONT/quantile_cont — the q_agg_percentile-proven
+    parity), rounded at 6.
+
+    Scale: exact per-group percentiles need the sorted group (the
+    q_agg_percentile caveat) — at 100 TB swap in approx_percentile's
+    mergeable t-digest; the 9-row tail is unchanged."""
+    ps = [i / 10 for i in range(1, 10)]
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull() & F.col("user_id").isNotNull()))
+    arms = [ev.filter(F.col("user_id") % 2 == a)
+            .agg(F.percentile("value", F.array(*[F.lit(p) for p in ps]))
+                 .alias(f"qs{a}"))
+            for a in (0, 1)]
+    pos = spark.range(9).select((F.col("id") + 1).alias("k"))
+    j = pos.crossJoin(F.broadcast(arms[0])).crossJoin(F.broadcast(arms[1]))
+    q0 = F.element_at("qs0", F.col("k").cast("int"))
+    q1 = F.element_at("qs1", F.col("k").cast("int"))
+    return (j.select((F.col("k") * 10).alias("pct"),
+                     (F.round(q0, 6) + 0.0).alias("q_arm0"),
+                     (F.round(q1, 6) + 0.0).alias("q_arm1"),
+                     (F.round(q1 - q0, 6) + 0.0).alias("qq_gap"))
+            .orderBy("pct"))
+
+
+# ---------------------------------------------------------------------------
+# Code-vs-prose detection signals
+# ---------------------------------------------------------------------------
+
+@query("q_code_detect", oracle=r"""
+WITH d AS (
+  SELECT source,
+         CAST(ROUND(1000.0 * (LENGTH(text)
+                - LENGTH(regexp_replace(text, '[{};=()<>]', '', 'g')))
+              / NULLIF(LENGTH(text), 0)) AS BIGINT) AS code_milli
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN code_milli >= 20 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_code_like,
+       ROUND(SUM(CASE WHEN code_milli >= 20 THEN 1 ELSE 0 END)::DOUBLE
+             / COUNT(*), 6) + 0.0 AS code_rate,
+       ROUND(SUM(code_milli)::DOUBLE / COUNT(*) / 1000, 6) + 0.0
+         AS mean_code_score
+FROM d GROUP BY source ORDER BY source
+""")
+def q_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose detection per source: the density of code-ish
+    characters ({};=()<>) as a per-mille score, the share of docs over
+    the 2% threshold — the router signal a pre-training mix uses to
+    send documents to the code pipeline vs the prose pipeline (beside
+    q_lang_id's language routing and q_doc_quality's quality gate).
+
+    Determinism: the score quantizes to integer per-mille per doc
+    before any aggregation; counts and sums are exact integers.
+
+    Scale: map-only regexp (JVM-side, one pass) + one groupBy to
+    |sources| rows."""
+    d = (load_table(spark, sf_dir, "documents")
+         .filter(F.col("text").isNotNull())
+         .select("source",
+                 F.round(1000.0
+                         * (F.length("text")
+                            - F.length(F.regexp_replace(
+                                "text", r"[{};=()<>]", "")))
+                         / F.nullif(F.length("text"), F.lit(0)))
+                 .cast("long").alias("code_milli")))
+    hit = F.when(F.col("code_milli") >= 20, 1).otherwise(0)
+    return (d.groupBy("source")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum(hit).cast("long").alias("n_code_like"),
+                 (F.round(F.sum(hit).cast("double")
+                          / F.count(F.lit(1)), 6) + 0.0).alias("code_rate"),
+                 (F.round(F.sum("code_milli").cast("double")
+                          / F.count(F.lit(1)) / 1000, 6) + 0.0)
+                 .alias("mean_code_score"))
+            .orderBy("source"))
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility per language
+# ---------------------------------------------------------------------------
+
+@query("q_tokenizer_fertility", oracle=r"""
+WITH d AS (
+  SELECT lang,
+         LEN(list_filter(string_split_regex(text, '\s+'),
+                         x -> x != '')) AS n_words,
+         LEN(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]'))
+           AS n_sub,
+         LENGTH(text) AS n_chars
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_words) AS BIGINT) AS n_words,
+       CAST(SUM(n_sub) AS BIGINT) AS n_subtokens,
+       ROUND(SUM(n_sub)::DOUBLE / NULLIF(SUM(n_words), 0), 6) + 0.0
+         AS fertility,
+       ROUND(SUM(n_chars)::DOUBLE / NULLIF(SUM(n_sub), 0), 6) + 0.0
+         AS chars_per_token
+FROM d GROUP BY lang ORDER BY lang
+""")
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: subword tokens per whitespace
+    word and characters per subword token, under the BPE-ish
+    pre-tokenizer regex of q_token_bpe — THE cross-lingual tokenizer
+    health metric (a fertility of 4 on one language means that
+    language pays 4x the sequence length per word; it drives
+    vocabulary re-budgeting).
+
+    Determinism: token and char counts are exact integers; two rounded
+    ratios at the end.
+
+    Scale: map-only regexp counting + one groupBy to |langs| rows."""
+    d = (load_table(spark, sf_dir, "documents")
+         .filter(F.col("text").isNotNull())
+         .select("lang",
+                 F.size(F.filter(F.split("text", _TOK),
+                                 lambda x: x != "")).alias("n_words"),
+                 F.size(F.regexp_extract_all(
+                     "text", F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0))
+                 .alias("n_sub"),
+                 F.length("text").alias("n_chars")))
+    return (d.groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("n_words").cast("long").alias("n_words"),
+                 F.sum("n_sub").cast("long").alias("n_subtokens"),
+                 (F.round(F.sum("n_sub").cast("double")
+                          / F.nullif(F.sum("n_words"), F.lit(0)), 6) + 0.0)
+                 .alias("fertility"),
+                 (F.round(F.sum("n_chars").cast("double")
+                          / F.nullif(F.sum("n_sub"), F.lit(0)), 6) + 0.0)
+                 .alias("chars_per_token"))
+            .orderBy("lang"))
+
+
+# ---------------------------------------------------------------------------
+# Cost-optimal decision threshold sweep
+# ---------------------------------------------------------------------------
+
+@query("q_threshold_sweep", oracle="""
+WITH scored AS (
+  SELECT ((event_id % 1000003) * 2654435761 % 1000003) % 1000 AS s_milli,
+         CASE WHEN value > 100 THEN 1 ELSE 0 END AS label
+  FROM events WHERE event_type = 'click' AND value IS NOT NULL
+), buckets AS (
+  SELECT s_milli / 50 AS b,
+         SUM(label) AS pos, SUM(1 - label) AS neg
+  FROM scored GROUP BY s_milli / 50
+), sweep AS (
+  -- threshold t = 50*k: predict positive iff s_milli >= t
+  SELECT k.t,
+         SUM(CASE WHEN b.b >= k.t / 50 THEN b.pos ELSE 0 END) AS tp,
+         SUM(CASE WHEN b.b >= k.t / 50 THEN b.neg ELSE 0 END) AS fp,
+         SUM(CASE WHEN b.b < k.t / 50 THEN b.pos ELSE 0 END) AS fn,
+         SUM(CASE WHEN b.b < k.t / 50 THEN b.neg ELSE 0 END) AS tn
+  FROM buckets b
+  CROSS JOIN (SELECT UNNEST(range(21)) * 50 AS t) k
+  GROUP BY k.t
+)
+SELECT CAST(t AS BIGINT) AS threshold_milli,
+       CAST(1 * fp + 5 * fn AS BIGINT) AS cost,
+       CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+       ROUND(tp::DOUBLE / NULLIF(tp + fp, 0), 6) + 0.0 AS precision_,
+       ROUND(tp::DOUBLE / NULLIF(tp + fn, 0), 6) + 0.0 AS recall_
+FROM sweep ORDER BY 1 * fp + 5 * fn, t LIMIT 1
+""")
+def q_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-optimal decision threshold: sweep 21 candidate cutoffs over
+    a (hash-derived) model score, score each by the asymmetric
+    confusion cost (FP=1, FN=5 — the 'missing a bad doc costs 5x'
+    calibration every quality-gate deployment makes), return the
+    argmin row with its confusion cells and precision/recall — the
+    operating-point picker that complements q_calibration (is the
+    score honest?) and q_lift_gains (is it ordered?).
+
+    Determinism: scores and labels are integer hashes; the sweep is an
+    exact-integer cross of 20 score buckets x 21 thresholds; argmin
+    ties break on the smaller threshold.
+
+    Scale: one groupBy to 20 bucket rows, a broadcast cross with the
+    21-row threshold dim, TakeOrdered(1)."""
+    ev = (load_table(spark, sf_dir, "events")
+          .filter((F.col("event_type") == "click")
+                  & F.col("value").isNotNull()))
+    scored = ev.select(
+        (((F.col("event_id") % 1000003)
+          * F.lit(2654435761).cast("bigint") % 1000003) % 1000)
+        .alias("s_milli"),
+        F.when(F.col("value") > 100, 1).otherwise(0).alias("label"))
+    buckets = (scored.groupBy((F.col("s_milli") / 50).cast("long")
+                              .alias("b"))
+               .agg(F.sum("label").alias("pos"),
+                    F.sum(1 - F.col("label")).alias("neg")))
+    ts = spark.range(21).select((F.col("id") * 50).alias("t"))
+    hit = F.col("b") >= F.col("t") / 50
+    sweep = (buckets.crossJoin(F.broadcast(ts))
+             .groupBy("t")
+             .agg(F.sum(F.when(hit, F.col("pos")).otherwise(0)).alias("tp"),
+                  F.sum(F.when(hit, F.col("neg")).otherwise(0)).alias("fp"),
+                  F.sum(F.when(~hit, F.col("pos")).otherwise(0)).alias("fn"),
+                  F.sum(F.when(~hit, F.col("neg")).otherwise(0))
+                  .alias("tn")))
+    cost = 1 * F.col("fp") + 5 * F.col("fn")
+    return (sweep.select(
+        F.col("t").cast("long").alias("threshold_milli"),
+        cost.cast("long").alias("cost"),
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fp").cast("long").alias("fp"),
+        F.col("fn").cast("long").alias("fn"),
+        F.col("tn").cast("long").alias("tn"),
+        (F.round(F.col("tp").cast("double")
+                 / F.nullif((F.col("tp") + F.col("fp")).cast("double"),
+                            F.lit(0.0)), 6) + 0.0).alias("precision_"),
+        (F.round(F.col("tp").cast("double")
+                 / F.nullif((F.col("tp") + F.col("fn")).cast("double"),
+                            F.lit(0.0)), 6) + 0.0).alias("recall_"))
+        .orderBy("cost", "threshold_milli").limit(1))
+
+
+# ---------------------------------------------------------------------------
+# Functional-dependency audit
+# ---------------------------------------------------------------------------
+
+@query("q_fd_violations", oracle="""
+WITH checks AS (
+  SELECT 'l_orderkey->l_returnflag' AS fd, l_orderkey AS lhs,
+         COUNT(DISTINCT l_returnflag) AS n_rhs
+  FROM lineitem GROUP BY l_orderkey
+  UNION ALL
+  SELECT 'l_partkey->l_suppkey', l_partkey,
+         COUNT(DISTINCT l_suppkey)
+  FROM lineitem GROUP BY l_partkey
+  UNION ALL
+  SELECT 'o_custkey->o_orderpriority', o_custkey,
+         COUNT(DISTINCT o_orderpriority)
+  FROM orders GROUP BY o_custkey
+)
+SELECT fd, CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating,
+       ROUND(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END)::DOUBLE
+             / COUNT(*), 6) + 0.0 AS violation_rate
+FROM checks GROUP BY fd ORDER BY fd
+""")
+def q_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit: for each candidate FD (lhs column
+    determines rhs column), the share of lhs keys with more than one
+    distinct rhs — the schema-discovery/data-contract check that a
+    profiler (q_profile_table) doesn't make: "is this column REALLY a
+    function of that key?". A 0-rate FD is a join-safety and
+    normalization fact; a high rate falsifies the assumed contract.
+
+    Determinism: distinct counts are exact integers.
+
+    Scale: one map-side-combined groupBy per FD (map-side distinct),
+    union of tiny per-FD aggregates; |lhs| rows shuffle, never raw."""
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    checks = [
+        li.groupBy(F.col("l_orderkey").alias("lhs"))
+        .agg(F.countDistinct("l_returnflag").alias("n_rhs"))
+        .select(F.lit("l_orderkey->l_returnflag").alias("fd"), "n_rhs"),
+        li.groupBy(F.col("l_partkey").alias("lhs"))
+        .agg(F.countDistinct("l_suppkey").alias("n_rhs"))
+        .select(F.lit("l_partkey->l_suppkey").alias("fd"), "n_rhs"),
+        od.groupBy(F.col("o_custkey").alias("lhs"))
+        .agg(F.countDistinct("o_orderpriority").alias("n_rhs"))
+        .select(F.lit("o_custkey->o_orderpriority").alias("fd"), "n_rhs"),
+    ]
+    u = checks[0].unionAll(checks[1]).unionAll(checks[2])
+    bad = F.when(F.col("n_rhs") > 1, 1).otherwise(0)
+    return (u.groupBy("fd")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_keys"),
+                 F.sum(bad).cast("long").alias("n_violating"),
+                 (F.round(F.sum(bad).cast("double")
+                          / F.count(F.lit(1)), 6) + 0.0)
+                 .alias("violation_rate"))
+            .orderBy("fd"))
+
+
+# ---------------------------------------------------------------------------
+# Page-Hinkley drift detection over the daily KPI series
+# ---------------------------------------------------------------------------
+
+#: Page-Hinkley parameters shared by the batch query and the streaming
+#: twin (streaming/stateful.py::page_hinkley_daily): delta biases the
+#: deviation so noise drifts the statistic down; lambda is the alarm.
+PH_DELTA_MICRO = 1_000_000.0  # 1.0 value unit, in micro-units
+PH_LAMBDA_MICRO = 5_000_000.0  # 5.0 value units
+
+
+@query("q_page_hinkley", oracle=f"""
+WITH RECURSIVE daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(ROUND(SUM(CAST(ROUND(value * 1000000) AS BIGINT))::DOUBLE
+                    / COUNT(*)) AS BIGINT) AS mu
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2
+), ordered AS (
+  SELECT event_type, mu,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rk,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM daily
+), rec AS (
+  SELECT event_type, rk, n, CAST(1 AS BIGINT) AS i, mu AS s,
+         (mu::DOUBLE - (mu::DOUBLE / 1) - {PH_DELTA_MICRO}) AS u,
+         LEAST(0.0, mu::DOUBLE - (mu::DOUBLE / 1)
+                    - {PH_DELTA_MICRO}) AS minu,
+         CASE WHEN (mu::DOUBLE - (mu::DOUBLE / 1) - {PH_DELTA_MICRO})
+                   - LEAST(0.0, mu::DOUBLE - (mu::DOUBLE / 1)
+                           - {PH_DELTA_MICRO}) >= {PH_LAMBDA_MICRO}
+              THEN 1 ELSE NULL END AS alarm
+  FROM ordered WHERE rk = 1
+  UNION ALL
+  SELECT o.event_type, o.rk, o.n, r.i + 1, r.s + o.mu,
+         r.u + ((o.mu::DOUBLE - ((r.s + o.mu)::DOUBLE / (r.i + 1)))
+                - {PH_DELTA_MICRO}),
+         LEAST(r.minu,
+               r.u + ((o.mu::DOUBLE - ((r.s + o.mu)::DOUBLE / (r.i + 1)))
+                      - {PH_DELTA_MICRO})),
+         COALESCE(r.alarm, CASE WHEN
+             (r.u + ((o.mu::DOUBLE - ((r.s + o.mu)::DOUBLE / (r.i + 1)))
+                     - {PH_DELTA_MICRO}))
+             - LEAST(r.minu,
+                     r.u + ((o.mu::DOUBLE
+                             - ((r.s + o.mu)::DOUBLE / (r.i + 1)))
+                            - {PH_DELTA_MICRO})) >= {PH_LAMBDA_MICRO}
+             THEN r.i + 1 ELSE NULL END)
+  FROM ordered o JOIN rec r
+    ON o.event_type = r.event_type AND o.rk = r.rk + 1
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_days,
+       ROUND((u - minu) / 1e6, 6) + 0.0 AS ph_stat,
+       CAST(alarm AS BIGINT) AS alarm_day
+FROM rec WHERE rk = n ORDER BY event_type
+""")
+def q_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley drift detection over each stream's daily mean
+    series: U_t accumulates (x_t - mean_so_far - delta), the statistic
+    is U_t minus its running minimum, alarm when it clears lambda —
+    the sequential mean-INCREASE monitor beside the windowed CUSUM
+    (q_changepoint finds where a change WAS; Page-Hinkley is the form
+    a live monitor runs, hence the streaming twin in
+    streaming/stateful.py). The running minimum includes the U_0 = 0
+    origin.
+
+    Determinism: daily means are HALF_UP-rounded integer micro-units
+    (the q_ewma recipe); the fold is the same sequence of double ops
+    in the same order on both engines (Spark: an in-row aggregate()
+    lambda over the sorted daily array; DuckDB: a recursive CTE).
+
+    Scale: one map-side-combined groupBy to days, one per-series
+    collect of ~days structs inside the row, zero UDFs — per-series
+    state is |days|, never |rows|."""
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull()))
+    daily = (ev.groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg(F.round(F.sum(F.round(F.col("value") * 1e6)
+                                .cast("bigint"))
+                          .cast("double") / F.count(F.lit(1)))
+                  .cast("bigint").alias("mu")))
+    series = (daily.groupBy("event_type")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("n_days"),
+                   F.sort_array(F.collect_list(F.struct("day", "mu")))
+                   .alias("seq")))
+    acc0 = F.struct(F.lit(0).cast("long").alias("i"),
+                    F.lit(0).cast("long").alias("s"),
+                    F.lit(0.0).alias("u"),
+                    F.lit(0.0).alias("minu"),
+                    F.lit(None).cast("long").alias("alarm"))
+
+    def step(acc, x):
+        i = acc["i"] + 1
+        s = acc["s"] + x["mu"]
+        u = acc["u"] + ((x["mu"].cast("double")
+                         - (s.cast("double") / i)) - PH_DELTA_MICRO)
+        minu = F.least(acc["minu"], u)
+        alarm = F.coalesce(
+            acc["alarm"],
+            F.when(u - minu >= PH_LAMBDA_MICRO, i.cast("long")))
+        return F.struct(i.alias("i"), s.alias("s"), u.alias("u"),
+                        minu.alias("minu"), alarm.alias("alarm"))
+
+    res = F.aggregate(F.col("seq"), acc0, step)
+    return (series.select(
+        "event_type", "n_days",
+        (F.round((res["u"] - res["minu"]) / 1e6, 6) + 0.0)
+        .alias("ph_stat"),
+        res["alarm"].alias("alarm_day"))
+        .orderBy("event_type"))

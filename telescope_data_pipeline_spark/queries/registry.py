@@ -44,60 +44,50 @@ class Query:
 _REGISTRY: dict[str, Query] = {}
 
 #: The driver's correctness gate checks queries in ``queries()`` dict
-#: order and stops after the first 50 entries. Round-10 rotation (the
-#: registry's established scheme): the window serves
+#: order and stops after the first 50 entries. Round-11 rotation (the
+#: registry's established scheme; group sizes sum to the 50-entry gate
+#: EXACTLY — the r10 window's (a)+(b)+(c) miscount silently pushed the
+#: r4 backfill out, round-10 ADVICE item 3): the window serves
 #: (a) re-verification of queries whose Spark code OR oracle SQL
-#: changed this round (q_readability_ari long-cast, q_hard_negatives
-#: broadcast-side flip, q_adamic_adar join-free rewrite — a changed
-#: query's old green is stale evidence),
-#: (b) fresh rows-only attestation for the r1/r2-era cohort (round-9
-#: VERDICT item 3: last driver-checked eight refactor-rounds ago,
-#: their operators — similarity.py, dedup.py, multimodal.py — have
-#: been touched repeatedly since),
-#: (c) first-time evidence for operators NEW in round 10 (names
-#: appended as they land, each with its oracle), and
-#: (d) rolling regression backfill with the oldest-green oracle
-#: cohort, now the round-4 then round-5 sets (VERDICT r9 item 7).
-#: The local sf0.01+sf0.1 oracle sweep still covers all 296 queries
-#: per session.
+#: changed this round (q_lorenz_points distributed-rank rewrite,
+#: q_spearman grouped-two-pass rewrite, q_session_entropy nano-term
+#: quantization, q_ips_offpolicy pre-mod hash — a changed query's old
+#: green is stale evidence) — 4 entries;
+#: (b) fresh rows-only attestation for the 11 stale names from
+#: round-10 VERDICT item 2 (last driver-checked r1-r8) — 11 entries;
+#: (c) first-time evidence for operators NEW in round 11 — 16
+#: entries; and
+#: (d) rolling regression backfill: the 11 round-4 names the r10
+#: window dropped, then the head of the round-5 cohort — 19 entries.
+#: The local sf0.01+sf0.1 oracle sweep still covers all registered
+#: queries per session.
 PRIORITY: tuple[str, ...] = (
-    # (a) changed in round 10
-    "q_readability_ari", "q_hard_negatives", "q_adamic_adar",
-    # (b) stale rows-only cohort, last attested r1/r2 (the ten names
-    # from VERDICT r9 item 3; the remaining r1/r2 stragglers —
-    # q_dedup_simhash, q_ensemble_lightcurve, q_media_features,
-    # q_scan_fits — rotate next round so the r4 oracle backfill below
-    # stays inside the 50-query window)
-    "q_wcs_solve", "q_sim_ann", "q_sim_ivf", "q_dedup_near",
-    "q_dedup_clusters", "q_fingerprint", "q_periodogram",
-    "q_pipeline_detect", "q_pipeline_photometry", "q_media_frames",
-    # (c) first-time evidence: operators new in round 10
-    "q_spearman", "q_cramers_v", "q_mcc", "q_js_drift",
-    "q_target_encode", "q_fleiss_kappa", "q_did", "q_bayes_ab",
-    "q_keyword_tfidf", "q_assortativity", "q_info_gain", "q_sprt",
-    "q_recall_at_k", "q_ece", "q_smd_balance", "q_trend_test",
-    "q_session_entropy", "q_lorenz_points", "q_jaccard_drift",
-    "q_forecast_accuracy", "q_novelty_rate", "q_ips_offpolicy",
-    "q_hhi", "q_topk_overlap", "q_perplexity", "q_ttr_hapax",
-    "q_outlier_iqr", "q_compress_ratio", "q_nelson_aalen",
-    "q_krippendorff", "q_silhouette", "q_media_probe",
-    "q_mann_kendall", "q_runs_test", "q_kruskal_wallis",
-    "q_brown_forsythe",
-    # (d1) oldest-green oracle backfill: last driver-checked in r4.
-    # The 32 round-10 group-(c) entries fill most of the 50-cap, so
-    # only the head of this cohort makes the window — first-time
-    # evidence for new operators outranks re-attesting locally-green
-    # r4 queries; the remainder rotates next round.
-    "q_join_cross", "q_join_full", "q_join_left", "q_join_nn2d",
-    "q_scalar_null", "q_scan_orc", "q_sql_api", "q_subquery_scalar",
+    # (a) changed in round 11 — 4
+    "q_lorenz_points", "q_spearman", "q_session_entropy",
+    "q_ips_offpolicy",
+    # (b) stale rows-only cohort (VERDICT r10 item 2) — 11
+    "q_ensemble_lightcurve", "q_dedup_simhash", "q_media_features",
+    "q_scan_fits", "q_agg_approx", "q_media_audio", "q_media_resize",
+    "q_quantile_sketch", "q_media_phash", "q_dedup_embed_lsh",
+    "q_pipeline_residuals",
+    # (c) first-time evidence: operators new in round 11 — 16
+    "q_anova_oneway", "q_cohens_d", "q_odds_ratio", "q_poisson_rate",
+    "q_gwet_ac1", "q_goodman_gamma", "q_retention_cohorts",
+    "q_stratified_ate", "q_abc_analysis", "q_pacf", "q_qq_points",
+    "q_code_detect", "q_tokenizer_fertility", "q_threshold_sweep",
+    "q_fd_violations", "q_page_hinkley",
+    # (d1) the round-4 backfill the r10 window miscounted out — 11
+    "q_join_full", "q_join_left", "q_join_nn2d", "q_scalar_null",
+    "q_scan_orc", "q_sql_api", "q_subquery_scalar",
     "q_window_firstlast", "q_window_ntile", "q_window_range",
     "q_window_rank",
-    # (d2) next-oldest backfill: last driver-checked in r5 (the rest
-    # of the r5 cohort rotates in next round; entries past the 50-cap
-    # spill harmlessly out of the window)
-    "q_agg_approx", "q_agg_percentile", "q_agg_salted",
-    "q_annulus_background", "q_bm25", "q_cluster_components",
-    "q_data_card", "q_decontaminate", "q_dedup_bloom",
+    # (d2) head of the round-5 oracle cohort — 8 (the remainder
+    # rotates next round; entries past the 50-cap spill harmlessly)
+    "q_agg_percentile", "q_agg_salted", "q_annulus_background",
+    "q_bm25", "q_cluster_components", "q_data_card", "q_decontaminate",
+    "q_dedup_bloom",
+    # spill (past the 50-entry gate, kept for next-round rotation
+    # bookkeeping)
     "q_dedup_canonical", "q_dedup_exact", "q_dedup_incremental",
     "q_dedup_minhash_md5", "q_dedup_simhash_md5", "q_dup_spans",
     "q_epoch_shuffle", "q_filter_eq", "q_fingerprint_md5",

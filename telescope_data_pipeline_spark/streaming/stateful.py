@@ -887,3 +887,101 @@ def ewma_daily(stream: DataFrame) -> DataFrame:
                 outputMode="update",
                 timeoutConf=GroupStateTimeout.NoTimeout,
             ))
+
+
+# ---------------------------------------------------------------------------
+# Streaming Page-Hinkley drift monitor (live twin of the batch
+# q_page_hinkley, queries/insights.py — the monitoring family's drift
+# detector is the canonical ALWAYS-ON statistic, so it gets the same
+# exact-parity treatment as the EWMA/SPRT/CUPED twins: per-key state is
+# seven scalars, each CLOSED day folds once through the identical IEEE
+# double sequence, and the open day folds provisionally at readout).
+# ---------------------------------------------------------------------------
+
+PH_STATE_SCHEMA = T.StructType([
+    T.StructField("day_epoch", T.LongType()),   # open day
+    T.StructField("day_sum", T.LongType()),     # micro-units, exact
+    T.StructField("day_cnt", T.LongType()),
+    T.StructField("i", T.LongType()),           # closed days folded
+    T.StructField("s_mu", T.LongType()),        # sum of closed-day mus
+    T.StructField("u", T.DoubleType()),
+    T.StructField("minu", T.DoubleType()),
+    T.StructField("alarm_day", T.LongType()),
+])
+
+PH_OUT_SCHEMA = T.StructType([
+    T.StructField("event_type", T.StringType()),
+    T.StructField("n_days", T.LongType()),      # closed + open
+    T.StructField("ph_stat", T.DoubleType()),   # provisional incl. open
+    T.StructField("alarm_day", T.LongType()),
+])
+
+
+def _ph_fold(i: int, s: int, u: float, minu: float, alarm, mu: int):
+    """One Page-Hinkley day fold — the IDENTICAL double expression
+    sequence as the batch q_page_hinkley aggregate() lambda / the
+    oracle's recursive CTE."""
+    from ..queries.insights import PH_DELTA_MICRO, PH_LAMBDA_MICRO
+
+    i2 = i + 1
+    s2 = s + mu
+    u2 = u + ((float(mu) - (float(s2) / i2)) - PH_DELTA_MICRO)
+    minu2 = min(minu, u2)
+    if alarm is None and u2 - minu2 >= PH_LAMBDA_MICRO:
+        alarm = i2
+    return i2, s2, u2, minu2, alarm
+
+
+def _page_hinkley_update(key, pdfs: Iterator[pd.DataFrame],
+                         state: GroupState):
+    day0, dsum, dcnt, i, s_mu, u, minu, alarm = (
+        state.get if state.exists else (None, 0, 0, 0, 0, 0.0, 0.0, None))
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    batch = batch.sort_values(["ts", "event_id"], kind="mergesort")
+    days = (batch["ts"].to_numpy().astype("datetime64[D]")
+            .astype("int64"))
+    micro = [int(_round_half_up(v * 1e6))
+             for v in batch["value"].to_numpy()]
+    for d, v in zip(days, micro):
+        d = int(d)
+        if day0 is None:
+            day0, dsum, dcnt = d, 0, 0
+        elif d != day0:
+            mu = int(_round_half_up(dsum / dcnt))
+            i, s_mu, u, minu, alarm = _ph_fold(i, s_mu, u, minu, alarm, mu)
+            day0, dsum, dcnt = d, 0, 0
+        dsum += int(v)
+        dcnt += 1
+    state.update((day0, dsum, dcnt, i, s_mu, u, minu, alarm))
+    if dcnt:  # provisional: fold the still-open day
+        mu_open = int(_round_half_up(dsum / dcnt))
+        pi, ps, pu, pminu, palarm = _ph_fold(i, s_mu, u, minu, alarm,
+                                             mu_open)
+    else:
+        pi, pu, pminu, palarm = i, u, minu, alarm
+    yield pd.DataFrame([{
+        "event_type": key[0],
+        "n_days": pi,
+        "ph_stat": _round_half_up((pu - pminu) / 1e6, 6) + 0.0,
+        "alarm_day": palarm,
+    }])
+
+
+def page_hinkley_daily(stream: DataFrame) -> DataFrame:
+    """Streaming Page-Hinkley over each stream's daily mean series:
+    seven scalars of state per key, one fold per CLOSED day, alarm day
+    frozen once crossed. Exact-parity twin of the batch q_page_hinkley
+    when batches arrive in event-time order (the provisional readout
+    equals the batch value once the stream drains); under out-of-order
+    arrival a late row lands in the OPEN day's sums — day boundaries
+    are the watermark granularity a production deployment enforces."""
+    s = (stream.filter(F.col("value").isNotNull())
+         .select("event_type", "ts", "event_id", "value"))
+    return (s.groupBy("event_type")
+            .applyInPandasWithState(
+                _page_hinkley_update,
+                outputStructType=PH_OUT_SCHEMA,
+                stateStructType=PH_STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            ))

@@ -1946,3 +1946,53 @@ def test_cache_slot_degrades_without_jdf_bridge(spark):
             df.unpersist()
     finally:
         CacheSlot._compare_available = saved
+
+
+def test_abc_analysis_distributed_rank_no_global_sort(spark):
+    """q_abc_analysis: the revenue rank and running revenue must come
+    from the two-pass bucketed operators — a global ORDER BY window
+    would plan a single-task sort of the parts table. All window specs
+    must be _pid-bucketed; the only SinglePartition collapses allowed
+    are 1-row scalar aggregates (never under a Window)."""
+    import re
+
+    from telescope_data_pipeline_spark.plans.audit import physical_plan
+
+    df = get("q_abc_analysis").fn(spark, SF)
+    df.collect()
+    plan = physical_plan(df)
+    assert "ntile" not in plan
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "expected bucketed rank/prefix-sum windows"
+    wide = [s for s in specs if "_pid" not in s]
+    assert not wide, f"unbucketed window specs: {wide}\n{plan}"
+    for m in re.finditer(r"Exchange SinglePartition", plan):
+        above = plan[max(0, m.start() - 400):m.start()]
+        tail = "\n".join(above.splitlines()[-3:])
+        assert "Window" not in tail, plan
+
+
+def test_goodman_gamma_bounded_cross_only(spark):
+    """q_goodman_gamma: the pair enumeration must be the broadcast
+    cross of the bounded contingency table (<= 5x8 cells), never a
+    fact-table cartesian — the plan's only nested-loop join inputs are
+    the tiny aggregates."""
+    df = get("q_goodman_gamma").fn(spark, SF)
+    df.collect()
+    assert_plan(df, absent=("CartesianProduct",))
+    # the per-order base is an equi-join (broadcast or sort-merge),
+    # and every nested-loop node must be broadcast (bounded side)
+    from telescope_data_pipeline_spark.plans.audit import physical_plan
+
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_threshold_sweep_takeordered_argmin(spark):
+    """q_threshold_sweep: the argmin row must come from TakeOrdered
+    over the 21-row sweep, and the bucket x threshold cross must be a
+    broadcast of the 21-row dim."""
+    assert_plan(get("q_threshold_sweep").fn(spark, SF),
+                contains=("TakeOrderedAndProject",),
+                absent=("CartesianProduct", "SortMergeJoin"))

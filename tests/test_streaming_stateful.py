@@ -642,3 +642,54 @@ def test_cuped_stream_skips_null_ts_rows(spark):
         assert got.loc[arm, "n_users"] == want.loc[arm, "n_users"]
         for c in ("mean_y", "mean_y_cuped", "theta"):
             assert abs(got.loc[arm, c] - want.loc[arm, c]) < 1e-6, c
+
+
+def test_page_hinkley_stream_matches_batch(spark):
+    """Streaming Page-Hinkley: time-ordered micro-batches must
+    reproduce the batch q_page_hinkley statistic and alarm day exactly
+    once the stream drains — daily means are HALF_UP micro-unit
+    integers and the per-closed-day fold is the identical IEEE double
+    sequence (the EWMA twin recipe)."""
+    import os
+    import shutil
+
+    from telescope_data_pipeline_spark.queries import get
+    from telescope_data_pipeline_spark.streaming.stateful import (
+        page_hinkley_daily,
+    )
+
+    d = tempfile.mkdtemp(prefix="ph_")
+    ev = (load_table(spark, SF, "events")
+          .orderBy("ts", "event_id").toPandas())
+    k = len(ev) // 3
+    for i, chunk in enumerate((ev[:k], ev[k:2 * k], ev[2 * k:])):
+        p = f"{d}/part-{i}.parquet"
+        chunk.to_parquet(p, engine="pyarrow", coerce_timestamps="us",
+                         index=False)
+        os.utime(p, (1700000000 + i, 1700000000 + i))
+    stream = read_event_stream(spark, d, max_files_per_trigger=1)
+
+    latest: dict = {}
+    q = (page_hinkley_daily(stream)
+         .writeStream.outputMode("update")
+         .foreachBatch(lambda df, _bid: latest.update(
+             {r["event_type"]: r for _, r in df.toPandas().iterrows()}))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    assert len(q.recentProgress) >= 3
+
+    sf_like = tempfile.mkdtemp(prefix="ph_sf_")
+    shutil.copytree(d, f"{sf_like}/events.parquet")
+    want = get("q_page_hinkley").fn(spark, sf_like).toPandas() \
+        .set_index("event_type")
+    assert set(latest) == set(want.index)
+    for et, row in latest.items():
+        assert row["n_days"] == want.loc[et, "n_days"], et
+        assert row["ph_stat"] == want.loc[et, "ph_stat"], et
+        w_alarm = want.loc[et, "alarm_day"]
+        got_alarm = row["alarm_day"]
+        if w_alarm is None or (isinstance(w_alarm, float)
+                               and w_alarm != w_alarm):
+            assert got_alarm is None or got_alarm != got_alarm, et
+        else:
+            assert got_alarm == w_alarm, et
