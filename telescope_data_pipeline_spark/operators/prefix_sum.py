@@ -86,3 +86,51 @@ def distributed_prefix_sum(df: DataFrame, order_col: str, value_col: str,
                         F.sum(value_col).over(local)
                         + F.col("_base").cast(off_type))
             .drop("_pid", "_base"))
+
+
+def lazy_prefix_sum(df: DataFrame, bucket_col: str, order_cols: list[str],
+                    value_col: str, out_col: str = "cum",
+                    num_buckets: int | None = None) -> DataFrame:
+    """Fully LAZY sibling of :func:`distributed_prefix_sum`: cumulative
+    sum of ``value_col`` over the total order of ``order_cols``, with
+    zero driver actions and zero caches — the per-bucket base table is
+    itself tiny (≤ num_buckets rows), so its prefix fold is a window
+    over bucket ids, not a driver loop (the grouped_cum_counts shape,
+    operators/rank.py).
+
+    ``bucket_col``: an integral column MONOTONE in the total order
+    (ties stay inside one bucket and resolve locally by the full
+    ``order_cols``); must be non-null — a NULL has no position in a
+    total order, so the bucket expression raises at runtime, the same
+    contract as ``range_bucket_id``.
+
+    Use this form when the prefix sum feeds ONE downstream consumer in
+    the same job (no cache needed) and construction-time Spark jobs are
+    unwanted; use ``distributed_prefix_sum`` when the bucketed relation
+    is consumed repeatedly (its CacheSlot pays off).
+    """
+    n = num_buckets or df.sparkSession.sparkContext.defaultParallelism
+    bounds = df.agg(F.min(bucket_col).cast("long").alias("_lo"),
+                    F.max(bucket_col).cast("long").alias("_hi"))
+    span = F.col("_hi").cast("double") - F.col("_lo").cast("double") + 1.0
+    raw = F.floor((F.col(bucket_col).cast("double")
+                   - F.col("_lo").cast("double")) * n / span).cast("int")
+    err = F.raise_error(F.concat(F.lit(
+        f"lazy_prefix_sum: NULL {bucket_col} has no position in a "
+        "total order — filter or impute NULL keys first")))
+    pid = F.when(F.col(bucket_col).isNotNull(),
+                 F.least(F.lit(n - 1), F.greatest(F.lit(0), raw))) \
+        .otherwise(err.cast("int"))
+    b = df.crossJoin(F.broadcast(bounds)).withColumn("_pid", pid) \
+        .drop("_lo", "_hi")
+    totals = b.groupBy("_pid").agg(F.sum(value_col).alias("_m"))
+    wt = (W.orderBy("_pid")
+          .rowsBetween(W.unboundedPreceding, W.currentRow))
+    bases = totals.select(
+        "_pid", (F.sum("_m").over(wt) - F.col("_m")).alias("_base"))
+    local = (W.partitionBy("_pid").orderBy(*order_cols)
+             .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return (b.join(F.broadcast(bases), "_pid")
+            .withColumn(out_col,
+                        F.col("_base") + F.sum(value_col).over(local))
+            .drop("_pid", "_base"))

@@ -703,22 +703,20 @@ def q_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     on partkey.
 
     Scale: rank-by-revenue is inherently global but never single-task —
-    the position comes from operators/rank.py::distributed_row_number
-    and the running revenue from operators/prefix_sum.py::
-    distributed_prefix_sum (range-bucketed, driver-folded bases, local
-    windows — the two-pass shape q_lorenz_points uses)."""
-    from ..operators.prefix_sum import distributed_prefix_sum
-    from ..operators.rank import distributed_row_number
+    the running revenue comes from operators/prefix_sum.py::
+    lazy_prefix_sum (range-bucketed by negated revenue, per-bucket
+    bases prefix-folded in a window over ≤ n bucket ids, local
+    cumulative windows — all lazy, no driver folds, no caches)."""
+    from ..operators.prefix_sum import lazy_prefix_sum
 
     li = load_table(spark, sf_dir, "lineitem")
     rev = (li.groupBy(F.col("l_partkey").alias("pk"))
            .agg(F.sum(F.round(F.col("l_extendedprice")
                               * (1 - F.col("l_discount")) * 100)
                       .cast("long")).alias("cents")))
-    ranked = distributed_row_number(
-        rev.withColumn("neg", -F.col("cents")),
-        order_cols=["neg", "pk"], bucket_key="neg", out_col="pos")
-    cum = distributed_prefix_sum(ranked, "pos", "cents", out_col="cum")
+    cum = lazy_prefix_sum(rev.withColumn("neg", -F.col("cents")),
+                          bucket_col="neg", order_cols=["neg", "pk"],
+                          value_col="cents", out_col="cum")
     total = cum.agg(F.sum("cents").alias("total"))
     classed = (cum.crossJoin(F.broadcast(total))
                .select("cents", "total",

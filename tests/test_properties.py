@@ -398,3 +398,27 @@ def test_quantile_sketch_error_bound_property(spark, vals, eps):
         # each shard's per-gap slack is <= ceil(n_s*eps/2); the +1 per
         # shard covers the ceil rounding at tiny shard sizes
         assert dist <= eps * n + n_shards + 1, (p, est, dist, n, eps)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.tuples(st.integers(min_value=-2**40, max_value=2**40),
+                          st.integers(min_value=-1000, max_value=1000)),
+                min_size=1, max_size=60),
+       st.integers(min_value=1, max_value=9))
+def test_lazy_prefix_sum_matches_sort(spark, rows, n_buckets):
+    """The lazy (no driver fold, no cache) prefix sum equals a plain
+    sorted cumulative sum for any key set, values, and bucket count.
+    Duplicate keys are disambiguated by a per-row id tiebreaker."""
+    from telescope_data_pipeline_spark.operators.prefix_sum import (
+        lazy_prefix_sum,
+    )
+
+    data = [(k, v, i) for i, (k, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "k long, v long, id long")
+    out = lazy_prefix_sum(df, bucket_col="k", order_cols=["k", "id"],
+                          value_col="v", num_buckets=n_buckets)
+    got = {r.id: r.cum for r in out.collect()}
+    acc = 0
+    for k, v, i in sorted(data, key=lambda t: (t[0], t[2])):
+        acc += v
+        assert got[i] == acc, (k, i)
