@@ -167,6 +167,14 @@ EXTRA = [
     "q_threshold_sweep",
     "q_fd_violations",
     "q_page_hinkley",
+    "q_logrank",
+    "q_tukey_contrasts",
+    "q_friedman",
+    "q_cochran_q",
+    "q_wilcoxon_signed_rank",
+    "q_clustering_coeff",
+    "q_seasonality_strength",
+    "q_capture_recapture",
 ]
 
 

@@ -1251,3 +1251,712 @@ def q_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("ph_stat"),
         res["alarm"].alias("alarm_day"))
         .orderBy("event_type"))
+
+
+# ---------------------------------------------------------------------------
+# Two-group log-rank survival test
+# ---------------------------------------------------------------------------
+
+@query("q_logrank", oracle="""
+WITH per_user AS (
+  SELECT user_id, user_id % 2 AS grp, MIN(CAST(ts AS DATE)) AS t0,
+         MIN(CASE WHEN event_type = 'purchase' THEN CAST(ts AS DATE) END)
+           AS tp
+  FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+), horizon AS (
+  SELECT MAX(CAST(ts AS DATE)) AS tmax FROM events
+), durs AS (
+  SELECT grp,
+         CASE WHEN tp IS NOT NULL THEN date_diff('day', t0, tp)
+              ELSE date_diff('day', t0, tmax) END AS d_days,
+         (tp IS NOT NULL) AS is_event
+  FROM per_user CROSS JOIN horizon
+), tbl AS (
+  SELECT d_days,
+         COUNT(*) FILTER (WHERE is_event AND grp = 1) AS d1,
+         COUNT(*) FILTER (WHERE is_event) AS d,
+         COUNT(*) AS leaving,
+         COUNT(*) FILTER (WHERE grp = 1) AS leaving1
+  FROM durs GROUP BY d_days
+), risk AS (
+  SELECT d_days, d1, d,
+         (SELECT COUNT(*) FROM durs)
+           - COALESCE(SUM(leaving) OVER (ORDER BY d_days
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n,
+         (SELECT COUNT(*) FROM durs WHERE grp = 1)
+           - COALESCE(SUM(leaving1) OVER (ORDER BY d_days
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n1
+  FROM tbl
+), terms AS (
+  SELECT d1, d, n, n1,
+         CAST(ROUND((d1 - d::DOUBLE * n1 / n) * 1e9) AS BIGINT) AS oe_n,
+         CASE WHEN n > 1 THEN CAST(ROUND(
+             d::DOUBLE * (n1::DOUBLE / n) * (1 - n1::DOUBLE / n)
+             * (n - d) / (n - 1) * 1e9) AS BIGINT) ELSE 0 END AS v_n
+  FROM risk WHERE d > 0
+)
+SELECT CAST(SUM(d) AS BIGINT) AS n_events,
+       ROUND(SUM(oe_n)::DOUBLE / 1e9, 6) + 0.0 AS o_minus_e,
+       ROUND(SUM(v_n)::DOUBLE / 1e9, 6) + 0.0 AS variance,
+       ROUND((SUM(oe_n)::DOUBLE / 1e9)
+             / NULLIF(SQRT(SUM(v_n)::DOUBLE / 1e9), 0), 6) + 0.0 AS z
+FROM terms
+""")
+def q_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-group log-rank test on time-to-first-purchase (arms by user
+    parity, censoring at the horizon — the q_kaplan_meier frame): the
+    hypothesis test that completes the survival family (KM: the curve;
+    Nelson-Aalen: the hazard; this: 'are the two arms' curves the same
+    curve?'). O-E sums observed-minus-expected group-1 events over
+    event days; the hypergeometric variance normalizes to z.
+
+    Determinism: risk-set sizes are exact integers via cumulative
+    windows over the BOUNDED distinct-lag table; each day's O-E and
+    variance term is quantized to nano-units before the cross-day sum
+    (quantize-before-sum); the n=1 variance guard matches NULLIF.
+
+    Scale: one user aggregate, a 1-row horizon broadcast, windows over
+    |distinct lags| rows (bounded by the observation span), a 1-row
+    fold."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = (ev.filter(F.col("user_id").isNotNull())
+                .groupBy("user_id")
+                .agg((F.min(F.to_date("ts"))).alias("t0"),
+                     F.min(F.when(F.col("event_type") == "purchase",
+                                  F.to_date("ts"))).alias("tp")))
+    per_user = per_user.withColumn("grp", F.col("user_id") % 2)
+    horizon = ev.agg(F.max(F.to_date("ts")).alias("tmax"))
+    durs = (per_user.crossJoin(F.broadcast(horizon))
+            .select("grp",
+                    F.when(F.col("tp").isNotNull(),
+                           F.datediff("tp", "t0"))
+                    .otherwise(F.datediff("tmax", "t0")).alias("d_days"),
+                    F.col("tp").isNotNull().alias("is_event")))
+    tbl = durs.groupBy("d_days").agg(
+        F.sum(F.when(F.col("is_event") & (F.col("grp") == 1), 1)
+              .otherwise(0)).alias("d1"),
+        F.sum(F.when(F.col("is_event"), 1).otherwise(0)).alias("d"),
+        F.count(F.lit(1)).alias("leaving"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+        .alias("leaving1"))
+    tot = durs.agg(F.count(F.lit(1)).alias("nt"),
+                   F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+                   .alias("nt1"))
+    w = (W.orderBy("d_days")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    risk = (tbl.crossJoin(F.broadcast(tot))
+            .select("d_days", "d1", "d",
+                    (F.col("nt") - (F.sum("leaving").over(w)
+                                    - F.col("leaving"))).alias("n"),
+                    (F.col("nt1") - (F.sum("leaving1").over(w)
+                                     - F.col("leaving1"))).alias("n1")))
+    n, n1 = F.col("n").cast("double"), F.col("n1").cast("double")
+    d = F.col("d").cast("double")
+    oe_n = F.round((F.col("d1") - d * n1 / n) * 1e9).cast("long")
+    v_n = F.when(F.col("n") > 1,
+                 F.round(d * (n1 / n) * (1 - n1 / n)
+                         * (n - d) / (n - 1) * 1e9).cast("long")) \
+        .otherwise(F.lit(0))
+    terms = (risk.filter(F.col("d") > 0)
+             .select("d", oe_n.alias("oe_n"), v_n.alias("v_n")))
+    return terms.agg(
+        F.sum("d").cast("long").alias("n_events"),
+        (F.round(F.sum("oe_n").cast("double") / 1e9, 6) + 0.0)
+        .alias("o_minus_e"),
+        (F.round(F.sum("v_n").cast("double") / 1e9, 6) + 0.0)
+        .alias("variance"),
+        (F.round((F.sum("oe_n").cast("double") / 1e9)
+                 / F.nullif(F.sqrt(F.sum("v_n").cast("double") / 1e9),
+                            F.lit(0.0)), 6) + 0.0).alias("z"))
+
+
+# ---------------------------------------------------------------------------
+# Tukey-style pairwise group contrasts
+# ---------------------------------------------------------------------------
+
+@query("q_tukey_contrasts", oracle="""
+WITH x AS (
+  SELECT o_orderpriority AS grp,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS xc
+  FROM orders
+), g AS (
+  SELECT grp, COUNT(*) AS n_g, SUM(xc) AS s_g,
+         SUM(CAST(xc AS HUGEINT) * xc) AS ss_g
+  FROM x GROUP BY grp
+), t AS (
+  SELECT SUM(n_g) AS n, COUNT(*) AS k, SUM(ss_g) AS ss,
+         SUM(CAST(ROUND(s_g::DOUBLE * s_g::DOUBLE / n_g / 1e4)
+                  AS BIGINT)) AS sbq
+  FROM g
+), msw AS (
+  SELECT (ss::DOUBLE - sbq::DOUBLE * 1e4) / NULLIF(n - k, 0) AS msw
+  FROM t
+)
+SELECT a.grp AS grp_a, b.grp AS grp_b,
+       ROUND((b.s_g::DOUBLE / b.n_g - a.s_g::DOUBLE / a.n_g) / 100, 6)
+         + 0.0 AS mean_diff,
+       ROUND(SQRT(m.msw * (1.0 / a.n_g + 1.0 / b.n_g)) / 100, 6) + 0.0
+         AS se,
+       ROUND(ABS(b.s_g::DOUBLE / b.n_g - a.s_g::DOUBLE / a.n_g)
+             / NULLIF(SQRT(m.msw / 2 * (1.0 / a.n_g + 1.0 / b.n_g)), 0),
+             6) + 0.0 AS q_stat
+FROM g a JOIN g b ON a.grp < b.grp CROSS JOIN msw m
+ORDER BY grp_a, grp_b
+""")
+def q_tukey_contrasts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-HSD-style pairwise contrasts across the five priorities:
+    every pair's mean difference, standard error, and studentized q
+    statistic against the pooled within-group variance — the post-hoc
+    table q_anova_oneway's significant F sends an analyst to ('WHICH
+    groups differ?').
+
+    Determinism: group stats are the ANOVA exact integers (HUGEINT
+    squares, quantized between-group term); the 10-row pair table is a
+    self-join of the 5-row stats relation; one shared double tree.
+
+    Scale: one groupBy to 5 rows; the pair join and the 1-row MSW
+    broadcast are metadata-sized."""
+    x = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("xc"))
+    g = x.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_g"),
+        F.sum("xc").alias("s_g"),
+        F.sum(F.col("xc").cast("decimal(38,0)") * F.col("xc"))
+        .alias("ss_g"))
+    t = g.agg(F.sum("n_g").alias("n"), F.count(F.lit(1)).alias("k"),
+              F.sum("ss_g").alias("ss"),
+              F.sum(F.round(F.col("s_g").cast("double")
+                            * F.col("s_g").cast("double")
+                            / F.col("n_g") / 1e4).cast("long"))
+              .alias("sbq"))
+    msw = t.select(((F.col("ss").cast("double")
+                     - F.col("sbq").cast("double") * 1e4)
+                    / F.nullif((F.col("n") - F.col("k")).cast("double"),
+                               F.lit(0.0))).alias("msw"))
+    a = g.select(F.col("grp").alias("grp_a"), F.col("n_g").alias("na"),
+                 F.col("s_g").alias("sa"))
+    b = g.select(F.col("grp").alias("grp_b"), F.col("n_g").alias("nb"),
+                 F.col("s_g").alias("sb"))
+    na, nb = F.col("na").cast("double"), F.col("nb").cast("double")
+    diff = F.col("sb").cast("double") / nb - F.col("sa").cast("double") / na
+    return (a.join(F.broadcast(b), F.col("grp_a") < F.col("grp_b"))
+            .crossJoin(F.broadcast(msw))
+            .select("grp_a", "grp_b",
+                    (F.round(diff / 100, 6) + 0.0).alias("mean_diff"),
+                    (F.round(F.sqrt(F.col("msw") * (1.0 / na + 1.0 / nb))
+                             / 100, 6) + 0.0).alias("se"),
+                    (F.round(F.abs(diff)
+                             / F.nullif(F.sqrt(F.col("msw") / 2
+                                               * (1.0 / na + 1.0 / nb)),
+                                        F.lit(0.0)), 6) + 0.0)
+                    .alias("q_stat"))
+            .orderBy("grp_a", "grp_b"))
+
+
+# ---------------------------------------------------------------------------
+# Friedman test (k treatments, day blocks)
+# ---------------------------------------------------------------------------
+
+@query("q_friedman", oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, event_type,
+         CAST(ROUND(SUM(CAST(ROUND(value * 100) AS BIGINT))::DOUBLE
+                    / COUNT(*)) AS BIGINT) AS mu
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), complete AS (
+  SELECT day FROM daily GROUP BY day
+  HAVING COUNT(*) = (SELECT COUNT(DISTINCT event_type) FROM daily)
+), ranked AS (
+  SELECT d.day, d.event_type,
+         2 * RANK() OVER (PARTITION BY d.day ORDER BY d.mu)
+           + COUNT(*) OVER (PARTITION BY d.day, d.mu) - 1 AS r2
+  FROM daily d JOIN complete c ON d.day = c.day
+), sums AS (
+  SELECT event_type, SUM(r2) AS r2_j, COUNT(*) AS n_blocks
+  FROM ranked GROUP BY event_type
+), agg AS (
+  SELECT SUM(CAST(r2_j AS HUGEINT) * r2_j) AS sr2sq,
+         ANY_VALUE(n_blocks) AS n, COUNT(*) AS k
+  FROM sums
+)
+SELECT CAST(n AS BIGINT) AS n_blocks, CAST(k AS BIGINT) AS k,
+       ROUND(12.0 * (sr2sq::DOUBLE / 4)
+             / (n::DOUBLE * k * (k + 1)) - 3.0 * n * (k + 1), 6) + 0.0
+         AS friedman_q
+FROM agg
+""")
+def q_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman test: do the k event streams keep the same ordering of
+    daily means across day blocks? The repeated-measures companion of
+    Kruskal-Wallis (KW pools all observations; Friedman ranks WITHIN
+    each day, so day-level shocks that move every stream together
+    cancel). Only complete blocks (all k streams present) enter.
+
+    Determinism: daily means are HALF_UP centi-integers; within-block
+    ranks use the exact doubled tie-average form (2*rank + ties - 1)
+    over k=5-row windows — bounded by the number of streams, never by
+    corpus size; rank-sum squares ride HUGEINT/DECIMAL; the statistic
+    is one shared double tree (plain Friedman, no tie correction —
+    documented, identical both sides).
+
+    Scale: one groupBy to (day, stream) rows, k-row windows per day
+    block, one k-row aggregate."""
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull()))
+    daily = (ev.groupBy(F.to_date("ts").alias("day"), "event_type")
+             .agg(F.round(F.sum(F.round(F.col("value") * 100)
+                                .cast("long")).cast("double")
+                          / F.count(F.lit(1))).cast("long").alias("mu")))
+    k_count = daily.agg(
+        F.countDistinct("event_type").alias("k_all"))
+    complete = (daily.groupBy("day")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .crossJoin(F.broadcast(k_count))
+                .filter(F.col("c") == F.col("k_all"))
+                .select("day"))
+    rank_w = W.partitionBy("day").orderBy("mu")
+    ties_w = W.partitionBy("day", "mu")
+    ranked = (daily.join(F.broadcast(complete), "day")
+              .select("day", "event_type",
+                      (2 * F.rank().over(rank_w)
+                       + F.count(F.lit(1)).over(ties_w) - 1)
+                      .cast("long").alias("r2")))
+    sums = ranked.groupBy("event_type").agg(
+        F.sum("r2").alias("r2_j"), F.count(F.lit(1)).alias("n_blocks"))
+    agg = sums.agg(
+        F.sum(F.col("r2_j").cast("decimal(38,0)") * F.col("r2_j"))
+        .alias("sr2sq"),
+        F.first("n_blocks").alias("n"), F.count(F.lit(1)).alias("k"))
+    n, k = F.col("n").cast("double"), F.col("k").cast("double")
+    return agg.select(
+        F.col("n").cast("long").alias("n_blocks"),
+        F.col("k").cast("long").alias("k"),
+        (F.round(12.0 * (F.col("sr2sq").cast("double") / 4)
+                 / (n * k * (k + 1)) - 3.0 * n * (k + 1), 6) + 0.0)
+        .alias("friedman_q"))
+
+
+# ---------------------------------------------------------------------------
+# Cochran's Q (k binary treatments, day blocks)
+# ---------------------------------------------------------------------------
+
+@query("q_cochran_q", oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, event_type,
+         CASE WHEN CAST(ROUND(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                              ::DOUBLE / COUNT(*)) AS BIGINT) > 10000
+              THEN 1 ELSE 0 END AS hit
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), complete AS (
+  SELECT day FROM daily GROUP BY day
+  HAVING COUNT(*) = (SELECT COUNT(DISTINCT event_type) FROM daily)
+), cells AS (
+  SELECT d.day, d.event_type, d.hit
+  FROM daily d JOIN complete c ON d.day = c.day
+), cols AS (
+  SELECT SUM(CAST(cj AS HUGEINT) * cj) AS sc2, SUM(cj) AS sc,
+         COUNT(*) AS k
+  FROM (SELECT event_type, SUM(hit) AS cj FROM cells GROUP BY event_type)
+), rows_ AS (
+  SELECT SUM(ri) AS sr, SUM(CAST(ri AS HUGEINT) * ri) AS sr2,
+         COUNT(*) AS n
+  FROM (SELECT day, SUM(hit) AS ri FROM cells GROUP BY day)
+)
+SELECT CAST(n AS BIGINT) AS n_blocks, CAST(k AS BIGINT) AS k,
+       ROUND((k - 1) * (k * sc2::DOUBLE - sc::DOUBLE * sc::DOUBLE)
+             / NULLIF(k * sr::DOUBLE - sr2::DOUBLE, 0), 6) + 0.0
+         AS cochran_q
+FROM cols CROSS JOIN rows_
+""")
+def q_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q: do the k event streams clear the daily-mean
+    threshold at the same rate across day blocks? The BINARY-outcome
+    member of the block-design family (Friedman ranks magnitudes; this
+    tests pass/fail flags — the form SLO/alert-rate comparisons take).
+    Q = (k-1)[k*sum(C_j^2) - (sum C_j)^2] / [k*sum(R_i) - sum(R_i^2)].
+
+    Determinism: every statistic is an exact integer (column/row
+    totals of a 0/1 matrix, squares on HUGEINT/DECIMAL); one shared
+    double tree with a NULLIF for the degenerate all-equal-rows
+    denominator.
+
+    Scale: one groupBy to (day, stream), two tiny marginal aggregates,
+    a 1-row cross."""
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull()))
+    daily = (ev.groupBy(F.to_date("ts").alias("day"), "event_type")
+             .agg(F.when(
+                 F.round(F.sum(F.round(F.col("value") * 100)
+                               .cast("long")).cast("double")
+                         / F.count(F.lit(1))).cast("long") > 10000, 1)
+                  .otherwise(0).alias("hit")))
+    k_count = daily.agg(F.countDistinct("event_type").alias("k_all"))
+    complete = (daily.groupBy("day")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .crossJoin(F.broadcast(k_count))
+                .filter(F.col("c") == F.col("k_all"))
+                .select("day"))
+    cells = daily.join(F.broadcast(complete), "day")
+    cj = cells.groupBy("event_type").agg(F.sum("hit").alias("cj"))
+    cols = cj.agg(F.sum(F.col("cj").cast("decimal(38,0)") * F.col("cj"))
+                  .alias("sc2"),
+                  F.sum("cj").alias("sc"), F.count(F.lit(1)).alias("k"))
+    ri = cells.groupBy("day").agg(F.sum("hit").alias("ri"))
+    rows_ = ri.agg(F.sum("ri").alias("sr"),
+                   F.sum(F.col("ri").cast("decimal(38,0)") * F.col("ri"))
+                   .alias("sr2"),
+                   F.count(F.lit(1)).alias("n"))
+    k = F.col("k").cast("double")
+    sc, sc2 = F.col("sc").cast("double"), F.col("sc2").cast("double")
+    sr, sr2 = F.col("sr").cast("double"), F.col("sr2").cast("double")
+    return (cols.crossJoin(F.broadcast(rows_))
+            .select(F.col("n").cast("long").alias("n_blocks"),
+                    F.col("k").cast("long").alias("k"),
+                    (F.round((k - 1) * (k * sc2 - sc * sc)
+                             / F.nullif(k * sr - sr2, F.lit(0.0)), 6)
+                     + 0.0).alias("cochran_q")))
+
+
+# ---------------------------------------------------------------------------
+# Wilcoxon signed-rank test (paired pre/post per user)
+# ---------------------------------------------------------------------------
+
+@query("q_wilcoxon_signed_rank", oracle="""
+WITH pm AS (
+  SELECT user_id,
+         CAST(ROUND(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                        THEN CAST(ROUND(value * 100) AS BIGINT) END)
+                    ::DOUBLE
+                    / NULLIF(COUNT(CASE WHEN ts < TIMESTAMP
+                        '2024-01-16 00:00:00' THEN 1 END), 0))
+              AS BIGINT) AS pre_mu,
+         CAST(ROUND(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                        THEN CAST(ROUND(value * 100) AS BIGINT) END)
+                    ::DOUBLE
+                    / NULLIF(COUNT(CASE WHEN ts >= TIMESTAMP
+                        '2024-01-16 00:00:00' THEN 1 END), 0))
+              AS BIGINT) AS post_mu
+  FROM events
+  WHERE value IS NOT NULL AND user_id IS NOT NULL AND ts IS NOT NULL
+  GROUP BY user_id
+), diffs AS (
+  SELECT post_mu - pre_mu AS d, ABS(post_mu - pre_mu) AS absd
+  FROM pm WHERE pre_mu IS NOT NULL AND post_mu IS NOT NULL
+    AND post_mu != pre_mu
+), c AS (
+  SELECT absd, COUNT(*) AS cnt,
+         SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS cpos
+  FROM diffs GROUP BY absd
+), r AS (
+  SELECT absd, cnt, cpos,
+         SUM(cnt) OVER (ORDER BY absd ROWS UNBOUNDED PRECEDING) - cnt
+           AS cum_before
+  FROM c
+), agg AS (
+  SELECT SUM(cnt) AS n,
+         SUM(cpos * (2 * cum_before + cnt + 1)) AS w2plus,
+         SUM(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS ties
+  FROM r
+)
+SELECT CAST(n AS BIGINT) AS n_pairs,
+       ROUND(w2plus::DOUBLE / 2, 1) + 0.0 AS w_plus,
+       ROUND((w2plus::DOUBLE / 2 - n::DOUBLE * (n + 1) / 4)
+             / NULLIF(SQRT(n::DOUBLE * (n + 1) * (2 * n + 1) / 24
+                           - ties::DOUBLE / 48), 0), 6) + 0.0 AS z
+FROM agg
+""")
+def q_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test on each user's paired (pre-split,
+    post-split) mean value: the PAIRED nonparametric location test
+    that completes the test family (Welch t / MW-U compare two
+    INDEPENDENT samples; this removes between-user variance by
+    differencing within user first — the within-subjects experiment
+    readout). Zero diffs drop (the standard discard rule); W+ sums the
+    ranks of positive diffs; z uses the tie-corrected normal
+    approximation.
+
+    Determinism: per-period means are HALF_UP centi-integers; ranks
+    never materialize per pair — the doubled tie-average algebra runs
+    on DISTINCT |diff| jump points via the grouped two-pass cumulative
+    count (operators/rank.py::grouped_cum_counts under a constant
+    group — bucketed local windows, no single-task sort), with the
+    positive-diff counts carried through extra_aggs.
+
+    Scale: one user aggregate, one distinct-|diff| groupBy, bucketed
+    windows, a 1-row fold."""
+    from ..operators.rank import grouped_cum_counts
+
+    split = "2024-01-16 00:00:00"
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull() & F.col("user_id").isNotNull()
+                  & F.col("ts").isNotNull()))
+    pre = F.col("ts") < F.lit(split).cast("timestamp")
+    centi = F.round(F.col("value") * 100).cast("long")
+    pm = ev.groupBy("user_id").agg(
+        F.round(F.sum(F.when(pre, centi)).cast("double")
+                / F.nullif(F.count(F.when(pre, F.lit(1))), F.lit(0)))
+        .cast("long").alias("pre_mu"),
+        F.round(F.sum(F.when(~pre, centi)).cast("double")
+                / F.nullif(F.count(F.when(~pre, F.lit(1))), F.lit(0)))
+        .cast("long").alias("post_mu"))
+    diffs = (pm.filter(F.col("pre_mu").isNotNull()
+                       & F.col("post_mu").isNotNull()
+                       & (F.col("post_mu") != F.col("pre_mu")))
+             .select((F.col("post_mu") - F.col("pre_mu")).alias("d"),
+                     F.abs(F.col("post_mu") - F.col("pre_mu"))
+                     .alias("absd"),
+                     F.lit(0).alias("g")))
+    r = grouped_cum_counts(
+        diffs, "g", "absd",
+        extra_aggs=(F.sum(F.when(F.col("d") > 0, 1).otherwise(0))
+                    .alias("_cpos"),))
+    agg = r.agg(
+        F.sum("_c").alias("n"),
+        F.sum(F.col("_cpos") * (2 * F.col("_cum_before") + F.col("_c")
+                                + 1)).alias("w2plus"),
+        F.sum(F.col("_c").cast("decimal(38,0)") * F.col("_c")
+              * F.col("_c") - F.col("_c")).alias("ties"))
+    n = F.col("n").cast("double")
+    w2 = F.col("w2plus").cast("double")
+    var = n * (n + 1) * (2 * n + 1) / 24 - F.col("ties").cast("double") / 48
+    return agg.select(
+        F.col("n").cast("long").alias("n_pairs"),
+        (F.round(w2 / 2, 1) + 0.0).alias("w_plus"),
+        (F.round((w2 / 2 - n * (n + 1) / 4)
+                 / F.nullif(F.sqrt(var), F.lit(0.0)), 6) + 0.0)
+        .alias("z"))
+
+
+# ---------------------------------------------------------------------------
+# Per-node clustering coefficient (co-purchase graph)
+# ---------------------------------------------------------------------------
+
+@query("q_clustering_coeff", oracle="""
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM lineitem a
+  JOIN lineitem b ON b.l_orderkey = a.l_orderkey
+    AND b.l_partkey > a.l_partkey
+  WHERE a.l_partkey % 4 = 0 AND b.l_partkey % 4 = 0
+), deg AS (
+  SELECT node, COUNT(*) AS d FROM (
+    SELECT pa AS node FROM e UNION ALL SELECT pb FROM e
+  ) GROUP BY node
+), o AS (
+  SELECT CASE WHEN (da.d, pa) < (db.d, pb) THEN pa ELSE pb END AS u,
+         CASE WHEN (da.d, pa) < (db.d, pb) THEN pb ELSE pa END AS v
+  FROM e JOIN deg da ON da.node = pa JOIN deg db ON db.node = pb
+), tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM o e1
+  JOIN o e2 ON e2.u = e1.v
+  JOIN o e3 ON e3.u = e1.u AND e3.v = e2.v
+), per_node AS (
+  SELECT node, COUNT(*) AS t FROM (
+    SELECT a AS node FROM tri UNION ALL
+    SELECT b FROM tri UNION ALL SELECT c FROM tri
+  ) GROUP BY node
+)
+SELECT CAST(d.node AS BIGINT) AS node, CAST(d.d AS BIGINT) AS degree,
+       CAST(COALESCE(p.t, 0) AS BIGINT) AS n_triangles,
+       ROUND(2.0 * COALESCE(p.t, 0) / (d.d * (d.d - 1)), 6) + 0.0
+         AS clustering_coeff
+FROM deg d LEFT JOIN per_node p ON p.node = d.node
+WHERE d.d >= 2
+ORDER BY clustering_coeff DESC, n_triangles DESC, node LIMIT 20
+""")
+def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient over the co-purchase
+    graph (q_triangle_count's exact edge set and degree-oriented wedge
+    join): 2*T_v / (deg_v * (deg_v - 1)) — the neighborhood-density
+    view that completes the graph family (triangles: global count;
+    this: WHICH nodes sit in cliques — community cores vs bridges).
+    Top-20 by coefficient with full tiebreak.
+
+    Determinism: all-integer triangle and degree counts; one rounded
+    ratio; deterministic LIMIT on (coeff, triangles, node).
+
+    Scale: the Schank-Wagner orientation bounds every wedge list by
+    the lower-degree endpoint; per-node triangle counts are one
+    3-corner explode + groupBy; the join back to degrees is keyed.
+    deg >= 2 prunes before the ratio (no zero denominators)."""
+    li = (load_table(spark, sf_dir, "lineitem")
+          .filter(F.col("l_partkey") % 4 == 0)
+          .select("l_orderkey", "l_partkey"))
+    a = li.select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_partkey").alias("pb"))
+    e = (a.join(b, "ok").filter(F.col("pb") > F.col("pa"))
+         .select("pa", "pb").distinct())
+    deg = (e.select(F.col("pa").alias("node"))
+           .unionAll(e.select("pb"))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("d")))
+    da = deg.select(F.col("node").alias("pa"), F.col("d").alias("d_a"))
+    db = deg.select(F.col("node").alias("pb"), F.col("d").alias("d_b"))
+    lower = ((F.col("d_a") < F.col("d_b"))
+             | ((F.col("d_a") == F.col("d_b"))
+                & (F.col("pa") < F.col("pb"))))
+    o = (e.join(da, "pa").join(db, "pb")
+         .select(F.when(lower, F.col("pa")).otherwise(F.col("pb"))
+                 .alias("u"),
+                 F.when(lower, F.col("pb")).otherwise(F.col("pa"))
+                 .alias("v")))
+    e1 = o.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = o.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = o.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    per_node = (tri.select(F.col("a").alias("node"))
+                .unionAll(tri.select("b")).unionAll(tri.select("c"))
+                .groupBy("node").agg(F.count(F.lit(1)).alias("t")))
+    return (deg.filter(F.col("d") >= 2)
+            .join(per_node, "node", "left")
+            .select(F.col("node").cast("long").alias("node"),
+                    F.col("d").cast("long").alias("degree"),
+                    F.coalesce(F.col("t"), F.lit(0)).cast("long")
+                    .alias("n_triangles"),
+                    (F.round(2.0 * F.coalesce(F.col("t"), F.lit(0))
+                             / (F.col("d") * (F.col("d") - 1)), 6) + 0.0)
+                    .alias("clustering_coeff"))
+            .orderBy(F.desc("clustering_coeff"), F.desc("n_triangles"),
+                     "node")
+            .limit(20))
+
+
+# ---------------------------------------------------------------------------
+# Seasonality strength (hour-of-day variance share)
+# ---------------------------------------------------------------------------
+
+@query("q_seasonality_strength", oracle="""
+WITH x AS (
+  SELECT event_type, EXTRACT(HOUR FROM ts) AS h,
+         CAST(ROUND(value * 1000000) AS BIGINT) AS xu
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+), g AS (
+  SELECT event_type, h, COUNT(*) AS n_g, SUM(xu) AS s_g,
+         SUM(CAST(xu AS HUGEINT) * xu) AS ss_g
+  FROM x GROUP BY event_type, h
+), t AS (
+  SELECT event_type, SUM(n_g) AS n, SUM(s_g) AS s, SUM(ss_g) AS ss,
+         SUM(CAST(ROUND(s_g::DOUBLE * s_g::DOUBLE / n_g / 1e4)
+                  AS BIGINT)) AS sbq,
+         -- argmax key packs (quantized hourly mean, smaller-h tiebreak)
+         -- into one BIGINT: DuckDB 1.0 ARG_MAX takes no struct key
+         ARG_MAX(h, CAST(ROUND(s_g::DOUBLE * 1e6 / n_g) AS BIGINT) * 100
+                    + (23 - h)) AS peak_hour
+  FROM g GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       CAST(peak_hour AS BIGINT) AS peak_hour,
+       ROUND((sbq::DOUBLE * 1e4 - s::DOUBLE * s::DOUBLE / n)
+             / NULLIF(ss::DOUBLE - s::DOUBLE * s::DOUBLE / n, 0), 6)
+         + 0.0 AS seasonality_strength
+FROM t ORDER BY event_type
+""")
+def q_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality strength per stream: the share of metric variance
+    explained by hour-of-day (the ANOVA eta^2 with hours as groups),
+    plus the peak hour — the 'is this KPI diurnal, and when?' readout
+    that quantifies what q_seasonal_baseline's profile table shows
+    row-by-row. Near 0: no daily rhythm; near 1: the clock IS the
+    metric.
+
+    Determinism: micro-unit integers, HUGEINT/DECIMAL squares, the
+    per-hour ratio term quantized before the cross-hour sum (the
+    q_anova_oneway recipe); peak hour picks by quantized integer
+    hourly mean with an hour tiebreak (max_by both engines).
+
+    Scale: one map-side-combined groupBy to |streams| x 24 rows, then
+    a |streams|-row aggregate."""
+    x = (load_table(spark, sf_dir, "events")
+         .filter(F.col("value").isNotNull() & F.col("ts").isNotNull())
+         .select("event_type", F.hour("ts").cast("long").alias("h"),
+                 F.round(F.col("value") * 1e6).cast("long").alias("xu")))
+    g = x.groupBy("event_type", "h").agg(
+        F.count(F.lit(1)).alias("n_g"),
+        F.sum("xu").alias("s_g"),
+        F.sum(F.col("xu").cast("decimal(38,0)") * F.col("xu"))
+        .alias("ss_g"))
+    mean_u = F.round(F.col("s_g").cast("double") * 1e6
+                     / F.col("n_g")).cast("long")
+    t = g.groupBy("event_type").agg(
+        F.sum("n_g").alias("n"),
+        F.sum("s_g").alias("s"),
+        F.sum("ss_g").alias("ss"),
+        F.sum(F.round(F.col("s_g").cast("double")
+                      * F.col("s_g").cast("double")
+                      / F.col("n_g") / 1e4).cast("long")).alias("sbq"),
+        F.max_by("h", mean_u * 100 + (23 - F.col("h")))
+        .alias("peak_hour"))
+    n = F.col("n").cast("double")
+    s, ss = F.col("s").cast("double"), F.col("ss").cast("double")
+    ssb = F.col("sbq").cast("double") * 1e4 - s * s / n
+    return (t.select(
+        "event_type", F.col("n").cast("long").alias("n"),
+        F.col("peak_hour").cast("long").alias("peak_hour"),
+        (F.round(ssb / F.nullif(ss - s * s / n, F.lit(0.0)), 6) + 0.0)
+        .alias("seasonality_strength"))
+        .orderBy("event_type"))
+
+
+# ---------------------------------------------------------------------------
+# Capture-recapture corpus-size estimate
+# ---------------------------------------------------------------------------
+
+@query("q_capture_recapture", oracle="""
+WITH marks AS (
+  SELECT doc_id,
+         ((doc_id % 1000003) * 2654435761 % 1000003) % 10 < 3 AS in_s1,
+         ((doc_id % 1000003) * 40503 % 1000003) % 10 < 3 AS in_s2
+  FROM documents
+)
+SELECT CAST(SUM(CASE WHEN in_s1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       CAST(SUM(CASE WHEN in_s2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+       CAST(SUM(CASE WHEN in_s1 AND in_s2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_both,
+       CAST(COUNT(*) AS BIGINT) AS true_n,
+       ROUND((SUM(CASE WHEN in_s1 THEN 1 ELSE 0 END) + 1.0)
+             * (SUM(CASE WHEN in_s2 THEN 1 ELSE 0 END) + 1.0)
+             / (SUM(CASE WHEN in_s1 AND in_s2 THEN 1 ELSE 0 END) + 1.0)
+             - 1.0, 6) + 0.0 AS chapman_estimate,
+       ROUND(((SUM(CASE WHEN in_s1 THEN 1 ELSE 0 END) + 1.0)
+              * (SUM(CASE WHEN in_s2 THEN 1 ELSE 0 END) + 1.0)
+              / (SUM(CASE WHEN in_s1 AND in_s2 THEN 1 ELSE 0 END) + 1.0)
+              - 1.0 - COUNT(*)) / COUNT(*), 6) + 0.0 AS rel_error
+FROM marks
+""")
+def q_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capture-recapture (Chapman) population estimate: two
+    independent deterministic hash samples of the corpus; the overlap
+    rate estimates the TOTAL count — the mark-recapture trick a
+    crawler/dedup pipeline uses to size an unseen population (how many
+    distinct pages/docs exist?) from samples alone, beside the
+    sketch-based distinct counts (q_hll_union estimates a SEEN union;
+    this extrapolates the unseen). Chapman's +1 correction keeps the
+    estimator finite and near-unbiased.
+
+    Determinism: membership is a pure integer hash (pre-mod before the
+    multiply, the q_ece construction); cells are exact integers; the
+    estimate is one shared double tree — the +1 terms also make the
+    denominator strictly positive.
+
+    Scale: one map-only projection and a 1-row aggregate."""
+    m = load_table(spark, sf_dir, "documents").select(
+        (((F.col("doc_id") % 1000003)
+          * F.lit(2654435761).cast("bigint") % 1000003) % 10 < 3)
+        .alias("in_s1"),
+        (((F.col("doc_id") % 1000003) * 40503 % 1000003) % 10 < 3)
+        .alias("in_s2"))
+    n1 = F.sum(F.when(F.col("in_s1"), 1).otherwise(0))
+    n2 = F.sum(F.when(F.col("in_s2"), 1).otherwise(0))
+    nb = F.sum(F.when(F.col("in_s1") & F.col("in_s2"), 1).otherwise(0))
+    cnt = F.count(F.lit(1))
+    chapman = ((n1 + 1.0) * (n2 + 1.0) / (nb + 1.0) - 1.0)
+    return m.agg(
+        n1.cast("long").alias("n1"),
+        n2.cast("long").alias("n2"),
+        nb.cast("long").alias("n_both"),
+        cnt.cast("long").alias("true_n"),
+        (F.round(chapman, 6) + 0.0).alias("chapman_estimate"),
+        (F.round((chapman - cnt) / cnt, 6) + 0.0).alias("rel_error"))

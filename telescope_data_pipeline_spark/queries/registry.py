@@ -55,10 +55,11 @@ _REGISTRY: dict[str, Query] = {}
 #: green is stale evidence) — 4 entries;
 #: (b) fresh rows-only attestation for the 11 stale names from
 #: round-10 VERDICT item 2 (last driver-checked r1-r8) — 11 entries;
-#: (c) first-time evidence for operators NEW in round 11 — 16
+#: (c) first-time evidence for operators NEW in round 11 — 24
 #: entries; and
 #: (d) rolling regression backfill: the 11 round-4 names the r10
-#: window dropped, then the head of the round-5 cohort — 19 entries.
+#: window dropped — 11 entries (the round-5 cohort rotates next
+#: round).
 #: The local sf0.01+sf0.1 oracle sweep still covers all registered
 #: queries per session.
 PRIORITY: tuple[str, ...] = (
@@ -70,27 +71,27 @@ PRIORITY: tuple[str, ...] = (
     "q_scan_fits", "q_agg_approx", "q_media_audio", "q_media_resize",
     "q_quantile_sketch", "q_media_phash", "q_dedup_embed_lsh",
     "q_pipeline_residuals",
-    # (c) first-time evidence: operators new in round 11 — 16
+    # (c) first-time evidence: operators new in round 11 — 24
     "q_anova_oneway", "q_cohens_d", "q_odds_ratio", "q_poisson_rate",
     "q_gwet_ac1", "q_goodman_gamma", "q_retention_cohorts",
     "q_stratified_ate", "q_abc_analysis", "q_pacf", "q_qq_points",
     "q_code_detect", "q_tokenizer_fertility", "q_threshold_sweep",
-    "q_fd_violations", "q_page_hinkley",
+    "q_fd_violations", "q_page_hinkley", "q_logrank",
+    "q_tukey_contrasts", "q_friedman", "q_cochran_q",
+    "q_wilcoxon_signed_rank", "q_clustering_coeff",
+    "q_seasonality_strength", "q_capture_recapture",
     # (d1) the round-4 backfill the r10 window miscounted out — 11
     "q_join_full", "q_join_left", "q_join_nn2d", "q_scalar_null",
     "q_scan_orc", "q_sql_api", "q_subquery_scalar",
     "q_window_firstlast", "q_window_ntile", "q_window_range",
     "q_window_rank",
-    # (d2) head of the round-5 oracle cohort — 8 (the remainder
-    # rotates next round; entries past the 50-cap spill harmlessly)
+    # spill (past the 50-entry gate, kept for next-round rotation
+    # bookkeeping: the round-5 oracle cohort)
     "q_agg_percentile", "q_agg_salted", "q_annulus_background",
     "q_bm25", "q_cluster_components", "q_data_card", "q_decontaminate",
-    "q_dedup_bloom",
-    # spill (past the 50-entry gate, kept for next-round rotation
-    # bookkeeping)
-    "q_dedup_canonical", "q_dedup_exact", "q_dedup_incremental",
-    "q_dedup_minhash_md5", "q_dedup_simhash_md5", "q_dup_spans",
-    "q_epoch_shuffle", "q_filter_eq", "q_fingerprint_md5",
+    "q_dedup_bloom", "q_dedup_canonical", "q_dedup_exact",
+    "q_dedup_incremental", "q_dedup_minhash_md5", "q_dedup_simhash_md5",
+    "q_dup_spans", "q_epoch_shuffle", "q_filter_eq", "q_fingerprint_md5",
     "q_flagship", "q_join_asof", "q_join_broadcast", "q_join_inner",
 )
 
