@@ -55,11 +55,11 @@ _REGISTRY: dict[str, Query] = {}
 #: green is stale evidence) — 4 entries;
 #: (b) fresh rows-only attestation for the 11 stale names from
 #: round-10 VERDICT item 2 (last driver-checked r1-r8) — 11 entries;
-#: (c) first-time evidence for operators NEW in round 11 — 24
+#: (c) first-time evidence for operators NEW in round 11 — 25
 #: entries; and
-#: (d) rolling regression backfill: the 11 round-4 names the r10
-#: window dropped — 11 entries (the round-5 cohort rotates next
-#: round).
+#: (d) rolling regression backfill: the round-4 names the r10 window
+#: dropped — 10 entries (q_window_rank plus the round-5 cohort rotate
+#: next round).
 #: The local sf0.01+sf0.1 oracle sweep still covers all registered
 #: queries per session.
 PRIORITY: tuple[str, ...] = (
@@ -71,7 +71,7 @@ PRIORITY: tuple[str, ...] = (
     "q_scan_fits", "q_agg_approx", "q_media_audio", "q_media_resize",
     "q_quantile_sketch", "q_media_phash", "q_dedup_embed_lsh",
     "q_pipeline_residuals",
-    # (c) first-time evidence: operators new in round 11 — 24
+    # (c) first-time evidence: operators new in round 11 — 25
     "q_anova_oneway", "q_cohens_d", "q_odds_ratio", "q_poisson_rate",
     "q_gwet_ac1", "q_goodman_gamma", "q_retention_cohorts",
     "q_stratified_ate", "q_abc_analysis", "q_pacf", "q_qq_points",
@@ -79,14 +79,16 @@ PRIORITY: tuple[str, ...] = (
     "q_fd_violations", "q_page_hinkley", "q_logrank",
     "q_tukey_contrasts", "q_friedman", "q_cochran_q",
     "q_wilcoxon_signed_rank", "q_clustering_coeff",
-    "q_seasonality_strength", "q_capture_recapture",
-    # (d1) the round-4 backfill the r10 window miscounted out — 11
+    "q_seasonality_strength", "q_capture_recapture", "q_scan_xml",
+    # (d1) the round-4 backfill the r10 window miscounted out — 10
+    # (q_window_rank spills to keep the 50-entry sum exact with the
+    # 25th group-(c) entry)
     "q_join_full", "q_join_left", "q_join_nn2d", "q_scalar_null",
     "q_scan_orc", "q_sql_api", "q_subquery_scalar",
     "q_window_firstlast", "q_window_ntile", "q_window_range",
-    "q_window_rank",
     # spill (past the 50-entry gate, kept for next-round rotation
     # bookkeeping: the round-5 oracle cohort)
+    "q_window_rank",
     "q_agg_percentile", "q_agg_salted", "q_annulus_background",
     "q_bm25", "q_cluster_components", "q_data_card", "q_decontaminate",
     "q_dedup_bloom", "q_dedup_canonical", "q_dedup_exact",

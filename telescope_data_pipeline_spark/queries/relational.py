@@ -294,3 +294,24 @@ def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.schema(NATION).orc(out)
         .select("n_nationkey", "n_name", "n_regionkey")
     )
+
+
+@query("q_scan_xml", oracle="""
+SELECT n_nationkey, n_name, n_regionkey FROM nation
+""")
+def q_scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML round-trip with explicit schema — Spark 4's NATIVE xml
+    source (StAX row reader, no external package), the
+    document-markup sibling of q_scan_csv/q_scan_json/q_scan_orc.
+    rowTag selects the repeated element; the explicit schema keeps
+    type inference out of the correctness path."""
+    nation = load_table(spark, sf_dir, "nation")
+    out = tempfile.mkdtemp(prefix="tdps_xml_")
+    (nation.write.format("xml")
+     .option("rootTag", "nations").option("rowTag", "nation")
+     .mode("overwrite").save(out))
+    return (
+        spark.read.format("xml").option("rowTag", "nation")
+        .schema(NATION).load(out)
+        .select("n_nationkey", "n_name", "n_regionkey")
+    )
