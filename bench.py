@@ -175,6 +175,11 @@ EXTRA = [
     "q_clustering_coeff",
     "q_seasonality_strength",
     "q_capture_recapture",
+    "q_mcnemar",
+    "q_durbin_watson",
+    "q_partial_corr",
+    "q_icc",
+    "q_jarque_bera",
 ]
 
 

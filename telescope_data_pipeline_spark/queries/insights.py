@@ -1960,3 +1960,402 @@ def q_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
         cnt.cast("long").alias("true_n"),
         (F.round(chapman, 6) + 0.0).alias("chapman_estimate"),
         (F.round((chapman - cnt) / cnt, 6) + 0.0).alias("rel_error"))
+
+
+# ---------------------------------------------------------------------------
+# McNemar paired-binary test
+# ---------------------------------------------------------------------------
+
+@query("q_mcnemar", oracle="""
+WITH preds AS (
+  SELECT doc_id,
+         CASE WHEN ((doc_id % 1000003) * 2654435761 % 1000003) % 100
+                   < 60 THEN 1 ELSE 0 END AS m1,
+         CASE WHEN ((doc_id % 1000003) * 40503 % 1000003) % 100
+                   < 55 THEN 1 ELSE 0 END AS m2,
+         CASE WHEN n_chars > 400 THEN 1 ELSE 0 END AS y
+  FROM documents
+), cells AS (
+  SELECT SUM(CASE WHEN m1 = y AND m2 != y THEN 1 ELSE 0 END) AS b,
+         SUM(CASE WHEN m1 != y AND m2 = y THEN 1 ELSE 0 END) AS c,
+         COUNT(*) AS n
+  FROM preds
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(b AS BIGINT) AS only_m1_correct,
+       CAST(c AS BIGINT) AS only_m2_correct,
+       ROUND((ABS(b::DOUBLE - c) - 1) * (ABS(b::DOUBLE - c) - 1)
+             / NULLIF(b + c, 0), 6) + 0.0 AS mcnemar_chi2
+FROM cells
+""")
+def q_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar test between two (hash-derived) classifiers on the SAME
+    documents: the paired-binary analog of q_wilcoxon_signed_rank —
+    only the DISAGREEMENT cells matter (docs both models get right or
+    wrong cancel), which is why it beats comparing two accuracy
+    numbers when the eval set is shared. Continuity-corrected chi2 =
+    (|b - c| - 1)^2 / (b + c).
+
+    Determinism: predictions and labels are pure integer hashes;
+    b/c/n are exact integers; one shared double tree with a NULLIF for
+    the never-disagree corpus.
+
+    Scale: one map-only projection and a 1-row aggregate."""
+    h1 = ((F.col("doc_id") % 1000003)
+          * F.lit(2654435761).cast("bigint") % 1000003) % 100
+    h2 = ((F.col("doc_id") % 1000003) * 40503 % 1000003) % 100
+    p = load_table(spark, sf_dir, "documents").select(
+        F.when(h1 < 60, 1).otherwise(0).alias("m1"),
+        F.when(h2 < 55, 1).otherwise(0).alias("m2"),
+        F.when(F.col("n_chars") > 400, 1).otherwise(0).alias("y"))
+    b = F.sum(F.when((F.col("m1") == F.col("y"))
+                     & (F.col("m2") != F.col("y")), 1).otherwise(0))
+    c = F.sum(F.when((F.col("m1") != F.col("y"))
+                     & (F.col("m2") == F.col("y")), 1).otherwise(0))
+    cells = p.agg(b.alias("b"), c.alias("c"),
+                  F.count(F.lit(1)).alias("n"))
+    bd, cd = F.col("b").cast("double"), F.col("c").cast("double")
+    return cells.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("b").cast("long").alias("only_m1_correct"),
+        F.col("c").cast("long").alias("only_m2_correct"),
+        (F.round((F.abs(bd - cd) - 1) * (F.abs(bd - cd) - 1)
+                 / F.nullif((F.col("b") + F.col("c")).cast("double"),
+                            F.lit(0.0)), 6) + 0.0).alias("mcnemar_chi2"))
+
+
+# ---------------------------------------------------------------------------
+# Durbin-Watson residual autocorrelation
+# ---------------------------------------------------------------------------
+
+@query("q_durbin_watson", oracle="""
+WITH base AS (
+  SELECT event_type, ts, event_id,
+         CAST(ROUND(value * 1000000) AS BIGINT) AS xu
+  FROM events WHERE value IS NOT NULL
+), tot AS (
+  SELECT event_type, COUNT(*) AS n, SUM(xu) AS s
+  FROM base GROUP BY event_type
+), dev AS (
+  SELECT b.event_type, t.n,
+         CAST(t.n AS HUGEINT) * b.xu - t.s AS d,
+         LAG(CAST(t.n AS HUGEINT) * b.xu - t.s, 1) OVER w AS d1
+  FROM base b JOIN tot t USING (event_type)
+  WINDOW w AS (PARTITION BY b.event_type ORDER BY b.ts, b.event_id)
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       ROUND(SUM((d - d1) * (d - d1))::DOUBLE
+             / NULLIF(SUM(d * d), 0), 6) + 0.0 AS durbin_watson
+FROM dev GROUP BY event_type, n ORDER BY event_type
+""")
+def q_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson statistic per event series: sum of squared
+    successive residual differences over the residual sum of squares
+    (residual = deviation from the series mean) — the single-number
+    lag-1 serial-correlation screen (DW ~ 2: none; -> 0: positive;
+    -> 4: negative) beside q_acf's per-lag profile and q_runs_test's
+    sign version.
+
+    Determinism: q_acf's exact-integer deviation algebra (d = n*x -
+    sum rides HUGEINT/DECIMAL, the n^2 factors cancel in the ratio);
+    both engines sum identical integers and divide once.
+
+    Scale: the q_acf plan — per-series totals broadcast back, one
+    per-series lag window, one final aggregate."""
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull()))
+    base = ev.select(
+        "event_type", "ts", "event_id",
+        F.round(F.col("value") * 1e6).cast("bigint").alias("xu"))
+    tot = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("xu").alias("s"))
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    d = (F.col("n") * F.col("xu") - F.col("s")).cast("decimal(38,0)")
+    dev = (base.join(F.broadcast(tot), "event_type")
+           .select("event_type", "ts", "event_id", "n", d.alias("d"))
+           .select("event_type", "n", "d",
+                   F.lag("d", 1).over(w).alias("d1")))
+    num = F.sum((F.col("d") - F.col("d1")) * (F.col("d") - F.col("d1")))
+    den = F.sum(F.col("d") * F.col("d"))
+    return (dev.groupBy("event_type", "n")
+            .agg((F.round(num.cast("double")
+                          / F.nullif(den.cast("double"), F.lit(0.0)), 6)
+                  + 0.0).alias("durbin_watson"))
+            .select("event_type", F.col("n").cast("long").alias("n"),
+                    "durbin_watson")
+            .orderBy("event_type"))
+
+
+# ---------------------------------------------------------------------------
+# Partial correlation (controlling for a third variable)
+# ---------------------------------------------------------------------------
+
+@query("q_partial_corr", oracle="""
+WITH x AS (
+  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price,
+         CAST(n_items AS BIGINT) AS items,
+         CAST(date_diff('day', DATE '1992-01-01', o_orderdate)
+              AS BIGINT) AS age
+  FROM (SELECT o.o_orderkey, o.o_totalprice, o.o_orderdate,
+               COUNT(*) AS n_items
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2, 3)
+), m AS (
+  SELECT COUNT(*) AS n,
+         SUM(price) AS sx, SUM(items) AS sy, SUM(age) AS sz,
+         SUM(CAST(price AS HUGEINT) * price) AS sxx,
+         SUM(CAST(items AS HUGEINT) * items) AS syy,
+         SUM(CAST(age AS HUGEINT) * age) AS szz,
+         SUM(CAST(price AS HUGEINT) * items) AS sxy,
+         SUM(CAST(price AS HUGEINT) * age) AS sxz,
+         SUM(CAST(items AS HUGEINT) * age) AS syz
+  FROM x
+), r AS (
+  SELECT n,
+         (n::DOUBLE * sxy - sx::DOUBLE * sy)
+           / NULLIF(SQRT((n::DOUBLE * sxx - sx::DOUBLE * sx)
+                         * (n::DOUBLE * syy - sy::DOUBLE * sy)), 0)
+           AS rxy,
+         (n::DOUBLE * sxz - sx::DOUBLE * sz)
+           / NULLIF(SQRT((n::DOUBLE * sxx - sx::DOUBLE * sx)
+                         * (n::DOUBLE * szz - sz::DOUBLE * sz)), 0)
+           AS rxz,
+         (n::DOUBLE * syz - sy::DOUBLE * sz)
+           / NULLIF(SQRT((n::DOUBLE * syy - sy::DOUBLE * sy)
+                         * (n::DOUBLE * szz - sz::DOUBLE * sz)), 0)
+           AS ryz
+  FROM m
+)
+SELECT CAST(n AS BIGINT) AS n,
+       ROUND(rxy, 6) + 0.0 AS r_xy,
+       ROUND((rxy - rxz * ryz)
+             / NULLIF(SQRT((1 - rxz * rxz) * (1 - ryz * ryz)), 0), 6)
+         + 0.0 AS r_xy_given_z
+FROM r
+""")
+def q_partial_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial correlation of order value and basket size CONTROLLING
+    for order age: r_xy.z = (r_xy - r_xz*r_yz)/sqrt((1-r_xz^2)
+    (1-r_yz^2)) — the confounder-removal step between q_corr_matrix's
+    raw pairwise correlations and a causal claim ('price and basket
+    track each other — or do they both just grow over time?').
+
+    Determinism: all nine moment sums are exact HUGEINT/DECIMAL
+    integers in one pass; the three Pearson ratios and the partial
+    come out of one shared double tree, NULLIF-guarded for
+    zero-variance columns.
+
+    Scale: one per-order aggregate (map-side combined on the join
+    key), one 1-row moment fold."""
+    od = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    per = (od.join(li, li.l_orderkey == od.o_orderkey)
+           .groupBy(od.o_orderkey, od.o_totalprice, od.o_orderdate)
+           .agg(F.count(F.lit(1)).alias("n_items")))
+    x = per.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price"),
+        F.col("n_items").cast("long").alias("items"),
+        F.datediff("o_orderdate", F.lit("1992-01-01").cast("date"))
+        .cast("long").alias("age"))
+
+    def dd(c: str):
+        return F.col(c).cast("decimal(38,0)")
+
+    m = x.agg(F.count(F.lit(1)).alias("n"),
+              F.sum("price").alias("sx"), F.sum("items").alias("sy"),
+              F.sum("age").alias("sz"),
+              F.sum(dd("price") * F.col("price")).alias("sxx"),
+              F.sum(dd("items") * F.col("items")).alias("syy"),
+              F.sum(dd("age") * F.col("age")).alias("szz"),
+              F.sum(dd("price") * F.col("items")).alias("sxy"),
+              F.sum(dd("price") * F.col("age")).alias("sxz"),
+              F.sum(dd("items") * F.col("age")).alias("syz"))
+    n = F.col("n").cast("double")
+
+    def pearson(sab, sa, sb, saa, sbb):
+        return ((n * F.col(sab).cast("double")
+                 - F.col(sa).cast("double") * F.col(sb).cast("double"))
+                / F.nullif(F.sqrt(
+                    (n * F.col(saa).cast("double")
+                     - F.col(sa).cast("double") * F.col(sa).cast("double"))
+                    * (n * F.col(sbb).cast("double")
+                       - F.col(sb).cast("double")
+                       * F.col(sb).cast("double"))), F.lit(0.0)))
+
+    r = m.select(
+        "n",
+        pearson("sxy", "sx", "sy", "sxx", "syy").alias("rxy"),
+        pearson("sxz", "sx", "sz", "sxx", "szz").alias("rxz"),
+        pearson("syz", "sy", "sz", "syy", "szz").alias("ryz"))
+    rxy, rxz, ryz = F.col("rxy"), F.col("rxz"), F.col("ryz")
+    return r.select(
+        F.col("n").cast("long").alias("n"),
+        (F.round(rxy, 6) + 0.0).alias("r_xy"),
+        (F.round((rxy - rxz * ryz)
+                 / F.nullif(F.sqrt((1 - rxz * rxz) * (1 - ryz * ryz)),
+                            F.lit(0.0)), 6) + 0.0)
+        .alias("r_xy_given_z"))
+
+
+# ---------------------------------------------------------------------------
+# Intraclass correlation ICC(1) — rater/group reliability
+# ---------------------------------------------------------------------------
+
+@query("q_icc", oracle="""
+WITH x AS (
+  SELECT user_id AS grp, CAST(ROUND(value * 100) AS BIGINT) AS xc
+  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+), g AS (
+  SELECT grp, COUNT(*) AS n_g, SUM(xc) AS s_g,
+         SUM(CAST(xc AS HUGEINT) * xc) AS ss_g
+  FROM x GROUP BY grp
+), t AS (
+  SELECT COUNT(*) AS k, SUM(n_g) AS n, SUM(s_g) AS s, SUM(ss_g) AS ss,
+         SUM(CAST(ROUND(s_g::DOUBLE * s_g::DOUBLE / n_g / 1e4)
+                  AS BIGINT)) AS sbq
+  FROM g
+), ms AS (
+  SELECT k, n,
+         (sbq::DOUBLE * 1e4 - s::DOUBLE * s::DOUBLE / n)
+           / NULLIF(k - 1, 0) AS msb,
+         (ss::DOUBLE - sbq::DOUBLE * 1e4) / NULLIF(n - k, 0) AS msw,
+         -- unbalanced-design group size: k0 = (n - sum(n_g^2)/n)/(k-1)
+         (n - (SELECT SUM(CAST(n_g AS HUGEINT) * n_g) FROM g)::DOUBLE
+              / n) / NULLIF(k - 1, 0) AS k0
+  FROM t
+)
+SELECT CAST(k AS BIGINT) AS n_groups, CAST(n AS BIGINT) AS n,
+       ROUND(k0, 6) + 0.0 AS k0,
+       ROUND((msb - msw) / NULLIF(msb + (k0 - 1) * msw, 0), 6) + 0.0
+         AS icc1
+FROM ms
+""")
+def q_icc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intraclass correlation ICC(1) with users as groups: how much of
+    the metric's variance lives BETWEEN users vs within — the
+    reliability number behind cluster-randomized experiment design
+    (a high ICC shrinks effective sample size; q_ab_power's n
+    calculation needs it) and the continuous-outcome cousin of the
+    agreement family. One-way random-effects form with the
+    unbalanced-design k0 correction.
+
+    Determinism: the q_anova_oneway exact-integer machinery (HUGEINT
+    squares, quantized between-group term); ICC is one shared double
+    tree over the two mean squares.
+
+    Scale: one map-side-combined groupBy to |users| rows, one fold."""
+    x = (load_table(spark, sf_dir, "events")
+         .filter(F.col("value").isNotNull() & F.col("user_id").isNotNull())
+         .select(F.col("user_id").alias("grp"),
+                 F.round(F.col("value") * 100).cast("long").alias("xc")))
+    g = x.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_g"),
+        F.sum("xc").alias("s_g"),
+        F.sum(F.col("xc").cast("decimal(38,0)") * F.col("xc"))
+        .alias("ss_g"))
+    t = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n_g").alias("n"),
+        F.sum("s_g").alias("s"),
+        F.sum("ss_g").alias("ss"),
+        F.sum(F.round(F.col("s_g").cast("double")
+                      * F.col("s_g").cast("double")
+                      / F.col("n_g") / 1e4).cast("long")).alias("sbq"),
+        F.sum(F.col("n_g").cast("decimal(38,0)") * F.col("n_g"))
+        .alias("sn2"))
+    k, n = F.col("k").cast("double"), F.col("n").cast("double")
+    s, ss = F.col("s").cast("double"), F.col("ss").cast("double")
+    sb = F.col("sbq").cast("double") * 1e4
+    msb = (sb - s * s / n) / F.nullif(k - 1, F.lit(0.0))
+    msw = (ss - sb) / F.nullif(n - k, F.lit(0.0))
+    k0 = ((n - F.col("sn2").cast("double") / n)
+          / F.nullif(k - 1, F.lit(0.0)))
+    return t.select(
+        F.col("k").cast("long").alias("n_groups"),
+        F.col("n").cast("long").alias("n"),
+        (F.round(k0, 6) + 0.0).alias("k0"),
+        (F.round((msb - msw) / F.nullif(msb + (k0 - 1) * msw,
+                                        F.lit(0.0)), 6) + 0.0)
+        .alias("icc1"))
+
+
+# ---------------------------------------------------------------------------
+# Jarque-Bera normality test
+# ---------------------------------------------------------------------------
+
+@query("q_jarque_bera", oracle="""
+WITH x AS (
+  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS xc
+  FROM events WHERE value IS NOT NULL
+), m AS (
+  SELECT event_type, COUNT(*) AS n, SUM(xc) AS s1,
+         SUM(CAST(xc AS HUGEINT) * xc) AS s2,
+         SUM(CAST(xc AS HUGEINT) * xc * xc) AS s3,
+         SUM(CAST(xc AS HUGEINT) * xc * xc * xc) AS s4
+  FROM x GROUP BY event_type
+), c AS (
+  -- central moments from raw power sums (exact integers -> doubles)
+  SELECT event_type, n,
+         s2::DOUBLE / n - (s1::DOUBLE / n) * (s1::DOUBLE / n) AS m2,
+         s3::DOUBLE / n
+           - 3 * (s1::DOUBLE / n) * (s2::DOUBLE / n)
+           + 2 * (s1::DOUBLE / n) * (s1::DOUBLE / n) * (s1::DOUBLE / n)
+           AS m3,
+         s4::DOUBLE / n
+           - 4 * (s1::DOUBLE / n) * (s3::DOUBLE / n)
+           + 6 * (s1::DOUBLE / n) * (s1::DOUBLE / n) * (s2::DOUBLE / n)
+           - 3 * (s1::DOUBLE / n) * (s1::DOUBLE / n) * (s1::DOUBLE / n)
+               * (s1::DOUBLE / n) AS m4
+  FROM m
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       ROUND(m3 / NULLIF(SQRT(m2 * m2 * m2), 0), 6) + 0.0 AS skewness,
+       ROUND(m4 / NULLIF(m2 * m2, 0) - 3, 6) + 0.0 AS excess_kurtosis,
+       ROUND(n / 6.0 * ((m3 / NULLIF(SQRT(m2 * m2 * m2), 0))
+                        * (m3 / NULLIF(SQRT(m2 * m2 * m2), 0))
+                        + (m4 / NULLIF(m2 * m2, 0) - 3)
+                          * (m4 / NULLIF(m2 * m2, 0) - 3) / 4), 6)
+         + 0.0 AS jarque_bera
+FROM c ORDER BY event_type
+""")
+def q_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality test per metric stream: JB = n/6 *
+    (S^2 + K^2/4) from sample skewness and excess kurtosis — the
+    screen that decides whether the Gaussian-assuming procedures
+    (Welch t, control bands, z approximations) are even applicable,
+    or the rank family (MW/KW/Wilcoxon) should run instead.
+
+    Determinism: the four raw power sums are exact HUGEINT/DECIMAL
+    integers in one pass (centi-units keep xc^4 inside DECIMAL(38));
+    central moments, S, K, and JB come out of one shared double tree
+    with NULLIF guards for constant streams.
+
+    Scale: one map-side-combined groupBy, 5 output rows."""
+    x = (load_table(spark, sf_dir, "events")
+         .filter(F.col("value").isNotNull())
+         .select("event_type",
+                 F.round(F.col("value") * 100).cast("long").alias("xc")))
+    xd = F.col("xc").cast("decimal(38,0)")
+    m = x.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xc").alias("s1"),
+        F.sum(xd * F.col("xc")).alias("s2"),
+        F.sum(xd * F.col("xc") * F.col("xc")).alias("s3"),
+        F.sum(xd * F.col("xc") * F.col("xc") * F.col("xc")).alias("s4"))
+    n = F.col("n").cast("double")
+    mu = F.col("s1").cast("double") / n
+    r2 = F.col("s2").cast("double") / n
+    r3 = F.col("s3").cast("double") / n
+    r4 = F.col("s4").cast("double") / n
+    m2 = r2 - mu * mu
+    m3 = r3 - 3 * mu * r2 + 2 * mu * mu * mu
+    m4 = r4 - 4 * mu * r3 + 6 * mu * mu * r2 - 3 * mu * mu * mu * mu
+    skew = m3 / F.nullif(F.sqrt(m2 * m2 * m2), F.lit(0.0))
+    kurt = m4 / F.nullif(m2 * m2, F.lit(0.0)) - 3
+    return (m.select(
+        "event_type", F.col("n").cast("long").alias("n"),
+        (F.round(skew, 6) + 0.0).alias("skewness"),
+        (F.round(kurt, 6) + 0.0).alias("excess_kurtosis"),
+        (F.round(n / 6.0 * (skew * skew + kurt * kurt / 4), 6) + 0.0)
+        .alias("jarque_bera"))
+        .orderBy("event_type"))

@@ -55,11 +55,12 @@ _REGISTRY: dict[str, Query] = {}
 #: green is stale evidence) — 4 entries;
 #: (b) fresh rows-only attestation for the 11 stale names from
 #: round-10 VERDICT item 2 (last driver-checked r1-r8) — 11 entries;
-#: (c) first-time evidence for operators NEW in round 11 — 25
+#: (c) first-time evidence for operators NEW in round 11 — 30
 #: entries; and
-#: (d) rolling regression backfill: the round-4 names the r10 window
-#: dropped — 10 entries (q_window_rank plus the round-5 cohort rotate
-#: next round).
+#: (d) rolling regression backfill: the head of the round-4 names the
+#: r10 window dropped — 5 entries (the rest plus the round-5 cohort
+#: rotate next round; first-time evidence outranks re-attesting
+#: locally-green r4 queries, the r10 precedent).
 #: The local sf0.01+sf0.1 oracle sweep still covers all registered
 #: queries per session.
 PRIORITY: tuple[str, ...] = (
@@ -71,7 +72,7 @@ PRIORITY: tuple[str, ...] = (
     "q_scan_fits", "q_agg_approx", "q_media_audio", "q_media_resize",
     "q_quantile_sketch", "q_media_phash", "q_dedup_embed_lsh",
     "q_pipeline_residuals",
-    # (c) first-time evidence: operators new in round 11 — 25
+    # (c) first-time evidence: operators new in round 11 — 30
     "q_anova_oneway", "q_cohens_d", "q_odds_ratio", "q_poisson_rate",
     "q_gwet_ac1", "q_goodman_gamma", "q_retention_cohorts",
     "q_stratified_ate", "q_abc_analysis", "q_pacf", "q_qq_points",
@@ -80,15 +81,15 @@ PRIORITY: tuple[str, ...] = (
     "q_tukey_contrasts", "q_friedman", "q_cochran_q",
     "q_wilcoxon_signed_rank", "q_clustering_coeff",
     "q_seasonality_strength", "q_capture_recapture", "q_scan_xml",
-    # (d1) the round-4 backfill the r10 window miscounted out — 10
-    # (q_window_rank spills to keep the 50-entry sum exact with the
-    # 25th group-(c) entry)
+    "q_mcnemar", "q_durbin_watson", "q_partial_corr", "q_icc",
+    "q_jarque_bera",
+    # (d1) head of the round-4 backfill — 5 (sum = 50 exactly)
     "q_join_full", "q_join_left", "q_join_nn2d", "q_scalar_null",
-    "q_scan_orc", "q_sql_api", "q_subquery_scalar",
-    "q_window_firstlast", "q_window_ntile", "q_window_range",
+    "q_scan_orc",
     # spill (past the 50-entry gate, kept for next-round rotation
-    # bookkeeping: the round-5 oracle cohort)
-    "q_window_rank",
+    # bookkeeping: the rest of r4, then the round-5 oracle cohort)
+    "q_sql_api", "q_subquery_scalar", "q_window_firstlast",
+    "q_window_ntile", "q_window_range", "q_window_rank",
     "q_agg_percentile", "q_agg_salted", "q_annulus_background",
     "q_bm25", "q_cluster_components", "q_data_card", "q_decontaminate",
     "q_dedup_bloom", "q_dedup_canonical", "q_dedup_exact",
