@@ -27,10 +27,20 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from ..operators.cache_slot import CacheSlot
 from ..sources.tables import load_table
 from .registry import query
 
 _TOK = r"\s+"
+
+#: The block-design tests share one bounded (day, stream) cell table
+#: across three consumers (stream count, complete-block filter, the
+#: ranked/binary pass) — own it once per query or Catalyst re-plans
+#: the events aggregate under each (round-11 plan audit: 3 fact
+#: scans). Separate slots so one query's cache never evicts the
+#: other's mid-construction.
+_FRIEDMAN_SLOT = CacheSlot()
+_COCHRAN_SLOT = CacheSlot()
 
 
 # ---------------------------------------------------------------------------
@@ -349,28 +359,29 @@ WITH r AS (
               ELSE ((doc_id * 2654435761 % 1000003) + 1) % 3 END AS r2
   FROM documents
 ), q AS (
+  -- ONE corpus pass: the 3-category cross carries the observed-
+  -- agreement count through the cat = 0 slice
   SELECT SUM(CASE WHEN r1 = q.cat THEN 1 ELSE 0 END)
            + SUM(CASE WHEN r2 = q.cat THEN 1 ELSE 0 END) AS n_q,
-         COUNT(*) AS n
+         COUNT(*) AS n,
+         SUM(CASE WHEN q.cat = 0 AND r1 = r2 THEN 1 ELSE 0 END) AS agree
   FROM r CROSS JOIN (SELECT UNNEST([0, 1, 2]) AS cat) q
   GROUP BY q.cat
-), s AS (
-  -- quantize each category's pi*(1-pi) to pico-units before the
-  -- 3-term sum (quantize-before-sum contract)
-  SELECT SUM(CAST(ROUND((n_q::DOUBLE / (2 * n))
-                        * (1 - n_q::DOUBLE / (2 * n)) * 1e12)
-             AS BIGINT))::DOUBLE / 1e12 / (3 - 1) AS pe_g,
-         ANY_VALUE(n) AS n
-  FROM q
-), po AS (
-  SELECT SUM(CASE WHEN r1 = r2 THEN 1 ELSE 0 END)::DOUBLE
-           / NULLIF(COUNT(*), 0) AS po
-  FROM r
 )
-SELECT CAST(s.n AS BIGINT) AS n_docs,
-       ROUND(po.po, 6) + 0.0 AS p_observed,
-       ROUND((po.po - s.pe_g) / NULLIF(1 - s.pe_g, 0), 6) + 0.0 AS ac1
-FROM s CROSS JOIN po
+SELECT CAST(ANY_VALUE(n) AS BIGINT) AS n_docs,
+       ROUND(SUM(agree)::DOUBLE / NULLIF(ANY_VALUE(n), 0), 6)
+         + 0.0 AS p_observed,
+       -- quantize each category's pi*(1-pi) to pico-units before the
+       -- 3-term sum (quantize-before-sum contract)
+       ROUND((SUM(agree)::DOUBLE / NULLIF(ANY_VALUE(n), 0)
+              - SUM(CAST(ROUND((n_q::DOUBLE / (2 * n))
+                               * (1 - n_q::DOUBLE / (2 * n)) * 1e12)
+                    AS BIGINT))::DOUBLE / 1e12 / (3 - 1))
+             / NULLIF(1 - SUM(CAST(ROUND((n_q::DOUBLE / (2 * n))
+                                         * (1 - n_q::DOUBLE / (2 * n))
+                                         * 1e12) AS BIGINT))::DOUBLE
+                          / 1e12 / (3 - 1), 0), 6) + 0.0 AS ac1
+FROM q
 """)
 def q_gwet_ac1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gwet's AC1 agreement between two (hash-derived) annotators over
@@ -396,25 +407,28 @@ def q_gwet_ac1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(((F.col("doc_id") * F.lit(2654435761).cast("bigint")
                      % 1000003) + 1) % 3).alias("r2"))
     cats = r.sparkSession.range(3).select(F.col("id").alias("cat"))
+    # ONE corpus pass: the category cross also carries the observed-
+    # agreement count through the cat = 0 slice (round-11 plan audit:
+    # the separate po branch cost a second documents scan)
     q = (r.crossJoin(F.broadcast(cats))
          .groupBy("cat")
          .agg((F.sum(F.when(F.col("r1") == F.col("cat"), 1).otherwise(0))
                + F.sum(F.when(F.col("r2") == F.col("cat"), 1)
                        .otherwise(0))).alias("n_q"),
-              F.count(F.lit(1)).alias("n")))
+              F.count(F.lit(1)).alias("n"),
+              F.sum(F.when((F.col("cat") == 0)
+                           & (F.col("r1") == F.col("r2")), 1)
+                    .otherwise(0)).alias("agree")))
     pi = F.col("n_q").cast("double") / (2 * F.col("n"))
-    s = q.agg((F.sum(F.round(pi * (1 - pi) * 1e12).cast("long"))
-               .cast("double") / 1e12 / (3 - 1)).alias("pe_g"),
-              F.first("n").alias("n"))
-    po = r.agg((F.sum(F.when(F.col("r1") == F.col("r2"), 1).otherwise(0))
-                .cast("double")
-                / F.nullif(F.count(F.lit(1)), F.lit(0))).alias("po"))
-    return (s.crossJoin(F.broadcast(po))
-            .select(F.col("n").cast("long").alias("n_docs"),
-                    (F.round(F.col("po"), 6) + 0.0).alias("p_observed"),
-                    (F.round((F.col("po") - F.col("pe_g"))
-                             / F.nullif(1 - F.col("pe_g"), F.lit(0.0)), 6)
-                     + 0.0).alias("ac1")))
+    pe = (F.sum(F.round(pi * (1 - pi) * 1e12).cast("long"))
+          .cast("double") / 1e12 / (3 - 1))
+    po = (F.sum("agree").cast("double")
+          / F.nullif(F.first("n"), F.lit(0)))
+    return q.agg(
+        F.first("n").cast("long").alias("n_docs"),
+        (F.round(po, 6) + 0.0).alias("p_observed"),
+        (F.round((po - pe) / F.nullif(1 - pe, F.lit(0.0)), 6) + 0.0)
+        .alias("ac1"))
 
 
 # ---------------------------------------------------------------------------
@@ -834,22 +848,21 @@ def q_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 @query("q_qq_points", oracle="""
-WITH q0 AS (
+WITH q AS (
+  -- ONE corpus pass: per-arm quantiles via FILTERed aggregates
   SELECT quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5,
-                               0.6, 0.7, 0.8, 0.9]) AS qs
+                               0.6, 0.7, 0.8, 0.9])
+           FILTER (WHERE user_id % 2 = 0) AS qs0,
+         quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5,
+                               0.6, 0.7, 0.8, 0.9])
+           FILTER (WHERE user_id % 2 = 1) AS qs1
   FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
-    AND user_id % 2 = 0
-), q1 AS (
-  SELECT quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5,
-                               0.6, 0.7, 0.8, 0.9]) AS qs
-  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
-    AND user_id % 2 = 1
 )
 SELECT (u.i + 1) * 10 AS pct,
-       ROUND(q0.qs[u.i + 1], 6) + 0.0 AS q_arm0,
-       ROUND(q1.qs[u.i + 1], 6) + 0.0 AS q_arm1,
-       ROUND(q1.qs[u.i + 1] - q0.qs[u.i + 1], 6) + 0.0 AS qq_gap
-FROM q0 CROSS JOIN q1 CROSS JOIN (SELECT UNNEST(range(9)) AS i) u
+       ROUND(q.qs0[u.i + 1], 6) + 0.0 AS q_arm0,
+       ROUND(q.qs1[u.i + 1], 6) + 0.0 AS q_arm1,
+       ROUND(q.qs1[u.i + 1] - q.qs0[u.i + 1], 6) + 0.0 AS qq_gap
+FROM q CROSS JOIN (SELECT UNNEST(range(9)) AS i) u
 ORDER BY pct
 """)
 def q_qq_points(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -861,7 +874,8 @@ def q_qq_points(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: exact interpolated percentiles (Spark `percentile` ==
     PERCENTILE_CONT/quantile_cont — the q_agg_percentile-proven
-    parity), rounded at 6.
+    parity), rounded at 6; one corpus pass with the arm masks inside
+    the aggregates (percentile skips nulls; DuckDB: FILTER).
 
     Scale: exact per-group percentiles need the sorted group (the
     q_agg_percentile caveat) — at 100 TB swap in approx_percentile's
@@ -869,12 +883,17 @@ def q_qq_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     ps = [i / 10 for i in range(1, 10)]
     ev = (load_table(spark, sf_dir, "events")
           .filter(F.col("value").isNotNull() & F.col("user_id").isNotNull()))
-    arms = [ev.filter(F.col("user_id") % 2 == a)
-            .agg(F.percentile("value", F.array(*[F.lit(p) for p in ps]))
-                 .alias(f"qs{a}"))
-            for a in (0, 1)]
+    # ONE corpus pass (round-11 plan audit: per-arm filters cost a
+    # second scan): percentile skips nulls, so the arm masks ride
+    # inside the aggregate
+    pcts = F.array(*[F.lit(p) for p in ps])
+    arms = ev.agg(
+        F.percentile(F.when(F.col("user_id") % 2 == 0, F.col("value")),
+                     pcts).alias("qs0"),
+        F.percentile(F.when(F.col("user_id") % 2 == 1, F.col("value")),
+                     pcts).alias("qs1"))
     pos = spark.range(9).select((F.col("id") + 1).alias("k"))
-    j = pos.crossJoin(F.broadcast(arms[0])).crossJoin(F.broadcast(arms[1]))
+    j = pos.crossJoin(F.broadcast(arms))
     q0 = F.element_at("qs0", F.col("k").cast("int"))
     q1 = F.element_at("qs1", F.col("k").cast("int"))
     return (j.select((F.col("k") * 10).alias("pct"),
@@ -1279,11 +1298,16 @@ WITH per_user AS (
          COUNT(*) FILTER (WHERE grp = 1) AS leaving1
   FROM durs GROUP BY d_days
 ), risk AS (
+  -- risk sets from TWO frames over ONE sorted pass of the bounded lag
+  -- table: the grand totals are the unbounded frame, so no separate
+  -- totals branch re-scans the fact table
   SELECT d_days, d1, d,
-         (SELECT COUNT(*) FROM durs)
+         SUM(leaving) OVER (ORDER BY d_days ROWS BETWEEN UNBOUNDED
+               PRECEDING AND UNBOUNDED FOLLOWING)
            - COALESCE(SUM(leaving) OVER (ORDER BY d_days
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n,
-         (SELECT COUNT(*) FROM durs WHERE grp = 1)
+         SUM(leaving1) OVER (ORDER BY d_days ROWS BETWEEN UNBOUNDED
+               PRECEDING AND UNBOUNDED FOLLOWING)
            - COALESCE(SUM(leaving1) OVER (ORDER BY d_days
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n1
   FROM tbl
@@ -1339,17 +1363,21 @@ def q_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("leaving"),
         F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
         .alias("leaving1"))
-    tot = durs.agg(F.count(F.lit(1)).alias("nt"),
-                   F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
-                   .alias("nt1"))
+    # risk sets from TWO frames over ONE sorted pass of the bounded
+    # lag table — the grand totals use the unbounded frame with the
+    # SAME orderBy (window-spec sharing: one exchange+sort), so no
+    # separate totals branch re-scans the fact table (round-11 plan
+    # audit: the durs-aggregate branch cost two extra events scans)
     w = (W.orderBy("d_days")
          .rowsBetween(W.unboundedPreceding, W.currentRow))
-    risk = (tbl.crossJoin(F.broadcast(tot))
-            .select("d_days", "d1", "d",
-                    (F.col("nt") - (F.sum("leaving").over(w)
-                                    - F.col("leaving"))).alias("n"),
-                    (F.col("nt1") - (F.sum("leaving1").over(w)
-                                     - F.col("leaving1"))).alias("n1")))
+    wall = (W.orderBy("d_days")
+            .rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+    risk = tbl.select(
+        "d_days", "d1", "d",
+        (F.sum("leaving").over(wall)
+         - (F.sum("leaving").over(w) - F.col("leaving"))).alias("n"),
+        (F.sum("leaving1").over(wall)
+         - (F.sum("leaving1").over(w) - F.col("leaving1"))).alias("n1"))
     n, n1 = F.col("n").cast("double"), F.col("n1").cast("double")
     d = F.col("d").cast("double")
     oe_n = F.round((F.col("d1") - d * n1 / n) * 1e9).cast("long")
@@ -1504,10 +1532,12 @@ def q_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
     block, one k-row aggregate."""
     ev = (load_table(spark, sf_dir, "events")
           .filter(F.col("value").isNotNull()))
-    daily = (ev.groupBy(F.to_date("ts").alias("day"), "event_type")
-             .agg(F.round(F.sum(F.round(F.col("value") * 100)
-                                .cast("long")).cast("double")
-                          / F.count(F.lit(1))).cast("long").alias("mu")))
+    daily = _FRIEDMAN_SLOT.own(
+        ev.groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(F.round(F.sum(F.round(F.col("value") * 100)
+                           .cast("long")).cast("double")
+                     / F.count(F.lit(1))).cast("long").alias("mu")))
+    daily.count()  # materialize once for the three consumers
     k_count = daily.agg(
         F.countDistinct("event_type").alias("k_all"))
     complete = (daily.groupBy("day")
@@ -1585,12 +1615,14 @@ def q_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 1-row cross."""
     ev = (load_table(spark, sf_dir, "events")
           .filter(F.col("value").isNotNull()))
-    daily = (ev.groupBy(F.to_date("ts").alias("day"), "event_type")
-             .agg(F.when(
-                 F.round(F.sum(F.round(F.col("value") * 100)
-                               .cast("long")).cast("double")
-                         / F.count(F.lit(1))).cast("long") > 10000, 1)
-                  .otherwise(0).alias("hit")))
+    daily = _COCHRAN_SLOT.own(
+        ev.groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(F.when(
+            F.round(F.sum(F.round(F.col("value") * 100)
+                          .cast("long")).cast("double")
+                    / F.count(F.lit(1))).cast("long") > 10000, 1)
+             .otherwise(0).alias("hit")))
+    daily.count()  # materialize once for the three consumers
     k_count = daily.agg(F.countDistinct("event_type").alias("k_all"))
     complete = (daily.groupBy("day")
                 .agg(F.count(F.lit(1)).alias("c"))

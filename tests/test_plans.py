@@ -1998,3 +1998,30 @@ def test_threshold_sweep_takeordered_argmin(spark):
     assert_plan(get("q_threshold_sweep").fn(spark, SF),
                 contains=("TakeOrderedAndProject",),
                 absent=("CartesianProduct", "SortMergeJoin"))
+
+
+def test_r11_single_pass_scan_counts(spark):
+    """Round-11 plan audit pins: the one-pass rewrites must keep their
+    scan counts — q_gwet_ac1 and q_qq_points read the fact table once
+    (arm/category masks ride inside the aggregates); q_logrank reads
+    events twice (per-user + horizon, both necessary) with ONE shared
+    window sort; q_friedman/q_cochran_q read once into the cached cell
+    table (InMemoryTableScan legs thereafter)."""
+    import re
+
+    from telescope_data_pipeline_spark.plans.audit import physical_plan
+
+    def audit(name):
+        df = get(name).fn(spark, SF)
+        df.collect()
+        plan = physical_plan(df).split("== Initial Plan ==")[0]
+        return (len(re.findall(r"FileScan parquet", plan)),
+                plan.count("Window"), plan)
+
+    for name, max_scans in (("q_gwet_ac1", 1), ("q_qq_points", 1),
+                            ("q_friedman", 1), ("q_cochran_q", 1)):
+        scans, _, plan = audit(name)
+        assert scans <= max_scans, f"{name}: {scans} scans\n{plan}"
+    scans, windows, plan = audit("q_logrank")
+    assert scans <= 2, f"q_logrank: {scans} scans\n{plan}"
+    assert windows == 1, f"q_logrank: {windows} Window nodes\n{plan}"
