@@ -551,7 +551,11 @@ WITH s AS (
                   WHEN 'zh' THEN '33333333333334000000000000000000'
                   ELSE '00000000000000000000000000000000' END
 )
-SELECT lang, COUNT(*) AS n_sampled, ROUND(AVG(n_chars), 2) AS avg_chars
+-- integer-first average: SUM*100/COUNT is a dyadic-exact double, so
+-- the scale-0 ROUND agrees across engines even on .xx5 midpoints
+-- (ROUND(AVG, 2) split at sf0.001: 309.275 -> 309.28 vs 309.27)
+SELECT lang, COUNT(*) AS n_sampled,
+       ROUND(SUM(n_chars) * 100.0 / COUNT(*)) / 100 + 0.0 AS avg_chars
 FROM s GROUP BY lang
 """)
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -575,7 +579,8 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
                           default_fraction=0.0)
     return (sampled.groupBy("lang")
             .agg(F.count(F.lit(1)).alias("n_sampled"),
-                 F.round(F.avg("n_chars"), 2).alias("avg_chars")))
+                 (F.round(F.sum("n_chars") * 100.0 / F.count(F.lit(1)))
+                  / 100 + 0.0).alias("avg_chars")))
 
 
 @query("q_agg_approx", oracle=None)  # sketch-based: rows-only check

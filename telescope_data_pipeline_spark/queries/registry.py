@@ -51,8 +51,9 @@ _REGISTRY: dict[str, Query] = {}
 #: (a) re-verification of queries whose Spark code OR oracle SQL
 #: changed this round (q_lorenz_points distributed-rank rewrite,
 #: q_spearman grouped-two-pass rewrite, q_session_entropy nano-term
-#: quantization, q_ips_offpolicy pre-mod hash — a changed query's old
-#: green is stale evidence) — 4 entries;
+#: quantization, q_ips_offpolicy pre-mod hash, q_array_ops -0.0 fix,
+#: q_sample_stratified midpoint fix — a changed query's old green is
+#: stale evidence) — 6 entries;
 #: (b) fresh rows-only attestation for the 11 stale names from
 #: round-10 VERDICT item 2 (last driver-checked r1-r8) — 11 entries;
 #: (c) first-time evidence for operators NEW in round 11 — 30
@@ -64,9 +65,11 @@ _REGISTRY: dict[str, Query] = {}
 #: The local sf0.01+sf0.1 oracle sweep still covers all registered
 #: queries per session.
 PRIORITY: tuple[str, ...] = (
-    # (a) changed in round 11 — 4
+    # (a) changed in round 11 — 6 (q_array_ops -0.0 normalization and
+    # q_sample_stratified midpoint-safe average found by the sf0.001
+    # sweep late in the round)
     "q_lorenz_points", "q_spearman", "q_session_entropy",
-    "q_ips_offpolicy",
+    "q_ips_offpolicy", "q_array_ops", "q_sample_stratified",
     # (b) stale rows-only cohort (VERDICT r10 item 2) — 11
     "q_ensemble_lightcurve", "q_dedup_simhash", "q_media_features",
     "q_scan_fits", "q_agg_approx", "q_media_audio", "q_media_resize",
@@ -83,11 +86,11 @@ PRIORITY: tuple[str, ...] = (
     "q_seasonality_strength", "q_capture_recapture", "q_scan_xml",
     "q_mcnemar", "q_durbin_watson", "q_partial_corr", "q_icc",
     "q_jarque_bera",
-    # (d1) head of the round-4 backfill — 5 (sum = 50 exactly)
-    "q_join_full", "q_join_left", "q_join_nn2d", "q_scalar_null",
-    "q_scan_orc",
+    # (d1) head of the round-4 backfill — 3 (sum = 50 exactly)
+    "q_join_full", "q_join_left", "q_join_nn2d",
     # spill (past the 50-entry gate, kept for next-round rotation
     # bookkeeping: the rest of r4, then the round-5 oracle cohort)
+    "q_scalar_null", "q_scan_orc",
     "q_sql_api", "q_subquery_scalar", "q_window_firstlast",
     "q_window_ntile", "q_window_range", "q_window_rank",
     "q_agg_percentile", "q_agg_salted", "q_annulus_background",

@@ -125,9 +125,12 @@ def q_scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q_array_ops", oracle="""
 SELECT vec_id,
        LEN(embedding)                                           AS dim,
-       ROUND(LIST_SUM(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE))), 4)  AS vec_sum,
-       ROUND(LIST_SUM(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 4) AS norm_sq,
-       ROUND(LIST_SUM(LIST_TRANSFORM(embedding[1:4], x -> CAST(x AS DOUBLE))), 4) AS head_sum
+       -- + 0.0 normalizes -0.0 (a head/vec sum can round to zero from
+       -- below: DuckDB ROUND preserves the sign bit, Spark's doesn't —
+       -- found at sf0.001 where vec 241's head slice does exactly that)
+       ROUND(LIST_SUM(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE))), 4) + 0.0  AS vec_sum,
+       ROUND(LIST_SUM(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 4) + 0.0 AS norm_sq,
+       ROUND(LIST_SUM(LIST_TRANSFORM(embedding[1:4], x -> CAST(x AS DOUBLE))), 4) + 0.0 AS head_sum
 FROM embeddings
 """)
 def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -146,9 +149,9 @@ def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "vec_id",
         F.size(arr).alias("dim"),
-        F.round(dsum, 4).alias("vec_sum"),
-        F.round(dnorm, 4).alias("norm_sq"),
-        F.round(dhead, 4).alias("head_sum"),
+        (F.round(dsum, 4) + 0.0).alias("vec_sum"),
+        (F.round(dnorm, 4) + 0.0).alias("norm_sq"),
+        (F.round(dhead, 4) + 0.0).alias("head_sum"),
     )
 
 
