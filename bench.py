@@ -237,14 +237,30 @@ def main() -> None:
             best2[name] = round(min(runs[:2]), 3)
         best3[name] = round(min(runs), 3)
 
+    # Extras run TWICE from round 12 on (round-11 VERDICT item 3: the
+    # min-of-1 extras series flagged q_compress_ratio 2.1x on pure host
+    # noise). `queries_extra` stays the first-run series so r5-r11
+    # extras records remain comparable; `queries_extra_min2` /
+    # `extras_min2` is the low-noise series for round-over-round diffs.
     extra: dict[str, float] = {}
+    extra_min2: dict[str, float] = {}
     for name in EXTRA:
-        t0 = time.perf_counter()
-        try:
-            registry[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            extra[name] = round(time.perf_counter() - t0, 3)
-        except Exception as e:
-            errors[f"{name}#extra"] = f"{type(e).__name__}: {e}"[:200]
+        runs = []
+        for i in range(2):
+            if i:
+                spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            try:
+                registry[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                runs.append(time.perf_counter() - t0)
+            except Exception as e:
+                errors[f"{name}#extra#run{i + 1}"] = \
+                    f"{type(e).__name__}: {e}"[:200]
+                break
+        if runs:
+            extra[name] = round(runs[0], 3)
+        if len(runs) >= 2:
+            extra_min2[name] = round(min(runs), 3)
 
     # Attribution diagnostics (r8 verdict item 4): q_dedup_embed_lsh's
     # wall time is dominated by LSH candidate volume at its demo config
@@ -296,6 +312,7 @@ def main() -> None:
         "queries_min3": best3,
         # informational only — excluded from every total (see EXTRA)
         "queries_extra": extra,
+        "queries_extra_min2": extra_min2,
         "diagnostics": diagnostics,
     }
     if errors:
@@ -320,6 +337,10 @@ def main() -> None:
         "total_min2": round(sum(best2.values()), 3),
         "primary_metric": "total_min3",
         "total_min3": round(sum(best3.values()), 3),
+        # low-noise extras comparator (round-11 VERDICT item 3) — at the
+        # very END so the driver's tail-keeping recorder never drops it
+        "n_extras_min2": len(extra_min2),
+        "extras_min2": round(sum(extra_min2.values()), 3),
     })
     print(json.dumps(payload))
 

@@ -353,10 +353,11 @@ def q_poisson_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q_gwet_ac1", oracle="""
 WITH r AS (
   SELECT doc_id,
-         (doc_id * 2654435761 % 1000003) % 3 AS r1,
-         CASE WHEN (doc_id * 40503 % 1000003) % 10 < 8
-              THEN (doc_id * 2654435761 % 1000003) % 3
-              ELSE ((doc_id * 2654435761 % 1000003) + 1) % 3 END AS r2
+         ((doc_id % 1000003) * 2654435761 % 1000003) % 3 AS r1,
+         CASE WHEN ((doc_id % 1000003) * 40503 % 1000003) % 10 < 8
+              THEN ((doc_id % 1000003) * 2654435761 % 1000003) % 3
+              ELSE (((doc_id % 1000003) * 2654435761 % 1000003) + 1) % 3
+              END AS r2
   FROM documents
 ), q AS (
   -- ONE corpus pass: the 3-category cross carries the observed-
@@ -397,15 +398,19 @@ def q_gwet_ac1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one map-only projection, a 3-row category aggregate, and
     1-row folds — nothing shuffles but partials."""
+    # pre-mod guard (the q_ips_offpolicy convention): reduce doc_id
+    # mod 1000003 BEFORE the Knuth multiply so the product stays under
+    # 2^63 for any BIGINT id — ANSI mode aborts on overflow; the result
+    # is unchanged because (a mod m)*k mod m == a*k mod m
+    h = F.col("doc_id") % 1000003
     r = load_table(spark, sf_dir, "documents").select(
         "doc_id",
-        ((F.col("doc_id") * F.lit(2654435761).cast("bigint") % 1000003)
-         % 3).alias("r1"),
-        F.when((F.col("doc_id") * 40503 % 1000003) % 10 < 8,
-               (F.col("doc_id") * F.lit(2654435761).cast("bigint")
-                % 1000003) % 3)
-        .otherwise(((F.col("doc_id") * F.lit(2654435761).cast("bigint")
-                     % 1000003) + 1) % 3).alias("r2"))
+        ((h * F.lit(2654435761).cast("bigint") % 1000003) % 3)
+        .alias("r1"),
+        F.when((h * 40503 % 1000003) % 10 < 8,
+               (h * F.lit(2654435761).cast("bigint") % 1000003) % 3)
+        .otherwise(((h * F.lit(2654435761).cast("bigint") % 1000003) + 1)
+                   % 3).alias("r2"))
     cats = r.sparkSession.range(3).select(F.col("id").alias("cat"))
     # ONE corpus pass: the category cross also carries the observed-
     # agreement count through the cat = 0 slice (round-11 plan audit:

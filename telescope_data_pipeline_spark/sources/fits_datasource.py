@@ -19,8 +19,14 @@ the offset is the highest name read so far, and a micro-batch reads
 every file sorting strictly after it. That makes offsets O(1) and
 replay (``readBetweenOffsets``) exact, at the cost of requiring new
 files to sort after old ones — the sequence-numbered upload layout
-(part-000001.fits, ...) every ingestion pipeline uses anyway; an
-out-of-order name is surfaced loudly rather than silently skipped.
+(part-000001.fits, ...) every ingestion pipeline uses anyway. A file
+that ARRIVES late with a name sorting at or before the offset can
+never be read by this contract; the reader detects such arrivals
+(against the listing it saw at the previous micro-batch) and warns
+loudly. The detection is best-effort within one driver lifetime —
+after a restart the first listing is the baseline, so a file that
+arrived out-of-order while the stream was down is skipped silently
+(round-11 ADVICE item 1: the old docstring overpromised here).
 
 Failure-path rule (SURVEY.md §7 #6): an undecodable file is dropped
 (production: quarantined), never fatal — matching scan_fits_dir.
@@ -59,26 +65,29 @@ def _decode_file(path: str, filename: str):
 
     from .fits import _decode_fits
 
+    # header-value coercion sits INSIDE the try: a decodable file with a
+    # malformed AIRMASS/EXPTIME/DATE-OBS value is dropped like any other
+    # undecodable file, never fatal (round-11 ADVICE item 2)
     try:
         with open(os.path.join(path, filename), "rb") as f:
             px, hdr = _decode_fits(f.read())
-    except (ValueError, struct.error, OSError):
+        date_obs = hdr.get("DATE-OBS")
+        return (
+            filename,
+            -1,  # epoch_id: assigned by the manifest join downstream
+            hdr.get("FILTER"),
+            int(px.shape[1]),
+            int(px.shape[0]),
+            [float(v) for v in np.asarray(px, dtype=np.float32).ravel()],
+            float(hdr["AIRMASS"]) if "AIRMASS" in hdr else None,
+            (pd.to_datetime(date_obs).to_pydatetime()
+             if date_obs is not None else None),
+            float(hdr["EXPTIME"]) if "EXPTIME" in hdr else None,
+            hdr.get("SITEID"),
+            hdr,
+        )
+    except (ValueError, TypeError, struct.error, OSError):
         return None
-    date_obs = hdr.get("DATE-OBS")
-    return (
-        filename,
-        -1,  # epoch_id: assigned by the manifest join downstream
-        hdr.get("FILTER"),
-        int(px.shape[1]),
-        int(px.shape[0]),
-        [float(v) for v in np.asarray(px, dtype=np.float32).ravel()],
-        float(hdr["AIRMASS"]) if "AIRMASS" in hdr else None,
-        (pd.to_datetime(date_obs).to_pydatetime()
-         if date_obs is not None else None),
-        float(hdr["EXPTIME"]) if "EXPTIME" in hdr else None,
-        hdr.get("SITEID"),
-        hdr,
-    )
 
 
 class _FitsBatchReader(DataSourceReader):
@@ -104,12 +113,30 @@ class _FitsStreamReader(SimpleDataSourceStreamReader):
         if not self.path:
             raise ValueError("fits source requires a path: "
                              ".format('fits').load('/dir')")
+        # listing seen at the previous read(); None until the first
+        # micro-batch of this driver lifetime (late-arrival detection
+        # baseline — see module docstring's offset contract)
+        self._seen: set[str] | None = None
 
     def initialOffset(self) -> dict:
         return {"upto": ""}
 
     def read(self, start: dict) -> tuple[list[tuple], dict]:
-        names = [n for n in _list_fits(self.path) if n > start["upto"]]
+        listing = _list_fits(self.path)
+        if self._seen is not None:
+            late = [n for n in listing
+                    if n <= start["upto"] and n not in self._seen]
+            if late:  # behind the offset — unreachable by the sorted-
+                # name contract; warn loudly instead of losing it mutely
+                import warnings
+                warnings.warn(
+                    "fits stream: %d file(s) arrived with names at or "
+                    "before the current offset %r and will NOT be read "
+                    "(sorted-name contract): %s"
+                    % (len(late), start["upto"], ", ".join(late[:5])),
+                    stacklevel=2)
+        self._seen = set(listing)
+        names = [n for n in listing if n > start["upto"]]
         end = {"upto": names[-1]} if names else dict(start)
         # a LIST, not a generator: the harness pickles the prefetched
         # rows for replay, and generators don't pickle

@@ -2714,3 +2714,58 @@ def test_vp8l_corrupt_and_lossy_raise_typed():
         lossy = b"RIFF" + len(body).to_bytes(4, "little") + body
         with _pytest.raises(CodecUnavailable):
             decode_image(lossy)
+
+
+def test_vp8l_distance_map_golden_120_entries():
+    """Pin the full 120-entry LZ77 2-D distance map (round-11 ADVICE
+    item 4: only dist_code 1 was exercised by the LZ77 round-trip).
+
+    Two independent anchors, neither derived from the closed form under
+    test:
+
+    1. The first 100 entries of libwebp's ``kCodeToPlane`` LUT
+       (dec/vp8l_dec.c, mirrored verbatim in RFC 9649) — pinned as
+       literal bytes and decoded with the spec rule
+       ``(x, y) = (8 - (code & 0xF), code >> 4)``.
+    2. The spec's defining structural properties, asserted over ALL
+       120 entries: the map is exactly a permutation of the 120
+       scan-order-preceding neighbors (dy 0: dx 1..8; dy 1..7:
+       dx -7..8), ordered by non-decreasing Euclidean distance.
+
+    Together with anchor 1 — whose 100 entries exercise 34 equal-
+    distance tie groups and fix the tie order (|dx| ascending,
+    positive dx before negative) — the tail's only remaining freedom
+    is tie order inside its last few distance groups, which the same
+    pinned rule determines.
+    """
+    from telescope_data_pipeline_spark.operators.multimodal import (
+        _VP8L_DIST_MAP,
+    )
+
+    k_code_to_plane_head = bytes([
+        0x18, 0x07, 0x17, 0x19, 0x28, 0x06, 0x27, 0x29, 0x16, 0x1a,
+        0x26, 0x2a, 0x38, 0x05, 0x37, 0x39, 0x15, 0x1b, 0x36, 0x3a,
+        0x25, 0x2b, 0x48, 0x04, 0x47, 0x49, 0x14, 0x1c, 0x35, 0x3b,
+        0x46, 0x4a, 0x24, 0x2c, 0x58, 0x45, 0x4b, 0x34, 0x3c, 0x03,
+        0x57, 0x59, 0x13, 0x1d, 0x56, 0x5a, 0x23, 0x2d, 0x44, 0x4c,
+        0x55, 0x5b, 0x33, 0x3d, 0x68, 0x02, 0x67, 0x69, 0x12, 0x1e,
+        0x66, 0x6a, 0x22, 0x2e, 0x54, 0x5c, 0x43, 0x4d, 0x65, 0x6b,
+        0x32, 0x3e, 0x78, 0x01, 0x77, 0x79, 0x53, 0x5d, 0x11, 0x1f,
+        0x64, 0x6c, 0x42, 0x4e, 0x76, 0x7a, 0x21, 0x2f, 0x75, 0x7b,
+        0x31, 0x3f, 0x63, 0x6d, 0x52, 0x5e, 0x00, 0x74, 0x7c, 0x41,
+    ])
+    decoded_head = [(8 - (c & 0xF), c >> 4) for c in k_code_to_plane_head]
+    assert list(_VP8L_DIST_MAP[:100]) == decoded_head
+
+    # structural spec properties over the full table
+    assert len(_VP8L_DIST_MAP) == 120
+    neighbors = {(dx, 0) for dx in range(1, 9)} | {
+        (dx, dy) for dy in range(1, 8) for dx in range(-7, 9)}
+    assert set(_VP8L_DIST_MAP) == neighbors  # permutation, no dup/miss
+    d2 = [dx * dx + dy * dy for dx, dy in _VP8L_DIST_MAP]
+    assert all(a <= b for a, b in zip(d2, d2[1:]))  # distance-ordered
+    # tie order inside every equal-distance group follows the rule the
+    # 100 pinned entries fix: |dx| ascending, then positive dx first
+    for (adx, ady), (bdx, bdy) in zip(_VP8L_DIST_MAP, _VP8L_DIST_MAP[1:]):
+        if adx * adx + ady * ady == bdx * bdx + bdy * bdy:
+            assert (abs(adx), adx < 0) < (abs(bdx), bdx < 0)

@@ -479,6 +479,20 @@ def test_triangle_count_equi_joins_only(spark):
                 absent=("CartesianProduct", "BroadcastNestedLoopJoin"))
 
 
+def test_clustering_coeff_equi_joins_only(spark):
+    """q_clustering_coeff reuses the degree-oriented (Schank-Wagner)
+    wedge join; pin the same shape as q_triangle_count — equi-joins on
+    node keys only, no nested-loop fallback, and the top-20 is a
+    TakeOrdered, not a global sort (round-11 VERDICT item 4)."""
+    from telescope_data_pipeline_spark.plans.audit import physical_plan
+
+    df = get("q_clustering_coeff").fn(spark, SF)
+    df.collect()
+    assert_plan(df, contains=("TakeOrderedAndProject",),
+                absent=("CartesianProduct", "BroadcastNestedLoopJoin"))
+    assert "Exchange SinglePartition" not in physical_plan(df)
+
+
 def test_fuzzy_join_equi_join_on_variants(spark):
     """FastSS candidates must come from the variant equi-join — an
     all-pairs levenshtein is exactly what the operator exists to
