@@ -180,6 +180,10 @@ EXTRA = [
     "q_partial_corr",
     "q_icc",
     "q_jarque_bera",
+    # round-12 batch — informational, frozen comparator set untouched
+    "q_gini_by_group",
+    "q_vocab_growth",
+    "q_parquet_profile",
 ]
 
 

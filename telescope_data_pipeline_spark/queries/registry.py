@@ -44,61 +44,56 @@ class Query:
 _REGISTRY: dict[str, Query] = {}
 
 #: The driver's correctness gate checks queries in ``queries()`` dict
-#: order and stops after the first 50 entries. Round-11 rotation (the
+#: order and stops after the first 50 entries. Round-12 rotation (the
 #: registry's established scheme; group sizes sum to the 50-entry gate
-#: EXACTLY — the r10 window's (a)+(b)+(c) miscount silently pushed the
-#: r4 backfill out, round-10 ADVICE item 3): the window serves
+#: EXACTLY): this round's window is the STALE-ATTESTATION DRAIN the
+#: round-11 VERDICT item 1 asks for — 51 oracle-green queries were
+#: last driver-checked at r5 or earlier; with only a small (c) batch
+#: this round, 34 of them get fresh driver evidence now and the
+#: remaining 17 rotate in r13. The window serves
 #: (a) re-verification of queries whose Spark code OR oracle SQL
-#: changed this round (q_lorenz_points distributed-rank rewrite,
-#: q_spearman grouped-two-pass rewrite, q_session_entropy nano-term
-#: quantization, q_ips_offpolicy pre-mod hash, q_array_ops -0.0 fix,
-#: q_sample_stratified midpoint fix — a changed query's old green is
-#: stale evidence) — 6 entries;
-#: (b) fresh rows-only attestation for the 11 stale names from
-#: round-10 VERDICT item 2 (last driver-checked r1-r8) — 11 entries;
-#: (c) first-time evidence for operators NEW in round 11 — 30
-#: entries; and
-#: (d) rolling regression backfill: the head of the round-4 names the
-#: r10 window dropped — 5 entries (the rest plus the round-5 cohort
-#: rotate next round; first-time evidence outranks re-attesting
-#: locally-green r4 queries, the r10 precedent).
-#: The local sf0.01+sf0.1 oracle sweep still covers all registered
-#: queries per session.
+#: changed this round (q_gwet_ac1 pre-mod hash guard, round-11 ADVICE
+#: item 3 — same output values, changed expression) — 1 entry;
+#: (b) fresh rows-only attestation for the 11 media/ANN queries so
+#: they never age past ~3 rounds (round-11 VERDICT item 5) — 11
+#: entries;
+#: (c) first-time evidence for operators NEW in round 12 — 4 entries;
+#: (d) stale-attestation drain in the spill's promised order (the
+#: 8 round-4 leftovers, then the round-5 cohort alphabetically) — 34
+#: entries.
+#: The local tri-scale (sf0.001/0.01/0.1) oracle sweep still covers
+#: all registered queries per session.
 PRIORITY: tuple[str, ...] = (
-    # (a) changed in round 11 — 6 (q_array_ops -0.0 normalization and
-    # q_sample_stratified midpoint-safe average found by the sf0.001
-    # sweep late in the round)
-    "q_lorenz_points", "q_spearman", "q_session_entropy",
-    "q_ips_offpolicy", "q_array_ops", "q_sample_stratified",
-    # (b) stale rows-only cohort (VERDICT r10 item 2) — 11
+    # (a) changed in round 12 — 1
+    "q_gwet_ac1",
+    # (b) rows-only media/ANN cadence rotation (VERDICT r11 item 5) — 11
     "q_ensemble_lightcurve", "q_dedup_simhash", "q_media_features",
     "q_scan_fits", "q_agg_approx", "q_media_audio", "q_media_resize",
     "q_quantile_sketch", "q_media_phash", "q_dedup_embed_lsh",
     "q_pipeline_residuals",
-    # (c) first-time evidence: operators new in round 11 — 30
-    "q_anova_oneway", "q_cohens_d", "q_odds_ratio", "q_poisson_rate",
-    "q_gwet_ac1", "q_goodman_gamma", "q_retention_cohorts",
-    "q_stratified_ate", "q_abc_analysis", "q_pacf", "q_qq_points",
-    "q_code_detect", "q_tokenizer_fertility", "q_threshold_sweep",
-    "q_fd_violations", "q_page_hinkley", "q_logrank",
-    "q_tukey_contrasts", "q_friedman", "q_cochran_q",
-    "q_wilcoxon_signed_rank", "q_clustering_coeff",
-    "q_seasonality_strength", "q_capture_recapture", "q_scan_xml",
-    "q_mcnemar", "q_durbin_watson", "q_partial_corr", "q_icc",
-    "q_jarque_bera",
-    # (d1) head of the round-4 backfill — 3 (sum = 50 exactly)
-    "q_join_full", "q_join_left", "q_join_nn2d",
-    # spill (past the 50-entry gate, kept for next-round rotation
-    # bookkeeping: the rest of r4, then the round-5 oracle cohort)
-    "q_scalar_null", "q_scan_orc",
-    "q_sql_api", "q_subquery_scalar", "q_window_firstlast",
-    "q_window_ntile", "q_window_range", "q_window_rank",
+    # (c) first-time evidence: operators new in round 12 — 4
+    # (q_media_webp_lossy joins when the VP8 decoder lands this round)
+    "q_gini_by_group", "q_parquet_profile",
+    "q_vocab_growth",
+    # (d) stale-attestation drain — 34 (sum = 50 exactly)
+    "q_scalar_null", "q_scan_orc", "q_sql_api", "q_subquery_scalar",
+    "q_window_firstlast", "q_window_ntile", "q_window_range",
+    "q_window_rank",
     "q_agg_percentile", "q_agg_salted", "q_annulus_background",
     "q_bm25", "q_cluster_components", "q_data_card", "q_decontaminate",
     "q_dedup_bloom", "q_dedup_canonical", "q_dedup_exact",
     "q_dedup_incremental", "q_dedup_minhash_md5", "q_dedup_simhash_md5",
     "q_dup_spans", "q_epoch_shuffle", "q_filter_eq", "q_fingerprint_md5",
     "q_flagship", "q_join_asof", "q_join_broadcast", "q_join_inner",
+    "q_join_knn", "q_join_nn", "q_join_salted", "q_kmeans_step",
+    "q_length_batches",
+    # spill (past the 50-entry gate; the r13 drain tail, alphabetical)
+    "q_line_dedup", "q_mix_corpus", "q_mix_token_budget",
+    "q_ngram_jaccard", "q_pack_sequences", "q_quality_gate",
+    "q_quality_percentile", "q_scd2", "q_sim_bucketed",
+    "q_split_assign", "q_split_stratified", "q_stream_session",
+    "q_stream_tumbling", "q_tfidf", "q_unigram_logprob", "q_union_all",
+    "q_weighted_sample",
 )
 
 

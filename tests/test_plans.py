@@ -2039,3 +2039,49 @@ def test_r11_single_pass_scan_counts(spark):
     scans, windows, plan = audit("q_logrank")
     assert scans <= 2, f"q_logrank: {scans} scans\n{plan}"
     assert windows == 1, f"q_logrank: {windows} Window nodes\n{plan}"
+
+
+# --- round-12: profiling.py physical shapes --------------------------------
+
+
+def test_gini_by_group_bucketed_rank_windows(spark):
+    """q_gini_by_group: languages are low-cardinality, so a
+    W.partitionBy(lang) rank window would push each language's whole
+    stream through one task (the q_spearman lesson). Assert every
+    window spec carries grouped_cum_counts' _pid bucket column, and no
+    Window sits above a SinglePartition exchange."""
+    import re
+
+    from telescope_data_pipeline_spark.plans.audit import physical_plan
+
+    df = get("q_gini_by_group").fn(spark, SF)
+    df.collect()
+    plan = physical_plan(df)
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "expected bucketed jump-point windows in the plan"
+    unbucketed = [s for s in specs if "_pid" not in s]
+    assert not unbucketed, f"lang-only window specs: {unbucketed}\n{plan}"
+    for m in re.finditer(r"Exchange SinglePartition", plan):
+        above = plan[max(0, m.start() - 400):m.start()]
+        tail = "\n".join(above.splitlines()[-3:])
+        assert "Window" not in tail, plan
+
+
+def test_vocab_growth_single_partition_only_on_spine(spark):
+    """q_vocab_growth: the only single-partition window is the 10-row
+    checkpoint spine (the q_lorenz_points-approved shape); the token
+    stream itself contributes only map-side-combined aggregates and
+    equi-joins."""
+    import re
+
+    from telescope_data_pipeline_spark.plans.audit import physical_plan
+
+    df = get("q_vocab_growth").fn(spark, SF)
+    df.collect()
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    # the fact-stream aggregates are real hash aggregates
+    assert "HashAggregate" in plan
+    # any window spec must order by the 10-row spine's bucket column
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs and all("bucket" in s for s in specs), specs
