@@ -184,6 +184,7 @@ EXTRA = [
     "q_gini_by_group",
     "q_vocab_growth",
     "q_parquet_profile",
+    "q_media_webp_lossy",
 ]
 
 

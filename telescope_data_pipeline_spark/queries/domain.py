@@ -33,6 +33,30 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                         *bins)
 
 
+@query("q_media_webp_lossy", oracle=None)  # binary fixture: rows-only check
+def q_media_webp_lossy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lossy-WebP (VP8 key frame) decode through the SAME Arrow-batched
+    image-feature pipeline as q_media_features: the fixture plants the
+    pinned VP8 vector (32x32, two token partitions, skip flags, loop
+    filter, all intra-mode families — multimodal._TINY_WEBP_LOSSY) in
+    the stub-image slot, so the pure-Python RFC 6386 decoder
+    (operators/vp8.py, STRICT mode: a bitstream desync raises, never
+    silent wrong pixels) runs distributed under mapInPandas. Rows-only:
+    pixel correctness is pinned by the round-trip goldens in
+    tests/test_vp8.py. Output keeps q_media_features' scalar-column
+    convention."""
+    from ..operators.multimodal import extract_image_features, make_fake_media
+
+    media = make_fake_media(spark, include_lossy_vp8=True)
+    feats = extract_image_features(
+        media.filter(F.col("mime") == "image/webp"))
+    bins = [F.round(F.element_at("feature", i + 1).cast("double"), 6)
+            .alias(f"f{i}") for i in range(8)]
+    return feats.select("media_id", "width", "height", "n_bytes",
+                        F.round("mean_intensity", 6).alias("mean_intensity"),
+                        *bins)
+
+
 @query("q_media_frames", oracle=None)  # binary fixture: rows-only check
 def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame sampling as a UDTF-shaped mapInPandas: one input video

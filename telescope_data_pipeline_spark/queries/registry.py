@@ -72,8 +72,7 @@ PRIORITY: tuple[str, ...] = (
     "q_quantile_sketch", "q_media_phash", "q_dedup_embed_lsh",
     "q_pipeline_residuals",
     # (c) first-time evidence: operators new in round 12 — 4
-    # (q_media_webp_lossy joins when the VP8 decoder lands this round)
-    "q_gini_by_group", "q_parquet_profile",
+    "q_media_webp_lossy", "q_gini_by_group", "q_parquet_profile",
     "q_vocab_growth",
     # (d) stale-attestation drain — 34 (sum = 50 exactly)
     "q_scalar_null", "q_scan_orc", "q_sql_api", "q_subquery_scalar",
