@@ -86,7 +86,10 @@ def q_gini_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
          .filter(F.col("n_chars").isNotNull())
          .select("lang", "n_chars"))
     j = grouped_cum_counts(d, "lang", "n_chars")
-    term = (F.col("n_chars") * F.col("_c")
+    # widen BEFORE multiplying: the v*c*(2*cb+c+1) product itself can
+    # pass 2^63 at large scale, so the first factor goes decimal and
+    # the whole term stays exact (DuckDB's BIGINT ops widen to HUGEINT)
+    term = (F.col("n_chars").cast("decimal(20,0)") * F.col("_c")
             * (2 * F.col("_cum_before") + F.col("_c") + 1))
     n = F.sum("_c")
     tot = F.sum(F.col("n_chars") * F.col("_c"))

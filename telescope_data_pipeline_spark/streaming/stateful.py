@@ -985,3 +985,100 @@ def page_hinkley_daily(stream: DataFrame) -> DataFrame:
                 outputMode="update",
                 timeoutConf=GroupStateTimeout.NoTimeout,
             ))
+
+
+# ---------------------------------------------------------------------------
+# Streaming operating-point monitor: threshold-sweep twin (round 12)
+# ---------------------------------------------------------------------------
+
+TS_STATE_SCHEMA = T.StructType([
+    T.StructField("pos", T.ArrayType(T.LongType())),
+    T.StructField("neg", T.ArrayType(T.LongType())),
+])
+
+TS_OUT_SCHEMA = T.StructType([
+    T.StructField("event_type", T.StringType()),
+    T.StructField("threshold_milli", T.LongType()),
+    T.StructField("cost", T.LongType()),
+    T.StructField("tp", T.LongType()),
+    T.StructField("fp", T.LongType()),
+    T.StructField("fn", T.LongType()),
+    T.StructField("tn", T.LongType()),
+    T.StructField("precision_", T.DoubleType()),
+    T.StructField("recall_", T.DoubleType()),
+])
+
+
+def _threshold_sweep_update(key, pdfs: Iterator[pd.DataFrame],
+                            state: GroupState):
+    import numpy as np
+
+    if state.exists:
+        pos, neg = (np.asarray(x, dtype=np.int64) for x in state.get)
+    else:
+        pos = np.zeros(20, dtype=np.int64)
+        neg = np.zeros(20, dtype=np.int64)
+    for pdf in pdfs:
+        ok = pdf["value"].notna()
+        if not ok.any():
+            continue
+        eid = pdf.loc[ok, "event_id"].to_numpy(dtype=np.int64)
+        # the batch q_threshold_sweep hash, pre-mod guarded:
+        # 1000003 * 2654435761 < 2^63, so int64 never overflows
+        s_milli = ((eid % 1000003) * 2654435761 % 1000003) % 1000
+        bucket = s_milli // 50
+        label = (pdf.loc[ok, "value"].to_numpy(dtype=np.float64)
+                 > 100).astype(np.int64)
+        np.add.at(pos, bucket, label)
+        np.add.at(neg, bucket, 1 - label)
+    state.update((pos.tolist(), neg.tolist()))
+    # exact-integer sweep over thresholds t = 50*k, k = 0..20:
+    # predict positive iff bucket >= k
+    cp = np.concatenate(([0], np.cumsum(pos)))  # cp[k] = pos below t
+    cn = np.concatenate(([0], np.cumsum(neg)))
+    tp = cp[-1] - cp
+    fp = cn[-1] - cn
+    fn = cp
+    tn = cn
+    cost = fp + 5 * fn
+    k = int(np.argmin(cost))  # first minimum = smallest threshold
+    prec = (None if tp[k] + fp[k] == 0
+            else _round_half_up(float(tp[k]) / float(tp[k] + fp[k]), 6)
+            + 0.0)
+    rec = (None if tp[k] + fn[k] == 0
+           else _round_half_up(float(tp[k]) / float(tp[k] + fn[k]), 6)
+           + 0.0)
+    yield pd.DataFrame([{
+        "event_type": key[0],
+        "threshold_milli": 50 * k,
+        "cost": int(cost[k]),
+        "tp": int(tp[k]), "fp": int(fp[k]),
+        "fn": int(fn[k]), "tn": int(tn[k]),
+        "precision_": prec, "recall_": rec,
+    }])
+
+
+def threshold_sweep_stream(stream: DataFrame) -> DataFrame:
+    """Streaming operating-point monitor: the live twin of the batch
+    q_threshold_sweep (queries/insights.py), generalized to EVERY
+    event stream (the batch demo picks one). Per key the state is the
+    20-bucket (pos, neg) score histogram — 40 integers, bounded — and
+    every micro-batch re-emits the cost-argmin threshold with its
+    confusion cells and precision/recall.
+
+    Parity is EXACT under ANY arrival order, not just event-time order
+    (stronger than the daily-fold twins): integer histogram counts are
+    order-free sufficient statistics, so once the same rows arrived the
+    readout equals the batch sweep bit-for-bit — the property
+    tests/test_streaming_stateful.py asserts on a shuffled-arrival
+    stream."""
+    s = (stream.filter(F.col("value").isNotNull())
+         .select("event_type", "event_id", "value"))
+    return (s.groupBy("event_type")
+            .applyInPandasWithState(
+                _threshold_sweep_update,
+                outputStructType=TS_OUT_SCHEMA,
+                stateStructType=TS_STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            ))

@@ -693,3 +693,50 @@ def test_page_hinkley_stream_matches_batch(spark):
             assert got_alarm is None or got_alarm != got_alarm, et
         else:
             assert got_alarm == w_alarm, et
+
+
+def test_threshold_sweep_stream_matches_batch_any_order(spark):
+    """Streaming operating-point monitor: the 20-bucket (pos, neg)
+    histogram state is an ORDER-FREE integer sufficient statistic, so
+    the drained readout must equal the batch q_threshold_sweep row
+    bit-for-bit even when rows arrive SHUFFLED across micro-batches
+    (stronger than the event-time-ordered daily twins)."""
+    import os
+    import shutil
+
+    from telescope_data_pipeline_spark.queries import get
+    from telescope_data_pipeline_spark.streaming.stateful import (
+        threshold_sweep_stream,
+    )
+
+    d = tempfile.mkdtemp(prefix="tsweep_")
+    ev = (load_table(spark, SF, "events").toPandas()
+          .sample(frac=1.0, random_state=5).reset_index(drop=True))
+    k = len(ev) // 3
+    for i, chunk in enumerate((ev[:k], ev[k:2 * k], ev[2 * k:])):
+        p = f"{d}/part-{i}.parquet"
+        chunk.to_parquet(p, engine="pyarrow", coerce_timestamps="us",
+                         index=False)
+        os.utime(p, (1700000000 + i, 1700000000 + i))
+    stream = read_event_stream(spark, d, max_files_per_trigger=1)
+
+    latest: dict = {}
+    q = (threshold_sweep_stream(stream)
+         .writeStream.outputMode("update")
+         .foreachBatch(lambda df, _bid: latest.update(
+             {r["event_type"]: r for _, r in df.toPandas().iterrows()}))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    assert len(q.recentProgress) >= 3
+
+    sf_like = tempfile.mkdtemp(prefix="tsweep_sf_")
+    shutil.copytree(d, f"{sf_like}/events.parquet")
+    want = get("q_threshold_sweep").fn(spark, sf_like).toPandas()
+    assert len(want) == 1
+    got = latest["click"]  # the batch demo's stream
+    for c in ("threshold_milli", "cost", "tp", "fp", "fn", "tn"):
+        assert int(got[c]) == int(want.iloc[0][c]), c
+    for c in ("precision_", "recall_"):
+        assert float(got[c]) == float(want.iloc[0][c]), c
+    # the monitor is per-key: every stream with non-null values reports
+    assert set(latest) >= {"click", "view"}
