@@ -185,6 +185,13 @@ EXTRA = [
     "q_vocab_growth",
     "q_parquet_profile",
     "q_media_webp_lossy",
+    # round-12 monitoring/governance batch (session 2)
+    "q_emd_drift",
+    "q_chao1",
+    "q_theil_index",
+    "q_ldiversity",
+    "q_mood_median",
+    "q_ccf_lags",
 ]
 
 

@@ -23,6 +23,7 @@ def load_all() -> None:
         llm,
         metrics,
         mining,
+        monitoring,
         profiling,
         relational,
         retrieval,

@@ -1,0 +1,530 @@
+"""Corpus monitoring & governance queries (round 12, session 2).
+
+The operational layer a 100 TB training-data pipeline runs BETWEEN
+ingest rounds: distribution drift beyond divergence scores (an actual
+transport distance, q_emd_drift), vocabulary completeness (how many
+types the crawl has NOT seen yet, q_chao1), privacy release audits
+past k-anonymity (attribute diversity inside each equivalence class,
+q_ldiversity), a median-based k-group location test robust to the
+heavy-tailed metrics t/ANOVA choke on (q_mood_median), decomposable
+inequality indices for data cards (q_theil_index), and lead/lag
+structure between two operational series (q_ccf_lags).
+
+Reference parity: the reference pipeline's per-campaign QA habit
+(telescope-data-pipeline core.py:18-50 audits each epoch manifest
+before stacking) generalized to corpus-scale monitors over the driver
+tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..operators.rank import grouped_cum_counts
+from ..sources.tables import load_table
+from .registry import query
+
+#: Reference/current split shared with q_psi_drift / q_ks_drift so the
+#: drift monitors are directly comparable on the same two windows.
+_SPLIT = "2024-01-16 00:00:00"
+
+
+# ---------------------------------------------------------------------------
+# Binned 1-D Wasserstein (earth mover's) drift distance
+# ---------------------------------------------------------------------------
+
+@query("q_emd_drift", oracle=f"""
+WITH v AS (
+  SELECT value,
+         CASE WHEN ts < TIMESTAMP '{_SPLIT}' THEN 0 ELSE 1 END AS side
+  FROM events WHERE value IS NOT NULL
+), edges AS (
+  SELECT MIN(value) AS mn, MAX(value) AS mx FROM v
+), binned AS (
+  SELECT LEAST(19, GREATEST(0, CAST(COALESCE(
+           FLOOR((value - mn) * 20.0 / NULLIF(mx - mn, 0)), 0) AS INT)))
+           AS bin,
+         side
+  FROM v CROSS JOIN edges
+), counts AS (
+  SELECT b.bin,
+         COALESCE(SUM(CASE WHEN side = 0 THEN 1 END), 0) AS n_ref,
+         COALESCE(SUM(CASE WHEN side = 1 THEN 1 END), 0) AS n_cur
+  FROM (SELECT CAST(UNNEST(generate_series(0, 19)) AS INT) AS bin) b
+  LEFT JOIN binned USING (bin)
+  GROUP BY b.bin
+), cum AS (
+  SELECT bin, n_ref, n_cur,
+         SUM(n_ref) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS c_ref,
+         SUM(n_cur) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS c_cur,
+         SUM(n_ref) OVER () AS t_ref,
+         SUM(n_cur) OVER () AS t_cur
+  FROM counts
+), terms AS (
+  SELECT bin, n_ref, n_cur,
+         CAST(ROUND(ABS(c_ref::DOUBLE / NULLIF(t_ref, 0)
+                        - c_cur::DOUBLE / NULLIF(t_cur, 0)) * 1e9)
+              AS BIGINT) AS d_nano
+  FROM cum
+)
+SELECT CAST(bin AS BIGINT) AS bin,
+       CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+       ROUND(d_nano * ((mx - mn) / 20.0) / 1e9, 6) + 0.0 AS emd_term,
+       ROUND(SUM(d_nano) OVER () * ((mx - mn) / 20.0) / 1e9, 6) + 0.0
+         AS emd_total
+FROM terms CROSS JOIN edges
+ORDER BY bin
+""")
+def q_emd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned 1-D Wasserstein-1 (earth mover's) distance between the
+    reference and current windows of ``events.value`` — the transport
+    metric that completes the drift family (KS: max CDF gap; KL/JS/
+    PSI: mass-ratio divergences, blind to HOW FAR mass moved; EMD:
+    |CDF gap| integrated over the value axis, in the metric's own
+    units). 20 equal-width bins over the combined range;
+    ``W1 = bin_width * sum_b |F_ref(b) - F_cur(b)|``.
+
+    Determinism: per-bin counts are integers; cumulative CDFs are
+    integer sums over the 20-row spine; each |CDF gap| quantizes to
+    nano units BEFORE the cross-bin total (quantize-before-sum), and
+    the single width factor multiplies once at the end.
+
+    Scale: one fact scan produces both windows via a side flag; bin
+    edges ride a 1-row broadcast; shuffle volume is 40 rows regardless
+    of input size; the only single-partition windows run over the
+    20-row bin spine (the q_lorenz_points-approved bounded shape)."""
+    ev = load_table(spark, sf_dir, "events")
+    split = F.lit(_SPLIT).cast("timestamp")
+    sided = (ev.filter(F.col("value").isNotNull())
+             .select("value",
+                     F.when(F.col("ts") < split, 0).otherwise(1)
+                     .alias("side")))
+    edges = sided.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    binv = F.least(F.lit(19), F.greatest(F.lit(0), F.coalesce(
+        F.floor((F.col("value") - F.col("mn")) * 20.0
+                / F.nullif(F.col("mx") - F.col("mn"), F.lit(0.0))),
+        F.lit(0)).cast("int")))
+    counts = (sided.crossJoin(F.broadcast(edges))
+              .groupBy(binv.alias("bin"))
+              .agg(F.coalesce(F.sum(F.when(F.col("side") == 0, 1)), F.lit(0))
+                   .alias("n_ref"),
+                   F.coalesce(F.sum(F.when(F.col("side") == 1, 1)), F.lit(0))
+                   .alias("n_cur")))
+    bins = spark.range(20).select(F.col("id").cast("int").alias("bin"))
+    full = (bins.join(counts, "bin", "left")
+            .select("bin",
+                    F.coalesce("n_ref", F.lit(0)).cast("long").alias("n_ref"),
+                    F.coalesce("n_cur", F.lit(0)).cast("long").alias("n_cur")))
+    wcum = (W.orderBy("bin")
+            .rowsBetween(W.unboundedPreceding, W.currentRow))  # 20 rows
+    wall = (W.orderBy("bin")
+            .rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+    d_nano = F.round(F.abs(
+        F.sum("n_ref").over(wcum).cast("double")
+        / F.nullif(F.sum("n_ref").over(wall), F.lit(0))
+        - F.sum("n_cur").over(wcum).cast("double")
+        / F.nullif(F.sum("n_cur").over(wall), F.lit(0))) * 1e9).cast("long")
+    width = (F.col("mx") - F.col("mn")) / 20.0
+    return (full.withColumn("d_nano", d_nano)
+            .crossJoin(F.broadcast(edges))
+            .select(F.col("bin").cast("long").alias("bin"),
+                    "n_ref", "n_cur",
+                    (F.round(F.col("d_nano") * width / 1e9, 6) + 0.0)
+                    .alias("emd_term"),
+                    (F.round(F.sum("d_nano").over(wall) * width / 1e9, 6)
+                     + 0.0).alias("emd_total"))
+            .orderBy("bin"))
+
+
+# ---------------------------------------------------------------------------
+# Chao1 vocabulary richness / Good-Turing coverage per language
+# ---------------------------------------------------------------------------
+
+@query("q_chao1", oracle=r"""
+WITH toks AS (
+  SELECT lang, t.tok
+  FROM documents,
+       UNNEST(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                          x -> x <> '')) AS t(tok)
+  WHERE text IS NOT NULL
+), tc AS (
+  SELECT lang, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2
+)
+SELECT lang,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+       CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+       ROUND(COUNT(*)
+             + SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)::DOUBLE
+               * (SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) - 1)
+               / (2.0 * (SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) + 1)), 6)
+         + 0.0 AS chao1,
+       ROUND(1.0 - SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)::DOUBLE
+                   / NULLIF(SUM(c), 0), 6) + 0.0 AS coverage
+FROM tc GROUP BY lang ORDER BY lang
+""")
+def q_chao1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chao1 species-richness estimate and Good-Turing sample coverage
+    of the vocabulary, per language: from the type-frequency spectrum
+    alone (f1 singletons, f2 doubletons),
+    ``chao1 = V + f1*(f1-1) / (2*(f2+1))`` (bias-corrected, always
+    finite) estimates how many types the corpus would reveal at
+    infinite sampling, and ``coverage = 1 - f1/N`` estimates the
+    probability mass already seen. The pair answers the acquisition
+    question q_vocab_growth plots empirically: is this language's
+    crawl near lexical saturation, or mostly unseen?
+
+    Determinism: everything up to the two final divisions is integer
+    (counts of counts); one rounded double expression per group.
+
+    Scale: tokenization is an in-row explode; type counts map-side
+    combine on (lang, token); the frequency spectrum collapses to 4
+    integers per language before any math. Languages whose script the
+    [a-z0-9] tokenizer cannot segment (zh) contribute no types and are
+    absent on BOTH engine sides."""
+    d = (load_table(spark, sf_dir, "documents", spread=True)
+         .filter(F.col("text").isNotNull())
+         .select("lang", "text"))
+    tc = (d.select("lang",
+                   F.explode(F.split(F.lower("text"), "[^a-z0-9]+"))
+                   .alias("tok"))
+          .filter(F.col("tok") != "")
+          .groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("c")))
+    f1 = F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+    f2 = F.sum(F.when(F.col("c") == 2, 1).otherwise(0))
+    v = F.count(F.lit(1))
+    n = F.sum("c")
+    return (tc.groupBy("lang")
+            .agg(n.cast("long").alias("n_tokens"),
+                 v.cast("long").alias("n_types"),
+                 f1.cast("long").alias("f1"),
+                 f2.cast("long").alias("f2"),
+                 (F.round(v + f1.cast("double") * (f1 - 1)
+                          / (2.0 * (f2 + 1)), 6) + 0.0).alias("chao1"),
+                 (F.round(1.0 - f1.cast("double")
+                          / F.nullif(n, F.lit(0)), 6) + 0.0)
+                 .alias("coverage"))
+            .orderBy("lang"))
+
+
+# ---------------------------------------------------------------------------
+# Theil T / mean log deviation inequality indices per language
+# ---------------------------------------------------------------------------
+
+@query("q_theil_index", oracle="""
+WITH d AS (
+  SELECT lang, n_chars AS x, COUNT(*) AS c
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+  GROUP BY 1, 2
+)
+SELECT lang,
+       CAST(SUM(c) AS BIGINT) AS n_docs,
+       CAST(SUM(x * c) AS BIGINT) AS total_chars,
+       ROUND(SUM(c * CAST(ROUND(x * LN(x), 6) AS DECIMAL(38,6)))::DOUBLE
+               / SUM(x * c)
+             - LN(SUM(x * c)::DOUBLE / SUM(c)), 6) + 0.0 AS theil_t,
+       ROUND(LN(SUM(x * c)::DOUBLE / SUM(c))
+             - SUM(c * CAST(ROUND(LN(x), 9) AS DECIMAL(38,9)))::DOUBLE
+               / SUM(c), 6) + 0.0 AS mld
+FROM d GROUP BY lang ORDER BY lang
+""")
+def q_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T and mean-log-deviation (Theil L) inequality of document
+    length per language — the DECOMPOSABLE inequality indices next to
+    q_gini_by_group's Gini: Theil splits exactly into within-group +
+    between-group terms, which is what a data card needs to say
+    whether corpus inequality lives inside languages or between them.
+    ``T = sum(x ln x)/sum(x) - ln(mean)``;
+    ``MLD = ln(mean) - mean(ln x)``.
+
+    Determinism: the only order-exposed sums — sum(x ln x), sum(ln x)
+    — are computed per DISTINCT value (one ln evaluation per distinct
+    x, not per row), rounded to fixed decimals, widened to DECIMAL and
+    multiplied by exact integer counts, so every cross-partition sum
+    is exact decimal arithmetic; one double tree per group at the end.
+
+    Scale: distinct (lang, n_chars) pairs bound the shuffle (the
+    jump-point compression q_gini_by_group uses), and the decimal sums
+    cannot overflow at any corpus size (38 digits)."""
+    d = (load_table(spark, sf_dir, "documents")
+         .filter(F.col("n_chars").isNotNull() & (F.col("n_chars") > 0))
+         .groupBy("lang", F.col("n_chars").alias("x"))
+         .agg(F.count(F.lit(1)).alias("c")))
+    xlnx = (F.col("c") * F.round(F.col("x") * F.log(F.col("x")), 6)
+            .cast("decimal(38,6)"))
+    lnx = (F.col("c") * F.round(F.log(F.col("x")), 9)
+           .cast("decimal(38,9)"))
+    n = F.sum("c")
+    tot = F.sum(F.col("x") * F.col("c"))
+    mean_ln = F.log(tot.cast("double") / n)
+    return (d.groupBy("lang")
+            .agg(n.cast("long").alias("n_docs"),
+                 tot.cast("long").alias("total_chars"),
+                 (F.round(F.sum(xlnx).cast("double") / tot - mean_ln, 6)
+                  + 0.0).alias("theil_t"),
+                 (F.round(mean_ln - F.sum(lnx).cast("double") / n, 6)
+                  + 0.0).alias("mld"))
+            .orderBy("lang"))
+
+
+# ---------------------------------------------------------------------------
+# l-diversity release audit (the k-anonymity complement)
+# ---------------------------------------------------------------------------
+
+@query("q_ldiversity", oracle="""
+WITH j AS (
+  SELECT c_nationkey, c_mktsegment, o_orderpriority AS sens
+  FROM customer JOIN orders ON o_custkey = c_custkey
+), cc AS (
+  SELECT c_nationkey, c_mktsegment, sens, COUNT(*) AS c
+  FROM j GROUP BY 1, 2, 3
+), e AS (
+  SELECT c_nationkey, c_mktsegment, c,
+         SUM(c) OVER (PARTITION BY c_nationkey, c_mktsegment) AS n,
+         COUNT(*) OVER (PARTITION BY c_nationkey, c_mktsegment) AS dl
+  FROM cc
+), t AS (
+  SELECT c_nationkey, c_mktsegment, n, dl,
+         SUM(CAST(ROUND(-(c::DOUBLE / n) * LN(c::DOUBLE / n) * 1e9)
+                  AS BIGINT)) AS h_nano
+  FROM e GROUP BY 1, 2, 3, 4
+)
+SELECT c_nationkey, c_mktsegment,
+       CAST(n AS BIGINT) AS n, CAST(dl AS BIGINT) AS distinct_l,
+       ROUND(EXP(h_nano / 1e9), 6) + 0.0 AS entropy_l,
+       dl >= 3 AS meets_l3
+FROM t ORDER BY c_nationkey, c_mktsegment
+""")
+def q_ldiversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the attribute-disclosure complement to
+    q_kanonymity's re-identification screen: a quasi-identifier class
+    can hold k >> 5 records and STILL leak if every record shares one
+    sensitive value. Per (nation, segment) equivalence class over the
+    released customer-order join: distinct-l (how many sensitive
+    values appear) and entropy-l (exp of the sensitive-value entropy —
+    the effective number of values an attacker must split their
+    posterior over), plus the distinct-l >= 3 release gate.
+
+    Determinism: class sizes and value counts are integers; each
+    entropy term quantizes to nano units before the per-class sum
+    (<= |sensitive| terms, same rule as q_session_entropy); one EXP
+    per class, rounded.
+
+    Scale: one equi-join plus two map-side-combined groupBys; the
+    per-class window partitions on the QI tuple (bounded rows per
+    class — never a global window); output is |QI classes| rows."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    j = (o.join(c, o["o_custkey"] == c["c_custkey"])
+         .select("c_nationkey", "c_mktsegment",
+                 F.col("o_orderpriority").alias("sens")))
+    cc = (j.groupBy("c_nationkey", "c_mktsegment", "sens")
+          .agg(F.count(F.lit(1)).alias("c")))
+    wq = W.partitionBy("c_nationkey", "c_mktsegment")
+    e = cc.select("c_nationkey", "c_mktsegment", "c",
+                  F.sum("c").over(wq).alias("n"),
+                  F.count(F.lit(1)).over(wq).alias("dl"))
+    p = F.col("c").cast("double") / F.col("n")
+    term = F.round(-p * F.log(p) * 1e9).cast("long")
+    t = (e.groupBy("c_nationkey", "c_mktsegment", "n", "dl")
+         .agg(F.sum(term).alias("h_nano")))
+    return (t.select("c_nationkey", "c_mktsegment",
+                     F.col("n").cast("long").alias("n"),
+                     F.col("dl").cast("long").alias("distinct_l"),
+                     (F.round(F.exp(F.col("h_nano") / 1e9), 6) + 0.0)
+                     .alias("entropy_l"),
+                     (F.col("dl") >= 3).alias("meets_l3"))
+            .orderBy("c_nationkey", "c_mktsegment"))
+
+
+# ---------------------------------------------------------------------------
+# Mood's median test across k groups
+# ---------------------------------------------------------------------------
+
+@query("q_mood_median", oracle="""
+WITH d AS (
+  SELECT o_orderpriority AS grp,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS xc
+  FROM orders
+), c AS (
+  SELECT xc, COUNT(*) AS c FROM d GROUP BY 1
+), jp AS (
+  SELECT xc,
+         SUM(c) OVER (ORDER BY xc ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS cum,
+         SUM(c) OVER () AS n
+  FROM c
+), m AS (
+  SELECT MIN(xc) AS med FROM jp WHERE 2 * cum >= n
+), g AS (
+  SELECT grp, COUNT(*) AS n_g,
+         SUM(CASE WHEN xc > med THEN 1 ELSE 0 END) AS a_g,
+         SUM(CASE WHEN xc <= med THEN 1 ELSE 0 END) AS b_g
+  FROM d CROSS JOIN m GROUP BY grp
+), tot AS (
+  SELECT grp, n_g, a_g, b_g,
+         SUM(a_g) OVER () AS ta, SUM(b_g) OVER () AS tb,
+         SUM(n_g) OVER () AS tn
+  FROM g
+), terms AS (
+  SELECT grp, n_g, a_g, b_g,
+         CAST(ROUND((POWER(a_g - n_g * ta::DOUBLE / tn, 2)
+                       / NULLIF(n_g * ta::DOUBLE / tn, 0)
+                     + POWER(b_g - n_g * tb::DOUBLE / tn, 2)
+                       / NULLIF(n_g * tb::DOUBLE / tn, 0)) * 1e9)
+              AS BIGINT) AS t_nano
+  FROM tot
+)
+SELECT grp, CAST(n_g AS BIGINT) AS n,
+       CAST(a_g AS BIGINT) AS n_above, CAST(b_g AS BIGINT) AS n_below,
+       ROUND(SUM(t_nano) OVER () / 1e9, 6) + 0.0 AS chi2
+FROM terms ORDER BY grp
+""")
+def q_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test across the five order priorities on order
+    value: the k-group location test that stays valid when the heavy
+    tail breaks ANOVA's variance assumptions and full ranking
+    (Kruskal-Wallis) is more shuffle than the question needs — only
+    each value's side of the GRAND median matters. chi2 over the
+    2 x k contingency of above/below counts.
+
+    The grand median is the LOWER median (smallest value whose
+    cumulative count reaches ceil(N/2)) — an exact integer rule both
+    engines express identically, with no interpolation to disagree on.
+
+    Determinism: centi-quantized prices; the median rule, all counts
+    and totals are integers; each group's chi2 term quantizes to nano
+    units before the cross-group sum.
+
+    Scale: the grand median comes from the lazy distributed jump-point
+    table (grouped_cum_counts — no single-task sort, the q_lorenz
+    lesson), reduced to ONE broadcast row; group counts are one
+    map-side-combined groupBy; the only unpartitioned windows run over
+    the <= k-group table."""
+    d = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("xc"))
+    jp = grouped_cum_counts(d.withColumn("_g", F.lit(0)), "_g", "xc")
+    ntot = jp.agg(F.sum("_c").alias("_n"))
+    med = (jp.crossJoin(F.broadcast(ntot))
+           .filter(2 * (F.col("_cum_before") + F.col("_c")) >= F.col("_n"))
+           .agg(F.min("xc").alias("med")))
+    g = (d.crossJoin(F.broadcast(med))
+         .groupBy("grp")
+         .agg(F.count(F.lit(1)).alias("n_g"),
+              F.sum(F.when(F.col("xc") > F.col("med"), 1).otherwise(0))
+              .alias("a_g"),
+              F.sum(F.when(F.col("xc") <= F.col("med"), 1).otherwise(0))
+              .alias("b_g")))
+    wall = (W.orderBy("grp")
+            .rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+    ta = F.sum("a_g").over(wall).cast("double")
+    tb = F.sum("b_g").over(wall).cast("double")
+    tn = F.sum("n_g").over(wall).cast("double")
+    ea = F.col("n_g") * ta / tn
+    eb = F.col("n_g") * tb / tn
+    t_nano = F.round((F.pow(F.col("a_g") - ea, 2) / F.nullif(ea, F.lit(0.0))
+                      + F.pow(F.col("b_g") - eb, 2)
+                      / F.nullif(eb, F.lit(0.0))) * 1e9).cast("long")
+    return (g.withColumn("t_nano", t_nano)
+            .select("grp",
+                    F.col("n_g").cast("long").alias("n"),
+                    F.col("a_g").cast("long").alias("n_above"),
+                    F.col("b_g").cast("long").alias("n_below"),
+                    (F.round(F.sum("t_nano").over(wall) / 1e9, 6) + 0.0)
+                    .alias("chi2"))
+            .orderBy("grp"))
+
+
+# ---------------------------------------------------------------------------
+# Lagged cross-correlation between two daily operational series
+# ---------------------------------------------------------------------------
+
+@query("q_ccf_lags", oracle="""
+WITH a AS (
+  SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+           AS day,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS av
+  FROM orders GROUP BY 1
+), b AS (
+  SELECT date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+           AS day,
+         SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS bv
+  FROM lineitem GROUP BY 1
+), lags AS (
+  SELECT CAST(UNNEST(generate_series(0, 14)) AS BIGINT) AS lag
+), p AS (
+  SELECT l.lag, a.av, b.bv
+  FROM lags l CROSS JOIN a JOIN b ON b.day = a.day + l.lag
+), s AS (
+  SELECT lag, COUNT(*) AS n, SUM(av) AS sa, SUM(bv) AS sb,
+         SUM(CAST(av AS HUGEINT) * bv) AS sab,
+         SUM(CAST(av AS HUGEINT) * av) AS saa,
+         SUM(CAST(bv AS HUGEINT) * bv) AS sbb
+  FROM p GROUP BY lag
+)
+SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_days,
+       ROUND((n * sab::DOUBLE - sa::DOUBLE * sb::DOUBLE)
+             / NULLIF(SQRT((n * saa::DOUBLE - sa::DOUBLE * sa::DOUBLE)
+                           * (n * sbb::DOUBLE - sb::DOUBLE * sb::DOUBLE)),
+                      0), 6) + 0.0 AS ccf
+FROM s ORDER BY lag
+""")
+def q_ccf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation function between daily ORDERED revenue and
+    daily SHIPPED revenue at lags 0..14 days — the lead/lag structure
+    monitor (where does the CCF peak? that's the operational shipping
+    delay) that completes the serial-dependence family next to q_acf
+    (one series, own lags) and q_pacf. Pearson r per lag over the
+    matched day pairs (order day d vs ship day d + lag).
+
+    Determinism: both daily series are exact centi-unit integer sums
+    (prices carry 2 decimals); per-lag sufficient statistics (n, sums,
+    cross/self products) are exact integers widened to DECIMAL(38,0)/
+    HUGEINT before multiplying; one shared double tree per lag.
+
+    Scale: each fact stream collapses to its bounded daily table
+    (calendar-bounded — ~2.4k rows for 7 years, regardless of fact
+    size) via map-side-combined groupBys; the 15-row lag spine
+    broadcasts onto the daily table; the lag join is an equi-join on
+    day index."""
+    epoch = F.lit("1970-01-01")
+    a = (load_table(spark, sf_dir, "orders")
+         .groupBy(F.datediff(F.to_date("o_orderdate"), F.to_date(epoch))
+                  .cast("long").alias("day"))
+         .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+              .alias("av")))
+    b = (load_table(spark, sf_dir, "lineitem")
+         .groupBy(F.datediff(F.to_date("l_shipdate"), F.to_date(epoch))
+                  .cast("long").alias("day"))
+         .agg(F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+              .alias("bv")))
+    lags = spark.range(15).select(F.col("id").alias("lag"))
+    p = (a.crossJoin(F.broadcast(lags))
+         .join(b.withColumnRenamed("day", "bday"),
+               F.col("bday") == F.col("day") + F.col("lag"))
+         .select("lag", "av", "bv"))
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    s = p.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("av").alias("sa"), F.sum("bv").alias("sb"),
+        F.sum(dec("av") * F.col("bv")).alias("sab"),
+        F.sum(dec("av") * F.col("av")).alias("saa"),
+        F.sum(dec("bv") * F.col("bv")).alias("sbb"))
+    n = F.col("n").cast("double")
+    sa, sb = F.col("sa").cast("double"), F.col("sb").cast("double")
+    sab = F.col("sab").cast("double")
+    saa, sbb = F.col("saa").cast("double"), F.col("sbb").cast("double")
+    return (s.select(F.col("lag").cast("long").alias("lag"),
+                     F.col("n").cast("long").alias("n_days"),
+                     (F.round((n * sab - sa * sb)
+                              / F.nullif(F.sqrt((n * saa - sa * sa)
+                                                * (n * sbb - sb * sb)),
+                                         F.lit(0.0)), 6) + 0.0)
+                     .alias("ccf"))
+            .orderBy("lag"))

@@ -2085,3 +2085,103 @@ def test_vocab_growth_single_partition_only_on_spine(spark):
     # any window spec must order by the 10-row spine's bucket column
     specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
     assert specs and all("bucket" in s for s in specs), specs
+
+
+def test_emd_drift_bounded_spine_windows(spark):
+    """q_emd_drift: the fact stream contributes only the 40-row binned
+    counts (map-side-combined hash aggregate); every window spec runs
+    over the 20-row bin spine (ordered by `bin`) — never the value
+    stream."""
+    import re
+
+    from telescope_data_pipeline_spark.plans.audit import physical_plan
+
+    df = get("q_emd_drift").fn(spark, SF)
+    df.collect()
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs and all("bin" in s for s in specs), specs
+
+
+def test_chao1_joinless_two_groupbys(spark):
+    """q_chao1: the frequency spectrum is two map-side-combined
+    groupBys over the token explode — no window, no join of any kind
+    touches the fact stream."""
+    from telescope_data_pipeline_spark.plans.audit import physical_plan
+
+    df = get("q_chao1").fn(spark, SF)
+    df.collect()
+    plan = physical_plan(df)
+    for banned in ("CartesianProduct", "BroadcastNestedLoopJoin",
+                   "SortMergeJoin", "Window"):
+        assert banned not in plan, f"{banned} in plan:\n{plan}"
+    assert "HashAggregate" in plan
+
+
+def test_theil_index_joinless_distinct_value_rollup(spark):
+    """q_theil_index: one distinct-(lang, n_chars) groupBy then one
+    per-language rollup — joinless, windowless, and the expensive ln()
+    evaluates once per DISTINCT value, not per row."""
+    from telescope_data_pipeline_spark.plans.audit import physical_plan
+
+    df = get("q_theil_index").fn(spark, SF)
+    df.collect()
+    plan = physical_plan(df)
+    for banned in ("CartesianProduct", "BroadcastNestedLoopJoin",
+                   "SortMergeJoin", "Window"):
+        assert banned not in plan, f"{banned} in plan:\n{plan}"
+    assert "HashAggregate" in plan
+
+
+def test_ldiversity_qi_partitioned_windows(spark):
+    """q_ldiversity: the per-class statistics windows partition on the
+    quasi-identifier tuple (bounded rows per class) — never a global
+    window — and the customer-order join is an equi-join."""
+    import re
+
+    from telescope_data_pipeline_spark.plans.audit import physical_plan
+
+    df = get("q_ldiversity").fn(spark, SF)
+    df.collect()
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs and all("c_nationkey" in s for s in specs), specs
+
+
+def test_mood_median_distributed_jump_median(spark):
+    """q_mood_median: the grand median comes from the lazy bucketed
+    jump-point table — every window over the VALUE stream carries the
+    _pid bucket column; the only unpartitioned windows order by the
+    <= 5-row group table's `grp`."""
+    import re
+
+    from telescope_data_pipeline_spark.plans.audit import physical_plan
+
+    df = get("q_mood_median").fn(spark, SF)
+    df.collect()
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "expected jump-point + group-table windows"
+    bad = [s for s in specs if "_pid" not in s and "grp" not in s]
+    assert not bad, f"unbucketed value-stream window specs: {bad}\n{plan}"
+
+
+def test_ccf_lags_broadcast_spine_equi_join(spark):
+    """q_ccf_lags: both fact streams collapse to bounded daily tables
+    BEFORE any join; the 15-row lag spine broadcasts (the only
+    nested-loop join), and the lag match itself is an equi-join on the
+    day index."""
+    from telescope_data_pipeline_spark.plans.audit import physical_plan
+
+    df = get("q_ccf_lags").fn(spark, SF)
+    df.collect()
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2  # 15-row spine only
+    assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan), plan
+    assert "Window" not in plan, plan

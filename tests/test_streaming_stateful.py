@@ -740,3 +740,43 @@ def test_threshold_sweep_stream_matches_batch_any_order(spark):
         assert float(got[c]) == float(want.iloc[0][c]), c
     # the monitor is per-key: every stream with non-null values reports
     assert set(latest) >= {"click", "view"}
+
+
+def test_hll_distinct_stream_matches_batch_any_order(spark):
+    """Streaming HLL distinct-count: registers are MAXes — an
+    order-free sufficient statistic — so the drained readout must
+    equal the batch q_hll_union per-type hll_est bit-for-bit even when
+    rows arrive SHUFFLED across micro-batches."""
+    import os
+
+    from telescope_data_pipeline_spark.queries import get
+    from telescope_data_pipeline_spark.streaming.stateful import (
+        hll_distinct_stream,
+    )
+
+    d = tempfile.mkdtemp(prefix="hllstream_")
+    ev = (load_table(spark, SF, "events").toPandas()
+          .sample(frac=1.0, random_state=7).reset_index(drop=True))
+    k = len(ev) // 3
+    for i, chunk in enumerate((ev[:k], ev[k:2 * k], ev[2 * k:])):
+        p = f"{d}/part-{i}.parquet"
+        chunk.to_parquet(p, engine="pyarrow", coerce_timestamps="us",
+                         index=False)
+        os.utime(p, (1700000000 + i, 1700000000 + i))
+    stream = read_event_stream(spark, d, max_files_per_trigger=1)
+
+    latest: dict = {}
+    q = (hll_distinct_stream(stream)
+         .writeStream.outputMode("update")
+         .foreachBatch(lambda df, _bid: latest.update(
+             {r["event_type"]: r for _, r in df.toPandas().iterrows()}))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    assert len(q.recentProgress) >= 3
+
+    want = get("q_hll_union").fn(spark, SF).toPandas()
+    per_type = want[want["scope"] != "ALL"].set_index("scope")
+    assert set(latest) == set(per_type.index)
+    for scope, row in per_type.iterrows():
+        assert float(latest[scope]["hll_est"]) == float(row["hll_est"]), \
+            scope
