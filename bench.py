@@ -192,6 +192,8 @@ EXTRA = [
     "q_ldiversity",
     "q_mood_median",
     "q_ccf_lags",
+    "q_hilbert_key",
+    "q_matryoshka_recall",
 ]
 
 

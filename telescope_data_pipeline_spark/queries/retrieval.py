@@ -2585,3 +2585,195 @@ def q_pca_power_step(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.round(F.col("w2n").cast("double") / F.col("nrm2"), 6)
                      + F.lit(0.0)).alias("loading"),
                     (F.round(F.col("l"), 6) + F.lit(0.0)).alias("rayleigh")))
+
+
+# ---------------------------------------------------------------------------
+# Hilbert-curve layout key (round 12) — the Z-order sibling
+# ---------------------------------------------------------------------------
+
+def _hilbert_cases(s: int) -> tuple[str, str, str]:
+    """One unrolled Hilbert xy2d step at sub-square size ``s`` (n=256):
+    the (x, y, d) rewrite expressions. Plain ANSI CASE + bitwise AND —
+    the same text runs on Spark SQL and DuckDB. Within a step the
+    names x/y/d bind to the INPUT relation's columns (input columns
+    take precedence over same-select aliases in both engines)."""
+    rx = f"(x & {s}) > 0"
+    ry = f"(y & {s}) > 0"
+    # (3*rx) XOR ry spelled as a CASE so no dialect-specific xor is
+    # needed: (0,0)->0 (0,1)->1 (1,0)->3 (1,1)->2
+    quad = (f"CASE WHEN {rx} AND {ry} THEN 2 WHEN {rx} THEN 3 "
+            f"WHEN {ry} THEN 1 ELSE 0 END")
+    new_x = f"CASE WHEN {ry} THEN x WHEN {rx} THEN 255 - y ELSE y END"
+    new_y = f"CASE WHEN {ry} THEN y WHEN {rx} THEN 255 - x ELSE x END"
+    new_d = f"d + {s * s} * ({quad})"
+    return new_x, new_y, new_d
+
+
+def _hilbert_oracle() -> str:
+    steps, prev = [], "q0"
+    for i, s in enumerate((128, 64, 32, 16, 8, 4, 2, 1)):
+        nx, ny, nd = _hilbert_cases(s)
+        cur = f"q{i + 1}"
+        steps.append(f"{cur} AS (SELECT p_partkey, {nx} AS x, {ny} AS y,"
+                     f" x0, y0, {nd} AS d FROM {prev})")
+        prev = cur
+    return (
+        "WITH q0 AS (SELECT p_partkey,"
+        " CAST(p_partkey % 256 AS BIGINT) AS x,"
+        " CAST(p_size AS BIGINT) AS y,"
+        " CAST(p_partkey % 256 AS BIGINT) AS x0,"
+        " CAST(p_size AS BIGINT) AS y0,"
+        " CAST(0 AS BIGINT) AS d FROM part),\n"
+        + ",\n".join(steps)
+        + f"\nSELECT p_partkey, x0 AS x, y0 AS y,"
+          f" d AS hval, d // 4096 AS hbucket FROM {prev}"
+    )
+
+
+@query("q_hilbert_key", oracle=_hilbert_oracle())
+def q_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve layout key over the SAME two scan dimensions as
+    q_zorder_key (partkey-mod and size, 8 bits each) — the space-
+    filling curve with strictly better locality than Morton order
+    (every curve step is distance 1, so a contiguous hval range maps
+    to at most a few compact rectangles, where a Z-order range
+    straddles the large 'seams' at power-of-two boundaries). At 100 TB
+    this is the difference between a 2-D range predicate touching K
+    parquet files and touching 2-3K: writers cluster by
+    ``repartitionByRange("hbucket") + sortWithinPartitions("hval")``,
+    and min/max footers stay tight on BOTH dimensions.
+
+    The classic xy2d fold (8 quadrant steps of rotate/flip + offset,
+    public-domain algorithm) unrolls into 8 chained projections of
+    pure integer CASE/AND arithmetic — exact on both engines, one
+    shared expression text (see _hilbert_cases). Map-only: zero
+    Exchange, zero UDF (pinned by test_hilbert_map_only); a golden
+    test pins the SQL fold against an independent Python reference."""
+    p = load_table(spark, sf_dir, "part")
+    # x0/y0 carry the ORIGINAL coordinates through the fold (the step
+    # rewrites x and y in place)
+    df = p.selectExpr("p_partkey",
+                      "CAST(p_partkey % 256 AS BIGINT) AS x",
+                      "CAST(p_size AS BIGINT) AS y",
+                      "CAST(p_partkey % 256 AS BIGINT) AS x0",
+                      "CAST(p_size AS BIGINT) AS y0",
+                      "CAST(0 AS BIGINT) AS d")
+    for s in (128, 64, 32, 16, 8, 4, 2, 1):
+        nx, ny, nd = _hilbert_cases(s)
+        df = df.selectExpr("p_partkey", f"{nx} AS x", f"{ny} AS y",
+                           "x0", "y0", f"{nd} AS d")
+    return df.selectExpr("p_partkey", "x0 AS x", "y0 AS y",
+                         "d AS hval", "d DIV 4096 AS hbucket")
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncation recall (round 12) — embedding-dim budget eval
+# ---------------------------------------------------------------------------
+
+@query("q_matryoshka_recall", oracle="""
+WITH dims AS (SELECT CAST(UNNEST([16, 32, 64]) AS BIGINT) AS dim),
+q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 16),
+pairs AS (
+  SELECT d.dim, q.vec_id AS query_id, c.vec_id AS cand_id,
+         list_transform(q.embedding[1:d.dim], x -> CAST(x AS DOUBLE)) AS qv,
+         list_transform(c.embedding[1:d.dim], x -> CAST(x AS DOUBLE)) AS cv
+  FROM dims d CROSS JOIN q CROSS JOIN embeddings c
+  WHERE q.vec_id <> c.vec_id
+), scored AS (
+  SELECT dim, query_id, cand_id,
+         ROUND(list_sum(list_transform(range(1, CAST(dim AS INT) + 1),
+                                       i -> qv[i] * cv[i]))
+           / NULLIF(SQRT(
+               list_sum(list_transform(range(1, CAST(dim AS INT) + 1),
+                                       i -> qv[i] * qv[i]))
+             * list_sum(list_transform(range(1, CAST(dim AS INT) + 1),
+                                       i -> cv[i] * cv[i]))), 0), 9) AS cos
+  FROM pairs
+), ranked AS (
+  SELECT dim, query_id, cand_id,
+         ROW_NUMBER() OVER (PARTITION BY dim, query_id
+                            ORDER BY cos DESC, cand_id) AS rn
+  FROM scored
+), top AS (
+  SELECT dim, query_id, cand_id FROM ranked WHERE rn <= 5
+), truth AS (
+  SELECT query_id, cand_id FROM top WHERE dim = 64
+), den AS (
+  SELECT COUNT(*) AS n_truth FROM truth
+), hits AS (
+  SELECT t.dim, COUNT(*) AS n_hit
+  FROM top t JOIN truth u
+    ON t.query_id = u.query_id AND t.cand_id = u.cand_id
+  GROUP BY t.dim
+)
+SELECT CAST(dim AS BIGINT) AS dim,
+       CAST(n_truth AS BIGINT) AS n_truth,
+       ROUND(n_hit::DOUBLE / NULLIF(n_truth, 0), 6) + 0.0 AS mean_recall
+FROM hits CROSS JOIN den ORDER BY dim
+""")
+def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka / truncated-embedding retrieval eval: recall@5 of
+    cosine search using only the FIRST 16 or 32 of the 64 embedding
+    dimensions, against the full-dim top-5 as ground truth (the dim=64
+    row is the 1.0 self-check). This is the dimension-budget question
+    every embedding pipeline answers before shipping a cheaper index:
+    how much retrieval quality does each prefix length keep? (For
+    matryoshka-trained encoders the prefix is the sanctioned
+    truncation; for others this measures the loss directly.)
+
+    Determinism: cosines round at 9 digits with a cand_id tiebreak
+    BEFORE ranking (the argmin/top-k rule), so a last-ulp fold-order
+    difference cannot flip a top-5 membership; recall counts are
+    integers; one rounded division per dim.
+
+    Scale: the eval set (16 queries x 3 dims) broadcasts onto ONE scan
+    of the corpus — the q_sim_topk bounded-anchor pattern; at 100 TB
+    the corpus side streams through executors once, and truth/test
+    top-k tables are |queries| x 5 rows."""
+    e = (load_table(spark, sf_dir, "embeddings", spread=True)
+         .select("vec_id", "embedding"))
+    qd = (e.filter(F.col("vec_id") < 16)
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("embedding").alias("qfull"))
+          .select("query_id", "qfull",
+                  F.explode(F.array(F.lit(16), F.lit(32), F.lit(64)))
+                  .alias("_dim"))
+          .select("query_id", "qfull",
+                  F.col("_dim").cast("long").alias("dim")))
+    pairs = (e.select(F.col("vec_id").alias("cand_id"),
+                      F.col("embedding").alias("cfull"))
+             .crossJoin(F.broadcast(qd))
+             .filter(F.col("query_id") != F.col("cand_id")))
+    scored = pairs.selectExpr(
+        "dim", "query_id", "cand_id",
+        """ROUND(
+             aggregate(zip_with(slice(qfull, 1, int(dim)),
+                                slice(cfull, 1, int(dim)),
+                                (a, b) -> CAST(a AS DOUBLE) * b),
+                       0D, (acc, v) -> acc + v)
+             / NULLIF(SQRT(
+                 aggregate(slice(qfull, 1, int(dim)), 0D,
+                           (acc, v) -> acc + CAST(v AS DOUBLE) * v)
+               * aggregate(slice(cfull, 1, int(dim)), 0D,
+                           (acc, v) -> acc + CAST(v AS DOUBLE) * v)),
+               0D), 9) AS cos""")
+    w = W.partitionBy("dim", "query_id").orderBy(F.desc("cos"),
+                                                 F.asc("cand_id"))
+    top = (scored.withColumn("rn", F.row_number().over(w))
+           .filter(F.col("rn") <= 5)
+           .select("dim", "query_id", "cand_id"))
+    truth = (top.filter(F.col("dim") == 64)
+             .select(F.col("query_id").alias("tq"),
+                     F.col("cand_id").alias("tc")))
+    den = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    hits = (top.join(F.broadcast(truth),
+                     (F.col("query_id") == F.col("tq"))
+                     & (F.col("cand_id") == F.col("tc")))
+            .groupBy("dim").agg(F.count(F.lit(1)).alias("n_hit")))
+    return (hits.crossJoin(F.broadcast(den))
+            .select(F.col("dim").cast("long").alias("dim"),
+                    F.col("n_truth").cast("long").alias("n_truth"),
+                    (F.round(F.col("n_hit").cast("double")
+                             / F.nullif(F.col("n_truth"), F.lit(0)), 6)
+                     + 0.0).alias("mean_recall"))
+            .orderBy("dim"))

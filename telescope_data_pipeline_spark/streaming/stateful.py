@@ -1156,3 +1156,71 @@ def hll_distinct_stream(stream: DataFrame) -> DataFrame:
                 outputMode="update",
                 timeoutConf=GroupStateTimeout.NoTimeout,
             ))
+
+
+# ---------------------------------------------------------------------------
+# Streaming per-group reservoir sample: bottom-k content-hash twin (round 12)
+# ---------------------------------------------------------------------------
+
+RS_STATE_SCHEMA = T.StructType([
+    T.StructField("keys", T.ArrayType(T.StringType())),
+    T.StructField("doc_ids", T.ArrayType(T.LongType())),
+    T.StructField("n_chars", T.ArrayType(T.LongType())),
+])
+
+RS_OUT_SCHEMA = T.StructType([
+    T.StructField("lang", T.StringType()),
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("n_chars", T.LongType()),
+])
+
+
+def _reservoir_update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+    import hashlib
+
+    entries = (list(zip(*state.get)) if state.exists else [])
+    for pdf in pdfs:
+        ok = pdf["text"].notna() & pdf["doc_id"].notna()
+        for text, doc_id, n_chars in zip(pdf.loc[ok, "text"],
+                                         pdf.loc[ok, "doc_id"],
+                                         pdf.loc[ok, "n_chars"]):
+            # EXACTLY the batch q_sample_reservoir priority: md5 of the
+            # utf-8 text (Spark md5(string) hashes utf-8 bytes), doc_id
+            # tiebreak
+            h = hashlib.md5(str(text).encode("utf-8")).hexdigest()
+            entries.append((h, int(doc_id),
+                            None if pd.isna(n_chars) else int(n_chars)))
+        # keep only the k smallest after each chunk: state stays O(k)
+        entries.sort(key=lambda e: (e[0], e[1]))
+        del entries[5:]
+    state.update((
+        [e[0] for e in entries],
+        [e[1] for e in entries],
+        [e[2] for e in entries],
+    ))
+    yield pd.DataFrame(
+        [{"lang": key[0], "doc_id": e[1], "n_chars": e[2]}
+         for e in entries],
+        columns=["lang", "doc_id", "n_chars"])
+
+
+def reservoir_sample_stream(stream: DataFrame) -> DataFrame:
+    """Streaming per-language reservoir sample: the live twin of the
+    batch q_sample_reservoir (queries/retrieval.py) — k=5 documents per
+    language under the content-derived md5 priority. Bottom-k under a
+    content hash is an ORDER-FREE sufficient statistic (the k smallest
+    of a union is the k smallest of the per-batch k-smallests), so the
+    drained readout equals the batch sample exactly under ANY arrival
+    order — the live eval-set / spot-check sample a 100 TB ingest keeps
+    current with O(k) state per language and zero re-reads. Rows with
+    NULL text carry no content hash and are skipped (the driver corpus
+    has none; a production gate rejects them upstream)."""
+    s = stream.select("lang", "doc_id", "n_chars", "text")
+    return (s.groupBy("lang")
+            .applyInPandasWithState(
+                _reservoir_update,
+                outputStructType=RS_OUT_SCHEMA,
+                stateStructType=RS_STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            ))

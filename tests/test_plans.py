@@ -2185,3 +2185,30 @@ def test_ccf_lags_broadcast_spine_equi_join(spark):
     assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
             or "BroadcastHashJoin" in plan), plan
     assert "Window" not in plan, plan
+
+
+def test_hilbert_map_only(spark):
+    """The Hilbert layout key is 8 chained per-row projections of
+    integer CASE arithmetic: zero Exchange — same contract as
+    test_zorder_map_only (the write path gains nothing beyond the
+    range partition the writer already does)."""
+    from telescope_data_pipeline_spark.plans.audit import physical_plan
+
+    plan = physical_plan(get("q_hilbert_key").fn(spark, SF))
+    assert "Exchange" not in plan, plan
+
+
+def test_matryoshka_recall_broadcast_eval_set(spark):
+    """q_matryoshka_recall: the 16-query x 3-dim eval set broadcasts
+    onto the corpus scan (the q_sim_topk bounded-anchor pattern); the
+    ranking window partitions on (dim, query_id), never globally."""
+    import re
+
+    from telescope_data_pipeline_spark.plans.audit import physical_plan
+
+    df = get("q_matryoshka_recall").fn(spark, SF)
+    df.collect()
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs and all("query_id" in s for s in specs), specs

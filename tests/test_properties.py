@@ -422,3 +422,52 @@ def test_lazy_prefix_sum_matches_sort(spark, rows, n_buckets):
     for k, v, i in sorted(data, key=lambda t: (t[0], t[2])):
         acc += v
         assert got[i] == acc, (k, i)
+
+
+def _hilbert_xy2d(n: int, x: int, y: int) -> int:
+    """Independent reference: the classic public-domain Hilbert xy2d
+    quadrant fold (rotate/flip + offset), written WITHOUT the SQL CASE
+    formulation so a shared bug cannot hide."""
+    d = 0
+    s = n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = n - 1 - x
+                y = n - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_reference_is_bijective_with_unit_steps():
+    """The reference itself: xy2d is a bijection on the 256x256 grid,
+    and consecutive d values are Manhattan-distance-1 neighbors — the
+    locality property that makes Hilbert the better layout curve (a
+    Morton curve violates it at every power-of-two seam)."""
+    seen = {}
+    for x in range(256):
+        for y in range(256):
+            seen[_hilbert_xy2d(256, x, y)] = (x, y)
+    assert len(seen) == 65536 and min(seen) == 0 and max(seen) == 65535
+    for d in range(0, 65535, 97):  # sampled consecutive pairs
+        (x1, y1), (x2, y2) = seen[d], seen[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1, (d, x1, y1, x2, y2)
+
+
+def test_hilbert_query_matches_reference(spark):
+    """End-to-end golden: q_hilbert_key's 8-step SQL CASE fold equals
+    the independent Python reference on every real part row — this
+    catches a shared bug the DuckDB oracle (which runs the SAME
+    generated SQL) cannot."""
+    from telescope_data_pipeline_spark.queries import get
+
+    rows = (get("q_hilbert_key").fn(spark, "/root/testdata/sf0.001")
+            .collect())
+    assert rows
+    for r in rows:
+        assert r.hval == _hilbert_xy2d(256, r.x, r.y), (r.x, r.y, r.hval)
+        assert r.hbucket == r.hval // 4096

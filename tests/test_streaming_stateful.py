@@ -780,3 +780,47 @@ def test_hll_distinct_stream_matches_batch_any_order(spark):
     for scope, row in per_type.iterrows():
         assert float(latest[scope]["hll_est"]) == float(row["hll_est"]), \
             scope
+
+
+def test_reservoir_sample_stream_matches_batch_any_order(spark):
+    """Streaming bottom-k content-hash sample: the k-smallest of a
+    union is the k-smallest of per-batch k-smallests (order-free), so
+    the drained per-language sample must equal the batch
+    q_sample_reservoir rows exactly under shuffled arrival."""
+    import os
+
+    from telescope_data_pipeline_spark.queries import get
+    from telescope_data_pipeline_spark.streaming.ingest import (
+        read_document_stream,
+    )
+    from telescope_data_pipeline_spark.streaming.stateful import (
+        reservoir_sample_stream,
+    )
+
+    d = tempfile.mkdtemp(prefix="rsample_")
+    docs = (load_table(spark, SF, "documents").toPandas()
+            .sample(frac=1.0, random_state=11).reset_index(drop=True))
+    k = len(docs) // 3
+    for i, chunk in enumerate((docs[:k], docs[k:2 * k], docs[2 * k:])):
+        p = f"{d}/part-{i}.parquet"
+        chunk.to_parquet(p, engine="pyarrow", index=False)
+        os.utime(p, (1700000000 + i, 1700000000 + i))
+    stream = read_document_stream(spark, d, max_files_per_trigger=1)
+
+    latest: dict = {}
+    q = (reservoir_sample_stream(stream)
+         .writeStream.outputMode("update")
+         .foreachBatch(lambda df, _bid: latest.update(
+             {lang: g[["doc_id", "n_chars"]].to_records(index=False).tolist()
+              for lang, g in df.toPandas().groupby("lang")}))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    assert len(q.recentProgress) >= 3
+
+    want = get("q_sample_reservoir").fn(spark, SF).toPandas()
+    for lang, g in want.groupby("lang"):
+        got = sorted((int(a), int(b)) for a, b in latest[lang])
+        exp = sorted((int(r.doc_id), int(r.n_chars))
+                     for r in g.itertuples())
+        assert got == exp, lang
+    assert set(latest) == set(want["lang"].unique())
