@@ -194,6 +194,8 @@ EXTRA = [
     "q_ccf_lags",
     "q_hilbert_key",
     "q_matryoshka_recall",
+    "q_isotonic_calibration",
+    "q_trending_terms",
 ]
 
 

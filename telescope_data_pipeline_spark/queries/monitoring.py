@@ -528,3 +528,181 @@ def q_ccf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
                                          F.lit(0.0)), 6) + 0.0)
                      .alias("ccf"))
             .orderBy("lag"))
+
+
+# ---------------------------------------------------------------------------
+# Isotonic calibration (PAVA via the exact minimax formula)
+# ---------------------------------------------------------------------------
+
+@query("q_isotonic_calibration", oracle="""
+WITH x AS (
+  SELECT ((event_id % 1000003) * 2654435761 % 1000003) % 1000 // 50 AS b,
+         CASE WHEN value > 100 THEN 1 ELSE 0 END AS y
+  FROM events WHERE value IS NOT NULL
+), cnt AS (
+  SELECT b, COUNT(*) AS n, SUM(y) AS pos FROM x GROUP BY b
+), spine AS (
+  SELECT CAST(UNNEST(range(20)) AS BIGINT) AS b
+), f AS (
+  SELECT spine.b, COALESCE(n, 0) AS n, COALESCE(pos, 0) AS pos
+  FROM spine LEFT JOIN cnt USING (b)
+), cum AS (
+  SELECT b, n, pos,
+         SUM(n) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS cn,
+         SUM(pos) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS cp
+  FROM f
+), base AS (
+  SELECT b AS j, cn - n AS cnb, cp - pos AS cpb FROM cum
+), mins AS (
+  SELECT i.b AS i, base.j,
+         MIN((k.cp - base.cpb)::DOUBLE / NULLIF(k.cn - base.cnb, 0)) AS mn
+  FROM spine i
+  JOIN base ON base.j <= i.b
+  JOIN cum k ON k.b >= i.b
+  GROUP BY 1, 2
+), iso AS (
+  SELECT i, MAX(mn) AS iso_rate FROM mins GROUP BY i
+)
+SELECT f.b AS bucket, CAST(f.n AS BIGINT) AS n,
+       CAST(f.pos AS BIGINT) AS pos,
+       ROUND(f.pos::DOUBLE / NULLIF(f.n, 0), 6) + 0.0 AS raw_rate,
+       ROUND(iso.iso_rate, 6) + 0.0 AS iso_rate
+FROM f JOIN iso ON iso.i = f.b
+ORDER BY bucket
+""")
+def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic calibration of a score's empirical hit rate — PAVA
+    (pool-adjacent-violators), the standard non-parametric calibrator
+    next to q_calibration's reliability curve and q_ece's gap score:
+    the monotone step function closest (L2) to the 20-bucket raw
+    rates. Computed by the exact MINIMAX identity
+    ``iso[i] = max_{j<=i} min_{k>=i} rate(j..k)`` — equivalent to the
+    sequential pooling algorithm (tests/test_properties.py pins the
+    equivalence against an independent stack-based PAVA), but with NO
+    sequential fold: it is three bounded spine joins any engine can
+    run distributed. At an EMPTY bucket the L2 solution is non-unique
+    (zero weight); the minimax value is one valid monotone choice, and
+    both engines compute the same one.
+
+    Determinism: bucket counts and cumulative sums are exact integers;
+    every candidate rate is the same double on both engines, so MIN/
+    MAX pick identical values; one rounding at the end.
+
+    Scale: the fact stream collapses to 20 integer pairs
+    (map-side-combined groupBy); the minimax runs over 20^3 bounded
+    combinations of broadcast 20-row spines — constant work regardless
+    of input size."""
+    ev = load_table(spark, sf_dir, "events")
+    x = (ev.filter(F.col("value").isNotNull())
+         .selectExpr("((event_id % 1000003) * 2654435761 % 1000003)"
+                     " % 1000 div 50 AS b",
+                     "CASE WHEN value > 100 THEN 1 ELSE 0 END AS y"))
+    cnt = x.groupBy("b").agg(F.count(F.lit(1)).alias("n"),
+                             F.sum("y").alias("pos"))
+    spine = spark.range(20).select(F.col("id").alias("b"))
+    f = (spine.join(cnt, "b", "left")
+         .select("b", F.coalesce("n", F.lit(0)).alias("n"),
+                 F.coalesce("pos", F.lit(0)).alias("pos")))
+    wcum = (W.orderBy("b")
+            .rowsBetween(W.unboundedPreceding, W.currentRow))  # 20 rows
+    cum = f.select("b", "n", "pos",
+                   F.sum("n").over(wcum).alias("cn"),
+                   F.sum("pos").over(wcum).alias("cp"))
+    base = cum.select(F.col("b").alias("j"),
+                      (F.col("cn") - F.col("n")).alias("cnb"),
+                      (F.col("cp") - F.col("pos")).alias("cpb"))
+    k = cum.select(F.col("b").alias("kb"), F.col("cn").alias("kcn"),
+                   F.col("cp").alias("kcp"))
+    i = spine.select(F.col("b").alias("i"))
+    mins = (i.join(F.broadcast(base), F.col("j") <= F.col("i"))
+            .join(F.broadcast(k), F.col("kb") >= F.col("i"))
+            .groupBy("i", "j")
+            .agg(F.min((F.col("kcp") - F.col("cpb")).cast("double")
+                       / F.nullif(F.col("kcn") - F.col("cnb"), F.lit(0)))
+                 .alias("mn")))
+    iso = mins.groupBy("i").agg(F.max("mn").alias("iso_rate"))
+    return (f.join(iso, f["b"] == iso["i"])
+            .select(F.col("b").alias("bucket"),
+                    F.col("n").cast("long").alias("n"),
+                    F.col("pos").cast("long").alias("pos"),
+                    (F.round(F.col("pos").cast("double")
+                             / F.nullif(F.col("n"), F.lit(0)), 6) + 0.0)
+                    .alias("raw_rate"),
+                    (F.round(F.col("iso_rate"), 6) + 0.0).alias("iso_rate"))
+            .orderBy("bucket"))
+
+
+# ---------------------------------------------------------------------------
+# Trending terms: informative-Dirichlet log-odds between two epochs
+# ---------------------------------------------------------------------------
+
+@query("q_trending_terms", oracle=r"""
+WITH toks AS (
+  SELECT doc_id % 2 AS side, t.tok
+  FROM documents,
+       UNNEST(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                          x -> x <> '')) AS t(tok)
+  WHERE text IS NOT NULL AND doc_id IS NOT NULL
+), tc AS (
+  SELECT tok,
+         SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS c0,
+         SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS c1
+  FROM toks GROUP BY tok
+), tot AS (
+  SELECT SUM(c0) AS n0, SUM(c1) AS n1, COUNT(*) AS v FROM tc
+), z AS (
+  SELECT tok, c0, c1,
+         ROUND((LN((c0 + 0.5) / (n0 + 0.5 * v - c0 - 0.5))
+                - LN((c1 + 0.5) / (n1 + 0.5 * v - c1 - 0.5)))
+               / SQRT(1.0 / (c0 + 0.5) + 1.0 / (c1 + 0.5)), 6) + 0.0 AS z
+  FROM tc CROSS JOIN tot
+)
+SELECT tok, CAST(c0 AS BIGINT) AS c_ref, CAST(c1 AS BIGINT) AS c_cur, z
+FROM z
+ORDER BY ABS(z) DESC, tok LIMIT 20
+""")
+def q_trending_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending terms between two corpus epochs (doc_id parity as the
+    epoch split): the informative-Dirichlet log-odds z-score — the
+    'Fightin' Words' monitor (Monroe/Colaresi/Quinn 2008, public
+    method) that ranks WHICH tokens drive corpus drift, where
+    q_jaccard_drift / q_js_drift only say THAT the vocabulary moved.
+    Flat 0.5 prior per type; z = smoothed log-odds delta over its
+    asymptotic standard error; top-20 by |z|.
+
+    Determinism: token counts and totals are exact integers; z is one
+    fixed double expression of them, rounded at 6 BEFORE the ORDER BY
+    (with a token tiebreak) so a last-ulp ln() difference cannot
+    reorder the top-k boundary.
+
+    Scale: one map-side-combined groupBy over the token shuffle
+    (digest-sized rows), a 1-row totals broadcast, and a
+    TakeOrderedAndProject top-k — no global sort materializes."""
+    d = (load_table(spark, sf_dir, "documents", spread=True)
+         .filter(F.col("text").isNotNull() & F.col("doc_id").isNotNull())
+         .select((F.col("doc_id") % 2).alias("side"), "text"))
+    tc = (d.select("side",
+                   F.explode(F.split(F.lower("text"), "[^a-z0-9]+"))
+                   .alias("tok"))
+          .filter(F.col("tok") != "")
+          .groupBy("tok")
+          .agg(F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).alias("c0"),
+               F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).alias("c1")))
+    tot = tc.agg(F.sum("c0").alias("n0"), F.sum("c1").alias("n1"),
+                 F.count(F.lit(1)).alias("v"))
+    z = (F.round((F.log((F.col("c0") + 0.5)
+                        / (F.col("n0") + 0.5 * F.col("v")
+                           - F.col("c0") - 0.5))
+                  - F.log((F.col("c1") + 0.5)
+                          / (F.col("n1") + 0.5 * F.col("v")
+                             - F.col("c1") - 0.5)))
+                 / F.sqrt(1.0 / (F.col("c0") + 0.5)
+                          + 1.0 / (F.col("c1") + 0.5)), 6) + 0.0)
+    return (tc.crossJoin(F.broadcast(tot))
+            .select("tok", F.col("c0").cast("long").alias("c_ref"),
+                    F.col("c1").cast("long").alias("c_cur"),
+                    z.alias("z"))
+            .orderBy(F.abs(F.col("z")).desc(), "tok")
+            .limit(20))

@@ -2212,3 +2212,35 @@ def test_matryoshka_recall_broadcast_eval_set(spark):
     assert "CartesianProduct" not in plan
     specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
     assert specs and all("query_id" in s for s in specs), specs
+
+
+def test_isotonic_calibration_bounded_minimax(spark):
+    """q_isotonic_calibration: the fact stream collapses to 20 integer
+    pairs (hash aggregate); the minimax runs over broadcast 20-row
+    spines (the only nested-loop joins), and every window spec orders
+    by the bounded bucket spine."""
+    import re
+
+    from telescope_data_pipeline_spark.plans.audit import physical_plan
+
+    df = get("q_isotonic_calibration").fn(spark, SF)
+    df.collect()
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs and all("b#" in s or "bucket" in s for s in specs), specs
+
+
+def test_trending_terms_takeordered_topk(spark):
+    """q_trending_terms: the z-score table reduces via
+    TakeOrderedAndProject (no global sort materializes); the totals
+    ride a 1-row broadcast; no window touches the token stream."""
+    from telescope_data_pipeline_spark.plans.audit import physical_plan
+
+    df = get("q_trending_terms").fn(spark, SF)
+    df.collect()
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan, plan

@@ -471,3 +471,77 @@ def test_hilbert_query_matches_reference(spark):
     for r in rows:
         assert r.hval == _hilbert_xy2d(256, r.x, r.y), (r.x, r.y, r.hval)
         assert r.hbucket == r.hval // 4096
+
+
+def _pava_stack(blocks):
+    """Independent stack-based pool-adjacent-violators reference:
+    sequential pooling, the textbook algorithm q_isotonic_calibration's
+    minimax identity must reproduce."""
+    stack = []  # [n, pos, width]
+    for n, p in blocks:
+        stack.append([n, p, 1])
+        while len(stack) > 1:
+            n2, p2, w2 = stack[-1]
+            n1, p1, w1 = stack[-2]
+            r1 = p1 / n1 if n1 else None
+            r2 = p2 / n2 if n2 else None
+            if r1 is None or r2 is None or r1 > r2:
+                stack[-2] = [n1 + n2, p1 + p2, w1 + w2]
+                stack.pop()
+            else:
+                break
+    out = []
+    for n, p, w in stack:
+        out += [p / n if n else None] * w
+    return out
+
+
+def _pava_minimax(blocks):
+    """The query's formula: iso[i] = max_{j<=i} min_{k>=i} rate(j..k)."""
+    cn = [0]
+    cp = [0]
+    for n, p in blocks:
+        cn.append(cn[-1] + n)
+        cp.append(cp[-1] + p)
+    out = []
+    B = len(blocks)
+    for i in range(B):
+        best = None
+        for j in range(i + 1):
+            worst = None
+            for k in range(i, B):
+                dn = cn[k + 1] - cn[j]
+                if dn == 0:
+                    continue
+                r = (cp[k + 1] - cp[j]) / dn
+                if worst is None or r < worst:
+                    worst = r
+            if worst is not None and (best is None or worst > best):
+                best = worst
+        out.append(best)
+    return out
+
+
+@given(st.lists(st.tuples(st.integers(0, 20), st.integers(0, 20)),
+                min_size=1, max_size=12))
+@settings(max_examples=300, deadline=None)
+def test_isotonic_minimax_equals_stack_pava(raw):
+    """The distributed minimax identity equals sequential PAVA at every
+    bucket that CARRIES DATA (pos clamped to <= n). At zero-weight
+    (empty) buckets the L2 isotonic solution is non-unique — any value
+    between the neighbouring levels is optimal — and the two forms may
+    legitimately pick different ones; at positive-weight buckets the
+    solution is unique, so there they must agree exactly. Both outputs
+    must also be monotone over the non-empty buckets."""
+    blocks = [(n, min(p, n)) for n, p in raw]
+    a = _pava_minimax(blocks)
+    b = _pava_stack(blocks)
+    prev = None
+    for i, (n, _p) in enumerate(blocks):
+        if n == 0:
+            continue
+        assert a[i] is not None and b[i] is not None, (i, blocks)
+        assert abs(a[i] - b[i]) < 1e-12, (i, blocks, a, b)
+        if prev is not None:
+            assert a[i] >= prev - 1e-12, (i, blocks, a)
+        prev = a[i]
