@@ -196,6 +196,7 @@ EXTRA = [
     "q_matryoshka_recall",
     "q_isotonic_calibration",
     "q_trending_terms",
+    "q_simpson_diversity",
 ]
 
 

@@ -706,3 +706,60 @@ def q_trending_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
                     z.alias("z"))
             .orderBy(F.abs(F.col("z")).desc(), "tok")
             .limit(20))
+
+
+# ---------------------------------------------------------------------------
+# Simpson / Gini-Simpson language diversity per source
+# ---------------------------------------------------------------------------
+
+@query("q_simpson_diversity", oracle="""
+WITH c AS (
+  SELECT source, lang, COUNT(*) AS n
+  FROM documents WHERE lang IS NOT NULL
+  GROUP BY 1, 2
+), s AS (
+  SELECT source, SUM(n) AS nn, COUNT(*) AS n_langs,
+         SUM(n * (n - 1)) AS pairs
+  FROM c GROUP BY source
+)
+SELECT source, CAST(nn AS BIGINT) AS n_docs,
+       CAST(n_langs AS BIGINT) AS n_langs,
+       ROUND(1.0 - pairs::DOUBLE / NULLIF(nn * (nn - 1), 0), 6) + 0.0
+         AS gini_simpson,
+       ROUND(NULLIF(nn * (nn - 1), 0)::DOUBLE / NULLIF(pairs, 0), 6)
+         + 0.0 AS inv_simpson
+FROM s ORDER BY source
+""")
+def q_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini-Simpson and inverse-Simpson language diversity per source —
+    the interpretable companion to entropy-based diversity (exp-entropy
+    weights rare classes up; Simpson is the probability two random
+    docs differ in language, and inverse Simpson the 'effective number
+    of dominant languages'). The per-source row a data card shows next
+    to the mix table: a source whose inv_simpson is near 1 is
+    monolingual however many languages nominally appear.
+
+    Determinism: everything up to the final two divisions is exact
+    integer arithmetic (unbiased finite-sample form n(n-1), no
+    probability squaring) — no quantization needed at all.
+
+    Scale: two map-side-combined groupBys; shuffle volume is
+    |source x lang| rows."""
+    c = (load_table(spark, sf_dir, "documents")
+         .filter(F.col("lang").isNotNull())
+         .groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n")))
+    s = c.groupBy("source").agg(
+        F.sum("n").alias("nn"),
+        F.count(F.lit(1)).alias("n_langs"),
+        F.sum(F.col("n") * (F.col("n") - 1)).alias("pairs"))
+    tot = F.col("nn") * (F.col("nn") - 1)
+    return (s.select("source",
+                     F.col("nn").cast("long").alias("n_docs"),
+                     F.col("n_langs").cast("long").alias("n_langs"),
+                     (F.round(1.0 - F.col("pairs").cast("double")
+                              / F.nullif(tot, F.lit(0)), 6) + 0.0)
+                     .alias("gini_simpson"),
+                     (F.round(F.nullif(tot, F.lit(0)).cast("double")
+                              / F.nullif(F.col("pairs"), F.lit(0)), 6)
+                      + 0.0).alias("inv_simpson"))
+            .orderBy("source"))

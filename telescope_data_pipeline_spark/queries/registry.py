@@ -57,13 +57,13 @@ _REGISTRY: dict[str, Query] = {}
 #: (b) fresh rows-only attestation for the 11 media/ANN queries so
 #: they never age past ~3 rounds (round-11 VERDICT item 5) — 11
 #: entries;
-#: (c) first-time evidence for operators NEW in round 12 — 14 entries
+#: (c) first-time evidence for operators NEW in round 12 — 15 entries
 #: (4 from the first session + 6 monitoring/governance queries + the
 #: Hilbert layout key, Matryoshka truncation eval, isotonic
-#: calibration, and trending terms);
+#: calibration, trending terms, and Simpson diversity);
 #: (d) stale-attestation drain in the spill's promised order (the
-#: 8 round-4 leftovers, then the round-5 cohort alphabetically) — 24
-#: entries (the 10 drain slots the new cohort displaced move to the
+#: 8 round-4 leftovers, then the round-5 cohort alphabetically) — 23
+#: entries (the 11 drain slots the new cohort displaced move to the
 #: spill HEAD, keeping the promised alphabetical order for r13).
 #: The local tri-scale (sf0.001/0.01/0.1) oracle sweep still covers
 #: all registered queries per session.
@@ -80,7 +80,8 @@ PRIORITY: tuple[str, ...] = (
     "q_vocab_growth", "q_emd_drift", "q_chao1", "q_theil_index",
     "q_ldiversity", "q_mood_median", "q_ccf_lags", "q_hilbert_key",
     "q_matryoshka_recall", "q_isotonic_calibration", "q_trending_terms",
-    # (d) stale-attestation drain — 24 (sum = 50 exactly)
+    "q_simpson_diversity",
+    # (d) stale-attestation drain — 23 (sum = 50 exactly)
     "q_scalar_null", "q_scan_orc", "q_sql_api", "q_subquery_scalar",
     "q_window_firstlast", "q_window_ntile", "q_window_range",
     "q_window_rank",
@@ -88,9 +89,9 @@ PRIORITY: tuple[str, ...] = (
     "q_bm25", "q_cluster_components", "q_data_card", "q_decontaminate",
     "q_dedup_bloom", "q_dedup_canonical", "q_dedup_exact",
     "q_dedup_incremental", "q_dedup_minhash_md5", "q_dedup_simhash_md5",
-    "q_dup_spans", "q_epoch_shuffle", "q_filter_eq",
+    "q_dup_spans", "q_epoch_shuffle",
     # spill (past the 50-entry gate; the r13 drain tail, alphabetical)
-    "q_fingerprint_md5", "q_flagship",
+    "q_filter_eq", "q_fingerprint_md5", "q_flagship",
     "q_join_asof", "q_join_broadcast",
     "q_join_inner", "q_join_knn", "q_join_nn", "q_join_salted",
     "q_kmeans_step", "q_length_batches",

@@ -2244,3 +2244,17 @@ def test_trending_terms_takeordered_topk(spark):
     assert "TakeOrderedAndProject" in plan, plan
     assert "CartesianProduct" not in plan
     assert "Window" not in plan, plan
+
+
+def test_simpson_diversity_joinless_two_groupbys(spark):
+    """q_simpson_diversity: two map-side-combined groupBys, joinless,
+    windowless — all-integer until the final divisions."""
+    from telescope_data_pipeline_spark.plans.audit import physical_plan
+
+    df = get("q_simpson_diversity").fn(spark, SF)
+    df.collect()
+    plan = physical_plan(df)
+    for banned in ("CartesianProduct", "BroadcastNestedLoopJoin",
+                   "SortMergeJoin", "Window"):
+        assert banned not in plan, f"{banned} in plan:\n{plan}"
+    assert "HashAggregate" in plan
