@@ -197,6 +197,8 @@ EXTRA = [
     "q_isotonic_calibration",
     "q_trending_terms",
     "q_simpson_diversity",
+    "q_cochran_armitage",
+    "q_mantel_haenszel",
 ]
 
 

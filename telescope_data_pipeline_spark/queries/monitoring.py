@@ -763,3 +763,165 @@ def q_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
                               / F.nullif(F.col("pairs"), F.lit(0)), 6)
                       + 0.0).alias("inv_simpson"))
             .orderBy("source"))
+
+
+# ---------------------------------------------------------------------------
+# Cochran-Armitage trend test (ordered proportions)
+# ---------------------------------------------------------------------------
+
+@query("q_cochran_armitage", oracle="""
+WITH d AS (
+  SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS s,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+  FROM orders
+), g AS (
+  SELECT s, COUNT(*) AS n, SUM(y) AS x FROM d GROUP BY s
+), t AS (
+  SELECT SUM(n) AS nn, SUM(x) AS xx,
+         SUM(s * x) AS sx, SUM(s * n) AS sn,
+         SUM(s * s * n) AS ssn
+  FROM g
+)
+SELECT CAST(nn AS BIGINT) AS n,
+       CAST(xx AS BIGINT) AS n_success,
+       ROUND((sx - sn * (xx::DOUBLE / nn))
+             / NULLIF(SQRT((xx::DOUBLE / nn) * (1.0 - xx::DOUBLE / nn)
+                           * (ssn - sn::DOUBLE * sn / nn)), 0), 6) + 0.0
+         AS z_trend
+FROM t
+""")
+def q_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage trend test: does the completion rate move
+    MONOTONICALLY across the ORDERED priority levels (scores 1..5 from
+    the priority prefix)? The ordered-factor complement to the
+    unordered chi-square (q_chi_square) and to q_mood_median's
+    location test: a dose-response z with far more power against a
+    trend than the omnibus tests.
+    ``T = sum s_i (x_i - n_i p̄)``;
+    ``Var = p̄(1-p̄)(sum s_i² n_i - (sum s_i n_i)²/N)``.
+
+    Determinism: ALL sufficient statistics (n, x, sx, sn, ssn) are
+    exact integers — scores are single digits, so no product leaves
+    BIGINT; one double tree at the end, NULLIF-guarded for the
+    all-success/all-failure corpus.
+
+    Scale: one map-side-combined groupBy to 5 rows, one 1-row fold —
+    nothing shuffles but partial sums (the q_anova_oneway shape)."""
+    d = load_table(spark, sf_dir, "orders").select(
+        F.substring("o_orderpriority", 1, 1).cast("long").alias("s"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"))
+    g = d.groupBy("s").agg(F.count(F.lit(1)).alias("n"),
+                           F.sum("y").alias("x"))
+    t = g.agg(F.sum("n").alias("nn"), F.sum("x").alias("xx"),
+              F.sum(F.col("s") * F.col("x")).alias("sx"),
+              F.sum(F.col("s") * F.col("n")).alias("sn"),
+              F.sum(F.col("s") * F.col("s") * F.col("n")).alias("ssn"))
+    p = F.col("xx").cast("double") / F.col("nn")
+    return t.select(
+        F.col("nn").cast("long").alias("n"),
+        F.col("xx").cast("long").alias("n_success"),
+        (F.round((F.col("sx") - F.col("sn") * p)
+                 / F.nullif(F.sqrt(p * (1.0 - p)
+                                   * (F.col("ssn")
+                                      - F.col("sn").cast("double")
+                                      * F.col("sn") / F.col("nn"))),
+                            F.lit(0.0)), 6) + 0.0).alias("z_trend"))
+
+
+# ---------------------------------------------------------------------------
+# Mantel-Haenszel pooled odds ratio across strata
+# ---------------------------------------------------------------------------
+
+@query("q_mantel_haenszel", oracle="""
+WITH j AS (
+  SELECT c_mktsegment AS stratum,
+         CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END AS e,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+  FROM orders JOIN customer ON o_custkey = c_custkey
+), cells AS (
+  SELECT stratum,
+         SUM(CASE WHEN e = 1 AND y = 1 THEN 1 ELSE 0 END) AS a,
+         SUM(CASE WHEN e = 1 AND y = 0 THEN 1 ELSE 0 END) AS b,
+         SUM(CASE WHEN e = 0 AND y = 1 THEN 1 ELSE 0 END) AS c,
+         SUM(CASE WHEN e = 0 AND y = 0 THEN 1 ELSE 0 END) AS d
+  FROM j GROUP BY stratum
+), q AS (
+  -- the FIRST factor widens to double before multiplying: a*d in
+  -- BIGINT crosses 2^63 at large scale; ad/n stays ~cell-sized, so
+  -- micro units fit BIGINT after the division
+  SELECT stratum, a, b, c, d,
+         CAST(ROUND(a::DOUBLE * d / NULLIF(a + b + c + d, 0) * 1e6)
+              AS BIGINT) AS adn_micro,
+         CAST(ROUND(b::DOUBLE * c / NULLIF(a + b + c + d, 0) * 1e6)
+              AS BIGINT) AS bcn_micro
+  FROM cells
+)
+SELECT stratum, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+       CAST(c AS BIGINT) AS c, CAST(d AS BIGINT) AS d,
+       ROUND(a::DOUBLE * d / NULLIF(b::DOUBLE * c, 0), 6) + 0.0
+         AS or_stratum,
+       ROUND(SUM(adn_micro) OVER ()::DOUBLE
+             / NULLIF(SUM(bcn_micro) OVER (), 0), 6) + 0.0 AS or_mh
+FROM q ORDER BY stratum
+""")
+def q_mantel_haenszel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mantel-Haenszel pooled odds ratio: the stratified 2x2 estimator
+    that answers what q_odds_ratio (one table) and q_stratified_ate
+    (risk difference) leave open — a single confounder-adjusted odds
+    ratio of outcome (order completed) by exposure (delinquent
+    customer balance) pooled across market-segment strata, robust to
+    segment-size imbalance.
+    ``OR_MH = sum_i(a_i d_i / n_i) / sum_i(b_i c_i / n_i)``.
+
+    Determinism: cell counts are exact integers; the per-stratum ratio
+    terms a*d/n, b*c/n quantize to micro units BEFORE the cross-stratum
+    sums (quantize-before-sum for ratio terms, the ANOVA rule); the
+    per-stratum OR is one rounded division.
+
+    Scale: one equi-join + one map-side-combined groupBy to
+    |segments| rows; the pooled sums ride a bounded window over the
+    5-stratum table."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    jn = (o.join(c, o["o_custkey"] == c["c_custkey"])
+          .select(F.col("c_mktsegment").alias("stratum"),
+                  F.when(F.col("c_acctbal") < 0, 1).otherwise(0).alias("e"),
+                  F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+                  .alias("y")))
+    cells = jn.groupBy("stratum").agg(
+        F.sum(F.when((F.col("e") == 1) & (F.col("y") == 1), 1)
+              .otherwise(0)).alias("a"),
+        F.sum(F.when((F.col("e") == 1) & (F.col("y") == 0), 1)
+              .otherwise(0)).alias("b"),
+        F.sum(F.when((F.col("e") == 0) & (F.col("y") == 1), 1)
+              .otherwise(0)).alias("c"),
+        F.sum(F.when((F.col("e") == 0) & (F.col("y") == 0), 1)
+              .otherwise(0)).alias("d"))
+    n = F.col("a") + F.col("b") + F.col("c") + F.col("d")
+    # widen the FIRST factor before multiplying (a*d in long crosses
+    # 2^63 at scale); divide by n before the micro scaling so the
+    # rounded term fits BIGINT — expression order mirrors the oracle
+    q = cells.select(
+        "stratum", "a", "b", "c", "d",
+        F.round(F.col("a").cast("double") * F.col("d")
+                / F.nullif(n, F.lit(0)) * 1e6)
+        .cast("long").alias("adn_micro"),
+        F.round(F.col("b").cast("double") * F.col("c")
+                / F.nullif(n, F.lit(0)) * 1e6)
+        .cast("long").alias("bcn_micro"))
+    wall = (W.orderBy("stratum")
+            .rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+    return (q.select("stratum",
+                     F.col("a").cast("long").alias("a"),
+                     F.col("b").cast("long").alias("b"),
+                     F.col("c").cast("long").alias("c"),
+                     F.col("d").cast("long").alias("d"),
+                     (F.round(F.col("a").cast("double") * F.col("d")
+                              / F.nullif(F.col("b").cast("double")
+                                         * F.col("c"), F.lit(0.0)), 6)
+                      + 0.0).alias("or_stratum"),
+                     (F.round(F.sum("adn_micro").over(wall).cast("double")
+                              / F.nullif(F.sum("bcn_micro").over(wall),
+                                         F.lit(0)), 6) + 0.0)
+                     .alias("or_mh"))
+            .orderBy("stratum"))

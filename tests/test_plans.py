@@ -2258,3 +2258,32 @@ def test_simpson_diversity_joinless_two_groupbys(spark):
                    "SortMergeJoin", "Window"):
         assert banned not in plan, f"{banned} in plan:\n{plan}"
     assert "HashAggregate" in plan
+
+
+def test_cochran_armitage_joinless_two_folds(spark):
+    """q_cochran_armitage: one 5-row groupBy + one 1-row fold —
+    joinless, windowless (the q_anova_oneway shape)."""
+    from telescope_data_pipeline_spark.plans.audit import physical_plan
+
+    df = get("q_cochran_armitage").fn(spark, SF)
+    df.collect()
+    plan = physical_plan(df)
+    for banned in ("CartesianProduct", "BroadcastNestedLoopJoin",
+                   "SortMergeJoin", "Window"):
+        assert banned not in plan, f"{banned} in plan:\n{plan}"
+    assert "HashAggregate" in plan
+
+
+def test_mantel_haenszel_stratum_table_window(spark):
+    """q_mantel_haenszel: equi-join + groupBy to |strata| rows; the
+    only windows pool over the bounded stratum table."""
+    import re
+
+    from telescope_data_pipeline_spark.plans.audit import physical_plan
+
+    df = get("q_mantel_haenszel").fn(spark, SF)
+    df.collect()
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs and all("stratum" in s for s in specs), specs
