@@ -199,6 +199,7 @@ EXTRA = [
     "q_simpson_diversity",
     "q_cochran_armitage",
     "q_mantel_haenszel",
+    "q_scan_warc",
 ]
 
 

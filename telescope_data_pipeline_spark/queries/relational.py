@@ -315,3 +315,47 @@ def q_scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         .schema(NATION).load(out)
         .select("n_nationkey", "n_name", "n_regionkey")
     )
+
+
+@query("q_scan_warc", oracle=None)  # binary crawl source: rows-only check
+def q_scan_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC (Common Crawl interchange) source: the registered Python
+    DataSource (sources/warc.py) reading a deterministic two-file
+    fixture — one plain .warc, one per-record-gzip .warc.gz (the
+    Common Crawl member layout) — with the HTTP envelope promoted to
+    typed columns. This is the 100 TB crawl-ingestion entry point:
+    one input partition per file (gzip members cannot split), headers
+    parsed executor-side, undecodable files dropped whole.
+
+    Scalar-only projection for the driver canonicalizer: the binary
+    payload is summarized as its length and utf-8 text prefix; the
+    golden byte-level checks live in tests/test_warc.py."""
+    import os
+    import tempfile
+
+    from ..sources.warc import register_warc_datasource, write_warc_bytes
+
+    d = tempfile.mkdtemp(prefix="tdps_warc_")
+    recs = [{
+        "record_id": f"<urn:uuid:rec-{i:04d}>",
+        "warc_type": "response",
+        "target_uri": f"http://example.org/page/{i}",
+        "warc_date": f"2024-02-{(i % 27) + 1:02d}T12:00:00Z",
+        "http_status": 200 if i % 3 else 404,
+        "http_content_type": "text/html; charset=utf-8",
+        "body": f"<html><body>crawl doc {i}</body></html>".encode(),
+    } for i in range(8)]
+    with open(os.path.join(d, "part-00000.warc"), "wb") as f:
+        f.write(write_warc_bytes(recs[:4], gzip_per_record=False))
+    with open(os.path.join(d, "part-00001.warc.gz"), "wb") as f:
+        f.write(write_warc_bytes(recs[4:], gzip_per_record=True))
+    register_warc_datasource(spark)
+    w = spark.read.format("warc").load(d)
+    return (w.select(
+        "filename", "record_id", "warc_type", "target_uri",
+        F.col("warc_date").cast("string").alias("warc_date"),
+        "content_length", "http_status", "http_content_type",
+        F.length("payload").alias("payload_bytes"),
+        F.substring(F.col("payload").cast("string"), 1, 40)
+        .alias("payload_prefix"))
+        .orderBy("record_id"))
