@@ -5,7 +5,6 @@ restarts — the same contract suite as the FITS DataSource."""
 
 from __future__ import annotations
 
-import gzip
 import tempfile
 from datetime import datetime
 
@@ -114,3 +113,34 @@ def test_warc_datasource_stream_exactly_once(spark):
     rows = spark.read.parquet(out).toPandas()
     assert len(rows) == 7
     assert rows["record_id"].is_unique  # exactly once, no replay dupes
+
+
+def test_warc_codec_edge_cases():
+    """Adversarial edges: zero-length body, envelope without a body
+    separator (raw block kept), malformed WARC-Date (None, record
+    survives), non-numeric HTTP status token (None), bad gzip magic
+    (OSError -> whole-file drop path)."""
+    import pytest
+
+    r = parse_warc_bytes(write_warc_bytes(
+        [{"record_id": "<a>", "warc_type": "resource", "body": b""}]), "z")
+    assert len(r) == 1 and r[0][9] == b"" and r[0][6] == 0
+
+    raw = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"Content-Type: application/http\r\n"
+           b"Content-Length: 15\r\n\r\nHTTP/1.1 200 OK\r\n\r\n")
+    r = parse_warc_bytes(raw, "x")
+    assert r[0][7] is None and r[0][9] == b"HTTP/1.1 200 OK"
+
+    raw2 = write_warc_bytes([{"record_id": "<b>", "warc_type": "resource",
+                              "warc_date": "not-a-date", "body": b"x"}])
+    r = parse_warc_bytes(raw2, "d")
+    assert r[0][4] is None and r[0][9] == b"x"
+
+    raw3 = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"Content-Type: application/http\r\n"
+            b"Content-Length: 21\r\n\r\nHTTP/1.1 ABC OK\r\n\r\nxy\r\n\r\n")
+    assert parse_warc_bytes(raw3, "s")[0][7] is None
+
+    with pytest.raises(OSError):
+        parse_warc_bytes(b"\x1f\x8b" + b"junkjunk", "g")
