@@ -200,6 +200,7 @@ EXTRA = [
     "q_cochran_armitage",
     "q_mantel_haenszel",
     "q_scan_warc",
+    "q_html_extract",
 ]
 
 

@@ -925,3 +925,98 @@ def q_mantel_haenszel(spark: SparkSession, sf_dir: str) -> DataFrame:
                                          F.lit(0)), 6) + 0.0)
                      .alias("or_mh"))
             .orderBy("stratum"))
+
+
+# ---------------------------------------------------------------------------
+# HTML -> training-text extraction (the crawl WET step)
+# ---------------------------------------------------------------------------
+
+#: (pattern, replacement) pipeline shared by both engines. Order
+#: matters twice: script/style/comment blocks go before the generic
+#: tag strip, and &amp; decodes LAST so "&amp;lt;" becomes the literal
+#: "&lt;" instead of double-decoding. RE2 (DuckDB) has no
+#: backreferences, so script and style are separate patterns.
+_HTML_STEPS: tuple[tuple[str, str], ...] = (
+    (r"(?s)<script[^>]*>.*?</script>", " "),
+    (r"(?s)<style[^>]*>.*?</style>", " "),
+    (r"(?s)<!--.*?-->", " "),
+    (r"<[^>]+>", " "),
+    (r"&lt;", "<"),
+    (r"&gt;", ">"),
+    (r"&quot;", "\""),
+    (r"&#39;", "'"),
+    (r"&amp;", "&"),
+    (r"\s+", " "),
+)
+
+#: Synthetic page built around each document's text: head noise
+#: (title/script/style), markup, a comment, and entity-escaped tail —
+#: every hazard the extractor must remove, same SQL text both engines.
+_HTML_BUILD = (
+    "'<html><head><title>Doc ' || doc_id || '</title>'"
+    " || '<script>var x = 1 < 2;</script><style>p{color:red}</style>'"
+    " || '</head><body><h1>Doc ' || doc_id || '</h1><p>' || text"
+    " || '</p><!-- crawler: drop me -->"
+    "<p>&amp;copy &lt;tag&gt; &quot;q&quot; &#39;s&#39;</p></body></html>'"
+)
+
+
+def _regex_chain(col: str, dialect: str) -> str:
+    """Nest the _HTML_STEPS regexp_replace pipeline around ``col``.
+    Dialect differences that BITE: DuckDB needs the 'g' flag argument
+    (Spark replaces globally); Spark SQL string literals process
+    backslash escapes (an un-doubled '\\s+' reaches the regex engine
+    as 's+' and deletes every letter s — found by the tri-scale gate),
+    while DuckDB literals keep backslashes; quotes escape as \\' in
+    Spark vs '' in DuckDB."""
+    expr = col
+    for pat, rep in _HTML_STEPS:
+        if dialect == "duckdb":
+            p, r = pat, rep.replace("'", "''")
+            expr = f"regexp_replace({expr}, '{p}', '{r}', 'g')"
+        else:
+            p = pat.replace("\\", "\\\\")
+            r = rep.replace("\\", "\\\\").replace("'", "\\'")
+            expr = f"regexp_replace({expr}, '{p}', '{r}')"
+    return f"trim({expr})"
+
+
+@query("q_html_extract", oracle=f"""
+WITH h AS (
+  SELECT doc_id, {_HTML_BUILD} AS html
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id,
+       regexp_extract(html, '<title>(.*?)</title>', 1) AS title,
+       {_regex_chain("html", "duckdb")} AS body_text,
+       CAST(LENGTH({_regex_chain("html", "duckdb")}) AS BIGINT)
+         AS n_chars
+FROM h ORDER BY doc_id
+""")
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> plain-text extraction — the WET step that turns a crawl
+    response (q_scan_warc's payload) into training text: script/style/
+    comment blocks removed, tags stripped, the five standard character
+    entities decoded (&amp; last, so escaped entities stay literal),
+    whitespace normalized, plus the <title> pulled out as metadata.
+    Demonstrated on synthetic pages built around each document's text
+    (every hazard class planted) so the extraction itself is
+    oracle-checked — the same chain applied to the WARC payload column
+    is the production path.
+
+    Determinism: pure string functions; both engines run the SAME
+    pattern pipeline (one shared list builds both dialects; RE2 has no
+    backreferences, hence separate script/style patterns).
+
+    Scale: map-only per-row regex chain — zero shuffle; at 100 TB this
+    runs inside the scan stage of the crawl ingest."""
+    d = (load_table(spark, sf_dir, "documents", spread=True)
+         .filter(F.col("text").isNotNull()))
+    chain = _regex_chain("html", "spark")
+    return (d.selectExpr("doc_id", f"{_HTML_BUILD} AS html")
+            .selectExpr(
+                "doc_id",
+                "regexp_extract(html, '<title>(.*?)</title>', 1) AS title",
+                f"{chain} AS body_text",
+                f"CAST(LENGTH({chain}) AS BIGINT) AS n_chars")
+            .orderBy("doc_id"))

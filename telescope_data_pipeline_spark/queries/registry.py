@@ -57,14 +57,15 @@ _REGISTRY: dict[str, Query] = {}
 #: (b) fresh rows-only attestation for the 11 media/ANN queries so
 #: they never age past ~3 rounds (round-11 VERDICT item 5) — 11
 #: entries;
-#: (c) first-time evidence for operators NEW in round 12 — 18 entries
+#: (c) first-time evidence for operators NEW in round 12 — 19 entries
 #: (4 from the first session + 6 monitoring/governance queries + the
 #: Hilbert layout key, Matryoshka truncation eval, isotonic
 #: calibration, trending terms, Simpson diversity, Cochran-Armitage
-#: trend, Mantel-Haenszel pooled OR, and the WARC crawl source);
+#: trend, Mantel-Haenszel pooled OR, the WARC crawl source, and the
+#: HTML WET extraction);
 #: (d) stale-attestation drain in the spill's promised order (the
-#: 8 round-4 leftovers, then the round-5 cohort alphabetically) — 20
-#: entries (the 14 drain slots the new cohort displaced move to the
+#: 8 round-4 leftovers, then the round-5 cohort alphabetically) — 19
+#: entries (the 15 drain slots the new cohort displaced move to the
 #: spill HEAD, keeping the promised alphabetical order for r13).
 #: The local tri-scale (sf0.001/0.01/0.1) oracle sweep still covers
 #: all registered queries per session.
@@ -82,17 +83,17 @@ PRIORITY: tuple[str, ...] = (
     "q_ldiversity", "q_mood_median", "q_ccf_lags", "q_hilbert_key",
     "q_matryoshka_recall", "q_isotonic_calibration", "q_trending_terms",
     "q_simpson_diversity", "q_cochran_armitage", "q_mantel_haenszel",
-    "q_scan_warc",
-    # (d) stale-attestation drain — 20 (sum = 50 exactly)
+    "q_scan_warc", "q_html_extract",
+    # (d) stale-attestation drain — 19 (sum = 50 exactly)
     "q_scalar_null", "q_scan_orc", "q_sql_api", "q_subquery_scalar",
     "q_window_firstlast", "q_window_ntile", "q_window_range",
     "q_window_rank",
     "q_agg_percentile", "q_agg_salted", "q_annulus_background",
     "q_bm25", "q_cluster_components", "q_data_card", "q_decontaminate",
     "q_dedup_bloom", "q_dedup_canonical", "q_dedup_exact",
-    "q_dedup_incremental", "q_dedup_minhash_md5",
+    "q_dedup_incremental",
     # spill (past the 50-entry gate; the r13 drain tail, alphabetical)
-    "q_dedup_simhash_md5",
+    "q_dedup_minhash_md5", "q_dedup_simhash_md5",
     "q_dup_spans", "q_epoch_shuffle",
     "q_filter_eq", "q_fingerprint_md5", "q_flagship",
     "q_join_asof", "q_join_broadcast",

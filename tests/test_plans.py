@@ -2287,3 +2287,17 @@ def test_mantel_haenszel_stratum_table_window(spark):
     assert "CartesianProduct" not in plan
     specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
     assert specs and all("stratum" in s for s in specs), specs
+
+
+def test_html_extract_map_only(spark):
+    """q_html_extract: a per-row regex chain — no window, no join; the
+    only Exchange allowed is the round-robin spread of the single-file
+    toy scan."""
+    from telescope_data_pipeline_spark.plans.audit import physical_plan
+
+    df = get("q_html_extract").fn(spark, SF)
+    df.collect()
+    plan = physical_plan(df)
+    for banned in ("Window", "CartesianProduct", "SortMergeJoin",
+                   "BroadcastHashJoin", "HashAggregate"):
+        assert banned not in plan, f"{banned} in plan:\n{plan}"
