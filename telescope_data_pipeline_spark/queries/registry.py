@@ -67,6 +67,12 @@ _REGISTRY: dict[str, Query] = {}
 #: 8 round-4 leftovers, then the round-5 cohort alphabetically) — 19
 #: entries (the 15 drain slots the new cohort displaced move to the
 #: spill HEAD, keeping the promised alphabetical order for r13).
+#: DELIBERATE TRADE: first-time evidence for the 19 new r12 operators
+#: outranks re-attesting queries the local tri-scale sweep re-proves
+#: every session; the remaining ~32 stale entries fit comfortably in
+#: the r13 window (a small r13 (c) cohort leaves 35+ drain slots),
+#: completing the backlog one round later than the r11 verdict's
+#: fastest path.
 #: The local tri-scale (sf0.001/0.01/0.1) oracle sweep still covers
 #: all registered queries per session.
 PRIORITY: tuple[str, ...] = (
