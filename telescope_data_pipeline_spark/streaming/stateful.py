@@ -1224,3 +1224,66 @@ def reservoir_sample_stream(stream: DataFrame) -> DataFrame:
                 outputMode="update",
                 timeoutConf=GroupStateTimeout.NoTimeout,
             ))
+
+
+# ---------------------------------------------------------------------------
+# Streaming language-mix monitor: Simpson diversity twin (round 12)
+# ---------------------------------------------------------------------------
+
+SD_STATE_SCHEMA = T.StructType([
+    T.StructField("langs", T.ArrayType(T.StringType())),
+    T.StructField("counts", T.ArrayType(T.LongType())),
+])
+
+SD_OUT_SCHEMA = T.StructType([
+    T.StructField("source", T.StringType()),
+    T.StructField("n_docs", T.LongType()),
+    T.StructField("n_langs", T.LongType()),
+    T.StructField("gini_simpson", T.DoubleType()),
+    T.StructField("inv_simpson", T.DoubleType()),
+])
+
+
+def _simpson_update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+    counts: dict[str, int] = (dict(zip(*state.get)) if state.exists else {})
+    for pdf in pdfs:
+        ok = pdf["lang"].notna()
+        for lang, c in pdf.loc[ok, "lang"].value_counts().items():
+            counts[lang] = counts.get(lang, 0) + int(c)
+    state.update((list(counts), [counts[k] for k in counts]))
+    nn = sum(counts.values())
+    pairs = sum(c * (c - 1) for c in counts.values())
+    tot = nn * (nn - 1)
+    # EXACTLY the batch q_simpson_diversity double tree + rounding
+    gini = (None if tot == 0
+            else _round_half_up(1.0 - float(pairs) / float(tot), 6) + 0.0)
+    inv = (None if tot == 0 or pairs == 0
+           else _round_half_up(float(tot) / float(pairs), 6) + 0.0)
+    yield pd.DataFrame([{
+        "source": key[0],
+        "n_docs": nn,
+        "n_langs": len(counts),
+        "gini_simpson": gini,
+        "inv_simpson": inv,
+    }])
+
+
+def simpson_diversity_stream(stream: DataFrame) -> DataFrame:
+    """Streaming per-source language-mix monitor: the live twin of the
+    batch q_simpson_diversity (queries/monitoring.py). State per source
+    is the (lang -> count) map — bounded by the number of languages,
+    and a bag of integer counts is an order-free sufficient statistic,
+    so the drained readout equals the batch rows bit-for-bit under ANY
+    arrival order (the q_hll_union-twin guarantee class). This is the
+    ingest-time alarm for a source whose language mix is shifting —
+    inv_simpson trending toward 1 means the crawl is collapsing to one
+    language — caught live instead of at the next corpus audit."""
+    s = stream.select("source", "lang").filter(F.col("lang").isNotNull())
+    return (s.groupBy("source")
+            .applyInPandasWithState(
+                _simpson_update,
+                outputStructType=SD_OUT_SCHEMA,
+                stateStructType=SD_STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            ))

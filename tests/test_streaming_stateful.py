@@ -824,3 +824,47 @@ def test_reservoir_sample_stream_matches_batch_any_order(spark):
                      for r in g.itertuples())
         assert got == exp, lang
     assert set(latest) == set(want["lang"].unique())
+
+
+def test_simpson_diversity_stream_matches_batch_any_order(spark):
+    """Streaming Simpson diversity: per-source language counts are an
+    order-free bag, so the drained per-source readout must equal the
+    batch q_simpson_diversity rows bit-for-bit under shuffled
+    arrival."""
+    import os
+
+    from telescope_data_pipeline_spark.queries import get
+    from telescope_data_pipeline_spark.streaming.ingest import (
+        read_document_stream,
+    )
+    from telescope_data_pipeline_spark.streaming.stateful import (
+        simpson_diversity_stream,
+    )
+
+    d = tempfile.mkdtemp(prefix="simpstream_")
+    docs = (load_table(spark, SF, "documents").toPandas()
+            .sample(frac=1.0, random_state=13).reset_index(drop=True))
+    k = len(docs) // 3
+    for i, chunk in enumerate((docs[:k], docs[k:2 * k], docs[2 * k:])):
+        p = f"{d}/part-{i}.parquet"
+        chunk.to_parquet(p, engine="pyarrow", index=False)
+        os.utime(p, (1700000000 + i, 1700000000 + i))
+    stream = read_document_stream(spark, d, max_files_per_trigger=1)
+
+    latest: dict = {}
+    q = (simpson_diversity_stream(stream)
+         .writeStream.outputMode("update")
+         .foreachBatch(lambda df, _bid: latest.update(
+             {r["source"]: r for _, r in df.toPandas().iterrows()}))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    assert len(q.recentProgress) >= 3
+
+    want = get("q_simpson_diversity").fn(spark, SF).toPandas()
+    assert set(latest) == set(want["source"])
+    for r in want.itertuples():
+        got = latest[r.source]
+        assert int(got["n_docs"]) == int(r.n_docs), r.source
+        assert int(got["n_langs"]) == int(r.n_langs), r.source
+        assert float(got["gini_simpson"]) == float(r.gini_simpson), r.source
+        assert float(got["inv_simpson"]) == float(r.inv_simpson), r.source
