@@ -2301,3 +2301,36 @@ def test_html_extract_map_only(spark):
     for banned in ("Window", "CartesianProduct", "SortMergeJoin",
                    "BroadcastHashJoin", "HashAggregate"):
         assert banned not in plan, f"{banned} in plan:\n{plan}"
+
+
+def test_r12_single_pass_scan_counts(spark):
+    """Round-12 plan audit pins (the r11 precedent): the single-pass
+    queries keep ONE fact scan; the 1-row-broadcast-scalar queries read
+    at most twice (edges/median/bounds subtree + consumer — the
+    accepted q_psi_drift shape); q_mood_median's jump-table subtrees
+    print repeatedly but execute ONCE (ReusedExchange dedupes the
+    distinct-value shuffle — assert the reuse is present)."""
+    import re
+
+    from telescope_data_pipeline_spark.plans.audit import physical_plan
+
+    def audit(name):
+        df = get(name).fn(spark, SF)
+        df.collect()
+        plan = physical_plan(df).split("== Initial Plan ==")[0]
+        return len(re.findall(r"FileScan parquet", plan)), plan
+
+    single = ("q_chao1", "q_theil_index", "q_trending_terms",
+              "q_simpson_diversity", "q_cochran_armitage",
+              "q_html_extract", "q_hilbert_key", "q_isotonic_calibration")
+    for name in single:
+        scans, plan = audit(name)
+        assert scans <= 1, f"{name}: {scans} scans\n{plan}"
+    for name in ("q_emd_drift", "q_ldiversity", "q_ccf_lags",
+                 "q_mantel_haenszel", "q_matryoshka_recall"):
+        scans, plan = audit(name)
+        assert scans <= 2, f"{name}: {scans} scans\n{plan}"
+    scans, plan = audit("q_mood_median")
+    assert scans <= 4, f"q_mood_median: {scans} scans\n{plan}"
+    assert "ReusedExchange" in plan, \
+        f"q_mood_median lost its exchange reuse\n{plan}"
