@@ -2750,3 +2750,96 @@ def image_near_duplicates(media: DataFrame,
     return (hamming_near_duplicates(fp, max_hamming=max_hamming)
             .select(F.col("id_a").alias("media_id_a"),
                     F.col("id_b").alias("media_id_b"), "hamming"))
+
+
+# ---------------------------------------------------------------------------
+# Animated WebP (VP8X + ANIM + ANMF) frame extraction
+# ---------------------------------------------------------------------------
+
+def decode_webp_frames(payload: bytes) -> dict:
+    """Animated WebP frame extraction (the still-image sibling of the
+    MP4/Matroska frame sampling): walks the top-level VP8X + ANIM +
+    ANMF chunks of the container spec and decodes EVERY frame's
+    bitstream with the existing pure-Python decoders (VP8L lossless;
+    strict-mode RFC 6386 VP8 key frames). Returns::
+
+        {"loop_count": int, "background_argb": int, "frames": [
+           {"index", "x", "y", "width", "height", "duration_ms",
+            "dispose_to_background", "no_blend", "pixels"}, ...]}
+
+    Frame geometry comes from the 16-byte ANMF params (x/y are stored
+    halved; width/height minus one); ``pixels`` is the frame's own
+    float32 grayscale raster — canvas COMPOSITING (dispose/blend) is
+    deliberately left to the consumer, the same contract as video
+    frame sampling: a training pipeline wants the frames, not a
+    player. Raises typed :class:`CodecUnavailable` on a non-animated
+    or corrupt container (whole-payload drop, never fatal)."""
+    b = bytes(payload)
+    if b[:4] != b"RIFF" or b[8:12] != b"WEBP":
+        raise CodecUnavailable("not a RIFF/WEBP container")
+
+    def le(x: bytes) -> int:
+        return int.from_bytes(x, "little")
+
+    def frame_pixels(sub: bytes) -> np.ndarray:
+        pos = 0
+        while pos + 8 <= len(sub):
+            cc = sub[pos:pos + 4]
+            size = le(sub[pos + 4:pos + 8])
+            body = pos + 8
+            if body + size > len(sub):
+                raise CodecUnavailable(f"ANMF subchunk {cc!r} overruns")
+            if cc == b"VP8L":
+                try:
+                    return _decode_vp8l(sub[body:body + size])
+                except (IndexError, ValueError, struct.error) as e:
+                    raise CodecUnavailable(f"corrupt frame VP8L: {e}") from e
+            if cc == b"VP8 ":
+                from .vp8 import decode_vp8
+
+                try:
+                    fr = decode_vp8(sub[body:body + size], strict=True)
+                    return np.ascontiguousarray(fr.y, dtype=np.float32)
+                except (IndexError, ValueError, struct.error) as e:
+                    raise CodecUnavailable(f"corrupt frame VP8: {e}") from e
+            pos = body + size + (size & 1)  # skip ALPH etc., 2-aligned
+        raise CodecUnavailable("ANMF frame carries no VP8/VP8L bitstream")
+
+    frames: list[dict] = []
+    loop_count = 0
+    background = 0
+    pos = 12
+    hi = min(len(b), 8 + le(b[4:8]))
+    while pos + 8 <= hi:
+        cc = b[pos:pos + 4]
+        size = le(b[pos + 4:pos + 8])
+        body = pos + 8
+        if body + size > hi:
+            raise CodecUnavailable(f"chunk {cc!r} overruns container")
+        if cc == b"ANIM":
+            if size < 6:
+                raise CodecUnavailable("short ANIM chunk")
+            background = le(b[body:body + 4])
+            loop_count = le(b[body + 4:body + 6])
+        elif cc == b"ANMF":
+            if size < 16:
+                raise CodecUnavailable("short ANMF chunk")
+            p = b[body:body + 16]
+            frames.append({
+                "index": len(frames),
+                "x": le(p[0:3]) * 2,
+                "y": le(p[3:6]) * 2,
+                "width": le(p[6:9]) + 1,
+                "height": le(p[9:12]) + 1,
+                "duration_ms": le(p[12:15]),
+                "dispose_to_background": bool(p[15] & 1),
+                "no_blend": bool(p[15] & 2),
+                "pixels": frame_pixels(b[body + 16:body + size]),
+            })
+        pos = body + size + (size & 1)
+    if not frames:
+        raise CodecUnavailable(
+            "WebP container has no ANMF frames (still image — use "
+            "decode_image)")
+    return {"loop_count": loop_count, "background_argb": background,
+            "frames": frames}

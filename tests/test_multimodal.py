@@ -2769,3 +2769,96 @@ def test_vp8l_distance_map_golden_120_entries():
     for (adx, ady), (bdx, bdy) in zip(_VP8L_DIST_MAP, _VP8L_DIST_MAP[1:]):
         if adx * adx + ady * ady == bdx * bdx + bdy * bdy:
             assert (abs(adx), adx < 0) < (abs(bdx), bdx < 0)
+
+
+def _vp8l_chunk_raw(rgb) -> bytes:
+    """Raw VP8L chunk (fourcc + size + data, padded) for one frame,
+    via the literal reference encoder pieces."""
+    h, w = rgb.shape[:2]
+    bw = _Vp8lW()
+    _vp8l_header(bw, w, h)
+    bw.w(0, 1)  # no transforms
+    rows = [[(255, int(p[0]), int(p[1]), int(p[2])) for p in row]
+            for row in rgb]
+    _w_literal_image(bw, rows, 0, level0=True)
+    data = bw.tobytes()
+    chunk = b"VP8L" + len(data).to_bytes(4, "little") + data
+    if len(data) & 1:
+        chunk += b"\x00"
+    return chunk
+
+
+def _animated_webp(frames, loop_count=3, background=0xFF112233) -> bytes:
+    """Compose a spec-shaped animated WebP: VP8X (animation flag) +
+    ANIM + one ANMF per (rgb, x, y, duration_ms, flags) frame."""
+    body = b""
+    vp8x = bytearray(10)
+    vp8x[0] = 0x02  # animation flag
+    body += b"VP8X" + (10).to_bytes(4, "little") + bytes(vp8x)
+    body += (b"ANIM" + (6).to_bytes(4, "little")
+             + background.to_bytes(4, "little")
+             + loop_count.to_bytes(2, "little"))
+    for rgb, x, y, dur, flags in frames:
+        h, w = rgb.shape[:2]
+        sub = _vp8l_chunk_raw(rgb)
+        params = ((x // 2).to_bytes(3, "little")
+                  + (y // 2).to_bytes(3, "little")
+                  + (w - 1).to_bytes(3, "little")
+                  + (h - 1).to_bytes(3, "little")
+                  + dur.to_bytes(3, "little") + bytes([flags]))
+        body += b"ANMF" + (16 + len(sub)).to_bytes(4, "little") + params + sub
+    payload = b"WEBP" + body
+    return b"RIFF" + len(payload).to_bytes(4, "little") + payload
+
+
+def test_webp_animation_frame_extraction():
+    """Animated WebP: every ANMF frame decodes through the existing
+    VP8L path with exact pixel recovery, and the frame geometry,
+    duration, dispose/blend flags, loop count, and background color
+    all come back from the container fields."""
+    import numpy as np
+
+    from telescope_data_pipeline_spark.operators.multimodal import (
+        decode_webp_frames,
+    )
+
+    rng = np.random.default_rng(21)
+    rgb0 = rng.integers(0, 256, size=(6, 8, 3), dtype=np.uint8)
+    rgb1 = rng.integers(0, 256, size=(4, 4, 3), dtype=np.uint8)
+    blob = _animated_webp([(rgb0, 0, 0, 40, 0x00),
+                           (rgb1, 2, 4, 120, 0x03)],
+                          loop_count=7, background=0xAABBCCDD)
+    out = decode_webp_frames(blob)
+    assert out["loop_count"] == 7
+    assert out["background_argb"] == 0xAABBCCDD
+    f0, f1 = out["frames"]
+    assert (f0["width"], f0["height"], f0["x"], f0["y"]) == (8, 6, 0, 0)
+    assert f0["duration_ms"] == 40
+    assert not f0["dispose_to_background"] and not f0["no_blend"]
+    assert np.allclose(f0["pixels"], _webp_luma(rgb0))
+    assert (f1["width"], f1["height"], f1["x"], f1["y"]) == (4, 4, 2, 4)
+    assert f1["duration_ms"] == 120
+    assert f1["dispose_to_background"] and f1["no_blend"]
+    assert np.allclose(f1["pixels"], _webp_luma(rgb1))
+
+
+def test_webp_animation_rejects_still_and_corrupt():
+    """A still WebP (no ANMF) and a frame with a truncated bitstream
+    both raise typed CodecUnavailable — the whole-payload drop rule."""
+    import numpy as np
+    import pytest
+
+    from telescope_data_pipeline_spark.operators.multimodal import (
+        CodecUnavailable,
+        decode_webp_frames,
+    )
+
+    rng = np.random.default_rng(22)
+    rgb = rng.integers(0, 256, size=(5, 5, 3), dtype=np.uint8)
+    with pytest.raises(CodecUnavailable):
+        decode_webp_frames(_encode_vp8l_literal(rgb))  # still image
+
+    blob = bytearray(_animated_webp([(rgb, 0, 0, 10, 0)]))
+    # truncate the VP8L data inside the ANMF: shrink container size
+    with pytest.raises(CodecUnavailable):
+        decode_webp_frames(bytes(blob[:-6]))

