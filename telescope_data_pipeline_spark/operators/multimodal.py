@@ -2843,3 +2843,126 @@ def decode_webp_frames(payload: bytes) -> dict:
             "decode_image)")
     return {"loop_count": loop_count, "background_argb": background,
             "frames": frames}
+
+
+# ---------------------------------------------------------------------------
+# Animated GIF frame extraction
+# ---------------------------------------------------------------------------
+
+def decode_gif_frames(payload: bytes) -> dict:
+    """Animated GIF frame extraction — the 89a sibling of
+    :func:`decode_webp_frames`: every image descriptor decodes through
+    the same LZW/interlace machinery as the still path, paired with
+    its Graphic Control Extension (delay, disposal method, transparent
+    index) and the NETSCAPE2.0 loop count. Returns::
+
+        {"loop_count": int|None, "frames": [
+           {"index", "x", "y", "width", "height", "delay_cs",
+            "disposal", "transparent_index", "pixels"}, ...]}
+
+    ``pixels`` is each frame's OWN raster as float32 grayscale
+    (canvas compositing left to the consumer — the frame-sampling
+    contract); ``delay_cs`` is in GIF's native centiseconds. Raises
+    typed :class:`CodecUnavailable` on corruption (whole-payload
+    drop)."""
+    try:
+        return _decode_gif_frames_inner(payload)
+    except (IndexError, ValueError, struct.error) as e:
+        raise CodecUnavailable(f"truncated or corrupt GIF: {e}") from e
+
+
+def _decode_gif_frames_inner(payload: bytes) -> dict:
+    b = bytes(payload)
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise CodecUnavailable("not a GIF signature")
+    sw, sh, packed, _bg, _aspect = struct.unpack("<HHBBB", b[6:13])
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(b, np.uint8, count=3 * n,
+                            offset=pos).reshape(n, 3)
+        pos += 3 * n
+    frames: list[dict] = []
+    loop_count: int | None = None
+    gce: dict = {}
+    while pos < len(b):
+        block = b[pos]
+        pos += 1
+        if block == 0x3B:
+            break
+        if block == 0x21:  # extension
+            label = b[pos]
+            pos += 1
+            subs = []
+            while b[pos] != 0:
+                ln = b[pos]
+                subs.append(b[pos + 1:pos + 1 + ln])
+                pos += 1 + ln
+            pos += 1
+            if label == 0xF9 and subs and len(subs[0]) >= 4:
+                p, lo, hi, ti = subs[0][:4]
+                gce = {"delay_cs": lo | (hi << 8),
+                       "disposal": (p >> 2) & 0x7,
+                       "transparent_index": ti if (p & 1) else None}
+            elif (label == 0xFF and subs
+                  and subs[0] == b"NETSCAPE2.0"
+                  and len(subs) > 1 and len(subs[1]) >= 3
+                  and subs[1][0] == 1):
+                loop_count = subs[1][1] | (subs[1][2] << 8)
+            continue
+        if block != 0x2C:
+            raise CodecUnavailable(f"GIF block 0x{block:02x} invalid")
+        left, top, fw, fh, ipacked = struct.unpack("<HHHHB",
+                                                   b[pos:pos + 9])
+        pos += 9
+        pal = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            pal = np.frombuffer(b, np.uint8, count=3 * n,
+                                offset=pos).reshape(n, 3)
+            pos += 3 * n
+        if pal is None:
+            raise CodecUnavailable("GIF image with no color table")
+        min_code = b[pos]
+        pos += 1
+        if not 2 <= min_code <= 11:
+            raise CodecUnavailable(f"GIF LZW min code {min_code} invalid")
+        chunks = []
+        while b[pos] != 0:
+            ln = b[pos]
+            chunks.append(b[pos + 1:pos + 1 + ln])
+            pos += 1 + ln
+        pos += 1
+        if fw <= 0 or fh <= 0:
+            raise CodecUnavailable("GIF zero-sized frame")
+        idx = np.frombuffer(
+            _gif_lzw_decode(b"".join(chunks), min_code, fw * fh),
+            np.uint8).reshape(fh, fw)
+        if ipacked & 0x40:
+            rows = np.concatenate([np.arange(0, fh, 8),
+                                   np.arange(4, fh, 8),
+                                   np.arange(2, fh, 4),
+                                   np.arange(1, fh, 2)])
+            deinter = np.empty_like(idx)
+            deinter[rows] = idx
+            idx = deinter
+        if int(idx.max(initial=0)) >= len(pal):
+            raise CodecUnavailable("GIF pixel index beyond color table")
+        rgb = pal[idx].astype(np.float32)
+        gray = (rgb[..., 0] * 0.299 + rgb[..., 1] * 0.587
+                + rgb[..., 2] * 0.114)
+        frames.append({
+            "index": len(frames),
+            "x": int(left), "y": int(top),
+            "width": int(fw), "height": int(fh),
+            "delay_cs": gce.get("delay_cs"),
+            "disposal": gce.get("disposal"),
+            "transparent_index": gce.get("transparent_index"),
+            "pixels": np.ascontiguousarray(gray, dtype=np.float32),
+        })
+        gce = {}
+    if not frames:
+        raise CodecUnavailable("GIF contains no image descriptor")
+    return {"loop_count": loop_count, "canvas_width": int(sw),
+            "canvas_height": int(sh), "frames": frames}

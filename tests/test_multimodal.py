@@ -2862,3 +2862,92 @@ def test_webp_animation_rejects_still_and_corrupt():
     # truncate the VP8L data inside the ANMF: shrink container size
     with pytest.raises(CodecUnavailable):
         decode_webp_frames(bytes(blob[:-6]))
+
+
+def _animated_gif(frames, loop_count=2):
+    """Compose a multi-frame GIF89a: global palette from frame 0's
+    palette, NETSCAPE loop extension, a Graphic Control Extension per
+    frame (delay centiseconds, disposal, optional transparency), and
+    per-frame local palettes where supplied."""
+    import struct
+
+    import numpy as np
+
+    pal0 = frames[0][1]
+    n = len(pal0)
+    size_bits = max((n - 1).bit_length(), 1) - 1
+    gct = np.zeros((2 << size_bits, 3), np.uint8)
+    gct[:n] = pal0
+    h0, w0 = frames[0][0].shape
+    sw = max(f[2] + f[0].shape[1] for f in frames)
+    sh = max(f[3] + f[0].shape[0] for f in frames)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", sw, sh, 0x80 | size_bits, 0, 0)
+    out += gct.tobytes()
+    out += (b"\x21\xff\x0bNETSCAPE2.0\x03\x01"
+            + loop_count.to_bytes(2, "little") + b"\x00")
+    for idx, pal, left, top, delay, disposal, trans in frames:
+        h, w = idx.shape
+        gp = (disposal << 2) | (1 if trans is not None else 0)
+        out += (b"\x21\xf9\x04" + bytes([gp])
+                + delay.to_bytes(2, "little")
+                + bytes([trans or 0]) + b"\x00")
+        local = not np.array_equal(pal, pal0)
+        ipacked = 0
+        if local:
+            lb = max((len(pal) - 1).bit_length(), 1) - 1
+            lct = np.zeros((2 << lb, 3), np.uint8)
+            lct[:len(pal)] = pal
+            ipacked = 0x80 | lb
+        out += b"\x2c" + struct.pack("<HHHHB", left, top, w, h, ipacked)
+        if local:
+            out += lct.tobytes()
+        min_code = max((max((len(pal) - 1).bit_length(), 1) - 1) + 1, 2)
+        out.append(min_code)
+        data = _gif_lzw_encode(idx.ravel(), min_code)
+        for i in range(0, len(data), 255):
+            chunk = data[i:i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out += b"\x3b"
+    return bytes(out)
+
+
+def test_gif_animation_frame_extraction():
+    """Animated GIF: every frame decodes with its own palette and
+    geometry; GCE delay/disposal/transparency and the NETSCAPE loop
+    count come back from the container."""
+    import numpy as np
+
+    from telescope_data_pipeline_spark.operators.multimodal import (
+        decode_gif_frames,
+    )
+
+    rng = np.random.default_rng(31)
+    pal0 = rng.integers(0, 256, size=(8, 3), dtype=np.uint8)
+    pal1 = rng.integers(0, 256, size=(4, 3), dtype=np.uint8)
+    idx0 = rng.integers(0, 8, size=(6, 9), dtype=np.uint8)
+    idx1 = rng.integers(0, 4, size=(3, 4), dtype=np.uint8)
+    blob = _animated_gif([
+        (idx0, pal0, 0, 0, 5, 0, None),
+        (idx1, pal1, 2, 1, 12, 2, 3),
+    ], loop_count=4)
+    out = decode_gif_frames(blob)
+    assert out["loop_count"] == 4
+    assert (out["canvas_width"], out["canvas_height"]) == (9, 6)
+    f0, f1 = out["frames"]
+    assert (f0["width"], f0["height"], f0["x"], f0["y"]) == (9, 6, 0, 0)
+    assert (f0["delay_cs"], f0["disposal"],
+            f0["transparent_index"]) == (5, 0, None)
+    assert np.allclose(f0["pixels"], _luma(pal0, idx0))
+    assert (f1["width"], f1["height"], f1["x"], f1["y"]) == (4, 3, 2, 1)
+    assert (f1["delay_cs"], f1["disposal"], f1["transparent_index"]) \
+        == (12, 2, 3)
+    assert np.allclose(f1["pixels"], _luma(pal1, idx1))
+
+    # still decoder keeps its first-frame contract on the same blob
+    from telescope_data_pipeline_spark.operators.multimodal import (
+        _decode_gif,
+    )
+    assert np.allclose(_decode_gif(blob), _luma(pal0, idx0))
