@@ -2966,3 +2966,71 @@ def _decode_gif_frames_inner(payload: bytes) -> dict:
         raise CodecUnavailable("GIF contains no image descriptor")
     return {"loop_count": loop_count, "canvas_width": int(sw),
             "canvas_height": int(sh), "frames": frames}
+
+
+#: Output schema of the animation frame extractor (one row per frame).
+ANIMATION_FRAMES = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("container", T.StringType(), True),
+    T.StructField("frame_idx", T.IntegerType(), True),
+    T.StructField("x", T.IntegerType(), True),
+    T.StructField("y", T.IntegerType(), True),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("duration_ms", T.DoubleType(), True),
+    T.StructField("loop_count", T.IntegerType(), True),
+    T.StructField("mean_px", T.DoubleType(), True),
+])
+
+
+def animation_frames(media: DataFrame) -> DataFrame:
+    """Distributed animation frame extraction: one output row per frame
+    of every ANIMATED GIF / WebP payload (magic-byte dispatch to
+    :func:`decode_gif_frames` / :func:`decode_webp_frames`), with
+    per-frame geometry, a millisecond-normalized duration (GIF's
+    centiseconds x10), the loop count, and the frame's mean gray level
+    as the scalar raster summary. Still images, undecodable payloads,
+    and NULLs are SKIPPED (the whole-payload drop rule) — the operator
+    yields only genuinely animated media.
+
+    Same execution shape as :func:`sample_frames`: frame explosion
+    happens inside the Arrow batch (UDTF shape, no shuffle); decode
+    runs in executors."""
+    rows = media.select("media_id", "payload")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[dict] = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                head = bytes(payload[:12])
+                try:
+                    if head[:4] == b"GIF8":
+                        dec = decode_gif_frames(payload)
+                        container, scale = "gif", 10.0
+                    elif head[:4] == b"RIFF" and head[8:12] == b"WEBP":
+                        dec = decode_webp_frames(payload)
+                        container, scale = "webp", 1.0
+                    else:
+                        continue
+                except CodecUnavailable:
+                    continue  # still image or corrupt: skip, never fatal
+                loop = dec.get("loop_count")
+                for f in dec["frames"]:
+                    dur = f.get("duration_ms", f.get("delay_cs"))
+                    out.append({
+                        "media_id": media_id,
+                        "container": container,
+                        "frame_idx": f["index"],
+                        "x": f["x"], "y": f["y"],
+                        "width": f["width"], "height": f["height"],
+                        "duration_ms": (None if dur is None
+                                        else float(dur) * scale),
+                        "loop_count": loop,
+                        "mean_px": float(f["pixels"].mean()),
+                    })
+            yield pd.DataFrame(out, columns=[s.name for s in
+                                             ANIMATION_FRAMES])
+
+    return rows.mapInPandas(kernel, schema=ANIMATION_FRAMES)

@@ -2951,3 +2951,39 @@ def test_gif_animation_frame_extraction():
         _decode_gif,
     )
     assert np.allclose(_decode_gif(blob), _luma(pal0, idx0))
+
+
+def test_animation_frames_operator_distributed(spark):
+    """The Arrow-batched animation extractor yields one row per frame
+    of each genuinely animated payload (GIF centiseconds normalized to
+    ms), and silently skips stills, garbage, and NULLs — whole-payload
+    drop inside the executor kernel."""
+    import numpy as np
+
+    from telescope_data_pipeline_spark.operators.multimodal import (
+        animation_frames,
+    )
+
+    rng = np.random.default_rng(41)
+    pal = rng.integers(0, 256, size=(8, 3), dtype=np.uint8)
+    idx0 = rng.integers(0, 8, size=(5, 7), dtype=np.uint8)
+    idx1 = rng.integers(0, 8, size=(5, 7), dtype=np.uint8)
+    gif = _animated_gif([(idx0, pal, 0, 0, 5, 0, None),
+                         (idx1, pal, 0, 0, 8, 1, None)], loop_count=2)
+    rgb = rng.integers(0, 256, size=(6, 8, 3), dtype=np.uint8)
+    webp = _animated_webp([(rgb, 0, 0, 40, 0)], loop_count=9)
+    still = _encode_vp8l_literal(rgb)
+    media = spark.createDataFrame(
+        [(1, bytearray(gif)), (2, bytearray(webp)),
+         (3, bytearray(still)), (4, bytearray(b"garbage")), (5, None)],
+        "media_id long, payload binary")
+    rows = {(r.media_id, r.frame_idx): r
+            for r in animation_frames(media).collect()}
+    assert set(rows) == {(1, 0), (1, 1), (2, 0)}
+    g0, g1, w0 = rows[(1, 0)], rows[(1, 1)], rows[(2, 0)]
+    assert g0.container == "gif" and g0.duration_ms == 50.0
+    assert g1.duration_ms == 80.0 and g1.loop_count == 2
+    assert abs(g0.mean_px - float(_luma(pal, idx0).mean())) < 1e-4
+    assert w0.container == "webp" and w0.duration_ms == 40.0
+    assert w0.loop_count == 9 and (w0.width, w0.height) == (8, 6)
+    assert abs(w0.mean_px - float(_webp_luma(rgb).mean())) < 1e-4
