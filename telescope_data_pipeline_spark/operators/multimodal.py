@@ -966,6 +966,9 @@ def _decode_gif_inner(payload: bytes) -> np.ndarray:
         pos += 1
         if fw <= 0 or fh <= 0:
             raise CodecUnavailable("GIF zero-sized frame")
+        if fw * fh > 64_000_000:  # decode-bomb guard: a 16-byte header
+            # can claim a 4.3-gigapixel frame and OOM the executor
+            raise CodecUnavailable(f"GIF frame {fw}x{fh} over decode cap")
         idx = np.frombuffer(
             _gif_lzw_decode(b"".join(chunks), min_code, fw * fh),
             np.uint8).reshape(fh, fw)
@@ -2936,6 +2939,9 @@ def _decode_gif_frames_inner(payload: bytes) -> dict:
         pos += 1
         if fw <= 0 or fh <= 0:
             raise CodecUnavailable("GIF zero-sized frame")
+        if fw * fh > 64_000_000:  # decode-bomb guard: a 16-byte header
+            # can claim a 4.3-gigapixel frame and OOM the executor
+            raise CodecUnavailable(f"GIF frame {fw}x{fh} over decode cap")
         idx = np.frombuffer(
             _gif_lzw_decode(b"".join(chunks), min_code, fw * fh),
             np.uint8).reshape(fh, fw)

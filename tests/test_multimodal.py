@@ -2987,3 +2987,66 @@ def test_animation_frames_operator_distributed(spark):
     assert w0.container == "webp" and w0.duration_ms == 40.0
     assert w0.loop_count == 9 and (w0.width, w0.height) == (8, 6)
     assert abs(w0.mean_px - float(_webp_luma(rgb).mean())) < 1e-4
+
+
+def test_animation_decoders_fuzz_exception_surface():
+    """Property fuzz over the animation decoders: arbitrary bytes (and
+    mutated valid containers) must either decode or raise typed
+    CodecUnavailable — never any other exception, never a hang. The
+    distributed animation_frames kernel catches ONLY CodecUnavailable,
+    so a leaked exception type would kill the executor task. Also pins
+    the decode-bomb guard: a GIF header claiming a gigapixel frame is
+    rejected before allocation."""
+    import struct
+
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from telescope_data_pipeline_spark.operators.multimodal import (
+        CodecUnavailable,
+        decode_gif_frames,
+        decode_webp_frames,
+    )
+
+    @given(st.binary(max_size=200))
+    @settings(max_examples=200, deadline=None)
+    def fuzz_raw(data):
+        for fn, magic in ((decode_gif_frames, b"GIF89a"),
+                          (decode_webp_frames, b"RIFF\x20\x00\x00\x00WEBP")):
+            try:
+                fn(magic + data)
+            except CodecUnavailable:
+                pass
+
+    fuzz_raw()
+
+    rng = np.random.default_rng(51)
+    pal = rng.integers(0, 256, size=(4, 3), dtype=np.uint8)
+    idx = rng.integers(0, 4, size=(4, 4), dtype=np.uint8)
+    gif = _animated_gif([(idx, pal, 0, 0, 5, 0, None)])
+    rgb = rng.integers(0, 256, size=(4, 4, 3), dtype=np.uint8)
+    webp = _animated_webp([(rgb, 0, 0, 10, 0)])
+
+    @given(st.integers(6, 200), st.integers(0, 255))
+    @settings(max_examples=200, deadline=None)
+    def fuzz_mutate(pos, val):
+        for blob, fn in ((gif, decode_gif_frames),
+                         (webp, decode_webp_frames)):
+            mutated = bytearray(blob)
+            mutated[pos % len(mutated)] = val
+            try:
+                fn(bytes(mutated))
+            except CodecUnavailable:
+                pass
+
+    fuzz_mutate()
+
+    # decode-bomb guard: gigapixel frame dims rejected, not allocated
+    bomb = bytearray(_animated_gif([(idx, pal, 0, 0, 5, 0, None)]))
+    at = bytes(bomb).index(b"\x2c")  # image descriptor
+    bomb[at + 5:at + 9] = struct.pack("<HH", 65535, 65535)
+    import pytest
+
+    with pytest.raises(CodecUnavailable):
+        decode_gif_frames(bytes(bomb))
