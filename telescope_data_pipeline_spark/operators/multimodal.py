@@ -107,6 +107,17 @@ def _has_magic(payload: bytes, magics: tuple[bytes, ...],
     return any(head.startswith(m) for m in magics)
 
 
+_MAX_DECODE_PIXELS = 64_000_000  # decode-bomb cap, shared by all decoders
+
+
+def _guard_dims(w: int, h: int, what: str) -> None:
+    """Header-claimed dimensions gate EVERY allocation: a few header
+    bytes can claim a multi-gigapixel raster and OOM an executor (the
+    exception surface contract allows only CodecUnavailable)."""
+    if w <= 0 or h <= 0 or w * h > _MAX_DECODE_PIXELS:
+        raise CodecUnavailable(f"{what} dimensions {w}x{h} over decode cap")
+
+
 def _is_bmp(payload: bytes) -> bool:
     """True only for a plausible BMP: 'BM' signature AND a known DIB
     header size at offset 14 (12/40/108/124) — the extra check keeps
@@ -242,7 +253,15 @@ def _decode_png_inner(payload: bytes) -> np.ndarray:
         raise CodecUnavailable("PNG 16-bit palette is not a legal combo")
     if interlace not in (0, 1):
         raise CodecUnavailable(f"PNG interlace method {interlace} invalid")
-    raw = zlib.decompress(b"".join(idat))
+    _guard_dims(w, h, "PNG")
+    # bounded inflate: sequential needs h*(1+stride); Adam7 repeats the
+    # per-pass filter byte, so 2x + slack covers every legal layout —
+    # a compression bomb stops HERE instead of filling executor memory
+    bound = 2 * h * (1 + w * channels * (depth // 8)) + 1024
+    d = zlib.decompressobj()
+    raw = d.decompress(b"".join(idat), bound)
+    if d.unconsumed_tail:
+        raise CodecUnavailable("PNG inflate output exceeds pixel bound")
     bps = depth // 8  # bytes per sample
 
     def reconstruct(off: int, pw: int, ph: int) -> tuple[np.ndarray, int]:
@@ -499,6 +518,7 @@ def _decode_jpeg_inner(payload: bytes) -> np.ndarray:
     vmax = max(c[2] for c in comps)
     if comps[0][1] != hmax or comps[0][2] != vmax:
         raise CodecUnavailable("JPEG with subsampled luma unsupported")
+    _guard_dims(w, h, "JPEG")
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
     yplane = np.zeros((mcuy * 8 * vmax, mcux * 8 * hmax), np.float64)
@@ -732,6 +752,7 @@ def _decode_jpeg_progressive_inner(b: bytes) -> np.ndarray:
             vmax = max(c[2] for c in comps)
             if comps[0][1] != hmax or comps[0][2] != vmax:
                 raise CodecUnavailable("JPEG with subsampled luma unsupported")
+            _guard_dims(w, h, "JPEG")
             mcux = -(-w // (8 * hmax))
             mcuy = -(-h // (8 * vmax))
             for _cid, ch, cv, _tq in comps:
@@ -1120,6 +1141,7 @@ def _decode_tiff_inner(payload: bytes) -> np.ndarray:
         return v[0]
 
     w, h = one(256), one(257)
+    _guard_dims(w, h, "TIFF")
     comp = one(259, 1)
     photo = one(262)
     spp = one(277, 1)

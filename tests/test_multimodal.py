@@ -3050,3 +3050,43 @@ def test_animation_decoders_fuzz_exception_surface():
 
     with pytest.raises(CodecUnavailable):
         decode_gif_frames(bytes(bomb))
+
+
+def test_decode_bomb_guards_reject_header_claimed_gigapixels():
+    """A few header bytes must not allocate gigabytes in an executor:
+    PNG zlib bombs stop at the bounded inflate, and PNG/TIFF headers
+    claiming gigapixel rasters raise typed CodecUnavailable before any
+    allocation (the animation/GIF guard is pinned in the fuzz test)."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from telescope_data_pipeline_spark.operators.multimodal import (
+        CodecUnavailable,
+        _png_chunk,
+        decode_image,
+    )
+
+    # PNG decompression bomb: 4x4 gray header, IDAT inflating to 10 MB
+    ihdr = _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0))
+    bomb = _png_chunk(b"IDAT", zlib.compress(b"\x00" * 10_000_000))
+    iend = _png_chunk(b"IEND", b"")
+    with pytest.raises(CodecUnavailable, match="inflate output exceeds"):
+        decode_image(b"\x89PNG\r\n\x1a\n" + ihdr + bomb + iend)
+
+    # PNG header claiming a gigapixel raster
+    big = _png_chunk(b"IHDR",
+                     struct.pack(">IIBBBBB", 100_000, 100_000, 8, 0, 0, 0, 0))
+    idat = _png_chunk(b"IDAT", zlib.compress(b"\x00"))
+    with pytest.raises(CodecUnavailable, match="over decode cap"):
+        decode_image(b"\x89PNG\r\n\x1a\n" + big + idat + iend)
+
+    # TIFF tags claiming a gigapixel raster (entries are LONG-typed)
+    tif = bytearray(_tiff_encode(np.zeros((4, 4), np.uint8)))
+    for tag in (256, 257):
+        at = bytes(tif).index(struct.pack("<HHI", tag, 4, 1))
+        tif[at + 8:at + 12] = struct.pack("<I", 100_000)
+    with pytest.raises(CodecUnavailable, match="over decode cap"):
+        decode_image(bytes(tif))
