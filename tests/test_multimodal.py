@@ -3090,3 +3090,58 @@ def test_decode_bomb_guards_reject_header_claimed_gigapixels():
         tif[at + 8:at + 12] = struct.pack("<I", 100_000)
     with pytest.raises(CodecUnavailable, match="over decode cap"):
         decode_image(bytes(tif))
+
+
+def test_decode_image_fuzz_exception_surface():
+    """Property fuzz over the WHOLE still-image dispatch: mutated valid
+    files of every built-in format (BMP, PNG, JPEG-ish via PNG16, GIF,
+    TIFF, WebP/VP8L) and raw garbage behind each magic must decode or
+    raise typed CodecUnavailable — the q_media_* kernels catch only
+    that type."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from telescope_data_pipeline_spark.operators.multimodal import (
+        CodecUnavailable,
+        decode_image,
+    )
+
+    rng = np.random.default_rng(61)
+    gray = rng.integers(0, 256, size=(6, 7), dtype=np.uint8)
+    rgbs = rng.integers(0, 256, size=(5, 6, 3), dtype=np.uint8)
+    pal = rng.integers(0, 256, size=(8, 3), dtype=np.uint8)
+    idx = rng.integers(0, 8, size=(6, 6), dtype=np.uint8)
+    blobs = [
+        _png_encode(gray, ctype=0),
+        _png_encode(rgbs, ctype=2, depth=16),
+        _gif_encode(idx, pal),
+        _tiff_encode(np.asarray(rgbs)),
+        _encode_vp8l_literal(rgbs),
+    ]
+
+    @given(st.integers(0, len(blobs) - 1), st.integers(0, 4095),
+           st.integers(0, 255))
+    @settings(max_examples=400, deadline=None)
+    def fuzz_mutate(which, pos, val):
+        blob = bytearray(blobs[which])
+        blob[pos % len(blob)] = val
+        try:
+            decode_image(bytes(blob))
+        except CodecUnavailable:
+            pass
+
+    fuzz_mutate()
+
+    magics = [b"BM", b"\x89PNG\r\n\x1a\n", b"\xff\xd8\xff\xe0",
+              b"GIF89a", b"II*\x00", b"RIFF\x20\x00\x00\x00WEBP"]
+
+    @given(st.integers(0, len(magics) - 1), st.binary(max_size=120))
+    @settings(max_examples=300, deadline=None)
+    def fuzz_raw(which, tail):
+        try:
+            decode_image(magics[which] + tail)
+        except CodecUnavailable:
+            pass
+
+    fuzz_raw()
