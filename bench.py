@@ -201,6 +201,13 @@ EXTRA = [
     "q_mantel_haenszel",
     "q_scan_warc",
     "q_html_extract",
+    # round-12 session-3 additions (diagnostics / release gates)
+    "q_ljung_box",
+    "q_granger",
+    "q_tcloseness",
+    "q_kde_curve",
+    "q_knn_outlier",
+    "q_atkinson",
 ]
 
 

@@ -1702,15 +1702,212 @@ def _webp_find_vp8l(b: bytes) -> bytes | None:
     return walk(12, min(len(b), 8 + int.from_bytes(b[4:8], "little")))
 
 
+def _is_pnm(payload: bytes) -> bool:
+    """True for a plausible Netpbm payload: 'P1'..'P6' magic followed
+    by whitespace or a comment — the extra byte keeps 2-byte
+    coincidences on the stub path (same policy as _is_bmp)."""
+    head = bytes(payload[:3])
+    return (len(head) >= 3 and head[0:1] == b"P"
+            and head[1:2] in b"123456"
+            and head[2:3] in b" \t\r\n\x0b\x0c#")
+
+
+def _decode_pnm(payload: bytes) -> np.ndarray:
+    """Pure-Python Netpbm decode (no PIL needed): all six classic
+    formats — P1/P4 bitmap (ASCII/raw packed bits, 1 = black per
+    spec), P2/P5 graymap and P3/P6 pixmap (ASCII / raw, maxval up to
+    65535 with 2-byte big-endian raw samples). Grayscale via the same
+    ITU-R 601 luma as the other decoders; samples scale to 0..255 by
+    255/maxval. Header comments (#) are skipped; truncated or
+    malformed payloads raise typed CodecUnavailable."""
+    b = bytes(payload)
+    kind = b[1:2]
+
+    # header tokenizer: whitespace-separated ints, '#' comments to EOL;
+    # returns the tokens and the offset ONE whitespace byte after the
+    # last header token (where raw sample data begins, per spec)
+    def tokens(n_wanted: int) -> tuple[list[int], int]:
+        toks: list[int] = []
+        i = 2
+        while len(toks) < n_wanted:
+            while i < len(b) and b[i:i + 1] in b" \t\r\n\x0b\x0c#":
+                if b[i:i + 1] == b"#":
+                    j = b.find(b"\n", i)
+                    i = len(b) if j < 0 else j
+                i += 1
+            j = i
+            while j < len(b) and b[j:j + 1].isdigit():
+                j += 1
+            if j == i or j - i > 10:
+                # >10 digits: no legal dim/maxval, and CPython's int()
+                # digit limit would raise a foreign ValueError
+                raise CodecUnavailable("PNM header malformed")
+            toks.append(int(b[i:j]))
+            i = j
+        if i >= len(b) or b[i:i + 1] not in b" \t\r\n\x0b\x0c":
+            raise CodecUnavailable("PNM header not terminated")
+        return toks, i + 1
+
+    bitmap, ascii_form = kind in b"14", kind in b"123"
+    nch = 3 if kind in b"36" else 1
+    hdr, data = tokens(2 if bitmap else 3)
+    w, h = hdr[0], hdr[1]
+    _guard_dims(w, h, "PNM")
+    maxval = 1 if bitmap else hdr[2]
+    if not 1 <= maxval <= 65535:
+        raise CodecUnavailable(f"PNM maxval {maxval} out of range")
+    if kind == b"1":  # ASCII bitmap: bits need NO separators per spec
+        bits = [c - 48 for c in b[data:] if c in (48, 49)]
+        if len(bits) < w * h:
+            raise CodecUnavailable("PNM ASCII samples truncated")
+        px = np.array(bits[:w * h], dtype=np.float32)
+    elif ascii_form:
+        vals = b[data:].split()
+        if len(vals) < w * h * nch:
+            raise CodecUnavailable("PNM ASCII samples truncated")
+        try:
+            px = np.array([int(v) for v in vals[:w * h * nch]],
+                          dtype=np.float32)
+        except ValueError as e:
+            raise CodecUnavailable("PNM ASCII sample not a number") from e
+    elif kind == b"4":  # raw packed bits, rows padded to whole bytes
+        row_bytes = (w + 7) // 8
+        raw = np.frombuffer(b, np.uint8, offset=data,
+                            count=min(row_bytes * h, len(b) - data))
+        if raw.size < row_bytes * h:
+            raise CodecUnavailable("PNM raw bitmap truncated")
+        bits = np.unpackbits(raw.reshape(h, row_bytes), axis=1)[:, :w]
+        px = bits.astype(np.float32)
+    else:  # P5/P6 raw: 1-byte, or 2-byte big-endian when maxval > 255
+        wide = maxval > 255
+        need = w * h * nch * (2 if wide else 1)
+        if len(b) - data < need:
+            raise CodecUnavailable("PNM raw samples truncated")
+        raw = np.frombuffer(b, np.uint8, offset=data, count=need)
+        if wide:
+            px = (raw[0::2].astype(np.float32) * 256.0
+                  + raw[1::2].astype(np.float32))
+        else:
+            px = raw.astype(np.float32)
+    if bitmap:
+        gray = (1.0 - px.reshape(h, w)) * 255.0  # 1 = black per spec
+    elif nch == 3:
+        rgb = px.reshape(h, w, 3) * (255.0 / maxval)
+        gray = (rgb[..., 0] * 0.299 + rgb[..., 1] * 0.587
+                + rgb[..., 2] * 0.114)
+    else:
+        gray = px.reshape(h, w) * (255.0 / maxval)
+    return np.ascontiguousarray(gray, dtype=np.float32)
+
+
+def _is_ico(payload: bytes) -> bool:
+    """True for a plausible ICO/CUR container: reserved 0, type 1
+    (icon) or 2 (cursor), and a sane image count — the count bound
+    keeps 4-byte zero-prefix coincidences on the stub path."""
+    head = bytes(payload[:6])
+    if len(head) < 6 or head[:2] != b"\x00\x00":
+        return False
+    typ = int.from_bytes(head[2:4], "little")
+    cnt = int.from_bytes(head[4:6], "little")
+    return typ in (1, 2) and 1 <= cnt <= 64
+
+
+def _decode_ico(payload: bytes) -> np.ndarray:
+    """Pure-Python ICO/CUR (favicon) decode: picks the LARGEST
+    directory entry (consumer convention), then decodes its payload —
+    an embedded PNG (reused _decode_png) or a headerless BMP DIB with
+    the spec's doubled height (XOR raster + AND mask; the mask is
+    transparency/compositing policy and is ignored for the grayscale
+    raster, like the animated-frame decoders). 1/4/8-bit palette and
+    24/32-bit BI_RGB rasters; anything compressed or truncated raises
+    typed CodecUnavailable."""
+    b = bytes(payload)
+    cnt = int.from_bytes(b[4:6], "little")
+    if len(b) < 6 + 16 * cnt:
+        raise CodecUnavailable("ICO directory truncated")
+    best = None  # (area, -index) -> (off, size, w, h)
+    for i in range(cnt):
+        e = b[6 + 16 * i: 6 + 16 * i + 16]
+        w = e[0] or 256
+        h = e[1] or 256
+        size = int.from_bytes(e[8:12], "little")
+        off = int.from_bytes(e[12:16], "little")
+        if off + size > len(b) or size < 8:
+            continue  # skip corrupt entries; others may still decode
+        key = (w * h, -i)
+        if best is None or key > best[0]:
+            best = (key, off, size, w, h)
+    if best is None:
+        raise CodecUnavailable("ICO has no decodable entry")
+    _, off, size, ew, eh = best
+    sub = b[off:off + size]
+    if sub[:4] == b"\x89PNG":
+        return _decode_png(sub)
+    # headerless DIB: BITMAPINFOHEADER with height doubled for the mask
+    if len(sub) < 40 or int.from_bytes(sub[0:4], "little") != 40:
+        raise CodecUnavailable("ICO entry is neither PNG nor V3 DIB")
+    w = int.from_bytes(sub[4:8], "little", signed=True)
+    h2 = int.from_bytes(sub[8:12], "little", signed=True)
+    bpp = int.from_bytes(sub[14:16], "little")
+    comp = int.from_bytes(sub[16:20], "little")
+    if comp != 0 or bpp not in (1, 4, 8, 24, 32) or w <= 0 or h2 <= 0:
+        raise CodecUnavailable(
+            f"ICO DIB variant unsupported (bpp={bpp}, compression={comp})")
+    if h2 == 2 * eh:
+        h = eh            # spec: DIB height includes the AND mask
+    elif h2 == eh:
+        h = eh            # tolerated: writer omitted the mask doubling
+    else:
+        raise CodecUnavailable("ICO DIB height disagrees with directory")
+    _guard_dims(w, h, "ICO")
+    ncol = int.from_bytes(sub[32:36], "little") or (
+        1 << bpp if bpp <= 8 else 0)
+    if ncol > 256:
+        raise CodecUnavailable("ICO palette count over cap")
+    pal_off = 40
+    row_bytes = ((w * bpp + 31) // 32) * 4
+    pix_off = pal_off + 4 * ncol
+    if pix_off + row_bytes * h > len(sub):
+        raise CodecUnavailable("ICO DIB pixel array truncated")
+    rows = np.frombuffer(sub, np.uint8, count=row_bytes * h,
+                         offset=pix_off).reshape(h, row_bytes)
+    if bpp == 24:
+        bgr = rows[:, :w * 3].reshape(h, w, 3).astype(np.float32)
+    elif bpp == 32:
+        bgr = rows[:, :w * 4].reshape(h, w, 4)[..., :3].astype(np.float32)
+    else:  # 1/4/8-bit palette
+        pal = np.zeros((max(ncol, 1), 4), np.uint8)
+        got = np.frombuffer(sub, np.uint8, count=4 * ncol,
+                            offset=pal_off).reshape(ncol, 4)
+        pal[:ncol] = got
+        if bpp == 8:
+            idx = rows[:, :w]
+        else:
+            bits = np.unpackbits(rows, axis=1)
+            if bpp == 1:
+                idx = bits[:, :w]
+            else:  # 4-bit: each nibble is an index, MSB nibble first
+                nib = (bits.reshape(h, -1, 4)
+                       * np.array([8, 4, 2, 1], np.uint8)).sum(axis=2)
+                idx = nib[:, :w]
+        if int(idx.max(initial=0)) >= ncol:
+            raise CodecUnavailable("ICO palette index out of range")
+        bgr = pal[idx][..., :3].astype(np.float32)
+    gray = (bgr[..., 2] * 0.299 + bgr[..., 1] * 0.587
+            + bgr[..., 0] * 0.114)
+    return np.ascontiguousarray(gray[::-1], dtype=np.float32)  # bottom-up
+
+
 def decode_image(payload: bytes) -> np.ndarray:
     """Decode an encoded image payload to a float32 grayscale array.
 
     Dispatch by MAGIC BYTES: BMP, PNG (sequential + Adam7, 8/16-bit),
     JPEG (baseline + progressive), GIF, baseline TIFF, WebP/VP8L
-    (lossless, all transforms), and lossy WebP/VP8 key frames
+    (lossless, all transforms), lossy WebP/VP8 key frames
     (strict-mode pure-Python RFC 6386 decode; a bitstream desync
-    raises typed CodecUnavailable, never silent wrong pixels) decode
-    with the built-in pure-Python decoders (always available);
+    raises typed CodecUnavailable, never silent wrong pixels), Netpbm
+    P1-P6, and ICO/CUR favicons (largest entry; embedded PNG or DIB)
+    decode with the built-in pure-Python decoders (always available);
     anything else is a synthetic fixture and takes the deterministic
     stub."""
     if payload is None:
@@ -1727,6 +1924,10 @@ def decode_image(payload: bytes) -> np.ndarray:
         return _decode_tiff(payload)
     if _has_magic(payload, (), riff_kind=b"WEBP"):
         return _decode_webp(payload)
+    if _is_pnm(payload):
+        return _decode_pnm(payload)
+    if _is_ico(payload):
+        return _decode_ico(payload)
     return _decode_image_stub(payload)
 
 

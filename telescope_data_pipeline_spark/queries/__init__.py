@@ -14,6 +14,7 @@ def load_all() -> None:
     from . import (  # noqa: F401
         aggregates,
         analysis,
+        diagnostics,
         domain,
         evaluation,
         flagship,

@@ -83,22 +83,28 @@ PRIORITY: tuple[str, ...] = (
     "q_scan_fits", "q_agg_approx", "q_media_audio", "q_media_resize",
     "q_quantile_sketch", "q_media_phash", "q_dedup_embed_lsh",
     "q_pipeline_residuals",
-    # (c) first-time evidence: operators new in round 12 — 12
+    # (c) first-time evidence: operators new in round 12 — 25
+    # (19 from sessions 1-2 + the 6 session-3 diagnostics/release-gate
+    # queries, which displace the last 6 drain slots to the spill HEAD —
+    # the same documented trade as the session-2 cohort)
     "q_media_webp_lossy", "q_gini_by_group", "q_parquet_profile",
     "q_vocab_growth", "q_emd_drift", "q_chao1", "q_theil_index",
     "q_ldiversity", "q_mood_median", "q_ccf_lags", "q_hilbert_key",
     "q_matryoshka_recall", "q_isotonic_calibration", "q_trending_terms",
     "q_simpson_diversity", "q_cochran_armitage", "q_mantel_haenszel",
     "q_scan_warc", "q_html_extract",
-    # (d) stale-attestation drain — 19 (sum = 50 exactly)
+    "q_ljung_box", "q_granger", "q_tcloseness", "q_kde_curve",
+    "q_knn_outlier", "q_atkinson",
+    # (d) stale-attestation drain — 13 (sum = 50 exactly)
     "q_scalar_null", "q_scan_orc", "q_sql_api", "q_subquery_scalar",
     "q_window_firstlast", "q_window_ntile", "q_window_range",
     "q_window_rank",
     "q_agg_percentile", "q_agg_salted", "q_annulus_background",
-    "q_bm25", "q_cluster_components", "q_data_card", "q_decontaminate",
+    "q_bm25", "q_cluster_components",
+    # spill (past the 50-entry gate; the r13 drain tail, alphabetical)
+    "q_data_card", "q_decontaminate",
     "q_dedup_bloom", "q_dedup_canonical", "q_dedup_exact",
     "q_dedup_incremental",
-    # spill (past the 50-entry gate; the r13 drain tail, alphabetical)
     "q_dedup_minhash_md5", "q_dedup_simhash_md5",
     "q_dup_spans", "q_epoch_shuffle",
     "q_filter_eq", "q_fingerprint_md5", "q_flagship",

@@ -1287,3 +1287,192 @@ def simpson_diversity_stream(stream: DataFrame) -> DataFrame:
                 outputMode="update",
                 timeoutConf=GroupStateTimeout.NoTimeout,
             ))
+
+
+# ---------------------------------------------------------------------------
+# Streaming Benford first-digit audit (live twin of the batch q_benford,
+# queries/science.py — the forensic integrity screen as an always-on
+# ingest monitor: a unit-mangled or fabricated feed bends the digit
+# histogram within one micro-batch, long before the next corpus audit).
+# ---------------------------------------------------------------------------
+
+BF_STATE_SCHEMA = T.StructType([
+    T.StructField("digits", T.ArrayType(T.LongType())),   # 9 counts
+])
+
+BF_OUT_SCHEMA = T.StructType([
+    T.StructField("digit", T.IntegerType()),
+    T.StructField("n_obs", T.LongType()),
+    T.StructField("obs_pct", T.DoubleType()),
+    T.StructField("exp_pct", T.DoubleType()),
+    T.StructField("chi2_total", T.DoubleType()),
+])
+
+
+def _benford_update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+    import math
+
+    counts = (list(state.get[0]) if state.exists else [0] * 9)
+    for pdf in pdfs:
+        ok = pdf["value"].notna()
+        for v in pdf.loc[ok, "value"]:
+            # EXACTLY the batch q_benford digit rule: first decimal digit
+            # of the HALF_UP centi-unit integer (never floor(log10));
+            # non-positive centi values carry no leading digit
+            vc = int(_round_half_up(float(v) * 100))
+            if vc >= 1:
+                counts[int(str(vc)[0]) - 1] += 1
+    state.update((counts,))
+    n = sum(counts)
+    # the batch report, term for term: nano-quantized chi-square terms
+    # summed as exact ints, one double tree per row
+    chi2_nano = 0
+    for d in range(1, 10):
+        p = math.log(1.0 + 1.0 / d) / math.log(10.0)
+        if n * p != 0.0:
+            t = (counts[d - 1] - n * p) * (counts[d - 1] - n * p) / (n * p)
+            chi2_nano += int(_round_half_up(t * 1e9))
+    yield pd.DataFrame([{
+        "digit": d,
+        "n_obs": counts[d - 1],
+        "obs_pct": (_round_half_up(counts[d - 1] * 100.0 / n, 4) + 0.0
+                    if n else None),
+        "exp_pct": _round_half_up(
+            math.log(1.0 + 1.0 / d) / math.log(10.0) * 100.0, 4) + 0.0,
+        "chi2_total": (_round_half_up(chi2_nano / 1e9, 6) + 0.0
+                       if n else None),
+    } for d in range(1, 10)])
+
+
+def benford_stream(stream: DataFrame) -> DataFrame:
+    """Streaming Benford's-law audit: the live twin of the batch
+    q_benford (queries/science.py). State is the 9-cell first-digit
+    histogram — a bounded, ORDER-FREE bag, so the drained 9-row report
+    equals the batch rows bit-for-bit under ANY arrival order (the
+    q_hll_union-twin guarantee class). The single grouping key is the
+    audit scope (the batch query is corpus-global); digit bags are
+    mergeable, so a 100 TB deployment shards the key by partition hash
+    and merges the 9-vectors at readout — the monitor itself never
+    sees more than 9 integers of state per shard."""
+    s = (stream.filter(F.col("value").isNotNull())
+         .select(F.lit("ALL").alias("scope"), "value"))
+    return (s.groupBy("scope")
+            .applyInPandasWithState(
+                _benford_update,
+                outputStructType=BF_OUT_SCHEMA,
+                stateStructType=BF_STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            ))
+
+
+# ---------------------------------------------------------------------------
+# Streaming Ljung-Box whiteness monitor (live twin of the batch
+# q_ljung_box, queries/diagnostics.py — serial dependence appearing in a
+# metric stream that used to be white is itself a drift signal, and it
+# invalidates the independence assumption every control band rests on).
+# ---------------------------------------------------------------------------
+
+LB_STATE_SCHEMA = T.StructType([
+    T.StructField("n", T.LongType()),
+    T.StructField("s", T.StringType()),        # sum x_u   (exact bigint)
+    T.StructField("s2", T.StringType()),       # sum x_u^2 (exact bigint)
+    T.StructField("c1", T.StringType()),       # sum x_t*x_{t-1}
+    T.StructField("c2", T.StringType()),
+    T.StructField("c3", T.StringType()),
+    T.StructField("head", T.ArrayType(T.LongType())),  # first <=3 values
+    T.StructField("tail", T.ArrayType(T.LongType())),  # last  <=3 values
+])
+
+LB_OUT_SCHEMA = T.StructType([
+    T.StructField("event_type", T.StringType()),
+    T.StructField("n", T.LongType()),
+    T.StructField("lb_q1", T.DoubleType()),
+    T.StructField("lb_q2", T.DoubleType()),
+    T.StructField("lb_q3", T.DoubleType()),
+    T.StructField("reject_95", T.BooleanType()),
+])
+
+
+def _ljung_box_update(key, pdfs: Iterator[pd.DataFrame],
+                      state: GroupState):
+    if state.exists:
+        n, s, s2, c1, c2, c3, head, tail = state.get
+        s, s2 = int(s), int(s2)
+        cks = [int(c1), int(c2), int(c3)]
+        head, tail = list(head), list(tail)
+    else:
+        n, s, s2, cks, head, tail = 0, 0, 0, [0, 0, 0], [], []
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    batch = batch.sort_values(["ts", "event_id"], kind="mergesort")
+    for v in batch["value"].to_numpy():
+        # HALF_UP micro-units, matching the batch F.round(value*1e6)
+        x = int(_round_half_up(float(v) * 1e6))
+        n += 1
+        s += x
+        s2 += x * x
+        for k in (1, 2, 3):
+            if len(tail) >= k:
+                cks[k - 1] += x * tail[-k]
+        if len(head) < 3:
+            head.append(x)
+        tail = (tail + [x])[-3:]
+    state.update((n, str(s), str(s2),
+                  str(cks[0]), str(cks[1]), str(cks[2]), head, tail))
+
+    # the batch deviation algebra, reconstructed from the running
+    # sufficient statistics: d_t = n*x_t - S, so
+    #   sum(d_t * d_{t-k}) = n^2*C_k - n*S*(2S - head_k - tail_k)
+    #                        + (n-k)*S^2
+    #   sum(d_t^2)         = n^2*S2 - n*S^2
+    # — all exact python ints; then EXACTLY the batch double tree.
+    den = n * n * s2 - n * s * s
+    rs = []
+    for k in (1, 2, 3):
+        if n <= k or den == 0:
+            rs.append(None)
+            continue
+        num = (n * n * cks[k - 1]
+               - n * s * (2 * s - sum(head[:k]) - sum(tail[-k:]))
+               + (n - k) * s * s)
+        rs.append(_round_half_up(float(num) / float(den) * 1e12) / 1e12)
+    nf = float(n)
+    scale = nf * (nf + 2.0)
+    ts = [None if r is None else r * r / (nf - k)
+          for k, r in zip((1, 2, 3), rs)]
+    q1 = None if ts[0] is None else scale * ts[0]
+    q2 = None if q1 is None or ts[1] is None else scale * (ts[0] + ts[1])
+    q3 = (None if q2 is None or ts[2] is None
+          else scale * (ts[0] + ts[1] + ts[2]))
+    yield pd.DataFrame([{
+        "event_type": key[0],
+        "n": n,
+        "lb_q1": None if q1 is None else _round_half_up(q1, 6) + 0.0,
+        "lb_q2": None if q2 is None else _round_half_up(q2, 6) + 0.0,
+        "lb_q3": None if q3 is None else _round_half_up(q3, 6) + 0.0,
+        "reject_95": None if q3 is None else bool(q3 > 7.814728),
+    }])
+
+
+def ljung_box_stream(stream: DataFrame) -> DataFrame:
+    """Streaming Ljung-Box portmanteau monitor: the live twin of the
+    batch q_ljung_box (queries/diagnostics.py). Per-key state is n, the
+    exact integer sums S, S2 and the three raw lag products C_k (python
+    bigints shipped as strings — micro-unit products overflow int64),
+    plus the first/last three values; the deviation-form numerators the
+    batch computes windowed are reconstructed in closed form from those
+    sufficient statistics, so every readout runs the IDENTICAL double
+    tree as the batch query. Exact batch parity when feeds arrive in
+    event-time order (micro-batches sorted internally, the EWMA /
+    Page-Hinkley guarantee class — lag products are inherently
+    order-dependent). O(1) state per stream forever."""
+    s = (stream.filter(F.col("value").isNotNull())
+         .select("event_type", "ts", "event_id", "value"))
+    return (s.groupBy("event_type")
+            .applyInPandasWithState(
+                _ljung_box_update,
+                outputStructType=LB_OUT_SCHEMA,
+                stateStructType=LB_STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            ))

@@ -3145,3 +3145,226 @@ def test_decode_image_fuzz_exception_surface():
             pass
 
     fuzz_raw()
+
+
+# ---------------------------------------------------------------------------
+# Netpbm (P1-P6) decode goldens
+# ---------------------------------------------------------------------------
+
+
+def test_pnm_ascii_graymap_known_pixels():
+    import numpy as np
+
+    from telescope_data_pipeline_spark.operators.multimodal import _decode_pnm
+
+    pnm = b"P2\n# a comment\n3 2\n100\n0 50 100\n25 75 10\n"
+    got = _decode_pnm(pnm)
+    want = np.array([[0, 50, 100], [25, 75, 10]], np.float32) * 2.55
+    assert got.shape == (2, 3)
+    assert np.allclose(got, want, atol=1e-4)
+
+
+def test_pnm_ascii_pixmap_luma():
+    import numpy as np
+
+    from telescope_data_pipeline_spark.operators.multimodal import _decode_pnm
+
+    # one red, one green, one blue pixel at maxval 255
+    pnm = b"P3 3 1 255  255 0 0  0 255 0  0 0 255\n"
+    got = _decode_pnm(pnm)
+    want = np.array([[255 * 0.299, 255 * 0.587, 255 * 0.114]], np.float32)
+    assert np.allclose(got, want, atol=1e-3)
+
+
+def test_pnm_bitmaps_one_is_black_and_unseparated_bits():
+    import numpy as np
+
+    from telescope_data_pipeline_spark.operators.multimodal import _decode_pnm
+
+    # P1 with NO separators between bits (legal per spec)
+    p1 = b"P1\n4 2\n0110\n1001\n"
+    got = _decode_pnm(p1)
+    want = (1.0 - np.array([[0, 1, 1, 0], [1, 0, 0, 1]], np.float32)) * 255
+    assert np.array_equal(got, want)
+    # P4 raw: same raster packed MSB-first (0110 -> 0x60, 1001 -> 0x90)
+    p4 = b"P4\n4 2\n" + bytes([0x60, 0x90])
+    assert np.array_equal(_decode_pnm(p4), want)
+
+
+def test_pnm_raw_gray_8_and_16_bit():
+    import numpy as np
+
+    from telescope_data_pipeline_spark.operators.multimodal import _decode_pnm
+
+    p5 = b"P5 3 1 255 " + bytes([0, 128, 255])
+    assert np.allclose(_decode_pnm(p5), [[0, 128, 255]], atol=1e-4)
+    # 16-bit big-endian, maxval 65535 scales to 0..255
+    p5w = b"P5 2 1 65535 " + (0).to_bytes(2, "big") + (65535).to_bytes(2, "big")
+    got = _decode_pnm(p5w)
+    assert np.allclose(got, [[0, 255]], atol=1e-4)
+
+
+def test_pnm_raw_pixmap_and_malformed_fail_loudly():
+    import numpy as np
+    import pytest
+
+    from telescope_data_pipeline_spark.operators.multimodal import (
+        CodecUnavailable,
+        _decode_pnm,
+        decode_image,
+    )
+
+    p6 = b"P6 2 1 255 " + bytes([255, 0, 0, 0, 255, 0])
+    got = _decode_pnm(p6)
+    want = np.array([[255 * 0.299, 255 * 0.587]], np.float32)
+    assert np.allclose(got, want, atol=1e-3)
+    # dispatch integration: P6 payload routes to the PNM decoder
+    assert np.allclose(decode_image(p6), want, atol=1e-3)
+    for bad in (b"P5 3 1 255 " + bytes([1, 2]),        # truncated raw
+                b"P2 2 1 255 7\n",                     # truncated ASCII
+                b"P2 2 1\n",                           # header cut short
+                b"P5 2 1 0 \x00\x00",                  # maxval 0
+                b"P2 99999999999 1 255 1\n",           # >10-digit dim
+                b"P2 1 1 255 zz\n"):                   # non-numeric sample
+        with pytest.raises(CodecUnavailable):
+            _decode_pnm(bad)
+
+
+# ---------------------------------------------------------------------------
+# ICO/CUR (favicon) decode goldens
+# ---------------------------------------------------------------------------
+
+
+def _ico_wrap(entries):
+    """entries: list of (w, h, payload). Returns an ICO container."""
+    import struct
+
+    hdr = struct.pack("<HHH", 0, 1, len(entries))
+    off = 6 + 16 * len(entries)
+    dirs, blobs = b"", b""
+    for w, h, pl in entries:
+        dirs += struct.pack("<BBBBHHII", w % 256, h % 256, 0, 0, 1, 32,
+                            len(pl), off)
+        blobs += pl
+        off += len(pl)
+    return hdr + dirs + blobs
+
+
+def _ico_dib24(rgb):
+    """Build a headerless V3 DIB (doubled height, 24-bit, AND mask)."""
+    import struct
+
+    import numpy as np
+
+    rgb = np.asarray(rgb, np.uint8)
+    h, w, _ = rgb.shape
+    hdr = struct.pack("<IiiHHIIiiII", 40, w, 2 * h, 1, 24, 0, 0, 0, 0, 0, 0)
+    row_pad = (-(w * 3)) % 4
+    body = b""
+    for r in range(h - 1, -1, -1):  # bottom-up
+        row = rgb[r][:, ::-1].tobytes()  # RGB -> BGR
+        body += row + b"\x00" * row_pad
+    mask_row = b"\x00" * (((w + 31) // 32) * 4)
+    return hdr + body + mask_row * h
+
+
+def test_ico_dib_and_png_entries_decode():
+    import numpy as np
+
+    from telescope_data_pipeline_spark.operators.multimodal import (
+        _decode_ico,
+        _decode_png,
+        decode_image,
+    )
+
+    rng = np.random.default_rng(17)
+    rgb = rng.integers(0, 256, size=(4, 5, 3), dtype=np.uint8)
+    ico = _ico_wrap([(5, 4, _ico_dib24(rgb))])
+    got = _decode_ico(ico)
+    want = (rgb[..., 0] * 0.299 + rgb[..., 1] * 0.587
+            + rgb[..., 2] * 0.114).astype(np.float32)
+    assert got.shape == (4, 5)
+    assert np.allclose(got, want, atol=1e-3)
+    # dispatch integration
+    assert np.allclose(decode_image(ico), want, atol=1e-3)
+
+    # PNG-in-ICO decodes through the existing PNG path
+    gray = rng.integers(0, 256, size=(6, 6), dtype=np.uint8)
+    png = _png_encode(gray, ctype=0)
+    ico2 = _ico_wrap([(6, 6, png)])
+    assert np.array_equal(_decode_ico(ico2), _decode_png(png))
+
+
+def test_ico_picks_largest_entry_and_rejects_corrupt():
+    import numpy as np
+    import pytest
+
+    from telescope_data_pipeline_spark.operators.multimodal import (
+        CodecUnavailable,
+        _decode_ico,
+    )
+
+    rng = np.random.default_rng(23)
+    small = rng.integers(0, 256, size=(2, 2, 3), dtype=np.uint8)
+    big = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    ico = _ico_wrap([(2, 2, _ico_dib24(small)), (8, 8, _ico_dib24(big))])
+    got = _decode_ico(ico)
+    assert got.shape == (8, 8)
+    want = (big[..., 0] * 0.299 + big[..., 1] * 0.587
+            + big[..., 2] * 0.114).astype(np.float32)
+    assert np.allclose(got, want, atol=1e-3)
+
+    for bad in (b"\x00\x00\x01\x00\x01\x00" + b"\x00" * 10,   # dir truncated
+                _ico_wrap([(4, 4, b"\xde\xad\xbe\xef" * 4)]),  # bogus entry
+                ):
+        with pytest.raises(CodecUnavailable):
+            _decode_ico(bad)
+
+
+def test_pnm_ico_fuzz_exception_surface():
+    """Same contract as the other decoders: mutated valid PNM/ICO files
+    and raw garbage behind the magics must decode or raise typed
+    CodecUnavailable — nothing else may escape into the kernels."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from telescope_data_pipeline_spark.operators.multimodal import (
+        CodecUnavailable,
+        decode_image,
+    )
+
+    rng = np.random.default_rng(29)
+    rgb = rng.integers(0, 256, size=(5, 6, 3), dtype=np.uint8)
+    blobs = [
+        b"P2\n3 2\n255\n0 50 100 25 75 10\n",
+        b"P4\n4 2\n" + bytes([0x60, 0x90]),
+        b"P6 2 1 255 " + bytes([255, 0, 0, 0, 255, 0]),
+        _ico_wrap([(6, 5, _ico_dib24(rgb))]),
+    ]
+
+    @given(st.integers(0, len(blobs) - 1), st.integers(0, 4095),
+           st.integers(0, 255))
+    @settings(max_examples=300, deadline=None)
+    def fuzz_mutate(which, pos, val):
+        blob = bytearray(blobs[which])
+        blob[pos % len(blob)] = val
+        try:
+            decode_image(bytes(blob))
+        except CodecUnavailable:
+            pass
+
+    fuzz_mutate()
+
+    magics = [b"P1\n", b"P3 ", b"P5\t", b"P6\n",
+              b"\x00\x00\x01\x00\x02\x00", b"\x00\x00\x02\x00\x01\x00"]
+
+    @given(st.integers(0, len(magics) - 1), st.binary(max_size=120))
+    @settings(max_examples=300, deadline=None)
+    def fuzz_raw(which, tail):
+        try:
+            decode_image(magics[which] + tail)
+        except CodecUnavailable:
+            pass
+
+    fuzz_raw()

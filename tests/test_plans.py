@@ -2334,3 +2334,101 @@ def test_r12_single_pass_scan_counts(spark):
     assert scans <= 4, f"q_mood_median: {scans} scans\n{plan}"
     assert "ReusedExchange" in plan, \
         f"q_mood_median lost its exchange reuse\n{plan}"
+
+
+def test_ljung_box_keyed_windows(spark):
+    """q_ljung_box: identical plan contract to q_acf/q_pacf — the lag
+    window partitions BY SERIES (event_type), never globally; no
+    cartesian anywhere."""
+    import re
+
+    from telescope_data_pipeline_spark.plans.audit import physical_plan
+
+    df = get("q_ljung_box").fn(spark, SF)
+    df.collect()
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs and all("event_type" in s for s in specs), specs
+
+
+def test_granger_bounded_daily_window(spark):
+    """q_granger: both fact streams collapse to calendar-bounded daily
+    tables (hash aggregates) BEFORE the day equi-join; the single
+    unpartitioned lag window runs over that bounded joined table (the
+    approved q_lorenz_points shape) and orders by `day`."""
+    import re
+
+    from telescope_data_pipeline_spark.plans.audit import physical_plan
+
+    df = get("q_granger").fn(spark, SF)
+    df.collect()
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan
+    assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan), plan
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs and all("day" in s for s in specs), specs
+
+
+def test_tcloseness_class_partitioned_windows(spark):
+    """q_tcloseness: the CDF windows partition on the quasi-identifier
+    class (5-row frames); the only nested-loop joins broadcast the
+    bounded spine / 1-row global total."""
+    import re
+
+    from telescope_data_pipeline_spark.plans.audit import physical_plan
+
+    df = get("q_tcloseness").fn(spark, SF)
+    df.collect()
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs and all("c_nationkey" in s for s in specs), specs
+
+
+def test_kde_curve_map_only_21_cells(spark):
+    """q_kde_curve: the fact scan expands 21x map-side and combines
+    into 21 cells — no window, no sort-merge join; the grid+edges ride
+    broadcasts."""
+    from telescope_data_pipeline_spark.plans.audit import physical_plan
+
+    df = get("q_kde_curve").fn(spark, SF)
+    df.collect()
+    plan = physical_plan(df)
+    for banned in ("CartesianProduct", "SortMergeJoin", "Window"):
+        assert banned not in plan, f"{banned} in plan:\n{plan}"
+    assert "HashAggregate" in plan
+
+
+def test_knn_outlier_broadcast_bounded_cross(spark):
+    """q_knn_outlier: the exactness-baseline self-cross broadcasts the
+    bounded label slice (documented bounded-anchor pattern); the NN
+    ranking window partitions per query point, never globally."""
+    import re
+
+    from telescope_data_pipeline_spark.plans.audit import physical_plan
+
+    df = get("q_knn_outlier").fn(spark, SF)
+    df.collect()
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs and all("id_a" in s for s in specs), specs
+    assert "TakeOrderedAndProject" in plan  # top-20 never a global sort
+
+
+def test_atkinson_joinless_distinct_value_rollup(spark):
+    """q_atkinson: same contract as q_theil_index — one distinct-value
+    groupBy then one per-language rollup; joinless, windowless, ln()/
+    1/x evaluate once per DISTINCT value."""
+    from telescope_data_pipeline_spark.plans.audit import physical_plan
+
+    df = get("q_atkinson").fn(spark, SF)
+    df.collect()
+    plan = physical_plan(df)
+    for banned in ("CartesianProduct", "BroadcastNestedLoopJoin",
+                   "SortMergeJoin", "Window"):
+        assert banned not in plan, f"{banned} in plan:\n{plan}"
+    assert "HashAggregate" in plan

@@ -868,3 +868,90 @@ def test_simpson_diversity_stream_matches_batch_any_order(spark):
         assert int(got["n_langs"]) == int(r.n_langs), r.source
         assert float(got["gini_simpson"]) == float(r.gini_simpson), r.source
         assert float(got["inv_simpson"]) == float(r.inv_simpson), r.source
+
+
+def test_benford_stream_matches_batch_any_order(spark):
+    """Streaming Benford audit: the 9-cell first-digit histogram is an
+    order-free bag, so the drained 9-row report must equal the batch
+    q_benford rows bit-for-bit under SHUFFLED arrival."""
+    import os
+
+    from telescope_data_pipeline_spark.queries import get
+    from telescope_data_pipeline_spark.streaming.stateful import (
+        benford_stream,
+    )
+
+    d = tempfile.mkdtemp(prefix="benford_")
+    ev = (load_table(spark, SF, "events").toPandas()
+          .sample(frac=1.0, random_state=3).reset_index(drop=True))
+    k = len(ev) // 3
+    for i, chunk in enumerate((ev[:k], ev[k:2 * k], ev[2 * k:])):
+        p = f"{d}/part-{i}.parquet"
+        chunk.to_parquet(p, engine="pyarrow", coerce_timestamps="us",
+                         index=False)
+        os.utime(p, (1700000000 + i, 1700000000 + i))
+    stream = read_event_stream(spark, d, max_files_per_trigger=1)
+
+    latest: dict = {}
+    q = (benford_stream(stream)
+         .writeStream.outputMode("update")
+         .foreachBatch(lambda df, _bid: latest.update(
+             {int(r["digit"]): r for _, r in df.toPandas().iterrows()}))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    assert len(q.recentProgress) >= 3
+
+    want = get("q_benford").fn(spark, SF).toPandas().set_index("digit")
+    assert set(latest) == set(int(d_) for d_ in want.index)
+    for d_, row in want.iterrows():
+        got = latest[int(d_)]
+        assert int(got["n_obs"]) == int(row["n_obs"]), d_
+        assert float(got["obs_pct"]) == float(row["obs_pct"]), d_
+        assert float(got["exp_pct"]) == float(row["exp_pct"]), d_
+        assert float(got["chi2_total"]) == float(row["chi2_total"]), d_
+
+
+def test_ljung_box_stream_matches_batch(spark):
+    """Streaming Ljung-Box: with event-time-ordered micro-batches the
+    closed-form reconstruction from (n, S, S2, C_k, head, tail) must
+    reproduce the batch q_ljung_box per-type rows bit-for-bit — the
+    sufficient statistics are exact python ints and the readout runs
+    the identical double tree."""
+    import os
+    import shutil
+
+    from telescope_data_pipeline_spark.queries import get
+    from telescope_data_pipeline_spark.streaming.stateful import (
+        ljung_box_stream,
+    )
+
+    d = tempfile.mkdtemp(prefix="ljung_")
+    ev = (load_table(spark, SF, "events")
+          .orderBy("ts", "event_id").toPandas())
+    k = len(ev) // 3
+    for i, chunk in enumerate((ev[:k], ev[k:2 * k], ev[2 * k:])):
+        p = f"{d}/part-{i}.parquet"
+        chunk.to_parquet(p, engine="pyarrow", coerce_timestamps="us",
+                         index=False)
+        os.utime(p, (1700000000 + i, 1700000000 + i))
+    stream = read_event_stream(spark, d, max_files_per_trigger=1)
+
+    latest: dict = {}
+    q = (ljung_box_stream(stream)
+         .writeStream.outputMode("update")
+         .foreachBatch(lambda df, _bid: latest.update(
+             {r["event_type"]: r for _, r in df.toPandas().iterrows()}))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    assert len(q.recentProgress) >= 3
+
+    sf_like = tempfile.mkdtemp(prefix="ljung_sf_")
+    shutil.copytree(d, f"{sf_like}/events.parquet")
+    want = get("q_ljung_box").fn(spark, sf_like).toPandas().set_index(
+        "event_type")
+    assert set(latest) == set(want.index)
+    for et, row in latest.items():
+        assert int(row["n"]) == int(want.loc[et, "n"]), et
+        for col in ("lb_q1", "lb_q2", "lb_q3"):
+            assert float(row[col]) == float(want.loc[et, col]), (et, col)
+        assert bool(row["reject_95"]) == bool(want.loc[et, "reject_95"]), et
