@@ -2798,8 +2798,28 @@ def _tiny_webp_lossy() -> bytes:
     return _TINY_WEBP_LOSSY
 
 
+def _tiny_pnm(rng) -> bytes:
+    """A real raw P6 pixmap (8x6 RGB) for fixture rotation."""
+    px = rng.integers(0, 256, size=(6, 8, 3), dtype=np.uint8)
+    return b"P6\n8 6\n255\n" + px.tobytes()
+
+
+def _tiny_ico(rng) -> bytes:
+    """A real single-entry ICO wrapping a 24-bit V3 DIB (6x5)."""
+    rgb = rng.integers(0, 256, size=(5, 6, 3), dtype=np.uint8)
+    h, w = rgb.shape[:2]
+    dib = struct.pack("<IiiHHIIiiII", 40, w, 2 * h, 1, 24, 0, 0, 0, 0, 0, 0)
+    pad = (-(w * 3)) % 4
+    for r in range(h - 1, -1, -1):  # bottom-up, BGR
+        dib += rgb[r][:, ::-1].tobytes() + b"\x00" * pad
+    dib += (b"\x00" * (((w + 31) // 32) * 4)) * h  # AND mask
+    entry = struct.pack("<BBBBHHII", w, h, 0, 0, 1, 32, len(dib), 22)
+    return struct.pack("<HHH", 0, 1, 1) + entry + dib
+
+
 def make_fake_media(spark, n: int = 64, seed: int = 7,
-                    include_lossy_vp8: bool = False) -> DataFrame:
+                    include_lossy_vp8: bool = False,
+                    include_pnm_ico: bool = False) -> DataFrame:
     """Deterministic MEDIA-schema fixture (images + videos + audio) for
     tests and the rows-only driver demos. Every 4th image is a REAL
     24-bit BMP, the next a REAL 8-bit PNG (gray/RGB/RGBA cycling), the
@@ -2807,8 +2827,10 @@ def make_fake_media(spark, n: int = 64, seed: int = 7,
     16-bit PCM WAV, so the built-in pure-Python decoders run in every
     demo alongside the stub path (magic-byte dispatch exercised
     end-to-end). ``include_lossy_vp8=True`` replaces the stub-image
-    slot with the planted LOSSY WebP (VP8 key frame) pinned vector —
-    kept opt-in so the long-standing fixture rotation (and the goldens
+    slot with the planted LOSSY WebP (VP8 key frame) pinned vector;
+    ``include_pnm_ico=True`` instead alternates that slot between a
+    real raw P6 pixmap and a real DIB-payload favicon — each kept
+    opt-in so the long-standing fixture rotation (and the goldens
     pinned on it) is byte-stable."""
     from ..schemas import MEDIA
 
@@ -2830,6 +2852,13 @@ def make_fake_media(spark, n: int = 64, seed: int = 7,
         elif modality == "image" and include_lossy_vp8:
             payload = _tiny_webp_lossy()
             m = "image/webp"
+        elif modality == "image" and include_pnm_ico:
+            if (i // 12) % 2 == 0:
+                payload = _tiny_pnm(rng)
+                m = "image/x-portable-pixmap"
+            else:
+                payload = _tiny_ico(rng)
+                m = "image/vnd.microsoft.icon"
         elif modality == "audio" and (i // 3) % 4 == 0:
             payload = _tiny_wav(rng, dur)
             m = mime[modality]

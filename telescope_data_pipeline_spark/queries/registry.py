@@ -57,22 +57,23 @@ _REGISTRY: dict[str, Query] = {}
 #: (b) fresh rows-only attestation for the 11 media/ANN queries so
 #: they never age past ~3 rounds (round-11 VERDICT item 5) — 11
 #: entries;
-#: (c) first-time evidence for operators NEW in round 12 — 19 entries
+#: (c) first-time evidence for operators NEW in round 12 — 25 entries
 #: (4 from the first session + 6 monitoring/governance queries + the
 #: Hilbert layout key, Matryoshka truncation eval, isotonic
 #: calibration, trending terms, Simpson diversity, Cochran-Armitage
-#: trend, Mantel-Haenszel pooled OR, the WARC crawl source, and the
-#: HTML WET extraction);
+#: trend, Mantel-Haenszel pooled OR, the WARC crawl source, the HTML
+#: WET extraction, and the 6 session-3 diagnostics/release-gate
+#: queries: Ljung-Box, Granger, t-closeness, KDE curve, kNN outlier,
+#: Atkinson);
 #: (d) stale-attestation drain in the spill's promised order (the
-#: 8 round-4 leftovers, then the round-5 cohort alphabetically) — 19
-#: entries (the 15 drain slots the new cohort displaced move to the
+#: 8 round-4 leftovers, then the round-5 cohort alphabetically) — 13
+#: entries (the drain slots the new cohorts displaced move to the
 #: spill HEAD, keeping the promised alphabetical order for r13).
-#: DELIBERATE TRADE: first-time evidence for the 19 new r12 operators
+#: DELIBERATE TRADE: first-time evidence for the 25 new r12 operators
 #: outranks re-attesting queries the local tri-scale sweep re-proves
-#: every session; the remaining ~32 stale entries fit comfortably in
-#: the r13 window (a small r13 (c) cohort leaves 35+ drain slots),
-#: completing the backlog one round later than the r11 verdict's
-#: fastest path.
+#: every session; the remaining ~38 stale entries fit in the r13
+#: window (a small r13 (c) cohort leaves 35+ drain slots), completing
+#: the backlog over r13-r14.
 #: The local tri-scale (sf0.001/0.01/0.1) oracle sweep still covers
 #: all registered queries per session.
 PRIORITY: tuple[str, ...] = (

@@ -3368,3 +3368,29 @@ def test_pnm_ico_fuzz_exception_surface():
             pass
 
     fuzz_raw()
+
+
+def test_pnm_ico_flow_through_feature_pipeline(spark):
+    """include_pnm_ico=True plants real P6 and ICO payloads in the
+    fixture's stub slot; the distributed feature extractor must decode
+    them through the magic-byte dispatch with means equal to a direct
+    local decode (same guarantee the BMP/PNG/WebP slots have)."""
+    import numpy as np
+
+    from telescope_data_pipeline_spark.operators.multimodal import (
+        decode_image,
+        extract_image_features,
+        make_fake_media,
+    )
+
+    media = make_fake_media(spark, n=64, include_pnm_ico=True)
+    payloads = {r.media_id: bytes(r.payload)
+                for r in media.filter("modality = 'image'").collect()}
+    planted = {mid: p for mid, p in payloads.items()
+               if p[:2] in (b"P6",) or p[:4] == b"\x00\x00\x01\x00"}
+    assert planted, "fixture did not plant any PNM/ICO payloads"
+    feats = {r.media_id: r for r in
+             extract_image_features(media).collect()}
+    for mid, p in planted.items():
+        want = float(np.mean(decode_image(p)))
+        assert abs(feats[mid].mean_intensity - want) < 1e-4, mid
