@@ -208,6 +208,7 @@ EXTRA = [
     "q_kde_curve",
     "q_knn_outlier",
     "q_atkinson",
+    "q_scan_archive",
 ]
 
 

@@ -372,8 +372,9 @@ def q_tcloseness(spark: SparkSession, sf_dir: str) -> DataFrame:
           .when(F.col("o_orderpriority") == "3-MEDIUM", 3)
           .when(F.col("o_orderpriority") == "4-NOT SPECIFIED", 4)
           .otherwise(5))
-    j = (orders.join(F.broadcast(cust),
-                     F.col("o_custkey") == F.col("c_custkey"))
+    # plain equi-join: customer is released-data scale, so the join
+    # strategy is AQE's call (broadcast at demo SFs, shuffle at 100 TB)
+    j = (orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
          .select("c_nationkey", "c_mktsegment", pr.alias("pr")))
     g = j.groupBy("pr").agg(F.count(F.lit(1)).alias("gq"))
     gt = g.agg(F.sum("gq").alias("gn"))

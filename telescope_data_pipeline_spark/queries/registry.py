@@ -57,21 +57,21 @@ _REGISTRY: dict[str, Query] = {}
 #: (b) fresh rows-only attestation for the 11 media/ANN queries so
 #: they never age past ~3 rounds (round-11 VERDICT item 5) — 11
 #: entries;
-#: (c) first-time evidence for operators NEW in round 12 — 25 entries
+#: (c) first-time evidence for operators NEW in round 12 — 26 entries
 #: (4 from the first session + 6 monitoring/governance queries + the
 #: Hilbert layout key, Matryoshka truncation eval, isotonic
 #: calibration, trending terms, Simpson diversity, Cochran-Armitage
 #: trend, Mantel-Haenszel pooled OR, the WARC crawl source, the HTML
 #: WET extraction, and the 6 session-3 diagnostics/release-gate
 #: queries: Ljung-Box, Granger, t-closeness, KDE curve, kNN outlier,
-#: Atkinson);
+#: Atkinson — plus the archive ZIP/TAR source);
 #: (d) stale-attestation drain in the spill's promised order (the
-#: 8 round-4 leftovers, then the round-5 cohort alphabetically) — 13
+#: 8 round-4 leftovers, then the round-5 cohort alphabetically) — 12
 #: entries (the drain slots the new cohorts displaced move to the
 #: spill HEAD, keeping the promised alphabetical order for r13).
-#: DELIBERATE TRADE: first-time evidence for the 25 new r12 operators
+#: DELIBERATE TRADE: first-time evidence for the 26 new r12 operators
 #: outranks re-attesting queries the local tri-scale sweep re-proves
-#: every session; the remaining ~38 stale entries fit in the r13
+#: every session; the remaining ~39 stale entries fit in the r13
 #: window (a small r13 (c) cohort leaves 35+ drain slots), completing
 #: the backlog over r13-r14.
 #: The local tri-scale (sf0.001/0.01/0.1) oracle sweep still covers
@@ -95,15 +95,15 @@ PRIORITY: tuple[str, ...] = (
     "q_simpson_diversity", "q_cochran_armitage", "q_mantel_haenszel",
     "q_scan_warc", "q_html_extract",
     "q_ljung_box", "q_granger", "q_tcloseness", "q_kde_curve",
-    "q_knn_outlier", "q_atkinson",
-    # (d) stale-attestation drain — 13 (sum = 50 exactly)
+    "q_knn_outlier", "q_atkinson", "q_scan_archive",
+    # (d) stale-attestation drain — 12 (sum = 50 exactly)
     "q_scalar_null", "q_scan_orc", "q_sql_api", "q_subquery_scalar",
     "q_window_firstlast", "q_window_ntile", "q_window_range",
     "q_window_rank",
     "q_agg_percentile", "q_agg_salted", "q_annulus_background",
-    "q_bm25", "q_cluster_components",
+    "q_bm25",
     # spill (past the 50-entry gate; the r13 drain tail, alphabetical)
-    "q_data_card", "q_decontaminate",
+    "q_cluster_components", "q_data_card", "q_decontaminate",
     "q_dedup_bloom", "q_dedup_canonical", "q_dedup_exact",
     "q_dedup_incremental",
     "q_dedup_minhash_md5", "q_dedup_simhash_md5",
