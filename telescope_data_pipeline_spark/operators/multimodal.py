@@ -1770,6 +1770,11 @@ def _decode_pnm(payload: bytes) -> np.ndarray:
                           dtype=np.float32)
         except ValueError as e:
             raise CodecUnavailable("PNM ASCII sample not a number") from e
+        if px.size and (px.min() < 0 or px.max() > maxval):
+            # spec: 0 <= sample <= maxval; out-of-range ASCII samples
+            # would silently poison downstream features (raw paths are
+            # byte-bounded and cannot overrange)
+            raise CodecUnavailable("PNM ASCII sample out of range")
     elif kind == b"4":  # raw packed bits, rows padded to whole bytes
         row_bytes = (w + 7) // 8
         raw = np.frombuffer(b, np.uint8, offset=data,

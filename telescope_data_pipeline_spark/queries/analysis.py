@@ -1095,7 +1095,8 @@ def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = base.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"), F.sum("xu").alias("s"))
     w = W.partitionBy("event_type").orderBy("ts", "event_id")
-    d = (F.col("n") * F.col("xu") - F.col("s")).cast("decimal(38,0)")
+    d = (F.col("n").cast("decimal(38,0)") * F.col("xu")
+         - F.col("s"))  # widen FIRST: n*xu wraps int64 past ~9e18
     dev = (base.join(F.broadcast(tot), "event_type")
            .select("event_type", "ts", "event_id", "n", d.alias("d"))
            .select("event_type", "n", "d",

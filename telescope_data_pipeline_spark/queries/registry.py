@@ -84,10 +84,11 @@ PRIORITY: tuple[str, ...] = (
     "q_scan_fits", "q_agg_approx", "q_media_audio", "q_media_resize",
     "q_quantile_sketch", "q_media_phash", "q_dedup_embed_lsh",
     "q_pipeline_residuals",
-    # (c) first-time evidence: operators new in round 12 — 25
+    # (c) first-time evidence: operators new in round 12 — 26
     # (19 from sessions 1-2 + the 6 session-3 diagnostics/release-gate
-    # queries, which displace the last 6 drain slots to the spill HEAD —
-    # the same documented trade as the session-2 cohort)
+    # queries + the archive source, which displace the last 7 drain
+    # slots to the spill HEAD — the same documented trade as the
+    # session-2 cohort)
     "q_media_webp_lossy", "q_gini_by_group", "q_parquet_profile",
     "q_vocab_growth", "q_emd_drift", "q_chao1", "q_theil_index",
     "q_ldiversity", "q_mood_median", "q_ccf_lags", "q_hilbert_key",

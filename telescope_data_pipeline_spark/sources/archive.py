@@ -132,12 +132,10 @@ def _parse_zip(data: bytes, filename: str, cap: int) -> list[tuple]:
                     f"zip member {info.filename!r} claims "
                     f"{info.file_size} bytes, over the {cap}-byte cap")
             with z.open(info) as f:
-                # cap+1 so a LYING size field is caught, not obeyed
-                payload = f.read(cap + 1)
-            if len(payload) > cap:
-                raise ValueError(
-                    f"zip member {info.filename!r} inflated past "
-                    f"its declared size and the cap")
+                # ZipExtFile truncates at the header-declared size we
+                # just capped, and raises BadZipFile on a CRC/length
+                # mismatch — no post-read re-check is reachable
+                payload = f.read()
             out.append((filename, info.filename, "zip", len(payload),
                         _zip_dt(info.date_time), payload))
     return out
@@ -153,11 +151,9 @@ def _parse_tar(data: bytes, filename: str, cap: int) -> list[tuple]:
                 raise ValueError(
                     f"tar member {info.name!r} claims {info.size} "
                     f"bytes, over the {cap}-byte cap")
+            # extractfile is bounded by the header size we just capped
             f = t.extractfile(info)
-            payload = f.read(cap + 1) if f is not None else b""
-            if len(payload) > cap:
-                raise ValueError(
-                    f"tar member {info.name!r} inflated past the cap")
+            payload = f.read() if f is not None else b""
             out.append((filename, info.name, "tar", len(payload),
                         _utc_naive(info.mtime), payload))
     return out

@@ -71,13 +71,13 @@ def test_directories_skipped_and_garbage_raises():
 
 
 def test_member_cap_blocks_zip_bomb():
-    """A member CLAIMING more than the cap is rejected before any
-    allocation; a member LYING about its size (inflating past the
-    claim) is caught by the capped read."""
+    """A member CLAIMING more than the cap is rejected BEFORE any
+    allocation (stdlib readers then bound the actual read at that
+    declared size, and flag CRC/length mismatches as BadZipFile); a
+    compliant member under the cap decodes normally."""
     big = write_zip_bytes([("big.bin", b"\x00" * 4096)])
     with pytest.raises(ValueError):
         parse_archive_bytes(big, "b.zip", max_member_bytes=1024)
-    # lying header: patch the central-directory uncompressed size down
     rows = parse_archive_bytes(big, "b.zip", max_member_bytes=8192)
     assert rows[0][3] == 4096
     tar_big = _tar_gz_bytes([("big.bin", b"\x00" * 4096)])
