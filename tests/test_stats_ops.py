@@ -268,3 +268,226 @@ def test_atkinson_matches_numpy(spark, tmp_path):
     assert out.n_docs == 400
     assert abs(out.atkinson_1 - a1) < 1e-5
     assert abs(out.atkinson_2 - a2) < 1e-5
+
+
+# ---------------------------------------------------------------------------
+# Ground-truth extension to the r10-r12 statistics batches: the same
+# oracle-mirrors-the-formula gap the session-3 tests close — planted
+# inputs, numpy as the textbook reference.
+# ---------------------------------------------------------------------------
+
+
+def _write_orders_prio(tmp_path, rng, sizes=(80, 110, 95, 130, 60)):
+    pris = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    grp, val = [], []
+    for p, n, shift in zip(pris, sizes, (0, 8, -5, 15, 3)):
+        grp += [p] * n
+        val += list(np.round(rng.normal(100 + shift, 20, n), 2))
+    pd.DataFrame({"o_orderpriority": grp, "o_totalprice": val}
+                 ).to_parquet(tmp_path / "orders.parquet")
+    return np.array(grp), np.array(val)
+
+
+def test_anova_and_tukey_match_numpy(spark, tmp_path):
+    rng = np.random.RandomState(47)
+    grp, val = _write_orders_prio(tmp_path, rng)
+    out = get("q_anova_oneway").fn(spark, str(tmp_path)).collect()[0]
+    groups = [val[grp == g] for g in np.unique(grp)]
+    n, k = len(val), len(groups)
+    ssb = sum(len(g) * (g.mean() - val.mean()) ** 2 for g in groups)
+    ssw = sum(((g - g.mean()) ** 2).sum() for g in groups)
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert out.k == k and out.n == n
+    assert abs(out.f_stat - f) < 1e-4 * max(1, abs(f))
+    assert abs(out.eta_sq - ssb / (ssb + ssw)) < 1e-5
+
+    rows = get("q_tukey_contrasts").fn(spark, str(tmp_path)).collect()
+    assert len(rows) == k * (k - 1) // 2
+    msw = ssw / (n - k)
+    means = {g: val[grp == g].mean() for g in np.unique(grp)}
+    sizes = {g: (grp == g).sum() for g in np.unique(grp)}
+    for r in rows:
+        diff = means[r.grp_b] - means[r.grp_a]
+        se = np.sqrt(msw * (1 / sizes[r.grp_a] + 1 / sizes[r.grp_b]))
+        q = abs(diff) / np.sqrt(msw / 2 * (1 / sizes[r.grp_a]
+                                           + 1 / sizes[r.grp_b]))
+        assert abs(r.mean_diff - diff) < 1e-4, (r.grp_a, r.grp_b)
+        assert abs(r.se - se) < 1e-4
+        assert abs(r.q_stat - q) < 1e-3 * max(1, q)
+
+
+def test_mood_median_matches_numpy(spark, tmp_path):
+    rng = np.random.RandomState(53)
+    grp, val = _write_orders_prio(tmp_path, rng)
+    out = {r.grp: r for r in
+           get("q_mood_median").fn(spark, str(tmp_path)).collect()}
+    xc = np.round(val * 100).astype(np.int64)
+    # lower median: smallest value whose cumulative count reaches
+    # ceil(N/2), i.e. 2*cum >= N
+    xs = np.sort(xc)
+    med = xs[np.searchsorted(2 * (np.arange(len(xs)) + 1),
+                             len(xs), side="left")]
+    above = {g: int((xc[grp == g] > med).sum()) for g in np.unique(grp)}
+    below = {g: int((xc[grp == g] <= med).sum()) for g in np.unique(grp)}
+    ta, tb = sum(above.values()), sum(below.values())
+    ntot = ta + tb
+    chi2 = sum(((above[g] - (above[g] + below[g]) * ta / ntot) ** 2
+                / ((above[g] + below[g]) * ta / ntot))
+               + ((below[g] - (above[g] + below[g]) * tb / ntot) ** 2
+                  / ((above[g] + below[g]) * tb / ntot))
+               for g in np.unique(grp))
+    for g in np.unique(grp):
+        assert out[g].n_above == above[g], g
+        assert out[g].n_below == below[g], g
+    assert abs(next(iter(out.values())).chi2 - chi2) < 1e-4
+
+
+def test_icc_matches_numpy(spark, tmp_path):
+    rng = np.random.RandomState(59)
+    rows, uid = [], 0
+    vals_by_user = []
+    for u in range(40):
+        m = rng.normal(50, 10)           # between-user variance
+        nn = rng.randint(3, 9)
+        v = np.round(m + rng.normal(0, 4, nn), 2)
+        vals_by_user.append(v)
+        rows += [(uid + i, "2026-01-01", u, "t", float(x), None)
+                 for i, x in enumerate(v)]
+        uid += nn
+    out = get("q_icc").fn(spark, _write_events(tmp_path, rows)).collect()[0]
+    allv = np.concatenate(vals_by_user)
+    n, k = len(allv), len(vals_by_user)
+    ssb = sum(len(v) * (v.mean() - allv.mean()) ** 2 for v in vals_by_user)
+    ssw = sum(((v - v.mean()) ** 2).sum() for v in vals_by_user)
+    msb, msw = ssb / (k - 1), ssw / (n - k)
+    k0 = (n - sum(len(v) ** 2 for v in vals_by_user) / n) / (k - 1)
+    icc = (msb - msw) / (msb + (k0 - 1) * msw)
+    assert out.n_groups == k and out.n == n
+    assert abs(out.k0 - k0) < 1e-5
+    # icc1 carries the deliberate 1e4-centi^2 sbq quantization (sized
+    # for exactness at sf1000 overflow bounds), so tolerance is looser
+    assert abs(out.icc1 - icc) < 5e-4
+
+
+def test_kruskal_wallis_matches_numpy(spark, tmp_path):
+    rng = np.random.RandomState(61)
+    # one stream, 4 cohorts by user_id % 4, deliberate ties (1dp grid)
+    rows = []
+    for i in range(600):
+        rows.append((i, "2026-01-01", i, "t",
+                     float(np.round(rng.normal(10 + (i % 4), 2), 1)),
+                     None))
+    out = get("q_kruskal_wallis").fn(
+        spark, _write_events(tmp_path, rows)).collect()[0]
+    v = np.array([r[4] for r in rows])
+    g = np.array([r[2] % 4 for r in rows])
+    order = pd.Series(v).rank(method="average").to_numpy()
+    n = len(v)
+    rank_term = sum(order[g == c].sum() ** 2 / (g == c).sum()
+                    for c in range(4))
+    h = 12.0 / (n * (n + 1)) * rank_term - 3 * (n + 1)
+    _, counts = np.unique(v, return_counts=True)
+    h /= 1 - (counts ** 3 - counts).sum() / (n ** 3 - n)
+    assert out.n == n
+    assert abs(out.h_stat - h) < 1e-4 * max(1, abs(h))
+
+
+def test_jarque_bera_matches_numpy(spark, tmp_path):
+    rng = np.random.RandomState(67)
+    v = np.round(rng.lognormal(3, 0.4, 800), 2)   # skewed on purpose
+    rows = [(i, "2026-01-01", i, "t", float(x), None)
+            for i, x in enumerate(v)]
+    out = get("q_jarque_bera").fn(
+        spark, _write_events(tmp_path, rows)).collect()[0]
+    d = v - v.mean()
+    m2, m3, m4 = (d ** 2).mean(), (d ** 3).mean(), (d ** 4).mean()
+    skew = m3 / m2 ** 1.5
+    kurt = m4 / m2 ** 2 - 3
+    jb = len(v) / 6 * (skew ** 2 + kurt ** 2 / 4)
+    assert abs(out.skewness - skew) < 1e-5
+    assert abs(out.excess_kurtosis - kurt) < 1e-5
+    assert abs(out.jarque_bera - jb) < 1e-3 * max(1, jb)
+
+
+def test_emd_drift_matches_numpy(spark, tmp_path):
+    rng = np.random.RandomState(71)
+    ref = np.round(rng.normal(20, 5, 500), 3)
+    cur = np.round(rng.normal(26, 7, 400), 3)     # planted drift
+    rows = [(i, "2024-01-%02d" % (1 + i % 14), i, "t", float(x), None)
+            for i, x in enumerate(ref)]
+    rows += [(10_000 + i, "2024-01-%02d" % (17 + i % 14), i, "t",
+              float(x), None) for i, x in enumerate(cur)]
+    out = get("q_emd_drift").fn(
+        spark, _write_events(tmp_path, rows)).collect()
+    allv = np.concatenate([ref, cur])
+    mn, mx = allv.min(), allv.max()
+    bins = np.clip(np.floor((allv - mn) * 20 / (mx - mn)), 0, 19)
+    cr = np.bincount(bins[:len(ref)].astype(int), minlength=20)
+    cc = np.bincount(bins[len(ref):].astype(int), minlength=20)
+    gap = np.abs(np.cumsum(cr) / cr.sum() - np.cumsum(cc) / cc.sum())
+    want_total = gap.sum() * (mx - mn) / 20
+    assert len(out) == 20
+    got = {r.bin: r for r in out}
+    for b in range(20):
+        assert got[b].n_ref == cr[b] and got[b].n_cur == cc[b], b
+    assert abs(out[0].emd_total - want_total) < 1e-4
+    assert out[0].emd_total > 1.0   # the planted drift is visible
+
+
+def test_theil_and_gini_by_group_match_numpy(spark, tmp_path):
+    rng = np.random.RandomState(73)
+    lens, langs = [], []
+    for lang, mu in (("en", 7.0), ("de", 6.0)):
+        x = (rng.lognormal(mu, 0.9, 150).astype(int) + 1)
+        lens += list(x)
+        langs += [lang] * 150
+    pd.DataFrame({
+        "doc_id": range(len(lens)), "text": ["x"] * len(lens),
+        "lang": langs, "source": ["s"] * len(lens), "n_chars": lens,
+    }).to_parquet(tmp_path / "documents.parquet")
+    th = {r.lang: r for r in
+          get("q_theil_index").fn(spark, str(tmp_path)).collect()}
+    gi = {r.lang: r for r in
+          get("q_gini_by_group").fn(spark, str(tmp_path)).collect()}
+    arr = {"en": np.array(lens[:150], float),
+           "de": np.array(lens[150:], float)}
+    for lang, x in arr.items():
+        mean = x.mean()
+        t = (x * np.log(x)).sum() / x.sum() - np.log(mean)
+        mld = np.log(mean) - np.log(x).mean()
+        assert abs(th[lang].theil_t - t) < 1e-5, lang
+        assert abs(th[lang].mld - mld) < 1e-5, lang
+        xs = np.sort(x)
+        n = len(xs)
+        g = 2 * ((np.arange(1, n + 1) * xs).sum()) / (n * xs.sum()) \
+            - (n + 1) / n
+        assert abs(gi[lang].gini - g) < 1e-5, lang
+
+
+def test_ccf_lags_matches_numpy(spark, tmp_path):
+    rng = np.random.RandomState(79)
+    n_days = 120
+    x = np.round(rng.uniform(50, 150, n_days), 2)
+    y = np.empty(n_days)
+    y[:3] = 100.0
+    for t in range(3, n_days):
+        y[t] = 0.7 * x[t - 3] + rng.normal(0, 3)   # planted lag-3 lead
+    y = np.round(y, 2)
+    days = pd.date_range("2026-01-01", periods=n_days, freq="D")
+    pd.DataFrame({"o_orderdate": days.strftime("%Y-%m-%d"),
+                  "o_totalprice": x}).to_parquet(tmp_path / "orders.parquet")
+    pd.DataFrame({"l_shipdate": days.strftime("%Y-%m-%d"),
+                  "l_extendedprice": y}).to_parquet(
+        tmp_path / "lineitem.parquet")
+    out = {r.lag: r for r in
+           get("q_ccf_lags").fn(spark, str(tmp_path)).collect()}
+    assert set(out) == set(range(15))
+    best = None
+    for lag in range(15):
+        a, b = x[:n_days - lag], y[lag:]
+        want = np.corrcoef(a, b)[0, 1]
+        assert out[lag].n_days == n_days - lag
+        assert abs(out[lag].ccf - want) < 1e-5, lag
+        if best is None or out[lag].ccf > out[best].ccf:
+            best = lag
+    assert best == 3   # the planted lead is recovered
