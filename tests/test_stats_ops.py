@@ -491,3 +491,225 @@ def test_ccf_lags_matches_numpy(spark, tmp_path):
         if best is None or out[lag].ccf > out[best].ccf:
             best = lag
     assert best == 3   # the planted lead is recovered
+
+
+def test_cochran_armitage_matches_numpy(spark, tmp_path):
+    rng = np.random.RandomState(83)
+    pris = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    grp, status = [], []
+    for s, n in zip(range(1, 6), (120, 90, 150, 80, 110)):
+        p = 0.15 + 0.12 * s                 # planted dose-response
+        grp += [pris[s - 1]] * n
+        status += ["F" if rng.rand() < p else "O" for _ in range(n)]
+    pd.DataFrame({"o_orderpriority": grp, "o_orderstatus": status,
+                  }).to_parquet(tmp_path / "orders.parquet")
+    out = get("q_cochran_armitage").fn(spark, str(tmp_path)).collect()[0]
+    s = np.array([int(g[0]) for g in grp], float)
+    y = np.array([1.0 if st == "F" else 0.0 for st in status])
+    nn, xx = len(y), y.sum()
+    p_hat = xx / nn
+    z = ((s * y).sum() - (s.sum()) * p_hat) / np.sqrt(
+        p_hat * (1 - p_hat) * ((s * s).sum() - s.sum() ** 2 / nn))
+    assert out.n == nn and out.n_success == int(xx)
+    assert abs(out.z_trend - z) < 1e-5
+    assert out.z_trend > 3   # the planted trend is detected
+
+
+def test_mantel_haenszel_matches_numpy(spark, tmp_path):
+    rng = np.random.RandomState(89)
+    n_cust = 240
+    seg = [f"SEG{i % 3}" for i in range(n_cust)]
+    bal = [(-50.0 if rng.rand() < 0.4 else 100.0) for _ in range(n_cust)]
+    pd.DataFrame({"c_custkey": range(n_cust), "c_mktsegment": seg,
+                  "c_acctbal": bal}).to_parquet(tmp_path / "customer.parquet")
+    # outcome depends on exposure inside every stratum (planted OR > 1)
+    ck, st = [], []
+    for c in range(n_cust):
+        for _ in range(rng.randint(1, 4)):
+            ck.append(c)
+            p = 0.55 if bal[c] < 0 else 0.30
+            st.append("F" if rng.rand() < p else "O")
+    pd.DataFrame({"o_custkey": ck, "o_orderstatus": st}
+                 ).to_parquet(tmp_path / "orders.parquet")
+    rows = {r.stratum: r for r in
+            get("q_mantel_haenszel").fn(spark, str(tmp_path)).collect()}
+    num = den = 0.0
+    for sidx in range(3):
+        a = b = c_ = d = 0
+        for k, s in zip(ck, st):
+            if seg[k] != f"SEG{sidx}":
+                continue
+            e, yy = bal[k] < 0, s == "F"
+            a += e and yy
+            b += e and not yy
+            c_ += (not e) and yy
+            d += (not e) and (not yy)
+        n = a + b + c_ + d
+        r = rows[f"SEG{sidx}"]
+        assert (r.a, r.b, r.c, r.d) == (a, b, c_, d), sidx
+        want_or = (a * d) / (b * c_)
+        assert abs(r.or_stratum - want_or) < 1e-4 * max(1, want_or), sidx
+        num += a * d / n
+        den += b * c_ / n
+    or_mh = num / den
+    r0 = next(iter(rows.values()))
+    assert abs(r0.or_mh - or_mh) < 1e-4 * max(1, or_mh)
+    assert r0.or_mh > 1.5   # the planted confounder-adjusted effect
+
+
+def test_partial_corr_and_goodman_gamma_match_numpy(spark, tmp_path):
+    rng = np.random.RandomState(97)
+    n = 400
+    age = rng.randint(0, 2000, n)
+    items = np.clip((age / 400 + rng.poisson(2, n)).astype(int), 1, 8)
+    price = np.round(50.0 * items + 0.01 * age + rng.normal(0, 40, n), 2)
+    pris = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    pri = rng.randint(1, 6, n)
+    days = (pd.Timestamp("1992-01-01")
+            + pd.to_timedelta(age, unit="D")).strftime("%Y-%m-%d")
+    pd.DataFrame({"o_orderkey": range(n),
+                  "o_totalprice": price,
+                  "o_orderdate": days,
+                  "o_orderpriority": [pris[p - 1] for p in pri],
+                  }).to_parquet(tmp_path / "orders.parquet")
+    pd.DataFrame({"l_orderkey": np.repeat(np.arange(n), items)}
+                 ).to_parquet(tmp_path / "lineitem.parquet")
+
+    out = get("q_partial_corr").fn(spark, str(tmp_path)).collect()[0]
+    x = np.round(price * 100)            # centi, like the engine
+    y, z = items.astype(float), age.astype(float)
+    rxy = np.corrcoef(x, y)[0, 1]
+    rxz = np.corrcoef(x, z)[0, 1]
+    ryz = np.corrcoef(y, z)[0, 1]
+    part = (rxy - rxz * ryz) / np.sqrt((1 - rxz ** 2) * (1 - ryz ** 2))
+    assert out.n == n
+    assert abs(out.r_xy - rxy) < 1e-5
+    assert abs(out.r_xy_given_z - part) < 1e-5
+    # controlling for age must shrink the raw correlation toward the
+    # item-driven signal, not flip its sign
+    assert out.r_xy_given_z > 0
+
+    g = get("q_goodman_gamma").fn(spark, str(tmp_path)).collect()[0]
+    conc = disc = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            dp = pri[i] - pri[j]
+            db = items[i] - items[j]     # basket = min(count, 8) = items
+            if dp * db > 0:
+                conc += 1
+            elif dp * db < 0:
+                disc += 1
+    assert (g.concordant, g.discordant) == (conc, disc)
+    assert abs(g.gamma - (conc - disc) / (conc + disc)) < 1e-5
+
+
+def test_wilcoxon_signed_rank_matches_numpy(spark, tmp_path):
+    rng = np.random.RandomState(101)
+    rows, diffs = [], []
+    for u in range(80):
+        pre = float(rng.randint(80, 120))      # integer values: exact
+        post = float(pre + rng.randint(-15, 25))  # centi means, no .5s
+        rows.append((2 * u, "2024-01-10", u, "t", pre, None))
+        rows.append((2 * u + 1, "2024-01-20", u, "t", post, None))
+        if post != pre:
+            diffs.append((post - pre) * 100)
+    out = get("q_wilcoxon_signed_rank").fn(
+        spark, _write_events(tmp_path, rows)).collect()[0]
+    d = np.array(diffs)
+    ranks = pd.Series(np.abs(d)).rank(method="average").to_numpy()
+    w_plus = ranks[d > 0].sum()
+    n = len(d)
+    _, counts = np.unique(np.abs(d), return_counts=True)
+    var = n * (n + 1) * (2 * n + 1) / 24 - (counts ** 3 - counts).sum() / 48
+    z = (w_plus - n * (n + 1) / 4) / np.sqrt(var)
+    assert out.n_pairs == n
+    assert abs(out.w_plus - w_plus) < 0.11
+    assert abs(out.z - z) < 1e-5
+
+
+def test_friedman_and_cochran_q_match_numpy(spark, tmp_path):
+    rng = np.random.RandomState(103)
+    streams = ["a", "b", "c", "d"]
+    rows, eid = [], 0
+    mus = {}
+    for day in range(1, 26):                    # 25 complete blocks
+        for si, s in enumerate(streams):
+            # one event per (day, stream): the daily mean is the exact
+            # centi value, no HALF_UP boundary to mirror
+            v = float(np.round(95 + 3 * si + rng.normal(0, 6), 2))
+            mus[(day, s)] = round(v * 100)
+            rows.append((eid, f"2024-01-{day:02d}", si, s, v, None))
+            eid += 1
+    sf = _write_events(tmp_path, rows)
+
+    fr = get("q_friedman").fn(spark, sf).collect()[0]
+    rank_sums = dict.fromkeys(streams, 0.0)
+    for day in range(1, 26):
+        vals = pd.Series({s: mus[(day, s)] for s in streams})
+        rk = vals.rank(method="average")
+        for s in streams:
+            rank_sums[s] += rk[s]
+    n, k = 25, 4
+    q = (12.0 / (n * k * (k + 1))) * sum(r * r for r in rank_sums.values()) \
+        - 3.0 * n * (k + 1)
+    assert fr.n_blocks == n and fr.k == k
+    assert abs(fr.friedman_q - q) < 1e-4 * max(1, q)
+
+    cq = get("q_cochran_q").fn(spark, sf).collect()[0]
+    hits = {(day, s): 1 if mus[(day, s)] > 10000 else 0
+            for day in range(1, 26) for s in streams}
+    cj = {s: sum(hits[(d, s)] for d in range(1, 26)) for s in streams}
+    ri = {d: sum(hits[(d, s)] for s in streams) for d in range(1, 26)}
+    sc, sc2 = sum(cj.values()), sum(v * v for v in cj.values())
+    sr, sr2 = sum(ri.values()), sum(v * v for v in ri.values())
+    want = (k - 1) * (k * sc2 - sc * sc) / (k * sr - sr2)
+    assert cq.n_blocks == n and cq.k == k
+    assert abs(cq.cochran_q - want) < 1e-4 * max(1, want)
+
+
+def test_logrank_matches_numpy(spark, tmp_path):
+    rng = np.random.RandomState(107)
+    rows, eid = [], 0
+    durs = []   # (duration_days, is_event, grp)
+    horizon = 40
+    for u in range(120):
+        t0 = rng.randint(1, 6)
+        rows.append((eid, f"2024-01-{t0:02d}", u, "view", 1.0, None))
+        eid += 1
+        # arm 1 (odd users) converts faster — planted hazard difference
+        lam = 8 if u % 2 else 16
+        wait = int(rng.exponential(lam)) + 1
+        if t0 + wait <= horizon:
+            day = t0 + wait
+            rows.append((eid, f"2024-02-{day - 31:02d}" if day > 31
+                         else f"2024-01-{day:02d}", u, "purchase",
+                         1.0, None))
+            eid += 1
+            durs.append((wait, True, u % 2))
+        else:
+            durs.append((horizon - t0, False, u % 2))
+    # pin the horizon: one late event so tmax is the same for everyone
+    rows.append((eid, f"2024-02-{horizon - 31:02d}", 99990, "view",
+                 1.0, None))
+    durs.append((0, False, 0))  # the horizon user: duration 0, censored
+    out = get("q_logrank").fn(spark, _write_events(tmp_path, rows)
+                              ).collect()[0]
+    times = sorted({t for t, e, g in durs if e})
+    oe = v = 0.0
+    n_events = 0
+    for t in times:
+        at = [(tt, ee, gg) for tt, ee, gg in durs if tt >= t]
+        nn = len(at)
+        n1 = sum(1 for tt, ee, gg in at if gg == 1)
+        d = sum(1 for tt, ee, gg in durs if ee and tt == t)
+        d1 = sum(1 for tt, ee, gg in durs if ee and tt == t and gg == 1)
+        n_events += d
+        oe += d1 - d * n1 / nn
+        if nn > 1:
+            v += d * (n1 / nn) * (1 - n1 / nn) * (nn - d) / (nn - 1)
+    z = oe / np.sqrt(v)
+    assert out.n_events == n_events
+    assert abs(out.o_minus_e - oe) < 1e-3
+    assert abs(out.variance - v) < 1e-3
+    assert abs(out.z - z) < 1e-4
+    assert out.z > 2    # the planted faster arm is detected
