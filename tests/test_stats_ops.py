@@ -713,3 +713,180 @@ def test_logrank_matches_numpy(spark, tmp_path):
     assert abs(out.variance - v) < 1e-3
     assert abs(out.z - z) < 1e-4
     assert out.z > 2    # the planted faster arm is detected
+
+
+def test_cohens_d_odds_ratio_poisson_match_numpy(spark, tmp_path):
+    rng = np.random.RandomState(109)
+    rows = []
+    vals, arms = [], []
+    for i in range(700):
+        arm = i % 2
+        v = float(np.round(rng.normal(100 + 6 * arm, 15), 2))
+        rows.append((i, "2026-01-01", i, "t", v, None))
+        vals.append(v)
+        arms.append(arm)
+    sf = _write_events(tmp_path, rows)
+    v = np.array(vals)
+    a = np.array(arms)
+
+    d_out = get("q_cohens_d").fn(spark, sf).collect()[0]
+    v0, v1 = v[a == 0], v[a == 1]
+    pooled = np.sqrt((((v0 - v0.mean()) ** 2).sum()
+                      + ((v1 - v1.mean()) ** 2).sum())
+                     / (len(v) - 2))
+    want_d = (v1.mean() - v0.mean()) / pooled
+    assert (d_out.n0, d_out.n1) == (len(v0), len(v1))
+    assert abs(d_out.cohens_d - want_d) < 1e-5
+
+    o_out = get("q_odds_ratio").fn(spark, sf).collect()[0]
+    hit = v > 100
+    n11 = int((hit & (a == 1)).sum())
+    n10 = int((~hit & (a == 1)).sum())
+    n01 = int((hit & (a == 0)).sum())
+    n00 = int((~hit & (a == 0)).sum())
+    want_or = ((n11 + .5) * (n00 + .5)) / ((n10 + .5) * (n01 + .5))
+    se = np.sqrt(1 / (n11 + .5) + 1 / (n10 + .5)
+                 + 1 / (n01 + .5) + 1 / (n00 + .5))
+    assert (o_out.n11, o_out.n10, o_out.n01, o_out.n00) == (
+        n11, n10, n01, n00)
+    assert abs(o_out.odds_ratio - want_or) < 1e-4
+    assert abs(o_out.ci_lo - np.exp(np.log(want_or) - 1.959964 * se)) < 1e-2
+    assert o_out.ci_lo > 1    # planted uplift crosses the 95% bar
+
+    # poisson: every user has ONE event here, so exposures = counts
+    # and the rate ratio is exactly 1 — plant an extra arm-1 burst
+    burst = [(10_000 + i, "2026-01-02", 1 + 2 * (i % 50), "t", 1.0, None)
+             for i in range(300)]
+    p_out = get("q_poisson_rate").fn(
+        spark, _write_events(tmp_path, rows + burst)).collect()[0]
+    k0, k1 = 350, 350 + 300
+    t0, t1 = 350, 350              # distinct users per arm unchanged
+    rr = (k1 / t1) / (k0 / t0)
+    assert (p_out.k0, p_out.k1) == (k0, k1)
+    assert (p_out.exposure0, p_out.exposure1) == (t0, t1)
+    assert abs(p_out.rate_ratio - rr) < 1e-6
+
+
+def test_mcnemar_capture_recapture_match_direct(spark, tmp_path):
+    # the two pseudo-rater hash splits are part of the queries'
+    # definitions; mirror them exactly and verify the STATISTICS
+    n = 500
+    lens = [300 + 7 * (i % 60) for i in range(n)]
+    pd.DataFrame({
+        "doc_id": range(n), "text": ["x"] * n, "lang": ["en"] * n,
+        "source": ["s"] * n, "n_chars": lens,
+    }).to_parquet(tmp_path / "documents.parquet")
+
+    m_out = get("q_mcnemar").fn(spark, str(tmp_path)).collect()[0]
+    b = c = 0
+    for i in range(n):
+        m1 = ((i % 1000003) * 2654435761 % 1000003) % 100 < 60
+        m2 = ((i % 1000003) * 40503 % 1000003) % 100 < 55
+        y = lens[i] > 400
+        b += (m1 == y) and (m2 != y)
+        c += (m1 != y) and (m2 == y)
+    want = (abs(b - c) - 1) ** 2 / (b + c)
+    assert (m_out.only_m1_correct, m_out.only_m2_correct) == (b, c)
+    assert abs(m_out.mcnemar_chi2 - want) < 1e-5
+
+    cr_out = get("q_capture_recapture").fn(spark, str(tmp_path)).collect()[0]
+    s1 = [((i % 1000003) * 2654435761 % 1000003) % 10 < 3 for i in range(n)]
+    s2 = [((i % 1000003) * 40503 % 1000003) % 10 < 3 for i in range(n)]
+    n1, n2 = sum(s1), sum(s2)
+    nb = sum(a and b_ for a, b_ in zip(s1, s2))
+    chapman = (n1 + 1) * (n2 + 1) / (nb + 1) - 1
+    assert (cr_out.n1, cr_out.n2, cr_out.n_both) == (n1, n2, nb)
+    assert cr_out.true_n == n
+    assert abs(cr_out.chapman_estimate - chapman) < 1e-5
+    # the estimator should land in the right ballpark of the truth
+    assert abs(cr_out.rel_error) < 0.5
+
+
+def test_stratified_ate_matches_numpy(spark, tmp_path):
+    rng = np.random.RandomState(113)
+    rows, eid = [], 0
+    recs = []   # (stratum, arm, value)
+    for si, (st, lift) in enumerate((("a", 3.0), ("b", 8.0), ("c", -2.0))):
+        for i in range(150):
+            arm = i % 2
+            v = float(np.round(rng.normal(100 + 10 * si + lift * arm, 5),
+                               2))
+            rows.append((eid, "2026-01-01", i, st, v, None))
+            recs.append((st, arm, v))
+            eid += 1
+    out = get("q_stratified_ate").fn(
+        spark, _write_events(tmp_path, rows)).collect()[0]
+    strata = sorted({s for s, _, _ in recs})
+    num = tot = 0.0
+    for st in strata:
+        v0 = np.array([v for s, a, v in recs if s == st and a == 0])
+        v1 = np.array([v for s, a, v in recs if s == st and a == 1])
+        w = len(v0) + len(v1)
+        num += w * (v1.mean() - v0.mean())
+        tot += w
+    ate = num / tot
+    assert out.n_strata == 3 and out.n == len(recs)
+    assert abs(out.ate_stratified - ate) < 1e-4
+    # per-stratum lifts average out to roughly (3 + 8 - 2) / 3
+    assert 2.0 < out.ate_stratified < 4.0
+
+
+def test_durbin_watson_and_pacf_match_numpy(spark, tmp_path):
+    rng = np.random.RandomState(127)
+    x = np.zeros(400)
+    for t in range(1, 400):
+        x[t] = 0.6 * x[t - 1] + rng.normal()
+    x = np.round(x, 4)
+    rows = [(i, "2026-01-01", 1, "ar", float(v), None)
+            for i, v in enumerate(x)]
+    sf = _write_events(tmp_path, rows)
+
+    dw = get("q_durbin_watson").fn(spark, sf).collect()[0]
+    d = x - x.mean()
+    want_dw = ((d[1:] - d[:-1]) ** 2).sum() / (d * d).sum()
+    assert dw.n == len(x)
+    assert abs(dw.durbin_watson - want_dw) < 1e-4
+    assert dw.durbin_watson < 1.2   # planted positive autocorrelation
+
+    pa = get("q_pacf").fn(spark, sf).collect()[0]
+    r = [float((d[k:] * d[:-k]).sum() / (d * d).sum()) for k in (1, 2, 3)]
+    # Durbin-Levinson by hand for lags 1-3
+    phi11 = r[0]
+    phi22 = (r[1] - r[0] ** 2) / (1 - r[0] ** 2)
+    phi21 = phi11 - phi22 * phi11
+    phi33 = (r[2] - phi21 * r[1] - phi22 * r[0]) \
+        / (1 - phi21 * r[0] - phi22 * r[1])
+    assert abs(pa.pacf1 - phi11) < 1e-4
+    assert abs(pa.pacf2 - phi22) < 1e-4
+    assert abs(pa.pacf3 - phi33) < 1e-4
+    # an AR(1) series: pacf1 large, pacf2/3 near zero
+    assert pa.pacf1 > 0.4 and abs(pa.pacf2) < 0.15 and abs(pa.pacf3) < 0.15
+
+
+def test_seasonality_strength_matches_numpy(spark, tmp_path):
+    rng = np.random.RandomState(131)
+    rows, eid = [], 0
+    vals, hours = [], []
+    for day in range(1, 11):
+        for h in range(24):
+            for _ in range(3):
+                v = float(np.round(
+                    100 + 25 * np.sin(2 * np.pi * h / 24)
+                    + rng.normal(0, 4), 2))
+                rows.append((eid, f"2026-01-{day:02d} {h:02d}:15:00",
+                             eid, "t", v, None))
+                vals.append(v)
+                hours.append(h)
+                eid += 1
+    out = get("q_seasonality_strength").fn(
+        spark, _write_events(tmp_path, rows)).collect()[0]
+    v = np.array(vals)
+    h = np.array(hours)
+    ssb = sum((h == hh).sum() * (v[h == hh].mean() - v.mean()) ** 2
+              for hh in range(24))
+    sst = ((v - v.mean()) ** 2).sum()
+    want = ssb / sst
+    assert abs(out.seasonality_strength - want) < 1e-3
+    means = {hh: v[h == hh].mean() for hh in range(24)}
+    assert out.peak_hour == max(means, key=lambda hh: (means[hh], -hh))
+    assert out.seasonality_strength > 0.8   # the planted diurnal cycle
