@@ -890,3 +890,70 @@ def test_seasonality_strength_matches_numpy(spark, tmp_path):
     means = {hh: v[h == hh].mean() for hh in range(24)}
     assert out.peak_hour == max(means, key=lambda hh: (means[hh], -hh))
     assert out.seasonality_strength > 0.8   # the planted diurnal cycle
+
+
+def test_gwet_ac1_matches_direct(spark, tmp_path):
+    n = 600
+    pd.DataFrame({
+        "doc_id": range(n), "text": ["x"] * n, "lang": ["en"] * n,
+        "source": ["s"] * n, "n_chars": [100] * n,
+    }).to_parquet(tmp_path / "documents.parquet")
+    out = get("q_gwet_ac1").fn(spark, str(tmp_path)).collect()[0]
+    r1, r2 = [], []
+    for i in range(n):
+        h = i % 1000003
+        a = (h * 2654435761 % 1000003) % 3
+        r1.append(a)
+        r2.append(a if (h * 40503 % 1000003) % 10 < 8 else (
+            ((h * 2654435761 % 1000003) + 1) % 3))
+    po = sum(x == y for x, y in zip(r1, r2)) / n
+    pe = sum((pi := (r1.count(c) + r2.count(c)) / (2 * n)) * (1 - pi)
+             for c in range(3)) / (3 - 1)
+    ac1 = (po - pe) / (1 - pe)
+    assert out.n_docs == n
+    assert abs(out.p_observed - po) < 1e-6
+    assert abs(out.ac1 - ac1) < 1e-5
+    assert out.ac1 > 0.5   # the planted 80% agreement shows through
+
+
+def test_chao1_matches_direct_spectrum(spark, tmp_path):
+    # vocabulary with a known frequency spectrum: 20 singleton types,
+    # 10 doubletons, 5 types seen 4x
+    words = ([f"solo{i}" for i in range(20)]
+             + [w for i in range(10) for w in [f"duo{i}"] * 2]
+             + [w for i in range(5) for w in [f"quad{i}"] * 4])
+    docs = [" ".join(words[i::3]) for i in range(3)]
+    pd.DataFrame({
+        "doc_id": range(3), "text": docs, "lang": ["en"] * 3,
+        "source": ["s"] * 3, "n_chars": [len(d) for d in docs],
+    }).to_parquet(tmp_path / "documents.parquet")
+    out = get("q_chao1").fn(spark, str(tmp_path)).collect()[0]
+    v, f1, f2, ntok = 35, 20, 10, 60
+    assert (out.n_types, out.f1, out.f2, out.n_tokens) == (v, f1, f2, ntok)
+    assert abs(out.chao1 - (v + f1 * (f1 - 1) / (2 * (f2 + 1)))) < 1e-6
+    assert abs(out.coverage - (1 - f1 / ntok)) < 1e-6
+
+
+def test_theilsen_matches_numpy(spark, tmp_path):
+    rng = np.random.RandomState(137)
+    rows, eid = [], 0
+    want = {}
+    for u in (1, 2):
+        nn = 9
+        ts = np.sort(rng.choice(np.arange(1, 28), nn, replace=False))
+        v = np.round(2.5 * u * ts + rng.normal(0, 3, nn), 3)
+        for t, x in zip(ts, v):
+            rows.append((eid, f"2026-03-{t:02d} 12:00:00", u,
+                         "purchase", float(x), None))
+            eid += 1
+        slopes = [(v[j] - v[i]) / (ts[j] - ts[i])
+                  for i in range(nn) for j in range(i + 1, nn)]
+        want[u] = (len(slopes), float(np.median(slopes)))
+    out = {r.user_id: r for r in
+           get("q_theilsen").fn(spark, _write_events(tmp_path, rows)
+                                ).collect()}
+    for u in (1, 2):
+        assert out[u].n_pairs == want[u][0], u
+        assert abs(out[u].slope_per_day - want[u][1]) < 1e-5, u
+        # the planted trend is recovered within the noise
+        assert abs(out[u].slope_per_day - 2.5 * u) < 1.0, u
