@@ -957,3 +957,255 @@ def test_theilsen_matches_numpy(spark, tmp_path):
         assert abs(out[u].slope_per_day - want[u][1]) < 1e-5, u
         # the planted trend is recovered within the noise
         assert abs(out[u].slope_per_day - 2.5 * u) < 1.0, u
+
+
+def _write_embeddings(tmp_path, vecs, labels):
+    pd.DataFrame({
+        "vec_id": range(len(vecs)),
+        "embedding": [np.asarray(v, np.float32) for v in vecs],
+        "label": np.asarray(labels, np.int32),
+    }).to_parquet(tmp_path / "embeddings.parquet")
+    return str(tmp_path)
+
+
+def test_ece_matches_direct(spark, tmp_path):
+    rng = np.random.RandomState(139)
+    n = 400
+    labels = rng.randint(0, 10, n)
+    vecs = [rng.randn(8).astype(np.float32) for _ in range(n)]
+    sf = _write_embeddings(tmp_path, vecs, labels)
+    out = get("q_ece").fn(spark, sf).collect()[0]
+    bins = {}
+    for i in range(n):
+        p_milli = 80 * labels[i] + ((i % 1000003) * 2654435761 % 1000) // 5
+        b = min(p_milli // 100, 9)
+        nn, sp, sy = bins.get(b, (0, 0, 0))
+        bins[b] = (nn + 1, sp + p_milli,
+                   sy + (1 if labels[i] >= 5 else 0))
+    gaps = {b: abs(sp / 1000 - sy) for b, (nn, sp, sy) in bins.items()}
+    ece = sum(gaps.values()) / n
+    mce = max(gaps[b] / bins[b][0] for b in bins)
+    assert out.n == n and out.n_bins == len(bins)
+    assert abs(out.ece - ece) < 1e-5
+    assert abs(out.mce - mce) < 1e-5
+
+
+def test_recall_at_k_matches_direct(spark, tmp_path):
+    rng = np.random.RandomState(149)
+    n = 300
+    labels = rng.randint(0, 10, n)
+    vecs = [rng.randn(8).astype(np.float32) for _ in range(n)]
+    sf = _write_embeddings(tmp_path, vecs, labels)
+    rows = {r.qid: r for r in
+            get("q_recall_at_k").fn(spark, sf).collect()}
+    for qid in range(20):
+        members = [(round(float(vecs[i][0]), 6), i,
+                    1 if labels[i] >= 7 else 0)
+                   for i in range(n) if i % 20 == qid]
+        members.sort(key=lambda t: (-t[0], t[1]))
+        hits = sum(rel for _, _, rel in members[:10])
+        n_rel = sum(rel for _, _, rel in members)
+        r = rows[qid]
+        assert (r.n_rel, r.hits_at_10) == (n_rel, hits), qid
+        if n_rel:
+            assert abs(r.recall_at_10 - hits / n_rel) < 1e-6, qid
+
+
+def test_topk_overlap_matches_direct(spark, tmp_path):
+    rng = np.random.RandomState(151)
+    vocab = [f"w{i:03d}" for i in range(150)]
+    docs = []
+    for d in range(40):
+        # snapshot a (even ids) samples low vocab ids more heavily
+        w = rng.choice(150, 60, p=np.linspace(
+            2.0 if d % 2 == 0 else 0.5,
+            0.5 if d % 2 == 0 else 2.0, 150)
+            / np.linspace(2.0 if d % 2 == 0 else 0.5,
+                          0.5 if d % 2 == 0 else 2.0, 150).sum())
+        docs.append(" ".join(vocab[i] for i in w))
+    pd.DataFrame({
+        "doc_id": range(40), "text": docs, "lang": ["en"] * 40,
+        "source": ["s"] * 40, "n_chars": [len(t) for t in docs],
+    }).to_parquet(tmp_path / "documents.parquet")
+    out = get("q_topk_overlap").fn(spark, str(tmp_path)).collect()[0]
+
+    def topk(snap):
+        cnt = {}
+        for d in range(snap, 40, 2):
+            for w in docs[d].split():
+                cnt[w] = cnt.get(w, 0) + 1
+        order = sorted(cnt, key=lambda w: (-cnt[w], w))
+        return set(order[:100])
+
+    a, b = topk(0), topk(1)
+    assert (out.k_a, out.k_b) == (len(a), len(b))
+    assert out.k_common == len(a & b)
+    assert abs(out.overlap_at_k
+               - len(a & b) / min(len(a), len(b))) < 1e-6
+
+
+def test_info_gain_matches_direct(spark, tmp_path):
+    rng = np.random.RandomState(157)
+    pris = ["1-URGENT", "2-HIGH", "3-MEDIUM"]
+    rows = []
+    for p in pris:
+        for _ in range(200):
+            hi = rng.rand() < 0.5
+            # outcome correlates with the split only for 1-URGENT
+            py = (0.8 if hi else 0.2) if p == "1-URGENT" else 0.5
+            rows.append((p, 300000.0 if hi else 100000.0,
+                         "F" if rng.rand() < py else "O"))
+    pd.DataFrame(rows, columns=["o_orderpriority", "o_totalprice",
+                                "o_orderstatus"]
+                 ).to_parquet(tmp_path / "orders.parquet")
+    out = {r.pri: r for r in
+           get("q_info_gain").fn(spark, str(tmp_path)).collect()}
+
+    def ent(pos, n):
+        if pos in (0, n):
+            return 0.0
+        p = pos / n
+        return -p * np.log(p) - (1 - p) * np.log(1 - p)
+
+    for p in pris:
+        sub = [(v >= 250000, s == "F") for q, v, s in rows if q == p]
+        n = len(sub)
+        pos = sum(y for _, y in sub)
+        n_hi = sum(h for h, _ in sub)
+        pos_hi = sum(y for h, y in sub if h)
+        ig = (ent(pos, n)
+              - n_hi / n * ent(pos_hi, n_hi)
+              - (n - n_hi) / n * ent(pos - pos_hi, n - n_hi))
+        assert abs(out[p].info_gain_milli - ig * 1000) < 1e-3, p
+    # only the planted-informative group carries real gain
+    assert out["1-URGENT"].info_gain_milli > 100
+    assert out["2-HIGH"].info_gain_milli < 20
+
+
+def test_smd_balance_matches_numpy(spark, tmp_path):
+    rng = np.random.RandomState(163)
+    rows, eid = [], 0
+    per_user = {}
+    for u in range(120):
+        n_ev = rng.randint(1, 8) + (2 if u % 2 else 0)   # imbalance
+        spend = 0
+        for i in range(n_ev):
+            is_p = rng.rand() < 0.4
+            v = float(np.round(rng.uniform(5, 50), 2))
+            rows.append((eid, "2026-01-01", u,
+                         "purchase" if is_p else "view", v, None))
+            if is_p:
+                spend += round(v * 100)
+            eid += 1
+        per_user[u] = (spend, n_ev)
+    out = {r.covariate: r for r in
+           get("q_smd_balance").fn(spark, _write_events(tmp_path, rows)
+                                   ).collect()}
+    for cov, idx in (("spend_centi", 0), ("n_events", 1)):
+        x0 = np.array([per_user[u][idx] for u in per_user if u % 2 == 0],
+                      float)
+        x1 = np.array([per_user[u][idx] for u in per_user if u % 2 == 1],
+                      float)
+        smd = (x1.mean() - x0.mean()) / np.sqrt(
+            (x0.var(ddof=1) + x1.var(ddof=1)) / 2)
+        r = out[cov]
+        assert abs(r.mean_ctrl - x0.mean()) < 1e-4, cov
+        assert abs(r.mean_treat - x1.mean()) < 1e-4, cov
+        assert abs(r.smd - smd) < 1e-4, cov
+    assert out["n_events"].smd > 0.5   # the planted imbalance
+
+
+def test_hhi_and_session_entropy_match_numpy(spark, tmp_path):
+    rng = np.random.RandomState(167)
+    # hhi over documents: one concentrated language, one balanced
+    srcs = (["s0"] * 60 + ["s1"] * 5 + ["s2"] * 5,      # concentrated
+            ["s0"] * 24 + ["s1"] * 23 + ["s2"] * 23)    # balanced
+    langs, sources = [], []
+    for lang, ss in zip(("aa", "bb"), srcs):
+        langs += [lang] * len(ss)
+        sources += ss
+    pd.DataFrame({
+        "doc_id": range(len(langs)), "text": ["x"] * len(langs),
+        "lang": langs, "source": sources, "n_chars": [9] * len(langs),
+    }).to_parquet(tmp_path / "documents.parquet")
+    out = {r.lang: r for r in
+           get("q_hhi").fn(spark, str(tmp_path)).collect()}
+    for lang, ss in zip(("aa", "bb"), srcs):
+        ks = np.array([ss.count(s) for s in sorted(set(ss))], float)
+        raw = (ks ** 2).sum() / ks.sum() ** 2
+        norm = (raw - 1 / len(ks)) / (1 - 1 / len(ks))
+        assert abs(out[lang].hhi - raw * 10000) < 1e-3, lang
+        assert abs(out[lang].hhi_normalized - norm) < 1e-5, lang
+    assert out["aa"].hhi > out["bb"].hhi   # concentration detected
+
+    # session entropy over events: user 0 single-type, user 1 diverse
+    rows = [(i, "2026-01-01", 0, "view", 1.0, None) for i in range(20)]
+    rows += [(100 + i, "2026-01-01", 1,
+              ["view", "click", "purchase", "error"][i % 4], 1.0, None)
+             for i in range(20)]
+    ent = {r.cohort: r for r in
+           get("q_session_entropy").fn(
+               spark, _write_events(tmp_path, rows)).collect()}
+    # user 0 (cohort 0): all one type -> H = 0; user 1 (cohort 1):
+    # uniform over 4 types -> H = ln 4
+    assert abs(ent[0].mean_entropy - 0.0) < 1e-6
+    assert abs(ent[1].mean_entropy - np.log(4)) < 1e-5
+
+
+def test_lorenz_points_matches_numpy(spark, tmp_path):
+    rng = np.random.RandomState(173)
+    lens = (rng.lognormal(6, 1.2, 500).astype(int) + 1)
+    pd.DataFrame({
+        "doc_id": range(500), "text": ["x"] * 500, "lang": ["en"] * 500,
+        "source": ["s"] * 500, "n_chars": lens,
+    }).to_parquet(tmp_path / "documents.parquet")
+    out = {r.decile: r for r in
+           get("q_lorenz_points").fn(spark, str(tmp_path)).collect()}
+    # equal-count deciles over (n_chars, doc_id)-sorted docs, remainder
+    # spread over the FIRST deciles (n_total % 10 deciles get one extra)
+    order = sorted(range(500), key=lambda i: (lens[i], i))
+    xs = np.array([lens[i] for i in order], float)
+    sizes = [50] * 10            # 500 divides evenly
+    cum = 0.0
+    pos = 0
+    for dec in range(1, 11):
+        chunk = xs[pos:pos + sizes[dec - 1]]
+        pos += sizes[dec - 1]
+        cum += chunk.sum()
+        r = out[dec]
+        assert r.n_docs == sizes[dec - 1], dec
+        assert abs(r.cum_char_share - cum / xs.sum()) < 1e-6, dec
+    # Lorenz curve is convex: top decile holds the biggest share
+    assert out[10].cum_char_share == 1.0
+
+
+def test_jaccard_drift_and_forecast_accuracy_match(spark, tmp_path):
+    # jaccard over snapshots by doc parity, whitespace tokens
+    texts = ["alpha beta gamma", "beta gamma delta",
+             "alpha beta epsilon", "gamma delta zeta"]
+    pd.DataFrame({
+        "doc_id": range(4), "text": texts, "lang": ["en"] * 4,
+        "source": ["s"] * 4, "n_chars": [len(t) for t in texts],
+    }).to_parquet(tmp_path / "documents.parquet")
+    out = get("q_jaccard_drift").fn(spark, str(tmp_path)).collect()[0]
+    a = {w for i in (0, 2) for w in texts[i].split()}
+    b = {w for i in (1, 3) for w in texts[i].split()}
+    assert (out.vocab_a, out.vocab_b) == (len(a), len(b))
+    assert out.vocab_common == len(a & b)
+    assert abs(out.jaccard - len(a & b) / len(a | b)) < 1e-6
+
+    # naive-persistence forecast: daily sums, pred = yesterday
+    rng = np.random.RandomState(179)
+    daily = np.round(rng.uniform(50, 150, 12), 2)
+    rows = [(i, f"2026-04-{i + 1:02d}", 1, "t", float(v), None)
+            for i, v in enumerate(daily)]
+    f_out = get("q_forecast_accuracy").fn(
+        spark, _write_events(tmp_path, rows)).collect()[0]
+    actual = np.round(daily * 100)
+    err = actual[1:] - actual[:-1]
+    mape = np.mean(np.abs(err) / np.abs(actual[1:]))
+    rmse = np.sqrt((err ** 2).mean()) / 100   # engine: original units
+    assert f_out.n_days == 11
+    # engine reports centi-integer errors; compare the relative metric
+    assert abs(f_out.mape_pct - mape * 100) < 1e-4
+    assert abs(f_out.rmse - rmse) < 1e-3 * max(1, rmse)
