@@ -1209,3 +1209,98 @@ def test_jaccard_drift_and_forecast_accuracy_match(spark, tmp_path):
     # engine reports centi-integer errors; compare the relative metric
     assert abs(f_out.mape_pct - mape * 100) < 1e-4
     assert abs(f_out.rmse - rmse) < 1e-3 * max(1, rmse)
+
+
+def test_kl_psi_drift_match_numpy(spark, tmp_path):
+    # KL over documents: snapshot mix shifts from s0-heavy to s1-heavy
+    srcs = []
+    for i in range(300):
+        if i % 2 == 0:
+            srcs.append("s0" if i % 10 < 7 else "s1")   # snapshot a
+        else:
+            srcs.append("s0" if i % 10 < 3 else "s1")   # snapshot b
+    pd.DataFrame({
+        "doc_id": range(300), "text": ["x"] * 300, "lang": ["en"] * 300,
+        "source": srcs, "n_chars": [9] * 300,
+    }).to_parquet(tmp_path / "documents.parquet")
+    out = {r.source: r for r in
+           get("q_kl_drift").fn(spark, str(tmp_path)).collect()}
+    ca = {s: 1 + sum(1 for i in range(0, 300, 2) if srcs[i] == s)
+          for s in ("s0", "s1")}
+    cb = {s: 1 + sum(1 for i in range(1, 300, 2) if srcs[i] == s)
+          for s in ("s0", "s1")}
+    ta, tb = sum(ca.values()), sum(cb.values())
+    for s in ("s0", "s1"):
+        pa, pb = ca[s] / ta, cb[s] / tb
+        assert out[s].n_a == ca[s] and out[s].n_b == cb[s], s
+        assert abs(out[s].kl_term_milli
+                   - pa * np.log(pa / pb) * 1000) < 1e-4, s
+
+    # PSI over events: ref window binned by its own range, cur shifted
+    rng = np.random.RandomState(181)
+    ref = np.round(rng.uniform(10, 20, 400), 3)
+    cur = np.round(rng.uniform(12, 26, 300), 3)
+    rows = [(i, "2024-01-05", i, "t", float(v), None)
+            for i, v in enumerate(ref)]
+    rows += [(10_000 + i, "2024-01-25", i, "t", float(v), None)
+             for i, v in enumerate(cur)]
+    psi_rows = get("q_psi_drift").fn(
+        spark, _write_events(tmp_path, rows)).collect()
+    mn, mx = ref.min(), ref.max()
+
+    def binv(v):
+        return int(min(9, max(0, np.floor((v - mn) * 10 / (mx - mn)))))
+
+    nr = np.bincount([binv(v) for v in ref], minlength=10)
+    nc = np.bincount([binv(v) for v in cur], minlength=10)
+    got = {r.bin: r for r in psi_rows}
+    for b in range(10):
+        if b in got:
+            assert got[b].n_ref == nr[b] and got[b].n_cur == nc[b], b
+
+
+def test_corr_matrix_and_novelty_match_numpy(spark, tmp_path):
+    rng = np.random.RandomState(191)
+    rows, eid = [], 0
+    va, vb = [], []
+    for u in range(200):
+        x = rng.normal(10, 2)
+        y = 0.8 * x + rng.normal(0, 1)      # planted correlation
+        rows.append((eid, "2026-01-01", u, "aa", float(x), None))
+        rows.append((eid + 1, "2026-01-01", u, "bb", float(y), None))
+        eid += 2
+        va.append(x)
+        vb.append(y)
+    out = get("q_corr_matrix").fn(
+        spark, _write_events(tmp_path, rows)).collect()
+    r = [x for x in out if x.type_a == "aa" and x.type_b == "bb"][0]
+    want = np.corrcoef(va, vb)[0, 1]
+    assert r.n_users == 200
+    assert abs(r.pearson_r - want) < 1e-5
+    assert r.pearson_r > 0.7
+
+    # novelty: batches by doc_id % 4, duplicates planted across batches
+    texts = []
+    for i in range(200):
+        if i % 4 == 0:
+            texts.append(f"novel text {i}")          # batch 0: all new
+        else:
+            # later batches: half repeat a batch-0 text
+            texts.append(f"novel text {i - i % 4}" if i % 8 < 4
+                         else f"fresh {i}")
+    pd.DataFrame({
+        "doc_id": range(200), "text": texts, "lang": ["en"] * 200,
+        "source": ["s"] * 200, "n_chars": [len(t) for t in texts],
+    }).to_parquet(tmp_path / "documents.parquet")
+    nv = {r.batch: r for r in
+          get("q_novelty_rate").fn(spark, str(tmp_path)).collect()}
+    first = {}
+    for i, t in enumerate(texts):
+        first.setdefault(t, i % 4)
+    for b in range(4):
+        docs_b = [i for i in range(200) if i % 4 == b]
+        novel = sum(1 for i in docs_b if first[texts[i]] == i % 4)
+        assert nv[b].n_docs == len(docs_b), b
+        assert nv[b].n_novel == novel, b
+    assert nv[0].novelty_rate == 1.0          # the seed batch is all new
+    assert nv[1].novelty_rate < 1.0           # planted repeats detected
