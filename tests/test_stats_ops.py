@@ -1304,3 +1304,82 @@ def test_corr_matrix_and_novelty_match_numpy(spark, tmp_path):
         assert nv[b].n_novel == novel, b
     assert nv[0].novelty_rate == 1.0          # the seed batch is all new
     assert nv[1].novelty_rate < 1.0           # planted repeats detected
+
+
+def test_qq_points_match_numpy(spark, tmp_path):
+    rng = np.random.RandomState(193)
+    a = np.round(rng.normal(50, 10, 301), 3)     # arm 0 (even users)
+    b = np.round(rng.normal(58, 14, 300), 3)     # arm 1: shifted+wider
+    rows = [(i, "2026-01-01", 2 * i, "t", float(v), None)
+            for i, v in enumerate(a)]
+    rows += [(1000 + i, "2026-01-01", 2 * i + 1, "t", float(v), None)
+             for i, v in enumerate(b)]
+    out = {r.pct: r for r in
+           get("q_qq_points").fn(spark, _write_events(tmp_path, rows)
+                                 ).collect()}
+    for k in range(1, 10):
+        q0 = np.percentile(a, 10 * k)    # linear interp = Spark default
+        q1 = np.percentile(b, 10 * k)
+        r = out[10 * k]
+        assert abs(r.q_arm0 - q0) < 1e-5, k
+        assert abs(r.q_arm1 - q1) < 1e-5, k
+        assert abs(r.qq_gap - (q1 - q0)) < 1e-5, k
+    # the planted shift shows at the median
+    assert out[50].qq_gap > 4
+
+
+def test_retention_and_markov_match_direct(spark, tmp_path):
+    # three Monday-started weeks; users return on known week offsets
+    plan = {0: [0, 1, 2], 1: [0, 2], 2: [0], 3: [0, 1], 4: [0]}
+    rows, eid = [], 0
+    for u, weeks in plan.items():
+        for w in weeks:
+            day = 5 + 7 * w      # 2026-01-05 is a Monday
+            rows.append((eid, f"2026-01-{day:02d} 10:00:00", u,
+                         "view", 1.0, None))
+            eid += 1
+    out = {(r.cohort_week, r.week_offset): r for r in
+           get("q_retention_cohorts").fn(
+               spark, _write_events(tmp_path, rows)).collect()}
+    # everyone first appears in the same cohort week
+    week0 = "2026-01-05"
+    assert set(k[0] for k in out) == {week0}
+    expect = {0: 5, 1: 2, 2: 2}   # actives per offset
+    for off, n in expect.items():
+        r = out[(week0, off)]
+        assert r.n_active == n, off
+        assert abs(r.retention - n / 5) < 1e-6, off
+
+    # markov transitions over one user's known sequence
+    seq = ["view", "click", "view", "purchase", "view", "click"]
+    rows2 = [(i, f"2026-02-01 00:00:{i:02d}", 7, t, 1.0, None)
+             for i, t in enumerate(seq)]
+    mk = {(r.prev_type, r.next_type): r for r in
+          get("q_markov_transitions").fn(
+              spark, _write_events(tmp_path, rows2)).collect()}
+    assert mk[("view", "click")].c == 2
+    assert mk[("click", "view")].c == 1
+    assert mk[("view", "purchase")].c == 1
+    assert mk[("purchase", "view")].c == 1
+    assert abs(mk[("view", "click")].p - 2 / 3) < 1e-6
+    assert abs(mk[("view", "purchase")].p - 1 / 3) < 1e-6
+
+
+def test_vocab_growth_matches_direct(spark, tmp_path):
+    # doc ids 0..9 -> one per bucket; vocabulary grows by construction
+    texts = [" ".join(f"w{j}" for j in range(i + 1)) for i in range(10)]
+    pd.DataFrame({
+        "doc_id": range(10), "text": texts, "lang": ["en"] * 10,
+        "source": ["s"] * 10, "n_chars": [len(t) for t in texts],
+    }).to_parquet(tmp_path / "documents.parquet")
+    out = {r.bucket: r for r in
+           get("q_vocab_growth").fn(spark, str(tmp_path)).collect()}
+    cum_types = 0
+    cum_toks = 0
+    for b in range(10):
+        cum_toks += b + 1            # doc b has b+1 tokens
+        cum_types = b + 1            # exactly one new type per doc
+        r = out[b]
+        assert r.cum_tokens == cum_toks, b
+        assert r.cum_types == cum_types, b
+        assert abs(r.cum_ttr - cum_types / cum_toks) < 1e-6, b
