@@ -1383,3 +1383,75 @@ def test_vocab_growth_matches_direct(spark, tmp_path):
         assert r.cum_tokens == cum_toks, b
         assert r.cum_types == cum_types, b
         assert abs(r.cum_ttr - cum_types / cum_toks) < 1e-6, b
+
+
+def test_changepoint_matches_numpy(spark, tmp_path):
+    rng = np.random.RandomState(197)
+    # planted level shift at index 150 of 400
+    x = np.concatenate([rng.normal(20, 1.5, 150),
+                        rng.normal(28, 1.5, 250)])
+    x = np.round(x, 4)
+    rows = [(i, "2026-01-01", 1, "t", float(v), None)
+            for i, v in enumerate(x)]
+    out = get("q_changepoint").fn(
+        spark, _write_events(tmp_path, rows)).collect()[0]
+    xu = np.round(x * 1e6).astype(np.int64)
+    n = len(xu)
+    st = np.cumsum(xu)
+    stat = np.abs(n * st[:-1] - np.arange(1, n) * st[-1])
+    idx = int(np.argmax(stat)) + 1        # 1-based, first max wins
+    shift = stat[idx - 1] / idx / (n - idx) / 1e6
+    assert out.change_idx == idx
+    assert abs(out.mean_shift - shift) < 1e-4
+    assert abs(idx - 150) <= 2            # the planted break is found
+    assert abs(shift - 8.0) < 1.0         # ... with its magnitude
+
+
+def test_sprt_matches_direct_walk(spark, tmp_path):
+    import math
+
+    rng = np.random.RandomState(199)
+    # p(true) = 0.72 > 34-threshold rate 0.55 -> early accept_h1
+    vals = [50.0 if rng.rand() < 0.72 else 20.0 for _ in range(300)]
+    rows = [(i, "2026-01-01", 1, "t", float(v), None)
+            for i, v in enumerate(vals)]
+    out = get("q_sprt").fn(spark, _write_events(tmp_path, rows)
+                           ).collect()[0]
+    l1, l0 = math.log(0.55 / 0.45), math.log(0.45 / 0.55)
+    bound = math.log(19.0)
+    llr, cross_n, cross_llr = 0.0, None, None
+    for i, v in enumerate(vals, start=1):
+        llr += l1 if v > 34 else l0
+        if cross_n is None and (llr >= bound or llr <= -bound):
+            cross_n, cross_llr = i, llr
+    assert out.n_obs == len(vals)
+    assert out.decision == "accept_h1"
+    assert out.n_at_decision == cross_n
+    assert abs(out.llr_at_decision - cross_llr) < 1e-5
+    assert cross_n < 60     # the planted effect decides early
+
+
+def test_page_hinkley_matches_direct_fold(spark, tmp_path):
+    rng = np.random.RandomState(211)
+    # one event per day: daily mean == exact micro value (no rounding);
+    # mean drifts upward from day 20 -> alarm
+    rows, mus = [], []
+    for d in range(1, 31):
+        v = float(np.round(100 + (0 if d < 20 else 3 * (d - 19))
+                           + rng.normal(0, 0.5), 4))
+        day = f"2026-01-{d:02d}" if d <= 31 else None
+        rows.append((d, day, 1, "t", v, None))
+        mus.append(round(v * 1e6))
+    out = get("q_page_hinkley").fn(
+        spark, _write_events(tmp_path, rows)).collect()[0]
+    s, u, minu, alarm = 0, 0.0, 0.0, None
+    for i, mu in enumerate(mus, start=1):
+        s += mu
+        u += (mu - s / i) - 1_000_000.0
+        minu = min(minu, u)
+        if alarm is None and u - minu >= 5_000_000.0:
+            alarm = i
+    assert out.n_days == 30
+    assert abs(out.ph_stat - (u - minu) / 1e6) < 1e-4
+    assert out.alarm_day == alarm
+    assert alarm is not None and alarm >= 20   # fires after the drift
