@@ -1455,3 +1455,83 @@ def test_page_hinkley_matches_direct_fold(spark, tmp_path):
     assert abs(out.ph_stat - (u - minu) / 1e6) < 1e-4
     assert out.alarm_day == alarm
     assert alarm is not None and alarm >= 20   # fires after the drift
+
+
+def _write_docs(tmp_path, texts, sources=None):
+    n = len(texts)
+    pd.DataFrame({
+        "doc_id": range(n), "text": texts, "lang": ["en"] * n,
+        "source": sources or ["s"] * n,
+        "n_chars": [len(t) if t else 0 for t in texts],
+    }).to_parquet(tmp_path / "documents.parquet")
+    return str(tmp_path)
+
+
+def test_tfidf_and_bm25_match_direct(spark, tmp_path):
+    texts = ["spark join window spark",
+             "join join filter",
+             "window scan spark join",
+             "filter scan scan"]
+    sf = _write_docs(tmp_path, texts)
+    n = len(texts)
+
+    out = {(r.doc_id, r.tok): r for r in
+           get("q_tfidf").fn(spark, sf).collect()}
+    df = {}
+    for t in texts:
+        for w in set(t.split()):
+            df[w] = df.get(w, 0) + 1
+    for (doc, tok), r in out.items():
+        tf = texts[doc].split().count(tok)
+        want = tf * np.log(n / df[tok])
+        assert abs(r.tfidf - round(want, 6)) < 1e-9, (doc, tok)
+    # doc 0's top term: 'spark' (tf 2, df 3) vs 'window' (tf 1, df 2)
+    top0 = [k for k, r in out.items() if k[0] == 0 and r.rank == 1]
+    assert top0 == [(0, "spark")]
+
+    bm = {r.doc_id: r for r in get("q_bm25").fn(spark, sf).collect()}
+    dls = [len(t.split()) for t in texts]
+    avgdl = sum(dls) / n
+    for doc in bm:
+        score = 0.0
+        for tok in ("spark", "join", "window"):
+            tf = texts[doc].split().count(tok)
+            if tf == 0:
+                continue
+            dfq = sum(1 for t in texts if tok in t.split())
+            idf = np.log((n - dfq + 0.5) / (dfq + 0.5) + 1.0)
+            score += idf * tf * 2.2 / (
+                tf + 1.2 * (1 - 0.75 + 0.75 * dls[doc] / avgdl))
+        assert abs(bm[doc].bm25 - round(score, 6)) < 1e-6, doc
+
+
+def test_unigram_logprob_and_perplexity_match_direct(spark, tmp_path):
+    texts = ["aa aa bb", "bb cc", "aa cc cc dd"]
+    sf = _write_docs(tmp_path, texts, sources=["s0", "s0", "s1"])
+
+    freq = {}
+    for t in texts:
+        for w in t.split():
+            freq[w] = freq.get(w, 0) + 1
+    big_n = sum(freq.values())
+
+    out = {r.doc_id: r for r in
+           get("q_unigram_logprob").fn(spark, sf).collect()}
+    for i, t in enumerate(texts):
+        ws = t.split()
+        want = np.mean([np.log(freq[w] / big_n) for w in ws])
+        assert out[i].n_tok == len(ws), i
+        assert abs(out[i].avg_logprob - round(want, 6)) < 1e-9, i
+
+    pp = {r.source: r for r in
+          get("q_perplexity").fn(spark, sf).collect()}
+    v = len(freq)
+    for src, docs in (("s0", (0, 1)), ("s1", (2,))):
+        toks = [w for d in docs for w in texts[d].split()]
+        # Laplace-smoothed LM over the WHOLE corpus vocabulary
+        lps = [round(np.log((freq[w] + 1) / (big_n + v)) * 1e9)
+               for w in toks]
+        ce = -sum(lps) / 1e9 / len(toks)
+        assert pp[src].n_tokens == len(toks), src
+        assert abs(pp[src].cross_entropy - round(ce, 6)) < 1e-9, src
+        assert abs(pp[src].perplexity - round(np.exp(ce), 6)) < 1e-5, src
