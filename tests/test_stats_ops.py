@@ -1535,3 +1535,80 @@ def test_unigram_logprob_and_perplexity_match_direct(spark, tmp_path):
         assert pp[src].n_tokens == len(toks), src
         assert abs(pp[src].cross_entropy - round(ce, 6)) < 1e-9, src
         assert abs(pp[src].perplexity - round(np.exp(ce), 6)) < 1e-5, src
+
+
+def test_text_quality_trio_matches_direct(spark, tmp_path):
+    texts = ["aabbbcc",                       # known char distribution
+             "One sentence here. And two more! Done?",
+             "tok tok unique other other other"]
+    sf = _write_docs(tmp_path, texts)
+
+    ce = {r.doc_id: r for r in
+          get("q_char_entropy").fn(spark, sf).collect()}
+    t = texts[0]
+    n = len(t)
+    counts = [t.count(c) for c in sorted(set(t))]
+    want = np.log(n) - sum(k * round(np.log(k), 12) for k in counts) / n
+    assert ce[0].n_distinct == 3
+    assert abs(ce[0].entropy - round(want, 4)) < 1e-9  # engine rounds at 4
+
+    ari = {r.doc_id: r for r in
+           get("q_readability_ari").fn(spark, sf).collect()}
+    import re
+    t1 = texts[1]
+    nc = len(re.sub(r"[^!-~]", "", t1))
+    nw = len([w for w in re.split(r"\s+", t1.lower()) if w])
+    ns = max(1, len(re.split(r"[.!?]+", t1)) - 1)
+    want_ari = round((471 * nc * ns + 50 * nw * nw - 2143 * nw * ns)
+                     * 100.0 / (nw * ns)) / 10000.0
+    assert ari[1].n_words == nw and ari[1].n_sents == ns
+    assert abs(ari[1].ari - want_ari) < 1e-9
+
+    tt = {r.source: r for r in
+          get("q_ttr_hapax").fn(spark, sf).collect()}
+    toks = [w for t_ in texts for w in t_.split()]
+    types = set(toks)
+    hapax = sum(1 for w in types if toks.count(w) == 1)
+    r = tt["s"]
+    assert r.n_tokens == len(toks) and r.n_types == len(types)
+    assert r.n_hapax == hapax
+    assert abs(r.ttr - round(len(types) / len(toks), 6)) < 1e-9
+
+
+def test_dsir_matches_direct(spark, tmp_path):
+    import hashlib
+
+    texts = ["the quick brown fox", "der schnelle braune fuchs",
+             "the lazy dog", "le chien paresseux"]
+    langs = ["en", "de", "en", "fr"]
+    pd.DataFrame({
+        "doc_id": range(4), "text": texts, "lang": langs,
+        "source": ["s"] * 4, "n_chars": [len(t) for t in texts],
+    }).to_parquet(tmp_path / "documents.parquet")
+    out = {r.doc_id: r for r in
+           get("q_dsir").fn(spark, str(tmp_path)).collect()}
+
+    def bkt(tok):
+        return hashlib.md5(tok.encode()).hexdigest()[:2]
+
+    all_b, tgt_b = [], []
+    per_doc = {}
+    for i, (t, lg) in enumerate(zip(texts, langs)):
+        bs = [bkt(w) for w in t.lower().split()]
+        per_doc[i] = bs
+        all_b += bs
+        if lg == "en":
+            tgt_b += bs
+    cr = {b: all_b.count(b) for b in set(all_b)}
+    ct = {b: tgt_b.count(b) for b in set(all_b)}
+    n_r, n_t = len(all_b), len(tgt_b)
+    lr_nano = {b: round((np.log((ct[b] + 1) / (n_t + 256))
+                         - np.log((cr[b] + 1) / (n_r + 256))) * 1e9)
+               for b in cr}
+    for i, bs in per_doc.items():
+        want = sum(lr_nano[b] for b in bs) / 1e9  # SUM, not mean
+        assert out[i].n_tok == len(bs), i
+        assert abs(out[i].log_weight - round(want, 6)) < 1e-5, i
+    # English docs must importance-weight HIGHER toward the en target
+    assert min(out[0].log_weight, out[2].log_weight) > \
+        max(out[1].log_weight, out[3].log_weight)
