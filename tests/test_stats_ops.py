@@ -1612,3 +1612,54 @@ def test_dsir_matches_direct(spark, tmp_path):
     # English docs must importance-weight HIGHER toward the en target
     assert min(out[0].log_weight, out[2].log_weight) > \
         max(out[1].log_weight, out[3].log_weight)
+
+
+def test_mann_whitney_matches_numpy(spark, tmp_path):
+    rng = np.random.RandomState(223)
+    a = np.round(rng.normal(10, 2, 250), 1)    # ties via 1dp grid
+    b = np.round(rng.normal(11, 2, 200), 1)    # planted shift
+    rows = [(i, "2026-01-01", 0, "t", float(v), None)
+            for i, v in enumerate(a)]
+    rows += [(1000 + i, "2026-01-01", 1, "t", float(v), None)
+             for i, v in enumerate(b)]
+    out = get("q_mann_whitney").fn(
+        spark, _write_events(tmp_path, rows)).collect()[0]
+    pooled = np.concatenate([a, b])
+    ranks = pd.Series(pooled).rank(method="average").to_numpy()
+    ra = ranks[:len(a)].sum()
+    u = ra - len(a) * (len(a) + 1) / 2
+    nn = len(pooled)
+    _, counts = np.unique(pooled, return_counts=True)
+    var = (len(a) * len(b) / 12.0
+           * ((nn + 1) - (counts ** 3 - counts).sum() / (nn * (nn - 1))))
+    z = (u - len(a) * len(b) / 2) / np.sqrt(var)
+    assert (out.n_a, out.n_b) == (len(a), len(b))
+    assert abs(out.u_stat - u) < 0.11
+    assert abs(out.z - z) < 1e-5
+    assert out.z < -3   # planted shift (b larger -> a's U small)
+
+
+def test_lift_gains_matches_direct(spark, tmp_path):
+    rng = np.random.RandomState(227)
+    n = 500
+    scores = np.round(rng.uniform(-1, 1, n), 4).astype(np.float32)
+    # outcome probability increases with the score -> top deciles lift
+    labels = np.where(rng.rand(n) < 0.2 + 0.3 * (scores > 0.3), 7, 2)
+    vecs = [np.concatenate([[s], rng.randn(7)]).astype(np.float32)
+            for s in scores]
+    sf = _write_embeddings(tmp_path, vecs, labels)
+    out = {r.decile: r for r in
+           get("q_lift_gains").fn(spark, sf).collect()}
+    order = sorted(range(n), key=lambda i: (-round(float(scores[i]), 6), i))
+    y = np.array([1 if labels[i] >= 5 else 0 for i in order])
+    tp = y.sum()
+    cum = 0
+    for d in range(10):
+        rows_d = y[(np.arange(n) * 10 // n) == d]
+        cum += rows_d.sum()
+        r = out[d]
+        assert r.n_pos == rows_d.sum(), d
+        assert abs(r.capture_pct - round(100.0 * cum / tp, 6)) < 1e-4, d
+        want_lift = (rows_d.sum() / len(rows_d)) / (tp / n)
+        assert abs(r.lift - want_lift) < 1e-4, d
+    assert out[0].lift > 1.2 > out[9].lift   # planted score signal
