@@ -1663,3 +1663,51 @@ def test_lift_gains_matches_direct(spark, tmp_path):
         want_lift = (rows_d.sum() / len(rows_d)) / (tp / n)
         assert abs(r.lift - want_lift) < 1e-4, d
     assert out[0].lift > 1.2 > out[9].lift   # planted score signal
+
+
+def test_ohlc_bars_match_direct(spark, tmp_path):
+    rng = np.random.RandomState(229)
+    rows = []
+    recs = []
+    for i in range(120):
+        h, mi = i % 4, (i * 7) % 60
+        ts = f"2024-01-01 {h:02d}:{mi:02d}:{i % 50:02d}"
+        v = float(np.round(rng.uniform(10, 30), 4))
+        rows.append((i, ts, 1, "t", v, None))
+        recs.append((h, ts, i, v))
+    out = {r.bar: r for r in
+           get("q_ohlc_bars").fn(spark, _write_events(tmp_path, rows)
+                                 ).collect()}
+    for h in range(4):
+        bar = f"2024-01-01 {h:02d}:00"
+        sub = sorted([(ts, i, v) for hh, ts, i, v in recs if hh == h])
+        r = out[bar]
+        assert r.volume == len(sub), h
+        assert abs(r.open - sub[0][2]) < 1e-9, h
+        assert abs(r.close - sub[-1][2]) < 1e-9, h
+        assert abs(r.high - max(v for _, _, v in sub)) < 1e-9, h
+        assert abs(r.low - min(v for _, _, v in sub)) < 1e-9, h
+
+
+def test_kmeans_step_matches_numpy(spark, tmp_path):
+    rng = np.random.RandomState(233)
+    n, dim = 100, 6
+    vecs = [rng.randn(dim).astype(np.float32) for _ in range(n)]
+    sf = _write_embeddings(tmp_path, vecs, rng.randint(0, 10, n))
+    out = {(r.cid, r.pos): r for r in
+           get("q_kmeans_step").fn(spark, sf).collect()}
+    cents = {cid: np.asarray(vecs[cid], np.float64) for cid in range(8)}
+    assign = {}
+    for i, v in enumerate(vecs):
+        vd = np.asarray(v, np.float64)
+        best = min(((round(float(((vd - c) ** 2).sum()), 6), cid)
+                    for cid, c in cents.items()))
+        assign.setdefault(best[1], []).append(vd)
+    for cid, members in assign.items():
+        m = np.mean(members, axis=0)
+        for pos in range(dim):
+            r = out[(cid, pos)]
+            assert r.n_members == len(members), (cid, pos)
+            assert abs(r.centroid_val - round(float(m[pos]), 6)) < 1e-9, \
+                (cid, pos)
+    assert set(c for c, _ in out) == set(assign)   # same live clusters
