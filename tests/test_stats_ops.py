@@ -1711,3 +1711,47 @@ def test_kmeans_step_matches_numpy(spark, tmp_path):
             assert abs(r.centroid_val - round(float(m[pos]), 6)) < 1e-9, \
                 (cid, pos)
     assert set(c for c, _ in out) == set(assign)   # same live clusters
+
+
+def test_sessionize_and_burstiness_match_direct(spark, tmp_path):
+    # one user: gaps 10min, 40min (split), 5min -> sessions [3, 1] on
+    # event counts... construct explicitly
+    stamps = ["2026-05-01 10:00:00", "2026-05-01 10:10:00",
+              "2026-05-01 10:50:01",      # > 30 min after previous
+              "2026-05-01 10:55:00", "2026-05-01 11:00:00"]
+    rows = [(i, t, 7, "t", 1.0, None) for i, t in enumerate(stamps)]
+    sf = _write_events(tmp_path, rows)
+    out = sorted(get("q_sessionize").fn(spark, sf).collect(),
+                 key=lambda r: r.session_id)
+    assert [(r.n_events, r.duration_s) for r in out] == [
+        (2, 600), (3, 599)]
+
+    b = get("q_burstiness").fn(spark, sf).collect()[0]
+    gaps = np.array([600, 2401, 299, 300], float) * 1e6   # micros
+    n, sd, ssd = len(gaps), gaps.sum(), (gaps ** 2).sum()
+    root = np.sqrt(n * ssd - sd * sd)
+    want = (root - sd) / (root + sd)
+    assert b.n_gaps == 4
+    assert abs(b.mean_gap_s - round(sd / n / 1e6, 3)) < 1e-9
+    assert abs(b.burstiness - want) < 1e-5
+
+
+def test_time_weighted_avg_matches_direct(spark, tmp_path):
+    # one stream: value 10 for 30 min, then 20 for 90 min (crossing an
+    # hour boundary), final sentinel closes the last segment
+    rows = [(0, "2026-06-01 10:00:00", 1, "t", 10.0, None),
+            (1, "2026-06-01 10:30:00", 1, "t", 20.0, None),
+            (2, "2026-06-01 12:00:00", 1, "t", 99.0, None)]
+    out = {r.hour_bucket: r for r in
+           get("q_time_weighted_avg").fn(
+               spark, _write_events(tmp_path, rows)).collect()}
+    h0 = int(pd.Timestamp("2026-06-01 10:00:00").value // 1000
+             // 3_600_000_000)
+    # hour 10: 30 min at 10 + 30 min at 20 -> 15.0 over 3600 s
+    r0 = out[h0]
+    assert r0.total_us == 3_600_000_000
+    assert abs(r0.twa - 15.0) < 1e-9
+    # hour 11: full hour at 20
+    r1 = out[h0 + 1]
+    assert r1.total_us == 3_600_000_000
+    assert abs(r1.twa - 20.0) < 1e-9
