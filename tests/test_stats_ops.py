@@ -1755,3 +1755,55 @@ def test_time_weighted_avg_matches_direct(spark, tmp_path):
     r1 = out[h0 + 1]
     assert r1.total_us == 3_600_000_000
     assert abs(r1.twa - 20.0) < 1e-9
+
+
+def test_skipgram_and_keyword_tfidf_match_direct(spark, tmp_path):
+    texts = ["a b c d", "b c b"]
+    sf = _write_docs(tmp_path, texts)
+    out = {(r.center, r.context): r.c for r in
+           get("q_skipgram_counts").fn(spark, sf).collect()}
+    want = {}
+    for t in texts:
+        ws = t.split()
+        for i, w in enumerate(ws):
+            for o in (-2, -1, 1, 2):
+                if 0 <= i + o < len(ws):
+                    want[(w, ws[i + o])] = want.get((w, ws[i + o]), 0) + 1
+    assert out == want   # tiny corpus: top-100 covers everything
+
+    kw = {(r.doc_id, r.tok): r for r in
+          get("q_keyword_tfidf").fn(spark, sf).collect()}
+    # only doc_id % 25 == 0 docs are scored -> doc 0 here; top 3 by
+    # (score desc, tok asc): a and d (df=1) beat b (df=2), c cut
+    assert set(kw) == {(0, "a"), (0, "d"), (0, "b")}
+    n = len(texts)
+    df = {"a": 1, "b": 2, "c": 2, "d": 1}
+    for (_, w), r in kw.items():
+        want = 1 * (np.log((n + 1) / (df[w] + 1)) + 1)
+        assert r.tf == 1 and r.df == df[w], w
+        assert abs(r.tfidf - round(want, 6)) < 1e-5, w
+
+
+def test_cms_count_matches_md5_mirror(spark, tmp_path):
+    import hashlib
+
+    texts = ["red red red blue blue green",
+             "red blue yellow yellow pink"]
+    sf = _write_docs(tmp_path, texts)
+    out = {r.term: r for r in get("q_cms_count").fn(spark, sf).collect()}
+    toks = [w for t in texts for w in t.lower().split()]
+    exact = {w: toks.count(w) for w in set(toks)}
+
+    def bucket(r, w):
+        return int(hashlib.md5(f"{r}:{w}".encode()).hexdigest()[:3],
+                   16) % 512
+    cells = {}
+    for w, c in exact.items():
+        for r in range(4):
+            key = (r, bucket(r, w))
+            cells[key] = cells.get(key, 0) + c
+    for w, r_out in out.items():
+        est = min(cells[(r, bucket(r, w))] for r in range(4))
+        assert r_out.c_exact == exact[w], w        # exact count column
+        assert r_out.c_est == est, w               # the sketch readout
+        assert r_out.c_est >= exact[w], w          # CMS never undercounts
