@@ -1807,3 +1807,62 @@ def test_cms_count_matches_md5_mirror(spark, tmp_path):
         assert r_out.c_exact == exact[w], w        # exact count column
         assert r_out.c_est == est, w               # the sketch readout
         assert r_out.c_est >= exact[w], w          # CMS never undercounts
+
+
+def test_url_canonical_and_line_dedup_match_direct(spark, tmp_path):
+    import hashlib
+    import re as _re
+
+    texts = [" ".join(f"t{j}" for j in range(25)) for _ in range(3)]
+    # doc 3 is unique text; the three identical docs repeat every block
+    texts.append("solo " * 12)
+    sf = _write_docs(tmp_path, texts, sources=["sa", "sb", "sa", "sc"])
+
+    out = {r.canonical_url: r for r in
+           get("q_url_canonical").fn(spark, sf).collect()}
+
+    def canon(doc_id, source):
+        url = (("https" if doc_id % 2 == 0 else "HTTPS") + "://"
+               + (source.upper() if doc_id % 3 == 0 else source)
+               + ".Example.COM"
+               + (":443" if doc_id % 4 == 0 else "")
+               + "/a/./b/../docs/" + str(doc_id % 50)
+               + (f"?utm_source=feed&ref={source}&id={doc_id % 50}"
+                  if doc_id % 2 == 0 else f"?id={doc_id % 50}")
+               + "#sec" + str(doc_id % 5))
+        u = _re.sub(r"#.*$", "", url)
+        head = _re.match(r"^([^/]*//[^/?#]*)", u).group(1)
+        u = head.lower() + u[len(head):]
+        u = _re.sub(r"^(https://[^/:]*):443", r"\1", u)
+        u = _re.sub(r"/[^/]+/\.\./", "/", _re.sub(r"/\./", "/", u))
+        u = _re.sub(r"[?&]$", "",
+                    _re.sub(r"(utm_[a-z]+|ref)=[^&#]*&?", "", u))
+        return u
+
+    want = {}
+    for i, src in enumerate(["sa", "sb", "sa", "sc"]):
+        want.setdefault(canon(i, src), []).append(i)
+    assert set(out) == set(want)
+    for u, ids in want.items():
+        assert out[u].n_variants == len(ids), u
+        assert out[u].keep_id == min(ids), u
+
+    ld = {r.doc_id: r for r in
+          get("q_line_dedup").fn(spark, sf).collect()}
+
+    def blocks(t):
+        ws = [w for w in _re.split(r"\s+", t) if w]
+        return [" ".join(ws[i:i + 10]) for i in range(0, len(ws), 10)]
+
+    occ = {}
+    for t in texts:
+        for b in blocks(t):
+            occ[b] = occ.get(b, 0) + 1
+    for i, t in enumerate(texts):
+        bs = blocks(t)
+        kept = [b for b in bs if occ[b] < 3]
+        assert ld[i].n_blocks == len(bs), i
+        assert ld[i].n_removed == len(bs) - len(kept), i
+        assert (ld[i].clean_text or "") == " ".join(kept), i
+    # the 3x-repeated boilerplate blocks are gone; unique text survives
+    assert not ld[0].clean_text and ld[3].clean_text
