@@ -14,6 +14,7 @@ def load_all() -> None:
     from . import (  # noqa: F401
         aggregates,
         analysis,
+        assurance,
         diagnostics,
         domain,
         evaluation,
