@@ -559,3 +559,425 @@ def q_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
                              * (1.0 - F.sum(share).over(wall)), 6) + 0.0)
                     .alias("alpha"))
             .orderBy("item"))
+
+
+# ---------------------------------------------------------------------------
+# One HITS hub/authority iteration over the customer<->part graph
+# ---------------------------------------------------------------------------
+
+@query("q_hits_step", oracle="""
+WITH edges AS (
+  SELECT DISTINCT o_custkey AS ck, l_partkey AS pk
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+), a1 AS (
+  SELECT pk, COUNT(*) AS a1 FROM edges GROUP BY pk
+), h1 AS (
+  SELECT e.ck, SUM(CAST(a.a1 AS HUGEINT)) AS h1
+  FROM edges e JOIN a1 a USING (pk) GROUP BY e.ck
+), a2 AS (
+  SELECT e.pk, SUM(h.h1) AS a2
+  FROM edges e JOIN h1 h USING (ck) GROUP BY e.pk
+), hubs AS (
+  SELECT 'hub' AS kind, ck AS node, CAST(h1 AS BIGINT) AS score
+  FROM h1 ORDER BY h1 DESC, ck LIMIT 20
+), auths AS (
+  SELECT 'authority' AS kind, pk AS node, CAST(a2 AS BIGINT) AS score
+  FROM a2 ORDER BY a2 DESC, pk LIMIT 20
+)
+SELECT * FROM hubs UNION ALL SELECT * FROM auths
+ORDER BY kind, score DESC, node
+""")
+def q_hits_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full HITS (Kleinberg) hub/authority iteration over the
+    customer<->part co-purchase bipartite graph, from the uniform
+    start: a1(p) = in-degree, h1(c) = sum of a1 over c's parts,
+    a2(p) = sum of h1 over p's buyers — top-20 hubs (customers whose
+    baskets concentrate on widely-bought parts) and top-20 authorities
+    (parts bought by the strongest hubs). The mutually-reinforcing
+    centrality beside q_pagerank's random-walk one; the iterative-graph
+    family's fixed-iteration anchor pattern (q_pagerank, q_kmeans_step)
+    makes the step SQL-expressible so the driver hash-checks real
+    scores.
+
+    Determinism: NO normalization inside the iteration — scores stay
+    EXACT integers (HUGEINT/DECIMAL sums of integer degrees), so
+    ranking ties break on the integer plus node id and no float enters
+    the plan at all. (Classic HITS L2-normalizes; the ranking and the
+    top-k are invariant to the positive scale factor, which is all a
+    one-step readout needs.)
+
+    Scale: each half-step is one |E| equi-join plus one map-side
+    combined groupBy — the Pregel step expressed relationally, same
+    shape as q_pagerank's iterations. The edge list is rescanned per
+    consumer here (the toy-table trade q_pagerank documents); a
+    production deployment buckets edges by node and caches them across
+    iterations, and hot hub nodes take the salted two-stage aggregate
+    from operators/skew.py."""
+    od = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (od.join(li, li.l_orderkey == od.o_orderkey)
+             .select(F.col("o_custkey").alias("ck"),
+                     F.col("l_partkey").alias("pk"))
+             .distinct())
+    a1 = edges.groupBy("pk").agg(F.count(F.lit(1)).alias("a1"))
+    h1 = (edges.join(a1, "pk")
+          .groupBy("ck")
+          .agg(F.sum(F.col("a1").cast("decimal(38,0)")).alias("h1")))
+    a2 = (edges.join(h1, "ck")
+          .groupBy("pk")
+          .agg(F.sum("h1").alias("a2")))
+    hubs = (h1.orderBy(F.desc("h1"), "ck").limit(20)
+            .select(F.lit("hub").alias("kind"),
+                    F.col("ck").alias("node"),
+                    F.col("h1").cast("long").alias("score")))
+    auths = (a2.orderBy(F.desc("a2"), "pk").limit(20)
+             .select(F.lit("authority").alias("kind"),
+                     F.col("pk").alias("node"),
+                     F.col("a2").cast("long").alias("score")))
+    return hubs.unionAll(auths).orderBy("kind", F.desc("score"), "node")
+
+
+# ---------------------------------------------------------------------------
+# Power-law (Pareto) MLE on the part degree distribution
+# ---------------------------------------------------------------------------
+
+@query("q_powerlaw_alpha", oracle="""
+WITH deg AS (
+  SELECT l_partkey AS pk, COUNT(DISTINCT o_custkey) AS d
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+  GROUP BY pk
+), tail AS (
+  SELECT d, COUNT(*) AS cnt FROM deg WHERE d >= 3 GROUP BY d
+), s AS (
+  SELECT SUM(cnt) AS n,
+         SUM(CAST(ROUND(LN(d / 2.5) * 1e12) AS BIGINT) * cnt) AS s_pico,
+         MAX(d) AS d_max
+  FROM tail
+)
+SELECT CAST(n AS BIGINT) AS n_tail,
+       CAST(3 AS BIGINT) AS x_min,
+       CAST(d_max AS BIGINT) AS d_max,
+       ROUND(1.0 + n / (s_pico / 1e12), 6) + 0.0 AS alpha,
+       ROUND((n / (s_pico / 1e12)) / SQRT(n), 6) + 0.0 AS se
+FROM s
+""")
+def q_powerlaw_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-law exponent MLE for the part-degree distribution of the
+    co-purchase graph (Clauset-Shalizi-Newman discrete approximation):
+    alpha = 1 + n / sum ln(d_i / (x_min - 1/2)) over the tail
+    d >= x_min = 3, with standard error (alpha - 1)/sqrt(n). The
+    heavy-tail audit behind every skew decision in the graph family:
+    q_zipf_fit asks it of token frequencies, this asks it of DEGREES —
+    whether hub mitigation (q_adamic_adar's cap, salting) is facing a
+    true scale-free tail or a benign exponential one.
+
+    Determinism: ln runs once per DISTINCT degree value (the
+    q_theil_index convention), quantized to pico units, multiplied by
+    the exact tail count and summed as integers; alpha/se are one
+    double expression of (n, s_pico).
+
+    Scale: degree table via one map-side-combined groupBy; the
+    distinct-degree spectrum is at most |distinct degrees| rows
+    (thousands at any corpus size); one tiny final aggregate."""
+    od = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    deg = (od.join(li, li.l_orderkey == od.o_orderkey)
+           .groupBy(F.col("l_partkey").alias("pk"))
+           .agg(F.countDistinct("o_custkey").alias("d")))
+    tail = (deg.filter(F.col("d") >= 3)
+            .groupBy("d").agg(F.count(F.lit(1)).alias("cnt")))
+    s = tail.agg(
+        F.sum("cnt").alias("n"),
+        F.sum(F.round(F.log(F.col("d") / 2.5) * 1e12).cast("bigint")
+              * F.col("cnt")).alias("s_pico"),
+        F.max("d").alias("d_max"))
+    n = F.col("n").cast("double")
+    rate = n / (F.col("s_pico") / 1e12)
+    return s.select(
+        F.col("n").cast("long").alias("n_tail"),
+        F.lit(3).cast("long").alias("x_min"),
+        F.col("d_max").cast("long").alias("d_max"),
+        (F.round(1.0 + rate, 6) + 0.0).alias("alpha"),
+        (F.round(rate / F.sqrt(n), 6) + 0.0).alias("se"))
+
+
+# ---------------------------------------------------------------------------
+# Jaccard-neighborhood link prediction (the unweighted AA baseline)
+# ---------------------------------------------------------------------------
+
+@query("q_jaccard_linkpred", oracle="""
+WITH buyers AS (
+  SELECT DISTINCT o_custkey AS ck, l_partkey AS pk
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+), deg AS (
+  SELECT pk FROM buyers GROUP BY pk
+  HAVING COUNT(*) BETWEEN 2 AND 40
+), kept AS (
+  SELECT b.ck, b.pk FROM buyers b JOIN deg USING (pk)
+), cdeg AS (
+  SELECT ck, COUNT(*) AS cd FROM kept GROUP BY ck
+), pairs AS (
+  SELECT a.ck AS ck_a, b.ck AS ck_b, COUNT(*) AS n_shared
+  FROM kept a JOIN kept b ON a.pk = b.pk AND a.ck < b.ck
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 2
+)
+SELECT ck_a, ck_b,
+       CAST(n_shared AS BIGINT) AS n_shared,
+       CAST(da.cd + db.cd - n_shared AS BIGINT) AS n_union,
+       ROUND(n_shared::DOUBLE / (da.cd + db.cd - n_shared), 9) + 0.0
+         AS jaccard
+FROM pairs
+JOIN cdeg da ON da.ck = ck_a
+JOIN cdeg db ON db.ck = ck_b
+ORDER BY ROUND(n_shared::DOUBLE / (da.cd + db.cd - n_shared), 9) DESC,
+         ck_a, ck_b
+LIMIT 100
+""")
+def q_jaccard_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard-neighborhood link prediction over the customer<->part
+    graph: |N(a) n N(b)| / |N(a) u N(b)| for candidate customer pairs
+    — the unweighted set-overlap baseline beneath q_adamic_adar's
+    popularity-weighted score (same candidate universe: parts with
+    2-40 buyers, hubs removed; the Jaccard denominator counts
+    neighborhoods inside that universe so numerator and denominator
+    live on the same graph). Top 100 pairs, >= 2 shared parts.
+
+    Determinism: shared and union counts are exact integers; the
+    score is one integer ratio rounded to 9 digits BEFORE the ORDER BY
+    with the (ck_a, ck_b) tiebreak, so top-k membership cannot flip.
+
+    Scale: pair generation reuses the Adamic-Adar candidate machinery
+    (operators-level map-side expansion from the bounded per-part
+    buyer arrays — no self-join, hub parts pruned before any pair is
+    emitted); customer degrees ride one extra keyed aggregate over
+    the capped edge set and join the pair stream on its keys. Two
+    fact scans total (candidates + degrees), both keyed shuffles."""
+    from .mining import adamic_adar_candidate_pairs
+
+    od = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    buyers = (od.join(li, li.l_orderkey == od.o_orderkey)
+              .select(F.col("o_custkey").alias("ck"),
+                      F.col("l_partkey").alias("pk"))
+              .distinct())
+    capped = (buyers.groupBy("pk")
+              .agg(F.count(F.lit(1)).alias("d"))
+              .filter((F.col("d") >= 2) & (F.col("d") <= 40))
+              .select("pk"))
+    cdeg = (buyers.join(capped, "pk")
+            .groupBy("ck").agg(F.count(F.lit(1)).alias("cd")))
+    pairs = (adamic_adar_candidate_pairs(spark, sf_dir)
+             .groupBy("ck_a", "ck_b")
+             .agg(F.count(F.lit(1)).alias("n_shared"))
+             .filter(F.col("n_shared") >= 2))
+    da = cdeg.select(F.col("ck").alias("ck_a"), F.col("cd").alias("da"))
+    db = cdeg.select(F.col("ck").alias("ck_b"), F.col("cd").alias("db"))
+    n_union = F.col("da") + F.col("db") - F.col("n_shared")
+    score = F.round(F.col("n_shared").cast("double") / n_union, 9)
+    return (pairs.join(da, "ck_a").join(db, "ck_b")
+            .select("ck_a", "ck_b",
+                    F.col("n_shared").cast("long").alias("n_shared"),
+                    n_union.cast("long").alias("n_union"),
+                    (score + 0.0).alias("jaccard"))
+            .orderBy(F.desc("jaccard"), "ck_a", "ck_b")
+            .limit(100))
+
+
+# ---------------------------------------------------------------------------
+# Mean average precision @10 over the embedding eval groups
+# ---------------------------------------------------------------------------
+
+@query("q_map_eval", oracle="""
+WITH base AS (
+  SELECT vec_id % 20 AS qid, vec_id,
+         ROUND(embedding[1]::DOUBLE, 6) AS score,
+         CASE WHEN label >= 7 THEN 1 ELSE 0 END AS rel
+  FROM embeddings
+), ranked AS (
+  SELECT qid, rel,
+         ROW_NUMBER() OVER w AS rk,
+         SUM(rel) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS hits
+  FROM base
+  WINDOW w AS (PARTITION BY qid ORDER BY score DESC, vec_id)
+), g AS (
+  SELECT qid,
+         COUNT(*) AS n_cand,
+         SUM(rel) AS n_rel,
+         SUM(CASE WHEN rel = 1 AND rk <= 10
+                  THEN hits * (2520 // rk) ELSE 0 END) AS ap_num
+  FROM ranked GROUP BY qid
+), ap AS (
+  SELECT qid, n_cand, n_rel,
+         ROUND(ap_num::DOUBLE
+               / NULLIF(2520.0 * LEAST(n_rel, 10), 0), 9) + 0.0 AS ap
+  FROM g
+)
+SELECT qid, CAST(n_cand AS BIGINT) AS n_cand,
+       CAST(n_rel AS BIGINT) AS n_rel, ap,
+       ROUND(AVG(ap) OVER (), 6) + 0.0 AS map
+FROM ap ORDER BY qid
+""")
+def q_map_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean average precision at 10 over the SAME 20 embedding eval
+    groups as q_ndcg_mrr (qid = vec_id % 20, candidates ranked by
+    first-component score, binary relevance = label >= 7):
+    AP@10 = sum over relevant hits at rank k <= 10 of P@k, divided by
+    min(R, 10); MAP is the cross-query mean. The order-sensitive
+    retrieval headline beside NDCG (graded gains) and recall@k (set
+    membership): AP integrates precision exactly where the hits land.
+
+    Determinism: P@k = hits/k never exists as a float — each term is
+    the exact integer hits * (2520 / k) (2520 = lcm(1..10), so every
+    per-rank weight is an integer), summed as integers; AP is one
+    division by 2520 * min(R, 10) rounded at 9; zero-relevant groups
+    read NULL -> excluded from AVG on BOTH engines only after the
+    NULLIF guard maps them to NULL (and they stay visible rows).
+
+    Scale: one window per qid sharing a single exchange+sort (the
+    cumulative-hits frame reuses the ranking window's spec), one
+    map-side-combined groupBy; the MAP total runs over the bounded
+    20-row qid spine."""
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.select(
+        (F.col("vec_id") % 20).alias("qid"), "vec_id",
+        F.round(F.element_at("embedding", 1).cast("double"), 6)
+        .alias("score"),
+        F.when(F.col("label") >= 7, 1).otherwise(0).alias("rel"))
+    w = W.partitionBy("qid").orderBy(F.desc("score"), "vec_id")
+    wcum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    ranked = base.select(
+        "qid", "rel",
+        F.row_number().over(w).alias("rk"),
+        F.sum("rel").over(wcum).alias("hits"))
+    ap_num = F.sum(F.when((F.col("rel") == 1) & (F.col("rk") <= 10),
+                          F.col("hits") * F.floor(2520 / F.col("rk"))
+                          .cast("long"))
+                   .otherwise(F.lit(0)))
+    g = (ranked.groupBy("qid")
+         .agg(F.count(F.lit(1)).alias("n_cand"),
+              F.sum("rel").alias("n_rel"),
+              ap_num.alias("ap_num")))
+    ap = (F.round(F.col("ap_num").cast("double")
+                  / F.nullif(2520.0 * F.least(F.col("n_rel"), F.lit(10)),
+                             F.lit(0.0)), 9) + 0.0)
+    wall = (W.orderBy("qid")  # 20-row qid spine
+            .rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+    return (g.withColumn("ap", ap)
+            .select("qid",
+                    F.col("n_cand").cast("long").alias("n_cand"),
+                    F.col("n_rel").cast("long").alias("n_rel"),
+                    "ap",
+                    (F.round(F.avg("ap").over(wall), 6) + 0.0).alias("map"))
+            .orderBy("qid"))
+
+
+# ---------------------------------------------------------------------------
+# Rank-biased overlap between two rankers, truncated at depth 10
+# ---------------------------------------------------------------------------
+
+#: 0.9^(d-1) in exact nano units for d = 1..10 (0.9^k has a finite
+#: decimal expansion, so these integers are EXACT) and lcm(1..10) —
+#: shared literals between the Spark plan and the oracle SQL.
+_RBO_W_NANO = (1000000000, 900000000, 810000000, 729000000, 656100000,
+               590490000, 531441000, 478296900, 430467210, 387420489)
+_RBO_W_SUM = sum(_RBO_W_NANO)  # 6513215599
+_RBO_LCM = 2520
+
+_RBO_SPINE_SQL = " UNION ALL ".join(
+    f"SELECT {d} AS d, CAST({w} AS BIGINT) AS w_nano"
+    for d, w in enumerate(_RBO_W_NANO, start=1))
+
+
+@query("q_rbo_overlap", oracle=f"""
+WITH base AS (
+  SELECT vec_id % 20 AS qid, vec_id,
+         ROUND(embedding[1]::DOUBLE, 6) AS s_a,
+         ROUND(embedding[2]::DOUBLE, 6) AS s_b
+  FROM embeddings
+), ranked AS (
+  SELECT qid, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY s_a DESC, vec_id)
+           AS rk_a,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY s_b DESC, vec_id)
+           AS rk_b
+  FROM base
+), depths AS ({_RBO_SPINE_SQL}
+), ov AS (
+  SELECT r.qid, d.d, d.w_nano,
+         SUM(CASE WHEN r.rk_a <= d.d AND r.rk_b <= d.d THEN 1 ELSE 0 END)
+           AS overlap
+  FROM ranked r CROSS JOIN depths d
+  WHERE r.rk_a <= 10 OR r.rk_b <= 10
+  GROUP BY 1, 2, 3
+), per_q AS (
+  SELECT qid,
+         MAX(CASE WHEN d = 10 THEN overlap END) AS ov10,
+         ROUND(SUM(w_nano * overlap * ({_RBO_LCM} // d))::DOUBLE
+               / ({_RBO_LCM}.0 * {_RBO_W_SUM}), 9) + 0.0 AS rbo
+  FROM ov GROUP BY qid
+)
+SELECT qid, CAST(ov10 AS BIGINT) AS ov10, rbo,
+       ROUND(AVG(rbo) OVER (), 6) + 0.0 AS rbo_mean
+FROM per_q ORDER BY qid
+""")
+def q_rbo_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (Webber et al., truncated at depth 10,
+    p = 0.9) between two rankers of the same candidates per eval group
+    — ranker A orders by the first embedding component, ranker B by
+    the second: RBO@10 = sum_d p^(d-1) * |A_d n B_d| / d, normalized
+    by sum_d p^(d-1). The ranker-agreement readout that top-k overlap
+    alone misses: RBO weights agreement at the TOP, which is where a
+    reranker swap actually bites. rbo -> 1 means interchangeable
+    rankers; rbo -> 0 means the second stage completely reorders.
+
+    Determinism: p = 0.9 powers have finite decimal expansions, so the
+    weights are EXACT nano integers (shared literal table on both
+    engines); each depth term is w_nano * overlap * (2520/d) — all
+    integers (2520 = lcm(1..10)) — and RBO is one final division,
+    rounded at 9. Ranks round scores to 6 digits with a vec_id
+    tiebreak before ROW_NUMBER (the eval-query tie rule).
+
+    Scale: two windows per qid sharing one exchange (same partition
+    key, two bounded sorts); candidates trimmed to the top-10 union
+    BEFORE the 10-row depth spine joins (broadcast), so the expanded
+    relation is <= 20 rows per query times 10 depths; the cross-query
+    mean runs over the 20-row qid spine."""
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.select(
+        (F.col("vec_id") % 20).alias("qid"), "vec_id",
+        F.round(F.element_at("embedding", 1).cast("double"), 6)
+        .alias("s_a"),
+        F.round(F.element_at("embedding", 2).cast("double"), 6)
+        .alias("s_b"))
+    wa = W.partitionBy("qid").orderBy(F.desc("s_a"), "vec_id")
+    wb = W.partitionBy("qid").orderBy(F.desc("s_b"), "vec_id")
+    ranked = (base.select("qid",
+                          F.row_number().over(wa).alias("rk_a"),
+                          F.row_number().over(wb).alias("rk_b"))
+              .filter((F.col("rk_a") <= 10) | (F.col("rk_b") <= 10)))
+    depths = spark.createDataFrame(
+        [(d, w) for d, w in enumerate(_RBO_W_NANO, start=1)],
+        "d INT, w_nano LONG")
+    ov = (ranked.crossJoin(F.broadcast(depths))
+          .groupBy("qid", "d", "w_nano")
+          .agg(F.sum(F.when((F.col("rk_a") <= F.col("d"))
+                            & (F.col("rk_b") <= F.col("d")), 1)
+                     .otherwise(0)).alias("overlap")))
+    contrib = (F.col("w_nano") * F.col("overlap")
+               * F.floor(_RBO_LCM / F.col("d")).cast("long"))
+    per_q = (ov.groupBy("qid")
+             .agg(F.max(F.when(F.col("d") == 10, F.col("overlap")))
+                  .alias("ov10"),
+                  (F.round(F.sum(contrib).cast("double")
+                           / (float(_RBO_LCM) * _RBO_W_SUM), 9) + 0.0)
+                  .alias("rbo")))
+    wall = (W.orderBy("qid")
+            .rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+    return (per_q.select("qid",
+                         F.col("ov10").cast("long").alias("ov10"),
+                         "rbo",
+                         (F.round(F.avg("rbo").over(wall), 6) + 0.0)
+                         .alias("rbo_mean"))
+            .orderBy("qid"))
