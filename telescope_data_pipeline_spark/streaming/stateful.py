@@ -1476,3 +1476,100 @@ def ljung_box_stream(stream: DataFrame) -> DataFrame:
                 outputMode="update",
                 timeoutConf=GroupStateTimeout.NoTimeout,
             ))
+
+
+# ---------------------------------------------------------------------------
+# Streaming EMD drift monitor (live twin of the batch q_emd_drift,
+# queries/monitoring.py — the transport distance between the pinned
+# reference window and the live current window, maintained per
+# micro-batch from two bounded bin histograms).
+# ---------------------------------------------------------------------------
+
+EMD_STATE_SCHEMA = T.StructType([
+    T.StructField("h_ref", T.ArrayType(T.LongType())),   # 20 counts
+    T.StructField("h_cur", T.ArrayType(T.LongType())),   # 20 counts
+])
+
+EMD_OUT_SCHEMA = T.StructType([
+    T.StructField("bin", T.LongType()),
+    T.StructField("n_ref", T.LongType()),
+    T.StructField("n_cur", T.LongType()),
+    T.StructField("emd_term", T.DoubleType()),
+    T.StructField("emd_total", T.DoubleType()),
+])
+
+
+def _make_emd_update(mn: float, mx: float, split):
+    import math
+
+    width = (mx - mn) / 20.0
+    rng = mx - mn
+
+    def _bin(v: float) -> int:
+        # EXACTLY the batch rule: LEAST(19, GREATEST(0,
+        # COALESCE(FLOOR((v - mn) * 20 / NULLIF(mx - mn, 0)), 0)))
+        b = 0 if rng == 0.0 else math.floor((v - mn) * 20.0 / rng)
+        return min(19, max(0, int(b)))
+
+    def _update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.exists:
+            h_ref, h_cur = (list(state.get[0]), list(state.get[1]))
+        else:
+            h_ref, h_cur = [0] * 20, [0] * 20
+        for pdf in pdfs:
+            ok = pdf["value"].notna()
+            for ts, v in zip(pdf.loc[ok, "ts"], pdf.loc[ok, "value"]):
+                (h_ref if ts < split else h_cur)[_bin(float(v))] += 1
+        state.update((h_ref, h_cur))
+        t_ref, t_cur = sum(h_ref), sum(h_cur)
+        # the batch readout term for term: integer CDFs, nano-quantized
+        # |CDF gap| per bin BEFORE the cross-bin total, width once
+        c_ref = c_cur = 0
+        d_nanos = []
+        for b in range(20):
+            c_ref += h_ref[b]
+            c_cur += h_cur[b]
+            gap = abs((c_ref / t_ref if t_ref else 0.0)
+                      - (c_cur / t_cur if t_cur else 0.0))
+            d_nanos.append(int(_round_half_up(gap * 1e9)))
+        total = sum(d_nanos)
+        yield pd.DataFrame([{
+            "bin": b,
+            "n_ref": h_ref[b],
+            "n_cur": h_cur[b],
+            "emd_term": _round_half_up(d_nanos[b] * width / 1e9, 6) + 0.0,
+            "emd_total": _round_half_up(total * width / 1e9, 6) + 0.0,
+        } for b in range(20)])
+
+    return _update
+
+
+def emd_drift_stream(stream: DataFrame, mn: float, mx: float,
+                     split: str = "2024-01-16 00:00:00") -> DataFrame:
+    """Streaming EMD (1-D Wasserstein) drift monitor: the live twin of
+    the batch q_emd_drift (queries/monitoring.py). State is two 20-bin
+    integer histograms — bounded bags, order-free — so the drained
+    20-row report equals the batch rows bit-for-bit under ANY arrival
+    order (the q_hll_union-twin guarantee class), PROVIDED the bin
+    edges (mn, mx) are pinned: the batch derives them from the data,
+    a live monitor pins them from the reference window the way every
+    production drift monitor does (re-binning a stream retroactively
+    would need the raw history). Rows with timestamps before ``split``
+    accumulate into the reference histogram, the rest into the current
+    one — so the same twin also backfills a late-arriving reference.
+
+    100 TB story: histograms merge across shards (40 integers per
+    shard); the readout is O(20) per micro-batch; no raw values are
+    retained."""
+    import pandas as _pd
+
+    s = (stream.filter(F.col("value").isNotNull())
+         .select(F.lit("ALL").alias("scope"), "ts", "value"))
+    return (s.groupBy("scope")
+            .applyInPandasWithState(
+                _make_emd_update(mn, mx, _pd.Timestamp(split)),
+                outputStructType=EMD_OUT_SCHEMA,
+                stateStructType=EMD_STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            ))

@@ -955,3 +955,48 @@ def test_ljung_box_stream_matches_batch(spark):
         for col in ("lb_q1", "lb_q2", "lb_q3"):
             assert float(row[col]) == float(want.loc[et, col]), (et, col)
         assert bool(row["reject_95"]) == bool(want.loc[et, "reject_95"]), et
+
+
+def test_emd_drift_stream_matches_batch_any_order(spark):
+    """Streaming EMD monitor: two 20-bin integer histograms are
+    order-free bags, so with the bin edges pinned to the batch's
+    data-derived (mn, mx) the drained 20-row report must equal the
+    batch q_emd_drift rows bit-for-bit under SHUFFLED arrival."""
+    import os
+
+    from telescope_data_pipeline_spark.queries import get
+    from telescope_data_pipeline_spark.streaming.stateful import (
+        emd_drift_stream,
+    )
+
+    d = tempfile.mkdtemp(prefix="emd_")
+    ev = (load_table(spark, SF, "events").toPandas()
+          .sample(frac=1.0, random_state=5).reset_index(drop=True))
+    k = len(ev) // 3
+    for i, chunk in enumerate((ev[:k], ev[k:2 * k], ev[2 * k:])):
+        p = f"{d}/part-{i}.parquet"
+        chunk.to_parquet(p, engine="pyarrow", coerce_timestamps="us",
+                         index=False)
+        os.utime(p, (1700000000 + i, 1700000000 + i))
+    stream = read_event_stream(spark, d, max_files_per_trigger=1)
+
+    vals = ev["value"].dropna()
+    mn, mx = float(vals.min()), float(vals.max())
+
+    latest: dict = {}
+    q = (emd_drift_stream(stream, mn, mx)
+         .writeStream.outputMode("update")
+         .foreachBatch(lambda df, _bid: latest.update(
+             {int(r["bin"]): r for _, r in df.toPandas().iterrows()}))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    assert len(q.recentProgress) >= 3
+
+    want = get("q_emd_drift").fn(spark, SF).toPandas().set_index("bin")
+    assert set(latest) == set(int(b) for b in want.index)
+    for b, row in want.iterrows():
+        got = latest[int(b)]
+        assert int(got["n_ref"]) == int(row["n_ref"]), b
+        assert int(got["n_cur"]) == int(row["n_cur"]), b
+        assert float(got["emd_term"]) == float(row["emd_term"]), b
+        assert float(got["emd_total"]) == float(row["emd_total"]), b
