@@ -91,3 +91,93 @@ def test_assortativity_planted_graph(spark, tmp_path):
     want = np.corrcoef(dx, dy)[0, 1]
     assert out.n_edges == len(_EDGES)
     assert abs(out.assortativity - want) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# Planted customer<->part bipartite graph for the HITS / Jaccard family
+# ---------------------------------------------------------------------------
+
+#: customer -> parts (one order per customer)
+_BASKETS = {
+    1: [101, 102, 103, 104, 105],
+    2: [101, 102, 103, 106],
+    3: [104, 105],
+    4: [106, 107],
+    5: [107],
+    6: [108],
+}
+
+
+def _write_bipartite(tmp_path):
+    ok, ck, lk, pk = [], [], [], []
+    for c, parts in _BASKETS.items():
+        ok.append(c)
+        ck.append(c)
+        for p in parts:
+            lk.append(c)
+            pk.append(p)
+    pd.DataFrame({"o_orderkey": ok, "o_custkey": ck}
+                 ).to_parquet(tmp_path / "orders.parquet")
+    pd.DataFrame({"l_orderkey": lk, "l_partkey": pk}
+                 ).to_parquet(tmp_path / "lineitem.parquet")
+    return str(tmp_path)
+
+
+def test_hits_step_planted_bipartite(spark, tmp_path):
+    """Hand-computed HITS half-steps: a1 = part degree, h1 = sum of a1
+    over the basket, a2 = sum of h1 over the buyers."""
+    sf = _write_bipartite(tmp_path)
+    rows = get("q_hits_step").fn(spark, sf).collect()
+    hubs = [(r.node, r.score) for r in rows if r.kind == "hub"]
+    auths = [(r.node, r.score) for r in rows if r.kind == "authority"]
+    # a1: 101-107 have degree 2, 108 degree 1
+    # h1: c1=10, c2=8, c3=4, c4=4, c5=2, c6=1 (ties break on node id)
+    assert hubs == [(1, 10), (2, 8), (3, 4), (4, 4), (5, 2), (6, 1)]
+    # a2: 101/102/103 = 18, 104/105 = 14, 106 = 12, 107 = 6, 108 = 1
+    assert auths == [(101, 18), (102, 18), (103, 18), (104, 14),
+                     (105, 14), (106, 12), (107, 6), (108, 1)]
+
+
+def test_jaccard_linkpred_planted_bipartite(spark, tmp_path):
+    """Hand-computed Jaccard on the capped universe (parts with >= 2
+    buyers; part 108 drops): only (c1,c2) and (c1,c3) share >= 2."""
+    sf = _write_bipartite(tmp_path)
+    rows = get("q_jaccard_linkpred").fn(spark, sf).collect()
+    got = [(r.ck_a, r.ck_b, r.n_shared, r.n_union, r.jaccard)
+           for r in rows]
+    assert got == [(1, 2, 3, 6, 0.5), (1, 3, 2, 5, 0.4)]
+
+
+def test_powerlaw_alpha_recovers_planted_exponent(spark, tmp_path):
+    """Degrees planted from an exact discrete power law cnt(d) ~ d^-2.5
+    over d = 3..60: the CSN MLE must (a) equal the numpy mirror of the
+    exact pico-quantized formula and (b) recover alpha ~ 2.5."""
+    alpha_true = 2.5
+    degrees = []
+    for d in range(3, 61):
+        cnt = int(round(4000 * d ** (-alpha_true)))
+        degrees += [d] * cnt
+    ok, ck, lk, pk = [], [], [], []
+    oid = 0
+    for j, d in enumerate(degrees):
+        for c in range(d):
+            oid += 1
+            ok.append(oid)
+            ck.append(c + 1)
+            lk.append(oid)
+            pk.append(1000 + j)
+    pd.DataFrame({"o_orderkey": ok, "o_custkey": ck}
+                 ).to_parquet(tmp_path / "orders.parquet")
+    pd.DataFrame({"l_orderkey": lk, "l_partkey": pk}
+                 ).to_parquet(tmp_path / "lineitem.parquet")
+    out = get("q_powerlaw_alpha").fn(spark, str(tmp_path)).collect()[0]
+    # numpy mirror: pico-quantized ln per distinct degree
+    n = len(degrees)
+    s_pico = sum(int(np.floor(np.log(d / 2.5) * 1e12 + 0.5))
+                 for d in degrees)
+    want = round(1.0 + n / (s_pico / 1e12), 6)
+    assert out.n_tail == n and out.x_min == 3
+    assert out.d_max == max(degrees)  # counts round to 0 past d ~ 36
+    assert abs(out.alpha - want) < 1e-9
+    assert abs(out.alpha - alpha_true) < 0.25  # planted exponent
+    assert abs(out.se - round((want - 1) / np.sqrt(n), 5)) < 1e-4

@@ -1866,3 +1866,250 @@ def test_url_canonical_and_line_dedup_match_direct(spark, tmp_path):
         assert (ld[i].clean_text or "") == " ".join(kept), i
     # the 3x-repeated boilerplate blocks are gone; unique text survives
     assert not ld[0].clean_text and ld[3].clean_text
+
+
+def test_hellinger_drift_matches_numpy(spark, tmp_path):
+    rng = np.random.RandomState(211)
+    a = rng.normal(0.0, 1.0, 500)    # reference window (before Jan 16)
+    b = rng.normal(1.5, 1.0, 400)    # current window, planted shift
+    rows = [(i, "2024-01-05", 0, "t", float(v), None)
+            for i, v in enumerate(a)]
+    rows += [(1000 + i, "2024-01-25", 0, "t", float(v), None)
+             for i, v in enumerate(b)]
+    sf = _write_events(tmp_path, rows)
+    out = get("q_hellinger_drift").fn(spark, sf).collect()
+    # numpy mirror of the exact binned construction (pico-quantized BC)
+    allv = np.concatenate([a, b])
+    mn, mx = allv.min(), allv.max()
+    bins_a = np.minimum(19, np.maximum(0, np.floor(
+        (a - mn) * 20.0 / (mx - mn)).astype(int)))
+    bins_b = np.minimum(19, np.maximum(0, np.floor(
+        (b - mn) * 20.0 / (mx - mn)).astype(int)))
+    h_a = np.bincount(bins_a, minlength=20)
+    h_b = np.bincount(bins_b, minlength=20)
+    bc_pico = sum(int(np.floor(np.sqrt((h_a[k] / 500) * (h_b[k] / 400))
+                               * 1e12 + 0.5)) for k in range(20))
+    want_h = round(np.sqrt(max(0.0, 1.0 - bc_pico / 1e12)), 6)
+    assert abs(out[0].hellinger - want_h) < 1e-9
+    # the planted 1.5-sigma shift must be DETECTED as substantial drift
+    assert out[0].hellinger > 0.4
+    # identical windows -> H == 0
+    rows_eq = [(2 * j + s, "2024-01-05" if s == 0 else "2024-01-25",
+                0, "t", float(a[j]), None)
+               for j in range(200) for s in (0, 1)]
+    out0 = get("q_hellinger_drift").fn(
+        spark, _write_events(tmp_path, rows_eq)).collect()
+    assert out0[0].hellinger == 0.0 and out0[0].bhattacharyya == 0.0
+
+
+def test_overdispersion_detects_clumping(spark, tmp_path):
+    rng = np.random.RandomState(223)
+    rows = []
+    eid = 0
+    # stream "pois": iid Poisson(60) daily counts -> D ~ 1, no flag
+    for day in range(1, 29):
+        for _ in range(int(rng.poisson(60))):
+            rows.append((eid, f"2024-01-{day:02d}", 0, "pois", 1.0, None))
+            eid += 1
+    # stream "burst": mixture of quiet and 5x burst days -> D >> 1
+    for day in range(1, 29):
+        lam = 20 if day % 4 else 260
+        for _ in range(int(rng.poisson(lam))):
+            rows.append((eid, f"2024-01-{day:02d}", 0, "burst", 1.0, None))
+            eid += 1
+    sf = _write_events(tmp_path, rows)
+    out = {r.event_type: r for r in
+           get("q_overdispersion").fn(spark, sf).collect()}
+    # numpy mirror of D on the Poisson stream
+    pdf = pd.DataFrame(rows, columns=COLS)
+    c = (pdf[pdf.event_type == "pois"].groupby("ts").size()).to_numpy()
+    want_d = c.var(ddof=1) / c.mean()
+    assert abs(out["pois"].dispersion - round(want_d, 6)) < 1e-9
+    assert not out["pois"].overdispersed_95
+    assert out["burst"].dispersion > 5
+    assert out["burst"].overdispersed_95
+
+
+def test_hosmer_lemeshow_matches_direct(spark, tmp_path):
+    rng = np.random.RandomState(227)
+    n = 400
+    labels = rng.randint(0, 10, n)
+    vecs = [rng.randn(8).astype(np.float32) for _ in range(n)]
+    sf = _write_embeddings(tmp_path, vecs, labels)
+    rows = {r.bin: r for r in
+            get("q_hosmer_lemeshow").fn(spark, sf).collect()}
+    bins = {}
+    for i in range(n):
+        p_milli = 80 * labels[i] + ((i % 1000003) * 2654435761 % 1000) // 5
+        b = min(p_milli // 100, 9)
+        nn, sp, sy = bins.get(b, (0, 0, 0))
+        bins[b] = (nn + 1, sp + p_milli, sy + (1 if labels[i] >= 5 else 0))
+    total_nano = 0
+    for b, (nn, sp, sy) in bins.items():
+        e1 = sp / 1000.0
+        t = (sy - e1) ** 2 / (e1 * (1 - sp / (1000.0 * nn)))
+        t_nano = int(np.floor(t * 1e9 + 0.5))
+        total_nano += t_nano
+        assert rows[b].n == nn and rows[b].obs_pos == sy
+        assert abs(rows[b].hl_term - round(t_nano / 1e9, 6)) < 1e-9
+    assert abs(rows[0].hl_total - round(total_nano / 1e9, 6)) < 1e-9
+    # the hash scorer's thresholded outcome (label>=5) is a known
+    # miscalibration the gate must DETECT
+    assert rows[0].reject_95
+
+
+def test_hurst_exponent_separates_noise_from_walk(spark, tmp_path):
+    rng = np.random.RandomState(229)
+    n = 1024
+    iid = rng.normal(50.0, 5.0, n)               # white noise: H ~ 0.5
+    walk = 50.0 + np.cumsum(rng.normal(0, 0.5, n))  # random walk: H -> 1
+    rows = [(i, "2024-01-01", 0, "iid", float(v), None)
+            for i, v in enumerate(iid)]
+    rows += [(10000 + i, "2024-01-01", 0, "walk", float(v), None)
+             for i, v in enumerate(walk)]
+    # unique timestamps preserve the series order via (ts, event_id)
+    pdf = pd.DataFrame(rows, columns=COLS)
+    pdf["ts"] = (pd.Timestamp("2024-01-01")
+                 + pd.to_timedelta(pdf["event_id"] % 10000, unit="s"))
+    pdf.to_parquet(tmp_path / "events.parquet", coerce_timestamps="us")
+    out = {(r.event_type, r.m): r for r in
+           get("q_hurst_exponent").fn(spark, str(tmp_path)).collect()}
+
+    # numpy mirror of the exact integer R/S construction for one stream
+    def rs_mean_nano(x_milli, m):
+        vals = []
+        for b in range(len(x_milli) // m):
+            blk = x_milli[b * m:(b + 1) * m]
+            s = int(blk.sum())
+            cum = np.cumsum(blk)
+            d = m * cum - np.arange(1, m + 1) * s
+            s2 = m * int((blk.astype(object) ** 2).sum()) - s * s
+            if s2 > 0:
+                vals.append(int(np.floor(
+                    (d.max() - d.min()) / np.sqrt(float(s2)) * 1e9 + 0.5)))
+        return int(np.floor(sum(vals) / len(vals) + 0.5))
+
+    x = np.floor(iid * 1000 + 0.5).astype(np.int64)
+    r16, r64 = rs_mean_nano(x, 16), rs_mean_nano(x, 64)
+    want_h = round((np.log(r64 / 1e9) - np.log(r16 / 1e9))
+                   / 1.3862943611198906, 6)
+    assert abs(out[("iid", 16)].hurst - want_h) < 1e-9
+    assert abs(out[("iid", 16)].mean_rs - round(r16 / 1e9, 6)) < 1e-9
+    # detection: the walk's long memory must separate cleanly
+    assert 0.35 < out[("iid", 16)].hurst < 0.68
+    assert out[("walk", 16)].hurst > out[("iid", 16)].hurst + 0.2
+    assert out[("walk", 16)].hurst > 0.8
+
+
+def test_cronbach_alpha_detects_consistency(spark, tmp_path):
+    rng = np.random.RandomState(233)
+    items = ["a", "b", "c", "d"]
+    # consistent battery: each user's items = latent + small noise
+    rows = []
+    eid = 0
+    for u in range(80):
+        latent = rng.uniform(10, 100)
+        for it in items:
+            rows.append((eid, "2024-01-05", u, it,
+                         float(latent + rng.normal(0, 3)), None))
+            eid += 1
+    sf = _write_events(tmp_path, rows)
+    out = get("q_cronbach_alpha").fn(spark, sf).collect()
+    # numpy mirror: one event per cell -> cell mean == value (nano ints)
+    pdf = pd.DataFrame(rows, columns=COLS)
+    m = {}
+    for r in pdf.itertuples():
+        micro = int(np.floor(r.value * 1e6 + 0.5))
+        m[(r.user_id, r.event_type)] = int(
+            np.floor(micro * 1000.0 + 0.5))
+    mat = np.array([[m[(u, it)] for it in items] for u in range(80)],
+                   dtype=float)
+    k = len(items)
+    want = k / (k - 1) * (1 - mat.var(axis=0, ddof=1).sum()
+                          / mat.sum(axis=1).var(ddof=1))
+    assert out[0].k == k and out[0].n_cases == 80
+    assert abs(out[0].alpha - round(want, 6)) < 1e-5
+    assert out[0].alpha > 0.9  # the planted shared construct
+
+    # unrelated items -> alpha near 0 (fresh dir: the query's CacheSlot
+    # keys on the logical plan, and overwriting the same path would
+    # legitimately serve the cached first-case cells)
+    rows2 = [(i * 4 + j, "2024-01-05", i, it,
+              float(rng.uniform(10, 100)), None)
+             for i in range(80) for j, it in enumerate(items)]
+    d2 = tmp_path / "b"
+    d2.mkdir()
+    out2 = get("q_cronbach_alpha").fn(
+        spark, _write_events(d2, rows2)).collect()
+    assert out2[0].alpha < 0.45
+
+
+def test_map_eval_matches_direct(spark, tmp_path):
+    rng = np.random.RandomState(239)
+    n = 300
+    labels = rng.randint(0, 10, n)
+    vecs = [rng.randn(8).astype(np.float32) for _ in range(n)]
+    sf = _write_embeddings(tmp_path, vecs, labels)
+    rows = {r.qid: r for r in get("q_map_eval").fn(spark, sf).collect()}
+    aps = []
+    for qid in range(20):
+        members = [(round(float(vecs[i][0]), 6), i,
+                    1 if labels[i] >= 7 else 0)
+                   for i in range(n) if i % 20 == qid]
+        members.sort(key=lambda t: (-t[0], t[1]))
+        n_rel = sum(rel for _, _, rel in members)
+        hits = 0
+        num = 0  # exact lcm-2520 integer numerator
+        for rk, (_, _, rel) in enumerate(members[:10], start=1):
+            hits += rel
+            if rel:
+                num += hits * (2520 // rk)
+        r = rows[qid]
+        assert r.n_rel == n_rel, qid
+        if n_rel == 0:
+            assert r.ap is None
+        else:
+            want = round(num / (2520.0 * min(n_rel, 10)), 9)
+            assert abs(r.ap - want) < 1e-12, qid
+            aps.append(want)
+    assert abs(rows[0].map - round(np.mean(aps), 6)) < 1e-9
+    # a perfect ranker must score MAP == 1: score = relevance signal
+    vecs2 = [np.array([1.0 if labels[i] >= 7 else 0.0] * 8, np.float32)
+             for i in range(n)]
+    sf2 = _write_embeddings(tmp_path, vecs2, labels)
+    rows2 = get("q_map_eval").fn(spark, sf2).collect()
+    for r in rows2:
+        if r.n_rel and r.n_rel <= 10:
+            assert r.ap == 1.0, r.qid
+
+
+def test_rbo_overlap_matches_direct(spark, tmp_path):
+    rng = np.random.RandomState(241)
+    n = 300
+    labels = rng.randint(0, 10, n)
+    # identical rankers -> RBO == 1 everywhere
+    vecs_same = [np.array([v, v, 0, 0], np.float32)
+                 for v in rng.randn(n)]
+    sf = _write_embeddings(tmp_path, vecs_same, labels)
+    for r in get("q_rbo_overlap").fn(spark, sf).collect():
+        assert r.rbo == 1.0 and r.rbo_mean == 1.0
+
+    # independent rankers: mirror the exact integer formula
+    vecs = [rng.randn(4).astype(np.float32) for _ in range(n)]
+    sf2 = _write_embeddings(tmp_path, vecs, labels)
+    rows = {r.qid: r for r in
+            get("q_rbo_overlap").fn(spark, sf2).collect()}
+    w_nano = [1000000000, 900000000, 810000000, 729000000, 656100000,
+              590490000, 531441000, 478296900, 430467210, 387420489]
+    for qid in range(20):
+        ids = [i for i in range(n) if i % 20 == qid]
+        ra = sorted(ids, key=lambda i: (-round(float(vecs[i][0]), 6), i))
+        rb = sorted(ids, key=lambda i: (-round(float(vecs[i][1]), 6), i))
+        num = 0
+        for d in range(1, 11):
+            ov = len(set(ra[:d]) & set(rb[:d]))
+            num += w_nano[d - 1] * ov * (2520 // d)
+        want = round(num / (2520.0 * 6513215599), 9)
+        assert abs(rows[qid].rbo - want) < 1e-12, qid
+        ov10 = len(set(ra[:10]) & set(rb[:10]))
+        assert rows[qid].ov10 == ov10, qid
