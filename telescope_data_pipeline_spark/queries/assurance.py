@@ -453,6 +453,7 @@ def q_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
 from ..operators.cache_slot import CacheSlot  # noqa: E402
 
 _CRONBACH_SLOT = CacheSlot()
+_JACCARD_SLOT = CacheSlot()
 
 
 @query("q_cronbach_alpha", oracle="""
@@ -747,27 +748,22 @@ def q_jaccard_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
     score is one integer ratio rounded to 9 digits BEFORE the ORDER BY
     with the (ck_a, ck_b) tiebreak, so top-k membership cannot flip.
 
-    Scale: pair generation reuses the Adamic-Adar candidate machinery
-    (operators-level map-side expansion from the bounded per-part
-    buyer arrays — no self-join, hub parts pruned before any pair is
-    emitted); customer degrees ride one extra keyed aggregate over
-    the capped edge set and join the pair stream on its keys. Two
-    fact scans total (candidates + degrees), both keyed shuffles."""
-    from .mining import adamic_adar_candidate_pairs
+    Scale: pair generation reuses the Adamic-Adar capped-arrays
+    machinery (map-side expansion from the bounded per-part buyer
+    arrays — no self-join, hub parts pruned before any pair is
+    emitted); customer degrees come from exploding the SAME arrays, so
+    the base tables are scanned ONCE (the arrays relation — one row
+    per kept part — is CacheSlot-pinned for its two consumers, exactly
+    what a production deployment materializes)."""
+    from .mining import aa_pair_structs, adamic_adar_capped_arrays
 
-    od = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
-    buyers = (od.join(li, li.l_orderkey == od.o_orderkey)
-              .select(F.col("o_custkey").alias("ck"),
-                      F.col("l_partkey").alias("pk"))
-              .distinct())
-    capped = (buyers.groupBy("pk")
-              .agg(F.count(F.lit(1)).alias("d"))
-              .filter((F.col("d") >= 2) & (F.col("d") <= 40))
-              .select("pk"))
-    cdeg = (buyers.join(capped, "pk")
+    arrays = _JACCARD_SLOT.own(adamic_adar_capped_arrays(spark, sf_dir))
+    arrays.count()  # materialize once for the two consumers
+    cdeg = (arrays.select(F.explode("cks").alias("ck"))
             .groupBy("ck").agg(F.count(F.lit(1)).alias("cd")))
-    pairs = (adamic_adar_candidate_pairs(spark, sf_dir)
+    pairs = (arrays
+             .select(F.explode(aa_pair_structs()).alias("p"))
+             .select(F.col("p.ck_a"), F.col("p.ck_b"))
              .groupBy("ck_a", "ck_b")
              .agg(F.count(F.lit(1)).alias("n_shared"))
              .filter(F.col("n_shared") >= 2))

@@ -14,7 +14,7 @@ bit at any scale.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
@@ -276,6 +276,20 @@ def adamic_adar_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes the base, no hub can reach the deg^2 blowup (round-8
     ADVICE: prune before pair generation, Catalyst won't reorder it
     for us)."""
+    grouped = adamic_adar_capped_arrays(spark, sf_dir)
+    w_nano = F.round(F.lit(1e9) / F.log("d")).cast("long")
+    return (grouped
+            .select(w_nano.alias("w_nano"),
+                    F.explode(aa_pair_structs()).alias("p"))
+            .select(F.col("p.ck_a"), F.col("p.ck_b"), "w_nano"))
+
+
+def adamic_adar_capped_arrays(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """The hub-pruned per-part buyer arrays ``(pk, d, cks)`` the pair
+    expansion runs over — one fact scan. Factored out (round 12) so
+    q_jaccard_linkpred derives its customer degrees from the SAME
+    relation instead of a second pipeline over the base tables."""
     od = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     buyers = (od.join(li, li.l_orderkey == od.o_orderkey)
@@ -293,20 +307,22 @@ def adamic_adar_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                .agg(F.count(F.lit(1)).alias("c"),
                     F.slice(F.array_sort(F.collect_list("ck")), 1, 41)
                     .alias("l")))
-    grouped = (partial.groupBy("pk")
-               .agg(F.sum("c").alias("d"),
-                    F.array_sort(F.flatten(F.collect_list("l")))
-                    .alias("cks"))
-               .filter((F.col("d") >= 2) & (F.col("d") <= 40)))
-    w_nano = F.round(F.lit(1e9) / F.log("d")).cast("long")
-    pair_arr = F.flatten(F.transform(
+    return (partial.groupBy("pk")
+            .agg(F.sum("c").alias("d"),
+                 F.array_sort(F.flatten(F.collect_list("l")))
+                 .alias("cks"))
+            .filter((F.col("d") >= 2) & (F.col("d") <= 40)))
+
+
+def aa_pair_structs() -> Column:
+    """The map-side (ck_a < ck_b) pair expansion over a sorted ``cks``
+    buyer array, as a column expression (shared by q_adamic_adar and
+    q_jaccard_linkpred)."""
+    return F.flatten(F.transform(
         F.col("cks"),
         lambda x, i: F.transform(
             F.slice(F.col("cks"), i + 2, F.size("cks")),
             lambda y: F.struct(x.alias("ck_a"), y.alias("ck_b")))))
-    return (grouped
-            .select(w_nano.alias("w_nano"), F.explode(pair_arr).alias("p"))
-            .select(F.col("p.ck_a"), F.col("p.ck_b"), "w_nano"))
 
 
 # ---------------------------------------------------------------------------

@@ -2432,3 +2432,89 @@ def test_atkinson_joinless_distinct_value_rollup(spark):
                    "SortMergeJoin", "Window"):
         assert banned not in plan, f"{banned} in plan:\n{plan}"
     assert "HashAggregate" in plan
+
+
+def test_assurance_bounded_spine_windows(spark):
+    """Round-12 assurance batch: every window in the drift/calibration/
+    eval queries runs over a bounded spine (20 bins / 10 bins / 20
+    qids / k items), never the fact stream; no cartesian products
+    (the 1-row broadcast scalar crosses plan as BroadcastNestedLoop
+    of a 1-row side, the approved shape)."""
+    import re
+
+    from telescope_data_pipeline_spark.plans.audit import physical_plan
+
+    for name, spine in (("q_hellinger_drift", "bin"),
+                        ("q_hosmer_lemeshow", "bin"),
+                        ("q_map_eval", "qid"),
+                        ("q_rbo_overlap", "qid"),
+                        ("q_cronbach_alpha", "item")):
+        df = get(name).fn(spark, SF)
+        df.collect()
+        plan = physical_plan(df)
+        assert "CartesianProduct" not in plan, name
+        specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+        assert specs and all(spine in s for s in specs), (name, specs)
+
+
+def test_hurst_windows_keyed_by_stream(spark):
+    """q_hurst_exponent: every window partitions at least by the
+    series key (event_type) — the block windows additionally by
+    (m, blk) with partitions bounded by m <= 64; no global sort, no
+    cartesian."""
+    import re
+
+    from telescope_data_pipeline_spark.plans.audit import physical_plan
+
+    df = get("q_hurst_exponent").fn(spark, SF)
+    df.collect()
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs and all("event_type" in s for s in specs), specs
+
+
+def test_jaccard_linkpred_single_scan_no_selfjoin(spark):
+    """q_jaccard_linkpred: pairs AND customer degrees both derive from
+    the one CacheSlot-pinned capped-arrays relation — each base table
+    is file-scanned exactly once, pair expansion is a Generate over
+    the bounded array (no self-join), the degree cap survives to the
+    optimized plan, and the top-100 is a TakeOrdered."""
+    import re
+
+    from telescope_data_pipeline_spark.plans.audit import physical_plan
+
+    df = get("q_jaccard_linkpred").fn(spark, SF)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "<= 40" in opt, f"degree cap missing:\n{opt}"
+    df.collect()
+    plan = physical_plan(df).split("== Initial Plan ==")[0]
+    for banned in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert banned not in plan, f"{banned} in plan:\n{plan}"
+    assert "Generate" in plan and "TakeOrderedAndProject" in plan
+    assert "InMemoryTableScan" in plan  # the pinned arrays relation
+    for tbl in ("orders", "lineitem"):
+        n = len(re.findall(rf"FileScan parquet [^\n]*{tbl}", plan))
+        assert n <= 1, f"{tbl} scanned {n}x (want <=1):\n{plan}"
+
+
+def test_hits_and_powerlaw_keyed_joins_only(spark):
+    """q_hits_step / q_powerlaw_alpha: every join is a keyed equi-join
+    or a 1-row scalar broadcast; top-k plans as TakeOrdered where a
+    ranking exists; no window touches the edge stream."""
+    from telescope_data_pipeline_spark.plans.audit import physical_plan
+
+    df = get("q_hits_step").fn(spark, SF)
+    df.collect()
+    plan = physical_plan(df)
+    for banned in ("CartesianProduct", "BroadcastNestedLoopJoin",
+                   "Window"):
+        assert banned not in plan, f"{banned} in q_hits_step:\n{plan}"
+    assert "TakeOrderedAndProject" in plan
+
+    df2 = get("q_powerlaw_alpha").fn(spark, SF)
+    df2.collect()
+    plan2 = physical_plan(df2)
+    for banned in ("CartesianProduct", "BroadcastNestedLoopJoin",
+                   "Window", "SortMergeJoin"):
+        assert banned not in plan2, f"{banned} in q_powerlaw_alpha:\n{plan2}"
