@@ -209,6 +209,17 @@ EXTRA = [
     "q_knn_outlier",
     "q_atkinson",
     "q_scan_archive",
+    # round-12 session-4 additions (measurement assurance)
+    "q_hellinger_drift",
+    "q_overdispersion",
+    "q_hosmer_lemeshow",
+    "q_hurst_exponent",
+    "q_cronbach_alpha",
+    "q_hits_step",
+    "q_powerlaw_alpha",
+    "q_jaccard_linkpred",
+    "q_map_eval",
+    "q_rbo_overlap",
 ]
 
 
