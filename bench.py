@@ -220,6 +220,8 @@ EXTRA = [
     "q_jaccard_linkpred",
     "q_map_eval",
     "q_rbo_overlap",
+    "q_energy_distance",
+    "q_embedding_drift",
 ]
 
 

@@ -109,6 +109,19 @@ def lazy_prefix_sum(df: DataFrame, bucket_col: str, order_cols: list[str],
     unwanted; use ``distributed_prefix_sum`` when the bucketed relation
     is consumed repeatedly (its CacheSlot pays off).
     """
+    return lazy_prefix_sums(df, bucket_col, order_cols,
+                            {value_col: out_col}, num_buckets)
+
+
+def lazy_prefix_sums(df: DataFrame, bucket_col: str,
+                     order_cols: list[str], values: dict[str, str],
+                     num_buckets: int | None = None) -> DataFrame:
+    """Multi-measure form of :func:`lazy_prefix_sum` (round 12): one
+    bucketed two-phase pass produces the cumulative sum of EVERY
+    ``values[value_col] = out_col`` measure over the same total order —
+    one shuffle and one per-bucket base window regardless of how many
+    measures ride along (q_energy_distance needs four; four separate
+    calls would plan four pipelines over the same input)."""
     n = num_buckets or df.sparkSession.sparkContext.defaultParallelism
     bounds = df.agg(F.min(bucket_col).cast("long").alias("_lo"),
                     F.max(bucket_col).cast("long").alias("_hi"))
@@ -123,14 +136,18 @@ def lazy_prefix_sum(df: DataFrame, bucket_col: str, order_cols: list[str],
         .otherwise(err.cast("int"))
     b = df.crossJoin(F.broadcast(bounds)).withColumn("_pid", pid) \
         .drop("_lo", "_hi")
-    totals = b.groupBy("_pid").agg(F.sum(value_col).alias("_m"))
+    totals = b.groupBy("_pid").agg(
+        *[F.sum(vc).alias(f"_m_{i}") for i, vc in enumerate(values)])
     wt = (W.orderBy("_pid")
           .rowsBetween(W.unboundedPreceding, W.currentRow))
     bases = totals.select(
-        "_pid", (F.sum("_m").over(wt) - F.col("_m")).alias("_base"))
+        "_pid",
+        *[(F.sum(f"_m_{i}").over(wt) - F.col(f"_m_{i}"))
+          .alias(f"_base_{i}") for i in range(len(values))])
     local = (W.partitionBy("_pid").orderBy(*order_cols)
              .rowsBetween(W.unboundedPreceding, W.currentRow))
-    return (b.join(F.broadcast(bases), "_pid")
-            .withColumn(out_col,
-                        F.col("_base") + F.sum(value_col).over(local))
-            .drop("_pid", "_base"))
+    out = b.join(F.broadcast(bases), "_pid")
+    for i, (vc, oc) in enumerate(values.items()):
+        out = out.withColumn(
+            oc, F.col(f"_base_{i}") + F.sum(vc).over(local))
+    return out.drop("_pid", *[f"_base_{i}" for i in range(len(values))])

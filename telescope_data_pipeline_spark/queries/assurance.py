@@ -977,3 +977,218 @@ def q_rbo_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                          (F.round(F.avg("rbo").over(wall), 6) + 0.0)
                          .alias("rbo_mean"))
             .orderBy("qid"))
+
+
+# ---------------------------------------------------------------------------
+# Two-sample energy distance between the two monitor windows
+# ---------------------------------------------------------------------------
+
+@query("q_energy_distance", oracle=f"""
+WITH v AS (
+  SELECT CAST(ROUND(value * 1e6) AS BIGINT) AS xu,
+         CASE WHEN ts < TIMESTAMP '{_SPLIT}' THEN 0 ELSE 1 END AS side
+  FROM events WHERE value IS NOT NULL
+), counts AS (
+  SELECT xu,
+         COALESCE(SUM(CASE WHEN side = 0 THEN 1 END), 0) AS ca,
+         COALESCE(SUM(CASE WHEN side = 1 THEN 1 END), 0) AS cb
+  FROM v GROUP BY xu
+), cum AS (
+  SELECT xu, ca, cb,
+         SUM(CAST(ca AS HUGEINT)) OVER w AS na,
+         SUM(CAST(cb AS HUGEINT)) OVER w AS nb,
+         SUM(CAST(ca AS HUGEINT) * xu) OVER w AS sa,
+         SUM(CAST(cb AS HUGEINT) * xu) OVER w AS sb
+  FROM counts
+  WINDOW w AS (ORDER BY xu ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)
+), tot AS (
+  SELECT SUM(CAST(ca AS HUGEINT)) AS tna, SUM(CAST(cb AS HUGEINT)) AS tnb,
+         SUM(CAST(ca AS HUGEINT) * xu) AS tsa,
+         SUM(CAST(cb AS HUGEINT) * xu) AS tsb
+  FROM counts
+), sums AS (
+  SELECT SUM(cb * (xu * na - sa + (tsa - sa) - xu * (tna - na)))
+           AS cross_u,
+         SUM(2 * ca * (xu * (na - ca) - (sa - ca * xu))) AS wa_u,
+         SUM(2 * cb * (xu * (nb - cb) - (sb - cb * xu))) AS wb_u
+  FROM cum CROSS JOIN tot
+), e AS (
+  SELECT tna, tnb,
+         cross_u::DOUBLE / (tna * tnb) / 1e6 AS a,
+         wa_u::DOUBLE / (tna * tna) / 1e6 AS b,
+         wb_u::DOUBLE / (tnb * tnb) / 1e6 AS c
+  FROM sums CROSS JOIN tot
+)
+SELECT CAST(tna AS BIGINT) AS n_ref, CAST(tnb AS BIGINT) AS n_cur,
+       ROUND(a, 6) + 0.0 AS mean_cross,
+       ROUND(b, 6) + 0.0 AS mean_within_ref,
+       ROUND(c, 6) + 0.0 AS mean_within_cur,
+       ROUND(2 * a - b - c, 6) + 0.0 AS energy_dist,
+       ROUND((2 * a - b - c) / NULLIF(2 * a, 0), 6) + 0.0 AS e_coeff
+FROM e
+""")
+def q_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Szekely-Rizzo two-sample energy distance between the reference
+    and current windows of ``events.value``: E = 2*E|X-Y| - E|X-X'| -
+    E|Y-Y'| — zero iff the distributions are identical, sensitive to
+    EVERY difference (location, scale, shape), where KS sees only the
+    worst CDF gap and the binned divergences see only their grid. The
+    e_coeff normalization E/(2*E|X-Y|) lies in [0, 1]. The pairwise
+    double sums NEVER enumerate pairs: on the sorted distinct-value
+    spine, sum_ij |x_i - y_j| = sum_v cb(v) * [v*N_a(v) - S_a(v) +
+    (S_a - S_a(v)) - v*(N_a - N_a(v))] with N/S cumulative counts and
+    value sums — three exact prefix statistics replace the O(n*m)
+    expansion.
+
+    Determinism: values quantize to micro ints; every cumulative and
+    total is an exact HUGEINT/DECIMAL integer; the three normalized
+    means are single double expressions of those integers, rounded
+    once (micro units divide out at the end).
+
+    Scale: one fact scan to the distinct-value count table; the four
+    cumulative statistics ride ONE lazy two-phase distributed prefix
+    pass (operators/prefix_sum.py::lazy_prefix_sums — bucketed, no
+    single-task sort, no driver fold); totals are a 1-row broadcast.
+    Shuffle volume is |distinct values|, not |rows|."""
+    from ..operators.prefix_sum import lazy_prefix_sums
+
+    ev = load_table(spark, sf_dir, "events")
+    split = F.lit(_SPLIT).cast("timestamp")
+    v = (ev.filter(F.col("value").isNotNull())
+         .select(F.round(F.col("value") * 1e6).cast("bigint").alias("xu"),
+                 F.when(F.col("ts") < split, 0).otherwise(1).alias("side")))
+    counts = (v.groupBy("xu")
+              .agg(F.coalesce(F.sum(F.when(F.col("side") == 0, 1)),
+                              F.lit(0)).alias("ca"),
+                   F.coalesce(F.sum(F.when(F.col("side") == 1, 1)),
+                              F.lit(0)).alias("cb")))
+    dec = "decimal(38,0)"
+    counts = counts.select(
+        "xu", "ca", "cb",
+        F.col("ca").cast(dec).alias("ca_d"),
+        F.col("cb").cast(dec).alias("cb_d"),
+        (F.col("ca").cast(dec) * F.col("xu")).alias("sa_t"),
+        (F.col("cb").cast(dec) * F.col("xu")).alias("sb_t"))
+    cum = lazy_prefix_sums(
+        counts, "xu", ["xu"],
+        {"ca_d": "na", "cb_d": "nb", "sa_t": "sa", "sb_t": "sb"})
+    tot = counts.agg(
+        F.sum("ca_d").alias("tna"), F.sum("cb_d").alias("tnb"),
+        F.sum("sa_t").alias("tsa"), F.sum("sb_t").alias("tsb"))
+    xu = F.col("xu").cast(dec)
+    cross_t = (F.col("cb") * (xu * F.col("na") - F.col("sa")
+                              + (F.col("tsa") - F.col("sa"))
+                              - xu * (F.col("tna") - F.col("na"))))
+    wa_t = (2 * F.col("ca") * (xu * (F.col("na") - F.col("ca_d"))
+                               - (F.col("sa") - F.col("ca_d") * xu)))
+    wb_t = (2 * F.col("cb") * (xu * (F.col("nb") - F.col("cb_d"))
+                               - (F.col("sb") - F.col("cb_d") * xu)))
+    sums = (cum.crossJoin(F.broadcast(tot))
+            .agg(F.sum(cross_t).alias("cross_u"),
+                 F.sum(wa_t).alias("wa_u"),
+                 F.sum(wb_t).alias("wb_u"),
+                 F.first("tna").alias("tna"), F.first("tnb").alias("tnb")))
+    tna = F.col("tna").cast("double")
+    tnb = F.col("tnb").cast("double")
+    a = F.col("cross_u").cast("double") / (tna * tnb) / 1e6
+    bb = F.col("wa_u").cast("double") / (tna * tna) / 1e6
+    cc = F.col("wb_u").cast("double") / (tnb * tnb) / 1e6
+    return sums.select(
+        F.col("tna").cast("long").alias("n_ref"),
+        F.col("tnb").cast("long").alias("n_cur"),
+        (F.round(a, 6) + 0.0).alias("mean_cross"),
+        (F.round(bb, 6) + 0.0).alias("mean_within_ref"),
+        (F.round(cc, 6) + 0.0).alias("mean_within_cur"),
+        (F.round(2 * a - bb - cc, 6) + 0.0).alias("energy_dist"),
+        (F.round((2 * a - bb - cc) / F.nullif(2 * a, F.lit(0.0)), 6)
+         + 0.0).alias("e_coeff"))
+
+
+# ---------------------------------------------------------------------------
+# Embedding-space drift: linear-kernel MMD between two vector cohorts
+# ---------------------------------------------------------------------------
+
+@query("q_embedding_drift", oracle="""
+WITH sided AS (
+  SELECT vec_id % 2 AS side, embedding FROM embeddings
+), expl AS (
+  -- DuckDB v1.0 has no WITH ORDINALITY; parallel UNNESTs zip
+  SELECT side,
+         UNNEST(range(1, len(embedding) + 1)) AS dim,
+         CAST(ROUND(UNNEST(embedding) * 1e6) AS BIGINT) AS vu
+  FROM sided
+), per AS (
+  SELECT dim,
+         SUM(CASE WHEN side = 0 THEN vu END) AS s_a,
+         SUM(CASE WHEN side = 0 THEN 1 END) AS n_a,
+         SUM(CASE WHEN side = 1 THEN vu END) AS s_b,
+         SUM(CASE WHEN side = 1 THEN 1 END) AS n_b
+  FROM expl GROUP BY dim
+), gaps AS (
+  SELECT dim, n_a, n_b,
+         ROUND(s_a::DOUBLE / n_a / 1e6, 9) + 0.0 AS mean_ref,
+         ROUND(s_b::DOUBLE / n_b / 1e6, 9) + 0.0 AS mean_cur,
+         CAST(ROUND(
+           (s_a::DOUBLE / n_a / 1e6 - s_b::DOUBLE / n_b / 1e6)
+           * (s_a::DOUBLE / n_a / 1e6 - s_b::DOUBLE / n_b / 1e6)
+           * 1e12) AS BIGINT) AS g2_pico
+  FROM per
+)
+SELECT CAST(dim AS BIGINT) AS dim,
+       CAST(n_a AS BIGINT) AS n_ref, CAST(n_b AS BIGINT) AS n_cur,
+       mean_ref, mean_cur,
+       ROUND(g2_pico / 1e12, 9) + 0.0 AS gap_sq,
+       ROUND(SUM(g2_pico) OVER () / 1e12, 6) + 0.0 AS mmd_sq,
+       ROUND(SQRT(SUM(g2_pico) OVER () / 1e12), 6) + 0.0 AS mmd
+FROM gaps ORDER BY dim
+""")
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift: linear-kernel MMD between two vector
+    cohorts (even/odd vec_id as the demo split — in production, two
+    snapshot windows) — MMD_linear = ||mu_ref - mu_cur||_2, the
+    centroid displacement, reported with the per-dimension gap^2
+    breakdown so the drifted SUBSPACE is visible (which coordinates
+    moved), not just that drift happened. The vector-valued member of
+    the drift family: KS/EMD/Hellinger watch one scalar; this watches
+    the geometry the retrieval stack actually searches in.
+
+    Determinism: components quantize to micro ints; per-dim means are
+    ratios of exact integer sums; each squared gap quantizes to pico
+    BEFORE the cross-dim total (quantize-before-sum over the bounded
+    dim spine); the final sqrt runs once on that integer total.
+
+    Scale: posexplode is a map-side flatMap; ONE map-side-combined
+    groupBy on the bounded dim key (64 here) carries all four
+    conditional sums; the only window runs over the 64-row dim spine.
+    Shuffle volume is |dims| x 4 integers regardless of corpus size."""
+    e = load_table(spark, sf_dir, "embeddings")
+    expl = (e.select((F.col("vec_id") % 2).alias("side"),
+                     F.posexplode("embedding").alias("dim0", "val"))
+            .select("side", (F.col("dim0") + 1).alias("dim"),
+                    F.round(F.col("val").cast("double") * 1e6)
+                    .cast("bigint").alias("vu")))
+    per = (expl.groupBy("dim")
+           .agg(F.sum(F.when(F.col("side") == 0, F.col("vu"))).alias("s_a"),
+                F.sum(F.when(F.col("side") == 0, 1)).alias("n_a"),
+                F.sum(F.when(F.col("side") == 1, F.col("vu"))).alias("s_b"),
+                F.sum(F.when(F.col("side") == 1, 1)).alias("n_b")))
+    mean_a = F.col("s_a").cast("double") / F.col("n_a") / 1e6
+    mean_b = F.col("s_b").cast("double") / F.col("n_b") / 1e6
+    g2_pico = F.round((mean_a - mean_b) * (mean_a - mean_b) * 1e12) \
+        .cast("long")
+    wall = (W.orderBy("dim")  # bounded dim spine
+            .rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+    return (per.withColumn("g2_pico", g2_pico)
+            .select(F.col("dim").cast("long").alias("dim"),
+                    F.col("n_a").cast("long").alias("n_ref"),
+                    F.col("n_b").cast("long").alias("n_cur"),
+                    (F.round(mean_a, 9) + 0.0).alias("mean_ref"),
+                    (F.round(mean_b, 9) + 0.0).alias("mean_cur"),
+                    (F.round(F.col("g2_pico") / 1e12, 9) + 0.0)
+                    .alias("gap_sq"),
+                    (F.round(F.sum("g2_pico").over(wall) / 1e12, 6) + 0.0)
+                    .alias("mmd_sq"),
+                    (F.round(F.sqrt(F.sum("g2_pico").over(wall) / 1e12), 6)
+                     + 0.0).alias("mmd"))
+            .orderBy("dim"))

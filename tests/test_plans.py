@@ -2518,3 +2518,43 @@ def test_hits_and_powerlaw_keyed_joins_only(spark):
     for banned in ("CartesianProduct", "BroadcastNestedLoopJoin",
                    "Window", "SortMergeJoin"):
         assert banned not in plan2, f"{banned} in q_powerlaw_alpha:\n{plan2}"
+
+
+def test_energy_distance_prefix_pass_no_pair_blowup(spark):
+    """q_energy_distance: the pairwise double sums must ride the
+    distributed prefix pass — every windowspec carries the _pid bucket
+    column (no global single-task sort over the distinct-value spine)
+    except none; no join of any kind touches the value stream beyond
+    the 1-row broadcasts."""
+    import re
+
+    from telescope_data_pipeline_spark.plans.audit import physical_plan
+
+    df = get("q_energy_distance").fn(spark, SF)
+    df.collect()
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    # the only windows are the per-bucket local cumsum and the tiny
+    # per-bucket base fold — both keyed by _pid
+    assert specs and all("_pid" in s for s in specs), specs
+
+
+def test_embedding_drift_single_groupby_dim_spine(spark):
+    """q_embedding_drift: one map-side-combined groupBy on the bounded
+    dim key carries all four conditional sums; every window runs over
+    the 64-row dim spine; no join at all."""
+    import re
+
+    from telescope_data_pipeline_spark.plans.audit import physical_plan
+
+    df = get("q_embedding_drift").fn(spark, SF)
+    df.collect()
+    plan = physical_plan(df)
+    for banned in ("CartesianProduct", "SortMergeJoin",
+                   "BroadcastHashJoin", "BroadcastNestedLoopJoin"):
+        assert banned not in plan, f"{banned} in plan:\n{plan}"
+    assert "Generate" in plan  # the posexplode flatMap
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs and all("dim" in s for s in specs), specs

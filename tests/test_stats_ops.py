@@ -2113,3 +2113,66 @@ def test_rbo_overlap_matches_direct(spark, tmp_path):
         assert abs(rows[qid].rbo - want) < 1e-12, qid
         ov10 = len(set(ra[:10]) & set(rb[:10]))
         assert rows[qid].ov10 == ov10, qid
+
+
+def test_energy_distance_matches_bruteforce(spark, tmp_path):
+    rng = np.random.RandomState(251)
+    a = rng.normal(10.0, 2.0, 200)   # reference window
+    b = rng.normal(13.0, 3.0, 150)   # planted location+scale shift
+    rows = [(i, "2024-01-05", 0, "t", float(v), None)
+            for i, v in enumerate(a)]
+    rows += [(1000 + i, "2024-01-25", 0, "t", float(v), None)
+             for i, v in enumerate(b)]
+    out = get("q_energy_distance").fn(
+        spark, _write_events(tmp_path, rows)).collect()[0]
+    # brute-force O(n*m) mirror on the micro-quantized values
+    au = np.floor(a * 1e6 + 0.5).astype(np.int64)
+    bu = np.floor(b * 1e6 + 0.5).astype(np.int64)
+    cross = np.abs(au[:, None] - bu[None, :]).sum()
+    wa = np.abs(au[:, None] - au[None, :]).sum()
+    wb = np.abs(bu[:, None] - bu[None, :]).sum()
+    A = cross / (200 * 150) / 1e6
+    B = wa / (200 * 200) / 1e6
+    C = wb / (150 * 150) / 1e6
+    assert out.n_ref == 200 and out.n_cur == 150
+    assert abs(out.mean_cross - round(A, 6)) < 1e-9
+    assert abs(out.mean_within_ref - round(B, 6)) < 1e-9
+    assert abs(out.mean_within_cur - round(C, 6)) < 1e-9
+    assert abs(out.energy_dist - round(2 * A - B - C, 6)) < 1e-9
+    assert out.energy_dist > 1.0  # the planted shift must register
+    # identical windows -> E == 0
+    rows_eq = [(2 * j + s, "2024-01-05" if s == 0 else "2024-01-25",
+                0, "t", float(a[j]), None)
+               for j in range(200) for s in (0, 1)]
+    out0 = get("q_energy_distance").fn(
+        spark, _write_events(tmp_path, rows_eq)).collect()[0]
+    assert out0.energy_dist == 0.0 and out0.e_coeff == 0.0
+
+
+def test_embedding_drift_localizes_planted_subspace(spark, tmp_path):
+    rng = np.random.RandomState(257)
+    n = 400
+    vecs = []
+    for i in range(n):
+        v = rng.normal(0, 1, 16)
+        if i % 2 == 1:        # current cohort: drift in dims 3 and 7
+            v[2] += 2.0
+            v[6] -= 1.5
+        vecs.append(v.astype(np.float32))
+    sf = _write_embeddings(tmp_path, vecs, rng.randint(0, 10, n))
+    rows = {r.dim: r for r in
+            get("q_embedding_drift").fn(spark, sf).collect()}
+    # numpy mirror of the micro-int means and pico-quantized gaps
+    arr = np.array([np.floor(v.astype(np.float64) * 1e6 + 0.5)
+                    for v in vecs])
+    mu_a = arr[0::2].mean(axis=0) / 1e6
+    mu_b = arr[1::2].mean(axis=0) / 1e6
+    g2 = np.array([int(np.floor((mu_a[d] - mu_b[d]) ** 2 * 1e12 + 0.5))
+                   for d in range(16)])
+    for d in range(16):
+        assert abs(rows[d + 1].gap_sq - round(g2[d] / 1e12, 9)) < 1e-12
+    assert abs(rows[1].mmd - round(np.sqrt(g2.sum() / 1e12), 6)) < 1e-9
+    # the two planted dimensions must dominate the breakdown
+    top2 = sorted(rows.values(), key=lambda r: -r.gap_sq)[:2]
+    assert {t.dim for t in top2} == {3, 7}
+    assert rows[1].mmd > 2.0  # sqrt(2^2 + 1.5^2) = 2.5 planted
