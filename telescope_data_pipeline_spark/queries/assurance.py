@@ -167,15 +167,15 @@ SELECT event_type,
        CAST(n AS BIGINT) AS n_days,
        ROUND(sc::DOUBLE / n, 6) + 0.0 AS mean_count,
        ROUND((n * sc2 - CAST(sc AS HUGEINT) * sc)::DOUBLE
-             / (n * (n - 1.0)) / (sc::DOUBLE / n), 6) + 0.0
+             / NULLIF(n * (n - 1.0), 0) / (sc::DOUBLE / n), 6) + 0.0
          AS dispersion,
        ROUND(SQRT(2.0 * (n - 1)
                   * ((n * sc2 - CAST(sc AS HUGEINT) * sc)::DOUBLE
-                     / (n * (n - 1.0)) / (sc::DOUBLE / n)))
+                     / NULLIF(n * (n - 1.0), 0) / (sc::DOUBLE / n)))
              - SQRT(2.0 * (n - 1) - 1), 6) + 0.0 AS z_wh,
        SQRT(2.0 * (n - 1)
             * ((n * sc2 - CAST(sc AS HUGEINT) * sc)::DOUBLE
-               / (n * (n - 1.0)) / (sc::DOUBLE / n)))
+               / NULLIF(n * (n - 1.0), 0) / (sc::DOUBLE / n)))
          - SQRT(2.0 * (n - 1) - 1) > 1.644854 AS overdispersed_95
 FROM s ORDER BY event_type
 """)
@@ -209,7 +209,9 @@ def q_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.col("n").cast("double")
     var_num = (F.col("n") * F.col("sc2")
                - F.col("sc").cast("decimal(38,0)") * F.col("sc"))
-    disp = (var_num.cast("double") / (n * (n - 1.0))
+    # NULLIF: a single-day stream (n = 1) must yield NULL dispersion,
+    # never an ANSI zero-divisor abort (the edge-corpus contract)
+    disp = (var_num.cast("double") / F.nullif(n * (n - 1.0), F.lit(0.0))
             / (F.col("sc").cast("double") / n))
     z = F.sqrt(2.0 * (n - 1) * disp) - F.sqrt(2.0 * (n - 1) - 1)
     return (s.select("event_type",
@@ -486,10 +488,10 @@ WITH cells AS (
 SELECT item,
        CAST(n AS BIGINT) AS n_cases,
        CAST(k.k AS BIGINT) AS k,
-       ROUND(num_i::DOUBLE / num_t, 9) + 0.0 AS var_share,
-       ROUND(k.k / (k.k - 1.0)
-             * (1.0 - SUM(num_i::DOUBLE / num_t) OVER ()), 6) + 0.0
-         AS alpha
+       ROUND(num_i::DOUBLE / NULLIF(num_t, 0), 9) + 0.0 AS var_share,
+       ROUND(k.k / NULLIF(k.k - 1.0, 0)
+             * (1.0 - SUM(num_i::DOUBLE / NULLIF(num_t, 0)) OVER ()),
+             6) + 0.0 AS alpha
 FROM item_stats CROSS JOIN total_stats CROSS JOIN k
 ORDER BY item
 """)
@@ -546,8 +548,11 @@ def q_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("num_t"))
     wall = (W.orderBy("item")  # k-row item spine
             .rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+    # NULLIF: a one-item battery (k = 1) or a zero-variance total must
+    # yield NULL, never an ANSI zero-divisor abort (edge-corpus contract)
     share = F.round(F.col("num_i").cast("double")
-                    / F.col("num_t").cast("double"), 9)
+                    / F.nullif(F.col("num_t").cast("double"),
+                               F.lit(0.0)), 9)
     kd = F.col("k").cast("double")
     return (item_stats
             .crossJoin(F.broadcast(total_stats))
@@ -556,7 +561,7 @@ def q_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("n").cast("long").alias("n_cases"),
                     F.col("k").cast("long").alias("k"),
                     (share + 0.0).alias("var_share"),
-                    (F.round(kd / (kd - 1.0)
+                    (F.round(kd / F.nullif(kd - 1.0, F.lit(0.0))
                              * (1.0 - F.sum(share).over(wall)), 6) + 0.0)
                     .alias("alpha"))
             .orderBy("item"))
@@ -1015,9 +1020,9 @@ WITH v AS (
   FROM cum CROSS JOIN tot
 ), e AS (
   SELECT tna, tnb,
-         cross_u::DOUBLE / (tna * tnb) / 1e6 AS a,
-         wa_u::DOUBLE / (tna * tna) / 1e6 AS b,
-         wb_u::DOUBLE / (tnb * tnb) / 1e6 AS c
+         cross_u::DOUBLE / NULLIF(tna * tnb, 0) / 1e6 AS a,
+         wa_u::DOUBLE / NULLIF(tna * tna, 0) / 1e6 AS b,
+         wb_u::DOUBLE / NULLIF(tnb * tnb, 0) / 1e6 AS c
   FROM sums CROSS JOIN tot
 )
 SELECT CAST(tna AS BIGINT) AS n_ref, CAST(tnb AS BIGINT) AS n_cur,
@@ -1091,9 +1096,14 @@ def q_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.first("tna").alias("tna"), F.first("tnb").alias("tnb")))
     tna = F.col("tna").cast("double")
     tnb = F.col("tnb").cast("double")
-    a = F.col("cross_u").cast("double") / (tna * tnb) / 1e6
-    bb = F.col("wa_u").cast("double") / (tna * tna) / 1e6
-    cc = F.col("wb_u").cast("double") / (tnb * tnb) / 1e6
+    # NULLIF: an empty reference or current window must yield NULL
+    # means, never an ANSI zero-divisor abort (edge-corpus contract)
+    a = (F.col("cross_u").cast("double")
+         / F.nullif(tna * tnb, F.lit(0.0)) / 1e6)
+    bb = (F.col("wa_u").cast("double")
+          / F.nullif(tna * tna, F.lit(0.0)) / 1e6)
+    cc = (F.col("wb_u").cast("double")
+          / F.nullif(tnb * tnb, F.lit(0.0)) / 1e6)
     return sums.select(
         F.col("tna").cast("long").alias("n_ref"),
         F.col("tnb").cast("long").alias("n_cur"),
@@ -1127,11 +1137,13 @@ WITH sided AS (
   FROM expl GROUP BY dim
 ), gaps AS (
   SELECT dim, n_a, n_b,
-         ROUND(s_a::DOUBLE / n_a / 1e6, 9) + 0.0 AS mean_ref,
-         ROUND(s_b::DOUBLE / n_b / 1e6, 9) + 0.0 AS mean_cur,
+         ROUND(s_a::DOUBLE / NULLIF(n_a, 0) / 1e6, 9) + 0.0 AS mean_ref,
+         ROUND(s_b::DOUBLE / NULLIF(n_b, 0) / 1e6, 9) + 0.0 AS mean_cur,
          CAST(ROUND(
-           (s_a::DOUBLE / n_a / 1e6 - s_b::DOUBLE / n_b / 1e6)
-           * (s_a::DOUBLE / n_a / 1e6 - s_b::DOUBLE / n_b / 1e6)
+           (s_a::DOUBLE / NULLIF(n_a, 0) / 1e6
+            - s_b::DOUBLE / NULLIF(n_b, 0) / 1e6)
+           * (s_a::DOUBLE / NULLIF(n_a, 0) / 1e6
+              - s_b::DOUBLE / NULLIF(n_b, 0) / 1e6)
            * 1e12) AS BIGINT) AS g2_pico
   FROM per
 )
@@ -1173,8 +1185,12 @@ def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.when(F.col("side") == 0, 1)).alias("n_a"),
                 F.sum(F.when(F.col("side") == 1, F.col("vu"))).alias("s_b"),
                 F.sum(F.when(F.col("side") == 1, 1)).alias("n_b")))
-    mean_a = F.col("s_a").cast("double") / F.col("n_a") / 1e6
-    mean_b = F.col("s_b").cast("double") / F.col("n_b") / 1e6
+    # NULLIF: an empty cohort must yield NULL means, never an ANSI
+    # zero-divisor abort (edge-corpus contract)
+    mean_a = (F.col("s_a").cast("double")
+              / F.nullif(F.col("n_a"), F.lit(0)) / 1e6)
+    mean_b = (F.col("s_b").cast("double")
+              / F.nullif(F.col("n_b"), F.lit(0)) / 1e6)
     g2_pico = F.round((mean_a - mean_b) * (mean_a - mean_b) * 1e12) \
         .cast("long")
     wall = (W.orderBy("dim")  # bounded dim spine
