@@ -222,6 +222,13 @@ EXTRA = [
     "q_rbo_overlap",
     "q_energy_distance",
     "q_embedding_drift",
+    # round-12 session-4 classic relational shapes
+    "q_min_cost_supplier",
+    "q_priority_pipeline",
+    "q_order_count_dist",
+    "q_important_stock",
+    "q_large_volume_cust",
+    "q_sales_opportunity",
 ]
 
 

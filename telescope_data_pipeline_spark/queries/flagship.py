@@ -254,3 +254,333 @@ def q_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (blamed.groupBy(F.col("l_suppkey").alias("suppkey"))
             .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
             .orderBy(F.col("numwait").desc(), "suppkey").limit(20))
+
+
+# ---------------------------------------------------------------------------
+# Minimum-cost supplier (TPC-H Q2 shape): correlated MIN subquery
+# decorrelated into aggregate + equality join, 4-way dim chain
+# ---------------------------------------------------------------------------
+
+@query("q_min_cost_supplier", oracle="""
+WITH pf AS (
+  SELECT p_partkey, p_name, p_type, p_size FROM part
+  WHERE p_type = 'LARGE' AND p_size BETWEEN 10 AND 20
+), sales AS (
+  SELECT l.l_partkey AS pk, l.l_suppkey AS sk,
+         CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) AS price_c
+  FROM lineitem l JOIN pf ON l.l_partkey = pf.p_partkey
+), minp AS (
+  SELECT pk, MIN(price_c) AS min_c FROM sales GROUP BY pk
+), winner AS (
+  SELECT s.pk, MIN(s.sk) AS sk, ANY_VALUE(m.min_c) AS min_c
+  FROM sales s JOIN minp m ON s.pk = m.pk AND s.price_c = m.min_c
+  GROUP BY s.pk
+)
+SELECT w.pk AS p_partkey, p.p_name, w.sk AS s_suppkey,
+       n.n_name, r.r_name,
+       ROUND(w.min_c / 100.0, 2) + 0.0 AS min_price,
+       ROUND(s.s_acctbal, 2) + 0.0 AS s_acctbal
+FROM winner w
+JOIN pf p ON p.p_partkey = w.pk
+JOIN supplier s ON s.s_suppkey = w.sk
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+ORDER BY CAST(ROUND(s.s_acctbal * 100) AS BIGINT) DESC, w.pk
+LIMIT 100
+""")
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): for every part in a
+    type/size band, the supplier achieving that part's MINIMUM sale
+    price — the classic correlated-MIN subquery, decorrelated into a
+    per-part aggregate plus an equality join back, then a 4-deep dim
+    chain (supplier -> nation -> region). Top 100 by supplier balance.
+    (The driver star schema carries no partsupp table; realized sale
+    prices from lineitem stand in for supply cost, same plan shape.)
+
+    Determinism: prices compare as exact centi integers; the winner
+    among tied minimum prices is MIN(suppkey); the final ORDER BY
+    ranks on the centi-integer balance with the partkey tiebreak.
+
+    Scale: the filtered part set prunes lineitem through the join
+    (broadcast dim); the min-price aggregate and the join back both
+    key on partkey (one shuffle each side, AQE-coalesced); the dim
+    chain is three broadcasts. No correlated per-row subquery ever
+    executes — Catalyst sees only joins and aggregates."""
+    pf = (load_table(spark, sf_dir, "part")
+          .filter((F.col("p_type") == "LARGE")
+                  & F.col("p_size").between(10, 20))
+          .select("p_partkey", "p_name"))
+    li = load_table(spark, sf_dir, "lineitem", spread=True)
+    sales = (li.join(F.broadcast(pf), li.l_partkey == pf.p_partkey)
+             .select(F.col("l_partkey").alias("pk"),
+                     F.col("l_suppkey").alias("sk"),
+                     F.round(F.col("l_extendedprice") * 100)
+                     .cast("bigint").alias("price_c")))
+    minp = sales.groupBy("pk").agg(F.min("price_c").alias("min_c"))
+    winner = (sales.join(minp, "pk")
+              .filter(F.col("price_c") == F.col("min_c"))
+              .groupBy("pk")
+              .agg(F.min("sk").alias("sk"), F.first("min_c").alias("min_c")))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (winner
+            .join(F.broadcast(pf), winner.pk == pf.p_partkey)
+            .join(F.broadcast(s), winner.sk == s.s_suppkey)
+            .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .select(F.col("pk").alias("p_partkey"), "p_name",
+                    F.col("sk").alias("s_suppkey"), "n_name", "r_name",
+                    (F.round(F.col("min_c") / 100.0, 2) + 0.0)
+                    .alias("min_price"),
+                    (F.round(F.col("s_acctbal"), 2) + 0.0)
+                    .alias("s_acctbal"))
+            .orderBy(F.desc(F.round(F.col("s_acctbal") * 100)
+                            .cast("bigint")), "p_partkey")
+            .limit(100))
+
+
+# ---------------------------------------------------------------------------
+# Order-priority pipeline check (TPC-H Q4 shape): EXISTS as semi-join
+# ---------------------------------------------------------------------------
+
+@query("q_priority_pipeline", oracle="""
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate <  TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""")
+def q_priority_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking): orders of one quarter
+    that had at least one lineitem shipped more than 30 days after
+    the order date, counted by priority — THE canonical EXISTS
+    workload. Spark expresses the predicate as a LEFT SEMI join with a
+    non-equi residual condition (shipdate vs orderdate + 30 days), so
+    each qualifying order counts once no matter how many late lines.
+
+    Scale: the quarter filter pushes into the orders scan; the semi
+    join keys on orderkey (the residual evaluates post-match);
+    map-side-combined count on the 5-value priority key."""
+    o = (load_table(spark, sf_dir, "orders")
+         .filter((F.col("o_orderdate") >= "1996-07-01")
+                 & (F.col("o_orderdate") < "1996-10-01")))
+    li = load_table(spark, sf_dir, "lineitem", spread=True)
+    late = o.join(
+        li,
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate > F.date_add(o.o_orderdate, 30)),
+        "left_semi")
+    return (late.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
+            .orderBy("o_orderpriority"))
+
+
+# ---------------------------------------------------------------------------
+# Customer order-count distribution (TPC-H Q13 shape): outer join with
+# a filtered join condition, then a distribution over the counts
+# ---------------------------------------------------------------------------
+
+@query("q_order_count_dist", oracle="""
+WITH per_cust AS (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o
+    ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+SELECT CAST(c_count AS BIGINT) AS c_count,
+       CAST(COUNT(*) AS BIGINT) AS custdist
+FROM per_cust
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""")
+def q_order_count_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer distribution): how many customers
+    placed how many orders, INCLUDING the zero-order customers — the
+    outer-join-with-filtered-ON-condition classic (the filter must sit
+    in the JOIN condition, not WHERE, or the zero bucket vanishes),
+    followed by a second aggregation over the first's results.
+
+    Scale: both aggregations are map-side combined; the outer join
+    keys on custkey; COUNT(o_orderkey) (not COUNT(*)) makes unmatched
+    customers count zero on both engines."""
+    c = load_table(spark, sf_dir, "customer")
+    o = (load_table(spark, sf_dir, "orders")
+         .filter(F.col("o_orderpriority") != "1-URGENT"))
+    per = (c.join(o, o.o_custkey == c.c_custkey, "left")
+           .groupBy("c_custkey")
+           .agg(F.count("o_orderkey").alias("c_count")))
+    return (per.groupBy("c_count")
+            .agg(F.count(F.lit(1)).cast("long").alias("custdist"))
+            .select(F.col("c_count").cast("long").alias("c_count"),
+                    "custdist")
+            .orderBy(F.desc("custdist"), F.desc("c_count")))
+
+
+# ---------------------------------------------------------------------------
+# Important-part value concentration (TPC-H Q11 shape): HAVING against
+# a scalar fraction of the global total
+# ---------------------------------------------------------------------------
+
+@query("q_important_stock", oracle="""
+WITH value_per_part AS (
+  SELECT l_partkey,
+         SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS value_c
+  FROM lineitem GROUP BY l_partkey
+), total AS (
+  SELECT SUM(value_c) AS total_c FROM value_per_part
+)
+SELECT l_partkey AS p_partkey,
+       ROUND(value_c / 100.0, 2) + 0.0 AS part_value,
+       ROUND(value_c::DOUBLE / total_c, 9) + 0.0 AS share
+FROM value_per_part CROSS JOIN total
+WHERE value_c * 1000 > total_c
+ORDER BY value_c DESC, l_partkey
+LIMIT 100
+""")
+def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock): parts whose realized sale
+    value exceeds 0.1% of the GLOBAL total — the
+    HAVING-against-a-scalar-subquery classic. The threshold comparison
+    is exact integer algebra (value_c * 1000 > total_c), so no float
+    decides membership at the boundary.
+
+    Scale: one map-side-combined aggregate to per-part values; the
+    global total is the q_pagerank-style lazy 1-row broadcast (its
+    subtree re-aggregates the bounded per-part relation, not the fact
+    table); top-100 on the exact centi value plans TakeOrdered."""
+    li = load_table(spark, sf_dir, "lineitem", spread=True)
+    vpp = (li.groupBy("l_partkey")
+           .agg(F.sum(F.round(F.col("l_extendedprice") * 100)
+                      .cast("bigint")).alias("value_c")))
+    total = F.broadcast(vpp.agg(F.sum("value_c").alias("total_c")))
+    return (vpp.crossJoin(total)
+            .filter(F.col("value_c") * 1000 > F.col("total_c"))
+            .select(F.col("l_partkey").cast("long").alias("p_partkey"),
+                    (F.round(F.col("value_c") / 100.0, 2) + 0.0)
+                    .alias("part_value"),
+                    (F.round(F.col("value_c").cast("double")
+                             / F.col("total_c"), 9) + 0.0).alias("share"))
+            .orderBy(F.desc(F.round(F.col("part_value") * 100)
+                            .cast("bigint")), "p_partkey")
+            .limit(100))
+
+
+# ---------------------------------------------------------------------------
+# Large-volume customers (TPC-H Q18 shape): HAVING sum > threshold,
+# join back through orders to customers
+# ---------------------------------------------------------------------------
+
+@query("q_large_volume_cust", oracle="""
+WITH big AS (
+  SELECT l_orderkey,
+         SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS qty_c
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) > 25000
+)
+SELECT c.c_custkey, c.c_name, o.o_orderkey,
+       CAST(o.o_orderdate AS VARCHAR) AS orderdate_s,
+       ROUND(o.o_totalprice, 2) + 0.0 AS totalprice,
+       ROUND(b.qty_c / 100.0, 2) + 0.0 AS total_qty
+FROM big b
+JOIN orders o ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY CAST(ROUND(o.o_totalprice * 100) AS BIGINT) DESC, o.o_orderkey
+LIMIT 100
+""")
+def q_large_volume_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): orders whose total
+    quantity exceeds the threshold (a HAVING over the fact aggregate),
+    joined back through orders to the customers who placed them —
+    the group-then-rejoin pattern every "whales report" uses. Top 100
+    by order value.
+
+    Determinism: quantities sum as exact centi integers; the HAVING
+    boundary is integer; the ranking key is the centi-integer total
+    price with the orderkey tiebreak.
+
+    Scale: the fact aggregate is map-side combined on orderkey; the
+    HAVING prunes to a tiny order set BEFORE the joins, which then
+    broadcast-probe orders/customer."""
+    li = load_table(spark, sf_dir, "lineitem", spread=True)
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum(F.round(F.col("l_quantity") * 100).cast("bigint"))
+                .alias("qty_c"))
+           .filter(F.col("qty_c") > 25000))
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (big.join(o, o.o_orderkey == big.l_orderkey)
+            .join(c, c.c_custkey == o.o_custkey)
+            .select("c_custkey", "c_name", "o_orderkey",
+                    F.col("o_orderdate").cast("string").alias("orderdate_s"),
+                    (F.round(F.col("o_totalprice"), 2) + 0.0)
+                    .alias("totalprice"),
+                    (F.round(F.col("qty_c") / 100.0, 2) + 0.0)
+                    .alias("total_qty"))
+            .orderBy(F.desc(F.round(F.col("totalprice") * 100)
+                            .cast("bigint")), "o_orderkey")
+            .limit(100))
+
+
+# ---------------------------------------------------------------------------
+# Dormant high-balance customers (TPC-H Q22 shape): anti-join plus a
+# scalar-subquery threshold
+# ---------------------------------------------------------------------------
+
+@query("q_sales_opportunity", oracle="""
+WITH avg_bal AS (
+  SELECT AVG(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0.0
+), rich_idle AS (
+  SELECT c.c_custkey, c.c_nationkey, c.c_acctbal
+  FROM customer c CROSS JOIN avg_bal
+  WHERE c.c_acctbal > ab
+    AND NOT EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+)
+SELECT n.n_name,
+       CAST(COUNT(*) AS BIGINT) AS numcust,
+       ROUND(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) / 100.0, 2)
+         + 0.0 AS totacctbal
+FROM rich_idle JOIN nation n ON n.n_nationkey = c_nationkey
+GROUP BY n.n_name
+ORDER BY n.n_name
+""")
+def q_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): customers with
+    above-average positive balances who placed NO order in the recent
+    window, grouped by nation — the anti-join + scalar-subquery
+    combination (NOT EXISTS against a date-filtered fact, threshold
+    from a 1-row aggregate).
+
+    Determinism: the average-balance threshold is one shared double
+    (both engines average the identical doubles — the comparison is
+    strict, and balances are 2-decimal values, so no boundary tie);
+    per-nation totals sum exact centi integers.
+
+    Scale: the anti-join keys on custkey with the date filter pushed
+    into the orders scan; the threshold is a lazy 1-row broadcast;
+    the nation dim broadcasts; final aggregate is 25 keys."""
+    c = load_table(spark, sf_dir, "customer")
+    avg_bal = F.broadcast(
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(F.avg("c_acctbal").alias("ab")))
+    o = (load_table(spark, sf_dir, "orders")
+         .filter(F.col("o_orderdate") >= "2000-01-01"))
+    n = load_table(spark, sf_dir, "nation")
+    rich_idle = (c.crossJoin(avg_bal)
+                 .filter(F.col("c_acctbal") > F.col("ab"))
+                 .join(o, o.o_custkey == c.c_custkey, "left_anti"))
+    return (rich_idle.join(F.broadcast(n),
+                           F.col("c_nationkey") == n.n_nationkey)
+            .groupBy("n_name")
+            .agg(F.count(F.lit(1)).cast("long").alias("numcust"),
+                 (F.round(F.sum(F.round(F.col("c_acctbal") * 100)
+                                .cast("bigint")) / 100.0, 2) + 0.0)
+                 .alias("totacctbal"))
+            .orderBy("n_name"))

@@ -1573,3 +1573,93 @@ def emd_drift_stream(stream: DataFrame, mn: float, mx: float,
                 outputMode="update",
                 timeoutConf=GroupStateTimeout.NoTimeout,
             ))
+
+
+# ---------------------------------------------------------------------------
+# Streaming Hellinger drift monitor (live twin of the batch
+# q_hellinger_drift, queries/assurance.py — same pinned-edge histogram
+# state as the EMD twin, different readout: the bounded [0,1] overlap
+# distance instead of the transport distance).
+# ---------------------------------------------------------------------------
+
+HD_OUT_SCHEMA = T.StructType([
+    T.StructField("bin", T.LongType()),
+    T.StructField("n_ref", T.LongType()),
+    T.StructField("n_cur", T.LongType()),
+    T.StructField("bc_term", T.DoubleType()),
+    T.StructField("hellinger", T.DoubleType()),
+    T.StructField("bhattacharyya", T.DoubleType()),
+])
+
+
+def _make_hellinger_update(mn: float, mx: float, split):
+    import math
+
+    rng = mx - mn
+
+    def _bin(v: float) -> int:
+        # EXACTLY the batch rule (shared with the EMD twin)
+        b = 0 if rng == 0.0 else math.floor((v - mn) * 20.0 / rng)
+        return min(19, max(0, int(b)))
+
+    def _update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.exists:
+            h_ref, h_cur = (list(state.get[0]), list(state.get[1]))
+        else:
+            h_ref, h_cur = [0] * 20, [0] * 20
+        for pdf in pdfs:
+            ok = pdf["value"].notna()
+            for ts, v in zip(pdf.loc[ok, "ts"], pdf.loc[ok, "value"]):
+                (h_ref if ts < split else h_cur)[_bin(float(v))] += 1
+        state.update((h_ref, h_cur))
+        t_ref, t_cur = sum(h_ref), sum(h_cur)
+        # the batch readout term for term: pico-quantized sqrt(p*q)
+        # BEFORE the cross-bin sum; NULL when a window is empty
+        if t_ref and t_cur:
+            bc_picos = [int(_round_half_up(
+                math.sqrt((h_ref[b] / t_ref) * (h_cur[b] / t_cur)) * 1e12))
+                for b in range(20)]
+            bc_sum = sum(bc_picos)
+            hel = _round_half_up(
+                math.sqrt(max(0.0, 1.0 - bc_sum / 1e12)), 6) + 0.0
+            bha = _round_half_up(
+                -math.log(max(bc_sum, 1) / 1e12), 6) + 0.0
+        else:
+            bc_picos, hel, bha = [None] * 20, None, None
+        yield pd.DataFrame([{
+            "bin": b,
+            "n_ref": h_ref[b],
+            "n_cur": h_cur[b],
+            "bc_term": (None if bc_picos[b] is None
+                        else _round_half_up(bc_picos[b] / 1e12, 9) + 0.0),
+            "hellinger": hel,
+            "bhattacharyya": bha,
+        } for b in range(20)])
+
+    return _update
+
+
+def hellinger_drift_stream(stream: DataFrame, mn: float, mx: float,
+                           split: str = "2024-01-16 00:00:00"
+                           ) -> DataFrame:
+    """Streaming Hellinger/Bhattacharyya drift monitor: the live twin
+    of the batch q_hellinger_drift (queries/assurance.py). Identical
+    state to the EMD twin — two 20-bin integer histograms per key,
+    bounded order-free bags with pinned (mn, mx) edges — so the
+    drained 20-row report equals the batch rows bit-for-bit under ANY
+    arrival order. Run both twins off one feed for the two
+    complementary readouts: EMD says HOW FAR mass moved along the
+    value axis, Hellinger says how much the densities stopped
+    overlapping (bounded [0,1], comparable across metrics)."""
+    import pandas as _pd
+
+    s = (stream.filter(F.col("value").isNotNull())
+         .select(F.lit("ALL").alias("scope"), "ts", "value"))
+    return (s.groupBy("scope")
+            .applyInPandasWithState(
+                _make_hellinger_update(mn, mx, _pd.Timestamp(split)),
+                outputStructType=HD_OUT_SCHEMA,
+                stateStructType=EMD_STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            ))

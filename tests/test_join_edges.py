@@ -58,3 +58,60 @@ def test_interval_join_negative_axis(spark):
     got = _pairs(spark, [(1, -150, -50)], [(10, -60, -10), (20, -300, -200)],
                  width=64)
     assert got == {(1, 10)}
+
+
+def test_order_count_dist_keeps_zero_bucket(spark, tmp_path):
+    """Q13 shape: customers with NO (qualifying) orders must appear in
+    the c_count = 0 bucket — the filter lives in the JOIN condition,
+    not WHERE. Planted: 3 customers; one with two normal orders, one
+    with only an excluded-priority order (counts as zero), one with
+    no orders at all."""
+    import pandas as pd
+
+    from telescope_data_pipeline_spark.queries import get
+
+    pd.DataFrame({
+        "c_custkey": [1, 2, 3],
+        "c_nationkey": [0, 0, 0],
+        "c_acctbal": [10.0, 20.0, 30.0],
+    }).to_parquet(tmp_path / "customer.parquet")
+    pd.DataFrame({
+        "o_orderkey": [100, 101, 102],
+        "o_custkey": [1, 1, 2],
+        "o_orderpriority": ["2-HIGH", "3-MEDIUM", "1-URGENT"],
+    }).to_parquet(tmp_path / "orders.parquet")
+    rows = {r.c_count: r.custdist for r in
+            get("q_order_count_dist").fn(spark, str(tmp_path)).collect()}
+    assert rows == {0: 2, 2: 1}
+
+
+def test_priority_pipeline_counts_order_once(spark, tmp_path):
+    """Q4 shape: an order with MANY late lineitems counts once (the
+    EXISTS/semi-join contract); an order whose lines all shipped
+    within 30 days does not count; an order outside the quarter is
+    filtered."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from telescope_data_pipeline_spark.queries import get
+
+    pd.DataFrame({
+        "o_orderkey": [1, 2, 3],
+        "o_custkey": [1, 1, 1],
+        "o_orderdate": [dt.datetime(1996, 7, 10),
+                        dt.datetime(1996, 8, 10),
+                        dt.datetime(1997, 1, 10)],
+        "o_orderpriority": ["2-HIGH", "2-HIGH", "2-HIGH"],
+    }).to_parquet(tmp_path / "orders.parquet", coerce_timestamps="us")
+    pd.DataFrame({
+        "l_orderkey": [1, 1, 1, 2, 3],
+        "l_shipdate": [dt.datetime(1996, 9, 1),   # late (53 days)
+                       dt.datetime(1996, 10, 1),  # late again (same order)
+                       dt.datetime(1996, 7, 12),  # on time
+                       dt.datetime(1996, 8, 20),  # on time (10 days)
+                       dt.datetime(1997, 6, 1)],  # late but out of window
+    }).to_parquet(tmp_path / "lineitem.parquet", coerce_timestamps="us")
+    rows = {r.o_orderpriority: r.order_count for r in
+            get("q_priority_pipeline").fn(spark, str(tmp_path)).collect()}
+    assert rows == {"2-HIGH": 1}

@@ -1329,7 +1329,15 @@ def test_adamic_adar_base_relation_computed_once(spark):
     distinct base recomputed FOUR times (once per self-join branch and
     embedded degree agg). The join-free rewrite expands pairs map-side
     from a per-part collected array, so the physical plan must scan
-    each base table EXACTLY once."""
+    each base table EXACTLY once.
+
+    Cache-neutral: q_jaccard_linkpred CacheSlot-pins the SAME capped-
+    arrays relation, and when it ran earlier in the session Spark's
+    CacheManager substitutes the cached entry into THIS plan (a free
+    reuse, but the InMemoryRelation text embeds extra FileScan lines
+    and breaks the textual count). Clear the cache first so the pin
+    measures the cache-free shape deterministically."""
+    spark.catalog.clearCache()
     df = get("q_adamic_adar").fn(spark, SF)
     phys = df._jdf.queryExecution().executedPlan().toString()
     for tbl in ("orders", "lineitem"):
@@ -2558,3 +2566,28 @@ def test_embedding_drift_single_groupby_dim_spine(spark):
     assert "Generate" in plan  # the posexplode flatMap
     specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
     assert specs and all("dim" in s for s in specs), specs
+
+
+def test_classic_relational_batch_plans(spark):
+    """Round-12 classic relational shapes: Q2's decorrelated MIN has
+    no correlated subquery artifacts (joins + aggregates only, top-100
+    as TakeOrdered); Q4 plans a LEFT SEMI with the non-equi residual;
+    Q22 plans a LEFT ANTI; Q18/Q11 rank with TakeOrdered; nothing
+    plans a CartesianProduct."""
+    from telescope_data_pipeline_spark.plans.audit import physical_plan
+
+    shapes = {
+        "q_min_cost_supplier": ("TakeOrderedAndProject", "BroadcastHashJoin"),
+        "q_priority_pipeline": ("LeftSemi",),
+        "q_order_count_dist": ("HashAggregate",),
+        "q_important_stock": ("TakeOrderedAndProject",),
+        "q_large_volume_cust": ("TakeOrderedAndProject",),
+        "q_sales_opportunity": ("LeftAnti",),
+    }
+    for name, needles in shapes.items():
+        df = get(name).fn(spark, SF)
+        df.collect()
+        plan = physical_plan(df)
+        assert "CartesianProduct" not in plan, name
+        for needle in needles:
+            assert needle in plan, f"{name}: {needle} missing\n{plan}"

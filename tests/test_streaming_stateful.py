@@ -1000,3 +1000,49 @@ def test_emd_drift_stream_matches_batch_any_order(spark):
         assert int(got["n_cur"]) == int(row["n_cur"]), b
         assert float(got["emd_term"]) == float(row["emd_term"]), b
         assert float(got["emd_total"]) == float(row["emd_total"]), b
+
+
+def test_hellinger_drift_stream_matches_batch_any_order(spark):
+    """Streaming Hellinger monitor: same order-free histogram state as
+    the EMD twin, so with pinned batch edges the drained 20-row report
+    must equal the batch q_hellinger_drift rows bit-for-bit under
+    SHUFFLED arrival."""
+    import os
+
+    from telescope_data_pipeline_spark.queries import get
+    from telescope_data_pipeline_spark.streaming.stateful import (
+        hellinger_drift_stream,
+    )
+
+    d = tempfile.mkdtemp(prefix="hel_")
+    ev = (load_table(spark, SF, "events").toPandas()
+          .sample(frac=1.0, random_state=7).reset_index(drop=True))
+    k = len(ev) // 3
+    for i, chunk in enumerate((ev[:k], ev[k:2 * k], ev[2 * k:])):
+        p = f"{d}/part-{i}.parquet"
+        chunk.to_parquet(p, engine="pyarrow", coerce_timestamps="us",
+                         index=False)
+        os.utime(p, (1700000000 + i, 1700000000 + i))
+    stream = read_event_stream(spark, d, max_files_per_trigger=1)
+
+    vals = ev["value"].dropna()
+    mn, mx = float(vals.min()), float(vals.max())
+
+    latest: dict = {}
+    q = (hellinger_drift_stream(stream, mn, mx)
+         .writeStream.outputMode("update")
+         .foreachBatch(lambda df, _bid: latest.update(
+             {int(r["bin"]): r for _, r in df.toPandas().iterrows()}))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    assert len(q.recentProgress) >= 3
+
+    want = get("q_hellinger_drift").fn(spark, SF).toPandas().set_index("bin")
+    assert set(latest) == set(int(b) for b in want.index)
+    for b, row in want.iterrows():
+        got = latest[int(b)]
+        assert int(got["n_ref"]) == int(row["n_ref"]), b
+        assert int(got["n_cur"]) == int(row["n_cur"]), b
+        assert float(got["bc_term"]) == float(row["bc_term"]), b
+        assert float(got["hellinger"]) == float(row["hellinger"]), b
+        assert float(got["bhattacharyya"]) == float(row["bhattacharyya"]), b
