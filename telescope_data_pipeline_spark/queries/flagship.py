@@ -433,22 +433,25 @@ WITH value_per_part AS (
          SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS value_c
   FROM lineitem GROUP BY l_partkey
 ), total AS (
-  SELECT SUM(value_c) AS total_c FROM value_per_part
+  SELECT SUM(value_c) AS total_c, COUNT(*) AS np FROM value_per_part
 )
 SELECT l_partkey AS p_partkey,
        ROUND(value_c / 100.0, 2) + 0.0 AS part_value,
        ROUND(value_c::DOUBLE / total_c, 9) + 0.0 AS share
 FROM value_per_part CROSS JOIN total
-WHERE value_c * 1000 > total_c
+WHERE value_c * np * 10 > total_c * 15
 ORDER BY value_c DESC, l_partkey
 LIMIT 100
 """)
 def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape (important stock): parts whose realized sale
     value exceeds 0.1% of the GLOBAL total — the
-    HAVING-against-a-scalar-subquery classic. The threshold comparison
-    is exact integer algebra (value_c * 1000 > total_c), so no float
-    decides membership at the boundary.
+    HAVING-against-a-scalar-subquery classic. The TPC-H fixed-share
+    cut (0.01%% at SF1) does not survive part-count growth, so the
+    threshold is RELATIVE: value above 1.5x the average part value —
+    a cut that keeps a stable head at any corpus size. The comparison
+    is exact integer algebra (value_c * np * 10 > total_c * 15), so
+    no float decides membership at the boundary.
 
     Scale: one map-side-combined aggregate to per-part values; the
     global total is the q_pagerank-style lazy 1-row broadcast (its
@@ -458,9 +461,11 @@ def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     vpp = (li.groupBy("l_partkey")
            .agg(F.sum(F.round(F.col("l_extendedprice") * 100)
                       .cast("bigint")).alias("value_c")))
-    total = F.broadcast(vpp.agg(F.sum("value_c").alias("total_c")))
+    total = F.broadcast(vpp.agg(F.sum("value_c").alias("total_c"),
+                                F.count(F.lit(1)).alias("np")))
     return (vpp.crossJoin(total)
-            .filter(F.col("value_c") * 1000 > F.col("total_c"))
+            .filter(F.col("value_c") * F.col("np") * 10
+                    > F.col("total_c") * 15)
             .select(F.col("l_partkey").cast("long").alias("p_partkey"),
                     (F.round(F.col("value_c") / 100.0, 2) + 0.0)
                     .alias("part_value"),
