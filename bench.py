@@ -229,6 +229,9 @@ EXTRA = [
     "q_important_stock",
     "q_large_volume_cust",
     "q_sales_opportunity",
+    "q_ab_srm",
+    "q_theils_u2",
+    "q_sax_symbols",
 ]
 
 

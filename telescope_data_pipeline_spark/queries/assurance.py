@@ -1208,3 +1208,280 @@ def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.round(F.sqrt(F.sum("g2_pico").over(wall) / 1e12), 6)
                      + 0.0).alias("mmd"))
             .orderBy("dim"))
+
+
+# ---------------------------------------------------------------------------
+# Sample-ratio mismatch (SRM) check per experiment stream
+# ---------------------------------------------------------------------------
+
+@query("q_ab_srm", oracle="""
+WITH units AS (
+  SELECT DISTINCT event_type, user_id,
+         CASE WHEN ((user_id % 1000003) * 2654435761 % 1000) < 500
+              THEN 0 ELSE 1 END AS grp
+  FROM events WHERE user_id IS NOT NULL
+), counts AS (
+  SELECT event_type,
+         COALESCE(SUM(CASE WHEN grp = 0 THEN 1 END), 0) AS n_a,
+         COALESCE(SUM(CASE WHEN grp = 1 THEN 1 END), 0) AS n_b
+  FROM units GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       ROUND((n_a - n_b) * (n_a - n_b)::DOUBLE
+             / NULLIF(n_a + n_b, 0), 6) + 0.0 AS chi2,
+       (n_a - n_b) * (n_a - n_b)::DOUBLE / NULLIF(n_a + n_b, 0)
+         > 3.841459 AS srm_95
+FROM counts ORDER BY event_type
+""")
+def q_ab_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio mismatch check per experiment stream: the chi-square
+    on RANDOMIZATION-UNIT counts against the designed 50/50 split —
+    for two equal arms it reduces exactly to (n_a - n_b)^2 / n. SRM is
+    the first gate every experimentation platform runs: a mismatched
+    ratio means broken bucketing/logging, and every downstream test
+    (q_ab_ttest, q_cuped, q_mann_whitney) is invalid no matter how
+    significant. Units are DISTINCT users, not events — volume
+    imbalance is q_overdispersion's job, unit imbalance is SRM's.
+    The demo assignment is the registry's canonical multiplicative
+    hash split (a parity split over the driver's dense user ids is
+    EXACTLY balanced and would demo nothing; the hash split carries
+    real binomial noise, like production bucketing).
+
+    Determinism: all-integer distinct-user counts; one double
+    expression; the flag compares that shared double to the
+    chi-square(1) 95% literal.
+
+    Scale: DISTINCT(stream, user) is one shuffle on the composite
+    key; the count rollup is map-side combined on the stream key."""
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("user_id").isNotNull()))
+    grp = F.when(((F.col("user_id") % 1000003)
+                  * F.lit(2654435761).cast("bigint") % 1000) < 500, 0) \
+        .otherwise(1)
+    units = (ev.select("event_type", "user_id", grp.alias("grp"))
+             .distinct())
+    counts = units.groupBy("event_type").agg(
+        F.coalesce(F.sum(F.when(F.col("grp") == 0, 1)), F.lit(0))
+        .alias("n_a"),
+        F.coalesce(F.sum(F.when(F.col("grp") == 1, 1)), F.lit(0))
+        .alias("n_b"))
+    d = F.col("n_a") - F.col("n_b")
+    chi2 = (d * d).cast("double") / F.nullif(F.col("n_a") + F.col("n_b"),
+                                             F.lit(0))
+    return (counts.select("event_type",
+                          F.col("n_a").cast("long").alias("n_a"),
+                          F.col("n_b").cast("long").alias("n_b"),
+                          (F.round(chi2, 6) + 0.0).alias("chi2"),
+                          (chi2 > 3.841459).alias("srm_95"))
+            .orderBy("event_type"))
+
+
+# ---------------------------------------------------------------------------
+# Theil's U2 forecast skill: Holt vs the naive lag-1 baseline
+# ---------------------------------------------------------------------------
+
+@query("q_theils_u2", oracle="""
+WITH RECURSIVE daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(ROUND(SUM(CAST(ROUND(value * 1000000) AS BIGINT))::DOUBLE
+                    / COUNT(*)) AS BIGINT) AS mu
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2
+), ordered AS (
+  SELECT event_type, mu,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rk,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM daily
+), rec AS (
+  SELECT o2.event_type, CAST(2 AS BIGINT) AS rk, o2.n,
+         CAST(o2.mu AS DOUBLE) AS l,
+         CAST(o2.mu - o1.mu AS DOUBLE) AS b,
+         CAST(o2.mu AS DOUBLE) AS prev,
+         CAST(0 AS DOUBLE) AS sm, CAST(0 AS DOUBLE) AS sn
+  FROM ordered o1 JOIN ordered o2
+    ON o2.event_type = o1.event_type AND o1.rk = 1 AND o2.rk = 2
+  UNION ALL
+  SELECT o.event_type, o.rk, o.n,
+         0.5 * o.mu + 0.5 * (r.l + r.b),
+         0.5 * ((0.5 * o.mu + 0.5 * (r.l + r.b)) - r.l) + 0.5 * r.b,
+         CAST(o.mu AS DOUBLE),
+         r.sm + ((r.l + r.b) - o.mu) * ((r.l + r.b) - o.mu),
+         r.sn + (r.prev - o.mu) * (r.prev - o.mu)
+  FROM ordered o JOIN rec r
+    ON o.event_type = r.event_type AND o.rk = r.rk + 1
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_days,
+       ROUND(SQRT(sm / (n - 2)) / 1000000, 6) + 0.0 AS rmse_model,
+       ROUND(SQRT(sn / (n - 2)) / 1000000, 6) + 0.0 AS rmse_naive,
+       ROUND(SQRT(sm / NULLIF(sn, 0)), 6) + 0.0 AS theils_u2,
+       SQRT(sm / NULLIF(sn, 0)) < 1.0 AS beats_naive
+FROM rec WHERE rk = n AND n >= 3
+ORDER BY event_type
+""")
+def q_theils_u2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil's U2 forecast skill for the Holt (alpha = beta = 0.5)
+    model on each stream's daily-mean series: U2 = RMSE(model one-step
+    in-sample) / RMSE(naive lag-1). U2 < 1 means the model genuinely
+    beats "tomorrow equals today"; q_forecast_accuracy publishes the
+    naive baseline's error, q_holt_forecast publishes the model's
+    state — this is the SKILL ratio that says whether deploying the
+    model adds value at all.
+
+    Determinism: the q_holt_forecast argument extended — both engines
+    run the IDENTICAL sequence of double ops in the same order (Spark:
+    one in-row aggregate() fold carrying (l, b, prev, sse_model,
+    sse_naive); DuckDB: the recursive CTE with the same step
+    expressions), so the error sums are bit-identical without
+    quantization.
+
+    Scale: the fold runs over the bounded per-series daily table;
+    one map-side-combined groupBy gets there; output is |streams|."""
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull()))
+    daily = (ev.groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg(F.round(F.sum(F.round(F.col("value") * 1e6).cast("bigint"))
+                          .cast("double") / F.count(F.lit(1)))
+                  .cast("bigint").alias("mu")))
+    series = (daily.groupBy("event_type")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("n_days"),
+                   F.sort_array(F.collect_list(F.struct("day", "mu")))
+                   .alias("seq"))
+              .filter(F.col("n_days") >= 3))
+    x1 = F.element_at("seq", 1)["mu"]
+    x2 = F.element_at("seq", 2)["mu"]
+    init = F.struct(x2.cast("double").alias("l"),
+                    (x2 - x1).cast("double").alias("b"),
+                    x2.cast("double").alias("prev"),
+                    F.lit(0.0).alias("sm"),
+                    F.lit(0.0).alias("sn"))
+    state = F.aggregate(
+        F.slice("seq", 3, F.greatest(F.size("seq") - 2, F.lit(0))),
+        init,
+        lambda acc, x: F.struct(
+            (0.5 * x["mu"] + 0.5 * (acc["l"] + acc["b"])).alias("l"),
+            (0.5 * ((0.5 * x["mu"] + 0.5 * (acc["l"] + acc["b"]))
+                    - acc["l"]) + 0.5 * acc["b"]).alias("b"),
+            x["mu"].cast("double").alias("prev"),
+            (acc["sm"] + ((acc["l"] + acc["b"]) - x["mu"])
+             * ((acc["l"] + acc["b"]) - x["mu"])).alias("sm"),
+            (acc["sn"] + (acc["prev"] - x["mu"])
+             * (acc["prev"] - x["mu"])).alias("sn")))
+    n = F.col("n_days").cast("double")
+    u2 = F.sqrt(state["sm"] / F.nullif(state["sn"], F.lit(0.0)))
+    return (series.select(
+        "event_type", "n_days",
+        (F.round(F.sqrt(state["sm"] / (n - 2)) / 1e6, 6) + 0.0)
+        .alias("rmse_model"),
+        (F.round(F.sqrt(state["sn"] / (n - 2)) / 1e6, 6) + 0.0)
+        .alias("rmse_naive"),
+        (F.round(u2, 6) + 0.0).alias("theils_u2"),
+        (u2 < 1.0).alias("beats_naive"))
+        .orderBy("event_type"))
+
+
+# ---------------------------------------------------------------------------
+# SAX symbolization of the daily series (PAA + breakpoint alphabet)
+# ---------------------------------------------------------------------------
+
+@query("q_sax_symbols", oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(ROUND(SUM(CAST(ROUND(value * 1000000) AS BIGINT))::DOUBLE
+                    / COUNT(*)) AS BIGINT) AS mu
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2
+), ordered AS (
+  SELECT event_type, mu,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) - 1
+           AS idx
+  FROM daily
+), moments AS (
+  SELECT event_type, COUNT(*) AS n, SUM(mu) AS s,
+         SUM(CAST(mu AS HUGEINT) * mu) AS s2
+  FROM ordered GROUP BY event_type
+), blocks AS (
+  SELECT o.event_type, o.idx // 5 AS blk, m.n, m.s, m.s2,
+         SUM(o.mu) AS bsum, COUNT(*) AS bc
+  FROM ordered o JOIN moments m USING (event_type)
+  WHERE o.idx // 5 < m.n // 5
+  GROUP BY 1, 2, 3, 4, 5
+), z AS (
+  SELECT event_type, blk,
+         (bsum::DOUBLE / bc - s::DOUBLE / n)
+           / NULLIF(SQRT((n * s2 - CAST(s AS HUGEINT) * s)::DOUBLE)
+                    / n / SQRT(n - 1.0) * SQRT(n::DOUBLE), 0)
+           AS paa_z
+  FROM blocks
+), sym AS (
+  SELECT event_type, blk,
+         CASE WHEN paa_z < -0.6744897501960817 THEN 'a'
+              WHEN paa_z < 0.0 THEN 'b'
+              WHEN paa_z < 0.6744897501960817 THEN 'c'
+              ELSE 'd' END AS s
+  FROM z
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_blocks,
+       STRING_AGG(s, '' ORDER BY blk) AS sax
+FROM sym GROUP BY event_type ORDER BY event_type
+""")
+def q_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX (symbolic aggregate approximation) of each stream's daily
+    series: z-normalize, piecewise-aggregate over 5-day blocks, map
+    each block mean to a 4-letter alphabet at the N(0,1) quartile
+    breakpoints (+-0.6745) — the time-series representation behind
+    motif discovery, shape indexing, and anomaly grammars; two streams
+    with the same SAX string move together at block resolution.
+
+    Determinism: block sums and per-stream moments are exact
+    integers; each block's z-score is ONE double expression of those
+    integers (population sd written identically on both engines), and
+    the symbol is a comparison against shared literals — boundary
+    behavior is identical because the compared doubles are
+    bit-identical. The string assembles in block order (STRING_AGG
+    ORDER BY / sorted array_join).
+
+    Scale: daily aggregate is map-side combined; moments ride a
+    broadcast join keyed on the stream; blocks are a second
+    map-side-combined groupBy; only the bounded daily table ever
+    sorts (keyed row_number, the q_ljung_box-approved shape)."""
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull()))
+    daily = (ev.groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg(F.round(F.sum(F.round(F.col("value") * 1e6).cast("bigint"))
+                          .cast("double") / F.count(F.lit(1)))
+                  .cast("bigint").alias("mu")))
+    wrn = W.partitionBy("event_type").orderBy("day")
+    ordered = daily.select(
+        "event_type", "mu",
+        (F.row_number().over(wrn) - 1).alias("idx"))
+    moments = ordered.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("mu").alias("s"),
+        F.sum(F.col("mu").cast("decimal(38,0)") * F.col("mu")).alias("s2"))
+    blocks = (ordered.join(F.broadcast(moments), "event_type")
+              .filter(F.floor(F.col("idx") / 5)
+                      < F.floor(F.col("n") / 5))
+              .groupBy("event_type", F.floor(F.col("idx") / 5).alias("blk"),
+                       "n", "s", "s2")
+              .agg(F.sum("mu").alias("bsum"), F.count(F.lit(1)).alias("bc")))
+    n = F.col("n").cast("double")
+    sd_term = (F.sqrt((F.col("n") * F.col("s2")
+                       - F.col("s").cast("decimal(38,0)") * F.col("s"))
+                      .cast("double"))
+               / n / F.sqrt(n - 1.0) * F.sqrt(n))
+    paa_z = ((F.col("bsum").cast("double") / F.col("bc")
+              - F.col("s").cast("double") / n)
+             / F.nullif(sd_term, F.lit(0.0)))
+    sym = F.when(paa_z < -0.6744897501960817, "a") \
+        .when(paa_z < 0.0, "b") \
+        .when(paa_z < 0.6744897501960817, "c").otherwise("d")
+    return (blocks.select("event_type", "blk", sym.alias("s"))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_blocks"),
+                 F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(
+                             F.struct("blk", "s"))),
+                         lambda x: x["s"]), "").alias("sax"))
+            .orderBy("event_type"))

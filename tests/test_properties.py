@@ -545,3 +545,30 @@ def test_isotonic_minimax_equals_stack_pava(raw):
         if prev is not None:
             assert a[i] >= prev - 1e-12, (i, blocks, a)
         prev = a[i]
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.tuples(st.integers(min_value=-2**40, max_value=2**40),
+                          st.integers(min_value=-1000, max_value=1000),
+                          st.integers(min_value=-1000, max_value=1000)),
+                min_size=1, max_size=60),
+       st.integers(min_value=1, max_value=9))
+def test_lazy_prefix_sums_multi_measure(spark, rows, n_buckets):
+    """The multi-measure form (round 12, q_energy_distance's carrier)
+    computes EVERY measure's cumulative sum over the same total order
+    in one pass — each must equal the plain sorted cumulative sum."""
+    from telescope_data_pipeline_spark.operators.prefix_sum import (
+        lazy_prefix_sums,
+    )
+
+    data = [(k, v, w, i) for i, (k, v, w) in enumerate(rows)]
+    df = spark.createDataFrame(data, "k long, v long, w long, id long")
+    out = lazy_prefix_sums(df, "k", ["k", "id"],
+                           {"v": "cum_v", "w": "cum_w"},
+                           num_buckets=n_buckets)
+    got = {r.id: (r.cum_v, r.cum_w) for r in out.collect()}
+    av = aw = 0
+    for k, v, w, i in sorted(data, key=lambda t: (t[0], t[3])):
+        av += v
+        aw += w
+        assert got[i] == (av, aw), (k, i)

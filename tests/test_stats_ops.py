@@ -2176,3 +2176,83 @@ def test_embedding_drift_localizes_planted_subspace(spark, tmp_path):
     top2 = sorted(rows.values(), key=lambda r: -r.gap_sq)[:2]
     assert {t.dim for t in top2} == {3, 7}
     assert rows[1].mmd > 2.0  # sqrt(2^2 + 1.5^2) = 2.5 planted
+
+
+def test_ab_srm_detects_broken_bucketing(spark, tmp_path):
+    def arm(u):
+        return 0 if ((u % 1000003) * 2654435761 % 1000) < 500 else 1
+
+    # balanced: 300 users straight through the hash -> no SRM
+    rows = [(i, "2024-01-05", u, "exp", 1.0, None)
+            for i, u in enumerate(range(300))]
+    out = {r.event_type: r for r in
+           get("q_ab_srm").fn(spark, _write_events(tmp_path, rows)).collect()}
+    n_a = sum(1 for u in range(300) if arm(u) == 0)
+    assert out["exp"].n_a == n_a and out["exp"].n_b == 300 - n_a
+    want = (2 * n_a - 300) ** 2 / 300
+    assert abs(out["exp"].chi2 - round(want, 6)) < 1e-9
+    assert not out["exp"].srm_95
+
+    # broken bucketing: a logging bug drops most of arm B's users
+    a_pool = [u for u in range(300) if arm(u) == 0]
+    b_pool = [u for u in range(300) if arm(u) == 1][:60]
+    kept = a_pool + b_pool
+    rows2 = [(i, "2024-01-05", u, "exp", 1.0, None)
+             for i, u in enumerate(kept)]
+    d2 = tmp_path / "b"
+    d2.mkdir()
+    out2 = {r.event_type: r for r in
+            get("q_ab_srm").fn(spark, _write_events(d2, rows2)).collect()}
+    assert out2["exp"].n_a == len(a_pool) and out2["exp"].n_b == 60
+    assert out2["exp"].srm_95  # ~(149-60)^2/209 = 37.9 >> 3.84
+
+
+def test_theils_u2_separates_trend_from_noise(spark, tmp_path):
+    rng = np.random.RandomState(263)
+    rows = []
+    # "trend": strong drift + small noise -> Holt beats naive (u2 < 1)
+    for d in range(30):
+        for j in range(3):
+            rows.append((d * 10 + j, f"2024-01-{d + 1:02d}", 0, "trend",
+                         float(10 * d + rng.normal(0, 0.5)), None))
+    # "noise": iid white noise -> naive is near-unbeatable
+    for d in range(30):
+        for j in range(3):
+            rows.append((1000 + d * 10 + j, f"2024-01-{d + 1:02d}", 0,
+                         "noise", float(rng.normal(50, 10)), None))
+    out = {r.event_type: r for r in
+           get("q_theils_u2").fn(
+               spark, _write_events(tmp_path, rows)).collect()}
+    # numpy mirror of the exact fold for the trend stream
+    pdf = pd.DataFrame(rows, columns=COLS)
+    pdf["mu"] = np.floor(pdf.value * 1e6 + 0.5)
+    daily = (pdf[pdf.event_type == "trend"].groupby("ts")["mu"]
+             .agg(["sum", "count"]))
+    mus = np.floor(daily["sum"] / daily["count"] + 0.5).astype(np.int64)
+    l, b, prev = float(mus.iloc[1]), float(mus.iloc[1] - mus.iloc[0]), \
+        float(mus.iloc[1])
+    sm = sn = 0.0
+    for x in mus.iloc[2:]:
+        x = float(x)
+        sm += ((l + b) - x) ** 2
+        sn += (prev - x) ** 2
+        l2 = 0.5 * x + 0.5 * (l + b)
+        b = 0.5 * (l2 - l) + 0.5 * b
+        l, prev = l2, x
+    assert abs(out["trend"].theils_u2
+               - round(np.sqrt(sm / sn), 6)) < 1e-9
+    assert out["trend"].beats_naive and out["trend"].theils_u2 < 0.75
+    assert out["noise"].theils_u2 > 0.9
+
+
+def test_sax_symbols_encodes_planted_shape(spark, tmp_path):
+    # 30 days: 10 low, 10 high, 10 low -> blocks aa dd aa
+    rows = []
+    for d in range(30):
+        v = 100.0 if 10 <= d < 20 else 10.0
+        rows.append((d, f"2024-01-{d + 1:02d}", 0, "sq", v, None))
+    out = get("q_sax_symbols").fn(
+        spark, _write_events(tmp_path, rows)).collect()
+    assert len(out) == 1
+    assert out[0].n_blocks == 6
+    assert out[0].sax == "aaddaa"
