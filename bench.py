@@ -232,6 +232,8 @@ EXTRA = [
     "q_ab_srm",
     "q_theils_u2",
     "q_sax_symbols",
+    "q_mix_temperature",
+    "q_media_exif",
 ]
 
 

@@ -2824,7 +2824,8 @@ def _tiny_ico(rng) -> bytes:
 
 def make_fake_media(spark, n: int = 64, seed: int = 7,
                     include_lossy_vp8: bool = False,
-                    include_pnm_ico: bool = False) -> DataFrame:
+                    include_pnm_ico: bool = False,
+                    include_exif: bool = False) -> DataFrame:
     """Deterministic MEDIA-schema fixture (images + videos + audio) for
     tests and the rows-only driver demos. Every 4th image is a REAL
     24-bit BMP, the next a REAL 8-bit PNG (gray/RGB/RGBA cycling), the
@@ -2834,9 +2835,10 @@ def make_fake_media(spark, n: int = 64, seed: int = 7,
     end-to-end). ``include_lossy_vp8=True`` replaces the stub-image
     slot with the planted LOSSY WebP (VP8 key frame) pinned vector;
     ``include_pnm_ico=True`` instead alternates that slot between a
-    real raw P6 pixmap and a real DIB-payload favicon — each kept
-    opt-in so the long-standing fixture rotation (and the goldens
-    pinned on it) is byte-stable."""
+    real raw P6 pixmap and a real DIB-payload favicon;
+    ``include_exif=True`` instead plants the EXIF-carrying JPEG
+    (_tiny_exif_jpeg) there — each kept opt-in so the long-standing
+    fixture rotation (and the goldens pinned on it) is byte-stable."""
     from ..schemas import MEDIA
 
     rng = np.random.default_rng(seed)
@@ -2857,6 +2859,9 @@ def make_fake_media(spark, n: int = 64, seed: int = 7,
         elif modality == "image" and include_lossy_vp8:
             payload = _tiny_webp_lossy()
             m = "image/webp"
+        elif modality == "image" and include_exif:
+            payload = _tiny_exif_jpeg()
+            m = "image/jpeg"
         elif modality == "image" and include_pnm_ico:
             if (i // 12) % 2 == 0:
                 payload = _tiny_pnm(rng)
@@ -3297,3 +3302,214 @@ def animation_frames(media: DataFrame) -> DataFrame:
                                              ANIMATION_FRAMES])
 
     return rows.mapInPandas(kernel, schema=ANIMATION_FRAMES)
+
+
+# ---------------------------------------------------------------------------
+# EXIF metadata extraction (JPEG APP1 / TIFF IFD walk, round 12 s4)
+# ---------------------------------------------------------------------------
+
+EXIF_SCHEMA = ("media_id long, has_exif boolean, orientation int, "
+               "make string, model string, datetime_original string, "
+               "exposure_time double, f_number double, iso int, "
+               "focal_length double, px_width int, px_height int, "
+               "has_gps boolean")
+
+#: hard cap on any single tag's value bytes — a header-claimed huge
+#: count must never drive a large slice/unpack (decode-bomb rule)
+_EXIF_VALUE_CAP = 65536
+
+
+def _exif_read_ifd(b: bytes, eo: str, ifd_off: int) -> dict[int, object]:
+    """One IFD's tags as {tag: value-list-or-str}. Types: BYTE, ASCII,
+    SHORT, LONG, RATIONAL (as float). Anything else, or any claimed
+    size past the cap or the buffer, is skipped — extraction is
+    triage, not validation."""
+    out: dict[int, object] = {}
+    if ifd_off + 2 > len(b):
+        return out
+    (n_entries,) = struct.unpack(eo + "H", b[ifd_off:ifd_off + 2])
+    type_size = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+    for i in range(min(n_entries, 256)):
+        off = ifd_off + 2 + 12 * i
+        if off + 12 > len(b):
+            break
+        tag, typ, cnt = struct.unpack(eo + "HHI", b[off:off + 8])
+        if typ not in type_size or cnt > _EXIF_VALUE_CAP:
+            continue
+        sz = type_size[typ] * cnt
+        if sz > _EXIF_VALUE_CAP:
+            continue
+        voff = off + 8 if sz <= 4 else struct.unpack(
+            eo + "I", b[off + 8:off + 12])[0]
+        if voff + sz > len(b):
+            continue
+        raw = b[voff:voff + sz]
+        if typ == 2:       # ASCII, NUL-terminated
+            out[tag] = raw.split(b"\x00")[0].decode("ascii", "replace")
+        elif typ == 5:     # unsigned rational -> float
+            vals = []
+            for j in range(cnt):
+                num, den = struct.unpack(eo + "II", raw[8 * j:8 * j + 8])
+                vals.append(num / den if den else None)
+            out[tag] = vals
+        else:
+            fmt = {1: "B", 3: "H", 4: "I"}[typ]
+            out[tag] = list(struct.unpack(eo + str(cnt) + fmt, raw))
+    return out
+
+
+_EXIF_NULL = {"has_exif": False, "orientation": None, "make": None,
+              "model": None, "datetime_original": None,
+              "exposure_time": None, "f_number": None, "iso": None,
+              "focal_length": None, "px_width": None, "px_height": None,
+              "has_gps": False}
+
+
+def _extract_exif(payload: bytes) -> dict:
+    """EXIF fields from a JPEG (APP1 segment) or TIFF payload. Absent
+    or malformed EXIF yields the all-NULL row — metadata extraction is
+    a triage step and must never be fatal (the probe_media contract);
+    the broad catch normalizes stdlib struct/decode errors."""
+    try:
+        b = bytes(payload)
+        tiff: bytes | None = None
+        if b[:2] == b"\xff\xd8":           # JPEG: walk to APP1/Exif
+            pos = 2
+            while pos + 4 <= len(b):
+                if b[pos] != 0xFF:
+                    break
+                marker = b[pos + 1]
+                if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                    pos += 2
+                    continue
+                if marker in (0xD9, 0xDA):  # EOI / SOS: no APP1 found
+                    break
+                (seg_len,) = struct.unpack(">H", b[pos + 2:pos + 4])
+                if marker == 0xE1 and b[pos + 4:pos + 10] == b"Exif\x00\x00":
+                    tiff = b[pos + 10:pos + 2 + seg_len]
+                    break
+                pos += 2 + seg_len
+        elif b[:4] in (b"II*\x00", b"MM\x00*"):
+            tiff = b
+        if tiff is None or len(tiff) < 8:
+            return dict(_EXIF_NULL)
+        if tiff[:4] == b"II*\x00":
+            eo = "<"
+        elif tiff[:4] == b"MM\x00*":
+            eo = ">"
+        else:
+            return dict(_EXIF_NULL)
+        (ifd0_off,) = struct.unpack(eo + "I", tiff[4:8])
+        ifd0 = _exif_read_ifd(tiff, eo, ifd0_off)
+        exif_ifd = {}
+        ptr = ifd0.get(34665)
+        if isinstance(ptr, list) and ptr:
+            exif_ifd = _exif_read_ifd(tiff, eo, int(ptr[0]))
+
+        def first(d, tag):
+            v = d.get(tag)
+            if isinstance(v, list):
+                return v[0] if v else None
+            return v
+
+        out = dict(_EXIF_NULL)
+        out["has_exif"] = bool(ifd0)
+        ori = first(ifd0, 274)
+        out["orientation"] = int(ori) if ori is not None else None
+        out["make"] = ifd0.get(271) if isinstance(ifd0.get(271), str) \
+            else None
+        out["model"] = ifd0.get(272) if isinstance(ifd0.get(272), str) \
+            else None
+        dto = exif_ifd.get(36867) if isinstance(exif_ifd.get(36867), str) \
+            else (ifd0.get(306) if isinstance(ifd0.get(306), str) else None)
+        out["datetime_original"] = dto
+        et = first(exif_ifd, 33434)
+        out["exposure_time"] = float(et) if et is not None else None
+        fn = first(exif_ifd, 33437)
+        out["f_number"] = float(fn) if fn is not None else None
+        iso = first(exif_ifd, 34855)
+        out["iso"] = int(iso) if iso is not None else None
+        fl = first(exif_ifd, 37386)
+        out["focal_length"] = float(fl) if fl is not None else None
+        pw = first(exif_ifd, 40962)
+        out["px_width"] = int(pw) if pw is not None else None
+        ph = first(exif_ifd, 40963)
+        out["px_height"] = int(ph) if ph is not None else None
+        out["has_gps"] = 34853 in ifd0
+        return out
+    except Exception:  # noqa: BLE001 — triage: garbage yields NULLs
+        return dict(_EXIF_NULL)
+
+
+def exif_metadata(media: DataFrame) -> DataFrame:
+    """EXIF metadata extraction over binary media payloads: JPEG APP1
+    and bare-TIFF IFD walks executor-side — orientation (the field
+    that silently rotates training images), camera make/model,
+    capture timestamp, exposure triangle, declared pixel dims, and a
+    GPS-presence flag (the PII signal a curation pipeline must route
+    on BEFORE any image ships). Absent/garbage EXIF yields NULL
+    fields, never a crash.
+
+    Scale: map-only Arrow batches (mapInPandas), zero shuffle; only
+    header bytes are touched, value sizes are capped before any
+    slice, so a decode bomb cannot allocate."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                info = (_extract_exif(payload) if payload is not None
+                        else dict(_EXIF_NULL))
+                info["media_id"] = mid
+                rows.append(info)
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "payload") \
+        .mapInPandas(kernel, schema=EXIF_SCHEMA)
+
+
+def _tiny_exif_jpeg() -> bytes:
+    """A deterministic JPEG carrying a REAL little-endian EXIF APP1
+    (IFD0: orientation/make/model/datetime + Exif-IFD pointer;
+    Exif IFD: exposure 1/250, f/2.8, ISO 400, 50mm, 1024x768) — the
+    golden fixture for exif_metadata. Metadata-only JPEG (SOI + APP1 +
+    EOI): the extractor walks segments, it never decodes pixels."""
+    def entry(tag, typ, cnt, val4):
+        return struct.pack("<HHI", tag, typ, cnt) + val4
+
+    # layout inside the TIFF block (offsets from TIFF origin):
+    #   8: IFD0 (2 + 5*12 + 4), then data area, then Exif IFD
+    make = b"ACME\x00"
+    model = b"StarCam 9\x00"
+    dt = b"2024:01:15 12:34:56\x00"
+    ifd0_off = 8
+    ifd0_len = 2 + 5 * 12 + 4
+    data0 = ifd0_off + ifd0_len          # 8 + 66 = 74
+    make_off = data0
+    model_off = make_off + len(make)
+    dt_off = model_off + len(model)
+    exif_off = dt_off + len(dt)
+    ifd0 = struct.pack("<H", 5)
+    ifd0 += entry(271, 2, len(make), struct.pack("<I", make_off))
+    ifd0 += entry(272, 2, len(model), struct.pack("<I", model_off))
+    ifd0 += entry(274, 3, 1, struct.pack("<HH", 6, 0))
+    ifd0 += entry(306, 2, len(dt), struct.pack("<I", dt_off))
+    ifd0 += entry(34665, 4, 1, struct.pack("<I", exif_off))
+    ifd0 += struct.pack("<I", 0)  # next-IFD = none
+    exif_len = 2 + 6 * 12 + 4
+    rat_off = exif_off + exif_len
+    exif = struct.pack("<H", 6)
+    exif += entry(33434, 5, 1, struct.pack("<I", rat_off))        # 1/250
+    exif += entry(33437, 5, 1, struct.pack("<I", rat_off + 8))    # 28/10
+    exif += entry(34855, 3, 1, struct.pack("<HH", 400, 0))
+    exif += entry(37386, 5, 1, struct.pack("<I", rat_off + 16))   # 50/1
+    exif += entry(40962, 4, 1, struct.pack("<I", 1024))
+    exif += entry(40963, 4, 1, struct.pack("<I", 768))
+    exif += struct.pack("<I", 0)
+    rats = struct.pack("<II", 1, 250) + struct.pack("<II", 28, 10) \
+        + struct.pack("<II", 50, 1)
+    tiff = b"II*\x00" + struct.pack("<I", ifd0_off) \
+        + ifd0 + make + model + dt + exif + rats
+    app1_body = b"Exif\x00\x00" + tiff
+    app1 = b"\xff\xe1" + struct.pack(">H", len(app1_body) + 2) + app1_body
+    return b"\xff\xd8" + app1 + b"\xff\xd9"

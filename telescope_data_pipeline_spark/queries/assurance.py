@@ -1485,3 +1485,80 @@ def q_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
                              F.struct("blk", "s"))),
                          lambda x: x["s"]), "").alias("sax"))
             .orderBy("event_type"))
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled corpus mixing weights (multilingual sampling)
+# ---------------------------------------------------------------------------
+
+@query("q_mix_temperature", oracle=r"""
+WITH tok AS (
+  SELECT lang,
+         SUM(LEN(list_filter(string_split_regex(COALESCE(text, ''),
+                                                '\s+'), x -> x <> '')))
+           AS n_tok,
+         COUNT(*) AS n_docs
+  FROM documents WHERE lang IS NOT NULL
+  GROUP BY lang
+), tot AS (
+  SELECT SUM(n_tok) AS t FROM tok
+), q AS (
+  SELECT lang, n_tok, n_docs,
+         CAST(ROUND(SQRT(n_tok::DOUBLE / t) * 1e12) AS BIGINT) AS q_pico
+  FROM tok CROSS JOIN tot
+), norm AS (
+  SELECT SUM(q_pico) AS qs FROM q
+)
+SELECT lang,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_tok AS BIGINT) AS n_tok,
+       ROUND(n_tok::DOUBLE / t, 9) + 0.0 AS natural_share,
+       ROUND(q_pico::DOUBLE / qs, 9) + 0.0 AS temp_share,
+       ROUND((q_pico::DOUBLE / qs) / NULLIF(n_tok::DOUBLE / t, 0), 6)
+         + 0.0 AS upsample
+FROM q CROSS JOIN tot CROSS JOIN norm
+ORDER BY lang
+""")
+def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled multilingual sampling weights (the XLM-R /
+    mT5 recipe at T = 2, i.e. exponent alpha = 1/T = 0.5): p_l ~
+    (n_l / N)^alpha, renormalized — high-resource languages are
+    down-weighted, low-resource ones up-sampled, and the `upsample`
+    column is the factor each language's natural share moves by. The
+    policy layer above q_mix_corpus (which executes a target mix) and
+    q_mix_token_budget (which caps it): THIS query decides the mix.
+
+    Determinism: alpha = 0.5 makes the power an IEEE-EXACT sqrt (the
+    reason this demo pins T = 2 — an arbitrary alpha would put libm
+    pow() in the parity path); each sqrt share quantizes to pico
+    BEFORE the normalization sum, so the denominator is an exact
+    integer.
+
+    Scale: one map-side-combined groupBy on the language key; totals
+    are 1-row broadcasts; output is |languages|."""
+    d = (load_table(spark, sf_dir, "documents")
+         .filter(F.col("lang").isNotNull()))
+    n_tok = F.coalesce(
+        F.size(F.filter(F.split(F.coalesce(F.col("text"), F.lit("")),
+                                r"\s+"),
+                        lambda x: x != "")), F.lit(0))
+    tok = (d.groupBy("lang")
+           .agg(F.sum(n_tok.cast("long")).alias("n_tok"),
+                F.count(F.lit(1)).alias("n_docs")))
+    tot = F.broadcast(tok.agg(F.sum("n_tok").alias("t")))
+    q = (tok.crossJoin(tot)
+         .withColumn("q_pico",
+                     F.round(F.sqrt(F.col("n_tok").cast("double")
+                                    / F.col("t")) * 1e12).cast("long")))
+    norm = F.broadcast(q.agg(F.sum("q_pico").alias("qs")))
+    nat = F.col("n_tok").cast("double") / F.col("t")
+    tshare = F.col("q_pico").cast("double") / F.col("qs")
+    return (q.crossJoin(norm)
+            .select("lang",
+                    F.col("n_docs").cast("long").alias("n_docs"),
+                    F.col("n_tok").cast("long").alias("n_tok"),
+                    (F.round(nat, 9) + 0.0).alias("natural_share"),
+                    (F.round(tshare, 9) + 0.0).alias("temp_share"),
+                    (F.round(tshare / F.nullif(nat, F.lit(0.0)), 6) + 0.0)
+                    .alias("upsample"))
+            .orderBy("lang"))

@@ -294,3 +294,17 @@ def q_ensemble_lightcurve(spark: SparkSession, sf_dir: str) -> DataFrame:
     trimmed = ranked.filter((F.col("rn") > 3) & (F.col("rn") <= F.col("cnt") - 3))
     return periodogram(trimmed, "band", "bjd", "mag",
                        min_freq=0.05, max_freq=2.0, n_freqs=400)
+
+
+@query("q_media_exif", oracle=None)  # binary metadata walk: rows-only
+def q_media_exif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF metadata extraction (r12 s4): JPEG APP1 / TIFF IFD walks
+    executor-side — orientation, camera, capture time, exposure
+    triangle, declared dims, GPS-presence (the PII routing flag). The
+    fixture plants the golden EXIF JPEG alongside the regular rotation
+    so the extractor and the all-NULL passthrough both run in every
+    demo. Goldens in tests/test_multimodal.py pin exact field values;
+    adversarial fuzz pins the never-fatal contract."""
+    from ..operators.multimodal import exif_metadata, make_fake_media
+
+    return exif_metadata(make_fake_media(spark, include_exif=True))

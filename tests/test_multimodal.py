@@ -3394,3 +3394,67 @@ def test_pnm_ico_flow_through_feature_pipeline(spark):
     for mid, p in planted.items():
         want = float(np.mean(decode_image(p)))
         assert abs(feats[mid].mean_intensity - want) < 1e-4, mid
+
+
+def test_exif_golden_fields():
+    """The planted EXIF JPEG round-trips every field exactly."""
+    from telescope_data_pipeline_spark.operators.multimodal import (
+        _extract_exif,
+        _tiny_exif_jpeg,
+    )
+
+    info = _extract_exif(_tiny_exif_jpeg())
+    assert info == {
+        "has_exif": True, "orientation": 6, "make": "ACME",
+        "model": "StarCam 9",
+        "datetime_original": "2024:01:15 12:34:56",
+        "exposure_time": 0.004, "f_number": 2.8, "iso": 400,
+        "focal_length": 50.0, "px_width": 1024, "px_height": 768,
+        "has_gps": False,
+    }
+    # big-endian TIFF body parses identically (bare-TIFF entry path
+    # exercised via the little-endian block reserialized as payload)
+    tiff = _tiny_exif_jpeg()
+    start = tiff.index(b"II*\x00")
+    bare = _extract_exif(tiff[start:])
+    assert bare["orientation"] == 6 and bare["iso"] == 400
+
+
+def test_exif_never_fatal_on_garbage():
+    """Triage contract: mutated / truncated / foreign payloads yield
+    the all-NULL row — no exception of any kind escapes."""
+    import random
+
+    from telescope_data_pipeline_spark.operators.multimodal import (
+        _extract_exif,
+        _tiny_exif_jpeg,
+    )
+
+    rng = random.Random(11)
+    p = _tiny_exif_jpeg()
+    for _ in range(3000):
+        b = bytearray(p)
+        for _ in range(rng.randrange(1, 8)):
+            b[rng.randrange(len(b))] = rng.randrange(256)
+        out = _extract_exif(bytes(b[:rng.randrange(1, len(b) + 1)]))
+        assert isinstance(out, dict) and "orientation" in out
+    for junk in (b"", b"\xff", b"II*\x00", b"RIFF????WEBP",
+                 b"\xff\xd8\xff\xe1\x00\x04Ex"):
+        assert _extract_exif(junk)["has_exif"] is False
+
+
+def test_exif_metadata_distributed(spark):
+    """q_media_exif: the planted JPEG rows carry the golden fields;
+    every other payload row is the all-NULL passthrough."""
+    from telescope_data_pipeline_spark.queries import get
+
+    rows = get("q_media_exif").fn(spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) > 0
+    hits = [r for r in rows if r.has_exif]
+    assert hits, "planted EXIF JPEG missing from fixture"
+    for r in hits:
+        assert (r.orientation, r.make, r.iso) == (6, "ACME", 400)
+        assert r.has_gps is False
+    for r in rows:
+        if not r.has_exif:
+            assert r.orientation is None and r.make is None
