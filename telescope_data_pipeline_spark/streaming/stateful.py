@@ -1663,3 +1663,92 @@ def hellinger_drift_stream(stream: DataFrame, mn: float, mx: float,
                 outputMode="update",
                 timeoutConf=GroupStateTimeout.NoTimeout,
             ))
+
+
+# ---------------------------------------------------------------------------
+# Streaming temperature-mix monitor (live twin of the batch
+# q_mix_temperature, queries/assurance.py — the sampling-policy weights
+# kept current as documents arrive; a language's upsample factor
+# drifting is the signal to re-cut the training mix).
+# ---------------------------------------------------------------------------
+
+MT_STATE_SCHEMA = T.StructType([
+    T.StructField("langs", T.ArrayType(T.StringType())),
+    T.StructField("toks", T.ArrayType(T.LongType())),
+    T.StructField("docs", T.ArrayType(T.LongType())),
+])
+
+MT_OUT_SCHEMA = T.StructType([
+    T.StructField("lang", T.StringType()),
+    T.StructField("n_docs", T.LongType()),
+    T.StructField("n_tok", T.LongType()),
+    T.StructField("natural_share", T.DoubleType()),
+    T.StructField("temp_share", T.DoubleType()),
+    T.StructField("upsample", T.DoubleType()),
+])
+
+
+def _mix_temperature_update(key, pdfs: Iterator[pd.DataFrame],
+                            state: GroupState):
+    import math
+    import re
+
+    tok_re = re.compile(r"\s+")
+    if state.exists:
+        langs, toks, docs = state.get
+        agg = {lg: [t, d] for lg, t, d in zip(langs, toks, docs)}
+    else:
+        agg = {}
+    for pdf in pdfs:
+        ok = pdf["lang"].notna()
+        for lang, text in zip(pdf.loc[ok, "lang"], pdf.loc[ok, "text"]):
+            # EXACTLY the batch tokenizer: split on \s+, drop empties
+            n = (len([x for x in tok_re.split(text) if x != ""])
+                 if text is not None else 0)
+            t, d = agg.get(lang, [0, 0])
+            agg[lang] = [t + n, d + 1]
+    state.update((list(agg), [v[0] for v in agg.values()],
+                  [v[1] for v in agg.values()]))
+    total = sum(v[0] for v in agg.values())
+    # the batch readout term for term: pico-quantized sqrt shares
+    # BEFORE the normalization sum (q_mix_temperature's double tree)
+    q_pico = {lg: int(_round_half_up(math.sqrt(v[0] / total) * 1e12))
+              for lg, v in agg.items()} if total else {}
+    qs = sum(q_pico.values())
+    rows = []
+    for lg, (t, d) in sorted(agg.items()):
+        nat = t / total if total else None
+        tsh = q_pico[lg] / qs if qs else None
+        rows.append({
+            "lang": lg, "n_docs": d, "n_tok": t,
+            "natural_share": (_round_half_up(nat, 9) + 0.0
+                              if nat is not None else None),
+            "temp_share": (_round_half_up(tsh, 9) + 0.0
+                           if tsh is not None else None),
+            "upsample": (_round_half_up(tsh / nat, 6) + 0.0
+                         if nat else None),
+        })
+    yield pd.DataFrame(rows)
+
+
+def mix_temperature_stream(stream: DataFrame) -> DataFrame:
+    """Streaming temperature-mix monitor: the live twin of the batch
+    q_mix_temperature (queries/assurance.py). State is the
+    (lang -> token count, doc count) bag under the single policy key —
+    bounded by the number of languages and ORDER-FREE, so the drained
+    per-language rows equal the batch rows bit-for-bit under ANY
+    arrival order (the simpson-twin guarantee class). This is the
+    ingest-time view of the sampling policy: a low-resource language's
+    upsample factor collapsing toward 1 means the crawl caught up; a
+    high-resource language's share running away means the next
+    training mix needs re-cutting."""
+    s = (stream.filter(F.col("lang").isNotNull())
+         .select(F.lit("ALL").alias("scope"), "lang", "text"))
+    return (s.groupBy("scope")
+            .applyInPandasWithState(
+                _mix_temperature_update,
+                outputStructType=MT_OUT_SCHEMA,
+                stateStructType=MT_STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            ))

@@ -2591,3 +2591,31 @@ def test_classic_relational_batch_plans(spark):
         assert "CartesianProduct" not in plan, name
         for needle in needles:
             assert needle in plan, f"{name}: {needle} missing\n{plan}"
+
+
+def test_session4_micro_batch_plans(spark):
+    """q_ab_srm / q_theils_u2 / q_sax_symbols / q_mix_temperature: no
+    cartesian; folds and windows stay on bounded keyed relations (the
+    daily table / the language dim); SRM is two map-side-combined
+    aggregates."""
+    import re
+
+    from telescope_data_pipeline_spark.plans.audit import physical_plan
+
+    for name, window_key in (("q_ab_srm", None),
+                             ("q_theils_u2", None),
+                             ("q_sax_symbols", "event_type"),
+                             ("q_mix_temperature", None)):
+        df = get(name).fn(spark, SF)
+        df.collect()
+        plan = physical_plan(df)
+        assert "CartesianProduct" not in plan, name
+        assert "HashAggregate" in plan or "SortAggregate" in plan, name
+        specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+        if window_key is None:
+            # aggregate()-fold / pure-aggregate queries: the only
+            # acceptable window is the bounded daily row_number inside
+            # q_theils_u2's series collection — keyed if present
+            assert all("event_type" in s for s in specs), (name, specs)
+        else:
+            assert specs and all(window_key in s for s in specs), name

@@ -1046,3 +1046,47 @@ def test_hellinger_drift_stream_matches_batch_any_order(spark):
         assert float(got["bc_term"]) == float(row["bc_term"]), b
         assert float(got["hellinger"]) == float(row["hellinger"]), b
         assert float(got["bhattacharyya"]) == float(row["bhattacharyya"]), b
+
+
+def test_mix_temperature_stream_matches_batch_any_order(spark):
+    """Streaming temperature-mix monitor: the (lang -> tok/doc counts)
+    bag is order-free, so the drained per-language policy rows must
+    equal the batch q_mix_temperature rows bit-for-bit under SHUFFLED
+    arrival."""
+    import os
+
+    from telescope_data_pipeline_spark.queries import get
+    from telescope_data_pipeline_spark.streaming.ingest import (
+        read_document_stream,
+    )
+    from telescope_data_pipeline_spark.streaming.stateful import (
+        mix_temperature_stream,
+    )
+
+    d = tempfile.mkdtemp(prefix="mixtemp_")
+    docs = (load_table(spark, SF, "documents").toPandas()
+            .sample(frac=1.0, random_state=17).reset_index(drop=True))
+    k = len(docs) // 3
+    for i, chunk in enumerate((docs[:k], docs[k:2 * k], docs[2 * k:])):
+        p = f"{d}/part-{i}.parquet"
+        chunk.to_parquet(p, engine="pyarrow", index=False)
+        os.utime(p, (1700000000 + i, 1700000000 + i))
+    stream = read_document_stream(spark, d, max_files_per_trigger=1)
+
+    latest: dict = {}
+    q = (mix_temperature_stream(stream)
+         .writeStream.outputMode("update")
+         .foreachBatch(lambda df, _bid: latest.update(
+             {r["lang"]: r for _, r in df.toPandas().iterrows()}))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    assert len(q.recentProgress) >= 3
+
+    want = get("q_mix_temperature").fn(spark, SF).toPandas()
+    assert set(latest) == set(want["lang"])
+    for r in want.itertuples():
+        got = latest[r.lang]
+        assert int(got["n_docs"]) == int(r.n_docs), r.lang
+        assert int(got["n_tok"]) == int(r.n_tok), r.lang
+        for col in ("natural_share", "temp_share", "upsample"):
+            assert float(got[col]) == float(getattr(r, col)), (r.lang, col)
