@@ -234,6 +234,8 @@ EXTRA = [
     "q_sax_symbols",
     "q_mix_temperature",
     "q_media_exif",
+    "q_top_supplier",
+    "q_supplier_variety",
 ]
 
 

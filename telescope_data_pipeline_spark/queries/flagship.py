@@ -589,3 +589,106 @@ def q_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 .cast("bigint")) / 100.0, 2) + 0.0)
                  .alias("totacctbal"))
             .orderBy("n_name"))
+
+
+# ---------------------------------------------------------------------------
+# Top supplier by revenue (TPC-H Q15 shape): view + MAX-equality scalar
+# ---------------------------------------------------------------------------
+
+@query("q_top_supplier", oracle="""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                  AS BIGINT)) AS total_c
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+), mx AS (
+  SELECT MAX(total_c) AS m FROM revenue
+)
+SELECT s.s_suppkey, s.s_name, n.n_name,
+       ROUND(r.total_c / 10000.0, 4) + 0.0 AS total_revenue
+FROM revenue r
+JOIN mx ON r.total_c = mx.m
+JOIN supplier s ON s.s_suppkey = r.supplier_no
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+ORDER BY s.s_suppkey
+""")
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): the quarter's revenue view per
+    supplier, then the supplier(s) whose revenue EQUALS the global
+    maximum — the view + MAX-equality-scalar classic (ties all
+    surface, unlike a LIMIT 1). Joined out to supplier and nation
+    dims.
+
+    Determinism: revenue aggregates as exact 1e-4-unit integers
+    (price * (1 - discount) products at their intrinsic precision),
+    so the MAX equality is an integer comparison — no float decides
+    the winner.
+
+    Scale: the date filter pushes into the fact scan; one map-side
+    combined aggregate; the max is a lazy 1-row broadcast probing the
+    bounded revenue view; dims broadcast."""
+    li = (load_table(spark, sf_dir, "lineitem", spread=True)
+          .filter((F.col("l_shipdate") >= "1996-01-01")
+                  & (F.col("l_shipdate") < "1996-04-01")))
+    revenue = (li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+               .agg(F.sum(F.round(F.col("l_extendedprice")
+                                  * (1 - F.col("l_discount")) * 10000)
+                          .cast("bigint")).alias("total_c")))
+    mx = F.broadcast(revenue.agg(F.max("total_c").alias("m")))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (revenue.join(mx, F.col("total_c") == F.col("m"))
+            .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+            .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+            .select("s_suppkey", "s_name", "n_name",
+                    (F.round(F.col("total_c") / 10000.0, 4) + 0.0)
+                    .alias("total_revenue"))
+            .orderBy("s_suppkey"))
+
+
+# ---------------------------------------------------------------------------
+# Supplier variety per part attribute (TPC-H Q16 shape): NOT IN +
+# COUNT(DISTINCT)
+# ---------------------------------------------------------------------------
+
+@query("q_supplier_variety", oracle="""
+WITH bad AS (
+  SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+)
+SELECT p.p_brand, p.p_type,
+       CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_size BETWEEN 1 AND 15
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM bad)
+GROUP BY p.p_brand, p.p_type
+ORDER BY supplier_cnt DESC, p.p_brand, p.p_type
+""")
+def q_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): how many DISTINCT
+    acceptable suppliers ship each (brand, type) family — the NOT IN
+    subquery + COUNT(DISTINCT) classic. The exclusion set here is
+    suppliers in arrears (negative balance; the driver schema carries
+    no comment column for the original complaint predicate — same
+    plan shape).
+
+    Scale: NOT IN over a non-null key column plans as a LEFT ANTI
+    broadcast join (no null-aware cross); the size filter prunes part
+    before its broadcast; COUNT(DISTINCT suppkey) expands to the
+    standard two-level aggregate, both levels map-side combined."""
+    bad = (load_table(spark, sf_dir, "supplier")
+           .filter(F.col("s_acctbal") < 0).select("s_suppkey"))
+    p = (load_table(spark, sf_dir, "part")
+         .filter(F.col("p_size").between(1, 15))
+         .select("p_partkey", "p_brand", "p_type"))
+    li = load_table(spark, sf_dir, "lineitem", spread=True)
+    return (li.join(F.broadcast(bad),
+                    li.l_suppkey == bad.s_suppkey, "left_anti")
+            .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .groupBy("p_brand", "p_type")
+            .agg(F.countDistinct("l_suppkey").cast("long")
+                 .alias("supplier_cnt"))
+            .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type"))

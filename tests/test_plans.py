@@ -2619,3 +2619,24 @@ def test_session4_micro_batch_plans(spark):
             assert all("event_type" in s for s in specs), (name, specs)
         else:
             assert specs and all(window_key in s for s in specs), name
+
+
+def test_q15_q16_shapes(spark):
+    """q_top_supplier: MAX-equality via a 1-row broadcast (ties
+    surface); q_supplier_variety: NOT IN over a non-null key plans a
+    plain LEFT ANTI (no null-aware cartesian), distinct-count expands
+    to the two-level aggregate."""
+    from telescope_data_pipeline_spark.plans.audit import physical_plan
+
+    df = get("q_top_supplier").fn(spark, SF)
+    df.collect()
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+    df2 = get("q_supplier_variety").fn(spark, SF)
+    df2.collect()
+    plan2 = physical_plan(df2)
+    assert "LeftAnti" in plan2
+    assert "CartesianProduct" not in plan2
+    assert "BroadcastNestedLoopJoin" not in plan2
