@@ -236,6 +236,7 @@ EXTRA = [
     "q_media_exif",
     "q_top_supplier",
     "q_supplier_variety",
+    "q_newey_west",
 ]
 
 

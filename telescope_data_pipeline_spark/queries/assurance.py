@@ -1562,3 +1562,110 @@ def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.round(tshare / F.nullif(nat, F.lit(0.0)), 6) + 0.0)
                     .alias("upsample"))
             .orderBy("lang"))
+
+
+# ---------------------------------------------------------------------------
+# Newey-West (HAC) standard error + effective sample size per stream
+# ---------------------------------------------------------------------------
+
+@query("q_newey_west", oracle="""
+WITH base AS (
+  SELECT event_type, ts, event_id,
+         CAST(ROUND(value * 1000000) AS BIGINT) AS xu
+  FROM events WHERE value IS NOT NULL
+), tot AS (
+  SELECT event_type, COUNT(*) AS n, SUM(xu) AS s
+  FROM base GROUP BY event_type
+), dev AS (
+  SELECT b.event_type, t.n,
+         CAST(t.n AS HUGEINT) * b.xu - t.s AS d,
+         LAG(CAST(t.n AS HUGEINT) * b.xu - t.s, 1) OVER w AS d1,
+         LAG(CAST(t.n AS HUGEINT) * b.xu - t.s, 2) OVER w AS d2,
+         LAG(CAST(t.n AS HUGEINT) * b.xu - t.s, 3) OVER w AS d3
+  FROM base b JOIN tot t USING (event_type)
+  WINDOW w AS (PARTITION BY b.event_type ORDER BY b.ts, b.event_id)
+), r AS (
+  SELECT event_type, CAST(n AS BIGINT) AS n,
+         ROUND(SUM(d * d1)::DOUBLE / NULLIF(SUM(d * d), 0) * 1e12)
+           / 1e12 AS r1,
+         ROUND(SUM(d * d2)::DOUBLE / NULLIF(SUM(d * d), 0) * 1e12)
+           / 1e12 AS r2,
+         ROUND(SUM(d * d3)::DOUBLE / NULLIF(SUM(d * d), 0) * 1e12)
+           / 1e12 AS r3,
+         SUM(d * d) AS ss
+  FROM dev GROUP BY event_type, n
+), k AS (
+  SELECT event_type, n, r1, r2, r3,
+         ss::DOUBLE / (CAST(n AS HUGEINT) * n * (n - 1))::DOUBLE
+           / 1e12 AS var_iid,
+         1.0 + 2.0 * (0.75 * r1 + 0.5 * r2 + 0.25 * r3) AS kernel
+  FROM r
+)
+SELECT event_type, n,
+       ROUND(SQRT(var_iid / n), 6) + 0.0 AS se_iid,
+       ROUND(SQRT(var_iid * GREATEST(kernel, 1e-12) / n), 6) + 0.0
+         AS se_hac,
+       ROUND(SQRT(GREATEST(kernel, 1e-12)), 6) + 0.0 AS se_ratio,
+       ROUND(n / GREATEST(1.0 + 2.0 * (r1 + r2 + r3), 1e-12), 1) + 0.0
+         AS n_eff
+FROM k ORDER BY event_type
+""")
+def q_newey_west(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newey-West (HAC, Bartlett kernel, lag window L = 3) standard
+    error of each stream's mean, beside the iid standard error, their
+    ratio, and the autocorrelation-adjusted EFFECTIVE sample size
+    n_eff = n / (1 + 2*sum rho_k). The remedy that pairs with the
+    family's diagnoses: q_ljung_box says the iid error bars are
+    invalid, q_hurst_exponent says how badly — THIS query is the
+    corrected error bar monitors should quote (se_ratio > 1 means
+    every naive confidence band is too narrow by that factor).
+
+    Determinism: the rho_k ratios reuse q_ljung_box's exact-integer
+    deviation algebra (HUGEINT products, 1e-12-quantized ratios); the
+    sample variance is a ratio of exact integers; kernel floors guard
+    pathological negative-rho streams on both engines identically.
+
+    Scale: identical plan to q_ljung_box — per-series totals
+    broadcast back, one keyed lag window, one final aggregate."""
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull()))
+    base = ev.select(
+        "event_type", "ts", "event_id",
+        F.round(F.col("value") * 1e6).cast("bigint").alias("xu"))
+    tot = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("xu").alias("s"))
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    d = (F.col("n").cast("decimal(38,0)") * F.col("xu") - F.col("s"))
+    dev = (base.join(F.broadcast(tot), "event_type")
+           .select("event_type", "ts", "event_id", "n", d.alias("d"))
+           .select("event_type", "n", "d",
+                   F.lag("d", 1).over(w).alias("d1"),
+                   F.lag("d", 2).over(w).alias("d2"),
+                   F.lag("d", 3).over(w).alias("d3")))
+    den = F.sum(F.col("d") * F.col("d"))
+
+    def rr(lagcol: str):
+        return (F.round(F.sum(F.col("d") * F.col(lagcol)).cast("double")
+                        / F.nullif(den.cast("double"), F.lit(0.0))
+                        * 1e12) / 1e12)
+
+    r = (dev.groupBy("event_type", "n")
+         .agg(rr("d1").alias("r1"), rr("d2").alias("r2"),
+              rr("d3").alias("r3"), den.alias("ss")))
+    n = F.col("n").cast("double")
+    var_iid = (F.col("ss").cast("double")
+               / (F.col("n").cast("decimal(38,0)") * F.col("n")
+                  * (F.col("n") - 1)).cast("double") / 1e12)
+    kernel = 1.0 + 2.0 * (0.75 * F.col("r1") + 0.5 * F.col("r2")
+                          + 0.25 * F.col("r3"))
+    rho_sum = 1.0 + 2.0 * (F.col("r1") + F.col("r2") + F.col("r3"))
+    return (r.select(
+        "event_type", F.col("n").cast("long").alias("n"),
+        (F.round(F.sqrt(var_iid / n), 6) + 0.0).alias("se_iid"),
+        (F.round(F.sqrt(var_iid * F.greatest(kernel, F.lit(1e-12)) / n), 6)
+         + 0.0).alias("se_hac"),
+        (F.round(F.sqrt(F.greatest(kernel, F.lit(1e-12))), 6) + 0.0)
+        .alias("se_ratio"),
+        (F.round(n / F.greatest(rho_sum, F.lit(1e-12)), 1) + 0.0)
+        .alias("n_eff"))
+        .orderBy("event_type"))

@@ -2256,3 +2256,42 @@ def test_sax_symbols_encodes_planted_shape(spark, tmp_path):
     assert len(out) == 1
     assert out[0].n_blocks == 6
     assert out[0].sax == "aaddaa"
+
+
+def test_newey_west_corrects_autocorrelated_series(spark, tmp_path):
+    rng = np.random.RandomState(271)
+    n = 800
+    # AR(1) with phi = 0.7: strongly positively autocorrelated
+    ar = np.zeros(n)
+    for i in range(1, n):
+        ar[i] = 0.7 * ar[i - 1] + rng.normal(0, 1)
+    iid = rng.normal(0, 1, n)
+    rows = [(i, "2024-01-01", 0, "ar", float(50 + v), None)
+            for i, v in enumerate(ar)]
+    rows += [(10000 + i, "2024-01-01", 0, "iid", float(50 + v), None)
+             for i, v in enumerate(iid)]
+    pdf = pd.DataFrame(rows, columns=COLS)
+    pdf["ts"] = (pd.Timestamp("2024-01-01")
+                 + pd.to_timedelta(pdf["event_id"] % 10000, unit="s"))
+    pdf.to_parquet(tmp_path / "events.parquet", coerce_timestamps="us")
+    out = {r.event_type: r for r in
+           get("q_newey_west").fn(spark, str(tmp_path)).collect()}
+
+    # numpy mirror of the exact construction for the AR stream
+    x = np.floor((50 + ar) * 1e6 + 0.5).astype(object)
+    d = n * x - x.sum()
+    ss = float((d * d).sum())
+    rho = [round(float((d[k:] * d[:-k]).sum()) / ss * 1e12) / 1e12
+           for k in (1, 2, 3)]
+    var_iid = ss / (n * n * (n - 1)) / 1e12
+    kern = 1 + 2 * (0.75 * rho[0] + 0.5 * rho[1] + 0.25 * rho[2])
+    assert abs(out["ar"].se_iid - round(np.sqrt(var_iid / n), 6)) < 1e-9
+    assert abs(out["ar"].se_hac
+               - round(np.sqrt(var_iid * kern / n), 6)) < 1e-9
+    assert abs(out["ar"].n_eff
+               - round(n / (1 + 2 * sum(rho)), 1)) < 1e-9
+    # detection: phi=0.7 must inflate the error bar and shrink n_eff
+    assert out["ar"].se_ratio > 1.4
+    assert out["ar"].n_eff < n / 2
+    assert 0.85 < out["iid"].se_ratio < 1.15
+    assert out["iid"].n_eff > 0.7 * n
