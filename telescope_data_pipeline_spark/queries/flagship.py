@@ -447,7 +447,7 @@ def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape (important stock): parts whose realized sale
     value exceeds 0.1% of the GLOBAL total — the
     HAVING-against-a-scalar-subquery classic. The TPC-H fixed-share
-    cut (0.01%% at SF1) does not survive part-count growth, so the
+    cut (0.01% at SF1) does not survive part-count growth, so the
     threshold is RELATIVE: value above 1.5x the average part value —
     a cut that keeps a stable head at any corpus size. The comparison
     is exact integer algebra (value_c * np * 10 > total_c * 15), so
