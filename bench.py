@@ -237,6 +237,8 @@ EXTRA = [
     "q_top_supplier",
     "q_supplier_variety",
     "q_newey_west",
+    "q_gumbel_fit",
+    "q_volume_shipping",
 ]
 
 

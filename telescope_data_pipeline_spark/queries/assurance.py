@@ -1669,3 +1669,88 @@ def q_newey_west(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(n / F.greatest(rho_sum, F.lit(1e-12)), 1) + 0.0)
         .alias("n_eff"))
         .orderBy("event_type"))
+
+
+# ---------------------------------------------------------------------------
+# Gumbel block-maxima fit: extreme-value return levels per stream
+# ---------------------------------------------------------------------------
+
+@query("q_gumbel_fit", oracle="""
+WITH daily_max AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         MAX(CAST(ROUND(value * 1e6) AS BIGINT)) AS mx
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2
+), s AS (
+  SELECT event_type, COUNT(*) AS n, SUM(mx) AS sm,
+         SUM(CAST(mx AS HUGEINT) * mx) AS sm2
+  FROM daily_max GROUP BY event_type
+), fit AS (
+  SELECT event_type, n,
+         sm::DOUBLE / n AS mean_u,
+         SQRT((n * sm2 - CAST(sm AS HUGEINT) * sm)::DOUBLE
+              / (CAST(n AS HUGEINT) * (n - 1))::DOUBLE)
+           * 0.7796968012336761 AS beta_u
+  FROM s WHERE n >= 2
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_blocks,
+       ROUND((mean_u - 0.5772156649015329 * beta_u) / 1e6, 6) + 0.0
+         AS gumbel_mu,
+       ROUND(beta_u / 1e6, 6) + 0.0 AS gumbel_beta,
+       ROUND((mean_u - 0.5772156649015329 * beta_u
+              - beta_u * LN(-LN(0.99))) / 1e6, 6) + 0.0
+         AS return_level_100,
+       ROUND((mean_u - 0.5772156649015329 * beta_u
+              - beta_u * LN(-LN(0.999))) / 1e6, 6) + 0.0
+         AS return_level_1000
+FROM fit ORDER BY event_type
+""")
+def q_gumbel_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extreme-value (Gumbel) fit on each stream's DAILY BLOCK MAXIMA
+    by the method of moments: beta = s * sqrt(6)/pi, mu = xbar -
+    gamma * beta (gamma = Euler-Mascheroni), plus the 100-block and
+    1000-block RETURN LEVELS mu - beta*ln(-ln(1 - 1/T)) — "the worst
+    value expected once per 100 / 1000 days". This is the capacity-
+    planning number none of the mean-centric monitors produce: control
+    bands bound typical days, the return level bounds the RARE one.
+
+    Determinism: block maxima are exact micro-ints (MAX is order-free);
+    mean and sample sd come from exact HUGEINT/DECIMAL moments; the
+    sqrt(6)/pi, gamma, and ln(-ln p) factors are shared literals or
+    single libm calls on bounded per-stream scalars (the
+    ln-on-bounded-aggregates convention).
+
+    Scale: one map-side-combined groupBy to the bounded (stream, day)
+    maxima, one tiny aggregate; shuffle is |streams| x |days|."""
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull()))
+    daily_max = (ev.groupBy("event_type",
+                            F.col("ts").cast("date").alias("day"))
+                 .agg(F.max(F.round(F.col("value") * 1e6).cast("bigint"))
+                      .alias("mx")))
+    s = (daily_max.groupBy("event_type")
+         .agg(F.count(F.lit(1)).alias("n"), F.sum("mx").alias("sm"),
+              F.sum(F.col("mx").cast("decimal(38,0)") * F.col("mx"))
+              .alias("sm2"))
+         .filter(F.col("n") >= 2))
+    n = F.col("n")
+    mean_u = F.col("sm").cast("double") / n
+    var_num = (n * F.col("sm2")
+               - F.col("sm").cast("decimal(38,0)") * F.col("sm"))
+    beta_u = (F.sqrt(var_num.cast("double")
+                     / (n.cast("decimal(38,0)") * (n - 1)).cast("double"))
+              * 0.7796968012336761)  # sqrt(6)/pi
+    mu_u = mean_u - 0.5772156649015329 * beta_u
+
+    def rl(p: float):
+        import math
+        return mu_u - beta_u * math.log(-math.log(p))
+
+    return (s.select("event_type", n.cast("long").alias("n_blocks"),
+                     (F.round(mu_u / 1e6, 6) + 0.0).alias("gumbel_mu"),
+                     (F.round(beta_u / 1e6, 6) + 0.0).alias("gumbel_beta"),
+                     (F.round(rl(0.99) / 1e6, 6) + 0.0)
+                     .alias("return_level_100"),
+                     (F.round(rl(0.999) / 1e6, 6) + 0.0)
+                     .alias("return_level_1000"))
+            .orderBy("event_type"))

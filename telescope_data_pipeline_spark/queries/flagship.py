@@ -692,3 +692,74 @@ def q_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.countDistinct("l_suppkey").cast("long")
                  .alias("supplier_cnt"))
             .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type"))
+
+
+# ---------------------------------------------------------------------------
+# Cross-nation shipping volume (TPC-H Q7 shape): 6-way join, nation
+# pair filter in both directions, per-year revenue
+# ---------------------------------------------------------------------------
+
+@query("q_volume_shipping", oracle="""
+SELECT n1.n_name AS supp_nation,
+       n2.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS INT) AS l_year,
+       ROUND(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                            * 10000) AS BIGINT)) / 10000.0, 4) + 0.0
+         AS revenue
+FROM lineitem l
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+WHERE n1.n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4')
+  AND n2.n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4')
+  AND n1.n_name <> n2.n_name
+  AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+""")
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): revenue flowing between a
+    small nation GROUP (every ordered cross pair), by ship year — the 6-way join
+    whose selectivity lives in the two nation dims (the classic
+    join-order / broadcast-planning workload: both nation filters must
+    broadcast and prune through supplier/customer BEFORE the fact
+    join, and the date band pushes into the lineitem scan).
+
+    Determinism: revenue sums exact 1e-4-unit integers; the output
+    keys are the group-by columns (total order).
+
+    Scale: nation -> supplier/customer are two broadcast chains; the
+    fact joins key on orderkey/suppkey; the final aggregate has at
+    most 2 x |years| rows. At 100 TB the two filtered dim chains are
+    still broadcast-sized (suppliers/customers of ONE nation)."""
+    li = (load_table(spark, sf_dir, "lineitem", spread=True)
+          .filter((F.col("l_shipdate") >= "1996-01-01")
+                  & (F.col("l_shipdate") < "1998-01-01")))
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    su = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2",
+                             "NATION_3", "NATION_4"))
+    n1 = n.select(F.col("n_nationkey").alias("sk_n"),
+                  F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("ck_n"),
+                  F.col("n_name").alias("cust_nation"))
+    sup = su.join(F.broadcast(n1), su.s_nationkey == F.col("sk_n")) \
+            .select("s_suppkey", "supp_nation")
+    cus = c.join(F.broadcast(n2), c.c_nationkey == F.col("ck_n")) \
+           .select("c_custkey", "cust_nation")
+    rev = F.sum(F.round(F.col("l_extendedprice")
+                        * (1 - F.col("l_discount")) * 10000)
+                .cast("bigint"))
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(cus), o.o_custkey == cus.c_custkey)
+            .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+            .filter(F.col("supp_nation") != F.col("cust_nation"))
+            .groupBy("supp_nation", "cust_nation",
+                     F.year("l_shipdate").cast("int").alias("l_year"))
+            .agg((F.round(rev / 10000.0, 4) + 0.0).alias("revenue"))
+            .orderBy("supp_nation", "cust_nation", "l_year"))

@@ -2640,3 +2640,16 @@ def test_q15_q16_shapes(spark):
     assert "LeftAnti" in plan2
     assert "CartesianProduct" not in plan2
     assert "BroadcastNestedLoopJoin" not in plan2
+
+
+def test_volume_shipping_broadcast_chains(spark):
+    """Q7 shape: both filtered nation->dim chains broadcast and the
+    fact joins stay keyed — no cartesian, no nested loop."""
+    from telescope_data_pipeline_spark.plans.audit import physical_plan
+
+    df = get("q_volume_shipping").fn(spark, SF)
+    df.collect()
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan
+    for banned in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert banned not in plan, banned

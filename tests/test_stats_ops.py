@@ -2295,3 +2295,32 @@ def test_newey_west_corrects_autocorrelated_series(spark, tmp_path):
     assert out["ar"].n_eff < n / 2
     assert 0.85 < out["iid"].se_ratio < 1.15
     assert out["iid"].n_eff > 0.7 * n
+
+
+def test_gumbel_fit_recovers_planted_distribution(spark, tmp_path):
+    rng = np.random.RandomState(277)
+    mu_true, beta_true = 100.0, 5.0
+    n_days = 600
+    maxima = mu_true - beta_true * np.log(-np.log(rng.uniform(size=n_days)))
+    # one event per day: the daily max IS the planted Gumbel draw
+    rows = []
+    for d in range(n_days):
+        ts = pd.Timestamp("2024-01-01") + pd.Timedelta(days=d)
+        rows.append((d, str(ts), 0, "g", float(maxima[d]), None))
+    out = get("q_gumbel_fit").fn(
+        spark, _write_events(tmp_path, rows)).collect()[0]
+    # numpy mirror of the exact micro-int moment construction
+    x = np.floor(maxima * 1e6 + 0.5)
+    beta_u = x.std(ddof=1) * np.sqrt(6) / np.pi
+    mu_u = x.mean() - 0.5772156649015329 * beta_u
+    assert out.n_blocks == n_days
+    assert abs(out.gumbel_mu - round(mu_u / 1e6, 6)) < 2e-6
+    assert abs(out.gumbel_beta - round(beta_u / 1e6, 6)) < 2e-6
+    # parameter recovery of the planted distribution
+    assert abs(out.gumbel_mu - mu_true) < 1.0
+    assert abs(out.gumbel_beta - beta_true) < 0.8
+    # return levels are monotone and beyond the fitted location
+    assert out.return_level_1000 > out.return_level_100 > out.gumbel_mu
+    # the 100-day level should be near mu + beta*ln(-ln(0.99))^-1 ~ mu+4.6b
+    want_rl = mu_u / 1e6 - beta_u / 1e6 * np.log(-np.log(0.99))
+    assert abs(out.return_level_100 - round(want_rl, 6)) < 2e-5
