@@ -239,6 +239,7 @@ EXTRA = [
     "q_newey_west",
     "q_gumbel_fit",
     "q_volume_shipping",
+    "q_shapley_attribution",
 ]
 
 

@@ -1754,3 +1754,139 @@ def q_gumbel_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
                      (F.round(rl(0.999) / 1e6, 6) + 0.0)
                      .alias("return_level_1000"))
             .orderBy("event_type"))
+
+
+# ---------------------------------------------------------------------------
+# Exact Shapley-value channel attribution (4 channels, 16 coalitions)
+# ---------------------------------------------------------------------------
+
+@query("q_shapley_attribution", oracle="""
+WITH p AS (
+  SELECT user_id, ts, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL
+), firstp AS (
+  SELECT user_id, ts AS p_ts, event_id AS p_eid FROM p WHERE rn = 1
+), touched AS (
+  SELECT f.user_id,
+         COALESCE(MAX(CASE WHEN e.event_type = 'click'  THEN 1 END), 0)
+       + COALESCE(MAX(CASE WHEN e.event_type = 'view'   THEN 2 END), 0)
+       + COALESCE(MAX(CASE WHEN e.event_type = 'signup' THEN 4 END), 0)
+       + COALESCE(MAX(CASE WHEN e.event_type = 'error'  THEN 8 END), 0)
+           AS mask
+  FROM firstp f
+  LEFT JOIN events e
+    ON e.user_id = f.user_id
+   AND e.event_type IN ('click', 'view', 'signup', 'error')
+   AND (e.ts < f.p_ts OR (e.ts = f.p_ts AND e.event_id < f.p_eid))
+  GROUP BY f.user_id
+), conv AS (
+  SELECT mask, COUNT(*) AS c FROM touched GROUP BY mask
+), masks AS (
+  SELECT CAST(UNNEST(generate_series(0, 15)) AS INT) AS s
+), v AS (
+  SELECT m.s, COALESCE(SUM(conv.c), 0) AS v
+  FROM masks m LEFT JOIN conv ON (conv.mask & m.s) = conv.mask
+  GROUP BY m.s
+), channels AS (
+  SELECT 1 AS bit, 'click' AS channel UNION ALL
+  SELECT 2, 'view' UNION ALL SELECT 4, 'signup' UNION ALL
+  SELECT 8, 'error'
+), phi AS (
+  SELECT ch.channel,
+         SUM((CASE bit_count(m.s) WHEN 0 THEN 6 WHEN 1 THEN 2
+              WHEN 2 THEN 2 ELSE 6 END)
+             * (vi.v - vs.v)) AS phi24
+  FROM channels ch
+  JOIN masks m ON (m.s & ch.bit) = 0
+  JOIN v vs ON vs.s = m.s
+  JOIN v vi ON vi.s = m.s + ch.bit
+  GROUP BY ch.channel
+), tot AS (
+  SELECT SUM(phi24) AS t FROM phi
+)
+SELECT channel,
+       ROUND(phi24 / 24.0, 6) + 0.0 AS shapley,
+       ROUND(phi24::DOUBLE / NULLIF(t, 0), 6) + 0.0 AS share
+FROM phi CROSS JOIN tot
+ORDER BY channel
+""")
+def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Shapley-value attribution over the four pre-purchase
+    touch channels: each converting user contributes their touched-
+    channel SET (a 4-bit mask before the FIRST purchase under the
+    (ts, event_id) total order); the coalition value v(S) counts
+    conversions whose touch set fits inside S; phi_channel is the
+    exact Shapley sum over the 8 coalitions excluding the channel,
+    with the n = 4 weights |S|!(3-|S|)!/4! carried as integers x24.
+    The game-theoretic answer to "which channel actually drove
+    conversions" — last-touch (q_attribution) over-credits closers,
+    Markov removal (q_markov_transitions) needs a path model; Shapley
+    is the axiomatically fair split, and with a FIXED small channel
+    alphabet it is exactly computable at any corpus size.
+
+    Determinism: every quantity through phi24 is an exact integer
+    (conversion counts, containment sums, factorial weights); the two
+    final divisions round once. The efficiency property Sum(phi) =
+    v(full) - v(empty) holds exactly in integers (asserted in the
+    ground-truth test).
+
+    Scale: one keyed window finds first purchases; ONE keyed join +
+    conditional-MAX aggregate builds the per-user mask (never a
+    per-coalition scan); everything after the 16-row conv table is
+    literal-spine algebra. Shuffles are |users|, output is 4 rows."""
+    ev = load_table(spark, sf_dir, "events")
+    wp = W.partitionBy("user_id").orderBy("ts", "event_id")
+    firstp = (ev.filter((F.col("event_type") == "purchase")
+                        & F.col("user_id").isNotNull())
+              .withColumn("rn", F.row_number().over(wp))
+              .filter(F.col("rn") == 1)
+              .select(F.col("user_id").alias("p_uid"),
+                      F.col("ts").alias("p_ts"),
+                      F.col("event_id").alias("p_eid")))
+    ch_bits = {"click": 1, "view": 2, "signup": 4, "error": 8}
+    e = (ev.filter(F.col("event_type").isin(*ch_bits))
+         .select(F.col("user_id").alias("e_uid"),
+                 F.col("event_type").alias("e_type"),
+                 F.col("ts").alias("e_ts"),
+                 F.col("event_id").alias("e_eid")))
+    before = ((F.col("e_ts") < F.col("p_ts"))
+              | ((F.col("e_ts") == F.col("p_ts"))
+                 & (F.col("e_eid") < F.col("p_eid"))))
+    joined = firstp.join(
+        e, (F.col("e_uid") == F.col("p_uid")) & before, "left")
+    mask = sum(
+        F.coalesce(F.max(F.when(F.col("e_type") == name, bit)), F.lit(0))
+        for name, bit in ch_bits.items())
+    touched = (joined.groupBy("p_uid")
+               .agg(mask.alias("mask")))
+    conv = touched.groupBy("mask").agg(F.count(F.lit(1)).alias("c"))
+    masks = spark.range(16).select(F.col("id").cast("int").alias("s"))
+    v = (masks.join(F.broadcast(conv),
+                    conv["mask"].bitwiseAND(F.col("s")) == conv["mask"],
+                    "left")
+         .groupBy("s").agg(F.coalesce(F.sum("c"), F.lit(0)).alias("v")))
+    channels = spark.createDataFrame(
+        [(b, n) for n, b in ch_bits.items()], "bit INT, channel STRING")
+    w24 = (F.when(F.bit_count("s") == 0, 6)
+           .when(F.bit_count("s") == 1, 2)
+           .when(F.bit_count("s") == 2, 2).otherwise(6))
+    vs = v.select(F.col("s"), F.col("v").alias("v_s"))
+    vi = v.select((F.col("s")).alias("si"), F.col("v").alias("v_si"))
+    phi = (channels.crossJoin(F.broadcast(vs))
+           .filter(F.col("s").bitwiseAND(F.col("bit")) == 0)
+           .join(F.broadcast(vi),
+                 F.col("si") == F.col("s") + F.col("bit"))
+           .groupBy("channel")
+           .agg(F.sum(w24 * (F.col("v_si") - F.col("v_s")))
+                .alias("phi24")))
+    tot = F.broadcast(phi.agg(F.sum("phi24").alias("t")))
+    return (phi.crossJoin(tot)
+            .select("channel",
+                    (F.round(F.col("phi24") / 24.0, 6) + 0.0)
+                    .alias("shapley"),
+                    (F.round(F.col("phi24").cast("double")
+                             / F.nullif(F.col("t"), F.lit(0)), 6) + 0.0)
+                    .alias("share"))
+            .orderBy("channel"))

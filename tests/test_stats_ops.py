@@ -2324,3 +2324,49 @@ def test_gumbel_fit_recovers_planted_distribution(spark, tmp_path):
     # the 100-day level should be near mu + beta*ln(-ln(0.99))^-1 ~ mu+4.6b
     want_rl = mu_u / 1e6 - beta_u / 1e6 * np.log(-np.log(0.99))
     assert abs(out.return_level_100 - round(want_rl, 6)) < 2e-5
+
+
+def test_shapley_attribution_matches_bruteforce(spark, tmp_path):
+    """Exact Shapley against a brute-force over all 4! channel
+    orderings on a planted touch scenario; plus the efficiency
+    property sum(phi) = v(full) - v(empty)."""
+    import itertools
+
+    CH = ["click", "view", "signup", "error"]
+    # planted touch sets (channels before the first purchase)
+    scenarios = [("click",), ("click", "view"), ("view",),
+                 ("click", "view"), (), ("signup", "click", "view"),
+                 ("error",), ("view", "signup")]
+    rows = []
+    eid = 0
+    for u, touches in enumerate(scenarios):
+        for j, t in enumerate(touches):
+            rows.append((eid, f"2024-01-0{j + 1}", u, t, 1.0, None))
+            eid += 1
+        rows.append((eid, "2024-01-09", u, "purchase", 1.0, None))
+        eid += 1
+        # post-purchase touches must NOT count
+        rows.append((eid, "2024-01-10", u, "error", 1.0, None))
+        eid += 1
+    out = {r.channel: r for r in
+           get("q_shapley_attribution").fn(
+               spark, _write_events(tmp_path, rows)).collect()}
+
+    sets = [frozenset(t) for t in scenarios]
+
+    def v(coal):
+        return sum(1 for t in sets if t <= coal)
+
+    phi = dict.fromkeys(CH, 0.0)
+    for perm in itertools.permutations(CH):
+        coal = set()
+        for c in perm:
+            before = v(frozenset(coal))
+            coal.add(c)
+            phi[c] += (v(frozenset(coal)) - before) / 24.0
+    for c in CH:
+        assert abs(out[c].shapley - round(phi[c], 6)) < 1e-9, c
+    total = sum(phi.values())
+    assert abs(total - (v(frozenset(CH)) - v(frozenset()))) < 1e-9
+    for c in CH:
+        assert abs(out[c].share - round(phi[c] / total, 6)) < 1e-9, c
