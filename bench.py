@@ -240,6 +240,7 @@ EXTRA = [
     "q_gumbel_fit",
     "q_volume_shipping",
     "q_shapley_attribution",
+    "q_ratio_delta",
 ]
 
 

@@ -1890,3 +1890,122 @@ def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
                              / F.nullif(F.col("t"), F.lit(0)), 6) + 0.0)
                     .alias("share"))
             .orderBy("channel"))
+
+
+# ---------------------------------------------------------------------------
+# Delta-method ratio-metric A/B test (per-user CTR, two arms)
+# ---------------------------------------------------------------------------
+
+@query("q_ratio_delta", oracle="""
+WITH per_user AS (
+  SELECT user_id,
+         CASE WHEN ((user_id % 1000003) * 2654435761 % 1000) < 500
+              THEN 0 ELSE 1 END AS arm,
+         COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 END), 0) AS x,
+         COALESCE(SUM(CASE WHEN event_type = 'view'  THEN 1 END), 0) AS y
+  FROM events WHERE user_id IS NOT NULL
+    AND event_type IN ('click', 'view')
+  GROUP BY 1, 2
+), m AS (
+  SELECT arm, COUNT(*) AS n,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         SUM(CAST(y AS HUGEINT) * y) AS syy,
+         SUM(CAST(x AS HUGEINT) * y) AS sxy
+  FROM per_user WHERE y > 0 GROUP BY arm
+), d AS (
+  SELECT arm, CAST(n AS BIGINT) AS n,
+         sx::DOUBLE / sy AS r,
+         ((n * sxx - CAST(sx AS HUGEINT) * sx)::DOUBLE / (n * (n - 1.0))
+          + (sx::DOUBLE / sy) * (sx::DOUBLE / sy)
+            * (n * syy - CAST(sy AS HUGEINT) * sy)::DOUBLE
+            / (n * (n - 1.0))
+          - 2.0 * (sx::DOUBLE / sy)
+            * (n * sxy - CAST(sx AS HUGEINT) * sy)::DOUBLE
+            / (n * (n - 1.0)))
+         / ((sy::DOUBLE / n) * (sy::DOUBLE / n)) / n AS var_r
+  FROM m
+)
+SELECT a.n AS n_a, b.n AS n_b,
+       ROUND(a.r, 6) + 0.0 AS ratio_a,
+       ROUND(b.r, 6) + 0.0 AS ratio_b,
+       ROUND(b.r - a.r, 6) + 0.0 AS diff,
+       ROUND(SQRT(a.var_r + b.var_r), 6) + 0.0 AS se_diff,
+       ROUND((b.r - a.r) / NULLIF(SQRT(a.var_r + b.var_r), 0), 6) + 0.0
+         AS z,
+       ABS((b.r - a.r) / NULLIF(SQRT(a.var_r + b.var_r), 0)) > 1.959964
+         AS significant_95
+FROM (SELECT * FROM d WHERE arm = 0) a
+CROSS JOIN (SELECT * FROM d WHERE arm = 1) b
+""")
+def q_ratio_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method A/B test for a RATIO metric (clicks per view,
+    user-level): the randomization unit is the user but the metric is
+    a ratio of user sums, so the naive binomial variance is wrong —
+    the delta method gives var(r) = (var_x + r^2 var_y - 2 r cov_xy)
+    / ybar^2 / n, the standard correction every experimentation
+    platform applies to CTR-family metrics. Arms ride the canonical
+    hash split (q_ab_srm's assignment — run SRM first). z compares
+    the arm ratios on the summed standard error.
+
+    Determinism: per-user (x, y) are exact integer counts; every
+    moment (sums, squares, cross products) is exact HUGEINT/DECIMAL
+    (first factor widened); r, var, z are single double expressions
+    of those integers; NULLIF guards the degenerate zero-variance
+    split on both engines.
+
+    Scale: one map-side-combined groupBy to per-user counters, one
+    6-sum aggregate per arm; output is one row."""
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("user_id").isNotNull()
+                  & F.col("event_type").isin("click", "view")))
+    arm = F.when(((F.col("user_id") % 1000003)
+                  * F.lit(2654435761).cast("bigint") % 1000) < 500, 0) \
+        .otherwise(1)
+    per_user = (ev.groupBy("user_id", arm.alias("arm"))
+                .agg(F.coalesce(
+                    F.sum(F.when(F.col("event_type") == "click", 1)),
+                    F.lit(0)).alias("x"),
+                    F.coalesce(
+                    F.sum(F.when(F.col("event_type") == "view", 1)),
+                    F.lit(0)).alias("y"))
+                .filter(F.col("y") > 0))
+    dec = "decimal(38,0)"
+    m = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast(dec) * F.col("y")).alias("syy"),
+        F.sum(F.col("x").cast(dec) * F.col("y")).alias("sxy"))
+    n = F.col("n").cast("double")
+    r = F.col("sx").cast("double") / F.col("sy")
+
+    def vnum(a, b, sa, sb):
+        return (F.col("n") * F.col(a)
+                - F.col(sa).cast(dec) * F.col(sb)).cast("double") \
+            / (n * (n - 1.0))
+
+    var_r = ((vnum("sxx", None, "sx", "sx")
+              + r * r * vnum("syy", None, "sy", "sy")
+              - 2.0 * r * vnum("sxy", None, "sx", "sy"))
+             / ((F.col("sy").cast("double") / n)
+                * (F.col("sy").cast("double") / n)) / n)
+    d = m.select("arm", F.col("n").cast("long").alias("n"),
+                 r.alias("r"), var_r.alias("var_r"))
+    a = d.filter(F.col("arm") == 0).select(
+        F.col("n").alias("n_a"), F.col("r").alias("r_a"),
+        F.col("var_r").alias("v_a"))
+    b = d.filter(F.col("arm") == 1).select(
+        F.col("n").alias("n_b"), F.col("r").alias("r_b"),
+        F.col("var_r").alias("v_b"))
+    se = F.sqrt(F.col("v_a") + F.col("v_b"))
+    z = (F.col("r_b") - F.col("r_a")) / F.nullif(se, F.lit(0.0))
+    return (a.crossJoin(F.broadcast(b))
+            .select("n_a", "n_b",
+                    (F.round(F.col("r_a"), 6) + 0.0).alias("ratio_a"),
+                    (F.round(F.col("r_b"), 6) + 0.0).alias("ratio_b"),
+                    (F.round(F.col("r_b") - F.col("r_a"), 6) + 0.0)
+                    .alias("diff"),
+                    (F.round(se, 6) + 0.0).alias("se_diff"),
+                    (F.round(z, 6) + 0.0).alias("z"),
+                    (F.abs(z) > 1.959964).alias("significant_95")))

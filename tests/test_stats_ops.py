@@ -2370,3 +2370,48 @@ def test_shapley_attribution_matches_bruteforce(spark, tmp_path):
     assert abs(total - (v(frozenset(CH)) - v(frozenset()))) < 1e-9
     for c in CH:
         assert abs(out[c].share - round(phi[c] / total, 6)) < 1e-9, c
+
+
+def test_ratio_delta_matches_numpy_and_detects_lift(spark, tmp_path):
+    def arm(u):
+        return 0 if ((u % 1000003) * 2654435761 % 1000) < 500 else 1
+
+    rng = np.random.RandomState(281)
+    rows = []
+    eid = 0
+    # planted: arm B clicks ~40% more per view
+    for u in range(400):
+        views = int(rng.poisson(20)) + 1
+        rate = 0.30 if arm(u) == 0 else 0.42
+        clicks = int(rng.binomial(views, rate))
+        for _ in range(views):
+            rows.append((eid, "2024-01-05", u, "view", 1.0, None))
+            eid += 1
+        for _ in range(clicks):
+            rows.append((eid, "2024-01-05", u, "click", 1.0, None))
+            eid += 1
+    out = get("q_ratio_delta").fn(
+        spark, _write_events(tmp_path, rows)).collect()[0]
+
+    pdf = pd.DataFrame(rows, columns=COLS)
+    per = (pdf.assign(is_c=(pdf.event_type == "click").astype(int),
+                      is_v=(pdf.event_type == "view").astype(int))
+           .groupby("user_id")[["is_c", "is_v"]].sum())
+
+    def delta(users):
+        x = per.loc[users, "is_c"].to_numpy(float)
+        y = per.loc[users, "is_v"].to_numpy(float)
+        n, r = len(x), x.sum() / y.sum()
+        var = (x.var(ddof=1) + r * r * y.var(ddof=1)
+               - 2 * r * np.cov(x, y, ddof=1)[0, 1]) / y.mean() ** 2 / n
+        return n, r, var
+
+    na, ra, va = delta([u for u in per.index if arm(u) == 0])
+    nb, rb, vb = delta([u for u in per.index if arm(u) == 1])
+    assert (out.n_a, out.n_b) == (na, nb)
+    assert abs(out.ratio_a - round(ra, 6)) < 1e-9
+    assert abs(out.ratio_b - round(rb, 6)) < 1e-9
+    assert abs(out.se_diff - round(np.sqrt(va + vb), 6)) < 1e-6
+    assert abs(out.z - round((rb - ra) / np.sqrt(va + vb), 6)) < 1e-4
+    # the planted 12-point lift must be detected
+    assert out.significant_95 and out.z > 3
