@@ -241,6 +241,7 @@ EXTRA = [
     "q_volume_shipping",
     "q_shapley_attribution",
     "q_ratio_delta",
+    "q_holt_winters",
 ]
 
 

@@ -2009,3 +2009,132 @@ def q_ratio_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.round(se, 6) + 0.0).alias("se_diff"),
                     (F.round(z, 6) + 0.0).alias("z"),
                     (F.abs(z) > 1.959964).alias("significant_95")))
+
+
+# ---------------------------------------------------------------------------
+# Holt-Winters additive seasonal smoothing (period 7) per stream
+# ---------------------------------------------------------------------------
+
+@query("q_holt_winters", oracle="""
+WITH RECURSIVE daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(ROUND(SUM(CAST(ROUND(value * 1000000) AS BIGINT))::DOUBLE
+                    / COUNT(*)) AS BIGINT) AS mu
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2
+), ordered AS (
+  SELECT event_type, mu,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rk,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM daily
+), init AS (
+  SELECT event_type, ANY_VALUE(n) AS n,
+         SUM(CASE WHEN rk <= 7 THEN mu ELSE 0 END) / 7.0 AS l0,
+         (SUM(CASE WHEN rk BETWEEN 8 AND 14 THEN mu ELSE 0 END) / 7.0
+          - SUM(CASE WHEN rk <= 7 THEN mu ELSE 0 END) / 7.0) / 7.0 AS b0,
+         list_transform(
+           list_sort(list([rk, mu]) FILTER (WHERE rk <= 7)),
+           p -> p[2] - SUM(CASE WHEN rk <= 7 THEN mu ELSE 0 END) / 7.0)
+           AS s0
+  FROM ordered WHERE n >= 15 GROUP BY event_type
+), rec AS (
+  SELECT i.event_type, CAST(7 AS BIGINT) AS rk, i.n,
+         i.l0 AS l, i.b0 AS b, i.s0 AS s
+  FROM init i
+  UNION ALL
+  SELECT o.event_type, o.rk, o.n,
+         0.5 * (o.mu - r.s[CAST((o.rk - 1) % 7 AS INT) + 1])
+           + 0.5 * (r.l + r.b),
+         0.5 * ((0.5 * (o.mu - r.s[CAST((o.rk - 1) % 7 AS INT) + 1])
+                 + 0.5 * (r.l + r.b)) - r.l) + 0.5 * r.b,
+         list_concat(list_concat(
+           r.s[1:CAST((o.rk - 1) % 7 AS INT)],
+           [0.5 * (o.mu - (0.5 * (o.mu
+                                  - r.s[CAST((o.rk - 1) % 7 AS INT) + 1])
+                           + 0.5 * (r.l + r.b)))
+            + 0.5 * r.s[CAST((o.rk - 1) % 7 AS INT) + 1]]),
+           r.s[CAST((o.rk - 1) % 7 AS INT) + 2:7])
+  FROM ordered o JOIN rec r
+    ON o.event_type = r.event_type AND o.rk = r.rk + 1
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_days,
+       ROUND(l / 1000000, 6) + 0.0 AS level,
+       ROUND(b / 1000000, 6) + 0.0 AS trend,
+       ROUND(s[CAST(rk % 7 AS INT) + 1] / 1000000, 6) + 0.0 AS s_next,
+       ROUND((l + b + s[CAST(rk % 7 AS INT) + 1]) / 1000000, 6) + 0.0
+         AS forecast_1
+FROM rec WHERE rk = n
+ORDER BY event_type
+""")
+def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters ADDITIVE SEASONAL smoothing (period 7, alpha =
+    beta = gamma = 0.5) over each stream's daily-mean series — the
+    final rung of the forecasting ladder (q_ewma: level; q_holt:
+    level + trend; here: level + trend + weekly shape), scored against
+    naive by q_theils_u2's skill ratio. Init: level = week-1 mean,
+    trend = (week-2 mean - week-1 mean)/7, seasonals = week-1
+    residuals; the recurrence runs from day 8; streams shorter than
+    15 days are dropped.
+
+    Determinism: the q_holt_forecast argument with a seasonal RING in
+    the accumulator — both engines run the IDENTICAL sequence of
+    double ops (Spark: an aggregate() fold over the collected daily
+    array with a struct{l, b, array s} accumulator; DuckDB: the
+    recursive CTE whose step expressions are written term-for-term
+    the same, ring slot = (rk-1) % 7 + 1 on both sides).
+
+    Scale: the fold runs over the BOUNDED per-series daily table
+    (state is 9 doubles per series); one map-side-combined groupBy
+    gets there."""
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull()))
+    daily = (ev.groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg(F.round(F.sum(F.round(F.col("value") * 1e6).cast("bigint"))
+                          .cast("double") / F.count(F.lit(1)))
+                  .cast("bigint").alias("mu")))
+    series = (daily.groupBy("event_type")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("n_days"),
+                   F.sort_array(F.collect_list(F.struct("day", "mu")))
+                   .alias("seq"))
+              .filter(F.col("n_days") >= 15))
+    week = F.transform(F.slice("seq", 1, 7), lambda x: x["mu"])
+    week2 = F.transform(F.slice("seq", 8, 7), lambda x: x["mu"])
+    l0 = (F.aggregate(week, F.lit(0).cast("long"),
+                      lambda a, x: a + x).cast("double") / 7.0)
+    w2m = (F.aggregate(week2, F.lit(0).cast("long"),
+                       lambda a, x: a + x).cast("double") / 7.0)
+    series = series.select(
+        "event_type", "n_days", "seq",
+        l0.alias("l0"), ((w2m - l0) / 7.0).alias("b0"),
+        F.transform(week, lambda x: x.cast("double") - l0).alias("s0"))
+    # positions 8..n ride with their absolute index so the ring slot
+    # (rk-1) % 7 + 1 is computable inside the fold
+    tail = F.transform(
+        F.slice("seq", 8, F.greatest(F.size("seq") - 7, F.lit(0))),
+        lambda x, i: F.struct((i + 8).alias("rk"), x["mu"].alias("mu")))
+    init = F.struct(F.col("l0").alias("l"), F.col("b0").alias("b"),
+                    F.col("s0").alias("s"))
+
+    def step(acc, x):
+        pos = ((x["rk"] - 1) % 7 + 1).cast("int")
+        s_old = F.element_at(acc["s"], pos)
+        l_new = 0.5 * (x["mu"] - s_old) + 0.5 * (acc["l"] + acc["b"])
+        b_new = 0.5 * (l_new - acc["l"]) + 0.5 * acc["b"]
+        s_new = 0.5 * (x["mu"] - l_new) + 0.5 * s_old
+        s_arr = F.concat(F.slice(acc["s"], 1, pos - 1),
+                         F.array(s_new),
+                         F.slice(acc["s"], pos + 1, 7 - pos))
+        return F.struct(l_new.alias("l"), b_new.alias("b"),
+                        s_arr.alias("s"))
+
+    state = F.aggregate(tail, init, step)
+    s_next = F.element_at(state["s"],
+                          (F.col("n_days") % 7 + 1).cast("int"))
+    return (series.select(
+        "event_type", "n_days",
+        (F.round(state["l"] / 1e6, 6) + 0.0).alias("level"),
+        (F.round(state["b"] / 1e6, 6) + 0.0).alias("trend"),
+        (F.round(s_next / 1e6, 6) + 0.0).alias("s_next"),
+        (F.round((state["l"] + state["b"] + s_next) / 1e6, 6) + 0.0)
+        .alias("forecast_1"))
+        .orderBy("event_type"))

@@ -2415,3 +2415,41 @@ def test_ratio_delta_matches_numpy_and_detects_lift(spark, tmp_path):
     assert abs(out.z - round((rb - ra) / np.sqrt(va + vb), 6)) < 1e-4
     # the planted 12-point lift must be detected
     assert out.significant_95 and out.z > 3
+
+
+def test_holt_winters_matches_numpy_and_learns_weekly_shape(spark, tmp_path):
+    rng = np.random.RandomState(283)
+    season = [0.0, 10.0, 20.0, 30.0, 20.0, 10.0, 0.0]  # weekly shape
+    rows = []
+    for d in range(28):
+        v = 100.0 + season[d % 7] + rng.normal(0, 0.5)
+        rows.append((d, str(pd.Timestamp("2024-01-01")
+                            + pd.Timedelta(days=d)), 0, "hw",
+                     float(v), None))
+    out = get("q_holt_winters").fn(
+        spark, _write_events(tmp_path, rows)).collect()[0]
+    # numpy sequential mirror of the exact fold
+    pdf = pd.DataFrame(rows, columns=COLS)
+    mus = np.floor(np.floor(pdf.value * 1e6 + 0.5) + 0.5).astype(np.int64)
+    l = mus[:7].sum() / 7.0
+    b = (mus[7:14].sum() / 7.0 - mus[:7].sum() / 7.0) / 7.0
+    s = [float(mus[i]) - l for i in range(7)]
+    for t in range(7, 28):            # absolute rk = t+1
+        pos = ((t + 1) - 1) % 7
+        s_old = s[pos]
+        l_new = 0.5 * (mus[t] - s_old) + 0.5 * (l + b)
+        b = 0.5 * (l_new - l) + 0.5 * b
+        s[pos] = 0.5 * (mus[t] - l_new) + 0.5 * s_old
+        l = l_new
+    s_next = s[28 % 7]
+    assert out.n_days == 28
+    assert abs(out.level - round(l / 1e6, 6)) < 1e-9
+    assert abs(out.trend - round(b / 1e6, 6)) < 1e-9
+    assert abs(out.s_next - round(s_next / 1e6, 6)) < 1e-9
+    assert abs(out.forecast_1 - round((l + b + s_next) / 1e6, 6)) < 1e-9
+    # the learned seasonal for day 29 (a Monday-slot, season 0) must be
+    # clearly below the mid-week peak: the weekly shape was captured
+    peak = max(s) / 1e6
+    assert out.s_next < peak - 10
+    # forecast for the low-season day sits near 100, not near 130
+    assert abs(out.forecast_1 - 100.0) < 6.0
