@@ -1916,13 +1916,14 @@ WITH per_user AS (
 ), d AS (
   SELECT arm, CAST(n AS BIGINT) AS n,
          sx::DOUBLE / sy AS r,
-         ((n * sxx - CAST(sx AS HUGEINT) * sx)::DOUBLE / (n * (n - 1.0))
+         ((n * sxx - CAST(sx AS HUGEINT) * sx)::DOUBLE
+            / NULLIF(n * (n - 1.0), 0)
           + (sx::DOUBLE / sy) * (sx::DOUBLE / sy)
             * (n * syy - CAST(sy AS HUGEINT) * sy)::DOUBLE
-            / (n * (n - 1.0))
+            / NULLIF(n * (n - 1.0), 0)
           - 2.0 * (sx::DOUBLE / sy)
             * (n * sxy - CAST(sx AS HUGEINT) * sy)::DOUBLE
-            / (n * (n - 1.0)))
+            / NULLIF(n * (n - 1.0), 0))
          / ((sy::DOUBLE / n) * (sy::DOUBLE / n)) / n AS var_r
   FROM m
 )
@@ -1981,9 +1982,11 @@ def q_ratio_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = F.col("sx").cast("double") / F.col("sy")
 
     def vnum(a, b, sa, sb):
+        # NULLIF: a one-user arm (n = 1) must yield NULL variance,
+        # never an ANSI zero-divisor abort (edge-corpus contract)
         return (F.col("n") * F.col(a)
                 - F.col(sa).cast(dec) * F.col(sb)).cast("double") \
-            / (n * (n - 1.0))
+            / F.nullif(n * (n - 1.0), F.lit(0.0))
 
     var_r = ((vnum("sxx", None, "sx", "sx")
               + r * r * vnum("syy", None, "sy", "sy")

@@ -2653,3 +2653,23 @@ def test_volume_shipping_broadcast_chains(spark):
     assert "BroadcastHashJoin" in plan
     for banned in ("CartesianProduct", "BroadcastNestedLoopJoin"):
         assert banned not in plan, banned
+
+
+def test_session4_final_batch_plans(spark):
+    """q_gumbel_fit / q_shapley_attribution / q_ratio_delta /
+    q_holt_winters: folds and aggregates over bounded keyed relations;
+    the only windows are keyed by user/stream; no cartesian beyond the
+    1-row / 16-row literal-spine broadcasts."""
+    import re
+
+    from telescope_data_pipeline_spark.plans.audit import physical_plan
+
+    for name in ("q_gumbel_fit", "q_shapley_attribution",
+                 "q_ratio_delta", "q_holt_winters"):
+        df = get(name).fn(spark, SF)
+        df.collect()
+        plan = physical_plan(df)
+        assert "CartesianProduct" not in plan, name
+        specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+        assert all(("user_id" in s) or ("event_type" in s)
+                   for s in specs), (name, specs)
