@@ -242,6 +242,7 @@ EXTRA = [
     "q_shapley_attribution",
     "q_ratio_delta",
     "q_holt_winters",
+    "q_cohort_ltv",
 ]
 
 

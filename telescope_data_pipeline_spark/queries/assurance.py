@@ -2141,3 +2141,88 @@ def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round((state["l"] + state["b"] + s_next) / 1e6, 6) + 0.0)
         .alias("forecast_1"))
         .orderBy("event_type"))
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV curves: cumulative revenue per user by cohort and tenure
+# ---------------------------------------------------------------------------
+
+@query("q_cohort_ltv", oracle="""
+WITH first_seen AS (
+  SELECT user_id, MIN(DATE_TRUNC('week', ts)) AS cohort_week
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+  GROUP BY user_id
+), size AS (
+  SELECT cohort_week, COUNT(*) AS cohort_size FROM first_seen
+  GROUP BY cohort_week
+), rev AS (
+  SELECT f.cohort_week,
+         DATEDIFF('day', f.cohort_week,
+                  DATE_TRUNC('week', e.ts)) / 7 AS week_offset,
+         SUM(CAST(ROUND(e.value * 1000000) AS BIGINT)) AS rev_u
+  FROM events e JOIN first_seen f ON e.user_id = f.user_id
+  WHERE e.event_type = 'purchase' AND e.value IS NOT NULL
+    AND e.ts IS NOT NULL
+  GROUP BY 1, 2
+), cum AS (
+  SELECT cohort_week, week_offset, rev_u,
+         SUM(rev_u) OVER (PARTITION BY cohort_week ORDER BY week_offset
+                          ROWS UNBOUNDED PRECEDING) AS cum_u
+  FROM rev
+)
+SELECT CAST(c.cohort_week AS VARCHAR) AS cohort_week,
+       CAST(c.week_offset AS BIGINT) AS week_offset,
+       CAST(s.cohort_size AS BIGINT) AS cohort_size,
+       ROUND(c.rev_u / 1e6, 6) + 0.0 AS week_revenue,
+       ROUND(c.cum_u / 1e6 / s.cohort_size, 6) + 0.0 AS ltv
+FROM cum c JOIN size s USING (cohort_week)
+ORDER BY cohort_week, week_offset
+""")
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves: cumulative purchase revenue PER USER by
+    first-seen-week cohort and tenure offset — the revenue sibling of
+    q_retention_cohorts' activity triangle (retention says who came
+    back, LTV says what they were worth), and the payback-period
+    readout every acquisition decision rests on. One row per
+    (cohort, week offset) with that week's revenue and the cumulative
+    per-user LTV.
+
+    Determinism: revenue sums exact micro-ints; the cumulative runs
+    over the bounded per-cohort offset spine (weeks since cohort
+    start, a handful of rows per cohort — the q_emd_drift-approved
+    bounded window); two rounded ratios at the end; week buckets are
+    date_trunc (Monday start both engines) cast to string.
+
+    Scale: first-seen is one keyed aggregate; revenue folds map-side
+    to the (cohort, offset) table BEFORE the window touches anything;
+    cohort sizes broadcast back on the cohort key."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.filter(F.col("user_id").isNotNull()
+                     & F.col("ts").isNotNull())
+    first_seen = (base.groupBy("user_id")
+                  .agg(F.min(F.date_trunc("week", "ts"))
+                       .alias("cohort_week")))
+    size = (first_seen.groupBy("cohort_week")
+            .agg(F.count(F.lit(1)).alias("cohort_size")))
+    rev = (base.filter((F.col("event_type") == "purchase")
+                       & F.col("value").isNotNull())
+           .join(first_seen, "user_id")
+           .groupBy("cohort_week",
+                    (F.datediff(F.date_trunc("week", "ts"),
+                                F.col("cohort_week")) / 7)
+                    .cast("long").alias("week_offset"))
+           .agg(F.sum(F.round(F.col("value") * 1e6).cast("bigint"))
+                .alias("rev_u")))
+    wcum = (W.partitionBy("cohort_week").orderBy("week_offset")
+            .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return (rev.withColumn("cum_u", F.sum("rev_u").over(wcum))
+            .join(F.broadcast(size), "cohort_week")
+            .select(F.col("cohort_week").cast("date").cast("string")
+                    .alias("cohort_week"),
+                    F.col("week_offset").cast("long").alias("week_offset"),
+                    F.col("cohort_size").cast("long").alias("cohort_size"),
+                    (F.round(F.col("rev_u") / 1e6, 6) + 0.0)
+                    .alias("week_revenue"),
+                    (F.round(F.col("cum_u") / 1e6 / F.col("cohort_size"),
+                             6) + 0.0).alias("ltv"))
+            .orderBy("cohort_week", "week_offset"))

@@ -2453,3 +2453,36 @@ def test_holt_winters_matches_numpy_and_learns_weekly_shape(spark, tmp_path):
     assert out.s_next < peak - 10
     # forecast for the low-season day sits near 100, not near 130
     assert abs(out.forecast_1 - 100.0) < 6.0
+
+
+def test_cohort_ltv_matches_direct(spark, tmp_path):
+    # two cohorts: week of Jan 1 (Mon) and week of Jan 8
+    rows = []
+    eid = 0
+    # cohort A: users 0,1 first seen Jan 2; purchases over 3 weeks
+    for u, spend in ((0, [10.0, 20.0, 0.0]), (1, [0.0, 40.0, 5.0])):
+        rows.append((eid, "2024-01-02", u, "view", 1.0, None))
+        eid += 1
+        for w, v in enumerate(spend):
+            if v:
+                ts = (pd.Timestamp("2024-01-02")
+                      + pd.Timedelta(weeks=w)).strftime("%Y-%m-%d")
+                rows.append((eid, ts, u, "purchase", v, None))
+                eid += 1
+    # cohort B: user 2 first seen Jan 10, one purchase that week
+    rows.append((eid, "2024-01-10", 2, "view", 1.0, None))
+    eid += 1
+    rows.append((eid, "2024-01-11", 2, "purchase", 7.5, None))
+    out = {(r.cohort_week, r.week_offset): r for r in
+           get("q_cohort_ltv").fn(
+               spark, _write_events(tmp_path, rows)).collect()}
+    a = "2024-01-01"
+    assert out[(a, 0)].cohort_size == 2
+    assert abs(out[(a, 0)].week_revenue - 10.0) < 1e-9
+    assert abs(out[(a, 0)].ltv - 5.0) < 1e-9          # 10 / 2 users
+    assert abs(out[(a, 1)].week_revenue - 60.0) < 1e-9
+    assert abs(out[(a, 1)].ltv - 35.0) < 1e-9         # (10+60)/2
+    assert abs(out[(a, 2)].ltv - 37.5) < 1e-9         # (10+60+5)/2
+    b = "2024-01-08"
+    assert out[(b, 0)].cohort_size == 1
+    assert abs(out[(b, 0)].ltv - 7.5) < 1e-9
