@@ -1436,7 +1436,7 @@ def q_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: block sums and per-stream moments are exact
     integers; each block's z-score is ONE double expression of those
-    integers (population sd written identically on both engines), and
+    integers (the SAMPLE sd written identically on both engines), and
     the symbol is a comparison against shared literals — boundary
     behavior is identical because the compared doubles are
     bit-identical. The string assembles in block order (STRING_AGG
