@@ -243,6 +243,7 @@ EXTRA = [
     "q_ratio_delta",
     "q_holt_winters",
     "q_cohort_ltv",
+    "q_rmst",
 ]
 
 

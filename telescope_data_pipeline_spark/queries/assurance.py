@@ -2226,3 +2226,155 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.round(F.col("cum_u") / 1e6 / F.col("cohort_size"),
                              6) + 0.0).alias("ltv"))
             .orderBy("cohort_week", "week_offset"))
+
+
+# ---------------------------------------------------------------------------
+# Restricted mean survival time (RMST) on the Kaplan-Meier frame
+# ---------------------------------------------------------------------------
+
+@query("q_rmst", oracle="""
+WITH per_user AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS t0,
+         MIN(CASE WHEN event_type = 'purchase' THEN CAST(ts AS DATE) END)
+           AS tp
+  FROM events GROUP BY user_id
+), horizon AS (
+  SELECT MAX(CAST(ts AS DATE)) AS tmax FROM events
+), durs AS (
+  SELECT CASE WHEN tp IS NOT NULL THEN date_diff('day', t0, tp)
+              ELSE date_diff('day', t0, tmax) END AS d_days,
+         (tp IS NOT NULL) AS is_event
+  FROM per_user CROSS JOIN horizon
+), tbl AS (
+  SELECT d_days,
+         COUNT(*) FILTER (WHERE is_event) AS d,
+         COUNT(*) FILTER (WHERE NOT is_event) AS c
+  FROM durs GROUP BY d_days
+), curve AS (
+  SELECT d_days, d, c,
+         (SELECT COUNT(*) FROM durs) - COALESCE(SUM(d + c) OVER (
+            ORDER BY d_days ROWS BETWEEN UNBOUNDED PRECEDING
+            AND 1 PRECEDING), 0) AS n_risk
+  FROM tbl
+), terms AS (
+  SELECT d_days, d, n_risk,
+         CASE WHEN d > 0 AND d < n_risk
+              THEN CAST(ROUND(LN(1.0 - d::DOUBLE / n_risk) * 1000000000)
+                        AS BIGINT)
+              WHEN d = 0 THEN 0 END AS term_n
+  FROM curve
+), surv AS (
+  SELECT d_days,
+         CASE WHEN SUM(CASE WHEN term_n IS NULL THEN 1 ELSE 0 END)
+                   OVER w > 0 THEN 0
+              ELSE CAST(ROUND(EXP(SUM(term_n) OVER w / 1e9) * 1e9)
+                        AS BIGINT)
+         END AS s_nano
+  FROM terms
+  WINDOW w AS (ORDER BY d_days ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)
+), steps AS (
+  SELECT d_days, s_nano,
+         COALESCE(LAG(d_days) OVER (ORDER BY d_days), 0) AS d_prev,
+         COALESCE(LAG(s_nano) OVER (ORDER BY d_days), 1000000000)
+           AS s_prev
+  FROM surv
+), areas AS (
+  SELECT SUM(s_prev * (LEAST(d_days, 7) - LEAST(d_prev, 7))) AS a7,
+         SUM(s_prev * (LEAST(d_days, 14) - LEAST(d_prev, 14))) AS a14,
+         MAX(d_days) AS d_last
+  FROM steps
+), tails AS (
+  SELECT a7, a14, d_last,
+         (SELECT s_nano FROM surv ORDER BY d_days DESC LIMIT 1) AS s_last
+  FROM areas
+)
+SELECT CAST((SELECT COUNT(*) FROM durs) AS BIGINT) AS n_users,
+       ROUND((a7 + s_last * GREATEST(7 - d_last, 0)) / 1e9, 6) + 0.0
+         AS rmst_7,
+       ROUND((a14 + s_last * GREATEST(14 - d_last, 0)) / 1e9, 6) + 0.0
+         AS rmst_14
+FROM tails
+""")
+def q_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restricted mean survival time on q_kaplan_meier's frame
+    (time-to-first-purchase with censoring at the observation edge):
+    RMST(tau) = area under the KM curve up to tau = 7 and 14 days —
+    "the average purchase-free days in the first week / fortnight",
+    the survival summary that stays defined when the median is never
+    reached and the clinically preferred effect scale for heavy
+    censoring. Completes the family: q_kaplan_meier draws the curve,
+    q_nelson_aalen its hazard, q_logrank compares arms, RMST prices
+    the difference in days.
+
+    Determinism: the survival levels reuse KM's nano-quantized ln-sum
+    (exp of an exact integer ratio, re-quantized to nano), so every
+    step area s_prev * gap_days is an exact INTEGER nano-day product
+    and the cross-step sum is order-free; the two horizon truncations
+    are integer LEAST/GREATEST algebra; one rounding at the end.
+
+    Scale: identical plan family to q_kaplan_meier — keyed per-user
+    aggregate, then every window runs over the bounded distinct-
+    duration spine (the q_logrank-approved shape)."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = (ev.groupBy("user_id")
+                .agg(F.min(F.col("ts").cast("date")).alias("t0"),
+                     F.min(F.when(F.col("event_type") == "purchase",
+                                  F.col("ts").cast("date"))).alias("tp")))
+    horizon = F.broadcast(
+        ev.agg(F.max(F.col("ts").cast("date")).alias("tmax")))
+    durs = (per_user.crossJoin(horizon)
+            .select(F.when(F.col("tp").isNotNull(),
+                           F.datediff("tp", "t0"))
+                    .otherwise(F.datediff("tmax", "t0")).alias("d_days"),
+                    F.col("tp").isNotNull().alias("is_event")))
+    tbl = (durs.groupBy("d_days")
+           .agg(F.count(F.when(F.col("is_event"), 1)).alias("d"),
+                F.count(F.when(~F.col("is_event"), 1)).alias("c")))
+    n_tot = F.broadcast(durs.agg(F.count(F.lit(1)).alias("n_users")))
+    wcum = (W.orderBy("d_days")
+            .rowsBetween(W.unboundedPreceding, W.currentRow))
+    wprev = (W.orderBy("d_days")
+             .rowsBetween(W.unboundedPreceding, -1))
+    curve = (tbl.crossJoin(n_tot)
+             .withColumn("n_risk",
+                         F.col("n_users")
+                         - F.coalesce(F.sum(F.col("d") + F.col("c"))
+                                      .over(wprev), F.lit(0))))
+    term_n = (F.when((F.col("d") > 0) & (F.col("d") < F.col("n_risk")),
+                     F.round(F.log(1.0 - F.col("d").cast("double")
+                                   / F.col("n_risk")) * 1e9).cast("bigint"))
+              .when(F.col("d") == 0, F.lit(0)))
+    absorbed = F.sum(F.when(term_n.isNull(), 1).otherwise(0)).over(wcum)
+    s_nano = (F.when(absorbed > 0, F.lit(0))
+              .otherwise(F.round(F.exp(F.sum(term_n).over(wcum) / 1e9)
+                                 * 1e9).cast("bigint")))
+    surv = curve.select("d_days", "n_users", s_nano.alias("s_nano"))
+    wlag = W.orderBy("d_days")
+    steps = surv.select(
+        "d_days", "s_nano", "n_users",
+        F.coalesce(F.lag("d_days").over(wlag), F.lit(0)).alias("d_prev"),
+        F.coalesce(F.lag("s_nano").over(wlag),
+                   F.lit(1000000000)).alias("s_prev"),
+        F.last("s_nano").over(
+            wlag.rowsBetween(W.unboundedPreceding,
+                             W.unboundedFollowing)).alias("s_last"),
+        F.max("d_days").over(
+            wlag.rowsBetween(W.unboundedPreceding,
+                             W.unboundedFollowing)).alias("d_last"))
+
+    def area(tau: int):
+        return F.sum(F.col("s_prev")
+                     * (F.least(F.col("d_days"), F.lit(tau))
+                        - F.least(F.col("d_prev"), F.lit(tau))))
+
+    def tail(tau: int):
+        return (F.first("s_last")
+                * F.greatest(F.lit(tau) - F.first("d_last"), F.lit(0)))
+
+    return (steps.groupBy("n_users")
+            .agg(((area(7) + tail(7)) / 1e9).alias("r7"),
+                 ((area(14) + tail(14)) / 1e9).alias("r14"))
+            .select(F.col("n_users").cast("long").alias("n_users"),
+                    (F.round("r7", 6) + 0.0).alias("rmst_7"),
+                    (F.round("r14", 6) + 0.0).alias("rmst_14")))

@@ -2486,3 +2486,50 @@ def test_cohort_ltv_matches_direct(spark, tmp_path):
     b = "2024-01-08"
     assert out[(b, 0)].cohort_size == 1
     assert abs(out[(b, 0)].ltv - 7.5) < 1e-9
+
+
+def test_rmst_matches_direct_km_area(spark, tmp_path):
+    """RMST against a direct KM step-integral on a planted censored
+    sample: 10 users, events at known day offsets, two censored."""
+    rows = []
+    eid = 0
+    event_days = [1, 1, 2, 4, 6, 9, 12, 20]   # first purchase offsets
+    for u, d in enumerate(event_days):
+        rows.append((eid, "2024-01-01", u, "view", 1.0, None))
+        eid += 1
+        ts = (pd.Timestamp("2024-01-01")
+              + pd.Timedelta(days=d)).strftime("%Y-%m-%d")
+        rows.append((eid, ts, u, "purchase", 1.0, None))
+        eid += 1
+    for u in (90, 91):                         # censored at the edge
+        rows.append((eid, "2024-01-01", u, "view", 1.0, None))
+        eid += 1
+    # observation edge (tmax) = the latest event day = Jan 21
+    out = get("q_rmst").fn(spark, _write_events(tmp_path, rows)).collect()[0]
+
+    # direct KM on durations: events at their day, censored at 20
+    durs = sorted([(d, 1) for d in event_days] + [(20, 0), (20, 0)])
+    n_risk, s, steps = len(durs), 1.0, []
+    from itertools import groupby
+    for day, grp in groupby(durs, key=lambda t: t[0]):
+        grp = list(grp)
+        d_ev = sum(1 for _, e in grp if e)
+        if d_ev and d_ev < n_risk:
+            s *= (1 - d_ev / n_risk)
+        elif d_ev and d_ev == n_risk:
+            s = 0.0
+        steps.append((day, s))
+        n_risk -= len(grp)
+
+    def rmst(tau):
+        area, prev_d, prev_s = 0.0, 0, 1.0
+        for day, sv in steps:
+            area += prev_s * (min(day, tau) - min(prev_d, tau))
+            prev_d, prev_s = day, sv
+        area += prev_s * max(tau - prev_d, 0)
+        return area
+
+    assert out.n_users == 10
+    assert abs(out.rmst_7 - round(rmst(7), 6)) < 1e-5
+    assert abs(out.rmst_14 - round(rmst(14), 6)) < 1e-5
+    assert out.rmst_14 > out.rmst_7  # the area is monotone in tau
