@@ -244,6 +244,7 @@ EXTRA = [
     "q_holt_winters",
     "q_cohort_ltv",
     "q_rmst",
+    "q_bland_altman",
 ]
 
 

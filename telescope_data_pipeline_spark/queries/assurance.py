@@ -2378,3 +2378,85 @@ def q_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("n_users").cast("long").alias("n_users"),
                     (F.round("r7", 6) + 0.0).alias("rmst_7"),
                     (F.round("r14", 6) + 0.0).alias("rmst_14")))
+
+
+# ---------------------------------------------------------------------------
+# Bland-Altman agreement between two scorers of the same items
+# ---------------------------------------------------------------------------
+
+@query("q_bland_altman", oracle="""
+WITH scored AS (
+  SELECT vec_id,
+         80 * label + ((vec_id % 1000003) * 2654435761 % 1000) // 5
+           AS a_milli,
+         80 * label + (((vec_id + 7) % 1000003) * 2654435761 % 1000) // 5
+           AS b_milli
+  FROM embeddings
+), d AS (
+  SELECT COUNT(*) AS n,
+         SUM(a_milli - b_milli) AS sd1,
+         SUM(CAST(a_milli - b_milli AS HUGEINT)
+             * (a_milli - b_milli)) AS sd2,
+         SUM(CASE WHEN a_milli >= b_milli THEN 1 ELSE 0 END) AS n_a_ge
+  FROM scored
+), f AS (
+  SELECT n, n_a_ge,
+         sd1::DOUBLE / n / 1000.0 AS bias,
+         SQRT((n * sd2 - CAST(sd1 AS HUGEINT) * sd1)::DOUBLE
+              / (CAST(n AS HUGEINT) * (n - 1))::DOUBLE) / 1000.0 AS sd
+  FROM d
+)
+SELECT CAST(n AS BIGINT) AS n,
+       ROUND(bias, 6) + 0.0 AS bias,
+       ROUND(sd, 6) + 0.0 AS sd_diff,
+       ROUND(bias - 1.959964 * sd, 6) + 0.0 AS loa_lower,
+       ROUND(bias + 1.959964 * sd, 6) + 0.0 AS loa_upper,
+       ROUND(n_a_ge::DOUBLE / n, 6) + 0.0 AS frac_a_higher
+FROM f
+""")
+def q_bland_altman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bland-Altman agreement analysis between two scorers of the same
+    items (the calibration family's two deterministic integer-milli
+    scorers): mean difference (bias) and the 95% limits of agreement
+    bias +- 1.96 sd — the measurement-comparison standard that
+    correlation cannot replace (two scorers can correlate at 0.99 and
+    still disagree by a constant offset; Bland-Altman shows exactly
+    that). Closes the agreement family beside Cohen/Fleiss kappa
+    (categorical) and ICC (random effects) with the CONTINUOUS-scale
+    member.
+
+    Determinism: both scores are integer milli values end-to-end; the
+    difference moments are exact HUGEINT sums; bias/sd/limits are one
+    double expression rounded once.
+
+    Scale: one map-side-combined aggregate over the scored pairs;
+    output is one row."""
+    e = load_table(spark, sf_dir, "embeddings")
+    hash_a = ((F.col("vec_id") % 1000003)
+              * F.lit(2654435761).cast("bigint") % 1000)
+    hash_b = (((F.col("vec_id") + 7) % 1000003)
+              * F.lit(2654435761).cast("bigint") % 1000)
+    a = (80 * F.col("label") + hash_a / F.lit(5)).cast("bigint")
+    b = (80 * F.col("label") + hash_b / F.lit(5)).cast("bigint")
+    scored = e.select(a.alias("a_milli"), b.alias("b_milli"))
+    diff = F.col("a_milli") - F.col("b_milli")
+    dec = "decimal(38,0)"
+    d = scored.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(diff).alias("sd1"),
+        F.sum(diff.cast(dec) * diff).alias("sd2"),
+        F.sum(F.when(F.col("a_milli") >= F.col("b_milli"), 1)
+              .otherwise(0)).alias("n_a_ge"))
+    n = F.col("n")
+    bias = F.col("sd1").cast("double") / n / 1000.0
+    sd = (F.sqrt((n * F.col("sd2")
+                  - F.col("sd1").cast(dec) * F.col("sd1")).cast("double")
+                 / (n.cast(dec) * (n - 1)).cast("double")) / 1000.0)
+    return d.select(
+        n.cast("long").alias("n"),
+        (F.round(bias, 6) + 0.0).alias("bias"),
+        (F.round(sd, 6) + 0.0).alias("sd_diff"),
+        (F.round(bias - 1.959964 * sd, 6) + 0.0).alias("loa_lower"),
+        (F.round(bias + 1.959964 * sd, 6) + 0.0).alias("loa_upper"),
+        (F.round(F.col("n_a_ge").cast("double") / n, 6) + 0.0)
+        .alias("frac_a_higher"))

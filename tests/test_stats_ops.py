@@ -2533,3 +2533,26 @@ def test_rmst_matches_direct_km_area(spark, tmp_path):
     assert abs(out.rmst_7 - round(rmst(7), 6)) < 1e-5
     assert abs(out.rmst_14 - round(rmst(14), 6)) < 1e-5
     assert out.rmst_14 > out.rmst_7  # the area is monotone in tau
+
+
+def test_bland_altman_matches_numpy(spark, tmp_path):
+    rng = np.random.RandomState(293)
+    n = 400
+    labels = rng.randint(0, 10, n)
+    vecs = [rng.randn(4).astype(np.float32) for _ in range(n)]
+    sf = _write_embeddings(tmp_path, vecs, labels)
+    out = get("q_bland_altman").fn(spark, sf).collect()[0]
+    a = np.array([80 * labels[i] + ((i % 1000003) * 2654435761 % 1000) // 5
+                  for i in range(n)], dtype=np.int64)
+    b = np.array([80 * labels[i]
+                  + (((i + 7) % 1000003) * 2654435761 % 1000) // 5
+                  for i in range(n)], dtype=np.int64)
+    d = (a - b) / 1000.0
+    assert out.n == n
+    assert abs(out.bias - round(d.mean(), 6)) < 1e-9
+    assert abs(out.sd_diff - round(d.std(ddof=1), 6)) < 1e-6
+    assert abs(out.loa_lower
+               - round(d.mean() - 1.959964 * d.std(ddof=1), 6)) < 1e-5
+    assert abs(out.frac_a_higher - round((a >= b).mean(), 6)) < 1e-9
+    # the two hash scorers share the label term: bias ~ 0, narrow LoA
+    assert abs(out.bias) < 0.05 and out.loa_upper < 0.5
