@@ -245,6 +245,7 @@ EXTRA = [
     "q_cohort_ltv",
     "q_rmst",
     "q_bland_altman",
+    "q_rmst_arms",
 ]
 
 

@@ -2460,3 +2460,166 @@ def q_bland_altman(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(bias + 1.959964 * sd, 6) + 0.0).alias("loa_upper"),
         (F.round(F.col("n_a_ge").cast("double") / n, 6) + 0.0)
         .alias("frac_a_higher"))
+
+
+# ---------------------------------------------------------------------------
+# Two-arm RMST difference at tau = 14 days (survival effect in days)
+# ---------------------------------------------------------------------------
+
+@query("q_rmst_arms", oracle="""
+WITH per_user AS (
+  SELECT user_id,
+         CASE WHEN ((user_id % 1000003) * 2654435761 % 1000) < 500
+              THEN 0 ELSE 1 END AS arm,
+         MIN(CAST(ts AS DATE)) AS t0,
+         MIN(CASE WHEN event_type = 'purchase' THEN CAST(ts AS DATE) END)
+           AS tp
+  FROM events WHERE user_id IS NOT NULL
+  GROUP BY 1, 2
+), horizon AS (
+  SELECT MAX(CAST(ts AS DATE)) AS tmax FROM events
+), durs AS (
+  SELECT arm,
+         CASE WHEN tp IS NOT NULL THEN date_diff('day', t0, tp)
+              ELSE date_diff('day', t0, tmax) END AS d_days,
+         (tp IS NOT NULL) AS is_event
+  FROM per_user CROSS JOIN horizon
+), tbl AS (
+  SELECT arm, d_days,
+         COUNT(*) FILTER (WHERE is_event) AS d,
+         COUNT(*) FILTER (WHERE NOT is_event) AS c
+  FROM durs GROUP BY 1, 2
+), sizes AS (
+  SELECT arm, COUNT(*) AS n_arm FROM durs GROUP BY arm
+), curve AS (
+  SELECT t.arm, t.d_days, t.d,
+         s.n_arm - COALESCE(SUM(t.d + t.c) OVER (
+            PARTITION BY t.arm ORDER BY t.d_days
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS n_risk,
+         s.n_arm
+  FROM tbl t JOIN sizes s USING (arm)
+), terms AS (
+  SELECT arm, d_days, n_arm,
+         CASE WHEN d > 0 AND d < n_risk
+              THEN CAST(ROUND(LN(1.0 - d::DOUBLE / n_risk) * 1000000000)
+                        AS BIGINT)
+              WHEN d = 0 THEN 0 END AS term_n
+  FROM curve
+), surv AS (
+  SELECT arm, d_days, n_arm,
+         CASE WHEN SUM(CASE WHEN term_n IS NULL THEN 1 ELSE 0 END)
+                   OVER w > 0 THEN 0
+              ELSE CAST(ROUND(EXP(SUM(term_n) OVER w / 1e9) * 1e9)
+                        AS BIGINT)
+         END AS s_nano
+  FROM terms
+  WINDOW w AS (PARTITION BY arm ORDER BY d_days
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), steps AS (
+  SELECT arm, d_days, s_nano, n_arm,
+         COALESCE(LAG(d_days) OVER pw, 0) AS d_prev,
+         COALESCE(LAG(s_nano) OVER pw, 1000000000) AS s_prev,
+         LAST_VALUE(s_nano) OVER (PARTITION BY arm ORDER BY d_days
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           AS s_last,
+         MAX(d_days) OVER (PARTITION BY arm) AS d_last
+  FROM surv
+  WINDOW pw AS (PARTITION BY arm ORDER BY d_days)
+), per_arm AS (
+  SELECT arm, ANY_VALUE(n_arm) AS n_arm,
+         (SUM(s_prev * (LEAST(d_days, 14) - LEAST(d_prev, 14)))
+          + ANY_VALUE(s_last)
+            * GREATEST(14 - ANY_VALUE(d_last), 0)) / 1e9 AS rmst14
+  FROM steps GROUP BY arm
+)
+SELECT CAST(a.n_arm AS BIGINT) AS n_a, CAST(b.n_arm AS BIGINT) AS n_b,
+       ROUND(a.rmst14, 6) + 0.0 AS rmst14_a,
+       ROUND(b.rmst14, 6) + 0.0 AS rmst14_b,
+       ROUND(b.rmst14 - a.rmst14, 6) + 0.0 AS rmst_diff
+FROM (SELECT * FROM per_arm WHERE arm = 0) a
+CROSS JOIN (SELECT * FROM per_arm WHERE arm = 1) b
+""")
+def q_rmst_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-arm RMST difference at tau = 14 days: each arm's restricted
+    mean time-to-first-purchase and their difference — the survival
+    EFFECT SIZE priced in days, the modern companion q_logrank's
+    p-value cannot provide (and the recommended readout when hazards
+    are non-proportional). Arms ride the canonical hash split
+    (q_ab_srm gates it).
+
+    Determinism: q_rmst's all-integer construction with an arm
+    dimension — nano-quantized KM levels, integer step areas per arm,
+    one rounding per output.
+
+    Scale: every window partitions BY ARM over the bounded per-arm
+    distinct-duration spine; the per-user aggregate and the duration
+    counts are keyed shuffles; output is one row."""
+    ev = load_table(spark, sf_dir, "events")
+    arm = F.when(((F.col("user_id") % 1000003)
+                  * F.lit(2654435761).cast("bigint") % 1000) < 500, 0) \
+        .otherwise(1)
+    per_user = (ev.filter(F.col("user_id").isNotNull())
+                .groupBy("user_id", arm.alias("arm"))
+                .agg(F.min(F.col("ts").cast("date")).alias("t0"),
+                     F.min(F.when(F.col("event_type") == "purchase",
+                                  F.col("ts").cast("date"))).alias("tp")))
+    horizon = F.broadcast(
+        ev.agg(F.max(F.col("ts").cast("date")).alias("tmax")))
+    durs = (per_user.crossJoin(horizon)
+            .select("arm",
+                    F.when(F.col("tp").isNotNull(),
+                           F.datediff("tp", "t0"))
+                    .otherwise(F.datediff("tmax", "t0")).alias("d_days"),
+                    F.col("tp").isNotNull().alias("is_event")))
+    tbl = (durs.groupBy("arm", "d_days")
+           .agg(F.count(F.when(F.col("is_event"), 1)).alias("d"),
+                F.count(F.when(~F.col("is_event"), 1)).alias("c")))
+    sizes = durs.groupBy("arm").agg(F.count(F.lit(1)).alias("n_arm"))
+    wprev = (W.partitionBy("arm").orderBy("d_days")
+             .rowsBetween(W.unboundedPreceding, -1))
+    wcum = (W.partitionBy("arm").orderBy("d_days")
+            .rowsBetween(W.unboundedPreceding, W.currentRow))
+    wall = (W.partitionBy("arm").orderBy("d_days")
+            .rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+    wlag = W.partitionBy("arm").orderBy("d_days")
+    curve = (tbl.join(F.broadcast(sizes), "arm")
+             .withColumn("n_risk",
+                         F.col("n_arm")
+                         - F.coalesce(F.sum(F.col("d") + F.col("c"))
+                                      .over(wprev), F.lit(0))))
+    term_n = (F.when((F.col("d") > 0) & (F.col("d") < F.col("n_risk")),
+                     F.round(F.log(1.0 - F.col("d").cast("double")
+                                   / F.col("n_risk")) * 1e9).cast("bigint"))
+              .when(F.col("d") == 0, F.lit(0)))
+    absorbed = F.sum(F.when(term_n.isNull(), 1).otherwise(0)).over(wcum)
+    s_nano = (F.when(absorbed > 0, F.lit(0))
+              .otherwise(F.round(F.exp(F.sum(term_n).over(wcum) / 1e9)
+                                 * 1e9).cast("bigint")))
+    surv = curve.select("arm", "d_days", "n_arm", s_nano.alias("s_nano"))
+    steps = surv.select(
+        "arm", "d_days", "s_nano", "n_arm",
+        F.coalesce(F.lag("d_days").over(wlag), F.lit(0)).alias("d_prev"),
+        F.coalesce(F.lag("s_nano").over(wlag),
+                   F.lit(1000000000)).alias("s_prev"),
+        F.last("s_nano").over(wall).alias("s_last"),
+        F.max("d_days").over(wall).alias("d_last"))
+    per_arm = (steps.groupBy("arm")
+               .agg(F.first("n_arm").alias("n_arm"),
+                    ((F.sum(F.col("s_prev")
+                            * (F.least(F.col("d_days"), F.lit(14))
+                               - F.least(F.col("d_prev"), F.lit(14))))
+                      + F.first("s_last")
+                      * F.greatest(F.lit(14) - F.first("d_last"),
+                                   F.lit(0))) / 1e9).alias("rmst14")))
+    a = per_arm.filter(F.col("arm") == 0).select(
+        F.col("n_arm").alias("n_a"), F.col("rmst14").alias("r_a"))
+    b = per_arm.filter(F.col("arm") == 1).select(
+        F.col("n_arm").alias("n_b"), F.col("rmst14").alias("r_b"))
+    return (a.crossJoin(F.broadcast(b))
+            .select(F.col("n_a").cast("long").alias("n_a"),
+                    F.col("n_b").cast("long").alias("n_b"),
+                    (F.round(F.col("r_a"), 6) + 0.0).alias("rmst14_a"),
+                    (F.round(F.col("r_b"), 6) + 0.0).alias("rmst14_b"),
+                    (F.round(F.col("r_b") - F.col("r_a"), 6) + 0.0)
+                    .alias("rmst_diff")))

@@ -76,7 +76,7 @@ _REGISTRY: dict[str, Query] = {}
 #: the backlog over r13-r14.
 #: The local tri-scale (sf0.001/0.01/0.1) oracle sweep still covers
 #: all registered queries per session.
-#: ROUND-13 QUEUE: the 34 session-4 queries
+#: ROUND-13 QUEUE: the 35 session-4 queries
 #: (q_hellinger_drift, q_overdispersion, q_hosmer_lemeshow,
 #: q_hurst_exponent, q_cronbach_alpha, q_hits_step, q_powerlaw_alpha,
 #: q_jaccard_linkpred, q_map_eval, q_rbo_overlap,
@@ -88,8 +88,8 @@ _REGISTRY: dict[str, Query] = {}
 #: media cadence rotation) and q_top_supplier,
 #: q_supplier_variety, q_newey_west, q_gumbel_fit,
 #: q_volume_shipping, q_shapley_attribution, q_ratio_delta,
-#: q_holt_winters, q_cohort_ltv, q_rmst, q_bland_altman
-#: are NOT in this
+#: q_holt_winters, q_cohort_ltv, q_rmst, q_bland_altman,
+#: q_rmst_arms are NOT in this
 #: round's window (it was already balanced at exactly 50 with the
 #: drain slots the round-11 VERDICT item 1 asked for); they are all
 #: tri-scale oracle-proven locally and belong at the HEAD of r13's

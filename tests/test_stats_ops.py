@@ -2556,3 +2556,31 @@ def test_bland_altman_matches_numpy(spark, tmp_path):
     assert abs(out.frac_a_higher - round((a >= b).mean(), 6)) < 1e-9
     # the two hash scorers share the label term: bias ~ 0, narrow LoA
     assert abs(out.bias) < 0.05 and out.loa_upper < 0.5
+
+
+def test_rmst_arms_detects_planted_delay(spark, tmp_path):
+    """Arm B's first purchases are planted 9 days later than arm A's:
+    the RMST difference must price that gap in days."""
+    def arm(u):
+        return 0 if ((u % 1000003) * 2654435761 % 1000) < 500 else 1
+
+    rows = []
+    eid = 0
+    for u in range(60):
+        rows.append((eid, "2024-01-01", u, "view", 1.0, None))
+        eid += 1
+        delay = 1 if arm(u) == 0 else 10
+        ts = (pd.Timestamp("2024-01-01")
+              + pd.Timedelta(days=delay)).strftime("%Y-%m-%d")
+        rows.append((eid, ts, u, "purchase", 1.0, None))
+        eid += 1
+    # push the observation horizon past day 14
+    rows.append((eid, "2024-01-20", 0, "view", 1.0, None))
+    out = get("q_rmst_arms").fn(
+        spark, _write_events(tmp_path, rows)).collect()[0]
+    assert out.n_a + out.n_b == 60
+    # deterministic step curves: everyone in an arm buys at one delay,
+    # so RMST(14) = delay exactly
+    assert abs(out.rmst14_a - 1.0) < 1e-9
+    assert abs(out.rmst14_b - 10.0) < 1e-9
+    assert abs(out.rmst_diff - 9.0) < 1e-9
