@@ -361,6 +361,43 @@ def main() -> None:
         errors["diagnostics#adamic_pairs"] = \
             f"{type(e).__name__}: {e}"[:200]
 
+    # Host-speed calibration anchor (round-12 VERDICT item 3): the
+    # r11->r12 1.61x headline inflation was adjudicated as sustained
+    # host drift only via a judge rerun, because nothing in the bench
+    # line separates "host got slower" from "code got slower". These
+    # two probes are CODE-STABLE (never edited once added; they touch
+    # no tdp query code): min-of-3 of (a) a full lineitem parquet scan
+    # count and (b) a fixed two-key hash aggregate over the same scan.
+    # Round-over-round, total_min3 / calibration_total is the
+    # host-normalized comparator (see BASELINE.md).
+    calibration: dict[str, float] = {}
+    try:
+        lineitem_path = str(Path(sf_dir) / "lineitem.parquet")
+        from pyspark.sql import functions as F
+
+        scan_runs: list[float] = []
+        agg_runs: list[float] = []
+        for _ in range(3):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            spark.read.parquet(lineitem_path).count()
+            scan_runs.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            (spark.read.parquet(lineitem_path)
+                .groupBy("l_returnflag", "l_linestatus")
+                .agg(F.sum("l_quantity").alias("s"),
+                     F.avg("l_extendedprice").alias("a"),
+                     F.count("*").alias("c"))
+                .write.format("noop").mode("overwrite").save())
+            agg_runs.append(time.perf_counter() - t0)
+        calibration = {
+            "scan_count_min3": round(min(scan_runs), 4),
+            "hash_agg_min3": round(min(agg_runs), 4),
+            "total": round(min(scan_runs) + min(agg_runs), 4),
+        }
+    except Exception as e:
+        errors["calibration"] = f"{type(e).__name__}: {e}"[:200]
+
     total = round(sum(timings.values()), 3)
     # KEY ORDER MATTERS: the driver's artifact recorder keeps the TAIL
     # of the emitted line, so BENCH_r09.json lost `total_min3` — the
@@ -407,8 +444,25 @@ def main() -> None:
         # very END so the driver's tail-keeping recorder never drops it
         "n_extras_min2": len(extra_min2),
         "extras_min2": round(sum(extra_min2.values()), 3),
+        # host-speed anchor (round-12 VERDICT item 3) — also tail-safe
+        "calibration": calibration,
     })
-    print(json.dumps(payload))
+    line = json.dumps(payload)
+    print(line)
+    # Persist the FULL line as a tracked artifact (round-12 VERDICT
+    # item 2): the driver's recorder keeps only the tail of stdout, so
+    # every per-query headline map since r6 was truncated out of
+    # BENCH_r*.json. BENCHLOG.jsonl is append-only and committed, so
+    # the complete per-query series survives every round.
+    try:
+        stamped = dict(payload)
+        stamped["wall_utc"] = time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                                            time.gmtime())
+        with open(Path(__file__).resolve().parent / "BENCHLOG.jsonl",
+                  "a", encoding="utf-8") as fh:
+            fh.write(json.dumps(stamped) + "\n")
+    except OSError as e:  # a read-only checkout must not fail the bench
+        print(f"benchlog append skipped: {e}", file=sys.stderr)
 
 
 if __name__ == "__main__":

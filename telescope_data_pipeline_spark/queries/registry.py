@@ -44,91 +44,48 @@ class Query:
 _REGISTRY: dict[str, Query] = {}
 
 #: The driver's correctness gate checks queries in ``queries()`` dict
-#: order and stops after the first 50 entries. Round-12 rotation (the
+#: order and stops after the first 50 entries. Round-13 rotation (the
 #: registry's established scheme; group sizes sum to the 50-entry gate
-#: EXACTLY): this round's window is the STALE-ATTESTATION DRAIN the
-#: round-11 VERDICT item 1 asks for — 51 oracle-green queries were
-#: last driver-checked at r5 or earlier; with only a small (c) batch
-#: this round, 34 of them get fresh driver evidence now and the
-#: remaining 17 rotate in r13. The window serves
-#: (a) re-verification of queries whose Spark code OR oracle SQL
-#: changed this round (q_gwet_ac1 pre-mod hash guard, round-11 ADVICE
-#: item 3 — same output values, changed expression) — 1 entry;
-#: (b) fresh rows-only attestation for the 11 media/ANN queries so
-#: they never age past ~3 rounds (round-11 VERDICT item 5) — 11
-#: entries;
-#: (c) first-time evidence for operators NEW in round 12 — 26 entries
-#: (4 from the first session + 6 monitoring/governance queries + the
-#: Hilbert layout key, Matryoshka truncation eval, isotonic
-#: calibration, trending terms, Simpson diversity, Cochran-Armitage
-#: trend, Mantel-Haenszel pooled OR, the WARC crawl source, the HTML
-#: WET extraction, and the 6 session-3 diagnostics/release-gate
-#: queries: Ljung-Box, Granger, t-closeness, KDE curve, kNN outlier,
-#: Atkinson — plus the archive ZIP/TAR source);
-#: (d) stale-attestation drain in the spill's promised order (the
-#: 8 round-4 leftovers, then the round-5 cohort alphabetically) — 12
-#: entries (the drain slots the new cohorts displaced move to the
-#: spill HEAD, keeping the promised alphabetical order for r13).
-#: DELIBERATE TRADE: first-time evidence for the 26 new r12 operators
-#: outranks re-attesting queries the local tri-scale sweep re-proves
-#: every session; the remaining ~39 stale entries fit in the r13
-#: window (a small r13 (c) cohort leaves 35+ drain slots), completing
-#: the backlog over r13-r14.
+#: EXACTLY): this round's window is the ATTESTATION-GAP ZEROING the
+#: round-12 VERDICT item 1 mandates — "the 35 never-sampled first
+#: ... the r5-stale drain with whatever remains. Add no more than a
+#: handful of new queries this round." The window serves
+#: (a) first-ever driver evidence for the 35 registered queries that
+#: have never been driver-sampled (the r12 session-4 cohort: 34
+#: oracle-backed + the rows-only q_media_exif) — 35 entries, the
+#: exact ROUND-13 QUEUE promised in the r12 registry comment;
+#: (b) stale-attestation drain in the spill's promised alphabetical
+#: order — 15 entries (q_cluster_components .. q_join_asof), cutting
+#: the r5-stale backlog from 39 to 24 (sum = 50 exactly).
+#: DELIBERATE TRADE: per the r12 VERDICT, NO new-surface slots this
+#: round — any query added in r13 joins the r14 queue instead. The
+#: remaining 24 r5-stale entries (spill below, alphabetical) complete
+#: the backlog in r14: a 24-slot drain + up to 26 slots for r13/r14
+#: additions and cadence rotation zeroes all pre-r6 staleness.
 #: The local tri-scale (sf0.001/0.01/0.1) oracle sweep still covers
 #: all registered queries per session.
-#: ROUND-13 QUEUE: the 35 session-4 queries
-#: (q_hellinger_drift, q_overdispersion, q_hosmer_lemeshow,
-#: q_hurst_exponent, q_cronbach_alpha, q_hits_step, q_powerlaw_alpha,
-#: q_jaccard_linkpred, q_map_eval, q_rbo_overlap,
-#: q_energy_distance, q_embedding_drift) and the 6 classic
-#: relational shapes (q_min_cost_supplier, q_priority_pipeline,
-#: q_order_count_dist, q_important_stock, q_large_volume_cust,
-#: q_sales_opportunity) and q_ab_srm, q_theils_u2, q_sax_symbols,
-#: q_mix_temperature, plus the rows-only q_media_exif (joins the
-#: media cadence rotation) and q_top_supplier,
-#: q_supplier_variety, q_newey_west, q_gumbel_fit,
-#: q_volume_shipping, q_shapley_attribution, q_ratio_delta,
-#: q_holt_winters, q_cohort_ltv, q_rmst, q_bland_altman,
-#: q_rmst_arms are NOT in this
-#: round's window (it was already balanced at exactly 50 with the
-#: drain slots the round-11 VERDICT item 1 asked for); they are all
-#: tri-scale oracle-proven locally and belong at the HEAD of r13's
-#: group (c), before the r13 drain tail below.
 PRIORITY: tuple[str, ...] = (
-    # (a) changed in round 12 — 1
-    "q_gwet_ac1",
-    # (b) rows-only media/ANN cadence rotation (VERDICT r11 item 5) — 11
-    "q_ensemble_lightcurve", "q_dedup_simhash", "q_media_features",
-    "q_scan_fits", "q_agg_approx", "q_media_audio", "q_media_resize",
-    "q_quantile_sketch", "q_media_phash", "q_dedup_embed_lsh",
-    "q_pipeline_residuals",
-    # (c) first-time evidence: operators new in round 12 — 26
-    # (19 from sessions 1-2 + the 6 session-3 diagnostics/release-gate
-    # queries + the archive source, which displace the last 7 drain
-    # slots to the spill HEAD — the same documented trade as the
-    # session-2 cohort)
-    "q_media_webp_lossy", "q_gini_by_group", "q_parquet_profile",
-    "q_vocab_growth", "q_emd_drift", "q_chao1", "q_theil_index",
-    "q_ldiversity", "q_mood_median", "q_ccf_lags", "q_hilbert_key",
-    "q_matryoshka_recall", "q_isotonic_calibration", "q_trending_terms",
-    "q_simpson_diversity", "q_cochran_armitage", "q_mantel_haenszel",
-    "q_scan_warc", "q_html_extract",
-    "q_ljung_box", "q_granger", "q_tcloseness", "q_kde_curve",
-    "q_knn_outlier", "q_atkinson", "q_scan_archive",
-    # (d) stale-attestation drain — 12 (sum = 50 exactly)
-    "q_scalar_null", "q_scan_orc", "q_sql_api", "q_subquery_scalar",
-    "q_window_firstlast", "q_window_ntile", "q_window_range",
-    "q_window_rank",
-    "q_agg_percentile", "q_agg_salted", "q_annulus_background",
-    "q_bm25",
-    # spill (past the 50-entry gate; the r13 drain tail, alphabetical)
+    # (a) never driver-sampled (r12 session-4 cohort) — 35
+    "q_hellinger_drift", "q_overdispersion", "q_hosmer_lemeshow",
+    "q_hurst_exponent", "q_cronbach_alpha", "q_hits_step",
+    "q_powerlaw_alpha", "q_jaccard_linkpred", "q_map_eval",
+    "q_rbo_overlap", "q_energy_distance", "q_embedding_drift",
+    "q_ab_srm", "q_theils_u2", "q_sax_symbols", "q_mix_temperature",
+    "q_newey_west", "q_gumbel_fit", "q_shapley_attribution",
+    "q_ratio_delta", "q_holt_winters", "q_cohort_ltv", "q_rmst",
+    "q_bland_altman", "q_rmst_arms", "q_min_cost_supplier",
+    "q_priority_pipeline", "q_order_count_dist", "q_important_stock",
+    "q_large_volume_cust", "q_sales_opportunity", "q_top_supplier",
+    "q_supplier_variety", "q_volume_shipping", "q_media_exif",
+    # (b) r5-stale drain, promised alphabetical order — 15
+    # (sum = 50 exactly)
     "q_cluster_components", "q_data_card", "q_decontaminate",
     "q_dedup_bloom", "q_dedup_canonical", "q_dedup_exact",
-    "q_dedup_incremental",
-    "q_dedup_minhash_md5", "q_dedup_simhash_md5",
-    "q_dup_spans", "q_epoch_shuffle",
-    "q_filter_eq", "q_fingerprint_md5", "q_flagship",
-    "q_join_asof", "q_join_broadcast",
+    "q_dedup_incremental", "q_dedup_minhash_md5", "q_dedup_simhash_md5",
+    "q_dup_spans", "q_epoch_shuffle", "q_filter_eq",
+    "q_fingerprint_md5", "q_flagship", "q_join_asof",
+    # spill (past the 50-entry gate; the r14 drain, alphabetical) — 24
+    "q_join_broadcast",
     "q_join_inner", "q_join_knn", "q_join_nn", "q_join_salted",
     "q_kmeans_step", "q_length_batches",
     "q_line_dedup", "q_mix_corpus", "q_mix_token_budget",

@@ -2509,7 +2509,13 @@ def test_jaccard_linkpred_single_scan_no_selfjoin(spark):
 def test_hits_and_powerlaw_keyed_joins_only(spark):
     """q_hits_step / q_powerlaw_alpha: every join is a keyed equi-join
     or a 1-row scalar broadcast; top-k plans as TakeOrdered where a
-    ranking exists; no window touches the edge stream."""
+    ranking exists; no window touches the edge stream. q_hits_step's
+    distinct edge list is CacheSlot-pinned (round-12 VERDICT watch
+    item 3): all three consumers (a1, h1, a2) read the one
+    InMemoryTableScan, so orders and lineitem are each file-scanned
+    at most once."""
+    import re
+
     from telescope_data_pipeline_spark.plans.audit import physical_plan
 
     df = get("q_hits_step").fn(spark, SF)
@@ -2519,6 +2525,14 @@ def test_hits_and_powerlaw_keyed_joins_only(spark):
                    "Window"):
         assert banned not in plan, f"{banned} in q_hits_step:\n{plan}"
     assert "TakeOrderedAndProject" in plan
+    # Scan counting must look at the FINAL AQE plan only — the initial
+    # plan and each InMemoryTableScan's printed cached subtree repeat
+    # the FileScan text (the q_jaccard_linkpred test's convention).
+    final = plan.split("== Initial Plan ==")[0]
+    assert "InMemoryTableScan" in final  # the pinned edge list
+    for tbl in ("orders", "lineitem"):
+        n = len(re.findall(rf"FileScan parquet [^\n]*{tbl}", final))
+        assert n <= 1, f"{tbl} scanned {n}x (want <=1):\n{final}"
 
     df2 = get("q_powerlaw_alpha").fn(spark, SF)
     df2.collect()
@@ -2673,3 +2687,25 @@ def test_session4_final_batch_plans(spark):
         specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
         assert all(("user_id" in s) or ("event_type" in s)
                    for s in specs), (name, specs)
+
+
+def test_rmst_bounded_spine_plan(spark):
+    """q_rmst (round-12 VERDICT watch item 4 — the one session-4
+    survival query without a plan pin, for uniformity with
+    q_rmst_arms): per-user keyed aggregate, then all windows run over
+    the bounded distinct-duration spine (global-order frames on
+    d_days, the q_logrank-approved shape); the only crossJoins are the
+    1-row horizon/total broadcasts, never a cartesian over users."""
+    import re
+
+    from telescope_data_pipeline_spark.plans.audit import physical_plan
+
+    df = get("q_rmst").fn(spark, SF)
+    df.collect()
+    plan = physical_plan(df)
+    # the 1-row horizon/total broadcasts legitimately plan as
+    # BroadcastNestedLoopJoin; only an unbroadcast cartesian is banned
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs and all("d_days" in s for s in specs), specs
