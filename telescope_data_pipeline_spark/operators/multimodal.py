@@ -70,6 +70,17 @@ try:  # pragma: no cover - exercised only where soundfile is installed
 except ImportError:
     _soundfile = None
 
+try:  # pragma: no cover - exercised only where PyAV is installed
+    import av as _pyav
+except ImportError:
+    _pyav = None
+
+try:  # pragma: no cover - trivially present; guards exotic workers
+    from shutil import which as _which
+    _FFMPEG_BIN = _which("ffmpeg")
+except Exception:  # noqa: BLE001 - probe must never break module import
+    _FFMPEG_BIN = None
+
 
 def _decode_image_stub(payload: bytes) -> np.ndarray:
     """STUB decoder — deterministic fake in place of PIL/libjpeg.
@@ -2169,31 +2180,209 @@ def probe_media(media: DataFrame) -> DataFrame:
         .mapInPandas(kernel, schema=PROBE_SCHEMA)
 
 
-def sample_frames(media: DataFrame, every_s: float = 1.0) -> DataFrame:
+def encode_png_gray(arr: np.ndarray) -> bytes:
+    """Minimal 8-bit grayscale PNG encoder (stdlib zlib, filter 0).
+
+    The real-video frame extractors below emit frames in a format this
+    package's own ``_decode_png`` reads back, so downstream image
+    operators (feature extraction, perceptual-hash dedup) consume
+    sampled frames with zero new dependencies on any executor."""
+    import zlib
+
+    a = np.clip(np.asarray(arr), 0, 255).astype(np.uint8)
+    if a.ndim != 2:
+        raise CodecUnavailable("png encoder takes a 2-D grayscale array")
+    h, w = a.shape
+    _guard_dims(w, h, "PNG encode")
+    raw = b"".join(b"\x00" + a[r].tobytes() for r in range(h))
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
+
+
+#: Per-video cap on sampled frames: bounds the UDTF row explosion and
+#: the image2pipe buffer BEFORE any allocation (same contract as
+#: _guard_dims — a header-claimed 10-hour duration must not OOM).
+_MAX_SAMPLED_FRAMES = 512
+
+
+def _is_video_container(b: bytes) -> bool:
+    """True for payloads probe_media recognizes as real containers
+    (MP4/MOV ``ftyp`` box or Matroska/WebM EBML magic)."""
+    return ((len(b) >= 12 and b[4:8] == b"ftyp")
+            or b[:4] == b"\x1a\x45\xdf\xa3")
+
+
+def _split_png_stream(b: bytes) -> list[bytes]:
+    """Split an ffmpeg ``image2pipe`` PNG stream into whole files by
+    walking chunk headers to each IEND — NOT by searching for the PNG
+    signature, which legally occurs inside compressed IDAT bytes."""
+    sig = b"\x89PNG\r\n\x1a\n"
+    out: list[bytes] = []
+    pos = 0
+    while pos < len(b):
+        if b[pos:pos + 8] != sig:
+            raise CodecUnavailable("non-PNG bytes in image2pipe stream")
+        end = pos + 8
+        while True:
+            if end + 8 > len(b):
+                raise CodecUnavailable("truncated PNG in image2pipe stream")
+            ln = struct.unpack(">I", b[end:end + 4])[0]
+            tag = b[end + 4:end + 8]
+            end += 12 + ln  # length + tag + data + crc
+            if tag == b"IEND":
+                break
+        if end > len(b):  # IEND header seen but data/crc cut off
+            raise CodecUnavailable("truncated PNG in image2pipe stream")
+        out.append(b[pos:end])
+        pos = end
+    return out
+
+
+def _video_frames_pyav(payload: bytes, every_s: float,
+                       max_frames: int = _MAX_SAMPLED_FRAMES,
+                       ) -> list[tuple[float, bytes]]:
+    """Real frame sampling via PyAV when installed: decode the first
+    video stream, keep the first frame at or past each ``every_s``
+    boundary, and emit it as an 8-bit grayscale PNG. Every failure mode
+    (no stream, corrupt bitstream, codec missing from the local ffmpeg
+    build) raises typed CodecUnavailable — the caller's fallback
+    contract, mirroring decode_image's gating."""
+    if _pyav is None:
+        raise CodecUnavailable("PyAV not installed")
+    import io
+
+    try:
+        out: list[tuple[float, bytes]] = []
+        next_t = 0.0
+        with _pyav.open(io.BytesIO(bytes(payload))) as container:
+            stream = next((s for s in container.streams
+                           if getattr(s, "type", None) == "video"), None)
+            if stream is None:
+                raise CodecUnavailable("no video stream in container")
+            for frame in container.decode(stream):
+                t = float(frame.time) if frame.time is not None else next_t
+                if t + 1e-9 < next_t:
+                    continue
+                gray = frame.to_ndarray(format="gray")
+                out.append((t, encode_png_gray(gray)))
+                next_t += every_s
+                if len(out) >= max_frames:
+                    break
+        if not out:
+            raise CodecUnavailable("no decodable frames")
+        return out
+    except CodecUnavailable:
+        raise
+    except Exception as e:  # PyAV raises its own error zoo on bad bytes
+        raise CodecUnavailable(f"PyAV decode failed: {e}") from e
+
+
+def _video_frames_ffmpeg(payload: bytes, every_s: float,
+                         max_frames: int = _MAX_SAMPLED_FRAMES,
+                         ) -> list[tuple[float, bytes]]:
+    """Real frame sampling via the ffmpeg binary when on PATH:
+    ``-vf fps=1/every_s`` keyframe-decimated extraction to an
+    ``image2pipe`` PNG stream, split by chunk walking. The payload goes
+    through a temp file (stdin pipes break MP4s whose moov box trails
+    the mdat). Nonzero exit, empty output, or a malformed pipe stream
+    raises typed CodecUnavailable."""
+    if not _FFMPEG_BIN:
+        raise CodecUnavailable("ffmpeg not on PATH")
+    import os
+    import subprocess
+    import tempfile
+
+    try:
+        with tempfile.NamedTemporaryFile(suffix=".bin",
+                                         delete=False) as fh:
+            fh.write(bytes(payload))
+            path = fh.name
+        try:
+            proc = subprocess.run(
+                [_FFMPEG_BIN, "-v", "error", "-i", path,
+                 "-vf", f"fps=1/{every_s:g},format=gray",
+                 "-frames:v", str(max_frames),
+                 "-f", "image2pipe", "-c:v", "png", "-"],
+                capture_output=True, timeout=120, check=False)
+        finally:
+            os.unlink(path)
+        if proc.returncode != 0 or not proc.stdout:
+            raise CodecUnavailable(
+                f"ffmpeg exit {proc.returncode}: {proc.stderr[:200]!r}")
+        return [(i * every_s, png)
+                for i, png in enumerate(_split_png_stream(proc.stdout))]
+    except CodecUnavailable:
+        raise
+    except Exception as e:  # OSError, TimeoutExpired
+        raise CodecUnavailable(f"ffmpeg invocation failed: {e}") from e
+
+
+def _video_backend():
+    """Real-video decode backend, resolved per Python worker (the same
+    import-time probe contract as the PIL/soundfile gates): PyAV when
+    importable, else the ffmpeg binary, else None — stub sampling."""
+    if _pyav is not None:
+        return _video_frames_pyav
+    if _FFMPEG_BIN:
+        return _video_frames_ffmpeg
+    return None
+
+
+def sample_frames(media: DataFrame, every_s: float = 1.0,
+                  backend=None) -> DataFrame:
     """Video frame sampling: one output row per sampled frame (UDTF shape —
     row explosion happens inside the Arrow batch, so output rows inherit
     the input partitioning; no shuffle).
 
-    Real deployment: ffmpeg keyframe extraction. Stub: one fake frame per
-    ``every_s`` of ``duration_s``, frame bytes sliced from the payload.
+    Dispatch mirrors decode_image's gating contract: payloads carrying a
+    real container magic (MP4 ``ftyp`` / Matroska EBML — the same check
+    probe_media routes on) take a REAL decoder when one is installed,
+    PyAV first then the ffmpeg binary, probed once per Python worker;
+    sampled frames come back as 8-bit grayscale PNGs this package's own
+    ``_decode_png`` reads, so feature extraction and perceptual-hash
+    dedup run on them unchanged. A missing backend, a synthetic payload,
+    or bytes the backend cannot decode fall back to the deterministic
+    stub (one sliced pseudo-frame per ``every_s`` of ``duration_s``) —
+    sampling is triage, never a crash, the probe_media contract.
+    ``backend`` injects the extractor callable for tests; it is
+    cloudpickled into the kernel, so injection works across worker
+    process boundaries where monkeypatching module globals cannot.
     """
     videos = media.filter(F.col("modality") == "video") \
                   .select("media_id", "duration_s", "payload")
+    injected = backend
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        real = injected if injected is not None else _video_backend()
         for pdf in batches:
             out: dict[str, list] = {"media_id": [], "frame_idx": [],
                                     "t_offset_s": [], "frame_bytes": []}
             for media_id, dur, payload in zip(pdf["media_id"], pdf["duration_s"],
                                               pdf["payload"]):
-                n = max(int((dur or 0.0) / every_s), 1)
-                for i in range(n):
+                b = bytes(payload) if payload is not None else b""
+                frames: list[tuple[float, bytes]] | None = None
+                if real is not None and _is_video_container(b):
+                    try:
+                        frames = real(b, every_s)
+                    except CodecUnavailable:
+                        frames = None  # triage: corrupt payload -> stub
+                if frames is None:
+                    n = max(int((dur or 0.0) / every_s), 1)
+                    frames = [(i * every_s,
+                               bytes(b[i % max(len(b), 1):][:16])
+                               if b else b"")
+                              for i in range(n)]
+                for i, (t, fb) in enumerate(frames):
                     out["media_id"].append(media_id)
                     out["frame_idx"].append(i)
-                    out["t_offset_s"].append(i * every_s)
-                    chunk = bytes(payload[i % max(len(payload), 1):][:16]) \
-                        if payload else b""
-                    out["frame_bytes"].append(chunk)
+                    out["t_offset_s"].append(float(t))
+                    out["frame_bytes"].append(fb)
             yield pd.DataFrame(out)
 
     return videos.mapInPandas(kernel, schema=FRAME_SAMPLES)

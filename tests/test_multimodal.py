@@ -3458,3 +3458,236 @@ def test_exif_metadata_distributed(spark):
     for r in rows:
         if not r.has_exif:
             assert r.orientation is None and r.make is None
+
+
+# ---------------------------------------------------------------------------
+# Real-video frame sampling: ffmpeg/PyAV-gated dispatch (round-12 VERDICT
+# item 7). Neither backend is installed in this container, so the helpers
+# are unit-tested driver-side with a fake ffmpeg executable / fake av
+# module, and the Spark-side dispatch with an injected backend callable
+# (cloudpickled into the kernel — monkeypatched module globals never reach
+# the Python worker processes).
+# ---------------------------------------------------------------------------
+
+
+def test_encode_png_gray_roundtrips_through_own_decoder():
+    import numpy as np
+
+    from telescope_data_pipeline_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(3)
+    arr = rng.integers(0, 256, size=(9, 13), dtype=np.uint8)
+    back = mm._decode_png(mm.encode_png_gray(arr))
+    assert back.shape == (9, 13)
+    assert np.array_equal(back.astype(np.uint8), arr)
+
+
+def test_split_png_stream_walks_chunks_not_signatures():
+    import numpy as np
+
+    from telescope_data_pipeline_spark.operators import multimodal as mm
+
+    # A frame whose IDAT happens to CONTAIN the PNG signature bytes —
+    # naive signature splitting would cut the file in half.
+    sig = b"\x89PNG\r\n\x1a\n"
+    import struct
+    import zlib
+    tricky_raw = b"\x00" + sig  # filter byte + 8 "pixels" = the signature
+    ihdr = struct.pack(">IIBBBBB", 8, 1, 8, 0, 0, 0, 0)
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    tricky = (sig + chunk(b"IHDR", ihdr)
+              + chunk(b"IDAT", zlib.compress(tricky_raw, 0))  # stored: raw
+              + chunk(b"IEND", b""))
+    assert sig in tricky[8:]  # the trap is actually planted
+    plain = mm.encode_png_gray(np.arange(6, dtype=np.uint8).reshape(2, 3))
+    frames = mm._split_png_stream(tricky + plain + tricky)
+    assert frames == [tricky, plain, tricky]
+
+    import pytest
+    with pytest.raises(mm.CodecUnavailable):
+        mm._split_png_stream(plain + b"JUNK")
+    with pytest.raises(mm.CodecUnavailable):
+        mm._split_png_stream(plain[:-4])  # truncated final chunk
+
+
+def test_video_frames_ffmpeg_with_fake_binary(tmp_path, monkeypatch):
+    import numpy as np
+
+    from telescope_data_pipeline_spark.operators import multimodal as mm
+
+    png1 = mm.encode_png_gray(np.zeros((2, 2), np.uint8))
+    png2 = mm.encode_png_gray(np.full((2, 2), 9, np.uint8))
+    blob = tmp_path / "frames.bin"
+    blob.write_bytes(png1 + png2)
+    script = tmp_path / "ffmpeg"
+    script.write_text(f"#!/bin/sh\ncat {blob}\n")
+    script.chmod(0o755)
+    monkeypatch.setattr(mm, "_FFMPEG_BIN", str(script))
+    frames = mm._video_frames_ffmpeg(
+        b"\x00\x00\x00\x18ftypisom" + b"\x00" * 16, 2.0)
+    assert [(t, f) for t, f in frames] == [(0.0, png1), (2.0, png2)]
+
+
+def test_video_frames_ffmpeg_failures_are_codec_unavailable(
+        tmp_path, monkeypatch):
+    import pytest
+
+    from telescope_data_pipeline_spark.operators import multimodal as mm
+
+    monkeypatch.setattr(mm, "_FFMPEG_BIN", None)
+    with pytest.raises(mm.CodecUnavailable):
+        mm._video_frames_ffmpeg(b"x", 1.0)
+
+    bad = tmp_path / "ffmpeg"
+    bad.write_text("#!/bin/sh\necho 'no decoder' >&2\nexit 1\n")
+    bad.chmod(0o755)
+    monkeypatch.setattr(mm, "_FFMPEG_BIN", str(bad))
+    with pytest.raises(mm.CodecUnavailable):
+        mm._video_frames_ffmpeg(b"x", 1.0)
+
+    junk = tmp_path / "ffmpeg2"
+    junk.write_text("#!/bin/sh\necho not-a-png\n")
+    junk.chmod(0o755)
+    monkeypatch.setattr(mm, "_FFMPEG_BIN", str(junk))
+    with pytest.raises(mm.CodecUnavailable):
+        mm._video_frames_ffmpeg(b"x", 1.0)
+
+
+class _FakeAvFrame:
+    def __init__(self, t, val):
+        import numpy as np
+        self.time = t
+        self._arr = np.full((3, 5), val, dtype=np.uint8)
+
+    def to_ndarray(self, format):
+        assert format == "gray"
+        return self._arr
+
+
+class _FakeAvContainer:
+    def __init__(self, frames, stream_type="video"):
+        import types
+        self.streams = [types.SimpleNamespace(type=stream_type)]
+        self._frames = frames
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        return False
+
+    def decode(self, stream):
+        return iter(self._frames)
+
+
+class _FakeAv:
+    def __init__(self, frames, stream_type="video"):
+        self._frames = frames
+        self._stream_type = stream_type
+
+    def open(self, fh):
+        return _FakeAvContainer(self._frames, self._stream_type)
+
+
+def test_video_frames_pyav_samples_at_interval(monkeypatch):
+    from telescope_data_pipeline_spark.operators import multimodal as mm
+
+    # 25 fps worth of frames over 3 s; every_s=1.0 keeps t=0,1,2,3.
+    frames = [_FakeAvFrame(i * 0.25, i) for i in range(13)]
+    monkeypatch.setattr(mm, "_pyav", _FakeAv(frames))
+    got = mm._video_frames_pyav(b"\x1a\x45\xdf\xa3", 1.0)
+    assert [t for t, _ in got] == [0.0, 1.0, 2.0, 3.0]
+    assert all(mm._decode_png(png).shape == (3, 5) for _, png in got)
+
+
+def test_video_frames_pyav_failures_are_codec_unavailable(monkeypatch):
+    import pytest
+
+    from telescope_data_pipeline_spark.operators import multimodal as mm
+
+    monkeypatch.setattr(mm, "_pyav", None)
+    with pytest.raises(mm.CodecUnavailable):
+        mm._video_frames_pyav(b"x", 1.0)
+
+    monkeypatch.setattr(mm, "_pyav", _FakeAv([], stream_type="audio"))
+    with pytest.raises(mm.CodecUnavailable):  # no video stream
+        mm._video_frames_pyav(b"x", 1.0)
+
+    class _Boom:
+        def open(self, fh):
+            raise ValueError("moov atom not found")
+
+    monkeypatch.setattr(mm, "_pyav", _Boom())
+    with pytest.raises(mm.CodecUnavailable):  # foreign error wrapped
+        mm._video_frames_pyav(b"x", 1.0)
+
+
+def test_video_backend_probe_order(monkeypatch):
+    from telescope_data_pipeline_spark.operators import multimodal as mm
+
+    monkeypatch.setattr(mm, "_pyav", object())
+    monkeypatch.setattr(mm, "_FFMPEG_BIN", "/usr/bin/ffmpeg")
+    assert mm._video_backend() is mm._video_frames_pyav  # PyAV first
+    monkeypatch.setattr(mm, "_pyav", None)
+    assert mm._video_backend() is mm._video_frames_ffmpeg
+    monkeypatch.setattr(mm, "_FFMPEG_BIN", None)
+    assert mm._video_backend() is None  # this container's state
+
+
+def test_sample_frames_real_backend_dispatch(spark):
+    """Injected backend (stand-in for PyAV/ffmpeg) handles exactly the
+    rows with real container magics; synthetic payloads keep the stub."""
+    import numpy as np
+
+    from telescope_data_pipeline_spark.operators import multimodal as mm
+
+    frame_png = mm.encode_png_gray(np.full((4, 6), 200, np.uint8))
+
+    def fake_backend(payload, every_s):
+        assert mm._is_video_container(payload)  # gate ran before us
+        return [(0.0, frame_png), (every_s, frame_png)]
+
+    media = make_fake_media(spark, n=32)
+    rows = sample_frames(media, every_s=1.0,
+                         backend=fake_backend).collect()
+    payloads = {r.media_id: bytes(r.payload)
+                for r in media.filter("modality = 'video'").collect()}
+    real_ids = {mid for mid, b in payloads.items()
+                if mm._is_video_container(b)}
+    assert real_ids  # the fixture plants real MP4/Matroska containers
+    assert set(payloads) - real_ids  # ... and synthetic ones
+    by_media: dict[int, list] = {}
+    for r in rows:
+        by_media.setdefault(r.media_id, []).append(r)
+    assert set(by_media) == set(payloads)
+    for mid, rs in by_media.items():
+        rs.sort(key=lambda r: r.frame_idx)
+        if mid in real_ids:
+            assert [r.t_offset_s for r in rs] == [0.0, 1.0]
+            arr = mm._decode_png(bytes(rs[0].frame_bytes))
+            assert arr.shape == (4, 6) and float(arr.max()) == 200.0
+        else:
+            assert all(len(bytes(r.frame_bytes)) <= 16 for r in rs)
+
+
+def test_sample_frames_backend_failure_falls_back_to_stub(spark):
+    """A backend that cannot decode (corrupt payload, missing codec in
+    the local build) degrades to the stub rows — byte-identical to the
+    no-backend output, so goldens pinned on the stub stay valid."""
+    from telescope_data_pipeline_spark.operators import multimodal as mm
+
+    def broken(payload, every_s):
+        raise mm.CodecUnavailable("cannot decode")
+
+    media = make_fake_media(spark, n=32)
+
+    def canon(df):
+        return sorted((r.media_id, r.frame_idx, r.t_offset_s,
+                       bytes(r.frame_bytes)) for r in df.collect())
+
+    assert canon(sample_frames(media, every_s=1.0, backend=broken)) \
+        == canon(sample_frames(media, every_s=1.0))
