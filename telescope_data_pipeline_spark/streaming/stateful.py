@@ -1752,3 +1752,104 @@ def mix_temperature_stream(stream: DataFrame) -> DataFrame:
                 outputMode="update",
                 timeoutConf=GroupStateTimeout.NoTimeout,
             ))
+
+
+# ---------------------------------------------------------------------------
+# Streaming parquet-footer profiler: scan-planning stats that update as
+# files land (round 13; the live twin of the batch q_parquet_profile,
+# queries/profiling.py)
+# ---------------------------------------------------------------------------
+
+PQPROF_STATE_SCHEMA = T.StructType([
+    T.StructField("n_chunks", T.LongType()),
+    T.StructField("num_values", T.LongType()),
+    T.StructField("compressed", T.LongType()),
+    T.StructField("uncompressed", T.LongType()),
+])
+
+PQPROF_OUT_SCHEMA = T.StructType([
+    T.StructField("column_name", T.StringType()),
+    T.StructField("n_chunks", T.LongType()),
+    T.StructField("num_values", T.LongType()),
+    T.StructField("compressed_bytes", T.LongType()),
+    T.StructField("uncompressed_bytes", T.LongType()),
+    T.StructField("ratio", T.DoubleType()),
+])
+
+
+def _pqprof_update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+    n, nv, cb, ub = (state.get if state.exists else (0, 0, 0, 0))
+    for pdf in pdfs:
+        n += len(pdf)
+        nv += int(pdf["num_values"].sum())
+        cb += int(pdf["compressed_bytes"].sum())
+        ub += int(pdf["uncompressed_bytes"].sum())
+    state.update((n, nv, cb, ub))
+    yield pd.DataFrame([{
+        "column_name": key[0],
+        "n_chunks": n,
+        "num_values": nv,
+        "compressed_bytes": cb,
+        "uncompressed_bytes": ub,
+        "ratio": round(ub / cb, 6) if cb else None,
+    }], columns=[f.name for f in PQPROF_OUT_SCHEMA.fields])
+
+
+def parquet_profile_stream(stream: DataFrame) -> DataFrame:
+    """Streaming scan-planning profiler: the live twin of the batch
+    q_parquet_profile footer sweep (queries/profiling.py). Input is a
+    manifest feed — a stream whose rows carry parquet file ``path``s
+    (a file-arrival queue, an ingest ledger). Stage 1 is a STATELESS
+    mapInPandas that opens each newly-arrived file's footer
+    executor-side (pyarrow, a few KB of metadata per file — the
+    payload never moves) and emits one row per column chunk; a path
+    that fails to open or parse is dropped whole, the archive-source
+    triage contract, because a manifest feed outlives any one corrupt
+    file. Stage 2 keeps per-COLUMN running totals in
+    applyInPandasWithState: chunk count, value count, and
+    compressed/uncompressed byte sums — four integers per column,
+    order-free sufficient statistics, so the drained totals equal the
+    batch footer sweep over the same file set bit-for-bit under ANY
+    arrival order or batching (the hll/simpson twin guarantee class).
+
+    Scale: footer reads distribute across executors with the manifest
+    rows; state is O(#columns) forever — the running answer to "is
+    this table's layout still scannable" (row-group sizes feeding
+    ``files.maxPartitionBytes``, a ratio near 1.0 flagging an
+    incompressible column) without re-sweeping 100k files."""
+
+    def footer_kernel(batches: Iterator[pd.DataFrame]) \
+            -> Iterator[pd.DataFrame]:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        cols = ["column_name", "num_values", "compressed_bytes",
+                "uncompressed_bytes"]
+        for pdf in batches:
+            rows: list[tuple] = []
+            for p in pdf["path"]:
+                try:
+                    md = pq.ParquetFile(str(p)).metadata
+                    for rg in range(md.num_row_groups):
+                        rgm = md.row_group(rg)
+                        for ci in range(rgm.num_columns):
+                            c = rgm.column(ci)
+                            rows.append((c.path_in_schema,
+                                         int(c.num_values),
+                                         int(c.total_compressed_size),
+                                         int(c.total_uncompressed_size)))
+                except (OSError, ValueError, pa.ArrowException):
+                    continue  # whole-file corrupt drop (triage)
+            yield pd.DataFrame(rows, columns=cols)
+
+    chunks = stream.select(F.col("path").cast("string").alias("path")) \
+        .mapInPandas(footer_kernel, schema=(
+            "column_name string, num_values long, "
+            "compressed_bytes long, uncompressed_bytes long"))
+    return (chunks.groupBy("column_name")
+            .applyInPandasWithState(
+                _pqprof_update,
+                outputStructType=PQPROF_OUT_SCHEMA,
+                stateStructType=PQPROF_STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            ))

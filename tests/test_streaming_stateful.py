@@ -1090,3 +1090,70 @@ def test_mix_temperature_stream_matches_batch_any_order(spark):
         assert int(got["n_tok"]) == int(r.n_tok), r.lang
         for col in ("natural_share", "temp_share", "upsample"):
             assert float(got[col]) == float(getattr(r, col)), (r.lang, col)
+
+
+def test_parquet_profile_stream_matches_footer_sweep_any_order(spark):
+    """Streaming footer profiler: per-column running totals are integer
+    sums — order-free — so the drained rows must equal an independent
+    pyarrow sweep over the same files exactly, with the manifest split
+    across micro-batches; a corrupt manifest entry drops whole."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from telescope_data_pipeline_spark.streaming.stateful import (
+        parquet_profile_stream,
+    )
+
+    d = tempfile.mkdtemp(prefix="pqprof_data_")
+    li = (load_table(spark, SF, "lineitem").toPandas()
+          .sample(frac=1.0, random_state=5).reset_index(drop=True))
+    k = len(li) // 3
+    paths = []
+    for i, chunk in enumerate((li[:k], li[k:2 * k], li[2 * k:])):
+        p = f"{d}/data-{i}.parquet"
+        chunk.to_parquet(p, engine="pyarrow", index=False)
+        paths.append(p)
+    junk = f"{d}/junk.parquet"  # not parquet: must drop, not crash
+    with open(junk, "wb") as fh:
+        fh.write(b"\x00not a parquet file")
+
+    m = tempfile.mkdtemp(prefix="pqprof_manifest_")
+    for i, p in enumerate([paths[0], junk, f"{d}/missing.parquet",
+                           paths[1], paths[2]]):
+        mp = f"{m}/m-{i}.txt"
+        with open(mp, "w") as fh:
+            fh.write(p + "\n")
+        os.utime(mp, (1700000000 + i, 1700000000 + i))
+    stream = (spark.readStream.format("text")
+              .option("maxFilesPerTrigger", 1).load(m)
+              .select(F.col("value").alias("path")))
+
+    latest: dict = {}
+    q = (parquet_profile_stream(stream)
+         .writeStream.outputMode("update")
+         .foreachBatch(lambda df, _bid: latest.update(
+             {r["column_name"]: r for _, r in df.toPandas().iterrows()}))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    assert len(q.recentProgress) >= 3
+
+    want: dict = {}  # independent ground truth: direct pyarrow sweep
+    for p in paths:
+        md = pq.ParquetFile(p).metadata
+        for rg in range(md.num_row_groups):
+            rgm = md.row_group(rg)
+            for ci in range(rgm.num_columns):
+                c = rgm.column(ci)
+                e = want.setdefault(c.path_in_schema, [0, 0, 0, 0])
+                e[0] += 1
+                e[1] += c.num_values
+                e[2] += c.total_compressed_size
+                e[3] += c.total_uncompressed_size
+    assert set(latest) == set(want)
+    for col, (n, nv, cb, ub) in want.items():
+        r = latest[col]
+        assert (int(r["n_chunks"]), int(r["num_values"]),
+                int(r["compressed_bytes"]),
+                int(r["uncompressed_bytes"])) == (n, nv, cb, ub), col
+        assert float(r["ratio"]) == round(ub / cb, 6), col
