@@ -246,6 +246,12 @@ EXTRA = [
     "q_rmst",
     "q_bland_altman",
     "q_rmst_arms",
+    # round-13 additions — informational, frozen comparator untouched
+    "q_kendall_tau",
+    "q_benjamini_hochberg",
+    "q_krippendorff_alpha",
+    "q_conformal_interval",
+    "q_weibull_fit",
 ]
 
 

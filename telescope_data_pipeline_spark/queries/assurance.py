@@ -2632,3 +2632,290 @@ def q_rmst_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.round(F.col("r_b"), 6) + 0.0).alias("rmst14_b"),
                     (F.round(F.col("r_b") - F.col("r_a"), 6) + 0.0)
                     .alias("rmst_diff")))
+
+
+# ---------------------------------------------------------------------------
+# Split-conformal prediction interval per series (round 13)
+# ---------------------------------------------------------------------------
+
+@query("q_conformal_interval", oracle=f"""
+WITH ev AS (
+  SELECT event_type, CAST(ROUND(value * 1e9) AS BIGINT) AS v_nano,
+         (ts < TIMESTAMP '{_SPLIT}') AS is_cal
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+), mu AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_cal,
+         CAST(ROUND(SUM(v_nano)::DOUBLE / COUNT(*)) AS BIGINT) AS mu_nano
+  FROM ev WHERE is_cal GROUP BY 1
+), k AS (
+  SELECT event_type, n_cal, mu_nano,
+         CAST(LEAST(FLOOR(((n_cal + 1) * 4 + 4) / 5), n_cal::DOUBLE)
+              AS BIGINT) AS kk
+  FROM mu
+), ranked AS (
+  SELECT e.event_type, ABS(e.v_nano - k.mu_nano) AS s_nano,
+         ROW_NUMBER() OVER (PARTITION BY e.event_type
+                            ORDER BY ABS(e.v_nano - k.mu_nano)) AS rn
+  FROM ev e JOIN k USING (event_type) WHERE e.is_cal
+), qhat AS (
+  SELECT r.event_type, r.s_nano AS q_nano
+  FROM ranked r JOIN k USING (event_type) WHERE r.rn = k.kk
+), test AS (
+  SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n_test,
+         CAST(SUM(CASE WHEN ABS(e.v_nano - k.mu_nano) <= q.q_nano
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_cov
+  FROM ev e JOIN k USING (event_type) JOIN qhat q USING (event_type)
+  WHERE NOT e.is_cal GROUP BY 1
+)
+SELECT k.event_type AS event_type, CAST(k.n_cal AS BIGINT) AS n_cal,
+       CAST(COALESCE(t.n_test, 0) AS BIGINT) AS n_test,
+       ROUND(q.q_nano / 1e9, 9) + 0.0 AS q_hat,
+       ROUND(t.n_cov::DOUBLE / NULLIF(t.n_test, 0), 6) + 0.0 AS coverage
+FROM k JOIN qhat q USING (event_type)
+LEFT JOIN test t USING (event_type)
+ORDER BY event_type
+""")
+def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction interval per event series: calibrate
+    on pre-split rows, evaluate on post-split rows. The predictor is
+    the calibration mean; the nonconformity score is the absolute
+    residual; q_hat is the k-th smallest calibration score with
+    k = min(ceil((n_cal + 1) * (1 - 0.2)), n_cal) — the finite-sample
+    quantile that guarantees P(|y - mu| <= q_hat) >= 80% on
+    exchangeable data REGARDLESS of the value distribution. This is
+    the distribution-free uncertainty gate modern ML assurance runs
+    beside q_calibration/q_ece (which need probability outputs):
+    conformal wraps ANY point predictor, and the reported post-split
+    coverage is the drift alarm (coverage far below 1 - alpha means
+    the series moved; q_psi_drift tells you how).
+
+    Determinism: scores are exact integer nano residuals against a
+    nano-rounded calibration mean; k is integer ceiling algebra
+    (ceil(a * 4/5) as floor((a*4 + 4)/5) — never a float ceil on a
+    representable boundary); the k-th order statistic is picked by
+    exact cumulative counts, so ties cannot flip it; coverage is one
+    guarded rounded division.
+
+    Scale: the per-type k-th order statistic uses
+    operators/rank.py::grouped_cum_counts — the lazy two-pass
+    bucketed cumulative count — so no task ever sorts more than one
+    value-bucket's slice even with a handful of event types (the
+    round-10 skew rule); mu/k/q_hat tables are |types|-bounded
+    broadcasts; the coverage pass is one map-side-combined aggregate
+    over test rows."""
+    from ..operators.rank import grouped_cum_counts
+
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull()
+                  & F.col("event_type").isNotNull())
+          .select("event_type",
+                  F.round(F.col("value") * 1e9).cast("long")
+                  .alias("v_nano"),
+                  (F.col("ts") < F.lit(_SPLIT).cast("timestamp"))
+                  .alias("is_cal")))
+    mu = (ev.filter("is_cal").groupBy("event_type")
+          .agg(F.count(F.lit(1)).alias("n_cal"),
+               F.round(F.sum("v_nano").cast("double")
+                       / F.count(F.lit(1))).cast("long")
+               .alias("mu_nano")))
+    k = mu.select(
+        "event_type", "n_cal", "mu_nano",
+        F.least(F.floor(((F.col("n_cal") + 1) * 4 + 4) / 5),
+                F.col("n_cal")).cast("long").alias("kk"))
+
+    scored = (ev.filter("is_cal")
+              .join(F.broadcast(k.select("event_type", "mu_nano")),
+                    "event_type")
+              .select("event_type",
+                      F.abs(F.col("v_nano") - F.col("mu_nano"))
+                      .alias("s_nano")))
+    cum = grouped_cum_counts(scored, "event_type", "s_nano")
+    qhat = (cum.join(F.broadcast(k.select("event_type", "kk")),
+                     "event_type")
+            .filter((F.col("_cum_before") < F.col("kk"))
+                    & (F.col("_cum_before") + F.col("_c") >= F.col("kk")))
+            .select("event_type", F.col("s_nano").alias("q_nano")))
+
+    test = (ev.filter(~F.col("is_cal"))
+            .join(F.broadcast(k.select("event_type", "mu_nano")),
+                  "event_type")
+            .join(F.broadcast(qhat), "event_type")
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_test"),
+                 F.sum(F.when(F.abs(F.col("v_nano") - F.col("mu_nano"))
+                              <= F.col("q_nano"), 1).otherwise(0))
+                 .alias("n_cov")))
+    return (k.join(qhat, "event_type")
+            .join(test, "event_type", "left")
+            .select("event_type",
+                    F.col("n_cal").cast("long").alias("n_cal"),
+                    F.coalesce(F.col("n_test"), F.lit(0)).cast("long")
+                    .alias("n_test"),
+                    (F.round(F.col("q_nano") / 1e9, 9) + 0.0)
+                    .alias("q_hat"),
+                    (F.round(F.col("n_cov").cast("double")
+                             / F.nullif(F.col("n_test").cast("double"),
+                                        F.lit(0.0)), 6) + 0.0)
+                    .alias("coverage"))
+            .orderBy("event_type"))
+
+
+# ---------------------------------------------------------------------------
+# Weibull survival fit by linearized regression on the KM frame (round 13)
+# ---------------------------------------------------------------------------
+
+@query("q_weibull_fit", oracle="""
+WITH per_user AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS t0,
+         MIN(CASE WHEN event_type = 'purchase' THEN CAST(ts AS DATE) END)
+           AS tp
+  FROM events GROUP BY user_id
+), horizon AS (
+  SELECT MAX(CAST(ts AS DATE)) AS tmax FROM events
+), durs AS (
+  SELECT CASE WHEN tp IS NOT NULL THEN date_diff('day', t0, tp)
+              ELSE date_diff('day', t0, tmax) END AS d_days,
+         (tp IS NOT NULL) AS is_event
+  FROM per_user CROSS JOIN horizon
+), tbl AS (
+  SELECT d_days,
+         COUNT(*) FILTER (WHERE is_event) AS d,
+         COUNT(*) FILTER (WHERE NOT is_event) AS c
+  FROM durs GROUP BY d_days
+), curve AS (
+  SELECT d_days, d, c,
+         (SELECT COUNT(*) FROM durs) - COALESCE(SUM(d + c) OVER (
+            ORDER BY d_days ROWS BETWEEN UNBOUNDED PRECEDING
+            AND 1 PRECEDING), 0) AS n_risk
+  FROM tbl
+), terms AS (
+  SELECT d_days, d, n_risk,
+         CASE WHEN d > 0 AND d < n_risk
+              THEN CAST(ROUND(LN(1.0 - d::DOUBLE / n_risk) * 1000000000)
+                        AS BIGINT)
+              WHEN d = 0 THEN 0 END AS term_n
+  FROM curve
+), surv AS (
+  SELECT d_days, d,
+         CASE WHEN SUM(CASE WHEN term_n IS NULL THEN 1 ELSE 0 END)
+                   OVER w > 0 THEN 0
+              ELSE CAST(ROUND(EXP(SUM(term_n) OVER w / 1e9) * 1e9)
+                        AS BIGINT)
+         END AS s_nano
+  FROM terms
+  WINDOW w AS (ORDER BY d_days ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)
+), pts AS (
+  SELECT CAST(ROUND(LN(d_days) * 1000000) AS BIGINT) AS x_micro,
+         CAST(ROUND(LN(-LN(s_nano / 1e9)) * 1000000) AS BIGINT) AS y_micro
+  FROM surv
+  WHERE d > 0 AND d_days > 0 AND s_nano > 0 AND s_nano < 1000000000
+), s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x_micro) AS BIGINT) AS sx,
+         CAST(SUM(y_micro) AS BIGINT) AS sy,
+         CAST(SUM(x_micro * y_micro) AS BIGINT) AS sxy,
+         CAST(SUM(x_micro * x_micro) AS BIGINT) AS sxx
+  FROM pts
+), f AS (
+  SELECT n,
+         (n::DOUBLE * (sxy::DOUBLE / 1e12)
+          - (sx::DOUBLE / 1e6) * (sy::DOUBLE / 1e6))
+         / NULLIF(n::DOUBLE * (sxx::DOUBLE / 1e12)
+                  - (sx::DOUBLE / 1e6) * (sx::DOUBLE / 1e6), 0) AS slope,
+         sx::DOUBLE / 1e6 AS sxr, sy::DOUBLE / 1e6 AS syr
+  FROM s WHERE n >= 2
+)
+SELECT CAST(n AS BIGINT) AS n_points,
+       ROUND(slope, 6) + 0.0 AS shape,
+       ROUND(EXP(sxr / n - syr / (n * NULLIF(slope, 0))), 4) + 0.0
+         AS scale_days
+FROM f
+""")
+def q_weibull_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weibull survival fit on q_rmst's Kaplan-Meier frame
+    (time-to-first-purchase, censored at the observation edge) via the
+    classic linearization: S(t) = exp(-(t/lambda)^k) means
+    ln(-ln S(t)) is LINEAR in ln t with slope k, so an OLS over the
+    KM curve's event-time points recovers shape k (k < 1 infant
+    churn, k = 1 memoryless, k > 1 wear-out) and scale lambda (the
+    63.2% conversion time) — the parametric summary the nonparametric
+    family (q_kaplan_meier / q_nelson_aalen / q_rmst) feeds into
+    forecasting beyond the observation window, with censoring handled
+    by KM itself rather than dropped.
+
+    Determinism: the survival levels reuse KM's nano-quantized ln-sum
+    exactly; regression points are micro-quantized integers, so all
+    five OLS sufficient statistics are exact integer sums (widened in
+    DOUBLE only inside the one shared closing expression); boundary
+    levels (S = 0, S = 1) and the degenerate n < 2 fit drop on both
+    engines.
+
+    Scale: identical plan family to q_rmst — keyed per-user aggregate,
+    bounded distinct-duration spine, global-order windows over the
+    spine only, 1-row broadcasts; the OLS is a single aggregate over
+    the bounded point set."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = (ev.groupBy("user_id")
+                .agg(F.min(F.col("ts").cast("date")).alias("t0"),
+                     F.min(F.when(F.col("event_type") == "purchase",
+                                  F.col("ts").cast("date"))).alias("tp")))
+    horizon = F.broadcast(
+        ev.agg(F.max(F.col("ts").cast("date")).alias("tmax")))
+    durs = (per_user.crossJoin(horizon)
+            .select(F.when(F.col("tp").isNotNull(),
+                           F.datediff("tp", "t0"))
+                    .otherwise(F.datediff("tmax", "t0")).alias("d_days"),
+                    F.col("tp").isNotNull().alias("is_event")))
+    tbl = (durs.groupBy("d_days")
+           .agg(F.count(F.when(F.col("is_event"), 1)).alias("d"),
+                F.count(F.when(~F.col("is_event"), 1)).alias("c")))
+    n_tot = F.broadcast(durs.agg(F.count(F.lit(1)).alias("n_users")))
+    wcum = (W.orderBy("d_days")
+            .rowsBetween(W.unboundedPreceding, W.currentRow))
+    wprev = (W.orderBy("d_days")
+             .rowsBetween(W.unboundedPreceding, -1))
+    curve = (tbl.crossJoin(n_tot)
+             .withColumn("n_risk",
+                         F.col("n_users")
+                         - F.coalesce(F.sum(F.col("d") + F.col("c"))
+                                      .over(wprev), F.lit(0))))
+    term_n = (F.when((F.col("d") > 0) & (F.col("d") < F.col("n_risk")),
+                     F.round(F.log(1.0 - F.col("d").cast("double")
+                                   / F.col("n_risk")) * 1e9).cast("bigint"))
+              .when(F.col("d") == 0, F.lit(0)))
+    absorbed = F.sum(F.when(term_n.isNull(), 1).otherwise(0)).over(wcum)
+    s_nano = (F.when(absorbed > 0, F.lit(0))
+              .otherwise(F.round(F.exp(F.sum(term_n).over(wcum) / 1e9)
+                                 * 1e9).cast("bigint")))
+    surv = curve.select("d_days", "d", s_nano.alias("s_nano"))
+    pts = (surv.filter((F.col("d") > 0) & (F.col("d_days") > 0)
+                       & (F.col("s_nano") > 0)
+                       & (F.col("s_nano") < 1000000000))
+           .select(F.round(F.log(F.col("d_days").cast("double")) * 1e6)
+                   .cast("long").alias("x_micro"),
+                   F.round(F.log(-F.log(F.col("s_nano") / 1e9)) * 1e6)
+                   .cast("long").alias("y_micro")))
+    s = pts.agg(F.count(F.lit(1)).alias("n"),
+                F.sum("x_micro").alias("sx"),
+                F.sum("y_micro").alias("sy"),
+                F.sum(F.col("x_micro") * F.col("y_micro")).alias("sxy"),
+                F.sum(F.col("x_micro") * F.col("x_micro")).alias("sxx"))
+    nd = F.col("n").cast("double")
+    sxr = F.col("sx").cast("double") / 1e6
+    syr = F.col("sy").cast("double") / 1e6
+    slope = ((nd * (F.col("sxy").cast("double") / 1e12) - sxr * syr)
+             / F.nullif(nd * (F.col("sxx").cast("double") / 1e12)
+                        - sxr * sxr, F.lit(0.0)))
+    return (s.filter(F.col("n") >= 2)
+            .select(F.col("n").cast("long").alias("n_points"),
+                    slope.alias("slope"), sxr.alias("sxr"),
+                    syr.alias("syr"), nd.alias("nd"))
+            .select("n_points",
+                    (F.round("slope", 6) + 0.0).alias("shape"),
+                    (F.round(F.exp(F.col("sxr") / F.col("nd")
+                                   - F.col("syr")
+                                   / (F.col("nd")
+                                      * F.nullif(F.col("slope"),
+                                                 F.lit(0.0)))), 4) + 0.0)
+                    .alias("scale_days")))

@@ -1037,3 +1037,342 @@ def q_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("n").cast("long").alias("n_at_decision"),
                     (F.round("llr", 6) + 0.0).alias("llr_at_decision"))
             .orderBy("event_type"))
+
+
+# ---------------------------------------------------------------------------
+# Kendall rank correlation (tau-b) per group, from the bounded
+# contingency grid (round 13)
+# ---------------------------------------------------------------------------
+
+@query("q_kendall_tau", oracle="""
+WITH per_order AS (
+  SELECT o.o_orderpriority AS pri,
+         CAST(FLOOR(o.o_totalprice / 20000) AS BIGINT) AS xb,
+         COUNT(*) AS yb
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, o.o_orderkey, 2
+), cells AS (
+  SELECT pri, xb, yb, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM per_order GROUP BY 1, 2, 3
+), cd AS (
+  SELECT a.pri,
+         COALESCE(SUM(CASE WHEN b.yb > a.yb
+                           THEN a.cnt * b.cnt END), 0) AS c_pairs,
+         COALESCE(SUM(CASE WHEN b.yb < a.yb
+                           THEN a.cnt * b.cnt END), 0) AS d_pairs
+  FROM cells a JOIN cells b
+    ON b.pri = a.pri AND b.xb > a.xb AND b.yb <> a.yb
+  GROUP BY 1
+), xm AS (
+  SELECT pri, SUM(t * (t - 1)) AS n1d FROM (
+    SELECT pri, xb, SUM(cnt) AS t FROM cells GROUP BY 1, 2)
+  GROUP BY 1
+), ym AS (
+  SELECT pri, SUM(t * (t - 1)) AS n2d FROM (
+    SELECT pri, yb, SUM(cnt) AS t FROM cells GROUP BY 1, 2)
+  GROUP BY 1
+), tot AS (
+  SELECT pri, SUM(cnt) AS n FROM cells GROUP BY 1
+)
+SELECT t.pri AS pri, CAST(t.n AS BIGINT) AS n,
+       ROUND(2.0 * (COALESCE(cd.c_pairs, 0) - COALESCE(cd.d_pairs, 0))
+             / NULLIF(SQRT((t.n * (t.n - 1) - xm.n1d)::DOUBLE
+                           * (t.n * (t.n - 1) - ym.n2d)::DOUBLE), 0),
+             6) + 0.0 AS kendall_tau
+FROM tot t
+JOIN xm USING (pri) JOIN ym USING (pri)
+LEFT JOIN cd ON cd.pri = t.pri
+ORDER BY pri
+""")
+def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall rank correlation (tau-b) per order priority between the
+    order-value bucket and the basket size — the pair-concordance
+    companion to q_spearman's rank-moment form: tau reads directly as
+    P(concordant) - P(discordant), is even more outlier-proof, and is
+    the agreement measure of choice for comparing two RANKERS (judge
+    scores vs model scores in eval pipelines; q_rbo_overlap compares
+    top-k lists, tau compares full orderings).
+
+    Semantics: tau-b on the QUANTIZED grid (price in 20k buckets,
+    basket size exact) — ties from the bucketing enter the tau-b
+    denominator exactly, so the statistic is the textbook tau-b of the
+    bucketed pair, not an approximation of the unbucketed one.
+
+    Determinism: concordant/discordant/tie counts are exact integer
+    sums (pair products of BIGINT cell counts; C <= n(n-1)/2 keeps the
+    sums inside BIGINT up to ~1e9 rows per group); tau is one double
+    expression identical on both engines, NULLIF-guarded for the
+    all-tied group.
+
+    Scale: the O(n^2) pair sum collapses onto the CONTINGENCY GRID —
+    one map-side-combined groupBy to per-order rows, one to cells
+    (bounded: |priorities| x ~30 price buckets x ~7 basket sizes), then
+    a broadcast theta self-join over those bounded cells (~1k rows;
+    never the fact table). Margins and totals are three more
+    aggregates over the same bounded cells — AQE reuses the cells
+    exchange across the consumers, the q_hits_step pattern. At 100 TB
+    nothing downstream of the per-order groupBy depends on data size."""
+    od = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = (od.join(li, li.l_orderkey == od.o_orderkey)
+                 .groupBy(F.col("o_orderpriority").alias("pri"),
+                          F.col("o_orderkey").alias("ok"),
+                          F.floor(F.col("o_totalprice") / 20000)
+                          .cast("long").alias("xb"))
+                 .agg(F.count(F.lit(1)).alias("yb")))
+    cells = (per_order.groupBy("pri", "xb", "yb")
+             .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+
+    a = cells.select(F.col("pri").alias("p"), F.col("xb").alias("ax"),
+                     F.col("yb").alias("ay"), F.col("cnt").alias("an"))
+    b = cells.select(F.col("pri").alias("p2"), F.col("xb").alias("bx"),
+                     F.col("yb").alias("by"), F.col("cnt").alias("bn"))
+    cd = (a.join(F.broadcast(b),
+                 (F.col("p") == F.col("p2"))
+                 & (F.col("bx") > F.col("ax"))
+                 & (F.col("by") != F.col("ay")))
+          .groupBy(F.col("p").alias("pri"))
+          .agg(F.coalesce(F.sum(F.when(F.col("by") > F.col("ay"),
+                                       F.col("an") * F.col("bn"))),
+                          F.lit(0)).alias("c_pairs"),
+               F.coalesce(F.sum(F.when(F.col("by") < F.col("ay"),
+                                       F.col("an") * F.col("bn"))),
+                          F.lit(0)).alias("d_pairs")))
+    xm = (cells.groupBy("pri", "xb").agg(F.sum("cnt").alias("t"))
+          .groupBy("pri")
+          .agg(F.sum(F.col("t") * (F.col("t") - 1)).alias("n1d")))
+    ym = (cells.groupBy("pri", "yb").agg(F.sum("cnt").alias("t"))
+          .groupBy("pri")
+          .agg(F.sum(F.col("t") * (F.col("t") - 1)).alias("n2d")))
+    tot = cells.groupBy("pri").agg(F.sum("cnt").alias("n"))
+
+    n = F.col("n").cast("double")
+    n0d = n * (n - F.lit(1.0))
+    return (tot.join(xm, "pri").join(ym, "pri")
+            .join(cd, "pri", "left")
+            .select(
+                "pri", F.col("n").cast("long").alias("n"),
+                (F.round(2.0 * (F.coalesce(F.col("c_pairs"), F.lit(0))
+                                - F.coalesce(F.col("d_pairs"), F.lit(0)))
+                         .cast("double")
+                         / F.nullif(F.sqrt(
+                             (n0d - F.col("n1d").cast("double"))
+                             * (n0d - F.col("n2d").cast("double"))),
+                             F.lit(0.0)), 6) + 0.0)
+                .alias("kendall_tau"))
+            .orderBy("pri"))
+
+
+# ---------------------------------------------------------------------------
+# Benjamini-Hochberg step-up FDR gate over a test battery (round 13)
+# ---------------------------------------------------------------------------
+
+@query("q_benjamini_hochberg", oracle="""
+WITH cell AS (
+  SELECT CAST(MONTH(l_shipdate) AS BIGINT) AS ship_month,
+         l_returnflag AS returnflag,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) AS s_centi,
+         SUM(CAST(ROUND(l_discount * 100) AS BIGINT)
+             * CAST(ROUND(l_discount * 100) AS BIGINT)) AS s2_centi
+  FROM lineitem WHERE l_shipdate IS NOT NULL GROUP BY 1, 2
+), g AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS ng,
+         CAST(SUM(s_centi) AS BIGINT) AS sg,
+         CAST(SUM(s2_centi) AS BIGINT) AS s2g
+  FROM cell
+), z AS (
+  SELECT ship_month, returnflag, n,
+         (s_centi::DOUBLE / n - sg::DOUBLE / ng)
+         / NULLIF(SQRT((s2g::DOUBLE / ng
+                        - (sg::DOUBLE / ng) * (sg::DOUBLE / ng))
+                       / n), 0) AS zval
+  FROM cell CROSS JOIN g
+), p AS (
+  SELECT ship_month, returnflag, n, zval,
+         ROUND(EXP(-zval * zval / 2), 9) AS p_tilde
+  FROM z WHERE zval IS NOT NULL
+), ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (ORDER BY p_tilde, ship_month, returnflag)
+           AS rk,
+         COUNT(*) OVER () AS m
+  FROM p
+), kstar AS (
+  SELECT COALESCE(MAX(CASE WHEN p_tilde <= rk * 0.10 / m
+                           THEN rk END), 0) AS k
+  FROM ranked
+)
+SELECT ship_month, returnflag, CAST(n AS BIGINT) AS n,
+       ROUND(zval, 6) + 0.0 AS z,
+       p_tilde + 0.0 AS p_tilde,
+       CAST(rk AS BIGINT) AS rk,
+       (rk <= k) AS rejected
+FROM ranked CROSS JOIN kstar
+ORDER BY rk
+""")
+def q_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg step-up FDR control over a battery of
+    per-cell location tests — the multiple-testing gate every
+    monitoring/experimentation battery in this package feeds (run 21
+    drift tests a day and one will "fail" daily at alpha=0.05; BH
+    bounds the expected FALSE-DISCOVERY share of the flagged set at q
+    instead). Battery: per (ship month, returnflag) cell, a one-sample z
+    of mean discount vs the global mean under the global variance;
+    p_tilde = exp(-z^2/2) is the normal-tail CHERNOFF BOUND — a
+    documented monotone transform of |z| (not the exact tail area; no
+    erf on either engine), which BH only needs for its RANKING, so the
+    rejection ORDER equals the exact-p order. Step-up at q = 0.10:
+    sort p ascending, k* = max{k: p_(k) <= k*q/m}, reject ranks <= k*.
+
+    Determinism: cell moments are exact integer centi-sums; z and
+    p_tilde are identical double expressions, p_tilde rounded at 9
+    digits WITH the (ship_month, returnflag) tiebreak before ranking so
+    last-ulp exp() differences cannot flip a rank; the threshold
+    comparison uses the same rounded p on both engines.
+
+    Scale: one map-side-combined groupBy to the bounded battery
+    (12 months x |returnflags| ~ 36 cells), a 1-row global broadcast,
+    then ranking windows over the BOUNDED battery only — the step-up
+    scan never touches fact rows. m is data-independent at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    centi = F.round(F.col("l_discount") * 100).cast("long")
+    cell = (li.filter(F.col("l_shipdate").isNotNull())
+            .groupBy(F.month("l_shipdate").cast("long")
+                     .alias("ship_month"),
+                     F.col("l_returnflag").alias("returnflag"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(centi).alias("s_centi"),
+                 F.sum(centi * centi).alias("s2_centi")))
+    g = cell.agg(F.sum("n").alias("ng"), F.sum("s_centi").alias("sg"),
+                 F.sum("s2_centi").alias("s2g"))
+    nd = F.col("n").cast("double")
+    mu_g = F.col("sg").cast("double") / F.col("ng").cast("double")
+    var_g = (F.col("s2g").cast("double") / F.col("ng").cast("double")
+             - mu_g * mu_g)
+    zval = ((F.col("s_centi").cast("double") / nd - mu_g)
+            / F.nullif(F.sqrt(var_g / nd), F.lit(0.0)))
+    p = (cell.crossJoin(F.broadcast(g))
+         .select("ship_month", "returnflag", "n", zval.alias("zval"))
+         .filter(F.col("zval").isNotNull())
+         .withColumn("p_tilde",
+                     F.round(F.exp(-F.col("zval") * F.col("zval") / 2), 9)))
+    w = W.orderBy("p_tilde", "ship_month", "returnflag")
+    ranked = p.select(
+        "*", F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(
+            w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+        .alias("m"))
+    kstar = ranked.agg(F.coalesce(
+        F.max(F.when(F.col("p_tilde") <= F.col("rk") * 0.10 / F.col("m"),
+                     F.col("rk"))), F.lit(0)).alias("k"))
+    return (ranked.crossJoin(F.broadcast(kstar))
+            .select("ship_month", "returnflag",
+                    F.col("n").cast("long").alias("n"),
+                    (F.round("zval", 6) + 0.0).alias("z"),
+                    (F.col("p_tilde") + 0.0).alias("p_tilde"),
+                    F.col("rk").cast("long").alias("rk"),
+                    (F.col("rk") <= F.col("k")).alias("rejected"))
+            .orderBy("rk"))
+
+
+# ---------------------------------------------------------------------------
+# Krippendorff's alpha (nominal) per group (round 13)
+# ---------------------------------------------------------------------------
+
+@query("q_krippendorff_alpha", oracle="""
+WITH r AS (
+  SELECT o.o_orderpriority AS pri, l.l_orderkey AS ok,
+         l.l_returnflag AS cat
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+), g1 AS (
+  SELECT pri, ok, cat, CAST(COUNT(*) AS BIGINT) AS nuc
+  FROM r GROUP BY 1, 2, 3
+), g2 AS (
+  SELECT pri, ok, CAST(SUM(nuc) AS BIGINT) AS m,
+         CAST(SUM(nuc * nuc) AS BIGINT) AS s2
+  FROM g1 GROUP BY 1, 2 HAVING SUM(nuc) >= 2
+), so AS (
+  SELECT pri, CAST(COUNT(*) AS BIGINT) AS n_units,
+         CAST(SUM(m) AS BIGINT) AS n_tot,
+         CAST(SUM(CAST(ROUND((m * m - s2) * 1000000000.0 / (m - 1))
+                       AS BIGINT)) AS BIGINT) AS s_nano
+  FROM g2 GROUP BY 1
+), marg AS (
+  SELECT g1.pri, g1.cat, CAST(SUM(g1.nuc) AS BIGINT) AS nc
+  FROM g1 JOIN g2 ON g2.pri = g1.pri AND g2.ok = g1.ok
+  GROUP BY 1, 2
+), m2 AS (
+  SELECT pri, SUM(nc * nc) AS sum_nc2 FROM marg GROUP BY 1
+)
+SELECT so.pri AS pri, CAST(n_units AS BIGINT) AS n_units,
+       CAST(n_tot AS BIGINT) AS n_ratings,
+       ROUND(1.0 - (n_tot - 1)::DOUBLE * (s_nano::DOUBLE / 1e9)
+             / NULLIF(n_tot::DOUBLE * n_tot - sum_nc2::DOUBLE, 0),
+             6) + 0.0 AS alpha
+FROM so JOIN m2 ON m2.pri = so.pri
+ORDER BY pri
+""")
+def q_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's alpha (nominal) per order priority — the
+    agreement coefficient that completes the labeling-QA family
+    (q_cohens_kappa: 2 raters, q_fleiss_kappa: fixed rater count,
+    q_gwet_ac1: prevalence-robust 2-rater, q_icc: continuous):
+    alpha handles VARYING numbers of ratings per unit and missing
+    ratings natively, which is how real annotation queues look.
+    Demo framing: each order is a unit, its line-level return flags
+    are the "ratings" — units with fewer than two ratings drop, per
+    the coincidence-matrix definition.
+
+    Semantics (nominal data, closed form): within unit u with m
+    ratings and per-category counts n_uc, the disagreeing ordered
+    pairs number m^2 - sum_c n_uc^2; Krippendorff's coincidence
+    weighting divides by (m - 1). With n.. total pairable ratings and
+    category margins n_c,
+    ``alpha = 1 - (n.. - 1) * S_o / (n..^2 - sum_c n_c^2)``,
+    S_o = sum_u (m_u^2 - sum_c n_uc^2) / (m_u - 1). Perfect agreement
+    gives S_o = 0 -> alpha = 1; a single-category group NULLIFs.
+
+    Determinism: the per-unit rational term is nano-quantized before
+    the cross-unit sum (order-free); margins and totals are exact
+    integer sums; the closing expression is one identical double form
+    (n..^2 computed in DOUBLE on both engines — it crosses 2^63 at
+    ~3e9 ratings per group).
+
+    Scale: two keyed map-side-combined groupBys (unit-category, then
+    unit), one keyed equi-join of margins back onto kept units, and a
+    final bounded per-priority aggregate. State never exceeds
+    |units| rows; nothing is cross-joined or sorted globally."""
+    od = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    g1 = (li.join(od, od.o_orderkey == li.l_orderkey)
+          .groupBy(F.col("o_orderpriority").alias("pri"),
+                   F.col("l_orderkey").alias("ok"),
+                   F.col("l_returnflag").alias("cat"))
+          .agg(F.count(F.lit(1)).cast("long").alias("nuc")))
+    g2 = (g1.groupBy("pri", "ok")
+          .agg(F.sum("nuc").alias("m"),
+               F.sum(F.col("nuc") * F.col("nuc")).alias("s2"))
+          .filter(F.col("m") >= 2))
+    so = (g2.groupBy("pri")
+          .agg(F.count(F.lit(1)).alias("n_units"),
+               F.sum("m").alias("n_tot"),
+               F.sum(F.round((F.col("m") * F.col("m") - F.col("s2"))
+                             * 1000000000.0 / (F.col("m") - 1))
+                     .cast("long")).alias("s_nano")))
+    marg = (g1.join(g2.select("pri", "ok"), ["pri", "ok"])
+            .groupBy("pri", "cat").agg(F.sum("nuc").alias("nc")))
+    m2 = (marg.groupBy("pri")
+          .agg(F.sum(F.col("nc") * F.col("nc")).alias("sum_nc2")))
+    ntd = F.col("n_tot").cast("double")
+    return (so.join(m2, "pri")
+            .select("pri",
+                    F.col("n_units").cast("long").alias("n_units"),
+                    F.col("n_tot").cast("long").alias("n_ratings"),
+                    (F.round(1.0 - (ntd - 1.0)
+                             * (F.col("s_nano").cast("double") / 1e9)
+                             / F.nullif(ntd * ntd
+                                        - F.col("sum_nc2").cast("double"),
+                                        F.lit(0.0)), 6) + 0.0)
+                    .alias("alpha"))
+            .orderBy("pri"))

@@ -62,6 +62,12 @@ _REGISTRY: dict[str, Query] = {}
 #: remaining 24 r5-stale entries (spill below, alphabetical) complete
 #: the backlog in r14: a 24-slot drain + up to 26 slots for r13/r14
 #: additions and cadence rotation zeroes all pre-r6 staleness.
+#: ROUND-14 QUEUE (first-time driver evidence, group (c) head): the 5
+#: r13 additions — q_kendall_tau, q_benjamini_hochberg,
+#: q_krippendorff_alpha, q_conformal_interval, q_weibull_fit — all
+#: tri-scale oracle-proven locally at registration time; they sit
+#: past the 50-entry gate this round by construction (non-PRIORITY
+#: oracle-backed entries order after the PRIORITY block).
 #: The local tri-scale (sf0.001/0.01/0.1) oracle sweep still covers
 #: all registered queries per session.
 PRIORITY: tuple[str, ...] = (

@@ -2702,3 +2702,64 @@ def test_rmst_bounded_spine_plan(spark):
     assert "SortMergeJoin" not in plan, plan
     specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
     assert specs and all("d_days" in s for s in specs), specs
+
+
+def test_round13_batch_plans(spark):
+    """Round-13 additions: every heavy input collapses to a bounded
+    relation before any non-equi logic runs.
+
+    - q_kendall_tau: the cell self-join carries the pri equi-key, so
+      it plans as a BroadcastHashJoin with the (bx > ax, by != ay)
+      range condition as a residual — never a nested-loop or
+      cartesian; no window at all.
+    - q_benjamini_hochberg: windows rank only the bounded battery; the
+      crossJoins are 1-row broadcasts (BroadcastNestedLoopJoin), never
+      a cartesian; no sort-merge join anywhere.
+    - q_krippendorff_alpha: keyed equi-joins and groupBys only.
+    - q_conformal_interval: every window is the bucketed two-pass rank
+      machinery keyed at least by event_type.
+    - q_weibull_fit: all windows run on the bounded d_days spine (the
+      q_rmst shape)."""
+    import re
+
+    from telescope_data_pipeline_spark.plans.audit import physical_plan
+
+    df = get("q_kendall_tau").fn(spark, SF)
+    df.collect()
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    final = plan.split("== Initial Plan ==")[0]
+    assert re.search(r"BroadcastHashJoin \[p#\d+\], \[p2#\d+\]", final), \
+        f"cell theta join lost its equi-key:\n{final}"
+
+    df = get("q_benjamini_hochberg").fn(spark, SF)
+    df.collect()
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs and all("p_tilde" in s for s in specs), specs
+
+    df = get("q_krippendorff_alpha").fn(spark, SF)
+    df.collect()
+    plan = physical_plan(df)
+    for banned in ("CartesianProduct", "BroadcastNestedLoopJoin",
+                   "Window"):
+        assert banned not in plan, f"{banned} in q_krippendorff_alpha"
+
+    df = get("q_conformal_interval").fn(spark, SF)
+    df.collect()
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs and all("event_type" in s for s in specs), specs
+
+    df = get("q_weibull_fit").fn(spark, SF)
+    df.collect()
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs and all("d_days" in s for s in specs), specs

@@ -2584,3 +2584,229 @@ def test_rmst_arms_detects_planted_delay(spark, tmp_path):
     assert abs(out.rmst14_a - 1.0) < 1e-9
     assert abs(out.rmst14_b - 10.0) < 1e-9
     assert abs(out.rmst_diff - 9.0) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Round-13 additions: Kendall tau-b, BH step-up, Krippendorff alpha,
+# split-conformal interval, Weibull linearized fit
+# ---------------------------------------------------------------------------
+
+
+def _write_orders_lineitem(tmp_path, orders_rows, lineitem_rows):
+    pd.DataFrame(orders_rows).to_parquet(tmp_path / "orders.parquet")
+    pd.DataFrame(lineitem_rows).to_parquet(tmp_path / "lineitem.parquet")
+    return str(tmp_path)
+
+
+def test_kendall_tau_matches_bruteforce(spark, tmp_path):
+    """tau-b against an O(n^2) brute force on the bucketed pairs, with
+    a planted positive association in one group and a planted negative
+    one in the other."""
+    rng = np.random.RandomState(17)
+    orders, lines = [], []
+    data = {}
+    ok = 0
+    for pri, sign in (("1-URGENT", +1), ("5-LOW", -1)):
+        xs, ys = [], []
+        for _ in range(180):
+            nl = int(rng.randint(1, 8))
+            base = nl if sign > 0 else (8 - nl)
+            price = float(base * 23000 + rng.randint(0, 15000))
+            orders.append({"o_orderkey": ok, "o_orderpriority": pri,
+                           "o_totalprice": price})
+            lines += [{"l_orderkey": ok}] * nl
+            xs.append(int(price // 20000))
+            ys.append(nl)
+            ok += 1
+        data[pri] = (np.array(xs), np.array(ys))
+    sf = _write_orders_lineitem(tmp_path, orders, lines)
+    out = {r.pri: r for r in
+           get("q_kendall_tau").fn(spark, sf).collect()}
+    for pri, (xs, ys) in data.items():
+        n = len(xs)
+        conc = disc = 0
+        for i in range(n):
+            for j in range(i + 1, n):
+                s = np.sign(xs[i] - xs[j]) * np.sign(ys[i] - ys[j])
+                conc += s > 0
+                disc += s < 0
+        n0 = n * (n - 1) / 2
+        n1 = sum(t * (t - 1) / 2 for t in np.bincount(xs) if t > 1)
+        n2 = sum(t * (t - 1) / 2 for t in np.bincount(ys) if t > 1)
+        tau = (conc - disc) / np.sqrt((n0 - n1) * (n0 - n2))
+        assert out[pri].n == n
+        assert abs(out[pri].kendall_tau - round(tau, 6)) < 1e-9, pri
+        assert np.sign(out[pri].kendall_tau) == (1 if pri == "1-URGENT"
+                                                 else -1)
+
+
+def test_benjamini_hochberg_matches_numpy_and_flags_planted(
+        spark, tmp_path):
+    """The step-up rejection set equals a direct numpy BH on the same
+    rounded pseudo-p's, and exactly the two planted shifted cells are
+    rejected at q=0.10."""
+    rng = np.random.RandomState(23)
+    rows = []
+    # SYMMETRIC planted drifts (+/-) so the global mean stays centered
+    # and the null cells' one-sample z keeps its null distribution
+    shifted = {(3, "A"): +0.02, (7, "R"): -0.02}
+    for month in range(1, 13):
+        for flag in ("A", "N", "R"):
+            n = 220
+            base = rng.normal(0.05, 0.01, n)
+            base = base + shifted.get((month, flag), 0.0)
+            for v in np.round(np.clip(base, 0.0, 0.10), 2):
+                rows.append({"l_shipdate":
+                             pd.Timestamp(f"2024-{month:02d}-15"),
+                             "l_returnflag": flag,
+                             "l_discount": float(v)})
+    pd.DataFrame(rows).to_parquet(tmp_path / "lineitem.parquet",
+                                  coerce_timestamps="us")
+    out = get("q_benjamini_hochberg").fn(spark, str(tmp_path)).collect()
+    assert len(out) == 36
+
+    # numpy twin on the same centi-quantized moments
+    df = pd.DataFrame(rows)
+    df["centi"] = np.round(df["l_discount"] * 100).astype(np.int64)
+    ng, sg, s2g = len(df), df["centi"].sum(), (df["centi"] ** 2).sum()
+    mu, var = sg / ng, s2g / ng - (sg / ng) ** 2
+    ps = {}
+    for (m, f), g in df.groupby(
+            [df["l_shipdate"].dt.month, "l_returnflag"]):
+        z = (g["centi"].mean() - mu) / np.sqrt(var / len(g))
+        ps[(m, f)] = round(float(np.exp(-z * z / 2)), 9)
+    order = sorted(ps, key=lambda k: (ps[k], k))
+    m = len(order)
+    kstar = max((i + 1 for i, key in enumerate(order)
+                 if ps[key] <= (i + 1) * 0.10 / m), default=0)
+    want_rejected = set(order[:kstar])
+    got_rejected = {(int(r.ship_month), r.returnflag)
+                    for r in out if r.rejected}
+    assert got_rejected == want_rejected
+    assert got_rejected == set(shifted)  # exactly the planted cells
+    for r in out:
+        assert abs(r.p_tilde - ps[(int(r.ship_month), r.returnflag)]) \
+            < 1e-9
+
+
+def test_krippendorff_alpha_matches_direct(spark, tmp_path):
+    """alpha against the direct coincidence formula, with a planted
+    perfect-agreement group (alpha == 1) and a mixed group."""
+    rng = np.random.RandomState(31)
+    orders, lines = [], []
+    ratings = {}
+    ok = 0
+    for pri, perfect in (("1-URGENT", True), ("5-LOW", False)):
+        ratings[pri] = []
+        for _ in range(120):
+            m = int(rng.randint(2, 6))
+            if perfect:
+                cats = [rng.choice(["A", "N", "R"])] * m
+            else:
+                cats = list(rng.choice(["A", "N", "R"], m))
+            orders.append({"o_orderkey": ok, "o_orderpriority": pri})
+            lines += [{"l_orderkey": ok, "l_returnflag": c}
+                      for c in cats]
+            ratings[pri].append(cats)
+            ok += 1
+    sf = _write_orders_lineitem(tmp_path, orders, lines)
+    out = {r.pri: r for r in
+           get("q_krippendorff_alpha").fn(spark, sf).collect()}
+    for pri, units in ratings.items():
+        so, n_tot, margins = 0.0, 0, {}
+        for cats in units:
+            mcnt = len(cats)
+            counts = pd.Series(cats).value_counts()
+            so += (mcnt ** 2 - (counts ** 2).sum()) / (mcnt - 1)
+            n_tot += mcnt
+            for c, k in counts.items():
+                margins[c] = margins.get(c, 0) + k
+        denom = n_tot ** 2 - sum(v ** 2 for v in margins.values())
+        alpha = 1 - (n_tot - 1) * so / denom
+        assert out[pri].n_units == len(units)
+        assert out[pri].n_ratings == n_tot
+        assert abs(out[pri].alpha - round(alpha, 6)) < 2e-6, pri
+    assert out["1-URGENT"].alpha == 1.0
+    assert out["5-LOW"].alpha < 0.2
+
+
+def test_conformal_interval_matches_numpy(spark, tmp_path):
+    """q_hat is exactly the ceil((n+1)*0.8)-th smallest calibration
+    residual and the reported coverage equals the direct count; on
+    exchangeable data coverage lands near the 80% guarantee."""
+    rng = np.random.RandomState(37)
+    rows, eid = [], 0
+    cal, test = {}, {}
+    for et, scale in (("click", 1.0), ("view", 3.0)):
+        cal[et] = np.round(rng.normal(10.0, scale, 300), 4)
+        test[et] = np.round(rng.normal(10.0, scale, 200), 4)
+        for v in cal[et]:
+            rows.append((eid, "2024-01-05", eid, et, float(v), None))
+            eid += 1
+        for v in test[et]:
+            rows.append((eid, "2024-01-20", eid, et, float(v), None))
+            eid += 1
+    out = {r.event_type: r for r in
+           get("q_conformal_interval").fn(
+               spark, _write_events(tmp_path, rows)).collect()}
+    for et in cal:
+        mu_nano = round(np.round(cal[et] * 1e9).sum() / len(cal[et]))
+        scores = np.sort(np.abs(np.round(cal[et] * 1e9) - mu_nano))
+        k = min(int(np.ceil((len(cal[et]) + 1) * 0.8)), len(cal[et]))
+        q_nano = scores[k - 1]
+        t_scores = np.abs(np.round(test[et] * 1e9) - mu_nano)
+        cov = (t_scores <= q_nano).mean()
+        assert out[et].n_cal == 300 and out[et].n_test == 200
+        assert abs(out[et].q_hat - round(q_nano / 1e9, 9)) < 1e-12, et
+        assert abs(out[et].coverage - round(cov, 6)) < 1e-9, et
+        assert 0.72 <= out[et].coverage <= 0.92  # the 80% guarantee
+
+
+def test_weibull_fit_recovers_planted_shape(spark, tmp_path):
+    """Planted (approximately) Weibull conversion times: exponential
+    durations (shape 1) and wear-out durations (shape 2) recover their
+    shapes from the linearized KM regression; the slope also matches a
+    direct numpy least squares on the same micro-quantized points."""
+    for shape, lo, hi in ((1.0, 0.75, 1.35), (2.0, 1.6, 2.6)):
+        rng = np.random.RandomState(41 + int(shape))
+        d = tmp_path / f"shape{int(shape)}"
+        d.mkdir()
+        rows, eid = [], 0
+        t0 = pd.Timestamp("2024-01-01")
+        durs = np.ceil(12.0 * rng.weibull(shape, 600)).astype(int) + 1
+        for u, dd in enumerate(durs):
+            rows.append((eid, str(t0.date()), u, "view", 1.0, None))
+            eid += 1
+            # observation horizon: events run to day 60; later
+            # conversions are censored at the horizon by the query
+            if dd <= 59:
+                rows.append((eid, str((t0 + pd.Timedelta(days=int(dd))
+                                       ).date()),
+                             u, "purchase", 1.0, None))
+                eid += 1
+        rows.append((eid, str((t0 + pd.Timedelta(days=60)).date()),
+                     99999, "view", 1.0, None))
+        out = get("q_weibull_fit").fn(
+            spark, _write_events(d, rows)).collect()[0]
+        assert lo <= out.shape <= hi, (shape, out.shape)
+
+        # direct numpy KM + least squares on the same quantized points
+        T = np.where(durs <= 59, durs, 60)
+        E = durs <= 59
+        xs, ys = [], []
+        # the horizon-marker user is censored at day 0, so it leaves
+        # the risk set before the first event time — risk starts at N
+        n_risk, s = len(T), 1.0
+        for t in np.unique(np.sort(T)):
+            dcnt = int(((T == t) & E).sum())
+            ccnt = int(((T == t) & ~E).sum())
+            if dcnt > 0 and dcnt < n_risk:
+                s *= np.exp(round(np.log(1 - dcnt / n_risk) * 1e9) / 1e9)
+                s_nano = round(s * 1e9)
+                if 0 < s_nano < 1e9 and t > 0:
+                    xs.append(round(np.log(t) * 1e6) / 1e6)
+                    ys.append(round(np.log(-np.log(s_nano / 1e9))
+                                    * 1e6) / 1e6)
+            n_risk -= dcnt + ccnt
+        slope = np.polyfit(xs, ys, 1)[0]
+        assert abs(out.shape - slope) < 2e-3, (shape, out.shape, slope)
