@@ -30,23 +30,48 @@ def _hyperplanes(dim: int, n_bits: int, n_tables: int, seed: int = 42) -> np.nda
     return rng.standard_normal((n_tables, n_bits, dim))
 
 
-def _bucket_col(vec_col: str, planes: np.ndarray):
-    """H-bit bucket id for one table: bit h = (v · plane_h) >= 0.
+def _double_sql(x: float) -> str:
+    """A SQL double literal that parses back to the exact IEEE value.
 
-    The dot product is a JVM-side fold over zip_with against a literal
-    array — no Python, no shuffle.
-    """
-    bits = []
-    for h, plane in enumerate(planes):
-        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
-        dot = F.aggregate(
-            F.zip_with(vec_col, lit_plane, lambda x, y: x.cast("double") * y),
-            F.lit(0.0), lambda acc, x: acc + x)
-        bits.append(F.when(dot >= 0, F.lit(1 << h)).otherwise(F.lit(0)))
-    bucket = bits[0]
-    for b in bits[1:]:
-        bucket = bucket + b
-    return bucket
+    ``repr`` emits the shortest round-trip decimal and Spark's parser
+    feeds it to Java ``Double.parseDouble`` (correctly rounded), so the
+    plan literal is bit-identical to ``F.lit(float(x))``."""
+    return f"{float(x)!r}D".upper()
+
+
+def _plane_dot_sql(vec_col: str, plane: np.ndarray) -> str:
+    """SQL text of the SAME fold ``_bucket_col`` historically built
+    column-by-column: aggregate(zip_with(v, literal_plane, x*y), 0, +).
+    Identical expression tree after parsing, identical float fold order
+    — but ONE py4j round-trip instead of one per plane component
+    (64·H·L ``F.lit`` calls were ~8 s of driver-side chatter per build
+    at H=4, L=16; guide §1.2 step 2: per-task work includes the driver
+    building the task)."""
+    lits = ", ".join(_double_sql(x) for x in plane)
+    return (f"aggregate(zip_with({vec_col}, array({lits}), "
+            f"(x, y) -> CAST(x AS DOUBLE) * y), 0.0D, (acc, x) -> acc + x)")
+
+
+def _bucket_sql(vec_col: str, planes: np.ndarray) -> str:
+    """H-bit bucket id for one table: bit h = (v · plane_h) >= 0."""
+    bits = [
+        f"(CASE WHEN {_plane_dot_sql(vec_col, plane)} >= 0 "
+        f"THEN {1 << h} ELSE 0 END)"
+        for h, plane in enumerate(planes)
+    ]
+    return " + ".join(bits)
+
+
+def _bucket_structs(vec_col: str, planes: np.ndarray):
+    """``array(struct(tbl, bkt), ...)`` over every table, built as one
+    SQL expression (single py4j call; values bit-identical to the old
+    per-literal construction — pinned by tests/test_dedup_similarity.py's
+    recall and plan tests)."""
+    structs = ", ".join(
+        f"named_struct('tbl', {t}, 'bkt', {_bucket_sql(vec_col, planes[t])})"
+        for t in range(len(planes))
+    )
+    return F.expr(f"array({structs})")
 
 
 def cosine(vec_a: str, vec_b: str):
@@ -83,26 +108,39 @@ def ann_topk(
     """
     planes = _hyperplanes(dim, n_bits, n_tables, seed)
 
+    # Norm precomputed once per row (not once per candidate pair): the
+    # fold is the same expression ``cosine`` builds internally, so the
+    # per-pair cosine below is bit-identical — it just stops re-deriving
+    # |q|² and |c|² for every candidate (guide §2.3: don't recompute
+    # what a projection can carry).
+    norm = F.aggregate(
+        F.zip_with(vec_col, vec_col,
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+
     def with_buckets(df: DataFrame, prefix: str) -> DataFrame:
         out = df.select(F.col(id_col).alias(f"{prefix}_id"),
-                        F.col(vec_col).alias(f"{prefix}_vec"))
-        buckets = F.array(*[
-            F.struct(F.lit(t).alias("tbl"),
-                     _bucket_col(f"{prefix}_vec", planes[t]).alias("bkt"))
-            for t in range(n_tables)
-        ])
+                        F.col(vec_col).alias(f"{prefix}_vec"),
+                        norm.alias(f"{prefix}_nrm"))
+        buckets = _bucket_structs(f"{prefix}_vec", planes)
         return out.withColumn("b", F.explode(buckets)) \
-                  .select(f"{prefix}_id", f"{prefix}_vec",
+                  .select(f"{prefix}_id", f"{prefix}_vec", f"{prefix}_nrm",
                           F.col("b.tbl").alias("tbl"), F.col("b.bkt").alias("bkt"))
 
     q = with_buckets(queries, "query")
     c = with_buckets(corpus, "cand")
+    dot = F.aggregate(
+        F.zip_with("query_vec", "cand_vec",
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
     cand = (
         q.join(c, on=["tbl", "bkt"])
         .filter(F.col("query_id") != F.col("cand_id"))
-        .select("query_id", "cand_id", "query_vec", "cand_vec")
+        .select("query_id", "cand_id", "query_vec", "cand_vec",
+                "query_nrm", "cand_nrm")
         .distinct()  # a pair can collide in several tables
-        .withColumn("cos", cosine("query_vec", "cand_vec"))
+        .withColumn("cos", F.try_divide(
+            dot, F.sqrt(F.col("query_nrm") * F.col("cand_nrm"))))
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
     return (
@@ -248,11 +286,27 @@ def embedding_near_duplicates(
     cand = embedding_lsh_candidates(vecs, id_col, vec_col, dim=dim,
                                     n_bits=n_bits, n_tables=n_tables,
                                     seed=seed)
-    base = vecs.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    va = base.select(F.col("id").alias("id_a"), F.col("vec").alias("va"))
-    vb = base.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"))
+    # Per-id norm computed once on the 2 |corpus|-sized verify inputs
+    # instead of twice per candidate pair — the fold is the identical
+    # expression ``cosine`` builds, so the verified cosine (and thus the
+    # output pair set) is bit-identical; candidate volume >> corpus size
+    # makes this the dominant verify saving (guide §2.3).
+    norm = F.aggregate(
+        F.zip_with(vec_col, vec_col,
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+    base = vecs.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
+                       norm.alias("nrm"))
+    va = base.select(F.col("id").alias("id_a"), F.col("vec").alias("va"),
+                     F.col("nrm").alias("na"))
+    vb = base.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"),
+                     F.col("nrm").alias("nb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
     return (cand.join(va, "id_a").join(vb, "id_b")
-            .withColumn("cosine", cosine("va", "vb"))
+            .withColumn("cosine", F.try_divide(
+                dot, F.sqrt(F.col("na") * F.col("nb"))))
             .filter(F.col("cosine") >= threshold)
             .select("id_a", "id_b", F.round("cosine", 6).alias("cosine")))
 
@@ -276,11 +330,7 @@ def embedding_lsh_candidates(
     (round-8 verdict item: q_dedup_embed_lsh's 14.5 s demo)."""
     planes = _hyperplanes(dim, n_bits, n_tables, seed)
     base = vecs.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    buckets = F.array(*[
-        F.struct(F.lit(t).alias("tbl"),
-                 _bucket_col("vec", planes[t]).alias("bkt"))
-        for t in range(n_tables)
-    ])
+    buckets = _bucket_structs("vec", planes)
     tagged = (base.withColumn("b", F.explode(buckets))
               .select("id", F.col("b.tbl").alias("tbl"),
                       F.col("b.bkt").alias("bkt")))

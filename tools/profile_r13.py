@@ -1,0 +1,77 @@
+"""Round-13 optimization profiler: time a subset of registered queries
+(min-of-N noop-sink runs, cleared cache between runs) and optionally dump
+.explain('formatted') to plans/r13/. Usage:
+
+  python tools/profile_r13.py q_flagship q_join_nn ...      # time
+  python tools/profile_r13.py --explain before q_flagship   # dump plan
+  python tools/profile_r13.py --headline                    # frozen 17
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:]]
+    explain_tag = None
+    if "--explain" in args:
+        i = args.index("--explain")
+        explain_tag = args[i + 1]
+        del args[i:i + 2]
+    runs_n = 3
+    if "--runs" in args:
+        i = args.index("--runs")
+        runs_n = int(args[i + 1])
+        del args[i:i + 2]
+    if "--headline" in args:
+        import bench
+        args.remove("--headline")
+        args = bench.HEADLINE + args
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from telescope_data_pipeline_spark.queries import all_queries
+    from telescope_data_pipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="profile_r13")
+    registry = all_queries()
+    # Warm codegen/JVM once (same protocol as bench.py).
+    registry["q_flagship"].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    out: dict[str, float] = {}
+    for name in args:
+        fn = registry[name].fn
+        if explain_tag:
+            df = fn(spark, sf_dir)
+            mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode \
+                .fromString("formatted")
+            txt = df._jdf.queryExecution().explainString(mode)
+            pdir = Path(__file__).resolve().parent.parent / "plans" / "r13"
+            pdir.mkdir(parents=True, exist_ok=True)
+            (pdir / f"{name}_{explain_tag}.txt").write_text(txt)
+            print(f"{name}: plan -> plans/r13/{name}_{explain_tag}.txt",
+                  flush=True)
+            continue
+        runs = []
+        for i in range(runs_n):
+            if i:
+                spark.catalog.clearCache()
+            spark.sparkContext.setJobDescription(name)
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        spark.sparkContext.setJobDescription(None)
+        out[name] = round(min(runs), 3)
+        print(f"{name}: min={min(runs):.3f} runs={[round(r,3) for r in runs]}",
+              flush=True)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
