@@ -250,14 +250,33 @@ def simhash_fingerprints_jvm(df: DataFrame, id_col: str,
     n_groups = 22  # ceil(64 / 3); the last group holds a single counter
     zero = ("named_struct("
             + ", ".join(f"'p{g}', 0L" for g in range(n_groups)) + ", 'n', 0L)")
+    # Per-token work, two r13 cuts (guide §1.2 step 2 — per-task work;
+    # both are EXACT-INTEGER rewrites, so fingerprints are bit-identical
+    # to the historical form and the banding/recall tests still pin them):
+    # 1. hash HOISTED: interpreted lambdas have no common-subexpression
+    #    elimination, so `xxhash64(tok)` inside each of the 64 bit terms
+    #    re-hashed every token 64 times. A `transform(..., x ->
+    #    xxhash64(x))` pre-pass hashes once and folds over the hashes.
+    # 2. 3-bit LUT per group: the three per-bit chains
+    #    shiftleft(shiftrightunsigned(h, 3g+j) & 1, 16j), summed, equal
+    #    element_at(<8-entry long array>, (h >> 3g) & 7) — one shift,
+    #    one mask, one constant-array index instead of nine shift/mask
+    #    ops and two adds. Integer addition is exact, so the LUT value
+    #    IS the old balanced-tree sum, term for term.
     packs = []
     for g in range(n_groups):
-        terms = [f"shiftleft(shiftrightunsigned(xxhash64(tok), {g * 3 + j})"
-                 f" & 1L, {16 * j})" for j in range(min(3, 64 - g * 3))]
-        packs.append(f"'p{g}', acc.p{g} + {_sql_btree(terms, '+')}")
+        w = min(3, 64 - g * 3)
+        lut = [sum(((m >> j) & 1) << (16 * j) for j in range(w))
+               for m in range(1 << w)]
+        lut_sql = ", ".join(f"{v}L" for v in lut)
+        packs.append(
+            f"'p{g}', acc.p{g} + element_at(array({lut_sql}), "
+            f"cast((shiftrightunsigned(h, {g * 3}) & {(1 << w) - 1}L)"
+            f" as int) + 1)")
     merge = "named_struct(" + ", ".join(packs) + ", 'n', acc.n + 1L)"
-    agg = (f"aggregate(filter(split({text_col}, '\\\\s+'), x -> x != ''), "
-           f"{zero}, (acc, tok) -> {merge})")
+    agg = (f"aggregate(transform(filter(split({text_col}, '\\\\s+'), "
+           f"x -> x != ''), x -> xxhash64(x)), "
+           f"{zero}, (acc, h) -> {merge})")
     withacc = df.selectExpr(f"{id_col} AS id", f"{agg} AS acc")
     bits = [f"(case when 2 * (shiftrightunsigned(acc.p{k // 3}, {16 * (k % 3)})"
             f" & 65535L) - acc.n > 0 then shiftleft(1L, {k}) else 0L end)"

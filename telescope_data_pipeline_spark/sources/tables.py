@@ -44,6 +44,30 @@ def ensure_read_confs(spark: SparkSession) -> None:
             pass
 
 
+#: (path, file signature) -> StructType. Plain spark.read.parquet pays a
+#: driver-side footer read (~100 ms on this host) EVERY call to infer the
+#: schema; the schema of an unchanged file cannot change, so it is cached
+#: here and passed explicitly (read.schema(...).parquet — ~20 ms). This
+#: caches METADATA only: every execution still scans the parquet data,
+#: each load_table call still returns a fresh DataFrame (fresh expression
+#: ids — self-joins of two loads stay unambiguous), and the signature
+#: (size + mtime_ns, per file for directory tables) invalidates the entry
+#: the moment a fixture is overwritten. r13 guide §1.2: the driver
+#: building the plan is part of per-query work.
+_SCHEMA_CACHE: dict = {}
+_SCHEMA_CACHE_MAX = 512
+
+
+def _file_sig(path: str):
+    st = os.stat(path)
+    if os.path.isdir(path):
+        with os.scandir(path) as it:
+            return tuple(sorted(
+                (e.name, e.stat().st_size, e.stat().st_mtime_ns)
+                for e in it if e.is_file()))
+    return (st.st_size, st.st_mtime_ns)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str,
                spread: bool = False) -> DataFrame:
     """Scan one driver table. Schema comes from the parquet footer (no
@@ -64,7 +88,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str,
     if name not in DRIVER_TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {sorted(DRIVER_TABLES)}")
     ensure_read_confs(spark)
-    df = spark.read.parquet(table_path(sf_dir, name))
+    path = table_path(sf_dir, name)
+    try:
+        key = (path, _file_sig(path))
+    except OSError:
+        key = None  # let spark.read surface the real error
+    schema = _SCHEMA_CACHE.get(key) if key is not None else None
+    if schema is not None:
+        df = spark.read.schema(schema).parquet(path)
+    else:
+        df = spark.read.parquet(path)
+        if key is not None:
+            if len(_SCHEMA_CACHE) >= _SCHEMA_CACHE_MAX:
+                _SCHEMA_CACHE.clear()
+            _SCHEMA_CACHE[key] = df.schema
     # events.ts is parquet TIMESTAMP(NANOS) — read as long ns (see session
     # config) and converted losslessly: every driver value is a whole µs.
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":

@@ -59,17 +59,22 @@ def main() -> None:
                   flush=True)
             continue
         runs = []
+        cons = []
         for i in range(runs_n):
             if i:
                 spark.catalog.clearCache()
             spark.sparkContext.setJobDescription(name)
             t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            runs.append(time.perf_counter() - t0)
+            df = fn(spark, sf_dir)
+            t1 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            t2 = time.perf_counter()
+            cons.append(t1 - t0)
+            runs.append(t2 - t0)
         spark.sparkContext.setJobDescription(None)
         out[name] = round(min(runs), 3)
-        print(f"{name}: min={min(runs):.3f} runs={[round(r,3) for r in runs]}",
-              flush=True)
+        print(f"{name}: min={min(runs):.3f} construct={min(cons):.3f} "
+              f"runs={[round(r,3) for r in runs]}", flush=True)
     print(json.dumps(out))
 
 
