@@ -45,6 +45,19 @@ def get_spark(app_name: str = "telescope_data_pipeline_spark",
                 str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalesce floor (r13, guide §2.5): with parallelismFirst
+        # (default true) the coalesce target is max(bytes/parallelism,
+        # minPartitionSize). The 1 MB default floor collapses any
+        # sub-1MB shuffle to ONE partition — fatal for joins whose
+        # OUTPUT expands far beyond their input bytes (q_semdedup's
+        # cluster self-join: 569 KB in, 2.2M pairs out, measured 5.2 s
+        # on a single task; 64 KB floor → 32 tasks, query 4.5 s → 1.7 s).
+        # At cluster scale bytes/parallelism >> 1 MB, so the floor only
+        # ever binds on compute-dense small shuffles — exactly where it
+        # must not serialize. Env-tunable for deployments that prefer
+        # the stock floor.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+                os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION", "64KB"))
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
