@@ -455,7 +455,6 @@ def q_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
 from ..operators.cache_slot import CacheSlot  # noqa: E402
 
 _CRONBACH_SLOT = CacheSlot()
-_JACCARD_SLOT = CacheSlot()
 
 
 @query("q_cronbach_alpha", oracle="""
@@ -766,18 +765,18 @@ def q_jaccard_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
     machinery (map-side expansion from the bounded per-part buyer
     arrays — no self-join, hub parts pruned before any pair is
     emitted); customer degrees come from exploding the SAME arrays, so
-    the base tables are scanned ONCE (the arrays relation — one row
-    per kept part — is CacheSlot-pinned for its two consumers, exactly
-    what a production deployment materializes)."""
-    from .mining import aa_pair_structs, adamic_adar_capped_arrays
+    the base tables are scanned ONCE. The two consumers share the
+    arrays build through AQE exchange reuse (identical subtrees →
+    ReusedExchange), NOT a CacheSlot pin: r13 measured the pin's eager
+    count() materialization job + in-memory write ~25% slower end to
+    end at sf0.1 (the q_hits_step finding, reproduced here; the pin
+    only pays off for relations consumed across SEPARATE actions)."""
+    from .mining import aa_pairs, adamic_adar_capped_arrays
 
-    arrays = _JACCARD_SLOT.own(adamic_adar_capped_arrays(spark, sf_dir))
-    arrays.count()  # materialize once for the two consumers
+    arrays = adamic_adar_capped_arrays(spark, sf_dir)
     cdeg = (arrays.select(F.explode("cks").alias("ck"))
             .groupBy("ck").agg(F.count(F.lit(1)).alias("cd")))
-    pairs = (arrays
-             .select(F.explode(aa_pair_structs()).alias("p"))
-             .select(F.col("p.ck_a"), F.col("p.ck_b"))
+    pairs = (aa_pairs(arrays.select("cks"))
              .groupBy("ck_a", "ck_b")
              .agg(F.count(F.lit(1)).alias("n_shared"))
              .filter(F.col("n_shared") >= 2))

@@ -14,7 +14,7 @@ bit at any scale.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
@@ -278,10 +278,9 @@ def adamic_adar_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     for us)."""
     grouped = adamic_adar_capped_arrays(spark, sf_dir)
     w_nano = F.round(F.lit(1e9) / F.log("d")).cast("long")
-    return (grouped
-            .select(w_nano.alias("w_nano"),
-                    F.explode(aa_pair_structs()).alias("p"))
-            .select(F.col("p.ck_a"), F.col("p.ck_b"), "w_nano"))
+    return (aa_pairs(grouped.select(w_nano.alias("w_nano"), "cks"),
+                     "w_nano")
+            .select("ck_a", "ck_b", "w_nano"))
 
 
 def adamic_adar_capped_arrays(spark: SparkSession,
@@ -314,15 +313,21 @@ def adamic_adar_capped_arrays(spark: SparkSession,
             .filter((F.col("d") >= 2) & (F.col("d") <= 40)))
 
 
-def aa_pair_structs() -> Column:
-    """The map-side (ck_a < ck_b) pair expansion over a sorted ``cks``
-    buyer array, as a column expression (shared by q_adamic_adar and
-    q_jaccard_linkpred)."""
-    return F.flatten(F.transform(
-        F.col("cks"),
-        lambda x, i: F.transform(
-            F.slice(F.col("cks"), i + 2, F.size("cks")),
-            lambda y: F.struct(x.alias("ck_a"), y.alias("ck_b")))))
+def aa_pairs(arrays: DataFrame, *carry: str) -> DataFrame:
+    """Map-side (ck_a < ck_b) pair expansion over the sorted ``cks``
+    buyer arrays (shared by q_adamic_adar and q_jaccard_linkpred):
+    posexplode picks ck_a, a second explode over the array's tail past
+    it picks ck_b. Two chained codegen'd Generates — r13 replacement
+    for the old single-explode over a flatten(transform(transform(..)))
+    struct array, which built every row's full pair list through
+    INTERPRETED lambda evaluation before the generator could stream it
+    (measured ~25% of q_adamic_adar's wall at sf0.1). Same pairs in the
+    same per-row order; ``carry`` columns ride along unchanged."""
+    return (arrays
+            .select(*carry, F.posexplode("cks").alias("i", "ck_a"), "cks")
+            .select(*carry, "ck_a",
+                    F.explode(F.slice("cks", F.col("i") + 2,
+                                      F.size("cks"))).alias("ck_b")))
 
 
 # ---------------------------------------------------------------------------

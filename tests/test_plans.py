@@ -2484,10 +2484,12 @@ def test_hurst_windows_keyed_by_stream(spark):
 
 def test_jaccard_linkpred_single_scan_no_selfjoin(spark):
     """q_jaccard_linkpred: pairs AND customer degrees both derive from
-    the one CacheSlot-pinned capped-arrays relation — each base table
-    is file-scanned exactly once, pair expansion is a Generate over
-    the bounded array (no self-join), the degree cap survives to the
-    optimized plan, and the top-100 is a TakeOrdered."""
+    the one capped-arrays relation, shared through AQE exchange reuse
+    (r13: the CacheSlot pin + eager count() was measured ~25% slower —
+    the q_hits_step finding) — each base table is file-scanned exactly
+    once, pair expansion is a Generate over the bounded array (no
+    self-join), the degree cap survives to the optimized plan, and the
+    top-100 is a TakeOrdered."""
     import re
 
     from telescope_data_pipeline_spark.plans.audit import physical_plan
@@ -2497,10 +2499,12 @@ def test_jaccard_linkpred_single_scan_no_selfjoin(spark):
     assert "<= 40" in opt, f"degree cap missing:\n{opt}"
     df.collect()
     plan = physical_plan(df).split("== Initial Plan ==")[0]
-    for banned in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+    for banned in ("CartesianProduct", "BroadcastNestedLoopJoin",
+                   "InMemoryTableScan"):  # the pin must stay gone
         assert banned not in plan, f"{banned} in plan:\n{plan}"
     assert "Generate" in plan and "TakeOrderedAndProject" in plan
-    assert "InMemoryTableScan" in plan  # the pinned arrays relation
+    assert "ReusedExchange" in plan, \
+        f"arrays build not shared via exchange reuse:\n{plan}"
     for tbl in ("orders", "lineitem"):
         n = len(re.findall(rf"FileScan parquet [^\n]*{tbl}", plan))
         assert n <= 1, f"{tbl} scanned {n}x (want <=1):\n{plan}"
