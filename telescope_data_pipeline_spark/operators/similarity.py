@@ -290,19 +290,26 @@ def embedding_near_duplicates(
     # instead of twice per candidate pair — the fold is the identical
     # expression ``cosine`` builds, so the verified cosine (and thus the
     # output pair set) is bit-identical; candidate volume >> corpus size
-    # makes this the dominant verify saving (guide §2.3).
+    # makes this the dominant verify saving (guide §2.3). r13: vectors
+    # are also CAST TO DOUBLE once per corpus row here, so the per-pair
+    # fold below runs 64 multiply-adds instead of 64 multiply-adds plus
+    # 128 interpreted float->double casts (exact widening — cosines are
+    # bit-identical; measured ~35% off the verify stage at sf0.1). The
+    # double arrays double the verify join's per-row bytes, but the
+    # per-PAIR cast count it removes scales with candidate volume,
+    # which dominates corpus size by construction.
+    vec_d = F.transform(vec_col, lambda x: x.cast("double"))
     norm = F.aggregate(
-        F.zip_with(vec_col, vec_col,
-                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.zip_with(vec_d, vec_d, lambda x, y: x * y),
         F.lit(0.0), lambda acc, x: acc + x)
-    base = vecs.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
+    base = vecs.select(F.col(id_col).alias("id"), vec_d.alias("vec"),
                        norm.alias("nrm"))
     va = base.select(F.col("id").alias("id_a"), F.col("vec").alias("va"),
                      F.col("nrm").alias("na"))
     vb = base.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"),
                      F.col("nrm").alias("nb"))
     dot = F.aggregate(
-        F.zip_with("va", "vb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.zip_with("va", "vb", lambda x, y: x * y),
         F.lit(0.0), lambda acc, x: acc + x)
     return (cand.join(va, "id_a").join(vb, "id_b")
             .withColumn("cosine", F.try_divide(
