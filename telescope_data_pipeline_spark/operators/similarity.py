@@ -74,13 +74,49 @@ def _bucket_structs(vec_col: str, planes: np.ndarray):
     return F.expr(f"array({structs})")
 
 
+def unrolled_dot(vec_a: str, vec_b: str, dim: int):
+    """``v_a · v_b`` for SHORT fixed-length array columns, as an
+    unrolled codegen expression: ``0.0D + a[1]*b[1] + ... +
+    a[dim]*b[dim]`` — bit-identical to the interpreted HOF fold
+    ``aggregate(zip_with(a, b, x*y), 0.0, +)`` (same left-to-right
+    addition order including the leading 0.0, which absorbs a -0.0
+    first product exactly like the fold's zero accumulator).
+
+    **Use only for small ``dim`` (<= ~16).** Measured r13 anti-lesson:
+    at dim=64 the unrolled chain inflates the enclosing whole-stage-
+    codegen method past HotSpot's huge-method JIT limit (-XX:
+    DontCompileHugeMethods, 8 KB bytecode), so the generated code runs
+    in the JVM *interpreter* — 3-4x SLOWER per pair than the HOF fold,
+    whose small lambda loop JITs fine (q_knn_outlier 1.2 s -> 4.5 s,
+    q_semdedup 1.7 s -> 6.1 s, interleaved min-of-3). At dim=16 the
+    method stays JIT-able and the unroll wins (q_maxsim_late
+    0.60 s -> 0.45 s). A hash-aggregate consumer splits codegen into
+    smaller methods, which is why a bare SUM micro-benchmark does NOT
+    reproduce the regression — the join+project stages the verify
+    paths actually run do.
+
+    Caller must guarantee ``size(vec) == dim`` (fixed-dim embedding
+    columns): under ANSI semantics an out-of-range index would raise,
+    exactly like the zip_with fold silently mis-pairing would corrupt.
+    """
+    terms = " + ".join(
+        f"CAST(element_at({vec_a}, {i}) AS DOUBLE)"
+        f" * CAST(element_at({vec_b}, {i}) AS DOUBLE)"
+        for i in range(1, dim + 1))
+    return F.expr(f"0.0D + {terms}")
+
+
 def cosine(vec_a: str, vec_b: str):
     """Cosine similarity between two array columns (double fold).
 
     try_divide: a zero-norm vector yields NULL cosine instead of an
     ANSI DIVIDE_BY_ZERO that aborts the whole job (threshold filters
     and rank windows then drop/sink the NULL row — matching DuckDB's
-    x/0 semantics, so the oracle-checked consumers stay exact)."""
+    x/0 semantics, so the oracle-checked consumers stay exact).
+
+    The folds stay interpreted HOFs deliberately: see the
+    ``unrolled_dot`` docstring for the measured huge-method JIT
+    anti-lesson at dim=64."""
     dot = F.aggregate(F.zip_with(vec_a, vec_b, lambda x, y: x.cast("double") * y.cast("double")),
                       F.lit(0.0), lambda acc, x: acc + x)
     n = lambda c: F.aggregate(  # noqa: E731
@@ -129,6 +165,9 @@ def ann_topk(
 
     q = with_buckets(queries, "query")
     c = with_buckets(corpus, "cand")
+    # Per-pair dot stays the interpreted HOF fold: unrolling it at
+    # dim=64 blows the WSCG method past the JIT huge-method limit and
+    # runs 3-4x slower (see unrolled_dot docstring, r13 anti-lesson).
     dot = F.aggregate(
         F.zip_with("query_vec", "cand_vec",
                    lambda x, y: x.cast("double") * y.cast("double")),
@@ -308,6 +347,10 @@ def embedding_near_duplicates(
                      F.col("nrm").alias("na"))
     vb = base.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"),
                      F.col("nrm").alias("nb"))
+    # Per-pair dot stays the interpreted HOF fold over the pre-cast
+    # double arrays: unrolling it at dim=64 blows the WSCG method past
+    # the JIT huge-method limit and runs 3-4x slower (r13 anti-lesson,
+    # see unrolled_dot docstring).
     dot = F.aggregate(
         F.zip_with("va", "vb", lambda x, y: x * y),
         F.lit(0.0), lambda acc, x: acc + x)

@@ -2448,11 +2448,13 @@ def q_maxsim_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = (e.filter(F.col("vec_id") != 0)
          .select(F.col("vec_id").alias("doc_id"),
                  F.posexplode(slices).alias("dj", "dv")))
-    dot = F.aggregate(
-        F.zip_with("qv", "dv", lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0), lambda acc, x: acc + x)
-    sq = lambda c: F.aggregate(  # noqa: E731 - local expression helper
-        F.col(c), F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    # r13: per-pair dot and norms unrolled to codegen over the 16-wide
+    # slices (operators/similarity.py::unrolled_dot — identical fold
+    # order, bit-identical cosine).
+    from ..operators.similarity import unrolled_dot
+
+    dot = unrolled_dot("qv", "dv", 16)
+    sq = lambda c: unrolled_dot(c, c, 16)  # noqa: E731 - local helper
     cos = F.round(F.try_divide(dot, F.sqrt(sq("qv") * sq("dv"))), 6)
     return (d.crossJoin(F.broadcast(q))  # 4-row query-slice table
             .groupBy("doc_id", "qi").agg(F.max(cos).alias("best"))

@@ -295,22 +295,32 @@ def adamic_adar_capped_arrays(spark: SparkSession,
               .select(F.col("o_custkey").alias("ck"),
                       F.col("l_partkey").alias("pk"))
               .distinct())
-    # Two-level capped collect: the salt spreads a hub part's buyers
-    # over 256 groups (degree/256 ids per partial list, each merged
-    # list truncated to 41 — just past the cap, so the exact-degree
-    # filter below still sees the true count via SUM(c) while list
-    # memory stays bounded for arbitrarily hot keys). For d <= 40
-    # parts every element survives the cap, so flatten+sort rebuilds
-    # the complete sorted buyer array.
-    partial = (buyers.groupBy("pk", (F.col("ck") % 256).alias("salt"))
-               .agg(F.count(F.lit(1)).alias("c"),
-                    F.slice(F.array_sort(F.collect_list("ck")), 1, 41)
-                    .alias("l")))
-    return (partial.groupBy("pk")
-            .agg(F.sum("c").alias("d"),
-                 F.array_sort(F.flatten(F.collect_list("l")))
-                 .alias("cks"))
-            .filter((F.col("d") >= 2) & (F.col("d") <= 40)))
+    # Degree-first hub pruning (r13, guide §2.3/§2.5 — replaces the
+    # old salted two-level capped collect): per-part degree is a
+    # map-side-combined COUNT (hub-safe: a 10M-buyer part reduces to
+    # one count row per task, no list ever materializes), the 2..40
+    # band filters BEFORE any collection, and the join back guarantees
+    # every surviving group's collect_list holds <= 40 elements — so
+    # no aggregation buffer anywhere can exceed the cap, for
+    # arbitrarily hot keys. The old salt scheme built ~|edges| tiny
+    # partial lists at sf0.1 (groups ~= rows: 500k collect_list +
+    # array_sort calls across two aggregate levels, measured ~55% of
+    # the query's executor time) to bound what this shape simply never
+    # builds. min(d) is exact (d is constant per pk), keeping the
+    # groupBy keyed on pk alone so the aggregation can reuse the
+    # join's pk clustering instead of adding an exchange.
+    # Both join branches descend from the identical buyers subtree, so
+    # the distinct (ck, pk) exchange materializes ONCE at runtime and
+    # the second branch reads it as ReusedExchange (probed on the
+    # final adaptive plan: isFinalPlan=true, ReusedExchange present —
+    # the INITIAL plan prints two subtrees, which is why the plan test
+    # asserts on the post-execution plan).
+    deg = (buyers.groupBy("pk").agg(F.count(F.lit(1)).alias("d"))
+           .filter((F.col("d") >= 2) & (F.col("d") <= 40)))
+    return (buyers.join(deg, "pk")
+            .groupBy("pk")
+            .agg(F.min("d").alias("d"),
+                 F.array_sort(F.collect_list("ck")).alias("cks")))
 
 
 def aa_pairs(arrays: DataFrame, *carry: str) -> DataFrame:

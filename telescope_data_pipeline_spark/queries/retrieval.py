@@ -2732,31 +2732,51 @@ def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k tables are |queries| x 5 rows."""
     e = (load_table(spark, sf_dir, "embeddings", spread=True)
          .select("vec_id", "embedding"))
+    # r13 (guide §2.3): the three prefix cosines are computed per
+    # (query, cand) pair with STATIC slice lengths — the old form
+    # exploded the dim spine first (3x the pairs through the join) and
+    # recomputed both prefix NORMS per exploded pair from runtime
+    # slices. Prefix norms now project once per side; each per-pair
+    # prefix dot is the identical left-to-right fold over the first d
+    # elements (slice with a literal length), so every cosine is
+    # bit-identical and the (dim, cos) set is unchanged
+    # (oracle-verified at all three SFs). The folds stay interpreted
+    # HOFs: the 64-term unroll is the JIT huge-method anti-lesson
+    # (operators/similarity.py::unrolled_dot docstring).
+    dims = (16, 32, 64)
+
+    def pdot(a: str, b: str, d: int):
+        return F.expr(
+            f"aggregate(zip_with(slice({a}, 1, {d}), slice({b}, 1, {d}),"
+            f" (a, b) -> CAST(a AS DOUBLE) * b),"
+            f" 0D, (acc, v) -> acc + v)")
+
+    def pnorms(col: str, pre: str):
+        return [
+            F.expr(f"aggregate(slice({col}, 1, {d}), 0D,"
+                   f" (acc, v) -> acc + CAST(v AS DOUBLE) * v)")
+            .alias(f"{pre}{d}") for d in dims]
+
     qd = (e.filter(F.col("vec_id") < 16)
           .select(F.col("vec_id").alias("query_id"),
                   F.col("embedding").alias("qfull"))
-          .select("query_id", "qfull",
-                  F.explode(F.array(F.lit(16), F.lit(32), F.lit(64)))
-                  .alias("_dim"))
-          .select("query_id", "qfull",
-                  F.col("_dim").cast("long").alias("dim")))
+          .select("query_id", "qfull", *pnorms("qfull", "qn")))
     pairs = (e.select(F.col("vec_id").alias("cand_id"),
-                      F.col("embedding").alias("cfull"))
+                      F.col("embedding").alias("cfull"),
+                      *pnorms("embedding", "cn"))
              .crossJoin(F.broadcast(qd))
              .filter(F.col("query_id") != F.col("cand_id")))
-    scored = pairs.selectExpr(
-        "dim", "query_id", "cand_id",
-        """ROUND(
-             aggregate(zip_with(slice(qfull, 1, int(dim)),
-                                slice(cfull, 1, int(dim)),
-                                (a, b) -> CAST(a AS DOUBLE) * b),
-                       0D, (acc, v) -> acc + v)
-             / NULLIF(SQRT(
-                 aggregate(slice(qfull, 1, int(dim)), 0D,
-                           (acc, v) -> acc + CAST(v AS DOUBLE) * v)
-               * aggregate(slice(cfull, 1, int(dim)), 0D,
-                           (acc, v) -> acc + CAST(v AS DOUBLE) * v)),
-               0D), 9) AS cos""")
+    cos_d = {d: F.round(
+        pdot("qfull", "cfull", d)
+        / F.nullif(F.sqrt(F.col(f"qn{d}") * F.col(f"cn{d}")), F.lit(0.0)),
+        9) for d in dims}
+    scored = pairs.select(
+        "query_id", "cand_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(d).cast("long").alias("dim"),
+                     cos_d[d].alias("cos")) for d in dims])).alias("_dc")
+    ).select(F.col("_dc.dim").alias("dim"), "query_id", "cand_id",
+             F.col("_dc.cos").alias("cos"))
     w = W.partitionBy("dim", "query_id").orderBy(F.desc("cos"),
                                                  F.asc("cand_id"))
     top = (scored.withColumn("rn", F.row_number().over(w))

@@ -1310,39 +1310,48 @@ def test_assoc_rules_basket_keyed_self_join(spark):
 
 
 def test_adamic_adar_hub_prune_before_pair_expansion(spark):
-    """Adamic-Adar: the degree cap (<= 40) must gate pair generation —
+    """Adamic-Adar: the degree cap (2..40) must gate pair generation —
     hub parts pruned BEFORE their deg^2 pairs exist (round-8 ADVICE).
-    In the join-free shape the cap filter sits between the per-part
-    array collection and the explode, so the optimized plan carries it
-    and pair expansion is a Generate over the bounded array — no
-    self-join, no cartesian anywhere."""
+    In the r13 degree-first shape the cap filters a map-side-combined
+    per-part COUNT (no list ever materializes for a hub), the gate
+    join drops hub rows, and pair expansion is a Generate over the
+    bounded (<= 40) collected array — no cartesian anywhere. The gate
+    join on pk may plan sort-merge (its build side is |parts|-sized —
+    NOT broadcastable at corpus scale), so only the genuinely
+    scale-killing shapes are banned."""
     df = get("q_adamic_adar").fn(spark, SF)
     opt = df._jdf.queryExecution().optimizedPlan().toString()
     assert "<= 40" in opt, f"degree cap missing:\n{opt}"
     assert_plan(df, contains=("TakeOrderedAndProject", "Generate"),
-                absent=("CartesianProduct", "SortMergeJoin",
+                absent=("CartesianProduct",
                         "BroadcastNestedLoopJoin"))
 
 
 def test_adamic_adar_base_relation_computed_once(spark):
     """Adamic-Adar: round-9 VERDICT flagged the orders-join-lineitem-
     distinct base recomputed FOUR times (once per self-join branch and
-    embedded degree agg). The join-free rewrite expands pairs map-side
-    from a per-part collected array, so the physical plan must scan
-    each base table EXACTLY once.
+    embedded degree agg). The r13 degree-first shape has two consumers
+    of the distinct (ck, pk) edge list — the degree count and the gate
+    join's probe side — which descend from the byte-identical subtree,
+    so the edge list's shuffle must materialize ONCE and the second
+    consumer must read it as ReusedExchange. That is a RUNTIME
+    property: the initial adaptive plan prints both subtrees, so the
+    assertion runs on the post-execution final plan.
 
     Cache-neutral: q_jaccard_linkpred CacheSlot-pins the SAME capped-
-    arrays relation, and when it ran earlier in the session Spark's
-    CacheManager substitutes the cached entry into THIS plan (a free
-    reuse, but the InMemoryRelation text embeds extra FileScan lines
-    and breaks the textual count). Clear the cache first so the pin
-    measures the cache-free shape deterministically."""
+    arrays relation; clear the cache first so the pin cannot
+    substitute an InMemoryRelation into this plan."""
     spark.catalog.clearCache()
     df = get("q_adamic_adar").fn(spark, SF)
+    df.collect()
     phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in phys, phys[:2000]
+    final = phys.split("+- == Initial Plan ==")[0]
+    assert "ReusedExchange" in final, \
+        f"edge-list exchange not reused:\n{final}"
     for tbl in ("orders", "lineitem"):
-        n = phys.count(f"/{tbl}.parquet")
-        assert n == 1, f"{tbl} scanned {n}x (want 1):\n{phys}"
+        n = final.count(f"/{tbl}.parquet")
+        assert n == 1, f"{tbl} scanned {n}x in final plan (want 1):\n{final}"
 
 
 def test_rate_shrinkage_single_aggregate(spark):
