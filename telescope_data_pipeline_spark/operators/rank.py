@@ -27,7 +27,8 @@ from pyspark.sql import functions as F
 from .cache_slot import CacheSlot
 from .range_bucket import bucketed_prefix_bases
 
-__all__ = ["distributed_row_number", "grouped_cum_counts"]
+__all__ = ["distributed_row_number", "lazy_row_number",
+           "grouped_cum_counts"]
 
 _SLOT = CacheSlot()
 
@@ -63,6 +64,57 @@ def distributed_row_number(df: DataFrame, order_cols: list[str],
             .withColumn(out_col,
                         F.col("_base") + F.row_number().over(local) - 1)
             .drop("_pid", "_base", *(["_rk"] if bucket_key is not None else [])))
+
+
+def lazy_row_number(df: DataFrame, order_cols: list[str],
+                    bucket_key: Column | str | None = None,
+                    out_col: str = "position",
+                    num_buckets: int | None = None) -> DataFrame:
+    """Fully LAZY twin of :func:`distributed_row_number` (r13): same
+    0-based global position under the total order of ``order_cols``,
+    with ZERO driver actions and ZERO caches — the per-bucket base
+    table is tiny (≤ num_buckets rows), so its prefix fold is a window
+    over bucket ids instead of a driver loop (the grouped_cum_counts /
+    lazy_prefix_sum shape). Use this form when the ranked relation
+    feeds ONE downstream consumer inside one query: the CacheSlot form
+    pays an eager count() materialization job plus an in-memory write
+    that exchange reuse renders pointless there (the q_hits_step
+    un-pinning rule). Keep ``distributed_row_number`` when the ranked
+    table is consumed across separate actions.
+
+    Positions are IDENTICAL to the eager form for any order-consistent
+    bucketing: the bucket id is monotone in the order key, ties stay
+    inside one bucket, and the local window resolves the full
+    ``order_cols`` — so bucket-boundary differences cannot move a row's
+    global position.
+    """
+    n = num_buckets or df.sparkSession.sparkContext.defaultParallelism
+    key = (F.col(order_cols[0]) if bucket_key is None else
+           F.col(bucket_key) if isinstance(bucket_key, str) else
+           bucket_key).cast("long")
+    work = df.withColumn("_rk", key)
+    bounds = work.agg(F.min("_rk").alias("_lo"), F.max("_rk").alias("_hi"))
+    span = F.col("_hi").cast("double") - F.col("_lo").cast("double") + 1.0
+    raw = F.floor((F.col("_rk").cast("double")
+                   - F.col("_lo").cast("double")) * n / span).cast("int")
+    err = F.raise_error(F.lit(
+        "lazy_row_number: NULL bucket key has no position in a total "
+        "order — filter or impute NULL keys first"))
+    pid = F.when(F.col("_rk").isNotNull(),
+                 F.least(F.lit(n - 1), F.greatest(F.lit(0), raw))) \
+        .otherwise(err.cast("int"))
+    b = (work.crossJoin(F.broadcast(bounds))
+         .withColumn("_pid", pid).drop("_lo", "_hi"))
+    totals = b.groupBy("_pid").agg(F.count(F.lit(1)).alias("_m"))
+    wt = (W.orderBy("_pid")
+          .rowsBetween(W.unboundedPreceding, W.currentRow))
+    bases = totals.select(
+        "_pid", (F.sum("_m").over(wt) - F.col("_m")).alias("_base"))
+    local = W.partitionBy("_pid").orderBy(*order_cols)
+    return (b.join(F.broadcast(bases), "_pid")
+            .withColumn(out_col,
+                        F.col("_base") + F.row_number().over(local) - 1)
+            .drop("_pid", "_base", "_rk"))
 
 
 def grouped_cum_counts(df: DataFrame, grp_col: str, val_col: str,

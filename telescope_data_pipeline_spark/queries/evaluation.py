@@ -361,7 +361,7 @@ def q_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
     decile groupBy is map-side combined onto 10 cells; the cumulative
     window runs over 10 rows. At 100 TB the only full-data pass is the
     rank's bucket counting."""
-    from ..operators.rank import distributed_row_number
+    from ..operators.rank import lazy_row_number
 
     e = load_table(spark, sf_dir, "embeddings")
     s = e.select(
@@ -370,7 +370,9 @@ def q_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("label") >= 5, 1).otherwise(0).alias("y"))
     # descending score order via a negated integral bucket projection:
     # -score at 6-digit precision is monotone in (score DESC).
-    ranked = distributed_row_number(
+    # r13: fully-lazy rank — single consumer, the CacheSlot
+    # materialization job bought nothing (see operators/rank.py).
+    ranked = lazy_row_number(
         s.withColumn("nscore", -F.col("score")),
         order_cols=["nscore", "vec_id"],
         bucket_key=F.round(F.col("nscore") * 1e6).cast("long"),

@@ -243,14 +243,22 @@ def q_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                  (F.col("l_shipdate")
                   > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
                  .alias("late")))
-    per_order = (l.groupBy("l_orderkey")
-                 .agg(F.count_distinct("l_suppkey").alias("n_supp"),
-                      F.count_distinct(F.when(F.col("late"), F.col("l_suppkey")))
+    # r13 (guide §2.3): collapse to DISTINCT (order, supplier) pairs
+    # FIRST (max(late) = "late on any line"), so the two per-order
+    # distinct counts become a plain count + sum over the deduped
+    # pairs — no Expand row-doubling for the dual count_distinct, and
+    # the blame leg needs no second distinct. Same algebra: a supplier
+    # is late iff any of its lines is late; oracle-verified tri-scale.
+    grp = (l.groupBy("l_orderkey", "l_suppkey")
+           .agg(F.max("late").alias("late_any")))
+    per_order = (grp.groupBy("l_orderkey")
+                 .agg(F.count(F.lit(1)).alias("n_supp"),
+                      F.sum(F.col("late_any").cast("int"))
                       .alias("n_late_supp")))
-    blamed = (l.filter(F.col("late"))
+    blamed = (grp.filter(F.col("late_any"))
               .join(per_order, "l_orderkey")
               .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
-              .select("l_orderkey", "l_suppkey").distinct())
+              .select("l_orderkey", "l_suppkey"))
     return (blamed.groupBy(F.col("l_suppkey").alias("suppkey"))
             .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
             .orderBy(F.col("numwait").desc(), "suppkey").limit(20))

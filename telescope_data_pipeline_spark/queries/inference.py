@@ -1127,7 +1127,13 @@ def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("yb").alias("ay"), F.col("cnt").alias("an"))
     b = cells.select(F.col("pri").alias("p2"), F.col("xb").alias("bx"),
                      F.col("yb").alias("by"), F.col("cnt").alias("bn"))
-    cd = (a.join(F.broadcast(b),
+    # No explicit broadcast hint (r13): a planned BroadcastExchange
+    # rebuilds the whole fact pipeline for the build side (broadcast
+    # branches cannot read a reused shuffle — stage-profiled: two
+    # identical 2.5 MB single-task map stages). Left to AQE, the build
+    # side reads the SAME reused cells exchange and is converted to a
+    # runtime broadcast anyway (bounded ~1k cells).
+    cd = (a.join(b,
                  (F.col("p") == F.col("p2"))
                  & (F.col("bx") > F.col("ax"))
                  & (F.col("by") != F.col("ay")))

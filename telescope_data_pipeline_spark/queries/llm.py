@@ -863,19 +863,24 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary; a document belongs to the window where it starts).
 
     The cumulative token count runs through
-    ``operators.prefix_sum.distributed_prefix_sum`` — NOT a bare
-    ``orderBy`` window, which Spark evaluates on a single partition
-    (the whole corpus shipped to one task at 100 TB). The two-phase
-    scan range-partitions by doc_id, prefix-sums the ≤n per-partition
-    subtotals driver-side, and finishes with partition-local windows —
-    identical output, parallel everywhere. All-integer outputs: no
-    float parity risk."""
-    from ..operators.prefix_sum import distributed_prefix_sum
+    ``operators.prefix_sum.lazy_prefix_sum`` — NOT a bare ``orderBy``
+    window, which Spark evaluates on a single partition (the whole
+    corpus shipped to one task at 100 TB). The two-phase scan
+    range-buckets by doc_id, prefix-sums the ≤n per-bucket subtotals
+    with a bucket-id window (bounded), and finishes with
+    bucket-local windows — identical output, parallel everywhere.
+    All-integer outputs: no float parity risk. r13: switched from the
+    CacheSlot-backed ``distributed_prefix_sum`` to the fully-lazy twin
+    — this query is the prefix sum's ONLY consumer, so the cache paid
+    an eager materialization job + an in-memory write for nothing (the
+    q_hits_step un-pinning rule); the tokenize runs spread across
+    cores instead of one scan task."""
+    from ..operators.prefix_sum import lazy_prefix_sum
 
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", spread=True)
     n_tok = F.size(F.filter(F.split("text", _TOK), lambda x: x != ""))
     t = d.select("doc_id", n_tok.alias("n_tok"))
-    return (distributed_prefix_sum(t, "doc_id", "n_tok", out_col="cum")
+    return (lazy_prefix_sum(t, "doc_id", ["doc_id"], "n_tok", out_col="cum")
             .selectExpr("doc_id", "n_tok",
                         "CAST((cum - n_tok) DIV 512 AS LONG) AS seq_id",
                         "CAST((cum - n_tok) % 512 AS LONG) AS seq_off"))
@@ -3728,10 +3733,11 @@ def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed_row_number (bucketed by the integral n_chars key) —
     no single-partition sort; the weighted sum is one map-side-combined
     agg. int64 holds i*x_i up to ~1e12 docs of ~1e6 chars."""
-    from ..operators.rank import distributed_row_number
+    from ..operators.rank import lazy_row_number
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    ranked = distributed_row_number(
+    # r13: fully-lazy rank — single consumer (see operators/rank.py).
+    ranked = lazy_row_number(
         d, order_cols=["n_chars", "doc_id"], bucket_key="n_chars",
         out_col="i0")
     return (ranked.select((F.col("i0") + 1).alias("i"), "n_chars")

