@@ -64,13 +64,26 @@ def heavy_hitters_exact(df: DataFrame, key_col: str, k: int) -> DataFrame:
         yield pd.DataFrame({"k": list(counters.keys())})
 
     cand = keys.mapInPandas(mg, schema="k string").distinct()
-    n = keys.agg(F.count(F.lit(1)).alias("n"))  # lazy 1-row broadcast
-    return (keys.join(F.broadcast(cand), "k", "left_semi")
-            .groupBy("k").agg(F.count(F.lit(1)).alias("c"))
-            .crossJoin(F.broadcast(n))
+    # r13 rescue (guide §2.3/§1.2 — one fewer pass over the stream):
+    # instead of a third scan for the total n, the rescue pass counts
+    # EVERY row, collapsing non-candidates into one NULL bucket (the
+    # left join against the broadcast candidate set tags map-side, so
+    # partial aggregation sees <= |cand| + 1 groups). n is then the sum
+    # of all bucket counts — exact — via a window over the BOUNDED
+    # count table (never the stream). Two passes total: sketch, rescue.
+    from pyspark.sql import Window as W
+
+    tagged = keys.join(F.broadcast(cand.withColumn("_hit", F.lit(1))),
+                       "k", "left")
+    counts = (tagged
+              .groupBy(F.when(F.col("_hit") == 1, F.col("k")).alias("kk"))
+              .agg(F.count(F.lit(1)).alias("c")))
+    wall = (W.partitionBy()  # bounded: <= |candidates| + 1 rows
+            .rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+    return (counts.withColumn("n", F.sum("c").over(wall))
             # integer arithmetic: c > n/k as c*k > n, no float division
-            .filter(F.col("c") * k > F.col("n"))
-            .select(F.col("k").alias(key_col), "c"))
+            .filter(F.col("kk").isNotNull() & (F.col("c") * k > F.col("n")))
+            .select(F.col("kk").alias(key_col), "c"))
 
 
 def heavy_hitters_exact_grouped(df: DataFrame, group_col: str,
@@ -112,10 +125,24 @@ def heavy_hitters_exact_grouped(df: DataFrame, group_col: str,
             columns=["g", "k"])
 
     cand = keys.mapInPandas(mg, schema="g string, k string").distinct()
-    n = keys.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
-    return (keys.join(F.broadcast(cand), ["g", "k"], "left_semi")
-            .groupBy("g", "k").agg(F.count(F.lit(1)).alias("c"))
-            .join(F.broadcast(n), "g")
-            .filter(F.col("c") * k > F.col("n"))
+    # r13 rescue: same two-pass fold as heavy_hitters_exact — the
+    # rescue pass counts every row with non-candidates collapsed into
+    # one NULL bucket PER GROUP, and each group's exact total n is a
+    # window sum over its bounded (<= |cand_g| + 1 rows) count slice —
+    # the third full scan the separate per-group totals aggregate paid
+    # is gone (measured: three tokenize+explode map stages -> two).
+    from pyspark.sql import Window as W
+
+    tagged = keys.join(F.broadcast(cand.withColumn("_hit", F.lit(1))),
+                       ["g", "k"], "left")
+    counts = (tagged
+              .groupBy("g",
+                       F.when(F.col("_hit") == 1, F.col("k")).alias("kk"))
+              .agg(F.count(F.lit(1)).alias("c")))
+    wg = (W.partitionBy("g")
+          .rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+    return (counts.withColumn("n", F.sum("c").over(wg))
+            .withColumnRenamed("kk", "k")
+            .filter(F.col("k").isNotNull() & (F.col("c") * k > F.col("n")))
             .select(F.col("g").alias(group_col),
                     F.col("k").alias(key_col), "c"))

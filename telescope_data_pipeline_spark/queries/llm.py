@@ -13,7 +13,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..operators.cache_slot import CacheSlot
 from ..sources import load_table
 from .registry import query
 
@@ -22,7 +21,6 @@ from .registry import query
 _TOK = r"\s+"
 
 #: bounded cache for the Kneser-Ney bigram count table (4 consumers)
-_KN_SLOT = CacheSlot()
 
 
 @query("q_dedup_exact", oracle="""
@@ -2862,11 +2860,20 @@ def q_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.element_at(ws, i + 1).alias("w1"),
                         F.element_at(ws, i + 2).alias("w2")))
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    # Uniform not-null filter on both gram columns (r13): the final
+    # enrichment joins push isnotnull(w1) into the ctx branch and
+    # isnotnull(w2) into the cont branch, de-canonicalizing each
+    # consumer's copy of the bigram-count subtree; with both filters
+    # stated up front every branch is byte-identical and the count
+    # exchange materializes once (ReusedExchange) — which replaces the
+    # old CacheSlot pin (all four consumers live in ONE action, the
+    # q_hits_step un-pinning rule; the pinned relation was also
+    # |bigram types|-sized, the wrong thing to cache at corpus scale).
     big = (d.select(F.explode(grams).alias("g"))
            .select(F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
-           .filter((F.col("w1") != "") & (F.col("w2") != ""))
+           .filter((F.col("w1") != "") & (F.col("w2") != "")
+                   & F.col("w1").isNotNull() & F.col("w2").isNotNull())
            .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c")))
-    big = _KN_SLOT.own(big)  # 4 consumers; bounded single-slot cache
     ctx = big.groupBy("w1").agg(F.sum("c").alias("cprev"),
                                 F.count(F.lit(1)).alias("nfollow"))
     cont = big.groupBy("w2").agg(F.count(F.lit(1)).alias("ncont"))

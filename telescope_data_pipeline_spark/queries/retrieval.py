@@ -961,7 +961,10 @@ def q_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     on prefix tokens, verification only on surviving pairs. The
     doc_id < 500 slice bounds the oracle; the Spark plan is
     slice-independent."""
-    d = (load_table(spark, sf_dir, "documents")
+    # spread=True (r13): the shingle branches re-tokenize the
+    # single-file scan serially otherwise (the q_containment_join
+    # finding; every downstream result is a set/aggregate).
+    d = (load_table(spark, sf_dir, "documents", spread=True)
          .filter(F.col("doc_id") < 500))
     toks = F.split(F.lower("text"), _TOK)
     # Guard: sequence(0, n) DESCENDS when n < 0 (docs under 3 tokens
