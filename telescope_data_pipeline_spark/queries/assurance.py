@@ -33,6 +33,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
+from ..session import stock_coalesce_floor
 from .registry import query
 
 #: Reference/current split shared with q_psi_drift / q_ks_drift /
@@ -627,6 +628,12 @@ def q_hits_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     why it wins there). Production additionally buckets edges by node
     so ITERATED steps reuse the layout across queries, and hot hub
     nodes take the salted two-stage aggregate from operators/skew.py."""
+    # r14 (guide SS2.3/SS1.2): this query is a chain of bounded
+    # aggregates/windows over mid-size shuffles with no output-
+    # expanding join, so the engine's 64 KB AQE coalesce floor only
+    # buys per-stage task overhead here; run it on the stock-floor
+    # child session (interleaved min3 A/B in OPTIMIZATION_r14.md).
+    spark = stock_coalesce_floor(spark)
     od = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     edges = (od.join(li, li.l_orderkey == od.o_orderkey)

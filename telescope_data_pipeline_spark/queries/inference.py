@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 from ..operators.cache_slot import CacheSlot
 from ..sources.tables import load_table
+from ..session import stock_coalesce_floor
 from .registry import query
 
 #: q_target_encode's per-category stats table (|categories| rows).
@@ -101,6 +102,12 @@ def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     |orders|/5 rows in one task — round-10 VERDICT item 2). The y rank
     map (distinct basket sizes) broadcasts; the x map joins back on
     (pri, price_centi)."""
+    # r14 (guide SS2.3/SS1.2): this query is a chain of bounded
+    # aggregates/windows over mid-size shuffles with no output-
+    # expanding join, so the engine's 64 KB AQE coalesce floor only
+    # buys per-stage task overhead here; run it on the stock-floor
+    # child session (interleaved min3 A/B in OPTIMIZATION_r14.md).
+    spark = stock_coalesce_floor(spark)
     from ..operators.rank import grouped_cum_counts
 
     od = load_table(spark, sf_dir, "orders")
@@ -1112,6 +1119,12 @@ def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates over the same bounded cells — AQE reuses the cells
     exchange across the consumers, the q_hits_step pattern. At 100 TB
     nothing downstream of the per-order groupBy depends on data size."""
+    # r14 (guide SS2.3/SS1.2): this query is a chain of bounded
+    # aggregates/windows over mid-size shuffles with no output-
+    # expanding join, so the engine's 64 KB AQE coalesce floor only
+    # buys per-stage task overhead here; run it on the stock-floor
+    # child session (interleaved min3 A/B in OPTIMIZATION_r14.md).
+    spark = stock_coalesce_floor(spark)
     od = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     per_order = (od.join(li, li.l_orderkey == od.o_orderkey)
@@ -1349,6 +1362,12 @@ def q_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
     unit), one keyed equi-join of margins back onto kept units, and a
     final bounded per-priority aggregate. State never exceeds
     |units| rows; nothing is cross-joined or sorted globally."""
+    # r14 (guide SS2.3/SS1.2): this query is a chain of bounded
+    # aggregates/windows over mid-size shuffles with no output-
+    # expanding join, so the engine's 64 KB AQE coalesce floor only
+    # buys per-stage task overhead here; run it on the stock-floor
+    # child session (interleaved min3 A/B in OPTIMIZATION_r14.md).
+    spark = stock_coalesce_floor(spark)
     od = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     g1 = (li.join(od, od.o_orderkey == li.l_orderkey)

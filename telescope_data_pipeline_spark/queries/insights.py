@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from ..operators.cache_slot import CacheSlot
 from ..sources.tables import load_table
+from ..session import stock_coalesce_floor
 from .registry import query
 
 _TOK = r"\s+"
@@ -489,6 +490,12 @@ def q_goodman_gamma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one shuffle to per-order baskets, one to the 40-cell table;
     the pair 'join' is a broadcast cross of two 40-row relations."""
+    # r14 (guide SS2.3/SS1.2): this query is a chain of bounded
+    # aggregates/windows over mid-size shuffles with no output-
+    # expanding join, so the engine's 64 KB AQE coalesce floor only
+    # buys per-stage task overhead here; run it on the stock-floor
+    # child session (interleaved min3 A/B in OPTIMIZATION_r14.md).
+    spark = stock_coalesce_floor(spark)
     od = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     per_order = (od.join(li, li.l_orderkey == od.o_orderkey)
@@ -1142,6 +1149,12 @@ def q_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one map-side-combined groupBy per FD (map-side distinct),
     union of tiny per-FD aggregates; |lhs| rows shuffle, never raw."""
+    # r14 (guide SS2.3/SS1.2): this query is a chain of bounded
+    # aggregates/windows over mid-size shuffles with no output-
+    # expanding join, so the engine's 64 KB AQE coalesce floor only
+    # buys per-stage task overhead here; run it on the stock-floor
+    # child session (interleaved min3 A/B in OPTIMIZATION_r14.md).
+    spark = stock_coalesce_floor(spark)
     li = load_table(spark, sf_dir, "lineitem")
     od = load_table(spark, sf_dir, "orders")
     checks = [
@@ -1819,6 +1832,12 @@ def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     the lower-degree endpoint; per-node triangle counts are one
     3-corner explode + groupBy; the join back to degrees is keyed.
     deg >= 2 prunes before the ratio (no zero denominators)."""
+    # r14 (guide SS2.3/SS1.2): this query is a chain of bounded
+    # aggregates/windows over mid-size shuffles with no output-
+    # expanding join, so the engine's 64 KB AQE coalesce floor only
+    # buys per-stage task overhead here; run it on the stock-floor
+    # child session (interleaved min3 A/B in OPTIMIZATION_r14.md).
+    spark = stock_coalesce_floor(spark)
     li = (load_table(spark, sf_dir, "lineitem")
           .filter(F.col("l_partkey") % 4 == 0)
           .select("l_orderkey", "l_partkey"))

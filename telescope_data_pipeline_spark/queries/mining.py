@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from ..sources.tables import load_table
+from ..session import stock_coalesce_floor
 from .registry import query
 
 _TOK = r"\s+"
@@ -162,6 +163,12 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim and the 1-row total broadcast. All ratios are divisions of
     exact integer counts: deterministic at any parallelism.
     """
+    # r14 (guide SS2.3/SS1.2): this query is a chain of bounded
+    # aggregates/windows over mid-size shuffles with no output-
+    # expanding join, so the engine's 64 KB AQE coalesce floor only
+    # buys per-stage task overhead here; run it on the stock-floor
+    # child session (interleaved min3 A/B in OPTIMIZATION_r14.md).
+    spark = stock_coalesce_floor(spark)
     li = load_table(spark, sf_dir, "lineitem")
     pt = load_table(spark, sf_dir, "part")
     ob = (li.join(pt, pt.p_partkey == li.l_partkey)

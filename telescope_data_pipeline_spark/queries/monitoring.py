@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from ..operators.rank import grouped_cum_counts
 from ..sources.tables import load_table
+from ..session import stock_coalesce_floor
 from .registry import query
 
 #: Reference/current split shared with q_psi_drift / q_ks_drift so the
@@ -406,6 +407,12 @@ def q_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     lesson), reduced to ONE broadcast row; group counts are one
     map-side-combined groupBy; the only unpartitioned windows run over
     the <= k-group table."""
+    # r14 (guide SS2.3/SS1.2): this query is a chain of bounded
+    # aggregates/windows over mid-size shuffles with no output-
+    # expanding join, so the engine's 64 KB AQE coalesce floor only
+    # buys per-stage task overhead here; run it on the stock-floor
+    # child session (interleaved min3 A/B in OPTIMIZATION_r14.md).
+    spark = stock_coalesce_floor(spark)
     d = load_table(spark, sf_dir, "orders").select(
         F.col("o_orderpriority").alias("grp"),
         F.round(F.col("o_totalprice") * 100).cast("long").alias("xc"))

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from ..operators.cache_slot import CacheSlot
 from ..sources import load_table
+from ..session import stock_coalesce_floor
 from .registry import query
 
 #: The co-purchase edge list (parts sharing an order, %4 sample) is the
@@ -325,6 +326,12 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed by src so iterations reuse the layout with zero re-
     shuffle; skewed hubs (stop-term-like super-nodes) take the salted
     two-stage aggregation from operators/skew.py."""
+    # r14 (guide SS2.3/SS1.2): this query is a chain of bounded
+    # aggregates/windows over mid-size shuffles with no output-
+    # expanding join, so the engine's 64 KB AQE coalesce floor only
+    # buys per-stage task overhead here; run it on the stock-floor
+    # child session (interleaved min3 A/B in OPTIMIZATION_r14.md).
+    spark = stock_coalesce_floor(spark)
     li = load_table(spark, sf_dir, "lineitem")
     # Uniform not-null filter on BOTH endpoints (r13, guide §2.4): the
     # edge consumers below (degree, r1 join, r2 join) each push their
@@ -717,6 +724,12 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     (_copurchase_edges): the degree agg, the orientation join, and the
     three wedge-join branches all read one materialized relation
     instead of re-running the lineitem self-join per branch."""
+    # r14 (guide SS2.3/SS1.2): this query is a chain of bounded
+    # aggregates/windows over mid-size shuffles with no output-
+    # expanding join, so the engine's 64 KB AQE coalesce floor only
+    # buys per-stage task overhead here; run it on the stock-floor
+    # child session (interleaved min3 A/B in OPTIMIZATION_r14.md).
+    spark = stock_coalesce_floor(spark)
     e = _copurchase_edges(spark, sf_dir)
     deg = (e.select(F.col("pa").alias("node"))
            .unionAll(e.select(F.col("pb").alias("node")))
@@ -2417,6 +2430,12 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     scans in the r10 plan sweep); with them every round is exactly
     one |E| join over the materialized edges (operators/pagerank.py's
     loop contract)."""
+    # r14 (guide SS2.3/SS1.2): this query is a chain of bounded
+    # aggregates/windows over mid-size shuffles with no output-
+    # expanding join, so the engine's 64 KB AQE coalesce floor only
+    # buys per-stage task overhead here; run it on the stock-floor
+    # child session (interleaved min3 A/B in OPTIMIZATION_r14.md).
+    spark = stock_coalesce_floor(spark)
     e0 = _copurchase_edges(spark, sf_dir)
     e = (e0.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
          .unionAll(e0.select(F.col("pb").alias("src"),

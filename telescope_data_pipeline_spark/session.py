@@ -79,3 +79,40 @@ def get_spark(app_name: str = "telescope_data_pipeline_spark",
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def stock_coalesce_floor(spark: SparkSession) -> SparkSession:
+    """A child session (shared SparkContext, isolated SQLConf) running
+    Spark's STOCK 1 MB AQE coalesce floor instead of the engine's 64 KB
+    default.
+
+    The 64 KB floor exists for output-expanding joins (see get_spark):
+    a sub-MB shuffle that fans out into millions of pair rows must not
+    collapse to one task. Its cost is the flip side: a many-stage query
+    over mid-size (1-10 MB) shuffles gets 32 tasks per stage where 5
+    would do, and pays task-scheduling overhead once per stage — the
+    r13/r14 interleaved A/B measured q_spearman 4.4 s under the 64 KB
+    floor vs 2.5-3.2 s at stock (same session, same host), while the
+    expansion-join wins (q_semdedup 1.7 s, q_adamic_adar) stay intact
+    on the parent. Queries whose plans are long chains of bounded
+    aggregates/windows — and never expansion joins — opt into the stock
+    floor HERE, scoped to their own plan, instead of flipping the
+    session default that the expansion family depends on.
+
+    At cluster scale bytes/parallelism >> 1 MB so neither floor ever
+    binds — this is a local/small-shuffle trade only, which is why it
+    is safe to decide per query shape. ``newSession()`` inherits every
+    builder conf (verified: shuffle.partitions, broadcast threshold,
+    timezone, Arrow, nanosAsLong all carry over); only the floor is
+    overridden. The child shares the parent's SparkContext, catalog and
+    cache manager, so CacheSlot pins and ``clearCache`` behave
+    identically.
+    """
+    child = getattr(spark, "_tdp_stock_floor_session", None)
+    if child is None:
+        child = spark.newSession()
+        child.conf.set(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_AQE_STOCK_FLOOR", "1MB"))
+        spark._tdp_stock_floor_session = child
+    return child
