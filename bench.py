@@ -268,6 +268,16 @@ def main() -> None:
     # Warm the JVM/codegen path once so per-query times measure the plan,
     # not first-call initialization.
     registry["q_flagship"].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # Python-DataSource warm (r14, r13 VERDICT item 8): the FIRST Python
+    # data-source execution in a session pays ~3-4 s of Python-worker /
+    # plan-serialization cold start that belongs to process setup, not
+    # to the operator being timed; one warc scan here (OUTSIDE every
+    # timed region) makes q_scan_warc's legacy first-run number measure
+    # the query instead of the interpreter. Documented protocol change:
+    # from r14 on, q_scan_warc's `queries_extra` entry is steady-state
+    # (~0.8 s) rather than the old cold-start artifact (~4 s); its min2
+    # series is unaffected.
+    registry["q_scan_warc"].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     # Runs per query: the host carries variable background load
     # (BASELINE.md: totals swing ±25%), so single-shot wall times are

@@ -11,12 +11,14 @@ lineitem⋈orders as a shuffle join on orderkey and customer as a broadcast
 into the parquet scans. Aggregation is partial (map-side) then final —
 the only full shuffle carries ~|groups| rows.
 
-Determinism: every monetary/quantity aggregate runs in DECIMAL
-(2- and 4-digit scales match the data's intrinsic precision), so sums
-and averages are EXACT and independent of partial-aggregation merge
+Determinism: every monetary/quantity aggregate sums EXACT integer
+centi/1e-4 units (the data's intrinsic 2-decimal precision), so sums
+and averages are exact and independent of partial-aggregation merge
 order — which is what lets the fact scan spread across cores
 (load_table(spread=True)) without exposing float addition order to the
-oracle hash. The q_agg_salted precedent, promoted to the flagship.
+oracle hash. The q_agg_salted precedent, promoted to the flagship
+(r14: integer lanes replaced the DECIMAL lanes — same exactness, 9%
+faster; headroom analysis at the aggregate).
 """
 
 from __future__ import annotations
@@ -58,10 +60,26 @@ def q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
 
-    qty = F.col("l_quantity").cast("decimal(18,2)")
-    price = F.col("l_extendedprice").cast("decimal(18,2)")
-    disc_price = price * (1 - F.col("l_discount").cast("decimal(18,2)"))
-    total = F.col("o_totalprice").cast("decimal(18,2)")
+    # r14 (guide §2.3 "narrower types" / §1.2 per-task work): the four
+    # monetary/quantity aggregates sum exact INTEGER centi/1e-4 units
+    # (BIGINT hash-agg lanes) instead of DECIMAL(18,2)/(38,4) — 9% off
+    # the whole query at sf0.1 (1.67 -> 1.51 interleaved min3), output
+    # bit-identical (oracle-verified at sf0.001/0.01/0.1). Why exact:
+    # the inputs are 2-decimal values, so the centi quantization is
+    # lossless; the integer sums are order-free; and a BIGINT sum below
+    # 2^53 converts to double with ONE correctly-rounded division,
+    # which is precisely what BigDecimal.doubleValue() of the same
+    # rational produces. Headroom: sum_disc's 1e-4-unit sum stays under
+    # 2^53 through ~8.6e6 lineitems per group-by output lane... per
+    # GROUP, i.e. ~sf14 at TPC-H row scales, and under 2^63 to ~sf1500;
+    # past 2^53 the decimal and integer paths could differ in the last
+    # ulp, so a >sf10 deployment should flip sum_disc back to the
+    # decimal form (the other sums have 100x more headroom).
+    qc = F.round(F.col("l_quantity") * 100).cast("long")
+    pc = F.round(F.col("l_extendedprice") * 100).cast("long")
+    dc = F.round(F.col("l_discount") * 100).cast("long")
+    dpc = pc * (100 - dc)  # exact 1e-4 units
+    tc = F.round(F.col("o_totalprice") * 100).cast("long")
     n = F.count(F.lit(1))
     return (
         lineitem
@@ -71,11 +89,11 @@ def q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(qty).cast("double").alias("sum_qty"),
-            F.sum(price).cast("double").alias("sum_base_price"),
-            F.sum(disc_price).cast("double").alias("sum_disc_price"),
-            F.round(F.sum(qty).cast("double") / n, 6).alias("avg_qty"),
-            F.round(F.sum(total).cast("double") / n, 6).alias("avg_order_price"),
+            (F.sum(qc) / 100.0).alias("sum_qty"),
+            (F.sum(pc) / 100.0).alias("sum_base_price"),
+            (F.sum(dpc) / 10000.0).alias("sum_disc_price"),
+            F.round(F.sum(qc) / 100.0 / n, 6).alias("avg_qty"),
+            F.round(F.sum(tc) / 100.0 / n, 6).alias("avg_order_price"),
             n.alias("n_rows"),
             F.countDistinct("c_custkey").alias("n_custs"),
         )

@@ -1157,17 +1157,21 @@ def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
                F.coalesce(F.sum(F.when(F.col("by") < F.col("ay"),
                                        F.col("an") * F.col("bn"))),
                           F.lit(0)).alias("d_pairs")))
+    # r14 (guide §1.2): n = sum over cells = sum over the x-margin's
+    # per-bucket totals, so the group total rides the x-margin
+    # aggregate instead of a THIRD aggregate branch + join over the
+    # cells exchange (exact integer algebra either way — same n).
     xm = (cells.groupBy("pri", "xb").agg(F.sum("cnt").alias("t"))
           .groupBy("pri")
-          .agg(F.sum(F.col("t") * (F.col("t") - 1)).alias("n1d")))
+          .agg(F.sum(F.col("t") * (F.col("t") - 1)).alias("n1d"),
+               F.sum("t").alias("n")))
     ym = (cells.groupBy("pri", "yb").agg(F.sum("cnt").alias("t"))
           .groupBy("pri")
           .agg(F.sum(F.col("t") * (F.col("t") - 1)).alias("n2d")))
-    tot = cells.groupBy("pri").agg(F.sum("cnt").alias("n"))
 
     n = F.col("n").cast("double")
     n0d = n * (n - F.lit(1.0))
-    return (tot.join(xm, "pri").join(ym, "pri")
+    return (xm.join(ym, "pri")
             .join(cd, "pri", "left")
             .select(
                 "pri", F.col("n").cast("long").alias("n"),

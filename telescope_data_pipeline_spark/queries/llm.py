@@ -20,8 +20,6 @@ from .registry import query
 #: the DuckDB regex are the same).
 _TOK = r"\s+"
 
-#: bounded cache for the Kneser-Ney bigram count table (4 consumers)
-
 
 @query("q_dedup_exact", oracle="""
 SELECT substr(text, 1, 30) AS dedup_key,
@@ -2453,7 +2451,11 @@ def q_maxsim_late(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.posexplode(slices).alias("dj", "dv")))
     # r13: per-pair dot and norms unrolled to codegen over the 16-wide
     # slices (operators/similarity.py::unrolled_dot — identical fold
-    # order, bit-identical cosine).
+    # order, bit-identical cosine). HARD DEPENDENCY on the embeddings
+    # schema: every slice is exactly 16 wide because the fixed 64-dim
+    # vectors split 4x16 above — under ANSI mode element_at past the
+    # array end would abort the job (r13 ADVICE; the zip_with fold
+    # would instead silently yield NULL, which is no safer).
     from ..operators.similarity import unrolled_dot
 
     dot = unrolled_dot("qv", "dv", 16)

@@ -44,53 +44,31 @@ class Query:
 _REGISTRY: dict[str, Query] = {}
 
 #: The driver's correctness gate checks queries in ``queries()`` dict
-#: order and stops after the first 50 entries. Round-13 rotation (the
+#: order and stops after the first 50 entries. Round-14 rotation (the
 #: registry's established scheme; group sizes sum to the 50-entry gate
-#: EXACTLY): this round's window is the ATTESTATION-GAP ZEROING the
-#: round-12 VERDICT item 1 mandates — "the 35 never-sampled first
-#: ... the r5-stale drain with whatever remains. Add no more than a
-#: handful of new queries this round." The window serves
-#: (a) first-ever driver evidence for the 35 registered queries that
-#: have never been driver-sampled (the r12 session-4 cohort: 34
-#: oracle-backed + the rows-only q_media_exif) — 35 entries, the
-#: exact ROUND-13 QUEUE promised in the r12 registry comment;
-#: (b) stale-attestation drain in the spill's promised alphabetical
-#: order — 15 entries (q_cluster_components .. q_join_asof), cutting
-#: the r5-stale backlog from 39 to 24 (sum = 50 exactly).
-#: DELIBERATE TRADE: per the r12 VERDICT, NO new-surface slots this
-#: round — any query added in r13 joins the r14 queue instead. The
-#: remaining 24 r5-stale entries (spill below, alphabetical) complete
-#: the backlog in r14: a 24-slot drain + up to 26 slots for r13/r14
-#: additions and cadence rotation zeroes all pre-r6 staleness.
-#: ROUND-14 QUEUE (first-time driver evidence, group (c) head): the 5
-#: r13 additions — q_kendall_tau, q_benjamini_hochberg,
-#: q_krippendorff_alpha, q_conformal_interval, q_weibull_fit — all
-#: tri-scale oracle-proven locally at registration time; they sit
-#: past the 50-entry gate this round by construction (non-PRIORITY
-#: oracle-backed entries order after the PRIORITY block).
+#: EXACTLY — the r13 VERDICT item 9 cadence):
+#: (a) the 24-entry r5-stale DRAIN in the promised alphabetical order
+#: (q_join_broadcast .. q_weighted_sample) — this ZEROES the pre-r6
+#: attestation backlog;
+#: (b) first-time driver evidence for the 5 r13 stat additions
+#: (q_kendall_tau, q_benjamini_hochberg, q_krippendorff_alpha,
+#: q_conformal_interval, q_weibull_fit — never driver-sampled, all
+#: tri-scale oracle-proven at registration) plus q_media_frames, the
+#: r13 video frame-sampling query the verdict queued for fresh
+#: evidence (the verdict's "q_media_video"; no query of that literal
+#: name exists) — 6;
+#: (c) cadence rotation into the OLDEST remaining cohort: the first 20
+#: of the 46 r6-attested queries, alphabetical (q_anomaly_mad ..
+#: q_maxsim_late). Sum = 50 exactly.
+#: ROUND-15 QUEUE (spill, alphabetical): the remaining 26 r6-attested
+#: entries (q_median_twopass .. q_zorder_key) — draining them zeroes
+#: all pre-r7 staleness; any r14 additions join that window's group
+#: (b). Staleness is computed from the committed CORRECTNESS_r*.json
+#: artifacts (max round each name appears in).
 #: The local tri-scale (sf0.001/0.01/0.1) oracle sweep still covers
 #: all registered queries per session.
 PRIORITY: tuple[str, ...] = (
-    # (a) never driver-sampled (r12 session-4 cohort) — 35
-    "q_hellinger_drift", "q_overdispersion", "q_hosmer_lemeshow",
-    "q_hurst_exponent", "q_cronbach_alpha", "q_hits_step",
-    "q_powerlaw_alpha", "q_jaccard_linkpred", "q_map_eval",
-    "q_rbo_overlap", "q_energy_distance", "q_embedding_drift",
-    "q_ab_srm", "q_theils_u2", "q_sax_symbols", "q_mix_temperature",
-    "q_newey_west", "q_gumbel_fit", "q_shapley_attribution",
-    "q_ratio_delta", "q_holt_winters", "q_cohort_ltv", "q_rmst",
-    "q_bland_altman", "q_rmst_arms", "q_min_cost_supplier",
-    "q_priority_pipeline", "q_order_count_dist", "q_important_stock",
-    "q_large_volume_cust", "q_sales_opportunity", "q_top_supplier",
-    "q_supplier_variety", "q_volume_shipping", "q_media_exif",
-    # (b) r5-stale drain, promised alphabetical order — 15
-    # (sum = 50 exactly)
-    "q_cluster_components", "q_data_card", "q_decontaminate",
-    "q_dedup_bloom", "q_dedup_canonical", "q_dedup_exact",
-    "q_dedup_incremental", "q_dedup_minhash_md5", "q_dedup_simhash_md5",
-    "q_dup_spans", "q_epoch_shuffle", "q_filter_eq",
-    "q_fingerprint_md5", "q_flagship", "q_join_asof",
-    # spill (past the 50-entry gate; the r14 drain, alphabetical) — 24
+    # (a) r5-stale drain, promised alphabetical order — 24
     "q_join_broadcast",
     "q_join_inner", "q_join_knn", "q_join_nn", "q_join_salted",
     "q_kmeans_step", "q_length_batches",
@@ -100,6 +78,16 @@ PRIORITY: tuple[str, ...] = (
     "q_split_assign", "q_split_stratified", "q_stream_session",
     "q_stream_tumbling", "q_tfidf", "q_unigram_logprob", "q_union_all",
     "q_weighted_sample",
+    # (b) first-time driver evidence: r13 stats + q_media_frames — 6
+    "q_kendall_tau", "q_benjamini_hochberg", "q_krippendorff_alpha",
+    "q_conformal_interval", "q_weibull_fit", "q_media_frames",
+    # (c) r6-stale rotation, alphabetical — 20 (sum = 50 exactly)
+    "q_anomaly_mad", "q_bfs_levels", "q_bigram_pmi", "q_cdc_apply",
+    "q_char_entropy", "q_chi_square", "q_compact_files",
+    "q_containment_join", "q_corr_matrix", "q_doremi_step", "q_dsir",
+    "q_fuzzy_join", "q_heavy_hitters", "q_interp_linear",
+    "q_inverted_index", "q_ivf_probe", "q_join_interval",
+    "q_join_nullsafe", "q_label_knn_noise", "q_maxsim_late",
 )
 
 

@@ -116,6 +116,7 @@ def test_similarity_zero_norm_vector(spark, name):
         shutil.rmtree(d)
 
 
+@pytest.mark.full
 def test_edge_corpus_never_crashes(spark, tmp_path):
     """Every documents/embeddings query must survive a pathological
     corpus: empty text, 1-token, NULL text/lang, unicode, repeated
@@ -190,6 +191,7 @@ def test_readability_ari_large_doc_no_overflow(spark, tmp_path):
     _parity(spark, "q_readability_ari", str(tmp_path))
 
 
+@pytest.mark.full
 def test_empty_tables_never_crash(spark, tmp_path):
     """Every registered query must handle zero-row inputs: an empty
     partition, a fresh day with no events, a filter that matched
@@ -357,6 +359,7 @@ _EDGE_EVENT_CORPORA = {
 
 
 @pytest.mark.parametrize("corpus", sorted(_EDGE_EVENT_CORPORA))
+@pytest.mark.full
 def test_edge_events_never_crash(spark, corpus):
     """Every events-only query must survive pathological event streams:
     single distinct value (zero bin width / zero variance), clicks

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pytest
 
 from telescope_data_pipeline_spark.operators.components import (
     connected_components,
@@ -26,6 +27,7 @@ def _union_find(edges, nodes):
     return {n: find(n) for n in nodes}
 
 
+@pytest.mark.full
 def test_components_match_union_find(spark):
     rng = np.random.default_rng(13)
     nodes = list(range(200))
@@ -57,6 +59,7 @@ def test_dedup_clusters_transitive(spark):
 # Iterated PageRank goldens (operators/pagerank.py)
 # ---------------------------------------------------------------------------
 
+@pytest.mark.full
 def test_pagerank_converges_and_sums_to_one(spark):
     from pyspark.sql import functions as F
 

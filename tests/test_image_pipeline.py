@@ -110,6 +110,7 @@ def test_psf_star_selection_drops_bad_stars(spark, fixture):
         assert (d > 2).all() if len(d) else True
 
 
+@pytest.mark.full
 def test_pipeline_photometry_end_to_end(spark, fixture):
     """Full chain: recovered flux_fit correlates with planted flux within
     tolerance for unsaturated interior stars."""
@@ -218,6 +219,7 @@ def test_local_background_beats_global_on_gradient():
     assert abs(bkgs[0] - (100.0 + 0.8 * sx)) < 3.0
 
 
+@pytest.mark.full
 def test_residual_diagnostics_bounded(spark, fixture):
     """core.py:454-484: after a good fit the per-star residual RMS is
     small vs the fitted peak, and bkg_local sits at the planted level."""
@@ -249,6 +251,7 @@ def test_lomb_scargle_numpy_kernel_sanity():
     assert abs(1.0 / freqs[p.argmax()] - 7.5) < 0.1
 
 
+@pytest.mark.full
 def test_cli_pipeline_end_to_end(spark, tmp_path):
     """python -m telescope_data_pipeline_spark equivalent of the
     reference's psf_phot.py run: manifest + FITS dir in, four sinks

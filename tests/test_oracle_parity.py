@@ -49,15 +49,27 @@ def test_contract_shapes():
 def test_scalar_only_outputs(spark, sf_dir):
     """The driver canonicalizer hashes query output with a pandas sort,
     which cannot order array/map/struct cells — every registered query
-    (oracle-checked OR rows-only) must emit scalar columns only."""
+    (oracle-checked OR rows-only) must emit scalar columns only.
+
+    Construction is threaded (r14): the 392 plan builds are driver-side
+    py4j round-trips that release the GIL on socket I/O, so 8 threads
+    overlap them (~110 s -> ~35 s measured) without touching what is
+    checked — every query's schema is still inspected."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from pyspark.sql import types as T
 
-    offenders = {}
-    for name, q in QUERIES.items():
+    def complex_cols(item):
+        name, q = item
         schema = q.fn(spark, sf_dir).schema
-        complex_cols = [f.name for f in schema.fields
-                        if isinstance(f.dataType,
-                                      (T.ArrayType, T.MapType, T.StructType))]
-        if complex_cols:
-            offenders[name] = complex_cols
+        bad = [f.name for f in schema.fields
+               if isinstance(f.dataType,
+                             (T.ArrayType, T.MapType, T.StructType))]
+        return name, bad
+
+    offenders = {}
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        for name, bad in pool.map(complex_cols, QUERIES.items()):
+            if bad:
+                offenders[name] = bad
     assert not offenders, f"complex-typed output columns: {offenders}"

@@ -7,6 +7,8 @@ scan is a correctness-of-scale bug even when row-level results match.
 
 from __future__ import annotations
 
+import pytest
+
 from telescope_data_pipeline_spark.plans.audit import (
     assert_plan,
     has_codegen,
@@ -1352,6 +1354,9 @@ def test_adamic_adar_base_relation_computed_once(spark):
     Cache-neutral: q_jaccard_linkpred CacheSlot-pins the SAME capped-
     arrays relation; clear the cache first so the pin cannot
     substitute an InMemoryRelation into this plan."""
+    if spark.conf.get("spark.sql.adaptive.enabled") != "true":
+        pytest.skip("ReusedExchange stage dedup is an AQE runtime "
+                    "property; meaningless with AQE disabled")
     spark.catalog.clearCache()
     df = get("q_adamic_adar").fn(spark, SF)
     df.collect()

@@ -184,9 +184,11 @@ def test_distributed_row_number_matches_sort(spark, keys, n_parts):
        st.integers(min_value=1, max_value=9))
 def test_lazy_row_number_matches_sort(spark, keys, n_buckets):
     """The r13 fully-lazy twin: any unique key set, any bucket count —
-    positions equal the rank in a plain sort AND equal the eager
-    CacheSlot form's output (bucket-boundary differences between the
-    two range-bucketings must never move a global position)."""
+    positions equal the rank in a plain sort (bucket-boundary
+    differences must never move a global position; the eager CacheSlot
+    form is held to the same sorted-rank contract by
+    test_distributed_row_number_matches_sort above, so agreement with
+    the sort implies agreement between the two forms)."""
     from telescope_data_pipeline_spark.operators.rank import (
         lazy_row_number,
     )

@@ -135,6 +135,7 @@ def test_stream_stream_join_matches_batch(spark, events_dir):
     assert got == want and len(got) > 0
 
 
+@pytest.mark.full
 def test_watermark_drops_late_beyond_accepts_within(spark):
     """Actual late-data semantics, not just operation (VERDICT r2 item 7):
     with a 30-minute watermark, a row arriving AFTER its window's

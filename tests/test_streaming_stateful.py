@@ -344,6 +344,7 @@ def test_running_stats_tws_matches_legacy_and_batch(spark):
         assert abs(latest.loc[uid, "std"] - want.loc[uid, "std"]) < 1e-9
 
 
+@pytest.mark.full
 def test_last_touch_attribution_matches_batch(spark):
     """Streaming last-touch attribution over time-ordered micro-batches
     equals the batch window form (q_attribution), and every purchase is

@@ -537,6 +537,7 @@ def test_length_batches_id_bounds_param_is_lazy_and_identical(spark):
         length_bucketed_batches(t, id_bounds=(0, 1 << 58))
 
 
+@pytest.mark.full
 def test_kmeans_sse_monotone_and_converges(spark):
     """Lloyd's algorithm must never increase within-cluster SSE, and on
     this small corpus reaches a fixed point: one more iteration leaves
