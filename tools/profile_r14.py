@@ -64,10 +64,12 @@ def main() -> None:
             pdir = Path(__file__).resolve().parent.parent / "plans" / "r14"
             pdir.mkdir(parents=True, exist_ok=True)
             if explain_exec:
-                df.write.format("noop").mode("overwrite").save()
-                # The executed adaptive plan: every AdaptiveSparkPlan node
-                # prints isFinalPlan=true with the runtime-chosen joins,
-                # AQEShuffleReads and ReusedExchange nodes resolved.
+                # collect() — NOT a noop write, which runs a DIFFERENT
+                # QueryExecution (verify-skill lesson): only after an
+                # action on THIS DataFrame does executedPlan() print
+                # isFinalPlan=true with runtime joins, AQEShuffleReads
+                # and ReusedExchange resolved.
+                df.collect()
                 txt = df._jdf.queryExecution().executedPlan().toString()
             else:
                 mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode \
